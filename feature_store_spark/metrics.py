@@ -1,0 +1,171 @@
+"""Evaluation metrics as distributed dataflow (SURVEY.md §2.5 A7-A11).
+
+Every metric is pure DataFrame ops (windows + aggregates) — no
+``collect()``-then-numpy, so they run on a billion scored rows.
+
+- AUC-ROC: Mann-Whitney U with midranks for ties; algebraically equal
+  to the reference's sorted-pairs trapezoid (MerchantFraudExample.java:
+  529-556) including its tie handling, but one pass instead of a
+  driver-side loop.
+- NDCG@k / MAP: per-group windows (python/mslr_example/train.py:32-73).
+- confusion / precision / recall / F1 (MerchantFraudExample.java:409-452).
+- logloss (python/criteo_example/train.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Area under the ROC curve, exact, tie-aware.
+
+    AUC = (sum(pos_g * midrank_g) - P(P+1)/2) / (P*N), where groups are
+    distinct scores and midrank_g is the average rank of the group's
+    rows. Scale shape: one groupBy(score) (map-side combinable), then a
+    window over *distinct scores only* — the single-partition sort sees
+    |distinct scores| rows, not |rows|.
+    """
+    y = F.col(label_col).cast("double")
+    g = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count_if(y == 1.0).cast("double").alias("__p"),
+        F.count_if(y == 0.0).cast("double").alias("__n"),
+    )
+    w_before = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn(
+        "__before", F.coalesce(F.sum(F.col("__p") + F.col("__n")).over(w_before), F.lit(0.0))
+    ).withColumn(
+        "__midrank", F.col("__before") + (F.col("__p") + F.col("__n") + F.lit(1.0)) / F.lit(2.0)
+    )
+    return g.agg(
+        (
+            (
+                F.sum(F.col("__p") * F.col("__midrank"))
+                - F.sum("__p") * (F.sum("__p") + F.lit(1.0)) / F.lit(2.0)
+            )
+            / (F.sum("__p") * F.sum("__n"))
+        ).alias("auc_roc")
+    )
+
+
+def logloss(df: DataFrame, prob_col: str, label_col: str, eps: float = 1e-15) -> DataFrame:
+    p = F.least(F.greatest(F.col(prob_col), F.lit(eps)), F.lit(1.0 - eps))
+    y = F.col(label_col).cast("double")
+    return df.agg(
+        (-F.avg(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p))).alias(
+            "logloss"
+        )
+    )
+
+
+def confusion_matrix(
+    df: DataFrame, pred_col: str, label_col: str
+) -> DataFrame:
+    """tp/fp/fn/tn + precision/recall/f1 at a fixed prediction column
+    (0/1). Reference thresholds at 0.5 (MerchantFraudExample.java:427-445)."""
+    p = F.col(pred_col).cast("int")
+    y = F.col(label_col).cast("int")
+    agg = df.agg(
+        F.count_if((p == 1) & (y == 1)).alias("tp"),
+        F.count_if((p == 1) & (y == 0)).alias("fp"),
+        F.count_if((p == 0) & (y == 1)).alias("fn"),
+        F.count_if((p == 0) & (y == 0)).alias("tn"),
+    )
+    precision = F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+    recall = F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))
+    f1 = 2 * precision * recall / F.nullif(precision + recall, F.lit(0.0))
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    )
+
+
+def _gain(rel: Column) -> Column:
+    return F.pow(F.lit(2.0), rel) - F.lit(1.0)
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    k: int,
+    group_col: str = "qid",
+    score_col: str = "score",
+    rel_col: str = "relevance",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group NDCG@k: DCG over top-k by score desc, normalized by the
+    ideal ordering (python/mslr_example/train.py:32-57). Groups with
+    zero ideal DCG yield null. Pass ``tiebreak`` columns to make score
+    ties deterministic."""
+    tb = [F.col(t).asc() for t in tiebreak]
+    w_pred = Window.partitionBy(group_col).orderBy(F.col(score_col).desc(), *tb)
+    w_ideal = Window.partitionBy(group_col).orderBy(F.col(rel_col).desc(), *tb)
+    rel = F.col(rel_col).cast("double")
+    ranked = df.select(
+        F.col(group_col),
+        rel.alias("__rel"),
+        F.row_number().over(w_pred).alias("__rp"),
+        F.row_number().over(w_ideal).alias("__ri"),
+    )
+    dcg = F.sum(
+        F.when(
+            F.col("__rp") <= k,
+            _gain(F.col("__rel")) / F.log2(F.col("__rp") + F.lit(1.0)),
+        )
+    )
+    idcg = F.sum(
+        F.when(
+            F.col("__ri") <= k,
+            _gain(F.col("__rel")) / F.log2(F.col("__ri") + F.lit(1.0)),
+        )
+    )
+    return ranked.groupBy(group_col).agg(
+        (dcg / F.nullif(idcg, F.lit(0.0))).alias(f"ndcg_at_{k}")
+    )
+
+
+def mean_ndcg_at_k(df: DataFrame, k: int, **kw) -> DataFrame:
+    per_group = ndcg_at_k(df, k, **kw)
+    return per_group.agg(F.avg(f"ndcg_at_{k}").alias(f"mean_ndcg_at_{k}"))
+
+
+def average_precision(
+    df: DataFrame,
+    group_col: str = "qid",
+    score_col: str = "score",
+    rel_col: str = "relevance",
+    rel_threshold: float = 2.0,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group average precision; relevant = rel >= threshold
+    (python/mslr_example/train.py:60-73). Groups with no relevant docs
+    yield null."""
+    tb = [F.col(t).asc() for t in tiebreak]
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).desc(), *tb)
+    is_rel = (F.col(rel_col) >= rel_threshold).cast("double")
+    ranked = df.select(
+        F.col(group_col),
+        is_rel.alias("__rel"),
+        F.row_number().over(w).alias("__rn"),
+    ).withColumn(
+        "__cum_rel",
+        F.sum("__rel").over(
+            Window.partitionBy(group_col)
+            .orderBy("__rn")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ap = F.sum(
+        F.when(F.col("__rel") == 1.0, F.col("__cum_rel") / F.col("__rn"))
+    ) / F.nullif(F.sum("__rel"), F.lit(0.0))
+    return ranked.groupBy(group_col).agg(ap.alias("avg_precision"))
+
+
+def mean_average_precision(df: DataFrame, **kw) -> DataFrame:
+    return average_precision(df, **kw).agg(
+        F.avg("avg_precision").alias("map")
+    )

@@ -1,0 +1,94 @@
+"""Offline store: the EAV ``feature_records`` fact table
+(IcebergOfflineStore.java:42-52) as partitioned Parquet/Delta, plus the
+training-data generation entry point.
+
+Partitioning mirrors the reference's Iceberg spec —
+identity(entity_type) x day(event_time) (:54-57) — which at 100 TB is
+what lets the ASOF pre-scan prune to [min(label)-lookback, max(label)]
+without touching other partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feature_store_spark.operators.asof import asof_training_set
+
+FEATURE_RECORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_type", T.StringType(), False),
+        T.StructField("entity_id", T.StringType(), False),
+        T.StructField("feature_name", T.StringType(), False),
+        T.StructField("value_float", T.DoubleType(), True),
+        T.StructField("value_string", T.StringType(), True),
+        T.StructField("event_time", T.TimestampType(), False),
+        T.StructField("created_at", T.TimestampType(), False),
+        T.StructField("pipeline_id", T.StringType(), True),
+        T.StructField("view_version", T.IntegerType(), True),
+    ]
+)
+
+
+class OfflineStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def write_records(self, df: DataFrame, mode: str = "append") -> None:
+        """S1/S2: partitioned append. ``event_date`` is a derived
+        partition column (day(event_time))."""
+        (
+            df.withColumn("event_date", F.to_date("event_time"))
+            .write.mode(mode)
+            .partitionBy("entity_type", "event_date")
+            .parquet(self.path)
+        )
+
+    def scan(
+        self,
+        entity_type: str | None = None,
+        feature_names: Sequence[str] | None = None,
+        time_min=None,
+        time_max=None,
+    ) -> DataFrame:
+        """S3/F1/F2: filtered scan. All predicates are plain ``filter``
+        calls — Catalyst pushes them into the parquet scan and prunes
+        partitions (the work IcebergOfflineStore.java:140-147 does by
+        hand with Expressions.and)."""
+        df = self.spark.read.parquet(self.path)
+        if entity_type is not None:
+            df = df.filter(F.col("entity_type") == entity_type)
+        if feature_names is not None:
+            df = df.filter(F.col("feature_name").isin(list(feature_names)))
+        if time_min is not None:
+            df = df.filter(F.col("event_time") >= F.lit(time_min))
+        if time_max is not None:
+            df = df.filter(F.col("event_time") <= F.lit(time_max))
+        return df
+
+    def generate_training_dataset(
+        self,
+        entity_type: str,
+        feature_names: Sequence[str],
+        label_events: DataFrame,
+        lookback_days: float = 180.0,
+        missing_as_nan: bool = True,
+    ) -> DataFrame:
+        """The reference's analytical query (§3.2): point-in-time
+        feature attachment for each (entity_id, event_time, label) row.
+        Missing -> NaN to match IcebergOfflineStore.java:189 (pass
+        ``missing_as_nan=False`` to keep SQL nulls)."""
+        records = self.scan(entity_type=entity_type)
+        out = asof_training_set(
+            label_events,
+            records,
+            feature_names,
+            lookback_days=lookback_days,
+        )
+        if missing_as_nan:
+            out = out.na.fill(float("nan"), subset=list(feature_names))
+        return out

@@ -1,0 +1,316 @@
+"""Deduplication operators for training-data pipelines.
+
+These go beyond the reference's own surface (per BASELINE.json's north
+star): exact dedup, MinHash + LSH near-dup, SimHash, and n-gram
+Jaccard. All hashing is md5-based column expressions — deterministic,
+seed-free, JVM-side (no Python UDFs), and reproducible bit-for-bit in
+any engine with md5 (which is what makes them oracle-checkable).
+
+Scale notes (100 TB):
+- shingling/minhashing is embarrassingly parallel (explode + groupBy
+  doc — map-side combinable),
+- LSH banding turns all-pairs O(n^2) into an equi-join on
+  (band, band_signature); buckets are small by construction, and a
+  ``max_bucket_size`` guard drops degenerate buckets (e.g. empty docs)
+  the way production dedup pipelines do,
+- the n-gram Jaccard verifier only runs on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the lowest-id document per exact text fingerprint.
+    One shuffle on the fingerprint; min() aggregation, no window."""
+    fp = fingerprint(F.col(text_col))
+    keepers = (
+        docs.select(fp.alias("__fp"), F.col(id_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+    return keepers.join(docs, id_col, "inner").drop("__fp")
+
+
+def shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    words = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    doc_shingles: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature rows: (id, seed, minhash-hex-string).
+
+    hash_i(shingle) = md5(i || '|' || shingle); the minimum md5 hex
+    string per (doc, seed) is the signature slot. Lexicographic min on
+    the hex string == numeric min on the 128-bit value, and it is
+    identical in any md5 implementation.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = doc_shingles.select(F.col(id_col), F.col("shingle"), seeds).select(
+        F.col(id_col),
+        F.col("seed"),
+        F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias(
+            "__h"
+        ),
+    )
+    return hashed.groupBy(id_col, "seed").agg(F.min("__h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH banding: docs whose signature agrees on ALL rows of at least
+    one band become a candidate pair (id_a < id_b, distinct).
+
+    ``max_bucket_size`` drops degenerate buckets (all-identical
+    boilerplate) that would otherwise explode the self-join — at 100 TB
+    this guard is what keeps the stage bounded.
+    """
+    rows_per_band = num_hashes // bands
+    banded = signatures.withColumn("band", F.floor(F.col("seed") / rows_per_band))
+    band_sigs = banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list(F.concat_ws(":", "seed", "minhash"))), ",")
+        ).alias("band_sig")
+    )
+    bucket_sizes = band_sigs.groupBy("band", "band_sig").agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    bounded = band_sigs.join(
+        bucket_sizes.filter(F.col("__sz") <= max_bucket_size), ["band", "band_sig"]
+    )
+    a = bounded.select(F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_a"))
+    b = bounded.select(F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_similarity(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature slots."""
+    sig_a = signatures.select(
+        F.col(id_col).alias("id_a"), F.col("seed"), F.col("minhash").alias("__ma")
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("id_b"), F.col("seed"), F.col("minhash").alias("__mb")
+    )
+    joined = pairs.join(sig_a, "id_a").join(sig_b, ["id_b", "seed"])
+    return joined.groupBy("id_a", "id_b").agg(
+        (
+            F.count_if(F.col("__ma") == F.col("__mb")) / F.lit(float(num_hashes))
+        ).alias("est_jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: shingle -> minhash -> LSH bands ->
+    candidate pairs -> estimated-Jaccard filter."""
+    sh = shingles(docs, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(sh, num_hashes, id_col)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
+    sims = minhash_similarity(cands, sigs, num_hashes, id_col)
+    return sims.filter(F.col("est_jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    rare_df_max: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs.
+
+    Candidate generation: pairs sharing at least one *rare* shingle
+    (document frequency <= rare_df_max). Rare-shingle blocking bounds
+    the self-join the same way LSH banding does, without hashing —
+    common boilerplate shingles never generate pairs. Exact
+    |A ∩ B| / |A ∪ B| is then computed on candidates only.
+    """
+    sh = shingles(docs, text_col, id_col, shingle_n)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    rare = sh.join(
+        df_counts.filter(F.col("__df") <= rare_df_max), "shingle"
+    ).select(id_col, "shingle")
+
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    inter = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__inter")
+                / (F.col("__sa") + F.col("__sb") - F.col("__inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash over distinct words.
+
+    word hash = first 8 md5 hex chars as uint32; each bit votes +1/-1;
+    simhash bit j set iff the vote sum is positive. Pure integer
+    expressions (explode words x bits -> sum) — deterministic and
+    engine-portable.
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w")
+    ).filter(F.length("__w") > 0).distinct()
+    h = F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("long")
+    hashed = words.select(F.col(id_col), h.alias("__h"))
+    bits_df = hashed.select(
+        F.col(id_col),
+        F.col("__h"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    ).select(
+        F.col(id_col),
+        F.col("bit"),
+        F.when(
+            (F.floor(F.col("__h") / F.pow(F.lit(2.0), F.col("bit"))).cast("long") % 2) == 1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("__vote"),
+    )
+    votes = bits_df.groupBy(id_col, "bit").agg(F.sum("__vote").alias("__sum"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("__sum") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on the high
+    ``block_bits`` bits (candidates must agree there — sound for small
+    max_hamming when mutations hit low bits; production pipelines use
+    multiple rotated blocks)."""
+    block = F.floor(F.col("simhash") / F.lit(2 ** (bits - block_bits)))
+    s = sims.select(F.col(id_col), F.col("simhash"), block.alias("__blk"))
+    a = s.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__ha"), "__blk"
+    )
+    b = s.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"), "__blk"
+    )
+    pairs = a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b"))
+    xor = F.col("__ha").bitwiseXOR(F.col("__hb"))
+    hamming = F.bit_count(xor)
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine >= threshold.
+    Optionally blocked on ``block_col`` (e.g. an LSH bucket or IVF
+    cluster from similarity.assign_clusters) to avoid all-pairs."""
+    from feature_store_spark.operators.similarity import _norm, _dot
+
+    e = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [F.lit(0).alias("__blk")] ),
+    ).withColumn("__n", _norm(F.col("__v")))
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__blk",
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__blk",
+    )
+    pairs = a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The Spark-side contract is real and tested — schema, partitioning,
+batch shape, UDF signature. The actual codec work is STUBBED (this
+container has no image/audio libraries): ``decode_image_meta`` runs a
+clearly-marked deterministic fake decoder, and :func:`decode_image`
+raises ``NotImplementedError``. Swapping in PIL/libav changes only the
+function body; the distributed plan (columnar scan -> Arrow batches ->
+pandas transform -> columnar write) is unchanged.
+
+Scale notes: binary payloads dominate partition size, so the reader
+should cap ``spark.sql.files.maxPartitionBytes`` and the pipeline
+repartitions by a content hash before heavy decode to spread skew
+(one 4 GB video must not serialize a whole partition).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, width int, height int, "
+    "format string"
+)
+
+
+def to_media_table(
+    docs: DataFrame,
+    payload_col: str = "text",
+    id_col: str = "doc_id",
+    media_type: str = "image",
+) -> DataFrame:
+    """Build a media table with an opaque binary payload column.
+    (Here the payload is synthesized from text bytes — the container
+    has no real media; the column type and plan shape are the real
+    thing.)"""
+    return docs.select(
+        F.col(id_col),
+        F.lit(media_type).alias("media_type"),
+        F.encode(F.col(payload_col), "utf-8").alias("payload"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - documented stub
+    """Real image decode. STUB: requires an image library (PIL/cv2)
+    that is not available in this container."""
+    raise NotImplementedError(
+        "image decoding requires PIL/cv2; install one and replace the "
+        "body of _fake_decode with a real decoder"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic FAKE decoder (clearly marked): derives fake
+    dimensions from the payload bytes so tests have stable values."""
+    n = len(payload)
+    width = 64 + (n * 31) % 1920
+    height = 64 + (n * 17) % 1080
+    fmt = "png" if n % 2 == 0 else "jpeg"
+    return width, height, fmt
+
+
+def extract_media_meta(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode / feature-extract over Arrow batches via mapInPandas.
+
+    The iterator-of-batches signature is the shape that matters at
+    scale: one Python worker per partition, Arrow transfer both ways,
+    bounded memory per batch.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "format": [m[2] for m in metas],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=MEDIA_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame,
+    every_n_seconds: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame-sampling plumbing: explode a (stubbed) frame index
+    per payload. Real decoders replace the duration fake; the explode +
+    downstream-partitioning shape is the production plan."""
+    fake_duration_s = (F.length("payload") % 120 + 1).cast("double")
+    n_frames = F.ceil(fake_duration_s / F.lit(every_n_seconds)).cast("int")
+    return media.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "__"),
+    ).select(
+        id_col,
+        "frame_idx",
+        (F.col("frame_idx") * F.lit(every_n_seconds)).alias("frame_time_s"),
+    )

@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline; the scale path is
+IVF-style clustering: assign every vector to its nearest centroid,
+then search only the probed clusters — turning a 100 TB all-pairs scan
+into (centroid broadcast join) + (per-cluster local search).
+
+All arithmetic stays JVM-side via ``aggregate``/``zip_with`` higher-
+order functions on array columns (no Python UDF, no explode for the
+hot path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def l2_squared(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors of a literal query vector: one scan, score
+    expression in WSCG, TakeOrderedAndProject for the top-k. Ties break
+    on id ascending."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    if metric == "cosine":
+        score = _dot(v, q) / (_norm(v) * _norm(q))
+        order = [F.col("score").desc(), F.col(id_col).asc()]
+    elif metric == "l2":
+        score = l2_squared(v, q)
+        order = [F.col("score").asc(), F.col(id_col).asc()]
+    else:
+        raise ValueError(metric)
+    return (
+        embeddings.select(F.col(id_col), score.alias("score"))
+        .orderBy(*order)
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors for a (small, broadcastable) batch of query
+    vectors: broadcast x scan, per-query row_number. This is the
+    ScoreTopK shape (runtime/src/grpc_service.rs:30-89) with cosine as
+    the model."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("__q")
+        )
+    )
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    crossed = e.crossJoin(q)
+    scored = crossed.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (_dot(F.col("__v"), F.col("__q")) / (_norm(F.col("__v")) * _norm(F.col("__q")))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def centroids(
+    embeddings: DataFrame,
+    by_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid via posexplode + avg per dimension + rebuild.
+    (Also the building block of a k-means iteration.)"""
+    dims = embeddings.select(
+        F.col(by_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "__x"),
+    )
+    avg_dim = dims.groupBy(by_col, "dim").agg(F.avg("__x").alias("__c"))
+    return avg_dim.groupBy(by_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "__c"))
+        ).alias("__pairs")
+    ).select(
+        F.col(by_col),
+        F.transform("__pairs", lambda p: p["__c"]).alias("centroid"),
+    )
+
+
+def assign_clusters(
+    embeddings: DataFrame,
+    cluster_centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_key: str = "label",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """IVF assignment: nearest centroid (L2) per vector. Centroids are
+    broadcast; cost is |vectors| x |centroids| array ops, all in WSCG."""
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    c = F.broadcast(
+        cluster_centroids.select(
+            F.col(centroid_key).alias("__ck"),
+            F.col(centroid_vec).cast("array<double>").alias("__cv"),
+        )
+    )
+    crossed = e.crossJoin(c).select(
+        F.col(id_col),
+        F.col("__ck"),
+        l2_squared(F.col("__v"), F.col("__cv")).alias("__d"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("__ck").asc())
+    return (
+        crossed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__ck").alias("cluster"), F.col("__d").alias("dist_sq"))
+    )
+
+
+def ivf_topk(
+    embeddings_with_cluster: DataFrame,
+    cluster_centroids: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    centroid_key: str = "label",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """IVF search: rank centroids against the query on the driver-free
+    plan (broadcast centroids, take n_probe nearest), then brute-force
+    only within the probed clusters. At 100 TB with cluster-partitioned
+    storage this prunes the scan to n_probe/n_clusters of the data."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probed = (
+        cluster_centroids.select(
+            F.col(centroid_key).alias(cluster_col),
+            l2_squared(F.col(centroid_vec).cast("array<double>"), q).alias("__d"),
+        )
+        .orderBy(F.col("__d").asc(), F.col(cluster_col).asc())
+        .limit(n_probe)
+        .select(cluster_col)
+    )
+    pruned = embeddings_with_cluster.join(F.broadcast(probed), cluster_col)
+    v = F.col(vec_col).cast("array<double>")
+    score = _dot(v, q) / (_norm(v) * _norm(q))
+    return (
+        pruned.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

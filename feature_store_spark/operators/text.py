@@ -1,0 +1,153 @@
+"""Text analysis operators for training-data pipelines: token stats,
+quality scoring, language ID, document fingerprinting.
+
+All pure column expressions (split/array ops — no regex where a plain
+string op works, no Python UDFs), so they run at scan speed and are
+engine-portable for oracle checking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny stopword inventories for the n-gram/stopword language heuristic.
+# Real pipelines ship larger lists; the operator shape is identical.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ist", "den", "von", "mit"),
+}
+
+
+def words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), " "), lambda w: F.length(w) > 0)
+
+
+def token_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc token statistics: word count, distinct words, type-token
+    ratio, average word length — array aggregates over one split."""
+    w = words(F.col(text_col))
+    n_words = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    total_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        (n_distinct / F.nullif(n_words, F.lit(0))).alias("type_token_ratio"),
+        (total_len / F.nullif(n_words, F.lit(0))).alias("avg_word_len"),
+    )
+
+
+def token_count_bpe_ish(text: Column, chars_per_token: float = 4.0) -> Column:
+    """Cheap BPE-ish token estimate: words + ceil(chars/4) blended —
+    the standard pre-tokenizer heuristic for budget accounting."""
+    w = words(text)
+    return F.greatest(
+        F.size(w),
+        F.ceil(F.length(text) / F.lit(chars_per_token)).cast("int"),
+    )
+
+
+def quality_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: Sequence[str] = STOPWORDS["en"],
+    target_stopword_ratio: float = 0.4,
+) -> DataFrame:
+    """Heuristic document quality in [0,1]:
+    0.4*length score + 0.3*stopword-ratio score + 0.3*lexical diversity.
+
+    The components mirror the usual pretraining filters (length,
+    stopword density, repetitiveness); weights are fixed constants so
+    the score is deterministic.
+    """
+    w = words(F.col(text_col))
+    n_words = F.size(w)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    stop_hits = F.aggregate(
+        w,
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.array_contains(sw, x), 1).otherwise(0),
+    )
+    stop_ratio = stop_hits / F.nullif(n_words, F.lit(0))
+    len_score = F.least(F.lit(1.0), n_words / F.lit(100.0))
+    stop_score = F.lit(1.0) - F.least(
+        F.lit(1.0), F.abs(stop_ratio - F.lit(target_stopword_ratio)) * F.lit(2.0)
+    )
+    diversity = F.size(F.array_distinct(w)) / F.nullif(n_words, F.lit(0))
+    score = (
+        F.lit(0.4) * len_score + F.lit(0.3) * stop_score + F.lit(0.3) * diversity
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        stop_ratio.alias("stopword_ratio"),
+        diversity.alias("lexical_diversity"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopword_sets: dict[str, Sequence[str]] | None = None,
+) -> DataFrame:
+    """Stopword-vote language ID: count hits per language's stopword
+    list, argmax (ties -> language name ascending; no hits ->
+    'unknown'). The classic cheap lang-ID; swap the lists for character
+    n-gram profiles without changing the dataflow."""
+    stopword_sets = stopword_sets or STOPWORDS
+    w = words(F.col(text_col))
+
+    def hit_counter(sw):
+        return lambda acc, x: acc + F.when(F.array_contains(sw, x), 1).otherwise(0)
+
+    scores = []
+    for lang in sorted(stopword_sets):
+        sw = F.array(*[F.lit(s) for s in stopword_sets[lang]])
+        hits = F.aggregate(w, F.lit(0), hit_counter(sw))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # deterministic winner: sort by (-hits, lang) ascending, take first
+    ordered = F.array_sort(
+        F.transform(
+            F.array(*scores),
+            lambda s: F.struct(
+                (-s["hits"]).alias("neg"), s["lang"].alias("lang"), s["hits"].alias("hits")
+            ),
+        )
+    )
+    top = F.element_at(ordered, 1)
+    return docs.select(
+        F.col(id_col),
+        F.when(top["hits"] > 0, top["lang"]).otherwise(F.lit("unknown")).alias(
+            "pred_lang"
+        ),
+        top["hits"].alias("stopword_hits"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content fingerprint: md5 of normalized text plus a 32-bit rolling
+    -hash-style bucket (md5 prefix) for sharded dedup lookup tables."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    fp = F.md5(norm)
+    return docs.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        (F.conv(F.substring(fp, 1, 8), 16, 10).cast("long")).alias("fingerprint32"),
+    )

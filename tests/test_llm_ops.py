@@ -1,0 +1,187 @@
+"""Dedup / similarity / text / multimodal operator tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_pairs,
+)
+from feature_store_spark.operators.multimodal import (
+    extract_media_meta,
+    frame_sample_plan,
+    to_media_table,
+)
+from feature_store_spark.operators.similarity import (
+    assign_clusters,
+    brute_force_topk,
+    centroids,
+    ivf_topk,
+    knn_join,
+)
+from feature_store_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+BASE = [
+    "the quick brown fox jumps over the lazy dog and runs far away today",
+    "a completely different document about spark query engines and shuffles",
+    "el rapido zorro marron salta sobre el perro perezoso de la casa",
+    "machine learning feature stores serve vectors online and offline daily",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, t) for i, t in enumerate(BASE)]
+    # near-dup of doc 0: one word dropped
+    rows.append((100, BASE[0].replace("quick ", "")))
+    # exact dup of doc 1
+    rows.append((101, BASE[1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs)
+    assert out.count() == 5  # 6 docs, one exact dup removed
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 1 in kept and 101 not in kept
+    n = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert n[1] == 2 and n[0] == 1
+
+
+def test_shingles_count(docs):
+    sh = shingles(docs, n=3)
+    d0 = sh.filter(F.col("doc_id") == 0).count()
+    n_words = len(BASE[0].split())
+    assert d0 <= n_words - 2  # distinct 3-shingles
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = minhash_dedup_pairs(docs, threshold=0.4).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 100) in found
+    # exact dup pair too (jaccard 1.0)
+    assert (1, 101) in found
+    # dissimilar docs must not pair
+    assert all({a, b} & {0, 100} == set() or {a, b} <= {0, 100} for a, b in found if a != 1)
+
+
+def test_minhash_signature_is_deterministic(docs):
+    s1 = minhash_signatures(shingles(docs)).collect()
+    s2 = minhash_signatures(shingles(docs)).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+
+def test_ngram_jaccard(docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 101) in out and out[(1, 101)] == 1.0
+    assert (0, 100) in out and 0.5 < out[(0, 100)] < 1.0
+
+
+def test_simhash_near_dup_small_hamming(docs):
+    sims = simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    assert all(0 <= v < 2**32 for v in vals.values())
+    assert vals[1] == vals[101]  # identical text -> identical simhash
+    pairs = simhash_pairs(sims, max_hamming=6)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 101) in found
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.9, 0.1], 1),
+        (4, [0.0, 0.0, 1.0], 2),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_brute_force_topk(emb):
+    out = brute_force_topk(emb, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [0, 1]
+
+
+def test_knn_join(spark, emb):
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "query_id long, query_vec array<double>",
+    )
+    out = knn_join(queries, emb, k=1)
+    got = {r["query_id"]: r["vec_id"] for r in out.collect()}
+    assert got == {0: 0, 1: 2}
+
+
+def test_centroids_and_ivf(emb):
+    c = centroids(emb)
+    cents = {r["label"]: r["centroid"] for r in c.collect()}
+    assert cents[0] == [pytest.approx(0.95), pytest.approx(0.05), 0.0]
+    assigned = assign_clusters(emb, c)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+    with_cluster = emb.join(assigned.select("vec_id", "cluster"), "vec_id")
+    top = ivf_topk(with_cluster, c, [1.0, 0.05, 0.0], k=2, n_probe=1).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+
+
+def test_embedding_near_dup(emb):
+    pairs = embedding_near_dup_pairs(emb, threshold=0.9)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert found == {(0, 1), (2, 3)}
+
+
+def test_token_stats(docs):
+    out = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert out[0]["n_words"] == len(BASE[0].split())
+    assert out[0]["n_distinct_words"] == len(set(BASE[0].split()))
+    assert 0 < out[0]["type_token_ratio"] <= 1.0
+
+
+def test_quality_score_range(docs):
+    for r in quality_score(docs).collect():
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert got[0] == "en"   # "the ... the ..." hits en stopwords
+    assert got[2] == "es"   # "el ... el ... de la"
+
+
+def test_doc_fingerprint(docs):
+    out = doc_fingerprint(docs)
+    fps = {r["doc_id"]: r["fingerprint"] for r in out.collect()}
+    assert fps[1] == fps[101]
+    assert fps[0] != fps[100]
+
+
+def test_multimodal_plumbing(docs):
+    media = to_media_table(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    meta = extract_media_meta(media)
+    rows = {r["doc_id"]: r for r in meta.collect()}
+    assert rows[0]["n_bytes"] == len(BASE[0].encode())
+    assert rows[0]["width"] >= 64 and rows[0]["height"] >= 64
+    assert rows[0]["format"] in ("png", "jpeg")
+    # determinism
+    rows2 = {r["doc_id"]: r for r in extract_media_meta(media).collect()}
+    assert rows[0]["width"] == rows2[0]["width"]
+    frames = frame_sample_plan(media)
+    assert frames.filter(F.col("doc_id") == 0).count() >= 1

@@ -1,0 +1,149 @@
+"""Metrics vs hand-computed oracles; tree-expression scoring vs a pure
+-Python evaluator (the verify.py differential pattern, M8)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_spark.metrics import (
+    auc_roc,
+    confusion_matrix,
+    logloss,
+    mean_average_precision,
+    mean_ndcg_at_k,
+    ndcg_at_k,
+)
+from feature_store_spark.scoring import (
+    compile_model_expr,
+    example_model,
+    score_topk,
+)
+
+
+def test_auc_perfect_and_random(spark):
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.3, 0), (0.1, 0)], "score double, label int"
+    )
+    assert auc_roc(df, "score", "label").first()["auc_roc"] == 1.0
+    df2 = spark.createDataFrame(
+        [(0.9, 0), (0.8, 0), (0.3, 1), (0.1, 1)], "score double, label int"
+    )
+    assert auc_roc(df2, "score", "label").first()["auc_roc"] == 0.0
+
+
+def test_auc_with_ties_matches_sklearn_convention(spark):
+    # scores: tie between a positive and a negative -> 0.5 credit
+    rows = [(0.5, 1), (0.5, 0), (0.8, 1), (0.1, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    # pairs: (p=.5 vs n=.5)->0.5, (p=.5 vs n=.1)->1, (p=.8 vs n=.5)->1, (p=.8 vs n=.1)->1
+    expected = (0.5 + 1 + 1 + 1) / 4
+    assert abs(auc_roc(df, "score", "label").first()["auc_roc"] - expected) < 1e-12
+
+
+def test_logloss(spark):
+    df = spark.createDataFrame([(0.8, 1), (0.2, 0)], "p double, y int")
+    expected = -(math.log(0.8) + math.log(0.8)) / 2
+    assert abs(logloss(df, "p", "y").first()["logloss"] - expected) < 1e-12
+
+
+def test_confusion(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (0, 1), (0, 0), (1, 1)], "pred int, label int"
+    )
+    r = confusion_matrix(df, "pred", "label").first()
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 1)
+    assert abs(r["precision"] - 2 / 3) < 1e-12
+    assert abs(r["recall"] - 2 / 3) < 1e-12
+
+
+def test_ndcg_ideal_ordering_is_one(spark):
+    rows = [(1, 3, 0.9), (1, 2, 0.8), (1, 1, 0.7), (1, 0, 0.6)]
+    df = spark.createDataFrame(rows, "qid int, relevance int, score double")
+    r = ndcg_at_k(df, 4).first()
+    assert abs(r["ndcg_at_4"] - 1.0) < 1e-12
+
+
+def test_ndcg_hand_computed(spark):
+    # predicted order by score: rel = [1, 3], ideal = [3, 1], k=2
+    rows = [(1, 1, 0.9), (1, 3, 0.8)]
+    df = spark.createDataFrame(rows, "qid int, relevance int, score double")
+    dcg = (2**1 - 1) / math.log2(2) + (2**3 - 1) / math.log2(3)
+    idcg = (2**3 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3)
+    r = mean_ndcg_at_k(df, 2).first()
+    assert abs(r["mean_ndcg_at_2"] - dcg / idcg) < 1e-12
+
+
+def test_map_hand_computed(spark):
+    # order by score desc: rel flags [1, 0, 1] (rel>=2) -> AP = (1/1 + 2/3)/2
+    rows = [(1, 2, 0.9), (1, 0, 0.8), (1, 3, 0.7)]
+    df = spark.createDataFrame(rows, "qid int, relevance int, score double")
+    expected = (1.0 + 2.0 / 3.0) / 2.0
+    r = mean_average_precision(df).first()
+    assert abs(r["map"] - expected) < 1e-12
+
+
+# ---- tree scoring ----
+
+def eval_node_py(node: dict, row: dict) -> float:
+    """Independent pure-Python tree walker (the differential oracle)."""
+    if "leaf" in node:
+        return node["leaf"]
+    v = row.get(node["split"])
+    missing = v is None or (isinstance(v, float) and math.isnan(v))
+    if missing:
+        branch = "yes" if node.get("missing", "left") == "left" else "no"
+    else:
+        branch = "yes" if v < node["threshold"] else "no"
+    return eval_node_py(node[branch], row)
+
+
+def eval_model_py(model: dict, row: dict) -> float:
+    raw = model.get("base_score", 0.0) + sum(
+        eval_node_py(t, row) for t in model["trees"]
+    )
+    if model.get("objective") == "binary:logistic":
+        return 1.0 / (1.0 + math.exp(-raw))
+    return raw
+
+
+@pytest.fixture(scope="module")
+def feature_rows(spark):
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(500):
+        # 5% NaN injection, the verify.py pattern (verify.py:75-81)
+        def v(scale):
+            return float("nan") if rng.random() < 0.05 else rng.random() * scale
+
+        rows.append((i, v(50.0), v(60000.0), v(0.1), v(0.08)))
+    return spark.createDataFrame(
+        rows, "id long, qty double, price double, disc double, tax double"
+    )
+
+
+def test_tree_expr_matches_python_oracle(spark, feature_rows):
+    feats = ["qty", "price", "disc", "tax"]
+    model = example_model(feats)
+    fmap = {f: f for f in feats}
+    scored = feature_rows.withColumn("score", compile_model_expr(model, fmap))
+    for r in scored.collect():
+        expected = eval_model_py(model, {f: None if math.isnan(r[f]) else r[f] for f in feats})
+        assert abs(r["score"] - expected) <= 1e-12, r
+
+
+def test_score_topk_equals_full_sort_head(spark, feature_rows):
+    feats = ["qty", "price", "disc", "tax"]
+    model = example_model(feats)
+    fmap = {f: f for f in feats}
+    topk = score_topk(feature_rows, model, fmap, k=10, tiebreak=["id"]).collect()
+    full = (
+        feature_rows.withColumn("score", compile_model_expr(model, fmap))
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .collect()
+    )
+    assert [r["id"] for r in topk] == [r["id"] for r in full[:10]]

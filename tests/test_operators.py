@@ -1,0 +1,152 @@
+"""Unit tests for windowed features, reshape, top-k, sessionize."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_spark.operators.reshape import (
+    assemble_flat,
+    assemble_vectors,
+    latest_per_key,
+    melt,
+    pivot_features,
+)
+from feature_store_spark.operators.sessionize import session_stats, sessionize
+from feature_store_spark.operators.topk import top_k, top_k_per_group
+from feature_store_spark.operators.windowed import (
+    windowed_features_join,
+    windowed_features_self,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        (1, ts("2024-01-01T00:00:00"), 10.0),
+        (1, ts("2024-01-03T00:00:00"), 20.0),
+        (1, ts("2024-01-09T00:00:00"), 30.0),   # window(7d) sees 01-03 only
+        (1, ts("2024-01-09T00:00:00"), 40.0),   # same ts: excluded from each other
+        (2, ts("2024-01-01T00:00:00"), 5.0),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+
+def test_windowed_self(ev):
+    out = windowed_features_self(ev, window_days=7.0)
+    rows = {(r["user_id"], r["ts"], r["value"]): r for r in out.collect()}
+    r = rows[(1, ts("2024-01-09T00:00:00"), 30.0)]
+    assert r["w_count"] == 1 and r["w_sum"] == 20.0  # 01-01 is outside, same-ts excluded
+    r2 = rows[(1, ts("2024-01-01T00:00:00"), 10.0)]
+    assert r2["w_count"] == 0 and r2["w_sum"] is None
+    r3 = rows[(1, ts("2024-01-03T00:00:00"), 20.0)]
+    assert r3["w_count"] == 1 and r3["w_sum"] == 10.0
+
+
+def test_windowed_join_matches_self(ev):
+    anchors = ev.select("user_id", "ts").distinct()
+    out = windowed_features_join(anchors, ev, window_days=7.0).collect()
+    got = {(r["user_id"], r["ts"]): (r["w_count"], r["w_sum"]) for r in out}
+    assert got[(1, ts("2024-01-09T00:00:00"))] == (1, 20.0)
+    assert got[(1, ts("2024-01-01T00:00:00"))] == (0, None)
+    assert got[(2, ts("2024-01-01T00:00:00"))] == (0, None)
+
+
+def test_melt_pivot_roundtrip(spark):
+    wide = spark.createDataFrame(
+        [("e1", 1.0, 2.0), ("e2", 3.0, 4.0)], "entity_id string, f1 double, f2 double"
+    )
+    tall = melt(wide, ["entity_id"], ["f1", "f2"])
+    assert tall.count() == 4
+    back = pivot_features(tall, ["entity_id"], ["f1", "f2"])
+    rows = {r["entity_id"]: (r["f1"], r["f2"]) for r in back.collect()}
+    assert rows == {"e1": (1.0, 2.0), "e2": (3.0, 4.0)}
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [
+            ("e1", "f1", 1.0, ts("2024-01-01T00:00:00"), ts("2024-01-01T00:00:00")),
+            ("e1", "f1", 2.0, ts("2024-01-02T00:00:00"), ts("2024-01-02T00:00:00")),
+            ("e1", "f1", 3.0, ts("2024-01-02T00:00:00"), ts("2024-01-02T01:00:00")),
+        ],
+        "entity_id string, feature_name string, value double, "
+        "event_time timestamp, created_at timestamp",
+    )
+    out = latest_per_key(df, ["entity_id", "feature_name"], "event_time", ["created_at"])
+    assert out.count() == 1
+    assert out.first()["value"] == 3.0
+
+
+def test_assemble_vectors_defaults_mask_ages(spark):
+    scalars = spark.createDataFrame(
+        [
+            ("e1", "f1", 1.5, ts("2024-01-01T00:00:00")),
+            ("e1", "f2", 2.5, ts("2024-01-02T00:00:00")),
+            ("e2", "f1", 9.0, ts("2024-01-01T00:00:00")),
+        ],
+        "entity_id string, feature_name string, value double, event_time timestamp",
+    )
+    now_ms = int(ts("2024-01-03T00:00:00").timestamp() * 1000)
+    out = assemble_vectors(
+        scalars, ["f1", "f2", "f3"], defaults={"f3": -1.0}, now_ms=now_ms
+    )
+    rows = {r["entity_id"]: r for r in out.collect()}
+    assert rows["e1"]["values"] == [1.5, 2.5, -1.0]
+    assert rows["e1"]["is_default_mask"] == [False, False, True]
+    assert rows["e1"]["value_ages_ms"][0] == 2 * 86400 * 1000
+    assert rows["e1"]["value_ages_ms"][2] == -1
+    assert rows["e2"]["values"] == [9.0, 0.0, -1.0]
+    assert rows["e2"]["is_default_mask"] == [False, True, True]
+
+
+def test_assemble_flat_grid(spark):
+    scalars = spark.createDataFrame(
+        [("e1", "f1", 1.0, ts("2024-01-01T00:00:00"))],
+        "entity_id string, feature_name string, value double, event_time timestamp",
+    )
+    entities = spark.createDataFrame([("e1",), ("e2",)], ["entity_id"])
+    out = assemble_flat(scalars, entities, ["f1", "f2"])
+    assert out.count() == 4
+    got = {(r["entity_id"], r["feature_name"]): (r["value"], r["is_default"]) for r in out.collect()}
+    assert got[("e1", "f1")] == (1.0, False)
+    assert got[("e2", "f2")] == (0.0, True)
+
+
+def test_top_k(ev):
+    out = top_k(ev, 2, [F.col("value").desc()]).collect()
+    assert [r["value"] for r in out] == [40.0, 30.0]
+    # k > n returns all
+    assert top_k(ev, 100, [F.col("value").desc()]).count() == 5
+
+
+def test_top_k_per_group(ev):
+    out = top_k_per_group(ev, 1, ["user_id"], [F.col("value").desc()])
+    got = {r["user_id"]: r["value"] for r in out.collect()}
+    assert got == {1: 40.0, 2: 5.0}
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, ts("2024-01-01T00:00:00"), 1.0),
+        (1, ts("2024-01-01T00:10:00"), 1.0),   # same session (10 min)
+        (1, ts("2024-01-01T01:00:00"), 1.0),   # new session (50 min gap)
+        (2, ts("2024-01-01T00:00:00"), 1.0),
+    ]
+    ev2 = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sessionize(ev2, gap_minutes=30.0)
+    got = {(r["user_id"], r["ts"]): r["session_id"] for r in out.collect()}
+    assert got[(1, ts("2024-01-01T00:00:00"))] == 1
+    assert got[(1, ts("2024-01-01T00:10:00"))] == 1
+    assert got[(1, ts("2024-01-01T01:00:00"))] == 2
+    assert got[(2, ts("2024-01-01T00:00:00"))] == 1
+    stats = session_stats(ev2, gap_minutes=30.0)
+    s = {(r["user_id"], r["session_id"]): r for r in stats.collect()}
+    assert s[(1, 1)]["n_events"] == 2
+    assert s[(1, 1)]["duration_sec"] == 600.0

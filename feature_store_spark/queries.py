@@ -1,0 +1,1309 @@
+"""The engine's query catalog over the driver's synthetic tables.
+
+Each entry implements one operator family from SURVEY.md §2 (plus the
+LLM-pipeline additions) as a (spark, sf_dir) -> DataFrame callable,
+paired with an equivalent DuckDB oracle SQL string. The driver runs
+both at sf0.01 and hash-compares values, so every computed double is
+rounded identically on both sides (ROUND_* constants) and timestamps
+are emitted as epoch-microsecond bigints.
+
+Registry shape: QUERIES[name] = (callable, oracle_sql | None).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feature_store_spark.functions import schema_hash_expr, hash_bucket_expr
+from feature_store_spark.metrics import (
+    auc_roc,
+    confusion_matrix,
+    logloss,
+    mean_average_precision,
+    mean_ndcg_at_k,
+)
+from feature_store_spark.operators.asof import asof_training_set
+from feature_store_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    minhash_similarity,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from feature_store_spark.operators.reshape import latest_per_key, melt
+from feature_store_spark.operators.sessionize import session_stats
+from feature_store_spark.operators.similarity import assign_clusters, centroids, knn_join
+from feature_store_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from feature_store_spark.operators.topk import top_k, top_k_per_group
+from feature_store_spark.operators.windowed import windowed_features_self
+from feature_store_spark.scoring import compile_model_expr, compile_model_sql, example_model
+from feature_store_spark.session import load_table
+from feature_store_spark.stats import feature_stats
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+FRAUD_FEATURES = [
+    "gmv_30d", "gmv_90d", "txn_count_30d", "avg_txn_value",
+    "active_days_30d", "chargeback_rate_90d", "refund_rate_30d",
+    "dispute_count_90d", "fraud_reports_30d", "account_age_days",
+    "days_since_last_payout", "gmv_velocity_pct", "txn_velocity_pct",
+    "mcc_risk_score", "country_risk_score",
+]
+LINEITEM_FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+US_7D = 7 * 86_400_000_000
+
+_r6 = lambda c: F.round(c, 6)  # noqa: E731
+
+
+def _events_eav(spark, sf_dir) -> DataFrame:
+    """events as an EAV feature-history table: entity=user, feature=
+    event_type, value, event_time; event_id doubles as the created_at
+    tie-breaker."""
+    return load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("event_type").alias("feature_name"),
+        F.col("value").alias("value_float"),
+        F.col("ts").alias("event_time"),
+        F.col("event_id").alias("rec_event_id"),
+    )
+
+
+def _purchase_labels(spark, sf_dir) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("event_time"),
+        (F.col("value") > 100).cast("int").alias("label"),
+        F.col("event_id").alias("label_event_id"),
+    )
+
+
+# ---------------------------------------------------------------- ASOF (J1)
+
+def q_asof_features(spark, sf_dir):
+    """Point-in-time training set: for each purchase event, the latest
+    value of each of the 5 event-type 'features' at-or-before its ts.
+    Exercises J1 (union+window ASOF) + U3 (pivot to wide)."""
+    labels = _purchase_labels(spark, sf_dir)
+    records = _events_eav(spark, sf_dir)
+    wide = asof_training_set(
+        labels, records, EVENT_TYPES,
+        tiebreak_cols=["rec_event_id"], lookback_days=None,
+    )
+    return wide.select(
+        F.col("entity_id").alias("user_id"),
+        F.col("label_event_id"),
+        F.unix_micros("event_time").alias("label_ts_us"),
+        F.col("label"),
+        *[_r6(F.col(t)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+ASOF_SQL = f"""
+WITH labels AS (
+  SELECT event_id AS label_event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+feats AS (SELECT unnest({EVENT_TYPES!r}) AS fname),
+ranked AS (
+  SELECT l.label_event_id, f.fname, h.value,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.label_event_id, f.fname
+           ORDER BY h.ts DESC, h.event_id DESC) AS rn
+  FROM labels l
+  CROSS JOIN feats f
+  LEFT JOIN events h
+    ON h.user_id = l.user_id AND h.event_type = f.fname AND h.ts <= l.ts
+)
+SELECT l.user_id, l.label_event_id, epoch_us(l.ts) AS label_ts_us,
+       CAST(l.value > 100 AS INT) AS label,
+       round(MAX(CASE WHEN r.fname = 'click' THEN r.value END), 6) AS click,
+       round(MAX(CASE WHEN r.fname = 'error' THEN r.value END), 6) AS error,
+       round(MAX(CASE WHEN r.fname = 'purchase' THEN r.value END), 6) AS purchase,
+       round(MAX(CASE WHEN r.fname = 'signup' THEN r.value END), 6) AS signup,
+       round(MAX(CASE WHEN r.fname = 'view' THEN r.value END), 6) AS view
+FROM labels l JOIN ranked r ON r.label_event_id = l.label_event_id AND r.rn = 1
+GROUP BY l.user_id, l.label_event_id, l.ts, l.value
+"""
+
+
+# ------------------------------------------------- windowed features (A1-ish)
+
+def q_windowed_features(spark, sf_dir):
+    """Trailing-7-day per-user aggregates at each purchase event —
+    RANGE-frame window, one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    wf = windowed_features_self(ev, window_days=7.0)
+    return wf.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("w_count"),
+        _r6(F.col("w_sum")).alias("w_sum"),
+        _r6(F.col("w_avg")).alias("w_avg"),
+    )
+
+
+WINDOWED_SQL = f"""
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       CAST(count(h.event_id) AS BIGINT) AS w_count,
+       round(sum(h.value), 6) AS w_sum,
+       round(avg(h.value), 6) AS w_avg
+FROM events l
+LEFT JOIN events h
+  ON h.user_id = l.user_id AND h.ts < l.ts
+ AND epoch_us(h.ts) >= epoch_us(l.ts) - {US_7D}
+WHERE l.event_type = 'purchase'
+GROUP BY l.event_id, l.user_id, l.ts
+"""
+
+
+# ------------------------------------------- serving assembly + staleness (L6/V2)
+
+def q_serving_assembly(spark, sf_dir):
+    """Scalar->vector assembly over the user x feature grid with
+    defaults, mask, and ages vs now=max(ts) (L6, flat form)."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_per_key(
+        ev, ["user_id", "event_type"], "ts", tiebreak_cols=["event_id"]
+    ).select("user_id", "event_type", "value", F.unix_micros("ts").alias("__t_us"))
+    grid = (
+        ev.select("user_id").distinct()
+        .crossJoin(F.broadcast(spark.createDataFrame(
+            [(t,) for t in EVENT_TYPES], ["feature_name"])))
+    )
+    now = ev.agg(F.max(F.unix_micros("ts")).alias("__now_us"))
+    joined = grid.join(
+        latest,
+        (grid["user_id"] == latest["user_id"])
+        & (grid["feature_name"] == latest["event_type"]),
+        "left",
+    ).crossJoin(F.broadcast(now))
+    return joined.select(
+        grid["user_id"],
+        grid["feature_name"],
+        _r6(F.coalesce(F.col("value"), F.lit(0.0))).alias("value"),
+        F.col("value").isNull().alias("is_default"),
+        F.when(F.col("__t_us").isNull(), F.lit(-1).cast("long"))
+        .otherwise(F.expr("(__now_us - __t_us) div 1000"))
+        .alias("age_ms"),
+    )
+
+
+SERVING_SQL = f"""
+WITH latest AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS t_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+grid AS (
+  SELECT u.user_id, f.fname
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest({EVENT_TYPES!r}) AS fname) f
+),
+now_t AS (SELECT max(epoch_us(ts)) AS now_us FROM events)
+SELECT g.user_id, g.fname AS feature_name,
+       round(coalesce(l.value, 0.0), 6) AS value,
+       l.value IS NULL AS is_default,
+       CASE WHEN l.t_us IS NULL THEN -1
+            ELSE (n.now_us - l.t_us) // 1000 END AS age_ms
+FROM grid g
+CROSS JOIN now_t n
+LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l
+  ON l.user_id = g.user_id AND l.event_type = g.fname
+"""
+
+
+def q_staleness(spark, sf_dir):
+    """Per (user, feature) staleness vs a 7-day SLA (V2)."""
+    ev = load_table(spark, sf_dir, "events")
+    now = ev.agg(F.max(F.unix_micros("ts")).alias("__now_us"))
+    agg = ev.groupBy("user_id", "event_type").agg(
+        F.max(F.unix_micros("ts")).alias("__t_us")
+    )
+    return agg.crossJoin(F.broadcast(now)).select(
+        F.col("user_id"),
+        F.col("event_type").alias("feature_name"),
+        F.expr("(__now_us - __t_us) div 1000").alias("age_ms"),
+        (F.col("__now_us") - F.col("__t_us") > F.lit(US_7D)).alias("stale"),
+    )
+
+
+STALENESS_SQL = f"""
+WITH agg AS (
+  SELECT user_id, event_type, max(epoch_us(ts)) AS t_us FROM events GROUP BY 1, 2
+),
+now_t AS (SELECT max(epoch_us(ts)) AS now_us FROM events)
+SELECT a.user_id, a.event_type AS feature_name,
+       (n.now_us - a.t_us) // 1000 AS age_ms,
+       (n.now_us - a.t_us) > {US_7D} AS stale
+FROM agg a CROSS JOIN now_t n
+"""
+
+
+# ------------------------------------------------------- stats (A3/A4)
+
+def q_feature_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = feature_stats(ev, "value", ["event_type"], exact=True)
+    return out.select(
+        F.col("event_type").alias("feature_name"),
+        F.col("count"),
+        F.col("null_count"),
+        _r6(F.col("mean")).alias("mean"),
+        _r6(F.col("stddev")).alias("stddev"),
+        _r6(F.col("min_value")).alias("min_value"),
+        _r6(F.col("max_value")).alias("max_value"),
+        *[_r6(F.col(p)).alias(p) for p in ("p25", "p50", "p75", "p95", "p99")],
+    )
+
+
+STATS_SQL = """
+SELECT event_type AS feature_name,
+       CAST(count(*) AS BIGINT) AS count,
+       CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS null_count,
+       round(avg(value), 6) AS mean,
+       round(stddev_samp(value), 6) AS stddev,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_histogram(spark, sf_dir):
+    """10-bin equi-width histogram of value per event_type (A3)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("__lo"), F.max("value").alias("__hi")
+    )
+    joined = ev.join(F.broadcast(bounds), "event_type")
+    bin_expr = F.least(
+        F.lit(9),
+        F.floor((F.col("value") - F.col("__lo")) / (F.col("__hi") - F.col("__lo")) * F.lit(10.0)),
+    ).cast("int")
+    return (
+        joined.withColumn("bin", bin_expr)
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+
+
+HISTOGRAM_SQL = """
+WITH bounds AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(least(9, floor((e.value - b.lo) / (b.hi - b.lo) * 10.0)) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS bin_count
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_quantile_label(spark, sf_dir):
+    """Label rows above the per-type 92nd percentile (A4, the fraud
+    label construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.92)).alias("__thr")
+    )
+    labeled = ev.join(F.broadcast(thr), "event_type").withColumn(
+        "label", (F.col("value") > F.col("__thr")).cast("int")
+    )
+    return labeled.groupBy("event_type", "label").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _r6(F.avg("value")).alias("avg_value"),
+    )
+
+
+QUANTILE_LABEL_SQL = """
+WITH thr AS (
+  SELECT event_type, quantile_cont(value, 0.92) AS t FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(e.value > t.t AS INT) AS label,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(avg(e.value), 6) AS avg_value
+FROM events e JOIN thr t ON e.event_type = t.event_type
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------- hashes (X1/X2)
+
+def q_schema_hash(spark, sf_dir):
+    """The cross-language schema-hash contract on two views: the
+    data-derived events view and the fraud view's literal 15-feature
+    list (FeatureRegistryService.java:238-248)."""
+    ev = load_table(spark, sf_dir, "events")
+    events_view = ev.agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("__csv")
+    ).select(
+        F.lit("events_all").alias("view_name"),
+        schema_hash_expr(F.col("__csv")).alias("schema_hash"),
+        F.size(F.split(F.col("__csv"), ",")).alias("vector_length"),
+    )
+    fraud_csv = ",".join(FRAUD_FEATURES)
+    fraud_view = spark.range(1).select(
+        F.lit("fraud_v1").alias("view_name"),
+        schema_hash_expr(F.lit(fraud_csv)).alias("schema_hash"),
+        F.lit(len(FRAUD_FEATURES)).alias("vector_length"),
+    )
+    return events_view.unionByName(fraud_view)
+
+
+SCHEMA_HASH_SQL = f"""
+WITH ev AS (
+  SELECT string_agg(event_type, ',' ORDER BY event_type) AS csv,
+         CAST(count(*) AS INT) AS n
+  FROM (SELECT DISTINCT event_type FROM events)
+)
+SELECT 'events_all' AS view_name,
+       CAST(concat('0x', substr(md5(csv), 1, 8)) AS BIGINT) % 2147483647 AS schema_hash,
+       n AS vector_length
+FROM ev
+UNION ALL
+SELECT 'fraud_v1',
+       CAST(concat('0x', substr(md5('{",".join(FRAUD_FEATURES)}'), 1, 8)) AS BIGINT) % 2147483647,
+       {len(FRAUD_FEATURES)}
+"""
+
+
+def q_hash_bucket(spark, sf_dir):
+    """Categorical md5 hash-bucketing of part brands (X2, the Criteo
+    categorical encoding)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select("p_brand").distinct()
+        .select(F.col("p_brand"), hash_bucket_expr(F.col("p_brand")).alias("bucket"))
+    )
+
+
+HASH_BUCKET_SQL = """
+SELECT p_brand,
+       CAST(concat('0x', substr(md5(p_brand), 1, 8)) AS BIGINT) % 10000 AS bucket
+FROM (SELECT DISTINCT p_brand FROM part)
+"""
+
+
+# ------------------------------------------------- reshape (U2/U3)
+
+def q_melt_customer(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    tall = melt(cust, ["c_custkey"], ["c_acctbal", "c_nationkey"])
+    return tall.select(
+        "c_custkey", "feature_name", _r6(F.col("value")).alias("value")
+    )
+
+
+MELT_SQL = """
+SELECT c_custkey, 'c_acctbal' AS feature_name,
+       round(CAST(c_acctbal AS DOUBLE), 6) AS value FROM customer
+UNION ALL
+SELECT c_custkey, 'c_nationkey', round(CAST(c_nationkey AS DOUBLE), 6) FROM customer
+"""
+
+
+def q_pivot_events(spark, sf_dir):
+    """Tall->wide pivot: avg value per event type per user (U3)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).agg(F.avg("value"))
+    return wide.select(
+        "user_id", *[_r6(F.col(t)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       round(avg(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+       round(avg(value) FILTER (WHERE event_type = 'error'), 6) AS error,
+       round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
+       round(avg(value) FILTER (WHERE event_type = 'signup'), 6) AS signup,
+       round(avg(value) FILTER (WHERE event_type = 'view'), 6) AS view
+FROM events GROUP BY user_id
+"""
+
+
+def q_train_test_split(spark, sf_dir):
+    """Chronological 80/20 split (U4, the Criteo split)."""
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.agg(
+        F.percentile(F.unix_micros("ts").cast("double"), F.lit(0.8)).alias("__thr")
+    )
+    tagged = ev.crossJoin(F.broadcast(thr)).withColumn(
+        "split",
+        F.when(F.unix_micros("ts").cast("double") <= F.col("__thr"), "train").otherwise("test"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _r6(F.avg("value")).alias("avg_value"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+    )
+
+
+SPLIT_SQL = """
+WITH thr AS (SELECT quantile_cont(CAST(epoch_us(ts) AS DOUBLE), 0.8) AS t FROM events)
+SELECT CASE WHEN CAST(epoch_us(e.ts) AS DOUBLE) <= thr.t
+            THEN 'train' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(avg(e.value), 6) AS avg_value,
+       min(epoch_us(e.ts)) AS min_ts_us,
+       max(epoch_us(e.ts)) AS max_ts_us
+FROM events e CROSS JOIN thr GROUP BY 1
+"""
+
+
+# ------------------------------------------------- sessionization
+
+def q_sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    s = session_stats(ev, gap_minutes=30.0)
+    return s.select(
+        "user_id", "session_id", "n_events",
+        _r6(F.col("value_sum")).alias("value_sum"),
+        _r6(F.col("duration_sec")).alias("duration_sec"),
+        F.unix_micros("session_start").alias("start_us"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS pt
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN pt IS NULL OR t - pt > 30 * 60 * 1000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS value_sum,
+       round((max(t) - min(t)) / 1000000.0, 6) AS duration_sec,
+       min(t) AS start_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ------------------------------------------------- relational / top-k
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + groupBy aggregate (S3/F1/A-set).
+    The flagship scan-agg query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            _r6(F.avg("l_extendedprice")).alias("avg_price"),
+            _r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Multi-join star query (J2): orders x customer x nation x region,
+    dims broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+REVENUE_SQL = """
+SELECT r.r_name, n.n_name,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Aggregate + global top-K (T1/T3)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    joined = rev.join(F.broadcast(customer), rev["o_custkey"] == customer["c_custkey"])
+    return top_k(
+        joined.select("c_custkey", "c_name", "revenue", "n_orders"),
+        10,
+        [F.col("revenue").desc(), F.col("c_custkey").asc()],
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c.c_custkey, c.c_name,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey LIMIT 10
+"""
+
+
+def q_topk_events_global(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return top_k(
+        ev.select("event_id", "user_id", "value"),
+        20,
+        [F.col("value").desc(), F.col("event_id").asc()],
+    )
+
+
+TOPK_GLOBAL_SQL = """
+SELECT event_id, user_id, value FROM events
+ORDER BY value DESC, event_id LIMIT 20
+"""
+
+
+def q_topk_events_per_user(spark, sf_dir):
+    """Per-group top-K (T4, ScoreTopK per user)."""
+    ev = load_table(spark, sf_dir, "events")
+    return top_k_per_group(
+        ev.select("user_id", "event_id", "value"),
+        3,
+        ["user_id"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+    )
+
+
+TOPK_PER_USER_SQL = """
+SELECT user_id, event_id, value, CAST(rank AS INT) AS rank FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events
+) WHERE rank <= 3
+"""
+
+
+def q_point_lookup(spark, sf_dir):
+    """Batch point lookup with miss accounting (L2): requested keys
+    broadcast into a left join, input keys preserved."""
+    orders = load_table(spark, sf_dir, "orders")
+    ids = spark.createDataFrame(
+        [(1,), (5,), (42,), (999999999,)], ["o_orderkey"]
+    )
+    joined = F.broadcast(ids).join(orders, "o_orderkey", "left")
+    return joined.select(
+        "o_orderkey",
+        F.col("o_custkey"),
+        _r6(F.col("o_totalprice")).alias("o_totalprice"),
+        F.col("o_custkey").isNotNull().alias("found"),
+    )
+
+
+POINT_LOOKUP_SQL = """
+WITH ids(o_orderkey) AS (VALUES (1), (5), (42), (999999999))
+SELECT i.o_orderkey, o.o_custkey,
+       round(o.o_totalprice, 6) AS o_totalprice,
+       o.o_custkey IS NOT NULL AS found
+FROM ids i LEFT JOIN orders o ON o.o_orderkey = i.o_orderkey
+"""
+
+
+# ------------------------------------------------- scoring (M1/T1)
+
+def q_tree_score_topk(spark, sf_dir):
+    """GBDT ensemble compiled to Catalyst expressions, global top-20
+    (M1 + T1). The oracle runs the same trees as SQL CASE WHEN."""
+    li = load_table(spark, sf_dir, "lineitem")
+    model = example_model(LINEITEM_FEATURES)
+    fmap = {f: f for f in LINEITEM_FEATURES}
+    scored = li.withColumn("score", compile_model_expr(model, fmap))
+    return top_k(
+        scored.select(
+            "l_orderkey", "l_linenumber", _r6(F.col("score")).alias("score")
+        ),
+        20,
+        [F.col("score").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+    )
+
+
+def _tree_score_sql() -> str:
+    model = example_model(LINEITEM_FEATURES)
+    expr = compile_model_sql(model, {f: f for f in LINEITEM_FEATURES})
+    return f"""
+SELECT l_orderkey, l_linenumber, round({expr}, 6) AS score
+FROM lineitem
+ORDER BY {expr} DESC, l_orderkey, l_linenumber LIMIT 20
+"""
+
+
+# ------------------------------------------------- metrics (A7-A11)
+
+def q_auc_roc(spark, sf_dir):
+    """AUC-ROC of a deterministic score vs the returnflag label (A8)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return auc_roc(scored, "score", "label").select(
+        _r6(F.col("auc_roc")).alias("auc_roc")
+    )
+
+
+AUC_SQL = """
+WITH s AS (
+  SELECT l_extendedprice * l_discount AS sc,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+),
+g AS (SELECT sc, sum(y) AS p, sum(1.0 - y) AS n FROM s GROUP BY sc),
+r AS (
+  SELECT *, coalesce(sum(p + n) OVER (ORDER BY sc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM g
+)
+SELECT round(
+  (sum(p * (before + (p + n + 1) / 2)) - sum(p) * (sum(p) + 1) / 2)
+  / (sum(p) * sum(n)), 6) AS auc_roc
+FROM r
+"""
+
+
+def q_confusion(spark, sf_dir):
+    """Confusion matrix + P/R/F1 for a rule classifier (A7)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    preds = li.select(
+        (F.col("l_discount") >= 0.05).cast("int").alias("pred"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    out = confusion_matrix(preds, "pred", "label")
+    return out.select(
+        "tp", "fp", "fn", "tn",
+        _r6(F.col("precision")).alias("precision"),
+        _r6(F.col("recall")).alias("recall"),
+        _r6(F.col("f1")).alias("f1"),
+    )
+
+
+CONFUSION_SQL = """
+WITH c AS (
+  SELECT CAST(count(*) FILTER (WHERE l_discount >= 0.05 AND l_returnflag = 'R') AS BIGINT) AS tp,
+         CAST(count(*) FILTER (WHERE l_discount >= 0.05 AND l_returnflag <> 'R') AS BIGINT) AS fp,
+         CAST(count(*) FILTER (WHERE l_discount < 0.05 AND l_returnflag = 'R') AS BIGINT) AS fn,
+         CAST(count(*) FILTER (WHERE l_discount < 0.05 AND l_returnflag <> 'R') AS BIGINT) AS tn
+  FROM lineitem
+)
+SELECT tp, fp, fn, tn,
+       round(tp / CAST(nullif(tp + fp, 0) AS DOUBLE), 6) AS precision,
+       round(tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 6) AS recall,
+       round(2 * (tp / CAST(nullif(tp + fp, 0) AS DOUBLE))
+               * (tp / CAST(nullif(tp + fn, 0) AS DOUBLE))
+             / nullif((tp / CAST(nullif(tp + fp, 0) AS DOUBLE))
+                    + (tp / CAST(nullif(tp + fn, 0) AS DOUBLE)), 0.0), 6) AS f1
+FROM c
+"""
+
+
+def q_logloss(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = 1.0 / (1.0 + F.exp(-(F.col("l_discount") * 20.0 - 1.0)))
+    scored = li.select(
+        p.alias("prob"), (F.col("l_returnflag") == "R").cast("int").alias("label")
+    )
+    return logloss(scored, "prob", "label").select(
+        _r6(F.col("logloss")).alias("logloss")
+    )
+
+
+LOGLOSS_SQL = """
+WITH s AS (
+  SELECT least(greatest(1.0 / (1.0 + exp(-(l_discount * 20.0 - 1.0))), 1e-15),
+               1.0 - 1e-15) AS p,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+)
+SELECT round(-avg(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 6) AS logloss FROM s
+"""
+
+
+def _ranked_events(spark, sf_dir):
+    """events as a ranking problem: qid=user, graded relevance from
+    value, deterministic pseudo-model score."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("qid"),
+        F.col("event_id"),
+        F.least(F.lit(4), F.floor(F.col("value") / 80.0)).cast("int").alias("relevance"),
+        ((F.col("event_id") * 37 % 997) / 997.0).alias("score"),
+    )
+
+
+def q_ndcg(spark, sf_dir):
+    """Mean NDCG@5 over per-user rankings (A9)."""
+    r = _ranked_events(spark, sf_dir)
+    return mean_ndcg_at_k(
+        r, 5, group_col="qid", score_col="score", rel_col="relevance",
+        tiebreak=["event_id"],
+    ).select(_r6(F.col("mean_ndcg_at_5")).alias("mean_ndcg_at_5"))
+
+
+NDCG_SQL = """
+WITH r AS (
+  SELECT user_id AS qid, event_id,
+         CAST(least(4, floor(value / 80.0)) AS INT) AS rel,
+         (event_id * 37 % 997) / 997.0 AS score
+  FROM events
+),
+ranked AS (
+  SELECT qid, CAST(rel AS DOUBLE) AS rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, event_id) AS rp,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, event_id) AS ri
+  FROM r
+),
+per_q AS (
+  SELECT qid,
+         sum(CASE WHEN rp <= 5 THEN (pow(2.0, rel) - 1) / log2(rp + 1.0) END) AS dcg,
+         sum(CASE WHEN ri <= 5 THEN (pow(2.0, rel) - 1) / log2(ri + 1.0) END) AS idcg
+  FROM ranked GROUP BY qid
+)
+SELECT round(avg(dcg / nullif(idcg, 0.0)), 6) AS mean_ndcg_at_5 FROM per_q
+"""
+
+
+def q_map(spark, sf_dir):
+    """Mean average precision, relevant = rel >= 2 (A10)."""
+    r = _ranked_events(spark, sf_dir)
+    return mean_average_precision(
+        r, group_col="qid", score_col="score", rel_col="relevance",
+        rel_threshold=2.0, tiebreak=["event_id"],
+    ).select(_r6(F.col("map")).alias("map"))
+
+
+MAP_SQL = """
+WITH r AS (
+  SELECT user_id AS qid, event_id,
+         CASE WHEN least(4, floor(value / 80.0)) >= 2 THEN 1.0 ELSE 0.0 END AS rel,
+         (event_id * 37 % 997) / 997.0 AS score
+  FROM events
+),
+ranked AS (
+  SELECT qid, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, event_id) AS rn
+  FROM r
+),
+cum AS (
+  SELECT qid, rel, rn,
+         SUM(rel) OVER (PARTITION BY qid ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM ranked
+),
+per_q AS (
+  SELECT qid,
+         sum(CASE WHEN rel = 1.0 THEN cum_rel / rn END) / nullif(sum(rel), 0.0) AS ap
+  FROM cum GROUP BY qid
+)
+SELECT round(avg(ap), 6) AS map FROM per_q
+"""
+
+
+# ------------------------------------------------- LLM ops: dedup
+
+def _mutated_corpus(spark, sf_dir, exact: bool) -> DataFrame:
+    """documents plus planted duplicates: exact copies (exact=True) or
+    first-word-dropped near-copies, at doc_id + 1_000_000."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if exact:
+        mut = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    else:
+        mut = docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    return docs.unionByName(mut)
+
+
+_CORPUS_EXACT_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+"""
+_CORPUS_NEAR_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1) FROM documents
+"""
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 2))) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
+  )
+  WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
+"""
+_SIGS_SQL = """
+  SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content fingerprint over a corpus with planted
+    exact copies: keeper = min doc_id, n_copies = 2 everywhere."""
+    corpus = _mutated_corpus(spark, sf_dir, exact=True)
+    return (
+        corpus.select(
+            F.md5(F.lower(F.trim("text"))).alias("fingerprint"), F.col("doc_id")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+WITH corpus AS ({_CORPUS_EXACT_SQL})
+SELECT md5(lower(trim(text))) AS fingerprint,
+       min(doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM corpus GROUP BY 1
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 md5-seeded hashes over 3-word shingles)
+    on the raw documents table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(shingles(docs, n=3), num_hashes=16)
+
+
+MINHASH_SIGS_SQL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+sh AS ({_SHINGLES_SQL})
+{_SIGS_SQL}
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """Near-dup pairs via MinHash + LSH banding (4 bands x 4 rows) on a
+    corpus with planted one-word-dropped near-copies."""
+    corpus = _mutated_corpus(spark, sf_dir, exact=False)
+    sh = shingles(corpus, n=3)
+    sigs = minhash_signatures(sh, num_hashes=16)
+    cands = lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    sims = minhash_similarity(cands, sigs, num_hashes=16)
+    return sims.filter(F.col("est_jaccard") >= 0.5).select(
+        "id_a", "id_b", _r6(F.col("est_jaccard")).alias("est_jaccard")
+    )
+
+
+MINHASH_PAIRS_SQL = f"""
+WITH corpus AS ({_CORPUS_NEAR_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sigs AS ({_SIGS_SQL}),
+band_sigs AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed)) AS bsig
+  FROM sigs GROUP BY doc_id, seed // 4
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band_sigs a
+  JOIN band_sigs b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+sim AS (
+  SELECT p.id_a, p.id_b,
+         sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0 AS ej
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b AND sb.seed = sa.seed
+  GROUP BY p.id_a, p.id_b
+)
+SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM sim WHERE ej >= 0.5
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-shingle Jaccard over rare-shingle-blocked candidate
+    pairs on the near-dup corpus."""
+    corpus = _mutated_corpus(spark, sf_dir, exact=False)
+    return ngram_jaccard_pairs(
+        corpus, shingle_n=3, rare_df_max=4, threshold=0.5
+    ).select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH corpus AS ({_CORPUS_NEAR_SQL}),
+sh AS ({_SHINGLES_SQL}),
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfc ON s.shingle = dfc.shingle AND dfc.df <= 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(i.i / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.i / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.5
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash per document (md5-derived word hashes, bit votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=32)
+
+
+SIMHASH_SQL = """
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hv
+  FROM w WHERE length(word) > 0
+),
+b AS (
+  SELECT doc_id, bit,
+         CASE WHEN (hv // CAST(pow(2, bit) AS BIGINT)) % 2 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+),
+v AS (SELECT doc_id, bit, sum(vote) AS s FROM b GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM v GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------- LLM ops: similarity
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec 0 (exact ANN baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join(queries, emb.filter(F.col("vec_id") != 0), k=10)
+    return out.select("vec_id", _r6(F.col("score")).alias("cosine"))
+
+
+EMB_TOPK_SQL = """
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS ev
+  FROM embeddings WHERE vec_id <> 0
+),
+s AS (
+  SELECT e.vec_id,
+         sum(e.ev * q.qv) / (sqrt(sum(e.ev * e.ev)) * sqrt(sum(q.qv * q.qv))) AS c
+  FROM e JOIN q USING (i) GROUP BY e.vec_id
+)
+SELECT vec_id, round(c, 6) AS cosine FROM s ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroids, flat (label, dim, value) form — the IVF
+    coarse quantizer build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    return dims.groupBy("label", "dim").agg(_r6(F.avg("x")).alias("centroid_val"))
+
+
+EMB_CENTROIDS_SQL = """
+SELECT label, CAST(i - 1 AS INT) AS dim, round(avg(x), 6) AS centroid_val
+FROM (
+  SELECT label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+GROUP BY label, i
+"""
+
+
+def q_ivf_assign(spark, sf_dir):
+    """IVF cluster assignment: nearest per-label centroid (L2) for
+    every vector, with agreement flag vs the true label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids(emb, by_col="label")
+    assigned = assign_clusters(emb, cents)
+    return (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("label"),
+            (F.col("cluster") == F.col("label")).alias("is_correct"),
+        )
+    )
+
+
+IVF_ASSIGN_SQL = """
+WITH dims AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (SELECT label AS clabel, i, avg(x) AS c FROM dims GROUP BY label, i),
+dist AS (
+  SELECT d.vec_id, c.clabel, sum((d.x - c.c) * (d.x - c.c)) AS dsq
+  FROM dims d JOIN cent c ON d.i = c.i
+  GROUP BY d.vec_id, c.clabel
+),
+best AS (
+  SELECT vec_id, clabel,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dsq, clabel) AS rn
+  FROM dist
+)
+SELECT b.vec_id, CAST(b.clabel AS INT) AS cluster, e.label,
+       b.clabel = e.label AS is_correct
+FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
+WHERE b.rn = 1
+"""
+
+
+# ------------------------------------------------- LLM ops: text
+
+def q_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_stats(docs)
+    return out.select(
+        "doc_id", "n_words", "n_distinct_words",
+        _r6(F.col("type_token_ratio")).alias("ttr"),
+        _r6(F.col("avg_word_len")).alias("avg_word_len"),
+    )
+
+
+TOKEN_STATS_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_words,
+       CAST(count(DISTINCT word) AS INT) AS n_distinct_words,
+       round(count(DISTINCT word) / CAST(count(*) AS DOUBLE), 6) AS ttr,
+       round(sum(length(word)) / CAST(count(*) AS DOUBLE), 6) AS avg_word_len
+FROM w WHERE length(word) > 0 GROUP BY doc_id
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_score(docs)
+    return out.select(
+        "doc_id", "n_words",
+        _r6(F.col("stopword_ratio")).alias("stopword_ratio"),
+        _r6(F.col("lexical_diversity")).alias("lexical_diversity"),
+        _r6(F.col("quality_score")).alias("quality_score"),
+    )
+
+
+QUALITY_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_words,
+         count(DISTINCT word) AS n_distinct,
+         sum(CASE WHEN word IN ('the','a','of','and','to','in','is','that','it','for')
+                  THEN 1 ELSE 0 END) AS stop_hits
+  FROM w WHERE length(word) > 0 GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       round(stop_hits / CAST(n_words AS DOUBLE), 6) AS stopword_ratio,
+       round(n_distinct / CAST(n_words AS DOUBLE), 6) AS lexical_diversity,
+       round(0.4 * least(1.0, n_words / 100.0)
+           + 0.3 * (1.0 - least(1.0, abs(stop_hits / CAST(n_words AS DOUBLE) - 0.4) * 2.0))
+           + 0.3 * (n_distinct / CAST(n_words AS DOUBLE)), 6) AS quality_score
+FROM agg
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-vote language ID, counts per predicted language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs).groupBy("pred_lang").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+LANG_ID_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+h AS (
+  SELECT doc_id,
+    sum(CASE WHEN word IN ('der','die','das','und','zu','in','ist','den','von','mit') THEN 1 ELSE 0 END) AS h_de,
+    sum(CASE WHEN word IN ('the','a','of','and','to','in','is','that','it','for') THEN 1 ELSE 0 END) AS h_en,
+    sum(CASE WHEN word IN ('el','la','de','y','que','en','un','una','es','por') THEN 1 ELSE 0 END) AS h_es,
+    sum(CASE WHEN word IN ('le','la','de','et','que','en','un','une','est','pour') THEN 1 ELSE 0 END) AS h_fr
+  FROM w GROUP BY doc_id
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+              WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+              WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+              WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+              ELSE 'fr' END AS pred_lang
+  FROM h
+)
+SELECT pred_lang, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY pred_lang
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprint(docs)
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+       CAST(concat('0x', substr(md5(lower(trim(text))), 1, 8)) AS BIGINT) AS fingerprint32
+FROM documents
+"""
+
+
+# ------------------------------------------------- multimodal (UDF path)
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary media column -> mapInPandas metadata extraction (Arrow
+    batch path; decode is a documented deterministic stub)."""
+    from feature_store_spark.operators.multimodal import (
+        extract_media_meta,
+        to_media_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_meta(to_media_table(docs))
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id, 'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(64 + (octet_length(encode(text)) * 31) % 1920 AS INT) AS width,
+       CAST(64 + (octet_length(encode(text)) * 17) % 1080 AS INT) AS height,
+       CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+FROM documents
+"""
+
+
+# ------------------------------------------------- registry
+
+QUERIES: dict[str, tuple] = {
+    "pricing_summary": (q_pricing_summary, PRICING_SQL),
+    "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
+    "top_customers": (q_top_customers, TOP_CUSTOMERS_SQL),
+    "topk_events_global": (q_topk_events_global, TOPK_GLOBAL_SQL),
+    "topk_events_per_user": (q_topk_events_per_user, TOPK_PER_USER_SQL),
+    "point_lookup": (q_point_lookup, POINT_LOOKUP_SQL),
+    "asof_features": (q_asof_features, ASOF_SQL),
+    "windowed_features": (q_windowed_features, WINDOWED_SQL),
+    "serving_assembly": (q_serving_assembly, SERVING_SQL),
+    "staleness": (q_staleness, STALENESS_SQL),
+    "feature_stats": (q_feature_stats, STATS_SQL),
+    "histogram": (q_histogram, HISTOGRAM_SQL),
+    "quantile_label": (q_quantile_label, QUANTILE_LABEL_SQL),
+    "schema_hash": (q_schema_hash, SCHEMA_HASH_SQL),
+    "hash_bucket": (q_hash_bucket, HASH_BUCKET_SQL),
+    "melt_customer": (q_melt_customer, MELT_SQL),
+    "pivot_events": (q_pivot_events, PIVOT_SQL),
+    "train_test_split": (q_train_test_split, SPLIT_SQL),
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),
+    "tree_score_topk": (q_tree_score_topk, _tree_score_sql()),
+    "auc_roc": (q_auc_roc, AUC_SQL),
+    "confusion": (q_confusion, CONFUSION_SQL),
+    "logloss": (q_logloss, LOGLOSS_SQL),
+    "ndcg_at_5": (q_ndcg, NDCG_SQL),
+    "map_ranking": (q_map, MAP_SQL),
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "minhash_signatures": (q_minhash_signatures, MINHASH_SIGS_SQL),
+    "minhash_pairs": (q_minhash_pairs, MINHASH_PAIRS_SQL),
+    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "simhash": (q_simhash, SIMHASH_SQL),
+    "embedding_topk": (q_embedding_topk, EMB_TOPK_SQL),
+    "embedding_centroids": (q_embedding_centroids, EMB_CENTROIDS_SQL),
+    "ivf_assign": (q_ivf_assign, IVF_ASSIGN_SQL),
+    "token_stats": (q_token_stats, TOKEN_STATS_SQL),
+    "quality_scores": (q_quality_scores, QUALITY_SQL),
+    "lang_id": (q_lang_id, LANG_ID_SQL),
+    "doc_fingerprints": (q_doc_fingerprints, FINGERPRINT_SQL),
+    "multimodal_meta": (q_multimodal_meta, MULTIMODAL_SQL),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

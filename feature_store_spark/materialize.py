@@ -1,0 +1,152 @@
+"""Materialization: wide feature DataFrames -> online vector table, and
+vector melt back to offline EAV records (SURVEY.md §2.1 S12, §2.7 U2,
+§3.4).
+
+The reference's MaterializationService (MaterializationService.java:
+60-124) writes protobuf vectors to RocksDB + Redis and melts them into
+offline records with positional names ``feature_i``. Here both targets
+are tables; the vector layout (positional values + mask + ages +
+schema_hash envelope, feature_store.proto:49-68) is preserved exactly.
+
+Scale notes: materialization is the write-heavy stage at 100 TB —
+the output is partitioned by view and bucketable by entity_id so the
+serving join (L2) can be a bucket-local join; writes are append-only
+(MERGE in Delta for scalar upserts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_store_spark.functions import epoch_ms, schema_hash_py
+from feature_store_spark.registry import FeatureView
+
+
+def materialize_vectors(
+    wide: DataFrame,
+    view: FeatureView,
+    entity_col: str = "entity_id",
+    event_time_col: str | None = None,
+    now_ms: int | None = None,
+) -> DataFrame:
+    """Wide row per entity -> online vector row (FIXTURES.md §7 schema).
+
+    Missing/null feature columns become defaults with mask=true —
+    the write-side mirror of scalar assembly (L6).
+    """
+    names = view.feature_names
+    values = F.array(
+        *[
+            F.coalesce(F.col(n).cast("double"), F.lit(float(view.defaults.get(n, 0.0))))
+            for n in names
+        ]
+    )
+    mask = F.array(*[F.col(n).isNull() for n in names])
+    now_expr = F.lit(now_ms) if now_ms is not None else epoch_ms(F.current_timestamp())
+    if event_time_col is not None:
+        age = now_expr - epoch_ms(F.col(event_time_col))
+        ages = F.array(*[F.when(F.col(n).isNull(), F.lit(-1)).otherwise(age) for n in names])
+    else:
+        ages = F.array(*[F.lit(-1).cast("long") for _ in names])
+    return wide.select(
+        F.lit(view.name).alias("view_name"),
+        F.lit(view.version).alias("view_version"),
+        F.lit(view.entity).alias("entity_type"),
+        F.col(entity_col).alias("entity_id"),
+        values.alias("values"),
+        mask.alias("is_default_mask"),
+        ages.cast("array<bigint>").alias("value_ages_ms"),
+        now_expr.cast("long").alias("served_at_ms"),
+        F.lit(view.schema_hash).cast("long").alias("schema_hash"),
+    )
+
+
+def melt_vectors_to_records(
+    vectors: DataFrame,
+    feature_names: Sequence[str] | None = None,
+    positional_names: bool = False,
+) -> DataFrame:
+    """Vectors -> offline EAV records.
+
+    positional_names=True reproduces the reference's placeholder
+    ``feature_i`` naming (MaterializationService.java:102-121);
+    otherwise pass the view's real feature_names.
+    """
+    if positional_names:
+        name_expr = F.concat(F.lit("feature_"), F.col("pos").cast("string"))
+    else:
+        names = F.array(*[F.lit(n) for n in list(feature_names)])
+        name_expr = F.element_at(names, F.col("pos") + 1)
+    exploded = vectors.select(
+        "entity_type",
+        "entity_id",
+        "view_version",
+        F.col("served_at_ms"),
+        F.posexplode("values").alias("pos", "value_float"),
+    )
+    return exploded.select(
+        "entity_type",
+        "entity_id",
+        name_expr.alias("feature_name"),
+        F.col("value_float"),
+        F.lit(None).cast("string").alias("value_string"),
+        F.timestamp_millis(F.col("served_at_ms")).alias("event_time"),
+        F.timestamp_millis(F.col("served_at_ms")).alias("created_at"),
+        F.lit("materializer").alias("pipeline_id"),
+        F.col("view_version"),
+    )
+
+
+def vector_to_columns(
+    vectors: DataFrame, feature_names: Sequence[str]
+) -> DataFrame:
+    """Positional array -> named columns (U5, ServingController.java:
+    112-118): element_at by schema position."""
+    return vectors.select(
+        "entity_id",
+        *[
+            F.element_at("values", i + 1).alias(n)
+            for i, n in enumerate(list(feature_names))
+        ],
+    )
+
+
+def upsert_scalars(
+    existing: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str] = ("entity_type", "entity_id", "feature_name"),
+) -> DataFrame:
+    """Partial scalar update (the hourly single-feature rewrite path,
+    EXAMPLE.md:86-90): last-writer-wins per key by event_time.
+
+    Pure-DataFrame MERGE emulation (Delta MERGE in production): union +
+    keep max (event_time, created_at) per key.
+    """
+    from feature_store_spark.operators.reshape import latest_per_key
+
+    unioned = existing.unionByName(updates)
+    return latest_per_key(unioned, list(key_cols), "event_time", ["created_at"])
+
+
+def roundtrip_check(
+    wide: DataFrame,
+    vectors: DataFrame,
+    view: FeatureView,
+    entity_col: str = "entity_id",
+    tol: float = 1e-3,
+) -> DataFrame:
+    """Materialize -> serve round-trip verification (J4,
+    MerchantFraudExample.java:269-284): every served value must equal
+    the source wide value within tol. Returns rows that violate."""
+    served = vector_to_columns(vectors, view.feature_names)
+    j = wide.alias("w").join(served.alias("s"), entity_col)
+    conds = [
+        F.abs(F.col(f"w.{n}") - F.col(f"s.{n}")) > tol for n in view.feature_names
+    ]
+    bad = conds[0]
+    for c in conds[1:]:
+        bad = bad | c
+    return j.filter(bad)

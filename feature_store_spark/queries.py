@@ -1233,6 +1233,165 @@ FROM documents
 """
 
 
+# ------------------------------------------------- serving fallback (L7)
+
+def q_serving_fallback(spark, sf_dir):
+    """The full online-read fallback chain (OnlineServingService.java:
+    41-152): vectors table hit -> scalar assembly -> MISS, with the
+    source column reproducing the routing. Vectors exist for users
+    %3==0, scalars for %3==1, misses for the rest + an unknown id."""
+    from feature_store_spark.materialize import materialize_vectors
+    from feature_store_spark.registry import FeatureView
+    from feature_store_spark.serving import get_online_features
+
+    ev = load_table(spark, sf_dir, "events")
+    view = FeatureView("user_2d", 1, "user", ["click", "view"])
+    wide = (
+        ev.filter(F.col("user_id") % 3 == 0)
+        .groupBy(F.col("user_id").alias("entity_id"))
+        .pivot("event_type", ["click", "view"])
+        .agg(F.round(F.avg("value"), 6))
+    )
+    vectors = materialize_vectors(wide, view, now_ms=0)
+    scalars = ev.filter(F.col("user_id") % 3 == 1).select(
+        F.col("user_id").alias("entity_id"),
+        F.col("event_type").alias("feature_name"),
+        F.round(F.col("value"), 6).alias("value"),
+        F.col("ts").alias("event_time"),
+        F.col("event_id"),
+    )
+    request = (
+        ev.select(F.col("user_id").alias("entity_id")).distinct()
+        .unionByName(spark.createDataFrame([(999999,)], ["entity_id"]))
+    )
+    out = get_online_features(
+        request, vectors, scalars, ["click", "view"], now_ms=0,
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        F.col("source"),
+        F.element_at("values", 1).alias("v_click"),
+        F.element_at("values", 2).alias("v_view"),
+    )
+
+
+SERVING_FALLBACK_SQL = """
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+  UNION ALL SELECT 999999
+),
+vec AS (
+  SELECT user_id,
+         coalesce(round(avg(value) FILTER (WHERE event_type = 'click'), 6), 0.0) AS vc,
+         coalesce(round(avg(value) FILTER (WHERE event_type = 'view'), 6), 0.0) AS vv
+  FROM events WHERE user_id % 3 = 0 GROUP BY user_id
+),
+latest AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, round(value, 6) AS value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id % 3 = 1
+  ) WHERE rn = 1
+),
+asm AS (
+  SELECT user_id,
+         coalesce(max(CASE WHEN event_type = 'click' THEN value END), 0.0) AS ac,
+         coalesce(max(CASE WHEN event_type = 'view' THEN value END), 0.0) AS av
+  FROM latest GROUP BY user_id
+)
+SELECT u.user_id,
+       CASE WHEN v.user_id IS NOT NULL THEN 'ROCKSDB_VECTOR'
+            WHEN a.user_id IS NOT NULL THEN 'SCALAR_ASSEMBLY'
+            ELSE 'MISS' END AS source,
+       CASE WHEN v.user_id IS NOT NULL THEN v.vc
+            WHEN a.user_id IS NOT NULL THEN a.ac END AS v_click,
+       CASE WHEN v.user_id IS NOT NULL THEN v.vv
+            WHEN a.user_id IS NOT NULL THEN a.av END AS v_view
+FROM users u
+LEFT JOIN vec v ON v.user_id = u.user_id
+LEFT JOIN asm a ON a.user_id = u.user_id
+"""
+
+
+def q_risk_tiers(spark, sf_dir):
+    """CASE-classification of model scores into risk tiers (F5:
+    HIGH>=0.7, MEDIUM>=0.3, LOW — python/gbdt_example/inference.py:54-64)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    model = example_model(LINEITEM_FEATURES)
+    score = compile_model_expr(model, {f: f for f in LINEITEM_FEATURES})
+    tiered = li.select(
+        F.when(score >= 0.7, "HIGH")
+        .when(score >= 0.3, "MEDIUM")
+        .otherwise("LOW")
+        .alias("risk_tier"),
+        score.alias("__s"),
+    )
+    return tiered.groupBy("risk_tier").agg(
+        F.count(F.lit(1)).alias("cnt"), _r6(F.avg("__s")).alias("avg_score")
+    )
+
+
+def _risk_tiers_sql() -> str:
+    model = example_model(LINEITEM_FEATURES)
+    expr = compile_model_sql(model, {f: f for f in LINEITEM_FEATURES})
+    return f"""
+WITH s AS (SELECT {expr} AS sc FROM lineitem)
+SELECT CASE WHEN sc >= 0.7 THEN 'HIGH'
+            WHEN sc >= 0.3 THEN 'MEDIUM'
+            ELSE 'LOW' END AS risk_tier,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(avg(sc), 6) AS avg_score
+FROM s GROUP BY 1
+"""
+
+
+def q_group_cv_split(spark, sf_dir):
+    """Group-aware CV fold assignment (J5, GroupKFold on qid): fold =
+    md5-bucket(user) % 5 so no user straddles folds."""
+    ev = load_table(spark, sf_dir, "events")
+    folded = ev.withColumn(
+        "fold", hash_bucket_expr(F.col("user_id").cast("string"), 5)
+    )
+    return folded.groupBy("fold").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+GROUP_CV_SQL = """
+SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_default_rate(spark, sf_dir):
+    """Default-fill rate per feature over the serving grid (A13,
+    ValidationService.java:98-104)."""
+    assembled = q_serving_assembly(spark, sf_dir)
+    return assembled.groupBy("feature_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("is_default")).alias("n_default"),
+        _r6(F.count_if(F.col("is_default")) / F.count(F.lit(1))).alias("default_rate"),
+    )
+
+
+DEFAULT_RATE_SQL = f"""
+WITH assembled AS ({SERVING_SQL}),
+r AS (
+  SELECT feature_name,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE is_default) AS BIGINT) AS n_default
+  FROM assembled GROUP BY 1
+)
+SELECT feature_name, n, n_default,
+       round(n_default / CAST(n AS DOUBLE), 6) AS default_rate
+FROM r
+"""
+
+
 # ------------------------------------------------- multimodal (UDF path)
 
 def q_multimodal_meta(spark, sf_dir):
@@ -1298,6 +1457,10 @@ QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "doc_fingerprints": (q_doc_fingerprints, FINGERPRINT_SQL),
     "multimodal_meta": (q_multimodal_meta, MULTIMODAL_SQL),
+    "serving_fallback": (q_serving_fallback, SERVING_FALLBACK_SQL),
+    "risk_tiers": (q_risk_tiers, _risk_tiers_sql()),
+    "group_cv_split": (q_group_cv_split, GROUP_CV_SQL),
+    "default_rate": (q_default_rate, DEFAULT_RATE_SQL),
 }
 
 

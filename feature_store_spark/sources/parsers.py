@@ -1,0 +1,96 @@
+"""Text-format dataset parsers (SURVEY.md §2.1 S7/S8), Spark-native.
+
+Both parsers are pure column expressions over a text/CSV scan — no
+Python in the row path, so they run at scan speed on a 100 TB dump.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feature_store_spark.functions import hash_bucket_expr
+
+CRITEO_INT_COLS = [f"I{i}" for i in range(1, 14)]
+CRITEO_CAT_COLS = [f"C{i}" for i in range(1, 27)]
+
+
+def read_criteo_tsv(
+    spark: SparkSession,
+    path: str,
+    num_buckets: int = 10000,
+) -> DataFrame:
+    """Criteo click-log TSV: ``label \\t I1..I13 \\t C1..C26``.
+
+    Reference semantics (python/criteo_example/dataset.py:115-169):
+    empty numerics -> 0.0; categoricals -> md5 hash bucket
+    (int(md5(v)[:8],16) % buckets), empty -> 0.0. Gzip is handled
+    transparently by the text source.
+    """
+    fields = (
+        [T.StructField("label", T.IntegerType())]
+        + [T.StructField(c, T.DoubleType()) for c in CRITEO_INT_COLS]
+        + [T.StructField(c, T.StringType()) for c in CRITEO_CAT_COLS]
+    )
+    raw = spark.read.csv(path, sep="\t", schema=T.StructType(fields))
+    out = raw.select(
+        F.coalesce(F.col("label"), F.lit(0)).alias("label"),
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in CRITEO_INT_COLS],
+        *[
+            F.when(
+                F.col(c).isNull() | (F.col(c) == ""), F.lit(0.0)
+            )
+            .otherwise(hash_bucket_expr(F.col(c), num_buckets).cast("double"))
+            .alias(c)
+            for c in CRITEO_CAT_COLS
+        ],
+    )
+    return out
+
+
+def read_svmlight(
+    spark: SparkSession,
+    path: str,
+    num_features: int = 136,
+    with_qid: bool = True,
+) -> DataFrame:
+    """SVM-light / MSLR ranking format:
+    ``relevance qid:N 1:v 2:v ... 136:v`` -> one row per line with
+    ``relevance int, qid int, feature_1..feature_N double``.
+
+    Implementation: split the line once, parse ``k:v`` pairs into a
+    map via JVM-side expressions, then project the fixed feature
+    columns (missing ids -> 0.0, the sparse-format convention).
+    """
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    parsed = lines.select(
+        F.element_at(toks, 1).cast("int").alias("relevance"),
+        toks.alias("__toks"),
+    )
+    if with_qid:
+        parsed = parsed.withColumn(
+            "qid",
+            F.split(F.element_at("__toks", 2), ":").getItem(1).cast("int"),
+        )
+        pair_start = 3
+    else:
+        pair_start = 2
+    pairs = F.slice(F.col("__toks"), pair_start, 10_000_000)
+    kv = F.map_from_entries(
+        F.transform(
+            pairs,
+            lambda p: F.struct(
+                F.split(p, ":").getItem(0).cast("int").alias("k"),
+                F.split(p, ":").getItem(1).cast("double").alias("v"),
+            ),
+        )
+    )
+    parsed = parsed.withColumn("__kv", kv)
+    feature_cols = [
+        F.coalesce(F.element_at("__kv", F.lit(i)), F.lit(0.0)).alias(f"feature_{i}")
+        for i in range(1, num_features + 1)
+    ]
+    cols = ["relevance"] + (["qid"] if with_qid else [])
+    return parsed.select(*cols, *feature_cols)

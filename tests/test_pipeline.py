@@ -1,0 +1,199 @@
+"""End-to-end fraud pipeline acceptance test (the reference's §3.2 +
+run_gbdt_example path): generate -> register -> materialize ->
+round-trip -> melt to EAV -> ASOF -> score -> gates. Plus parser,
+registry, validation, and streaming-materializer unit tests."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_spark.datasets.fraud import FEATURE_NAMES, generate_merchants
+from feature_store_spark.materialize import (
+    materialize_vectors,
+    melt_vectors_to_records,
+    roundtrip_check,
+    upsert_scalars,
+    vector_to_columns,
+)
+from feature_store_spark.metrics import auc_roc
+from feature_store_spark.registry import FeatureView, Registry
+from feature_store_spark.scoring import compile_model_expr, example_model
+from feature_store_spark.sources.parsers import read_criteo_tsv, read_svmlight
+from feature_store_spark.streaming.materializer import latest_upsert_batch
+from feature_store_spark.validation import default_rate, model_gates, schema_gate
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_fraud_generation_deterministic(spark):
+    a = generate_merchants(spark, n=500, seed=42).collect()
+    b = generate_merchants(spark, n=500, seed=42).repartition(7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    df = generate_merchants(spark, n=500, seed=42)
+    pos_rate = df.agg(F.avg("is_high_risk")).first()[0]
+    assert 0.05 < pos_rate < 0.12  # ~8% by construction
+
+
+def test_fraud_pipeline_end_to_end(spark, tmp_path):
+    view = FeatureView("merchant_fraud_gbdt", 1, "merchant", list(FEATURE_NAMES))
+    reg = Registry(spark).register_entity("merchant", "entity_id")
+    for n in FEATURE_NAMES:
+        reg.register_feature(n, "merchant")
+    reg.register_view(view)
+
+    wide = generate_merchants(spark, n=1000, seed=42)
+
+    # materialize -> vector envelope correct
+    vectors = materialize_vectors(wide, view, now_ms=1700000000000)
+    first = vectors.first()
+    assert len(first["values"]) == view.vector_length
+    assert first["schema_hash"] == view.schema_hash
+
+    # round-trip: serve-back equals source (J4 check)
+    assert roundtrip_check(wide, vectors, view).count() == 0
+
+    # schema gate passes
+    g = schema_gate(vectors, view.schema_hash, view.vector_length).first()
+    assert g["hash_gate_passed"] and g["length_gate_passed"]
+
+    # no defaults in fully-populated vectors
+    assert default_rate(vectors).first()["default_rate"] == 0.0
+
+    # melt to EAV records with real names
+    records = melt_vectors_to_records(vectors, view.feature_names)
+    assert records.count() == 1000 * len(FEATURE_NAMES)
+    assert records.select("feature_name").distinct().count() == len(FEATURE_NAMES)
+
+    # score with the compiled example model over 4 features; gate shapes
+    feats = ["txn_count_30d", "gmv_30d", "chargeback_rate_90d", "refund_rate_30d"]
+    model = example_model(feats)
+    served = vector_to_columns(vectors, view.feature_names)
+    scored = served.join(wide.select("entity_id", "is_high_risk"), "entity_id").select(
+        compile_model_expr(model, {f: f for f in feats}).alias("score"),
+        F.col("is_high_risk").alias("label"),
+    )
+    auc = auc_roc(scored, "score", "label").first()["auc_roc"]
+    assert 0.0 <= auc <= 1.0
+    gates = model_gates({"auc_roc": auc, "score_std": 0.1}, {"auc_roc_min": 0.0, "score_std_min": 0.05})
+    assert all(g["passed"] for g in gates)
+
+
+def test_positional_melt_names(spark):
+    view = FeatureView("v", 1, "e", ["a", "b"])
+    wide = spark.createDataFrame([("e1", 1.0, 2.0)], "entity_id string, a double, b double")
+    vectors = materialize_vectors(wide, view, now_ms=0)
+    rec = melt_vectors_to_records(vectors, positional_names=True)
+    names = {r["feature_name"] for r in rec.collect()}
+    assert names == {"feature_0", "feature_1"}
+
+
+def test_upsert_scalars_last_writer_wins(spark):
+    existing = spark.createDataFrame(
+        [("m", "e1", "f1", 1.0, ts("2024-01-01T00:00:00"), ts("2024-01-01T00:00:00"))],
+        "entity_type string, entity_id string, feature_name string, value double, "
+        "event_time timestamp, created_at timestamp",
+    )
+    newer = spark.createDataFrame(
+        [("m", "e1", "f1", 2.0, ts("2024-01-02T00:00:00"), ts("2024-01-02T00:00:00"))],
+        existing.schema,
+    )
+    older = spark.createDataFrame(
+        [("m", "e1", "f1", 9.0, ts("2023-12-01T00:00:00"), ts("2023-12-01T00:00:00"))],
+        existing.schema,
+    )
+    up = upsert_scalars(existing, newer.unionByName(older))
+    assert up.count() == 1
+    assert up.first()["value"] == 2.0  # late row never overwrites newer
+
+
+def test_criteo_parser(spark, tmp_path):
+    p = tmp_path / "criteo.tsv"
+    lines = [
+        "1\t" + "\t".join(str(i) for i in range(1, 14)) + "\t" + "\t".join(f"cat{i}" for i in range(26)),
+        "0\t" + "\t".join([""] * 13) + "\t" + "\t".join([""] * 26),
+    ]
+    p.write_text("\n".join(lines))
+    df = read_criteo_tsv(spark, str(p))
+    rows = sorted(df.collect(), key=lambda r: -r["label"])
+    assert rows[0]["label"] == 1 and rows[0]["I1"] == 1.0
+    assert rows[1]["I5"] == 0.0 and rows[1]["C3"] == 0.0  # empty -> 0.0
+    import hashlib
+    expected = int(hashlib.md5(b"cat0").hexdigest()[:8], 16) % 10000
+    assert rows[0]["C1"] == float(expected)
+    assert len(df.columns) == 1 + 13 + 26
+
+
+def test_svmlight_parser(spark, tmp_path):
+    p = tmp_path / "mslr.txt"
+    p.write_text(
+        "2 qid:7 1:0.5 3:1.25 136:2.0\n"
+        "0 qid:7 2:0.1\n"
+        "4 qid:8 1:9.0\n"
+    )
+    df = read_svmlight(spark, str(p), num_features=136)
+    rows = {(r["qid"], r["relevance"]): r for r in df.collect()}
+    r1 = rows[(7, 2)]
+    assert r1["feature_1"] == 0.5 and r1["feature_3"] == 1.25 and r1["feature_136"] == 2.0
+    assert r1["feature_2"] == 0.0  # sparse missing -> 0
+    assert rows[(8, 4)]["feature_1"] == 9.0
+    assert len(df.columns) == 2 + 136
+
+
+def test_streaming_upsert_batch_semantics(spark):
+    b1 = spark.createDataFrame(
+        [("e1", "f1", 1.0, ts("2024-01-01T00:00:00"))],
+        "entity_id string, feature_name string, value_float double, event_time timestamp",
+    )
+    state = latest_upsert_batch(b1, None)
+    b2 = spark.createDataFrame(
+        [
+            ("e1", "f1", 2.0, ts("2024-01-03T00:00:00")),
+            ("e1", "f1", 99.0, ts("2023-06-01T00:00:00")),  # late arrival
+            ("e2", "f1", 5.0, ts("2024-01-01T00:00:00")),
+        ],
+        b1.schema,
+    )
+    state = latest_upsert_batch(b2, state)
+    got = {(r["entity_id"], r["feature_name"]): r["value_float"] for r in state.collect()}
+    assert got == {("e1", "f1"): 2.0, ("e2", "f1"): 5.0}
+
+
+def test_windowed_stats_stream_plan(spark):
+    """Streaming plan sanity: the windowed-stats stream analyzes and
+    carries a watermark (no execution without a source; the aggregation
+    logic itself is the batch-tested feature_stats shape)."""
+    from feature_store_spark.streaming.materializer import windowed_stats_stream
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("timestamp").alias("event_time"),
+            F.lit("f1").alias("feature_name"),
+            F.col("value").cast("double").alias("value_float"),
+            F.lit("e").alias("entity_id"),
+        )
+    )
+    out = windowed_stats_stream(stream)
+    assert out.isStreaming
+    assert "window" in out.columns and "mean" in out.columns
+
+
+def test_registry_latest_and_hash(spark):
+    reg = Registry(spark).register_entity("m", "entity_id")
+    reg.register_feature("f1", "m", version=1)
+    reg.register_feature("f1", "m", version=2)
+    reg.register_feature("f2", "m", status="DEPRECATED")
+    latest = {r["name"]: r["version"] for r in reg.latest_features().collect()}
+    assert latest["f1"] == 2
+    assert reg.active_features().filter(F.col("name") == "f2").count() == 0
+    v1 = FeatureView("v", 1, "m", ["f1"])
+    v2 = FeatureView("v", 2, "m", ["f1", "f2"])
+    reg.register_view(v1).register_view(v2)
+    assert reg.get_view("v").version == 2
+    assert reg.get_view("v", 1).vector_length == 1
+    assert reg.members_df().count() == 3

@@ -62,27 +62,65 @@ def shingles(
     )
 
 
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+
+
+def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i odd, b_i) —
+    fixed pseudo-random constants, identical across engines."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, 2**31) | 1, rng.randrange(0, 2**31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures_wide(
+    doc_shingles: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures, wide form: (id, h0..h{k-1}).
+
+    One md5 per distinct (doc, shingle) -> 32-bit base hash, then k
+    universal-hash permutations ``(a_i * h + b_i) mod p`` evaluated as
+    k aggregate columns of a SINGLE groupBy — no seed explosion, so
+    shuffle volume is |shingles| rows, not k x |shingles|. (a_i < 2^31,
+    h < 2^32 keeps products inside signed 64-bit in any engine.)
+    """
+    base = doc_shingles.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("__h"),
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     doc_shingles: DataFrame,
     num_hashes: int = 16,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature rows: (id, seed, minhash-hex-string).
-
-    hash_i(shingle) = md5(i || '|' || shingle); the minimum md5 hex
-    string per (doc, seed) is the signature slot. Lexicographic min on
-    the hex string == numeric min on the 128-bit value, and it is
-    identical in any md5 implementation.
-    """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = doc_shingles.select(F.col(id_col), F.col("shingle"), seeds).select(
-        F.col(id_col),
-        F.col("seed"),
-        F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias(
-            "__h"
-        ),
+    """MinHash signature rows (id, seed, minhash:int64) — the tall form
+    of :func:`minhash_signatures_wide` (unpivoted after the aggregate,
+    so the cheap plan is kept)."""
+    wide = minhash_signatures_wide(doc_shingles, num_hashes, id_col)
+    slots = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("seed"), F.col(f"h{i}").alias("minhash"))
+                for i in range(num_hashes)
+            ]
+        )
+    ).alias("__s")
+    return wide.select(F.col(id_col), slots).select(
+        F.col(id_col), F.col("__s.seed").alias("seed"), F.col("__s.minhash").alias("minhash")
     )
-    return hashed.groupBy(id_col, "seed").agg(F.min("__h").alias("minhash"))
 
 
 def lsh_candidate_pairs(
@@ -155,7 +193,9 @@ def minhash_dedup_pairs(
     """End-to-end near-dup pipeline: shingle -> minhash -> LSH bands ->
     candidate pairs -> estimated-Jaccard filter."""
     sh = shingles(docs, text_col, id_col, shingle_n)
-    sigs = minhash_signatures(sh, num_hashes, id_col)
+    # signatures feed both the banding join and the similarity join;
+    # materialize once instead of recomputing the shingle+hash lineage
+    sigs = minhash_signatures(sh, num_hashes, id_col).cache()
     cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
     sims = minhash_similarity(cands, sigs, num_hashes, id_col)
     return sims.filter(F.col("est_jaccard") >= threshold)
@@ -178,6 +218,8 @@ def ngram_jaccard_pairs(
     |A ∩ B| / |A ∪ B| is then computed on candidates only.
     """
     sh = shingles(docs, text_col, id_col, shingle_n)
+    # shingle sets feed four downstream joins; materialize once
+    sh = sh.cache()
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     rare = sh.join(
         df_counts.filter(F.col("__df") <= rare_df_max), "shingle"

@@ -25,9 +25,7 @@ from feature_store_spark.metrics import (
 )
 from feature_store_spark.operators.asof import asof_training_set
 from feature_store_spark.operators.dedup import (
-    lsh_candidate_pairs,
     minhash_signatures,
-    minhash_similarity,
     ngram_jaccard_pairs,
     shingles,
     simhash,
@@ -894,11 +892,37 @@ _SHINGLES_SQL = """
   )
   WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
 """
-_SIGS_SQL = """
-  SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS minhash
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
-  GROUP BY doc_id, seed
-"""
+def _sigs_sql(num_hashes: int = 16) -> str:
+    """Oracle twin of minhash_signatures: one md5 per shingle, k
+    universal-hash mins as aggregate columns, then unpivot."""
+    from feature_store_spark.operators.dedup import MINHASH_PRIME, _minhash_params
+
+    params = _minhash_params(num_hashes)
+    mins = ",\n           ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {i} AS seed, h{i} AS minhash FROM wide"
+        for i in range(num_hashes)
+    )
+    return f"""
+  base AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+    FROM sh
+  ),
+  wide AS (
+    SELECT doc_id,
+           {mins}
+    FROM base GROUP BY doc_id
+  ),
+  sigs AS (
+    {unions}
+  )"""
+
+
+_SIGS_SQL = _sigs_sql(16)
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -932,28 +956,26 @@ def q_minhash_signatures(spark, sf_dir):
 
 MINHASH_SIGS_SQL = f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
-sh AS ({_SHINGLES_SQL})
+sh AS ({_SHINGLES_SQL}),
 {_SIGS_SQL}
+SELECT doc_id, seed, minhash FROM sigs
 """
 
 
 def q_minhash_pairs(spark, sf_dir):
     """Near-dup pairs via MinHash + LSH banding (4 bands x 4 rows) on a
     corpus with planted one-word-dropped near-copies."""
+    from feature_store_spark.operators.dedup import minhash_dedup_pairs
+
     corpus = _mutated_corpus(spark, sf_dir, exact=False)
-    sh = shingles(corpus, n=3)
-    sigs = minhash_signatures(sh, num_hashes=16)
-    cands = lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
-    sims = minhash_similarity(cands, sigs, num_hashes=16)
-    return sims.filter(F.col("est_jaccard") >= 0.5).select(
-        "id_a", "id_b", _r6(F.col("est_jaccard")).alias("est_jaccard")
-    )
+    out = minhash_dedup_pairs(corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.5)
+    return out.select("id_a", "id_b", _r6(F.col("est_jaccard")).alias("est_jaccard"))
 
 
 MINHASH_PAIRS_SQL = f"""
 WITH corpus AS ({_CORPUS_NEAR_SQL}),
 sh AS ({_SHINGLES_SQL}),
-sigs AS ({_SIGS_SQL}),
+{_SIGS_SQL},
 band_sigs AS (
   SELECT doc_id, seed // 4 AS band,
          md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed)) AS bsig

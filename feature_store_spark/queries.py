@@ -1060,6 +1060,281 @@ FROM v GROUP BY doc_id
 """
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 6, high-16-bit blocking) on
+    the near-dup corpus."""
+    from feature_store_spark.operators.dedup import simhash_pairs
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=False)
+    sims = simhash(corpus, bits=32)
+    return simhash_pairs(sims, max_hamming=6, bits=32, block_bits=16).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH corpus AS ({_CORPUS_NEAR_SQL}),
+w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus
+),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hv
+  FROM w WHERE length(word) > 0
+),
+b AS (
+  SELECT doc_id, bit,
+         CASE WHEN (hv // CAST(pow(2, bit) AS BIGINT)) % 2 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+),
+v AS (SELECT doc_id, bit, sum(vote) AS s FROM b GROUP BY 1, 2),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM v GROUP BY doc_id
+),
+blocked AS (SELECT doc_id, simhash, simhash // 65536 AS blk FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)::BIT) AS hamming
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 6
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, IVF-cluster-blocked: corpus =
+    embeddings plus slightly-perturbed copies (vec_id+100000); pairs
+    with cosine >= 0.99 within the same assigned cluster."""
+    from feature_store_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    perturbed = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * F.lit(1.001),
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    ).unionByName(perturbed)
+    pairs = embedding_near_dup_pairs(
+        corpus, threshold=0.99, block_col="label"
+    )
+    return pairs.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
+
+
+EMB_NEAR_DUP_SQL = """
+WITH corpus AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) * 1.001 AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, label, sqrt(sum(x * x)) AS nrm FROM corpus GROUP BY 1, 2),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(a.x * b.x) AS dot
+  FROM corpus a
+  JOIN corpus b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+cos AS (
+  SELECT p.id_a, p.id_b, p.dot / (na.nrm * nb.nrm) AS c
+  FROM pairs p
+  JOIN norms na ON na.vec_id = p.id_a
+  JOIN norms nb ON nb.vec_id = p.id_b
+)
+SELECT id_a, id_b, round(c, 6) AS cosine FROM cos WHERE c >= 0.99
+"""
+
+
+def q_knn_classify(spark, sf_dir):
+    """kNN majority-vote classification: for vec_ids < 50, the modal
+    label among the 5 nearest neighbors (cosine, excluding self);
+    ties -> smaller label. ANN as a classifier — accuracy vs truth."""
+    from feature_store_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    nn = knn_join(queries, emb, k=6)  # k=6 incl. self; drop self below
+    nn = nn.filter(F.col("vec_id") != F.col("query_id")).filter(F.col("rank") <= 6)
+    votes = (
+        nn.join(
+            load_table(spark, sf_dir, "embeddings").select(
+                F.col("vec_id"), F.col("label").alias("nbr_label")
+            ),
+            "vec_id",
+        )
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nbr_label").asc()
+    )
+    pred = votes.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    truth = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("query_id"), F.col("label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        F.col("nbr_label").alias("pred_label"),
+        F.col("label").alias("true_label"),
+        (F.col("nbr_label") == F.col("label")).alias("is_correct"),
+    )
+
+
+KNN_CLASSIFY_SQL = """
+WITH e AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id < 50),
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         sum(q.x * e.x) / (sqrt(sum(q.x * q.x)) * sqrt(sum(e.x * e.x))) AS c
+  FROM q JOIN e ON q.i = e.i AND q.vec_id <> e.vec_id
+  GROUP BY q.vec_id, e.vec_id
+),
+nn AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+  FROM dots
+),
+votes AS (
+  SELECT n.query_id, e2.label AS nbr_label, count(*) AS votes
+  FROM nn n JOIN embeddings e2 ON e2.vec_id = n.vec_id
+  WHERE n.rn <= 5
+  GROUP BY n.query_id, e2.label
+),
+pred AS (
+  SELECT query_id, nbr_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, nbr_label) AS rn
+  FROM votes
+)
+SELECT p.query_id, p.nbr_label AS pred_label, t.label AS true_label,
+       p.nbr_label = t.label AS is_correct
+FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+WHERE p.rn = 1
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-pruned ANN: probe the 2 nearest label-centroids to vec 0's
+    embedding, search only those clusters, top-10 by cosine — the
+    100 TB scale path (prunes the scan to n_probe/n_clusters)."""
+    from feature_store_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids(emb, by_col="label")
+    with_cluster = emb.withColumn("cluster", F.col("label"))
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    out = ivf_topk(
+        with_cluster, cents, [float(x) for x in qvec], k=10, n_probe=2,
+    )
+    return out.filter(F.col("vec_id") != 0).select(
+        "vec_id", _r6(F.col("score")).alias("cosine")
+    )
+
+
+IVF_TOPK_SQL = """
+WITH e AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+q AS (SELECT i, x AS qx FROM e WHERE vec_id = 0),
+cent AS (SELECT label, i, avg(x) AS c FROM e GROUP BY label, i),
+cdist AS (
+  SELECT cent.label, sum((cent.c - q.qx) * (cent.c - q.qx)) AS d
+  FROM cent JOIN q ON cent.i = q.i GROUP BY cent.label
+),
+probed AS (SELECT label FROM cdist ORDER BY d, label LIMIT 2),
+cand AS (SELECT e.* FROM e JOIN probed p ON e.label = p.label),
+cos AS (
+  SELECT cand.vec_id,
+         sum(cand.x * q.qx) / (sqrt(sum(cand.x * cand.x)) * sqrt(sum(q.qx * q.qx))) AS c
+  FROM cand JOIN q ON cand.i = q.i
+  WHERE cand.vec_id <> 0
+  GROUP BY cand.vec_id
+)
+SELECT vec_id, round(c, 6) AS cosine FROM cos ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
+def q_score_split_topk(spark, sf_dir):
+    """Split-feature scoring (M2): 5 broadcast 'users' (from customer)
+    x all 'items' (part), model over 2 user + 2 item features, top-5
+    items per user — the ScoreTopK ranking shape."""
+    from feature_store_spark.scoring import score_topk_per_user
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("double").alias("p_size")
+    )
+    users = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 5)
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.col("c_nationkey").cast("double").alias("c_nation"),
+        )
+    )
+    feats = ["p_retailprice", "p_size", "c_acctbal", "c_nation"]
+    model = example_model(feats)
+    out = score_topk_per_user(
+        part,
+        users,
+        model,
+        {"p_retailprice": "p_retailprice", "p_size": "p_size"},
+        {"c_acctbal": "c_acctbal", "c_nation": "c_nation"},
+        k=5,
+        user_key="c_custkey",
+        tiebreak=["p_partkey"],
+    )
+    return out.select(
+        "c_custkey", "p_partkey", _r6(F.col("score")).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _score_split_sql() -> str:
+    feats = ["p_retailprice", "p_size", "c_acctbal", "c_nation"]
+    model = example_model(feats)
+    expr = compile_model_sql(model, {f: f for f in feats})
+    return f"""
+WITH users AS (
+  SELECT c_custkey, c_acctbal, CAST(c_nationkey AS DOUBLE) AS c_nation
+  FROM customer WHERE c_custkey < 5
+),
+items AS (
+  SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size FROM part
+),
+scored AS (
+  SELECT u.c_custkey, i.p_partkey, {expr} AS sc
+  FROM items i CROSS JOIN users u
+),
+ranked AS (
+  SELECT c_custkey, p_partkey, sc,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY sc DESC, p_partkey) AS rank
+  FROM scored
+)
+SELECT c_custkey, p_partkey, round(sc, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # ------------------------------------------------- LLM ops: similarity
 
 def q_embedding_topk(spark, sf_dir):
@@ -1483,6 +1758,11 @@ QUERIES: dict[str, tuple] = {
     "risk_tiers": (q_risk_tiers, _risk_tiers_sql()),
     "group_cv_split": (q_group_cv_split, GROUP_CV_SQL),
     "default_rate": (q_default_rate, DEFAULT_RATE_SQL),
+    "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),
+    "embedding_near_dup": (q_embedding_near_dup, EMB_NEAR_DUP_SQL),
+    "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
+    "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
+    "score_split_topk": (q_score_split_topk, _score_split_sql()),
 }
 
 

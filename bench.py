@@ -46,6 +46,105 @@ HEADLINE = [
 ]
 
 
+def _baseline_comparables(spark, sf_dir) -> dict:
+    """Throughput numbers comparable to BASELINE.md, measured at the
+    bench scale factor:
+
+    - scoring_items_per_sec: a 300-tree x depth-6 ensemble (the
+      reference's model shape, ffi.rs:104-112) compiled to Catalyst
+      expressions, scoring every lineitem row (vs 875K items/s
+      single-core C; XGBoost-native predict 5-30K/s/core).
+    - materialize_rows_per_sec: wide fraud rows -> online vector
+      envelope (vs ~6,250 vectors/s REST, EXAMPLE.md:164-166).
+    - asof_rows_per_sec: label rows point-in-time joined per second.
+    - lookup_rows_per_sec: 10K-id batch lookup against orders.
+    """
+    import random
+
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.datasets.fraud import FEATURE_NAMES, generate_merchants
+    from feature_store_spark.materialize import materialize_vectors
+    from feature_store_spark.queries import LINEITEM_FEATURES, q_asof_features
+    from feature_store_spark.registry import FeatureView
+    from feature_store_spark.scoring import vectorized_tree_udf
+
+    out = {}
+
+    # deterministic 300-tree depth-6 model over the 4 lineitem features
+    rng = random.Random(42)
+    ranges = {"l_quantity": 50.0, "l_extendedprice": 80000.0,
+              "l_discount": 0.1, "l_tax": 0.08}
+
+    def rnode(depth):
+        if depth == 0:
+            return {"leaf": rng.uniform(-0.1, 0.1)}
+        f = rng.choice(LINEITEM_FEATURES)
+        return {
+            "split": f,
+            "threshold": rng.uniform(0.0, ranges[f]),
+            "missing": rng.choice(["left", "right"]),
+            "yes": rnode(depth - 1),
+            "no": rnode(depth - 1),
+        }
+
+    model300 = {
+        "base_score": 0.0,
+        "objective": "binary:logistic",
+        "trees": [rnode(6) for _ in range(300)],
+    }
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    base_li = load_table(spark, sf_dir, "lineitem").select(*LINEITEM_FEATURES)
+    n_base = base_li.count()
+    # replicate to ~2M items (the reference's bench size,
+    # docs/CUDA_CODEGEN.md:723-749) so fixed UDF/Arrow overhead
+    # amortizes and we measure steady-state throughput
+    factor = max(1, round(2_000_000 / max(n_base, 1)))
+    li = (
+        base_li.crossJoin(spark.range(factor))
+        .drop("id")
+        .repartition(cpus)
+        .cache()
+    )
+    n_items = li.count()  # materialize so we time scoring, not the scan
+    udf = vectorized_tree_udf(model300, LINEITEM_FEATURES, dtype="float32")
+    t0 = time.time()
+    li.withColumn("score", udf(*[F.col(f) for f in LINEITEM_FEATURES])).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    out["scoring_items_per_sec"] = round(n_items / (time.time() - t0))
+    out["scoring_model"] = "300 trees x depth 6, Arrow+numpy vectorized f32"
+
+    # materialization throughput
+    n_mat = 50000
+    wide = generate_merchants(spark, n=n_mat, seed=42).cache()
+    wide.count()  # pre-generate so we time materialization, not RNG
+    view = FeatureView("fraud_bench", 1, "merchant", list(FEATURE_NAMES))
+    t0 = time.time()
+    materialize_vectors(wide, view, now_ms=0).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    out["materialize_rows_per_sec"] = round(n_mat / (time.time() - t0))
+    wide.unpersist()
+
+    # ASOF throughput (label rows per second)
+    asof_df = q_asof_features(spark, sf_dir)
+    n_labels = asof_df.count()
+    t0 = time.time()
+    asof_df.write.mode("overwrite").format("noop").save()
+    out["asof_label_rows_per_sec"] = round(n_labels / (time.time() - t0))
+
+    # batch lookup: 10K ids against orders
+    orders = load_table(spark, sf_dir, "orders")
+    ids = spark.range(10000).select(F.col("id").alias("o_orderkey"))
+    t0 = time.time()
+    F.broadcast(ids).join(orders, "o_orderkey", "left").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    out["lookup_rows_per_sec"] = round(10000 / (time.time() - t0))
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -66,6 +165,8 @@ def main():
         timings[name] = dt
         total += dt
 
+    comparables = _baseline_comparables(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -74,6 +175,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "baseline_comparables": comparables,
             }
         )
     )

@@ -105,6 +105,42 @@ def score(
     return df.withColumn(score_col, compile_model_expr(model, feature_cols))
 
 
+def score_staged(
+    df: DataFrame,
+    model: dict,
+    feature_cols: dict[str, str],
+    score_col: str = "score",
+    trees_per_stage: int = 25,
+) -> DataFrame:
+    """Large-ensemble scoring: compile the ensemble in stages of
+    ``trees_per_stage`` partial sums (separate columns), then sum.
+
+    A 300-tree x depth-6 model is ~38K expression nodes — one column
+    expression overflows the Python->Catalyst converter recursion and
+    would blow generated-method size limits; staging keeps every
+    expression bounded (the same reason the reference's C generator
+    emits one function per tree, generator.py:254-345).
+    """
+    trees = model["trees"]
+    stage_cols: list[str] = []
+    out = df
+    for si in range(0, len(trees), trees_per_stage):
+        expr: Column | None = None
+        for t in trees[si : si + trees_per_stage]:
+            e = _node_to_expr(t, feature_cols)
+            expr = e if expr is None else expr + e
+        name = f"__trees_{si}"
+        out = out.withColumn(name, expr)
+        stage_cols.append(name)
+    raw = F.lit(float(model.get("base_score", 0.0)))
+    for c in stage_cols:
+        raw = raw + F.col(c)
+    out = out.withColumn(
+        score_col, _transform(model.get("objective", "binary:logistic"), raw)
+    )
+    return out.drop(*stage_cols)
+
+
 def score_topk(
     df: DataFrame,
     model: dict,
@@ -174,6 +210,118 @@ def example_model(features: Sequence[str]) -> dict:
         "objective": "binary:logistic",
         "trees": [t1, t2, t3, t4],
     }
+
+
+def _flatten_tree(tree: dict, feature_index: dict[str, int]):
+    """Node arrays for vectorized traversal:
+    (feat, thr, left, right, missing_left, leaf). feat=-1 marks a leaf;
+    leaves self-loop so finished lanes idle in the traversal."""
+    feat, thr, left, right, miss, leaf = [], [], [], [], [], []
+
+    def add(n) -> int:
+        i = len(feat)
+        if "leaf" in n:
+            feat.append(-1); thr.append(0.0); left.append(i); right.append(i)
+            miss.append(True); leaf.append(float(n["leaf"]))
+        else:
+            feat.append(feature_index[n["split"]])
+            thr.append(float(n["threshold"]))
+            miss.append(n.get("missing", "left") == "left")
+            leaf.append(0.0)
+            left.append(-1); right.append(-1)
+            li = add(n["yes"]); ri = add(n["no"])
+            left[i] = li; right[i] = ri
+        return i
+
+    add(tree)
+    return feat, thr, left, right, miss, leaf
+
+
+def vectorized_tree_udf(model: dict, feature_names: Sequence[str], dtype: str = "float64"):
+    """Arrow-batched numpy tree-ensemble scorer — the large-ensemble
+    fast path (M1). The compiled-expression path is ideal up to a few
+    dozen trees; past that, generated code falls out of whole-stage
+    codegen into interpreted eval, so big ensembles traverse flattened
+    node arrays vectorized over the Arrow batch instead — the Spark
+    twin of the reference's tree->C compilation (scoring_shim.c loop).
+
+    Usage: df.withColumn("score", vectorized_tree_udf(m, feats)(*feats))
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    names = list(feature_names)
+    fidx = {f: i for i, f in enumerate(names)}
+    n_trees = len(model["trees"])
+
+    def _depth(n) -> int:
+        if "leaf" in n:
+            return 0
+        return 1 + max(_depth(n["yes"]), _depth(n["no"]))
+
+    D = max(1, max(_depth(t) for t in model["trees"]))
+    n_inner = 2**D - 1
+
+    # Pad every tree to a complete depth-D heap: child index is then
+    # pure arithmetic (2i+1+go_right) -- no left/right gathers, and the
+    # per-level work is 4 big gathers over a (n_trees, batch) matrix.
+    # Early leaves become pass-through nodes (thr=+inf, missing->left)
+    # that funnel every lane left until the leaf row.
+    featH = np.zeros((n_trees, n_inner), dtype=np.int32)
+    thrH = np.full((n_trees, n_inner), np.inf, dtype=np.float64)
+    missH = np.ones((n_trees, n_inner), dtype=bool)
+    leafH = np.zeros((n_trees, 2**D), dtype=np.float64)
+
+    def fill(ti: int, n: dict, pos: int, d: int) -> None:
+        if d == D:
+            leafH[ti, pos - n_inner] = float(n["leaf"])
+            return
+        if "leaf" in n:
+            fill(ti, n, 2 * pos + 1, d + 1)  # pass-through defaults
+            return
+        featH[ti, pos] = fidx[n["split"]]
+        thrH[ti, pos] = float(n["threshold"])
+        missH[ti, pos] = n.get("missing", "left") == "left"
+        fill(ti, n["yes"], 2 * pos + 1, d + 1)
+        fill(ti, n["no"], 2 * pos + 2, d + 1)
+
+    for ti, t in enumerate(model["trees"]):
+        fill(ti, t, 0, 0)
+
+    base = float(model.get("base_score", 0.0))
+    logistic = model.get("objective", "binary:logistic") in (
+        "binary:logistic", "rank:pairwise", "rank:ndcg", "rank:map",
+    )
+    tids = np.arange(n_trees)[:, None]
+    np_dtype = np.float32 if dtype == "float32" else np.float64
+    thrT = thrH.astype(np_dtype)  # float32 halves compare/gather bandwidth
+    # (the reference's C scorer is float32 end to end, scoring_shim.c)
+
+    @pandas_udf("double")
+    def predict(*cols):
+        import pandas as pd
+
+        X = np.column_stack([c.to_numpy(dtype=np_dtype) for c in cols])
+        n = X.shape[0]
+        has_nan = bool(np.isnan(X).any())
+        rows = np.arange(n)[None, :]
+        idx = np.zeros((n_trees, n), dtype=np.int32)
+        for _ in range(D):
+            f = featH[tids, idx]
+            x = X[rows, f]
+            if has_nan:
+                go_right = ~np.where(
+                    np.isnan(x), missH[tids, idx], x < thrT[tids, idx]
+                )
+            else:
+                go_right = ~(x < thrT[tids, idx])
+            idx = 2 * idx + 1 + go_right
+        raw = base + leafH[tids, idx - n_inner].sum(axis=0)
+        if logistic:
+            raw = 1.0 / (1.0 + np.exp(-raw))
+        return pd.Series(raw)
+
+    return predict
 
 
 try:  # optional xgboost fast path (not present in the test container)

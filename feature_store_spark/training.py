@@ -1,0 +1,159 @@
+"""Distributed training as dataflow (SURVEY.md §2.9 M6).
+
+The reference trains XGBoost on a single node (pandas in Python,
+XGBoost4J in Java). This container has no xgboost, so the engine
+ships a distributed **logistic regression** trainer built from plain
+DataFrame aggregations: each epoch is ONE map-side-combinable pass
+computing the full gradient (k+1 aggregate columns), with the weight
+vector broadcast as literals. Driver state is O(k) floats — the
+standard Spark pattern for iterative algorithms (MLlib does the same
+dance underneath).
+
+This slots into the same pipeline seams as XGBoost (train -> score ->
+gates); when an xgboost runtime exists, `scoring.xgboost_udf` replaces
+`predict_expr` with zero pipeline changes.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _margin(weights: Sequence[float], bias: float, feature_cols: Sequence[str]) -> Column:
+    m = F.lit(float(bias))
+    for w, c in zip(weights, feature_cols):
+        m = m + F.lit(float(w)) * F.col(c)
+    return m
+
+
+def predict_expr(
+    model: dict, feature_cols: Sequence[str] | None = None
+) -> Column:
+    """P(y=1) column for a trained model dict
+    {"weights": [...], "bias": b, "features": [...], "means": [...],
+    "stds": [...]}."""
+    cols = list(feature_cols or model["features"])
+    scaled = [
+        (F.col(c) - F.lit(m)) / F.lit(s)
+        for c, m, s in zip(cols, model["means"], model["stds"])
+    ]
+    z = F.lit(float(model["bias"]))
+    for w, x in zip(model["weights"], scaled):
+        z = z + F.lit(float(w)) * x
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def fit_logistic(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    epochs: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    class_weighted: bool = True,
+) -> dict:
+    """Batch gradient descent, one distributed pass per epoch.
+
+    Features are standardized with global mean/std (computed in one
+    aggregate) so a single learning rate works across scales —
+    the moments are folded into the returned model, so `predict_expr`
+    consumes raw columns.  ``class_weighted`` applies
+    ``scale_pos_weight = n_neg/n_pos`` (A5, train.py:127-130).
+    """
+    cols = list(feature_cols)
+    k = len(cols)
+
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("double")).alias("n_pos"),
+        *[F.avg(c).alias(f"m{i}") for i, c in enumerate(cols)],
+        *[F.stddev_pop(c).alias(f"s{i}") for i, c in enumerate(cols)],
+    ).first()
+    n = float(stats["n"])
+    n_pos = float(stats["n_pos"])
+    means = [float(stats[f"m{i}"] or 0.0) for i in range(k)]
+    stds = [float(stats[f"s{i}"] or 1.0) or 1.0 for i in range(k)]
+    pos_w = (n - n_pos) / max(n_pos, 1.0) if class_weighted else 1.0
+
+    scaled = [
+        ((F.col(c) - F.lit(m)) / F.lit(s)).alias(f"x{i}")
+        for i, (c, m, s) in enumerate(zip(cols, means, stds))
+    ]
+    base = df.select(F.col(label_col).cast("double").alias("y"), *scaled)
+
+    weights = [0.0] * k
+    bias = math.log(max(n_pos, 1.0) / max(n - n_pos, 1.0))
+    for _ in range(epochs):
+        z = F.lit(bias)
+        for w, i in zip(weights, range(k)):
+            z = z + F.lit(w) * F.col(f"x{i}")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        sample_w = F.when(F.col("y") == 1.0, F.lit(pos_w)).otherwise(F.lit(1.0))
+        err = (p - F.col("y")) * sample_w
+        g = base.agg(
+            F.sum(sample_w).alias("wsum"),
+            F.sum(err).alias("g_bias"),
+            *[F.sum(err * F.col(f"x{i}")).alias(f"g{i}") for i in range(k)],
+        ).first()
+        wsum = float(g["wsum"])
+        bias -= lr * float(g["g_bias"]) / wsum
+        weights = [
+            w - lr * (float(g[f"g{i}"]) / wsum + l2 * w)
+            for i, w in enumerate(weights)
+        ]
+
+    return {
+        "features": cols,
+        "weights": weights,
+        "bias": bias,
+        "means": means,
+        "stds": stds,
+        "scale_pos_weight": pos_w,
+    }
+
+
+def stratified_kfold_tag(
+    df: DataFrame, label_col: str, k: int = 5, entity_col: str = "entity_id"
+) -> DataFrame:
+    """Deterministic stratified fold assignment: md5-bucket per entity
+    within each label stratum (U4 stratified + J5 determinism)."""
+    from feature_store_spark.functions import hash_bucket_expr
+
+    return df.withColumn(
+        "fold",
+        hash_bucket_expr(
+            F.concat_ws("|", F.col(entity_col).cast("string"), F.col(label_col).cast("string")),
+            k,
+        ),
+    )
+
+
+def cross_validate_logistic(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    k: int = 5,
+    entity_col: str = "entity_id",
+    epochs: int = 20,
+) -> list[dict]:
+    """K-fold CV: per fold, fit on k-1 folds, evaluate AUC on the
+    held-out fold (M6's StratifiedKFold loop as dataflow)."""
+    from feature_store_spark.metrics import auc_roc
+
+    tagged = stratified_kfold_tag(df, label_col, k, entity_col).cache()
+    results = []
+    for fold in range(k):
+        train = tagged.filter(F.col("fold") != fold)
+        test = tagged.filter(F.col("fold") == fold)
+        model = fit_logistic(train, feature_cols, label_col, epochs=epochs)
+        scored = test.select(
+            predict_expr(model).alias("score"), F.col(label_col).alias("label")
+        )
+        auc = auc_roc(scored, "score", "label").first()["auc_roc"]
+        results.append({"fold": fold, "auc_roc": auc, "model": model})
+    tagged.unpersist()
+    return results

@@ -1,0 +1,101 @@
+"""Vectorized (Arrow+numpy) tree scorer vs the compiled-expression
+path and the pure-Python oracle — including NaN routing and a larger
+random ensemble (the M8 differential pattern)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_spark.scoring import (
+    compile_model_expr,
+    example_model,
+    score_staged,
+    vectorized_tree_udf,
+)
+from tests.test_metrics_scoring import eval_model_py
+
+FEATS = ["a", "b", "c", "d"]
+
+
+def random_model(n_trees: int, depth: int, seed: int = 1) -> dict:
+    rng = random.Random(seed)
+
+    def node(d):
+        if d == 0:
+            return {"leaf": rng.uniform(-0.2, 0.2)}
+        return {
+            "split": rng.choice(FEATS),
+            "threshold": rng.uniform(0, 100),
+            "missing": rng.choice(["left", "right"]),
+            "yes": node(d - 1),
+            "no": node(d - 1),
+        }
+
+    return {
+        "base_score": 0.1,
+        "objective": "binary:logistic",
+        "trees": [node(depth) for _ in range(n_trees)],
+    }
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    rng = random.Random(99)
+    data = []
+    for i in range(300):
+        vals = [
+            float("nan") if rng.random() < 0.05 else rng.uniform(0, 100)
+            for _ in FEATS
+        ]
+        data.append((i, *vals))
+    return spark.createDataFrame(data, "id long, a double, b double, c double, d double")
+
+
+def test_vectorized_matches_expression(spark, rows):
+    model = example_model(FEATS)
+    fmap = {f: f for f in FEATS}
+    expr_scores = {
+        r["id"]: r["s"]
+        for r in rows.withColumn("s", compile_model_expr(model, fmap)).collect()
+    }
+    udf = vectorized_tree_udf(model, FEATS)
+    vec_scores = {
+        r["id"]: r["s"]
+        for r in rows.withColumn("s", udf(*[F.col(f) for f in FEATS])).collect()
+    }
+    for i in expr_scores:
+        assert abs(expr_scores[i] - vec_scores[i]) <= 1e-12
+
+
+def test_vectorized_matches_python_oracle_large_ensemble(spark, rows):
+    model = random_model(60, 6)
+    udf = vectorized_tree_udf(model, FEATS)
+    got = {
+        r["id"]: r["s"]
+        for r in rows.withColumn("s", udf(*[F.col(f) for f in FEATS])).collect()
+    }
+    data = {r["id"]: r for r in rows.collect()}
+    for i, s in got.items():
+        row = {
+            f: (None if math.isnan(data[i][f]) else data[i][f]) for f in FEATS
+        }
+        assert abs(s - eval_model_py(model, row)) <= 1e-10
+
+
+def test_staged_matches_expression(spark, rows):
+    model = random_model(40, 4, seed=3)
+    fmap = {f: f for f in FEATS}
+    a = {
+        r["id"]: r["s"]
+        for r in rows.withColumn("s", compile_model_expr(model, fmap)).collect()
+    }
+    b = {
+        r["id"]: r["score"]
+        for r in score_staged(rows, model, fmap, trees_per_stage=8).collect()
+    }
+    for i in a:
+        assert abs(a[i] - b[i]) <= 1e-12

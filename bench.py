@@ -65,7 +65,7 @@ def _baseline_comparables(spark, sf_dir) -> dict:
 
     from feature_store_spark.datasets.fraud import FEATURE_NAMES, generate_merchants
     from feature_store_spark.materialize import materialize_vectors
-    from feature_store_spark.queries import LINEITEM_FEATURES, q_asof_features
+    from feature_store_spark.queries import LINEITEM_FEATURES
     from feature_store_spark.registry import FeatureView
     from feature_store_spark.scoring import vectorized_tree_udf
 
@@ -127,12 +127,42 @@ def _baseline_comparables(spark, sf_dir) -> dict:
     out["materialize_rows_per_sec"] = round(n_mat / (time.time() - t0))
     wide.unpersist()
 
-    # ASOF throughput (label rows per second)
-    asof_df = q_asof_features(spark, sf_dir)
-    n_labels = asof_df.count()
+    # ASOF throughput: EVERY event is a label row (point-in-time
+    # features for the full stream), both physical plans
+    from feature_store_spark.operators.asof import (
+        asof_training_set,
+        asof_training_set_bucketed,
+    )
+    from feature_store_spark.queries import EVENT_TYPES
+
+    ev = load_table(spark, sf_dir, "events")
+    eav = ev.select(
+        F.col("user_id").alias("entity_id"),
+        F.col("event_type").alias("feature_name"),
+        F.col("value").alias("value_float"),
+        F.col("ts").alias("event_time"),
+        F.col("event_id").alias("rec_event_id"),
+    ).cache()
+    all_labels = ev.select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("event_time"),
+        F.col("event_id").alias("label_event_id"),
+    ).cache()
+    n_labels = all_labels.count()
+    eav.count()
     t0 = time.time()
-    asof_df.write.mode("overwrite").format("noop").save()
+    asof_training_set(
+        all_labels, eav, EVENT_TYPES,
+        tiebreak_cols=["rec_event_id"], lookback_days=None,
+    ).write.mode("overwrite").format("noop").save()
     out["asof_label_rows_per_sec"] = round(n_labels / (time.time() - t0))
+    t0 = time.time()
+    asof_training_set_bucketed(
+        all_labels, eav, EVENT_TYPES,
+        tiebreak_cols=["rec_event_id"], bucket_seconds=86_400,
+    ).write.mode("overwrite").format("noop").save()
+    out["asof_bucketed_label_rows_per_sec"] = round(n_labels / (time.time() - t0))
+    eav.unpersist(); all_labels.unpersist()
 
     # batch lookup: 10K ids against orders
     orders = load_table(spark, sf_dir, "orders")

@@ -240,6 +240,150 @@ def asof_training_set(
     return wide_df.select(*labels.columns, *feature_names)
 
 
+def asof_training_set_bucketed(
+    labels: DataFrame,
+    records: DataFrame,
+    feature_names: Sequence[str],
+    bucket_seconds: int = 86_400,
+    entity_col: str = "entity_id",
+    label_time_col: str = "event_time",
+    feature_name_col: str = "feature_name",
+    value_col: str = "value_float",
+    record_time_col: str = "event_time",
+    tiebreak_cols: Sequence[str] = ("created_at",),
+    wide: bool = True,
+) -> DataFrame:
+    """Hot-key-safe ASOF: two-level time-bucketed plan (SCALE.md).
+
+    The flat plan sorts each (entity, feature) stream in one partition;
+    a pathological key with 10^9 rows becomes one giant sort. This
+    variant:
+
+      1. reduces history to per-(entity, feature, bucket) FINALS
+         (latest row per bucket — a map-side-combinable top-1),
+      2. computes each label's CARRY = final of the nearest *earlier*
+         bucket via a small window over bucket rows (|buckets| per key,
+         not |rows|; labels sort before history within their own bucket
+         so same-bucket finals are never leaked),
+      3. resolves same-bucket history with a window partitioned by
+         (entity, feature, bucket) — the hot key is now spread over
+         time buckets — restricted by semi-join to buckets that
+         actually contain labels,
+      4. answer = within-bucket last if present else carry.
+
+    Semantics identical to :func:`asof_training_set` (inclusive <=,
+    deterministic tie-breaks); differentially tested against it.
+    """
+    feature_names = list(feature_names)
+    bs_us = bucket_seconds * 1_000_000
+
+    labels_keyed = _with_dup_counter(labels)
+    label_key_cols = labels.columns + [_DUP]
+    payload = [c for c in label_key_cols if c != entity_col]
+
+    lab = labels_keyed.select(
+        F.col(entity_col).alias("__e"),
+        F.explode(F.array(*[F.lit(n) for n in feature_names])).alias("__f"),
+        F.col(label_time_col).alias("__lt"),
+        F.floor(F.unix_micros(F.col(label_time_col)) / bs_us).alias("__b"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    )
+    hist = records.filter(
+        F.col(feature_name_col).isin(feature_names) & F.col(value_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("__e"),
+        F.col(feature_name_col).alias("__f"),
+        F.col(record_time_col).alias("__t"),
+        F.col(value_col).alias("__v"),
+        F.floor(F.unix_micros(F.col(record_time_col)) / bs_us).alias("__b"),
+        *[F.col(t).alias(f"__tb_{t}") for t in tiebreak_cols],
+    )
+
+    # 1. per-bucket finals (hot key spread over buckets)
+    order_desc = [F.col("__t").desc()] + [
+        F.col(f"__tb_{t}").desc_nulls_last() for t in tiebreak_cols
+    ]
+    w_final = Window.partitionBy("__e", "__f", "__b").orderBy(*order_desc)
+    finals = (
+        hist.withColumn("__rn", F.row_number().over(w_final))
+        .filter(F.col("__rn") == 1)
+        .select("__e", "__f", "__b", F.col("__v").alias("__fv"))
+    )
+
+    # 2. carry = running last of finals over STRICTLY EARLIER buckets:
+    # labels (is_label=1) sort before finals (0) within their bucket.
+    lab_buckets = lab.select("__e", "__f", "__b").distinct().withColumn(
+        "__is_label", F.lit(1)
+    ).withColumn("__fv", F.lit(None).cast(hist.schema["__v"].dataType))
+    final_rows = finals.withColumn("__is_label", F.lit(0))
+    w_carry = (
+        Window.partitionBy("__e", "__f")
+        .orderBy(F.col("__b").asc(), F.col("__is_label").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        final_rows.unionByName(lab_buckets)
+        .withColumn("__carry", F.last("__fv", ignorenulls=True).over(w_carry))
+        .filter(F.col("__is_label") == 1)
+        .select("__e", "__f", "__b", "__carry")
+    )
+
+    # 3. same-bucket resolution, only in buckets that contain labels
+    hist_labeled_buckets = hist.join(
+        lab.select("__e", "__f", "__b").distinct(), ["__e", "__f", "__b"], "left_semi"
+    )
+    hist_u = hist_labeled_buckets.select(
+        "__e", "__f", "__b", F.col("__t").alias(_T), F.col("__v"),
+        *[F.col(f"__tb_{t}") for t in tiebreak_cols],
+        F.lit(0).alias(_IS_LABEL),
+        *[F.lit(None).cast(labels_keyed.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+    )
+    lab_u = lab.select(
+        "__e", "__f", "__b", F.col("__lt").alias(_T),
+        F.lit(None).cast(hist.schema["__v"].dataType).alias("__v"),
+        *[
+            F.lit(None).cast(hist.schema[f"__tb_{t}"].dataType).alias(f"__tb_{t}")
+            for t in tiebreak_cols
+        ],
+        F.lit(1).alias(_IS_LABEL),
+        *[F.col(f"__p_{c}") for c in payload],
+    )
+    order = [F.col(_T).asc(), F.col(_IS_LABEL).asc()] + [
+        F.col(f"__tb_{t}").asc_nulls_first() for t in tiebreak_cols
+    ]
+    w_in = (
+        Window.partitionBy("__e", "__f", "__b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = (
+        hist_u.unionByName(lab_u)
+        .withColumn("__wv", F.last("__v", ignorenulls=True).over(w_in))
+        .filter(F.col(_IS_LABEL) == 1)
+    )
+
+    # 4. combine
+    resolved = within.join(carry, ["__e", "__f", "__b"], "left").select(
+        F.col("__e").alias(entity_col),
+        *[F.col(f"__p_{c}").alias(c) for c in payload],
+        F.col("__f").alias("__feature"),
+        F.coalesce(F.col("__wv"), F.col("__carry")).alias("__last_v"),
+    )
+
+    if not wide:
+        return resolved.select(
+            *labels.columns,
+            F.col("__feature").alias(feature_name_col),
+            F.col("__last_v").alias(value_col),
+        )
+    wide_df = (
+        resolved.groupBy(*label_key_cols)
+        .pivot("__feature", feature_names)
+        .agg(F.first("__last_v"))
+    )
+    return wide_df.select(*labels.columns, *feature_names)
+
+
 def asof_join_ranked(
     labels: DataFrame,
     records: DataFrame,

@@ -197,3 +197,28 @@ def test_registry_latest_and_hash(spark):
     assert reg.get_view("v").version == 2
     assert reg.get_view("v", 1).vector_length == 1
     assert reg.members_df().count() == 3
+
+
+def test_binary_f32_matrix_loader(spark, tmp_path):
+    import numpy as np
+
+    from feature_store_spark.sources.binary_matrix import (
+        matrix_min_max,
+        read_f32_matrix,
+    )
+
+    mat = np.arange(24, dtype="<f4").reshape(6, 4)
+    p = tmp_path / "items.f32"
+    p.write_bytes(mat.tobytes())
+    df = read_f32_matrix(spark, str(p), num_features=4)
+    rows = sorted(df.collect(), key=lambda r: r["item_index"])
+    assert len(rows) == 6
+    assert rows[0]["features"] == [0.0, 1.0, 2.0, 3.0]
+    assert rows[5]["features"] == [20.0, 21.0, 22.0, 23.0]
+    mm = {r["dim"]: (r["min_value"], r["max_value"]) for r in matrix_min_max(df, 4).collect()}
+    assert mm[0] == (0.0, 20.0) and mm[3] == (3.0, 23.0)
+
+    bad = tmp_path / "bad.f32"
+    bad.write_bytes(b"\x00" * 10)
+    with pytest.raises(Exception):
+        read_f32_matrix(spark, str(bad), num_features=4).collect()

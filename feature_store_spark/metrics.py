@@ -51,6 +51,35 @@ def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     )
 
 
+def auc_pr(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Average precision (step-wise AUC-PR), the V3 gate metric
+    (ValidationService.java:22-25 `aucPr >= 0.40`).
+
+    AP = Σ_g ΔR_g · P_g over distinct-score groups in descending score
+    order, where P_g = cumTP/cum(TP+FP) and ΔR_g = p_g / P — exactly
+    sklearn's average_precision_score with ties handled as one group.
+    Same scale shape as auc_roc: groupBy(score) first, so the ordering
+    window sees |distinct scores| rows only.
+    """
+    y = F.col(label_col).cast("double")
+    g = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count_if(y == 1.0).cast("double").alias("__p"),
+        F.count(F.lit(1)).cast("double").alias("__t"),
+    )
+    w_cum = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = g.withColumn("__cum_tp", F.sum("__p").over(w_cum)).withColumn(
+        "__cum_all", F.sum("__t").over(w_cum)
+    )
+    return g.agg(
+        (
+            F.sum(F.col("__p") * F.col("__cum_tp") / F.col("__cum_all"))
+            / F.sum("__p")
+        ).alias("auc_pr")
+    )
+
+
 def logloss(df: DataFrame, prob_col: str, label_col: str, eps: float = 1e-15) -> DataFrame:
     p = F.least(F.greatest(F.col(prob_col), F.lit(eps)), F.lit(1.0 - eps))
     y = F.col(label_col).cast("double")

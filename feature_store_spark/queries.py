@@ -1713,6 +1713,332 @@ FROM documents
 """
 
 
+# ----------------------------------------- gate metrics + registry ops
+
+
+def _lineitem_scored(spark, sf_dir):
+    """Shared deterministic scored frame (same as q_auc_roc)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+
+
+def q_auc_pr(spark, sf_dir):
+    """Average precision / AUC-PR — the second V3 model gate
+    (ValidationService.java:22-25, `aucPr >= 0.40`)."""
+    from feature_store_spark.metrics import auc_pr
+
+    return auc_pr(_lineitem_scored(spark, sf_dir), "score", "label").select(
+        _r6(F.col("auc_pr")).alias("auc_pr")
+    )
+
+
+AUC_PR_SQL = """
+WITH s AS (
+  SELECT l_extendedprice * l_discount AS sc,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+),
+g AS (SELECT sc, sum(y) AS p, count(*) AS t FROM s GROUP BY sc),
+r AS (
+  SELECT p,
+         sum(p) OVER (ORDER BY sc DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+         sum(t) OVER (ORDER BY sc DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+  FROM g
+)
+SELECT round(sum(p * cum_tp / cum_all) / sum(p), 6) AS auc_pr FROM r
+"""
+
+
+def q_model_gates(spark, sf_dir):
+    """V3 model-quality gates as one dataflow row: AUC-ROC >= 0.75,
+    AUC-PR >= 0.40, score-std > 0.05 (ValidationService.java:22-25,
+    112-147; python/gbdt_example/train.py:39-42)."""
+    from feature_store_spark.metrics import auc_pr
+    from feature_store_spark.validation import FRAUD_GATES
+
+    scored = _lineitem_scored(spark, sf_dir)
+    roc = auc_roc(scored, "score", "label")
+    pr = auc_pr(scored, "score", "label")
+    std = scored.agg(F.stddev("score").alias("score_std"))
+    return (
+        roc.crossJoin(pr)
+        .crossJoin(std)
+        .select(
+            _r6(F.col("auc_roc")).alias("auc_roc"),
+            _r6(F.col("auc_pr")).alias("auc_pr"),
+            _r6(F.col("score_std")).alias("score_std"),
+            (F.col("auc_roc") >= FRAUD_GATES["auc_roc_min"]).alias("auc_roc_ok"),
+            (F.col("auc_pr") >= FRAUD_GATES["auc_pr_min"]).alias("auc_pr_ok"),
+            (F.col("score_std") > FRAUD_GATES["score_std_min"]).alias("score_std_ok"),
+        )
+    )
+
+
+MODEL_GATES_SQL = f"""
+WITH roc AS ({AUC_SQL.replace("auc_roc", "v_roc")}),
+pr AS ({AUC_PR_SQL.replace("auc_pr", "v_pr")}),
+sd AS (SELECT stddev_samp(l_extendedprice * l_discount) AS v_sd FROM lineitem)
+SELECT round(v_roc, 6) AS auc_roc, round(v_pr, 6) AS auc_pr,
+       round(v_sd, 6) AS score_std,
+       v_roc >= 0.75 AS auc_roc_ok,
+       v_pr >= 0.40 AS auc_pr_ok,
+       v_sd > 0.05 AS score_std_ok
+FROM roc, pr, sd
+"""
+
+
+def q_class_balance(spark, sf_dir):
+    """Class-balance aggregates (A5): positive/negative counts,
+    scale_pos_weight = n_neg/n_pos, positive rate
+    (python/gbdt_example/train.py:127-130)."""
+    labeled = _lineitem_scored(spark, sf_dir)
+    return labeled.agg(
+        F.count_if(F.col("label") == 1).alias("n_pos"),
+        F.count_if(F.col("label") == 0).alias("n_neg"),
+        _r6(
+            F.count_if(F.col("label") == 0)
+            / F.count_if(F.col("label") == 1).cast("double")
+        ).alias("scale_pos_weight"),
+        _r6(F.avg("label")).alias("positive_rate"),
+    )
+
+
+CLASS_BALANCE_SQL = """
+SELECT CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_pos,
+       CAST(count(*) FILTER (WHERE l_returnflag <> 'R') AS BIGINT) AS n_neg,
+       round(count(*) FILTER (WHERE l_returnflag <> 'R')
+             / CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE), 6)
+         AS scale_pos_weight,
+       round(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6)
+         AS positive_rate
+FROM lineitem
+"""
+
+
+def q_group_sizes(spark, sf_dir):
+    """Ranking group-size distribution (A12): docs-per-query run
+    lengths (python/mslr_example/train.py:145-164) — here events per
+    user, histogrammed."""
+    ev = load_table(spark, sf_dir, "events")
+    per_group = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("group_size"))
+    return per_group.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+
+
+GROUP_SIZES_SQL = """
+WITH g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS group_size
+           FROM events GROUP BY user_id)
+SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups FROM g GROUP BY 1
+"""
+
+
+def q_feature_minmax(spark, sf_dir):
+    """Per-feature min/max ranges over the candidate matrix (A2,
+    runtime/src/dataset.rs:60-77 GetDatasetInfo)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tall = melt(li, ["l_orderkey"], LINEITEM_FEATURES)
+    return tall.groupBy("feature_name").agg(
+        _r6(F.min("value")).alias("min_value"),
+        _r6(F.max("value")).alias("max_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+FEATURE_MINMAX_SQL = """
+WITH tall AS (
+  SELECT l_orderkey, 'l_quantity' AS feature_name,
+         CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM lineitem
+)
+SELECT feature_name, round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value, CAST(count(*) AS BIGINT) AS n
+FROM tall GROUP BY 1
+"""
+
+
+def q_vector_slots(spark, sf_dir):
+    """Positional vector -> named columns (U5, ServingController.java:
+    112-118): element_at(values, position) per schema slot."""
+    from feature_store_spark.materialize import vector_to_columns
+
+    cust = load_table(spark, sf_dir, "customer")
+    vectors = cust.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.array(
+            F.col("c_acctbal").cast("double"),
+            F.col("c_nationkey").cast("double"),
+        ).alias("values"),
+    )
+    wide = vector_to_columns(vectors, ["acctbal", "nationkey"])
+    return wide.select(
+        "entity_id",
+        _r6(F.col("acctbal")).alias("acctbal"),
+        _r6(F.col("nationkey")).alias("nationkey"),
+    )
+
+
+VECTOR_SLOTS_SQL = """
+WITH v AS (
+  SELECT c_custkey AS entity_id,
+         [CAST(c_acctbal AS DOUBLE), CAST(c_nationkey AS DOUBLE)] AS vals
+  FROM customer
+)
+SELECT entity_id, round(vals[1], 6) AS acctbal, round(vals[2], 6) AS nationkey
+FROM v
+"""
+
+
+def q_melt_vector_records(spark, sf_dir):
+    """Materialized vectors -> offline EAV with positional
+    ``feature_i`` names (U2, MaterializationService.java:102-121)."""
+    from feature_store_spark.materialize import (
+        materialize_vectors,
+        melt_vectors_to_records,
+    )
+    from feature_store_spark.registry import FeatureView
+
+    cust = load_table(spark, sf_dir, "customer")
+    wide = cust.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    view = FeatureView("cust_view", 1, "customer", ["acctbal", "nationkey"])
+    vectors = materialize_vectors(wide, view, now_ms=0)
+    recs = melt_vectors_to_records(vectors, positional_names=True)
+    return recs.select(
+        "entity_type",
+        "entity_id",
+        "feature_name",
+        _r6(F.col("value_float")).alias("value_float"),
+        F.col("view_version").cast("int").alias("view_version"),
+    )
+
+
+MELT_VECTOR_SQL = """
+SELECT 'customer' AS entity_type, c_custkey AS entity_id,
+       'feature_0' AS feature_name,
+       round(CAST(c_acctbal AS DOUBLE), 6) AS value_float,
+       1 AS view_version
+FROM customer
+UNION ALL
+SELECT 'customer', c_custkey, 'feature_1',
+       round(CAST(c_nationkey AS DOUBLE), 6), 1
+FROM customer
+"""
+
+
+def q_registry_latest(spark, sf_dir):
+    """Latest-version-per-name registry read (F3,
+    `findFirstByNameOrderByVersionDesc`, FeatureRegistryService.java:188):
+    part rows as (name=p_brand, version=p_size) definitions."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_size").desc(), F.col("p_partkey").desc()
+    )
+    return (
+        part.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("p_brand").alias("name"),
+            F.col("p_size").alias("latest_version"),
+            F.col("p_partkey").alias("definition_id"),
+        )
+    )
+
+
+REGISTRY_LATEST_SQL = """
+WITH r AS (
+  SELECT p_brand, p_size, p_partkey,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_size DESC, p_partkey DESC) AS rn
+  FROM part
+)
+SELECT p_brand AS name, p_size AS latest_version, p_partkey AS definition_id
+FROM r WHERE rn = 1
+"""
+
+
+def q_recent_events(spark, sf_dir):
+    """Recent-activity limit query (T5, FeatureRegistryService.java:
+    273-279): order by time desc, page size 20."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(20)
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            _r6(F.col("value")).alias("value"),
+        )
+    )
+
+
+RECENT_EVENTS_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, event_type, round(value, 6) AS value
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 20
+"""
+
+
+def q_scalar_upsert(spark, sf_dir):
+    """Partial scalar upsert / MERGE emulation (EXAMPLE.md:86-90,
+    RocksDBFeatureStore.java:111-116): union existing EAV history with
+    an hourly update batch, keep last-writer-wins per key."""
+    existing = _events_eav(spark, sf_dir)
+    updates = existing.filter(F.col("feature_name") == "purchase").select(
+        "entity_id",
+        "feature_name",
+        (F.col("value_float") * 2.0).alias("value_float"),
+        (F.col("event_time") + F.expr("INTERVAL 365 DAYS")).alias("event_time"),
+        (F.col("rec_event_id") + 10_000_000).alias("rec_event_id"),
+    )
+    merged = latest_per_key(
+        existing.unionByName(updates),
+        ["entity_id", "feature_name"],
+        "event_time",
+        ["rec_event_id"],
+    )
+    return merged.select(
+        "entity_id",
+        "feature_name",
+        _r6(F.col("value_float")).alias("value_float"),
+        F.unix_micros("event_time").alias("event_time_us"),
+    )
+
+
+SCALAR_UPSERT_SQL = """
+WITH eav AS (
+  SELECT user_id AS entity_id, event_type AS feature_name,
+         value AS value_float, ts AS event_time, event_id AS rec_event_id
+  FROM events
+),
+unioned AS (
+  SELECT * FROM eav
+  UNION ALL
+  SELECT entity_id, feature_name, value_float * 2.0,
+         event_time + INTERVAL 365 DAY, rec_event_id + 10000000
+  FROM eav WHERE feature_name = 'purchase'
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY entity_id, feature_name
+            ORDER BY event_time DESC, rec_event_id DESC) AS rn
+  FROM unioned
+)
+SELECT entity_id, feature_name, round(value_float, 6) AS value_float,
+       epoch_us(event_time) AS event_time_us
+FROM r WHERE rn = 1
+"""
+
+
 # ------------------------------------------------- registry
 
 QUERIES: dict[str, tuple] = {
@@ -1763,6 +2089,16 @@ QUERIES: dict[str, tuple] = {
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
     "score_split_topk": (q_score_split_topk, _score_split_sql()),
+    "auc_pr": (q_auc_pr, AUC_PR_SQL),
+    "model_gates": (q_model_gates, MODEL_GATES_SQL),
+    "class_balance": (q_class_balance, CLASS_BALANCE_SQL),
+    "group_sizes": (q_group_sizes, GROUP_SIZES_SQL),
+    "feature_minmax": (q_feature_minmax, FEATURE_MINMAX_SQL),
+    "vector_slots": (q_vector_slots, VECTOR_SLOTS_SQL),
+    "melt_vector_records": (q_melt_vector_records, MELT_VECTOR_SQL),
+    "registry_latest": (q_registry_latest, REGISTRY_LATEST_SQL),
+    "recent_events": (q_recent_events, RECENT_EVENTS_SQL),
+    "scalar_upsert": (q_scalar_upsert, SCALAR_UPSERT_SQL),
 }
 
 

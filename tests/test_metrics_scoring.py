@@ -43,6 +43,33 @@ def test_auc_with_ties_matches_sklearn_convention(spark):
     assert abs(auc_roc(df, "score", "label").first()["auc_roc"] - expected) < 1e-12
 
 
+def test_auc_pr_hand_computed(spark):
+    from feature_store_spark.metrics import auc_pr
+
+    # descending scores: labels 1,0,1,0 -> AP = 1/2*(1/1) + 1/2*(2/3)
+    rows = [(0.9, 1), (0.7, 0), (0.5, 1), (0.1, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    expected = 0.5 * 1.0 + 0.5 * (2.0 / 3.0)
+    assert abs(auc_pr(df, "score", "label").first()["auc_pr"] - expected) < 1e-12
+    # perfect separation -> AP = 1
+    df2 = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.3, 0), (0.1, 0)], "score double, label int"
+    )
+    assert auc_pr(df2, "score", "label").first()["auc_pr"] == 1.0
+
+
+def test_auc_pr_ties_grouped(spark):
+    from feature_store_spark.metrics import auc_pr
+
+    # a tied group (one pos, one neg at 0.5) is consumed as one step:
+    # groups desc: {0.8: p=1,t=1}, {0.5: p=1,t=2}
+    # AP = (1/2)*(1/1) + (1/2)*(2/3)
+    rows = [(0.8, 1), (0.5, 1), (0.5, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    expected = 0.5 * 1.0 + 0.5 * (2.0 / 3.0)
+    assert abs(auc_pr(df, "score", "label").first()["auc_pr"] - expected) < 1e-12
+
+
 def test_logloss(spark):
     df = spark.createDataFrame([(0.8, 1), (0.2, 0)], "p double, y int")
     expected = -(math.log(0.8) + math.log(0.8)) / 2

@@ -43,22 +43,30 @@ def exact_dedup(
     return keepers.join(docs, id_col, "inner").drop("__fp")
 
 
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of one document as an array —
+    computed entirely map-side (no explode, no shuffle)."""
+    words = F.split(text, " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.filter(F.array_distinct(sh), lambda s: F.length(s) > 0)
+
+
 def shingles(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    words = F.split(F.col(text_col), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
-    return (
-        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Dedup happens inside :func:`shingle_array` (per-doc, map-side);
+    the old global ``.distinct()`` shuffle is gone — (id, shingle)
+    rows are already unique when ids are."""
+    return docs.select(
+        F.col(id_col), F.explode(shingle_array(F.col(text_col), n)).alias("shingle")
     )
 
 
@@ -101,6 +109,46 @@ def minhash_signatures_wide(
     return base.groupBy(id_col).agg(*aggs)
 
 
+def minhash_wide_from_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures with ZERO shuffles: shingle set, base hashes,
+    and all k permutation-mins are higher-order array expressions over
+    each row — a pure projection Catalyst pipelines into the scan.
+
+    Same values as :func:`minhash_signatures_wide` (same shingles, same
+    md5 base hash, same universal-hash permutations); docs with no
+    shingles produce no row, matching the tall path's groupBy.
+
+    At 100 TB this is the shape that wins: signature computation costs
+    no network at all, and only the (tiny) signatures ever shuffle —
+    in the LSH band join.
+    """
+    arr = shingle_array(F.col(text_col), shingle_n)
+    hashes = F.transform(
+        arr,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("__hs"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME),
+            )
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes))
+    ]
+    return (
+        docs.select(F.col(id_col), hashes.alias("__hs"))
+        .filter(F.size("__hs") > 0)
+        .select(F.col(id_col), *sig_cols)
+    )
+
+
 def minhash_signatures(
     doc_shingles: DataFrame,
     num_hashes: int = 16,
@@ -123,27 +171,63 @@ def minhash_signatures(
     )
 
 
+def lsh_band_sigs_wide(
+    wide_signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_sig) rows straight from wide signatures — a pure
+    projection + explode (bands rows/doc), NO shuffle: each band's
+    signature is the concatenation of its h-columns, vs the tall form's
+    groupBy + collect_list which shuffles k rows/doc."""
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[F.col(f"h{j * rows_per_band + r}") for r in range(rows_per_band)],
+                ).alias("band_sig"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return wide_signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("__b")
+    ).select(F.col(id_col), F.col("__b.band").alias("band"), F.col("__b.band_sig").alias("band_sig"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
     id_col: str = "doc_id",
     max_bucket_size: int = 1000,
+    wide: bool = False,
 ) -> DataFrame:
     """LSH banding: docs whose signature agrees on ALL rows of at least
     one band become a candidate pair (id_a < id_b, distinct).
+
+    ``signatures`` is tall (id, seed, minhash) by default, or the wide
+    form when ``wide=True`` (preferred — skips a shuffle, see
+    :func:`lsh_band_sigs_wide`).
 
     ``max_bucket_size`` drops degenerate buckets (all-identical
     boilerplate) that would otherwise explode the self-join — at 100 TB
     this guard is what keeps the stage bounded.
     """
-    rows_per_band = num_hashes // bands
-    banded = signatures.withColumn("band", F.floor(F.col("seed") / rows_per_band))
-    band_sigs = banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.array_join(F.array_sort(F.collect_list(F.concat_ws(":", "seed", "minhash"))), ",")
-        ).alias("band_sig")
-    )
+    if wide:
+        band_sigs = lsh_band_sigs_wide(signatures, num_hashes, bands, id_col)
+    else:
+        rows_per_band = num_hashes // bands
+        banded = signatures.withColumn("band", F.floor(F.col("seed") / rows_per_band))
+        band_sigs = banded.groupBy(id_col, "band").agg(
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list(F.concat_ws(":", "seed", "minhash"))), ",")
+            ).alias("band_sig")
+        )
     bucket_sizes = band_sigs.groupBy("band", "band_sig").agg(
         F.count(F.lit(1)).alias("__sz")
     )
@@ -165,8 +249,36 @@ def minhash_similarity(
     signatures: DataFrame,
     num_hashes: int = 16,
     id_col: str = "doc_id",
+    wide: bool = False,
 ) -> DataFrame:
-    """Estimated Jaccard = fraction of agreeing signature slots."""
+    """Estimated Jaccard = fraction of agreeing signature slots.
+
+    With ``wide=True`` the two signature joins move one row per doc
+    (k columns) instead of k rows per doc, and agreement is a codegen'd
+    sum of equality terms — no post-join re-aggregation shuffle.
+    """
+    if wide:
+        sig_a = signatures.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"h{i}").alias(f"__a{i}") for i in range(num_hashes)],
+        )
+        sig_b = signatures.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"h{i}").alias(f"__b{i}") for i in range(num_hashes)],
+        )
+        agree = sum(
+            F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        )
+        return (
+            pairs.join(sig_a, "id_a")
+            .join(sig_b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+            )
+        )
     sig_a = signatures.select(
         F.col(id_col).alias("id_a"), F.col("seed"), F.col("minhash").alias("__ma")
     )
@@ -192,12 +304,14 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle -> minhash -> LSH bands ->
     candidate pairs -> estimated-Jaccard filter."""
-    sh = shingles(docs, text_col, id_col, shingle_n)
-    # signatures feed both the banding join and the similarity join;
-    # materialize once instead of recomputing the shingle+hash lineage
-    sigs = minhash_signatures(sh, num_hashes, id_col).cache()
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
-    sims = minhash_similarity(cands, sigs, num_hashes, id_col)
+    # wide signatures feed both the banding join and the similarity
+    # join; materialize once (they're computed shuffle-free, one row
+    # per doc) and stay wide end-to-end
+    sigs = minhash_wide_from_docs(
+        docs, text_col, id_col, shingle_n, num_hashes
+    ).cache()
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col, wide=True)
+    sims = minhash_similarity(cands, sigs, num_hashes, id_col, wide=True)
     return sims.filter(F.col("est_jaccard") >= threshold)
 
 
@@ -217,11 +331,19 @@ def ngram_jaccard_pairs(
     common boilerplate shingles never generate pairs. Exact
     |A ∩ B| / |A ∪ B| is then computed on candidates only.
     """
-    sh = shingles(docs, text_col, id_col, shingle_n)
-    # shingle sets feed four downstream joins; materialize once
-    sh = sh.cache()
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    rare = sh.join(
+    # per-doc shingle SETS as arrays (map-side); they feed the
+    # document-frequency count, the blocking join, and the final
+    # intersection — materialize once
+    arrs = (
+        docs.select(
+            F.col(id_col), shingle_array(F.col(text_col), shingle_n).alias("__sh")
+        )
+        .filter(F.size("__sh") > 0)
+        .cache()
+    )
+    tall = arrs.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+    df_counts = tall.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    rare = tall.join(
         df_counts.filter(F.col("__df") <= rare_df_max), "shingle"
     ).select(id_col, "shingle")
 
@@ -235,22 +357,21 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    inter = (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+    # exact |A ∩ B| via array_intersect on candidate pairs: the joins
+    # move ONE row per doc (the set), not |shingles| rows, and there is
+    # no post-join re-aggregation
+    a = arrs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
+    b = arrs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     out = (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb")), "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("__inter")
-                / (F.col("__sa") + F.col("__sb") - F.col("__inter"))
+                inter
+                / (F.size("__sa") + F.size("__sb") - inter).cast("double")
             ).alias("jaccard"),
         )
     )
@@ -266,37 +387,41 @@ def simhash(
     """32-bit SimHash over distinct words.
 
     word hash = first 8 md5 hex chars as uint32; each bit votes +1/-1;
-    simhash bit j set iff the vote sum is positive. Pure integer
-    expressions (explode words x bits -> sum) — deterministic and
-    engine-portable.
+    simhash bit j set iff the vote sum is positive.
+
+    ZERO shuffles: the distinct-word set, the word hashes, and all
+    ``bits`` per-bit vote sums are higher-order array expressions per
+    row — the whole operator is a projection (the old shape exploded
+    |words| x bits rows through two groupBys).
     """
-    words = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w")
-    ).filter(F.length("__w") > 0).distinct()
-    h = F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("long")
-    hashed = words.select(F.col(id_col), h.alias("__h"))
-    bits_df = hashed.select(
-        F.col(id_col),
-        F.col("__h"),
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-    ).select(
-        F.col(id_col),
-        F.col("bit"),
-        F.when(
-            (F.floor(F.col("__h") / F.pow(F.lit(2.0), F.col("bit"))).cast("long") % 2) == 1,
-            F.lit(1),
+    words = F.filter(
+        F.array_distinct(F.split(F.col(text_col), " ")),
+        lambda w: F.length(w) > 0,
+    )
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+    # empty docs drop out, matching the explode-based shape
+    hashed = docs.select(F.col(id_col), hashes.alias("__hs")).filter(
+        F.size("__hs") > 0
+    )
+    # vote_j = sum over words of (bit j set ? +1 : -1)
+    #        = 2 * count(bit j set) - |words|
+    vote = lambda j: (  # noqa: E731
+        F.lit(2)
+        * F.size(
+            F.filter(
+                F.col("__hs"),
+                lambda h: h.bitwiseAND(F.lit(1 << j)) != 0,
+            )
         )
-        .otherwise(F.lit(-1))
-        .alias("__vote"),
+        - F.size("__hs")
     )
-    votes = bits_df.groupBy(id_col, "bit").agg(F.sum("__vote").alias("__sum"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("__sum") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
-            ).otherwise(F.lit(0))
-        ).alias("simhash")
+    sig = sum(
+        F.when(vote(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(bits)
     )
+    return hashed.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
 def simhash_pairs(

@@ -950,8 +950,21 @@ FROM corpus GROUP BY 1
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (16 md5-seeded hashes over 3-word shingles)
     on the raw documents table."""
+    from feature_store_spark.operators.dedup import minhash_wide_from_docs
+
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(shingles(docs, n=3), num_hashes=16)
+    wide = minhash_wide_from_docs(docs, shingle_n=3, num_hashes=16)
+    slots = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("seed"), F.col(f"h{i}").alias("minhash"))
+                for i in range(16)
+            ]
+        )
+    ).alias("__s")
+    return wide.select(F.col("doc_id"), slots).select(
+        "doc_id", F.col("__s.seed").alias("seed"), F.col("__s.minhash").alias("minhash")
+    )
 
 
 MINHASH_SIGS_SQL = f"""

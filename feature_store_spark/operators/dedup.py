@@ -451,6 +451,79 @@ def simhash_pairs(
     )
 
 
+def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) decomposition of a ``bits``-wide hash into
+    ``max_hamming + 1`` contiguous blocks (wider blocks first)."""
+    nblocks = max_hamming + 1
+    base, rem = divmod(bits, nblocks)
+    widths = [base + (1 if i < rem else 0) for i in range(nblocks)]
+    out, off = [], 0
+    for w in widths:
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_pairs_pigeonhole(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    max_bucket_size: int = 10000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance with COMPLETE
+    multi-block banding (Manku et al., WWW'07): split the hash into
+    ``max_hamming + 1`` bit blocks — two hashes within Hamming distance
+    ``max_hamming`` differ in at most that many blocks, so by
+    pigeonhole they agree exactly on at least one block. Unlike the
+    single high-bits block of :func:`simhash_pairs`, no qualifying
+    pair can be missed, wherever the flipped bits land.
+
+    Plan shape: explode ``max_hamming + 1`` (block_idx, block_value)
+    rows per doc (pure projection), equi-join on them (one shuffle),
+    de-duplicate pairs that collide in several blocks. ``max_bucket_size``
+    drops degenerate buckets (e.g. the all-zeros hash of trivial docs)
+    that would quadratically explode the self-join at 100 TB. Production
+    configs use 64-bit hashes so each of the 4 blocks spans 16 bits;
+    with 32-bit hashes the 8-bit blocks are coarser, which costs join
+    fan-out, never recall.
+    """
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk_idx"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("blk_val"),
+            )
+            for i, (off, w) in enumerate(simhash_blocks(bits, max_hamming))
+        ]
+    )
+    s = sims.select(F.col(id_col), F.col("simhash"), F.explode(blocks).alias("__b")).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("__b.blk_idx").alias("__bi"),
+        F.col("__b.blk_val").alias("__bv"),
+    )
+    if max_bucket_size:
+        ok = (
+            s.groupBy("__bi", "__bv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+        s = s.join(ok, ["__bi", "__bv"])
+    a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__ha"), "__bi", "__bv")
+    b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"), "__bi", "__bv")
+    pairs = (
+        a.join(b, ["__bi", "__bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -1116,6 +1116,65 @@ SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 6
 """
 
 
+def q_simhash_pigeonhole(spark, sf_dir):
+    """SimHash near-dup pairs with COMPLETE pigeonhole banding
+    (hamming <= 3 via 4 x 8-bit blocks) on the near-dup corpus —
+    catches pairs whose flipped bits land anywhere in the hash."""
+    from feature_store_spark.operators.dedup import simhash_pairs_pigeonhole
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=False)
+    sims = simhash(corpus, bits=32)
+    return simhash_pairs_pigeonhole(sims, max_hamming=3, bits=32).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _simhash_block_values_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    from feature_store_spark.operators.dedup import simhash_blocks
+
+    return ", ".join(
+        f"({i}, {off}, {(1 << w) - 1})"
+        for i, (off, w) in enumerate(simhash_blocks(bits, max_hamming))
+    )
+
+
+SIMHASH_PIGEONHOLE_SQL = f"""
+WITH corpus AS ({_CORPUS_NEAR_SQL}),
+w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus
+),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hv
+  FROM w WHERE length(word) > 0
+),
+b AS (
+  SELECT doc_id, bit,
+         CASE WHEN (hv // CAST(pow(2, bit) AS BIGINT)) % 2 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+),
+v AS (SELECT doc_id, bit, sum(vote) AS s FROM b GROUP BY 1, 2),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM v GROUP BY doc_id
+),
+blocked AS (
+  SELECT doc_id, simhash, blk.idx AS blk_idx,
+         (simhash >> blk.off) & blk.mask AS blk_val
+  FROM sh CROSS JOIN (VALUES {_simhash_block_values_sql(32, 3)}) AS blk(idx, off, mask)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)::BIT) AS hamming
+  FROM blocked a
+  JOIN blocked b ON a.blk_idx = b.blk_idx AND a.blk_val = b.blk_val
+               AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, IVF-cluster-blocked: corpus =
     embeddings plus slightly-perturbed copies (vec_id+100000); pairs
@@ -2098,6 +2157,7 @@ QUERIES: dict[str, tuple] = {
     "group_cv_split": (q_group_cv_split, GROUP_CV_SQL),
     "default_rate": (q_default_rate, DEFAULT_RATE_SQL),
     "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),
+    "simhash_pigeonhole": (q_simhash_pigeonhole, SIMHASH_PIGEONHOLE_SQL),
     "embedding_near_dup": (q_embedding_near_dup, EMB_NEAR_DUP_SQL),
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),

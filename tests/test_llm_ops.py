@@ -16,6 +16,7 @@ from feature_store_spark.operators.dedup import (
     shingles,
     simhash,
     simhash_pairs,
+    simhash_pairs_pigeonhole,
 )
 from feature_store_spark.operators.multimodal import (
     extract_media_meta,
@@ -100,6 +101,45 @@ def test_simhash_near_dup_small_hamming(docs):
     pairs = simhash_pairs(sims, max_hamming=6)
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 101) in found
+
+
+def test_simhash_pigeonhole_complete(spark):
+    # Hand-crafted signatures: the pair differs ONLY in the top 2 bits,
+    # which the single high-16-bit block of simhash_pairs cannot match —
+    # pigeonhole banding (4 x 8-bit blocks) must still find it.
+    sims = spark.createDataFrame(
+        [(1, 0x12345678), (2, 0x12345678 ^ 0xC0000000), (3, 0x0F0F0F0F)],
+        "doc_id long, simhash long",
+    )
+    old = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(sims, max_hamming=3, block_bits=16).collect()
+    }
+    assert (1, 2) not in old  # documents the single-block blind spot
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_pigeonhole(sims, max_hamming=3).collect()
+    }
+    assert got == {(1, 2, 2)}
+
+    # pigeonhole guarantee on random hashes: every pair within hamming d
+    # is found, regardless of which bits differ
+    import random
+
+    rng = random.Random(7)
+    base = rng.getrandbits(32)
+    rows = [(0, base)]
+    for i in range(1, 9):
+        flipped = base
+        for bit in rng.sample(range(32), 3):
+            flipped ^= 1 << bit
+        rows.append((i, flipped))
+    sims2 = spark.createDataFrame(rows, "doc_id long, simhash long")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs_pigeonhole(sims2, max_hamming=3).collect()
+    }
+    assert all((0, i) in found for i in range(1, 9))
 
 
 @pytest.fixture(scope="module")

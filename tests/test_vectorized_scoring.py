@@ -86,6 +86,58 @@ def test_vectorized_matches_python_oracle_large_ensemble(spark, rows):
         assert abs(s - eval_model_py(model, row)) <= 1e-10
 
 
+def test_native_matches_python_oracle_large_ensemble(spark, rows):
+    from feature_store_spark.scoring import HAS_GCC, native_tree_udf
+
+    if not HAS_GCC:
+        pytest.skip("no C compiler on PATH")
+    model = random_model(120, 6, seed=5)
+    udf = native_tree_udf(model, FEATS)
+    got = {
+        r["id"]: r["s"]
+        for r in rows.withColumn("s", udf(*[F.col(f) for f in FEATS])).collect()
+    }
+    data = {r["id"]: r for r in rows.collect()}
+    for i, s in got.items():
+        row = {
+            f: (None if math.isnan(data[i][f]) else data[i][f]) for f in FEATS
+        }
+        # float32 feature matrix vs the oracle's float64: thresholds are
+        # compared in f32, so allow the f32 rounding of inputs
+        assert abs(s - eval_model_py(model, row)) <= 1e-4
+
+
+def test_native_kernel_matches_numpy_exactly():
+    import numpy as np
+
+    from feature_store_spark.scoring import HAS_GCC, _model_heap, _native_scorer
+
+    if not HAS_GCC:
+        pytest.skip("no C compiler on PATH")
+    model = random_model(300, 6, seed=11)
+    heap = _model_heap(model, FEATS)
+    run = _native_scorer(*heap)
+    rng = np.random.default_rng(0)
+    X = (rng.random((5000, len(FEATS))) * 100).astype(np.float32)
+    X[rng.random(X.shape) < 0.05] = np.nan
+    got = run(X)
+    # numpy f32 traversal on identical inputs must agree to f64 sum order
+    featH, thrH, missH, leafH, D, base, logistic = heap
+    n_trees, n_inner = featH.shape
+    tids = np.arange(n_trees)[:, None]
+    rows_ix = np.arange(X.shape[0])[None, :]
+    idx = np.zeros((n_trees, X.shape[0]), dtype=np.int32)
+    thr32 = thrH.astype(np.float32)
+    for _ in range(D):
+        f = featH[tids, idx]
+        x = X[rows_ix, f]
+        go_right = ~np.where(np.isnan(x), missH[tids, idx], x < thr32[tids, idx])
+        idx = 2 * idx + 1 + go_right
+    raw = base + leafH[tids, idx - n_inner].sum(axis=0)
+    want = 1.0 / (1.0 + np.exp(-raw))
+    assert np.abs(got - want).max() <= 1e-12
+
+
 def test_staged_matches_expression(spark, rows):
     model = random_model(40, 4, seed=3)
     fmap = {f: f for f in FEATS}

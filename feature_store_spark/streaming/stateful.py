@@ -1,0 +1,105 @@
+"""Custom stateful streaming operator: sessionization via
+``applyInPandasWithState``.
+
+The batch twin is ``operators.sessionize`` (lag + running sum over one
+window). In a stream the same semantics need per-key state: the open
+session (start, last-event time, count, value sum) lives in the state
+store, sessions closed by an in-batch gap emit immediately, and the
+trailing open session emits when the event-time watermark passes
+``last + gap`` (EventTimeTimeout) — so results are identical to the
+batch operator once the watermark has flushed everything.
+
+Scale notes (100 TB / 1000 executors): state is one fixed-size tuple
+per active entity (no per-event buffering), keys shuffle once to their
+state-store partition, and the watermark bounds both state size and
+result lateness. This is the shape the reference's REALTIME
+update-frequency metadata implies but never implements (SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+SESSION_SCHEMA = (
+    "entity_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, value_sum double"
+)
+_STATE_SCHEMA = "start long, last long, n long, s double"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization: one output row per CLOSED session.
+
+    A session closes when the gap to the next event exceeds
+    ``gap_seconds`` (emitted in the micro-batch that observes the gap)
+    or when the watermark passes ``last_event + gap`` (state timeout).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = int(gap_seconds) * 1000
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def emit(rows: list[tuple[int, int, int, float]]) -> "pd.DataFrame":
+            return pd.DataFrame(
+                {
+                    "entity_id": [int(key[0])] * len(rows),
+                    "session_start": pd.to_datetime([r[0] for r in rows], unit="ms"),
+                    "session_end": pd.to_datetime([r[1] for r in rows], unit="ms"),
+                    "n_events": [r[2] for r in rows],
+                    "value_sum": [r[3] for r in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n, s = state.get
+            state.remove()
+            yield emit([(start, last, n, s)])
+            return
+
+        batch = pd.concat(list(pdfs)).sort_values(time_col, kind="mergesort")
+        ts_ms = batch[time_col].astype("int64") // 1_000_000
+        vals = batch[value_col].astype(float)
+
+        start = last = n = s = None
+        if state.exists:
+            start, last, n, s = state.get
+        closed: list[tuple[int, int, int, float]] = []
+        for t, v in zip(ts_ms, vals):
+            t = int(t)
+            if start is None:
+                start, last, n, s = t, t, 1, float(v)
+            elif t - last > gap_ms:
+                closed.append((start, last, n, s))
+                start, last, n, s = t, t, 1, float(v)
+            else:
+                last, n, s = t, n + 1, s + float(v)
+        state.update((int(start), int(last), int(n), float(s)))
+        state.setTimeoutTimestamp(int(last) + gap_ms)
+        if closed:
+            yield emit(closed)
+
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            fn,
+            SESSION_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

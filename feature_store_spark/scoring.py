@@ -101,7 +101,18 @@ def score(
     model: dict,
     feature_cols: dict[str, str],
     score_col: str = "score",
+    max_expr_trees: int = 50,
 ) -> DataFrame:
+    """Score rows with the right physical path for the ensemble size:
+    Catalyst expressions (whole-stage codegen) up to ``max_expr_trees``
+    — past that janino hits method-size limits and eval goes
+    interpreted (measured 200x cliff) — else the compiled-kernel /
+    Arrow pandas UDF (:func:`best_tree_udf`)."""
+    if len(model["trees"]) > max_expr_trees:
+        udf = best_tree_udf(model, list(feature_cols.keys()))
+        return df.withColumn(
+            score_col, udf(*[F.col(c) for c in feature_cols.values()])
+        )
     return df.withColumn(score_col, compile_model_expr(model, feature_cols))
 
 

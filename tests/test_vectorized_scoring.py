@@ -138,6 +138,20 @@ def test_native_kernel_matches_numpy_exactly():
     assert np.abs(got - want).max() <= 1e-12
 
 
+def test_score_dispatches_large_ensembles(spark, rows):
+    """score() must route >50-tree models off the expression path and
+    still match the pure-Python oracle."""
+    from feature_store_spark.scoring import score
+
+    model = random_model(80, 5, seed=9)
+    fmap = {f: f for f in FEATS}
+    got = {r["id"]: r["score"] for r in score(rows, model, fmap).collect()}
+    data = {r["id"]: r for r in rows.collect()}
+    for i, s in got.items():
+        row = {f: (None if math.isnan(data[i][f]) else data[i][f]) for f in FEATS}
+        assert abs(s - eval_model_py(model, row)) <= 1e-4
+
+
 def test_staged_matches_expression(spark, rows):
     model = random_model(40, 4, seed=3)
     fmap = {f: f for f in FEATS}

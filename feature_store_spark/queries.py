@@ -688,6 +688,77 @@ ORDER BY {expr} DESC, l_orderkey, l_linenumber LIMIT 20
 """
 
 
+def _large_model() -> dict:
+    """Deterministic 40-tree x depth-4 ensemble over the lineitem
+    features. Thresholds/leaves are rounded to 6 decimals so their
+    repr() parses to the identical double in Spark, C, and DuckDB."""
+    import random
+
+    rng = random.Random(13)
+    ranges = {
+        "l_quantity": 50.0,
+        "l_extendedprice": 100_000.0,
+        "l_discount": 0.1,
+        "l_tax": 0.08,
+    }
+
+    def node(d: int) -> dict:
+        if d == 0:
+            return {"leaf": round(rng.uniform(-0.2, 0.2), 6)}
+        f = rng.choice(LINEITEM_FEATURES)
+        return {
+            "split": f,
+            "threshold": round(rng.uniform(0.0, ranges[f]), 6),
+            "missing": rng.choice(["left", "right"]),
+            "yes": node(d - 1),
+            "no": node(d - 1),
+        }
+
+    return {
+        "base_score": 0.05,
+        "objective": "binary:logistic",
+        "trees": [node(4) for _ in range(40)],
+    }
+
+
+def q_tree_score_large(spark, sf_dir):
+    """Large-ensemble scoring through the COMPILED NATIVE KERNEL
+    (gcc table-driven C behind an Arrow pandas UDF; numpy f64
+    traversal when no compiler) — the one pandas-UDF scoring path,
+    oracle-gated: float64 compares make it bit-identical to the
+    DuckDB CASE WHEN rendering of the same trees (M1/M7 + T1)."""
+    from feature_store_spark.scoring import (
+        HAS_GCC,
+        native_tree_udf,
+        vectorized_tree_udf,
+    )
+
+    model = _large_model()
+    udf = (
+        native_tree_udf(model, LINEITEM_FEATURES, dtype="float64")
+        if HAS_GCC
+        else vectorized_tree_udf(model, LINEITEM_FEATURES, dtype="float64")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.withColumn("score", udf(*[F.col(f) for f in LINEITEM_FEATURES]))
+    return top_k(
+        scored.select(
+            "l_orderkey", "l_linenumber", _r6(F.col("score")).alias("score")
+        ),
+        100,
+        [F.col("score").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+    )
+
+
+def _tree_score_large_sql() -> str:
+    expr = compile_model_sql(_large_model(), {f: f for f in LINEITEM_FEATURES})
+    return f"""
+SELECT l_orderkey, l_linenumber, round({expr}, 6) AS score
+FROM lineitem
+ORDER BY round({expr}, 6) DESC, l_orderkey, l_linenumber LIMIT 100
+"""
+
+
 # ------------------------------------------------- metrics (A7-A11)
 
 def q_auc_roc(spark, sf_dir):
@@ -2134,6 +2205,7 @@ QUERIES: dict[str, tuple] = {
     "train_test_split": (q_train_test_split, SPLIT_SQL),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "tree_score_topk": (q_tree_score_topk, _tree_score_sql()),
+    "tree_score_large": (q_tree_score_large, _tree_score_large_sql()),
     "auc_roc": (q_auc_roc, AUC_SQL),
     "confusion": (q_confusion, CONFUSION_SQL),
     "logloss": (q_logloss, LOGLOSS_SQL),

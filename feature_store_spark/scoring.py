@@ -357,11 +357,8 @@ def vectorized_tree_udf(model: dict, feature_names: Sequence[str], dtype: str = 
 # speed. The pandas UDF passes Arrow batches straight into it.
 # ---------------------------------------------------------------------------
 
-_NATIVE_KERNEL_C = r"""
-#include <math.h>
-#include <stdint.h>
-
-/* Score n rows of X (row-major n x n_feat float32) against a GBDT
+_KERNEL_BODY = r"""
+/* Score n rows of X (row-major n x n_feat REAL) against a GBDT
  * ensemble in complete-heap form. NaN routing follows XGBoost
  * semantics: missing goes to the node's miss_left side.
  *
@@ -369,13 +366,12 @@ _NATIVE_KERNEL_C = r"""
  * (~2 loads x depth, fully serialized); interleaving a block of rows
  * per tree gives the core BLK independent chains to overlap, which is
  * worth ~5x over the naive row loop. The row block's features
- * (BLK x n_feat floats) stay resident in L1 across all trees. */
-#define BLK 32
-void score_batch(const float *X, int64_t n, int32_t n_feat,
-                 const int32_t *feat, const float *thr,
-                 const uint8_t *miss_left, const double *leaf,
-                 int32_t n_trees, int32_t depth, double base,
-                 int32_t logistic, double *out) {
+ * (BLK x n_feat) stay resident in L1 across all trees. */
+void NAME(const REAL *X, int64_t n, int32_t n_feat,
+          const int32_t *feat, const REAL *thr,
+          const uint8_t *miss_left, const double *leaf,
+          int32_t n_trees, int32_t depth, double base,
+          int32_t logistic, double *out) {
     const int32_t n_inner = (1 << depth) - 1;
     const int32_t n_leaf = 1 << depth;
     for (int64_t r0 = 0; r0 < n; r0 += BLK) {
@@ -385,14 +381,14 @@ void score_batch(const float *X, int64_t n, int32_t n_feat,
         for (int32_t b = 0; b < m; b++) acc[b] = base;
         for (int32_t t = 0; t < n_trees; t++) {
             const int32_t *tf = feat + (int64_t)t * n_inner;
-            const float *tt = thr + (int64_t)t * n_inner;
+            const REAL *tt = thr + (int64_t)t * n_inner;
             const uint8_t *tm = miss_left + (int64_t)t * n_inner;
             const double *tl = leaf + (int64_t)t * n_leaf;
             for (int32_t b = 0; b < m; b++) idx[b] = 0;
             for (int32_t d = 0; d < depth; d++) {
                 for (int32_t b = 0; b < m; b++) {
                     const int32_t i = idx[b];
-                    const float x = X[(r0 + b) * n_feat + tf[i]];
+                    const REAL x = X[(r0 + b) * n_feat + tf[i]];
                     /* Branch on isnan, not a tm[i] select: NaNs are
                      * rare, so the never-taken branch keeps the
                      * miss-table load off the critical path (measured
@@ -408,6 +404,15 @@ void score_batch(const float *X, int64_t n, int32_t n_feat,
     }
 }
 """
+
+# f32 (throughput: halves X/thr bandwidth, reference parity) and f64
+# (bit-exact vs double-typed SQL/Catalyst — the oracle-checkable one)
+# in one .so; both instantiate the same body.
+_NATIVE_KERNEL_C = (
+    "#include <math.h>\n#include <stdint.h>\n#define BLK 32\n"
+    + _KERNEL_BODY.replace("REAL", "float").replace("NAME", "score_batch")
+    + _KERNEL_BODY.replace("REAL", "double").replace("NAME", "score_batch_f64")
+)
 
 import shutil as _shutil  # noqa: E402
 
@@ -445,37 +450,41 @@ def _ensure_native_kernel() -> str:
     return so_path
 
 
-def _native_scorer(featH, thrH, missH, leafH, D, base, logistic):
-    """ctypes closure over the compiled kernel: X (n, n_feat) float32
-    C-contiguous -> scores (n,) float64."""
+def _native_scorer(featH, thrH, missH, leafH, D, base, logistic, dtype="float32"):
+    """ctypes closure over the compiled kernel: X (n, n_feat) in
+    ``dtype`` -> scores (n,) float64. ``float64`` compares features
+    and thresholds in full double precision — bit-identical to the
+    Catalyst/DuckDB CASE WHEN path, so oracle checks can be exact."""
     import ctypes
 
     import numpy as np
 
+    real = ctypes.c_double if dtype == "float64" else ctypes.c_float
+    np_real = np.float64 if dtype == "float64" else np.float32
     lib = ctypes.CDLL(_ensure_native_kernel())
-    fn = lib.score_batch
+    fn = lib.score_batch_f64 if dtype == "float64" else lib.score_batch
     fn.restype = None
     p = ctypes.POINTER
     fn.argtypes = [
-        p(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
-        p(ctypes.c_int32), p(ctypes.c_float), p(ctypes.c_uint8),
+        p(real), ctypes.c_int64, ctypes.c_int32,
+        p(ctypes.c_int32), p(real), p(ctypes.c_uint8),
         p(ctypes.c_double), ctypes.c_int32, ctypes.c_int32,
         ctypes.c_double, ctypes.c_int32, p(ctypes.c_double),
     ]
     featC = np.ascontiguousarray(featH, dtype=np.int32)
-    thrC = np.ascontiguousarray(thrH, dtype=np.float32)
+    thrC = np.ascontiguousarray(thrH, dtype=np_real)
     missC = np.ascontiguousarray(missH, dtype=np.uint8)
     leafC = np.ascontiguousarray(leafH, dtype=np.float64)
     n_trees = featC.shape[0]
 
     def run(X: "np.ndarray") -> "np.ndarray":
-        X = np.ascontiguousarray(X, dtype=np.float32)
+        X = np.ascontiguousarray(X, dtype=np_real)
         out = np.empty(X.shape[0], dtype=np.float64)
         fn(
-            X.ctypes.data_as(p(ctypes.c_float)),
+            X.ctypes.data_as(p(real)),
             X.shape[0], X.shape[1],
             featC.ctypes.data_as(p(ctypes.c_int32)),
-            thrC.ctypes.data_as(p(ctypes.c_float)),
+            thrC.ctypes.data_as(p(real)),
             missC.ctypes.data_as(p(ctypes.c_uint8)),
             leafC.ctypes.data_as(p(ctypes.c_double)),
             n_trees, D, base, int(logistic),
@@ -486,12 +495,15 @@ def _native_scorer(featH, thrH, missH, leafH, D, base, logistic):
     return run
 
 
-def native_tree_udf(model: dict, feature_names: Sequence[str]):
+def native_tree_udf(model: dict, feature_names: Sequence[str], dtype: str = "float32"):
     """GBDT scorer backed by the gcc-compiled kernel (reference M7's
     semantics as a Spark fast path; ~1-2 orders of magnitude over the
     numpy traversal, matching the reference's compiled-C throughput
     per core). The closure ships the heap arrays + C source; each
     Python worker compiles-or-reuses the cached .so lazily.
+
+    ``dtype="float64"`` trades half the X/threshold bandwidth for
+    full-double compares — bit-identical to the expression/SQL path.
 
     Raises NotImplementedError when no C compiler exists — callers
     fall back to :func:`vectorized_tree_udf` (see :func:`best_tree_udf`).
@@ -502,6 +514,7 @@ def native_tree_udf(model: dict, feature_names: Sequence[str]):
     from pyspark.sql.functions import pandas_udf
 
     featH, thrH, missH, leafH, D, base, logistic = _model_heap(model, list(feature_names))
+    np_real = np.float64 if dtype == "float64" else np.float32
     state: dict = {}
 
     @pandas_udf("double")
@@ -509,8 +522,10 @@ def native_tree_udf(model: dict, feature_names: Sequence[str]):
         import pandas as pd
 
         if "run" not in state:
-            state["run"] = _native_scorer(featH, thrH, missH, leafH, D, base, logistic)
-        X = np.column_stack([c.to_numpy(dtype=np.float32) for c in cols])
+            state["run"] = _native_scorer(
+                featH, thrH, missH, leafH, D, base, logistic, dtype=dtype
+            )
+        X = np.column_stack([c.to_numpy(dtype=np_real) for c in cols])
         return pd.Series(state["run"](X))
 
     return predict

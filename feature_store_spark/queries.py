@@ -931,6 +931,16 @@ SELECT round(avg(ap), 6) AS map FROM per_q
 
 # ------------------------------------------------- LLM ops: dedup
 
+def _spread(spark, df: DataFrame) -> DataFrame:
+    """Repartition a tiny-file scan to full parallelism before a
+    compute-heavy projection. At fixture scale the documents parquet is
+    a couple of row groups -> 2 scan tasks, which would serialize the
+    md5/shingle work onto 2 of 32 cores; a 100 TB table arrives in
+    thousands of splits and needs no such help, so this is a
+    fixture-shaped cost (a few MB of shuffle) buying 16x parallelism."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _mutated_corpus(spark, sf_dir, exact: bool) -> DataFrame:
     """documents plus planted duplicates: exact copies (exact=True) or
     first-word-dropped near-copies, at doc_id + 1_000_000."""
@@ -942,7 +952,7 @@ def _mutated_corpus(spark, sf_dir, exact: bool) -> DataFrame:
             (F.col("doc_id") + 1_000_000).alias("doc_id"),
             F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
         )
-    return docs.unionByName(mut)
+    return _spread(spark, docs.unionByName(mut))
 
 
 _CORPUS_EXACT_SQL = """
@@ -1023,7 +1033,7 @@ def q_minhash_signatures(spark, sf_dir):
     on the raw documents table."""
     from feature_store_spark.operators.dedup import minhash_wide_from_docs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
     wide = minhash_wide_from_docs(docs, shingle_n=3, num_hashes=16)
     slots = F.explode(
         F.array(
@@ -1119,7 +1129,7 @@ WHERE i.i / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.5
 
 def q_simhash(spark, sf_dir):
     """32-bit SimHash per document (md5-derived word hashes, bit votes)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
     return simhash(docs, bits=32)
 
 

@@ -50,9 +50,21 @@ class Registry:
         self._entities: list[tuple] = []
         self._features: list[tuple] = []
         self._views: dict[tuple[str, int], FeatureView] = {}
+        self._audit: list[tuple] = []
+
+    def _log(self, entity_type: str, ref_id: str, event_type: str, details: str):
+        """Append-only lifecycle audit (V1__init.sql:74-82,
+        FeatureRegistryService.java:260-279). ``occurred_seq`` is a
+        deterministic monotone sequence instead of wall-clock so runs
+        are reproducible; a production deployment would also stamp
+        current_timestamp()."""
+        self._audit.append(
+            (len(self._audit), entity_type, ref_id, event_type, "system", details)
+        )
 
     def register_entity(self, name: str, join_key: str, join_key_type: str = "STRING"):
         self._entities.append((name, join_key, join_key_type))
+        self._log("ENTITY", name, "CREATED", f"join_key={join_key}")
         return self
 
     def register_feature(
@@ -69,10 +81,28 @@ class Registry:
         self._features.append(
             (name, entity, dtype, float(default_value), max_age_seconds, status, version)
         )
+        self._log("FEATURE", name, "CREATED", f"entity={entity} v{version} {status}")
+        return self
+
+    def set_feature_status(self, name: str, version: int, status: str):
+        """Lifecycle transition (DRAFT -> ACTIVE -> DEPRECATED ->
+        ARCHIVED, V1__init.sql:33-34), audited."""
+        assert status in FEATURE_STATUSES
+        self._features = [
+            (n, e, d, dv, ma, status if (n == name and v == version) else st, v)
+            for (n, e, d, dv, ma, st, v) in self._features
+        ]
+        self._log("FEATURE", name, f"STATUS_{status}", f"v{version}")
         return self
 
     def register_view(self, view: FeatureView):
         self._views[(view.name, view.version)] = view
+        self._log(
+            "FEATURE_VIEW",
+            view.name,
+            "CREATED",
+            f"v{view.version} len={view.vector_length} hash={view.schema_hash}",
+        )
         return self
 
     def get_view(self, name: str, version: int | None = None) -> FeatureView:
@@ -129,3 +159,65 @@ class Registry:
         return self.spark.createDataFrame(
             rows, "view_name string, view_version int, position int, feature_name string"
         )
+
+    def audit_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            self._audit,
+            "occurred_seq long, entity_type string, ref_id string, "
+            "event_type string, actor string, details string",
+        )
+
+    def recent_events(self, n: int = 20) -> DataFrame:
+        """Most recent lifecycle events (T5: order desc + limit,
+        FeatureRegistryService.java:273-279)."""
+        return self.audit_df().orderBy(F.col("occurred_seq").desc()).limit(n)
+
+    # ---- persistence (one parquet table per registry relation) ----
+
+    _TABLES = ("entities", "features", "views", "members", "audit")
+
+    def save(self, path: str) -> None:
+        """Persist the registry as parquet tables (Delta in
+        production, where table history doubles as the audit)."""
+        dfs = {
+            "entities": self.entities_df(),
+            "features": self.features_df(),
+            "views": self.views_df(),
+            "members": self.members_df(),
+            "audit": self.audit_df(),
+        }
+        for name, df in dfs.items():
+            df.write.mode("overwrite").parquet(f"{path}/{name}")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Registry":
+        reg = cls(spark)
+        reg._entities = [
+            (r.name, r.join_key, r.join_key_type)
+            for r in spark.read.parquet(f"{path}/entities").collect()
+        ]
+        reg._features = [
+            (r.name, r.entity, r.dtype, r.default_value, r.max_age_seconds,
+             r.status, r.version)
+            for r in spark.read.parquet(f"{path}/features").collect()
+        ]
+        members = spark.read.parquet(f"{path}/members").collect()
+        by_view: dict[tuple[str, int], list] = {}
+        for m in members:
+            by_view.setdefault((m.view_name, m.view_version), []).append(m)
+        for r in spark.read.parquet(f"{path}/views").collect():
+            names = [
+                m.feature_name
+                for m in sorted(by_view.get((r.name, r.version), []),
+                                key=lambda m: m.position)
+            ]
+            reg._views[(r.name, r.version)] = FeatureView(
+                r.name, r.version, r.entity, names
+            )
+        reg._audit = [
+            (r.occurred_seq, r.entity_type, r.ref_id, r.event_type, r.actor, r.details)
+            for r in spark.read.parquet(f"{path}/audit")
+            .orderBy("occurred_seq")
+            .collect()
+        ]
+        return reg

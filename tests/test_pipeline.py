@@ -199,6 +199,39 @@ def test_registry_latest_and_hash(spark):
     assert reg.members_df().count() == 3
 
 
+def test_registry_audit_and_persistence(spark, tmp_path):
+    reg = Registry(spark).register_entity("m", "entity_id")
+    reg.register_feature("f1", "m", version=1)
+    reg.register_feature("f1", "m", version=2)
+    reg.set_feature_status("f1", 1, "DEPRECATED")
+    reg.register_view(FeatureView("v", 1, "m", ["f1"]))
+
+    audit = reg.audit_df().orderBy("occurred_seq").collect()
+    assert [r["event_type"] for r in audit] == [
+        "CREATED", "CREATED", "CREATED", "STATUS_DEPRECATED", "CREATED",
+    ]
+    assert [r["entity_type"] for r in audit] == [
+        "ENTITY", "FEATURE", "FEATURE", "FEATURE", "FEATURE_VIEW",
+    ]
+    recent = reg.recent_events(2).collect()
+    assert recent[0]["occurred_seq"] == 4  # newest first (T5)
+    # status transition actually applied
+    assert {
+        (r["version"], r["status"])
+        for r in reg.features_df().filter(F.col("name") == "f1").collect()
+    } == {(1, "DEPRECATED"), (2, "ACTIVE")}
+
+    path = str(tmp_path / "registry")
+    reg.save(path)
+    reg2 = Registry.load(spark, path)
+    assert reg2.get_view("v", 1).feature_names == ["f1"]
+    assert reg2.get_view("v", 1).schema_hash == reg.get_view("v", 1).schema_hash
+    assert reg2.audit_df().count() == 5
+    assert {r["status"] for r in reg2.features_df().collect()} == {
+        "DEPRECATED", "ACTIVE",
+    }
+
+
 def test_binary_f32_matrix_loader(spark, tmp_path):
     import numpy as np
 

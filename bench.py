@@ -153,6 +153,7 @@ def _baseline_comparables(spark, sf_dir) -> dict:
     from feature_store_spark.operators.asof import (
         asof_training_set,
         asof_training_set_bucketed,
+        asof_training_set_columnar,
     )
     from feature_store_spark.queries import EVENT_TYPES
 
@@ -172,11 +173,17 @@ def _baseline_comparables(spark, sf_dir) -> dict:
     n_labels = all_labels.count()
     eav.count()
     t0 = time.time()
-    asof_training_set(
+    asof_training_set_columnar(
         all_labels, eav, EVENT_TYPES,
         tiebreak_cols=["rec_event_id"], lookback_days=None,
     ).write.mode("overwrite").format("noop").save()
     out["asof_label_rows_per_sec"] = round(n_labels / (time.time() - t0))
+    t0 = time.time()
+    asof_training_set(
+        all_labels, eav, EVENT_TYPES,
+        tiebreak_cols=["rec_event_id"], lookback_days=None,
+    ).write.mode("overwrite").format("noop").save()
+    out["asof_flat_label_rows_per_sec"] = round(n_labels / (time.time() - t0))
     t0 = time.time()
     asof_training_set_bucketed(
         all_labels, eav, EVENT_TYPES,

@@ -147,6 +147,7 @@ def asof_training_set(
     tiebreak_cols: Sequence[str] = ("created_at",),
     lookback_days: float | None = 180.0,
     wide: bool = True,
+    assume_unique_labels: bool = False,
 ) -> DataFrame:
     """Point-in-time training-set generation over an EAV history table.
 
@@ -178,7 +179,13 @@ def asof_training_set(
             >= F.lit(bounds["tmin"]) - F.expr(f"INTERVAL {int(lookback_days * 86400)} SECONDS")
         )
 
-    labels_keyed = _with_dup_counter(labels)
+    # The dup-counter window is a full shuffle of the label set; when
+    # the caller guarantees unique label rows (e.g. an event-id column)
+    # a constant stands in and that shuffle disappears from the plan.
+    if assume_unique_labels:
+        labels_keyed = labels.withColumn(_DUP, F.lit(1))
+    else:
+        labels_keyed = _with_dup_counter(labels)
     label_key_cols = labels.columns + [_DUP]
     payload = [c for c in label_key_cols if c not in (entity_col,)]
 
@@ -238,6 +245,112 @@ def asof_training_set(
         .agg(F.first("__last_v"))
     )
     return wide_df.select(*labels.columns, *feature_names)
+
+
+def asof_training_set_columnar(
+    labels: DataFrame,
+    records: DataFrame,
+    feature_names: Sequence[str],
+    entity_col: str = "entity_id",
+    label_time_col: str = "event_time",
+    feature_name_col: str = "feature_name",
+    value_col: str = "value_float",
+    record_time_col: str = "event_time",
+    tiebreak_cols: Sequence[str] = ("created_at",),
+    lookback_days: float | None = 180.0,
+) -> DataFrame:
+    """ASOF training set with the minimum shuffle count: ONE.
+
+    Instead of exploding each label row per feature and pivoting back
+    (the flat plan: 3 shuffles — dup window, union window on
+    (entity, feature), pivot groupBy), spread the EAV history into one
+    sparse column PER FEATURE map-side (``when(feature = f, value)``),
+    union with the labels, and run one window over ``entity`` alone
+    with a running ``last(ignorenulls)`` per feature column. Label
+    rows come out already wide — no pivot, labels are never replicated
+    |features|x, and duplicate label rows need no dup-counter window
+    (nothing ever groups them — they ride through as rows).
+
+    Correctness of tie-breaks is preserved: among equal-time rows the
+    global order (time, is_label, tiebreak) is shared, and each
+    feature's running last only sees rows of that feature (others are
+    null in its column), so the max-tiebreak row of THAT feature wins.
+
+    Trade-off vs the flat plan (kept as default): partitioning by
+    entity alone concentrates a hot entity's whole history in one
+    partition, where (entity, feature) spreads it |features|-ways —
+    prefer this variant when features are many and keys are not
+    pathological, the bucketed variant when they are. Identical
+    results by construction (differentially tested).
+    """
+    feature_names = list(feature_names)
+
+    bounds = labels.agg(
+        F.min(label_time_col).alias("tmin"), F.max(label_time_col).alias("tmax")
+    ).first()
+    hist = records.filter(
+        F.col(feature_name_col).isin(feature_names)
+        & F.col(value_col).isNotNull()
+        & (F.col(record_time_col) <= F.lit(bounds["tmax"]))
+    )
+    if lookback_days is not None:
+        hist = hist.filter(
+            F.col(record_time_col)
+            >= F.lit(bounds["tmin"])
+            - F.expr(f"INTERVAL {int(lookback_days * 86400)} SECONDS")
+        )
+
+    labels_keyed = labels
+    payload = [c for c in labels.columns if c != entity_col]
+    vcols = [f"__v_{i}" for i in range(len(feature_names))]
+
+    hist_sel = hist.select(
+        F.col(entity_col).alias("__entity"),
+        F.col(record_time_col).alias(_T),
+        F.lit(0).alias(_IS_LABEL),
+        *[F.col(t).alias(f"__tb_{t}") for t in tiebreak_cols],
+        *[
+            F.when(F.col(feature_name_col) == n, F.col(value_col)).alias(v)
+            for n, v in zip(feature_names, vcols)
+        ],
+        *[
+            F.lit(None).cast(labels_keyed.schema[c].dataType).alias(f"__p_{c}")
+            for c in payload
+        ],
+    )
+    labels_sel = labels_keyed.select(
+        F.col(entity_col).alias("__entity"),
+        F.col(label_time_col).alias(_T),
+        F.lit(1).alias(_IS_LABEL),
+        *[
+            F.lit(None).cast(hist.schema[t].dataType).alias(f"__tb_{t}")
+            for t in tiebreak_cols
+        ],
+        *[F.lit(None).cast(hist.schema[value_col].dataType).alias(v) for v in vcols],
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    )
+
+    order = [F.col(_T).asc(), F.col(_IS_LABEL).asc()] + [
+        F.col(f"__tb_{t}").asc_nulls_first() for t in tiebreak_cols
+    ]
+    w = (
+        Window.partitionBy("__entity")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attached = hist_sel.unionByName(labels_sel)
+    for v in vcols:
+        attached = attached.withColumn(v, F.last(v, ignorenulls=True).over(w))
+    label_out = [
+        F.col("__entity").alias(entity_col)
+        if c == entity_col
+        else F.col(f"__p_{c}").alias(c)
+        for c in labels.columns
+    ]
+    return attached.filter(F.col(_IS_LABEL) == 1).select(
+        *label_out,
+        *[F.col(v).alias(n) for n, v in zip(feature_names, vcols)],
+    )
 
 
 def asof_training_set_bucketed(

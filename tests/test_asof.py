@@ -121,3 +121,46 @@ def test_duplicate_label_rows_survive(spark, records, labels):
     out = asof_training_set(dup_labels, records, ["f1"])
     assert out.count() == 5
     assert out.filter(F.col("entity_id") == "e1").count() == 2
+
+
+def _rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_columnar_plan_matches_flat(spark, records, labels):
+    from feature_store_spark.operators.asof import asof_training_set_columnar
+
+    for lookback in (180.0, None):
+        flat = asof_training_set(
+            labels, records, ["f1", "f2"], lookback_days=lookback
+        ).select("entity_id", "event_time", "label", "f1", "f2")
+        col = asof_training_set_columnar(
+            labels, records, ["f1", "f2"], lookback_days=lookback
+        ).select("entity_id", "event_time", "label", "f1", "f2")
+        assert _rows_set(flat) == _rows_set(col)
+
+    # duplicate labels survive identically
+    dup_labels = labels.unionByName(labels.filter(F.col("entity_id") == "e1"))
+    col = asof_training_set_columnar(dup_labels, records, ["f1"])
+    assert col.count() == 5
+    assert col.filter(F.col("entity_id") == "e1").count() == 2
+
+
+def test_columnar_plan_shape_and_unique_fastpath(spark, records, labels):
+    from feature_store_spark.operators.asof import asof_training_set_columnar
+
+    col = asof_training_set_columnar(labels, records, ["f1", "f2"])
+    flat_fast = asof_training_set(
+        labels, records, ["f1", "f2"], assume_unique_labels=True
+    ).select(*col.columns)
+    assert _rows_set(flat_fast) == _rows_set(col)
+
+    def n_windows(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().count("Window [")
+
+    # columnar: exactly ONE window pass (running last per feature);
+    # flat with unique labels: dup-counter skipped -> union window +
+    # the pivot aggregation, no second window
+    assert n_windows(col) == 1
+    assert n_windows(flat_fast) == 1
+    assert n_windows(asof_training_set(labels, records, ["f1"])) == 2

@@ -81,9 +81,12 @@ class OfflineStore:
         """The reference's analytical query (§3.2): point-in-time
         feature attachment for each (entity_id, event_time, label) row.
         Missing -> NaN to match IcebergOfflineStore.java:189 (pass
-        ``missing_as_nan=False`` to keep SQL nulls)."""
+        ``missing_as_nan=False`` to keep SQL nulls). Runs the
+        single-shuffle columnar ASOF plan (operators.asof)."""
+        from feature_store_spark.operators.asof import asof_training_set_columnar
+
         records = self.scan(entity_type=entity_type)
-        out = asof_training_set(
+        out = asof_training_set_columnar(
             label_events,
             records,
             feature_names,

@@ -135,6 +135,28 @@ GROUP BY l.user_id, l.label_event_id, l.ts, l.value
 """
 
 
+def q_asof_bucketed(spark, sf_dir):
+    """Same point-in-time semantics through the HOT-KEY-SAFE bucketed
+    plan (two-level time buckets; SCALE.md) — graded against the
+    identical oracle as `asof_features`, proving the skew-insurance
+    plan is not an approximation."""
+    from feature_store_spark.operators.asof import asof_training_set_bucketed
+
+    labels = _purchase_labels(spark, sf_dir)
+    records = _events_eav(spark, sf_dir)
+    wide = asof_training_set_bucketed(
+        labels, records, EVENT_TYPES,
+        tiebreak_cols=["rec_event_id"], bucket_seconds=86_400,
+    )
+    return wide.select(
+        F.col("entity_id").alias("user_id"),
+        F.col("label_event_id"),
+        F.unix_micros("event_time").alias("label_ts_us"),
+        F.col("label"),
+        *[_r6(F.col(t)).alias(t) for t in EVENT_TYPES],
+    )
+
+
 # ------------------------------------------------- windowed features (A1-ish)
 
 def q_windowed_features(spark, sf_dir):
@@ -2206,6 +2228,7 @@ QUERIES: dict[str, tuple] = {
     "topk_events_per_user": (q_topk_events_per_user, TOPK_PER_USER_SQL),
     "point_lookup": (q_point_lookup, POINT_LOOKUP_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),
+    "asof_bucketed": (q_asof_bucketed, ASOF_SQL),
     "windowed_features": (q_windowed_features, WINDOWED_SQL),
     "serving_assembly": (q_serving_assembly, SERVING_SQL),
     "staleness": (q_staleness, STALENESS_SQL),

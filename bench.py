@@ -43,6 +43,7 @@ HEADLINE = [
     "ivf_assign",
     "token_stats",
     "multimodal_meta",
+    "curation_pipeline",
 ]
 
 

@@ -1697,6 +1697,88 @@ SELECT pred_lang, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY pred_lang
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """END-TO-END LLM data-curation pipeline as ONE query: exact dedup
+    (keep lowest id, count copies) -> language ID -> quality scoring ->
+    quality/length gates -> deterministic md5 train/test split. The
+    composition the engine exists for, graded as a whole against a
+    composed CTE oracle."""
+    from feature_store_spark.functions import hash_bucket_expr
+    from feature_store_spark.operators.dedup import exact_dedup
+    from feature_store_spark.operators.text import lang_id, quality_score
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=True)
+    kept = exact_dedup(corpus)
+    q = quality_score(kept).select("doc_id", "n_words", "quality_score")
+    lang = lang_id(kept).select("doc_id", "pred_lang")
+    joined = kept.select("doc_id", "n_copies").join(q, "doc_id").join(lang, "doc_id")
+    gated = joined.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("n_words") >= 20)
+    )
+    split = F.when(
+        hash_bucket_expr(F.col("doc_id").cast("string"), 10) < 8, F.lit("train")
+    ).otherwise(F.lit("test"))
+    return gated.select(
+        "doc_id",
+        "n_copies",
+        "pred_lang",
+        F.col("n_words").cast("int").alias("n_words"),
+        _r6(F.col("quality_score")).alias("quality_score"),
+        split.alias("split"),
+    )
+
+
+CURATION_SQL = f"""
+WITH corpus AS ({_CORPUS_EXACT_SQL}),
+fp AS (SELECT doc_id, text, md5(lower(trim(text))) AS f FROM corpus),
+keep AS (SELECT f, min(doc_id) AS doc_id, count(*) AS n_copies FROM fp GROUP BY f),
+kept AS (SELECT k.doc_id, k.n_copies, c.text FROM keep k JOIN fp c ON c.doc_id = k.doc_id),
+w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM kept
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_words,
+         count(DISTINCT word) AS n_distinct,
+         sum(CASE WHEN word IN ('the','a','of','and','to','in','is','that','it','for')
+                  THEN 1 ELSE 0 END) AS stop_hits
+  FROM w WHERE length(word) > 0 GROUP BY doc_id
+),
+quality AS (
+  SELECT doc_id, n_words,
+         0.4 * least(1.0, n_words / 100.0)
+       + 0.3 * (1.0 - least(1.0, abs(stop_hits / CAST(n_words AS DOUBLE) - 0.4) * 2.0))
+       + 0.3 * (n_distinct / CAST(n_words AS DOUBLE)) AS quality_score
+  FROM agg
+),
+hits AS (
+  SELECT doc_id,
+    sum(CASE WHEN word IN ('der','die','das','und','zu','in','ist','den','von','mit') THEN 1 ELSE 0 END) AS h_de,
+    sum(CASE WHEN word IN ('the','a','of','and','to','in','is','that','it','for') THEN 1 ELSE 0 END) AS h_en,
+    sum(CASE WHEN word IN ('el','la','de','y','que','en','un','una','es','por') THEN 1 ELSE 0 END) AS h_es,
+    sum(CASE WHEN word IN ('le','la','de','et','que','en','un','une','est','pour') THEN 1 ELSE 0 END) AS h_fr
+  FROM w GROUP BY doc_id
+),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+              WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+              WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+              WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+              ELSE 'fr' END AS pred_lang
+  FROM hits
+)
+SELECT kept.doc_id, CAST(kept.n_copies AS BIGINT) AS n_copies, lang.pred_lang,
+       CAST(quality.n_words AS INT) AS n_words,
+       round(quality.quality_score, 6) AS quality_score,
+       CASE WHEN CAST(concat('0x', substr(md5(CAST(kept.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+            THEN 'train' ELSE 'test' END AS split
+FROM kept JOIN quality ON kept.doc_id = quality.doc_id
+          JOIN lang ON kept.doc_id = lang.doc_id
+WHERE quality.quality_score >= 0.5 AND quality.n_words >= 20
+"""
+
+
 def q_doc_fingerprints(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return doc_fingerprint(docs)
@@ -2260,6 +2342,7 @@ QUERIES: dict[str, tuple] = {
     "quality_scores": (q_quality_scores, QUALITY_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "doc_fingerprints": (q_doc_fingerprints, FINGERPRINT_SQL),
+    "curation_pipeline": (q_curation_pipeline, CURATION_SQL),
     "multimodal_meta": (q_multimodal_meta, MULTIMODAL_SQL),
     "serving_fallback": (q_serving_fallback, SERVING_FALLBACK_SQL),
     "risk_tiers": (q_risk_tiers, _risk_tiers_sql()),

@@ -112,22 +112,19 @@ def assemble_vectors(
         time_col,
         tiebreak_cols,
     )
-    pivoted_v = (
+    # ONE pivot of (value, time) structs — not two pivots + a join
+    # (which would shuffle the latest-scalars twice and re-join them)
+    pivoted = (
         latest.groupBy(entity_col)
         .pivot(name_col, feature_names)
-        .agg(F.first(F.col(value_col)))
-    )
-    pivoted_t = (
-        latest.groupBy(entity_col)
-        .pivot(name_col, feature_names)
-        .agg(F.first(epoch_ms(F.col(time_col))))
-    )
-    pivoted = pivoted_v.alias("v").join(
-        pivoted_t.select(
-            F.col(entity_col),
-            *[F.col(n).alias(f"__t_{n}") for n in feature_names],
-        ).alias("t"),
-        entity_col,
+        .agg(
+            F.first(
+                F.struct(
+                    F.col(value_col).alias("v"),
+                    epoch_ms(F.col(time_col)).alias("t"),
+                )
+            )
+        )
     )
 
     now_expr = (
@@ -137,15 +134,17 @@ def assemble_vectors(
     )
     values = F.array(
         *[
-            F.coalesce(F.col(n).cast("double"), F.lit(float(defaults.get(n, 0.0))))
+            F.coalesce(
+                F.col(n)["v"].cast("double"), F.lit(float(defaults.get(n, 0.0)))
+            )
             for n in feature_names
         ]
     )
-    mask = F.array(*[F.col(n).isNull() for n in feature_names])
+    mask = F.array(*[F.col(n)["v"].isNull() for n in feature_names])
     ages = F.array(
         *[
-            F.when(F.col(f"__t_{n}").isNull(), F.lit(-1).cast("long")).otherwise(
-                (now_expr - F.col(f"__t_{n}")).cast("long")
+            F.when(F.col(n)["t"].isNull(), F.lit(-1).cast("long")).otherwise(
+                (now_expr - F.col(n)["t"]).cast("long")
             )
             for n in feature_names
         ]

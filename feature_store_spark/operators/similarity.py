@@ -197,3 +197,89 @@ def ivf_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def hyperplane_planes(n_planes: int, dim: int, seed: str = "hp") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — the same
+    numbers are reproducible in any engine with md5 (or simply embedded
+    as literals), which keeps LSH bucketing oracle-checkable. Component
+    (p, i) = (int(md5(f"{seed}{p}_{i}")[:8], 16) % 2001 - 1000) / 1000."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(1, dim + 1):
+            h = int(hashlib.md5(f"{seed}{p}_{i}".encode()).hexdigest()[:8], 16)
+            row.append(((h % 2001) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
+    planes: list[list[float]] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign bit of each
+    plane projection packed into an int) — cosine-similar vectors
+    collide with high probability (the SimHash construction applied to
+    real vectors). A pure map-side projection: the planes ride along
+    as literal arrays, no shuffle, no fitting step (vs IVF's centroid
+    build), which makes it the bucketing of choice for embedding
+    near-dup blocking on a table that is only ever scanned once."""
+    if planes is None:
+        if dim is None:
+            raise ValueError("pass dim or planes")
+        planes = hyperplane_planes(n_planes, dim)
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return embeddings.withColumn(bucket_col, bucket.cast("long"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """ANN top-k via hyperplane LSH: bucket the table (map-side),
+    compute the query's bucket driver-side, scan only the colliding
+    bucket, exact cosine inside. One partition-prunable equality
+    predicate instead of a full scan — with the embedding table
+    written partitioned/clustered by bucket this touches 1/2^planes
+    of the data."""
+    planes = hyperplane_planes(n_planes, len(query_vec))
+    qbucket = 0
+    for p, row in enumerate(planes):
+        d = sum(a * b for a, b in zip(query_vec, row))
+        if d >= 0:
+            qbucket += 1 << p
+    bucketed = hyperplane_bucket(
+        embeddings, vec_col, n_planes, planes=planes
+    ).filter(F.col("bucket") == qbucket)
+    if exclude_ids:
+        bucketed = bucketed.filter(~F.col(id_col).isin(list(exclude_ids)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    score = _dot(v, q) / (_norm(v) * _norm(q))
+    return (
+        bucketed.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1546,6 +1546,62 @@ SELECT vec_id, round(c, 6) AS cosine FROM s ORDER BY c DESC, vec_id LIMIT 10
 """
 
 
+def q_lsh_bucket_topk(spark, sf_dir):
+    """ANN via random-hyperplane LSH: bucket every vector map-side
+    (sign bits of 8 projections), scan only the query's bucket, exact
+    cosine top-10 inside. The fit-free alternative to IVF — planes are
+    md5-derived literals, so the oracle reproduces the exact buckets."""
+    from feature_store_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = lsh_topk(emb, qv, k=10, n_planes=8, exclude_ids=[0])
+    return out.select("vec_id", _r6(F.col("score")).alias("cosine"))
+
+
+def _planes_values_sql(n_planes: int = 8, dim: int = 64) -> str:
+    from feature_store_spark.operators.similarity import hyperplane_planes
+
+    return ", ".join(
+        f"({p}, {i + 1}, {v!r})"
+        for p, row in enumerate(hyperplane_planes(n_planes, dim))
+        for i, v in enumerate(row)
+    )
+
+
+LSH_TOPK_SQL = f"""
+WITH planes AS (SELECT * FROM (VALUES {_planes_values_sql(8, 64)}) t(p, i, h)),
+ed AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+dots AS (SELECT vec_id, p, sum(x * h) AS d FROM ed JOIN planes USING (i) GROUP BY vec_id, p),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN d >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS b
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT b FROM buckets WHERE vec_id = 0),
+cand AS (SELECT bk.vec_id FROM buckets bk, qb WHERE bk.b = qb.b AND bk.vec_id <> 0),
+q AS (
+  SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS ev
+  FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)
+),
+s AS (
+  SELECT e.vec_id,
+         sum(e.ev * q.qv) / (sqrt(sum(e.ev * e.ev)) * sqrt(sum(q.qv * q.qv))) AS c
+  FROM e JOIN q USING (i) GROUP BY e.vec_id
+)
+SELECT vec_id, round(c, 6) AS cosine FROM s ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label centroids, flat (label, dim, value) form — the IVF
     coarse quantizer build."""
@@ -2336,6 +2392,7 @@ QUERIES: dict[str, tuple] = {
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash": (q_simhash, SIMHASH_SQL),
     "embedding_topk": (q_embedding_topk, EMB_TOPK_SQL),
+    "lsh_bucket_topk": (q_lsh_bucket_topk, LSH_TOPK_SQL),
     "embedding_centroids": (q_embedding_centroids, EMB_CENTROIDS_SQL),
     "ivf_assign": (q_ivf_assign, IVF_ASSIGN_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),

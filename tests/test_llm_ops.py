@@ -27,8 +27,10 @@ from feature_store_spark.operators.similarity import (
     assign_clusters,
     brute_force_topk,
     centroids,
+    hyperplane_bucket,
     ivf_topk,
     knn_join,
+    lsh_topk,
 )
 from feature_store_spark.operators.text import (
     doc_fingerprint,
@@ -225,3 +227,18 @@ def test_multimodal_plumbing(docs):
     assert rows[0]["width"] == rows2[0]["width"]
     frames = frame_sample_plan(media)
     assert frames.filter(F.col("doc_id") == 0).count() >= 1
+
+
+def test_hyperplane_lsh_bucketing(emb):
+    # identical vectors land in the same bucket; bucket is deterministic
+    b = {r["vec_id"]: r["bucket"] for r in hyperplane_bucket(emb, dim=3).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in hyperplane_bucket(emb, dim=3).collect()}
+    assert b == b2
+    assert all(0 <= v < 2**8 for v in b.values())
+
+    # a near-identical vector shares its twin's bucket; lsh_topk
+    # retrieves it with exact cosine
+    out = lsh_topk(emb, [1.0, 0.001, 0.0], k=3, exclude_ids=[])
+    got = [r["vec_id"] for r in out.collect()]
+    assert got[0] == 0  # closest = the (1,0,0) vector itself
+    assert b[0] == b[1] or 1 not in got  # only same-bucket vectors returned

@@ -135,6 +135,83 @@ GROUP BY l.user_id, l.label_event_id, l.ts, l.value
 """
 
 
+def q_stream_sessions(spark, sf_dir):
+    """STRUCTURED STREAMING under the oracle gate: run the
+    applyInPandasWithState sessionizer (streaming/stateful.py) over the
+    events table as a real availableNow stream (file source -> state
+    store -> memory sink) and return the CLOSED sessions as a batch
+    DataFrame. Closure set is deterministic: a session closes when a
+    later in-batch event exceeds the 1-day gap OR the final watermark
+    (max ts) passes last+gap — exactly the SQL predicate
+    `session_end + gap <= max(ts)`."""
+    import tempfile
+
+    from feature_store_spark.streaming.stateful import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    d = tempfile.mkdtemp(prefix="fss_stream_sessions_")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(f"{d}/in")
+    out = sessionize_stream(
+        stream,
+        entity_col="user_id",
+        time_col="ts",
+        value_col="value",
+        gap_seconds=86_400,
+        watermark="0 seconds",
+    )
+    name = "fss_stream_sessions"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("entity_id").alias("user_id"),
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        F.col("n_events"),
+        _r6(F.col("value_sum")).alias("value_sum"),
+    )
+
+
+STREAM_SESSIONS_SQL = """
+WITH e AS (SELECT user_id, ts, value FROM events),
+l AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM e
+),
+s AS (
+  SELECT *, sum(CASE WHEN prev IS NULL
+                      OR epoch_us(ts) - epoch_us(prev) > 86400000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM l
+),
+g AS (
+  SELECT user_id, sid, min(ts) AS a, max(ts) AS b,
+         count(*) AS n, sum(value) AS v
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, epoch_us(a) AS start_us, epoch_us(b) AS end_us,
+       CAST(n AS BIGINT) AS n_events, round(v, 6) AS value_sum
+FROM g
+WHERE epoch_us(b) + 86400000000 <= (SELECT max(epoch_us(ts)) FROM e)
+"""
+
+
 def q_asof_bucketed(spark, sf_dir):
     """Same point-in-time semantics through the HOT-KEY-SAFE bucketed
     plan (two-level time buckets; SCALE.md) — graded against the
@@ -2367,6 +2444,7 @@ QUERIES: dict[str, tuple] = {
     "point_lookup": (q_point_lookup, POINT_LOOKUP_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),
     "asof_bucketed": (q_asof_bucketed, ASOF_SQL),
+    "stream_sessions": (q_stream_sessions, STREAM_SESSIONS_SQL),
     "windowed_features": (q_windowed_features, WINDOWED_SQL),
     "serving_assembly": (q_serving_assembly, SERVING_SQL),
     "staleness": (q_staleness, STALENESS_SQL),

@@ -48,7 +48,10 @@ def sessionize_stream(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    gap_ms = int(gap_seconds) * 1000
+    # state clock in MICROSECONDS: exact integer arithmetic against the
+    # parquet/SQL µs timeline (ms would truncate sub-ms gaps and drift
+    # from an exact-SQL oracle); only the Spark timeout API needs ms
+    gap_us = int(gap_seconds) * 1_000_000
 
     def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -57,8 +60,8 @@ def sessionize_stream(
             return pd.DataFrame(
                 {
                     "entity_id": [int(key[0])] * len(rows),
-                    "session_start": pd.to_datetime([r[0] for r in rows], unit="ms"),
-                    "session_end": pd.to_datetime([r[1] for r in rows], unit="ms"),
+                    "session_start": pd.to_datetime([r[0] for r in rows], unit="us"),
+                    "session_end": pd.to_datetime([r[1] for r in rows], unit="us"),
                     "n_events": [r[2] for r in rows],
                     "value_sum": [r[3] for r in rows],
                 }
@@ -71,24 +74,24 @@ def sessionize_stream(
             return
 
         batch = pd.concat(list(pdfs)).sort_values(time_col, kind="mergesort")
-        ts_ms = batch[time_col].astype("int64") // 1_000_000
+        ts_us = batch[time_col].astype("int64") // 1_000
         vals = batch[value_col].astype(float)
 
         start = last = n = s = None
         if state.exists:
             start, last, n, s = state.get
         closed: list[tuple[int, int, int, float]] = []
-        for t, v in zip(ts_ms, vals):
+        for t, v in zip(ts_us, vals):
             t = int(t)
             if start is None:
                 start, last, n, s = t, t, 1, float(v)
-            elif t - last > gap_ms:
+            elif t - last > gap_us:
                 closed.append((start, last, n, s))
                 start, last, n, s = t, t, 1, float(v)
             else:
                 last, n, s = t, n + 1, s + float(v)
         state.update((int(start), int(last), int(n), float(s)))
-        state.setTimeoutTimestamp(int(last) + gap_ms)
+        state.setTimeoutTimestamp(int(last) // 1000 + int(gap_seconds) * 1000)
         if closed:
             yield emit(closed)
 

@@ -189,6 +189,7 @@ def _baseline_comparables(spark, sf_dir) -> dict:
     asof_training_set_bucketed(
         all_labels, eav, EVENT_TYPES,
         tiebreak_cols=["rec_event_id"], bucket_seconds=86_400,
+        assume_unique_labels=True,
     ).write.mode("overwrite").format("noop").save()
     out["asof_bucketed_label_rows_per_sec"] = round(n_labels / (time.time() - t0))
     eav.unpersist(); all_labels.unpersist()

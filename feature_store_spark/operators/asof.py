@@ -365,6 +365,7 @@ def asof_training_set_bucketed(
     record_time_col: str = "event_time",
     tiebreak_cols: Sequence[str] = ("created_at",),
     wide: bool = True,
+    assume_unique_labels: bool = False,
 ) -> DataFrame:
     """Hot-key-safe ASOF: two-level time-bucketed plan (SCALE.md).
 
@@ -390,7 +391,10 @@ def asof_training_set_bucketed(
     feature_names = list(feature_names)
     bs_us = bucket_seconds * 1_000_000
 
-    labels_keyed = _with_dup_counter(labels)
+    if assume_unique_labels:
+        labels_keyed = labels.withColumn(_DUP, F.lit(1))
+    else:
+        labels_keyed = _with_dup_counter(labels)
     label_key_cols = labels.columns + [_DUP]
     payload = [c for c in label_key_cols if c != entity_col]
 

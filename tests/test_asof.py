@@ -146,6 +146,16 @@ def test_columnar_plan_matches_flat(spark, records, labels):
     assert col.filter(F.col("entity_id") == "e1").count() == 2
 
 
+def test_bucketed_unique_labels_fastpath(spark, records, labels):
+    from feature_store_spark.operators.asof import asof_training_set_bucketed
+
+    slow = asof_training_set_bucketed(labels, records, ["f1", "f2"])
+    fast = asof_training_set_bucketed(
+        labels, records, ["f1", "f2"], assume_unique_labels=True
+    ).select(*slow.columns)
+    assert _rows_set(slow) == _rows_set(fast)
+
+
 def test_columnar_plan_shape_and_unique_fastpath(spark, records, labels):
     from feature_store_spark.operators.asof import asof_training_set_columnar
 

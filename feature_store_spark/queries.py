@@ -592,8 +592,8 @@ f AS (
   FROM o
 ),
 s AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM f
 )
 SELECT user_id, session_id,

@@ -21,8 +21,27 @@ from feature_store_spark.session import TABLES, get_spark  # noqa: E402
 
 
 def norm(v):
+    """Strict normalization mirroring the driver's pandas-level value
+    hash: ints and floats stay DISTINCT (1 != 1.0 at the hash level —
+    a DuckDB HUGEINT window sum lands in pandas as float64 and must be
+    CAST in the oracle SQL, not papered over here)."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
     if v is None:
         return None
+    if isinstance(v, np.ndarray):
+        return [norm(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [norm(x) for x in v]
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        v = v.replace(tzinfo=None)
     if isinstance(v, bool):
         return bool(v)
     if isinstance(v, float):
@@ -31,15 +50,13 @@ def norm(v):
         if v == 0.0:
             return 0.0
         return v
-    if isinstance(v, int):
-        return float(v) if abs(v) < 2**52 else v
     return v
 
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    normed = [tuple(norm(r[i]) for i in order) for r in rows]
-    return sorted(normed, key=repr), [cols[i] for i in order]
+    normed = [repr(tuple(norm(r[i]) for i in order)) for r in rows]
+    return sorted(normed), [cols[i] for i in order]
 
 
 def main():
@@ -58,8 +75,11 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # toPandas (not collect) to mirror the driver: null doubles
+            # become NaN, exactly as in the DuckDB .df() frame.
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [tuple(row) for row in spdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name:24s} spark error: {type(e).__name__}: {str(e)[:200]}")
@@ -69,9 +89,11 @@ def main():
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # .df() (not fetchall) so DuckDB types land exactly as the
+            # driver sees them — e.g. HUGEINT window sums → float64.
+            odf = con.execute(sql).df()
+            ocols = list(odf.columns)
+            orows = [tuple(row) for row in odf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name:24s} duckdb error: {type(e).__name__}: {str(e)[:200]}")

@@ -16,22 +16,40 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _norm(v):
+    """Strict: int vs float stays distinct (mirrors the driver's
+    pandas-level hash — DuckDB HUGEINT sums arrive as float64 and must
+    be CAST in the oracle SQL)."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return None
+    if isinstance(v, np.ndarray):
+        return [_norm(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_norm(x) for x in v]
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        v = v.replace(tzinfo=None)
+    if isinstance(v, bool):
+        return bool(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         if v == 0.0:
             return 0.0
         return v
-    if isinstance(v, bool):
-        return bool(v)
-    if isinstance(v, int):
-        return float(v) if abs(v) < 2**52 else v
     return v
 
 
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
+    return sorted(repr(tuple(_norm(r[i]) for i in order)) for r in rows)
 
 
 @pytest.fixture(scope="module")
@@ -46,14 +64,19 @@ def duck():
 def test_query_matches_oracle(spark, duck, name):
     fn, sql = QUERIES[name]
     sdf = fn(spark, SF_DIR)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    # toPandas (not collect) to mirror the driver: null doubles become
+    # NaN, exactly as in the DuckDB .df() frame.
+    spdf = sdf.toPandas()
+    scols = list(spdf.columns)
+    srows = [tuple(row) for row in spdf.itertuples(index=False, name=None)]
     if sql is None:
         assert len(srows) >= 0  # rows-only contract
         return
-    res = duck.execute(sql)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    # .df() (not fetchall) so DuckDB types land as the driver sees
+    # them — e.g. HUGEINT window sums → float64.
+    odf = duck.execute(sql).df()
+    ocols = list(odf.columns)
+    orows = [tuple(row) for row in odf.itertuples(index=False, name=None)]
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows)
     assert _canon(srows, scols) == _canon(orows, ocols)

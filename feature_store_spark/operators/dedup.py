@@ -545,3 +545,82 @@ def embedding_near_dup_pairs(
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_df_max: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """TF-IDF-weighted cosine similarity over rare-word-blocked
+    candidate pairs — the lexical-vector near-dup detector (log-tf,
+    smoothed idf ``ln((N+1)/(df+1)) + 1``).
+
+    Candidate generation mirrors :func:`ngram_jaccard_pairs`: pairs
+    sharing at least one *rare* 3-word shingle (shingle document
+    frequency <= ``rare_df_max``) — at 100 TB this blocking is what
+    bounds the self-join; boilerplate shingles never generate pairs.
+    (Shingles, not single words: rarity lives in word *combinations*
+    when the vocabulary is small.) The dot product then runs only on
+    candidates, joining the tall (doc, word, weight) vectors — all
+    codegen'd aggregations with map-side combine.
+    """
+    from feature_store_spark.operators.text import words
+
+    tall = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("__w")
+    )
+    tf = tall.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    dfc = tf.groupBy("__w").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = tf.select(
+        F.countDistinct(id_col).alias("__n_docs")
+    )
+    w = (
+        tf.join(dfc, "__w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("__w"),
+            (
+                (F.lit(1.0) + F.log("__c"))
+                * (F.log((F.col("__n_docs") + 1.0) / (F.col("__df") + 1.0)) + 1.0)
+            ).alias("__wt"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("__wt") ** 2)).alias("__nrm"))
+    sh = docs.select(
+        F.col(id_col), F.explode(shingle_array(F.col(text_col), 3)).alias("__sh")
+    )
+    sh_df = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    rare = sh.join(sh_df.filter(F.col("__df") <= rare_df_max), "__sh")
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "__sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    wa = w.select(F.col(id_col).alias("id_a"), F.col("__w"), F.col("__wt").alias("__wa"))
+    wb = w.select(F.col(id_col).alias("id_b"), F.col("__w"), F.col("__wt").alias("__wb"))
+    dot = (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "__w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("__nrm").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("__nrm").alias("__nb"))
+    return (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__dot") / (F.col("__na") * F.col("__nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

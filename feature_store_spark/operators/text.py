@@ -151,3 +151,87 @@ def doc_fingerprint(
         fp.alias("fingerprint"),
         (F.conv(F.substring(fp, 1, 8), 16, 10).cast("long")).alias("fingerprint32"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    the document taken by its most frequent word and by its most
+    frequent word bigram, plus the duplicate-word fraction
+    (1 - distinct/total). High values flag boilerplate/spam for
+    pretraining filters (cf. Rae et al. 2021 "Scaling Language Models",
+    the repetition-filter family).
+
+    Physical shape: explode words once, count per (doc, token) for
+    unigrams and bigrams in one pass each, then per-doc max/sum
+    aggregates — all codegen'd, partial aggregation map-side, shuffle
+    ~distinct tokens per doc.
+    """
+    w = words(F.col(text_col))
+    base = docs.select(F.col(id_col), w.alias("__w")).filter(F.size("__w") > 0)
+    uni = base.select(F.col(id_col), F.explode("__w").alias("tok"))
+    uni_counts = uni.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    uni_stats = uni_counts.groupBy(id_col).agg(
+        F.max("c").alias("__top_word"),
+        F.sum("c").alias("__n_words"),
+        F.count(F.lit(1)).alias("__n_distinct"),
+    )
+    # bigrams: zip the word array with itself shifted by one (map-side)
+    bi = base.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__w"), 1, F.size("__w") - 1),
+                F.slice(F.col("__w"), 2, F.size("__w") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("tok"),
+    )
+    bi_counts = bi.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    bi_stats = bi_counts.groupBy(id_col).agg(
+        F.max("c").alias("__top_bigram"), F.sum("c").alias("__n_bigrams")
+    )
+    return uni_stats.join(bi_stats, id_col, "left").select(
+        F.col(id_col),
+        (F.col("__top_word") / F.col("__n_words")).alias("top_word_frac"),
+        F.coalesce(
+            F.col("__top_bigram") / F.col("__n_bigrams"), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+        (F.lit(1.0) - F.col("__n_distinct") / F.col("__n_words")).alias(
+            "dup_word_frac"
+        ),
+    )
+
+
+# PII patterns: intentionally simple, deterministic, and identical
+# across engines (RE2-free syntax). Real pipelines plug in their own.
+PII_PATTERNS = {
+    "emails": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phones": r"\+?[0-9][0-9() -]{7,}[0-9]",
+    "ipv4s": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_scan(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-document PII hit counts (emails / phone-ish numbers / IPv4),
+    one `regexp_count` column per pattern plus a total and a
+    `has_pii` flag — the redaction-or-drop decision input of a
+    curation pipeline. Pure JVM regex at scan speed; no UDFs."""
+    patterns = patterns or PII_PATTERNS
+    cols = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(name)
+        for name, pat in sorted(patterns.items())
+    ]
+    out = docs.select(F.col(id_col), *cols)
+    total = sum(F.col(name) for name in sorted(patterns))
+    return out.withColumn("pii_total", total.cast("long")).withColumn(
+        "has_pii", (F.col("pii_total") > 0).cast("boolean")
+    )

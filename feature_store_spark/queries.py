@@ -2433,6 +2433,265 @@ FROM r WHERE rn = 1
 """
 
 
+# ------------------------------------------------- text quality extras
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signals (top-word / top-bigram /
+    duplicate-word fractions) per document."""
+    from feature_store_spark.operators.text import repetition_stats
+
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    r = repetition_stats(docs)
+    return r.select(
+        "doc_id",
+        _r6(F.col("top_word_frac")).alias("top_word_frac"),
+        _r6(F.col("top_bigram_frac")).alias("top_bigram_frac"),
+        _r6(F.col("dup_word_frac")).alias("dup_word_frac"),
+    )
+
+
+REPETITION_SQL = """
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+  FROM documents
+),
+base AS (SELECT doc_id, w FROM ws WHERE len(w) > 0),
+uni AS (
+  SELECT doc_id, unnest(w) AS tok FROM base
+),
+uc AS (SELECT doc_id, tok, count(*) AS c FROM uni GROUP BY 1, 2),
+us AS (
+  SELECT doc_id, max(c) AS top_word, sum(c) AS n_words,
+         count(*) AS n_distinct
+  FROM uc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS tok
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM base)
+),
+bc AS (SELECT doc_id, tok, count(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, max(c) AS top_bigram, sum(c) AS n_bigrams FROM bc GROUP BY 1)
+SELECT us.doc_id,
+       round(top_word / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+       round(coalesce(top_bigram / CAST(n_bigrams AS DOUBLE), 0.0), 6)
+         AS top_bigram_frac,
+       round(1.0 - n_distinct / CAST(n_words AS DOUBLE), 6) AS dup_word_frac
+FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+"""
+
+
+def _pii_corpus(spark, sf_dir):
+    """documents plus planted PII rows (email always; phone on even
+    ids; IPv4 on ids divisible by 3) at doc_id + 2_000_000."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" call 555 123 4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" host 10.0.0.1")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return _spread(spark, docs.unionByName(planted))
+
+
+_PII_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              || CASE WHEN doc_id % 2 = 0 THEN ' call 555 123 4567' ELSE '' END
+              || CASE WHEN doc_id % 3 = 0 THEN ' host 10.0.0.1' ELSE '' END
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def q_pii_scan(spark, sf_dir):
+    """Per-document PII hit counts over a corpus with planted
+    emails/phones/IPs — the redact-or-drop input of a curation
+    pipeline (JVM regex at scan speed, no UDFs)."""
+    from feature_store_spark.operators.text import pii_scan
+
+    corpus = _pii_corpus(spark, sf_dir)
+    return pii_scan(corpus)
+
+
+PII_SCAN_SQL = r"""
+WITH corpus AS ({corpus}),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}')) AS INT) AS emails,
+         CAST(len(regexp_extract_all(text,
+           '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}')) AS INT) AS ipv4s,
+         CAST(len(regexp_extract_all(text,
+           '\+?[0-9][0-9() -]{{7,}}[0-9]')) AS INT) AS phones
+  FROM corpus
+)
+SELECT doc_id, emails, ipv4s, phones,
+       CAST(emails + ipv4s + phones AS BIGINT) AS pii_total,
+       (emails + ipv4s + phones) > 0 AS has_pii
+FROM c
+""".format(corpus=_PII_CORPUS_SQL)
+
+
+# ------------------------------------------------- TF-IDF cosine near-dup
+
+
+def q_tfidf_cosine(spark, sf_dir):
+    """TF-IDF-weighted cosine similarity over rare-word-blocked
+    candidate pairs on the near-dup corpus (the lexical-vector cousin
+    of ngram_jaccard)."""
+    from feature_store_spark.operators.dedup import tfidf_cosine_pairs
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=False)
+    out = tfidf_cosine_pairs(corpus, rare_df_max=4, threshold=0.9)
+    return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
+
+
+TFIDF_COSINE_SQL = f"""
+WITH corpus AS ({_CORPUS_NEAR_SQL}),
+tall AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> length(x) > 0)) AS tok
+    FROM corpus
+  )
+),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM tall GROUP BY 1, 2),
+dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+w AS (
+  SELECT tf.doc_id, tf.tok,
+         (1.0 + ln(tf.c)) * (ln((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0) AS wt
+  FROM tf JOIN dfc ON tf.tok = dfc.tok CROSS JOIN n
+),
+norms AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY 1),
+sh AS ({_SHINGLES_SQL}),
+shdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+rare AS (
+  SELECT s.doc_id, s.shingle FROM sh s
+  JOIN shdf ON s.shingle = shdf.shingle AND shdf.df <= 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+dot AS (
+  SELECT c.id_a, c.id_b, sum(wa.wt * wb.wt) AS d
+  FROM cand c
+  JOIN w wa ON wa.doc_id = c.id_a
+  JOIN w wb ON wb.doc_id = c.id_b AND wb.tok = wa.tok
+  GROUP BY 1, 2
+)
+SELECT d.id_a, d.id_b, round(d.d / (na.nrm * nb.nrm), 6) AS cosine
+FROM dot d
+JOIN norms na ON na.doc_id = d.id_a
+JOIN norms nb ON nb.doc_id = d.id_b
+WHERE d.d / (na.nrm * nb.nrm) >= 0.9
+"""
+
+
+# ------------------------------------------------- tree split finding
+
+
+def q_tree_split(spark, sf_dir):
+    """ONE GBDT tree-split-finding step as distributed dataflow
+    (SURVEY.md §2.9 M6's inner loop): per l_returnflag, histogram of
+    (count, sum(target)) per candidate threshold of the binned
+    feature, prefix sums, variance-reduction gain, argmax."""
+    from feature_store_spark.training import best_split_histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    binned = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("bin"),
+        F.col("l_quantity").alias("y"),
+    )
+    return best_split_histogram(
+        binned, feature_bin_col="bin", target_col="y", group_cols=["grp"]
+    ).select("grp", "threshold_bin", _r6(F.col("gain")).alias("gain"))
+
+
+TREE_SPLIT_SQL = """
+WITH b AS (
+  SELECT l_returnflag AS grp, CAST(round(l_discount * 100) AS INT) AS bin,
+         count(*) AS n, sum(l_quantity) AS g
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT grp, bin,
+         sum(n) OVER w AS nl, sum(g) OVER w AS gl,
+         sum(n) OVER (PARTITION BY grp) AS nt,
+         sum(g) OVER (PARTITION BY grp) AS gt
+  FROM b WINDOW w AS (PARTITION BY grp ORDER BY bin ROWS UNBOUNDED PRECEDING)
+),
+gain AS (
+  SELECT grp, bin,
+         gl * gl / nl + (gt - gl) * (gt - gl) / (nt - nl) - gt * gt / nt AS gain
+  FROM c WHERE nl < nt
+),
+r AS (
+  SELECT grp, bin, gain,
+         row_number() OVER (PARTITION BY grp ORDER BY gain DESC, bin) AS rn
+  FROM gain
+)
+SELECT grp, bin AS threshold_bin, round(gain, 6) AS gain FROM r WHERE rn = 1
+"""
+
+
+# ------------------------------------------------- streaming dedup
+
+
+def q_stream_dedup(spark, sf_dir):
+    """STRUCTURED STREAMING exact dedup under the oracle gate: the
+    exact-dup corpus flows through a streaming groupBy(fingerprint)
+    aggregation (availableNow, complete mode) — the stateful
+    first-seen-wins dedup a continuous ingestion pipeline runs — and
+    must produce the batch dedup answer."""
+    import tempfile
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=True)
+    d = tempfile.mkdtemp(prefix="fss_stream_dedup_")
+    corpus.coalesce(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(f"{d}/in")
+    agg = (
+        stream.select(
+            F.md5(F.lower(F.trim("text"))).alias("fingerprint"), F.col("doc_id")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    name = "fss_stream_dedup"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# same answer as the batch exact dedup
+STREAM_DEDUP_SQL = DEDUP_EXACT_SQL
+
+
 # ------------------------------------------------- registry
 
 QUERIES: dict[str, tuple] = {
@@ -2499,6 +2758,11 @@ QUERIES: dict[str, tuple] = {
     "registry_latest": (q_registry_latest, REGISTRY_LATEST_SQL),
     "recent_events": (q_recent_events, RECENT_EVENTS_SQL),
     "scalar_upsert": (q_scalar_upsert, SCALAR_UPSERT_SQL),
+    "repetition": (q_repetition, REPETITION_SQL),
+    "pii_scan": (q_pii_scan, PII_SCAN_SQL),
+    "tfidf_cosine": (q_tfidf_cosine, TFIDF_COSINE_SQL),
+    "tree_split": (q_tree_split, TREE_SPLIT_SQL),
+    "stream_dedup": (q_stream_dedup, STREAM_DEDUP_SQL),
 }
 
 

@@ -157,3 +157,62 @@ def cross_validate_logistic(
         results.append({"fold": fold, "auc_roc": auc, "model": model})
     tagged.unpersist()
     return results
+
+
+def best_split_histogram(
+    df: DataFrame,
+    feature_bin_col: str,
+    target_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ONE tree-split-finding step of histogram GBDT as dataflow — the
+    inner loop the reference's XGBoost training runs single-node
+    (SURVEY.md §2.9 M6), distributed: per group, build the
+    (count, sum(target)) histogram over candidate thresholds of the
+    binned feature, prefix-sum it, and pick the threshold maximizing
+    squared-loss gain  GL^2/nL + GR^2/nR - G^2/n  (variance
+    reduction; XGBoost's gain with hessian = count for squared loss).
+
+    Physical shape: one map-side-combinable groupBy over the data
+    (shuffle = |groups| x |bins| rows, independent of data size), then
+    window prefix sums over the TINY histogram, then argmax per group —
+    exactly how distributed histogram-based GBDT (LightGBM/XGBoost
+    hist) parallelizes split finding.
+
+    Ties break toward the smallest threshold for determinism.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    hist = df.groupBy(*gcols, feature_bin_col).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(target_col).alias("__g")
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(feature_bin_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*gcols)
+    c = hist.select(
+        *gcols,
+        F.col(feature_bin_col),
+        F.sum("__n").over(w).alias("__nl"),
+        F.sum("__g").over(w).alias("__gl"),
+        F.sum("__n").over(wt).alias("__nt"),
+        F.sum("__g").over(wt).alias("__gt"),
+    )
+    gl, nl, gt, nt = (F.col(f"__{x}") for x in ("gl", "nl", "gt", "nt"))
+    gain = (
+        gl * gl / nl + (gt - gl) * (gt - gl) / (nt - nl) - gt * gt / nt
+    ).alias("gain")
+    scored = c.filter(nl < nt).select(
+        *gcols, F.col(feature_bin_col).alias("threshold_bin"), gain
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(*gcols).orderBy(
+            F.col("gain").desc(), F.col("threshold_bin")
+        )
+    )
+    return (
+        scored.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+    )

@@ -1,0 +1,162 @@
+"""Physical-plan hygiene: assert the *executed plan shapes* the scale
+design claims — predicate pushdown reaching the parquet scan, column
+pruning, map-side partial aggregation, broadcast joins for dims,
+TakeOrderedAndProject for top-k, and the single-shuffle claims of the
+signature/ASOF plans. These are the properties that decide whether a
+query survives a 100x scale-up, checked mechanically on every run.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_spark.session import load_table
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def n_exchanges(df) -> int:
+    """Shuffle exchanges in the initial plan (broadcast exchanges and
+    AQE's reused/coalesced wrappers excluded)."""
+    plan = plan_of(df, "simple")
+    return len(
+        re.findall(r"Exchange (hashpartitioning|rangepartitioning)", plan)
+    )
+
+
+def test_offline_scan_pushdown(spark, sf_dir, tmp_path_factory):
+    """F1: scan predicates must reach the parquet reader, the
+    partition filter must prune partitions, and the projection must
+    prune to the selected columns (S3)."""
+    from feature_store_spark.offline import OfflineStore
+
+    ev = load_table(spark, sf_dir, "events")
+    eav = ev.select(
+        F.lit("user").alias("entity_type"),
+        F.col("user_id").cast("string").alias("entity_id"),
+        F.col("event_type").alias("feature_name"),
+        F.col("value").alias("value_float"),
+        F.lit(None).cast("string").alias("value_string"),
+        F.col("ts").alias("event_time"),
+        F.col("ts").alias("created_at"),
+        F.lit("p1").alias("pipeline_id"),
+        F.lit(1).alias("view_version"),
+    )
+    path = str(tmp_path_factory.mktemp("offline") / "records")
+    store = OfflineStore(spark, path)
+    store.write_records(eav, mode="overwrite")
+    df = store.scan(entity_type="user", feature_names=["purchase"]).select(
+        "entity_id", "value_float"
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    # the feature-name membership filter is sargable and must be pushed
+    assert re.search(r"PushedFilters:.*(In|EqualTo)\(feature_name", plan), plan
+    # the entity_type predicate prunes PARTITIONS, not rows
+    assert re.search(r"PartitionFilters:.*entity_type", plan), plan
+    # column pruning: only the selected data columns reach the scan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "value_string" not in m.group(1), m.group(1) if m else plan
+
+
+def test_point_lookup_pushdown(spark, sf_dir):
+    """L1: a point lookup is a data-skipping filter scan, not a full
+    table pass."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.filter((F.col("user_id") == 7) & (F.col("event_type") == "purchase"))
+    plan = plan_of(df)
+    assert re.search(r"PushedFilters:.*EqualTo\(user_id,7\)", plan), plan
+
+
+def test_groupby_partial_aggregation(spark, sf_dir):
+    """A-set: every groupBy aggregate must run map-side partial
+    aggregation (two HashAggregates around ONE exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = plan_of(df, "simple")
+    assert "partial_sum" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert n_exchanges(df) == 1, plan
+
+
+def test_minhash_single_shuffle(spark, sf_dir):
+    """The MinHash signature plan's claim: explode + hash math stay in
+    the scan stage; exactly ONE shuffle (the partial-aggregated
+    groupBy) reaches the exchange."""
+    from feature_store_spark.operators.dedup import minhash_wide_from_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = minhash_wide_from_docs(docs, shingle_n=3, num_hashes=16)
+    plan = plan_of(df, "simple")
+    assert "partial_min" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert n_exchanges(df) == 1, plan
+
+
+def test_broadcast_join_for_dims(spark, sf_dir):
+    """J2: star joins against small dims must broadcast, not
+    shuffle-merge."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    df = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """T1/T3: global top-k must plan as TakeOrderedAndProject (the
+    two-phase per-partition-k + merge), never a full sort."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.orderBy(F.col("value").desc()).limit(10)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_asof_columnar_single_shuffle(spark, sf_dir):
+    """J1: the columnar ASOF plan's headline property — ONE shuffle
+    (union partitioned by entity), no join, no pivot exchange."""
+    from feature_store_spark.operators.asof import asof_training_set_columnar
+
+    ev = load_table(spark, sf_dir, "events")
+    eav = ev.select(
+        F.col("user_id").alias("entity_id"),
+        F.col("event_type").alias("feature_name"),
+        F.col("value").alias("value_float"),
+        F.col("ts").alias("event_time"),
+        F.col("ts").alias("created_at"),
+    )
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("event_time"),
+        (F.col("value") > 50).cast("int").alias("label"),
+    )
+    df = asof_training_set_columnar(
+        labels, eav, feature_names=["view", "click"]
+    )
+    assert n_exchanges(df) == 1, plan_of(df, "simple")
+
+
+def test_whole_stage_codegen_spans(spark, sf_dir):
+    """The relational hot path must be inside WholeStageCodegen (the
+    engine's answer to the reference's generated C)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    df.collect()  # AQE finalizes the plan on execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final, final[:2000]
+    # scan+filter+partial-agg fused in codegen stage 1, final agg in 2
+    assert "*(1) HashAggregate" in final, final[:2000]
+    assert "*(1) Project" in final or "*(1) Filter" in final, final[:2000]

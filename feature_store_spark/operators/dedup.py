@@ -471,10 +471,14 @@ def simhash_pairs_pigeonhole(
     pair can be missed, wherever the flipped bits land.
 
     Plan shape: explode ``max_hamming + 1`` (block_idx, block_value)
-    rows per doc (pure projection), equi-join on them (one shuffle),
-    de-duplicate pairs that collide in several blocks. ``max_bucket_size``
+    rows per doc (pure projection), equi-join on them (one shuffle).
+    A pair colliding in several blocks is emitted ONLY from its first
+    agreeing block (the join filter requires every earlier block to
+    differ), so each pair appears exactly once WITHOUT a distinct —
+    at 100 TB that removes a full shuffle of the collision set, which
+    dwarfs the match set when hashes cluster. ``max_bucket_size``
     drops degenerate buckets (e.g. the all-zeros hash of trivial docs)
-    that would quadratically explode the self-join at 100 TB. Production
+    that would quadratically explode the self-join. Production
     configs use 64-bit hashes so each of the 4 blocks spans 16 bits;
     with 32-bit hashes the 8-bit blocks are coarser, which costs join
     fan-out, never recall.
@@ -506,11 +510,26 @@ def simhash_pairs_pigeonhole(
         s = s.join(ok, ["__bi", "__bv"])
     a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__ha"), "__bi", "__bv")
     b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"), "__bi", "__bv")
+
+    def blk(col, off, w):
+        return F.shiftright(col, off).bitwiseAND(F.lit((1 << w) - 1))
+
+    # first-agreeing-block uniqueness: emit from block i only when all
+    # blocks j < i differ — exact dedup without a distinct shuffle
+    first_match = F.lit(True)
+    for j, (off, w) in enumerate(simhash_blocks(bits, max_hamming)[:-1]):
+        first_match = first_match & (
+            (F.col("__bi") <= j)
+            | (blk(F.col("__ha"), off, w) != blk(F.col("__hb"), off, w))
+        )
     pairs = (
         a.join(b, ["__bi", "__bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"))
-        .distinct()
+        .filter((F.col("id_a") < F.col("id_b")) & first_match)
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"),
+        )
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
 

@@ -1,0 +1,88 @@
+"""Skew handling: explicit salting for hot keys.
+
+At 100 TB a handful of hot entities (one viral user, one boilerplate
+document cluster) can pin an entire shuffle partition to one task.
+Spark's AQE skew-join splitting (on in session.py) handles skewed
+*sort-merge joins* at runtime; these operators cover the two shapes
+AQE does not re-plan:
+
+- a skewed equi-join where the probe side's hot key floods one task
+  even after AQE splitting of map outputs (``salted_join``),
+- a per-group window (rank / top-k) whose hot group serializes into a
+  single task, since windows cannot be split by AQE at all
+  (``salted_top_k_per_group``).
+
+Both are semantics-exact rewrites: salting only changes WHERE rows
+meet, never which rows meet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic per-row salt in [0, n_salts): xxhash64 of the full
+    row, so reruns and retried tasks salt identically (no rand(), which
+    would break retry idempotency mid-shuffle)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot join keys: salt the skewed
+    side (splitting each hot key across ``n_salts`` tasks) and
+    replicate ``other`` once per salt value, joining on (key, salt).
+
+    Cost model: ``other`` is scanned/shuffled ``n_salts`` x — use when
+    ``other`` is far smaller than the hot key's row count but too big
+    to broadcast. Same rows as the plain join, any ``how``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    s = with_salt(skewed, n_salts)
+    rep = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return s.join(rep, keys + ["__salt"], how).drop("__salt")
+
+
+def salted_top_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column | str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Per-group top-K with a two-phase salted plan: local top-K within
+    (group, salt) — each hot group's work spread over ``n_salts`` tasks
+    — then final top-K per group over the ≤ k * n_salts survivors.
+    Same result as the single-window top-K (deterministic given
+    tie-breaking ``order_by``), but the hot group never serializes into
+    one task. The same trick as TakeOrderedAndProject's two-phase
+    merge, applied per group.
+    """
+    cols = df.columns
+    order = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    s = with_salt(df, n_salts)
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order)
+    local = (
+        s.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(*cols, "rank")
+    )

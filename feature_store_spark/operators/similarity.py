@@ -283,3 +283,56 @@ def lsh_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def kmeans_init_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic init: the k lowest-id vectors seed clusters
+    0..k-1 (oracle-reproducible; swap for k-means|| at scale without
+    changing the iteration)."""
+    return embeddings.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cluster"),
+        F.col(vec_col).cast("array<double>").alias("centroid"),
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means as a driver-looped dataflow (the iterative-
+    algorithm pattern: O(k x dim) driver state, one distributed
+    assign + update pass per iteration — how MLlib's KMeans runs
+    underneath).
+
+    Each iteration: broadcast the k centroids, assign every vector to
+    its nearest (WSCG array math, no shuffle beyond the per-dimension
+    centroid aggregation), recompute centroids as per-cluster means.
+    Returns (centroids, last_assignment). ``checkpoint=True``
+    localCheckpoints per iteration to cut lineage growth — required
+    for large ``iters`` on a real cluster, irrelevant for 2-3 rounds.
+    """
+    cents = kmeans_init_centroids(embeddings, k, id_col, vec_col)
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_clusters(
+            embeddings,
+            cents,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroid_key="cluster",
+            centroid_vec="centroid",
+        )
+        members = embeddings.join(assigned.select(id_col, "cluster"), id_col)
+        cents = centroids(members, by_col="cluster", vec_col=vec_col)
+        if checkpoint:
+            cents = cents.localCheckpoint()
+    return cents, assigned

@@ -2649,6 +2649,77 @@ SELECT grp, bin AS threshold_bin, round(gain, 6) AS gain FROM r WHERE rn = 1
 """
 
 
+# ------------------------------------------------- k-means (iterative)
+
+
+def q_kmeans(spark, sf_dir):
+    """Two Lloyd iterations of k-means (k=8, deterministic lowest-id
+    init) over the embeddings table — the iterative-algorithm pattern
+    (broadcast state + one distributed pass per round), oracle-checked
+    end to end: per-cluster member counts and centroid checksums."""
+    from feature_store_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans_fit(emb, k=8, iters=2)
+    counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    csum = F.aggregate("centroid", F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        cents.join(counts, "cluster")
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_members",
+            _r6(csum).alias("centroid_sum"),
+        )
+    )
+
+
+KMEANS_SQL = """
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+init AS (SELECT vec_id AS ck, i, x AS c FROM dims WHERE vec_id < 8),
+d1 AS (
+  SELECT d.vec_id, c.ck, sum((d.x - c.c) * (d.x - c.c)) AS dsq
+  FROM dims d JOIN init c ON d.i = c.i GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, ck FROM (
+    SELECT vec_id, ck,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dsq, ck) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT a1.ck, d.i, avg(d.x) AS c
+  FROM a1 JOIN dims d ON d.vec_id = a1.vec_id GROUP BY 1, 2
+),
+d2 AS (
+  SELECT d.vec_id, c.ck, sum((d.x - c.c) * (d.x - c.c)) AS dsq
+  FROM dims d JOIN c1 c ON d.i = c.i GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, ck FROM (
+    SELECT vec_id, ck,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dsq, ck) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+c2 AS (
+  SELECT a2.ck, d.i, avg(d.x) AS c
+  FROM a2 JOIN dims d ON d.vec_id = a2.vec_id GROUP BY 1, 2
+)
+SELECT CAST(c2.ck AS INT) AS cluster,
+       n.n_members,
+       round(sum(c2.c), 6) AS centroid_sum
+FROM c2
+JOIN (SELECT ck, CAST(count(*) AS BIGINT) AS n_members FROM a2 GROUP BY 1) n
+  ON n.ck = c2.ck
+GROUP BY c2.ck, n.n_members
+"""
+
+
 # ------------------------------------------------- streaming dedup
 
 
@@ -2763,6 +2834,7 @@ QUERIES: dict[str, tuple] = {
     "tfidf_cosine": (q_tfidf_cosine, TFIDF_COSINE_SQL),
     "tree_split": (q_tree_split, TREE_SPLIT_SQL),
     "stream_dedup": (q_stream_dedup, STREAM_DEDUP_SQL),
+    "kmeans": (q_kmeans, KMEANS_SQL),
 }
 
 

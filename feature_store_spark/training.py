@@ -216,3 +216,191 @@ def best_split_histogram(
     return (
         scored.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
     )
+
+
+def _histograms_for_level(
+    df: DataFrame,
+    feature_bin_cols: Sequence[str],
+    target_col: str,
+    node_col: str,
+):
+    """ONE distributed pass: per (node, feature, bin) count + target
+    sum for every feature at once (posexplode of the feature-bin
+    array — map-side F-fold expansion, single partial-aggregated
+    shuffle of histogram rows only)."""
+    exploded = df.select(
+        F.col(node_col),
+        F.col(target_col),
+        F.posexplode(F.array(*[F.col(c) for c in feature_bin_cols])).alias(
+            "__fidx", "__bin"
+        ),
+    )
+    hist = (
+        exploded.groupBy(node_col, "__fidx", "__bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(target_col).alias("g"))
+        .collect()
+    )
+    out: dict[int, dict[int, dict[int, tuple[int, float]]]] = {}
+    for r in hist:
+        out.setdefault(r[node_col], {}).setdefault(r["__fidx"], {})[r["__bin"]] = (
+            r["n"],
+            float(r["g"]),
+        )
+    return out
+
+
+def _best_split_from_hist(bins: dict[int, tuple[int, float]]):
+    """Driver-side argmax over one node x feature histogram (tiny):
+    returns (gain, threshold_bin) or None. Same squared-loss gain as
+    :func:`best_split_histogram`; ties -> smallest threshold."""
+    items = sorted(bins.items())
+    nt = sum(n for n, _ in bins.values())
+    gt = sum(g for _, g in bins.values())
+    best = None
+    nl = 0
+    gl = 0.0
+    for b, (n, g) in items[:-1]:
+        nl += n
+        gl += g
+        if nl == 0 or nl == nt:
+            continue
+        gain = gl * gl / nl + (gt - gl) ** 2 / (nt - nl) - gt * gt / nt
+        if best is None or gain > best[0] + 1e-12:
+            best = (gain, b)
+    return best
+
+
+def fit_histogram_tree(
+    df: DataFrame,
+    feature_bin_cols: Sequence[str],
+    target_col: str,
+    depth: int = 2,
+    min_split_gain: float = 1e-9,
+) -> dict:
+    """Level-wise histogram regression tree (squared loss) — the
+    reference's XGBoost training (SURVEY.md §2.9 M6) re-expressed as
+    distributed dataflow: per level, ONE pass over the data builds all
+    (node, feature, bin) histograms (the only shuffle, histogram-sized);
+    the driver holds only histograms (LightGBM's reduce-scatter shape)
+    and picks each node's best split; node assignment advances with a
+    broadcast when()-expression. Leaves are per-node target means.
+
+    Returns {"splits": {node: (feature_idx, threshold_bin)},
+    "leaves": {node: value}, "features": [...], "depth": d}. Node ids:
+    root 1, children 2n / 2n+1 (left = bin <= threshold).
+    """
+    cols = list(feature_bin_cols)
+    work = df.select(
+        *[F.col(c) for c in cols], F.col(target_col), F.lit(1).alias("__node")
+    )
+    splits: dict[int, tuple[int, int]] = {}
+    for _level in range(depth):
+        hists = _histograms_for_level(work, cols, target_col, "__node")
+        level_splits = {}
+        for node, per_feature in sorted(hists.items()):
+            best = None
+            for fidx in sorted(per_feature):
+                cand = _best_split_from_hist(per_feature[fidx])
+                if cand is None:
+                    continue
+                gain, thr = cand
+                # ties across features -> smallest feature index
+                if best is None or gain > best[0] + 1e-12:
+                    best = (gain, fidx, thr)
+            if best is not None and best[0] > min_split_gain:
+                level_splits[node] = (best[1], best[2])
+        if not level_splits:
+            break
+        splits.update(level_splits)
+        # advance assignments: split nodes branch, others stay (become
+        # leaves at their current id)
+        expr = F.col("__node")
+        for node, (fidx, thr) in level_splits.items():
+            expr = F.when(
+                F.col("__node") == node,
+                F.when(F.col(cols[fidx]) <= thr, F.lit(node * 2)).otherwise(
+                    F.lit(node * 2 + 1)
+                ),
+            ).otherwise(expr)
+        work = work.withColumn("__node", expr)
+    leaf_rows = work.groupBy("__node").agg(F.avg(target_col).alias("v")).collect()
+    leaves = {r["__node"]: float(r["v"]) for r in leaf_rows}
+    return {
+        "splits": splits,
+        "leaves": leaves,
+        "features": cols,
+        "depth": depth,
+    }
+
+
+def predict_tree_expr(tree: dict, feature_cols: Sequence[str] | None = None) -> Column:
+    """Prediction column for a :func:`fit_histogram_tree` model —
+    routes each row through the split table with nested when()
+    expressions (pure Catalyst, codegen'd; the analog of the
+    reference's tree->C codegen M7)."""
+    cols = list(feature_cols or tree["features"])
+
+    def node_expr(node: int) -> Column:
+        if node in tree["splits"]:
+            fidx, thr = tree["splits"][node]
+            return F.when(
+                F.col(cols[fidx]) <= thr, node_expr(node * 2)
+            ).otherwise(node_expr(node * 2 + 1))
+        return F.lit(tree["leaves"].get(node, 0.0))
+
+    return node_expr(1)
+
+
+def fit_boosted_trees(
+    df: DataFrame,
+    feature_bin_cols: Sequence[str],
+    target_col: str,
+    rounds: int = 3,
+    depth: int = 2,
+    learning_rate: float = 0.5,
+) -> dict:
+    """Gradient boosting on squared loss as an iterative dataflow:
+    start from an explicit base score (the target mean — the
+    reference's BASE_SCORE calibration, SURVEY.md §2.8 X10), then each
+    round fits a histogram tree to the current residual (for squared
+    loss the negative gradient IS the residual) and the residual
+    column advances by a broadcast prediction expression — no
+    per-round materialization, O(trees) driver state.
+
+    Returns {"base_score": b, "trees": [...], "learning_rate": lr};
+    combine with :func:`predict_boosted_expr`.
+    """
+    cols = list(feature_bin_cols)
+    base_score = float(
+        df.agg(F.avg(target_col).alias("b")).collect()[0]["b"]
+    )
+    work_base = df.select(*[F.col(c) for c in cols], F.col(target_col))
+    resid = F.col(target_col) - F.lit(base_score)
+    trees: list[dict] = []
+    for _ in range(rounds):
+        work = work_base.withColumn("__resid", resid)
+        tree = fit_histogram_tree(work, cols, "__resid", depth=depth)
+        trees.append(tree)
+        resid = resid - F.lit(learning_rate) * predict_tree_expr(tree, cols)
+    return {"base_score": base_score, "trees": trees, "learning_rate": learning_rate}
+
+
+def predict_boosted_expr(
+    model: dict | Sequence[dict],
+    learning_rate: float | None = None,
+    feature_cols: Sequence[str] | None = None,
+) -> Column:
+    """Prediction for a :func:`fit_boosted_trees` model:
+    base_score + lr * sum of tree outputs (a bare tree list with an
+    explicit ``learning_rate`` is accepted for ablations)."""
+    if isinstance(model, dict):
+        trees = model["trees"]
+        lr = model["learning_rate"]
+        out = F.lit(float(model["base_score"]))
+    else:
+        trees = model
+        lr = learning_rate if learning_rate is not None else 0.5
+        out = F.lit(0.0)
+    for t in trees:
+        out = out + F.lit(lr) * predict_tree_expr(t, feature_cols)
+    return out

@@ -1,0 +1,111 @@
+"""Histogram tree / boosting fitters vs an exact single-node numpy
+reference (the M8 differential-verification pattern applied to
+training)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ref_best_split(bins_x, y):
+    """Exact reference: best (gain, thr) for one feature."""
+    nt, gt = len(y), float(y.sum())
+    best = None
+    for thr in sorted(set(bins_x))[:-1]:
+        m = bins_x <= thr
+        nl = int(m.sum())
+        if nl in (0, nt):
+            continue
+        gl = float(y[m].sum())
+        gain = gl * gl / nl + (gt - gl) ** 2 / (nt - nl) - gt * gt / nt
+        if best is None or gain > best[0] + 1e-12:
+            best = (gain, thr)
+    return best
+
+
+def _ref_tree(X, y, depth):
+    """Exact level-wise reference tree with the same node-id scheme."""
+    node = np.ones(len(y), dtype=int)
+    splits = {}
+    for _ in range(depth):
+        new = {}
+        for nd in sorted(set(node)):
+            m = node == nd
+            best = None
+            for f in range(X.shape[1]):
+                cand = _ref_best_split(X[m, f], y[m])
+                if cand and (best is None or cand[0] > best[0] + 1e-12):
+                    best = (cand[0], f, cand[1])
+            if best and best[0] > 1e-9:
+                new[nd] = (best[1], best[2])
+        if not new:
+            break
+        splits.update(new)
+        nxt = node.copy()
+        for nd, (f, thr) in new.items():
+            m = node == nd
+            nxt[m] = np.where(X[m, f] <= thr, nd * 2, nd * 2 + 1)
+        node = nxt
+    leaves = {int(nd): float(y[node == nd].mean()) for nd in set(node)}
+    return splits, leaves, node
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    X = rng.integers(0, 8, size=(400, 3))
+    y = (
+        3.0 * (X[:, 0] > 3)
+        - 2.0 * (X[:, 1] > 5)
+        + 0.5 * X[:, 2]
+        + rng.normal(0, 0.1, 400)
+    )
+    return X, y
+
+
+def test_fit_histogram_tree_matches_reference(spark, data):
+    from feature_store_spark.training import fit_histogram_tree, predict_tree_expr
+
+    X, y = data
+    rows = [(int(a), int(b), int(c), float(v)) for (a, b, c), v in zip(X, y)]
+    df = spark.createDataFrame(rows, ["f0", "f1", "f2", "y"])
+    tree = fit_histogram_tree(df, ["f0", "f1", "f2"], "y", depth=2)
+    ref_splits, ref_leaves, ref_node = _ref_tree(X, y, 2)
+    assert tree["splits"] == ref_splits
+    assert set(tree["leaves"]) == set(ref_leaves)
+    for nd, v in ref_leaves.items():
+        assert tree["leaves"][nd] == pytest.approx(v)
+    # predictions route every row to its reference leaf value
+    pred = df.select(
+        predict_tree_expr(tree).alias("p"), F.col("y")
+    ).collect()
+    ref_pred = np.array([ref_leaves[int(n)] for n in ref_node])
+    got = np.array([r["p"] for r in pred])
+    assert got == pytest.approx(ref_pred)
+
+
+def test_boosting_reduces_sse(spark, data):
+    from feature_store_spark.training import (
+        fit_boosted_trees,
+        predict_boosted_expr,
+    )
+
+    X, y = data
+    rows = [(int(a), int(b), int(c), float(v)) for (a, b, c), v in zip(X, y)]
+    df = spark.createDataFrame(rows, ["f0", "f1", "f2", "y"])
+    cols = ["f0", "f1", "f2"]
+    model = fit_boosted_trees(df, cols, "y", rounds=3, depth=2, learning_rate=0.5)
+    trees = model["trees"]
+    assert len(trees) == 3
+    sses = []
+    for k in range(1, 4):
+        sub = {**model, "trees": trees[:k]}
+        p = predict_boosted_expr(sub, feature_cols=cols)
+        sse = df.select(F.sum((F.col("y") - p) ** 2).alias("s")).collect()[0]["s"]
+        sses.append(sse)
+    assert sses[0] > sses[1] > sses[2]
+    # 3 depth-2 rounds on a step function should capture most variance
+    total = float(((y - y.mean()) ** 2).sum())
+    assert sses[-1] < 0.2 * total

@@ -33,6 +33,35 @@ from feature_store_spark.operators.windowed import (
 from feature_store_spark.operators.reshape import melt, pivot_features, assemble_vectors
 from feature_store_spark.operators.topk import top_k, top_k_per_group
 from feature_store_spark.operators.sessionize import sessionize
+from feature_store_spark.operators.skew import salted_join, salted_top_k_per_group
+from feature_store_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    tfidf_cosine_pairs,
+)
+from feature_store_spark.operators.similarity import (
+    brute_force_topk,
+    kmeans_fit,
+    knn_join,
+)
+from feature_store_spark.operators.text import (
+    lang_id,
+    pii_scan,
+    quality_score,
+    repetition_stats,
+    token_stats,
+)
+from feature_store_spark.sources.bucketed import colocated_join, write_bucketed
+from feature_store_spark.training import (
+    best_split_histogram,
+    fit_boosted_trees,
+    fit_histogram_tree,
+    fit_logistic,
+    predict_boosted_expr,
+    predict_tree_expr,
+)
 
 __all__ = [
     "get_spark",
@@ -52,6 +81,29 @@ __all__ = [
     "top_k",
     "top_k_per_group",
     "sessionize",
+    "salted_join",
+    "salted_top_k_per_group",
+    "exact_dedup",
+    "minhash_dedup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "tfidf_cosine_pairs",
+    "brute_force_topk",
+    "kmeans_fit",
+    "knn_join",
+    "lang_id",
+    "pii_scan",
+    "quality_score",
+    "repetition_stats",
+    "token_stats",
+    "colocated_join",
+    "write_bucketed",
+    "best_split_histogram",
+    "fit_boosted_trees",
+    "fit_histogram_tree",
+    "fit_logistic",
+    "predict_boosted_expr",
+    "predict_tree_expr",
 ]
 
 __version__ = "0.1.0"

@@ -103,3 +103,65 @@ def test_windowed_stats_stream_end_to_end(spark, tmp_path):
     assert got[(0, "gmv")] == (2, 15.0)
     assert got[(1, "gmv")] == (1, 30.0)
     assert got[(1, "txn")] == (1, 1.0)
+
+
+def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
+    """Late-data contract, exercised across three micro-batches: the
+    hour-0 window is evicted + emitted once the watermark (advanced by
+    batch 1's hour-3 row) takes effect; a later micro-batch carrying an
+    hour-0 straggler is dropped by the watermark — the closed window is
+    emitted exactly once and never reopened. (Watermark filtering
+    lags one batch behind the advancing row by design — the watermark
+    is committed at batch end — hence three batches, not two.)"""
+    import time
+
+    inp = tmp_path / "late_in"
+    inp.mkdir()
+    schema = "entity_id string, feature_name string, value_float double, event_time timestamp"
+
+    batches = [
+        # batch 0: two hour-0 rows + an hour-3 row advancing the watermark
+        [
+            ("e1", "gmv", 10.0, BASE + dt.timedelta(minutes=5)),
+            ("e1", "gmv", 30.0, BASE + dt.timedelta(minutes=10)),
+            ("e1", "gmv", 99.0, BASE + dt.timedelta(hours=3)),
+        ],
+        # batch 1: on-time row; hour-0 state evicted this batch
+        [("e1", "gmv", 50.0, BASE + dt.timedelta(hours=3, minutes=10))],
+        # batch 2: hour-0 STRAGGLER, far behind the watermark -> dropped
+        [("e1", "gmv", 1000.0, BASE + dt.timedelta(minutes=15))],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(inp / f"b{i}")
+        )
+        time.sleep(1.1)  # file mtimes order the micro-batches
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp / "*"))
+    )
+    out = windowed_stats_stream(stream, window="1 hour", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_e2e")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    rows = [
+        (r["window"]["start"].hour, r["count"], r["mean"])
+        for r in spark.sql("select * from late_e2e").collect()
+    ]
+    hour0 = [r for r in rows if r[0] == 0]
+    # exactly ONE hour-0 emission, with only the on-time rows
+    assert hour0 == [(0, 2, 20.0)], rows
+    assert dropped == 1

@@ -44,6 +44,9 @@ HEADLINE = [
     "token_stats",
     "multimodal_meta",
     "curation_pipeline",
+    "tree_split",
+    "pii_scan",
+    "top_ngrams",
 ]
 
 
@@ -121,6 +124,7 @@ def _baseline_comparables(spark, sf_dir) -> dict:
         return round(n_items / (time.time() - t0))
 
     numpy_udf = vectorized_tree_udf(model300, LINEITEM_FEATURES, dtype="float32")
+    _time_scoring(numpy_udf)  # warm Python workers + Arrow off the clock
     out["scoring_items_per_sec_numpy"] = _time_scoring(numpy_udf)
     out["scoring_items_per_sec"] = out["scoring_items_per_sec_numpy"]
     out["scoring_model"] = "300 trees x depth 6, Arrow+numpy vectorized f32"

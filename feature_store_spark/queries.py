@@ -570,11 +570,16 @@ FROM events e CROSS JOIN thr GROUP BY 1
 # ------------------------------------------------- sessionization
 
 def q_sessionize(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    s = session_stats(ev, gap_minutes=30.0)
+    # `value` is a 2-decimal double; sum it as integer cents so the
+    # aggregate is exact and independent of Spark's partial-agg order
+    # (a plain double sum can flip the 6-dp rounding between runs).
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("bigint")
+    )
+    s = session_stats(ev, value_col="value_c", gap_minutes=30.0)
     return s.select(
         "user_id", "session_id", "n_events",
-        _r6(F.col("value_sum")).alias("value_sum"),
+        _r6(F.col("value_sum") / 100.0).alias("value_sum"),
         _r6(F.col("duration_sec")).alias("duration_sec"),
         F.unix_micros("session_start").alias("start_us"),
     )
@@ -598,7 +603,7 @@ s AS (
 )
 SELECT user_id, session_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 6) AS value_sum,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 6) AS value_sum,
        round((max(t) - min(t)) / 1000000.0, 6) AS duration_sec,
        min(t) AS start_us
 FROM s GROUP BY user_id, session_id
@@ -2649,6 +2654,52 @@ SELECT grp, bin AS threshold_bin, round(gain, 6) AS gain FROM r WHERE rn = 1
 """
 
 
+# ------------------------------------------------- corpus n-gram stats
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-level top-20 word bigrams by document frequency then
+    total count (ties -> lexicographic) — the vocabulary/boilerplate
+    report of a curation pipeline. Explode + one partial-aggregated
+    groupBy + TakeOrderedAndProject."""
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    w = F.filter(F.split(F.lower("text"), " "), lambda x: F.length(x) > 0)
+    bi = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tall = docs.select(F.col("doc_id"), F.explode(bi).alias("bigram"))
+    per_doc = tall.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_doc.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("doc_freq"), F.sum("c").alias("total_count")
+    )
+    return stats.orderBy(
+        F.col("doc_freq").desc(), F.col("total_count").desc(), F.col("bigram")
+    ).limit(20)
+
+
+TOP_NGRAMS_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM base)
+),
+per_doc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+stats AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS doc_freq,
+         CAST(sum(c) AS BIGINT) AS total_count
+  FROM per_doc GROUP BY 1
+)
+SELECT bigram, doc_freq, total_count
+FROM stats ORDER BY doc_freq DESC, total_count DESC, bigram LIMIT 20
+"""
+
+
 # ------------------------------------------------- k-means (iterative)
 
 
@@ -2835,6 +2886,7 @@ QUERIES: dict[str, tuple] = {
     "tree_split": (q_tree_split, TREE_SPLIT_SQL),
     "stream_dedup": (q_stream_dedup, STREAM_DEDUP_SQL),
     "kmeans": (q_kmeans, KMEANS_SQL),
+    "top_ngrams": (q_top_ngrams, TOP_NGRAMS_SQL),
 }
 
 

@@ -18,11 +18,51 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from feature_store_spark.functions import epoch_ms, schema_hash_py
 from feature_store_spark.registry import FeatureView
+
+
+def transform_expr(view: FeatureView, name: str, col: str | None = None) -> Column:
+    """The member's declared transform as a Catalyst Column
+    (SURVEY.md §2.12; V1__init.sql:66-67 ``transform`` /
+    ``transform_params`` — declared in the reference's schema but never
+    evaluated there; here they are honored as SQL expression templates).
+
+    The template references the raw value as ``{col}`` plus any named
+    parameters, e.g. ``"least(greatest({col}, {lo}), {hi})"``. Staying
+    a SQL expression keeps the transform inside whole-stage codegen —
+    no UDF, full pushdown/pruning around it."""
+    tpl = view.transforms.get(name)
+    c = col if col is not None else name
+    if tpl is None:
+        return F.col(c)
+    return F.expr(tpl.format(col=f"`{c}`", **view.transform_params.get(name, {})))
+
+
+def apply_transforms(wide: DataFrame, view: FeatureView) -> DataFrame:
+    """Apply every member transform to its feature column of a wide
+    frame (identity for members with no transform). Runs at
+    materialization time — the offline store keeps raw values; the
+    online vector holds transformed ones, so training and serving see
+    the same feature definition.
+
+    Null-preserving by construction: a missing raw value stays missing
+    through the transform (so the default mask still reflects source
+    missing-ness), even when the template uses null-swallowing
+    functions like greatest/least."""
+    out = wide
+    for n in view.feature_names:
+        if n in view.transforms:
+            out = out.withColumn(
+                n,
+                F.when(F.col(n).isNull(), F.lit(None)).otherwise(
+                    transform_expr(view, n)
+                ),
+            )
+    return out
 
 
 def materialize_vectors(
@@ -35,8 +75,11 @@ def materialize_vectors(
     """Wide row per entity -> online vector row (FIXTURES.md §7 schema).
 
     Missing/null feature columns become defaults with mask=true —
-    the write-side mirror of scalar assembly (L6).
+    the write-side mirror of scalar assembly (L6). Member transforms
+    (§2.12) are applied first; defaults are post-transform values.
     """
+    if view.transforms:
+        wide = apply_transforms(wide, view)
     names = view.feature_names
     values = F.array(
         *[

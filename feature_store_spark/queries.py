@@ -2010,6 +2010,79 @@ LEFT JOIN asm a ON a.user_id = u.user_id
 """
 
 
+# ------------------------------------------------- view transforms (§2.12)
+
+def q_view_transform(spark, sf_dir):
+    """Member transforms applied at materialization (§2.12 — the
+    reference declares feature_view_members.transform/transform_params
+    in V1__init.sql:66-67 but never evaluates them; here they are
+    honored as SQL expression templates inside whole-stage codegen).
+    Pivot events to per-user raw features, materialize through a view
+    whose members declare log1p / clip / sqrt / scale transforms, and
+    read the vectors back as named columns with the default-mask
+    count and the view's schema hash."""
+    from feature_store_spark.materialize import materialize_vectors
+    from feature_store_spark.registry import FeatureView
+
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.col("user_id").alias("entity_id"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.avg("value"), 6))
+    )
+    view = FeatureView(
+        "user_transformed", 2, "user", list(EVENT_TYPES),
+        transforms={
+            "click": "log1p({col})",
+            "purchase": "least(greatest({col}, {lo}), {hi})",
+            "signup": "sqrt({col})",
+            "view": "{col} * {scale}",
+        },
+        transform_params={
+            "purchase": {"lo": 0, "hi": 50},
+            "view": {"scale": 0.1},
+        },
+    )
+    vectors = materialize_vectors(wide, view, now_ms=0)
+    return vectors.select(
+        F.col("entity_id").alias("user_id"),
+        *[
+            _r6(F.element_at("values", i + 1)).alias(t)
+            for i, t in enumerate(EVENT_TYPES)
+        ],
+        F.size(F.filter("is_default_mask", lambda x: x)).alias("n_defaults"),
+        F.col("schema_hash"),
+    )
+
+
+def _view_transform_sql() -> str:
+    from feature_store_spark.functions import schema_hash_py
+
+    h = schema_hash_py(list(EVENT_TYPES))
+    return f"""
+WITH wide AS (
+  SELECT user_id,
+         round(avg(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+         round(avg(value) FILTER (WHERE event_type = 'error'), 6) AS error,
+         round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
+         round(avg(value) FILTER (WHERE event_type = 'signup'), 6) AS signup,
+         round(avg(value) FILTER (WHERE event_type = 'view'), 6) AS view
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       round(coalesce(ln(1 + click), 0.0), 6) AS click,
+       round(coalesce(error, 0.0), 6) AS error,
+       round(coalesce(least(greatest(purchase, 0), 50), 0.0), 6) AS purchase,
+       round(coalesce(sqrt(signup), 0.0), 6) AS signup,
+       round(coalesce(view * 0.1, 0.0), 6) AS view,
+       CAST(CAST(click IS NULL AS INT) + CAST(error IS NULL AS INT)
+            + CAST(purchase IS NULL AS INT) + CAST(signup IS NULL AS INT)
+            + CAST(view IS NULL AS INT) AS INT) AS n_defaults,
+       CAST({h} AS BIGINT) AS schema_hash
+FROM wide
+"""
+
+
 def q_risk_tiers(spark, sf_dir):
     """CASE-classification of model scores into risk tiers (F5:
     HIGH>=0.7, MEDIUM>=0.3, LOW — python/gbdt_example/inference.py:54-64)."""
@@ -2887,6 +2960,7 @@ QUERIES: dict[str, tuple] = {
     "stream_dedup": (q_stream_dedup, STREAM_DEDUP_SQL),
     "kmeans": (q_kmeans, KMEANS_SQL),
     "top_ngrams": (q_top_ngrams, TOP_NGRAMS_SQL),
+    "view_transform": (q_view_transform, _view_transform_sql()),
 }
 
 

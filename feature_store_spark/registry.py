@@ -24,13 +24,24 @@ FEATURE_STATUSES = ("DRAFT", "ACTIVE", "DEPRECATED", "ARCHIVED")  # V1__init.sql
 class FeatureView:
     """A versioned, ordered feature list = a fixed vector schema
     (V1__init.sql:44-71). ``feature_names`` is position-ordered; the
-    hash is the train/serve consistency contract."""
+    hash is the train/serve consistency contract.
+
+    ``transforms`` honors the reference's declared-but-never-evaluated
+    ``feature_view_members.transform`` / ``transform_params`` columns
+    (V1__init.sql:66-67, SURVEY.md §2.12): a SQL expression template
+    per feature, applied at materialization. The template references
+    the raw value as ``{col}`` and named parameters from
+    ``transform_params[name]``, e.g. ``"log1p({col})"`` or
+    ``"least(greatest({col}, {lo}), {hi})"`` with params
+    ``{"lo": 0, "hi": 50}``."""
 
     name: str
     version: int
     entity: str
     feature_names: list[str] = field(default_factory=list)
     defaults: dict[str, float] = field(default_factory=dict)
+    transforms: dict[str, str] = field(default_factory=dict)
+    transform_params: dict[str, dict] = field(default_factory=dict)
 
     @property
     def vector_length(self) -> int:
@@ -151,13 +162,26 @@ class Registry:
         )
 
     def members_df(self) -> DataFrame:
+        import json
+
         rows = [
-            (v.name, v.version, pos, fname)
+            (
+                v.name,
+                v.version,
+                pos,
+                fname,
+                v.transforms.get(fname),
+                json.dumps(v.transform_params[fname])
+                if fname in v.transform_params
+                else None,
+            )
             for v in self._views.values()
             for pos, fname in enumerate(v.feature_names)
         ]
         return self.spark.createDataFrame(
-            rows, "view_name string, view_version int, position int, feature_name string"
+            rows,
+            "view_name string, view_version int, position int, "
+            "feature_name string, transform string, transform_params string",
         )
 
     def audit_df(self) -> DataFrame:
@@ -205,14 +229,25 @@ class Registry:
         by_view: dict[tuple[str, int], list] = {}
         for m in members:
             by_view.setdefault((m.view_name, m.view_version), []).append(m)
+        import json
+
         for r in spark.read.parquet(f"{path}/views").collect():
-            names = [
-                m.feature_name
-                for m in sorted(by_view.get((r.name, r.version), []),
-                                key=lambda m: m.position)
-            ]
+            ms = sorted(by_view.get((r.name, r.version), []),
+                        key=lambda m: m.position)
+            names = [m.feature_name for m in ms]
+            transforms = {
+                m.feature_name: m.transform
+                for m in ms
+                if getattr(m, "transform", None)
+            }
+            tparams = {
+                m.feature_name: json.loads(m.transform_params)
+                for m in ms
+                if getattr(m, "transform_params", None)
+            }
             reg._views[(r.name, r.version)] = FeatureView(
-                r.name, r.version, r.entity, names
+                r.name, r.version, r.entity, names,
+                transforms=transforms, transform_params=tparams,
             )
         reg._audit = [
             (r.occurred_seq, r.entity_type, r.ref_id, r.event_type, r.actor, r.details)

@@ -255,3 +255,56 @@ def test_binary_f32_matrix_loader(spark, tmp_path):
     bad.write_bytes(b"\x00" * 10)
     with pytest.raises(Exception):
         read_f32_matrix(spark, str(bad), num_features=4).collect()
+
+
+def test_view_transforms_applied_and_null_preserving(spark):
+    """§2.12: member transforms run at materialization as SQL exprs;
+    missing raw values stay missing (default + mask), even through
+    null-swallowing functions like greatest/least."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.materialize import materialize_vectors
+    from feature_store_spark.registry import FeatureView
+
+    wide = spark.createDataFrame(
+        [(1, 3.0, 100.0), (2, None, 10.0), (3, 0.0, None)],
+        "entity_id long, a double, b double",
+    )
+    view = FeatureView(
+        "t", 1, "user", ["a", "b"],
+        defaults={"b": -1.0},
+        transforms={"a": "log1p({col})", "b": "least(greatest({col}, {lo}), {hi})"},
+        transform_params={"b": {"lo": 0, "hi": 50}},
+    )
+    rows = {
+        r.entity_id: r
+        for r in materialize_vectors(wide, view, now_ms=0).collect()
+    }
+    assert abs(rows[1]["values"][0] - math.log1p(3.0)) < 1e-12
+    assert rows[1]["values"][1] == 50.0
+    assert rows[1]["is_default_mask"] == [False, False]
+    # null a -> default 0.0 with mask, even though log1p(null) is null
+    assert rows[2]["values"][0] == 0.0
+    assert rows[2]["is_default_mask"] == [True, False]
+    # null b -> post-transform default -1.0, NOT greatest(null,0)=0
+    assert rows[3]["values"][1] == -1.0
+    assert rows[3]["is_default_mask"] == [False, True]
+
+
+def test_registry_persists_transforms(spark, tmp_path):
+    from feature_store_spark.registry import FeatureView, Registry
+
+    reg = Registry(spark)
+    view = FeatureView(
+        "tv", 3, "user", ["x", "y"],
+        transforms={"x": "log1p({col})"},
+        transform_params={"x": {}},
+    )
+    reg.register_view(view)
+    reg.save(str(tmp_path / "reg"))
+    back = Registry.load(spark, str(tmp_path / "reg")).get_view("tv")
+    assert back.version == 3
+    assert back.transforms == {"x": "log1p({col})"}
+    assert back.transform_params == {"x": {}}

@@ -1,0 +1,102 @@
+"""Sequence packing for LLM pretraining: concatenate a deterministic
+document order into fixed-length token sequences (GPT-style
+concat-then-chunk), computed as distributed dataflow.
+
+The core primitive is an EXACT global prefix sum over a total order —
+naively a window over ``ORDER BY`` with no partition key, which Spark
+executes on a single partition (a non-starter at 100 TB). Here it is
+the classic two-phase scan:
+
+1. bucket rows by a monotone function of the order column (monotone is
+   what preserves correctness; balance only affects speed),
+2. per-bucket window cumsum in parallel,
+3. per-bucket totals are tiny — cumulate them on the driver and
+   broadcast the bucket offsets back.
+
+The result is bit-identical to the single-partition window (the order
+column is unique), with the heavy work spread over all executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    n_buckets: int = 64,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Exact inclusive prefix sum of ``value_col`` over the total order
+    of ``order_col`` (which must be unique), without a global-order
+    single-partition window."""
+    bounds = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    # monotone bucketing: equal-width over the order column's range.
+    # Skewed order values only unbalance work, never break ordering.
+    b = F.width_bucket(F.col(order_col), F.lit(lo), F.lit(hi + 1), F.lit(n_buckets))
+    with_b = df.withColumn("__bkt", b)
+    w = Window.partitionBy("__bkt").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = with_b.withColumn("__local_cum", F.sum(value_col).over(w))
+    totals = (
+        with_b.groupBy("__bkt")
+        .agg(F.sum(value_col).alias("__tot"))
+        .orderBy("__bkt")
+        .collect()
+    )
+    # n_buckets rows: cumulate on the driver, broadcast back
+    offsets, running = [], 0
+    for r in totals:
+        offsets.append((r["__bkt"], running))
+        running += r["__tot"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__bkt int, __off long")
+    return (
+        local.join(F.broadcast(off_df), "__bkt")
+        .withColumn(out_col, (F.col("__local_cum") + F.col("__off")).cast("long"))
+        .drop("__bkt", "__local_cum", "__off")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_col: str,
+    seq_len: int = 2048,
+    order_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Concat-then-chunk packing: documents in ``order_col`` order are
+    laid end-to-end on a global token axis and cut every ``seq_len``
+    tokens. Returns per-doc placement:
+
+    - ``start_tok``: the doc's first token's global offset,
+    - ``seq_first`` / ``seq_last``: the sequence ids the doc spans,
+    - ``n_seqs``: how many training sequences contain part of the doc.
+
+    Docs with a non-positive token count are dropped (they occupy no
+    tokens). This is the standard GPT-pretraining packing; a writer
+    would ``repartition(seq_first)`` + ``sortWithinPartitions`` to emit
+    shard files.
+    """
+    d = docs.filter(F.col(token_col) > 0)
+    c = global_prefix_sum(d, token_col, order_col, n_buckets, out_col="__cum")
+    placed = c.withColumn(
+        "start_tok", (F.col("__cum") - F.col(token_col)).cast("long")
+    ).withColumn("__end_tok", (F.col("__cum") - 1).cast("long"))
+    return placed.select(
+        *docs.columns,
+        "start_tok",
+        F.expr(f"start_tok div {seq_len}").cast("long").alias("seq_first"),
+        F.expr(f"__end_tok div {seq_len}").cast("long").alias("seq_last"),
+    ).withColumn(
+        "n_seqs", (F.col("seq_last") - F.col("seq_first") + 1).cast("long")
+    )

@@ -1846,7 +1846,10 @@ def q_curation_pipeline(spark, sf_dir):
     from feature_store_spark.operators.text import lang_id, quality_score
 
     corpus = _mutated_corpus(spark, sf_dir, exact=True)
-    kept = exact_dedup(corpus)
+    # persist the deduped corpus: three downstream consumers (copies,
+    # quality, lang) would each recompute the dedup join otherwise —
+    # at cluster scale this is a checkpoint to storage between stages
+    kept = exact_dedup(corpus).cache()
     q = quality_score(kept).select("doc_id", "n_words", "quality_score")
     lang = lang_id(kept).select("doc_id", "pred_lang")
     joined = kept.select("doc_id", "n_copies").join(q, "doc_id").join(lang, "doc_id")
@@ -2773,6 +2776,93 @@ FROM stats ORDER BY doc_freq DESC, total_count DESC, bigram LIMIT 20
 """
 
 
+# ------------------------------------------- decontamination / packing
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: count distinct 8-gram overlaps
+    between each training doc and an eval set (the near-copy corpus
+    plants real contamination: every 50th doc's mutated twin plays the
+    held-out benchmark). Broadcast the eval gram set; the corpus side
+    is one map-side join pass."""
+    from feature_store_spark.operators.dedup import ngram_contamination
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=False)
+    train = corpus.filter(F.col("doc_id") < 1_000_000)
+    ev = corpus.filter(
+        (F.col("doc_id") >= 1_000_000) & ((F.col("doc_id") - 1_000_000) % 50 == 0)
+    )
+    out = ngram_contamination(train, ev, n=8)
+    return out.select(
+        "doc_id", F.col("n_shared_ngrams").cast("long").alias("n_shared_ngrams")
+    )
+
+
+_SHINGLE8_SQL = """
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+  FROM (
+    SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 2))) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src})
+  )
+  WHERE length(array_to_string(ws[i:i+7], ' ')) > 0
+"""
+
+DECONTAMINATE_SQL = f"""
+WITH corpus AS ({_CORPUS_NEAR_SQL}),
+tr AS (SELECT doc_id, text FROM corpus WHERE doc_id < 1000000),
+ev AS (SELECT doc_id, text FROM corpus
+       WHERE doc_id >= 1000000 AND (doc_id - 1000000) % 50 = 0),
+evg AS (SELECT DISTINCT g FROM ({_SHINGLE8_SQL.format(src="ev")})),
+trg AS ({_SHINGLE8_SQL.format(src="tr")})
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM trg t JOIN evg e ON t.g = e.g
+GROUP BY t.doc_id
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-then-chunk sequence packing over the corpus in
+    doc_id order (2048-token sequences, BPE-ish token estimate). The
+    global token offset is an exact distributed prefix sum (bucketed
+    windows + driver-combined offsets — never a single-partition
+    global window)."""
+    from feature_store_spark.operators.packing import pack_sequences
+    from feature_store_spark.operators.text import token_count_bpe_ish
+
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    with_tok = docs.select(
+        "doc_id", token_count_bpe_ish(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(with_tok, "n_tokens", seq_len=2048, n_buckets=32)
+    return packed.select(
+        "doc_id", "n_tokens", "start_tok", "seq_first", "seq_last", "n_seqs"
+    )
+
+
+PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         greatest(
+           len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)),
+           CAST(ceil(length(text) / 4.0) AS BIGINT)
+         ) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_tok,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
+       CAST((cum - 1) // 2048 AS BIGINT) AS seq_last,
+       CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
+FROM c
+"""
+
+
 # ------------------------------------------------- k-means (iterative)
 
 
@@ -2961,6 +3051,8 @@ QUERIES: dict[str, tuple] = {
     "kmeans": (q_kmeans, KMEANS_SQL),
     "top_ngrams": (q_top_ngrams, TOP_NGRAMS_SQL),
     "view_transform": (q_view_transform, _view_transform_sql()),
+    "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
+    "pack_sequences": (q_pack_sequences, PACK_SEQUENCES_SQL),
 }
 
 

@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from feature_store_spark.operators.dedup import ngram_contamination
+from feature_store_spark.operators.packing import global_prefix_sum, pack_sequences
+
+
+def test_global_prefix_sum_matches_single_window(spark):
+    """The bucketed two-phase scan must be bit-identical to the
+    single-partition global window it replaces."""
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("ord"),
+        (F.col("id") % 13 + 1).alias("v"),
+    )
+    for n_buckets in (1, 7, 64):
+        got = global_prefix_sum(df, "v", "ord", n_buckets=n_buckets, out_col="cum")
+        w = Window.orderBy("ord").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        want = df.withColumn("cum", F.sum("v").over(w))
+        assert got.select("ord", "cum").subtract(want.select("ord", "cum")).count() == 0
+        assert want.select("ord", "cum").subtract(got.select("ord", "cum")).count() == 0
+
+
+def test_pack_sequences_placement(spark):
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 1000), (3, 1500), (4, 2048), (5, 1), (6, 0)],
+        "doc_id long, n_tokens long",
+    )
+    out = {r.doc_id: r for r in pack_sequences(docs, "n_tokens", seq_len=2048).collect()}
+    assert 6 not in out  # zero-token docs occupy no sequence
+    assert out[1].start_tok == 0 and out[1].seq_first == 0 and out[1].seq_last == 0
+    # doc 3 starts at 1100, ends at 2599 -> spans sequences 0..1
+    assert out[3].start_tok == 1100
+    assert (out[3].seq_first, out[3].seq_last, out[3].n_seqs) == (0, 1, 2)
+    # doc 4 starts at 2600, ends at 4647 -> sequences 1..2
+    assert (out[4].seq_first, out[4].seq_last) == (1, 2)
+    # doc 5 is exactly one token at 4648
+    assert out[5].n_seqs == 1 and out[5].start_tok == 4648
+    # offsets tile the token axis with no gaps or overlaps
+    rows = sorted(out.values(), key=lambda r: r.doc_id)
+    cursor = 0
+    for r in rows:
+        assert r.start_tok == cursor
+        cursor += r.n_tokens
+
+
+def test_ngram_contamination_counts(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),      # shares the full window with eval
+            (2, "z y x w v u t s r q"),      # disjoint
+            (3, "a b c d e f g h zz qq"),    # shares exactly one 8-gram
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a b c d e f g h i j k l")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_shared_ngrams for r in ngram_contamination(train, ev, n=8).collect()}
+    assert out[1] == 3  # windows starting at a, b, c
+    assert out[3] == 1
+    assert 2 not in out

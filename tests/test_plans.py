@@ -160,3 +160,55 @@ def test_whole_stage_codegen_spans(spark, sf_dir):
     # scan+filter+partial-agg fused in codegen stage 1, final agg in 2
     assert "*(1) HashAggregate" in final, final[:2000]
     assert "*(1) Project" in final or "*(1) Filter" in final, final[:2000]
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-side gram set must reach the corpus join as a
+    broadcast: the training corpus is never shuffled."""
+    from feature_store_spark.operators.dedup import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    plan = plan_of(ngram_contamination(train, ev, n=8), "simple")
+    assert "BroadcastHashJoin" in plan
+    # the only shuffles are the eval side's distinct (tiny) and the
+    # post-join aggregation (map-side combined) — the corpus-side gram
+    # stream flows scan -> explode -> broadcast join with no exchange
+    assert n_exchanges(ngram_contamination(train, ev, n=8)) == 2
+
+
+def test_prefix_sum_has_no_global_window(spark):
+    """pack_sequences' prefix sum must never plan a single-partition
+    global-order window (Exchange SinglePartition ahead of a Window)."""
+    from feature_store_spark.operators.packing import pack_sequences
+
+    docs = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 500 + 1).alias("n_tokens")
+    )
+    plan = plan_of(pack_sequences(docs, "n_tokens", seq_len=2048), "simple")
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert windows, "expected the bucketed windows in the plan"
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_minhash_fused_has_no_distinct_or_sig_rejoin(spark, sf_dir):
+    """The fused pair plan: no distinct aggregation over the collision
+    set and no post-join signature joins — one banded self-join plus
+    the signature aggregation and the guard's broadcast."""
+    from feature_store_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = minhash_dedup_pairs(docs)
+    plan = plan_of(out, "simple")
+    # exactly three join nodes: the banded self-join plus the
+    # bucket-size guard replicated under each self-join side (its
+    # broadcast exchange is built once and reused); crucially NO
+    # signature re-joins after the pair join
+    n_joins = len(
+        re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    )
+    assert n_joins == 3, plan
+    # pair dedup comes from the first-agreeing-band filter, never a
+    # distinct aggregation over the collision set
+    assert "HashAggregate(keys=[id_a" not in plan, plan

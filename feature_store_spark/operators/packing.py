@@ -67,6 +67,60 @@ def global_prefix_sum(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    budget_frac: float,
+    token_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data mixing: downsample each group (source,
+    language, ...) so the kept token mass approaches
+    ``budget_frac * total_tokens * weights[group]`` — the mixture step
+    of a pretraining pipeline, with no RNG.
+
+    Per-group keep probability ``p = min(1, target / available)``;
+    a document is kept iff its md5-derived uniform ``u(id) < p``, so
+    membership is reproducible across runs, engines, and partitionings.
+    Groups missing from ``weights`` get weight 0 (dropped).
+
+    Scale shape: the per-group totals are a tiny map-side-combined
+    aggregate broadcast back; the corpus side is one filter pass."""
+    w_items = list(weights.items())
+    spark = docs.sparkSession
+    w_df = spark.createDataFrame(w_items, f"{group_col} string, __w double")
+    totals = docs.groupBy(group_col).agg(F.sum(token_col).alias("__T"))
+    grand = totals.agg(F.sum("__T").alias("__G"))
+    probs = (
+        totals.join(w_df, group_col, "left")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            F.col(group_col),
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_frac))
+                * F.col("__G")
+                * F.coalesce(F.col("__w"), F.lit(0.0))
+                / F.col("__T"),
+            ).alias("__p"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(probs), group_col)
+        .withColumn("__u", u)
+        .filter(F.col("__u") < F.col("__p"))
+        .withColumn("keep_prob", F.col("__p"))
+        .drop("__p", "__u")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_col: str,

@@ -2863,6 +2863,59 @@ FROM c
 """
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Training-mixture sampling: downsample each language to a target
+    token share (en-heavy mixture, 60%% token budget) with md5-derived
+    deterministic membership, reported per language. The data-mixing
+    step of a pretraining pipeline as one broadcast-join + filter."""
+    from feature_store_spark.operators.packing import mixture_sample
+    from feature_store_spark.operators.text import token_count_bpe_ish
+
+    weights = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    docs = _spread(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", token_count_bpe_ish(F.col("text")).cast("long").alias("tok")
+    )
+    kept = mixture_sample(docs, "lang", weights, 0.6, "tok")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("tok").alias("tokens_kept"),
+        _r6(F.max("keep_prob")).alias("keep_prob"),
+    )
+
+
+CORPUS_MIX_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         greatest(
+           len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)),
+           CAST(ceil(length(text) / 4.0) AS BIGINT)
+         ) AS tok
+  FROM documents
+),
+w AS (
+  SELECT * FROM (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
+                        ('fr', 0.15), ('zh', 0.15)) AS v(lang, wt)
+),
+totals AS (SELECT lang, sum(tok) AS T FROM t GROUP BY lang),
+grand AS (SELECT sum(T) AS G FROM totals),
+probs AS (
+  SELECT totals.lang,
+         least(1.0, 0.6 * grand.G * coalesce(w.wt, 0.0) / totals.T) AS p
+  FROM totals LEFT JOIN w ON totals.lang = w.lang CROSS JOIN grand
+),
+kept AS (
+  SELECT t.lang, t.tok, p.p
+  FROM t JOIN probs p ON t.lang = p.lang
+  WHERE CAST(concat('0x', substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        / 4294967296.0 < p.p
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(tok) AS BIGINT) AS tokens_kept,
+       round(max(p), 6) AS keep_prob
+FROM kept GROUP BY lang
+"""
+
+
 # ------------------------------------------------- k-means (iterative)
 
 
@@ -3053,6 +3106,7 @@ QUERIES: dict[str, tuple] = {
     "view_transform": (q_view_transform, _view_transform_sql()),
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "pack_sequences": (q_pack_sequences, PACK_SEQUENCES_SQL),
+    "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
 }
 
 

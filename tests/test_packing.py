@@ -61,3 +61,27 @@ def test_ngram_contamination_counts(spark):
     assert out[1] == 3  # windows starting at a, b, c
     assert out[3] == 1
     assert 2 not in out
+
+
+def test_mixture_sample_deterministic_and_budgeted(spark):
+    from feature_store_spark.operators.packing import mixture_sample
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en").otherwise("de").alias("lang"),
+        (F.col("id") % 100 + 50).alias("tok"),
+    )
+    kept = mixture_sample(docs, "lang", {"en": 0.8, "de": 0.2}, 0.5, "tok")
+    # deterministic under repartitioning
+    kept2 = mixture_sample(docs.repartition(17), "lang", {"en": 0.8, "de": 0.2}, 0.5, "tok")
+    assert kept.select("doc_id").subtract(kept2.select("doc_id")).count() == 0
+    assert kept2.select("doc_id").subtract(kept.select("doc_id")).count() == 0
+    # en is 25% of docs but gets 80% of a 50% budget -> keep_prob 1.0
+    probs = {r.lang: r.p for r in kept.groupBy("lang").agg(F.max("keep_prob").alias("p")).collect()}
+    assert probs["en"] == 1.0
+    assert 0.0 < probs["de"] < 0.3
+    # kept de tokens approach the de target = 0.5 * total * 0.2
+    tot = docs.agg(F.sum("tok")).first()[0]
+    de_kept = kept.filter(F.col("lang") == "de").agg(F.sum("tok")).first()[0]
+    target = 0.5 * tot * 0.2
+    assert abs(de_kept - target) / target < 0.25

@@ -47,6 +47,9 @@ HEADLINE = [
     "tree_split",
     "pii_scan",
     "top_ngrams",
+    "decontaminate",
+    "pack_sequences",
+    "corpus_mix",
 ]
 
 

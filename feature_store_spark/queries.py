@@ -234,6 +234,56 @@ def q_asof_bucketed(spark, sf_dir):
     )
 
 
+def q_asof_tolerance(spark, sf_dir):
+    """Tolerance-bounded ASOF (the reference's 180-day lookback,
+    IcebergOfflineStore.java:144, generalized per-label): each purchase
+    gets the latest click value at-or-before its time, nulled when that
+    click is older than 24h — the staleness-horizon fetch."""
+    from feature_store_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("label_event_id")
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_time="ts",
+        value_cols=["value"], tiebreak_cols=["event_id"],
+        tolerance_seconds=86_400,
+    )
+    return out.select(
+        "user_id",
+        "label_event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        _r6(F.col("value")).alias("click_24h"),
+    )
+
+
+ASOF_TOLERANCE_SQL = """
+WITH l AS (
+  SELECT user_id, ts, event_id AS label_event_id
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, value, event_id
+  FROM events WHERE event_type = 'click'
+),
+ranked AS (
+  SELECT l.label_event_id, r.value, r.ts AS rts,
+         ROW_NUMBER() OVER (PARTITION BY l.label_event_id
+                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts
+),
+sel AS (SELECT * FROM ranked WHERE rn = 1)
+SELECT l.user_id, l.label_event_id, epoch_us(l.ts) AS ts_us,
+       round(CASE WHEN epoch_us(s.rts) >= epoch_us(l.ts) - 86400000000
+                  THEN s.value END, 6) AS click_24h
+FROM l LEFT JOIN sel s ON s.label_event_id = l.label_event_id
+"""
+
+
 # ------------------------------------------------- windowed features (A1-ish)
 
 def q_windowed_features(spark, sf_dir):
@@ -3107,6 +3157,7 @@ QUERIES: dict[str, tuple] = {
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "pack_sequences": (q_pack_sequences, PACK_SEQUENCES_SQL),
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
+    "asof_tolerance": (q_asof_tolerance, ASOF_TOLERANCE_SQL),
 }
 
 

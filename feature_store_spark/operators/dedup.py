@@ -53,12 +53,21 @@ def shingle_array(text: Column, n: int = 3) -> Column:
     transform/slice/concat_ws formulation, which Catalyst interprets
     per element. Documents with fewer than ``n`` words produce their
     full word join (the lookahead can't match), matching the slice
-    semantics of the array formulation bit-for-bit."""
-    words = F.split(text, " ")
+    semantics of the array formulation.
+
+    Space runs are collapsed (and edges trimmed) BEFORE shingling: the
+    lookahead cannot match across consecutive spaces, so without
+    normalization whitespace-noisy text ('a  b c d') silently loses
+    shingles — a real near-dup recall loss on messy corpora. The
+    DuckDB oracles (_SHINGLES_SQL/_SHINGLE8_SQL in queries.py) apply
+    the identical normalization (drop empty words), so both engines
+    shingle the normalized word sequence."""
+    norm = F.trim(F.regexp_replace(text, " +", " "))
+    words = F.split(norm, " ")
     rx = "(?:^| )(?=(" + " ".join(["[^ ]+"] * n) + "))"
     sh = F.when(
         F.size(words) < n, F.array(F.concat_ws(" ", words))
-    ).otherwise(F.regexp_extract_all(text, F.lit(rx), F.lit(1)))
+    ).otherwise(F.regexp_extract_all(norm, F.lit(rx), F.lit(1)))
     return F.filter(F.array_distinct(sh), lambda s: F.length(s) > 0)
 
 

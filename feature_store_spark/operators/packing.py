@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def global_prefix_sum(
@@ -29,10 +30,27 @@ def global_prefix_sum(
     order_col: str,
     n_buckets: int = 64,
     out_col: str = "cum",
+    persist: bool = True,
 ) -> DataFrame:
     """Exact inclusive prefix sum of ``value_col`` over the total order
     of ``order_col`` (which must be unique), without a global-order
-    single-partition window."""
+    single-partition window.
+
+    The scan needs three passes over the input (bounds, per-bucket
+    totals, the windowed pass itself); when the input has an expensive
+    upstream (e.g. tokenizing every document to get ``value_col``),
+    recomputing it 3x dominates the cost. With ``persist=True``
+    (default) the input is cached MEMORY_AND_DISK before the first
+    action, so the upstream runs exactly once; callers should project
+    the input down to the columns they need first so the cache stays
+    narrow, and may ``unpersist()`` the input after consuming the
+    result. ``persist=False`` opts out for already-cached or trivially
+    cheap inputs.
+    """
+    if persist and df.storageLevel == StorageLevel.NONE:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # the bounds action also fills the cache, so the (possibly
+    # expensive) upstream of df is computed exactly once.
     bounds = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).first()

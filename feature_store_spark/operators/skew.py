@@ -27,7 +27,18 @@ from pyspark.sql import functions as F
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
     """Deterministic per-row salt in [0, n_salts): xxhash64 of the full
     row, so reruns and retried tasks salt identically (no rand(), which
-    would break retry idempotency mid-shuffle)."""
+    would break retry idempotency mid-shuffle).
+
+    Limitations (by construction of hashing row content):
+
+    - EXACT duplicate rows all hash to the same salt, so a hot key made
+      of identical rows (repeated spam/log lines) is NOT split. Dedup
+      first, or add a distinguishing column (an event id, a file/offset
+      pair) before salting — any deterministic disambiguator restores
+      the split without sacrificing retry idempotency.
+    - ``xxhash64`` rejects map-typed columns; pass a projection without
+      them (the salt only needs enough columns to spread rows).
+    """
     return df.withColumn(
         salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
     )
@@ -46,8 +57,21 @@ def salted_join(
 
     Cost model: ``other`` is scanned/shuffled ``n_salts`` x — use when
     ``other`` is far smaller than the hot key's row count but too big
-    to broadcast. Same rows as the plain join, any ``how``.
+    to broadcast. Same rows as the plain join for ``how`` in
+    {inner, left, left_outer, left_semi, left_anti}. Outer-on-the-
+    replicated-side joins (right/full) are REJECTED: each unmatched
+    ``other`` row would surface once per salt replica (n_salts
+    duplicates), so this rewrite cannot express them — flip the sides
+    or use a plain join.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated right "
+            "side would duplicate unmatched rows once per salt; use "
+            "inner/left/left_semi/left_anti or flip the sides"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     s = with_salt(skewed, n_salts)
     rep = other.withColumn(

@@ -144,6 +144,7 @@ def q_stream_sessions(spark, sf_dir):
     later in-batch event exceeds the 1-day gap OR the final watermark
     (max ts) passes last+gap — exactly the SQL predicate
     `session_end + gap <= max(ts)`."""
+    import shutil
     import tempfile
 
     from feature_store_spark.streaming.stateful import sessionize_stream
@@ -175,7 +176,15 @@ def q_stream_sessions(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_sessions: availableNow stream did not finish in 300s; "
+            "refusing to grade a partial memory sink"
+        )
+    # the memory sink lives in driver memory; the parquet fixture copy
+    # and checkpoint are no longer needed once the query terminated
+    shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select(
         F.col("entity_id").alias("user_id"),
         F.unix_micros("session_start").alias("start_us"),
@@ -1127,7 +1136,9 @@ _SHINGLES_SQL = """
   SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
   FROM (
     SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 2))) AS i
-    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+          FROM corpus)
   )
   WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
 """
@@ -2852,7 +2863,9 @@ _SHINGLE8_SQL = """
   SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g
   FROM (
     SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 2))) AS i
-    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src})
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+          FROM {src})
   )
   WHERE length(array_to_string(ws[i:i+7], ' ')) > 0
 """
@@ -3046,6 +3059,7 @@ def q_stream_dedup(spark, sf_dir):
     aggregation (availableNow, complete mode) — the stateful
     first-seen-wins dedup a continuous ingestion pipeline runs — and
     must produce the batch dedup answer."""
+    import shutil
     import tempfile
 
     corpus = _mutated_corpus(spark, sf_dir, exact=True)
@@ -3072,7 +3086,13 @@ def q_stream_dedup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_dedup: availableNow stream did not finish in 300s; "
+            "refusing to grade a partial memory sink"
+        )
+    shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)
 
 
@@ -3082,57 +3102,17 @@ STREAM_DEDUP_SQL = DEDUP_EXACT_SQL
 
 # ------------------------------------------------- registry
 
+# Ordering note: the driver's correctness gate grades the FIRST 50
+# entries of this dict.  Every catalog query must earn a green driver
+# row at least once, so the order rotates per round:
+#   round 3 window = the 25 round-2 additions that had no driver row in
+#   CORRECTNESS_r02 (knn_classify .. asof_tolerance), new round-3
+#   queries, then flagship representatives of already-driver-green ops.
+#   The 31 tail entries below the window ALL have green rows in
+#   CORRECTNESS_r02.json; they keep their pytest oracle coverage
+#   (tests/test_queries_oracle.py parametrizes the whole dict).
 QUERIES: dict[str, tuple] = {
-    "pricing_summary": (q_pricing_summary, PRICING_SQL),
-    "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
-    "top_customers": (q_top_customers, TOP_CUSTOMERS_SQL),
-    "topk_events_global": (q_topk_events_global, TOPK_GLOBAL_SQL),
-    "topk_events_per_user": (q_topk_events_per_user, TOPK_PER_USER_SQL),
-    "point_lookup": (q_point_lookup, POINT_LOOKUP_SQL),
-    "asof_features": (q_asof_features, ASOF_SQL),
-    "asof_bucketed": (q_asof_bucketed, ASOF_SQL),
-    "stream_sessions": (q_stream_sessions, STREAM_SESSIONS_SQL),
-    "windowed_features": (q_windowed_features, WINDOWED_SQL),
-    "serving_assembly": (q_serving_assembly, SERVING_SQL),
-    "staleness": (q_staleness, STALENESS_SQL),
-    "feature_stats": (q_feature_stats, STATS_SQL),
-    "histogram": (q_histogram, HISTOGRAM_SQL),
-    "quantile_label": (q_quantile_label, QUANTILE_LABEL_SQL),
-    "schema_hash": (q_schema_hash, SCHEMA_HASH_SQL),
-    "hash_bucket": (q_hash_bucket, HASH_BUCKET_SQL),
-    "melt_customer": (q_melt_customer, MELT_SQL),
-    "pivot_events": (q_pivot_events, PIVOT_SQL),
-    "train_test_split": (q_train_test_split, SPLIT_SQL),
-    "sessionize": (q_sessionize, SESSIONIZE_SQL),
-    "tree_score_topk": (q_tree_score_topk, _tree_score_sql()),
-    "tree_score_large": (q_tree_score_large, _tree_score_large_sql()),
-    "auc_roc": (q_auc_roc, AUC_SQL),
-    "confusion": (q_confusion, CONFUSION_SQL),
-    "logloss": (q_logloss, LOGLOSS_SQL),
-    "ndcg_at_5": (q_ndcg, NDCG_SQL),
-    "map_ranking": (q_map, MAP_SQL),
-    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
-    "minhash_signatures": (q_minhash_signatures, MINHASH_SIGS_SQL),
-    "minhash_pairs": (q_minhash_pairs, MINHASH_PAIRS_SQL),
-    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
-    "simhash": (q_simhash, SIMHASH_SQL),
-    "embedding_topk": (q_embedding_topk, EMB_TOPK_SQL),
-    "lsh_bucket_topk": (q_lsh_bucket_topk, LSH_TOPK_SQL),
-    "embedding_centroids": (q_embedding_centroids, EMB_CENTROIDS_SQL),
-    "ivf_assign": (q_ivf_assign, IVF_ASSIGN_SQL),
-    "token_stats": (q_token_stats, TOKEN_STATS_SQL),
-    "quality_scores": (q_quality_scores, QUALITY_SQL),
-    "lang_id": (q_lang_id, LANG_ID_SQL),
-    "doc_fingerprints": (q_doc_fingerprints, FINGERPRINT_SQL),
-    "curation_pipeline": (q_curation_pipeline, CURATION_SQL),
-    "multimodal_meta": (q_multimodal_meta, MULTIMODAL_SQL),
-    "serving_fallback": (q_serving_fallback, SERVING_FALLBACK_SQL),
-    "risk_tiers": (q_risk_tiers, _risk_tiers_sql()),
-    "group_cv_split": (q_group_cv_split, GROUP_CV_SQL),
-    "default_rate": (q_default_rate, DEFAULT_RATE_SQL),
-    "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),
-    "simhash_pigeonhole": (q_simhash_pigeonhole, SIMHASH_PIGEONHOLE_SQL),
-    "embedding_near_dup": (q_embedding_near_dup, EMB_NEAR_DUP_SQL),
+    # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
     "score_split_topk": (q_score_split_topk, _score_split_sql()),
@@ -3158,6 +3138,59 @@ QUERIES: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, PACK_SEQUENCES_SQL),
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
     "asof_tolerance": (q_asof_tolerance, ASOF_TOLERANCE_SQL),
+    # --- round-3 additions land here (inside the window) ---
+    # --- flagship representatives of driver-green ops (window fill) ---
+    "pricing_summary": (q_pricing_summary, PRICING_SQL),
+    "asof_features": (q_asof_features, ASOF_SQL),
+    "stream_sessions": (q_stream_sessions, STREAM_SESSIONS_SQL),
+    "windowed_features": (q_windowed_features, WINDOWED_SQL),
+    "serving_assembly": (q_serving_assembly, SERVING_SQL),
+    "schema_hash": (q_schema_hash, SCHEMA_HASH_SQL),
+    "tree_score_topk": (q_tree_score_topk, _tree_score_sql()),
+    "tree_score_large": (q_tree_score_large, _tree_score_large_sql()),
+    "auc_roc": (q_auc_roc, AUC_SQL),
+    "ndcg_at_5": (q_ndcg, NDCG_SQL),
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "minhash_pairs": (q_minhash_pairs, MINHASH_PAIRS_SQL),
+    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "simhash_pigeonhole": (q_simhash_pigeonhole, SIMHASH_PIGEONHOLE_SQL),
+    "embedding_topk": (q_embedding_topk, EMB_TOPK_SQL),
+    "ivf_assign": (q_ivf_assign, IVF_ASSIGN_SQL),
+    "lang_id": (q_lang_id, LANG_ID_SQL),
+    "curation_pipeline": (q_curation_pipeline, CURATION_SQL),
+    "multimodal_meta": (q_multimodal_meta, MULTIMODAL_SQL),
+    # --- rotation tail: all driver-green in CORRECTNESS_r02.json ---
+    "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
+    "top_customers": (q_top_customers, TOP_CUSTOMERS_SQL),
+    "topk_events_global": (q_topk_events_global, TOPK_GLOBAL_SQL),
+    "topk_events_per_user": (q_topk_events_per_user, TOPK_PER_USER_SQL),
+    "point_lookup": (q_point_lookup, POINT_LOOKUP_SQL),
+    "asof_bucketed": (q_asof_bucketed, ASOF_SQL),
+    "staleness": (q_staleness, STALENESS_SQL),
+    "feature_stats": (q_feature_stats, STATS_SQL),
+    "histogram": (q_histogram, HISTOGRAM_SQL),
+    "quantile_label": (q_quantile_label, QUANTILE_LABEL_SQL),
+    "hash_bucket": (q_hash_bucket, HASH_BUCKET_SQL),
+    "melt_customer": (q_melt_customer, MELT_SQL),
+    "pivot_events": (q_pivot_events, PIVOT_SQL),
+    "train_test_split": (q_train_test_split, SPLIT_SQL),
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),
+    "confusion": (q_confusion, CONFUSION_SQL),
+    "logloss": (q_logloss, LOGLOSS_SQL),
+    "map_ranking": (q_map, MAP_SQL),
+    "minhash_signatures": (q_minhash_signatures, MINHASH_SIGS_SQL),
+    "simhash": (q_simhash, SIMHASH_SQL),
+    "simhash_pairs": (q_simhash_pairs, SIMHASH_PAIRS_SQL),
+    "lsh_bucket_topk": (q_lsh_bucket_topk, LSH_TOPK_SQL),
+    "embedding_centroids": (q_embedding_centroids, EMB_CENTROIDS_SQL),
+    "embedding_near_dup": (q_embedding_near_dup, EMB_NEAR_DUP_SQL),
+    "token_stats": (q_token_stats, TOKEN_STATS_SQL),
+    "quality_scores": (q_quality_scores, QUALITY_SQL),
+    "doc_fingerprints": (q_doc_fingerprints, FINGERPRINT_SQL),
+    "serving_fallback": (q_serving_fallback, SERVING_FALLBACK_SQL),
+    "risk_tiers": (q_risk_tiers, _risk_tiers_sql()),
+    "group_cv_split": (q_group_cv_split, GROUP_CV_SQL),
+    "default_rate": (q_default_rate, DEFAULT_RATE_SQL),
 }
 
 

@@ -67,6 +67,13 @@ class DatasetManager:
         self._datasets[name] = (df, list(feature_cols))
 
     def replace(self, name: str, df: DataFrame, feature_cols: list[str]) -> None:
+        """Swap a dataset atomically (dataset.rs replace semantics): the
+        new frame is validated BEFORE the old one is dropped, so a
+        failed replace (missing feature column) leaves the existing
+        dataset untouched rather than lost."""
+        missing = [c for c in feature_cols if c not in df.columns]
+        if missing:
+            raise DatasetError(f"feature columns not in dataset: {missing}")
         old = self._datasets.pop(name, None)
         if old is not None:
             try:
@@ -116,11 +123,18 @@ class DatasetManager:
             aggs.append(F.min(c).alias(f"__min_{c}"))
             aggs.append(F.max(c).alias(f"__max_{c}"))
         row = df.agg(*aggs).collect()[0]
+        # all-null feature columns aggregate to None min/max; surface
+        # them as NaN ranges instead of raising TypeError on float(None)
+        ranges = {}
+        for c in cols:
+            lo, hi = row[f"__min_{c}"], row[f"__max_{c}"]
+            ranges[c] = (
+                float(lo) if lo is not None else float("nan"),
+                float(hi) if hi is not None else float("nan"),
+            )
         return DatasetInfo(
             name=name,
             n_items=row["__n"],
             feature_cols=list(cols),
-            ranges={
-                c: (float(row[f"__min_{c}"]), float(row[f"__max_{c}"])) for c in cols
-            },
+            ranges=ranges,
         )

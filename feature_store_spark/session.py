@@ -76,19 +76,40 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one of the driver's synthetic parquet tables, converting
-    TIMESTAMP(NANOS) columns (read as nano longs) back to timestamps.
+    """Load one of the driver's synthetic parquet tables, normalizing
+    timestamp columns to plain TIMESTAMP (session-tz UTC):
 
-    Integer ``div`` (not ``/``): nanosecond epochs ~1.7e18 exceed
-    double's exact-integer range, so float division would corrupt the
-    low microseconds.
+    - TIMESTAMP(NANOS) columns (read as nano longs under nanosAsLong)
+      are converted back to timestamps. Integer ``div`` (not ``/``):
+      nanosecond epochs ~1.7e18 exceed double's exact-integer range, so
+      float division would corrupt the low microseconds.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) columns, which Spark 4
+      infers as TIMESTAMP_NTZ, are converted to TIMESTAMP with the
+      wall-clock interpreted as UTC — exactly how DuckDB's
+      naive-timestamp ``epoch_us`` reads the same bytes. The
+      ``convert_timezone('UTC', current_timezone(), ...)`` hop before
+      the cast makes this hold under ANY session timezone (a bare cast
+      would re-interpret the wall-clock in session-local time). Without
+      this every ``unix_micros``/watermark expression downstream fails
+      on NTZ, and the fix must live here (not in session config)
+      because the grading driver supplies its own SparkSession.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(
+                field.name,
+                F.expr(
+                    f"cast(convert_timezone('UTC', current_timezone(),"
+                    f" `{field.name}`) as timestamp)"
+                ),
+            )
     return df
 
 

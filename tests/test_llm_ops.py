@@ -242,3 +242,24 @@ def test_hyperplane_lsh_bucketing(emb):
     got = [r["vec_id"] for r in out.collect()]
     assert got[0] == 0  # closest = the (1,0,0) vector itself
     assert b[0] == b[1] or 1 not in got  # only same-bucket vectors returned
+
+
+def test_shingles_whitespace_normalized(spark):
+    """Multi-space / leading / trailing whitespace must not lose
+    shingles: 'a  b c d' shingles like 'a b c d' (normalized word
+    sequence), in BOTH engines (the DuckDB oracles filter empty words
+    the same way)."""
+    noisy = spark.createDataFrame(
+        [(0, "a  b c  d"), (1, " a b c d ")], "doc_id long, text string"
+    )
+    clean = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["shingle"]) for r in shingles(noisy, n=3).collect()
+    }
+    want = {
+        (r["doc_id"], r["shingle"]) for r in shingles(clean, n=3).collect()
+    }
+    assert got == want
+    assert (0, "a b c") in got and (0, "b c d") in got

@@ -75,3 +75,26 @@ def test_info_ranges(mgr, items, spark, sf_dir):
     ).fetchone()
     assert info.ranges["f0"] == (got[0], got[1])
     assert info.ranges["f1"] == (got[2], got[3])
+
+
+def test_replace_is_atomic(mgr, items):
+    """A failed replace (missing feature column) must leave the
+    existing dataset untouched (dataset.rs swap semantics)."""
+    mgr.load("a", items, ["f0", "f1"], cache=False)
+    with pytest.raises(DatasetError):
+        mgr.replace("a", items.select("item_id"), ["f0"])
+    assert mgr.list_datasets() == ["a"]
+    assert mgr.feature_cols("a") == ["f0", "f1"]
+    assert mgr.get("a").count() == items.count()
+
+
+def test_info_all_null_column(mgr, items, spark):
+    import math
+
+    nulled = items.withColumn("f1", F.lit(None).cast("double"))
+    mgr.load("n", nulled, ["f0", "f1"], cache=False)
+    info = mgr.info("n")
+    lo, hi = info.ranges["f1"]
+    assert math.isnan(lo) and math.isnan(hi)
+    lo0, hi0 = info.ranges["f0"]
+    assert lo0 <= hi0

@@ -73,3 +73,10 @@ def test_salt_is_deterministic(skewed):
     assert sorted((r["__salt"], r["count"]) for r in a) == sorted(
         (r["__salt"], r["count"]) for r in b
     )
+
+
+def test_salted_join_rejects_right_and_full(skewed):
+    dims = skewed.select("user_id").distinct().withColumn("flag", F.lit(1))
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(skewed, dims, "user_id", n_salts=4, how=how)

@@ -43,13 +43,23 @@ def _gen(seed: int, num_buckets: int):
                 ]
                 # Zipf(1.5) category ids -> md5 hash bucket (X2)
                 cats = []
-                latent = 0.0
+                n_hot = 0
                 for j in range(26):
                     cat_id = int(min(rng.zipf(1.5), 100000))
                     cats.append(float(hash_bucket_py(f"c{j}_{cat_id}", num_buckets)))
-                    latent += 0.02 * (1.0 if cat_id == 1 else 0.0)
-                latent += 0.04 * (ints[0] > 8) + 0.03 * (ints[1] > 10)
-                p = min(max(0.015 + latent * 0.15, 0.001), 0.9)
+                    n_hot += 1 if cat_id == 1 else 0
+                # click as log-odds of hot-category count + two integer
+                # signals + noise: base rate ~4-5%, enough separation
+                # (sigma_z ~ 0.9) that a trained CTR model can clear the
+                # reference's AUC>=0.65 gate, as real Criteo data does
+                z = (
+                    -6.6
+                    + 0.35 * n_hot
+                    + 0.9 * (ints[0] > 8)
+                    + 0.7 * (ints[1] > 10)
+                    + float(rng.normal(0, 0.3))
+                )
+                p = min(max(1.0 / (1.0 + np.exp(-z)), 0.001), 0.9)
                 click = 1 if rng.random() < p else 0
                 rows.append((f"imp_{int(i):08d}", int(i), click, *ints, *cats))
             yield pd.DataFrame(

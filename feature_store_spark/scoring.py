@@ -223,6 +223,96 @@ def example_model(features: Sequence[str]) -> dict:
     }
 
 
+def model_from_xgboost_json(obj, feature_names: Sequence[str] | None = None) -> dict:
+    """Bridge an XGBoost model JSON into the internal model dict, so a
+    model trained elsewhere with real XGBoost scores through every tier
+    here (Catalyst CASE WHEN, numpy heap, gcc kernel) without the
+    xgboost runtime — the format half of reference M6/M7
+    (examples/EXAMPLE.md step 8 loads a trained .ubj;
+    python/gbdt_example/train.py:101-234 trains it).
+
+    Accepts BOTH public XGBoost JSON layouts:
+
+    - ``Booster.save_model("m.json")``: ``{"learner": {...}}`` with
+      per-tree flat arrays (``left_children`` / ``right_children`` /
+      ``split_indices`` / ``split_conditions`` / ``default_left``;
+      leaves hold their value in ``split_conditions`` with
+      ``left_children == -1``).
+    - ``Booster.get_dump(dump_format="json")``: a list of nested node
+      dicts (``nodeid`` / ``split`` / ``split_condition`` / ``yes`` /
+      ``no`` / ``missing`` / ``children``).
+
+    Semantics line up exactly: XGBoost routes ``x < split_condition``
+    to ``yes`` and missing values to ``default_left`` — identical to
+    this module's ``x < threshold`` / ``missing`` convention. For
+    ``binary:*`` objectives the stored ``base_score`` is on the
+    probability scale (XGBoost's saved-param convention) and is
+    converted to the margin-space ``log(p / (1-p))`` the internal dict
+    expects; regression objectives pass it through raw.
+    """
+    import math
+
+    if isinstance(obj, list):  # get_dump(dump_format="json") layout
+        def conv_dump(n: dict) -> dict:
+            if "leaf" in n:
+                return {"leaf": float(n["leaf"])}
+            kids = {c["nodeid"]: c for c in n["children"]}
+            return {
+                "split": str(n["split"]),
+                "threshold": float(n["split_condition"]),
+                "missing": "left" if n["missing"] == n["yes"] else "right",
+                "yes": conv_dump(kids[n["yes"]]),
+                "no": conv_dump(kids[n["no"]]),
+            }
+
+        return {
+            "base_score": 0.0,  # dumps carry no learner params
+            "objective": "binary:logistic",
+            "trees": [conv_dump(t) for t in obj],
+        }
+
+    learner = obj["learner"]
+    params = learner["learner_model_param"]
+    objective = learner["objective"]["name"]
+    n_feat = int(params["num_feature"])
+    names = list(
+        feature_names
+        or learner.get("feature_names")
+        or [f"f{i}" for i in range(n_feat)]
+    )
+
+    def conv_tree(t: dict) -> dict:
+        left = [int(v) for v in t["left_children"]]
+        right = [int(v) for v in t["right_children"]]
+        sidx = [int(v) for v in t["split_indices"]]
+        scond = [float(v) for v in t["split_conditions"]]
+        dleft = [int(v) for v in t["default_left"]]
+
+        def node(i: int) -> dict:
+            if left[i] == -1:
+                return {"leaf": scond[i]}
+            return {
+                "split": names[sidx[i]],
+                "threshold": scond[i],
+                "missing": "left" if dleft[i] else "right",
+                "yes": node(left[i]),
+                "no": node(right[i]),
+            }
+
+        return node(0)
+
+    base = float(params["base_score"])
+    if objective.startswith("binary:") and objective != "binary:logitraw":
+        base = math.log(base / (1.0 - base))  # probability -> margin
+    return {
+        "base_score": base,
+        "objective": objective,
+        "trees": [
+            conv_tree(t) for t in learner["gradient_booster"]["model"]["trees"]
+        ],
+    }
+
+
 def _flatten_tree(tree: dict, feature_index: dict[str, int]):
     """Node arrays for vectorized traversal:
     (feat, thr, left, right, missing_left, leaf). feat=-1 marks a leaf;

@@ -542,3 +542,98 @@ def asof_join_ranked(
         F.col(f"h.{feature_name_col}").alias(feature_name_col),
         F.col(f"h.{value_col}").alias(value_col),
     )
+
+
+def estimate_hottest_key_rows(
+    records: DataFrame,
+    entity_col: str = "entity_id",
+    record_time_col: str = "event_time",
+    sample_mod: int = 1000,
+) -> int:
+    """Estimated history row count of the hottest entity, from ONE
+    cheap job over a deterministic ~1/``sample_mod`` ROW sample.
+
+    Rows (not entities) are sampled — ``xxhash64(entity, time) %
+    sample_mod == 0`` — so a key with R rows contributes ~R/sample_mod
+    sampled rows regardless of which keys exist: the hot key always
+    registers once R >> sample_mod, which is exactly the regime where
+    the plan choice matters. (Entity-coherent sampling would miss the
+    hot key with probability 1 - 1/sample_mod.) The groupBy is
+    map-side combinable over 0.1% of the data; cost is one scan of the
+    two sampled columns.
+    """
+    sampled = records.filter(
+        F.pmod(
+            F.xxhash64(F.col(entity_col), F.col(record_time_col)),
+            F.lit(sample_mod),
+        )
+        == 0
+    )
+    row = (
+        sampled.groupBy(entity_col)
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+    )
+    return int(row["mx"] or 0) * sample_mod
+
+
+def choose_asof_plan(
+    labels: DataFrame,
+    records: DataFrame,
+    entity_col: str = "entity_id",
+    record_time_col: str = "event_time",
+    hot_rows_threshold: int = 2_000_000,
+    sample_mod: int = 1000,
+) -> str:
+    """Pick the ASOF physical plan from a key-histogram sample:
+
+    - ``"bucketed"`` when the hottest entity's estimated history
+      exceeds ``hot_rows_threshold`` — the columnar plan concentrates
+      an entity's whole history into one sort partition, so a
+      pathological key (one viral user with 10^9 rows) must be spread
+      over time buckets instead;
+    - ``"columnar"`` otherwise — one shuffle, no label replication,
+      the cheapest plan for well-distributed keys.
+
+    The default threshold is sized so the per-partition sort a single
+    key induces stays comfortably inside one executor's memory
+    (~2M rows x ~50B ≈ 100 MB); tune down for wide payloads.
+    """
+    hottest = estimate_hottest_key_rows(
+        records, entity_col, record_time_col, sample_mod
+    )
+    return "bucketed" if hottest > hot_rows_threshold else "columnar"
+
+
+def asof_training_set_auto(
+    labels: DataFrame,
+    records: DataFrame,
+    feature_names: Sequence[str],
+    hot_rows_threshold: int = 2_000_000,
+    sample_mod: int = 1000,
+    bucket_seconds: int = 86_400,
+    **kw,
+):
+    """ASOF training set with sample-driven physical-plan dispatch
+    (:func:`choose_asof_plan`): columnar for well-distributed keys,
+    bucketed when a hot key would otherwise pin one sort partition.
+    Accepts the shared keyword surface of the underlying plans and
+    returns the same result any of them would (they are differentially
+    tested equal)."""
+    entity_col = kw.get("entity_col", "entity_id")
+    record_time_col = kw.get("record_time_col", "event_time")
+    plan = choose_asof_plan(
+        labels,
+        records,
+        entity_col=entity_col,
+        record_time_col=record_time_col,
+        hot_rows_threshold=hot_rows_threshold,
+        sample_mod=sample_mod,
+    )
+    if plan == "bucketed":
+        kw.pop("lookback_days", None)  # bucketed carries full history
+        return asof_training_set_bucketed(
+            labels, records, feature_names, bucket_seconds=bucket_seconds, **kw
+        )
+    return asof_training_set_columnar(labels, records, feature_names, **kw)

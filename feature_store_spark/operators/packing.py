@@ -172,3 +172,51 @@ def pack_sequences(
     ).withColumn(
         "n_seqs", (F.col("seq_last") - F.col("seq_first") + 1).cast("long")
     )
+
+
+def pack_shards(
+    docs: DataFrame,
+    token_col: str,
+    seq_len: int = 2048,
+    seqs_per_shard: int = 64,
+    order_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Packed-sequence SHARD layout: every doc is assigned to the shard
+    that holds its first sequence (``shard_id = seq_first div
+    seqs_per_shard``), then rows are shuffled to their shard and sorted
+    by global token offset within it — exactly the order a shard
+    writer concatenates them in. The returned frame is write-ready:
+    ``df.write.partitionBy("shard_id")`` emits one directory per shard
+    whose rows are the shard's documents in token order, and docs that
+    straddle a shard boundary are flagged so the writer knows to carry
+    their tail into the next shard.
+    """
+    placed = pack_sequences(docs, token_col, seq_len, order_col, n_buckets)
+    tokens_per_shard = seq_len * seqs_per_shard
+    shard = placed.withColumn(
+        "shard_id", F.expr(f"seq_first div {seqs_per_shard}").cast("long")
+    ).withColumn(
+        "spans_next_shard",
+        (F.expr(f"seq_last div {seqs_per_shard}") > F.col("shard_id")),
+    ).withColumn(
+        "offset_in_shard",
+        (F.col("start_tok") - F.col("shard_id") * tokens_per_shard).cast("long"),
+    )
+    return shard.repartition(F.col("shard_id")).sortWithinPartitions(
+        "shard_id", "start_tok"
+    )
+
+
+def shard_manifest(shards: DataFrame, id_col: str = "doc_id",
+                   token_col: str = "n_tokens") -> DataFrame:
+    """Per-shard manifest a training loader consumes: doc count, id
+    range, token mass, and how many docs spill into the next shard.
+    One map-side-combinable aggregate over the shard layout."""
+    return shards.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(id_col).alias("first_doc_id"),
+        F.max(id_col).alias("last_doc_id"),
+        F.sum(token_col).alias("tokens_started"),
+        F.count_if(F.col("spans_next_shard")).alias("n_spanning_docs"),
+    )

@@ -107,6 +107,29 @@ def q_asof_features(spark, sf_dir):
     )
 
 
+def q_asof_auto(spark, sf_dir):
+    """Point-in-time training set via sample-driven plan dispatch
+    (J1 auto): choose_asof_plan estimates the hottest entity's history
+    from a 1/1000 row sample and picks bucketed only when a key would
+    pin one sort partition — on this data it dispatches to the
+    columnar plan. Same answer as asof_features by construction."""
+    from feature_store_spark.operators.asof import asof_training_set_auto
+
+    labels = _purchase_labels(spark, sf_dir)
+    records = _events_eav(spark, sf_dir)
+    wide = asof_training_set_auto(
+        labels, records, EVENT_TYPES,
+        tiebreak_cols=["rec_event_id"], lookback_days=None,
+    )
+    return wide.select(
+        F.col("entity_id").alias("user_id"),
+        F.col("label_event_id"),
+        F.unix_micros("event_time").alias("label_ts_us"),
+        F.col("label"),
+        *[_r6(F.col(t)).alias(t) for t in EVENT_TYPES],
+    )
+
+
 ASOF_SQL = f"""
 WITH labels AS (
   SELECT event_id AS label_event_id, user_id, ts, value
@@ -2926,6 +2949,71 @@ FROM c
 """
 
 
+def q_pack_shards(spark, sf_dir):
+    """Packed-shard writer layout + manifests: pack the corpus
+    (2048-token sequences), group 64 sequences per shard, shuffle each
+    doc to the shard holding its first sequence, and emit the per-shard
+    manifest a training loader reads (doc count, id range, token mass,
+    boundary-spanning docs). The layout frame itself is write-ready
+    (partitionBy(shard_id), token order within shard — pytest writes it
+    for real); the manifest is the graded, oracle-checkable part."""
+    from feature_store_spark.operators.packing import pack_shards, shard_manifest
+    from feature_store_spark.operators.text import token_count_bpe_ish
+
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    with_tok = docs.select(
+        "doc_id", token_count_bpe_ish(F.col("text")).cast("long").alias("n_tokens")
+    )
+    shards = pack_shards(
+        with_tok, "n_tokens", seq_len=2048, seqs_per_shard=8, n_buckets=32
+    )
+    return shard_manifest(shards).select(
+        "shard_id",
+        "n_docs",
+        "first_doc_id",
+        "last_doc_id",
+        "tokens_started",
+        "n_spanning_docs",
+    )
+
+
+PACK_SHARDS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         greatest(
+           len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)),
+           CAST(ceil(length(text) / 4.0) AS BIGINT)
+         ) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t WHERE n_tokens > 0
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         (cum - n_tokens) // 2048 AS seq_first,
+         (cum - 1) // 2048 AS seq_last
+  FROM c
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         seq_first // 8 AS shard_id,
+         (seq_last // 8 > seq_first // 8) AS spans
+  FROM p
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+       CAST(count(*) FILTER (WHERE spans) AS BIGINT) AS n_spanning_docs
+FROM s GROUP BY shard_id
+"""
+
+
 def q_corpus_mix(spark, sf_dir):
     """Training-mixture sampling: downsample each language to a target
     token share (en-heavy mixture, 60%% token budget) with md5-derived
@@ -3380,6 +3468,8 @@ QUERIES: dict[str, tuple] = {
     "fraud_pipeline": (q_fraud_pipeline, FRAUD_PIPELINE_SQL),
     "mslr_pipeline": (q_mslr_pipeline, MSLR_PIPELINE_SQL),
     "criteo_pipeline": (q_criteo_pipeline, CRITEO_PIPELINE_SQL),
+    "asof_auto": (q_asof_auto, ASOF_SQL),
+    "pack_shards": (q_pack_shards, PACK_SHARDS_SQL),
     # --- flagship representatives of driver-green ops (window fill) ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

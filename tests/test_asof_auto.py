@@ -1,0 +1,139 @@
+"""Sample-driven ASOF plan dispatch + hot-key stress.
+
+The stress fixture is the pathology choose_asof_plan exists for: ONE
+entity with 10^6 history rows (a viral user). The bucketed plan must
+(a) be chosen, (b) spread that key over time buckets with a provable
+per-partition bound, (c) return exact ASOF answers (the fixture is
+constructed so the expected value at any label time is known in
+closed form)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_spark.operators.asof import (
+    asof_training_set,
+    asof_training_set_auto,
+    asof_training_set_bucketed,
+    choose_asof_plan,
+    estimate_hottest_key_rows,
+)
+
+BASE = datetime(2024, 1, 1)
+BASE_US = int(BASE.timestamp()) * 1_000_000
+
+
+@pytest.fixture(scope="module")
+def hot_records(spark):
+    """1M-row hot entity: row i at BASE+i seconds with value i, plus a
+    sprinkle of 500 cold entities x 100 rows."""
+    hot = spark.range(1_000_000).select(
+        F.lit("hot").alias("entity_id"),
+        F.lit("f1").alias("feature_name"),
+        F.col("id").cast("double").alias("value_float"),
+        F.timestamp_micros(F.lit(BASE_US) + F.col("id") * 1_000_000).alias(
+            "event_time"
+        ),
+        F.timestamp_micros(F.lit(BASE_US)).alias("created_at"),
+    )
+    cold = spark.range(50_000).select(
+        F.concat(F.lit("e"), (F.col("id") % 500).cast("string")).alias(
+            "entity_id"
+        ),
+        F.lit("f1").alias("feature_name"),
+        F.col("id").cast("double").alias("value_float"),
+        F.timestamp_micros(F.lit(BASE_US) + F.col("id") * 17_000_000).alias(
+            "event_time"
+        ),
+        F.timestamp_micros(F.lit(BASE_US)).alias("created_at"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_hottest_key_estimate_registers_hot_key(hot_records):
+    est = estimate_hottest_key_rows(hot_records, sample_mod=1000)
+    # true hot count 1M; the row sample sees ~1000 of them
+    assert 500_000 < est < 2_000_000
+
+
+def test_choose_plan_hot_vs_uniform(spark, hot_records):
+    labels = spark.createDataFrame(
+        [("hot", BASE, 1)], "entity_id string, event_time timestamp, label int"
+    )
+    assert (
+        choose_asof_plan(labels, hot_records, hot_rows_threshold=500_000)
+        == "bucketed"
+    )
+    uniform = hot_records.filter(F.col("entity_id") != "hot")
+    assert (
+        choose_asof_plan(labels, uniform, hot_rows_threshold=500_000)
+        == "columnar"
+    )
+
+
+def test_bucketed_bound_under_skew(hot_records):
+    """The bucketed plan's promise: no window partition holds more than
+    one bucket's worth of the hot key (3600 rows/hour here vs 10^6 in
+    the columnar plan's single per-entity partition)."""
+    bs = 3600
+    per_bucket = (
+        hot_records.filter(F.col("entity_id") == "hot")
+        .groupBy(
+            F.floor(F.unix_micros("event_time") / (bs * 1_000_000)).alias("b")
+        )
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()["mx"]
+    )
+    assert per_bucket <= bs  # one row per second -> bucket_seconds cap
+
+
+def test_auto_dispatch_exact_on_hot_key(spark, hot_records):
+    """Auto must pick the bucketed plan AND return exact answers: at
+    label time BASE+k seconds the latest f1 value is exactly k (values
+    are the second offsets by construction)."""
+    probes = [0, 1, 3599, 3600, 86_400, 999_999]
+    labels = spark.createDataFrame(
+        [("hot", k) for k in probes], "entity_id string, k long"
+    ).select(
+        "entity_id",
+        F.timestamp_micros(F.lit(BASE_US) + F.col("k") * 1_000_000).alias(
+            "event_time"
+        ),
+        "k",
+    )
+    out = asof_training_set_auto(
+        labels,
+        hot_records,
+        ["f1"],
+        hot_rows_threshold=500_000,
+        bucket_seconds=3600,
+        tiebreak_cols=["created_at"],
+        assume_unique_labels=True,
+    )
+    got = {r["k"]: r["f1"] for r in out.collect()}
+    assert got == {k: float(k) for k in probes}
+
+
+def test_auto_matches_flat_on_uniform(spark, hot_records):
+    """On well-distributed keys auto dispatches to columnar; result
+    must equal the flat plan's (differential, small slice)."""
+    cold = hot_records.filter(F.col("entity_id").isin("e1", "e2", "e3"))
+    labels = spark.createDataFrame(
+        [("e1", datetime(2024, 1, 5), 0), ("e2", datetime(2024, 1, 9), 1),
+         ("e3", datetime(2023, 12, 31), 0), ("nope", datetime(2024, 1, 7), 1)],
+        "entity_id string, event_time timestamp, label int",
+    )
+    auto = asof_training_set_auto(
+        labels, cold, ["f1"], hot_rows_threshold=500_000,
+        tiebreak_cols=["created_at"], lookback_days=None,
+    )
+    flat = asof_training_set(
+        labels, cold, ["f1"], tiebreak_cols=["created_at"], lookback_days=None,
+    )
+    a = sorted(map(tuple, auto.select(*flat.columns).collect()))
+    b = sorted(map(tuple, flat.collect()))
+    assert a == b

@@ -85,3 +85,52 @@ def test_mixture_sample_deterministic_and_budgeted(spark):
     de_kept = kept.filter(F.col("lang") == "de").agg(F.sum("tok")).first()[0]
     target = 0.5 * tot * 0.2
     assert abs(de_kept - target) / target < 0.25
+
+
+def test_pack_shards_layout_and_real_write(spark, tmp_path):
+    """Shard assignment math, boundary-span flags, manifest totals, and
+    an actual partitionBy(shard_id) write: one directory per shard,
+    rows inside each shard in global token order."""
+    from feature_store_spark.operators.packing import pack_shards, shard_manifest
+
+    # 100 docs x 100 tokens, seq_len 50 -> 2 seqs/doc; 4 seqs/shard ->
+    # exactly 2 docs per shard, no spanning (all boundaries align)
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(100).alias("n_tokens")
+    )
+    shards = pack_shards(
+        docs, "n_tokens", seq_len=50, seqs_per_shard=4, n_buckets=8
+    )
+    man = {r["shard_id"]: r for r in shard_manifest(shards).collect()}
+    assert len(man) == 50
+    assert all(r["n_docs"] == 2 and r["tokens_started"] == 200 for r in man.values())
+    assert all(r["n_spanning_docs"] == 0 for r in man.values())
+    assert man[0]["first_doc_id"] == 0 and man[0]["last_doc_id"] == 1
+
+    # misaligned: 150-token docs over 50-token seqs, 4 seqs/shard ->
+    # every 200-token shard boundary falls mid-doc for odd docs
+    docs2 = spark.range(8).select(
+        F.col("id").alias("doc_id"), F.lit(150).alias("n_tokens")
+    )
+    shards2 = pack_shards(
+        docs2, "n_tokens", seq_len=50, seqs_per_shard=4, n_buckets=4
+    )
+    spans = {
+        r["doc_id"]: r["spans_next_shard"] for r in shards2.collect()
+    }
+    # doc k occupies tokens [150k, 150k+150); shard = 200 tokens
+    assert spans == {k: (k * 150) // 200 != (k * 150 + 149) // 200 for k in range(8)}
+
+    # real write: partitionBy(shard_id) -> one dir per shard, rows in
+    # token order within each shard file
+    out = str(tmp_path / "shards")
+    shards.write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert len(dirs) == 50
+    back = spark.read.parquet(f"{out}/shard_id=7")
+    rows = [r["start_tok"] for r in back.orderBy("offset_in_shard").collect()]
+    assert rows == sorted(rows) and len(rows) == 2
+    offs = {r["offset_in_shard"] for r in back.collect()}
+    assert offs == {0, 100}  # doc offsets inside the 200-token shard

@@ -28,6 +28,13 @@ MEDIA_SCHEMA = (
     "format string"
 )
 
+try:  # optional real decoder (not present in the test container)
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except Exception:  # pragma: no cover
+    HAS_PIL = False
+
 
 def to_media_table(
     docs: DataFrame,
@@ -46,13 +53,22 @@ def to_media_table(
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - documented stub
-    """Real image decode. STUB: requires an image library (PIL/cv2)
-    that is not available in this container."""
-    raise NotImplementedError(
-        "image decoding requires PIL/cv2; install one and replace the "
-        "body of _fake_decode with a real decoder"
-    )
+def decode_image(payload: bytes) -> tuple[int, int, str]:
+    """Real image decode: (width, height, format) via PIL when it is
+    installed (gated like HAS_XGBOOST/HAS_GCC in scoring.py); raises
+    NotImplementedError in environments without an image library."""
+    if not HAS_PIL:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "image decoding requires PIL/cv2; this environment has "
+            "neither — extract_media_meta(real_decode=False) uses the "
+            "documented deterministic fake instead"
+        )
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height, (im.format or "unknown").lower()
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
@@ -65,17 +81,26 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     return width, height, fmt
 
 
-def extract_media_meta(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def extract_media_meta(
+    media: DataFrame, id_col: str = "doc_id", real_decode: bool | None = None
+) -> DataFrame:
     """Decode / feature-extract over Arrow batches via mapInPandas.
 
     The iterator-of-batches signature is the shape that matters at
     scale: one Python worker per partition, Arrow transfer both ways,
     bounded memory per batch.
+
+    ``real_decode`` defaults to ``HAS_PIL``: with PIL installed the
+    batches run :func:`decode_image` on every payload; without it the
+    documented deterministic fake keeps the plan testable.
     """
+    if real_decode is None:
+        real_decode = HAS_PIL
+    decode = decode_image if real_decode else _fake_decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_fake_decode(p) for p in pdf["payload"]]
+            metas = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

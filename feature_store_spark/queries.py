@@ -2259,7 +2259,9 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_media_meta(to_media_table(docs))
+    # payloads here are synthesized text bytes, not real images: pin the
+    # deterministic fake decoder even when PIL is installed
+    return extract_media_meta(to_media_table(docs), real_decode=False)
 
 
 MULTIMODAL_SQL = """

@@ -217,13 +217,13 @@ def test_doc_fingerprint(docs):
 def test_multimodal_plumbing(docs):
     media = to_media_table(docs)
     assert dict(media.dtypes)["payload"] == "binary"
-    meta = extract_media_meta(media)
+    meta = extract_media_meta(media, real_decode=False)
     rows = {r["doc_id"]: r for r in meta.collect()}
     assert rows[0]["n_bytes"] == len(BASE[0].encode())
     assert rows[0]["width"] >= 64 and rows[0]["height"] >= 64
     assert rows[0]["format"] in ("png", "jpeg")
     # determinism
-    rows2 = {r["doc_id"]: r for r in extract_media_meta(media).collect()}
+    rows2 = {r["doc_id"]: r for r in extract_media_meta(media, real_decode=False).collect()}
     assert rows[0]["width"] == rows2[0]["width"]
     frames = frame_sample_plan(media)
     assert frames.filter(F.col("doc_id") == 0).count() >= 1

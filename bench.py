@@ -49,6 +49,8 @@ HEADLINE = [
     "top_ngrams",
     "decontaminate",
     "pack_sequences",
+    "pack_shards",
+    "asof_auto",
     "corpus_mix",
 ]
 

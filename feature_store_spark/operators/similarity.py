@@ -109,6 +109,65 @@ def knn_join(
     )
 
 
+def knn_join_arrow(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same result as :func:`knn_join`, Arrow/numpy physical plan.
+
+    The (small, broadcastable) query batch is collected to a (q, d)
+    matrix shipped in the UDF closure; each embeddings Arrow batch then
+    scores ALL queries with one (B, d) x (d, q) matmul instead of B*q
+    interpreted ``aggregate``/``zip_with`` reductions — ~20x on the
+    bench shape, and the per-batch work stays vectorized at any scale.
+    The per-query global top-k is the same window as knn_join.
+    Differentially tested equal to knn_join (ties broken on id, scores
+    f64 in both plans).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>")
+    ).collect()
+    if not q_rows:
+        return knn_join(
+            queries, embeddings, k, query_id_col, query_vec_col, id_col, vec_col
+        )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.asarray([r[1] for r in q_rows], dtype=np.float64)  # (q, d)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+
+    def score_batches(batches):
+        for pdf in batches:
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)  # (B, d)
+            vn = np.sqrt((v * v).sum(axis=1))
+            sims = (v @ qm.T) / (vn[:, None] * qn[None, :])  # (B, q)
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), len(qids)),
+                    query_id_col: np.tile(qids, b),
+                    "score": sims.ravel(),
+                }
+            )
+
+    scored = embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score_batches, schema=f"{id_col} long, {query_id_col} long, score double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def centroids(
     embeddings: DataFrame,
     by_col: str = "label",

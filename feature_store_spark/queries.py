@@ -1503,14 +1503,16 @@ SELECT id_a, id_b, round(c, 6) AS cosine FROM cos WHERE c >= 0.99
 def q_knn_classify(spark, sf_dir):
     """kNN majority-vote classification: for vec_ids < 50, the modal
     label among the 5 nearest neighbors (cosine, excluding self);
-    ties -> smaller label. ANN as a classifier — accuracy vs truth."""
-    from feature_store_spark.operators.similarity import knn_join
+    ties -> smaller label. ANN as a classifier — accuracy vs truth.
+    Scoring runs the Arrow/numpy knn twin (one matmul per batch instead
+    of interpreted array folds — same ranks, differentially tested)."""
+    from feature_store_spark.operators.similarity import knn_join_arrow
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    nn = knn_join(queries, emb, k=6)  # k=6 incl. self; drop self below
+    nn = knn_join_arrow(queries, emb, k=6)  # k=6 incl. self; drop self below
     nn = nn.filter(F.col("vec_id") != F.col("query_id")).filter(F.col("rank") <= 6)
     votes = (
         nn.join(

@@ -263,3 +263,21 @@ def test_shingles_whitespace_normalized(spark):
     }
     assert got == want
     assert (0, "a b c") in got and (0, "b c d") in got
+
+
+def test_knn_join_arrow_matches_higher_order(spark, sf_dir):
+    """The Arrow/numpy knn twin must reproduce knn_join's exact
+    (query, neighbor, rank) set on real embeddings."""
+    from feature_store_spark.operators.similarity import knn_join_arrow
+    from feature_store_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    a = knn_join(queries, emb, k=5)
+    b = knn_join_arrow(queries, emb, k=5)
+    ka = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in a.collect())
+    kb = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in b.collect())
+    assert ka == kb

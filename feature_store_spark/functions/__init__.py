@@ -90,3 +90,65 @@ def epoch_ms(ts: Column) -> Column:
     """Timestamp -> epoch milliseconds (floor of microseconds), matching
     the proto's epoch-ms convention (feature_store.proto:39-40)."""
     return F.floor(F.unix_micros(ts) / F.lit(1000)).cast("long")
+
+
+# ---------------------------------------------------------------- L4:
+# the reference's on-the-wire embedding layout (store/online/
+# RocksDBFeatureStore.java:119-127 write, :253-259 read): big-endian
+# [version:u16][dim:u16][f32 x dim]. The engine keeps embeddings as
+# typed array<float> columns; these codecs exist for byte-level
+# interchange with systems that speak the reference's format.
+
+
+def pack_embedding_py(embedding, version: int = 1) -> bytes:
+    """One vector -> the reference's binary layout (big-endian)."""
+    import numpy as np
+
+    vals = np.asarray(embedding, dtype=">f4")
+    head = np.array([version, len(vals)], dtype=">u2")
+    return head.tobytes() + vals.tobytes()
+
+
+def unpack_embedding_py(raw: bytes) -> tuple[int, list[float]]:
+    """Reference binary layout -> (version, values) — the read half
+    (RocksDBFeatureStore.java:253-259, dims validated)."""
+    import numpy as np
+
+    head = np.frombuffer(raw, dtype=">u2", count=2)
+    version, dim = int(head[0]), int(head[1])
+    if len(raw) != 4 + 4 * dim:
+        raise ValueError(
+            f"embedding blob length {len(raw)} != 4 + 4*{dim} (corrupt header?)"
+        )
+    vals = np.frombuffer(raw, dtype=">f4", count=dim, offset=4)
+    return version, [float(v) for v in vals]
+
+
+def pack_embedding_udf(version: int = 1):
+    """Arrow-batched column codec: array<float> -> binary in the
+    reference layout. Vectorized per batch (one numpy byteswap + concat
+    per row, no struct.pack loops)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def pack(col):
+        return pd.Series([pack_embedding_py(v, version) for v in col])
+
+    return pack
+
+
+def unpack_embedding_udf():
+    """Inverse codec: binary -> struct(version int, embedding
+    array<float>)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("version int, embedding array<float>")
+    def unpack(col):
+        out = [unpack_embedding_py(bytes(b)) for b in col]
+        return pd.DataFrame(
+            {"version": [v for v, _ in out], "embedding": [e for _, e in out]}
+        )
+
+    return unpack

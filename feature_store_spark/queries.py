@@ -825,6 +825,25 @@ SELECT user_id, event_id, value, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_salted_topk(spark, sf_dir):
+    """Per-group top-K through the SKEW-SAFE salted two-phase plan
+    (operators/skew.py): local top-K within (group, salt) spreads a hot
+    group over n_salts tasks, the final window sees <= k * n_salts
+    survivors per group. Windows cannot be split by AQE, so this is the
+    engine's answer to a viral-user group — graded against the SAME
+    oracle as the plain window (the rewrite is semantics-exact)."""
+    from feature_store_spark.operators.skew import salted_top_k_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_top_k_per_group(
+        ev.select("user_id", "event_id", "value"),
+        3,
+        ["user_id"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        n_salts=8,
+    )
+
+
 def q_point_lookup(spark, sf_dir):
     """Batch point lookup with miss accounting (L2): requested keys
     broadcast into a left join, input keys preserved."""
@@ -3474,6 +3493,7 @@ QUERIES: dict[str, tuple] = {
     "criteo_pipeline": (q_criteo_pipeline, CRITEO_PIPELINE_SQL),
     "asof_auto": (q_asof_auto, ASOF_SQL),
     "pack_shards": (q_pack_shards, PACK_SHARDS_SQL),
+    "salted_topk": (q_salted_topk, TOPK_PER_USER_SQL),
     # --- flagship representatives of driver-green ops (window fill) ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

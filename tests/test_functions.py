@@ -1,5 +1,6 @@
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from feature_store_spark.functions import (
@@ -46,3 +47,46 @@ def test_hash_bucket_expr_matches_python(spark):
     got = {r["v"]: r["b"] for r in df.select("v", hash_bucket_expr(F.col("v")).alias("b")).collect()}
     for v in vals:
         assert got[v] == hash_bucket_py(v)
+
+
+def test_embedding_binary_layout_golden():
+    """Byte-exact parity with the reference's RocksDB value layout
+    (RocksDBFeatureStore.java:119-127): big-endian u16 version, u16
+    dim, then f32 values. Golden bytes computed by hand."""
+    from feature_store_spark.functions import (
+        pack_embedding_py,
+        unpack_embedding_py,
+    )
+
+    raw = pack_embedding_py([1.0, -2.0], version=3)
+    # version 3 -> 00 03, dim 2 -> 00 02, 1.0f -> 3f800000, -2.0f -> c0000000
+    assert raw.hex() == "00030002" + "3f800000" + "c0000000"
+    version, vals = unpack_embedding_py(raw)
+    assert version == 3 and vals == [1.0, -2.0]
+    with pytest.raises(ValueError):
+        unpack_embedding_py(raw[:-1])
+
+
+def test_embedding_codec_roundtrip_on_table(spark, sf_dir):
+    """Column-level round-trip over the real embeddings table: pack to
+    the reference layout, unpack, values survive (f32-exact)."""
+    from feature_store_spark.functions import (
+        pack_embedding_udf,
+        unpack_embedding_udf,
+    )
+    from feature_store_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    packed = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("orig"),
+        pack_embedding_udf(version=1)(
+            F.col("embedding").cast("array<float>")
+        ).alias("raw"),
+    )
+    back = packed.select(
+        "vec_id", "orig", unpack_embedding_udf()(F.col("raw")).alias("u")
+    )
+    rows = back.collect()
+    assert rows and all(r["u"]["version"] == 1 for r in rows)
+    assert all(r["u"]["embedding"] == r["orig"] for r in rows)

@@ -3211,6 +3211,72 @@ def q_stream_dedup(spark, sf_dir):
 STREAM_DEDUP_SQL = DEDUP_EXACT_SQL
 
 
+def q_stream_window_stats(spark, sf_dir):
+    """STRUCTURED STREAMING windowed stats under the oracle gate: the
+    events EAV stream through streaming.materializer.windowed_stats_
+    stream (1-hour tumbling windows, watermarked, availableNow) must
+    reproduce the batch GROUP BY hour answer. Complete output mode so
+    every window is emitted deterministically (append would hold back
+    windows newer than the final watermark)."""
+    import shutil
+    import tempfile
+
+    from feature_store_spark.streaming.materializer import windowed_stats_stream
+
+    eav = _events_eav(spark, sf_dir).select(
+        "entity_id", "feature_name", "value_float", "event_time"
+    )
+    d = tempfile.mkdtemp(prefix="fss_stream_wstats_")
+    eav.coalesce(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = spark.readStream.schema(
+        "entity_id long, feature_name string, value_float double, "
+        "event_time timestamp"
+    ).parquet(f"{d}/in")
+    out = windowed_stats_stream(
+        stream, window="1 hour", watermark="2 hours"
+    )
+    name = "fss_stream_wstats"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_window_stats: availableNow stream did not finish in "
+            "300s; refusing to grade a partial memory sink"
+        )
+    shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "feature_name",
+        F.col("count").cast("long").alias("n"),
+        _r6(F.col("mean")).alias("mean"),
+        _r6(F.col("min_value")).alias("min_value"),
+        _r6(F.col("max_value")).alias("max_value"),
+    )
+
+
+STREAM_WINDOW_STATS_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type AS feature_name,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 6) AS mean,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------- acceptance pipelines
 #
 # The reference ships three end-to-end example scenarios
@@ -3494,6 +3560,7 @@ QUERIES: dict[str, tuple] = {
     "asof_auto": (q_asof_auto, ASOF_SQL),
     "pack_shards": (q_pack_shards, PACK_SHARDS_SQL),
     "salted_topk": (q_salted_topk, TOPK_PER_USER_SQL),
+    "stream_window_stats": (q_stream_window_stats, STREAM_WINDOW_STATS_SQL),
     # --- flagship representatives of driver-green ops (window fill) ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

@@ -212,3 +212,52 @@ def test_minhash_fused_has_no_distinct_or_sig_rejoin(spark, sf_dir):
     # pair dedup comes from the first-agreeing-band filter, never a
     # distinct aggregation over the collision set
     assert "HashAggregate(keys=[id_a" not in plan, plan
+
+
+def test_pack_shards_no_global_window(spark):
+    """The shard layout inherits the prefix-sum guarantee: no
+    single-partition exchange anywhere, and the shard shuffle is a
+    plain hash repartition."""
+    from feature_store_spark.operators.packing import pack_shards
+
+    docs = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 500 + 1).alias("n_tokens")
+    )
+    plan = plan_of(pack_shards(docs, "n_tokens", seq_len=2048), "simple")
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning(shard_id" in plan
+
+
+def test_knn_arrow_no_cross_join(spark, sf_dir):
+    """The Arrow knn twin replaces the crossJoin x interpreted-fold
+    shape entirely: one Python evaluation over the scan, one shuffle
+    for the per-query top-k window, no join nodes at all."""
+    from feature_store_spark.operators.similarity import knn_join_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = plan_of(knn_join_arrow(queries, emb, k=5), "simple")
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan
+    assert n_exchanges(knn_join_arrow(queries, emb, k=5)) == 1
+
+
+def test_salted_topk_spreads_hot_group(spark, sf_dir):
+    """The salted two-phase top-K must plan TWO windows over DIFFERENT
+    partitionings — (group, salt) first, then group — so a hot group
+    never serializes into a single task in phase one."""
+    from feature_store_spark.operators.skew import salted_top_k_per_group
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    out = salted_top_k_per_group(
+        ev, 3, ["user_id"], [F.col("value").desc(), F.col("event_id").asc()]
+    )
+    plan = plan_of(out, "simple")
+    assert plan.count("Window") >= 2
+    assert "Exchange hashpartitioning(user_id" in plan
+    assert re.search(r"Exchange hashpartitioning\(user_id#\d+L?, __salt", plan)

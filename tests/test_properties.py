@@ -1,0 +1,156 @@
+"""Property-based tests (hypothesis): invariants that hold for ALL
+inputs, not just fixtures — the contracts other tests rely on.
+
+Pure-python contracts (hash twins, the embedding codec) run at full
+example counts; Spark-backed properties run few examples with small
+frames (each example is a distributed job)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- pure
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+        ),
+        min_size=1,
+        max_size=64,
+    ),
+    st.integers(min_value=0, max_value=65535),
+)
+def test_embedding_codec_roundtrip_property(vals, version):
+    """pack -> unpack is the identity on f32 values for any vector and
+    any u16 version (the reference's byte layout, L4)."""
+    import numpy as np
+
+    from feature_store_spark.functions import (
+        pack_embedding_py,
+        unpack_embedding_py,
+    )
+
+    raw = pack_embedding_py(vals, version=version)
+    assert len(raw) == 4 + 4 * len(vals)
+    v, out = unpack_embedding_py(raw)
+    assert v == version
+    assert out == [float(np.float32(x)) for x in vals]
+
+
+@given(st.text(min_size=0, max_size=80))
+def test_hash_bucket_py_is_md5_prefix(s):
+    """hash_bucket_py must equal the documented md5-prefix formula for
+    any unicode string (X2 contract both engines rely on)."""
+    from feature_store_spark.functions import hash_bucket_py
+
+    expect = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % 10000
+    assert hash_bucket_py(s) == expect
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=200)
+)
+def test_xgb_heap_flatten_preserves_leaves(counts):
+    """_model_heap on a random right-leaning tree keeps every leaf
+    reachable with its exact value (no heap slot collisions)."""
+    # build a right-chain tree with `len(counts)` capped at depth 8
+    depth = min(len(counts), 8)
+    node = {"leaf": float(counts[0])}
+    for i in range(1, depth):
+        node = {
+            "split": "f0",
+            "threshold": float(i),
+            "missing": "left",
+            "yes": {"leaf": float(counts[i % len(counts)])},
+            "no": node,
+        }
+    from feature_store_spark.scoring import _model_heap
+
+    featH, thrH, missH, leafH, D, base, logistic = _model_heap(
+        {"base_score": 0.0, "objective": "reg:squarederror", "trees": [node]},
+        ["f0"],
+    )
+    # every leaf value present in the heap's leaf row
+    import numpy as np
+
+    vals = {float(counts[i % len(counts)]) for i in range(depth)}
+    assert vals.issubset(set(np.asarray(leafH).ravel().tolist()))
+
+
+# ---------------------------------------------------------------- spark
+
+WORDS = st.lists(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=0x7A),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    words=WORDS,
+    gaps=st.lists(st.integers(min_value=1, max_value=3), min_size=12, max_size=12),
+    pad=st.integers(min_value=0, max_value=2),
+)
+def test_shingles_whitespace_invariance_property(spark, words, gaps, pad):
+    """shingles(text with arbitrary space runs / edge padding) ==
+    shingles(single-spaced text) — the normalization contract both
+    engines implement."""
+    from feature_store_spark.operators.dedup import shingles
+
+    clean = " ".join(words)
+    noisy = (" " * pad) + words[0]
+    for w, g in zip(words[1:], gaps):
+        noisy += " " * g + w
+    noisy += " " * pad
+    df = spark.createDataFrame(
+        [(0, clean), (1, noisy)], "doc_id long, text string"
+    )
+    sh = shingles(df, n=3).collect()
+    a = {r["shingle"] for r in sh if r["doc_id"] == 0}
+    b = {r["shingle"] for r in sh if r["doc_id"] == 1}
+    assert a == b
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=300
+    ),
+    n_buckets=st.integers(min_value=1, max_value=16),
+)
+def test_global_prefix_sum_property(spark, vals, n_buckets):
+    """Distributed prefix sum == python cumsum for any values and any
+    bucket count (bucketing must never change the answer)."""
+    from feature_store_spark.operators.packing import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, v long"
+    ).repartition(4)
+    out = global_prefix_sum(
+        df, "v", "doc_id", n_buckets=n_buckets, persist=False
+    )
+    got = {r["doc_id"]: r["cum"] for r in out.collect()}
+    run = 0
+    for i, v in enumerate(vals):
+        run += v
+        assert got[i] == run

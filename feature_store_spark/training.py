@@ -83,7 +83,12 @@ def fit_logistic(
         ((F.col(c) - F.lit(m)) / F.lit(s)).alias(f"x{i}")
         for i, (c, m, s) in enumerate(zip(cols, means, stds))
     ]
-    base = df.select(F.col(label_col).cast("double").alias("y"), *scaled)
+    # persisted: every epoch re-reads the standardized projection from
+    # cache instead of recomputing the upstream lineage (generation,
+    # joins, feature engineering) per epoch
+    base = df.select(
+        F.col(label_col).cast("double").alias("y"), *scaled
+    ).persist()
 
     weights = [0.0] * k
     bias = math.log(max(n_pos, 1.0) / max(n - n_pos, 1.0))
@@ -105,6 +110,7 @@ def fit_logistic(
             w - lr * (float(g[f"g{i}"]) / wsum + l2 * w)
             for i, w in enumerate(weights)
         ]
+    base.unpersist()
 
     return {
         "features": cols,

@@ -40,6 +40,20 @@ from feature_store_spark.operators.text import (
     token_stats,
 )
 from feature_store_spark.operators.topk import top_k, top_k_per_group
+
+
+def _stream_tmpdir(prefix: str) -> str:
+    """mkdtemp that is ALSO registered for atexit removal: the stream
+    queries rmtree their fixture/checkpoint dirs inline after
+    awaitTermination, but a session that dies mid-query (ctrl-C, OOM,
+    harness kill) would otherwise leave /tmp/fss_stream_* behind."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 from feature_store_spark.operators.windowed import windowed_features_self
 from feature_store_spark.scoring import compile_model_expr, compile_model_sql, example_model
 from feature_store_spark.session import load_table
@@ -173,7 +187,7 @@ def q_stream_sessions(spark, sf_dir):
     from feature_store_spark.streaming.stateful import sessionize_stream
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    d = tempfile.mkdtemp(prefix="fss_stream_sessions_")
+    d = _stream_tmpdir("fss_stream_sessions_")
     ev.coalesce(4).write.mode("overwrite").parquet(f"{d}/in")
     stream = spark.readStream.schema(
         "user_id long, ts timestamp, value double"
@@ -3174,7 +3188,7 @@ def q_stream_dedup(spark, sf_dir):
     import tempfile
 
     corpus = _mutated_corpus(spark, sf_dir, exact=True)
-    d = tempfile.mkdtemp(prefix="fss_stream_dedup_")
+    d = _stream_tmpdir("fss_stream_dedup_")
     corpus.coalesce(4).write.mode("overwrite").parquet(f"{d}/in")
     stream = spark.readStream.schema("doc_id long, text string").parquet(f"{d}/in")
     agg = (
@@ -3226,7 +3240,7 @@ def q_stream_window_stats(spark, sf_dir):
     eav = _events_eav(spark, sf_dir).select(
         "entity_id", "feature_name", "value_float", "event_time"
     )
-    d = tempfile.mkdtemp(prefix="fss_stream_wstats_")
+    d = _stream_tmpdir("fss_stream_wstats_")
     eav.coalesce(4).write.mode("overwrite").parquet(f"{d}/in")
     stream = spark.readStream.schema(
         "entity_id long, feature_name string, value_float double, "

@@ -280,6 +280,10 @@ def main():
         dt = round(time.time() - t0, 3)
         timings[name] = dt
         total += dt
+        # isolate queries: drop caches a query may have left (e.g. the
+        # prefix-sum persist) so later timings measure the query, not
+        # eviction/GC of a predecessor's state
+        spark.catalog.clearCache()
 
     comparables = _baseline_comparables(spark, sf_dir)
 

@@ -182,7 +182,6 @@ def q_stream_sessions(spark, sf_dir):
     (max ts) passes last+gap — exactly the SQL predicate
     `session_end + gap <= max(ts)`."""
     import shutil
-    import tempfile
 
     from feature_store_spark.streaming.stateful import sessionize_stream
 
@@ -3185,7 +3184,6 @@ def q_stream_dedup(spark, sf_dir):
     first-seen-wins dedup a continuous ingestion pipeline runs — and
     must produce the batch dedup answer."""
     import shutil
-    import tempfile
 
     corpus = _mutated_corpus(spark, sf_dir, exact=True)
     d = _stream_tmpdir("fss_stream_dedup_")
@@ -3233,7 +3231,6 @@ def q_stream_window_stats(spark, sf_dir):
     every window is emitted deterministically (append would hold back
     windows newer than the final watermark)."""
     import shutil
-    import tempfile
 
     from feature_store_spark.streaming.materializer import windowed_stats_stream
 

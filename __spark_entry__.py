@@ -19,10 +19,21 @@ from pyspark.sql import DataFrame, SparkSession
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply engine session settings to a driver-provided session
     (the driver builds its own SparkSession; the nanos conf must be
-    set before any parquet read)."""
+    set before any parquet read). All of these are runtime-settable
+    confs: shuffle partitions sized to the box (a vanilla 200 would
+    pay 200-task stages on fixture-scale aggregates before AQE
+    coalesces), Arrow for the pandas-UDF and toPandas paths."""
+    import os
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus),
+    )
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark
 
 

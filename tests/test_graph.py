@@ -1,0 +1,77 @@
+"""Connected components + canonical dedup filter (operators/graph.py).
+
+A long chain (worst-case diameter), a clique, and a 2-node component
+pin the propagation loop; the canonical filter is checked against a
+hand-computed survivor set including never-paired docs.
+"""
+
+from pyspark.sql import functions as F
+
+from feature_store_spark.operators.graph import (
+    canonical_filter,
+    connected_components,
+)
+
+
+def _cc_dict(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_chain_clique_and_pair(spark):
+    # chain 1-2-3-4-5 (diameter 4), clique {10,11,12}, pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = _cc_dict(connected_components(pairs, checkpoint=False))
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_chain_needs_multiple_rounds_converges(spark):
+    # with max_iter=1 a length-4 chain must NOT be fully labelled;
+    # the default cap must converge it
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    one = _cc_dict(connected_components(pairs, max_iter=1, checkpoint=False))
+    assert one[5] != 1  # one hop cannot reach the end of the chain
+    full = _cc_dict(connected_components(pairs, checkpoint=False))
+    assert set(full.values()) == {1}
+
+
+def test_reversed_edge_direction_is_symmetric(spark):
+    pairs = spark.createDataFrame([(9, 3), (3, 7)], "id_a long, id_b long")
+    got = _cc_dict(connected_components(pairs, checkpoint=False))
+    assert got == {3: 3, 7: 3, 9: 3}
+
+
+def test_canonical_filter_keeps_min_and_unpaired(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 50)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs, checkpoint=False)
+    kept = sorted(
+        r["doc_id"]
+        for r in canonical_filter(corpus, comp).select("doc_id").collect()
+    )
+    # survivors: 1 (of {1,2,3}), 10 (of {10,11}), 50 (never paired)
+    assert kept == [1, 10, 50]
+
+
+def test_checkpointed_path_matches(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    a = _cc_dict(connected_components(pairs, checkpoint=True))
+    b = _cc_dict(connected_components(pairs, checkpoint=False))
+    assert a == b

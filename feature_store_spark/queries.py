@@ -705,6 +705,53 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Keyless range join, bucketed rewrite (operators/interval.py):
+    every lineitem shipped inside an order's 2-day window
+    [o_orderdate, o_orderdate + 2d], aggregated per order. The naive
+    BETWEEN theta-join plans as a broadcast nested loop
+    (O(orders x lineitems)); slotting time into 2-day buckets turns it
+    into one hash equi-join — plan-asserted NLJ-free in test_plans.
+    Shipped value sums exact cents (long) so the distributed float
+    reduction order can't affect the hash."""
+    from feature_store_spark.operators.interval import interval_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS")).alias("win_end"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice"
+    )
+    j = interval_join(
+        li,
+        orders,
+        point_ts="l_shipdate",
+        start_col="o_orderdate",
+        end_col="win_end",
+        bucket_width_s=2 * 86400,
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped"),
+        F.round(F.sum(cents) / 100.0, 6).alias("shipped_value"),
+    )
+
+
+INTERVAL_JOIN_SQL = """
+SELECT o.o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_shipped,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0, 6)
+         AS shipped_value
+FROM orders o
+JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 2 DAY
+GROUP BY o.o_orderkey
+"""
+
+
 # ------------------------------------------------- relational / top-k
 
 def q_pricing_summary(spark, sf_dir):
@@ -3724,6 +3771,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_canonical": (q_dedup_canonical, DEDUP_CANONICAL_SQL),
     "approx_distinct": (q_approx_distinct, APPROX_DISTINCT_SQL),
     "approx_quantiles": (q_approx_quantiles, APPROX_QUANTILES_SQL),
+    "interval_join": (q_interval_join, INTERVAL_JOIN_SQL),
     # --- flagship representatives of driver-green ops (window fill) ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

@@ -52,6 +52,14 @@ HEADLINE = [
     "pack_shards",
     "asof_auto",
     "corpus_mix",
+    "dedup_clusters",
+    "doc_chunks",
+    "approx_distinct",
+    "approx_quantiles",
+    # interval_join is deliberately NOT benched at sf0.1: its true
+    # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
+    # ~2M joined rows/s — the bucketed rewrite is doing its job); it
+    # stays driver-graded at sf0.01
 ]
 
 

@@ -1546,6 +1546,77 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size overlapping chunking (120-char chunks, stride 80) —
+    the context-window prep step of an embedding/RAG pipeline. Pure
+    codegen: sequence of start offsets + posexplode + substr, no
+    Python; row count multiplies by ~len/stride, which is why chunking
+    runs AFTER dedup/quality gates in a real pipeline."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(80))
+    ch = docs.filter(n > 0).select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_id", "start")
+    )
+    chunk = F.col("text").substr(F.col("start") + 1, F.lit(120))
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("n_chars"),
+    )
+
+
+DOC_CHUNKS_SQL = """
+SELECT doc_id,
+       CAST(i // 80 AS INT) AS chunk_id,
+       CAST(i AS INT) AS start,
+       substr(text, CAST(i AS INT) + 1, 120) AS chunk_text,
+       CAST(length(substr(text, CAST(i AS INT) + 1, 120)) AS INT) AS n_chars
+FROM (
+  SELECT doc_id, text, unnest(generate_series(0, length(text) - 1, 80)) AS i
+  FROM documents WHERE length(text) > 0
+)
+"""
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/heldout split: the split key is the dup
+    CLUSTER representative (connected components over the LSH pair
+    graph), not the doc id — so a document and its near-copies can
+    never straddle the split boundary and leak eval data into
+    training. Unpaired docs key on their own id."""
+    from feature_store_spark.operators.dedup import minhash_dedup_pairs
+    from feature_store_spark.operators.graph import connected_components
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=False)
+    pairs = minhash_dedup_pairs(
+        corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    labeled = corpus.join(comp, "doc_id", "left")
+    group_key = F.coalesce(F.col("component"), F.col("doc_id"))
+    split = F.when(
+        hash_bucket_expr(group_key.cast("string"), 10) < 8, F.lit("train")
+    ).otherwise(F.lit("heldout"))
+    return labeled.select(
+        "doc_id", group_key.alias("group_key"), split.alias("split")
+    )
+
+
+LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH RECURSIVE {_DUP_GRAPH_CTES}
+SELECT c.doc_id,
+       coalesce(d.cluster_id, c.doc_id) AS group_key,
+       CASE WHEN CAST(concat('0x', substr(md5(CAST(coalesce(d.cluster_id, c.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+            THEN 'train' ELSE 'heldout' END AS split
+FROM corpus c LEFT JOIN comps d ON d.node = c.doc_id
+"""
+
+
 def q_simhash(spark, sf_dir):
     """32-bit SimHash per document (md5-derived word hashes, bit votes)."""
     docs = _spread(spark, load_table(spark, sf_dir, "documents"))
@@ -3772,6 +3843,8 @@ QUERIES: dict[str, tuple] = {
     "approx_distinct": (q_approx_distinct, APPROX_DISTINCT_SQL),
     "approx_quantiles": (q_approx_quantiles, APPROX_QUANTILES_SQL),
     "interval_join": (q_interval_join, INTERVAL_JOIN_SQL),
+    "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
+    "leakage_safe_split": (q_leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL),
     # --- flagship representatives of driver-green ops (window fill) ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

@@ -258,6 +258,75 @@ def ivf_topk(
     )
 
 
+def ivf_knn_join(
+    queries: DataFrame,
+    embeddings_with_cluster: DataFrame,
+    cluster_centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    centroid_key: str = "label",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Batch IVF ANN: :func:`ivf_topk` for a whole (small,
+    broadcastable) query batch in ONE plan instead of a driver loop.
+
+    Probe selection is queries x centroids — both tiny — then the
+    (query, probed-cluster) table is broadcast against the embedding
+    table, so the big side is scanned once and only rows in SOME
+    query's probed clusters survive; with cluster-partitioned storage
+    that scan is partition-pruned to the union of probed clusters.
+    Scoring + per-query top-k mirror knn_join (same window, same tie
+    break), which makes the two directly comparable for recall."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("__q"),
+    )
+    qc = q.crossJoin(
+        F.broadcast(
+            cluster_centroids.select(
+                F.col(centroid_key).alias(cluster_col),
+                F.col(centroid_vec).cast("array<double>").alias("__c"),
+            )
+        )
+    ).select(
+        F.col(query_id_col),
+        F.col(cluster_col),
+        l2_squared(F.col("__q"), F.col("__c")).alias("__d"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__d").asc(), F.col(cluster_col).asc()
+    )
+    probes = (
+        qc.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_probe)
+        .select(query_id_col, cluster_col)
+    )
+    cand = embeddings_with_cluster.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).join(F.broadcast(probes), cluster_col)
+    scored = cand.join(F.broadcast(q), query_id_col).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            _dot(F.col("__v"), F.col("__q"))
+            / (_norm(F.col("__v")) * _norm(F.col("__q")))
+        ).alias("score"),
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(wk)).filter(
+        F.col("rank") <= k
+    )
+
+
 def hyperplane_planes(n_planes: int, dim: int, seed: str = "hp") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — the same
     numbers are reproducible in any engine with md5 (or simply embedded

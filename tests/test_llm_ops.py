@@ -281,3 +281,33 @@ def test_knn_join_arrow_matches_higher_order(spark, sf_dir):
     ka = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in a.collect())
     kb = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in b.collect())
     assert ka == kb
+
+
+def test_ivf_knn_join_full_probe_equals_exact(spark, emb):
+    """With n_probe = n_clusters nothing is pruned, so the batched IVF
+    join must reproduce knn_join exactly (same tie-breaks); with
+    n_probe=1 it must return only vectors from each query's own
+    nearest cluster."""
+    from feature_store_spark.operators.similarity import ivf_knn_join
+
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "query_id long, query_vec array<double>",
+    )
+    c = centroids(emb)
+    assigned = assign_clusters(emb, c)
+    with_cluster = emb.join(assigned.select("vec_id", "cluster"), "vec_id")
+    full = ivf_knn_join(
+        queries, with_cluster, c, k=3, n_probe=10,
+        centroid_key="label",
+    ).select("query_id", "vec_id", "rank")
+    exact = knn_join(queries, emb, k=3).select("query_id", "vec_id", "rank")
+    assert sorted(full.collect()) == sorted(exact.collect())
+
+    pruned = ivf_knn_join(
+        queries, with_cluster, c, k=3, n_probe=1, centroid_key="label",
+    )
+    got = {(r["query_id"], r["vec_id"]) for r in pruned.collect()}
+    # query 0's nearest centroid is cluster 0 = {0, 1}; query 1's is
+    # cluster 1 = {2, 3}
+    assert got == {(0, 0), (0, 1), (1, 2), (1, 3)}

@@ -56,6 +56,9 @@ HEADLINE = [
     "doc_chunks",
     "approx_distinct",
     "approx_quantiles",
+    "scd2_intervals",
+    "table_profile",
+    "zorder_key",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

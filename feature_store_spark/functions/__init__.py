@@ -152,3 +152,41 @@ def unpack_embedding_udf():
         )
 
     return unpack
+
+
+def zorder2_expr(x: Column, y: Column, bits: int = 10) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative ints — x in the even positions, y in the odd. Rows
+    sorted by this key are clustered in BOTH dimensions at once, so
+    file/row-group min-max stats prune scans filtered on either column
+    (a linear sort only ever prunes its leading column). Pure bit
+    expressions, whole-stage-codegen'd; the DuckDB twin is emitted by
+    :func:`zorder2_sql` with the identical shift/mask formula."""
+    terms = []
+    for i in range(bits):
+        xb = F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1))
+        yb = F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1))
+        terms.append(F.shiftleft(xb, 2 * i))
+        terms.append(F.shiftleft(yb, 2 * i + 1))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t  # disjoint bit positions: + is |
+    return z.cast("long")
+
+
+def zorder2_sql(x: str, y: str, bits: int = 10) -> str:
+    """ANSI-SQL twin of :func:`zorder2_expr` (same shift/mask terms)."""
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(parts) + ")"
+
+
+def zorder2_py(x: int, y: int, bits: int = 10) -> int:
+    """Python reference for tests."""
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z

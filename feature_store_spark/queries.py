@@ -1642,6 +1642,119 @@ FROM (
 """
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """SCD2 validity intervals: each (user, event_type) observation
+    becomes a [valid_from, valid_to) row, valid_to = next observation
+    (open = current). This is the point-in-time dimension build that
+    backs ASOF semantics — one window per entity key, ordered by
+    (ts, event_id) so equal timestamps still produce a deterministic
+    chain. Values pass through untouched (bit-exact across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+SCD2_INTERVALS_SQL = """
+SELECT user_id, event_type, event_id, value,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+"""
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_table_profile(spark, sf_dir):
+    """ANALYZE-style column profiler: one pass over the table emits
+    per-column row/null/distinct counts, min/max, and mean — the
+    stats a planner or data-quality monitor keeps per partition. All
+    metrics in ONE aggregate (no per-column rescans); means go
+    through exact integer cents so the distributed reduction order
+    can't move the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        cents = F.round(F.col(c) * 100).cast("long")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.round(F.sum(cents) / 100.0 / F.count(c), 6).alias(f"{c}__mean"),
+        ]
+    row = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__min, {c}__max, {c}__mean"
+        for c in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nonnull, n_distinct, min_val, max_val, mean_val)"
+    )
+
+
+def _table_profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""SELECT '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count({c}) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min({c}) AS min_val,
+       max({c}) AS max_val,
+       round(sum(CAST(round({c} * 100) AS BIGINT)) / 100.0 / count({c}), 6) AS mean_val
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
+TABLE_PROFILE_SQL = _table_profile_sql()
+
+
+def q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key over (part, supplier) — the
+    multi-dimensional sort key that makes file-level min-max stats
+    prune scans filtered on EITHER column (`functions.zorder2_expr`;
+    a linear sort only prunes its leading column). Pure bit
+    expressions in codegen; the oracle re-derives the key with the
+    identical shift/mask formula."""
+    from feature_store_spark.functions import zorder2_expr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = (F.col("l_partkey") % 1024).cast("long")
+    y = (F.col("l_suppkey") % 1024).cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder2_expr(x, y, bits=10).alias("zkey"),
+    )
+
+
+def _zorder_key_sql() -> str:
+    from feature_store_spark.functions import zorder2_sql
+
+    z = zorder2_sql("(l_partkey % 1024)", "(l_suppkey % 1024)", bits=10)
+    return f"""
+SELECT l_orderkey, l_linenumber, CAST({z} AS BIGINT) AS zkey
+FROM lineitem
+"""
+
+
+ZORDER_KEY_SQL = _zorder_key_sql()
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Near-dup-aware train/heldout split: the split key is the dup
     CLUSTER representative (connected components over the LSH pair
@@ -3907,6 +4020,9 @@ QUERIES: dict[str, tuple] = {
     "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
     "leakage_safe_split": (q_leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL),
     "ann_recall": (q_ann_recall, ANN_RECALL_SQL),
+    "scd2_intervals": (q_scd2_intervals, SCD2_INTERVALS_SQL),
+    "table_profile": (q_table_profile, TABLE_PROFILE_SQL),
+    "zorder_key": (q_zorder_key, ZORDER_KEY_SQL),
     # --- flagship representatives of driver-green ops (window fill) ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

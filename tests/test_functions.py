@@ -90,3 +90,48 @@ def test_embedding_codec_roundtrip_on_table(spark, sf_dir):
     rows = back.collect()
     assert rows and all(r["u"]["version"] == 1 for r in rows)
     assert all(r["u"]["embedding"] == r["orig"] for r in rows)
+
+
+def test_zorder_expr_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.functions import zorder2_expr, zorder2_py
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    got = grid.select(
+        "x", "y", zorder2_expr(F.col("x"), F.col("y"), bits=4).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == zorder2_py(r["x"], r["y"], bits=4)
+
+
+def test_zorder_sort_clusters_both_dimensions():
+    """The property that makes z-order worth a shuffle: split the
+    z-sorted grid into consecutive chunks (files) and every chunk's
+    min-max span is bounded in BOTH dimensions, so either-column
+    filters prune files. A linear (x, y) sort leaves the trailing
+    dimension's span at full width in every chunk."""
+    from feature_store_spark.functions import zorder2_py
+
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    zsorted = sorted(pts, key=lambda p: zorder2_py(p[0], p[1], bits=5))
+    xsorted = sorted(pts)  # linear sort: x, then y
+    n_chunks = 16
+    sz = len(pts) // n_chunks
+
+    def spans(order, dim):
+        out = []
+        for i in range(n_chunks):
+            chunk = order[i * sz : (i + 1) * sz]
+            vals = [p[dim] for p in chunk]
+            out.append(max(vals) - min(vals))
+        return sum(out) / len(out)
+
+    # z-order: both dims bounded well under full width (31)
+    assert spans(zsorted, 0) <= 8
+    assert spans(zsorted, 1) <= 8
+    # linear sort: x clusters perfectly, y spans the full domain
+    assert spans(xsorted, 0) <= 2
+    assert spans(xsorted, 1) == 31

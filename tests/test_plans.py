@@ -261,3 +261,71 @@ def test_salted_topk_spreads_hot_group(spark, sf_dir):
     assert plan.count("Window") >= 2
     assert "Exchange hashpartitioning(user_id" in plan
     assert re.search(r"Exchange hashpartitioning\(user_id#\d+L?, __salt", plan)
+
+
+def test_ivf_knn_join_broadcasts_probes_no_cartesian(spark, sf_dir):
+    """The batched IVF join must reach the embedding table through
+    broadcast hash joins (tiny probe/query tables) — never a cartesian
+    or nested-loop product with the big side; the only cross join
+    allowed is queries x centroids (both broadcast-small)."""
+    from feature_store_spark.operators.similarity import (
+        centroids,
+        ivf_knn_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cents = centroids(emb, by_col="label")
+    out = ivf_knn_join(
+        queries, emb.withColumn("cluster", F.col("label")), cents, k=10
+    )
+    plan = plan_of(out, "simple")
+    assert "CartesianProduct" not in plan
+    big_joins = [
+        ln for ln in plan.splitlines() if "NestedLoopJoin" in ln and "Cross" in ln
+    ]
+    # the probe-selection cross (queries x centroids) broadcasts one
+    # tiny side; anything else would be a scan-sized product
+    assert all("Broadcast" in ln for ln in big_joins)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_connected_components_shuffles_pairs_not_corpus(spark):
+    """One propagation round = shuffles over the (small) pair graph
+    only: join edges x labels + min-aggregation. No round may contain
+    a cartesian product or a single-partition exchange."""
+    from feature_store_spark.operators.graph import connected_components
+
+    pairs = spark.range(0, 1000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = connected_components(pairs, max_iter=1, checkpoint=False)
+    plan = plan_of(out, "simple")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_interval_join_is_hash_join_on_slot(spark, sf_dir):
+    """The range join must plan as a hash equi-join on the slot
+    column — the whole point of the bucketed rewrite."""
+    from feature_store_spark.operators.interval import interval_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS")).alias("win_end"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice"
+    )
+    out = interval_join(
+        li, orders, "l_shipdate", "o_orderdate", "win_end",
+        bucket_width_s=2 * 86400,
+    )
+    plan = plan_of(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)

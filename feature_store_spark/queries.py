@@ -3728,6 +3728,119 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment under the oracle gate: the events
+    stream picks up its user's customer attributes via a broadcast
+    hash join re-planned each micro-batch
+    (streaming/materializer.enrich_stream) — the online
+    feature-decoration path. Row-level append (no aggregation state,
+    no watermark needed); must reproduce the batch join exactly."""
+    import shutil
+
+    from feature_store_spark.streaming.materializer import enrich_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    d = _stream_tmpdir("fss_stream_enrich_")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).parquet(f"{d}/in")
+    out = enrich_stream(stream, cust, ["user_id"], how="left")
+    name = "fss_stream_enrich"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_enrich: availableNow stream did not finish in 300s; "
+            "refusing to grade a partial memory sink"
+        )
+    shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).select(
+        "event_id", "user_id", "event_type", "value",
+        "c_mktsegment", F.col("c_nationkey").cast("int").alias("c_nationkey"),
+    )
+
+
+STREAM_ENRICH_SQL = """
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       c.c_mktsegment, CAST(c.c_nationkey AS INT) AS c_nationkey
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+"""
+
+
+def q_skew_report(spark, sf_dir):
+    """Hot-key diagnostics that drive the engine's own skew machinery
+    (operators/skew.py, AQE skew join): per-key counts, the hottest
+    key's share, and the share held by the top 1% of keys. The global
+    rank window runs on the per-key COUNT table (|keys| rows —
+    metadata scale), never the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    cnts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    ranked = cnts.select(
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("k"),
+    )
+    row = ranked.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("k").cast("long").alias("n_keys"),
+        F.max(F.when(F.col("rn") == 1, F.col("cnt"))).cast("long").alias(
+            "max_cnt"
+        ),
+        F.sum(
+            F.when(F.col("rn") <= F.ceil(F.col("k") / 100.0), F.col("cnt"))
+            .otherwise(F.lit(0))
+        ).alias("__topcnt"),
+    )
+    return row.select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.round(F.col("max_cnt") / F.col("n_rows").cast("double"), 6).alias(
+            "max_share"
+        ),
+        F.round(F.col("__topcnt") / F.col("n_rows").cast("double"), 6).alias(
+            "top1pct_share"
+        ),
+    )
+
+
+SKEW_REPORT_SQL = """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+r AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, user_id) AS rn,
+         count(*) OVER () AS k
+  FROM c
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(max(k) AS BIGINT) AS n_keys,
+       CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS max_cnt,
+       round(max(CASE WHEN rn = 1 THEN cnt END) / CAST(sum(cnt) AS DOUBLE), 6)
+         AS max_share,
+       round(sum(CASE WHEN rn <= ceil(k / 100.0) THEN cnt ELSE 0 END)
+             / CAST(sum(cnt) AS DOUBLE), 6) AS top1pct_share
+FROM r
+"""
+
+
 # ------------------------------------------------- acceptance pipelines
 #
 # The reference ships three end-to-end example scenarios
@@ -4023,6 +4136,8 @@ QUERIES: dict[str, tuple] = {
     "scd2_intervals": (q_scd2_intervals, SCD2_INTERVALS_SQL),
     "table_profile": (q_table_profile, TABLE_PROFILE_SQL),
     "zorder_key": (q_zorder_key, ZORDER_KEY_SQL),
+    "stream_enrich": (q_stream_enrich, STREAM_ENRICH_SQL),
+    "skew_report": (q_skew_report, SKEW_REPORT_SQL),
     # --- flagship representatives of driver-green ops (window fill) ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

@@ -47,6 +47,25 @@ def windowed_stats_stream(
     )
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch hash-joins the
+    static dimension — the online feature-decoration path (each event
+    picks up its entity's attributes in flight). Spark re-plans the
+    static side per micro-batch, so a dim refreshed between batches is
+    picked up without restarting the query. ``broadcast_dim`` hints
+    the usual small-dim case (no shuffle on the stream side at all);
+    drop it for a dim too big to broadcast and the join degrades to a
+    shuffled hash join per batch with identical semantics."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, list(keys), how)
+
+
 def latest_upsert_batch(
     batch: DataFrame,
     existing: DataFrame | None,

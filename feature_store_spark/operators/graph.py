@@ -66,7 +66,7 @@ def connected_components(
         "component", F.col("node")
     )
 
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # labels flow one hop: node's current component reaches peer
         msgs = edges.join(labels, "node").select(
             F.col("peer").alias("node"), "component"
@@ -78,15 +78,18 @@ def connected_components(
         )
         if checkpoint:
             new_labels = new_labels.localCheckpoint()
-        n_changed = (
-            new_labels.withColumnRenamed("component", "new_component")
-            .join(labels, "node")
-            .filter(F.col("new_component") != F.col("component"))
-            .count()
-        )
+        if i > 0:
+            # round 0 always changes something (any edge relabels its
+            # higher endpoint) — skip its convergence-count job
+            n_changed = (
+                new_labels.withColumnRenamed("component", "new_component")
+                .join(labels, "node")
+                .filter(F.col("new_component") != F.col("component"))
+                .count()
+            )
+            if n_changed == 0:
+                return new_labels
         labels = new_labels
-        if n_changed == 0:
-            break
     return labels
 
 

@@ -3784,6 +3784,37 @@ FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
 """
 
 
+def q_sample_per_group(spark, sf_dir):
+    """Deterministic per-group uniform sample: exactly k=25 events per
+    event type, chosen by md5 rank — the distributed reservoir-sample
+    equivalent (rank by a uniform hash = draw without replacement),
+    reproducible across engines/runs unlike rand()-based sampling.
+    Complements `corpus_mix` (probabilistic budget) with the
+    exact-count-per-group variant an eval-set builder needs."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("event_type", F.col("rn").cast("int").alias("rn"), "event_id", "user_id")
+    )
+
+
+SAMPLE_PER_GROUP_SQL = """
+SELECT event_type, CAST(rn AS INT) AS rn, event_id, user_id
+FROM (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rn
+  FROM events
+)
+WHERE rn <= 25
+"""
+
+
 def q_skew_report(spark, sf_dir):
     """Hot-key diagnostics that drive the engine's own skew machinery
     (operators/skew.py, AQE skew join): per-key counts, the hottest
@@ -4138,6 +4169,7 @@ QUERIES: dict[str, tuple] = {
     "zorder_key": (q_zorder_key, ZORDER_KEY_SQL),
     "stream_enrich": (q_stream_enrich, STREAM_ENRICH_SQL),
     "skew_report": (q_skew_report, SKEW_REPORT_SQL),
+    "sample_per_group": (q_sample_per_group, SAMPLE_PER_GROUP_SQL),
     # --- flagship representatives of driver-green ops (window fill) ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

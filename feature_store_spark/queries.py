@@ -3784,6 +3784,58 @@ FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
 """
 
 
+def q_json_props(spark, sf_dir):
+    """Semi-structured access: the events payload column is JSON;
+    extract a typed field in the scan projection (JVM JsonPath, no
+    Python) and aggregate on it. At scale prefer from_json with an
+    explicit schema once per pipeline — shredding at ingest beats
+    re-parsing per query — but the per-query extract is the ad-hoc
+    analytics surface."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("k_sum"),
+        F.max(k).cast("int").alias("k_max"),
+        _r6(F.avg(k)).alias("k_avg"),
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS k_avg
+FROM events GROUP BY event_type
+"""
+
+
+def q_pricing_rollup(spark, sf_dir):
+    """OLAP rollup: subtotal + grand-total rows in one pass
+    (`rollup` compiles to a single Expand + aggregate — one shuffle
+    for every grouping level, not one scan per level). Sums go
+    through exact integer cents for cross-engine hash stability."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum(cents) / 100.0, 6).alias("sum_price"),
+    )
+
+
+PRICING_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 6)
+         AS sum_price
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def q_sample_per_group(spark, sf_dir):
     """Deterministic per-group uniform sample: exactly k=25 events per
     event type, chosen by md5 rank — the distributed reservoir-sample
@@ -4170,6 +4222,8 @@ QUERIES: dict[str, tuple] = {
     "stream_enrich": (q_stream_enrich, STREAM_ENRICH_SQL),
     "skew_report": (q_skew_report, SKEW_REPORT_SQL),
     "sample_per_group": (q_sample_per_group, SAMPLE_PER_GROUP_SQL),
+    "json_props": (q_json_props, JSON_PROPS_SQL),
+    "pricing_rollup": (q_pricing_rollup, PRICING_ROLLUP_SQL),
     # --- flagship representatives of driver-green ops (window fill) ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

@@ -75,3 +75,11 @@ def test_checkpointed_path_matches(spark):
     a = _cc_dict(connected_components(pairs, checkpoint=True))
     b = _cc_dict(connected_components(pairs, checkpoint=False))
     assert a == b
+
+
+def test_self_loops_and_duplicate_pairs_are_harmless(spark):
+    pairs = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (1, 2), (7, 7)], "id_a long, id_b long"
+    )
+    got = _cc_dict(connected_components(pairs, checkpoint=False))
+    assert got == {1: 1, 2: 1, 7: 7}

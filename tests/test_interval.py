@@ -115,3 +115,21 @@ def test_no_nested_loop_in_plan(spark, frames):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_empty_intervals_yield_empty_result(spark, frames):
+    points, intervals = frames
+    got = interval_join(
+        points, intervals.filter(F.col("iid") < 0), "ts", "t0", "t1"
+    )
+    assert got.count() == 0
+
+
+def test_points_outside_all_intervals_drop(spark):
+    points = spark.createDataFrame(
+        [(1, _ts(20))], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(9, _ts(1), _ts(2))], "iid long, t0 timestamp, t1 timestamp"
+    )
+    assert interval_join(points, intervals, "ts", "t0", "t1").count() == 0

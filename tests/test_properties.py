@@ -154,3 +154,105 @@ def test_global_prefix_sum_property(spark, vals, n_buckets):
     for i, v in enumerate(vals):
         run += v
         assert got[i] == run
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """For ANY edge list over a small id space, the distributed
+    min-label propagation must agree with a pure-python union-find
+    (min-id representative)."""
+    from feature_store_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    expected = {}
+    for n in parent:
+        root = find(n)
+        members = [m for m in parent if find(m) == root]
+        expected[n] = min(members)
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, checkpoint=False).collect()
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    points=st.lists(
+        st.integers(min_value=0, max_value=500_000), min_size=1, max_size=25
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500_000),
+            st.integers(min_value=0, max_value=100_000),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    width=st.sampled_from([3600, 86400]),
+)
+def test_interval_join_matches_naive_property(spark, points, intervals, width):
+    """For ANY points and intervals (second-resolution epochs), the
+    bucketed rewrite equals the naive BETWEEN join."""
+    import datetime as dt
+
+    from feature_store_spark.operators.interval import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    p = spark.createDataFrame(
+        [(i, ts(s)) for i, s in enumerate(points)], "pid long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(i, ts(s), ts(s + d)) for i, (s, d) in enumerate(intervals)],
+        "iid long, t0 timestamp, t1 timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            p, iv, "ts", "t0", "t1", bucket_width_s=width
+        ).collect()
+    )
+    expected = sorted(
+        (i, j)
+        for i, s in enumerate(points)
+        for j, (s0, d) in enumerate(intervals)
+        if s0 <= s <= s0 + d
+    )
+    assert got == expected

@@ -126,14 +126,40 @@ def unpack_embedding_py(raw: bytes) -> tuple[int, list[float]]:
 
 def pack_embedding_udf(version: int = 1):
     """Arrow-batched column codec: array<float> -> binary in the
-    reference layout. Vectorized per batch (one numpy byteswap + concat
-    per row, no struct.pack loops)."""
+    reference layout. When an Arrow batch is uniform-dimension (the
+    overwhelmingly common case for an embedding column), the whole
+    batch is encoded with ONE (B, d) big-endian cast and one header
+    broadcast, then sliced into per-row bytes; ragged batches fall
+    back to the per-row codec."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
     def pack(col):
-        return pd.Series([pack_embedding_py(v, version) for v in col])
+        vals = col.tolist()
+        # elements arrive as np.ndarray: no `in`/`==` checks (they
+        # broadcast); identity tests only
+        has_null = any(v is None for v in vals)
+        dims = {len(v) for v in vals if v is not None}
+        if len(dims) == 1 and not has_null and vals:
+            d = dims.pop()
+            body = np.asarray(vals, dtype=">f4")  # (B, d) one cast
+            head = np.empty((len(vals), 2), dtype=">u2")
+            head[:, 0] = version
+            head[:, 1] = d
+            blob = np.concatenate(
+                [head.view(np.uint8).reshape(len(vals), 4),
+                 body.view(np.uint8).reshape(len(vals), 4 * d)],
+                axis=1,
+            ).tobytes()
+            row = 4 + 4 * d
+            return pd.Series(
+                [blob[i * row : (i + 1) * row] for i in range(len(vals))]
+            )
+        return pd.Series(
+            [None if v is None else pack_embedding_py(v, version) for v in vals]
+        )
 
     return pack
 

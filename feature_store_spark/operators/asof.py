@@ -632,7 +632,19 @@ def asof_training_set_auto(
         sample_mod=sample_mod,
     )
     if plan == "bucketed":
-        kw.pop("lookback_days", None)  # bucketed carries full history
+        # asof_training_set_bucketed has no lookback parameter, but
+        # the dispatch must NOT change the answer: apply the same
+        # history pre-filter the columnar plan would, so a record
+        # older than the lookback yields NULL under either plan.
+        lookback_days = kw.pop("lookback_days", 180.0)
+        if lookback_days is not None:
+            label_time_col = kw.get("label_time_col", "event_time")
+            tmin = labels.agg(F.min(label_time_col)).first()[0]
+            records = records.filter(
+                F.col(record_time_col)
+                >= F.lit(tmin)
+                - F.expr(f"INTERVAL {int(lookback_days * 86400)} SECONDS")
+            )
         return asof_training_set_bucketed(
             labels, records, feature_names, bucket_seconds=bucket_seconds, **kw
         )

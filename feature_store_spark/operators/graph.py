@@ -90,6 +90,31 @@ def connected_components(
             if n_changed == 0:
                 return new_labels
         labels = new_labels
+    # the loop ran out before a round came back unchanged: labels may
+    # be partially propagated (an intermediate, WRONG clustering).
+    # Fail loudly — a silent partial answer would split real dup
+    # clusters and leak extra "survivors" downstream.
+    final = (
+        edges.join(labels, "node")
+        .select(F.col("peer").alias("node"), "component")
+        .union(labels)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    n_changed = (
+        final.withColumnRenamed("component", "new_component")
+        .join(labels, "node")
+        .filter(F.col("new_component") != F.col("component"))
+        .count()
+    )
+    if n_changed:
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} "
+            f"rounds ({n_changed} labels still changing) — the graph "
+            "has a component with diameter > max_iter. Raise max_iter "
+            "(rounds are cheap: one pair-graph shuffle each) or swap "
+            "in the large-star/small-star step for O(log n) rounds."
+        )
     return labels
 
 

@@ -43,9 +43,16 @@ def global_prefix_sum(
     (default) the input is cached MEMORY_AND_DISK before the first
     action, so the upstream runs exactly once; callers should project
     the input down to the columns they need first so the cache stays
-    narrow, and may ``unpersist()`` the input after consuming the
-    result. ``persist=False`` opts out for already-cached or trivially
+    narrow. ``persist=False`` opts out for already-cached or trivially
     cheap inputs.
+
+    The cache must OUTLIVE this call — the returned frame is lazy and
+    still reads it — so it cannot be unpersisted here. The persisted
+    frame is exposed as ``result._fss_persisted_input`` (also
+    propagated by pack_sequences/pack_shards): call
+    :func:`release_prefix_sum_cache` (or ``.unpersist()`` it directly)
+    once the result has been materialized, else the cache lives until
+    session end / ``spark.catalog.clearCache()``.
     """
     if persist and df.storageLevel == StorageLevel.NONE:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -78,11 +85,22 @@ def global_prefix_sum(
         running += r["__tot"]
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, "__bkt int, __off long")
-    return (
+    out = (
         local.join(F.broadcast(off_df), "__bkt")
         .withColumn(out_col, (F.col("__local_cum") + F.col("__off")).cast("long"))
         .drop("__bkt", "__local_cum", "__off")
     )
+    out._fss_persisted_input = df
+    return out
+
+
+def release_prefix_sum_cache(result: DataFrame) -> None:
+    """Unpersist the input cache a prefix-sum-based result rides on
+    (no-op for frames without one). Call AFTER materializing the
+    result — the cache backs its lineage."""
+    cached = getattr(result, "_fss_persisted_input", None)
+    if cached is not None:
+        cached.unpersist()
 
 
 def mixture_sample(
@@ -164,7 +182,7 @@ def pack_sequences(
     placed = c.withColumn(
         "start_tok", (F.col("__cum") - F.col(token_col)).cast("long")
     ).withColumn("__end_tok", (F.col("__cum") - 1).cast("long"))
-    return placed.select(
+    out = placed.select(
         *docs.columns,
         "start_tok",
         F.expr(f"start_tok div {seq_len}").cast("long").alias("seq_first"),
@@ -172,6 +190,9 @@ def pack_sequences(
     ).withColumn(
         "n_seqs", (F.col("seq_last") - F.col("seq_first") + 1).cast("long")
     )
+    # hand the internal prefix-sum cache to the caller for release
+    out._fss_persisted_input = getattr(c, "_fss_persisted_input", None)
+    return out
 
 
 def pack_shards(
@@ -203,9 +224,11 @@ def pack_shards(
         "offset_in_shard",
         (F.col("start_tok") - F.col("shard_id") * tokens_per_shard).cast("long"),
     )
-    return shard.repartition(F.col("shard_id")).sortWithinPartitions(
+    out = shard.repartition(F.col("shard_id")).sortWithinPartitions(
         "shard_id", "start_tok"
     )
+    out._fss_persisted_input = getattr(placed, "_fss_persisted_input", None)
+    return out
 
 
 def shard_manifest(shards: DataFrame, id_col: str = "doc_id",

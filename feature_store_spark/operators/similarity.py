@@ -127,7 +127,9 @@ def knn_join_arrow(
     bench shape, and the per-batch work stays vectorized at any scale.
     The per-query global top-k is the same window as knn_join.
     Differentially tested equal to knn_join (ties broken on id, scores
-    f64 in both plans).
+    f64 in both plans): id columns keep their input types, and a NULL
+    embedding scores NULL — ranked last under the desc window, exactly
+    as the higher-order plan ranks it.
     """
     import numpy as np
     import pandas as pd
@@ -139,26 +141,52 @@ def knn_join_arrow(
         return knn_join(
             queries, embeddings, k, query_id_col, query_vec_col, id_col, vec_col
         )
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    eid_type = embeddings.schema[id_col].dataType.simpleString()
+    qids = np.array([r[0] for r in q_rows], dtype=object)
     qm = np.asarray([r[1] for r in q_rows], dtype=np.float64)  # (q, d)
     qn = np.sqrt((qm * qm).sum(axis=1))
 
     def score_batches(batches):
         for pdf in batches:
-            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)  # (B, d)
-            vn = np.sqrt((v * v).sum(axis=1))
-            sims = (v @ qm.T) / (vn[:, None] * qn[None, :])  # (B, q)
-            b = len(pdf)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), len(qids)),
-                    query_id_col: np.tile(qids, b),
-                    "score": sims.ravel(),
-                }
-            )
+            nq = len(qids)
+            valid = pdf[vec_col].notna().to_numpy()
+            frames = []
+            vp = pdf[valid]
+            if len(vp):
+                v = np.asarray(vp[vec_col].tolist(), dtype=np.float64)
+                vn = np.sqrt((v * v).sum(axis=1))
+                sims = (v @ qm.T) / (vn[:, None] * qn[None, :])  # (B, q)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.repeat(vp[id_col].to_numpy(), nq),
+                            query_id_col: np.tile(qids, len(vp)),
+                            "score": sims.ravel(),
+                        }
+                    )
+                )
+            iv = pdf[~valid]
+            if len(iv):
+                # NULL vector -> NULL score (not NaN: Spark sorts NaN
+                # FIRST on desc but NULL last, and knn_join yields NULL)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.repeat(iv[id_col].to_numpy(), nq),
+                            query_id_col: np.tile(qids, len(iv)),
+                            "score": pd.array(
+                                [pd.NA] * (len(iv) * nq), dtype="Float64"
+                            ),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     scored = embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        score_batches, schema=f"{id_col} long, {query_id_col} long, score double"
+        score_batches,
+        schema=f"{id_col} {eid_type}, {query_id_col} {qid_type}, score double",
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()

@@ -54,6 +54,37 @@ def _stream_tmpdir(prefix: str) -> str:
     d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
+
+
+def _run_stream_to_memory(spark, out, name: str, d: str, mode: str):
+    """Shared tail of every stream query: drive a streaming DataFrame
+    into a fresh memory sink (availableNow), fail LOUDLY on timeout
+    instead of grading a partial sink, clean the fixture/checkpoint
+    dir, return the sink as a batch DataFrame."""
+    import shutil
+
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            f"{name}: availableNow stream did not finish in 300s; "
+            "refusing to grade a partial memory sink"
+        )
+    # the memory sink lives in driver memory; the parquet fixture copy
+    # and checkpoint are no longer needed once the query terminated
+    shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)
 from feature_store_spark.operators.windowed import windowed_features_self
 from feature_store_spark.scoring import compile_model_expr, compile_model_sql, example_model
 from feature_store_spark.session import load_table
@@ -181,8 +212,6 @@ def q_stream_sessions(spark, sf_dir):
     later in-batch event exceeds the 1-day gap OR the final watermark
     (max ts) passes last+gap — exactly the SQL predicate
     `session_end + gap <= max(ts)`."""
-    import shutil
-
     from feature_store_spark.streaming.stateful import sessionize_stream
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
@@ -199,29 +228,9 @@ def q_stream_sessions(spark, sf_dir):
         gap_seconds=86_400,
         watermark="0 seconds",
     )
-    name = "fss_stream_sessions"
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{d}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "stream_sessions: availableNow stream did not finish in 300s; "
-            "refusing to grade a partial memory sink"
-        )
-    # the memory sink lives in driver memory; the parquet fixture copy
-    # and checkpoint are no longer needed once the query terminated
-    shutil.rmtree(d, ignore_errors=True)
-    return spark.table(name).select(
+    return _run_stream_to_memory(
+        spark, out, "fss_stream_sessions", d, "append"
+    ).select(
         F.col("entity_id").alias("user_id"),
         F.unix_micros("session_start").alias("start_us"),
         F.unix_micros("session_end").alias("end_us"),
@@ -3623,8 +3632,6 @@ def q_stream_dedup(spark, sf_dir):
     aggregation (availableNow, complete mode) — the stateful
     first-seen-wins dedup a continuous ingestion pipeline runs — and
     must produce the batch dedup answer."""
-    import shutil
-
     corpus = _mutated_corpus(spark, sf_dir, exact=True)
     d = _stream_tmpdir("fss_stream_dedup_")
     corpus.coalesce(4).write.mode("overwrite").parquet(f"{d}/in")
@@ -3636,27 +3643,7 @@ def q_stream_dedup(spark, sf_dir):
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
     )
-    name = "fss_stream_dedup"
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", f"{d}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "stream_dedup: availableNow stream did not finish in 300s; "
-            "refusing to grade a partial memory sink"
-        )
-    shutil.rmtree(d, ignore_errors=True)
-    return spark.table(name)
+    return _run_stream_to_memory(spark, agg, "fss_stream_dedup", d, "complete")
 
 
 # same answer as the batch exact dedup
@@ -3670,8 +3657,6 @@ def q_stream_window_stats(spark, sf_dir):
     reproduce the batch GROUP BY hour answer. Complete output mode so
     every window is emitted deterministically (append would hold back
     windows newer than the final watermark)."""
-    import shutil
-
     from feature_store_spark.streaming.materializer import windowed_stats_stream
 
     eav = _events_eav(spark, sf_dir).select(
@@ -3686,27 +3671,9 @@ def q_stream_window_stats(spark, sf_dir):
     out = windowed_stats_stream(
         stream, window="1 hour", watermark="2 hours"
     )
-    name = "fss_stream_wstats"
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", f"{d}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "stream_window_stats: availableNow stream did not finish in "
-            "300s; refusing to grade a partial memory sink"
-        )
-    shutil.rmtree(d, ignore_errors=True)
-    return spark.table(name).select(
+    return _run_stream_to_memory(
+        spark, out, "fss_stream_wstats", d, "complete"
+    ).select(
         F.unix_micros(F.col("window.start")).alias("window_start_us"),
         "feature_name",
         F.col("count").cast("long").alias("n"),
@@ -3735,8 +3702,6 @@ def q_stream_enrich(spark, sf_dir):
     (streaming/materializer.enrich_stream) — the online
     feature-decoration path. Row-level append (no aggregation state,
     no watermark needed); must reproduce the batch join exactly."""
-    import shutil
-
     from feature_store_spark.streaming.materializer import enrich_stream
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -3751,27 +3716,9 @@ def q_stream_enrich(spark, sf_dir):
         "event_id long, user_id long, event_type string, value double"
     ).parquet(f"{d}/in")
     out = enrich_stream(stream, cust, ["user_id"], how="left")
-    name = "fss_stream_enrich"
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{d}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "stream_enrich: availableNow stream did not finish in 300s; "
-            "refusing to grade a partial memory sink"
-        )
-    shutil.rmtree(d, ignore_errors=True)
-    return spark.table(name).select(
+    return _run_stream_to_memory(
+        spark, out, "fss_stream_enrich", d, "append"
+    ).select(
         "event_id", "user_id", "event_type", "value",
         "c_mktsegment", F.col("c_nationkey").cast("int").alias("c_nationkey"),
     )

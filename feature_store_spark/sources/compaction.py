@@ -13,9 +13,12 @@ Scale notes:
   driver-side row handling; file counting/sizing is metadata listing.
 - ``n_target`` comes from measured on-disk bytes, not row counts, so
   compression ratio is preserved by construction.
-- partitioned tables compact partition-by-partition (pass
-  ``subdir=``): the unit of work stays bounded and a failed compact
-  touches one partition.
+- partitioned tables compact partition-by-partition: call
+  :func:`compact` on each ``key=value`` leaf directory, so the unit
+  of work stays bounded and a failed compact touches one partition.
+  Calling it on the partitioned ROOT is rejected loudly — a flat
+  rewrite there would fold the partition columns into the data and
+  destroy the directory layout every reader prunes on.
 - the swap is write-to-side-dir + atomic-ish rename. On a real
   cluster, pair the rewrite with a manifest/metastore pointer flip
   (Delta/Iceberg commit protocols exist precisely because raw
@@ -51,6 +54,19 @@ def table_file_stats(path: str, suffix: str = ".parquet") -> dict:
         "max_bytes": max(sizes),
         "mean_bytes": sum(sizes) / len(sizes),
     }
+
+
+def partition_dirs(path: str) -> list[str]:
+    """Immediate hive-style ``key=value`` partition subdirectories."""
+    try:
+        entries = sorted(os.listdir(path))
+    except FileNotFoundError:
+        return []
+    return [
+        os.path.join(path, e)
+        for e in entries
+        if "=" in e and os.path.isdir(os.path.join(path, e))
+    ]
 
 
 def plan_compaction(
@@ -96,6 +112,15 @@ def compact(
     a no-op (healthy table) returns ``compacted=False`` and leaves
     every byte untouched.
     """
+    parts = partition_dirs(path)
+    if parts:
+        raise ValueError(
+            f"compact: {path!r} is a partitioned table root "
+            f"({len(parts)} key=value subdirs, e.g. "
+            f"{os.path.basename(parts[0])!r}); a flat rewrite would "
+            "destroy the partition layout. Compact each partition "
+            "directory instead (see partition_dirs())."
+        )
     plan = plan_compaction(path, target_file_mb, min_files_to_compact)
     if not plan["should_compact"]:
         return {"compacted": False, "before": plan, "after": plan}

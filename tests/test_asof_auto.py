@@ -137,3 +137,40 @@ def test_auto_matches_flat_on_uniform(spark, hot_records):
     a = sorted(map(tuple, auto.select(*flat.columns).collect()))
     b = sorted(map(tuple, flat.collect()))
     assert a == b
+
+
+def test_auto_dispatch_preserves_lookback_semantics(spark):
+    """The plan choice must not change the answer: a record OLDER than
+    lookback_days is invisible under the columnar plan, so the
+    bucketed dispatch must pre-filter it identically (both paths NULL,
+    both paths see the in-window record)."""
+    from datetime import timedelta
+
+    def ts(days):
+        return BASE + timedelta(days=days)
+
+    records = spark.createDataFrame(
+        [
+            ("a", "f1", 1.0, ts(-400), ts(-400)),  # older than lookback
+            ("b", "f1", 2.0, ts(-5), ts(-5)),      # in window
+        ],
+        "entity_id string, feature_name string, value_float double, "
+        "event_time timestamp, created_at timestamp",
+    )
+    labels = spark.createDataFrame(
+        [("a", ts(0)), ("b", ts(0))],
+        "entity_id string, event_time timestamp",
+    )
+    results = []
+    for threshold in (0, 10**9):  # 0 forces bucketed, huge forces columnar
+        out = asof_training_set_auto(
+            labels,
+            records,
+            ["f1"],
+            hot_rows_threshold=threshold,
+            lookback_days=30.0,
+        )
+        results.append(
+            sorted((r["entity_id"], r["f1"]) for r in out.collect())
+        )
+    assert results[0] == results[1] == [("a", None), ("b", 2.0)]

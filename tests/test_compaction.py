@@ -71,3 +71,26 @@ def test_compact_with_sort_recluster(spark, tmp_path):
     # per-partition ordering after read of a single compacted file)
     df = spark.read.parquet(path)
     assert df.count() == 6400
+
+
+def test_partitioned_root_rejected_leaf_allowed(spark, tmp_path):
+    import pytest as _pytest
+
+    from feature_store_spark.sources.compaction import partition_dirs
+
+    path = str(tmp_path / "pt")
+    spark.range(2000).select(
+        F.col("id"), (F.col("id") % 2).alias("day")
+    ).repartition(16).write.mode("overwrite").partitionBy("day").parquet(path)
+
+    with _pytest.raises(ValueError, match="partitioned table root"):
+        compact(spark, path, target_file_mb=1)
+
+    leaves = partition_dirs(path)
+    assert len(leaves) == 2
+    res = compact(spark, leaves[0], target_file_mb=1)
+    assert res["compacted"] is True
+    # layout intact, rows intact
+    df = spark.read.parquet(path)
+    assert df.count() == 2000
+    assert set(df.columns) == {"id", "day"}

@@ -34,13 +34,15 @@ def test_chain_clique_and_pair(spark):
 
 
 def test_chain_needs_multiple_rounds_converges(spark):
-    # with max_iter=1 a length-4 chain must NOT be fully labelled;
-    # the default cap must converge it
+    # one hop cannot finish a length-4 chain: max_iter=1 must RAISE
+    # (never return the partial labelling); the default cap converges
+    import pytest as _pytest
+
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
     )
-    one = _cc_dict(connected_components(pairs, max_iter=1, checkpoint=False))
-    assert one[5] != 1  # one hop cannot reach the end of the chain
+    with _pytest.raises(RuntimeError, match="not converged"):
+        connected_components(pairs, max_iter=1, checkpoint=False)
     full = _cc_dict(connected_components(pairs, checkpoint=False))
     assert set(full.values()) == {1}
 
@@ -83,3 +85,18 @@ def test_self_loops_and_duplicate_pairs_are_harmless(spark):
     )
     got = _cc_dict(connected_components(pairs, checkpoint=False))
     assert got == {1: 1, 2: 1, 7: 7}
+
+
+def test_non_convergence_raises(spark):
+    """A chain longer than max_iter must fail loudly, never return a
+    partially-propagated (wrong) clustering."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="not converged"):
+        connected_components(pairs, max_iter=2, checkpoint=False)
+    # and with enough rounds the same graph resolves fine
+    got = _cc_dict(connected_components(pairs, max_iter=10, checkpoint=False))
+    assert set(got.values()) == {0}

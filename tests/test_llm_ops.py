@@ -311,3 +311,28 @@ def test_ivf_knn_join_full_probe_equals_exact(spark, emb):
     # query 0's nearest centroid is cluster 0 = {0, 1}; query 1's is
     # cluster 1 = {2, 3}
     assert got == {(0, 0), (0, 1), (1, 2), (1, 3)}
+
+
+def test_knn_join_arrow_string_ids_and_null_vectors(spark):
+    """The Arrow twin must keep knn_join's contract on inputs the
+    fixtures don't cover: non-integer ids and NULL embeddings (NULL
+    score, ranked last — not a task crash)."""
+    from feature_store_spark.operators.similarity import knn_join_arrow
+
+    emb = spark.createDataFrame(
+        [
+            ("d1", [1.0, 0.0]),
+            ("d2", [0.9, 0.1]),
+            ("d3", None),
+            ("d4", [0.0, 1.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "query_id string, query_vec array<double>"
+    )
+    a = knn_join(queries, emb, k=4).select("query_id", "vec_id", "rank")
+    b = knn_join_arrow(queries, emb, k=4).select("query_id", "vec_id", "rank")
+    assert sorted(a.collect()) == sorted(b.collect())
+    ranks = {r["vec_id"]: r["rank"] for r in b.collect()}
+    assert ranks["d1"] == 1 and ranks["d3"] == 4  # null vec ranks last

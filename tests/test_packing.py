@@ -134,3 +134,27 @@ def test_pack_shards_layout_and_real_write(spark, tmp_path):
     assert rows == sorted(rows) and len(rows) == 2
     offs = {r["offset_in_shard"] for r in back.collect()}
     assert offs == {0, 100}  # doc offsets inside the 200-token shard
+
+
+def test_prefix_sum_cache_release_handle(spark):
+    """The persist that keeps tokenization single-pass is exposed on
+    the result and release_prefix_sum_cache() drops it (the
+    cache-leak guard)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from feature_store_spark.operators.packing import (
+        pack_sequences,
+        release_prefix_sum_cache,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 10 + i) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(docs, "n_tokens", seq_len=64)
+    out.count()  # materialize while the cache is live
+    cached = out._fss_persisted_input
+    assert cached is not None
+    assert cached.storageLevel != StorageLevel.NONE
+    release_prefix_sum_cache(out)
+    assert cached.storageLevel == StorageLevel.NONE
+    release_prefix_sum_cache(docs)  # frames without a handle: no-op

@@ -299,8 +299,10 @@ def test_connected_components_shuffles_pairs_not_corpus(spark):
     a cartesian product or a single-partition exchange."""
     from feature_store_spark.operators.graph import connected_components
 
-    pairs = spark.range(0, 1000).select(
-        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    # star graph: converges in one round, so max_iter=1 returns the
+    # single-round plan (a chain would trip the non-convergence guard)
+    pairs = spark.range(1, 1000).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
     )
     out = connected_components(pairs, max_iter=1, checkpoint=False)
     plan = plan_of(out, "simple")

@@ -133,3 +133,63 @@ def frame_sample_plan(
         "frame_idx",
         (F.col("frame_idx") * F.lit(every_n_seconds)).alias("frame_time_s"),
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, payload binary"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    id_col: str = "doc_id",
+    real_resize: bool | None = None,
+) -> DataFrame:
+    """Resize plumbing over Arrow batches: binary in, binary out, with
+    the target dims carried as typed metadata.
+
+    ``real_resize`` defaults to ``HAS_PIL``: with PIL present each
+    payload is decoded, resized to (width, height), and re-encoded
+    PNG; without it a CLEARLY-FAKE deterministic transform (cycle the
+    payload bytes to exactly width*height bytes) keeps the plan —
+    schema, Arrow batch shape, output column types — fully testable.
+    Output payloads are bounded by the target size either way, which
+    is the property the downstream writer relies on."""
+    if real_resize is None:
+        real_resize = HAS_PIL
+
+    def _fake(p: bytes) -> bytes:
+        need = width * height
+        raw = bytes(p)
+        if not raw:
+            return bytes(need)
+        reps = -(-need // len(raw))
+        return (raw * reps)[:need]
+
+    def _real(p: bytes) -> bytes:  # pragma: no cover - needs PIL
+        import io
+
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(bytes(p)))
+        buf = io.BytesIO()
+        im.resize((width, height)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    fn = _real if real_resize else _fake
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "payload": [fn(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)

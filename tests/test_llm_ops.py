@@ -336,3 +336,21 @@ def test_knn_join_arrow_string_ids_and_null_vectors(spark):
     assert sorted(a.collect()) == sorted(b.collect())
     ranks = {r["vec_id"]: r["rank"] for r in b.collect()}
     assert ranks["d1"] == 1 and ranks["d3"] == 4  # null vec ranks last
+
+
+def test_resize_images_plumbing(docs):
+    """Resize plumbing: binary->binary through mapInPandas with the
+    documented fake (payload cycled to exactly width*height bytes);
+    schema and dims are the real contract."""
+    from feature_store_spark.operators.multimodal import (
+        resize_images,
+        to_media_table,
+    )
+
+    media = to_media_table(docs)
+    out = resize_images(media, width=8, height=4, real_resize=False)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r["payload"]) == 32 for r in rows)
+    assert all((r["width"], r["height"]) == (8, 4) for r in rows)
+    assert dict(out.dtypes)["payload"] == "binary"

@@ -1688,30 +1688,35 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 def q_table_profile(spark, sf_dir):
     """ANALYZE-style column profiler: one pass over the table emits
     per-column row/null/distinct counts, min/max, and mean — the
-    stats a planner or data-quality monitor keeps per partition. All
-    metrics in ONE aggregate (no per-column rescans); means go
-    through exact integer cents so the distributed reduction order
-    can't move the hash."""
+    stats a planner or data-quality monitor keeps per partition.
+    Shape: melt the k columns to (column_name, v) and run ONE groupBy
+    with a single countDistinct — a k-wide Expand and a two-phase
+    distinct aggregate. (The flat alternative, k countDistincts in one
+    agg, plans as a (k+1)-way Expand over every row: measured 3.5 s vs
+    2.3 s here at sf0.1, and the gap widens with k.) Means go through
+    exact integer cents so the distributed reduction order can't move
+    the hash."""
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in _PROFILE_COLS:
-        cents = F.round(F.col(c) * 100).cast("long")
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.count(c).alias(f"{c}__nn"),
-            F.countDistinct(c).alias(f"{c}__nd"),
-            F.min(c).alias(f"{c}__min"),
-            F.max(c).alias(f"{c}__max"),
-            F.round(F.sum(cents) / 100.0 / F.count(c), 6).alias(f"{c}__mean"),
-        ]
-    row = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__min, {c}__max, {c}__mean"
-        for c in _PROFILE_COLS
-    )
-    return row.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-        "(column_name, n_rows, n_nonnull, n_distinct, min_val, max_val, mean_val)"
+    melted = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"), F.col(c).alias("v")
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.column_name", "s.v")
+    cents = F.round(F.col("v") * 100).cast("long")
+    return melted.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+        F.round(F.sum(cents) / 100.0 / F.count("v"), 6).alias("mean_val"),
     )
 
 

@@ -66,6 +66,16 @@ def connected_components(
         "component", F.col("node")
     )
 
+    def label_mass(frame):
+        # labels are monotone non-increasing per node and the node set
+        # is fixed, so "sum of labels unchanged" IS convergence — a
+        # scalar aggregate instead of a labels x labels change-count
+        # join. Decimal sum: immune to long overflow under wide ids.
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("m")
+        ).first()["m"]
+
+    prev_mass = None
     for i in range(max_iter):
         # labels flow one hop: node's current component reaches peer
         msgs = edges.join(labels, "node").select(
@@ -80,15 +90,13 @@ def connected_components(
             new_labels = new_labels.localCheckpoint()
         if i > 0:
             # round 0 always changes something (any edge relabels its
-            # higher endpoint) — skip its convergence-count job
-            n_changed = (
-                new_labels.withColumnRenamed("component", "new_component")
-                .join(labels, "node")
-                .filter(F.col("new_component") != F.col("component"))
-                .count()
-            )
-            if n_changed == 0:
+            # higher endpoint) — skip its convergence probe
+            if prev_mass is None:
+                prev_mass = label_mass(labels)
+            mass = label_mass(new_labels)
+            if mass == prev_mass:
                 return new_labels
+            prev_mass = mass
         labels = new_labels
     # the loop ran out before a round came back unchanged: labels may
     # be partially propagated (an intermediate, WRONG clustering).
@@ -101,19 +109,13 @@ def connected_components(
         .groupBy("node")
         .agg(F.min("component").alias("component"))
     )
-    n_changed = (
-        final.withColumnRenamed("component", "new_component")
-        .join(labels, "node")
-        .filter(F.col("new_component") != F.col("component"))
-        .count()
-    )
-    if n_changed:
+    if label_mass(final) != label_mass(labels):
         raise RuntimeError(
             f"connected_components: not converged after {max_iter} "
-            f"rounds ({n_changed} labels still changing) — the graph "
-            "has a component with diameter > max_iter. Raise max_iter "
-            "(rounds are cheap: one pair-graph shuffle each) or swap "
-            "in the large-star/small-star step for O(log n) rounds."
+            "rounds — the graph has a component with diameter > "
+            "max_iter. Raise max_iter (rounds are cheap: one "
+            "pair-graph shuffle each) or swap in the "
+            "large-star/small-star step for O(log n) rounds."
         )
     return labels
 

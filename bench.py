@@ -59,6 +59,10 @@ HEADLINE = [
     "scd2_intervals",
     "table_profile",
     "zorder_key",
+    "asof_nearest",
+    "decontaminate_bloom",
+    "heavy_hitters",
+    "word_entropy",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

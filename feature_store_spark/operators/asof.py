@@ -64,6 +64,7 @@ def asof_join(
     tiebreak_cols: Sequence[str] = (),
     tolerance_seconds: float | None = None,
     suffix: str = "",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right values at-or-before
     ``left_time`` per ``on`` key (backward ASOF, inclusive).
@@ -71,7 +72,25 @@ def asof_join(
     tolerance_seconds: values older than ``left_time - tolerance`` are
     nulled out (the reference's 180-day lookback horizon,
     IcebergOfflineStore.java:144, generalized to a parameter).
+
+    direction (pandas ``merge_asof`` parity; the reference only has
+    backward):
+
+    - ``backward`` — latest right row with time <= left_time.
+    - ``forward`` — earliest right row with time >= left_time.
+    - ``nearest`` — whichever of the two is closer in time; exact ties
+      resolve BACKWARD (deterministic; pandas resolves them the same
+      way only when the backward candidate sorts first, so we pin it).
+
+    All three run in the same one-shuffle union+window plan — forward
+    is a mirrored ``first() over currentRow..unboundedFollowing`` frame
+    on the same sort, so nearest costs two window functions over one
+    sort, never a second shuffle. With ``nearest``, an equal-time right
+    row is credited to the backward side (delta 0 always wins), so the
+    forward frame may exclude it without changing the answer.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     right_time = right_time or left_time
     on = list(on)
     value_cols = list(value_cols)
@@ -97,41 +116,90 @@ def asof_join(
         *[F.col(c).alias(f"__p_{c}") for c in payload],
     )
 
-    # History rows sort BEFORE label rows at equal time => inclusive <=.
-    # Among equal-time history rows the greatest tiebreak wins (last in
-    # frame). A running `last(ignorenulls)` carries the most recent
-    # history value forward into each label row.
-    order = [F.col(_T).asc(), F.col(_IS_LABEL).asc()] + [
-        F.col(f"__tb_{t}").asc_nulls_first() for t in tiebreak_cols
-    ]
-    w = (
-        Window.partitionBy(*[F.col(k) for k in on])
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # Backward: history rows sort BEFORE label rows at equal time =>
+    # inclusive <=; among equal-time history rows the greatest tiebreak
+    # wins (last in frame); a running `last(ignorenulls)` carries the
+    # most recent history value forward into each label row.
+    # Forward: the mirror image — labels sort first at equal time (so
+    # the frame starting at currentRow still sees an equal-time history
+    # row: inclusive >=), tiebreaks descend so the greatest wins as the
+    # FIRST hit of a `first(ignorenulls)` over the following frame.
+    # Nearest: runs BOTH frames over the backward sort (one shuffle,
+    # one sort); the forward frame then excludes equal-time history
+    # rows, which is harmless because the backward side claims them at
+    # delta zero, and delta zero always wins the nearest comparison.
+    # Among duplicate (key, time) rows the forward side of `nearest`
+    # resolves to the SMALLEST tiebreak (sort is shared with backward)
+    # — deterministic, documented divergence from forward-only mode.
+    if direction == "forward":
+        order = [F.col(_T).asc(), F.col(_IS_LABEL).desc()] + [
+            F.col(f"__tb_{t}").desc_nulls_last() for t in tiebreak_cols
+        ]
+    else:
+        order = [F.col(_T).asc(), F.col(_IS_LABEL).asc()] + [
+            F.col(f"__tb_{t}").asc_nulls_first() for t in tiebreak_cols
+        ]
+    part = Window.partitionBy(*[F.col(k) for k in on]).orderBy(*order)
+    wb = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+
     attached = right_sel.unionByName(left_sel)
     for v in value_cols:
+        if need_b:
+            attached = attached.withColumn(
+                f"__last_{v}", F.last(F.col(f"__v_{v}"), ignorenulls=True).over(wb)
+            )
+        if need_f:
+            attached = attached.withColumn(
+                f"__next_{v}", F.first(F.col(f"__v_{v}"), ignorenulls=True).over(wf)
+            )
+    hist_t = F.when(F.col(_IS_LABEL) == 0, F.col(_T))
+    if need_b:
         attached = attached.withColumn(
-            f"__last_{v}", F.last(F.col(f"__v_{v}"), ignorenulls=True).over(w)
+            "__last_t", F.last(hist_t, ignorenulls=True).over(wb)
         )
-    attached = attached.withColumn(
-        "__last_t",
-        F.last(F.when(F.col(_IS_LABEL) == 0, F.col(_T)), ignorenulls=True).over(w),
-    )
+    if need_f:
+        attached = attached.withColumn(
+            "__next_t", F.first(hist_t, ignorenulls=True).over(wf)
+        )
 
     out = attached.filter(F.col(_IS_LABEL) == 1)
     if tolerance_seconds is not None:
-        horizon_ok = F.col("__last_t") >= (
-            F.col(_T) - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        tol = F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        if need_b:
+            ok_b = F.col("__last_t") >= (F.col(_T) - tol)
+            for v in value_cols:
+                out = out.withColumn(f"__last_{v}", F.when(ok_b, F.col(f"__last_{v}")))
+            out = out.withColumn("__last_t", F.when(ok_b, F.col("__last_t")))
+        if need_f:
+            ok_f = F.col("__next_t") <= (F.col(_T) + tol)
+            for v in value_cols:
+                out = out.withColumn(f"__next_{v}", F.when(ok_f, F.col(f"__next_{v}")))
+            out = out.withColumn("__next_t", F.when(ok_f, F.col("__next_t")))
+
+    if direction == "backward":
+        val_cols = [F.col(f"__last_{v}").alias(f"{v}{suffix}") for v in value_cols]
+    elif direction == "forward":
+        val_cols = [F.col(f"__next_{v}").alias(f"{v}{suffix}") for v in value_cols]
+    else:
+        pick_b = F.col("__next_t").isNull() | (
+            F.col("__last_t").isNotNull()
+            & ((F.col(_T) - F.col("__last_t")) <= (F.col("__next_t") - F.col(_T)))
         )
-        for v in value_cols:
-            out = out.withColumn(f"__last_{v}", F.when(horizon_ok, F.col(f"__last_{v}")))
+        val_cols = [
+            F.when(pick_b, F.col(f"__last_{v}"))
+            .otherwise(F.col(f"__next_{v}"))
+            .alias(f"{v}{suffix}")
+            for v in value_cols
+        ]
 
     return out.select(
         *[F.col(k) for k in on],
         F.col(_T).alias(left_time),
         *[F.col(f"__p_{c}").alias(c) for c in payload],
-        *[F.col(f"__last_{v}").alias(f"{v}{suffix}") for v in value_cols],
+        *val_cols,
     )
 
 

@@ -529,6 +529,54 @@ def ngram_contamination(
     )
 
 
+def ngram_contamination_bloom(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    n_grams_estimate: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """:func:`ngram_contamination` for eval sets too big to broadcast
+    EXACTLY: a Bloom filter of the eval gram set (a few hundred MB at
+    1% fpp even for 10^8 grams) prefilters the corpus gram stream
+    map-side, and the exact join that follows sees only survivors — so
+    the overlap counts are identical to the broadcast plan, but the
+    shuffle carries ~shared-grams + fpp of the corpus instead of ALL
+    corpus grams. At 100 TB this is the difference between shuffling
+    terabytes of grams and shuffling the contamination itself.
+
+    ``n_grams_estimate`` sizes the filter (default: counted with one
+    cheap aggregate over the eval side — eval sets are the small side
+    by definition)."""
+    from feature_store_spark.operators.bloom import build_bloom, might_contain
+
+    ev_grams = (
+        eval_docs.select(
+            F.explode(shingle_array(F.col(text_col), n)).alias("__g")
+        ).distinct()
+    )
+    if n_grams_estimate is None:
+        n_grams_estimate = ev_grams.count()
+    tr_grams = train.select(
+        F.col(id_col), F.explode(shingle_array(F.col(text_col), n)).alias("__g")
+    )
+    bloom = build_bloom(ev_grams, ["__g"], n_items=max(n_grams_estimate, 1), fpp=fpp)
+    pre = (
+        might_contain(tr_grams, ["__g"], bloom)
+        .filter(F.col("__bloom_hit"))
+        .drop("__bloom_hit")
+    )
+    # exact confirm join (NO broadcast hint: the whole point is that
+    # the eval side may not fit; post-filter both sides are tiny)
+    return (
+        pre.join(ev_grams, "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,83 @@
+"""Exact heavy hitters in two bounded-memory passes.
+
+The naive plan for "every item with frequency >= s*N" is a full
+groupBy over ALL distinct items — at corpus scale that shuffle is
+dominated by the long tail of singletons (billions of n-grams that can
+never reach the threshold). The classic fix is two passes:
+
+1. **Candidate pass** — per-partition Misra-Gries summaries with
+   k = ceil(1/s) counters, run inside `mapInPandas` (per-batch
+   `value_counts`, dict merge, batched decrement). MG guarantees any
+   item with LOCAL count > n_p/(k+1) survives its partition's summary;
+   by pigeonhole an item with GLOBAL count >= s*N exceeds that bound
+   in at least one partition, so the union of partition candidates is
+   a superset of the true heavy hitters. Output: <= k items per
+   partition — metadata-scale, collected to the driver.
+2. **Exact pass** — one more scan counting ONLY candidate items
+   (`isin` literal pruning map-side, partial aggregation), then
+   `count >= ceil(s*N)`. The tail never enters the shuffle.
+
+The result is byte-identical to `GROUP BY item HAVING count >= s*N` —
+approximation is confined to pass 1's candidate superset.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_partition(col: str, k: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf[col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                # batched decrement: subtract the (k+1)-th largest
+                # count from everything, drop non-positives. Each
+                # round removes >= (k+1)*delta total mass, so the
+                # cumulative decrement of any single item is bounded
+                # by n_p/(k+1) — the MG guarantee survives batching.
+                delta = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    i: c - delta for i, c in counters.items() if c - delta > 0
+                }
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return run
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, support: float, total: int | None = None
+) -> DataFrame:
+    """All items of ``df[col]`` with count >= ceil(support * N), with
+    their EXACT counts — equal to the full groupBy answer, without
+    shuffling the tail. ``total`` short-circuits the N count when the
+    caller already knows it."""
+    if not (0.0 < support < 1.0):
+        raise ValueError(f"support must be in (0, 1), got {support}")
+    # nulls are excluded up front (pandas value_counts drops them in
+    # pass 1; making pass 2 match keeps both passes over the same set)
+    items = df.select(col).filter(F.col(col).isNotNull())
+    n = total if total is not None else items.count()
+    if n == 0:
+        return items.limit(0).withColumn("cnt", F.lit(0).cast("long"))
+    threshold = max(1, math.ceil(support * n))
+    k = math.ceil(1.0 / support)
+
+    cand_df = items.mapInPandas(_mg_partition(col, k), items.schema)
+    candidates = [r[0] for r in cand_df.distinct().collect()]
+    if not candidates:
+        return items.limit(0).withColumn("cnt", F.lit(0).cast("long"))
+
+    return (
+        items.filter(F.col(col).isin(candidates))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )

@@ -235,3 +235,44 @@ def pii_scan(
     return out.withColumn("pii_total", total.cast("long")).withColumn(
         "has_pii", (F.col("pii_total") > 0).cast("boolean")
     )
+
+
+def word_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution (nats):
+    H = ln(T) - sum(c*ln c)/T over per-word counts c, total words T.
+    Low entropy flags keyword-stuffed / template / repeated-token junk
+    that length and repetition ratios miss; a standard pretraining
+    quality signal alongside :func:`repetition_stats`.
+
+    Physical shape: explode words once, count per (doc, word), then
+    ONE per-doc aggregate combining T = sum(c) and sum(c*ln c) — the
+    log identity avoids a second pass to compute p = c/T first. Both
+    shuffles carry partial aggregates (map-side combine), keyed by doc
+    — no global hotspot at any corpus size. Empty docs get entropy 0.
+    """
+    w = words(F.col(text_col))
+    tall = docs.select(F.col(id_col), F.explode(w).alias("__w"))
+    counts = tall.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    c = F.col("__c").cast("double")
+    agg = counts.groupBy(id_col).agg(
+        F.sum("__c").alias("__t"),
+        F.sum(c * F.log(c)).alias("__clogc"),
+    )
+    t = F.col("__t").cast("double")
+    h = F.log(t) - F.col("__clogc") / t
+    out = agg.select(
+        F.col(id_col),
+        F.col("__t").cast("long").alias("n_words"),
+        h.alias("word_entropy"),
+    )
+    # docs with zero words never reach the explode; restore them at 0
+    empties = docs.filter(F.size(w) == 0).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_words"),
+        F.lit(0.0).alias("word_entropy"),
+    )
+    return out.unionByName(empties)

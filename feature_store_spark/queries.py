@@ -4125,6 +4125,156 @@ SELECT CAST(16000 AS BIGINT) AS n_train,
 #   The 31 tail entries below the window ALL have green rows in
 #   CORRECTNESS_r02.json; they keep their pytest oracle coverage
 #   (tests/test_queries_oracle.py parametrizes the whole dict).
+# ----------------------------------------- round-3 late additions
+
+
+def q_asof_nearest(spark, sf_dir):
+    """Directional ASOF (pandas merge_asof parity, generalizing the
+    reference's backward-only floorEntry): for each purchase event,
+    the value of the temporally NEAREST view event of the same user —
+    backward or forward, exact ties resolving backward. One
+    union+window plan, two frames over one sort, no second shuffle."""
+    from feature_store_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    labels = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .distinct()
+    )
+    out = asof_join(
+        labels, hist, on=["user_id"], left_time="ts",
+        value_cols=["v"], direction="nearest",
+    )
+    return out.select(
+        "user_id", "ts", F.round("v", 6).alias("nearest_view_value")
+    )
+
+
+ASOF_NEAREST_SQL = """
+WITH h AS (
+  SELECT user_id, ts, max(value) AS v
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+l AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'),
+b AS (
+  SELECT l.user_id, l.ts, max(h.ts) AS bt
+  FROM l LEFT JOIN h ON h.user_id = l.user_id AND h.ts <= l.ts GROUP BY 1, 2
+),
+f AS (
+  SELECT l.user_id, l.ts, min(h.ts) AS ft
+  FROM l LEFT JOIN h ON h.user_id = l.user_id AND h.ts >= l.ts GROUP BY 1, 2
+),
+sel AS (
+  SELECT b.user_id, b.ts,
+         CASE WHEN ft IS NULL THEN bt
+              WHEN bt IS NULL THEN ft
+              WHEN epoch_us(b.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(b.ts)
+                THEN bt
+              ELSE ft END AS ht
+  FROM b JOIN f ON b.user_id = f.user_id AND b.ts = f.ts
+)
+SELECT s.user_id, s.ts, round(h.v, 6) AS nearest_view_value
+FROM sel s LEFT JOIN h ON h.user_id = s.user_id AND h.ts = s.ht
+"""
+
+
+def q_decontaminate_bloom(spark, sf_dir):
+    """Same contamination counts as `decontaminate`, through the
+    at-scale plan: a distributed-built Bloom filter of the eval gram
+    set prefilters the corpus gram stream map-side, and the exact
+    confirm join (NO broadcast) sees only survivors — identical
+    answer, shuffle sized by the contamination instead of the corpus."""
+    from feature_store_spark.operators.dedup import ngram_contamination_bloom
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=False)
+    train = corpus.filter(F.col("doc_id") < 1_000_000)
+    ev = corpus.filter(
+        (F.col("doc_id") >= 1_000_000) & ((F.col("doc_id") - 1_000_000) % 50 == 0)
+    )
+    out = ngram_contamination_bloom(train, ev, n=8, fpp=0.01)
+    return out.select(
+        "doc_id", F.col("n_shared_ngrams").cast("long").alias("n_shared_ngrams")
+    )
+
+
+HH_SUPPORT = 0.0012  # bigram heavy-hitter support (non-trivial at all SFs)
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact corpus bigram heavy hitters (count >= ceil(s*N)) via the
+    two-pass bounded-memory plan: per-partition Misra-Gries candidate
+    summaries, then exact counts over candidates only — byte-identical
+    to the full GROUP BY ... HAVING, without shuffling the tail."""
+    from feature_store_spark.operators.freq import heavy_hitters
+
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    w = F.filter(F.split(F.lower("text"), " "), lambda x: F.length(x) > 0)
+    bi = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tall = docs.select(F.explode(bi).alias("bigram"))
+    return heavy_hitters(tall, "bigram", support=HH_SUPPORT)
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH base AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+  FROM documents
+),
+bg AS (
+  SELECT w[i] || ' ' || w[i + 1] AS bigram
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM base)
+),
+c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1)
+SELECT bigram, cnt FROM c
+WHERE cnt >= ceil({HH_SUPPORT} * (SELECT sum(cnt) FROM c))
+"""
+
+
+def q_word_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the word distribution — the
+    low-diversity/template-junk quality signal. One explode, two
+    partial-aggregated doc-keyed shuffles, H = ln(T) - sum(c ln c)/T
+    computed in a single aggregate (no second pass for p = c/T)."""
+    from feature_store_spark.operators.text import word_entropy
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = word_entropy(docs)
+    return out.select(
+        "doc_id", "n_words", F.round("word_entropy", 6).alias("word_entropy")
+    )
+
+
+WORD_ENTROPY_SQL = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+  FROM documents
+),
+tall AS (SELECT doc_id, unnest(w) AS word FROM base WHERE len(w) > 0),
+c AS (SELECT doc_id, word, count(*) AS n FROM tall GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, sum(n * ln(n)) AS clogc
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n_words, round(ln(n_words) - clogc / n_words, 6) AS word_entropy
+FROM agg
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS n_words, 0.0 AS word_entropy
+FROM base WHERE len(w) = 0
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -4176,7 +4326,13 @@ QUERIES: dict[str, tuple] = {
     "sample_per_group": (q_sample_per_group, SAMPLE_PER_GROUP_SQL),
     "json_props": (q_json_props, JSON_PROPS_SQL),
     "pricing_rollup": (q_pricing_rollup, PRICING_ROLLUP_SQL),
-    # --- flagship representatives of driver-green ops (window fill) ---
+    # --- round-3 late additions: first two fill the 50-entry window;
+    # the next two lead round 4's rotation (pytest-oracle-graded now)
+    "asof_nearest": (q_asof_nearest, ASOF_NEAREST_SQL),
+    "decontaminate_bloom": (q_decontaminate_bloom, DECONTAMINATE_SQL),
+    "heavy_hitters": (q_heavy_hitters, HEAVY_HITTERS_SQL),
+    "word_entropy": (q_word_entropy, WORD_ENTROPY_SQL),
+    # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),
     "stream_sessions": (q_stream_sessions, STREAM_SESSIONS_SQL),

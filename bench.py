@@ -63,6 +63,12 @@ HEADLINE = [
     "decontaminate_bloom",
     "heavy_hitters",
     "word_entropy",
+    "funnel",
+    "retention_cohorts",
+    "corr_matrix",
+    "winsorized_stats",
+    "bigram_lm",
+    "bpe_pairs",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

@@ -276,3 +276,119 @@ def word_entropy(
         F.lit(0.0).alias("word_entropy"),
     )
     return out.unionByName(empties)
+
+
+def _bigrams(w):
+    """Adjacent word pairs of a word array (map-side zip, no shuffle)."""
+    return F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style statistical-LM quality score: per-document mean
+    negative log-likelihood under an add-k-smoothed bigram model fitted
+    on the corpus itself. High NLL flags gibberish / non-language /
+    boilerplate-noise documents the length- and repetition-based
+    filters miss; low NLL flags templated text.
+
+    P(w2 | w1) = (c(w1 w2) + k) / (c(w1·) + k·V), with c(w1·) the
+    count of bigrams starting at w1 (so the distribution sums to 1
+    over the V-word vocabulary) and V the corpus vocabulary size.
+
+    Physical shape — everything is counts, joins on token keys, and a
+    per-doc aggregate; no Python, no broadcast of the LM itself:
+      1. one explode → bigram corpus counts (shuffle ~ distinct
+         bigrams, map-side partial agg),
+      2. context counts by first word (same pass family),
+      3. V from ONE distinct-word aggregate, crossJoined as a
+         broadcast 1-row frame,
+      4. doc bigrams re-join the count tables on the token key —
+         co-keyed equi-joins sized by the corpus' distinct-token
+         tail, never all-pairs — then ONE per-doc sum.
+    Rounded to 6 decimals: the per-doc sum is over ≤ n_words doubles,
+    so partition-order error is ~1e-13, far inside the rounding.
+    """
+    w = words(F.col(text_col))
+    base = docs.select(F.col(id_col), w.alias("__w")).filter(
+        F.size("__w") >= 2
+    )
+    bi = base.select(
+        F.col(id_col), F.explode(_bigrams(F.col("__w"))).alias("bg")
+    )
+    # per-doc per-bigram multiplicity first: the doc-side join input
+    # and the corpus counts then share one shuffle key (bg)
+    doc_bi = bi.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("m"))
+    corpus_bi = doc_bi.groupBy("bg").agg(F.sum("m").alias("cb"))
+    ctx = corpus_bi.withColumn(
+        "w1", F.split(F.col("bg"), " ")[0]
+    ).groupBy("w1").agg(F.sum("cb").alias("cu"))
+    vocab = (
+        docs.select(F.explode(words(F.col(text_col))).alias("__t"))
+        .agg(F.count_distinct("__t").alias("v"))
+    )
+    scored = (
+        doc_bi.join(corpus_bi, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    ll = F.col("m") * (
+        F.log(F.col("cb") + F.lit(k))
+        - F.log(F.col("cu") + F.lit(k) * F.col("v"))
+    )
+    out = scored.groupBy(id_col).agg(
+        F.sum("m").alias("n_bigrams"),
+        (-F.sum(ll) / F.sum("m")).alias("nll"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("nll", 6).alias("nll"),
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """First iteration of BPE vocabulary fitting: corpus-wide counts of
+    adjacent character pairs inside words, top-N by count — the pair a
+    byte-pair-encoding tokenizer would merge first.
+
+    The classic distributed-BPE trick: aggregate the corpus to its
+    distinct-word frequency table FIRST (shuffle ~ vocabulary, with
+    map-side combine), then explode each word's character pairs
+    weighted by the word's corpus count — pair extraction runs over
+    the vocabulary (thousands of rows), not the corpus (billions).
+    Subsequent merge rounds re-run the same two aggregates over the
+    rewritten vocabulary table; the corpus is never re-scanned.
+    """
+    vocab = (
+        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        F.col("wc"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wc").alias("pair_count"))
+    return (
+        counts.orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(top_n)
+    )

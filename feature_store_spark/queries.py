@@ -4275,6 +4275,245 @@ FROM base WHERE len(w) = 0
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel conversion (view → click → purchase within 7
+    days of the previous step) over the event log — one user-keyed
+    shuffle, sequential-match folded in array expressions."""
+    from feature_store_spark.operators.behavior import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(
+        ev, ["view", "click", "purchase"], max_gap="7 days"
+    )
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS a0,
+    list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS a1,
+    list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS a2
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+),
+s0 AS (SELECT *, a0[1] AS t0 FROM per_user),
+s1 AS (
+  SELECT *,
+    list_min(list_filter(a1,
+      x -> x > t0 AND x <= t0 + INTERVAL 7 DAY)) AS t1
+  FROM s0
+),
+s2 AS (
+  SELECT *,
+    list_min(list_filter(a2,
+      x -> x > t1 AND x <= t1 + INTERVAL 7 DAY)) AS t2
+  FROM s1
+),
+c AS (
+  SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM s2
+)
+SELECT 1 AS step, 'view' AS event_type, n0 AS n_users,
+       round(n0 / CAST(n0 AS DOUBLE), 6) AS pct_of_first FROM c
+UNION ALL
+SELECT 2, 'click', n1, round(n1 / CAST(n0 AS DOUBLE), 6) FROM c
+UNION ALL
+SELECT 3, 'purchase', n2, round(n2 / CAST(n0 AS DOUBLE), 6) FROM c
+"""
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Daily cohort retention triangle: first-active-date cohorts x
+    day offset, distinct active users — three key-local aggregates,
+    output bounded by cohorts x horizon."""
+    from feature_store_spark.operators.behavior import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = retention_cohorts(ev, max_offset_days=30)
+    return out.select(
+        F.col("cohort_date").cast("string").alias("cohort_date"),
+        "day_offset",
+        "n_active",
+    )
+
+
+RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+)
+SELECT CAST(f.cohort_date AS VARCHAR) AS cohort_date,
+       datediff('day', f.cohort_date, a.active_date) AS day_offset,
+       count(*) AS n_active
+FROM active a JOIN firsts f USING (user_id)
+WHERE datediff('day', f.cohort_date, a.active_date) <= 30
+GROUP BY 1, 2
+"""
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of the lineitem feature columns
+    from ONE pass of exact integer-scaled sufficient statistics
+    (decimal(38,0) sums — partition-order-proof, engine-exact)."""
+    from feature_store_spark.stats import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, list(LINEITEM_FEATURES))
+
+
+def _corr_matrix_sql() -> str:
+    cols = list(LINEITEM_FEATURES)
+    sums = ", ".join(
+        f"sum(CAST(round({c} * 100) AS HUGEINT)) AS s_{c}" for c in cols
+    )
+    prods = ", ".join(
+        f"sum(CAST(round({a} * 100) AS HUGEINT)"
+        f" * CAST(round({b} * 100) AS HUGEINT)) AS p_{a}_{b}"
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    )
+    pair_rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            pair_rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" round((n * p_{a}_{b} - s_{a} * s_{b}) /"
+                f" (sqrt(CAST(n * p_{a}_{a} - s_{a} * s_{a} AS DOUBLE))"
+                f" * sqrt(CAST(n * p_{b}_{b} - s_{b} * s_{b} AS DOUBLE))), 6)"
+                f" AS pearson_r FROM stats"
+            )
+    return (
+        f"WITH stats AS (SELECT CAST(count(*) AS HUGEINT) AS n, {sums},"
+        f" {prods} FROM lineitem) " + " UNION ALL ".join(pair_rows)
+    )
+
+
+def q_winsorized_stats(spark, sf_dir):
+    """Winsorized (p01/p99) normalization statistics per lineitem
+    feature: clip bounds, clip counts, clipped mean/std via exact
+    cents-integer sums."""
+    from feature_store_spark.stats import winsorized_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return winsorized_stats(li, list(LINEITEM_FEATURES))
+
+
+def _winsorized_sql() -> str:
+    per_col = []
+    for c in LINEITEM_FEATURES:
+        per_col.append(f"""
+SELECT '{c}' AS feature,
+       quantile_cont({c}, 0.01) AS lo,
+       quantile_cont({c}, 0.99) AS hi
+FROM lineitem""")
+    bounds = " UNION ALL ".join(per_col)
+    tall = " UNION ALL ".join(
+        f"SELECT '{c}' AS feature, CAST({c} AS DOUBLE) AS value FROM lineitem"
+        for c in LINEITEM_FEATURES
+    )
+    return f"""
+WITH bounds AS ({bounds}),
+tall AS ({tall}),
+j AS (
+  SELECT t.feature, t.value, b.lo, b.hi,
+         CAST(round(greatest(b.lo, least(b.hi, t.value)) * 100) AS HUGEINT) AS cents
+  FROM tall t JOIN bounds b USING (feature)
+),
+agg AS (
+  SELECT feature,
+         count(*) AS n,
+         count(*) FILTER (WHERE value < lo) AS n_clipped_lo,
+         count(*) FILTER (WHERE value > hi) AS n_clipped_hi,
+         min(lo) AS lo, min(hi) AS hi,
+         sum(cents) AS s, sum(cents * cents) AS ss
+  FROM j GROUP BY feature
+)
+SELECT feature, round(lo, 6) AS lo, round(hi, 6) AS hi,
+       n, n_clipped_lo, n_clipped_hi,
+       round(CAST(s AS DOUBLE) / n / 100.0, 6) AS mean_w,
+       round(sqrt((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (n * (n - 1.0)) / 10000.0), 6) AS std_w
+FROM agg
+"""
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Per-document mean negative log-likelihood under an add-k bigram
+    LM fitted on the corpus — the CCNet-style perplexity quality
+    filter, as counts + token-keyed joins + one per-doc aggregate."""
+    from feature_store_spark.operators.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(docs, k=0.5)
+
+
+BIGRAM_LM_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+  FROM base, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+  WHERE len(w) >= 2
+),
+doc_bi AS (SELECT doc_id, bg, count(*) AS m FROM bi GROUP BY 1, 2),
+corpus_bi AS (SELECT bg, CAST(sum(m) AS BIGINT) AS cb FROM doc_bi GROUP BY 1),
+ctx AS (
+  SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(cb) AS BIGINT) AS cu
+  FROM corpus_bi GROUP BY 1
+),
+vocab AS (
+  SELECT count(DISTINCT word) AS v
+  FROM (SELECT unnest(w) AS word FROM base)
+),
+scored AS (
+  SELECT d.doc_id, d.m,
+         d.m * (ln(c.cb + 0.5) - ln(x.cu + 0.5 * vocab.v)) AS ll
+  FROM doc_bi d
+  JOIN corpus_bi c USING (bg)
+  JOIN ctx x ON x.w1 = string_split(d.bg, ' ')[1]
+  CROSS JOIN vocab
+)
+SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       round(-sum(ll) / sum(m), 6) AS nll
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """Top-20 adjacent character pairs by corpus frequency — the first
+    BPE merge decision, computed over the distinct-word vocabulary
+    (weighted by word count), never the raw corpus."""
+    from feature_store_spark.operators.text import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return bpe_pair_counts(docs, top_n=20)
+
+
+BPE_PAIRS_SQL = """
+WITH vocab AS (
+  SELECT word, count(*) AS wc FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              x -> length(x) > 0)) AS word
+    FROM documents
+  ) GROUP BY word HAVING length(word) >= 2
+),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, wc
+  FROM vocab, LATERAL (SELECT unnest(range(1, length(word))) AS i)
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -4332,6 +4571,14 @@ QUERIES: dict[str, tuple] = {
     "decontaminate_bloom": (q_decontaminate_bloom, DECONTAMINATE_SQL),
     "heavy_hitters": (q_heavy_hitters, HEAVY_HITTERS_SQL),
     "word_entropy": (q_word_entropy, WORD_ENTROPY_SQL),
+    # --- round-3 second wave: queue behind heavy_hitters/word_entropy
+    # for round 4's rotation window (pytest-oracle-graded now) ---
+    "funnel": (q_funnel, FUNNEL_SQL),
+    "retention_cohorts": (q_retention_cohorts, RETENTION_SQL),
+    "corr_matrix": (q_corr_matrix, _corr_matrix_sql()),
+    "winsorized_stats": (q_winsorized_stats, _winsorized_sql()),
+    "bigram_lm": (q_bigram_lm, BIGRAM_LM_SQL),
+    "bpe_pairs": (q_bpe_pairs, BPE_PAIRS_SQL),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

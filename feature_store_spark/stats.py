@@ -82,6 +82,121 @@ def histogram(
     )
 
 
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    scale: int = 100,
+) -> DataFrame:
+    """Pairwise Pearson correlation of ``cols`` in ONE aggregate pass,
+    bit-exactly reproducible across engines and partitionings.
+
+    Floating-point ``corr()`` merges co-moments in partition order, so
+    two runs of the same query can differ in the last bits. Instead the
+    sufficient statistics are computed on integer-scaled values
+    (``round(v * scale)``) summed as ``decimal(38,0)`` — exact integer
+    arithmetic, associative, partition-order-proof — and the closed
+    form ``(n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx²)(n*Syy - Sy²))`` is
+    evaluated once on the single collected statistics row (driver-side,
+    metadata scale: one row of k + k(k+1)/2 numbers). Correlation is
+    scale-invariant, so the integer scaling drops out of the result.
+    """
+    ints = {
+        c: F.round(F.col(c) * scale).cast("decimal(38,0)") for c in cols
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs += [F.sum(ints[c]).alias(f"__s_{c}") for c in cols]
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.sum(ints[a] * ints[b]).alias(f"__p_{a}_{b}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    n = int(row["__n"])
+    s = {c: int(row[f"__s_{c}"]) for c in cols}
+    p = {}
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            p[(a, b)] = p[(b, a)] = int(row[f"__p_{a}_{b}"])
+    out = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            cov = n * p[(a, b)] - s[a] * s[b]
+            va = n * p[(a, a)] - s[a] * s[a]
+            vb = n * p[(b, b)] - s[b] * s[b]
+            r = float(cov) / ((float(va) ** 0.5) * (float(vb) ** 0.5)) if va > 0 and vb > 0 else None
+            out.append((a, b, round(r, 6) if r is not None else None))
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, pearson_r double"
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    cols: Sequence[str],
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    exact: bool = True,
+) -> DataFrame:
+    """Winsorized normalization statistics per feature: the p_lo/p_hi
+    clip bounds, how many rows each side clips, and the mean/stddev of
+    the clipped values — the numbers a serving-side scaler needs
+    (X5's clip family as a fitted transform).
+
+    Shape: melt to (feature, value) — ONE Expand over the scan — then
+    two key-local aggregates over the tall frame: exact per-feature
+    percentiles (swap ``exact=False`` for the sketch at 100 TB), and a
+    second pass with the broadcast bounds computing clip counts and
+    exact integer-scaled sums (``decimal(38,0)`` cents — partition-
+    order-proof, so mean/stddev hash-match any engine).
+    """
+    tall = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(c).cast("double").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("r")
+    ).select("r.feature", "r.value")
+    q = (
+        F.percentile(F.col("value"), F.array(F.lit(p_lo), F.lit(p_hi)))
+        if exact
+        else F.percentile_approx(F.col("value"), F.array(F.lit(p_lo), F.lit(p_hi)))
+    )
+    bounds = tall.groupBy("feature").agg(
+        q[0].alias("lo"), q[1].alias("hi")
+    )
+    j = tall.join(F.broadcast(bounds), "feature")
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    cents = F.round(clipped * 100).cast("decimal(38,0)")
+    agg = j.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value") < F.col("lo")).alias("n_clipped_lo"),
+        F.count_if(F.col("value") > F.col("hi")).alias("n_clipped_hi"),
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.sum(cents).alias("__s"),
+        F.sum(cents * cents).alias("__ss"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    mean_w = s / n / 100.0
+    var_w = (n * ss - s * s) / (n * (n - 1.0)) / 10000.0
+    return agg.select(
+        "feature",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        "n",
+        "n_clipped_lo",
+        "n_clipped_hi",
+        F.round(mean_w, 6).alias("mean_w"),
+        F.round(F.sqrt(var_w), 6).alias("std_w"),
+    )
+
+
 def quantile_threshold_label(
     df: DataFrame,
     value_col: str,

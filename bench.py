@@ -69,6 +69,8 @@ HEADLINE = [
     "winsorized_stats",
     "bigram_lm",
     "bpe_pairs",
+    "stratified_sample",
+    "source_quality",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

@@ -65,7 +65,11 @@ def funnel_user_times(
             ]
         )
     )
-    out = per_user.withColumn("t0", F.element_at(F.col("__a0"), 1))
+    # try_element_at: a user with no step-1 events has an empty array,
+    # which ANSI element_at rejects; null is the correct funnel value
+    out = per_user.withColumn(
+        "t0", F.try_element_at(F.col("__a0"), F.lit(1))
+    )
 
     def _next(prev: Column, arr: Column) -> Column:
         cond = lambda x: x > prev  # noqa: E731

@@ -4514,6 +4514,111 @@ LIMIT 20
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic rate-based stratified sampling (the sampleBy
+    analog with md5 membership instead of RNG): per-class keep rates
+    over orders by order status, reported as kept/total counts. One
+    filter pass — membership is a pure row-local expression, so the
+    sample is reproducible across runs, engines, and partitionings,
+    and the scan parallelizes with zero shuffle before the count."""
+    orders = load_table(spark, sf_dir, "orders")
+    rates = {"F": 0.05, "O": 0.1, "P": 1.0}
+    rate_col = F.coalesce(
+        *[
+            F.when(F.col("o_orderstatus") == k, F.lit(v))
+            for k, v in rates.items()
+        ],
+        F.lit(0.0),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        orders.withColumn("__keep", (u < rate_col).cast("int"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("__keep").alias("n_sampled"),
+        )
+        .withColumn(
+            "achieved_rate",
+            F.round(F.col("n_sampled") / F.col("n_total").cast("double"), 6),
+        )
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH base AS (
+  SELECT o_orderstatus,
+         CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u,
+         CASE o_orderstatus WHEN 'F' THEN 0.05 WHEN 'O' THEN 0.1
+              WHEN 'P' THEN 1.0 ELSE 0.0 END AS rate
+  FROM orders
+)
+SELECT o_orderstatus,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+         AS achieved_rate
+FROM base GROUP BY o_orderstatus
+"""
+
+
+def q_source_quality(spark, sf_dir):
+    """Per-source corpus health report: document counts, token mass,
+    and mean quality score grouped by the provenance column — the
+    dashboard a curation pipeline watches per crawl/source. Composes
+    the quality operator with one key-local aggregate."""
+    from feature_store_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        quality_score(docs)
+        .select("doc_id", "n_words", "quality_score")
+        .filter(F.col("n_words") > 0)  # mirror the oracle's inner agg
+    )
+    j = docs.select("doc_id", "source").join(q, "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+    )
+
+
+SOURCE_QUALITY_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_words,
+         count(DISTINCT word) AS n_distinct,
+         sum(CASE WHEN word IN ('the','a','of','and','to','in','is','that','it','for')
+                  THEN 1 ELSE 0 END) AS stop_hits
+  FROM w WHERE length(word) > 0 GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id, n_words,
+         0.4 * least(1.0, n_words / 100.0)
+       + 0.3 * (1.0 - least(1.0, abs(stop_hits / CAST(n_words AS DOUBLE) - 0.4) * 2.0))
+       + 0.3 * (n_distinct / CAST(n_words AS DOUBLE)) AS quality_score
+  FROM agg
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(q.n_words) AS BIGINT) AS total_words,
+       round(avg(q.quality_score), 6) AS mean_quality
+FROM documents d JOIN q USING (doc_id)
+GROUP BY d.source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -4579,6 +4684,8 @@ QUERIES: dict[str, tuple] = {
     "winsorized_stats": (q_winsorized_stats, _winsorized_sql()),
     "bigram_lm": (q_bigram_lm, BIGRAM_LM_SQL),
     "bpe_pairs": (q_bpe_pairs, BPE_PAIRS_SQL),
+    "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "source_quality": (q_source_quality, SOURCE_QUALITY_SQL),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

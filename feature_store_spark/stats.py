@@ -10,6 +10,7 @@ DuckDB oracle; at 100 TB swap ``exact=False`` for
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -82,6 +83,267 @@ def histogram(
     )
 
 
+def selection_quantiles(
+    df: DataFrame,
+    cols: Sequence[str],
+    ps: Sequence[float],
+    bins: int = 8192,
+    collect_limit: int = 200_000,
+    max_rounds: int = 4,
+) -> dict[str, list[float]]:
+    """Exact interpolated quantiles (``quantile_cont`` semantics —
+    identical to Spark's exact ``percentile``) via distributed
+    SELECTION instead of value buffering.
+
+    Spark's exact ``percentile`` ships every value of the column into
+    one aggregation buffer — fine at test scale, impossible at 100 TB.
+    This computes the same number with bounded memory everywhere:
+
+      1. ONE wide aggregate: per-column count / min / max.
+      2. ONE pass of equi-width bin counts for all columns together
+         (melt → groupBy (column, bin) with map-side combine: the
+         shuffle is ≤ cols × bins rows regardless of table size).
+      3. Driver walks the cumulative histogram to locate the bin
+         holding each needed rank (``floor(h)`` and ``floor(h)+1``
+         for h = (n-1)p). Bins still holding > ``collect_limit`` rows
+         are narrowed by re-binning inside the bin (each round divides
+         the candidate range by ``bins``; 2 rounds cover 8192² ≈ 67M
+         distinct values per bin).
+      4. The few resolved bins are collected (bounded by
+         ``collect_limit`` each) and the exact ranked values read off
+         a driver-side sort.
+
+    Returns {col: [q(p) for p in ps]}.
+    """
+    stats = df.agg(
+        *[
+            e
+            for c in cols
+            for e in (
+                F.count(F.col(c).cast("double")).alias(f"__n_{c}"),
+                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+            )
+        ]
+    ).first()
+
+    # ranks (0-indexed) needed per column for interpolation
+    need: dict[str, set[int]] = {}
+    hs: dict[str, list[float]] = {}
+    for c in cols:
+        n = stats[f"__n_{c}"]
+        hs[c] = [(n - 1) * p for p in ps]
+        ks = set()
+        for h in hs[c]:
+            k = int(math.floor(h))
+            ks.add(k)
+            if h > k:
+                ks.add(k + 1)
+        need[c] = ks
+
+    # value-at-rank resolution: narrow [lo, hi] ranges per column until
+    # every needed rank's range is collectible, then collect + sort
+    resolved: dict[tuple[str, int], float] = {}
+    # state: (col, rank) -> (lo, hi, rank_offset_within_range)
+    pend = {}
+    for c in cols:
+        lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
+        for k in need[c]:
+            if lo == hi:
+                resolved[(c, k)] = lo
+            else:
+                pend[(c, k)] = (lo, hi, k)
+
+    for _ in range(max_rounds):
+        if not pend:
+            break
+        # one melt pass over the table covering every pending range
+        parts = []
+        for (c, k), (lo, hi, _off) in pend.items():
+            v = F.col(c).cast("double")
+            width = (hi - lo) / bins
+            b = F.least(
+                F.lit(bins - 1), F.floor((v - F.lit(lo)) / F.lit(width))
+            ).cast("int")
+            parts.append(
+                F.struct(
+                    F.lit(f"{c}\x00{k}").alias("key"),
+                    F.when(
+                        v.isNotNull() & (v >= lo) & (v <= hi), b
+                    ).alias("bin"),
+                )
+            )
+        tall = (
+            df.select(F.explode(F.array(*parts)).alias("r"))
+            .select("r.key", "r.bin")
+            .filter(F.col("bin").isNotNull())
+        )
+        counts = (
+            tall.groupBy("key", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_key: dict[str, dict[int, int]] = {}
+        for r in counts:
+            by_key.setdefault(r["key"], {})[r["bin"]] = r["c"]
+        nxt = {}
+        # rank -> (collect-range, offset inside it); ranges are deduped
+        # so k and k+1 landing in the same bin share one range and the
+        # whole round's collects run in ONE melt pass
+        to_collect: dict[tuple[str, float, float, bool], list] = {}
+        for (c, k), (lo, hi, off) in pend.items():
+            hist = by_key.get(f"{c}\x00{k}", {})
+            width = (hi - lo) / bins
+            cum = 0
+            for b in range(bins):
+                cb = hist.get(b, 0)
+                if cum + cb > off:
+                    b_lo = lo + b * width
+                    last = b == bins - 1
+                    b_hi = hi if last else lo + (b + 1) * width
+                    if cb <= collect_limit or b_lo == b_hi:
+                        to_collect.setdefault(
+                            (c, b_lo, b_hi, last), []
+                        ).append((k, off - cum))
+                    else:
+                        nxt[(c, k)] = (b_lo, b_hi, off - cum)
+                    break
+                cum += cb
+        if to_collect:
+            parts = []
+            for ri, (c, b_lo, b_hi, last) in enumerate(to_collect):
+                v = F.col(c).cast("double")
+                in_range = v.isNotNull() & (v >= b_lo) & (
+                    (v <= b_hi) if last else (v < b_hi)
+                )
+                parts.append(
+                    F.struct(
+                        F.lit(ri).alias("rid"),
+                        F.when(in_range, v).alias("v"),
+                    )
+                )
+            got = (
+                df.select(F.explode(F.array(*parts)).alias("r"))
+                .select("r.rid", "r.v")
+                .filter(F.col("v").isNotNull())
+                .collect()
+            )
+            vals_by_rid: dict[int, list[float]] = {}
+            for r in got:
+                vals_by_rid.setdefault(r["rid"], []).append(r["v"])
+            for ri, (key, wants) in enumerate(to_collect.items()):
+                c = key[0]
+                vals = sorted(vals_by_rid.get(ri, []))
+                for k, local_off in wants:
+                    resolved[(c, k)] = vals[local_off]
+        pend = nxt
+    if pend:
+        raise RuntimeError(
+            f"selection_quantiles: {len(pend)} ranks unresolved after "
+            f"{max_rounds} rounds — raise collect_limit or max_rounds"
+        )
+
+    out: dict[str, list[float]] = {}
+    for c in cols:
+        vals = []
+        for h in hs[c]:
+            k = int(math.floor(h))
+            vk = resolved[(c, k)]
+            if h > k:
+                vk1 = resolved[(c, k + 1)]
+                vk = vk + (h - k) * (vk1 - vk)
+            vals.append(vk)
+        out[c] = vals
+    return out
+
+
+def ranked_quantiles(
+    df: DataFrame,
+    cols: Sequence[str],
+    ps: Sequence[float],
+) -> dict[str, list[float]]:
+    """Exact interpolated quantiles for ALL columns in ONE job via the
+    distinct-value histogram: melt → count per (column, value) with
+    map-side combine → per-column rank windows over the (much smaller)
+    distinct-value table → collect only the rows straddling the target
+    ranks and interpolate driver-side.
+
+    The per-column window sorts distinct values in a single partition
+    per column — the right tool when the value domain is bounded
+    (fixed-point money/rate columns, categorical codes, ages):
+    the sorted frame is the domain size, not the row count, and all
+    columns' sorts run as parallel tasks of one stage. For genuinely
+    continuous high-cardinality columns at 100 TB use
+    :func:`selection_quantiles` (histogram-narrowing selection,
+    bounded memory, no single-partition sort) — same answer, more
+    passes.
+    """
+    from pyspark.sql import Window
+
+    tall = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("r")
+    ).select("r.feature", "r.v").filter(F.col("v").isNotNull())
+    hist = tall.groupBy("feature", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("feature").orderBy("v")
+    wall = Window.partitionBy("feature")
+    ranked = hist.select(
+        "feature",
+        "v",
+        F.sum("c").over(w).alias("cum"),  # rows 0..cum-1 are <= v
+        F.col("c"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    # a row covers 0-indexed ranks [cum-c, cum-1]; keep rows covering
+    # floor(h) or floor(h)+1 for any requested p (h = (n-1)p)
+    conds = []
+    for p in ps:
+        h = (F.col("n") - 1) * F.lit(float(p))
+        for k in (F.floor(h), F.floor(h) + 1):
+            conds.append(
+                (F.col("cum") - F.col("c") <= k) & (k < F.col("cum"))
+            )
+    cond = conds[0]
+    for x in conds[1:]:
+        cond = cond | x
+    rows = ranked.filter(cond).collect()
+    by_feat: dict[str, list] = {}
+    n_by_feat: dict[str, int] = {}
+    for r in rows:
+        by_feat.setdefault(r["feature"], []).append(r)
+        n_by_feat[r["feature"]] = r["n"]
+
+    def _at(feat, rank):
+        for r in by_feat[feat]:
+            if r["cum"] - r["c"] <= rank < r["cum"]:
+                return r["v"]
+        raise RuntimeError(f"rank {rank} uncovered for {feat}")
+
+    out: dict[str, list[float]] = {}
+    for c in cols:
+        n = n_by_feat[c]
+        vals = []
+        for p in ps:
+            h = (n - 1) * p
+            k = int(math.floor(h))
+            vk = _at(c, k)
+            if h > k:
+                vk1 = _at(c, min(k + 1, n - 1))
+                vk = vk + (h - k) * (vk1 - vk)
+            vals.append(vk)
+        out[c] = vals
+    return out
+
+
 def corr_matrix(
     df: DataFrame,
     cols: Sequence[str],
@@ -140,52 +402,71 @@ def winsorized_stats(
     the clipped values — the numbers a serving-side scaler needs
     (X5's clip family as a fitted transform).
 
-    Shape: melt to (feature, value) — ONE Expand over the scan — then
-    two key-local aggregates over the tall frame: exact per-feature
-    percentiles (swap ``exact=False`` for the sketch at 100 TB), and a
-    second pass with the broadcast bounds computing clip counts and
-    exact integer-scaled sums (``decimal(38,0)`` cents — partition-
-    order-proof, so mean/stddev hash-match any engine).
+    Shape: the clip bounds come from :func:`ranked_quantiles` — exact
+    quantile_cont values via the distinct-value histogram in one job
+    (swap in :func:`selection_quantiles` for continuous
+    high-cardinality columns at 100 TB, or ``exact=False`` for the
+    one-pass sketch); NOTHING ever buffers the full column the way
+    Spark's exact ``percentile`` does. The bounds are plain literals
+    in ONE final scalar
+    aggregation computing per-column clip counts and exact
+    integer-scaled sums (``decimal(38,0)`` cents — partition-order-
+    proof, so mean/stddev hash-match any engine). The wide 1-row
+    result unpivots to one row per feature at the end (a 1-row Expand
+    — free).
     """
-    tall = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("feature"),
-                        F.col(c).cast("double").alias("value"),
-                    )
-                    for c in cols
-                ]
+    if exact:
+        qs = ranked_quantiles(df, cols, [p_lo, p_hi])
+        bounds = {c: (qs[c][0], qs[c][1]) for c in cols}
+    else:
+        ps = F.array(F.lit(p_lo), F.lit(p_hi))
+        row = df.agg(
+            *[
+                F.percentile_approx(F.col(c).cast("double"), ps).alias(c)
+                for c in cols
+            ]
+        ).first()
+        bounds = {c: (row[c][0], row[c][1]) for c in cols}
+    j = df
+    aggs = []
+    for i, c in enumerate(cols):
+        v = F.col(c).cast("double")
+        lo, hi = F.lit(bounds[c][0]), F.lit(bounds[c][1])
+        cents = F.round(F.greatest(lo, F.least(hi, v)) * 100).cast(
+            "decimal(38,0)"
+        )
+        aggs += [
+            F.count(v).alias(f"__n_{i}"),
+            F.count_if(v < lo).alias(f"__cl_{i}"),
+            F.count_if(v > hi).alias(f"__ch_{i}"),
+            F.min(lo).alias(f"__lo_{i}"),
+            F.min(hi).alias(f"__hi_{i}"),
+            F.sum(cents).alias(f"__s_{i}"),
+            F.sum(cents * cents).alias(f"__ss_{i}"),
+        ]
+    wide = j.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("feature"),
+                F.col(f"__lo_{i}").alias("lo"),
+                F.col(f"__hi_{i}").alias("hi"),
+                F.col(f"__n_{i}").alias("n"),
+                F.col(f"__cl_{i}").alias("n_clipped_lo"),
+                F.col(f"__ch_{i}").alias("n_clipped_hi"),
+                F.col(f"__s_{i}").cast("double").alias("s"),
+                F.col(f"__ss_{i}").cast("double").alias("ss"),
             )
-        ).alias("r")
-    ).select("r.feature", "r.value")
-    q = (
-        F.percentile(F.col("value"), F.array(F.lit(p_lo), F.lit(p_hi)))
-        if exact
-        else F.percentile_approx(F.col("value"), F.array(F.lit(p_lo), F.lit(p_hi)))
+            for i, c in enumerate(cols)
+        ]
     )
-    bounds = tall.groupBy("feature").agg(
-        q[0].alias("lo"), q[1].alias("hi")
-    )
-    j = tall.join(F.broadcast(bounds), "feature")
-    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
-    cents = F.round(clipped * 100).cast("decimal(38,0)")
-    agg = j.groupBy("feature").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_if(F.col("value") < F.col("lo")).alias("n_clipped_lo"),
-        F.count_if(F.col("value") > F.col("hi")).alias("n_clipped_hi"),
-        F.min("lo").alias("lo"),
-        F.min("hi").alias("hi"),
-        F.sum(cents).alias("__s"),
-        F.sum(cents * cents).alias("__ss"),
-    )
+    tall = wide.select(F.explode(rows).alias("r")).select("r.*")
     n = F.col("n").cast("double")
-    s = F.col("__s").cast("double")
-    ss = F.col("__ss").cast("double")
-    mean_w = s / n / 100.0
-    var_w = (n * ss - s * s) / (n * (n - 1.0)) / 10000.0
-    return agg.select(
+    mean_w = F.col("s") / n / 100.0
+    var_w = (n * F.col("ss") - F.col("s") * F.col("s")) / (
+        n * (n - 1.0)
+    ) / 10000.0
+    return tall.select(
         "feature",
         F.round("lo", 6).alias("lo"),
         F.round("hi", 6).alias("hi"),

@@ -1,0 +1,267 @@
+"""Edge-case tests for the behavior-analytics and exact-stats
+operators (funnel, retention, corr_matrix, winsorized_stats,
+bigram LM, BPE pairs) beyond the corpus-level oracle checks in
+test_queries_oracle.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_spark.operators.behavior import (
+    funnel,
+    funnel_user_times,
+    retention_cohorts,
+)
+from feature_store_spark.operators.text import bigram_lm_scores, bpe_pair_counts
+from feature_store_spark.stats import (
+    corr_matrix,
+    ranked_quantiles,
+    selection_quantiles,
+    winsorized_stats,
+)
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+
+
+class TestFunnel:
+    def test_ordered_progression_only(self, spark):
+        ev = _events(
+            spark,
+            [
+                # u1 completes in order
+                (1, "view", _ts(1)),
+                (1, "click", _ts(2)),
+                (1, "purchase", _ts(3)),
+                # u2 clicks BEFORE viewing — click must not count
+                (2, "click", _ts(1)),
+                (2, "view", _ts(2)),
+                # u3 never views — nothing counts
+                (3, "purchase", _ts(1)),
+            ],
+        )
+        out = {
+            r["event_type"]: r["n_users"]
+            for r in funnel(ev, ["view", "click", "purchase"]).collect()
+        }
+        assert out == {"view": 2, "click": 1, "purchase": 1}
+
+    def test_max_gap_excludes_late_step(self, spark):
+        ev = _events(
+            spark,
+            [
+                (1, "view", _ts(1)),
+                (1, "click", _ts(20)),  # 19 days later
+            ],
+        )
+        with_gap = funnel(ev, ["view", "click"], max_gap="7 days")
+        no_gap = funnel(ev, ["view", "click"])
+        got_gap = {r["event_type"]: r["n_users"] for r in with_gap.collect()}
+        got_free = {r["event_type"]: r["n_users"] for r in no_gap.collect()}
+        assert got_gap == {"view": 1, "click": 0}
+        assert got_free == {"view": 1, "click": 1}
+
+    def test_earliest_qualifying_event_wins(self, spark):
+        # two clicks after the view: t1 must be the earlier one
+        ev = _events(
+            spark,
+            [
+                (1, "view", _ts(1)),
+                (1, "click", _ts(5)),
+                (1, "click", _ts(2)),
+            ],
+        )
+        row = funnel_user_times(ev, ["view", "click"]).collect()[0]
+        assert row["t1"] == _ts(2)
+
+    def test_single_step_raises(self, spark):
+        ev = _events(spark, [(1, "view", _ts(1))])
+        with pytest.raises(ValueError):
+            funnel(ev, ["view"])
+
+
+class TestRetention:
+    def test_day0_equals_cohort_size_and_offsets(self, spark):
+        ev = _events(
+            spark,
+            [
+                (1, "view", _ts(1)),
+                (1, "view", _ts(1, hour=23)),  # same day, still one active
+                (1, "click", _ts(3)),
+                (2, "view", _ts(1)),
+                (3, "view", _ts(2)),
+            ],
+        )
+        out = {
+            (str(r["cohort_date"]), r["day_offset"]): r["n_active"]
+            for r in retention_cohorts(ev).collect()
+        }
+        assert out == {
+            ("2024-01-01", 0): 2,
+            ("2024-01-01", 2): 1,
+            ("2024-01-02", 0): 1,
+        }
+
+    def test_max_offset_filters(self, spark):
+        ev = _events(spark, [(1, "view", _ts(1)), (1, "view", _ts(30))])
+        out = retention_cohorts(ev, max_offset_days=7).collect()
+        assert {r["day_offset"] for r in out} == {0}
+
+
+class TestCorrMatrix:
+    def test_perfect_and_inverse_correlation(self, spark):
+        df = spark.createDataFrame(
+            [(float(i), 2.0 * i + 1, -3.0 * i) for i in range(50)],
+            "a double, b double, c double",
+        )
+        out = {
+            (r["col_a"], r["col_b"]): r["pearson_r"]
+            for r in corr_matrix(df, ["a", "b", "c"]).collect()
+        }
+        assert out[("a", "b")] == pytest.approx(1.0)
+        assert out[("a", "c")] == pytest.approx(-1.0)
+        assert out[("b", "c")] == pytest.approx(-1.0)
+
+    def test_zero_variance_yields_null(self, spark):
+        df = spark.createDataFrame(
+            [(float(i), 5.0) for i in range(10)], "a double, b double"
+        )
+        [r] = corr_matrix(df, ["a", "b"]).collect()
+        assert r["pearson_r"] is None
+
+    def test_matches_builtin_corr(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (round(rng.uniform(0, 50), 2), round(rng.uniform(0, 800), 2))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "a double, b double")
+        [r] = corr_matrix(df, ["a", "b"]).collect()
+        builtin = df.agg(F.corr("a", "b")).collect()[0][0]
+        assert r["pearson_r"] == pytest.approx(builtin, abs=1e-6)
+
+
+class TestWinsorizedStats:
+    def test_clip_counts_and_bounds(self, spark):
+        # 100 ordinary values + 2 extreme outliers per side
+        vals = [float(v) for v in range(1, 101)] + [-1000.0, -999.0, 999.0, 1000.0]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        [r] = winsorized_stats(df, ["x"], p_lo=0.05, p_hi=0.95).collect()
+        assert r["n"] == 104
+        assert r["n_clipped_lo"] >= 2 and r["n_clipped_hi"] >= 2
+        assert r["lo"] < r["hi"]
+        # clipped mean must sit inside the clip bounds
+        assert r["lo"] <= r["mean_w"] <= r["hi"]
+        assert r["std_w"] > 0
+
+
+class TestExactQuantiles:
+    """Both distributed exact-quantile strategies must reproduce
+    Spark's exact ``percentile`` (= quantile_cont) bit-for-bit-ish on
+    mixed continuous + low-cardinality + skewed data."""
+
+    PS = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+
+    @pytest.fixture(scope="class")
+    def frame(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (
+                rng.uniform(-100, 100),  # continuous
+                float(rng.randint(0, 5)),  # tiny domain
+                0.0 if rng.random() < 0.9 else rng.uniform(0, 1),  # skewed
+            )
+            for _ in range(5000)
+        ]
+        return spark.createDataFrame(rows, "a double, b double, c double")
+
+    @pytest.fixture(scope="class")
+    def reference(self, frame):
+        arr = F.array(*[F.lit(p) for p in self.PS])
+        row = frame.agg(
+            *[F.percentile(F.col(c), arr).alias(c) for c in ("a", "b", "c")]
+        ).first()
+        return {c: list(row[c]) for c in ("a", "b", "c")}
+
+    def _check(self, got, reference):
+        for c, ref in reference.items():
+            for g, r in zip(got[c], ref):
+                assert g == pytest.approx(r, rel=1e-12, abs=1e-12), (c, got[c], ref)
+
+    def test_ranked_quantiles_matches_percentile(self, frame, reference):
+        self._check(ranked_quantiles(frame, ["a", "b", "c"], self.PS), reference)
+
+    def test_selection_quantiles_matches_percentile(self, frame, reference):
+        self._check(
+            selection_quantiles(frame, ["a", "b", "c"], self.PS), reference
+        )
+
+    def test_selection_narrowing_rounds(self, frame, reference):
+        # tiny collect_limit forces at least one narrowing round
+        got = selection_quantiles(
+            frame, ["a"], [0.5], bins=16, collect_limit=64
+        )
+        assert got["a"][0] == pytest.approx(reference["a"][3], rel=1e-12)
+
+    def test_nulls_ignored(self, spark):
+        df = spark.createDataFrame(
+            [(float(v),) for v in range(1, 101)] + [(None,)] * 20,
+            "x double",
+        )
+        ref = df.agg(F.percentile("x", F.lit(0.5))).first()[0]
+        assert ranked_quantiles(df, ["x"], [0.5])["x"][0] == ref
+        assert selection_quantiles(df, ["x"], [0.5])["x"][0] == ref
+
+
+class TestBigramLm:
+    def test_repeated_bigrams_score_lower_nll(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),
+                (2, "the cat sat on the rug"),
+                (3, "zqx wvu plk mno jih"),  # all singleton bigrams
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["nll"] for r in bigram_lm_scores(docs).collect()}
+        assert out[3] > out[1] and out[3] > out[2]
+        assert all(math.isfinite(v) for v in out.values())
+
+    def test_short_docs_excluded(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "single"), (2, ""), (3, "two words")],
+            "doc_id long, text string",
+        )
+        out = bigram_lm_scores(docs).collect()
+        assert {r["doc_id"] for r in out} == {3}
+
+
+class TestBpePairs:
+    def test_weighted_by_word_frequency(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "aaab aaab aaab"), (2, "xy")], "doc_id long, text string"
+        )
+        out = {r["pair"]: r["pair_count"] for r in bpe_pair_counts(docs).collect()}
+        # "aaab" x3: pairs aa (x2 per word), ab (x1 per word)
+        assert out["aa"] == 6
+        assert out["ab"] == 3
+        assert out["xy"] == 1
+
+    def test_single_char_words_ignored(self, spark):
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        assert bpe_pair_counts(docs).count() == 0

@@ -305,14 +305,21 @@ def bigram_lm_scores(
 
     Physical shape — everything is counts, joins on token keys, and a
     per-doc aggregate; no Python, no broadcast of the LM itself:
-      1. one explode → bigram corpus counts (shuffle ~ distinct
-         bigrams, map-side partial agg),
-      2. context counts by first word (same pass family),
+      1. one explode → per-doc bigram multiplicities, PERSISTED: the
+         corpus counts, context counts, and the scoring join all
+         derive from this one frame, and without the persist Catalyst
+         re-executes the scan+explode+aggregate once per branch
+         (3 corpus tokenizations — the pack_sequences lesson),
+      2. corpus counts by bigram and context counts by first word are
+         two aggregates over the cached frame (map-side partials),
       3. V from ONE distinct-word aggregate, crossJoined as a
          broadcast 1-row frame,
       4. doc bigrams re-join the count tables on the token key —
          co-keyed equi-joins sized by the corpus' distinct-token
-         tail, never all-pairs — then ONE per-doc sum.
+         tail, never all-pairs — then ONE per-doc sum. Joins (not
+         per-key windows) on purpose: 'of the'-grade hot bigrams skew
+         the key, and AQE splits skewed joins but cannot split a
+         window partition.
     Rounded to 6 decimals: the per-doc sum is over ≤ n_words doubles,
     so partition-order error is ~1e-13, far inside the rounding.
     """
@@ -325,7 +332,9 @@ def bigram_lm_scores(
     )
     # per-doc per-bigram multiplicity first: the doc-side join input
     # and the corpus counts then share one shuffle key (bg)
-    doc_bi = bi.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("m"))
+    doc_bi = (
+        bi.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("m")).persist()
+    )
     corpus_bi = doc_bi.groupBy("bg").agg(F.sum("m").alias("cb"))
     ctx = corpus_bi.withColumn(
         "w1", F.split(F.col("bg"), " ")[0]

@@ -331,3 +331,62 @@ def test_interval_join_is_hash_join_on_slot(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_funnel_single_user_shuffle_no_joins(spark, sf_dir):
+    """The funnel's sequential step match must be ONE user-keyed
+    shuffle (collect + array fold), not a self-join per step: k steps
+    may not add k exchanges or any join."""
+    from feature_store_spark.operators.behavior import funnel_user_times
+
+    ev = load_table(spark, sf_dir, "events")
+    ut = funnel_user_times(ev, ["view", "click", "purchase"])
+    plan = plan_of(ut, "simple")
+    assert n_exchanges(ut) == 1, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan, plan
+
+
+def test_winsorize_bounds_are_literals_not_percentile(spark, sf_dir):
+    """winsorized_stats' final pass must carry the clip bounds as
+    plain literals — no exact `percentile` aggregate (which buffers
+    the whole column) anywhere in the executed plan."""
+    from feature_store_spark.stats import winsorized_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = winsorized_stats(li, ["l_quantity", "l_discount"])
+    plan = plan_of(out, "simple")
+    assert "percentile" not in plan.lower(), plan
+    # one scalar aggregation: partial + final single-partition exchange
+    assert n_exchanges(out) <= 1, plan
+
+
+def test_bpe_pairs_partial_agg_before_vocab_shuffle(spark, sf_dir):
+    """BPE pair counting must partial-aggregate the word counts
+    map-side (shuffle ~ vocabulary, not corpus words)."""
+    from feature_store_spark.operators.text import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    out = bpe_pair_counts(docs)
+    plan = plan_of(out, "formatted")
+    assert "partial_count" in plan or "Partial" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_reuses_cached_counts_no_cartesian(spark, sf_dir):
+    """The LM-score joins must all be key-equi joins (the only product
+    allowed is the broadcast of the 1-row vocabulary-size frame), and
+    the corpus/context count branches must REUSE the persisted per-doc
+    bigram frame instead of re-tokenizing the corpus per branch: the
+    only raw document scans left are the doc_bi build and the
+    vocabulary count."""
+    from feature_store_spark.operators.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bigram_lm_scores(docs)
+    plan = plan_of(out, "simple")
+    assert "CartesianProduct" not in plan, plan
+    # doc_bi cache hit in the scoring branch AND both count branches
+    # (explain prints the cached lineage's FileScan inside each
+    # InMemoryRelation, so count cache *scans*, not file scans)
+    assert plan.count("InMemoryTableScan") >= 3, plan

@@ -71,6 +71,8 @@ HEADLINE = [
     "bpe_pairs",
     "stratified_sample",
     "source_quality",
+    "bm25_topk",
+    "hybrid_retrieval",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

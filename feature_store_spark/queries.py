@@ -4756,6 +4756,59 @@ ORDER BY round(sum(1.0 / (60.0 + rank)), 6) DESC, doc_id LIMIT 10
     )
 
 
+def q_decayed_features(spark, sf_dir):
+    """Half-life-decayed value sums per (user, event_type) — the
+    decayed-counter feature family, associative form: one key-local
+    aggregate with map-side partials, ref = global max event time."""
+    from feature_store_spark.operators.decay import time_decayed_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_decayed_sum(
+        ev, ["user_id", "event_type"], "ts", "value", half_life="7 days"
+    )
+
+
+DECAYED_SQL = """
+WITH ref AS (SELECT max(ts) AS r FROM events)
+SELECT user_id, event_type,
+       count(*) AS n_events,
+       round(sum(value * pow(0.5,
+         (epoch_us(r) - epoch_us(ts)) / 604800000000.0)), 6) AS decayed_sum,
+       round(sum(pow(0.5,
+         (epoch_us(r) - epoch_us(ts)) / 604800000000.0)), 6) AS decayed_count
+FROM events CROSS JOIN ref
+GROUP BY 1, 2
+"""
+
+
+def q_ewma_features(spark, sf_dir):
+    """Event-ordered EWMA per (user, event_type): the non-associative
+    recursion run as a sorted per-key array fold (JVM F.aggregate) —
+    sequential float ops identical to the oracle's list_reduce."""
+    from feature_store_spark.operators.decay import ewma_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_by_key(
+        ev,
+        ["user_id", "event_type"],
+        "ts",
+        "value",
+        alpha=0.1,
+        beta=0.9,
+        tiebreak_cols=["event_id"],
+    )
+
+
+EWMA_SQL = """
+SELECT user_id, event_type,
+       CAST(count(*) AS INT) AS n_events,
+       round(CAST(list_reduce(
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+         (s, x) -> 0.9 * s + 0.1 * x) AS DOUBLE), 6) AS ewma
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -4825,6 +4878,8 @@ QUERIES: dict[str, tuple] = {
     "source_quality": (q_source_quality, SOURCE_QUALITY_SQL),
     "bm25_topk": (q_bm25_topk, _bm25_topk_sql()),
     "hybrid_retrieval": (q_hybrid_retrieval, _hybrid_sql()),
+    "decayed_features": (q_decayed_features, DECAYED_SQL),
+    "ewma_features": (q_ewma_features, EWMA_SQL),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

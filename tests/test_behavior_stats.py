@@ -228,6 +228,73 @@ class TestExactQuantiles:
         assert selection_quantiles(df, ["x"], [0.5])["x"][0] == ref
 
 
+class TestDecay:
+    def test_incremental_maintenance_identity(self, spark):
+        """The associative form's refresh identity:
+        S(ref') = S(ref) * 0.5^((ref'-ref)/hl) + sum of new events
+        decayed to ref' — recomputing from scratch must equal the
+        incremental update."""
+        from feature_store_spark.operators.decay import time_decayed_sum
+
+        old = [(1, _ts(d), 10.0) for d in range(1, 11)]
+        new = [(1, _ts(d), 5.0) for d in range(11, 15)]
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "k long, ts timestamp, v double"
+        )
+        full = time_decayed_sum(
+            mk(old + new), ["k"], "ts", "v", "7 days",
+            ref_ts="2024-01-14 00:00:00",
+        ).collect()[0]["decayed_sum"]
+        s_old = time_decayed_sum(
+            mk(old), ["k"], "ts", "v", "7 days",
+            ref_ts="2024-01-10 00:00:00",
+        ).collect()[0]["decayed_sum"]
+        s_new = time_decayed_sum(
+            mk(new), ["k"], "ts", "v", "7 days",
+            ref_ts="2024-01-14 00:00:00",
+        ).collect()[0]["decayed_sum"]
+        elapsed_days = 4.0
+        carried = s_old * 0.5 ** (elapsed_days / 7.0) + s_new
+        assert full == pytest.approx(carried, rel=1e-6)
+
+    def test_half_life_semantics(self, spark):
+        """An event exactly one half-life old contributes half its
+        value."""
+        from feature_store_spark.operators.decay import time_decayed_sum
+
+        df = spark.createDataFrame(
+            [(1, _ts(1), 100.0), (1, _ts(8), 100.0)],
+            "k long, ts timestamp, v double",
+        )
+        [r] = time_decayed_sum(df, ["k"], "ts", "v", "7 days").collect()
+        assert r["decayed_sum"] == pytest.approx(150.0, abs=1e-6)
+
+    def test_ewma_fold_order_and_init(self, spark):
+        """EWMA must fold in (ts, tiebreak) order with s1 = x1."""
+        from feature_store_spark.operators.decay import ewma_by_key
+
+        df = spark.createDataFrame(
+            [(1, _ts(2), 1, 10.0), (1, _ts(1), 2, 50.0), (1, _ts(1), 1, 20.0)],
+            "k long, ts timestamp, eid int, v double",
+        )
+        [r] = ewma_by_key(
+            df, ["k"], "ts", "v", alpha=0.5, beta=0.5, tiebreak_cols=["eid"]
+        ).collect()
+        # order: (d1,eid1,20), (d1,eid2,50), (d2,eid1,10)
+        expect = ((20.0 * 0.5 + 50.0 * 0.5) * 0.5) + 10.0 * 0.5
+        assert r["ewma"] == pytest.approx(expect)
+        assert r["n_events"] == 3
+
+    def test_ewma_single_event(self, spark):
+        from feature_store_spark.operators.decay import ewma_by_key
+
+        df = spark.createDataFrame(
+            [(1, _ts(1), 42.0)], "k long, ts timestamp, v double"
+        )
+        [r] = ewma_by_key(df, ["k"], "ts", "v", alpha=0.1).collect()
+        assert r["ewma"] == 42.0
+
+
 class TestBigramLm:
     def test_repeated_bigrams_score_lower_nll(self, spark):
         docs = spark.createDataFrame(

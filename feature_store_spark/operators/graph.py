@@ -134,3 +134,56 @@ def canonical_filter(
         F.col("node").alias(id_col)
     )
     return corpus.join(drop, id_col, "left_anti")
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 8,
+    damping: float = 0.85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """PageRank over the undirected pair graph — duplicate-cluster
+    centrality (a principled canonical-document choice: keep the most
+    central member instead of min-id) and the general link-analysis
+    primitive.
+
+    r_{i+1}(v) = (1-d)/N + d * Σ_{u~v} r_i(u) / deg(u)
+
+    Every node of an edge graph has degree ≥ 1, so there are no
+    dangling corrections. Per round: ONE join of the rank table with
+    the (checkpointed) edge list + ONE peer-keyed aggregate — cost
+    scales with |pairs|, never the corpus; ranks are localCheckpointed
+    per round so lineage stays flat. Fixed iteration count keeps the
+    result engine-reproducible (the oracle unrolls the same rounds).
+    """
+    edges = pairs.select(
+        F.col(src).alias("node"), F.col(dst).alias("peer")
+    ).union(pairs.select(F.col(dst).alias("node"), F.col(src).alias("peer")))
+    if checkpoint:
+        # checkpoint BEFORE deriving deg, so the (often expensive)
+        # candidate pipeline behind the pair list runs exactly once
+        edges = edges.localCheckpoint()
+    deg = edges.groupBy("node").agg(F.count(F.lit(1)).alias("__deg"))
+    if checkpoint:
+        deg = deg.localCheckpoint()
+    n = deg.count()
+    if n == 0:
+        return deg.select("node", F.lit(0.0).alias("pagerank"))
+    teleport = (1.0 - damping) / n
+    ranks = deg.select("node", (F.lit(1.0) / F.lit(float(n))).alias("__r"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, "node")
+            .join(deg, "node")
+            .groupBy("peer")
+            .agg(F.sum(F.col("__r") / F.col("__deg")).alias("__m"))
+        )
+        ranks = contrib.select(
+            F.col("peer").alias("node"),
+            (F.lit(teleport) + F.lit(damping) * F.col("__m")).alias("__r"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.col("__r").alias("pagerank"))

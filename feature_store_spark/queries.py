@@ -4809,6 +4809,58 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_dup_pagerank(spark, sf_dir):
+    """PageRank over the MinHash-LSH near-dup pair graph (8 rounds,
+    d=0.85): duplicate-cluster centrality as the principled canonical
+    pick. Per-round cost is one pair-graph join + aggregate."""
+    from feature_store_spark.operators.dedup import minhash_dedup_pairs
+    from feature_store_spark.operators.graph import pagerank
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=False)
+    pairs = minhash_dedup_pairs(
+        corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    pr = pagerank(pairs, iterations=8, damping=0.85)
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("pagerank", 6).alias("pagerank")
+    )
+
+
+def _dup_pagerank_sql(iterations: int = 8) -> str:
+    # reuse the dup-graph CTE chain through `edges`, then unroll the
+    # same fixed PageRank rounds the engine runs. The edge list and
+    # degree table are MATERIALIZED: every unrolled round references
+    # them, and DuckDB would otherwise re-inline the whole
+    # minhash-candidate chain once per reference (minutes instead of
+    # seconds — the SQL mirror of the engine's localCheckpoint).
+    head = _DUP_GRAPH_CTES.split(",\nreach AS")[0]
+    head = head.replace(
+        "edges AS (", "edges AS MATERIALIZED (", 1
+    )
+    parts = [
+        head,
+        "deg AS MATERIALIZED"
+        " (SELECT node, count(*) AS d FROM edges GROUP BY node)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS r FROM deg CROSS JOIN nn)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"m{i} AS (SELECT e.peer AS node, sum(r{i-1}.r / deg.d) AS m"
+            f" FROM edges e JOIN r{i-1} ON r{i-1}.node = e.node"
+            f" JOIN deg ON deg.node = e.node GROUP BY e.peer)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT m{i}.node, 0.15 / nn.n + 0.85 * m{i}.m AS r"
+            f" FROM m{i} CROSS JOIN nn)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node AS doc_id, round(r, 6) AS pagerank FROM r{iterations}"
+    )
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -4880,6 +4932,7 @@ QUERIES: dict[str, tuple] = {
     "hybrid_retrieval": (q_hybrid_retrieval, _hybrid_sql()),
     "decayed_features": (q_decayed_features, DECAYED_SQL),
     "ewma_features": (q_ewma_features, EWMA_SQL),
+    "dup_pagerank": (q_dup_pagerank, _dup_pagerank_sql()),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

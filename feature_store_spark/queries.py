@@ -4861,6 +4861,41 @@ def _dup_pagerank_sql(iterations: int = 8) -> str:
     )
 
 
+def q_stream_decay(spark, sf_dir):
+    """STRUCTURED STREAMING decayed counters under the oracle gate:
+    the associative half-life form (weights row-local against a fixed
+    ref) is streaming-compatible BY CONSTRUCTION — the same
+    `time_decayed_sum` call runs as a streaming groupBy aggregation
+    (availableNow, complete mode) and must reproduce the batch answer
+    exactly. This is the online feature-counter maintenance path: the
+    state store carries one partial sum per key, updated per
+    micro-batch."""
+    from feature_store_spark.operators.decay import time_decayed_sum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    ref_ts = ev.agg(F.max("ts")).first()[0]
+    d = _stream_tmpdir("fss_stream_decay_")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp, value double"
+    ).parquet(f"{d}/in")
+    agg = time_decayed_sum(
+        stream,
+        ["user_id", "event_type"],
+        "ts",
+        "value",
+        half_life="7 days",
+        ref_ts=ref_ts,
+    )
+    return _run_stream_to_memory(spark, agg, "fss_stream_decay", d, "complete")
+
+
+# identical answer to the batch decayed-counter query
+STREAM_DECAY_SQL = DECAYED_SQL
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -4933,6 +4968,7 @@ QUERIES: dict[str, tuple] = {
     "decayed_features": (q_decayed_features, DECAYED_SQL),
     "ewma_features": (q_ewma_features, EWMA_SQL),
     "dup_pagerank": (q_dup_pagerank, _dup_pagerank_sql()),
+    "stream_decay": (q_stream_decay, STREAM_DECAY_SQL),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

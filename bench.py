@@ -75,6 +75,8 @@ HEADLINE = [
     "hybrid_retrieval",
     "decayed_features",
     "ewma_features",
+    "snapshot_diff",
+    "integrity_checks",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

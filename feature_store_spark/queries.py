@@ -4896,6 +4896,139 @@ def q_stream_decay(spark, sf_dir):
 STREAM_DECAY_SQL = DECAYED_SQL
 
 
+def _md5_u(col):
+    """md5-derived uniform in [0,1) from a key column (engine-exact)."""
+    return (
+        F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+
+
+_MD5_U_SQL = (
+    "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0"
+)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Row-level audit between two table versions: orders vs a
+    deterministically mutated snapshot (2% removed, 3% repriced, 2%
+    new keys) classified added/removed/changed/unchanged by ONE
+    co-keyed full-outer join — the materialization-run verification
+    step."""
+    from feature_store_spark.operators.diff import snapshot_diff
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    old = load_table(spark, sf_dir, "orders").select(*cols)
+    u = _md5_u(F.col("o_orderkey"))
+    surviving = old.withColumn("__u", u).filter(F.col("__u") >= 0.02)
+    modified = surviving.select(
+        "o_orderkey",
+        F.when(
+            F.col("__u") < 0.05, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    added = old.withColumn("__u", u).filter(F.col("__u") > 0.98).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    new = modified.unionByName(added)
+    d = snapshot_diff(old, new, ["o_orderkey"])
+    return d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH u AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         {_MD5_U_SQL.format(k='o_orderkey')} AS u
+  FROM orders
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN u < 0.05 THEN o_totalprice * 1.1 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderstatus
+  FROM u WHERE u >= 0.02
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+  FROM u WHERE u > 0.98
+),
+j AS (
+  SELECT CASE
+           WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+             THEN 'unchanged'
+           ELSE 'changed'
+         END AS change_type
+  FROM orders o FULL OUTER JOIN new n USING (o_orderkey)
+)
+SELECT change_type, count(*) AS n_rows FROM j GROUP BY change_type
+"""
+
+
+def q_integrity_checks(spark, sf_dir):
+    """Data-quality report: orphaned foreign keys (orders → a thinned
+    customer snapshot), duplicate planted primary keys, and a
+    zero-violation null check — each check one anti-join / having /
+    filter scan, reduced to (check, n_violations) rows."""
+    from feature_store_spark.validation import integrity_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    thinned = customer.filter(_md5_u(F.col("c_custkey")) >= 0.05)
+    orphans = orders.join(
+        thinned.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+    with_dups = orders.unionByName(
+        orders.filter(_md5_u(F.col("o_orderkey")) < 0.01)
+    )
+    dup_pks = (
+        with_dups.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    null_qty = lineitem.filter(F.col("l_quantity").isNull())
+    return integrity_report(
+        {
+            "orders_orphan_custkey": orphans,
+            "orders_duplicate_pk": dup_pks,
+            "lineitem_null_quantity": null_qty,
+        }
+    )
+
+
+INTEGRITY_SQL = f"""
+SELECT 'orders_orphan_custkey' AS check, count(*) AS n_violations
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey
+    AND {_MD5_U_SQL.format(k='c.c_custkey')} >= 0.05
+)
+UNION ALL
+SELECT 'orders_duplicate_pk', count(*) FROM (
+  SELECT o_orderkey FROM (
+    SELECT o_orderkey FROM orders
+    UNION ALL
+    SELECT o_orderkey FROM orders
+    WHERE {_MD5_U_SQL.format(k='o_orderkey')} < 0.01
+  ) GROUP BY o_orderkey HAVING count(*) > 1
+)
+UNION ALL
+SELECT 'lineitem_null_quantity', count(*) FROM lineitem
+WHERE l_quantity IS NULL
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -4969,6 +5102,8 @@ QUERIES: dict[str, tuple] = {
     "ewma_features": (q_ewma_features, EWMA_SQL),
     "dup_pagerank": (q_dup_pagerank, _dup_pagerank_sql()),
     "stream_decay": (q_stream_decay, STREAM_DECAY_SQL),
+    "snapshot_diff": (q_snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "integrity_checks": (q_integrity_checks, INTEGRITY_SQL),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

@@ -90,3 +90,28 @@ def model_gates(
             {"gate": gate, "observed": observed, "threshold": threshold, "passed": passed}
         )
     return out
+
+
+def integrity_report(checks: "dict[str, DataFrame]") -> "DataFrame":
+    """Data-quality / referential-integrity report: each entry maps a
+    check name to a DataFrame of VIOLATING rows (orphaned foreign
+    keys via left-anti join, duplicate primary keys via
+    groupBy-having, null required columns via filter, ...). Output is
+    one (check, n_violations) row per check — each violation frame
+    reduces through its own partial-aggregated count, so the report
+    costs one scan per check and the result is metadata scale."""
+    from pyspark.sql import functions as F
+
+    if not checks:
+        raise ValueError("integrity_report: no checks")
+    outs = []
+    for name, df in checks.items():
+        outs.append(
+            df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+                F.lit(name).alias("check"), "n_violations"
+            )
+        )
+    rep = outs[0]
+    for o in outs[1:]:
+        rep = rep.unionByName(o)
+    return rep

@@ -5029,6 +5029,56 @@ WHERE l_quantity IS NULL
 """
 
 
+def q_stream_attribution(spark, sf_dir):
+    """STREAM-STREAM event-time join under the oracle gate: purchases
+    attributed to the same user's views in the preceding hour, both
+    sides streaming (state on both sides, watermark-bounded buffers).
+    Inner-join matches emit in the micro-batch where both rows have
+    arrived — never held back by the watermark — so the availableNow
+    result equals the batch interval join exactly."""
+    from feature_store_spark.streaming.joins import attribute_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    d = _stream_tmpdir("fss_stream_attr_")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{d}/in")
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    views = (
+        spark.readStream.schema(schema).parquet(f"{d}/in")
+        .filter(F.col("event_type") == "view")
+    )
+    purchases = (
+        spark.readStream.schema(schema).parquet(f"{d}/in")
+        .filter(F.col("event_type") == "purchase")
+    )
+    out = attribute_stream(views, purchases, window="1 hour")
+    res = _run_stream_to_memory(spark, out, "fss_stream_attr", d, "append")
+    return res.select(
+        "entity_id",
+        "exposure_id",
+        "conversion_id",
+        F.unix_micros("exposure_ts").alias("exposure_us"),
+        F.unix_micros("conversion_ts").alias("conversion_us"),
+    )
+
+
+STREAM_ATTRIBUTION_SQL = """
+SELECT v.user_id AS entity_id,
+       v.event_id AS exposure_id,
+       p.event_id AS conversion_id,
+       epoch_us(v.ts) AS exposure_us,
+       epoch_us(p.ts) AS conversion_us
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -5104,6 +5154,7 @@ QUERIES: dict[str, tuple] = {
     "stream_decay": (q_stream_decay, STREAM_DECAY_SQL),
     "snapshot_diff": (q_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "integrity_checks": (q_integrity_checks, INTEGRITY_SQL),
+    "stream_attribution": (q_stream_attribution, STREAM_ATTRIBUTION_SQL),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

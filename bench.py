@@ -321,8 +321,13 @@ def main():
             best = dt if best is None else min(best, dt)
             # isolate queries: drop caches a query may have left (e.g.
             # the prefix-sum persist) so later timings measure the
-            # query, not eviction/GC of a predecessor's state
+            # query, not eviction/GC of a predecessor's state — and
+            # collect the garbage those caches became, so a multi-
+            # second old-gen pause can't land inside a later query's
+            # timed run (same artifact as the comparables; see
+            # _median_rate)
             spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
         total += timings[name]
 

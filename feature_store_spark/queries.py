@@ -5079,6 +5079,80 @@ JOIN events p
 """
 
 
+def _drift_frames(spark, sf_dir):
+    """Deterministic drift fixture: lineitem split into reference /
+    current halves by an md5 uniform on the (orderkey, linenumber)
+    PK; the current half's prices are inflated 10% (real drift),
+    quantities untouched (null control)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    u = _md5_u(F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    ref = li.filter(u < 0.5).select("l_quantity", "l_extendedprice")
+    cur = li.filter(u >= 0.5).select(
+        "l_quantity",
+        (F.col("l_extendedprice") * 1.1).alias("l_extendedprice"),
+    )
+    return ref, cur
+
+
+def q_drift_psi(spark, sf_dir):
+    """Population-Stability-Index drift report between a reference and
+    a current window (training-vs-serving distribution monitor):
+    reference-decile bins, eps-floored shares, one aggregate per
+    frame. Repriced l_extendedprice must drift; l_quantity is the
+    stable control."""
+    from feature_store_spark.stats import psi_report
+
+    ref, cur = _drift_frames(spark, sf_dir)
+    return psi_report(ref, cur, ["l_quantity", "l_extendedprice"], bins=10)
+
+
+def _drift_psi_sql() -> str:
+    u = _MD5_U_SQL.format(k="l_orderkey * 10 + l_linenumber")
+    blocks = []
+    for c, cur_expr in (
+        ("l_quantity", "l_quantity"),
+        ("l_extendedprice", "l_extendedprice * 1.1"),
+    ):
+        blocks.append(f"""
+SELECT '{c}' AS feature, n_ref, n_cur, round(psi, 6) AS psi FROM (
+  WITH refv AS (
+    SELECT CAST({c} AS DOUBLE) AS v FROM lineitem WHERE {u} < 0.5
+  ),
+  curv AS (
+    SELECT CAST({cur_expr} AS DOUBLE) AS v FROM lineitem WHERE {u} >= 0.5
+  ),
+  edges AS (
+    SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+    FROM refv
+  ),
+  rb AS (
+    SELECT CAST(list_sum(list_transform(e, x -> CASE WHEN v > x THEN 1 ELSE 0 END)) AS INT) AS b
+    FROM refv CROSS JOIN edges
+  ),
+  cb AS (
+    SELECT CAST(list_sum(list_transform(e, x -> CASE WHEN v > x THEN 1 ELSE 0 END)) AS INT) AS b
+    FROM curv CROSS JOIN edges
+  ),
+  rc AS (SELECT b, count(*) AS c FROM rb GROUP BY b),
+  cc AS (SELECT b, count(*) AS c FROM cb GROUP BY b),
+  n AS (SELECT (SELECT count(*) FROM refv) AS n_ref,
+               (SELECT count(*) FROM curv) AS n_cur),
+  grid AS (SELECT unnest(range(0, 10)) AS b),
+  shares AS (
+    SELECT greatest(coalesce(rc.c, 0) / CAST(n.n_ref AS DOUBLE), 1e-6) AS p,
+           greatest(coalesce(cc.c, 0) / CAST(n.n_cur AS DOUBLE), 1e-6) AS q,
+           n.n_ref, n.n_cur
+    FROM grid LEFT JOIN rc USING (b) LEFT JOIN cc USING (b) CROSS JOIN n
+  )
+  SELECT any_value(n_ref) AS n_ref, any_value(n_cur) AS n_cur,
+         sum((p - q) * ln(p / q)) AS psi
+  FROM shares
+)""")
+    return " UNION ALL ".join(blocks)
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -5155,6 +5229,7 @@ QUERIES: dict[str, tuple] = {
     "snapshot_diff": (q_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "integrity_checks": (q_integrity_checks, INTEGRITY_SQL),
     "stream_attribution": (q_stream_attribution, STREAM_ATTRIBUTION_SQL),
+    "drift_psi": (q_drift_psi, _drift_psi_sql()),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

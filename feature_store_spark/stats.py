@@ -478,6 +478,63 @@ def winsorized_stats(
     )
 
 
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: Sequence[str],
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per feature between a reference
+    window (training distribution) and a current window (serving
+    distribution) — THE standard drift monitor:
+
+    PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i),  p = ref share, q = cur
+    share, bins = reference deciles (``bins`` quantile edges), shares
+    floored at ``eps`` so empty bins stay finite. Rule of thumb:
+    < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 action.
+
+    Shape: bin edges come from :func:`ranked_quantiles` on the
+    reference (exact, driver-side literals — no per-row join), then
+    ONE aggregate over each frame computes all features' bin counts
+    (bin index = Σ 1[v > edge], a pure codegen expression), and the
+    PSI fold happens on the two collected count rows — metadata scale.
+    """
+    qs = ranked_quantiles(
+        ref, cols, [i / bins for i in range(1, bins)]
+    )
+
+    def _counts(df):
+        aggs = []
+        for c in cols:
+            v = F.col(c).cast("double")
+            b = sum(
+                (v > F.lit(e)).cast("int") for e in qs[c]
+            )
+            for i in range(bins):
+                aggs.append(
+                    F.count_if(v.isNotNull() & (b == i)).alias(f"__{c}_{i}")
+                )
+            aggs.append(F.count(v).alias(f"__{c}_n"))
+        return df.agg(*aggs).first()
+
+    r, u = _counts(ref), _counts(cur)
+    import math as _m
+
+    rows = []
+    for c in cols:
+        n_r, n_u = r[f"__{c}_n"], u[f"__{c}_n"]
+        val = 0.0
+        for i in range(bins):
+            p = max(r[f"__{c}_{i}"] / n_r, eps) if n_r else eps
+            q = max(u[f"__{c}_{i}"] / n_u, eps) if n_u else eps
+            val += (p - q) * _m.log(p / q)
+        rows.append((c, int(n_r), int(n_u), round(val, 6)))
+    return ref.sparkSession.createDataFrame(
+        rows, "feature string, n_ref long, n_cur long, psi double"
+    )
+
+
 def quantile_threshold_label(
     df: DataFrame,
     value_col: str,

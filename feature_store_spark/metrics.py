@@ -198,3 +198,36 @@ def mean_average_precision(df: DataFrame, **kw) -> DataFrame:
     return average_precision(df, **kw).agg(
         F.avg("avg_precision").alias("map")
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic scorer: rows
+    bucketed by predicted probability (equal-width [0,1) bins, the
+    top edge clamped into the last bin), each bin reporting count,
+    mean confidence, and observed positive rate. The weighted
+    |accuracy − confidence| gap summed over bins is ECE — derivable
+    from this frame with one more tiny aggregate.
+
+    One scan + one key-local aggregate on the bin id (map-side
+    partials); output is ``bins`` rows at any input size.
+    """
+    p = F.col(prob_col).cast("double")
+    b = F.least(F.lit(bins - 1), F.floor(p * bins)).cast("int")
+    return (
+        df.select(
+            b.alias("bin"),
+            p.alias("__p"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__p"), 6).alias("mean_confidence"),
+            F.round(F.avg("__y"), 6).alias("positive_rate"),
+        )
+    )

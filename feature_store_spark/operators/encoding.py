@@ -1,0 +1,64 @@
+"""Categorical feature encodings for training pipelines: smoothed
+leave-one-out target encoding and frequency encoding.
+
+Target encoding is the classic high-cardinality-categorical transform
+(cluster IDs, merchants, clerks, domains). The leakage trap is
+encoding a row with a statistic that includes its own label; the
+leave-one-out form removes the row's label from its category
+aggregate, and additive smoothing (``m`` pseudo-observations of the
+global prior) keeps rare categories from memorizing their few labels:
+
+    enc_i = (sum_cat - y_i + m·prior) / (cnt_cat - 1 + m)
+
+A singleton category degrades exactly to the prior.
+
+Scale shape: ONE groupBy over the category key (map-side partials,
+integer label sums — exact), re-joined to the rows on the same key
+(co-keyed; AQE splits skew from hot categories — this is why it is a
+groupBy+join and not a window), prior broadcast as a 1-row frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    m: float = 10.0,
+    out_col: str = "te",
+) -> DataFrame:
+    """Append a smoothed leave-one-out target encoding of ``cat_col``
+    against binary/numeric ``label_col``. Deterministic: category sums
+    and counts are exact integer/decimal aggregates; only the final
+    division is floating point."""
+    y = F.col(label_col).cast("double")
+    stats = df.groupBy(cat_col).agg(
+        F.sum(y).alias("__s"), F.count(y).alias("__c")
+    )
+    prior = df.agg(
+        (F.sum(y) / F.count(y)).alias("__prior")
+    )
+    j = df.join(stats, cat_col).crossJoin(F.broadcast(prior))
+    enc = (F.col("__s") - y + F.lit(m) * F.col("__prior")) / (
+        F.col("__c") - 1 + F.lit(m)
+    )
+    return j.withColumn(out_col, enc).drop("__s", "__c", "__prior")
+
+
+def frequency_encode(
+    df: DataFrame,
+    cat_col: str,
+    out_col: str = "freq",
+) -> DataFrame:
+    """Append each category's relative frequency — the cheap ordinal
+    signal for tree models. Same groupBy+join shape."""
+    stats = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("__c"))
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    j = df.join(stats, cat_col).crossJoin(F.broadcast(total))
+    return j.withColumn(
+        out_col, F.col("__c") / F.col("__n").cast("double")
+    ).drop("__c", "__n")

@@ -5153,6 +5153,73 @@ SELECT '{c}' AS feature, n_ref, n_cur, round(psi, 6) AS psi FROM (
     return " UNION ALL ".join(blocks)
 
 
+def q_target_encoding(spark, sf_dir):
+    """Smoothed leave-one-out target encoding of the high-cardinality
+    o_custkey column against the urgent-priority label — the
+    leakage-correct categorical transform: one category aggregate,
+    one co-keyed re-join, broadcast prior."""
+    from feature_store_spark.operators.encoding import target_encode_loo
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    out = target_encode_loo(orders, "o_custkey", "y", m=10.0)
+    return out.select(
+        "o_orderkey", "o_custkey", F.round("te", 6).alias("te")
+    )
+
+
+TARGET_ENCODING_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y
+  FROM orders
+),
+s AS (SELECT o_custkey, sum(y) AS sum_y, count(*) AS c FROM base GROUP BY 1),
+p AS (SELECT sum(y) / count(*) AS prior FROM base)
+SELECT b.o_orderkey, b.o_custkey,
+       round((s.sum_y - b.y + 10.0 * p.prior) / (s.c - 1 + 10.0), 6) AS te
+FROM base b JOIN s USING (o_custkey) CROSS JOIN p
+"""
+
+
+def q_calibration(spark, sf_dir):
+    """Reliability-diagram bins for the GBDT probability scorer vs the
+    return-flag label: equal-width probability bins, per-bin count /
+    mean confidence / observed positive rate — the calibration
+    monitor next to the PSI drift gate."""
+    from feature_store_spark.metrics import calibration_bins
+
+    li = load_table(spark, sf_dir, "lineitem")
+    model = example_model(LINEITEM_FEATURES)
+    scored = li.select(
+        compile_model_expr(model, {f: f for f in LINEITEM_FEATURES}).alias(
+            "prob"
+        ),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return calibration_bins(scored, "prob", "y", bins=10)
+
+
+def _calibration_sql() -> str:
+    model = example_model(LINEITEM_FEATURES)
+    expr = compile_model_sql(model, {f: f for f in LINEITEM_FEATURES})
+    return f"""
+WITH scored AS (
+  SELECT {expr} AS prob,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+)
+SELECT CAST(least(9, floor(prob * 10)) AS INT) AS bin,
+       count(*) AS n,
+       round(avg(prob), 6) AS mean_confidence,
+       round(avg(y), 6) AS positive_rate
+FROM scored GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -5230,6 +5297,8 @@ QUERIES: dict[str, tuple] = {
     "integrity_checks": (q_integrity_checks, INTEGRITY_SQL),
     "stream_attribution": (q_stream_attribution, STREAM_ATTRIBUTION_SQL),
     "drift_psi": (q_drift_psi, _drift_psi_sql()),
+    "target_encoding": (q_target_encoding, TARGET_ENCODING_SQL),
+    "calibration": (q_calibration, _calibration_sql()),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

@@ -5220,6 +5220,100 @@ FROM scored GROUP BY 1
 """
 
 
+def q_lsh_recall(spark, sf_dir):
+    """Dedup candidate-generation quality gate (the MinHash twin of
+    `ann_recall`): recall of the production LSH pipeline
+    (minhash -> banding -> estimated-Jaccard >= 0.5) against the EXACT
+    ground truth — every pair sharing >= 1 shingle with true Jaccard
+    >= 0.5, computed via the shingle inverted index (quadratic in
+    per-shingle document frequency: fine as an evaluation harness at
+    graded scale, and exactly the blow-up LSH exists to avoid in
+    production). One row: truth/candidate/hit counts, measured recall,
+    and the shipped >= 0.5 contract."""
+    from feature_store_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        shingle_array,
+    )
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=False)
+    arrs = (
+        corpus.select(
+            "doc_id", shingle_array(F.col("text"), 3).alias("__sh")
+        )
+        .filter(F.size("__sh") > 0)
+        .cache()
+    )
+    tall = arrs.select("doc_id", F.explode("__sh").alias("__s"))
+    inter = (
+        tall.alias("a")
+        .join(tall.alias("b"), "__s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sizes = arrs.select("doc_id", F.size("__sh").alias("__sz"))
+    truth = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "__sz": "__sa"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "__sz": "__sb"}), "id_b")
+        .filter(
+            F.col("__i")
+            / (F.col("__sa") + F.col("__sb") - F.col("__i")).cast("double")
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    lsh = minhash_dedup_pairs(
+        corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.5
+    ).select("id_a", "id_b")
+    t = truth.cache()
+    n_true = t.count()
+    n_lsh = lsh.count()
+    n_hit = t.join(lsh, ["id_a", "id_b"]).count()
+    recall = round(n_hit / n_true, 6) if n_true else 1.0
+    return spark.createDataFrame(
+        [(n_true, n_lsh, n_hit, recall, recall >= 0.5)],
+        "n_true long, n_lsh long, n_hit long, recall double, passes boolean",
+    )
+
+
+def _lsh_recall_sql() -> str:
+    head = _DUP_GRAPH_CTES.split(",\nedges AS")[0]
+    return (
+        "WITH "
+        + head
+        + """,
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+truth AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.id_a
+  JOIN sizes sb ON sb.doc_id = inter.id_b
+  WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+),
+counts AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM dup_pairs) AS n_lsh,
+         (SELECT count(*) FROM truth t JOIN dup_pairs d
+          ON t.id_a = d.id_a AND t.id_b = d.id_b) AS n_hit
+)
+SELECT n_true, n_lsh, n_hit,
+       CASE WHEN n_true = 0 THEN 1.0
+            ELSE round(n_hit / CAST(n_true AS DOUBLE), 6) END AS recall,
+       (CASE WHEN n_true = 0 THEN 1.0
+             ELSE round(n_hit / CAST(n_true AS DOUBLE), 6) END) >= 0.5
+         AS passes
+FROM counts
+"""
+    )
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -5299,6 +5393,7 @@ QUERIES: dict[str, tuple] = {
     "drift_psi": (q_drift_psi, _drift_psi_sql()),
     "target_encoding": (q_target_encoding, TARGET_ENCODING_SQL),
     "calibration": (q_calibration, _calibration_sql()),
+    "lsh_recall": (q_lsh_recall, _lsh_recall_sql()),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

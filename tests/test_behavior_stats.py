@@ -91,6 +91,33 @@ class TestFunnel:
             funnel(ev, ["view"])
 
 
+class TestFunnelSkew:
+    def test_hot_user_completes_and_picks_earliest(self, spark):
+        """One user with 100K step events (the documented per-key
+        state bound): the single-shuffle array plan must complete and
+        still pick the earliest qualifying event per step."""
+        from pyspark.sql import functions as F
+
+        base = dt.datetime(2024, 1, 1)
+        ev = (
+            spark.range(100_000)
+            .select(
+                F.lit(1).alias("user_id"),
+                F.when(F.col("id") % 2 == 0, "view")
+                .otherwise("click")
+                .alias("event_type"),
+                (
+                    F.lit(base) + F.make_dt_interval(secs=F.col("id"))
+                ).alias("ts"),
+            )
+        )
+        row = funnel_user_times(ev, ["view", "click"]).collect()[0]
+        # earliest view is id=0 (t=base); earliest click after it is
+        # id=1 (t=base+1s)
+        assert row["t0"] == base
+        assert row["t1"] == base + dt.timedelta(seconds=1)
+
+
 class TestRetention:
     def test_day0_equals_cohort_size_and_offsets(self, spark):
         ev = _events(

@@ -5314,6 +5314,94 @@ FROM counts
     )
 
 
+def q_online_offline_skew(spark, sf_dir):
+    """Training/serving skew audit — THE feature-store consistency
+    property: the online state (latest value per entity × feature,
+    the serving read path) must equal the offline point-in-time
+    reconstruction (the columnar ASOF pipeline evaluated at the
+    current watermark) cell for cell. Any drift between the two
+    pipelines (late data handling, tie-breaks, timezone slips) shows
+    up as a non-zero mismatch count and fails the oracle."""
+    from feature_store_spark.operators.asof import asof_training_set_columnar
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    eav = ev.select(
+        F.col("user_id").alias("entity_id"),
+        F.col("event_type").alias("feature_name"),
+        F.col("value").alias("value_float"),
+        F.col("ts").alias("event_time"),
+        F.col("event_id").alias("rec_event_id"),
+    )
+    t_max = ev.agg(F.max("ts")).first()[0]
+
+    # serving side: latest value per (entity, feature)
+    w = Window.partitionBy("entity_id", "feature_name").orderBy(
+        F.col("event_time").desc(), F.col("rec_event_id").desc()
+    )
+    online = (
+        eav.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("entity_id", "feature_name", F.col("value_float").alias("v_online"))
+    )
+
+    # training side: ASOF reconstruction at the watermark
+    labels = ev.select(F.col("user_id").alias("entity_id")).distinct().select(
+        "entity_id", F.lit(t_max).cast("timestamp").alias("event_time")
+    )
+    offline = asof_training_set_columnar(
+        labels, eav, EVENT_TYPES, tiebreak_cols=["rec_event_id"],
+        lookback_days=None,
+    )
+    tall = offline.select(
+        "entity_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("feature_name"),
+                        F.col(t).alias("v_offline"),
+                    )
+                    for t in EVENT_TYPES
+                ]
+            )
+        ).alias("r"),
+    ).select("entity_id", "r.feature_name", "r.v_offline").filter(
+        F.col("v_offline").isNotNull()
+    )
+    j = online.join(tall, ["entity_id", "feature_name"], "full_outer")
+    return j.agg(
+        F.count_distinct("entity_id").alias("n_entities"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_if(
+            ~F.col("v_online").eqNullSafe(F.col("v_offline"))
+        ).alias("n_mismatch"),
+        (
+            F.count_if(~F.col("v_online").eqNullSafe(F.col("v_offline"))) == 0
+        ).alias("consistent"),
+    )
+
+
+# oracle: the serving-side latest-value is the ground truth; the ASOF
+# reconstruction must agree, so the oracle pins n_mismatch to ZERO and
+# the cell/entity counts to the SQL latest-value table's shape
+ONLINE_OFFLINE_SKEW_SQL = """
+WITH online AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities,
+       count(*) AS n_cells,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       TRUE AS consistent
+FROM online
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -5394,6 +5482,7 @@ QUERIES: dict[str, tuple] = {
     "target_encoding": (q_target_encoding, TARGET_ENCODING_SQL),
     "calibration": (q_calibration, _calibration_sql()),
     "lsh_recall": (q_lsh_recall, _lsh_recall_sql()),
+    "online_offline_skew": (q_online_offline_skew, ONLINE_OFFLINE_SKEW_SQL),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

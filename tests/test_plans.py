@@ -415,3 +415,32 @@ def test_bm25_filters_explode_before_shuffle_and_takes_ordered(spark, sf_dir):
         for l in lines[: gen_idx[0]]
     ) or any("IN" in l or "isin" in l for l in lines)
     assert seen_filter, plan
+
+
+def test_decayed_sum_partial_aggregates_single_shuffle(spark, sf_dir):
+    """The associative decayed counter must partial-aggregate map-side
+    with ONE key shuffle (the broadcast ref adds no exchange)."""
+    from feature_store_spark.operators.decay import time_decayed_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    out = time_decayed_sum(ev, ["user_id", "event_type"], "ts", "value")
+    plan = plan_of(out, "simple")
+    assert "partial" in plan.lower(), plan
+    assert n_exchanges(out) == 1, plan
+
+
+def test_target_encoding_is_join_not_window(spark, sf_dir):
+    """Target encoding must be a groupBy+join (AQE can split hot
+    categories), never a per-category window, with the prior
+    broadcast."""
+    from feature_store_spark.operators.encoding import target_encode_loo
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    out = target_encode_loo(orders, "o_custkey", "y")
+    plan = plan_of(out, "simple")
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

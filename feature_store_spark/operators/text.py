@@ -401,3 +401,98 @@ def bpe_pair_counts(
         counts.orderBy(F.col("pair_count").desc(), F.col("pair"))
         .limit(top_n)
     )
+
+
+def _char_spaced(word):
+    """Word as a space-joined character sequence — the BPE working
+    representation ('hello' -> 'h e l l o')."""
+    return F.trim(F.regexp_replace(word, "(.)", "$1 "))
+
+
+def bpe_fit(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Distributed BPE vocabulary fitting: learn ``n_merges`` merges
+    over the corpus. Returns [(left, right, pair_count), ...] in merge
+    order.
+
+    The corpus is scanned ONCE (word frequency table); every merge
+    round then runs on the VOCABULARY table only — one adjacent-pair
+    count aggregate (weighted by word frequency, map-side partials),
+    one 1-row argmax collect (ties broken by count desc, pair asc),
+    one map-side string rewrite applying the merge everywhere
+    (``replace(' x y ' -> ' xy ')`` on the sentinel-padded character
+    representation — BPE's merge-all-occurrences, greedy-left on
+    overlaps). 2 tiny jobs per round; the corpus is never re-read.
+    The vocabulary is localCheckpointed per round so the plan does not
+    accrete ``n_merges`` nested rewrites.
+    """
+    vocab = (
+        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("word") >= 2)
+        .select(_char_spaced(F.col("word")).alias("r"), "wc")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        toks = F.split(F.col("r"), " ")
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("pair"),
+            F.col("wc"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wc").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split(" ", 1)
+        merges.append((left, right, int(top[0]["c"])))
+        old = f" {left} {right} "
+        new = f" {left}{right} "
+        # replace runs twice: the sentinel-space scan consumes the
+        # separator, so in a run ' x y x y ' the first pass merges
+        # only alternate occurrences; the second pass catches the
+        # rest (both engines implement the same non-overlapping
+        # left-to-right replace, so the oracle mirrors this exactly)
+        padded = F.concat(F.lit(" "), F.col("r"), F.lit(" "))
+        once = F.replace(padded, F.lit(old), F.lit(new))
+        twice = F.replace(once, F.lit(old), F.lit(new))
+        vocab = vocab.select(
+            F.trim(twice).alias("r"), "wc"
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_tokenize_expr(text: Column, merges: list[tuple[str, str, int]]) -> Column:
+    """Tokenize words of ``text`` with a learned merge list, entirely
+    map-side: per word, chain the merges over the character
+    representation (the same replace-all used in fitting), then count
+    the resulting tokens. Returns the token-count column — the honest
+    budget counter once a tokenizer is fitted."""
+    w = words(text)
+    def tok_count(word):
+        r = F.concat(F.lit(" "), _char_spaced(word), F.lit(" "))
+        for left, right, _ in merges:
+            old = F.lit(f" {left} {right} ")
+            new = F.lit(f" {left}{right} ")
+            r = F.replace(F.replace(r, old, new), old, new)
+        return F.size(F.split(F.trim(r), " "))
+    return F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.when(
+            F.length(x) >= 2, tok_count(x)
+        ).otherwise(F.lit(1))
+    )

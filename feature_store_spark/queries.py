@@ -5402,6 +5402,64 @@ FROM online
 """
 
 
+_BPE_ROUNDS = 12
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer fitting: learn 12 merges over the
+    corpus (one corpus scan, then every round touches only the
+    vocabulary table). Output is the learned merge table — oracle =
+    the identical rounds unrolled in SQL."""
+    from feature_store_spark.operators.text import bpe_fit
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges = bpe_fit(docs, _BPE_ROUNDS)
+    return spark.createDataFrame(
+        [
+            (i + 1, l, r, c)
+            for i, (l, r, c) in enumerate(merges)
+        ],
+        "rank int, left_tok string, right_tok string, pair_count long",
+    )
+
+
+def _bpe_merges_sql(rounds: int = _BPE_ROUNDS) -> str:
+    parts = [
+        r"""v0 AS MATERIALIZED (
+  SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS r, wc FROM (
+    SELECT word, count(*) AS wc FROM (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                x -> length(x) > 0)) AS word
+      FROM documents
+    ) GROUP BY word HAVING length(word) >= 2
+  )
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"v{i-1}"
+        parts.append(f"""p{i} AS (
+  SELECT t[x] || ' ' || t[x + 1] AS pair, wc
+  FROM (SELECT string_split(r, ' ') AS t, wc FROM {prev}),
+       LATERAL (SELECT unnest(range(1, len(t))) AS x)
+)""")
+        parts.append(f"""t{i} AS MATERIALIZED (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS c
+  FROM p{i} GROUP BY pair ORDER BY c DESC, pair LIMIT 1
+)""")
+        old = f"' ' || (SELECT pair FROM t{i}) || ' '"
+        new = f"' ' || replace((SELECT pair FROM t{i}), ' ', '') || ' '"
+        parts.append(f"""v{i} AS MATERIALIZED (
+  SELECT trim(replace(replace(' ' || r || ' ', {old}, {new}), {old}, {new})) AS r, wc
+  FROM {prev}
+)""")
+    outs = [
+        f"SELECT {i} AS rank, string_split(pair, ' ')[1] AS left_tok,"
+        f" string_split(pair, ' ')[2] AS right_tok, c AS pair_count FROM t{i}"
+        for i in range(1, rounds + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(outs)
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -5483,6 +5541,7 @@ QUERIES: dict[str, tuple] = {
     "calibration": (q_calibration, _calibration_sql()),
     "lsh_recall": (q_lsh_recall, _lsh_recall_sql()),
     "online_offline_skew": (q_online_offline_skew, ONLINE_OFFLINE_SKEW_SQL),
+    "bpe_merges": (q_bpe_merges, _bpe_merges_sql()),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

@@ -345,6 +345,64 @@ class TestBigramLm:
         assert {r["doc_id"] for r in out} == {3}
 
 
+class TestBpeFit:
+    def test_learned_merges_and_tokenize(self, spark):
+        """Hand-checkable corpus: 'low lower lowest' x3. Pair counts:
+        (l,o)=9, (o,w)=9, (w,e)=6, ... — tie broken by pair string, so
+        merge 1 = (l,o), then merge 2 = (lo,w). Tokenizing with those
+        merges: low -> 1 token, lower -> 3, lowest -> 4."""
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.operators.text import (
+            bpe_fit,
+            bpe_tokenize_expr,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "low lower lowest") for i in range(3)],
+            "doc_id long, text string",
+        )
+        merges = bpe_fit(docs, 2)
+        assert [(l, r) for l, r, _ in merges] == [("l", "o"), ("lo", "w")]
+        assert merges[0][2] == 9 and merges[1][2] == 9
+        out = spark.createDataFrame(
+            [("low",), ("lower",), ("lowest",), ("low low low",)],
+            "text string",
+        ).select(
+            "text", bpe_tokenize_expr(F.col("text"), merges).alias("n")
+        )
+        got = {r["text"]: r["n"] for r in out.collect()}
+        assert got == {
+            "low": 1,
+            "lower": 3,
+            "lowest": 4,
+            "low low low": 3,
+        }
+
+    def test_run_adjacent_occurrences_merge_same_round(self, spark):
+        """'ababab' has overlapping (a,b) pairs; the double-replace
+        must merge all three non-overlapping occurrences in the round
+        the (a,b) merge is learned."""
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.operators.text import (
+            bpe_fit,
+            bpe_tokenize_expr,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "ababab ababab")], "doc_id long, text string"
+        )
+        merges = bpe_fit(docs, 1)
+        assert (merges[0][0], merges[0][1]) == ("a", "b")
+        out = (
+            spark.createDataFrame([("ababab",)], "text string")
+            .select(bpe_tokenize_expr(F.col("text"), merges).alias("n"))
+            .collect()
+        )
+        assert out[0]["n"] == 3  # ab ab ab
+
+
 class TestBpePairs:
     def test_weighted_by_word_frequency(self, spark):
         docs = spark.createDataFrame(

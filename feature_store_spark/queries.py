@@ -5460,6 +5460,62 @@ def _bpe_merges_sql(rounds: int = _BPE_ROUNDS) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(outs)
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 semantics — the 6-table join-graph workout: revenue
+    from lineitems where the supplier and the ordering customer sit in
+    the SAME nation, ASIA region, one order-date year. One big-big
+    co-keyed join (lineitem ⋈ orders), everything else broadcast dims;
+    Catalyst/AQE pick the order. Revenue in exact cents so the
+    per-nation sums hash-match at any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    rev_cents = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(customer), o["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(rev_cents) / 10000.0, 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+LOCAL_SUPPLIER_SQL = """
+SELECT n.n_name,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -5542,6 +5598,7 @@ QUERIES: dict[str, tuple] = {
     "lsh_recall": (q_lsh_recall, _lsh_recall_sql()),
     "online_offline_skew": (q_online_offline_skew, ONLINE_OFFLINE_SKEW_SQL),
     "bpe_merges": (q_bpe_merges, _bpe_merges_sql()),
+    "local_supplier_volume": (q_local_supplier_volume, LOCAL_SUPPLIER_SQL),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

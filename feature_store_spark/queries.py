@@ -5516,6 +5516,74 @@ GROUP BY n.n_name
 """
 
 
+def q_pricing_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping
+    combinations in ONE Expand+aggregate pass (the multi-dimensional
+    sibling of the rollup query), exact-cents sums, explicit
+    grouping-id so subtotal rows are unambiguous."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(cents) / 100.0, 6).alias("sum_price"),
+        )
+    )
+
+
+PRICING_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_rows,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 6)
+         AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_running_totals(spark, sf_dir):
+    """Per-customer running revenue over order time — the cumulative
+    window every account dashboard needs: one partitioned sort,
+    exact-cents running sum, deterministic (o_orderdate, o_orderkey)
+    frame order. Restricted to the first 50 customers to keep the
+    graded result compact; the window shape is unchanged."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") <= 50
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(cents).over(w) / 100.0, 6).alias("running_revenue"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("order_seq"),
+    )
+
+
+RUNNING_TOTALS_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / 100.0, 6) AS running_revenue,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS INT)
+         AS order_seq
+FROM orders WHERE o_custkey <= 50
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -5599,6 +5667,8 @@ QUERIES: dict[str, tuple] = {
     "online_offline_skew": (q_online_offline_skew, ONLINE_OFFLINE_SKEW_SQL),
     "bpe_merges": (q_bpe_merges, _bpe_merges_sql()),
     "local_supplier_volume": (q_local_supplier_volume, LOCAL_SUPPLIER_SQL),
+    "pricing_cube": (q_pricing_cube, PRICING_CUBE_SQL),
+    "running_totals": (q_running_totals, RUNNING_TOTALS_SQL),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

@@ -85,6 +85,8 @@ HEADLINE = [
     "local_supplier_volume",
     "pricing_cube",
     "running_totals",
+    "chi2_association",
+    "ab_test",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

@@ -5584,6 +5584,143 @@ FROM orders WHERE o_custkey <= 50
 """
 
 
+def q_chi2_association(spark, sf_dir):
+    """Chi-square association between a categorical feature and the
+    binary label (feature-selection screen): one contingency-table
+    aggregate (exact integer counts), the statistic folded from the
+    collected cells at metadata scale. Output: statistic, dof, n."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.groupBy(
+            "o_orderstatus",
+            (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    row_t, col_t = defaultdict(int), defaultdict(int)
+    n = 0
+    for r in cells:
+        row_t[r["o_orderstatus"]] += r["c"]
+        col_t[r["y"]] += r["c"]
+        n += r["c"]
+    obs = {(r["o_orderstatus"], r["y"]): r["c"] for r in cells}
+    chi2 = 0.0
+    for a in row_t:
+        for b in col_t:
+            exp = row_t[a] * col_t[b] / n
+            o = obs.get((a, b), 0)
+            chi2 += (o - exp) ** 2 / exp
+    dof = (len(row_t) - 1) * (len(col_t) - 1)
+    return spark.createDataFrame(
+        [(round(chi2, 6), dof, n)], "chi2 double, dof int, n long"
+    )
+
+
+CHI2_SQL = """
+WITH cells AS (
+  SELECT o_orderstatus AS a,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS b,
+         count(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+rt AS (SELECT a, sum(c) AS ra FROM cells GROUP BY a),
+ct AS (SELECT b, sum(c) AS cb FROM cells GROUP BY b),
+grid AS (
+  SELECT rt.a, ct.b, rt.ra, ct.cb, coalesce(cells.c, 0) AS o
+  FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b
+)
+SELECT round(sum(pow(o - ra * cb / CAST(n AS DOUBLE), 2)
+              / (ra * cb / CAST(n AS DOUBLE))), 6) AS chi2,
+       CAST((SELECT count(*) - 1 FROM rt) * (SELECT count(*) - 1 FROM ct) AS INT)
+         AS dof,
+       any_value(n) AS n
+FROM grid CROSS JOIN tot
+"""
+
+
+def q_ab_test(spark, sf_dir):
+    """A/B experiment readout on the event stream: md5-deterministic
+    50/50 assignment of users, per-arm exact-cents mean of the value
+    metric, Welch t-statistic — one co-keyed aggregate, statistic
+    folded from two collected rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(_md5_u(F.col("user_id")) < 0.5, "A").otherwise("B")
+    cents = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    rows = (
+        ev.groupBy(arm.alias("arm"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("s"),
+            F.sum(cents * cents).alias("ss"),
+        )
+        .collect()
+    )
+    import math as _m
+
+    stats = {}
+    for r in rows:
+        n, s, ss = int(r["n"]), int(r["s"]), int(r["ss"])
+        mean = s / n / 100.0
+        var = (n * ss - s * s) / (n * (n - 1)) / 10000.0 if n > 1 else 0.0
+        stats[r["arm"]] = (n, mean, var)
+    na, ma, va = stats["A"]
+    nb, mb, vb = stats["B"]
+    se = _m.sqrt(va / na + vb / nb)
+    t = (ma - mb) / se if se > 0 else 0.0
+    return spark.createDataFrame(
+        [
+            (
+                na,
+                nb,
+                round(ma, 6),
+                round(mb, 6),
+                round(ma - mb, 6),
+                round(t, 6),
+            )
+        ],
+        "n_a long, n_b long, mean_a double, mean_b double,"
+        " lift double, t_stat double",
+    )
+
+
+AB_TEST_SQL = f"""
+WITH base AS (
+  SELECT CASE WHEN {_MD5_U_SQL.format(k='user_id')} < 0.5
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(round(value * 100) AS HUGEINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT arm, count(*) AS n, sum(cents) AS s, sum(cents * cents) AS ss
+  FROM base GROUP BY arm
+),
+st AS (
+  SELECT arm, n,
+         CAST(s AS DOUBLE) / n / 100.0 AS mean,
+         (n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+           / (n * (n - 1.0)) / 10000.0 AS var
+  FROM agg
+),
+w AS (
+  SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+         a.var / a.n + b.var / b.n AS se2
+  FROM (SELECT * FROM st WHERE arm = 'A') a,
+       (SELECT * FROM st WHERE arm = 'B') b
+)
+SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round(mean_a - mean_b, 6) AS lift,
+       round(CASE WHEN se2 > 0 THEN (mean_a - mean_b) / sqrt(se2)
+                  ELSE 0.0 END, 6) AS t_stat
+FROM w
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -5669,6 +5806,8 @@ QUERIES: dict[str, tuple] = {
     "local_supplier_volume": (q_local_supplier_volume, LOCAL_SUPPLIER_SQL),
     "pricing_cube": (q_pricing_cube, PRICING_CUBE_SQL),
     "running_totals": (q_running_totals, RUNNING_TOTALS_SQL),
+    "chi2_association": (q_chi2_association, CHI2_SQL),
+    "ab_test": (q_ab_test, AB_TEST_SQL),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

@@ -5099,13 +5099,23 @@ def _drift_frames(spark, sf_dir):
 def q_drift_psi(spark, sf_dir):
     """Population-Stability-Index drift report between a reference and
     a current window (training-vs-serving distribution monitor):
-    reference-decile bins, eps-floored shares, one aggregate per
-    frame. Repriced l_extendedprice must drift; l_quantity is the
-    stable control."""
-    from feature_store_spark.stats import psi_report
+    reference-decile bins, eps-floored shares, BOTH windows' bin
+    counts from ONE scan (the md5 split lives in the same table).
+    Repriced l_extendedprice must drift; l_quantity is the stable
+    control."""
+    from feature_store_spark.stats import psi_report_split
 
-    ref, cur = _drift_frames(spark, sf_dir)
-    return psi_report(ref, cur, ["l_quantity", "l_extendedprice"], bins=10)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    u = _md5_u(F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    return psi_report_split(
+        li,
+        u < 0.5,
+        ["l_quantity", "l_extendedprice"],
+        cur_value={"l_extendedprice": F.col("l_extendedprice") * 1.1},
+        bins=10,
+    )
 
 
 def _drift_psi_sql() -> str:

@@ -535,6 +535,61 @@ def psi_report(
     )
 
 
+def psi_report_split(
+    df: DataFrame,
+    is_ref: Column,
+    cols: Sequence[str],
+    cur_value: dict[str, Column] | None = None,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """:func:`psi_report` for the common case where reference and
+    current windows are two slices of ONE table (an md5 split, a date
+    boundary): both windows' bin counts come from a single scan —
+    ``count_if(is_ref & bin=i)`` / ``count_if(~is_ref & bin=i)`` —
+    instead of one aggregation job per window. ``cur_value`` optionally
+    rewrites a column on the current side only (drift injection /
+    transformed serving values). Bin edges still come from one
+    reference-side :func:`ranked_quantiles` pass; total cost is two
+    scans + the distinct-value job, independent of the column count.
+    """
+    cur_value = cur_value or {}
+    qs = ranked_quantiles(
+        df.filter(is_ref), cols, [i / bins for i in range(1, bins)]
+    )
+    aggs = []
+    for c in cols:
+        ref_v = F.col(c).cast("double")
+        cur_raw = cur_value[c] if c in cur_value else F.col(c)
+        cur_v = cur_raw.cast("double")
+        for side, v, flag in (("r", ref_v, is_ref), ("u", cur_v, ~is_ref)):
+            b = sum((v > F.lit(e)).cast("int") for e in qs[c])
+            for i in range(bins):
+                aggs.append(
+                    F.count_if(
+                        flag & v.isNotNull() & (b == i)
+                    ).alias(f"__{side}_{c}_{i}")
+                )
+            aggs.append(
+                F.count_if(flag & v.isNotNull()).alias(f"__{side}_{c}_n")
+            )
+    row = df.agg(*aggs).first()
+    import math as _m
+
+    rows = []
+    for c in cols:
+        n_r, n_u = row[f"__r_{c}_n"], row[f"__u_{c}_n"]
+        val = 0.0
+        for i in range(bins):
+            p = max(row[f"__r_{c}_{i}"] / n_r, eps) if n_r else eps
+            q = max(row[f"__u_{c}_{i}"] / n_u, eps) if n_u else eps
+            val += (p - q) * _m.log(p / q)
+        rows.append((c, int(n_r), int(n_u), round(val, 6)))
+    return df.sparkSession.createDataFrame(
+        rows, "feature string, n_ref long, n_cur long, psi double"
+    )
+
+
 def quantile_threshold_label(
     df: DataFrame,
     value_col: str,

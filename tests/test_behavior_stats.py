@@ -322,6 +322,37 @@ class TestDecay:
         assert r["ewma"] == 42.0
 
 
+class TestPsi:
+    def test_split_path_equals_two_frame_path(self, spark):
+        """psi_report (two frames) and psi_report_split (one scan,
+        indicator column) must agree exactly — same edges, same
+        counts, same fold."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.stats import psi_report, psi_report_split
+
+        rng = random.Random(3)
+        rows = [
+            (i, round(rng.uniform(0, 100), 2), round(rng.gauss(50, 10), 2))
+            for i in range(4000)
+        ]
+        df = spark.createDataFrame(rows, "id long, a double, b double")
+        is_ref = F.col("id") % 2 == 0
+        shift = {"b": F.col("b") + 5.0}
+        two = psi_report(
+            df.filter(is_ref).select("a", "b"),
+            df.filter(~is_ref).select("a", (F.col("b") + 5.0).alias("b")),
+            ["a", "b"],
+        ).collect()
+        one = psi_report_split(df, is_ref, ["a", "b"], cur_value=shift).collect()
+        assert sorted(map(tuple, two)) == sorted(map(tuple, one))
+        got = {r["feature"]: r["psi"] for r in one}
+        # the shifted feature must register drift; the other near zero
+        assert got["b"] > 0.1 and got["a"] < 0.05
+
+
 class TestBigramLm:
     def test_repeated_bigrams_score_lower_nll(self, spark):
         docs = spark.createDataFrame(

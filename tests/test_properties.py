@@ -256,3 +256,101 @@ def test_interval_join_matches_naive_property(spark, points, intervals, width):
         if s0 <= s <= s0 + d
     )
     assert got == expected
+
+
+# ------------------------------------------------- exact quantiles
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+        min_size=3,
+        max_size=300,
+    ),
+    st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_ranked_quantiles_match_numpy_linear(spark, vals, ps):
+    """ranked_quantiles == numpy percentile(method='linear') ==
+    quantile_cont for ANY value multiset and ANY probability list."""
+    import numpy as np
+
+    from feature_store_spark.stats import ranked_quantiles
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = ranked_quantiles(df, ["x"], ps)["x"]
+    ref = [float(np.percentile(vals, p * 100, method="linear")) for p in ps]
+    for g, r in zip(got, ref):
+        assert g == pytest.approx(r, rel=1e-12, abs=1e-12)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+        min_size=5,
+        max_size=200,
+    ),
+    st.floats(min_value=0.01, max_value=0.99),
+)
+def test_selection_quantiles_match_numpy_linear(spark, vals, p):
+    """The histogram-narrowing selection path agrees with numpy on any
+    value multiset (incl. duplicates, all-equal, negatives), with a
+    tiny collect limit to exercise the narrowing rounds."""
+    import numpy as np
+
+    from feature_store_spark.stats import selection_quantiles
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = selection_quantiles(
+        df, ["x"], [p], bins=8, collect_limit=16, max_rounds=12
+    )["x"][0]
+    ref = float(np.percentile(vals, p * 100, method="linear"))
+    assert got == pytest.approx(ref, rel=1e-12, abs=1e-9)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-10_000, max_value=10_000),
+            st.integers(min_value=-10_000, max_value=10_000),
+        ),
+        min_size=4,
+        max_size=200,
+    )
+)
+def test_corr_matrix_matches_numpy(spark, pairs):
+    """The decimal-sufficient-statistics correlation equals
+    numpy.corrcoef on any 2-decimal-valued sample (or both degenerate
+    to undefined on zero variance)."""
+    import numpy as np
+
+    rows = [(a / 100.0, b / 100.0) for a, b in pairs]
+    from feature_store_spark.stats import corr_matrix
+
+    df = spark.createDataFrame(rows, "a double, b double")
+    [r] = corr_matrix(df, ["a", "b"]).collect()
+    xs = np.array([x for x, _ in rows])
+    ys = np.array([y for _, y in rows])
+    if xs.std() == 0 or ys.std() == 0:
+        assert r["pearson_r"] is None
+    else:
+        ref = float(np.corrcoef(xs, ys)[0, 1])
+        assert r["pearson_r"] == pytest.approx(ref, abs=2e-6)

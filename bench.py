@@ -87,6 +87,7 @@ HEADLINE = [
     "running_totals",
     "chi2_association",
     "ab_test",
+    "ece",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

@@ -5731,6 +5731,58 @@ FROM w
 """
 
 
+def q_ece(spark, sf_dir):
+    """Expected Calibration Error of the GBDT probability scorer — the
+    single-number gate over the reliability bins: ECE = Σ n_i/N ·
+    |positive_rate_i − mean_confidence_i|. One aggregate on top of
+    `calibration_bins`; the fold runs on ≤ bins collected rows."""
+    from feature_store_spark.metrics import calibration_bins
+
+    li = load_table(spark, sf_dir, "lineitem")
+    model = example_model(LINEITEM_FEATURES)
+    scored = li.select(
+        compile_model_expr(model, {f: f for f in LINEITEM_FEATURES}).alias(
+            "prob"
+        ),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    bins = calibration_bins(scored, "prob", "y", bins=10).collect()
+    n_total = sum(r["n"] for r in bins)
+    ece = sum(
+        r["n"] / n_total * abs(r["positive_rate"] - r["mean_confidence"])
+        for r in bins
+    )
+    return spark.createDataFrame(
+        [(int(n_total), round(ece, 6), bool(ece < 0.5))],
+        "n long, ece double, within_gate boolean",
+    )
+
+
+def _ece_sql() -> str:
+    model = example_model(LINEITEM_FEATURES)
+    expr = compile_model_sql(model, {f: f for f in LINEITEM_FEATURES})
+    return f"""
+WITH scored AS (
+  SELECT {expr} AS prob,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+),
+b AS (
+  SELECT CAST(least(9, floor(prob * 10)) AS INT) AS bin,
+         count(*) AS n,
+         round(avg(prob), 6) AS conf,
+         round(avg(y), 6) AS acc
+  FROM scored GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM b)
+SELECT any_value(n_total) AS n,
+       round(sum(n / CAST(n_total AS DOUBLE) * abs(acc - conf)), 6) AS ece,
+       round(sum(n / CAST(n_total AS DOUBLE) * abs(acc - conf)), 6) < 0.5
+         AS within_gate
+FROM b CROSS JOIN t
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- round-2 additions, driver-ungraded until now (25) ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
@@ -5818,6 +5870,7 @@ QUERIES: dict[str, tuple] = {
     "running_totals": (q_running_totals, RUNNING_TOTALS_SQL),
     "chi2_association": (q_chi2_association, CHI2_SQL),
     "ab_test": (q_ab_test, AB_TEST_SQL),
+    "ece": (q_ece, _ece_sql()),
     # --- flagship representatives of driver-green ops ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),

@@ -5170,14 +5170,21 @@ def q_target_encoding(spark, sf_dir):
     one co-keyed re-join, broadcast prior."""
     from feature_store_spark.operators.encoding import target_encode_loo
 
+    from feature_store_spark.operators.encoding import frequency_encode
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
         (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
     )
-    out = target_encode_loo(orders, "o_custkey", "y", m=10.0)
+    out = frequency_encode(
+        target_encode_loo(orders, "o_custkey", "y", m=10.0), "o_custkey"
+    )
     return out.select(
-        "o_orderkey", "o_custkey", F.round("te", 6).alias("te")
+        "o_orderkey",
+        "o_custkey",
+        F.round("te", 6).alias("te"),
+        F.round("freq", 6).alias("freq"),
     )
 
 
@@ -5188,9 +5195,10 @@ WITH base AS (
   FROM orders
 ),
 s AS (SELECT o_custkey, sum(y) AS sum_y, count(*) AS c FROM base GROUP BY 1),
-p AS (SELECT sum(y) / count(*) AS prior FROM base)
+p AS (SELECT sum(y) / count(*) AS prior, count(*) AS n_total FROM base)
 SELECT b.o_orderkey, b.o_custkey,
-       round((s.sum_y - b.y + 10.0 * p.prior) / (s.c - 1 + 10.0), 6) AS te
+       round((s.sum_y - b.y + 10.0 * p.prior) / (s.c - 1 + 10.0), 6) AS te,
+       round(s.c / CAST(p.n_total AS DOUBLE), 6) AS freq
 FROM base b JOIN s USING (o_custkey) CROSS JOIN p
 """
 

@@ -5792,64 +5792,13 @@ FROM b CROSS JOIN t
 
 
 QUERIES: dict[str, tuple] = {
-    # --- round-2 additions, driver-ungraded until now (25) ---
-    "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
-    "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
-    "score_split_topk": (q_score_split_topk, _score_split_sql()),
-    "auc_pr": (q_auc_pr, AUC_PR_SQL),
-    "model_gates": (q_model_gates, MODEL_GATES_SQL),
-    "class_balance": (q_class_balance, CLASS_BALANCE_SQL),
-    "group_sizes": (q_group_sizes, GROUP_SIZES_SQL),
-    "feature_minmax": (q_feature_minmax, FEATURE_MINMAX_SQL),
-    "vector_slots": (q_vector_slots, VECTOR_SLOTS_SQL),
-    "melt_vector_records": (q_melt_vector_records, MELT_VECTOR_SQL),
-    "registry_latest": (q_registry_latest, REGISTRY_LATEST_SQL),
-    "recent_events": (q_recent_events, RECENT_EVENTS_SQL),
-    "scalar_upsert": (q_scalar_upsert, SCALAR_UPSERT_SQL),
-    "repetition": (q_repetition, REPETITION_SQL),
-    "pii_scan": (q_pii_scan, PII_SCAN_SQL),
-    "tfidf_cosine": (q_tfidf_cosine, TFIDF_COSINE_SQL),
-    "tree_split": (q_tree_split, TREE_SPLIT_SQL),
-    "stream_dedup": (q_stream_dedup, STREAM_DEDUP_SQL),
-    "kmeans": (q_kmeans, KMEANS_SQL),
-    "top_ngrams": (q_top_ngrams, TOP_NGRAMS_SQL),
-    "view_transform": (q_view_transform, _view_transform_sql()),
-    "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
-    "pack_sequences": (q_pack_sequences, PACK_SEQUENCES_SQL),
-    "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
-    "asof_tolerance": (q_asof_tolerance, ASOF_TOLERANCE_SQL),
-    # --- round-3 additions land here (inside the window) ---
-    "fraud_pipeline": (q_fraud_pipeline, FRAUD_PIPELINE_SQL),
-    "mslr_pipeline": (q_mslr_pipeline, MSLR_PIPELINE_SQL),
-    "criteo_pipeline": (q_criteo_pipeline, CRITEO_PIPELINE_SQL),
-    "asof_auto": (q_asof_auto, ASOF_SQL),
-    "pack_shards": (q_pack_shards, PACK_SHARDS_SQL),
-    "salted_topk": (q_salted_topk, TOPK_PER_USER_SQL),
-    "stream_window_stats": (q_stream_window_stats, STREAM_WINDOW_STATS_SQL),
-    "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
-    "dedup_canonical": (q_dedup_canonical, DEDUP_CANONICAL_SQL),
-    "approx_distinct": (q_approx_distinct, APPROX_DISTINCT_SQL),
-    "approx_quantiles": (q_approx_quantiles, APPROX_QUANTILES_SQL),
-    "interval_join": (q_interval_join, INTERVAL_JOIN_SQL),
-    "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
-    "leakage_safe_split": (q_leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL),
-    "ann_recall": (q_ann_recall, ANN_RECALL_SQL),
-    "scd2_intervals": (q_scd2_intervals, SCD2_INTERVALS_SQL),
-    "table_profile": (q_table_profile, TABLE_PROFILE_SQL),
-    "zorder_key": (q_zorder_key, ZORDER_KEY_SQL),
-    "stream_enrich": (q_stream_enrich, STREAM_ENRICH_SQL),
-    "skew_report": (q_skew_report, SKEW_REPORT_SQL),
-    "sample_per_group": (q_sample_per_group, SAMPLE_PER_GROUP_SQL),
-    "json_props": (q_json_props, JSON_PROPS_SQL),
-    "pricing_rollup": (q_pricing_rollup, PRICING_ROLLUP_SQL),
-    # --- round-3 late additions: first two fill the 50-entry window;
-    # the next two lead round 4's rotation (pytest-oracle-graded now)
-    "asof_nearest": (q_asof_nearest, ASOF_NEAREST_SQL),
-    "decontaminate_bloom": (q_decontaminate_bloom, DECONTAMINATE_SQL),
+    # --- ROUND-4 DRIVER WINDOW (first 50 entries) -------------------
+    # The 31 round-3 queries that never got a driver CORRECTNESS row
+    # (VERDICT r3 task #1): they lead the window so every one gets a
+    # CORRECTNESS_r04 row. All already pass the identical DuckDB
+    # oracle in pytest (tests/test_queries_oracle.py) and selfcheck.
     "heavy_hitters": (q_heavy_hitters, HEAVY_HITTERS_SQL),
     "word_entropy": (q_word_entropy, WORD_ENTROPY_SQL),
-    # --- round-3 second wave: queue behind heavy_hitters/word_entropy
-    # for round 4's rotation window (pytest-oracle-graded now) ---
     "funnel": (q_funnel, FUNNEL_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_SQL),
     "corr_matrix": (q_corr_matrix, _corr_matrix_sql()),
@@ -5879,7 +5828,10 @@ QUERIES: dict[str, tuple] = {
     "chi2_association": (q_chi2_association, CHI2_SQL),
     "ab_test": (q_ab_test, AB_TEST_SQL),
     "ece": (q_ece, _ece_sql()),
-    # --- flagship representatives of driver-green ops ---
+    # --- round-4 NEW queries land here (window slots 32+; each new
+    # entry pushes one already-green flagship out of the window) ---
+    # --- fill to 50: flagship representatives, all driver-green in
+    # CORRECTNESS_r02/r03 (re-grading them is zero-risk) ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),
     "stream_sessions": (q_stream_sessions, STREAM_SESSIONS_SQL),
@@ -5899,6 +5851,57 @@ QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "curation_pipeline": (q_curation_pipeline, CURATION_SQL),
     "multimodal_meta": (q_multimodal_meta, MULTIMODAL_SQL),
+    # --- rotation tail: driver-green in CORRECTNESS_r03.json ---
+    "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
+    "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
+    "score_split_topk": (q_score_split_topk, _score_split_sql()),
+    "auc_pr": (q_auc_pr, AUC_PR_SQL),
+    "model_gates": (q_model_gates, MODEL_GATES_SQL),
+    "class_balance": (q_class_balance, CLASS_BALANCE_SQL),
+    "group_sizes": (q_group_sizes, GROUP_SIZES_SQL),
+    "feature_minmax": (q_feature_minmax, FEATURE_MINMAX_SQL),
+    "vector_slots": (q_vector_slots, VECTOR_SLOTS_SQL),
+    "melt_vector_records": (q_melt_vector_records, MELT_VECTOR_SQL),
+    "registry_latest": (q_registry_latest, REGISTRY_LATEST_SQL),
+    "recent_events": (q_recent_events, RECENT_EVENTS_SQL),
+    "scalar_upsert": (q_scalar_upsert, SCALAR_UPSERT_SQL),
+    "repetition": (q_repetition, REPETITION_SQL),
+    "pii_scan": (q_pii_scan, PII_SCAN_SQL),
+    "tfidf_cosine": (q_tfidf_cosine, TFIDF_COSINE_SQL),
+    "tree_split": (q_tree_split, TREE_SPLIT_SQL),
+    "stream_dedup": (q_stream_dedup, STREAM_DEDUP_SQL),
+    "kmeans": (q_kmeans, KMEANS_SQL),
+    "top_ngrams": (q_top_ngrams, TOP_NGRAMS_SQL),
+    "view_transform": (q_view_transform, _view_transform_sql()),
+    "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
+    "pack_sequences": (q_pack_sequences, PACK_SEQUENCES_SQL),
+    "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
+    "asof_tolerance": (q_asof_tolerance, ASOF_TOLERANCE_SQL),
+    "fraud_pipeline": (q_fraud_pipeline, FRAUD_PIPELINE_SQL),
+    "mslr_pipeline": (q_mslr_pipeline, MSLR_PIPELINE_SQL),
+    "criteo_pipeline": (q_criteo_pipeline, CRITEO_PIPELINE_SQL),
+    "asof_auto": (q_asof_auto, ASOF_SQL),
+    "pack_shards": (q_pack_shards, PACK_SHARDS_SQL),
+    "salted_topk": (q_salted_topk, TOPK_PER_USER_SQL),
+    "stream_window_stats": (q_stream_window_stats, STREAM_WINDOW_STATS_SQL),
+    "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_canonical": (q_dedup_canonical, DEDUP_CANONICAL_SQL),
+    "approx_distinct": (q_approx_distinct, APPROX_DISTINCT_SQL),
+    "approx_quantiles": (q_approx_quantiles, APPROX_QUANTILES_SQL),
+    "interval_join": (q_interval_join, INTERVAL_JOIN_SQL),
+    "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
+    "leakage_safe_split": (q_leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL),
+    "ann_recall": (q_ann_recall, ANN_RECALL_SQL),
+    "scd2_intervals": (q_scd2_intervals, SCD2_INTERVALS_SQL),
+    "table_profile": (q_table_profile, TABLE_PROFILE_SQL),
+    "zorder_key": (q_zorder_key, ZORDER_KEY_SQL),
+    "stream_enrich": (q_stream_enrich, STREAM_ENRICH_SQL),
+    "skew_report": (q_skew_report, SKEW_REPORT_SQL),
+    "sample_per_group": (q_sample_per_group, SAMPLE_PER_GROUP_SQL),
+    "json_props": (q_json_props, JSON_PROPS_SQL),
+    "pricing_rollup": (q_pricing_rollup, PRICING_ROLLUP_SQL),
+    "asof_nearest": (q_asof_nearest, ASOF_NEAREST_SQL),
+    "decontaminate_bloom": (q_decontaminate_bloom, DECONTAMINATE_SQL),
     # --- rotation tail: all driver-green in CORRECTNESS_r02.json ---
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
     "top_customers": (q_top_customers, TOP_CUSTOMERS_SQL),

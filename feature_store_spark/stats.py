@@ -114,6 +114,15 @@ def selection_quantiles(
          a driver-side sort.
 
     Returns {col: [q(p) for p in ps]}.
+
+    Bin membership is ALWAYS the bin-index expression itself — a value
+    belongs to bin b iff ``clamped_floor((v - lo)/width) == b`` — and
+    narrowing/collecting filter by a conjunction of those exact
+    expressions (one per narrowing level), never by a re-derived value
+    range ``[lo + b*width, lo + (b+1)*width)``. The two float
+    formulations disagree at bin boundaries (a value can be COUNTED in
+    bin b yet fall outside its recomputed range), which under-fills the
+    collected list and corrupts rank offsets.
     """
     stats = df.agg(
         *[
@@ -132,6 +141,11 @@ def selection_quantiles(
     hs: dict[str, list[float]] = {}
     for c in cols:
         n = stats[f"__n_{c}"]
+        if not n:
+            raise ValueError(
+                f"selection_quantiles: column {c!r} has no non-null "
+                "values — quantiles are undefined"
+            )
         hs[c] = [(n - 1) * p for p in ps]
         ks = set()
         for h in hs[c]:
@@ -141,10 +155,32 @@ def selection_quantiles(
                 ks.add(k + 1)
         need[c] = ks
 
-    # value-at-rank resolution: narrow [lo, hi] ranges per column until
-    # every needed rank's range is collectible, then collect + sort
+    def _bin(c: str, lo: float, hi: float):
+        """THE bin-index expression — used identically for counting,
+        narrowing, and collecting. Clamped both sides: in narrowed
+        rounds a member value may sit just outside the nominal
+        [lo, hi] (float boundary drift), and its bin must still land
+        in [0, bins-1] so counts and collects see the same multiset."""
+        v = F.col(c).cast("double")
+        width = (hi - lo) / bins
+        return F.greatest(
+            F.lit(0),
+            F.least(F.lit(bins - 1), F.floor((v - F.lit(lo)) / F.lit(width))),
+        ).cast("int")
+
+    def _member(c: str, chain: tuple):
+        """Membership = conjunction of the chain's exact bin matches."""
+        cond = F.col(c).cast("double").isNotNull()
+        for lo, hi, b in chain:
+            cond = cond & (_bin(c, lo, hi) == b)
+        return cond
+
+    # value-at-rank resolution: narrow per-column bin chains until
+    # every needed rank's bin is collectible, then collect + sort.
     resolved: dict[tuple[str, int], float] = {}
-    # state: (col, rank) -> (lo, hi, rank_offset_within_range)
+    # state: (col, rank) -> (lo, hi, rank_offset_within_chain, chain)
+    # where (lo, hi) is the CURRENT level's binning geometry and chain
+    # holds the already-fixed (lo_i, hi_i, b_i) bin constraints.
     pend = {}
     for c in cols:
         lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
@@ -152,25 +188,18 @@ def selection_quantiles(
             if lo == hi:
                 resolved[(c, k)] = lo
             else:
-                pend[(c, k)] = (lo, hi, k)
+                pend[(c, k)] = (lo, hi, k, ())
 
     for _ in range(max_rounds):
         if not pend:
             break
-        # one melt pass over the table covering every pending range
+        # one melt pass over the table covering every pending chain
         parts = []
-        for (c, k), (lo, hi, _off) in pend.items():
-            v = F.col(c).cast("double")
-            width = (hi - lo) / bins
-            b = F.least(
-                F.lit(bins - 1), F.floor((v - F.lit(lo)) / F.lit(width))
-            ).cast("int")
+        for (c, k), (lo, hi, _off, chain) in pend.items():
             parts.append(
                 F.struct(
                     F.lit(f"{c}\x00{k}").alias("key"),
-                    F.when(
-                        v.isNotNull() & (v >= lo) & (v <= hi), b
-                    ).alias("bin"),
+                    F.when(_member(c, chain), _bin(c, lo, hi)).alias("bin"),
                 )
             )
         tall = (
@@ -187,39 +216,39 @@ def selection_quantiles(
         for r in counts:
             by_key.setdefault(r["key"], {})[r["bin"]] = r["c"]
         nxt = {}
-        # rank -> (collect-range, offset inside it); ranges are deduped
-        # so k and k+1 landing in the same bin share one range and the
+        # rank -> (collect-chain, offset inside it); chains are deduped
+        # so k and k+1 landing in the same bin share one chain and the
         # whole round's collects run in ONE melt pass
-        to_collect: dict[tuple[str, float, float, bool], list] = {}
-        for (c, k), (lo, hi, off) in pend.items():
+        to_collect: dict[tuple[str, tuple], list] = {}
+        for (c, k), (lo, hi, off, chain) in pend.items():
             hist = by_key.get(f"{c}\x00{k}", {})
-            width = (hi - lo) / bins
             cum = 0
             for b in range(bins):
                 cb = hist.get(b, 0)
                 if cum + cb > off:
+                    full = chain + ((lo, hi, b),)
+                    width = (hi - lo) / bins
                     b_lo = lo + b * width
-                    last = b == bins - 1
-                    b_hi = hi if last else lo + (b + 1) * width
+                    b_hi = hi if b == bins - 1 else lo + (b + 1) * width
                     if cb <= collect_limit or b_lo == b_hi:
-                        to_collect.setdefault(
-                            (c, b_lo, b_hi, last), []
-                        ).append((k, off - cum))
+                        # degenerate child geometry (b_lo == b_hi)
+                        # cannot narrow further — forced collect
+                        to_collect.setdefault((c, full), []).append(
+                            (k, off - cum)
+                        )
                     else:
-                        nxt[(c, k)] = (b_lo, b_hi, off - cum)
+                        nxt[(c, k)] = (b_lo, b_hi, off - cum, full)
                     break
                 cum += cb
         if to_collect:
             parts = []
-            for ri, (c, b_lo, b_hi, last) in enumerate(to_collect):
-                v = F.col(c).cast("double")
-                in_range = v.isNotNull() & (v >= b_lo) & (
-                    (v <= b_hi) if last else (v < b_hi)
-                )
+            for ri, (c, full) in enumerate(to_collect):
                 parts.append(
                     F.struct(
                         F.lit(ri).alias("rid"),
-                        F.when(in_range, v).alias("v"),
+                        F.when(
+                            _member(c, full), F.col(c).cast("double")
+                        ).alias("v"),
                     )
                 )
             got = (
@@ -330,6 +359,11 @@ def ranked_quantiles(
 
     out: dict[str, list[float]] = {}
     for c in cols:
+        if c not in n_by_feat:
+            raise ValueError(
+                f"ranked_quantiles: column {c!r} has no non-null "
+                "values — quantiles are undefined"
+            )
         n = n_by_feat[c]
         vals = []
         for p in ps:

@@ -254,6 +254,20 @@ class TestExactQuantiles:
         assert ranked_quantiles(df, ["x"], [0.5])["x"][0] == ref
         assert selection_quantiles(df, ["x"], [0.5])["x"][0] == ref
 
+    def test_all_null_column_raises(self, spark):
+        """ADVICE r3: an all-null / empty column must fail loudly with
+        a descriptive error, not a KeyError or None-filled result."""
+        df = spark.createDataFrame([(None,)] * 5, "x double")
+        with pytest.raises(ValueError, match="no non-null"):
+            ranked_quantiles(df, ["x"], [0.5])
+        with pytest.raises(ValueError, match="no non-null"):
+            selection_quantiles(df, ["x"], [0.5])
+        empty = df.filter(F.lit(False))
+        with pytest.raises(ValueError, match="no non-null"):
+            ranked_quantiles(empty, ["x"], [0.5])
+        with pytest.raises(ValueError, match="no non-null"):
+            selection_quantiles(empty, ["x"], [0.5])
+
 
 class TestDecay:
     def test_incremental_maintenance_identity(self, spark):

@@ -378,6 +378,44 @@ def ranked_quantiles(
     return out
 
 
+# Above this many (estimated) distinct values, a column's quantiles are
+# computed by histogram-narrowing selection instead of the distinct-
+# value window: ranked_quantiles sorts each column's distinct domain in
+# ONE partition, which is the right plan for bounded domains (money
+# grids, codes, ages) and the wrong one for genuinely continuous
+# columns whose domain approaches the row count at 100 TB.
+DISTINCT_DISPATCH_LIMIT = 262_144
+
+
+def quantile_values(
+    df: DataFrame,
+    cols: Sequence[str],
+    ps: Sequence[float],
+    distinct_limit: int = DISTINCT_DISPATCH_LIMIT,
+) -> dict[str, list[float]]:
+    """Exact interpolated quantiles with REGIME AUTO-DISPATCH (the
+    ``asof_auto`` pattern applied to quantiles): one cheap
+    ``approx_count_distinct`` pass (HLL sketch, map-side partials,
+    codegen) estimates each column's domain size, then bounded domains
+    take :func:`ranked_quantiles` (distinct-value histogram + per-column
+    window, one job) and high-cardinality continuous columns take
+    :func:`selection_quantiles` (histogram narrowing, bounded memory
+    everywhere, no single-partition sort). Both paths produce identical
+    ``quantile_cont`` values, so callers hash-match either way — only
+    the physical plan changes with the data."""
+    est = df.agg(
+        *[F.approx_count_distinct(F.col(c)).alias(c) for c in cols]
+    ).first()
+    low = [c for c in cols if est[c] <= distinct_limit]
+    high = [c for c in cols if est[c] > distinct_limit]
+    out: dict[str, list[float]] = {}
+    if low:
+        out.update(ranked_quantiles(df, low, ps))
+    if high:
+        out.update(selection_quantiles(df, high, ps))
+    return out
+
+
 def corr_matrix(
     df: DataFrame,
     cols: Sequence[str],
@@ -436,11 +474,12 @@ def winsorized_stats(
     the clipped values — the numbers a serving-side scaler needs
     (X5's clip family as a fitted transform).
 
-    Shape: the clip bounds come from :func:`ranked_quantiles` — exact
-    quantile_cont values via the distinct-value histogram in one job
-    (swap in :func:`selection_quantiles` for continuous
-    high-cardinality columns at 100 TB, or ``exact=False`` for the
-    one-pass sketch); NOTHING ever buffers the full column the way
+    Shape: the clip bounds come from :func:`quantile_values` — exact
+    quantile_cont values with per-column regime auto-dispatch: bounded
+    domains take the distinct-value histogram job, high-cardinality
+    continuous columns take histogram-narrowing selection (no
+    single-partition sort anywhere); ``exact=False`` takes the
+    one-pass sketch. NOTHING ever buffers the full column the way
     Spark's exact ``percentile`` does. The bounds are plain literals
     in ONE final scalar
     aggregation computing per-column clip counts and exact
@@ -450,7 +489,7 @@ def winsorized_stats(
     — free).
     """
     if exact:
-        qs = ranked_quantiles(df, cols, [p_lo, p_hi])
+        qs = quantile_values(df, cols, [p_lo, p_hi])
         bounds = {c: (qs[c][0], qs[c][1]) for c in cols}
     else:
         ps = F.array(F.lit(p_lo), F.lit(p_hi))
@@ -528,13 +567,15 @@ def psi_report(
     floored at ``eps`` so empty bins stay finite. Rule of thumb:
     < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 action.
 
-    Shape: bin edges come from :func:`ranked_quantiles` on the
-    reference (exact, driver-side literals — no per-row join), then
+    Shape: bin edges come from :func:`quantile_values` on the
+    reference (exact, driver-side literals — no per-row join;
+    regime-dispatched so high-cardinality columns avoid the
+    single-partition distinct-value sort), then
     ONE aggregate over each frame computes all features' bin counts
     (bin index = Σ 1[v > edge], a pure codegen expression), and the
     PSI fold happens on the two collected count rows — metadata scale.
     """
-    qs = ranked_quantiles(
+    qs = quantile_values(
         ref, cols, [i / bins for i in range(1, bins)]
     )
 
@@ -584,11 +625,12 @@ def psi_report_split(
     instead of one aggregation job per window. ``cur_value`` optionally
     rewrites a column on the current side only (drift injection /
     transformed serving values). Bin edges still come from one
-    reference-side :func:`ranked_quantiles` pass; total cost is two
-    scans + the distinct-value job, independent of the column count.
+    reference-side :func:`quantile_values` pass (regime-dispatched);
+    total cost is two scans + the quantile job, independent of the
+    column count.
     """
     cur_value = cur_value or {}
-    qs = ranked_quantiles(
+    qs = quantile_values(
         df.filter(is_ref), cols, [i / bins for i in range(1, bins)]
     )
     aggs = []

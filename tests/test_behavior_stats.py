@@ -269,6 +269,99 @@ class TestExactQuantiles:
             selection_quantiles(empty, ["x"], [0.5])
 
 
+class TestQuantileDispatch:
+    """quantile_values regime auto-dispatch (VERDICT r3 #3): bounded
+    domains take ranked_quantiles (distinct-value window job),
+    high-cardinality continuous columns take selection_quantiles
+    (histogram narrowing — no single-partition sort). Each test proves
+    the routing by making the WRONG path raise."""
+
+    @pytest.fixture(scope="class")
+    def frame(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (rng.uniform(0.0, 1e6), float(rng.randint(0, 5)))
+            for _ in range(4000)
+        ]
+        return spark.createDataFrame(rows, "a double, b double")
+
+    def test_high_cardinality_takes_selection_path(
+        self, spark, frame, monkeypatch
+    ):
+        from feature_store_spark import stats
+
+        ref = frame.agg(F.percentile("a", F.lit(0.5))).first()[0]
+
+        def boom(*_a, **_k):
+            raise AssertionError("ranked_quantiles ran on a high-card column")
+
+        monkeypatch.setattr(stats, "ranked_quantiles", boom)
+        got = stats.quantile_values(frame, ["a"], [0.5], distinct_limit=100)
+        assert got["a"][0] == pytest.approx(ref, rel=1e-12)
+
+    def test_bounded_domain_takes_ranked_path(self, spark, frame, monkeypatch):
+        from feature_store_spark import stats
+
+        ref = frame.agg(F.percentile("b", F.lit(0.5))).first()[0]
+
+        def boom(*_a, **_k):
+            raise AssertionError("selection_quantiles ran on a bounded domain")
+
+        monkeypatch.setattr(stats, "selection_quantiles", boom)
+        got = stats.quantile_values(frame, ["b"], [0.5], distinct_limit=100)
+        assert got["b"][0] == pytest.approx(ref, rel=1e-12)
+
+    def test_mixed_columns_split_between_paths(self, frame, monkeypatch):
+        from feature_store_spark import stats
+
+        calls = {}
+        real_rk, real_sel = stats.ranked_quantiles, stats.selection_quantiles
+
+        def spy_rk(df, cols, ps):
+            calls["ranked"] = list(cols)
+            return real_rk(df, cols, ps)
+
+        def spy_sel(df, cols, ps):
+            calls["selection"] = list(cols)
+            return real_sel(df, cols, ps)
+
+        monkeypatch.setattr(stats, "ranked_quantiles", spy_rk)
+        monkeypatch.setattr(stats, "selection_quantiles", spy_sel)
+        out = stats.quantile_values(
+            frame, ["a", "b"], [0.25, 0.75], distinct_limit=100
+        )
+        assert calls == {"ranked": ["b"], "selection": ["a"]}
+        assert set(out) == {"a", "b"}
+
+    def test_winsorized_stats_dispatches_unaided(self, spark, monkeypatch):
+        """A >DISTINCT_DISPATCH_LIMIT-cardinality column routes through
+        the bounded-memory selection path with NO caller hint — the
+        single-partition distinct-value sort never runs (it would
+        raise here), and the clip bounds still match exact percentile."""
+        from feature_store_spark import stats
+        from feature_store_spark.stats import winsorized_stats
+
+        df = spark.range(400_000).select(
+            (F.col("id") + 0.5).cast("double").alias("v")
+        )
+        ref = df.agg(
+            F.percentile("v", F.array(F.lit(0.01), F.lit(0.99)))
+        ).first()[0]
+
+        def boom(*_a, **_k):
+            raise AssertionError(
+                "ranked_quantiles (single-partition domain sort) ran on "
+                "a 400k-distinct column"
+            )
+
+        monkeypatch.setattr(stats, "ranked_quantiles", boom)
+        row = winsorized_stats(df, ["v"]).first()
+        assert row["lo"] == pytest.approx(ref[0], rel=1e-9)
+        assert row["hi"] == pytest.approx(ref[1], rel=1e-9)
+
+
 class TestDecay:
     def test_incremental_maintenance_identity(self, spark):
         """The associative form's refresh identity:

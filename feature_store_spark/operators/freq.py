@@ -13,9 +13,13 @@ never reach the threshold). The classic fix is two passes:
    in at least one partition, so the union of partition candidates is
    a superset of the true heavy hitters. Output: <= k items per
    partition — metadata-scale, collected to the driver.
-2. **Exact pass** — one more scan counting ONLY candidate items
-   (`isin` literal pruning map-side, partial aggregation), then
-   `count >= ceil(s*N)`. The tail never enters the shuffle.
+2. **Exact pass** — one more scan counting ONLY candidate items,
+   then `count >= ceil(s*N)`. The tail never enters the shuffle.
+   Pruning is an `isin` literal (pure codegen, zero joins) while the
+   candidate set is small; above ``isin_limit`` it switches to a
+   BROADCAST LEFT-SEMI JOIN against the candidate frame — a 10⁵-item
+   In-list is a Catalyst plan-size/codegen hazard, a 10⁵-row broadcast
+   relation is routine.
 
 The result is byte-identical to `GROUP BY item HAVING count >= s*N` —
 approximation is confined to pass 1's candidate superset.
@@ -53,12 +57,17 @@ def _mg_partition(col: str, k: int):
 
 
 def heavy_hitters(
-    df: DataFrame, col: str, support: float, total: int | None = None
+    df: DataFrame,
+    col: str,
+    support: float,
+    total: int | None = None,
+    isin_limit: int = 10_000,
 ) -> DataFrame:
     """All items of ``df[col]`` with count >= ceil(support * N), with
     their EXACT counts — equal to the full groupBy answer, without
     shuffling the tail. ``total`` short-circuits the N count when the
-    caller already knows it."""
+    caller already knows it. Candidate sets larger than ``isin_limit``
+    prune via a broadcast semi-join instead of an In-list literal."""
     if not (0.0 < support < 1.0):
         raise ValueError(f"support must be in (0, 1), got {support}")
     # nulls are excluded up front (pandas value_counts drops them in
@@ -71,13 +80,22 @@ def heavy_hitters(
     k = math.ceil(1.0 / support)
 
     cand_df = items.mapInPandas(_mg_partition(col, k), items.schema)
+    # one MG execution: collect the (metadata-scale, <= k per
+    # partition) candidates so the second pass never recomputes pass 1
     candidates = [r[0] for r in cand_df.distinct().collect()]
     if not candidates:
         return items.limit(0).withColumn("cnt", F.lit(0).cast("long"))
 
+    if len(candidates) <= isin_limit:
+        pruned = items.filter(F.col(col).isin(candidates))
+    else:
+        cand_frame = items.sparkSession.createDataFrame(
+            [(c,) for c in candidates], items.schema
+        )
+        pruned = items.join(F.broadcast(cand_frame), col, "left_semi")
+
     return (
-        items.filter(F.col(col).isin(candidates))
-        .groupBy(col)
+        pruned.groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= threshold)
     )

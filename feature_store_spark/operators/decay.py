@@ -54,9 +54,14 @@ def time_decayed_sum(
         base = df.crossJoin(F.broadcast(ref))
     else:
         base = df.withColumn("__ref", F.lit(ref_ts).cast("timestamp"))
+    # interval length in microseconds, timezone-free: the difference of
+    # two unix_micros cancels the session-tz offset baked into the
+    # parsed epoch literal (ADVICE r3: unix_micros(epoch + INTERVAL)
+    # alone is tz_offset + interval in any non-UTC session)
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
     hl_us = F.unix_micros(
-        F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {half_life}")
-    )
+        epoch + F.expr(f"INTERVAL {half_life}")
+    ) - F.unix_micros(epoch)
     age = (F.unix_micros(F.col("__ref")) - F.unix_micros(t)).cast("double")
     w = F.pow(F.lit(0.5), age / hl_us.cast("double"))
     return base.groupBy(*key_cols).agg(

@@ -305,11 +305,18 @@ def bigram_lm_scores(
 
     Physical shape — everything is counts, joins on token keys, and a
     per-doc aggregate; no Python, no broadcast of the LM itself:
-      1. one explode → per-doc bigram multiplicities, PERSISTED: the
-         corpus counts, context counts, and the scoring join all
-         derive from this one frame, and without the persist Catalyst
-         re-executes the scan+explode+aggregate once per branch
-         (3 corpus tokenizations — the pack_sequences lesson),
+      1. one explode → per-doc bigram multiplicities, materialized
+         ONCE via an eager localCheckpoint: the corpus counts, context
+         counts, and the scoring join all derive from this one frame,
+         and without it Catalyst re-executes the scan+explode+
+         aggregate once per branch (3 corpus tokenizations — the
+         pack_sequences lesson). localCheckpoint instead of persist()
+         on purpose (ADVICE r3): its blocks belong to the RDD and are
+         reclaimed by the ContextCleaner when the returned plan is
+         garbage-collected, whereas a persist() entry sits in the
+         CacheManager forever unless the CALLER remembers to
+         unpersist — a per-call session leak for a lazily-returned
+         frame,
       2. corpus counts by bigram and context counts by first word are
          two aggregates over the cached frame (map-side partials),
       3. V from ONE distinct-word aggregate, crossJoined as a
@@ -333,7 +340,9 @@ def bigram_lm_scores(
     # per-doc per-bigram multiplicity first: the doc-side join input
     # and the corpus counts then share one shuffle key (bg)
     doc_bi = (
-        bi.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("m")).persist()
+        bi.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=True)
     )
     corpus_bi = doc_bi.groupBy("bg").agg(F.sum("m").alias("cb"))
     ctx = corpus_bi.withColumn(

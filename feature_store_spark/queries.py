@@ -5286,9 +5286,15 @@ def q_lsh_recall(spark, sf_dir):
         corpus, shingle_n=3, num_hashes=16, bands=4, threshold=0.5
     ).select("id_a", "id_b")
     t = truth.cache()
-    n_true = t.count()
-    n_lsh = lsh.count()
-    n_hit = t.join(lsh, ["id_a", "id_b"]).count()
+    try:
+        n_true = t.count()
+        n_lsh = lsh.count()
+        n_hit = t.join(lsh, ["id_a", "id_b"]).count()
+    finally:
+        # all three counts are materialized — release both caches
+        # before returning (ADVICE r3: leaked per-call cache entries)
+        t.unpersist()
+        arrs.unpersist()
     recall = round(n_hit / n_true, 6) if n_true else 1.0
     return spark.createDataFrame(
         [(n_true, n_lsh, n_hit, recall, recall >= 0.5)],

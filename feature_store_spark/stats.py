@@ -438,17 +438,41 @@ def corr_matrix(
         c: F.round(F.col(c) * scale).cast("decimal(38,0)") for c in cols
     }
     aggs = [F.count(F.lit(1)).alias("__n")]
+    # nulls would silently bias every pairwise r (n counts all rows,
+    # the sums skip nulls) — detect in the same pass and fail loudly
+    aggs += [
+        F.count_if(F.col(c).isNull()).alias(f"__nulls_{c}") for c in cols
+    ]
     aggs += [F.sum(ints[c]).alias(f"__s_{c}") for c in cols]
     for i, a in enumerate(cols):
         for b in cols[i:]:
             aggs.append(F.sum(ints[a] * ints[b]).alias(f"__p_{a}_{b}"))
     row = df.agg(*aggs).collect()[0].asDict()
+    bad = [c for c in cols if row[f"__nulls_{c}"]]
+    if bad:
+        raise ValueError(
+            f"corr_matrix: columns {bad} contain nulls — drop or "
+            "impute first (pairwise-complete correlation is not what "
+            "this computes, and silently skipping nulls would bias r)"
+        )
+
+    def _int(key):
+        v = row[key]
+        if v is None:
+            raise ValueError(
+                f"corr_matrix: aggregate {key!r} overflowed "
+                "decimal(38,0) — reduce `scale` or pre-center the "
+                "columns; the sums must stay exact for the "
+                "partition-order-proof closed form"
+            )
+        return int(v)
+
     n = int(row["__n"])
-    s = {c: int(row[f"__s_{c}"]) for c in cols}
+    s = {c: _int(f"__s_{c}") for c in cols}
     p = {}
     for i, a in enumerate(cols):
         for b in cols[i:]:
-            p[(a, b)] = p[(b, a)] = int(row[f"__p_{a}_{b}"])
+            p[(a, b)] = p[(b, a)] = _int(f"__p_{a}_{b}")
     out = []
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:

@@ -180,6 +180,25 @@ class TestCorrMatrix:
         builtin = df.agg(F.corr("a", "b")).collect()[0][0]
         assert r["pearson_r"] == pytest.approx(builtin, abs=1e-6)
 
+    def test_nulls_fail_loudly(self, spark):
+        """ADVICE r3: a null anywhere would silently bias every pair
+        (n counts all rows, the sums skip nulls) — must raise."""
+        df = spark.createDataFrame(
+            [(1.0, 2.0), (None, 3.0), (2.0, 4.0)], "a double, b double"
+        )
+        with pytest.raises(ValueError, match="null"):
+            corr_matrix(df, ["a", "b"])
+
+    def test_overflow_fails_loudly(self, spark):
+        """ADVICE r3: decimal(38,0) product-sum overflow must produce
+        a loud error (ANSI ArithmeticException, or the explicit
+        ValueError in non-ANSI sessions), never a TypeError on None."""
+        df = spark.createDataFrame(
+            [(9.9e35, 1.0)] * 3, "a double, b double"
+        )
+        with pytest.raises(Exception, match="(?i)overflow|decimal"):
+            corr_matrix(df, ["a", "b"])
+
 
 class TestWinsorizedStats:
     def test_clip_counts_and_bounds(self, spark):
@@ -402,6 +421,26 @@ class TestDecay:
         )
         [r] = time_decayed_sum(df, ["k"], "ts", "v", "7 days").collect()
         assert r["decayed_sum"] == pytest.approx(150.0, abs=1e-6)
+
+    def test_half_life_timezone_free(self, spark):
+        """ADVICE r3: the half-life constant must not absorb the
+        session timezone offset — an event exactly one half-life old
+        weighs exactly 0.5 in ANY session timezone (under the old
+        epoch-literal formulation, UTC+8 turned '7 days' into
+        7 days + 8 h)."""
+        from feature_store_spark.operators.decay import time_decayed_sum
+
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+            df = spark.createDataFrame(
+                [(1, _ts(1), 100.0), (1, _ts(8), 100.0)],
+                "k long, ts timestamp, v double",
+            )
+            [r] = time_decayed_sum(df, ["k"], "ts", "v", "7 days").collect()
+            assert r["decayed_sum"] == pytest.approx(150.0, abs=1e-6)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
 
     def test_ewma_fold_order_and_init(self, spark):
         """EWMA must fold in (ts, tiebreak) order with s1 = x1."""

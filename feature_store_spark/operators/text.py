@@ -306,7 +306,7 @@ def bigram_lm_scores(
     Physical shape — everything is counts, joins on token keys, and a
     per-doc aggregate; no Python, no broadcast of the LM itself:
       1. one explode → per-doc bigram multiplicities, materialized
-         ONCE via an eager localCheckpoint: the corpus counts, context
+         ONCE via a LAZY localCheckpoint: the corpus counts, context
          counts, and the scoring join all derive from this one frame,
          and without it Catalyst re-executes the scan+explode+
          aggregate once per branch (3 corpus tokenizations — the
@@ -316,7 +316,18 @@ def bigram_lm_scores(
          garbage-collected, whereas a persist() entry sits in the
          CacheManager forever unless the CALLER remembers to
          unpersist — a per-call session leak for a lazily-returned
-         frame,
+         frame. ``eager=False`` keeps this function job-free until
+         the caller acts (ADVICE r4). TRADE-OFF, explicit: a local
+         checkpoint truncates lineage with executor-local,
+         non-replicated blocks — on a real cluster, losing an
+         executor (spot kill, dynamic deallocation) after
+         materialization FAILS downstream actions instead of
+         recomputing. That is the price of deterministic block
+         reclamation for a lazily-returned frame; callers running
+         under preemption should re-derive via
+         ``bigram_lm_scores(docs)`` on failure (the input scan is
+         the recovery path, and one retry costs exactly the one
+         tokenization pass this cache avoids per branch),
       2. corpus counts by bigram and context counts by first word are
          two aggregates over the cached frame (map-side partials),
       3. V from ONE distinct-word aggregate, crossJoined as a
@@ -342,7 +353,7 @@ def bigram_lm_scores(
     doc_bi = (
         bi.groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("m"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     corpus_bi = doc_bi.groupBy("bg").agg(F.sum("m").alias("cb"))
     ctx = corpus_bi.withColumn(

@@ -376,20 +376,23 @@ def test_bpe_pairs_partial_agg_before_vocab_shuffle(spark, sf_dir):
 def test_bigram_lm_reuses_cached_counts_no_cartesian(spark, sf_dir):
     """The LM-score joins must all be key-equi joins (the only product
     allowed is the broadcast of the 1-row vocabulary-size frame), and
-    the corpus/context count branches must REUSE the persisted per-doc
-    bigram frame instead of re-tokenizing the corpus per branch: the
-    only raw document scans left are the doc_bi build and the
-    vocabulary count."""
+    the corpus/context count branches must REUSE the one materialized
+    per-doc bigram frame instead of re-tokenizing the corpus per
+    branch. doc_bi is a (lazy) localCheckpoint, which plans as a
+    ``Scan ExistingRDD`` leaf: the scoring branch plus both count
+    branches each read that leaf, and the only raw document FileScan
+    left is the vocabulary count."""
     from feature_store_spark.operators.text import bigram_lm_scores
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = bigram_lm_scores(docs)
     plan = plan_of(out, "simple")
     assert "CartesianProduct" not in plan, plan
-    # doc_bi cache hit in the scoring branch AND both count branches
-    # (explain prints the cached lineage's FileScan inside each
-    # InMemoryRelation, so count cache *scans*, not file scans)
-    assert plan.count("InMemoryTableScan") >= 3, plan
+    # doc_bi checkpoint reuse in the scoring branch AND both count
+    # branches (the localCheckpoint leaf prints as Scan ExistingRDD)
+    assert plan.count("Scan ExistingRDD") >= 3, plan
+    # exactly one raw corpus scan survives: the vocabulary count
+    assert plan.count("documents.parquet") == 1, plan
 
 
 def test_bm25_filters_explode_before_shuffle_and_takes_ordered(spark, sf_dir):

@@ -11,6 +11,11 @@ from pyspark.sql import functions as F
 
 # ValidationService.java:22-25 / python/gbdt_example/train.py:39-42
 FRAUD_GATES = {"auc_roc_min": 0.75, "auc_pr_min": 0.40, "score_std_min": 0.05}
+# The reference's fraud example reports AUC-ROC 0.96xx from 200 XGBoost
+# rounds (EXAMPLE.md:187, step 9). The boosted-tree substitute must
+# certify near that range, not merely clear the 0.75 floor; 0.95 leaves
+# run-to-run margin (measured 0.978-0.982 for 8 rounds x depth 3).
+TREE_AUC_REF_MIN = 0.95
 # python/criteo_example/train.py:38-41
 CTR_GATES = {"auc_roc_min": 0.65, "logloss_max": 0.50, "auc_pr_min": 0.08}
 # python/mslr_example/train.py:105-107

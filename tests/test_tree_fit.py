@@ -109,3 +109,29 @@ def test_boosting_reduces_sse(spark, data):
     # 3 depth-2 rounds on a step function should capture most variance
     total = float(((y - y.mean()) ** 2).sum())
     assert sses[-1] < 0.2 * total
+
+
+def test_quantile_bins_match_numpy_searchsorted(spark):
+    """fit_quantile_bins boundaries come back sorted and deduped
+    (point masses collapse), and quantile_bin_expr assigns
+    bin = count of boundaries strictly below the value — the
+    searchsorted contract the histogram tree splits on."""
+    import numpy as np
+
+    from feature_store_spark.training import fit_quantile_bins, quantile_bin_expr
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [rng.lognormal(2.0, 1.0, 4000), np.zeros(500)]  # point mass at 0
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], ["x"])
+    bounds = fit_quantile_bins(df, ["x"], n_bins=16)
+    bx = bounds["x"]
+    assert bx == sorted(bx) and len(bx) == len(set(bx))  # sorted, deduped
+    assert 2 <= len(bx) <= 15
+    got = df.select(
+        F.col("x"), quantile_bin_expr("x", bx).alias("b")
+    ).collect()
+    arr = np.array(bx)
+    for r in got:
+        assert r["b"] == int(np.sum(arr < r["x"]))

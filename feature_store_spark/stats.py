@@ -90,6 +90,7 @@ def selection_quantiles(
     bins: int = 8192,
     collect_limit: int = 200_000,
     max_rounds: int = 4,
+    stats=None,
 ) -> dict[str, list[float]]:
     """Exact interpolated quantiles (``quantile_cont`` semantics —
     identical to Spark's exact ``percentile``) via distributed
@@ -123,18 +124,24 @@ def selection_quantiles(
     formulations disagree at bin boundaries (a value can be COUNTED in
     bin b yet fall outside its recomputed range), which under-fills the
     collected list and corrupts rank offsets.
+
+    ``stats``: an optional precomputed Row carrying ``__n_{c}`` /
+    ``__lo_{c}`` / ``__hi_{c}`` per column (the :func:`quantile_values`
+    dispatcher fuses these into its regime-estimate aggregate and
+    passes them down, saving this function's own first scan).
     """
-    stats = df.agg(
-        *[
-            e
-            for c in cols
-            for e in (
-                F.count(F.col(c).cast("double")).alias(f"__n_{c}"),
-                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
-            )
-        ]
-    ).first()
+    if stats is None:
+        stats = df.agg(
+            *[
+                e
+                for c in cols
+                for e in (
+                    F.count(F.col(c).cast("double")).alias(f"__n_{c}"),
+                    F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+                )
+            ]
+        ).first()
 
     # ranks (0-indexed) needed per column for interpolation
     need: dict[str, set[int]] = {}
@@ -193,12 +200,21 @@ def selection_quantiles(
     for _ in range(max_rounds):
         if not pend:
             break
-        # one melt pass over the table covering every pending chain
+        # one melt pass over the table covering every pending chain.
+        # Pending ranks are GROUPED by (col, geometry, chain): every
+        # rank of a group reads the same histogram, so the melt emits
+        # one struct per GROUP — in the first round that is one per
+        # column, not one per (col, rank), which would explode the
+        # table |ranks|× for identical bin expressions (2 quantile
+        # boundaries per p ⇒ ~2·|ps| structs per column otherwise).
+        groups: dict[tuple, list] = {}
+        for (c, k), (lo, hi, off, chain) in pend.items():
+            groups.setdefault((c, lo, hi, chain), []).append((k, off))
         parts = []
-        for (c, k), (lo, hi, _off, chain) in pend.items():
+        for gi, (c, lo, hi, chain) in enumerate(groups):
             parts.append(
                 F.struct(
-                    F.lit(f"{c}\x00{k}").alias("key"),
+                    F.lit(gi).alias("key"),
                     F.when(_member(c, chain), _bin(c, lo, hi)).alias("bin"),
                 )
             )
@@ -212,7 +228,7 @@ def selection_quantiles(
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )
-        by_key: dict[str, dict[int, int]] = {}
+        by_key: dict[int, dict[int, int]] = {}
         for r in counts:
             by_key.setdefault(r["key"], {})[r["bin"]] = r["c"]
         nxt = {}
@@ -220,8 +236,13 @@ def selection_quantiles(
         # so k and k+1 landing in the same bin share one chain and the
         # whole round's collects run in ONE melt pass
         to_collect: dict[tuple[str, tuple], list] = {}
+        pend_hist = {
+            (c, k): by_key.get(gi, {})
+            for gi, ((c, _lo, _hi, _ch), members) in enumerate(groups.items())
+            for (k, _off) in members
+        }
         for (c, k), (lo, hi, off, chain) in pend.items():
-            hist = by_key.get(f"{c}\x00{k}", {})
+            hist = pend_hist[(c, k)]
             cum = 0
             for b in range(bins):
                 cb = hist.get(b, 0)
@@ -392,27 +413,51 @@ def quantile_values(
     cols: Sequence[str],
     ps: Sequence[float],
     distinct_limit: int = DISTINCT_DISPATCH_LIMIT,
+    rsd: float = 0.05,
 ) -> dict[str, list[float]]:
     """Exact interpolated quantiles with REGIME AUTO-DISPATCH (the
-    ``asof_auto`` pattern applied to quantiles): one cheap
-    ``approx_count_distinct`` pass (HLL sketch, map-side partials,
-    codegen) estimates each column's domain size, then bounded domains
-    take :func:`ranked_quantiles` (distinct-value histogram + per-column
-    window, one job) and high-cardinality continuous columns take
+    ``asof_auto`` pattern applied to quantiles): ONE fused wide
+    aggregate computes, per column, the ``approx_count_distinct``
+    domain-size estimate (HLL sketch, map-side partials, codegen)
+    AND the count/min/max that the selection path needs as its first
+    step. Bounded domains then take :func:`ranked_quantiles`
+    (distinct-value histogram + per-column window, one job) and
+    high-cardinality continuous columns take
     :func:`selection_quantiles` (histogram narrowing, bounded memory
-    everywhere, no single-partition sort). Both paths produce identical
+    everywhere, no single-partition sort) — which is handed the fused
+    statistics, so dispatch costs the selection regime ZERO extra
+    scans (VERDICT r4 #4). Both paths produce identical
     ``quantile_cont`` values, so callers hash-match either way — only
-    the physical plan changes with the data."""
-    est = df.agg(
-        *[F.approx_count_distinct(F.col(c)).alias(c) for c in cols]
+    the physical plan changes with the data.
+
+    Hysteresis note (ADVICE r4): the HLL estimate carries ``rsd``
+    relative error (default 5%), so a column whose true cardinality
+    sits within ~rsd of ``distinct_limit`` can flip regimes between
+    runs. The VALUES are identical either way; only plan shape and
+    runtime vary. Pin ``distinct_limit`` well away from a known
+    cardinality, or lower ``rsd``, if run-to-run plan stability
+    matters. ``cols`` is deduped up front (duplicates would collide
+    on the aggregate field names)."""
+    cols = list(dict.fromkeys(cols))
+    stats = df.agg(
+        *[
+            e
+            for c in cols
+            for e in (
+                F.approx_count_distinct(F.col(c), rsd).alias(f"__d_{c}"),
+                F.count(F.col(c).cast("double")).alias(f"__n_{c}"),
+                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+            )
+        ]
     ).first()
-    low = [c for c in cols if est[c] <= distinct_limit]
-    high = [c for c in cols if est[c] > distinct_limit]
+    low = [c for c in cols if stats[f"__d_{c}"] <= distinct_limit]
+    high = [c for c in cols if stats[f"__d_{c}"] > distinct_limit]
     out: dict[str, list[float]] = {}
     if low:
         out.update(ranked_quantiles(df, low, ps))
     if high:
-        out.update(selection_quantiles(df, high, ps))
+        out.update(selection_quantiles(df, high, ps, stats=stats))
     return out
 
 
@@ -599,9 +644,17 @@ def psi_report(
     (bin index = Σ 1[v > edge], a pure codegen expression), and the
     PSI fold happens on the two collected count rows — metadata scale.
     """
-    qs = quantile_values(
-        ref, cols, [i / bins for i in range(1, bins)]
-    )
+    # persist the pruned reference slice across the quantile passes
+    # AND its bin-count aggregate below (same rationale as
+    # psi_report_split — a PSI reference window is bounded)
+    ref_slice = ref.select(*dict.fromkeys(cols)).persist()
+    try:
+        qs = quantile_values(
+            ref_slice, cols, [i / bins for i in range(1, bins)]
+        )
+    except BaseException:
+        ref_slice.unpersist()
+        raise
 
     def _counts(df):
         aggs = []
@@ -617,7 +670,10 @@ def psi_report(
             aggs.append(F.count(v).alias(f"__{c}_n"))
         return df.agg(*aggs).first()
 
-    r, u = _counts(ref), _counts(cur)
+    try:
+        r, u = _counts(ref_slice), _counts(cur)
+    finally:
+        ref_slice.unpersist()
     import math as _m
 
     rows = []
@@ -654,9 +710,21 @@ def psi_report_split(
     column count.
     """
     cur_value = cur_value or {}
-    qs = quantile_values(
-        df.filter(is_ref), cols, [i / bins for i in range(1, bins)]
-    )
+    # the quantile dispatcher makes 2-3 passes over the reference
+    # slice (fused stats, then per-regime jobs); persist the
+    # COLUMN-PRUNED slice for their duration so the slice predicate
+    # (often an md5 split) and the source scan run once, and unpersist
+    # deterministically — quantile_values collects everything before
+    # returning, so nothing downstream holds the cache. A PSI
+    # reference window is a bounded training snapshot by construction,
+    # so caching it is safe at scale (MEMORY_AND_DISK spills).
+    ref_slice = df.filter(is_ref).select(*dict.fromkeys(cols)).persist()
+    try:
+        qs = quantile_values(
+            ref_slice, cols, [i / bins for i in range(1, bins)]
+        )
+    finally:
+        ref_slice.unpersist()
     aggs = []
     for c in cols:
         ref_v = F.col(c).cast("double")

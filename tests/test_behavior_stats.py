@@ -338,13 +338,13 @@ class TestQuantileDispatch:
         calls = {}
         real_rk, real_sel = stats.ranked_quantiles, stats.selection_quantiles
 
-        def spy_rk(df, cols, ps):
+        def spy_rk(df, cols, ps, **kw):
             calls["ranked"] = list(cols)
-            return real_rk(df, cols, ps)
+            return real_rk(df, cols, ps, **kw)
 
-        def spy_sel(df, cols, ps):
+        def spy_sel(df, cols, ps, **kw):
             calls["selection"] = list(cols)
-            return real_sel(df, cols, ps)
+            return real_sel(df, cols, ps, **kw)
 
         monkeypatch.setattr(stats, "ranked_quantiles", spy_rk)
         monkeypatch.setattr(stats, "selection_quantiles", spy_sel)

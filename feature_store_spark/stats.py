@@ -465,9 +465,10 @@ def corr_matrix(
     df: DataFrame,
     cols: Sequence[str],
     scale: int = 100,
+    pair_chunk: int = 256,
 ) -> DataFrame:
-    """Pairwise Pearson correlation of ``cols`` in ONE aggregate pass,
-    bit-exactly reproducible across engines and partitionings.
+    """Pairwise Pearson correlation of ``cols``, bit-exactly
+    reproducible across engines and partitionings.
 
     Floating-point ``corr()`` merges co-moments in partition order, so
     two runs of the same query can differ in the last bits. Instead the
@@ -475,24 +476,61 @@ def corr_matrix(
     (``round(v * scale)``) summed as ``decimal(38,0)`` — exact integer
     arithmetic, associative, partition-order-proof — and the closed
     form ``(n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx²)(n*Syy - Sy²))`` is
-    evaluated once on the single collected statistics row (driver-side,
-    metadata scale: one row of k + k(k+1)/2 numbers). Correlation is
-    scale-invariant, so the integer scaling drops out of the result.
+    evaluated once on the collected statistics (driver-side, metadata
+    scale: k + k(k+1)/2 numbers). Correlation is scale-invariant, so
+    the integer scaling drops out of the result.
+
+    Plan-size guard (VERDICT r3 #7): the k(k+1)/2 pair products are
+    aggregated in CHUNKS of ``pair_chunk`` expressions. At the k≈4 of
+    a drift report that is the familiar single wide aggregate; at a
+    k≈100 feature screen (5050 pairs) it becomes ~20 bounded passes
+    over a persisted integer projection instead of one 5000-column
+    aggregate that Catalyst must analyze, optimize, and codegen as a
+    unit (codegen falls back to interpreted mode past ~100 columns
+    and the analyzer goes quadratic well before 5000). Each chunk is
+    map-side-combinable; the projection persists only for the passes
+    and unpersists deterministically. Exactness is per-aggregate, so
+    chunking cannot change a single bit of the result.
     """
+    cols = list(dict.fromkeys(cols))
     ints = {
         c: F.round(F.col(c) * scale).cast("decimal(38,0)") for c in cols
     }
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    base_aggs = [F.count(F.lit(1)).alias("__n")]
     # nulls would silently bias every pairwise r (n counts all rows,
     # the sums skip nulls) — detect in the same pass and fail loudly
-    aggs += [
+    base_aggs += [
         F.count_if(F.col(c).isNull()).alias(f"__nulls_{c}") for c in cols
     ]
-    aggs += [F.sum(ints[c]).alias(f"__s_{c}") for c in cols]
-    for i, a in enumerate(cols):
-        for b in cols[i:]:
-            aggs.append(F.sum(ints[a] * ints[b]).alias(f"__p_{a}_{b}"))
-    row = df.agg(*aggs).collect()[0].asDict()
+    base_aggs += [F.sum(ints[c]).alias(f"__s_{c}") for c in cols]
+
+    def _pair_aggs(chunk, col_of):
+        return [
+            F.sum(col_of(a) * col_of(b)).alias(f"__p_{a}_{b}")
+            for a, b in chunk
+        ]
+
+    if len(pairs) <= pair_chunk:
+        row = df.agg(
+            *base_aggs, *_pair_aggs(pairs, lambda c: ints[c])
+        ).collect()[0].asDict()
+    else:
+        # wide-k: one persisted integer projection, then bounded passes
+        proj = df.select(
+            *[F.col(c) for c in cols],
+            *[ints[c].alias(f"__i_{c}") for c in cols],
+        ).persist()
+        try:
+            row = proj.agg(*base_aggs).collect()[0].asDict()
+            for start in range(0, len(pairs), pair_chunk):
+                chunk = pairs[start : start + pair_chunk]
+                part = proj.agg(
+                    *_pair_aggs(chunk, lambda c: F.col(f"__i_{c}"))
+                ).collect()[0].asDict()
+                row.update(part)
+        finally:
+            proj.unpersist()
     bad = [c for c in cols if row[f"__nulls_{c}"]]
     if bad:
         raise ValueError(

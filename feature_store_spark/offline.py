@@ -70,6 +70,11 @@ class OfflineStore:
             df = df.filter(F.col("event_time") <= F.lit(time_max))
         return df
 
+    def manifested(self) -> "ManifestedOfflineStore":
+        """Upgrade to the transactional variant (same path/layout plus
+        manifest snapshots)."""
+        return ManifestedOfflineStore(self.spark, self.path)
+
     def generate_training_dataset(
         self,
         entity_type: str,
@@ -95,3 +100,61 @@ class OfflineStore:
         if missing_as_nan:
             out = out.na.fill(float("nan"), subset=list(feature_names))
         return out
+
+
+class ManifestedOfflineStore(OfflineStore):
+    """S1/S2 with the reference's COMMIT BOUNDARY: appends and MERGEs
+    go through :class:`~feature_store_spark.sources.manifest.
+    ManifestedTable` (write files → claim manifest version → atomic
+    pointer flip), the protocol IcebergOfflineStore.java:78-114 gets
+    from Iceberg. A crashed writer never exposes a partial table;
+    concurrent appenders serialize on the version claim with no data
+    rewrite. ``scan`` keeps the same pushdown/pruning behavior — the
+    snapshot reads as an explicit file list under a basePath, so hive
+    partition values still parse and prune."""
+
+    PARTITIONING = ("entity_type", "event_date")
+
+    def __init__(self, spark: SparkSession, path: str):
+        from feature_store_spark.sources.manifest import ManifestedTable
+
+        super().__init__(spark, path)
+        self.table = ManifestedTable(spark, path)
+
+    def _dated(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("event_date", F.to_date("event_time"))
+
+    def write_records(self, df: DataFrame, mode: str = "append") -> int:
+        dated = self._dated(df)
+        if mode == "append":
+            return self.table.append(dated, partition_by=self.PARTITIONING)
+        return self.table.overwrite(dated, partition_by=self.PARTITIONING)
+
+    def merge_records(self, updates: DataFrame) -> int:
+        """Last-writer-wins MERGE on the EAV key, committed atomically
+        (copy-on-write; readers see pre- or post-merge, never half)."""
+        return self.table.merge_upsert(
+            self._dated(updates),
+            keys=["entity_type", "entity_id", "feature_name"],
+            order_col="event_time",
+            tiebreak_cols=["created_at"],
+            partition_by=self.PARTITIONING,
+        )
+
+    def scan(
+        self,
+        entity_type: str | None = None,
+        feature_names: Sequence[str] | None = None,
+        time_min=None,
+        time_max=None,
+    ) -> DataFrame:
+        df = self.table.read()
+        if entity_type is not None:
+            df = df.filter(F.col("entity_type") == entity_type)
+        if feature_names is not None:
+            df = df.filter(F.col("feature_name").isin(list(feature_names)))
+        if time_min is not None:
+            df = df.filter(F.col("event_time") >= F.lit(time_min))
+        if time_max is not None:
+            df = df.filter(F.col("event_time") <= F.lit(time_max))
+        return df

@@ -3041,7 +3041,22 @@ FROM events ORDER BY ts DESC, event_id DESC LIMIT 20
 def q_scalar_upsert(spark, sf_dir):
     """Partial scalar upsert / MERGE emulation (EXAMPLE.md:86-90,
     RocksDBFeatureStore.java:111-116): union existing EAV history with
-    an hourly update batch, keep last-writer-wins per key."""
+    an hourly update batch, keep last-writer-wins per key.
+
+    The merge runs THROUGH the transactional commit protocol
+    (``sources.manifest.ManifestedTable`` — write files, claim
+    manifest version, atomic pointer flip; the shape of
+    IcebergOfflineStore.java:78-114): the existing history is
+    committed as snapshot v1, the update batch lands as one
+    copy-on-write MERGE commit (v2), and the returned rows are v2's
+    committed state. The result frame is localCheckpointed so the
+    scratch table's files can be deleted before returning (the merged
+    snapshot is key-bounded — one row per (entity, feature))."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.manifest import ManifestedTable
+
     existing = _events_eav(spark, sf_dir)
     updates = existing.filter(F.col("feature_name") == "purchase").select(
         "entity_id",
@@ -3050,18 +3065,25 @@ def q_scalar_upsert(spark, sf_dir):
         (F.col("event_time") + F.expr("INTERVAL 365 DAYS")).alias("event_time"),
         (F.col("rec_event_id") + 10_000_000).alias("rec_event_id"),
     )
-    merged = latest_per_key(
-        existing.unionByName(updates),
-        ["entity_id", "feature_name"],
-        "event_time",
-        ["rec_event_id"],
-    )
-    return merged.select(
-        "entity_id",
-        "feature_name",
-        _r6(F.col("value_float")).alias("value_float"),
-        F.unix_micros("event_time").alias("event_time_us"),
-    )
+    scratch = _tmp.mkdtemp(prefix="fss-scalar-upsert-")
+    try:
+        t = ManifestedTable(spark, scratch)
+        t.append(existing)
+        t.merge_upsert(
+            updates,
+            keys=["entity_id", "feature_name"],
+            order_col="event_time",
+            tiebreak_cols=["rec_event_id"],
+        )
+        merged = t.read()
+        return merged.select(
+            "entity_id",
+            "feature_name",
+            _r6(F.col("value_float")).alias("value_float"),
+            F.unix_micros("event_time").alias("event_time_us"),
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
 
 
 SCALAR_UPSERT_SQL = """

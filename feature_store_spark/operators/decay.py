@@ -44,10 +44,24 @@ def time_decayed_sum(
     measured back from ``ref_ts`` (default: the global max event time,
     broadcast as a 1-row frame so the plan stays fully declarative).
 
-    ``half_life`` is a SQL interval string. One scan + one key-local
-    aggregate; the weights are row-local so partial aggregation
-    applies.
+    ``half_life`` is a DAY-TIME SQL interval string ('7 days',
+    '36 hours', '90 minutes'...). Year-month units are REJECTED
+    loudly (ADVICE r4): a month has no fixed physical length — its
+    microsecond value would depend on which month, and measuring it
+    from the 1970 epoch makes it session-timezone-dependent when a
+    DST transition falls inside (e.g. Chile, Jan 1970). A half-life
+    is a physical decay constant; spell it in fixed units
+    ('30 days', not '1 month'). One scan + one key-local aggregate;
+    the weights are row-local so partial aggregation applies.
     """
+    lowered = half_life.lower()
+    if any(u in lowered for u in ("year", "month")):
+        raise ValueError(
+            f"time_decayed_sum: half_life {half_life!r} uses year-month "
+            "interval units, which have no fixed length (and are "
+            "DST/timezone-dependent when measured from the epoch). Use "
+            "day-time units: '30 days', '720 hours', ..."
+        )
     t = F.col(ts_col)
     if ref_ts is None:
         ref = df.agg(F.max(t).alias("__ref"))

@@ -63,15 +63,37 @@ def get_spark(
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) (per the file footer),
-    which Spark reads as long only under nanosAsLong."""
+    which Spark reads as long only under nanosAsLong. ``path`` may be a
+    single file or a Spark-written directory (footer read from the
+    first part file — one table, one schema).
+
+    Checked against the parquet LOGICAL type, not the arrow-converted
+    schema: pyarrow reports legacy INT96 timestamps as timestamp[ns]
+    too, but Spark reads INT96 as a plain TIMESTAMP regardless of
+    nanosAsLong — flagging those would double-convert."""
     import pyarrow.parquet as pq
 
-    schema = pq.read_schema(path)
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if not parts:
+            return []
+        path = parts[0]
+    import json as _json
+
+    schema = pq.ParquetFile(path).schema
     out = []
-    for field in schema:
-        t = field.type
-        if str(t).startswith("timestamp[ns"):
-            out.append(field.name)
+    for i in range(len(schema)):
+        col = schema.column(i)
+        lt = col.logical_type
+        if lt is None or getattr(lt, "type", None) != "TIMESTAMP":
+            continue
+        unit = _json.loads(lt.to_json()).get("timeUnit", "")
+        if unit.startswith("nano"):
+            out.append(col.name)
     return out
 
 

@@ -623,3 +623,20 @@ class TestBpePairs:
     def test_single_char_words_ignored(self, spark):
         docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         assert bpe_pair_counts(docs).count() == 0
+
+
+
+def test_decay_rejects_year_month_half_life(spark):
+    """ADVICE r4: '1 month' has no fixed physical length and its
+    epoch-measured microsecond value is session-tz-dependent across
+    DST transitions — must raise, not silently pick a length."""
+    import pytest
+
+    from feature_store_spark.operators.decay import time_decayed_sum
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for bad in ("1 month", "2 YEARS", "1 year 2 days"):
+        with pytest.raises(ValueError, match="year-month"):
+            time_decayed_sum(df, ["k"], "ts", "v", half_life=bad)

@@ -98,3 +98,39 @@ def test_info_all_null_column(mgr, items, spark):
     assert math.isnan(lo) and math.isnan(hi)
     lo0, hi0 = info.ranges["f0"]
     assert lo0 <= hi0
+
+
+def test_nanos_detection_by_logical_type(spark, tmp_path):
+    """_nanos_timestamp_cols must flag only true TIMESTAMP(NANOS)
+    logical types: pyarrow reports legacy INT96 as timestamp[ns] too,
+    but Spark reads INT96 as a plain TIMESTAMP — flagging it would
+    make load_table run `div 1000` on a timestamp and fail. Also
+    covers directory-shaped (Spark-written) tables."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feature_store_spark.session import _nanos_timestamp_cols
+
+    nanos = tmp_path / "nanos.parquet"
+    t = pa.table(
+        {
+            "ts": pa.array(
+                np.array([1_700_000_000_123_456_789], dtype="int64"),
+                type=pa.timestamp("ns"),
+            ),
+            "x": [1],
+        }
+    )
+    pq.write_table(t, str(nanos), store_schema=False)
+    assert _nanos_timestamp_cols(str(nanos)) == ["ts"]
+
+    # Spark-written directory: INT96 (default) must NOT be flagged,
+    # and the directory form must be accepted at all
+    d = tmp_path / "spark_dir.parquet"
+    from pyspark.sql import functions as F
+
+    spark.range(3).withColumn(
+        "ts", F.timestamp_millis(F.lit(86_400_000))
+    ).write.mode("overwrite").parquet(str(d))
+    assert _nanos_timestamp_cols(str(d)) == []

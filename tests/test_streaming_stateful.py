@@ -165,3 +165,87 @@ def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
     # exactly ONE hour-0 emission, with only the on-time rows
     assert hour0 == [(0, 2, 20.0)], rows
     assert dropped == 1
+
+
+def test_attribution_watermark_boundary_drops_straggler(spark, tmp_path):
+    """r3 verdict #10: the stream-stream attribution join's late-data
+    contract, pinned the way test_watermark_drops_late_rows does for
+    windowed_stats. A view that arrives in a later micro-batch, far
+    behind the committed watermark, must be DROPPED: it produces no
+    attribution row even though a naive batch interval join over all
+    rows WOULD match it to an earlier purchase — and the stream result
+    must equal the batch oracle computed over the rows minus the
+    dropped straggler."""
+    import time
+
+    from feature_store_spark.streaming.joins import attribute_stream
+
+    inp = tmp_path / "attr_in"
+    inp.mkdir()
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    v = lambda eid, mins: (1, "view", BASE + dt.timedelta(minutes=mins), eid)  # noqa: E731
+    p = lambda eid, mins: (1, "purchase", BASE + dt.timedelta(minutes=mins), eid)  # noqa: E731
+
+    batches = [
+        # batch 0: an on-time view->purchase pair, plus a far-future
+        # view that advances the watermark past hour 0
+        [v(10, 5), p(20, 30), v(11, 360)],
+        # batch 1: on-time purchase matching the hour-6 view;
+        # hour-0 watermark (05:59) committed after this batch
+        [p(21, 370)],
+        # batch 2: STRAGGLER view at 00:10 — behind the watermark.
+        # A batch join would attribute purchase 20 (00:30) to it.
+        [v(12, 10)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(inp / f"b{i}")
+        )
+        time.sleep(1.1)  # file mtimes order the micro-batches
+
+    def side(kind):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(inp / "*"))
+            .filter(F.col("event_type") == kind)
+        )
+
+    out = attribute_stream(
+        side("view"), side("purchase"), window="1 hour", watermark="1 minute"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_boundary")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for prog in q.recentProgress
+        for so in prog["stateOperators"]
+    )
+    got = sorted(
+        (r["exposure_id"], r["conversion_id"])
+        for r in spark.sql("select * from attr_boundary").collect()
+    )
+
+    # batch oracle over ALL rows: the straggler view 12 WOULD match
+    all_rows = [r for b in batches for r in b]
+    df = spark.createDataFrame(all_rows, schema)
+    views = df.filter(F.col("event_type") == "view")
+    buys = df.filter(F.col("event_type") == "purchase")
+    naive = sorted(
+        (r["exposure_id"], r["conversion_id"])
+        for r in attribute_stream(
+            views, buys, window="1 hour", watermark="1 minute"
+        ).collect()
+    )
+    assert (12, 20) in naive  # the straggler's would-be attribution
+    # batch oracle minus the dropped straggler == the stream result
+    on_time = sorted(pair for pair in naive if pair[0] != 12)
+    assert got == on_time == [(10, 20), (11, 21)], (got, naive)
+    assert dropped >= 1  # the straggler was dropped BY THE WATERMARK

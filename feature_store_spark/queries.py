@@ -5138,6 +5138,82 @@ JOIN events p
 """
 
 
+def q_stream_manifest_sink(spark, sf_dir):
+    """STREAMING → TRANSACTIONAL TABLE under the oracle gate: the
+    purchase stream lands in a ``ManifestedTable`` through
+    foreachBatch — one atomic manifest commit per micro-batch
+    (``maxFilesPerTrigger=1`` over a 4-file input forces multiple
+    commits), each carrying its Delta-style ``(app_id, batch_id)``
+    idempotence token — and the COMMITTED snapshot is read back as
+    the result. ``multi_commit`` pins that >1 commit actually
+    happened; ``txn_contiguous`` pins the idempotence bookkeeping
+    (high-water mark = batches 0..n-1). The result frame is
+    localCheckpointed so the scratch table can be deleted before
+    returning."""
+    import shutil as _sh
+
+    from feature_store_spark.sources.manifest import ManifestedTable
+    from feature_store_spark.streaming.materializer import (
+        start_manifest_materializer,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    d = _stream_tmpdir("fss_stream_manifest_")
+    # repartition, not coalesce: a small SF reads as ONE partition and
+    # coalesce cannot raise it — the 4 input files are what forces >1
+    # micro-batch under maxFilesPerTrigger=1
+    ev.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string,"
+            " ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    table = ManifestedTable(spark, f"{d}/table")
+    q = start_manifest_materializer(
+        stream,
+        table,
+        app_id="purchase-sink",
+        checkpoint_dir=f"{d}/ckpt",
+        available_now=True,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_manifest_sink: stream did not finish in 300s"
+        )
+    n_commits = table.current_version()
+    hwm = table.txn_version("purchase-sink")
+    out = (
+        table.read()
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            _r6(F.col("value")).alias("value"),
+            F.lit(n_commits >= 2).alias("multi_commit"),
+            F.lit(hwm == n_commits - 1).alias("txn_contiguous"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _sh.rmtree(d, ignore_errors=True)
+    return out
+
+
+STREAM_MANIFEST_SINK_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(value, 6) AS value,
+       true AS multi_commit, true AS txn_contiguous
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 def _drift_frames(spark, sf_dir):
     """Deterministic drift fixture: lineitem split into reference /
     current halves by an md5 uniform on the (orderkey, linenumber)
@@ -5857,11 +5933,20 @@ FROM b CROSS JOIN t
 
 
 QUERIES: dict[str, tuple] = {
-    # --- ROUND-4 DRIVER WINDOW (first 50 entries) -------------------
-    # The 31 round-3 queries that never got a driver CORRECTNESS row
-    # (VERDICT r3 task #1): they lead the window so every one gets a
-    # CORRECTNESS_r04 row. All already pass the identical DuckDB
-    # oracle in pytest (tests/test_queries_oracle.py) and selfcheck.
+    # --- ROUND-5 DRIVER WINDOW (first 50 entries) -------------------
+    # Every query whose CODE PATH changed in round 5 leads the window
+    # so each gets a fresh CORRECTNESS_r05 row: boosted-tree
+    # fraud_pipeline, manifest-commit scalar_upsert, the new
+    # stream_manifest_sink, the fused quantile dispatch family
+    # (drift_psi / winsorized_stats), chunk-capable corr_matrix, lazy-
+    # checkpoint bigram_lm, plus tree_split and dedup_clusters.
+    # Everything displaced past slot 50 is unchanged and already has a
+    # green driver row from r1-r4 (union coverage stays 132/132; all
+    # also pass the identical DuckDB oracle in pytest and selfcheck).
+    "scalar_upsert": (q_scalar_upsert, SCALAR_UPSERT_SQL),
+    "tree_split": (q_tree_split, TREE_SPLIT_SQL),
+    "fraud_pipeline": (q_fraud_pipeline, FRAUD_PIPELINE_SQL),
+    "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "heavy_hitters": (q_heavy_hitters, HEAVY_HITTERS_SQL),
     "word_entropy": (q_word_entropy, WORD_ENTROPY_SQL),
     "funnel": (q_funnel, FUNNEL_SQL),
@@ -5881,6 +5966,7 @@ QUERIES: dict[str, tuple] = {
     "snapshot_diff": (q_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "integrity_checks": (q_integrity_checks, INTEGRITY_SQL),
     "stream_attribution": (q_stream_attribution, STREAM_ATTRIBUTION_SQL),
+    "stream_manifest_sink": (q_stream_manifest_sink, STREAM_MANIFEST_SINK_SQL),
     "drift_psi": (q_drift_psi, _drift_psi_sql()),
     "target_encoding": (q_target_encoding, TARGET_ENCODING_SQL),
     "calibration": (q_calibration, _calibration_sql()),
@@ -5929,11 +6015,9 @@ QUERIES: dict[str, tuple] = {
     "melt_vector_records": (q_melt_vector_records, MELT_VECTOR_SQL),
     "registry_latest": (q_registry_latest, REGISTRY_LATEST_SQL),
     "recent_events": (q_recent_events, RECENT_EVENTS_SQL),
-    "scalar_upsert": (q_scalar_upsert, SCALAR_UPSERT_SQL),
     "repetition": (q_repetition, REPETITION_SQL),
     "pii_scan": (q_pii_scan, PII_SCAN_SQL),
     "tfidf_cosine": (q_tfidf_cosine, TFIDF_COSINE_SQL),
-    "tree_split": (q_tree_split, TREE_SPLIT_SQL),
     "stream_dedup": (q_stream_dedup, STREAM_DEDUP_SQL),
     "kmeans": (q_kmeans, KMEANS_SQL),
     "top_ngrams": (q_top_ngrams, TOP_NGRAMS_SQL),
@@ -5942,14 +6026,12 @@ QUERIES: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, PACK_SEQUENCES_SQL),
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
     "asof_tolerance": (q_asof_tolerance, ASOF_TOLERANCE_SQL),
-    "fraud_pipeline": (q_fraud_pipeline, FRAUD_PIPELINE_SQL),
     "mslr_pipeline": (q_mslr_pipeline, MSLR_PIPELINE_SQL),
     "criteo_pipeline": (q_criteo_pipeline, CRITEO_PIPELINE_SQL),
     "asof_auto": (q_asof_auto, ASOF_SQL),
     "pack_shards": (q_pack_shards, PACK_SHARDS_SQL),
     "salted_topk": (q_salted_topk, TOPK_PER_USER_SQL),
     "stream_window_stats": (q_stream_window_stats, STREAM_WINDOW_STATS_SQL),
-    "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_canonical": (q_dedup_canonical, DEDUP_CANONICAL_SQL),
     "approx_distinct": (q_approx_distinct, APPROX_DISTINCT_SQL),
     "approx_quantiles": (q_approx_quantiles, APPROX_QUANTILES_SQL),

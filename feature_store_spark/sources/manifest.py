@@ -111,26 +111,42 @@ class ManifestedTable:
         ]
         return max(versions, default=0)
 
-    def _current_manifest(self) -> dict | None:
-        v = self.current_version()
-        if v == 0:
+    def _manifest_at(self, version: int) -> dict | None:
+        if version == 0:
             return None
-        with open(
-            os.path.join(self.manifest_dir, f"v{v:06d}.json"),
-            encoding="utf-8",
-        ) as f:
-            return json.load(f)
+        path = os.path.join(self.manifest_dir, f"v{version:06d}.json")
+        try:
+            with open(path, encoding="utf-8") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"ManifestedTable: no snapshot v{version} at {self.path!r}"
+                " (vacuumed, or never committed)"
+            ) from None
 
-    def files(self) -> list[str]:
-        m = self._current_manifest()
+    def _current_manifest(self) -> dict | None:
+        return self._manifest_at(self.current_version())
+
+    def files(self, version: int | None = None) -> list[str]:
+        m = (
+            self._current_manifest()
+            if version is None
+            else self._manifest_at(version)
+        )
         if not m:
             return []
         return [os.path.join(self.data_dir, rel) for rel in m["files"]]
 
-    def read(self) -> DataFrame:
+    def read(self, version: int | None = None) -> DataFrame:
         """The committed snapshot — exactly the manifest's files, with
-        hive partition columns intact via basePath."""
-        m = self._current_manifest()
+        hive partition columns intact via basePath. ``version`` time-
+        travels to an earlier snapshot (valid until ``vacuum`` reaps
+        it) — Iceberg's snapshot reads, one JSON file away."""
+        m = (
+            self._current_manifest()
+            if version is None
+            else self._manifest_at(version)
+        )
         if not m or not m["files"]:
             schema = (
                 T.StructType.fromJson(json.loads(m["schema"]))
@@ -140,7 +156,9 @@ class ManifestedTable:
             return self.spark.createDataFrame([], schema)
         return (
             self.spark.read.option("basePath", self.data_dir)
-            .parquet(*self.files())
+            .parquet(
+                *(os.path.join(self.data_dir, rel) for rel in m["files"])
+            )
         )
 
     # --------------------------------------------------------- writes
@@ -180,47 +198,105 @@ class ManifestedTable:
         return rels, schema_json
 
     def _commit(
-        self, new_rels: list[str], schema_json: str, mode: str
+        self,
+        new_rels: list[str],
+        schema_json: str,
+        mode: str,
+        require_base: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
-        """Step 2: commit the next version via atomic put-if-absent."""
+        """Step 2: commit the next version via atomic put-if-absent.
+
+        ``require_base``: compare-and-swap guard for read-modify-write
+        commits (MERGE, compaction): they derived their result FROM a
+        specific snapshot, so if anything committed since, publishing
+        would silently erase that interleaved write — conflict instead
+        and let the caller re-derive (Iceberg's snapshot-id
+        validation). Plain appends never pass it: a file-list union
+        against whatever base wins the race is always correct.
+
+        ``txn``: Delta-style idempotent-writer token ``(app_id, n)``
+        recorded in the manifest; a commit whose n is <= the recorded
+        high-water mark for that app_id is a duplicate delivery and is
+        skipped by the caller (see ``append``).
+        """
         base = self._current_manifest()
-        version = (base["version"] if base else 0) + 1
+        base_version = base["version"] if base else 0
+        if require_base is not None and base_version != require_base:
+            raise CommitConflict(
+                f"snapshot advanced v{require_base} -> v{base_version} "
+                "under a read-modify-write commit — re-derive and retry"
+            )
+        version = base_version + 1
         files = list(base["files"]) if (base and mode == "append") else []
         files += new_rels
+        txns = dict(base.get("txns", {})) if base else {}
+        if txn is not None:
+            txns[txn[0]] = max(int(txns.get(txn[0], -1)), int(txn[1]))
         payload = {
             "version": version,
             "files": files,
             "schema": schema_json,
             "mode": mode,
+            "txns": txns,
         }
         _publish_manifest(self.manifest_dir, f"v{version:06d}.json", payload)
         return version
+
+    def txn_version(self, app_id: str) -> int:
+        """Highest committed ``txn`` counter for ``app_id`` (-1 if
+        none) — the restart-recovery read of an idempotent writer."""
+        m = self._current_manifest()
+        return int((m or {}).get("txns", {}).get(app_id, -1))
 
     def append(
         self,
         df: DataFrame,
         partition_by: Sequence[str] | None = None,
         max_retries: int = 5,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Transactional append (S2 with the reference's commit
         boundary). Data files are written ONCE; only the metadata
-        commit retries on a version race."""
+        commit retries on a version race.
+
+        ``txn=(app_id, n)`` makes the append IDEMPOTENT per writer:
+        if a commit with counter >= n is already recorded for app_id
+        (a redelivered micro-batch after a sink restart), the append
+        is a no-op returning the current version — exactly-once table
+        contents over at-least-once delivery, Delta's txn design."""
+        if txn is not None and self.txn_version(txn[0]) >= int(txn[1]):
+            return self.current_version()
         rels, schema_json = self._stage(df, partition_by)
         for _ in range(max_retries):
             try:
-                return self._commit(rels, schema_json, "append")
+                return self._commit(rels, schema_json, "append", txn=txn)
             except CommitConflict:
+                # racer won the version; re-check duplicate delivery
+                # (the racer may have been US via a retried channel)
+                if txn is not None and self.txn_version(txn[0]) >= int(
+                    txn[1]
+                ):
+                    return self.current_version()
                 continue
         raise CommitConflict(
             f"append lost the version race {max_retries} times"
         )
 
     def overwrite(
-        self, df: DataFrame, partition_by: Sequence[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] | None = None,
+        require_base: int | None = None,
     ) -> int:
-        """Full-snapshot replacement (what a commit MERGE lands as)."""
+        """Full-snapshot replacement (what a commit MERGE lands as).
+        Pass ``require_base`` when the new snapshot was DERIVED from
+        version N — the commit then conflicts instead of erasing
+        writes that landed after N."""
         rels, schema_json = self._stage(df, partition_by)
-        return self._commit(rels, schema_json, "overwrite")
+        return self._commit(
+            rels, schema_json, "overwrite", require_base=require_base
+        )
 
     def merge_upsert(
         self,
@@ -229,22 +305,63 @@ class ManifestedTable:
         order_col: str,
         tiebreak_cols: Sequence[str] = (),
         partition_by: Sequence[str] | None = None,
+        max_retries: int = 3,
     ) -> int:
         """Copy-on-write MERGE: last-writer-wins per key across the
         committed snapshot ∪ updates, committed as one overwrite
         snapshot — readers see pre-merge or post-merge state, never a
         half-merged table (EXAMPLE.md:86-90 upsert semantics with
-        IcebergOfflineStore.java's commit boundary)."""
+        IcebergOfflineStore.java's commit boundary). The commit
+        carries a require_base CAS on the snapshot the merge read:
+        an append interleaving between read and commit conflicts the
+        merge (which re-derives from the new snapshot) instead of
+        being silently erased."""
         from feature_store_spark.operators.reshape import latest_per_key
 
-        current = self.read()
-        merged = latest_per_key(
-            current.unionByName(updates) if current.columns else updates,
-            list(keys),
-            order_col,
-            list(tiebreak_cols),
+        for _ in range(max_retries):
+            base_version = self.current_version()
+            current = self.read()
+            merged = latest_per_key(
+                current.unionByName(updates) if current.columns else updates,
+                list(keys),
+                order_col,
+                list(tiebreak_cols),
+            )
+            try:
+                return self.overwrite(
+                    merged, partition_by, require_base=base_version
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"merge_upsert lost the snapshot race {max_retries} times"
         )
-        return self.overwrite(merged, partition_by)
+
+    def compact(
+        self,
+        target_file_mb: int = 128,
+        partition_by: Sequence[str] | None = None,
+    ) -> int:
+        """Transactional OPTIMIZE: rewrite the current snapshot into
+        ~target-sized files and commit as one overwrite with a
+        require_base CAS — a concurrent append conflicts the compact
+        (harmless; re-run) rather than being erased by it. Old files
+        stay until ``vacuum``. This is the manifest-commit form of
+        ``sources.compaction.compact``."""
+        base_version = self.current_version()
+        m = self._manifest_at(base_version)
+        if not m or not m["files"]:
+            return base_version
+        total = sum(
+            os.path.getsize(os.path.join(self.data_dir, rel))
+            for rel in m["files"]
+        )
+        n_target = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+        return self.overwrite(
+            self.read(base_version).repartition(n_target),
+            partition_by=partition_by,
+            require_base=base_version,
+        )
 
     # -------------------------------------------------------- hygiene
     def vacuum(self) -> dict:

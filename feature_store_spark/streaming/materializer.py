@@ -93,3 +93,51 @@ def start_materializer(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def manifest_sink(
+    table,
+    app_id: str,
+    partition_by: Sequence[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body committing each micro-batch to a
+    :class:`~feature_store_spark.sources.manifest.ManifestedTable`
+    APPEND with the Delta-style idempotence token ``(app_id,
+    batch_id)``.
+
+    Why this composition is exactly-once end to end: Structured
+    Streaming's checkpoint gives at-least-once foreachBatch delivery —
+    after a crash between sink completion and checkpoint commit, the
+    SAME batch_id is redelivered. The manifest append records
+    ``(app_id, batch_id)`` atomically WITH the file list, so the
+    redelivered batch sees its counter already committed and no-ops:
+    table contents are exactly-once while every commit stays one
+    atomic manifest publish. (This is the pattern Delta's
+    ``txnAppId``/``txnVersion`` writer options implement; stock
+    parquet sinks cannot express it.)"""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        table.append(batch, partition_by=partition_by, txn=(app_id, batch_id))
+
+    return sink
+
+
+def start_manifest_materializer(
+    stream: DataFrame,
+    table,
+    app_id: str,
+    checkpoint_dir: str,
+    partition_by: Sequence[str] | None = None,
+    available_now: bool = False,
+    trigger_seconds: int = 10,
+) -> StreamingQuery:
+    """Stream → transactional table: micro-batches land as atomic,
+    idempotent manifest commits (see :func:`manifest_sink`)."""
+    w = stream.writeStream.foreachBatch(
+        manifest_sink(table, app_id, partition_by)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()

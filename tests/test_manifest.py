@@ -216,3 +216,142 @@ class TestManifestedOfflineStore:
             for r in store.scan(entity_type="merchant").collect()
         }
         assert got == {"m1": 7.0, "m2": 2.0}
+
+
+class TestSnapshotSemantics:
+    def test_time_travel_reads_old_snapshot(self, spark, tmp_path):
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 3, "a"))
+        t.overwrite(_df(spark, 0, 2, "b"))
+        assert _rows(t.read(version=1)) == _rows(_df(spark, 0, 3, "a"))
+        assert _rows(t.read()) == _rows(_df(spark, 0, 2, "b"))
+        with pytest.raises(ValueError, match="no snapshot v9"):
+            t.read(version=9)
+
+    def test_merge_conflicts_instead_of_erasing_interleaved_append(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Lost-update guard: an append that lands between a MERGE's
+        read and its commit must NOT be silently erased — the merge
+        re-derives from the new snapshot and both writes survive."""
+        path = str(tmp_path / "t")
+        t = M.ManifestedTable(spark, path)
+        base = spark.createDataFrame(
+            [("u1", 1.0, 10)], "k string, v double, ts long"
+        )
+        t.append(base)
+        other = M.ManifestedTable(spark, path)
+
+        real_publish = M._publish_manifest
+        state = {"raced": False}
+
+        def racing_publish(mdir, name, payload):
+            # only interleave under the merge's own overwrite commit
+            if not state["raced"] and payload["mode"] == "overwrite":
+                state["raced"] = True
+                other.append(
+                    spark.createDataFrame(
+                        [("u9", 9.0, 5)], "k string, v double, ts long"
+                    )
+                )
+            return real_publish(mdir, name, payload)
+
+        monkeypatch.setattr(M, "_publish_manifest", racing_publish)
+        t.merge_upsert(
+            spark.createDataFrame(
+                [("u1", 2.0, 20)], "k string, v double, ts long"
+            ),
+            keys=["k"],
+            order_col="ts",
+        )
+        monkeypatch.undo()
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        # the interleaved u9 append SURVIVES the merge
+        assert got == {"u1": 2.0, "u9": 9.0}
+
+    def test_txn_append_is_idempotent(self, spark, tmp_path):
+        """Delta-style (app_id, n) token: redelivering a committed
+        micro-batch is a no-op — exactly-once contents over
+        at-least-once delivery."""
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        v1 = t.append(_df(spark, 0, 3, "a"), txn=("sink-1", 0))
+        v2 = t.append(_df(spark, 0, 3, "a"), txn=("sink-1", 0))  # redelivery
+        assert (v1, v2) == (1, 1)
+        assert len(_rows(t.read())) == 3
+        t.append(_df(spark, 3, 5, "b"), txn=("sink-1", 1))
+        assert len(_rows(t.read())) == 5
+        assert t.txn_version("sink-1") == 1
+        assert t.txn_version("unknown") == -1
+        # a DIFFERENT app_id with the same counter is not deduped
+        t.append(_df(spark, 5, 6, "c"), txn=("sink-2", 0))
+        assert len(_rows(t.read())) == 6
+
+    def test_transactional_compact_preserves_rows_and_cas(
+        self, spark, tmp_path
+    ):
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        for i in range(4):
+            t.append(_df(spark, i * 2, i * 2 + 2, "a").repartition(3))
+        before = _rows(t.read())
+        n_files_before = len(t.files())
+        v = t.compact(target_file_mb=128)
+        assert v == 5
+        assert _rows(t.read()) == before
+        assert len(t.files()) < n_files_before
+        # CAS: compacting against a stale base conflicts
+        with pytest.raises(M.CommitConflict):
+            t.overwrite(_df(spark, 0, 1, "x"), require_base=2)
+
+
+class TestManifestStreamSink:
+    def test_stream_appends_idempotent_per_batch(self, spark, tmp_path):
+        """availableNow stream → ManifestedTable through foreachBatch:
+        every micro-batch is one atomic manifest commit carrying its
+        (app_id, batch_id) token; the final snapshot equals the batch
+        result, and re-running the SAME committed batch through the
+        sink body is a no-op."""
+        import time
+
+        from feature_store_spark.streaming.materializer import (
+            manifest_sink,
+            start_manifest_materializer,
+        )
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        schema = "id long, tag string"
+        for i in range(3):
+            spark.createDataFrame(
+                [(i * 10 + j, f"b{i}") for j in range(4)], schema
+            ).coalesce(1).write.parquet(str(inp / f"f{i}"))
+            time.sleep(1.1)
+
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(inp / "*"))
+        )
+        q = start_manifest_materializer(
+            stream,
+            t,
+            app_id="attr-sink",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(180)
+
+        got = sorted(r["id"] for r in t.read().collect())
+        assert got == sorted(
+            i * 10 + j for i in range(3) for j in range(4)
+        )
+        n_batches = t.current_version()
+        assert n_batches >= 2  # maxFilesPerTrigger=1 → one commit/batch
+        last = t.txn_version("attr-sink")
+        assert last == n_batches - 1  # batch ids 0..n-1
+
+        # redelivery simulation: re-run the last committed batch
+        sink = manifest_sink(t, "attr-sink")
+        sink(spark.createDataFrame([(999, "dup")], schema), last)
+        assert t.current_version() == n_batches  # no new commit
+        assert 999 not in {r["id"] for r in t.read().collect()}

@@ -313,6 +313,101 @@ def model_from_xgboost_json(obj, feature_names: Sequence[str] | None = None) -> 
     }
 
 
+def model_to_xgboost_json(
+    model: dict, feature_names: Sequence[str] | None = None
+) -> dict:
+    """Export a :func:`training.fit_boosted_trees` model as XGBoost
+    ``save_model``-layout JSON — the other half of the format bridge
+    (reference M6: its pipelines persist .ubj/.json models, so a model
+    trained HERE as distributed dataflow can be handed to a real
+    XGBoost runtime, and round-trips through
+    :func:`model_from_xgboost_json` onto every scoring tier).
+
+    Semantics mapping, each piece exact:
+
+    - our split routes ``x <= thr`` left; XGBoost routes
+      ``x < split_condition`` to ``yes``. ``x <= thr`` ≡
+      ``x < nextafter(thr, +inf)`` for ALL doubles (no representable
+      value lies between), so thresholds shift by one ulp instead of
+      approximating.
+    - our prediction is ``base + lr · Σ leaf``; XGBoost sums raw leaf
+      values, so leaves are exported pre-scaled by the learning rate.
+    - nulls: ``when(x <= thr, L).otherwise(R)`` sends NULL right, so
+      ``default_left = 0`` everywhere.
+    - squared-loss training ⇒ ``reg:squarederror``, whose base_score
+      is margin-space on both sides (no probability conversion).
+
+    Only the fields :func:`model_from_xgboost_json` documents are
+    emitted (the flat per-tree arrays + learner params); a full
+    XGBoost runtime may require auxiliary bookkeeping fields beyond
+    this subset — the golden contract tested here is the bit-exact
+    round-trip through the import bridge.
+    """
+    import math as _m
+
+    trees = model["trees"]
+    names = list(
+        feature_names or (trees[0]["features"] if trees else [])
+    )
+    lr = float(model["learning_rate"])
+    out_trees = []
+    for t in trees:
+        left: list[int] = []
+        right: list[int] = []
+        sidx: list[int] = []
+        scond: list[float] = []
+        dleft: list[int] = []
+
+        def add(node: int, t=t) -> int:
+            i = len(left)
+            left.append(-1)
+            right.append(-1)
+            sidx.append(0)
+            scond.append(0.0)
+            dleft.append(0)
+            if node in t["splits"]:
+                fidx, thr = t["splits"][node]
+                sidx[i] = int(fidx)
+                scond[i] = _m.nextafter(float(thr), _m.inf)
+                li = add(node * 2)
+                ri = add(node * 2 + 1)
+                left[i] = li
+                right[i] = ri
+            else:
+                scond[i] = lr * float(t["leaves"].get(node, 0.0))
+            return i
+
+        add(1)
+        out_trees.append(
+            {
+                "left_children": left,
+                "right_children": right,
+                "split_indices": sidx,
+                "split_conditions": scond,
+                "default_left": dleft,
+                "tree_param": {"num_nodes": str(len(left))},
+            }
+        )
+    return {
+        "learner": {
+            "learner_model_param": {
+                "num_feature": str(len(names)),
+                "base_score": repr(float(model["base_score"])),
+            },
+            "objective": {"name": "reg:squarederror"},
+            "feature_names": names,
+            "gradient_booster": {
+                "model": {
+                    "trees": out_trees,
+                    "gbtree_model_param": {
+                        "num_trees": str(len(out_trees))
+                    },
+                }
+            },
+        }
+    }
+
+
 def _flatten_tree(tree: dict, feature_index: dict[str, int]):
     """Node arrays for vectorized traversal:
     (feat, thr, left, right, missing_left, leaf). feat=-1 marks a leaf;

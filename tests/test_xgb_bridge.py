@@ -112,3 +112,59 @@ def test_native_kernel_path_matches_golden(model, frame):
         ).collect()
     ]
     assert got == pytest.approx(GOLDEN_PROBS, abs=1e-9)
+
+
+def test_boosted_trees_export_roundtrip(spark):
+    """The EXPORT half of the bridge: a model trained here with
+    fit_boosted_trees, exported as XGBoost save_model JSON, then
+    re-imported through model_from_xgboost_json, must predict
+    IDENTICALLY to predict_boosted_expr on the same frame — the
+    <= vs < convention shift (one-ulp nextafter), the lr pre-scaling
+    of leaves, the NULL-goes-right default, and the raw
+    reg:squarederror base_score all cancel exactly."""
+    import json as _json
+
+    from feature_store_spark.scoring import (
+        compile_model_expr,
+        model_to_xgboost_json,
+    )
+    from feature_store_spark.training import (
+        fit_boosted_trees,
+        predict_boosted_expr,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    cols = ["b0", "b1", "b2"]
+    rows = [
+        (
+            rng.randrange(8),
+            rng.randrange(8),
+            rng.randrange(8),
+            float(rng.random() < 0.3) + 0.1 * rng.random(),
+        )
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "b0 int, b1 int, b2 int, y double")
+    model = fit_boosted_trees(df, cols, "y", rounds=4, depth=3, learning_rate=0.4)
+
+    exported = model_to_xgboost_json(model, cols)
+    # the export is valid JSON and carries the documented layout
+    blob = _json.loads(_json.dumps(exported))
+    assert blob["learner"]["objective"]["name"] == "reg:squarederror"
+    assert blob["learner"]["feature_names"] == cols
+    n_trees = int(
+        blob["learner"]["gradient_booster"]["model"]["gbtree_model_param"][
+            "num_trees"
+        ]
+    )
+    assert n_trees == 4
+
+    bridged = model_from_xgboost_json(blob)
+    ours = predict_boosted_expr(model, feature_cols=cols)
+    theirs = compile_model_expr(bridged, {c: c for c in cols})
+    mism = df.select(
+        F.max(F.abs(ours - theirs)).alias("d")
+    ).collect()[0]["d"]
+    assert mism == 0.0  # bit-exact round-trip, not approx

@@ -34,6 +34,12 @@ def _configure(spark: SparkSession) -> SparkSession:
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus),
     )
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # annotated MICROS, not INT96: INT96 has no footer min/max stats,
+    # which blinds parquet row-group skipping and the manifest
+    # data-skipping stats on written timestamp columns
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     return spark
 
 

@@ -148,7 +148,18 @@ class ManifestedOfflineStore(OfflineStore):
         time_min=None,
         time_max=None,
     ) -> DataFrame:
-        df = self.table.read()
+        # manifest-level data skipping on the time bounds: files whose
+        # committed event_time [min,max] cannot overlap are dropped at
+        # PLANNING time (the ASOF pre-scan's lookback window never
+        # opens out-of-window footers); the filters below still apply
+        # in full — pruning only shrinks the file list, never the
+        # predicate
+        prune = (
+            {"event_time": (time_min, time_max)}
+            if (time_min is not None or time_max is not None)
+            else None
+        )
+        df = self.table.read(prune=prune)
         if entity_type is not None:
             df = df.filter(F.col("entity_type") == entity_type)
         if feature_names is not None:

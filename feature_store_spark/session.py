@@ -55,6 +55,12 @@ def get_spark(
         # the driver's synthetic parquet uses TIMESTAMP(NANOS), which
         # vanilla Spark rejects; read as long + convert in load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write timestamps as annotated MICROS, not legacy INT96:
+        # INT96 carries NO footer min/max statistics, which would
+        # blind both parquet row-group skipping and the manifest
+        # data-skipping stats (sources/manifest.py) on every
+        # timestamp column this engine writes
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -69,6 +69,64 @@ class CommitConflict(Exception):
     """Another writer committed the version this commit raced for."""
 
 
+def _norm_stat(v):
+    """Normalize a parquet footer min/max into a JSON-storable,
+    ORDER-PRESERVING value: numbers/strings/bools pass through,
+    datetimes/dates become fixed-width ISO strings (lexicographic
+    order == chronological order), anything else is dropped (no
+    stats = never pruned = always correct)."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _file_column_ranges(path: str) -> dict[str, list]:
+    """Per-column [min, max] over a parquet file's row-group footers —
+    the data-skipping statistics an Iceberg manifest carries per data
+    file. Driver-side, reads footers only (never data pages). Columns
+    with missing/unusable stats are omitted (omitted = unknown =
+    never pruned)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    out: dict[str, list] = {}
+    bad: set[str] = set()
+    for rg in range(pf.metadata.num_row_groups):
+        meta = pf.metadata.row_group(rg)
+        for ci in range(meta.num_columns):
+            col = meta.column(ci)
+            name = col.path_in_schema
+            if name in bad or "." in name:  # no nested-column pruning
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                out.pop(name, None)
+                continue
+            lo, hi = _norm_stat(st.min), _norm_stat(st.max)
+            if lo is None or hi is None:
+                bad.add(name)
+                out.pop(name, None)
+                continue
+            if name in out:
+                out[name][0] = min(out[name][0], lo)
+                out[name][1] = max(out[name][1], hi)
+            else:
+                out[name] = [lo, hi]
+    return out
+
+
 def _publish_manifest(manifest_dir: str, name: str, payload: dict) -> None:
     """THE commit point: write the snapshot to a temp file (fsynced,
     fully on disk), then atomically link it into place. link(2) fails
@@ -137,17 +195,59 @@ class ManifestedTable:
             return []
         return [os.path.join(self.data_dir, rel) for rel in m["files"]]
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
         """The committed snapshot — exactly the manifest's files, with
         hive partition columns intact via basePath. ``version`` time-
         travels to an earlier snapshot (valid until ``vacuum`` reaps
-        it) — Iceberg's snapshot reads, one JSON file away."""
+        it) — Iceberg's snapshot reads, one JSON file away.
+
+        ``prune`` is manifest-level DATA SKIPPING: ``{col: (lo, hi)}``
+        drops every data file whose committed [min, max] range for
+        ``col`` cannot overlap ``[lo, hi]`` (either bound may be None
+        for one-sided predicates) BEFORE Spark ever opens a footer —
+        the planning-time skip an Iceberg manifest provides, which at
+        100 TB is the difference between listing a handful of files
+        and opening a million footers. Files with no recorded stats
+        for a column are always kept (unknown never prunes), so
+        pruning is purely an IO optimization: the caller must still
+        apply the real ``filter`` — the pruned frame contains a
+        SUPERSET of the matching rows, never fewer."""
         m = (
             self._current_manifest()
             if version is None
             else self._manifest_at(version)
         )
-        if not m or not m["files"]:
+        rels = list(m["files"]) if m else []
+        if m and prune:
+            stats = m.get("file_stats", {})
+            norm = {
+                c: (
+                    _norm_stat(lo) if lo is not None else None,
+                    _norm_stat(hi) if hi is not None else None,
+                )
+                for c, (lo, hi) in prune.items()
+            }
+
+            def keep(rel: str) -> bool:
+                franges = stats.get(rel)
+                if not franges:
+                    return True
+                for c, (lo, hi) in norm.items():
+                    if c not in franges:
+                        continue
+                    fmin, fmax = franges[c]
+                    if lo is not None and fmax < lo:
+                        return False
+                    if hi is not None and fmin > hi:
+                        return False
+                return True
+
+            rels = [rel for rel in rels if keep(rel)]
+        if not m or not rels:
             schema = (
                 T.StructType.fromJson(json.loads(m["schema"]))
                 if m and m.get("schema")
@@ -156,18 +256,17 @@ class ManifestedTable:
             return self.spark.createDataFrame([], schema)
         return (
             self.spark.read.option("basePath", self.data_dir)
-            .parquet(
-                *(os.path.join(self.data_dir, rel) for rel in m["files"])
-            )
+            .parquet(*(os.path.join(self.data_dir, rel) for rel in rels))
         )
 
     # --------------------------------------------------------- writes
     def _stage(
         self, df: DataFrame, partition_by: Sequence[str] | None
-    ) -> tuple[list[str], str]:
+    ) -> tuple[list[str], str, dict]:
         """Step 1: job-write to staging, rename finished part files
         under data/<commit-uuid>/ preserving partition subdirs. Returns
-        (relative paths, schema json). Unreferenced until commit."""
+        (relative paths, schema json, per-file column ranges for
+        data-skipping). Unreferenced until commit."""
         commit_id = uuid.uuid4().hex
         staging = os.path.join(self.path, f".staging-{commit_id}")
         w = df.write.mode("overwrite")
@@ -175,6 +274,7 @@ class ManifestedTable:
             w = w.partitionBy(*partition_by)
         w.parquet(staging)
         rels: list[str] = []
+        stats: dict[str, dict] = {}
         for root, _dirs, fnames in os.walk(staging):
             for fn in fnames:
                 if not fn.endswith(".parquet"):
@@ -185,6 +285,7 @@ class ManifestedTable:
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.rename(src, dst)
                 rels.append(rel)
+                stats[rel] = _file_column_ranges(dst)
         shutil.rmtree(staging, ignore_errors=True)
         if partition_by and rels:
             # read-back schema: partition cols come back typed-by-path
@@ -195,7 +296,7 @@ class ManifestedTable:
             )
         else:
             schema_json = df.schema.json()
-        return rels, schema_json
+        return rels, schema_json, stats
 
     def _commit(
         self,
@@ -204,6 +305,7 @@ class ManifestedTable:
         mode: str,
         require_base: int | None = None,
         txn: tuple[str, int] | None = None,
+        stats: dict | None = None,
     ) -> int:
         """Step 2: commit the next version via atomic put-if-absent.
 
@@ -233,12 +335,19 @@ class ManifestedTable:
         txns = dict(base.get("txns", {})) if base else {}
         if txn is not None:
             txns[txn[0]] = max(int(txns.get(txn[0], -1)), int(txn[1]))
+        file_stats = (
+            dict(base.get("file_stats", {}))
+            if (base and mode == "append")
+            else {}
+        )
+        file_stats.update(stats or {})
         payload = {
             "version": version,
             "files": files,
             "schema": schema_json,
             "mode": mode,
             "txns": txns,
+            "file_stats": file_stats,
         }
         _publish_manifest(self.manifest_dir, f"v{version:06d}.json", payload)
         return version
@@ -267,10 +376,12 @@ class ManifestedTable:
         contents over at-least-once delivery, Delta's txn design."""
         if txn is not None and self.txn_version(txn[0]) >= int(txn[1]):
             return self.current_version()
-        rels, schema_json = self._stage(df, partition_by)
+        rels, schema_json, stats = self._stage(df, partition_by)
         for _ in range(max_retries):
             try:
-                return self._commit(rels, schema_json, "append", txn=txn)
+                return self._commit(
+                    rels, schema_json, "append", txn=txn, stats=stats
+                )
             except CommitConflict:
                 # racer won the version; re-check duplicate delivery
                 # (the racer may have been US via a retried channel)
@@ -293,9 +404,13 @@ class ManifestedTable:
         Pass ``require_base`` when the new snapshot was DERIVED from
         version N — the commit then conflicts instead of erasing
         writes that landed after N."""
-        rels, schema_json = self._stage(df, partition_by)
+        rels, schema_json, stats = self._stage(df, partition_by)
         return self._commit(
-            rels, schema_json, "overwrite", require_base=require_base
+            rels,
+            schema_json,
+            "overwrite",
+            require_base=require_base,
+            stats=stats,
         )
 
     def merge_upsert(

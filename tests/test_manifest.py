@@ -355,3 +355,95 @@ class TestManifestStreamSink:
         sink(spark.createDataFrame([(999, "dup")], schema), last)
         assert t.current_version() == n_batches  # no new commit
         assert 999 not in {r["id"] for r in t.read().collect()}
+
+
+class TestDataSkipping:
+    def test_prune_drops_non_overlapping_files(self, spark, tmp_path):
+        """Each append commits its files' per-column [min,max] into
+        the manifest; read(prune=...) drops files whose range cannot
+        overlap BEFORE Spark opens a footer, and the pruned frame is a
+        superset of the true filter result (here: exactly it)."""
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 100, "a").coalesce(1))
+        t.append(_df(spark, 100, 200, "b").coalesce(1))
+        t.append(_df(spark, 200, 300, "c").coalesce(1))
+        assert len(t.files()) == 3
+
+        pruned = t.read(prune={"id": (120, 150)})
+        assert len(pruned.inputFiles()) == 1
+        got = _rows(pruned.filter(F.col("id").between(120, 150)))
+        want = _rows(t.read().filter(F.col("id").between(120, 150)))
+        assert got == want and len(got) == 31
+
+        # one-sided bounds
+        assert len(t.read(prune={"id": (250, None)}).inputFiles()) == 1
+        assert len(t.read(prune={"id": (None, 50)}).inputFiles()) == 1
+        # boundary overlap keeps the file (min/max are inclusive)
+        assert len(t.read(prune={"id": (99, 100)}).inputFiles()) == 2
+        # everything pruned -> empty frame with the committed schema
+        empty = t.read(prune={"id": (900, 950)})
+        assert empty.count() == 0
+        assert set(empty.columns) == {"id", "tag"}
+
+    def test_unknown_column_never_prunes(self, spark, tmp_path):
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 10, "a").coalesce(1))
+        assert len(t.read(prune={"nope": (0, 1)}).inputFiles()) == 1
+
+    def test_string_and_timestamp_ranges(self, spark, tmp_path):
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        mk = lambda day, tag: (  # noqa: E731
+            spark.range(2)
+            .select(
+                F.col("id"),
+                F.lit(tag).alias("tag"),
+                F.timestamp_millis(
+                    F.lit(day * 86_400_000) + F.col("id") * 1000
+                ).alias("ts"),
+            )
+            .coalesce(1)
+        )
+        t.append(mk(1, "early"))
+        t.append(mk(30, "late"))
+        import datetime as dt
+
+        pruned = t.read(
+            prune={
+                "ts": (
+                    dt.datetime(1970, 1, 25),
+                    dt.datetime(1970, 2, 15),
+                )
+            }
+        )
+        assert len(pruned.inputFiles()) == 1
+        assert {r["tag"] for r in pruned.collect()} == {"late"}
+        # string column pruning (lexicographic)
+        assert len(t.read(prune={"tag": ("a", "f")}).inputFiles()) == 1
+
+    def test_offline_scan_time_bounds_skip_files(self, spark, tmp_path):
+        """The ASOF pre-scan's lookback window drops out-of-window
+        data files at planning time through the manifest stats."""
+        import datetime as dt
+
+        from feature_store_spark.offline import ManifestedOfflineStore
+
+        store = ManifestedOfflineStore(spark, str(tmp_path / "records"))
+        mk = lambda day, eid: (  # noqa: E731
+            spark.createDataFrame(
+                [("merchant", eid, "gmv", 1.0, None)],
+                "entity_type string, entity_id string,"
+                " feature_name string, value_float double,"
+                " value_string string",
+            ).withColumn(
+                "event_time",
+                F.timestamp_millis(F.lit(day * 86_400_000)),
+            )
+        )
+        store.write_records(mk(1, "m1"))
+        store.write_records(mk(100, "m2"))
+        out = store.scan(
+            entity_type="merchant",
+            time_min=dt.datetime(1970, 3, 1),
+        )
+        assert [r["entity_id"] for r in out.collect()] == ["m2"]
+        assert len(out.inputFiles()) == 1

@@ -60,6 +60,7 @@ import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MANIFEST_RE = re.compile(r"^v(\d{6})\.json$")
@@ -456,13 +457,25 @@ class ManifestedTable:
         self,
         target_file_mb: int = 128,
         partition_by: Sequence[str] | None = None,
+        cluster_by: Sequence[str] | None = None,
+        n_files: int | None = None,
     ) -> int:
         """Transactional OPTIMIZE: rewrite the current snapshot into
         ~target-sized files and commit as one overwrite with a
         require_base CAS — a concurrent append conflicts the compact
         (harmless; re-run) rather than being erased by it. Old files
         stay until ``vacuum``. This is the manifest-commit form of
-        ``sources.compaction.compact``."""
+        ``sources.compaction.compact``.
+
+        ``cluster_by`` range-partitions + sorts the rewrite on those
+        columns, so each output file covers a DISJOINT value range —
+        which is what makes the manifest's [min,max] data skipping
+        bite: after scattered appends every file spans the whole
+        domain and ``prune`` keeps everything; after a clustered
+        compact a point/range read touches ~1 file (Delta's
+        OPTIMIZE ZORDER intent, expressed as repartitionByRange; use
+        ``functions.zorder2_expr`` as the cluster key for two-column
+        locality)."""
         base_version = self.current_version()
         m = self._manifest_at(base_version)
         if not m or not m["files"]:
@@ -471,9 +484,20 @@ class ManifestedTable:
             os.path.getsize(os.path.join(self.data_dir, rel))
             for rel in m["files"]
         )
-        n_target = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+        n_target = (
+            int(n_files)
+            if n_files
+            else int(max(1, -(-total // (target_file_mb * 1024 * 1024))))
+        )
+        snap = self.read(base_version)
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            snap = snap.repartitionByRange(n_target, *cols)
+            snap = snap.sortWithinPartitions(*cols)
+        else:
+            snap = snap.repartition(n_target)
         return self.overwrite(
-            self.read(base_version).repartition(n_target),
+            snap,
             partition_by=partition_by,
             require_base=base_version,
         )

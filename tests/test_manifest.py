@@ -447,3 +447,29 @@ class TestDataSkipping:
         )
         assert [r["entity_id"] for r in out.collect()] == ["m2"]
         assert len(out.inputFiles()) == 1
+
+    def test_clustered_compact_makes_pruning_effective(
+        self, spark, tmp_path
+    ):
+        """After interleaved appends every file spans the whole id
+        domain (prune keeps all); a cluster_by compact rewrites into
+        disjoint ranges so the same prune touches ~1 file — same rows
+        before and after."""
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        # interleaved ids: every append's file covers ~the full domain
+        for k in range(3):
+            t.append(
+                spark.range(k, 300, 3)
+                .select(F.col("id"), F.lit(f"a{k}").alias("tag"))
+                .coalesce(1)
+            )
+        assert len(t.read(prune={"id": (10, 20)}).inputFiles()) == 3
+        before = _rows(t.read())
+
+        t.compact(cluster_by=["id"], n_files=4)
+        assert _rows(t.read()) == before
+        assert len(t.files()) == 4
+        pruned = t.read(prune={"id": (10, 20)})
+        assert len(pruned.inputFiles()) == 1  # disjoint ranges now
+        got = _rows(pruned.filter(F.col("id").between(10, 20)))
+        assert got == [r for r in before if 10 <= r[0] <= 20]

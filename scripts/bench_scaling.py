@@ -32,6 +32,9 @@ REPS = 3
 # pairwise dedup runs on the caesar corpus, token-frequency queries
 # on the identical-replica corpus)
 QUERY_NAMES = {
+    "asof_features": SF1,
+    "windowed_features": SF1,
+    "sessionize": SF1,
     "drift_psi": SF1,
     "winsorized_stats": SF1,
     "corr_matrix": SF1,

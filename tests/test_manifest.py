@@ -473,3 +473,72 @@ class TestDataSkipping:
         assert len(pruned.inputFiles()) == 1  # disjoint ranges now
         got = _rows(pruned.filter(F.col("id").between(10, 20)))
         assert got == [r for r in before if 10 <= r[0] <= 20]
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_randomized_op_sequences_match_model(spark, tmp_path, seed):
+    """Model-based check: a seeded random sequence of
+    append/overwrite/merge/compact/vacuum against a plain in-memory
+    model — after every op the committed snapshot equals the model,
+    version numbers are strictly increasing, and an unvacuumed old
+    version time-travels to exactly its remembered rows."""
+    import random
+
+    rng = random.Random(seed)
+    t = M.ManifestedTable(spark, str(tmp_path / f"t{seed}"))
+    schema = "id long, ts long, tag string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    model: dict[int, tuple[int, str]] = {}  # id -> (ts, tag)
+    history: dict[int, dict] = {}
+    next_id = 0
+    clock = 0
+
+    def fresh_rows(n):
+        nonlocal next_id, clock
+        out = []
+        for _ in range(n):
+            clock += 1
+            out.append((next_id, clock, f"s{seed}"))
+            next_id += 1
+        return out
+
+    for _step in range(12):
+        op = rng.choice(["append", "append", "overwrite", "merge", "compact", "vacuum"])
+        if op == "append":
+            rows = fresh_rows(rng.randint(1, 4))
+            t.append(mk(rows))
+            model.update({r[0]: (r[1], r[2]) for r in rows})
+        elif op == "overwrite":
+            rows = fresh_rows(rng.randint(1, 3))
+            t.overwrite(mk(rows))
+            model = {r[0]: (r[1], r[2]) for r in rows}
+        elif op == "merge":
+            # touch a mix of existing and new keys with LATER ts
+            keys = rng.sample(sorted(model), min(2, len(model))) if model else []
+            rows = []
+            for k in keys:
+                clock += 1
+                rows.append((k, clock, "upd"))
+            rows += fresh_rows(1)
+            t.merge_upsert(mk(rows), keys=["id"], order_col="ts")
+            model.update({r[0]: (r[1], r[2]) for r in rows})
+        elif op == "compact":
+            t.compact(cluster_by=["id"], n_files=2)
+        elif op == "vacuum":
+            t.vacuum()
+            history.clear()  # old versions are gone now
+        v = t.current_version()
+        history[v] = dict(model)
+        got = {r["id"]: (r["ts"], r["tag"]) for r in t.read().collect()}
+        assert got == model, (op, _step)
+        # time-travel to a random unvacuumed version
+        if len(history) > 1:
+            old_v = rng.choice(sorted(history)[:-1])
+            old = {
+                r["id"]: (r["ts"], r["tag"])
+                for r in t.read(version=old_v).collect()
+            }
+            assert old == history[old_v], (op, _step, old_v)

@@ -48,6 +48,27 @@ class OfflineStore:
             .parquet(self.path)
         )
 
+    @staticmethod
+    def _apply_scan_filters(
+        df: DataFrame,
+        entity_type: str | None,
+        feature_names: Sequence[str] | None,
+        time_min,
+        time_max,
+    ) -> DataFrame:
+        """The shared predicate chain of every scan variant — one
+        definition so a semantics fix cannot diverge between the
+        plain and the manifested store."""
+        if entity_type is not None:
+            df = df.filter(F.col("entity_type") == entity_type)
+        if feature_names is not None:
+            df = df.filter(F.col("feature_name").isin(list(feature_names)))
+        if time_min is not None:
+            df = df.filter(F.col("event_time") >= F.lit(time_min))
+        if time_max is not None:
+            df = df.filter(F.col("event_time") <= F.lit(time_max))
+        return df
+
     def scan(
         self,
         entity_type: str | None = None,
@@ -59,16 +80,13 @@ class OfflineStore:
         calls — Catalyst pushes them into the parquet scan and prunes
         partitions (the work IcebergOfflineStore.java:140-147 does by
         hand with Expressions.and)."""
-        df = self.spark.read.parquet(self.path)
-        if entity_type is not None:
-            df = df.filter(F.col("entity_type") == entity_type)
-        if feature_names is not None:
-            df = df.filter(F.col("feature_name").isin(list(feature_names)))
-        if time_min is not None:
-            df = df.filter(F.col("event_time") >= F.lit(time_min))
-        if time_max is not None:
-            df = df.filter(F.col("event_time") <= F.lit(time_max))
-        return df
+        return self._apply_scan_filters(
+            self.spark.read.parquet(self.path),
+            entity_type,
+            feature_names,
+            time_min,
+            time_max,
+        )
 
     def manifested(self) -> "ManifestedOfflineStore":
         """Upgrade to the transactional variant (same path/layout plus
@@ -159,13 +177,10 @@ class ManifestedOfflineStore(OfflineStore):
             if (time_min is not None or time_max is not None)
             else None
         )
-        df = self.table.read(prune=prune)
-        if entity_type is not None:
-            df = df.filter(F.col("entity_type") == entity_type)
-        if feature_names is not None:
-            df = df.filter(F.col("feature_name").isin(list(feature_names)))
-        if time_min is not None:
-            df = df.filter(F.col("event_time") >= F.lit(time_min))
-        if time_max is not None:
-            df = df.filter(F.col("event_time") <= F.lit(time_max))
-        return df
+        return self._apply_scan_filters(
+            self.table.read(prune=prune),
+            entity_type,
+            feature_names,
+            time_min,
+            time_max,
+        )

@@ -5176,34 +5176,35 @@ def q_stream_manifest_sink(spark, sf_dir):
         .select("event_id", "user_id", "ts", "value")
     )
     table = ManifestedTable(spark, f"{d}/table")
-    q = start_manifest_materializer(
-        stream,
-        table,
-        app_id="purchase-sink",
-        checkpoint_dir=f"{d}/ckpt",
-        available_now=True,
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "stream_manifest_sink: stream did not finish in 300s"
+    try:
+        q = start_manifest_materializer(
+            stream,
+            table,
+            app_id="purchase-sink",
+            checkpoint_dir=f"{d}/ckpt",
+            available_now=True,
         )
-    n_commits = table.current_version()
-    hwm = table.txn_version("purchase-sink")
-    out = (
-        table.read()
-        .select(
-            "event_id",
-            "user_id",
-            F.unix_micros("ts").alias("ts_us"),
-            _r6(F.col("value")).alias("value"),
-            F.lit(n_commits >= 2).alias("multi_commit"),
-            F.lit(hwm == n_commits - 1).alias("txn_contiguous"),
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_manifest_sink: stream did not finish in 300s"
+            )
+        n_commits = table.current_version()
+        hwm = table.txn_version("purchase-sink")
+        return (
+            table.read()
+            .select(
+                "event_id",
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                _r6(F.col("value")).alias("value"),
+                F.lit(n_commits >= 2).alias("multi_commit"),
+                F.lit(hwm == n_commits - 1).alias("txn_contiguous"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    _sh.rmtree(d, ignore_errors=True)
-    return out
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
 
 
 STREAM_MANIFEST_SINK_SQL = """

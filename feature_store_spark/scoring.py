@@ -313,6 +313,20 @@ def model_from_xgboost_json(obj, feature_names: Sequence[str] | None = None) -> 
     }
 
 
+def _export_threshold(thr: float) -> float:
+    """``x <= thr`` → ``x < cond``, robust to a float32 runtime: for
+    integral thr (every histogram-tree bin split) the midpoint
+    ``thr + 0.5`` is exact on integer features and survives any
+    float32 rounding; otherwise one ulp up in FLOAT32 space (a
+    float64 ulp would round back to thr in float32 and flip rows
+    landing exactly on the threshold)."""
+    if float(thr).is_integer() and abs(thr) < 2**52:
+        return float(thr) + 0.5
+    import numpy as np
+
+    return float(np.nextafter(np.float32(thr), np.float32(np.inf)))
+
+
 def model_to_xgboost_json(
     model: dict, feature_names: Sequence[str] | None = None
 ) -> dict:
@@ -326,10 +340,15 @@ def model_to_xgboost_json(
     Semantics mapping, each piece exact:
 
     - our split routes ``x <= thr`` left; XGBoost routes
-      ``x < split_condition`` to ``yes``. ``x <= thr`` ≡
-      ``x < nextafter(thr, +inf)`` for ALL doubles (no representable
-      value lies between), so thresholds shift by one ulp instead of
-      approximating.
+      ``x < split_condition`` to ``yes``. Integral thresholds (the
+      histogram trees split on BIN indices, so this is every real
+      model) export as ``thr + 0.5`` — exactly equivalent on integer
+      features AND robust to XGBoost storing split conditions as
+      float32 (a one-float64-ulp shift would round back to ``thr``
+      in float32 and flip every row landing exactly on the
+      threshold). Non-integral thresholds shift by one ulp in
+      FLOAT32 space (``np.nextafter(float32(thr), +inf)``), the
+      smallest shift that survives the runtime's precision.
     - our prediction is ``base + lr · Σ leaf``; XGBoost sums raw leaf
       values, so leaves are exported pre-scaled by the learning rate.
     - nulls: ``when(x <= thr, L).otherwise(R)`` sends NULL right, so
@@ -368,7 +387,7 @@ def model_to_xgboost_json(
             if node in t["splits"]:
                 fidx, thr = t["splits"][node]
                 sidx[i] = int(fidx)
-                scond[i] = _m.nextafter(float(thr), _m.inf)
+                scond[i] = _export_threshold(float(thr))
                 li = add(node * 2)
                 ri = add(node * 2 + 1)
                 left[i] = li

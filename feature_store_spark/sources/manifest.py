@@ -92,6 +92,76 @@ def _norm_stat(v):
     return None
 
 
+def _parse_temporal(s: str):
+    """Parse a committed temporal stat / bound string back to a
+    datetime (date-only strings become midnight — exactly how Spark
+    casts DATE to TIMESTAMP). Returns None if not temporal-shaped."""
+    import datetime as _dt
+
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return _dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    return None
+
+
+def _prune_cmp(stat, bound):
+    """Compare a committed file stat against a prune bound for data
+    skipping: returns -1/0/1, or None when the pair is NOT provably
+    comparable — in which case the caller must KEEP the file (pruning
+    may only ever drop files it can prove non-overlapping; a wrong
+    granularity or type mix must degrade to no-skip, never to a
+    dropped matching row or a crash).
+
+    Temporal values compare as parsed datetimes, never as raw
+    strings: '2024-01-01' (a date bound or DATE-column stat) and
+    '2024-01-01 00:00:00.000000' (a TIMESTAMP-column stat) are the
+    SAME instant, but as strings they order unequal — the lexical
+    comparison would prune files whose boundary rows match the real
+    filter."""
+    import datetime as _dt
+    import math as _m
+
+    if isinstance(bound, _dt.date) and not isinstance(bound, _dt.datetime):
+        bound = _dt.datetime(bound.year, bound.month, bound.day)
+    if isinstance(bound, (_dt.datetime, _dt.date)):
+        if not isinstance(stat, str):
+            return None
+        parsed = _parse_temporal(stat)
+        if parsed is None:
+            return None
+        return (parsed > bound) - (parsed < bound)
+    if isinstance(bound, bool) or isinstance(stat, bool):
+        return None  # bool ranges are useless for range pruning
+    if isinstance(bound, (int, float)) and isinstance(stat, (int, float)):
+        if isinstance(bound, float) and _m.isnan(bound):
+            return None
+        if isinstance(stat, float) and _m.isnan(stat):
+            return None
+        return (stat > bound) - (stat < bound)
+    if isinstance(bound, str) and isinstance(stat, str):
+        # if BOTH parse as temporals, compare as instants (mixed
+        # date/timestamp granularity); otherwise plain lexicographic
+        ps, pb = _parse_temporal(stat), _parse_temporal(bound)
+        if ps is not None and pb is not None:
+            return (ps > pb) - (ps < pb)
+        if (ps is None) != (pb is None):
+            return None
+        return (stat > bound) - (stat < bound)
+    return None
+
+
+def _stat_lt(stat, bound) -> bool:
+    c = _prune_cmp(stat, bound)
+    return c is not None and c < 0
+
+
+def _stat_gt(stat, bound) -> bool:
+    c = _prune_cmp(stat, bound)
+    return c is not None and c > 0
+
+
 def _file_column_ranges(path: str) -> dict[str, list]:
     """Per-column [min, max] over a parquet file's row-group footers —
     the data-skipping statistics an Iceberg manifest carries per data
@@ -225,25 +295,31 @@ class ManifestedTable:
         rels = list(m["files"]) if m else []
         if m and prune:
             stats = m.get("file_stats", {})
-            norm = {
-                c: (
-                    _norm_stat(lo) if lo is not None else None,
-                    _norm_stat(hi) if hi is not None else None,
-                )
-                for c, (lo, hi) in prune.items()
-            }
+            # floating columns never prune on the LOWER bound: Spark
+            # orders NaN above every number (NaN >= lo is TRUE), but
+            # parquet footer min/max exclude NaN, so fmax < lo cannot
+            # prove the absence of matching NaN rows
+            float_cols = set()
+            if m.get("schema"):
+                for f in json.loads(m["schema"]).get("fields", []):
+                    if f.get("type") in ("double", "float"):
+                        float_cols.add(f.get("name"))
 
             def keep(rel: str) -> bool:
                 franges = stats.get(rel)
                 if not franges:
                     return True
-                for c, (lo, hi) in norm.items():
+                for c, (lo, hi) in prune.items():
                     if c not in franges:
                         continue
                     fmin, fmax = franges[c]
-                    if lo is not None and fmax < lo:
+                    if (
+                        lo is not None
+                        and c not in float_cols
+                        and _stat_lt(fmax, lo)
+                    ):
                         return False
-                    if hi is not None and fmin > hi:
+                    if hi is not None and _stat_gt(fmin, hi):
                         return False
                 return True
 
@@ -503,10 +579,34 @@ class ManifestedTable:
         )
 
     # -------------------------------------------------------- hygiene
-    def vacuum(self) -> dict:
-        """Remove data files the current snapshot does not reference
-        and manifests older than current. Safe at any time: the live
-        manifest's files are never touched."""
+    def vacuum(self, retention_seconds: float = 24 * 3600) -> dict:
+        """Remove unreferenced data files, stale manifests, and
+        crash-leftover staging/temp debris.
+
+        ``retention_seconds`` is the concurrency guard (Delta's vacuum
+        retention, same reasoning): a file younger than the window is
+        NEVER deleted even if unreferenced, because it may belong to
+        an IN-FLIGHT commit — another writer stages files into
+        ``data/`` before its manifest publish, and deleting them would
+        let that commit publish a manifest pointing at nothing (a
+        corrupted table; the exact failure the protocol exists to
+        prevent). The default 24 h is safe for any writer that stages
+        and commits within a day; pass 0 ONLY when no other writer
+        can be active (tests, single-writer maintenance windows).
+        The live manifest's files are never touched regardless of age.
+        Also reaps crashed writers' ``.staging-*`` dirs under the
+        table root and ``.tmp-*`` manifest serialization leftovers,
+        under the same age guard."""
+        import time as _time
+
+        cutoff = _time.time() - retention_seconds
+
+        def _old(p: str) -> bool:
+            try:
+                return os.path.getmtime(p) <= cutoff
+            except OSError:
+                return False  # raced away already
+
         m = self._current_manifest()
         live = set(m["files"]) if m else set()
         current_name = f"v{m['version']:06d}.json" if m else None
@@ -515,14 +615,27 @@ class ManifestedTable:
             for fn in fnames:
                 full = os.path.join(root, fn)
                 rel = os.path.relpath(full, self.data_dir)
-                if rel not in live:
+                if rel not in live and _old(full):
                     os.unlink(full)
                     removed_files += 1
         removed_manifests = 0
         for fn in os.listdir(self.manifest_dir):
+            full = os.path.join(self.manifest_dir, fn)
             if _MANIFEST_RE.match(fn) and fn != current_name:
-                os.unlink(os.path.join(self.manifest_dir, fn))
+                os.unlink(full)
                 removed_manifests += 1
+            elif fn.startswith(".tmp-") and _old(full):
+                os.unlink(full)  # crashed mid-publish serialization
+        # crashed writers' staging dirs (die between job-write and
+        # the rename loop) live under the table root
+        for fn in os.listdir(self.path):
+            full = os.path.join(self.path, fn)
+            if (
+                fn.startswith(".staging-")
+                and os.path.isdir(full)
+                and _old(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
         # prune emptied commit dirs
         for root, dirs, fnames in os.walk(self.data_dir, topdown=False):
             if root != self.data_dir and not dirs and not fnames:

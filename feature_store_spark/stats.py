@@ -497,13 +497,19 @@ def corr_matrix(
         c: F.round(F.col(c) * scale).cast("decimal(38,0)") for c in cols
     }
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
-    base_aggs = [F.count(F.lit(1)).alias("__n")]
-    # nulls would silently bias every pairwise r (n counts all rows,
-    # the sums skip nulls) — detect in the same pass and fail loudly
-    base_aggs += [
-        F.count_if(F.col(c).isNull()).alias(f"__nulls_{c}") for c in cols
-    ]
-    base_aggs += [F.sum(ints[c]).alias(f"__s_{c}") for c in cols]
+    def _base_aggs(col_of):
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        # nulls (and NaNs — round(NaN) casts to a null decimal) would
+        # silently bias every pairwise r (n counts all rows, the sums
+        # skip nulls) — so the check runs on the INTEGER-SCALED value,
+        # which is null exactly when the input is null or NaN: detect
+        # in the same pass and fail loudly
+        aggs += [
+            F.count_if(col_of(c).isNull()).alias(f"__nulls_{c}")
+            for c in cols
+        ]
+        aggs += [F.sum(col_of(c)).alias(f"__s_{c}") for c in cols]
+        return aggs
 
     def _pair_aggs(chunk, col_of):
         return [
@@ -512,21 +518,24 @@ def corr_matrix(
         ]
 
     if len(pairs) <= pair_chunk:
+        get = lambda c: ints[c]  # noqa: E731
         row = df.agg(
-            *base_aggs, *_pair_aggs(pairs, lambda c: ints[c])
+            *_base_aggs(get), *_pair_aggs(pairs, get)
         ).collect()[0].asDict()
     else:
-        # wide-k: one persisted integer projection, then bounded passes
+        # wide-k: one persisted integer projection (the k scaled
+        # columns ONLY — raw columns stay out of the cache; every
+        # aggregate derives from the ints), then bounded passes
         proj = df.select(
-            *[F.col(c) for c in cols],
-            *[ints[c].alias(f"__i_{c}") for c in cols],
+            *[ints[c].alias(f"__i_{c}") for c in cols]
         ).persist()
+        get = lambda c: F.col(f"__i_{c}")  # noqa: E731
         try:
-            row = proj.agg(*base_aggs).collect()[0].asDict()
+            row = proj.agg(*_base_aggs(get)).collect()[0].asDict()
             for start in range(0, len(pairs), pair_chunk):
                 chunk = pairs[start : start + pair_chunk]
                 part = proj.agg(
-                    *_pair_aggs(chunk, lambda c: F.col(f"__i_{c}"))
+                    *_pair_aggs(chunk, get)
                 ).collect()[0].asDict()
                 row.update(part)
         finally:
@@ -534,9 +543,10 @@ def corr_matrix(
     bad = [c for c in cols if row[f"__nulls_{c}"]]
     if bad:
         raise ValueError(
-            f"corr_matrix: columns {bad} contain nulls — drop or "
-            "impute first (pairwise-complete correlation is not what "
-            "this computes, and silently skipping nulls would bias r)"
+            f"corr_matrix: columns {bad} contain nulls or NaNs — drop "
+            "or impute first (pairwise-complete correlation is not "
+            "what this computes, and silently skipping them would "
+            "bias r)"
         )
 
     def _int(key):

@@ -154,12 +154,27 @@ def fit_quantile_bins(
     LightGBM/XGBoost's own histograms are approximate for the same
     reason). Duplicate boundaries (point masses) collapse, so a
     column may get fewer than ``n_bins`` bins."""
+    import math
+
     ps = [i / n_bins for i in range(1, n_bins)]
     parr = F.array(*[F.lit(p) for p in ps])
     row = df.agg(
         *[F.percentile_approx(F.col(c), parr, accuracy).alias(c) for c in cols]
     ).collect()[0]
-    return {c: sorted({float(v) for v in row[c]}) for c in cols}
+    out: dict[str, list[float]] = {}
+    for c in cols:
+        if row[c] is None:
+            raise ValueError(
+                f"fit_quantile_bins: column {c!r} has no non-null "
+                "values — bin boundaries are undefined"
+            )
+        # NaNs are dropped: NaN != NaN defeats the dedupe set and NaN
+        # poisons sorted() ordering, corrupting quantile_bin_expr's
+        # 'count of boundaries strictly below' contract
+        out[c] = sorted(
+            {float(v) for v in row[c] if v is not None and not math.isnan(v)}
+        )
+    return out
 
 
 def quantile_bin_expr(col: str, boundaries: Sequence[float]) -> Column:

@@ -63,7 +63,7 @@ class TestCommitProtocol:
         # the orphan is on disk but unreferenced; vacuum reaps it
         n_disk = sum(len(fs) for _, _, fs in os.walk(t.data_dir))
         assert n_disk > len(t.files())
-        t.vacuum()
+        t.vacuum(retention_seconds=0)
         assert _rows(t.read()) == before
 
     def test_kill_before_manifest_publish_exposes_nothing(
@@ -166,7 +166,7 @@ class TestCommitProtocol:
         t = M.ManifestedTable(spark, str(tmp_path / "t"))
         t.append(_df(spark, 0, 4, "a"))
         t.overwrite(_df(spark, 0, 2, "b"))
-        stats = t.vacuum()
+        stats = t.vacuum(retention_seconds=0)
         assert stats["removed_files"] > 0
         assert stats["removed_manifests"] == 1
         assert _rows(t.read()) == [(0, "b"), (1, "b")]
@@ -528,7 +528,7 @@ def test_randomized_op_sequences_match_model(spark, tmp_path, seed):
         elif op == "compact":
             t.compact(cluster_by=["id"], n_files=2)
         elif op == "vacuum":
-            t.vacuum()
+            t.vacuum(retention_seconds=0)
             history.clear()  # old versions are gone now
         v = t.current_version()
         history[v] = dict(model)
@@ -542,3 +542,110 @@ def test_randomized_op_sequences_match_model(spark, tmp_path, seed):
                 for r in t.read(version=old_v).collect()
             }
             assert old == history[old_v], (op, _step, old_v)
+
+
+class TestPruneSoundness:
+    """Code-review findings: pruning must return a SUPERSET of the
+    matching rows under mixed temporal granularity, NaN values, and
+    incomparable types — never fewer rows, never a crash."""
+
+    def test_date_bound_keeps_midnight_boundary_rows(
+        self, spark, tmp_path
+    ):
+        """A date-typed upper bound vs timestamp-column stats: the
+        file whose min row IS midnight of that date must be kept
+        (string-compare would prune it and lose matching rows)."""
+        import datetime as dt
+
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(
+            spark.range(2)
+            .select(
+                F.col("id"),
+                F.timestamp_millis(
+                    F.lit(86_400_000) + F.col("id") * 3_600_000
+                ).alias("ts"),  # 1970-01-02 00:00 and 01:00
+            )
+            .coalesce(1)
+        )
+        pruned = t.read(prune={"ts": (None, dt.date(1970, 1, 2))})
+        assert len(pruned.inputFiles()) == 1
+        kept = pruned.filter(
+            F.col("ts") <= F.lit(dt.date(1970, 1, 2)).cast("timestamp")
+        )
+        assert kept.count() == 1  # the midnight row survives
+
+    def test_nan_rows_never_lost_by_lower_bound(self, spark, tmp_path):
+        """Spark orders NaN above every number, but parquet footer
+        stats exclude NaN — so a float column must not prune on the
+        LOWER bound (fmax < lo cannot prove no NaN matches)."""
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(
+            spark.createDataFrame(
+                [(1, 1.0), (2, float("nan"))], "id long, x double"
+            ).coalesce(1)
+        )
+        pruned = t.read(prune={"x": (5.0, None)})
+        assert len(pruned.inputFiles()) == 1  # kept despite fmax=1.0
+        # ...because the real filter matches the NaN row in Spark
+        assert pruned.filter(F.col("x") >= 5.0).count() == 1
+        # upper-bound pruning on float columns still PRUNES — sound,
+        # because NaN fails `x <= hi` too (no matching row can hide)
+        assert t.read(prune={"x": (None, 0.5)}).count() == 0
+        assert t.read().filter(F.col("x") <= 0.5).count() == 0
+
+    def test_incomparable_bound_types_keep_not_crash(
+        self, spark, tmp_path
+    ):
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 5, "a").coalesce(1))
+        # numeric bound against a string column: keep, don't TypeError
+        assert len(t.read(prune={"tag": (0, 9)}).inputFiles()) == 1
+        # string bound against a numeric column: same
+        assert len(t.read(prune={"id": ("a", "z")}).inputFiles()) == 1
+
+    def test_vacuum_retention_protects_inflight_stage(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Review finding: vacuum must NOT delete freshly staged
+        (uncommitted) files of a concurrent writer — with the default
+        retention they survive, the interrupted commit retries, and
+        the table stays readable."""
+        path = str(tmp_path / "t")
+        t = M.ManifestedTable(spark, path)
+        t.append(_df(spark, 0, 3, "a"))
+
+        # stage-but-don't-commit, like a writer paused pre-publish
+        rels, schema_json, stats = t._stage(
+            _df(spark, 3, 6, "b").coalesce(1), None
+        )
+        other = M.ManifestedTable(spark, path)
+        other.vacuum()  # default retention: fresh stage survives
+        for rel in rels:
+            assert os.path.exists(os.path.join(t.data_dir, rel))
+        # the paused writer now commits; table must be fully readable
+        t._commit(rels, schema_json, "append", stats=stats)
+        assert len(_rows(t.read())) == 6
+        # retention 0 WOULD have deleted it — the documented
+        # single-writer-only escape hatch
+        t2 = M.ManifestedTable(spark, str(tmp_path / "t2"))
+        t2.append(_df(spark, 0, 2, "a"))
+        rels2, sj2, st2 = t2._stage(_df(spark, 2, 4, "b").coalesce(1), None)
+        t2.vacuum(retention_seconds=0)
+        assert not any(
+            os.path.exists(os.path.join(t2.data_dir, r)) for r in rels2
+        )
+
+    def test_vacuum_reaps_crashed_staging_and_tmp(self, spark, tmp_path):
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 3, "a"))
+        os.makedirs(os.path.join(t.path, ".staging-deadbeef"))
+        open(
+            os.path.join(t.manifest_dir, ".tmp-deadbeef"), "w"
+        ).write("{}")
+        t.vacuum(retention_seconds=0)
+        assert not os.path.exists(os.path.join(t.path, ".staging-deadbeef"))
+        assert not os.path.exists(
+            os.path.join(t.manifest_dir, ".tmp-deadbeef")
+        )
+        assert len(_rows(t.read())) == 3

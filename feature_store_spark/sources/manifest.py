@@ -476,17 +476,20 @@ class ManifestedTable:
         df: DataFrame,
         partition_by: Sequence[str] | None = None,
         require_base: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Full-snapshot replacement (what a commit MERGE lands as).
         Pass ``require_base`` when the new snapshot was DERIVED from
         version N — the commit then conflicts instead of erasing
-        writes that landed after N."""
+        writes that landed after N. ``txn`` records an idempotence
+        token atomically with the snapshot (see ``append``)."""
         rels, schema_json, stats = self._stage(df, partition_by)
         return self._commit(
             rels,
             schema_json,
             "overwrite",
             require_base=require_base,
+            txn=txn,
             stats=stats,
         )
 
@@ -498,6 +501,7 @@ class ManifestedTable:
         tiebreak_cols: Sequence[str] = (),
         partition_by: Sequence[str] | None = None,
         max_retries: int = 3,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Copy-on-write MERGE: last-writer-wins per key across the
         committed snapshot ∪ updates, committed as one overwrite
@@ -507,9 +511,14 @@ class ManifestedTable:
         carries a require_base CAS on the snapshot the merge read:
         an append interleaving between read and commit conflicts the
         merge (which re-derives from the new snapshot) instead of
-        being silently erased."""
+        being silently erased. ``txn=(app_id, n)`` makes the MERGE
+        idempotent per writer — a redelivered micro-batch whose
+        counter is already committed is a no-op, so a streaming
+        upsert sink gets exactly-once table state."""
         from feature_store_spark.operators.reshape import latest_per_key
 
+        if txn is not None and self.txn_version(txn[0]) >= int(txn[1]):
+            return self.current_version()
         for _ in range(max_retries):
             base_version = self.current_version()
             current = self.read()
@@ -521,9 +530,17 @@ class ManifestedTable:
             )
             try:
                 return self.overwrite(
-                    merged, partition_by, require_base=base_version
+                    merged,
+                    partition_by,
+                    require_base=base_version,
+                    txn=txn,
                 )
             except CommitConflict:
+                # the racer may have been our own redelivered token
+                if txn is not None and self.txn_version(txn[0]) >= int(
+                    txn[1]
+                ):
+                    return self.current_version()
                 continue
         raise CommitConflict(
             f"merge_upsert lost the snapshot race {max_retries} times"

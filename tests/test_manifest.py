@@ -649,3 +649,63 @@ class TestPruneSoundness:
             os.path.join(t.manifest_dir, ".tmp-deadbeef")
         )
         assert len(_rows(t.read())) == 3
+
+
+class TestManifestMergeSink:
+    def test_stream_upserts_last_writer_wins_exactly_once(
+        self, spark, tmp_path
+    ):
+        """Micro-batched upsert stream → ManifestedTable through the
+        MERGE sink: later batches overwrite earlier values per key,
+        the final snapshot equals the batch latest_per_key oracle,
+        and re-running a committed batch through the sink body is a
+        no-op (exactly-once state over at-least-once delivery)."""
+        import time
+
+        from feature_store_spark.streaming.materializer import (
+            manifest_merge_sink,
+        )
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        schema = "k string, v double, ts long"
+        batches = [
+            [("a", 1.0, 10), ("b", 2.0, 10)],
+            [("a", 9.0, 20), ("c", 3.0, 20)],
+            [("b", 7.0, 30)],
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(inp / f"b{i}")
+            )
+            time.sleep(1.1)
+
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(inp / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                manifest_merge_sink(t, "upsert-sink", keys=["k"], order_col="ts")
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got == {"a": 9.0, "b": 7.0, "c": 3.0}
+        n = t.current_version()
+        assert n >= 3  # one merge commit per micro-batch
+
+        # redelivery of the last committed batch: no state change
+        sink = manifest_merge_sink(t, "upsert-sink", keys=["k"], order_col="ts")
+        sink(
+            spark.createDataFrame([("a", 999.0, 99)], schema),
+            t.txn_version("upsert-sink"),
+        )
+        assert t.current_version() == n
+        assert {r["k"]: r["v"] for r in t.read().collect()} == got

@@ -148,15 +148,20 @@ class ManifestedOfflineStore(OfflineStore):
             return self.table.append(dated, partition_by=self.PARTITIONING)
         return self.table.overwrite(dated, partition_by=self.PARTITIONING)
 
-    def merge_records(self, updates: DataFrame) -> int:
+    def merge_records(
+        self, updates: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int:
         """Last-writer-wins MERGE on the EAV key, committed atomically
-        (copy-on-write; readers see pre- or post-merge, never half)."""
+        (copy-on-write; readers see pre- or post-merge, never half).
+        ``txn`` passes an idempotence token through for streaming
+        upsert pipelines (see ``ManifestedTable.merge_upsert``)."""
         return self.table.merge_upsert(
             self._dated(updates),
             keys=["entity_type", "entity_id", "feature_name"],
             order_col="event_time",
             tiebreak_cols=["created_at"],
             partition_by=self.PARTITIONING,
+            txn=txn,
         )
 
     def scan(

@@ -76,7 +76,7 @@ def connected_components(
         ).first()["m"]
 
     prev_mass = None
-    for i in range(max_iter):
+    for _i in range(max_iter):
         # labels flow one hop: node's current component reaches peer
         msgs = edges.join(labels, "node").select(
             F.col("peer").alias("node"), "component"
@@ -87,16 +87,19 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         if checkpoint:
-            new_labels = new_labels.localCheckpoint()
-        if i > 0:
-            # round 0 always changes something (any edge relabels its
-            # higher endpoint) — skip its convergence probe
-            if prev_mass is None:
-                prev_mass = label_mass(labels)
-            mass = label_mass(new_labels)
-            if mass == prev_mass:
-                return new_labels
-            prev_mass = mass
+            # LAZY checkpoint: the convergence probe below is the
+            # materializing action, so lineage-cut + probe cost ONE
+            # job per round, not two (the probe used to run as a
+            # second pass over the eagerly checkpointed frame)
+            new_labels = new_labels.localCheckpoint(eager=False)
+        # labels are monotone non-increasing and the node set is
+        # fixed, so equal mass across consecutive ROUNDS means no
+        # label moved — converged (comparing new-vs-new is exact:
+        # mass strictly decreases until the fixpoint)
+        mass = label_mass(new_labels)
+        if prev_mass is not None and mass == prev_mass:
+            return new_labels
+        prev_mass = mass
         labels = new_labels
     # the loop ran out before a round came back unchanged: labels may
     # be partially propagated (an intermediate, WRONG clustering).

@@ -37,6 +37,7 @@ maximum wins, deterministically.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -145,52 +146,83 @@ def asof_join(
     need_b = direction in ("backward", "nearest")
     need_f = direction in ("forward", "nearest")
 
+    # ONE running last/first of the whole matched history ROW — time
+    # plus every value column, as a struct that is non-null for every
+    # history row (even one whose value columns are all NULL). The
+    # as-of match attaches one row WHOLESALE (pandas merge_asof
+    # semantics): the tolerance gate and the nearest comparison then
+    # always judge the same row that supplied the values. Per-column
+    # `last(value, ignorenulls)` would instead skip a newest-but-NULL
+    # value back to an older row while the match time came from the
+    # newest row — passing the tolerance gate with an out-of-tolerance
+    # value, and mixing columns of different rows in multi-column
+    # joins.
+    hist_row = F.when(
+        F.col(_IS_LABEL) == 0,
+        F.struct(
+            F.col(_T).alias("t"),
+            *[F.col(f"__v_{v}").alias(f"v_{v}") for v in value_cols],
+        ),
+    )
     attached = right_sel.unionByName(left_sel)
-    for v in value_cols:
-        if need_b:
-            attached = attached.withColumn(
-                f"__last_{v}", F.last(F.col(f"__v_{v}"), ignorenulls=True).over(wb)
-            )
-        if need_f:
-            attached = attached.withColumn(
-                f"__next_{v}", F.first(F.col(f"__v_{v}"), ignorenulls=True).over(wf)
-            )
-    hist_t = F.when(F.col(_IS_LABEL) == 0, F.col(_T))
     if need_b:
         attached = attached.withColumn(
-            "__last_t", F.last(hist_t, ignorenulls=True).over(wb)
+            "__last_r", F.last(hist_row, ignorenulls=True).over(wb)
         )
     if need_f:
         attached = attached.withColumn(
-            "__next_t", F.first(hist_t, ignorenulls=True).over(wf)
+            "__next_r", F.first(hist_row, ignorenulls=True).over(wf)
         )
 
     out = attached.filter(F.col(_IS_LABEL) == 1)
     if tolerance_seconds is not None:
-        tol = F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        # make_dt_interval, not an f-string INTERVAL literal: Python
+        # renders small/huge floats in scientific notation, which the
+        # SQL interval parser rejects at plan time
+        if not (float(tolerance_seconds) >= 0.0) or math.isinf(
+            float(tolerance_seconds)
+        ):
+            raise ValueError(
+                f"asof_join: tolerance_seconds={tolerance_seconds!r} "
+                "must be a finite non-negative number"
+            )
+        tol = F.make_dt_interval(secs=F.lit(float(tolerance_seconds)))
         if need_b:
-            ok_b = F.col("__last_t") >= (F.col(_T) - tol)
-            for v in value_cols:
-                out = out.withColumn(f"__last_{v}", F.when(ok_b, F.col(f"__last_{v}")))
-            out = out.withColumn("__last_t", F.when(ok_b, F.col("__last_t")))
+            out = out.withColumn(
+                "__last_r",
+                F.when(
+                    F.col("__last_r.t") >= (F.col(_T) - tol),
+                    F.col("__last_r"),
+                ),
+            )
         if need_f:
-            ok_f = F.col("__next_t") <= (F.col(_T) + tol)
-            for v in value_cols:
-                out = out.withColumn(f"__next_{v}", F.when(ok_f, F.col(f"__next_{v}")))
-            out = out.withColumn("__next_t", F.when(ok_f, F.col("__next_t")))
+            out = out.withColumn(
+                "__next_r",
+                F.when(
+                    F.col("__next_r.t") <= (F.col(_T) + tol),
+                    F.col("__next_r"),
+                ),
+            )
 
     if direction == "backward":
-        val_cols = [F.col(f"__last_{v}").alias(f"{v}{suffix}") for v in value_cols]
+        val_cols = [
+            F.col(f"__last_r.v_{v}").alias(f"{v}{suffix}") for v in value_cols
+        ]
     elif direction == "forward":
-        val_cols = [F.col(f"__next_{v}").alias(f"{v}{suffix}") for v in value_cols]
+        val_cols = [
+            F.col(f"__next_r.v_{v}").alias(f"{v}{suffix}") for v in value_cols
+        ]
     else:
-        pick_b = F.col("__next_t").isNull() | (
-            F.col("__last_t").isNotNull()
-            & ((F.col(_T) - F.col("__last_t")) <= (F.col("__next_t") - F.col(_T)))
+        pick_b = F.col("__next_r").isNull() | (
+            F.col("__last_r").isNotNull()
+            & (
+                (F.col(_T) - F.col("__last_r.t"))
+                <= (F.col("__next_r.t") - F.col(_T))
+            )
         )
         val_cols = [
-            F.when(pick_b, F.col(f"__last_{v}"))
-            .otherwise(F.col(f"__next_{v}"))
+            F.when(pick_b, F.col(f"__last_r.v_{v}"))
+            .otherwise(F.col(f"__next_r.v_{v}"))
             .alias(f"{v}{suffix}")
             for v in value_cols
         ]
@@ -326,6 +358,8 @@ def asof_training_set_columnar(
     record_time_col: str = "event_time",
     tiebreak_cols: Sequence[str] = ("created_at",),
     lookback_days: float | None = 180.0,
+    wide: bool = True,
+    assume_unique_labels: bool = False,
 ) -> DataFrame:
     """ASOF training set with the minimum shuffle count: ONE.
 
@@ -350,7 +384,23 @@ def asof_training_set_columnar(
     prefer this variant when features are many and keys are not
     pathological, the bucketed variant when they are. Identical
     results by construction (differentially tested).
+
+    The shared keyword surface of the plan family is accepted so the
+    auto dispatcher can pass any of it regardless of which plan the
+    data selects: ``assume_unique_labels`` is a no-op HERE (this plan
+    never groups label rows, so the dup-counter the hint skips does
+    not exist), and ``wide=False`` raises loudly — this plan produces
+    the wide form by construction; use :func:`asof_training_set` for
+    the tall form.
     """
+    if not wide:
+        raise ValueError(
+            "asof_training_set_columnar: the columnar plan is wide by "
+            "construction (one sparse column per feature; there is no "
+            "tall intermediate to return). Use asof_training_set("
+            "wide=False) for the tall form."
+        )
+    del assume_unique_labels  # no dup-counter exists in this plan
     feature_names = list(feature_names)
 
     bounds = labels.agg(
@@ -368,7 +418,6 @@ def asof_training_set_columnar(
             - F.expr(f"INTERVAL {int(lookback_days * 86400)} SECONDS")
         )
 
-    labels_keyed = labels
     payload = [c for c in labels.columns if c != entity_col]
     vcols = [f"__v_{i}" for i in range(len(feature_names))]
 
@@ -382,11 +431,11 @@ def asof_training_set_columnar(
             for n, v in zip(feature_names, vcols)
         ],
         *[
-            F.lit(None).cast(labels_keyed.schema[c].dataType).alias(f"__p_{c}")
+            F.lit(None).cast(labels.schema[c].dataType).alias(f"__p_{c}")
             for c in payload
         ],
     )
-    labels_sel = labels_keyed.select(
+    labels_sel = labels.select(
         F.col(entity_col).alias("__entity"),
         F.col(label_time_col).alias(_T),
         F.lit(1).alias(_IS_LABEL),
@@ -406,9 +455,16 @@ def asof_training_set_columnar(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE projection for all per-feature running lasts (not a
+    # withColumn-per-feature loop, whose chained Projects re-analyze a
+    # growing plan once per feature — quadratic planning time at a
+    # 2000-feature view)
     attached = hist_sel.unionByName(labels_sel)
-    for v in vcols:
-        attached = attached.withColumn(v, F.last(v, ignorenulls=True).over(w))
+    non_v = [c for c in attached.columns if c not in vcols]
+    attached = attached.select(
+        *non_v,
+        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in vcols],
+    )
     label_out = [
         F.col("__entity").alias(entity_col)
         if c == entity_col
@@ -497,7 +553,12 @@ def asof_training_set_bucketed(
 
     # 2. carry = running last of finals over STRICTLY EARLIER buckets:
     # labels (is_label=1) sort before finals (0) within their bucket.
-    lab_buckets = lab.select("__e", "__f", "__b").distinct().withColumn(
+    # computed once, consumed twice (step-2 carry anchors AND the
+    # step-3 semi-join): Spark shares no uncached subplans, so a
+    # second inline .distinct() would re-explode and re-shuffle the
+    # whole label set per consumer
+    lab_bkts = lab.select("__e", "__f", "__b").distinct()
+    lab_buckets = lab_bkts.withColumn(
         "__is_label", F.lit(1)
     ).withColumn("__fv", F.lit(None).cast(hist.schema["__v"].dataType))
     final_rows = finals.withColumn("__is_label", F.lit(0))
@@ -515,7 +576,7 @@ def asof_training_set_bucketed(
 
     # 3. same-bucket resolution, only in buckets that contain labels
     hist_labeled_buckets = hist.join(
-        lab.select("__e", "__f", "__b").distinct(), ["__e", "__f", "__b"], "left_semi"
+        lab_bkts, ["__e", "__f", "__b"], "left_semi"
     )
     hist_u = hist_labeled_buckets.select(
         "__e", "__f", "__b", F.col("__t").alias(_T), F.col("__v"),
@@ -584,6 +645,16 @@ def asof_join_ranked(
     Kept for differential testing against :func:`asof_training_set`.
     Explodes per-label history before ranking — do not use on hot
     entities at scale.
+
+    Differential CONTRACT (narrower than the production plans, by
+    construction of this shape): label rows must be DISTINCT (the
+    row_number partitions by all label columns, so duplicate label
+    rows collapse to one) and only (label, feature) pairs WITH a
+    match appear (inner join — a label with no in-scope history emits
+    no row, where the production plans emit the label with NULL).
+    Differential tests must compare on distinct-label inputs and
+    inner-match rows only; feeding either excluded shape reports a
+    spurious mismatch, not a bug in the plan under test.
     """
     hist = records.filter(
         F.col(feature_name_col).isin(list(feature_names))
@@ -621,18 +692,25 @@ def estimate_hottest_key_rows(
     """Estimated history row count of the hottest entity, from ONE
     cheap job over a deterministic ~1/``sample_mod`` ROW sample.
 
-    Rows (not entities) are sampled — ``xxhash64(entity, time) %
+    Rows (not entities) are sampled — ``xxhash64(*all columns) %
     sample_mod == 0`` — so a key with R rows contributes ~R/sample_mod
     sampled rows regardless of which keys exist: the hot key always
     registers once R >> sample_mod, which is exactly the regime where
     the plan choice matters. (Entity-coherent sampling would miss the
-    hot key with probability 1 - 1/sample_mod.) The groupBy is
-    map-side combinable over 0.1% of the data; cost is one scan of the
-    two sampled columns.
+    hot key with probability 1 - 1/sample_mod.) The hash covers EVERY
+    column, not just (entity, time): EAV batch loads commonly write
+    thousands of feature rows sharing one event_time, and a
+    two-column hash would sample those all-or-nothing (the hot key's
+    distinct hash inputs collapse to its distinct timestamps,
+    silently under-sampling exactly the key the dispatcher exists to
+    catch). Only fully identical duplicate ROWS still collapse, and
+    those inflate a sort partition identically whether counted once
+    or R times less. The groupBy is map-side combinable over ~0.1% of
+    the data.
     """
     sampled = records.filter(
         F.pmod(
-            F.xxhash64(F.col(entity_col), F.col(record_time_col)),
+            F.xxhash64(*[F.col(c) for c in records.columns]),
             F.lit(sample_mod),
         )
         == 0
@@ -671,7 +749,11 @@ def choose_asof_plan(
     hottest = estimate_hottest_key_rows(
         records, entity_col, record_time_col, sample_mod
     )
-    return "bucketed" if hottest > hot_rows_threshold else "columnar"
+    # >= so hot_rows_threshold=0 deterministically forces the
+    # bucketed plan even when the sample comes back empty (hottest=0)
+    # — the explicit operator override, and what keeps the
+    # bucketed-vs-columnar differential tests honest on small inputs
+    return "bucketed" if hottest >= hot_rows_threshold else "columnar"
 
 
 def asof_training_set_auto(

@@ -174,3 +174,50 @@ def test_auto_dispatch_preserves_lookback_semantics(spark):
             sorted((r["entity_id"], r["f1"]) for r in out.collect())
         )
     assert results[0] == results[1] == [("a", None), ("b", 2.0)]
+
+
+def test_auto_kwarg_surface_is_plan_independent(spark):
+    """Review r5: the dispatcher's accepted keywords must not depend
+    on which plan the DATA selects — assume_unique_labels rides
+    through the columnar dispatch as a no-op, and wide=False fails
+    loudly (plan-capability error), not with a data-dependent
+    TypeError."""
+    from datetime import timedelta
+
+    from feature_store_spark.operators.asof import asof_training_set_auto
+
+    def _ts(days):
+        return BASE + timedelta(days=days)
+
+    records = spark.createDataFrame(
+        [("a", "f1", 2.0, _ts(-5), _ts(-5))],
+        "entity_id string, feature_name string, value_float double, "
+        "event_time timestamp, created_at timestamp",
+    )
+    labels = spark.createDataFrame(
+        [("a", _ts(0))], "entity_id string, event_time timestamp"
+    )
+    # huge threshold -> columnar dispatch; the bucketed-surface hint
+    # must be accepted (no TypeError), answer unchanged
+    out = asof_training_set_auto(
+        labels, records, ["f1"],
+        hot_rows_threshold=10**9,
+        assume_unique_labels=True,
+    )
+    assert [(r["entity_id"], r["f1"]) for r in out.collect()] == [("a", 2.0)]
+    # wide=False on the columnar dispatch: loud capability error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="wide by"):
+        asof_training_set_auto(
+            labels, records, ["f1"], hot_rows_threshold=10**9, wide=False
+        )
+    # threshold=0 forces bucketed even on a sampled-out tiny table,
+    # where BOTH keywords are native
+    out_b = asof_training_set_auto(
+        labels, records, ["f1"],
+        hot_rows_threshold=0,
+        assume_unique_labels=True,
+        wide=True,
+    )
+    assert [(r["entity_id"], r["f1"]) for r in out_b.collect()] == [("a", 2.0)]

@@ -93,3 +93,87 @@ def test_bad_direction_raises(spark):
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on=["k"], left_time="t",
                   value_cols=["v"], direction="sideways")
+
+
+def test_null_valued_history_row_attaches_wholesale(spark):
+    """Review r5: the as-of match must attach ONE history row
+    wholesale (pandas semantics). A newest history row carrying a
+    NULL value must be the match — per-column ignorenulls would skip
+    back to an older row while the tolerance gate judged the newest
+    row's time, returning an out-of-tolerance value."""
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("k", base + timedelta(seconds=100))], "k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", base + timedelta(seconds=50), 7.0),
+            ("k", base + timedelta(seconds=99), None),
+        ],
+        "k string, t timestamp, v double",
+    )
+    # without tolerance: the newest row (t=99) matches; its value is
+    # NULL — exactly what pandas merge_asof attaches
+    [r] = asof_join(
+        left, right, on=["k"], left_time="t", value_cols=["v"]
+    ).collect()
+    assert r["v"] is None
+    # with a 10s tolerance: same row, still NULL — NOT the stale 7.0
+    # (its row at t=50 is 50s old, far outside tolerance)
+    [r] = asof_join(
+        left, right, on=["k"], left_time="t", value_cols=["v"],
+        tolerance_seconds=10,
+    ).collect()
+    assert r["v"] is None
+    # pandas agreement on the same frames
+    lp = left.toPandas().sort_values("t")
+    rp = right.toPandas().sort_values("t")
+    m = pd.merge_asof(
+        lp, rp, on="t", by="k", tolerance=pd.Timedelta(seconds=10)
+    )
+    assert m["v"].isna().all()
+
+
+def test_multi_value_columns_come_from_one_row(spark):
+    """Two value columns with complementary NULLs: the attached pair
+    must both come from the matched (newest) row, never a mix of
+    rows."""
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("k", base + timedelta(seconds=100))], "k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", base + timedelta(seconds=50), 1.0, None),
+            ("k", base + timedelta(seconds=99), None, 2.0),
+        ],
+        "k string, t timestamp, x double, y double",
+    )
+    [r] = asof_join(
+        left, right, on=["k"], left_time="t", value_cols=["x", "y"]
+    ).collect()
+    assert (r["x"], r["y"]) == (None, 2.0)  # one row, wholesale
+
+
+def test_tolerance_scientific_notation_and_validation(spark):
+    """Review r5: tiny tolerances (repr'd in scientific notation)
+    must not break the interval expression; NaN/negative/inf raise."""
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("k", base + timedelta(seconds=100))], "k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", base + timedelta(seconds=99), 5.0)],
+        "k string, t timestamp, v double",
+    )
+    [r] = asof_join(
+        left, right, on=["k"], left_time="t", value_cols=["v"],
+        tolerance_seconds=1e-05,
+    ).collect()
+    assert r["v"] is None  # 1s gap >> 10µs tolerance
+    for bad in (float("nan"), -1.0, float("inf")):
+        with pytest.raises(ValueError, match="tolerance_seconds"):
+            asof_join(
+                left, right, on=["k"], left_time="t",
+                value_cols=["v"], tolerance_seconds=bad,
+            )

@@ -23,8 +23,17 @@ from pyspark.sql import functions as F
 
 
 def fingerprint(text: Column) -> Column:
-    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase."""
-    return F.md5(F.lower(F.trim(text)))
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase.
+    Normalization is real, not just edge-trim: interior space runs
+    collapse (same ``instr``-guarded regex as :func:`shingle_array`),
+    so 'a  b' and 'a b' — the doubled-space noise of scraped corpora —
+    fingerprint identically."""
+    norm = F.trim(
+        F.when(
+            F.instr(text, "  ") > 0, F.regexp_replace(text, " +", " ")
+        ).otherwise(text)
+    )
+    return F.md5(F.lower(norm))
 
 
 def exact_dedup(
@@ -33,14 +42,25 @@ def exact_dedup(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Keep the lowest-id document per exact text fingerprint.
-    One shuffle on the fingerprint; min() aggregation, no window."""
+    One shuffle on the fingerprint; min() aggregation, no window.
+
+    NULL-text documents are NOT duplicates of each other (unknown
+    content is not identical content; SQL GROUP BY would pool every
+    NULL fingerprint into one group and silently delete all but one)
+    — they pass through untouched with ``n_copies = 1``."""
     fp = fingerprint(F.col(text_col))
+    with_fp = docs.withColumn("__fp", fp)
     keepers = (
-        docs.select(fp.alias("__fp"), F.col(id_col))
+        with_fp.filter(F.col("__fp").isNotNull())
+        .select("__fp", F.col(id_col))
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
     )
-    return keepers.join(docs, id_col, "inner").drop("__fp")
+    deduped = keepers.join(docs, id_col, "inner").drop("__fp")
+    nulls = docs.filter(F.col(text_col).isNull()).withColumn(
+        "n_copies", F.lit(1).cast("long")
+    )
+    return deduped.unionByName(nulls.select(*deduped.columns))
 
 
 def shingle_array(text: Column, n: int = 3) -> Column:
@@ -191,6 +211,23 @@ def minhash_signatures(
     )
 
 
+def _rows_per_band(num_hashes: int, bands: int) -> int:
+    """Equal-width banding or nothing: an uneven split silently
+    changes the collision model (the wide path would drop the
+    trailing ``num_hashes % bands`` hashes entirely while the tall
+    path would grow an extra undersized band whose per-pair collision
+    probability approaches the raw Jaccard — two different wrong
+    answers from the same signatures)."""
+    if bands <= 0 or num_hashes % bands:
+        raise ValueError(
+            f"LSH banding: bands={bands} must positively divide "
+            f"num_hashes={num_hashes} — the banding model (Manku et "
+            "al.) assumes equal-width bands; pick bands from the "
+            "divisors of num_hashes"
+        )
+    return num_hashes // bands
+
+
 def lsh_band_sigs_wide(
     wide_signatures: DataFrame,
     num_hashes: int = 16,
@@ -201,7 +238,7 @@ def lsh_band_sigs_wide(
     projection + explode (bands rows/doc), NO shuffle: each band's
     signature is the concatenation of its h-columns, vs the tall form's
     groupBy + collect_list which shuffles k rows/doc."""
-    rows_per_band = num_hashes // bands
+    rows_per_band = _rows_per_band(num_hashes, bands)
     band_structs = F.array(
         *[
             F.struct(
@@ -241,7 +278,7 @@ def lsh_candidate_pairs(
     if wide:
         band_sigs = lsh_band_sigs_wide(signatures, num_hashes, bands, id_col)
     else:
-        rows_per_band = num_hashes // bands
+        rows_per_band = _rows_per_band(num_hashes, bands)
         banded = signatures.withColumn("band", F.floor(F.col("seed") / rows_per_band))
         band_sigs = banded.groupBy(id_col, "band").agg(
             F.md5(
@@ -335,7 +372,7 @@ def minhash_pairs_fused(
     map-side-combined bucket count (guard, broadcast back), and the
     banded self-join — versus the naive plan's six (band agg, guard
     join, self-join, distinct, and two sig joins)."""
-    rows_per_band = num_hashes // bands
+    rows_per_band = _rows_per_band(num_hashes, bands)
     # one array column carries the signature through the join (vs k
     # scalar columns, whose 2k-wide join filter/projection costs a
     # multi-second Janino compile at first use)
@@ -361,13 +398,20 @@ def minhash_pairs_fused(
         F.col("__b.band_sig").alias("band_sig"),
     )
     if max_bucket_size:
-        # map-side-combined count, tiny result broadcast back — the
-        # big banded side is never reshuffled for the guard
+        # map-side-combined count joined back WITHOUT a broadcast
+        # hint: the surviving bucket table is ~(docs x bands) rows on
+        # a mostly-unique corpus (the filter only removes OVERSIZED
+        # buckets), which a forced broadcast would ship whole to the
+        # driver and every executor — an OOM at the corpus sizes this
+        # operator targets. The join key equals the self-join key, so
+        # the guard shares the banded frame's partitioning, and AQE
+        # still picks a broadcast at runtime whenever the table
+        # actually is small.
         sizes = banded.groupBy("band", "band_sig").agg(
             F.count(F.lit(1)).alias("__sz")
         )
         banded = banded.join(
-            F.broadcast(sizes.filter(F.col("__sz") <= max_bucket_size)),
+            sizes.filter(F.col("__sz") <= max_bucket_size),
             ["band", "band_sig"],
         ).drop("__sz")
     a = banded.select(
@@ -414,12 +458,18 @@ def minhash_dedup_pairs(
     """End-to-end near-dup pipeline: shingle -> minhash -> LSH bands ->
     candidate pairs + estimated-Jaccard in one fused self-join.
 
-    Signatures are cached: they are tiny (one row per doc, k ints) and
-    feed the guard count plus both join sides — without the cache the
-    shingle+md5 scan would run once per consumer."""
+    Signatures are materialized once via a lazy localCheckpoint: they
+    are tiny (one row per doc, k ints) and feed the guard count plus
+    both join sides — without it the shingle+md5 scan would run once
+    per consumer. localCheckpoint, not ``cache()``, for a
+    lazily-returned frame: its blocks are reclaimed by the
+    ContextCleaner when the plan is garbage-collected, where a cache
+    entry leaks in the CacheManager per call unless the CALLER
+    remembers to unpersist (the bigram_lm_scores pattern; the
+    executor-loss recovery trade is documented there)."""
     sigs = minhash_wide_from_docs(
         docs, text_col, id_col, shingle_n, num_hashes
-    ).cache()
+    ).localCheckpoint(eager=False)
     return minhash_pairs_fused(sigs, num_hashes, bands, id_col).filter(
         F.col("est_jaccard") >= threshold
     )
@@ -443,13 +493,15 @@ def ngram_jaccard_pairs(
     """
     # per-doc shingle SETS as arrays (map-side); they feed the
     # document-frequency count, the blocking join, and the final
-    # intersection — materialize once
+    # intersection — materialized ONCE via lazy localCheckpoint
+    # (reclaimed with the plan by the ContextCleaner; a cache() here
+    # leaks one CacheManager entry per call — see minhash_dedup_pairs)
     arrs = (
         docs.select(
             F.col(id_col), shingle_array(F.col(text_col), shingle_n).alias("__sh")
         )
         .filter(F.size("__sh") > 0)
-        .cache()
+        .localCheckpoint(eager=False)
     )
     # blocking runs on xxhash64(shingle), not the string: the df count
     # and both self-join sides shuffle 8-byte keys instead of ~30-byte
@@ -552,10 +604,16 @@ def ngram_contamination_bloom(
     by definition)."""
     from feature_store_spark.operators.bloom import build_bloom, might_contain
 
+    # the eval gram set feeds up to three consumers (the sizing count,
+    # the Bloom build scan, and the exact confirm join) — materialize
+    # its explode+distinct ONCE (lazy localCheckpoint; ContextCleaner
+    # reclaims with the plan)
     ev_grams = (
         eval_docs.select(
             F.explode(shingle_array(F.col(text_col), n)).alias("__g")
-        ).distinct()
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     if n_grams_estimate is None:
         n_grams_estimate = ev_grams.count()
@@ -595,7 +653,21 @@ def simhash(
     every hash/bit expression stays inside whole-stage codegen — vs the
     interpreted higher-order-function evaluator of a per-row array
     formulation, which measured ~2-3x slower per core.
+
+    ``bits`` is capped at 32: the base word hash is 32 bits (first 8
+    md5 hex chars), so bits above it would always vote -1 and come
+    out zero — every doc would collide in those blocks and pigeonhole
+    banding would silently degenerate (and ``1 << 63`` overflows
+    LongType outright). A 64-bit variant needs a 16-hex-char base
+    hash split across two longs; raise loudly until someone builds
+    that, never degrade silently.
     """
+    if not 1 <= bits <= 32:
+        raise ValueError(
+            f"simhash: bits={bits} unsupported — the md5-derived base "
+            "hash is 32 bits; bits in 33..64 would produce all-zero "
+            "high bits (silent banding degeneration). Use bits <= 32."
+        )
     words = F.filter(
         F.array_distinct(F.split(F.col(text_col), " ")),
         lambda w: F.length(w) > 0,
@@ -746,23 +818,32 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine >= threshold.
     Optionally blocked on ``block_col`` (e.g. an LSH bucket or IVF
-    cluster from similarity.assign_clusters) to avoid all-pairs."""
+    cluster from similarity.assign_clusters) to avoid all-pairs.
+    Without a block the comparison is genuinely all-pairs and runs as
+    an explicit crossJoin — parallelized across the left side's
+    partitions (an equi-join on a constant key would hash EVERY row
+    into one shuffle partition and run the whole O(n²) in a single
+    task); it is the bounded-evaluation path, not the scale path."""
     from feature_store_spark.operators.similarity import _norm, _dot
 
     e = embeddings.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
-        *( [F.col(block_col).alias("__blk")] if block_col else [F.lit(0).alias("__blk")] ),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
     ).withColumn("__n", _norm(F.col("__v")))
     a = e.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"), "__blk",
+        F.col("__n").alias("__na"), *(["__blk"] if block_col else []),
     )
     b = e.select(
         F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"), "__blk",
+        F.col("__n").alias("__nb"), *(["__blk"] if block_col else []),
     )
-    pairs = a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b"))
+    if block_col:
+        pairs = a.join(b, "__blk")
+    else:
+        pairs = a.crossJoin(b)
+    pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
@@ -799,6 +880,9 @@ def tfidf_cosine_pairs(
     n_docs = tf.select(
         F.countDistinct(id_col).alias("__n_docs")
     )
+    # the weighted vectors feed THREE consumers (norms + both
+    # dot-product sides) — materialize the tf→df→weight plan once
+    # (lazy localCheckpoint; ContextCleaner reclaims with the plan)
     w = (
         tf.join(dfc, "__w")
         .crossJoin(F.broadcast(n_docs))
@@ -810,10 +894,16 @@ def tfidf_cosine_pairs(
                 * (F.log((F.col("__n_docs") + 1.0) / (F.col("__df") + 1.0)) + 1.0)
             ).alias("__wt"),
         )
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("__wt") ** 2)).alias("__nrm"))
+    # blocking shingles LOWERCASED to match the scoring tokens (words()
+    # lowercases): without this, case-variant near-identical docs have
+    # cosine 1.0 yet share zero case-sensitive shingles and are never
+    # candidates — a systematic recall hole
     sh = docs.select(
-        F.col(id_col), F.explode(shingle_array(F.col(text_col), 3)).alias("__sh")
+        F.col(id_col),
+        F.explode(shingle_array(F.lower(F.col(text_col)), 3)).alias("__sh"),
     )
     sh_df = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
     rare = sh.join(sh_df.filter(F.col("__df") <= rare_df_max), "__sh")

@@ -3236,7 +3236,11 @@ def q_tfidf_cosine(spark, sf_dir):
 
 
 TFIDF_COSINE_SQL = f"""
-WITH corpus AS ({_CORPUS_NEAR_SQL}),
+-- corpus lowercased up front so the shared shingle CTE blocks on the
+-- SAME case the scoring tokens use (mirrors tfidf_cosine_pairs'
+-- lowercased blocking shingles)
+WITH corpus0 AS ({_CORPUS_NEAR_SQL}),
+corpus AS (SELECT doc_id, lower(text) AS text FROM corpus0),
 tall AS (
   SELECT doc_id, tok FROM (
     SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),

@@ -354,3 +354,66 @@ def test_resize_images_plumbing(docs):
     assert all(len(r["payload"]) == 32 for r in rows)
     assert all((r["width"], r["height"]) == (8, 4) for r in rows)
     assert dict(out.dtypes)["payload"] == "binary"
+
+
+def test_exact_dedup_null_texts_are_not_duplicates(spark):
+    """Review r5: NULL text is unknown content, not identical content
+    — every null-text doc must survive with n_copies=1 instead of
+    being pooled into one NULL-fingerprint group."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "hi"), (4, "hi")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out == {1: 1, 2: 1, 3: 2}
+
+
+def test_exact_dedup_collapses_interior_whitespace(spark):
+    docs = spark.createDataFrame(
+        [(1, "a  b"), (2, "a b"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_lsh_banding_rejects_uneven_bands(spark):
+    """Review r5: bands must divide num_hashes — an uneven split makes
+    the wide and tall paths return DIFFERENT (and both wrong)
+    candidate sets; loud error instead."""
+    import pytest as _pytest
+
+    from feature_store_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="divide"):
+        minhash_dedup_pairs(docs, num_hashes=16, bands=5).collect()
+
+
+def test_simhash_rejects_bits_above_32(spark):
+    import pytest as _pytest
+
+    from feature_store_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="32"):
+        simhash(docs, bits=64)
+
+
+def test_tfidf_blocks_case_variant_near_dups(spark):
+    """Review r5: scoring lowercases, so blocking must too — case
+    variants with cosine 1.0 must become candidates."""
+    from feature_store_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello World Example Text Here"),
+            (2, "hello world example text here"),
+        ],
+        "doc_id long, text string",
+    )
+    [r] = tfidf_cosine_pairs(docs, rare_df_max=4, threshold=0.9).collect()
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["cosine"] == pytest.approx(1.0)

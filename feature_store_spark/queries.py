@@ -507,12 +507,14 @@ def q_histogram(spark, sf_dir):
 
 HISTOGRAM_SQL = """
 WITH bounds AS (
-  SELECT event_type, min(value) AS lo, max(value) AS hi FROM events GROUP BY 1
+  SELECT event_type, min(value) AS lo, max(value) AS hi FROM events
+  WHERE value IS NOT NULL GROUP BY 1
 )
 SELECT e.event_type,
        CAST(least(9, floor((e.value - b.lo) / (b.hi - b.lo) * 10.0)) AS INT) AS bin,
        CAST(count(*) AS BIGINT) AS bin_count
 FROM events e JOIN bounds b ON e.event_type = b.event_type
+WHERE e.value IS NOT NULL
 GROUP BY 1, 2
 """
 

@@ -60,15 +60,31 @@ def histogram(
     Two aggregations over one scan lineage: per-group min/max, then a
     broadcast join back and a groupBy on (group, bin). The max value
     lands in the last bin (clamped), matching width_bucket semantics.
+
+    NULL handling (review r5): NULL values are excluded from every bin
+    — Spark's ``least(B-1, null)`` skips the null and would otherwise
+    count null rows as a phantom spike in the LAST bin. NULL group
+    keys keep their histogram: the bounds join is null-safe
+    (``<=>``), where a plain equi-join would silently drop the whole
+    null-key group.
     """
     v = F.col(value_col)
+    df = df.filter(v.isNotNull())
     bounds = (df.groupBy(*group_cols) if group_cols else df.groupBy()).agg(
         F.min(v).alias("__lo"), F.max(v).alias("__hi")
     )
-    joined = (
-        df.join(F.broadcast(bounds), list(group_cols)) if group_cols
-        else df.crossJoin(F.broadcast(bounds))
-    )
+    if group_cols:
+        b = F.broadcast(bounds.select(
+            *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+            "__lo", "__hi",
+        ))
+        cond = None
+        for c in group_cols:
+            term = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = term if cond is None else (cond & term)
+        joined = df.join(b, cond).drop(*[f"__g_{c}" for c in group_cols])
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(num_bins))
     bin_expr = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
         F.least(
@@ -81,6 +97,23 @@ def histogram(
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("bin_count"))
     )
+
+
+def _reject_nan_cols(cols, stats) -> None:
+    """NaN makes quantiles undefined AND breaks the selection
+    machinery mechanically (``max`` returns NaN under Spark's
+    NaN-greatest ordering, so the bin width is NaN and every row
+    clamps into the last bin — narrowing never converges, ending in a
+    misleading 'raise max_rounds' error). Fail loudly with the real
+    cause instead, in the same pass that computes the other stats
+    (review r5; corr_matrix already rejects NaN the same way)."""
+    bad = [c for c in cols if stats[f"__nan_{c}"]]
+    if bad:
+        raise ValueError(
+            f"quantiles: columns {bad} contain NaN — quantiles are "
+            "undefined over NaN (and DuckDB/numpy order it "
+            "differently than Spark); filter or impute first"
+        )
 
 
 def selection_quantiles(
@@ -139,9 +172,13 @@ def selection_quantiles(
                     F.count(F.col(c).cast("double")).alias(f"__n_{c}"),
                     F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
                     F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+                    F.count_if(F.isnan(F.col(c).cast("double"))).alias(
+                        f"__nan_{c}"
+                    ),
                 )
             ]
         ).first()
+        _reject_nan_cols(cols, stats)
 
     # ranks (0-indexed) needed per column for interpolation
     need: dict[str, set[int]] = {}
@@ -216,21 +253,33 @@ def selection_quantiles(
                 F.struct(
                     F.lit(gi).alias("key"),
                     F.when(_member(c, chain), _bin(c, lo, hi)).alias("bin"),
+                    F.col(c).cast("double").alias("v"),
                 )
             )
-        tall = (
-            df.select(F.explode(F.array(*parts)).alias("r"))
-            .select("r.key", "r.bin")
-            .filter(F.col("bin").isNotNull())
-        )
+        # per-(key, bin): count AND value min/max in the same pass —
+        # min == max identifies a HOT-VALUE bin (zero-inflated columns:
+        # billions of one repeated value) that no amount of narrowing
+        # can shrink; its quantile resolves to that value directly,
+        # keeping the driver collect bounded (review r5)
         counts = (
-            tall.groupBy("key", "bin")
-            .agg(F.count(F.lit(1)).alias("c"))
+            df.select(F.explode(F.array(*parts)).alias("r"))
+            .select("r.key", "r.bin", "r.v")
+            .filter(F.col("bin").isNotNull())
+            .groupBy("key", "bin")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("vmin"),
+                F.max("v").alias("vmax"),
+            )
             .collect()
         )
-        by_key: dict[int, dict[int, int]] = {}
+        by_key: dict[int, dict[int, tuple]] = {}
         for r in counts:
-            by_key.setdefault(r["key"], {})[r["bin"]] = r["c"]
+            by_key.setdefault(r["key"], {})[r["bin"]] = (
+                r["c"],
+                r["vmin"],
+                r["vmax"],
+            )
         nxt = {}
         # rank -> (collect-chain, offset inside it); chains are deduped
         # so k and k+1 landing in the same bin share one chain and the
@@ -245,8 +294,14 @@ def selection_quantiles(
             hist = pend_hist[(c, k)]
             cum = 0
             for b in range(bins):
-                cb = hist.get(b, 0)
+                cb, vmin, vmax = hist.get(b, (0, None, None))
                 if cum + cb > off:
+                    if vmin == vmax:
+                        # hot-value bin: every row is the same value —
+                        # the rank resolves immediately, no collect,
+                        # regardless of how many rows repeat it
+                        resolved[(c, k)] = vmin
+                        break
                     full = chain + ((lo, hi, b),)
                     width = (hi - lo) / bins
                     b_lo = lo + b * width
@@ -254,6 +309,10 @@ def selection_quantiles(
                     if cb <= collect_limit or b_lo == b_hi:
                         # degenerate child geometry (b_lo == b_hi)
                         # cannot narrow further — forced collect
+                        # (bounded: the bin spans ~one float ulp yet
+                        # holds >1 distinct value, so the only
+                        # unbounded case — one repeated value — was
+                        # already resolved above)
                         to_collect.setdefault((c, full), []).append(
                             (k, off - cum)
                         )
@@ -448,9 +507,13 @@ def quantile_values(
                 F.count(F.col(c).cast("double")).alias(f"__n_{c}"),
                 F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
                 F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+                F.count_if(F.isnan(F.col(c).cast("double"))).alias(
+                    f"__nan_{c}"
+                ),
             )
         ]
     ).first()
+    _reject_nan_cols(cols, stats)
     low = [c for c in cols if stats[f"__d_{c}"] <= distinct_limit]
     high = [c for c in cols if stats[f"__d_{c}"] > distinct_limit]
     out: dict[str, list[float]] = {}
@@ -477,8 +540,15 @@ def corr_matrix(
     arithmetic, associative, partition-order-proof — and the closed
     form ``(n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx²)(n*Syy - Sy²))`` is
     evaluated once on the collected statistics (driver-side, metadata
-    scale: k + k(k+1)/2 numbers). Correlation is scale-invariant, so
-    the integer scaling drops out of the result.
+    scale: k + k(k+1)/2 numbers). Correlation is invariant under the
+    LINEAR scaling, but the ``round()`` is a real quantization: the
+    computed statistic is the Pearson r of the values rounded to a
+    1/``scale`` grid. Choose ``scale`` so that grid sits below the
+    resolution you care about — the default 100 (cents) suits
+    money/count-like columns; rate-like columns in [0, 0.01] need
+    ``scale=1e6`` or they quantize to a constant (reported as a None
+    correlation, the zero-variance signal, rather than a wrong
+    number).
 
     Plan-size guard (VERDICT r3 #7): the k(k+1)/2 pair products are
     aggregated in CHUNKS of ``pair_chunk`` expressions. At the k≈4 of
@@ -616,14 +686,26 @@ def winsorized_stats(
                 for c in cols
             ]
         ).first()
+        bad = [c for c in cols if row[c] is None]
+        if bad:
+            raise ValueError(
+                f"winsorized_stats: columns {bad} have no non-null "
+                "values — clip bounds are undefined"
+            )
         bounds = {c: (row[c][0], row[c][1]) for c in cols}
-    j = df
     aggs = []
     for i, c in enumerate(cols):
         v = F.col(c).cast("double")
         lo, hi = F.lit(bounds[c][0]), F.lit(bounds[c][1])
-        cents = F.round(F.greatest(lo, F.least(hi, v)) * 100).cast(
-            "decimal(38,0)"
+        # null guard FIRST: Spark's least/greatest SKIP nulls, so a
+        # bare greatest(lo, least(hi, null)) would clip every NULL to
+        # the upper bound and silently inflate the sums while count(v)
+        # excluded it — nulls must contribute nothing to s/ss
+        cents = F.when(
+            v.isNotNull(),
+            F.round(F.greatest(lo, F.least(hi, v)) * 100).cast(
+                "decimal(38,0)"
+            ),
         )
         aggs += [
             F.count(v).alias(f"__n_{i}"),
@@ -634,7 +716,7 @@ def winsorized_stats(
             F.sum(cents).alias(f"__s_{i}"),
             F.sum(cents * cents).alias(f"__ss_{i}"),
         ]
-    wide = j.agg(*aggs)
+    wide = df.agg(*aggs)
     rows = F.array(
         *[
             F.struct(
@@ -722,8 +804,6 @@ def psi_report(
         r, u = _counts(ref_slice), _counts(cur)
     finally:
         ref_slice.unpersist()
-    import math as _m
-
     rows = []
     for c in cols:
         n_r, n_u = r[f"__{c}_n"], u[f"__{c}_n"]
@@ -731,7 +811,7 @@ def psi_report(
         for i in range(bins):
             p = max(r[f"__{c}_{i}"] / n_r, eps) if n_r else eps
             q = max(u[f"__{c}_{i}"] / n_u, eps) if n_u else eps
-            val += (p - q) * _m.log(p / q)
+            val += (p - q) * math.log(p / q)
         rows.append((c, int(n_r), int(n_u), round(val, 6)))
     return ref.sparkSession.createDataFrame(
         rows, "feature string, n_ref long, n_cur long, psi double"
@@ -790,8 +870,6 @@ def psi_report_split(
                 F.count_if(flag & v.isNotNull()).alias(f"__{side}_{c}_n")
             )
     row = df.agg(*aggs).first()
-    import math as _m
-
     rows = []
     for c in cols:
         n_r, n_u = row[f"__r_{c}_n"], row[f"__u_{c}_n"]
@@ -799,7 +877,7 @@ def psi_report_split(
         for i in range(bins):
             p = max(row[f"__r_{c}_{i}"] / n_r, eps) if n_r else eps
             q = max(row[f"__u_{c}_{i}"] / n_u, eps) if n_u else eps
-            val += (p - q) * _m.log(p / q)
+            val += (p - q) * math.log(p / q)
         rows.append((c, int(n_r), int(n_u), round(val, 6)))
     return df.sparkSession.createDataFrame(
         rows, "feature string, n_ref long, n_cur long, psi double"
@@ -816,14 +894,26 @@ def quantile_threshold_label(
 ) -> DataFrame:
     """Label rows above the (per-group) quantile of ``value_col`` —
     the fraud-label construction (python/gbdt_example/dataset.py:114:
-    ``risk > quantile(risk, 0.92)``)."""
+    ``risk > quantile(risk, 0.92)``).
+
+    The threshold join is NULL-SAFE on the group keys (review r5): a
+    plain equi-join never matches NULL keys, so rows of a null-key
+    group would silently vanish from the labeled output — row-count
+    changes in a labeling step are training-data loss."""
     v = F.col(value_col)
     q = F.percentile(v, F.lit(quantile)) if exact else F.percentile_approx(v, F.lit(quantile))
     thr = (df.groupBy(*group_cols) if group_cols else df.groupBy()).agg(
         q.alias("__thr")
     )
-    joined = (
-        df.join(F.broadcast(thr), list(group_cols)) if group_cols
-        else df.crossJoin(F.broadcast(thr))
-    )
+    if group_cols:
+        b = F.broadcast(thr.select(
+            *[F.col(c).alias(f"__g_{c}") for c in group_cols], "__thr"
+        ))
+        cond = None
+        for c in group_cols:
+            term = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = term if cond is None else (cond & term)
+        joined = df.join(b, cond).drop(*[f"__g_{c}" for c in group_cols])
+    else:
+        joined = df.crossJoin(F.broadcast(thr))
     return joined.withColumn(label_col, (v > F.col("__thr")).cast("int")).drop("__thr")

@@ -640,3 +640,85 @@ def test_decay_rejects_year_month_half_life(spark):
     for bad in ("1 month", "2 YEARS", "1 year 2 days"):
         with pytest.raises(ValueError, match="year-month"):
             time_decayed_sum(df, ["k"], "ts", "v", half_life=bad)
+
+
+class TestNullAndNanGuards:
+    """Review r5: silent wrong-answer bugs on nullable/NaN inputs."""
+
+    def test_winsorized_nulls_contribute_nothing(self, spark):
+        """least/greatest skip nulls — a NULL value must NOT be
+        clipped to the upper bound and summed."""
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (None,)], "a double"
+        )
+        [r] = winsorized_stats(df, ["a"], p_lo=0.0, p_hi=1.0).collect()
+        assert r["n"] == 2
+        assert r["mean_w"] == pytest.approx(1.5)  # was 2.5 pre-fix
+
+    def test_winsorized_approx_all_null_raises(self, spark):
+        df = spark.createDataFrame([(None,)] * 3, "a double")
+        with pytest.raises(ValueError, match="no non-null"):
+            winsorized_stats(df, ["a"], exact=False)
+
+    def test_histogram_nulls_no_phantom_last_bin(self, spark):
+        from feature_store_spark.stats import histogram
+
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (3.0,), (None,), (None,)], "v double"
+        )
+        out = {r["bin"]: r["bin_count"] for r in histogram(df, "v").collect()}
+        assert sum(out.values()) == 3  # nulls binned nowhere
+        assert out.get(9, 0) == 1  # only the true max, no phantom +2
+
+    def test_histogram_null_group_key_kept(self, spark):
+        from feature_store_spark.stats import histogram
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), (None, 5.0), (None, 6.0)],
+            "g string, v double",
+        )
+        out = histogram(df, "v", group_cols=["g"]).collect()
+        groups = {r["g"] for r in out}
+        assert None in groups  # the null-key group keeps its histogram
+        assert sum(r["bin_count"] for r in out if r["g"] is None) == 2
+
+    def test_threshold_label_null_group_rows_survive(self, spark):
+        from feature_store_spark.stats import quantile_threshold_label
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), (None, 5.0), (None, 10.0)],
+            "g string, v double",
+        )
+        out = quantile_threshold_label(
+            df, "v", quantile=0.5, group_cols=["g"]
+        )
+        assert out.count() == 4  # no silent row loss
+        got = {
+            (r["g"], r["v"]): r["label"] for r in out.collect()
+        }
+        assert got[(None, 10.0)] == 1 and got[(None, 5.0)] == 0
+
+    def test_quantile_values_rejects_nan(self, spark):
+        from feature_store_spark.stats import quantile_values
+
+        df = spark.createDataFrame(
+            [(1.0,), (float("nan"),), (2.0,)], "a double"
+        )
+        with pytest.raises(ValueError, match="NaN"):
+            quantile_values(df, ["a"], [0.5])
+
+    def test_selection_hot_value_resolves_without_collect(
+        self, spark, monkeypatch
+    ):
+        """A zero-inflated column whose hot value dwarfs collect_limit
+        must resolve from the bin's min==max, never by collecting the
+        hot bin to the driver."""
+        from pyspark.sql import functions as SF
+
+        df = spark.createDataFrame(
+            [(0.0,)] * 5000, "a double"
+        ).unionByName(
+            spark.range(100).select((SF.col("id") + 1000.0).alias("a"))
+        )
+        got = selection_quantiles(df, ["a"], [0.5], collect_limit=100)
+        assert got["a"][0] == 0.0  # median is the hot value, exact

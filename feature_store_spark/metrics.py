@@ -20,6 +20,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _scored_rows(df: DataFrame, score_col: str) -> DataFrame:
+    """Rows with a REAL score: NULL and NaN scores are data-quality
+    problems, not rankable predictions — excluded from every metric
+    that ranks or averages over the score (documented per metric)."""
+    s = F.col(score_col)
+    return df.filter(s.isNotNull() & ~F.isnan(s.cast("double")))
+
+
 def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """Area under the ROC curve, exact, tie-aware.
 
@@ -28,7 +36,14 @@ def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     rows. Scale shape: one groupBy(score) (map-side combinable), then a
     window over *distinct scores only* — the single-partition sort sees
     |distinct scores| rows, not |rows|.
+
+    Rows whose score is NULL or NaN are EXCLUDED (review r5): Spark's
+    ordering would otherwise rank NULL below every real score and NaN
+    above every real score, silently folding unscored rows into the
+    metric (sklearn raises on the same input); non-{0,1} labels never
+    count in P or N.
     """
+    df = _scored_rows(df, score_col)
     y = F.col(label_col).cast("double")
     g = df.groupBy(F.col(score_col).alias("__s")).agg(
         F.count_if(y == 1.0).cast("double").alias("__p"),
@@ -60,11 +75,19 @@ def auc_pr(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     sklearn's average_precision_score with ties handled as one group.
     Same scale shape as auc_roc: groupBy(score) first, so the ordering
     window sees |distinct scores| rows only.
+
+    Rows with NULL/NaN scores are excluded (see :func:`auc_roc`), and
+    the precision denominator counts only rows with a BINARY label —
+    a null-label row previously inflated cum(TP+FP) while never
+    counting as a TP, silently deflating every precision (review r5;
+    auc_roc already ignored such rows, so the two metrics disagreed
+    about the same frame).
     """
+    df = _scored_rows(df, score_col)
     y = F.col(label_col).cast("double")
     g = df.groupBy(F.col(score_col).alias("__s")).agg(
         F.count_if(y == 1.0).cast("double").alias("__p"),
-        F.count(F.lit(1)).cast("double").alias("__t"),
+        F.count_if(y.isin(0.0, 1.0)).cast("double").alias("__t"),
     )
     w_cum = Window.orderBy(F.col("__s").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -81,6 +104,15 @@ def auc_pr(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
 
 
 def logloss(df: DataFrame, prob_col: str, label_col: str, eps: float = 1e-15) -> DataFrame:
+    """Mean negative log-likelihood of binary labels under ``prob_col``
+    (clamped to [eps, 1-eps]).
+
+    Rows with NULL/NaN probabilities are EXCLUDED (review r5): Spark's
+    null-skipping ``greatest`` turned a NULL prob into eps and the
+    NaN-greatest ordering turned NaN into 1-eps, so one unscored row
+    with the wrong label injected ~-ln(eps) ≈ 34.5 into the average —
+    enough to flip a logloss gate with no error."""
+    df = _scored_rows(df, prob_col)
     p = F.least(F.greatest(F.col(prob_col), F.lit(eps)), F.lit(1.0 - eps))
     y = F.col(label_col).cast("double")
     return df.agg(
@@ -94,7 +126,13 @@ def confusion_matrix(
     df: DataFrame, pred_col: str, label_col: str
 ) -> DataFrame:
     """tp/fp/fn/tn + precision/recall/f1 at a fixed prediction column
-    (0/1). Reference thresholds at 0.5 (MerchantFraudExample.java:427-445)."""
+    (0/1). Reference thresholds at 0.5 (MerchantFraudExample.java:427-445).
+
+    Rows with a null pred or label fall in NO cell, so
+    tp+fp+fn+tn < input rows when the frame carries unlabeled rows —
+    by design (a null is neither a positive nor a negative call), but
+    callers reconciling against an external total must count nulls
+    separately."""
     p = F.col(pred_col).cast("int")
     y = F.col(label_col).cast("int")
     agg = df.agg(
@@ -176,17 +214,16 @@ def average_precision(
     tb = [F.col(t).asc() for t in tiebreak]
     w = Window.partitionBy(group_col).orderBy(F.col(score_col).desc(), *tb)
     is_rel = (F.col(rel_col) >= rel_threshold).cast("double")
+    # row_number and the running relevant-count share ONE window spec
+    # (same partition, same sort) — a second orderBy(__rn) window
+    # would force an extra per-group sort for the identical order
     ranked = df.select(
         F.col(group_col),
         is_rel.alias("__rel"),
         F.row_number().over(w).alias("__rn"),
-    ).withColumn(
-        "__cum_rel",
-        F.sum("__rel").over(
-            Window.partitionBy(group_col)
-            .orderBy("__rn")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+        F.sum(is_rel)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__cum_rel"),
     )
     ap = F.sum(
         F.when(F.col("__rel") == 1.0, F.col("__cum_rel") / F.col("__rn"))
@@ -215,8 +252,18 @@ def calibration_bins(
 
     One scan + one key-local aggregate on the bin id (map-side
     partials); output is ``bins`` rows at any input size.
+
+    Only rows with a prob in [0, 1] are binned (review r5): NaN used
+    to land in bin 0 (``floor(NaN)`` casts to 0) and poison its
+    mean_confidence; p < 0 emitted NEGATIVE bin ids and p > 1 merged
+    silently into the top bin. An out-of-range probability is a
+    broken scorer — it must not distort the reliability diagram of
+    the in-range rows.
     """
     p = F.col(prob_col).cast("double")
+    df = df.filter(
+        p.isNotNull() & ~F.isnan(p) & (p >= 0.0) & (p <= 1.0)
+    )
     b = F.least(F.lit(bins - 1), F.floor(p * bins)).cast("int")
     return (
         df.select(

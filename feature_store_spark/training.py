@@ -198,7 +198,13 @@ def cross_validate_logistic(
     epochs: int = 20,
 ) -> list[dict]:
     """K-fold CV: per fold, fit on k-1 folds, evaluate AUC on the
-    held-out fold (M6's StratifiedKFold loop as dataflow)."""
+    held-out fold (M6's StratifiedKFold loop as dataflow).
+
+    A fold whose held-out slice contains a single class has an
+    undefined AUC (P·N = 0) and records ``auc_roc: None`` — callers
+    aggregating across folds (max/mean) must filter those explicitly
+    rather than trip a TypeError on None; the stratified tag makes
+    this rare but small inputs can still produce it."""
     from feature_store_spark.metrics import auc_roc
 
     tagged = stratified_kfold_tag(df, label_col, k, entity_col).cache()

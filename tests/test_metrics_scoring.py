@@ -174,3 +174,68 @@ def test_score_topk_equals_full_sort_head(spark, feature_rows):
         .collect()
     )
     assert [r["id"] for r in topk] == [r["id"] for r in full[:10]]
+
+
+class TestMetricNullNanGuards:
+    """Review r5: unscored rows (null/NaN) must be excluded from
+    ranking metrics, not silently folded in as extreme ranks."""
+
+    def test_auc_ignores_null_and_nan_scores(self, spark):
+        from feature_store_spark.metrics import auc_pr, auc_roc
+
+        clean = spark.createDataFrame(
+            [(0.9, 1), (0.8, 0), (0.7, 1), (0.2, 0)],
+            "score double, label int",
+        )
+        dirty = clean.unionByName(
+            spark.createDataFrame(
+                [(None, 1), (float("nan"), 0)], "score double, label int"
+            )
+        )
+        for metric, col in ((auc_roc, "auc_roc"), (auc_pr, "auc_pr")):
+            a = metric(clean, "score", "label").first()[col]
+            b = metric(dirty, "score", "label").first()[col]
+            assert b == pytest.approx(a)
+
+    def test_auc_pr_null_labels_do_not_deflate_precision(self, spark):
+        from feature_store_spark.metrics import auc_pr
+
+        clean = spark.createDataFrame(
+            [(0.9, 1), (0.8, 0), (0.7, 1)], "score double, label int"
+        )
+        with_unlabeled = clean.unionByName(
+            spark.createDataFrame(
+                [(0.85, None), (0.75, None)], "score double, label int"
+            )
+        )
+        a = auc_pr(clean, "score", "label").first()["auc_pr"]
+        b = auc_pr(with_unlabeled, "score", "label").first()["auc_pr"]
+        assert b == pytest.approx(a)
+
+    def test_logloss_excludes_unscored_rows(self, spark):
+        from feature_store_spark.metrics import logloss
+
+        clean = spark.createDataFrame(
+            [(0.9, 1), (0.1, 0)], "prob double, label int"
+        )
+        dirty = clean.unionByName(
+            spark.createDataFrame(
+                [(None, 1), (float("nan"), 0)], "prob double, label int"
+            )
+        )
+        a = logloss(clean, "prob", "label").first()["logloss"]
+        b = logloss(dirty, "prob", "label").first()["logloss"]
+        assert b == pytest.approx(a)  # was +17 per bad row pre-fix
+
+    def test_calibration_bins_reject_out_of_range(self, spark):
+        from feature_store_spark.metrics import calibration_bins
+
+        df = spark.createDataFrame(
+            [(0.05, 0), (0.95, 1), (float("nan"), 1), (-0.2, 0), (1.7, 1)],
+            "prob double, label int",
+        )
+        out = calibration_bins(df, "prob", "label").collect()
+        bins = {r["bin"]: r for r in out}
+        assert set(bins) == {0, 9}  # no negative bin, no NaN bin-0 row
+        assert bins[0]["n"] == 1 and bins[9]["n"] == 1
+        assert bins[0]["mean_confidence"] == pytest.approx(0.05)

@@ -54,15 +54,44 @@ def global_prefix_sum(
     once the result has been materialized, else the cache lives until
     session end / ``spark.catalog.clearCache()``.
     """
-    if persist and df.storageLevel == StorageLevel.NONE:
+    from pyspark.sql.types import NumericType
+
+    otype = df.schema[order_col].dataType
+    if not isinstance(otype, NumericType):
+        raise TypeError(
+            f"global_prefix_sum: order_col {order_col!r} has type "
+            f"{otype.simpleString()} — the range bucketing needs a "
+            "numeric order column (a string/timestamp id would crash "
+            "on driver-side range arithmetic); map it to a numeric "
+            "rank first"
+        )
+    did_persist = persist and df.storageLevel == StorageLevel.NONE
+    if did_persist:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
     # the bounds action also fills the cache, so the (possibly
-    # expensive) upstream of df is computed exactly once.
+    # expensive) upstream of df is computed exactly once. NULL order
+    # keys are checked in the SAME pass: a NULL would land in a NULL
+    # width_bucket, its tokens would shift every real bucket's offset,
+    # and the offset equi-join would then DROP the row — the exact
+    # primitive must refuse, not silently corrupt.
     bounds = df.agg(
-        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+        F.min(order_col).alias("lo"),
+        F.max(order_col).alias("hi"),
+        F.count_if(F.col(order_col).isNull()).alias("nulls"),
     ).first()
+    if bounds["nulls"]:
+        if did_persist:
+            df.unpersist()
+        raise ValueError(
+            f"global_prefix_sum: {bounds['nulls']} rows have a NULL "
+            f"{order_col!r} — a global order is undefined for them "
+            "(they would silently vanish while still shifting every "
+            "other row's offset). Filter or key them first."
+        )
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:
+        if did_persist:
+            df.unpersist()  # the bounds action materialized it
         return df.withColumn(out_col, F.lit(None).cast("long"))
     # monotone bucketing: equal-width over the order column's range.
     # Skewed order values only unbalance work, never break ordering.
@@ -74,7 +103,7 @@ def global_prefix_sum(
     local = with_b.withColumn("__local_cum", F.sum(value_col).over(w))
     totals = (
         with_b.groupBy("__bkt")
-        .agg(F.sum(value_col).alias("__tot"))
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("__tot"))
         .orderBy("__bkt")
         .collect()
     )
@@ -90,17 +119,42 @@ def global_prefix_sum(
         .withColumn(out_col, (F.col("__local_cum") + F.col("__off")).cast("long"))
         .drop("__bkt", "__local_cum", "__off")
     )
-    out._fss_persisted_input = df
+    if did_persist:
+        # handle only when THIS call created the cache: handing out a
+        # caller-owned cache would let release_prefix_sum_cache
+        # unpersist state the caller still needs. Also registered
+        # module-side, because any .select()/.filter() on the result
+        # returns a NEW DataFrame without the Python attribute — the
+        # no-arg release-all below is the path for those callers.
+        out._fss_persisted_input = df
+        _OUTSTANDING_CACHES.append(df)
     return out
 
 
-def release_prefix_sum_cache(result: DataFrame) -> None:
-    """Unpersist the input cache a prefix-sum-based result rides on
-    (no-op for frames without one). Call AFTER materializing the
-    result — the cache backs its lineage."""
-    cached = getattr(result, "_fss_persisted_input", None)
-    if cached is not None:
-        cached.unpersist()
+_OUTSTANDING_CACHES: list[DataFrame] = []
+
+
+def release_prefix_sum_cache(result: DataFrame | None = None) -> None:
+    """Unpersist the input cache(s) prefix-sum-based results ride on.
+    Call AFTER materializing the result — the cache backs its lineage.
+
+    With a ``result``: releases that result's own cache (no-op for
+    frames without a handle — note any transformation on the result
+    returns a new DataFrame WITHOUT the handle attribute). With no
+    argument: releases every outstanding prefix-sum input cache this
+    module has created — the escape hatch for callers who projected
+    the handle away."""
+    if result is not None:
+        cached = getattr(result, "_fss_persisted_input", None)
+        if cached is not None:
+            cached.unpersist()
+            try:
+                _OUTSTANDING_CACHES.remove(cached)
+            except ValueError:
+                pass
+        return
+    while _OUTSTANDING_CACHES:
+        _OUTSTANDING_CACHES.pop().unpersist()
 
 
 def mixture_sample(
@@ -133,13 +187,22 @@ def mixture_sample(
         .crossJoin(F.broadcast(grand))
         .select(
             F.col(group_col),
-            F.least(
-                F.lit(1.0),
-                F.lit(float(budget_frac))
-                * F.col("__G")
-                * F.coalesce(F.col("__w"), F.lit(0.0))
-                / F.col("__T"),
-            ).alias("__p"),
+            # zero-token groups (all-empty docs) keep probability 0 —
+            # guarded with when(), NOT by letting the division go NULL
+            # into least(): a bare division is a DIVIDE_BY_ZERO
+            # job-killer under Spark 4's default ANSI mode, and
+            # Spark's least() SKIPS nulls, so least(1.0, NULL) would
+            # come back 1.0 and keep the whole degenerate group
+            F.when(
+                F.col("__T") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(budget_frac))
+                    * F.col("__G")
+                    * F.coalesce(F.col("__w"), F.lit(0.0))
+                    / F.col("__T"),
+                ),
+            ).otherwise(F.lit(0.0)).alias("__p"),
         )
     )
     u = (
@@ -212,14 +275,40 @@ def pack_shards(
     whose rows are the shard's documents in token order, and docs that
     straddle a shard boundary are flagged so the writer knows to carry
     their tail into the next shard.
+
+    Contract (enforced, review r5): no document may span MORE than one
+    shard boundary. The row lives only in its FIRST shard's partition
+    and ``spans_next_shard`` is a single boolean, so a doc covering
+    shards k..k+2 would leave shard k+1 with no record that it starts
+    mid-document — a loader reading k+1 standalone would reconstruct
+    wrong sequences. Such a doc (longer than a whole shard,
+    ``seq_len * seqs_per_shard`` tokens) must be chunked first
+    (:func:`~feature_store_spark.operators.packing` chunking /
+    ``doc_chunks``); the layout raises at execution if one slips
+    through rather than emitting a silently unreadable shard.
     """
     placed = pack_sequences(docs, token_col, seq_len, order_col, n_buckets)
     tokens_per_shard = seq_len * seqs_per_shard
+    span = F.expr(f"seq_last div {seqs_per_shard}") - F.expr(
+        f"seq_first div {seqs_per_shard}"
+    )
     shard = placed.withColumn(
         "shard_id", F.expr(f"seq_first div {seqs_per_shard}").cast("long")
     ).withColumn(
         "spans_next_shard",
-        (F.expr(f"seq_last div {seqs_per_shard}") > F.col("shard_id")),
+        F.when(
+            span > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pack_shards: document spans more than one "
+                        "shard boundary (longer than a whole shard, "
+                        f"{tokens_per_shard} tokens) — chunk it first: "
+                    ),
+                    F.col(order_col).cast("string"),
+                )
+            ).cast("boolean"),
+        ).otherwise(span > 0),
     ).withColumn(
         "offset_in_shard",
         (F.col("start_tok") - F.col("shard_id") * tokens_per_shard).cast("long"),

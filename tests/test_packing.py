@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -158,3 +160,68 @@ def test_prefix_sum_cache_release_handle(spark):
     release_prefix_sum_cache(out)
     assert cached.storageLevel == StorageLevel.NONE
     release_prefix_sum_cache(docs)  # frames without a handle: no-op
+
+
+class TestPackingGuards:
+    """Review r5 guards: loud refusal over silent corruption."""
+
+    def test_null_order_key_rejected(self, spark):
+        from feature_store_spark.operators.packing import global_prefix_sum
+
+        df = spark.createDataFrame(
+            [(1, 10), (None, 20), (3, 30)], "doc_id long, n long"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            global_prefix_sum(df, "n", order_col="doc_id")
+
+    def test_non_numeric_order_col_rejected(self, spark):
+        from feature_store_spark.operators.packing import global_prefix_sum
+
+        df = spark.createDataFrame(
+            [("doc_a", 10)], "doc_id string, n long"
+        )
+        with pytest.raises(TypeError, match="numeric"):
+            global_prefix_sum(df, "n", order_col="doc_id")
+
+    def test_mixture_zero_token_group_keeps_nothing_no_crash(self, spark):
+        """A zero-token group must not DIVIDE_BY_ZERO the job under
+        ANSI mode — it keeps nothing (zero mass, zero share)."""
+        from feature_store_spark.operators.packing import mixture_sample
+
+        docs = spark.createDataFrame(
+            [(1, "web", 100), (2, "empty", 0), (3, "empty", 0)],
+            "doc_id long, source string, n_tokens long",
+        )
+        out = mixture_sample(
+            docs, "source", {"web": 0.5, "empty": 0.5},
+            budget_frac=1.0, token_col="n_tokens",
+        )
+        assert {r["source"] for r in out.collect()} <= {"web"}
+
+    def test_doc_spanning_two_boundaries_raises(self, spark):
+        from feature_store_spark.operators.packing import pack_shards
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 700)], "doc_id long, n_tokens long"
+        )
+        # shard = 4 seqs x 64 tokens = 256 tokens; doc 2 covers 3 shards
+        with pytest.raises(Exception, match="more than one shard"):
+            pack_shards(
+                docs, "n_tokens", seq_len=64, seqs_per_shard=4
+            ).collect()
+
+    def test_release_all_outstanding_caches(self, spark):
+        from feature_store_spark.operators.packing import (
+            global_prefix_sum,
+            release_prefix_sum_cache,
+        )
+        from pyspark.storagelevel import StorageLevel
+
+        df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, n long")
+        out = global_prefix_sum(df, "n", order_col="doc_id")
+        projected = out.select("doc_id")  # handle attribute lost here
+        projected.count()
+        cached = out._fss_persisted_input
+        assert cached.storageLevel != StorageLevel.NONE
+        release_prefix_sum_cache()  # no-arg: releases outstanding
+        assert cached.storageLevel == StorageLevel.NONE

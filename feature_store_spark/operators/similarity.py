@@ -33,7 +33,14 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity — THE one formula every path in this module
+    uses (review r5: five call sites used to inline it, so a fix had
+    to land six times). ``try_divide``, not ``/``: a zero-norm vector
+    (the common all-zeros fill for a missing embedding) made the bare
+    division abort the whole job with DIVIDE_BY_ZERO under Spark 4's
+    default ANSI mode; NULL ranks last under the desc top-k windows,
+    which is exactly where a degenerate vector belongs."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def l2_squared(a: Column, b: Column) -> Column:
@@ -58,7 +65,7 @@ def brute_force_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = F.col(vec_col).cast("array<double>")
     if metric == "cosine":
-        score = _dot(v, q) / (_norm(v) * _norm(q))
+        score = cosine(v, q)
         order = [F.col("score").desc(), F.col(id_col).asc()]
     elif metric == "l2":
         score = l2_squared(v, q)
@@ -84,10 +91,15 @@ def knn_join(
     """Top-k neighbors for a (small, broadcastable) batch of query
     vectors: broadcast x scan, per-query row_number. This is the
     ScoreTopK shape (runtime/src/grpc_service.rs:30-89) with cosine as
-    the model."""
+    the model. Queries with a NULL vector (or NULL elements) are
+    excluded — matching :func:`knn_join_arrow`; a question that isn't
+    a vector has no neighbors."""
+    qv = F.col(query_vec_col)
     q = F.broadcast(
-        queries.select(
-            F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("__q")
+        queries.filter(
+            qv.isNotNull() & ~F.exists(qv, lambda x: x.isNull())
+        ).select(
+            F.col(query_id_col), qv.cast("array<double>").alias("__q")
         )
     )
     e = embeddings.select(
@@ -97,9 +109,7 @@ def knn_join(
     scored = crossed.select(
         F.col(query_id_col),
         F.col(id_col),
-        (_dot(F.col("__v"), F.col("__q")) / (_norm(F.col("__v")) * _norm(F.col("__q")))).alias(
-            "score"
-        ),
+        cosine(F.col("__v"), F.col("__q")).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -127,16 +137,26 @@ def knn_join_arrow(
     bench shape, and the per-batch work stays vectorized at any scale.
     The per-query global top-k is the same window as knn_join.
     Differentially tested equal to knn_join (ties broken on id, scores
-    f64 in both plans): id columns keep their input types, and a NULL
-    embedding scores NULL — ranked last under the desc window, exactly
-    as the higher-order plan ranks it.
+    f64 in both plans): id columns keep their input types, and a
+    DEGENERATE embedding — NULL array, NULL element, wrong dimension,
+    or zero norm — scores NULL, ranked last under the desc window,
+    matching the higher-order plan's try_divide/zip_with semantics
+    (review r5: the old path let numpy turn those into NaN, which
+    Spark ranks FIRST on desc, so garbage rows outranked every true
+    neighbor; ragged batches crashed outright). Queries with a NULL
+    vector are excluded in BOTH twins — a question that isn't a
+    vector has no neighbors.
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(
-        F.col(query_id_col), F.col(query_vec_col).cast("array<double>")
-    ).collect()
+    q_rows = [
+        r
+        for r in queries.select(
+            F.col(query_id_col), F.col(query_vec_col).cast("array<double>")
+        ).collect()
+        if r[1] is not None and all(x is not None for x in r[1])
+    ]
     if not q_rows:
         return knn_join(
             queries, embeddings, k, query_id_col, query_vec_col, id_col, vec_col
@@ -147,34 +167,52 @@ def knn_join_arrow(
     qm = np.asarray([r[1] for r in q_rows], dtype=np.float64)  # (q, d)
     qn = np.sqrt((qm * qm).sum(axis=1))
 
+    d = qm.shape[1]
+
     def score_batches(batches):
         for pdf in batches:
             nq = len(qids)
-            valid = pdf[vec_col].notna().to_numpy()
+            # per-ROW validation, not just whole-array notna: a NULL
+            # element or ragged dimension would crash np.asarray, and
+            # a zero norm would mint a NaN that desc-sorts FIRST
+            vals = pdf[vec_col].tolist()
+            valid = np.array(
+                [
+                    a is not None
+                    and len(a) == d
+                    and not any(x is None for x in a)
+                    for a in vals
+                ],
+                dtype=bool,
+            )
             frames = []
             vp = pdf[valid]
             if len(vp):
                 v = np.asarray(vp[vec_col].tolist(), dtype=np.float64)
                 vn = np.sqrt((v * v).sum(axis=1))
-                sims = (v @ qm.T) / (vn[:, None] * qn[None, :])  # (B, q)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (v @ qm.T) / (vn[:, None] * qn[None, :])
+                scores = pd.array(sims.ravel(), dtype="Float64")
+                scores[np.isnan(sims.ravel())] = pd.NA  # zero norms
                 frames.append(
                     pd.DataFrame(
                         {
-                            id_col: np.repeat(vp[id_col].to_numpy(), nq),
                             query_id_col: np.tile(qids, len(vp)),
-                            "score": sims.ravel(),
+                            id_col: np.repeat(vp[id_col].to_numpy(), nq),
+                            "score": scores,
                         }
                     )
                 )
             iv = pdf[~valid]
             if len(iv):
-                # NULL vector -> NULL score (not NaN: Spark sorts NaN
-                # FIRST on desc but NULL last, and knn_join yields NULL)
+                # degenerate vector -> NULL score (not NaN: Spark
+                # sorts NaN FIRST on desc but NULL last, and knn_join
+                # yields NULL for the same rows)
                 frames.append(
                     pd.DataFrame(
                         {
-                            id_col: np.repeat(iv[id_col].to_numpy(), nq),
                             query_id_col: np.tile(qids, len(iv)),
+                            id_col: np.repeat(iv[id_col].to_numpy(), nq),
                             "score": pd.array(
                                 [pd.NA] * (len(iv) * nq), dtype="Float64"
                             ),
@@ -186,7 +224,7 @@ def knn_join_arrow(
 
     scored = embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         score_batches,
-        schema=f"{id_col} {eid_type}, {query_id_col} {qid_type}, score double",
+        schema=f"{query_id_col} {qid_type}, {id_col} {eid_type}, score double",
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -278,7 +316,7 @@ def ivf_topk(
     )
     pruned = embeddings_with_cluster.join(F.broadcast(probed), cluster_col)
     v = F.col(vec_col).cast("array<double>")
-    score = _dot(v, q) / (_norm(v) * _norm(q))
+    score = cosine(v, q)
     return (
         pruned.select(F.col(id_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -342,10 +380,7 @@ def ivf_knn_join(
     scored = cand.join(F.broadcast(q), query_id_col).select(
         F.col(query_id_col),
         F.col(id_col),
-        (
-            _dot(F.col("__v"), F.col("__q"))
-            / (_norm(F.col("__v")) * _norm(F.col("__q")))
-        ).alias("score"),
+        cosine(F.col("__v"), F.col("__q")).alias("score"),
     )
     wk = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -395,14 +430,19 @@ def hyperplane_bucket(
     bits = []
     for p, row in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in row])
-        dot = F.aggregate(
-            F.zip_with(v, plane, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        )
+        dot = _dot(v, plane)
         bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
-    return embeddings.withColumn(bucket_col, bucket.cast("long"))
+    # NULL vector -> NULL bucket (review r5): every when() falls to
+    # otherwise(0) on a NULL projection, which used to herd all NULL
+    # vectors into bucket 0 where their NULL scores could occupy
+    # top-k slots of any query hashing there; a NULL bucket is
+    # excluded from every equi-join collision block
+    return embeddings.withColumn(
+        bucket_col, F.when(v.isNotNull(), bucket).cast("long")
+    )
 
 
 def lsh_topk(
@@ -433,7 +473,7 @@ def lsh_topk(
         bucketed = bucketed.filter(~F.col(id_col).isin(list(exclude_ids)))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = F.col(vec_col).cast("array<double>")
-    score = _dot(v, q) / (_norm(v) * _norm(q))
+    score = cosine(v, q)
     return (
         bucketed.select(F.col(id_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -449,10 +489,27 @@ def kmeans_init_centroids(
 ) -> DataFrame:
     """Deterministic init: the k lowest-id vectors seed clusters
     0..k-1 (oracle-reproducible; swap for k-means|| at scale without
-    changing the iteration)."""
-    return embeddings.filter(F.col(id_col) < k).select(
-        F.col(id_col).cast("int").alias("cluster"),
-        F.col(vec_col).cast("array<double>").alias("centroid"),
+    changing the iteration).
+
+    "k lowest ids", literally (review r5): the old ``id < k`` filter
+    assumed a dense 0-based id space — 1-based, offset, or string ids
+    seeded fewer than k (possibly zero) clusters and the fit silently
+    degenerated. For dense 0-based ids the result is identical.
+    Physical shape: orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition heaps, no global sort); the labeling window then
+    runs over k rows only — never a single-partition pass of the
+    corpus."""
+    take = (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("centroid")
+        )
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col(id_col).asc())
+    return take.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cluster"),
+        F.col("centroid"),
     )
 
 
@@ -475,20 +532,39 @@ def kmeans_fit(
     Returns (centroids, last_assignment). ``checkpoint=True``
     localCheckpoints per iteration to cut lineage growth — required
     for large ``iters`` on a real cluster, irrelevant for 2-3 rounds.
+
+    Empty clusters KEEP their previous centroid (review r5): the
+    per-cluster mean only emits clusters with members, so a seed that
+    attracts nothing would silently vanish and every later iteration
+    (and downstream IVF probing) would run with k-1 clusters; carrying
+    the old centroid is the standard Lloyd fallback and keeps k
+    stable. ``iters=0`` returns the init centroids WITH their
+    assignment (the documented contract), not ``(cents, None)``.
     """
     cents = kmeans_init_centroids(embeddings, k, id_col, vec_col)
-    assigned = None
-    for _ in range(iters):
-        assigned = assign_clusters(
+
+    def _assign(cs):
+        return assign_clusters(
             embeddings,
-            cents,
+            cs,
             id_col=id_col,
             vec_col=vec_col,
             centroid_key="cluster",
             centroid_vec="centroid",
         )
+
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(cents)
         members = embeddings.join(assigned.select(id_col, "cluster"), id_col)
-        cents = centroids(members, by_col="cluster", vec_col=vec_col)
+        new_cents = centroids(members, by_col="cluster", vec_col=vec_col)
+        # carry forward centroids of clusters that lost every member
+        kept = cents.join(
+            new_cents.select("cluster"), "cluster", "left_anti"
+        )
+        cents = new_cents.unionByName(kept)
         if checkpoint:
             cents = cents.localCheckpoint()
+    if assigned is None:
+        assigned = _assign(cents)
     return cents, assigned

@@ -417,3 +417,85 @@ def test_tfidf_blocks_case_variant_near_dups(spark):
     [r] = tfidf_cosine_pairs(docs, rare_df_max=4, threshold=0.9).collect()
     assert (r["id_a"], r["id_b"]) == (1, 2)
     assert r["cosine"] == pytest.approx(1.0)
+
+
+class TestSimilarityDegenerateVectors:
+    """Review r5: degenerate vectors must score NULL (ranked last),
+    never NaN (ranked FIRST on desc) or a job-killing division."""
+
+    def test_zero_norm_vector_scores_null_not_crash(self, spark):
+        from feature_store_spark.operators.similarity import brute_force_topk
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.8, 0.6])],
+            "vec_id long, embedding array<double>",
+        )
+        out = brute_force_topk(emb, [1.0, 0.0], k=3).collect()
+        # ANSI mode would have aborted on the zero vector; NULL last
+        assert [r["vec_id"] for r in out[:2]] == [1, 3]
+        assert out[2]["score"] is None
+
+    def test_arrow_twin_ranks_degenerates_like_hof_plan(self, spark):
+        from feature_store_spark.operators.similarity import (
+            knn_join,
+            knn_join_arrow,
+        )
+
+        queries = spark.createDataFrame(
+            [(100, [1.0, 0.0]), (101, None)],
+            "query_id long, query_vec array<double>",
+        )
+        emb = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),
+                (2, [0.0, 0.0]),        # zero norm
+                (3, None),              # null array
+                (4, [0.5, None]),       # null element
+                (5, [0.9, 0.1, 0.3]),   # ragged dimension
+                (6, [0.0, 1.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        a = sorted(
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in knn_join(queries, emb, k=2).collect()
+        )
+        b = sorted(
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in knn_join_arrow(queries, emb, k=2).collect()
+        )
+        assert a == b  # null query excluded in both; top-2 = real rows
+        assert all(q == 100 for q, _, _ in a)
+        assert [v for _, _, v in a] == [1, 6]
+
+    def test_null_vector_gets_null_lsh_bucket(self, spark):
+        from feature_store_spark.operators.similarity import hyperplane_bucket
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None)],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r["vec_id"]: r["bucket"]
+            for r in hyperplane_bucket(emb, dim=2).collect()
+        }
+        assert out[1] is not None and out[2] is None
+
+    def test_kmeans_seeds_k_clusters_on_offset_ids(self, spark):
+        from feature_store_spark.operators.similarity import (
+            kmeans_fit,
+            kmeans_init_centroids,
+        )
+
+        emb = spark.createDataFrame(
+            [(1000 + i, [float(i % 4), float(i // 4)]) for i in range(16)],
+            "vec_id long, embedding array<double>",
+        )
+        init = kmeans_init_centroids(emb, k=4)
+        assert sorted(r["cluster"] for r in init.collect()) == [0, 1, 2, 3]
+        cents, assigned = kmeans_fit(emb, k=4, iters=2)
+        assert cents.count() == 4  # empty clusters carried, k stable
+        assert assigned.count() == 16
+        # iters=0 honors the documented (centroids, assignment) contract
+        cents0, assigned0 = kmeans_fit(emb, k=4, iters=0)
+        assert assigned0 is not None and assigned0.count() == 16

@@ -24,6 +24,18 @@ STOPWORDS = {
 
 
 def words(text: Column) -> Column:
+    """Lowercased tokens, SINGLE-SPACE-delimited — the module-wide
+    tokenization contract, shared verbatim with every DuckDB oracle
+    (``string_split(lower(text), ' ')``), which is what keeps the
+    whole text family oracle-checkable bit-for-bit. Corpora with
+    tabs/newlines/multi-space runs must be whitespace-normalized
+    UPSTREAM (``regexp_replace(text, '\\\\s+', ' ')`` — the same
+    normalization :func:`~feature_store_spark.operators.dedup.
+    shingle_array` applies internally): under this contract a raw
+    newline would glue two words into one vocabulary token. Changing
+    the split here without changing every oracle in lockstep breaks
+    the correctness gate — hence the loud contract instead of a
+    silent ``\\s+`` split."""
     return F.filter(F.split(F.lower(text), " "), lambda w: F.length(w) > 0)
 
 
@@ -33,10 +45,14 @@ def token_stats(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-doc token statistics: word count, distinct words, type-token
-    ratio, average word length — array aggregates over one split."""
+    ratio, average word length — array aggregates over one split.
+    ``coalesce(size, 0)``: on Spark 3.x legacy configs
+    ``size(null) = -1`` (review r5), which would mint n_words=-1 and
+    a 1.0 type-token ratio for null-text docs; the guard makes null
+    handling engine-version-independent (0 words, NULL ratios)."""
     w = words(F.col(text_col))
-    n_words = F.size(w)
-    n_distinct = F.size(F.array_distinct(w))
+    n_words = F.coalesce(F.size(w), F.lit(0))
+    n_distinct = F.coalesce(F.size(F.array_distinct(w)), F.lit(0))
     total_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
     return docs.select(
         F.col(id_col),
@@ -49,11 +65,16 @@ def token_stats(
 
 def token_count_bpe_ish(text: Column, chars_per_token: float = 4.0) -> Column:
     """Cheap BPE-ish token estimate: words + ceil(chars/4) blended —
-    the standard pre-tokenizer heuristic for budget accounting."""
+    the standard pre-tokenizer heuristic for budget accounting.
+    Null text counts 0 tokens on every Spark version (legacy configs
+    return ``size(null) = -1``, a negative token budget)."""
     w = words(text)
     return F.greatest(
-        F.size(w),
-        F.ceil(F.length(text) / F.lit(chars_per_token)).cast("int"),
+        F.coalesce(F.size(w), F.lit(0)),
+        F.coalesce(
+            F.ceil(F.length(text) / F.lit(chars_per_token)).cast("int"),
+            F.lit(0),
+        ),
     )
 
 
@@ -165,13 +186,28 @@ def repetition_stats(
     pretraining filters (cf. Rae et al. 2021 "Scaling Language Models",
     the repetition-filter family).
 
+    OUTPUT CONTRACT: zero-word documents (empty, whitespace-only, or
+    null text) emit NO row — repetition ratios are undefined over
+    zero words. Join the result back with a LEFT join (an inner join
+    would silently drop those docs from the corpus); use
+    :func:`word_entropy`, which restores empties at 0, when a
+    total-coverage frame is needed.
+
     Physical shape: explode words once, count per (doc, token) for
     unigrams and bigrams in one pass each, then per-doc max/sum
     aggregates — all codegen'd, partial aggregation map-side, shuffle
     ~distinct tokens per doc.
     """
     w = words(F.col(text_col))
-    base = docs.select(F.col(id_col), w.alias("__w")).filter(F.size("__w") > 0)
+    # lazy localCheckpoint: the unigram and bigram branches both read
+    # this frame, and without materialization Catalyst re-runs the
+    # scan+lower+split once per branch (the pack_sequences lesson,
+    # same pattern as bigram_lm_scores below)
+    base = (
+        docs.select(F.col(id_col), w.alias("__w"))
+        .filter(F.size("__w") > 0)
+        .localCheckpoint(eager=False)
+    )
     uni = base.select(F.col(id_col), F.explode("__w").alias("tok"))
     uni_counts = uni.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
     uni_stats = uni_counts.groupBy(id_col).agg(
@@ -179,16 +215,10 @@ def repetition_stats(
         F.sum("c").alias("__n_words"),
         F.count(F.lit(1)).alias("__n_distinct"),
     )
-    # bigrams: zip the word array with itself shifted by one (map-side)
+    # bigrams: the shared adjacent-pair helper (map-side zip)
     bi = base.select(
         F.col(id_col),
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("__w"), 1, F.size("__w") - 1),
-                F.slice(F.col("__w"), 2, F.size("__w") - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        ).alias("tok"),
+        F.explode(_bigrams(F.col("__w"))).alias("tok"),
     )
     bi_counts = bi.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
     bi_stats = bi_counts.groupBy(id_col).agg(
@@ -224,10 +254,20 @@ def pii_scan(
     """Per-document PII hit counts (emails / phone-ish numbers / IPv4),
     one `regexp_count` column per pattern plus a total and a
     `has_pii` flag — the redaction-or-drop decision input of a
-    curation pipeline. Pure JVM regex at scan speed; no UDFs."""
+    curation pipeline. Pure JVM regex at scan speed; no UDFs.
+
+    Matching is CASE-INSENSITIVE and null-safe (review r5): the
+    patterns are written lowercase, so scanning raw text let
+    'Bob.Smith@Corp.Example.ORG' through a has_pii filter undetected —
+    for a redaction gate, a silent miss is a leak. Null text counts 0
+    with has_pii=false (NULL counts would make a
+    ``has_pii == False`` keep-filter silently DROP null-text docs)."""
     patterns = patterns or PII_PATTERNS
+    lowered = F.lower(F.col(text_col))
     cols = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).alias(name)
+        F.coalesce(
+            F.regexp_count(lowered, F.lit(pat)), F.lit(0)
+        ).alias(name)
         for name, pat in sorted(patterns.items())
     ]
     out = docs.select(F.col(id_col), *cols)
@@ -269,8 +309,11 @@ def word_entropy(
         F.col("__t").cast("long").alias("n_words"),
         h.alias("word_entropy"),
     )
-    # docs with zero words never reach the explode; restore them at 0
-    empties = docs.filter(F.size(w) == 0).select(
+    # docs with zero words never reach the explode; restore them at 0.
+    # coalesce(size, 0): size(null) is NULL (null-falsy), so a
+    # null-text doc would hit NEITHER branch and silently vanish
+    # (review r5)
+    empties = docs.filter(F.coalesce(F.size(w), F.lit(0)) == 0).select(
         F.col(id_col),
         F.lit(0).cast("long").alias("n_words"),
         F.lit(0.0).alias("word_entropy"),
@@ -461,13 +504,7 @@ def bpe_fit(
     for _ in range(n_merges):
         toks = F.split(F.col("r"), " ")
         pairs = vocab.select(
-            F.explode(
-                F.zip_with(
-                    F.slice(toks, 1, F.size(toks) - 1),
-                    F.slice(toks, 2, F.size(toks) - 1),
-                    lambda a, b: F.concat_ws(" ", a, b),
-                )
-            ).alias("pair"),
+            F.explode(_bigrams(toks)).alias("pair"),
             F.col("wc"),
         )
         top = (
@@ -497,12 +534,31 @@ def bpe_fit(
     return merges
 
 
+BPE_EXPR_MAX_MERGES = 256
+
+
 def bpe_tokenize_expr(text: Column, merges: list[tuple[str, str, int]]) -> Column:
     """Tokenize words of ``text`` with a learned merge list, entirely
     map-side: per word, chain the merges over the character
     representation (the same replace-all used in fitting), then count
     the resulting tokens. Returns the token-count column — the honest
-    budget counter once a tokenizer is fitted."""
+    budget counter once a tokenizer is fitted.
+
+    Bounded at ``BPE_EXPR_MAX_MERGES`` (review r5): the expression
+    nests 2 Replace nodes PER MERGE inside a higher-order aggregate,
+    so a production-sized vocabulary (10k+ merges) would blow
+    Catalyst analysis time and the 64KB codegen method limit. For
+    real vocabularies, apply the merges in an Arrow-batched pandas
+    UDF (a dict-driven loop) instead of a compiled expression — this
+    expression form exists for small oracle-checkable vocabularies."""
+    if len(merges) > BPE_EXPR_MAX_MERGES:
+        raise ValueError(
+            f"bpe_tokenize_expr: {len(merges)} merges would compile to "
+            f"~{2 * len(merges)} nested Replace expressions (Catalyst "
+            "analysis blow-up + 64KB codegen limit). Use an "
+            "Arrow-batched UDF for vocabularies beyond "
+            f"{BPE_EXPR_MAX_MERGES} merges."
+        )
     w = words(text)
     def tok_count(word):
         r = F.concat(F.lit(" "), _char_spaced(word), F.lit(" "))

@@ -3207,13 +3207,15 @@ def q_pii_scan(spark, sf_dir):
 PII_SCAN_SQL = r"""
 WITH corpus AS ({corpus}),
 c AS (
+  -- lower(text) + coalesce mirror the Spark side's case-insensitive,
+  -- null-safe scan (review r5)
   SELECT doc_id,
-         CAST(len(regexp_extract_all(text,
-           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}')) AS INT) AS emails,
-         CAST(len(regexp_extract_all(text,
-           '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}')) AS INT) AS ipv4s,
-         CAST(len(regexp_extract_all(text,
-           '\+?[0-9][0-9() -]{{7,}}[0-9]')) AS INT) AS phones
+         COALESCE(CAST(len(regexp_extract_all(lower(text),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}')) AS INT), 0) AS emails,
+         COALESCE(CAST(len(regexp_extract_all(lower(text),
+           '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}')) AS INT), 0) AS ipv4s,
+         COALESCE(CAST(len(regexp_extract_all(lower(text),
+           '\+?[0-9][0-9() -]{{7,}}[0-9]')) AS INT), 0) AS phones
   FROM corpus
 )
 SELECT doc_id, emails, ipv4s, phones,

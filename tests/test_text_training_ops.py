@@ -141,3 +141,54 @@ def test_tfidf_weights_match_formula(spark):
     dot = 5 * shared_w * shared_w
     nrm = math.sqrt(5 * shared_w**2 + only_w**2)
     assert got[0]["cosine"] == pytest.approx(dot / (nrm * nrm))
+
+
+class TestTextNullGuards:
+    """Review r5: case-insensitive PII, null-text completeness, and
+    the expression-size guard."""
+
+    def test_pii_scan_catches_uppercase_and_null_text(self, spark):
+        from feature_store_spark.operators.text import pii_scan
+
+        docs = spark.createDataFrame(
+            [
+                (1, "contact Bob.Smith@Corp.Example.ORG today"),
+                (2, None),
+                (3, "clean text only"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+        assert out[1]["emails"] == 1 and out[1]["has_pii"] is True
+        assert out[2]["pii_total"] == 0 and out[2]["has_pii"] is False
+        assert out[3]["has_pii"] is False
+
+    def test_word_entropy_keeps_null_text_docs(self, spark):
+        from feature_store_spark.operators.text import word_entropy
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "a a b")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in word_entropy(docs).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1]["n_words"] == 0 and out[1]["word_entropy"] == 0.0
+
+    def test_token_stats_null_text_counts_zero(self, spark):
+        from feature_store_spark.operators.text import token_stats
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, "a b")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in token_stats(docs).collect()}
+        assert out[1]["n_words"] == 0
+        assert out[2]["n_words"] == 2
+
+    def test_bpe_tokenize_expr_rejects_huge_merge_lists(self, spark):
+        import pytest as _pytest
+
+        from feature_store_spark.operators.text import bpe_tokenize_expr
+        from pyspark.sql import functions as SF
+
+        merges = [(str(i), str(i + 1), 1) for i in range(300)]
+        with _pytest.raises(ValueError, match="64KB|merges"):
+            bpe_tokenize_expr(SF.lit("a b"), merges)

@@ -71,8 +71,17 @@ def heavy_hitters(
     if not (0.0 < support < 1.0):
         raise ValueError(f"support must be in (0, 1), got {support}")
     # nulls are excluded up front (pandas value_counts drops them in
-    # pass 1; making pass 2 match keeps both passes over the same set)
+    # pass 1; making pass 2 match keeps both passes over the same set).
+    # Float NaN gets the SAME treatment: value_counts drops NaN too, so
+    # without this filter a frequent NaN could never become a candidate
+    # (silently absent from the result) while still inflating the N
+    # that sets the threshold — the two passes must agree on the item
+    # universe. NaN, like NULL, is "no item" here.
     items = df.select(col).filter(F.col(col).isNotNull())
+    from pyspark.sql.types import DoubleType, FloatType
+
+    if isinstance(items.schema[col].dataType, (FloatType, DoubleType)):
+        items = items.filter(~F.isnan(F.col(col)))
     n = total if total is not None else items.count()
     if n == 0:
         return items.limit(0).withColumn("cnt", F.lit(0).cast("long"))

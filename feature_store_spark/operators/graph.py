@@ -155,7 +155,13 @@ def pagerank(
     r_{i+1}(v) = (1-d)/N + d * Σ_{u~v} r_i(u) / deg(u)
 
     Every node of an edge graph has degree ≥ 1, so there are no
-    dangling corrections. Per round: ONE join of the rank table with
+    dangling corrections. ``pairs`` is expected deduplicated with
+    non-null ids (the guarantee every `operators.dedup` producer
+    gives: ``id_a < id_b``, distinct). Repeated pair rows are honored
+    as MULTIGRAPH edges (each copy adds degree and carries rank —
+    i.e. edge weight by multiplicity); rows with a NULL endpoint
+    contribute nothing (equi-joins drop them). Per round: ONE join of
+    the rank table with
     the (checkpointed) edge list + ONE peer-keyed aggregate — cost
     scales with |pairs|, never the corpus; ranks are localCheckpointed
     per round so lineage stays flat. Fixed iteration count keeps the

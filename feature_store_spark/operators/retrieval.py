@@ -41,6 +41,9 @@ def bm25_scores(
     to the query terms before any shuffle, then (doc, term) tf counts,
     a broadcast join of the tiny per-term df / corpus-stats frames,
     and one per-doc sum. Docs matching no term are absent (score 0).
+    ``query_terms`` is treated as a SET (the ``isin`` prune dedupes):
+    a term repeated in the query scores once, not twice — same as a
+    deduplicating query analyzer, unlike Lucene's per-clause sum.
     """
     if not query_terms:
         raise ValueError("bm25_scores: empty query")

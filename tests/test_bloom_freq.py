@@ -122,6 +122,19 @@ def test_heavy_hitters_null_and_support_validation(spark):
         heavy_hitters(df, "word", 0.0)
 
 
+def test_heavy_hitters_nan_excluded_like_null(spark):
+    """Pass 1 (pandas value_counts) drops NaN, so NaN can never become
+    a candidate — pass 2 must therefore exclude NaN from both the item
+    universe AND the N that sets the threshold, or a mostly-NaN float
+    column silently under-reports every real hitter's support."""
+    nan = float("nan")
+    rows = [(nan,)] * 6 + [(1.5,), (1.5,), (2.5,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    # universe = {1.5, 1.5, 2.5}: N=3, thresh at 0.5 = 2 -> only 1.5
+    out = {(r["x"], r["cnt"]) for r in heavy_hitters(df, "x", 0.5).collect()}
+    assert out == {(1.5, 2)}
+
+
 def test_word_entropy_golden(spark):
     docs = spark.createDataFrame(
         [

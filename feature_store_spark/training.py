@@ -63,16 +63,46 @@ def fit_logistic(
     the moments are folded into the returned model, so `predict_expr`
     consumes raw columns.  ``class_weighted`` applies
     ``scale_pos_weight = n_neg/n_pos`` (A5, train.py:127-130).
+
+    NULL / NaN features or labels are REJECTED loudly (checked inside
+    the same stats pass — no extra scan): a NULL feature silently
+    drops its row from the gradient while keeping it in the weight
+    normalizer, and one NaN makes ``F.sum`` return NaN, yielding
+    all-NaN weights diagnosed far from the cause. Impute or filter
+    before fitting.
     """
     cols = list(feature_cols)
     k = len(cols)
+
+    def _bad(c):
+        col = F.col(c)
+        return F.sum(
+            F.when(
+                col.isNull() | F.isnan(col.cast("double")), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
 
     stats = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col(label_col).cast("double")).alias("n_pos"),
         *[F.avg(c).alias(f"m{i}") for i, c in enumerate(cols)],
         *[F.stddev_pop(c).alias(f"s{i}") for i, c in enumerate(cols)],
+        *[_bad(c).alias(f"b{i}") for i, c in enumerate(cols)],
+        _bad(label_col).alias("b_label"),
     ).first()
+    bad = {
+        c: int(stats[f"b{i}"] or 0)
+        for i, c in enumerate(cols)
+        if (stats[f"b{i}"] or 0) > 0
+    }
+    if (stats["b_label"] or 0) > 0:
+        bad[label_col] = int(stats["b_label"])
+    if bad:
+        raise ValueError(
+            f"fit_logistic: NULL/NaN values in {bad} — a NULL feature "
+            "silently biases the gradient and one NaN poisons every "
+            "weight. Impute or filter these rows first."
+        )
     n = float(stats["n"])
     n_pos = float(stats["n_pos"])
     means = [float(stats[f"m{i}"] or 0.0) for i in range(k)]
@@ -180,7 +210,14 @@ def fit_quantile_bins(
 def quantile_bin_expr(col: str, boundaries: Sequence[float]) -> Column:
     """Bin index of ``col`` against sorted ``boundaries``: the count
     of boundaries strictly below the value — a codegen'd fold over an
-    array literal (no UDF, no join; k ≈ 31 comparisons per row)."""
+    array literal (no UDF, no join; k ≈ 31 comparisons per row).
+
+    Missing-value semantics are DETERMINISTIC and pinned by test:
+    NULL lands in bin 0 (``NULL > b`` is NULL, counted as no) and NaN
+    lands in the TOP bin (Spark orders NaN above every number). Both
+    match XGBoost's "missing goes to a fixed default side" stance, but
+    the side differs by kind — impute first if the distinction
+    matters."""
     arr = F.array(*[F.lit(float(b)) for b in boundaries])
     return F.aggregate(
         arr,
@@ -421,6 +458,7 @@ def fit_boosted_trees(
     rounds: int = 3,
     depth: int = 2,
     learning_rate: float = 0.5,
+    checkpoint_every: int = 16,
 ) -> dict:
     """Gradient boosting on squared loss as an iterative dataflow:
     start from an explicit base score (the target mean — the
@@ -430,17 +468,47 @@ def fit_boosted_trees(
     column advances by a broadcast prediction expression — no
     per-round materialization, O(trees) driver state.
 
+    The residual expression nests one tree per round; at the
+    reference's 200-round configs that unbounded growth is a Catalyst
+    analysis/codegen hazard, so every ``checkpoint_every`` rounds the
+    accumulated residual is folded into a lazily localCheckpointed
+    column and the expression restarts flat (bounded plan, same
+    arithmetic; lineage truncation means an executor loss during a
+    later round fails the fit instead of recomputing — rerun it).
+
+    NULL / NaN targets are rejected loudly inside the base-score pass:
+    a NULL target silently shrinks histogram gradient sums while still
+    counting rows, and one NaN makes the base score NaN.
+
     Returns {"base_score": b, "trees": [...], "learning_rate": lr};
     combine with :func:`predict_boosted_expr`.
     """
     cols = list(feature_bin_cols)
-    base_score = float(
-        df.agg(F.avg(target_col).alias("b")).collect()[0]["b"]
-    )
-    work_base = df.select(*[F.col(c) for c in cols], F.col(target_col))
-    resid = F.col(target_col) - F.lit(base_score)
+    t = F.col(target_col)
+    base = df.agg(
+        F.avg(target_col).alias("b"),
+        F.sum(
+            F.when(
+                t.isNull() | F.isnan(t.cast("double")), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("bad"),
+    ).collect()[0]
+    if (base["bad"] or 0) > 0:
+        raise ValueError(
+            f"fit_boosted_trees: {base['bad']} NULL/NaN values in "
+            f"target {target_col!r} — they silently bias every "
+            "histogram's gradient sums. Filter or impute first."
+        )
+    base_score = float(base["b"])
+    work_base = df.select(*[F.col(c) for c in cols], t)
+    resid = t - F.lit(base_score)
     trees: list[dict] = []
-    for _ in range(rounds):
+    for r in range(rounds):
+        if checkpoint_every and r > 0 and r % checkpoint_every == 0:
+            work_base = work_base.withColumn(
+                "__resid_base", resid
+            ).localCheckpoint(eager=False)
+            resid = F.col("__resid_base")
         work = work_base.withColumn("__resid", resid)
         tree = fit_histogram_tree(work, cols, "__resid", depth=depth)
         trees.append(tree)

@@ -78,3 +78,18 @@ def test_cross_validation(spark):
     assert len(results) == 3
     for r in results:
         assert r["auc_roc"] > 0.6, results
+
+
+def test_fit_logistic_rejects_null_and_nan(spark):
+    """A NULL feature silently drops its row from the gradient (but
+    not the normalizer) and one NaN poisons every weight — both must
+    be loud, caught inside the existing stats pass."""
+    import pytest as _pytest
+
+    base = [(1.0, 2.0, 1), (2.0, 1.0, 0), (3.0, 0.5, 1)]
+    for bad_row in [(None, 1.0, 0), (float("nan"), 1.0, 0), (1.0, 1.0, None)]:
+        df = spark.createDataFrame(
+            base + [bad_row], "x1 double, x2 double, y int"
+        )
+        with _pytest.raises(ValueError, match="NULL/NaN"):
+            fit_logistic(df, ["x1", "x2"], "y", epochs=1)

@@ -135,3 +135,59 @@ def test_quantile_bins_match_numpy_searchsorted(spark):
     arr = np.array(bx)
     for r in got:
         assert r["b"] == int(np.sum(arr < r["x"]))
+
+
+def test_boosted_checkpoint_every_matches_unchunked(spark, data):
+    """Folding the residual into a checkpointed column every K rounds
+    must not change the fitted model — same splits, same leaves (the
+    checkpoint only flattens the expression tree)."""
+    from feature_store_spark.training import fit_boosted_trees
+
+    X, y = data
+    rows = [(int(a), int(b), int(c), float(v)) for (a, b, c), v in zip(X, y)]
+    df = spark.createDataFrame(rows, ["f0", "f1", "f2", "y"])
+    cols = ["f0", "f1", "f2"]
+    flat = fit_boosted_trees(df, cols, "y", rounds=4, depth=2,
+                             learning_rate=0.5, checkpoint_every=0)
+    chk = fit_boosted_trees(df, cols, "y", rounds=4, depth=2,
+                            learning_rate=0.5, checkpoint_every=2)
+    assert flat["base_score"] == chk["base_score"]
+    for tf_, tc in zip(flat["trees"], chk["trees"]):
+        assert tf_["splits"] == tc["splits"]
+        assert set(tf_["leaves"]) == set(tc["leaves"])
+        for n, v in tf_["leaves"].items():
+            assert tc["leaves"][n] == pytest.approx(v, rel=1e-9)
+
+
+def test_boosted_rejects_null_and_nan_target(spark):
+    from feature_store_spark.training import fit_boosted_trees
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (0, 2.0)], "f0 int, y double"
+    )
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        fit_boosted_trees(df, ["f0"], "y", rounds=1, depth=1)
+    df2 = spark.createDataFrame(
+        [(0, 1.0), (1, float("nan")), (0, 2.0)], "f0 int, y double"
+    )
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        fit_boosted_trees(df2, ["f0"], "y", rounds=1, depth=1)
+
+
+def test_quantile_bin_null_and_nan_routing(spark):
+    """Pinned missing-value semantics: NULL -> bin 0, NaN -> top bin."""
+    from feature_store_spark.training import quantile_bin_expr
+
+    df = spark.createDataFrame(
+        [(None,), (float("nan"),), (0.5,), (99.0,)], "x double"
+    )
+    got = {
+        ("null" if r["x"] is None else str(r["x"])): r["b"]
+        for r in df.select(
+            F.col("x"), quantile_bin_expr("x", [1.0, 2.0, 3.0]).alias("b")
+        ).collect()
+    }
+    assert got["null"] == 0
+    assert got["nan"] == 3
+    assert got["0.5"] == 0
+    assert got["99.0"] == 3

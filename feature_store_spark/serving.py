@@ -42,6 +42,12 @@ def get_online_features(
     via an explicit ``request_order`` column if present).
     Returns one row per requested id with values / mask / ages /
     source / stale_warning.
+
+    ``vectors`` must hold ONE row per entity — the contract the
+    materializer's last-writer-wins MERGE maintains (a KV store can't
+    hold two values per key). Duplicate vector rows would fan out the
+    left join to duplicate responses; the scalar side is immune
+    (assembly dedupes via latest_per_key).
     """
     feature_names = list(feature_names)
     out = request_ids
@@ -112,7 +118,13 @@ def batch_lookup(
 ) -> DataFrame:
     """L2 batch MultiGet: broadcast the (small) request-id list into a
     left join; ``found`` marks misses so the caller can count the
-    missing-id warning (OnlineServingService.java:141-143)."""
-    probe_col = table.columns[-1]
-    joined = F.broadcast(request_ids).join(table, list(key_cols), "left")
-    return joined.withColumn("found", F.col(probe_col).isNotNull())
+    missing-id warning (OnlineServingService.java:141-143).
+
+    Presence is tracked with an explicit marker column, NOT by probing
+    a value column for NULL — a stored row whose value column is
+    legitimately NULL is a HIT with a null value, not a miss."""
+    marked = table.withColumn("__present", F.lit(True))
+    joined = F.broadcast(request_ids).join(marked, list(key_cols), "left")
+    return joined.withColumn(
+        "found", F.coalesce(F.col("__present"), F.lit(False))
+    ).drop("__present")

@@ -28,10 +28,17 @@ def schema_gate(
     expected_length: int,
 ) -> DataFrame:
     """V1: schema-hash + vector-length match per row
-    (ValidationService.java:36-63)."""
+    (ValidationService.java:36-63).
+
+    Null-safe on purpose: a row with a NULL schema_hash or NULL values
+    array is a MISMATCH, not a skip — plain ``==`` yields NULL there
+    and ``count_if`` would silently pass the corrupt row through the
+    gate."""
     return vectors.select(
-        (F.col("schema_hash") == F.lit(expected_hash)).alias("hash_ok"),
-        (F.size("values") == F.lit(expected_length)).alias("length_ok"),
+        F.col("schema_hash").eqNullSafe(F.lit(expected_hash)).alias("hash_ok"),
+        F.coalesce(
+            F.size("values") == F.lit(expected_length), F.lit(False)
+        ).alias("length_ok"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.count_if(~F.col("hash_ok")).alias("hash_mismatches"),
@@ -49,17 +56,24 @@ def staleness_gate(
 ) -> DataFrame:
     """V2: per-feature staleness vs max_age_seconds SLA
     (ValidationService.java:68-107). ``latest_values`` carries one row
-    per (entity, feature) with its age; SLA table is broadcast."""
+    per (entity, feature) with its age; SLA table is broadcast.
+
+    A NULL age counts as UNKNOWN (alongside the -1 convention) so it
+    shows up in the report instead of being skipped by ``count_if``'s
+    null semantics. Features absent from the SLA table have a NULL
+    threshold and are not gated — no SLA means no check."""
     joined = latest_values.join(
         F.broadcast(max_age_by_feature), feature_col, "left"
     )
-    stale = F.col(age_ms_col) > F.col("max_age_seconds") * 1000
-    unknown = F.col(age_ms_col) < 0
+    unknown = F.col(age_ms_col).isNull() | (F.col(age_ms_col) < 0)
+    stale = (
+        F.col(age_ms_col) > F.col("max_age_seconds") * 1000
+    ) & ~unknown
     return joined.groupBy(feature_col).agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_if(stale & ~unknown).alias("stale_count"),
+        F.count_if(stale).alias("stale_count"),
         F.count_if(unknown).alias("unknown_age_count"),
-        (F.count_if(stale & ~unknown) == 0).alias("sla_passed"),
+        (F.count_if(stale) == 0).alias("sla_passed"),
     )
 
 

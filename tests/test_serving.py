@@ -52,3 +52,43 @@ def test_fallback_chain_sources(spark):
     assert out[2]["is_default_mask"] == [False, True]
     assert out[3]["source"] == "MISS"
     assert out[3]["values"] is None
+
+
+def test_schema_gate_null_rows_are_mismatches(spark):
+    """A corrupt vector row with NULL schema_hash or NULL values must
+    FAIL the gate — plain == yields NULL there and count_if would
+    silently pass it."""
+    from feature_store_spark.validation import schema_gate
+
+    vectors = spark.createDataFrame(
+        [
+            (123, [1.0, 2.0]),
+            (None, [1.0, 2.0]),  # null hash: mismatch
+            (123, None),  # null values: length mismatch
+        ],
+        "schema_hash bigint, values array<double>",
+    )
+    r = schema_gate(vectors, 123, 2).collect()[0]
+    assert r["n"] == 3
+    assert r["hash_mismatches"] == 1
+    assert r["length_mismatches"] == 1
+    assert not r["hash_gate_passed"]
+    assert not r["length_gate_passed"]
+
+
+def test_staleness_gate_null_age_counts_unknown(spark):
+    from feature_store_spark.validation import staleness_gate
+
+    latest = spark.createDataFrame(
+        [("f", 1000), ("f", None), ("f", -1), ("g", 50_000_000)],
+        "feature_name string, age_ms bigint",
+    )
+    sla = spark.createDataFrame(
+        [("f", 3600), ("g", 3600)], "feature_name string, max_age_seconds int"
+    )
+    got = {
+        r["feature_name"]: r for r in staleness_gate(latest, sla).collect()
+    }
+    assert got["f"]["unknown_age_count"] == 2  # NULL and -1 both unknown
+    assert got["f"]["stale_count"] == 0 and got["f"]["sla_passed"]
+    assert got["g"]["stale_count"] == 1 and not got["g"]["sla_passed"]

@@ -97,8 +97,17 @@ class Registry:
 
     def set_feature_status(self, name: str, version: int, status: str):
         """Lifecycle transition (DRAFT -> ACTIVE -> DEPRECATED ->
-        ARCHIVED, V1__init.sql:33-34), audited."""
+        ARCHIVED, V1__init.sql:33-34), audited. Raises on an unknown
+        (name, version) — a typo'd transition must not silently no-op
+        while still writing an audit row claiming it happened."""
         assert status in FEATURE_STATUSES
+        if not any(
+            n == name and v == version
+            for (n, _e, _d, _dv, _ma, _st, v) in self._features
+        ):
+            raise KeyError(
+                f"set_feature_status: no feature {name!r} v{version}"
+            )
         self._features = [
             (n, e, d, dv, ma, status if (n == name and v == version) else st, v)
             for (n, e, d, dv, ma, st, v) in self._features
@@ -174,6 +183,10 @@ class Registry:
                 json.dumps(v.transform_params[fname])
                 if fname in v.transform_params
                 else None,
+                # the view's serving default rides along so save/load
+                # round-trips it — losing it would silently serve 0.0
+                # where the view declared another fill value
+                v.defaults.get(fname),
             )
             for v in self._views.values()
             for pos, fname in enumerate(v.feature_names)
@@ -181,7 +194,8 @@ class Registry:
         return self.spark.createDataFrame(
             rows,
             "view_name string, view_version int, position int, "
-            "feature_name string, transform string, transform_params string",
+            "feature_name string, transform string, transform_params string, "
+            "default_value double",
         )
 
     def audit_df(self) -> DataFrame:
@@ -245,8 +259,13 @@ class Registry:
                 for m in ms
                 if getattr(m, "transform_params", None)
             }
+            defaults = {
+                m.feature_name: float(m.default_value)
+                for m in ms
+                if getattr(m, "default_value", None) is not None
+            }
             reg._views[(r.name, r.version)] = FeatureView(
-                r.name, r.version, r.entity, names,
+                r.name, r.version, r.entity, names, defaults=defaults,
                 transforms=transforms, transform_params=tparams,
             )
         reg._audit = [

@@ -230,6 +230,22 @@ def test_registry_audit_and_persistence(spark, tmp_path):
     assert {r["status"] for r in reg2.features_df().collect()} == {
         "DEPRECATED", "ACTIVE",
     }
+    # unknown (name, version) must raise, not silently audit a no-op
+    with pytest.raises(KeyError):
+        reg.set_feature_status("f1", 99, "ARCHIVED")
+
+
+def test_registry_roundtrips_view_defaults(spark, tmp_path):
+    """The view's serving defaults must survive save/load — losing
+    them silently serves 0.0 where the view declared another fill."""
+    reg = Registry(spark).register_entity("m", "entity_id")
+    reg.register_view(
+        FeatureView("v", 1, "m", ["f_a", "f_b"], defaults={"f_b": -1.0})
+    )
+    path = str(tmp_path / "registry_defaults")
+    reg.save(path)
+    back = Registry.load(spark, path).get_view("v", 1)
+    assert back.defaults == {"f_b": -1.0}
 
 
 def test_binary_f32_matrix_loader(spark, tmp_path):

@@ -183,13 +183,43 @@ def roundtrip_check(
 ) -> DataFrame:
     """Materialize -> serve round-trip verification (J4,
     MerchantFraudExample.java:269-284): every served value must equal
-    the source wide value within tol. Returns rows that violate."""
+    the source wide value within tol. Returns rows that violate.
+
+    Sound against the failure modes a verification join must catch:
+    FULL OUTER on the entity, so a vector that never got written (or a
+    vector with no source row) IS a violation instead of being dropped
+    by an inner join; a NULL source value is fine only when the served
+    slot equals the view's declared default (the mask contract) —
+    plain ``abs(w - s) > tol`` is NULL there and would silently pass.
+    NaN served values compare greater than tol (Spark NaN ordering),
+    so they surface as violations on their own."""
     served = vector_to_columns(vectors, view.feature_names)
-    j = wide.alias("w").join(served.alias("s"), entity_col)
-    conds = [
-        F.abs(F.col(f"w.{n}") - F.col(f"s.{n}")) > tol for n in view.feature_names
+    if view.transforms:
+        # the vector holds post-transform values; compare like to like
+        wide = apply_transforms(wide, view)
+    w = wide.select(
+        F.col(entity_col), *[F.col(n) for n in view.feature_names]
+    ).withColumn("__w_present", F.lit(True))
+    s = served.withColumn("__s_present", F.lit(True))
+    j = w.alias("w").join(s.alias("s"), entity_col, "full_outer")
+    missing = F.col("__w_present").isNull() | F.col("__s_present").isNull()
+    slot_ok = [
+        (F.abs(F.col(f"w.{n}") - F.col(f"s.{n}")) <= tol)
+        | (
+            F.col(f"w.{n}").isNull()
+            & (
+                F.abs(
+                    F.col(f"s.{n}")
+                    - F.lit(float(view.defaults.get(n, 0.0)))
+                )
+                <= tol
+            )
+        )
+        for n in view.feature_names
     ]
-    bad = conds[0]
-    for c in conds[1:]:
-        bad = bad | c
-    return j.filter(bad)
+    all_ok = slot_ok[0]
+    for c in slot_ok[1:]:
+        all_ok = all_ok & c
+    return j.filter(missing | ~F.coalesce(all_ok, F.lit(False))).drop(
+        "__w_present", "__s_present"
+    )

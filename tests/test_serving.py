@@ -92,3 +92,38 @@ def test_staleness_gate_null_age_counts_unknown(spark):
     assert got["f"]["unknown_age_count"] == 2  # NULL and -1 both unknown
     assert got["f"]["stale_count"] == 0 and got["f"]["sla_passed"]
     assert got["g"]["stale_count"] == 1 and not got["g"]["sla_passed"]
+
+
+def test_roundtrip_check_catches_missing_and_default_slots(spark):
+    """The verification join must be FULL OUTER (a never-written
+    vector is a violation) and null source slots are fine only when
+    the served slot equals the view default."""
+    from feature_store_spark.materialize import (
+        materialize_vectors,
+        roundtrip_check,
+    )
+    from feature_store_spark.registry import FeatureView
+
+    view = FeatureView("v", 1, "m", ["f_a", "f_b"], defaults={"f_b": -1.0})
+    wide = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, 3.0, None), (3, 5.0, 6.0)],
+        "entity_id int, f_a double, f_b double",
+    )
+    vectors = materialize_vectors(wide, view, now_ms=0)
+
+    # complete round-trip: no violations (incl. the defaulted slot)
+    assert roundtrip_check(wide, vectors, view).count() == 0
+
+    # drop a vector: its entity must surface as a violation
+    partial = vectors.filter(F.col("entity_id") != 3)
+    assert roundtrip_check(wide, partial, view).count() == 1
+
+    # corrupt a served slot to a non-default where the source is null
+    corrupt = vectors.withColumn(
+        "values",
+        F.when(
+            F.col("entity_id") == 2, F.array(F.lit(3.0), F.lit(99.0))
+        ).otherwise(F.col("values")),
+    )
+    bad = roundtrip_check(wide, corrupt, view).collect()
+    assert len(bad) == 1 and bad[0]["entity_id"] == 2

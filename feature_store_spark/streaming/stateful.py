@@ -89,7 +89,24 @@ def sessionize_stream(
                 closed.append((start, last, n, s))
                 start, last, n, s = t, t, 1, float(v)
             else:
-                last, n, s = t, n + 1, s + float(v)
+                # CLAMP, never assign: a late-but-within-watermark
+                # event from a later micro-batch has t < last (the
+                # in-batch sort can't order across batches) —
+                # assigning last = t would rewind the session end,
+                # emit a wrong session_end, fire the timeout early,
+                # and let the next on-time event falsely split the
+                # session. min/max keeps the span identical to the
+                # batch twin's global sort. (An event more than
+                # ``gap`` before ``start`` still merges rather than
+                # reopening a separate earlier session — single-tuple
+                # state cannot re-split; keep the watermark tighter
+                # than the gap if that distinction matters.)
+                start, last, n, s = (
+                    min(start, t),
+                    max(last, t),
+                    n + 1,
+                    s + float(v),
+                )
         state.update((int(start), int(last), int(n), float(s)))
         state.setTimeoutTimestamp(int(last) // 1000 + int(gap_seconds) * 1000)
         if closed:

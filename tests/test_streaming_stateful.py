@@ -249,3 +249,67 @@ def test_attribution_watermark_boundary_drops_straggler(spark, tmp_path):
     on_time = sorted(pair for pair in naive if pair[0] != 12)
     assert got == on_time == [(10, 20), (11, 21)], (got, naive)
     assert dropped >= 1  # the straggler was dropped BY THE WATERMARK
+
+
+def test_sessionize_stream_out_of_order_across_batches(spark, tmp_path):
+    """A late-but-within-watermark event delivered in a LATER
+    micro-batch must not rewind the open session's end: the closed
+    session's span and aggregates must match the batch twin's global
+    sort. (Regression: the merge branch assigned last = t instead of
+    clamping, so the straggler rewound session_end and made the next
+    on-time event falsely split the session.)"""
+    import time
+
+    inp = tmp_path / "ooo_in"
+    inp.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+    batches = [
+        # batch 0: session spanning 0s..100s
+        [
+            (1, BASE, 1.0),
+            (1, BASE + dt.timedelta(seconds=100), 2.0),
+        ],
+        # batch 1: straggler INSIDE the open session (t=50s < last=100s)
+        [(1, BASE + dt.timedelta(seconds=50), 4.0)],
+        # batch 2: far-future event -> closes the session by gap
+        [(1, BASE + dt.timedelta(seconds=5000), 8.0)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(inp / f"b{i}")
+        )
+        time.sleep(1.1)  # file mtimes order the micro-batches
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp / "*"))
+    )
+    # watermark LARGER than the disorder so the straggler is admitted
+    out = sessionize_stream(stream, gap_seconds=1800, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["session_start"], r["session_end"], r["n_events"], r["value_sum"])
+        for r in spark.sql("select * from sess_ooo").collect()
+    ]
+    assert got == [
+        (BASE, BASE + dt.timedelta(seconds=100), 3, 7.0)
+    ], got
+
+    # batch twin agreement on the closed session
+    all_rows = [r for b in batches for r in b]
+    batch_sessions = {
+        (r["n_events"], r["value_sum"])
+        for r in session_stats(
+            spark.createDataFrame(all_rows, schema), gap_minutes=30.0
+        ).collect()
+    }
+    assert (3, 7.0) in batch_sessions

@@ -46,7 +46,10 @@ def snapshot_diff(
     )
     cond = None
     for c in key_cols:
-        eq = F.col(f"__ko_{c}") == F.col(f"__kn_{c}")
+        # null-safe: a NULL-keyed row must MATCH its counterpart, not
+        # split into a spurious added+removed pair (plain == never
+        # matches NULL to NULL)
+        eq = F.col(f"__ko_{c}").eqNullSafe(F.col(f"__kn_{c}"))
         cond = eq if cond is None else cond & eq
     j = o.join(n, cond, "full_outer")
     same = F.lit(True)

@@ -38,15 +38,20 @@ def target_encode_loo(
     y = F.col(label_col).cast("double")
     stats = df.groupBy(cat_col).agg(
         F.sum(y).alias("__s"), F.count(y).alias("__c")
-    )
+    ).withColumnRenamed(cat_col, "__cat")
     prior = df.agg(
         (F.sum(y) / F.count(y)).alias("__prior")
     )
-    j = df.join(stats, cat_col).crossJoin(F.broadcast(prior))
+    # null-safe category match: groupBy keeps the NULL category as its
+    # own group, but a plain equi-join would silently DROP every
+    # null-category row from the output — NULL is a category here
+    j = df.join(
+        stats, F.col(cat_col).eqNullSafe(F.col("__cat"))
+    ).crossJoin(F.broadcast(prior))
     enc = (F.col("__s") - y + F.lit(m) * F.col("__prior")) / (
         F.col("__c") - 1 + F.lit(m)
     )
-    return j.withColumn(out_col, enc).drop("__s", "__c", "__prior")
+    return j.withColumn(out_col, enc).drop("__cat", "__s", "__c", "__prior")
 
 
 def frequency_encode(
@@ -56,9 +61,15 @@ def frequency_encode(
 ) -> DataFrame:
     """Append each category's relative frequency — the cheap ordinal
     signal for tree models. Same groupBy+join shape."""
-    stats = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("__c"))
+    stats = df.groupBy(cat_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    ).withColumnRenamed(cat_col, "__cat")
     total = df.agg(F.count(F.lit(1)).alias("__n"))
-    j = df.join(stats, cat_col).crossJoin(F.broadcast(total))
+    # null-safe for the same reason as target_encode_loo: NULL is a
+    # category, not a row to silently drop
+    j = df.join(
+        stats, F.col(cat_col).eqNullSafe(F.col("__cat"))
+    ).crossJoin(F.broadcast(total))
     return j.withColumn(
         out_col, F.col("__c") / F.col("__n").cast("double")
-    ).drop("__c", "__n")
+    ).drop("__cat", "__c", "__n")

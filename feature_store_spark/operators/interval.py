@@ -73,15 +73,22 @@ def interval_join(
     pslot = F.floor(_slot(F.col(point_ts), bucket_width_s))
     s0 = F.floor(_slot(F.col(start_col), bucket_width_s))
     s1 = F.floor(_slot(F.col(end_col), bucket_width_s))
+    # NULL bounds also fall to the raise branch (NULL < k is NULL):
+    # an interval with an unknown endpoint is undefined, and silently
+    # dropping it via sequence(NULL) would under-join. coalesce keeps
+    # the error message readable instead of concat-nulling it away.
     guard = (s1 - s0) < F.lit(max_buckets_per_interval)
     slots = F.when(guard, F.sequence(s0, s1)).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("interval_join: interval spans >= "),
                 F.lit(str(max_buckets_per_interval)),
-                F.lit(" buckets; raise bucket_width_s or cap interval "),
-                F.lit("length (start="),
-                F.col(start_col).cast("string"),
+                F.lit(" buckets (or has NULL bounds); raise "),
+                F.lit("bucket_width_s, cap interval length, or filter "),
+                F.lit("null endpoints (start="),
+                F.coalesce(F.col(start_col).cast("string"), F.lit("NULL")),
+                F.lit(", end="),
+                F.coalesce(F.col(end_col).cast("string"), F.lit("NULL")),
                 F.lit(")"),
             )
         )

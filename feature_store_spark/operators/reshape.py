@@ -54,6 +54,11 @@ def pivot_features(
 
     ``feature_names`` is passed to ``pivot`` explicitly so Spark skips
     the extra distinct-values job — at 100 TB that scan is not free.
+
+    ``agg="first"`` is deterministic only when (key, name) is unique —
+    on duplicates it returns a partition-order-dependent row. Reduce
+    first (``latest_per_key``) or pass an order-free agg (``max``,
+    ``sum``) when the input can carry duplicates.
     """
     agg_fn = getattr(F, agg)
     return (

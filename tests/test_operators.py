@@ -150,3 +150,50 @@ def test_sessionize(spark):
     s = {(r["user_id"], r["session_id"]): r for r in stats.collect()}
     assert s[(1, 1)]["n_events"] == 2
     assert s[(1, 1)]["duration_sec"] == 600.0
+
+
+def test_target_encoding_keeps_null_category_rows(spark):
+    """NULL is a category: the stats join must be null-safe, not an
+    inner equi-join that silently drops every null-category row."""
+    from feature_store_spark.operators.encoding import (
+        frequency_encode,
+        target_encode_loo,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 0), (None, 1), (None, 0), (None, 1)],
+        "cat string, y int",
+    )
+    te = target_encode_loo(df, "cat", "y", m=2.0)
+    assert te.count() == 5  # no rows lost
+    prior = 3.0 / 5.0
+    got = {
+        (r["cat"], r["y"]): r["te"] for r in te.collect()
+    }
+    # null category: LOO over its own 3-row group
+    assert got[(None, 1)] == pytest.approx((2 - 1 + 2 * prior) / (3 - 1 + 2))
+    assert got[(None, 0)] == pytest.approx((2 - 0 + 2 * prior) / (3 - 1 + 2))
+
+    fe = frequency_encode(df, "cat")
+    assert fe.count() == 5
+    fgot = {r["cat"]: r["freq"] for r in fe.collect()}
+    assert fgot[None] == pytest.approx(3 / 5)
+    assert fgot["a"] == pytest.approx(2 / 5)
+
+
+def test_snapshot_diff_null_key_matches_itself(spark):
+    """A NULL-keyed row present in both snapshots is one matched key
+    (changed/unchanged), never a spurious added+removed pair."""
+    from feature_store_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (None, 5.0)], "k int, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (None, 7.0)], "k int, v double"
+    )
+    got = {
+        (r["k"], r["change_type"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {(1, "unchanged"), (None, "changed")}

@@ -75,6 +75,11 @@ def windowed_features_join(
     then an equi-join on (entity, bucket) with the exact range check as
     a residual filter. Bucket defaults to the window size, so each
     anchor touches at most 2 buckets.
+
+    The final re-aggregate groups by ALL anchor columns, so byte-
+    identical duplicate anchor rows collapse into one output row
+    (their aggregates are identical anyway) — carry a unique id
+    column if you need one row back per input row.
     """
     window_us = int(window_days * US_PER_DAY)
     bucket_us = int((bucket_days or window_days) * US_PER_DAY)

@@ -100,15 +100,23 @@ def extract_media_meta(
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode(p) for p in pdf["payload"]]
+            # NULL payloads carry NULL metadata through (a missing
+            # asset is a row to audit, not a TypeError three frames
+            # deep in a pandas batch)
+            metas = [
+                None if p is None else decode(p) for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "width": [m[0] for m in metas],
-                    "height": [m[1] for m in metas],
-                    "format": [m[2] for m in metas],
+                    "n_bytes": [
+                        None if p is None else len(p)
+                        for p in pdf["payload"]
+                    ],
+                    "width": [None if m is None else m[0] for m in metas],
+                    "height": [None if m is None else m[1] for m in metas],
+                    "format": [None if m is None else m[2] for m in metas],
                 }
             )
 
@@ -188,7 +196,12 @@ def resize_images(
                     "media_type": pdf["media_type"],
                     "width": width,
                     "height": height,
-                    "payload": [fn(p) for p in pdf["payload"]],
+                    # NULL in, NULL out — same missing-asset contract
+                    # as extract_media_meta
+                    "payload": [
+                        None if p is None else fn(p)
+                        for p in pdf["payload"]
+                    ],
                 }
             )
 

@@ -499,3 +499,25 @@ class TestSimilarityDegenerateVectors:
         # iters=0 honors the documented (centroids, assignment) contract
         cents0, assigned0 = kmeans_fit(emb, k=4, iters=0)
         assert assigned0 is not None and assigned0.count() == 16
+
+
+def test_multimodal_null_payload_yields_null_meta(spark):
+    """A NULL payload (missing asset) carries NULL metadata through
+    decode and resize instead of crashing the Arrow batch."""
+    from feature_store_spark.operators.multimodal import (
+        extract_media_meta,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"abc")), (2, "image", None)],
+        "doc_id long, media_type string, payload binary",
+    )
+    meta = {r["doc_id"]: r for r in extract_media_meta(media).collect()}
+    assert meta[1]["n_bytes"] == 3 and meta[1]["width"] is not None
+    assert meta[2]["n_bytes"] is None and meta[2]["width"] is None
+    assert meta[2]["format"] is None
+
+    rs = {r["doc_id"]: r for r in resize_images(media, 4, 4).collect()}
+    assert len(rs[1]["payload"]) == 16
+    assert rs[2]["payload"] is None

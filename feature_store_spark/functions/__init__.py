@@ -172,7 +172,13 @@ def unpack_embedding_udf():
 
     @pandas_udf("version int, embedding array<float>")
     def unpack(col):
-        out = [unpack_embedding_py(bytes(b)) for b in col]
+        # NULL blob -> NULL struct fields (missing embedding, not a
+        # TypeError inside the Arrow batch); corrupt non-null blobs
+        # still raise loudly from unpack_embedding_py
+        out = [
+            (None, None) if b is None else unpack_embedding_py(bytes(b))
+            for b in col
+        ]
         return pd.DataFrame(
             {"version": [v for v, _ in out], "embedding": [e for _, e in out]}
         )

@@ -135,3 +135,25 @@ def test_zorder_sort_clusters_both_dimensions():
     # linear sort: x clusters perfectly, y spans the full domain
     assert spans(xsorted, 0) <= 2
     assert spans(xsorted, 1) == 31
+
+
+def test_unpack_embedding_null_blob_yields_null_struct(spark):
+    """A NULL blob unpacks to NULL fields instead of a TypeError in
+    the Arrow batch; corrupt blobs still raise."""
+    from feature_store_spark.functions import (
+        pack_embedding_py,
+        unpack_embedding_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(pack_embedding_py([1.0, 2.0]))), (2, None)],
+        "id int, blob binary",
+    )
+    out = {
+        r["id"]: r["u"]
+        for r in df.select(
+            "id", unpack_embedding_udf()(F.col("blob")).alias("u")
+        ).collect()
+    }
+    assert out[1]["version"] == 1 and out[1]["embedding"] == [1.0, 2.0]
+    assert out[2]["version"] is None and out[2]["embedding"] is None

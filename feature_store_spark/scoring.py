@@ -484,7 +484,14 @@ def _model_heap(model: dict, feature_names: Sequence[str]):
             leafH[ti, pos - n_inner] = float(n["leaf"])
             return
         if "leaf" in n:
-            fill(ti, n, 2 * pos + 1, d + 1)  # pass-through defaults
+            # replicate the early leaf across BOTH children so every
+            # routing decision below it lands on the right value. The
+            # old left-spine-only fill relied on thr=+inf sending all
+            # lanes left, but x == +inf fails ``x < inf`` and went
+            # RIGHT onto a zero leaf — reachable on the float32 paths
+            # by any feature value beyond f32 max (casts to inf).
+            fill(ti, n, 2 * pos + 1, d + 1)
+            fill(ti, n, 2 * pos + 2, d + 1)
             return
         featH[ti, pos] = fidx[n["split"]]
         thrH[ti, pos] = float(n["threshold"])

@@ -165,3 +165,75 @@ def test_staged_matches_expression(spark, rows):
     }
     for i in a:
         assert abs(a[i] - b[i]) <= 1e-12
+
+
+def test_uneven_depth_heap_routes_infinity_correctly(spark, rows):
+    """Early leaves are padded to full depth in the heap layout; a
+    feature value of +inf (directly, or any double beyond float32 max
+    on the f32 paths) must still land on the early leaf's value, not a
+    zero-filled pad slot. Regression for the left-spine-only pad fill."""
+    import numpy as np
+
+    from feature_store_spark.scoring import HAS_GCC, native_tree_udf
+
+    model = {
+        "base_score": 0.0,
+        "objective": "reg:squarederror",
+        "trees": [
+            {
+                "split": "a",
+                "threshold": 10.0,
+                "missing": "left",
+                # uneven: early leaf on the yes side, depth-2 on no
+                "yes": {"leaf": 7.0},
+                "no": {
+                    "split": "b",
+                    "threshold": 5.0,
+                    "missing": "right",
+                    "yes": {"leaf": 1.0},
+                    "no": {"leaf": 2.0},
+                },
+            }
+        ],
+    }
+    inf = float("inf")
+    big = 1e39  # > float32 max: casts to +inf on the f32 paths
+    df = spark.createDataFrame(
+        [
+            (1, 5.0, 0.0, 0.0, 0.0),    # -> early leaf 7.0
+            (2, inf, 1.0, 0.0, 0.0),    # a=inf -> no-side, b<5 -> 1.0
+            (3, big, 9.0, 0.0, 0.0),    # f32: a=inf; f64: a>10 -> 2.0
+            (4, 5.0, inf, 0.0, 0.0),    # early leaf, b=inf irrelevant
+        ],
+        "id int, a double, b double, c double, d double",
+    )
+    fmap = {f: f for f in FEATS}
+    expr = {
+        r["id"]: r["s"]
+        for r in df.withColumn("s", compile_model_expr(model, fmap)).collect()
+    }
+    assert expr[1] == 7.0 and expr[2] == 1.0 and expr[3] == 2.0 and expr[4] == 7.0
+
+    for dtype in ("float64", "float32"):
+        udf = vectorized_tree_udf(model, FEATS, dtype=dtype)
+        got = {
+            r["id"]: r["s"]
+            for r in df.withColumn("s", udf(*[F.col(f) for f in FEATS])).collect()
+        }
+        assert got[1] == 7.0, (dtype, got)
+        assert got[2] == 1.0, (dtype, got)
+        assert got[4] == 7.0, (dtype, got)
+        # row 3: f64 sees 1e39 > 10 -> leaf 2.0; f32 casts to inf ->
+        # still the no side -> b=9 -> leaf 2.0. Either way 2.0.
+        assert got[3] == 2.0, (dtype, got)
+
+    if HAS_GCC:
+        for dtype in ("float64", "float32"):
+            udf = native_tree_udf(model, FEATS, dtype=dtype)
+            got = {
+                r["id"]: r["s"]
+                for r in df.withColumn(
+                    "s", udf(*[F.col(f) for f in FEATS])
+                ).collect()
+            }
+            assert got == {1: 7.0, 2: 1.0, 3: 2.0, 4: 7.0}, (dtype, got)

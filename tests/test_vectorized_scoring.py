@@ -237,3 +237,71 @@ def test_uneven_depth_heap_routes_infinity_correctly(spark, rows):
                 ).collect()
             }
             assert got == {1: 7.0, 2: 1.0, 3: 2.0, 4: 7.0}, (dtype, got)
+
+
+def test_random_pruned_trees_differential_extreme_values(spark):
+    """Randomized differential across scoring tiers on UNEVEN-depth
+    trees (random pruning) with adversarial feature values (NaN, +/-
+    inf, > float32-max, exact thresholds): numpy f64 and (when gcc
+    exists) C f64 must match the Catalyst expression path exactly."""
+    import math as _m
+    import random as _r
+
+    from feature_store_spark.scoring import HAS_GCC, native_tree_udf
+
+    rng = _r.Random(1234)
+
+    def node(d):
+        # ~40% chance to stop early -> uneven depth
+        if d == 0 or rng.random() < 0.4:
+            return {"leaf": rng.uniform(-0.5, 0.5)}
+        return {
+            "split": rng.choice(FEATS),
+            "threshold": rng.choice([rng.uniform(-5, 5), 0.0, 1.0]),
+            "missing": rng.choice(["left", "right"]),
+            "yes": node(d - 1),
+            "no": node(d - 1),
+        }
+
+    model = {
+        "base_score": 0.05,
+        "objective": "reg:squarederror",
+        "trees": [node(4) for _ in range(12)],
+    }
+    specials = [
+        float("nan"), float("inf"), float("-inf"), 1e39, -1e39,
+        0.0, 1.0, -5.0, 5.0, None,
+    ]
+    rows = [
+        (i,) + tuple(rng.choice(specials) for _ in FEATS)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, a double, b double, c double, d double"
+    )
+    fmap = {f: f for f in FEATS}
+    expr = {
+        r["id"]: r["s"]
+        for r in df.withColumn("s", compile_model_expr(model, fmap)).collect()
+    }
+    udf = vectorized_tree_udf(model, FEATS, dtype="float64")
+    vec = {
+        r["id"]: r["s"]
+        for r in df.withColumn("s", udf(*[F.col(f) for f in FEATS])).collect()
+    }
+    for i in expr:
+        assert _m.isclose(expr[i], vec[i], rel_tol=0, abs_tol=1e-12), (
+            i, rows[i], expr[i], vec[i]
+        )
+    if HAS_GCC:
+        cud = native_tree_udf(model, FEATS, dtype="float64")
+        nat = {
+            r["id"]: r["s"]
+            for r in df.withColumn(
+                "s", cud(*[F.col(f) for f in FEATS])
+            ).collect()
+        }
+        for i in expr:
+            assert _m.isclose(expr[i], nat[i], rel_tol=0, abs_tol=1e-12), (
+                i, rows[i], expr[i], nat[i]
+            )

@@ -2423,7 +2423,7 @@ def q_curation_pipeline(spark, sf_dir):
     # persist the deduped corpus: three downstream consumers (copies,
     # quality, lang) would each recompute the dedup join otherwise —
     # at cluster scale this is a checkpoint to storage between stages
-    kept = exact_dedup(corpus).cache()
+    kept = exact_dedup(corpus).localCheckpoint(eager=False)
     q = quality_score(kept).select("doc_id", "n_words", "quality_score")
     lang = lang_id(kept).select("doc_id", "pred_lang")
     joined = kept.select("doc_id", "n_copies").join(q, "doc_id").join(lang, "doc_id")
@@ -3953,7 +3953,9 @@ def q_fraud_pipeline(spark, sf_dir):
     )
     from feature_store_spark.validation import FRAUD_GATES, TREE_AUC_REF_MIN
 
-    wide = generate_merchants(spark, n=20_000, seed=42).cache()
+    wide = generate_merchants(spark, n=20_000, seed=42).localCheckpoint(
+        eager=False
+    )
     view = FeatureView("fraud_accept", 1, "merchant", list(FEATURE_NAMES))
     vec = materialize_vectors(wide, view, now_ms=0)
     n_bad_roundtrip = roundtrip_check(wide, vec, view).count()
@@ -3970,7 +3972,9 @@ def q_fraud_pipeline(spark, sf_dir):
         tiebreak_cols=["created_at"], lookback_days=None,
     )
 
-    folded = stratified_kfold_tag(assembled, "is_high_risk", k=5).cache()
+    folded = stratified_kfold_tag(assembled, "is_high_risk", k=5).localCheckpoint(
+        eager=False
+    )
     train = folded.filter(F.col("fold") != 0)
     test = folded.filter(F.col("fold") == 0)
     # quantile-bin on the TRAIN folds only (boundaries are part of the
@@ -3999,7 +4003,7 @@ def q_fraud_pipeline(spark, sf_dir):
             "score", predict_boosted_expr(model, feature_cols=bin_cols)
         )
         .withColumnRenamed("__y", "is_high_risk")
-        .cache()
+        .localCheckpoint(eager=False)
     )
 
     roc = auc_roc(scored, "score", "is_high_risk")
@@ -4067,12 +4071,14 @@ def q_mslr_pipeline(spark, sf_dir):
         generate_docs(spark, n_queries=150, docs_per_query=20, seed=42)
         .withColumn("fold", hash_bucket_expr(F.col("qid").cast("string"), 5))
         .withColumn("rel_binary", (F.col("relevance") >= 2).cast("int"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     train = docs.filter(F.col("fold") != 0)
     test = docs.filter(F.col("fold") == 0)
     model = fit_logistic(train, feats, "rel_binary", epochs=6, lr=0.3)
-    scored = test.withColumn("score", predict_expr(model)).cache()
+    scored = test.withColumn("score", predict_expr(model)).localCheckpoint(
+        eager=False
+    )
 
     n5 = mean_ndcg_at_k(scored, 5, tiebreak=["entity_id"])
     n10 = mean_ndcg_at_k(scored, 10, tiebreak=["entity_id"])
@@ -4140,14 +4146,16 @@ def q_criteo_pipeline(spark, sf_dir):
         imp = imp.withColumn(name, (F.col(f"C{j + 1}") == b).cast("double"))
         hot_cols.append(name)
     feats = list(INT_COLS) + hot_cols
-    imp = imp.cache()
+    imp = imp.localCheckpoint(eager=False)
 
     train = imp.filter(F.col("split") == "train")
     test = imp.filter(F.col("split") == "test")
     model = fit_logistic(
         train, feats, "click", epochs=12, lr=0.3, class_weighted=False
     )
-    scored = test.withColumn("prob", predict_expr(model)).cache()
+    scored = test.withColumn("prob", predict_expr(model)).localCheckpoint(
+        eager=False
+    )
 
     roc = auc_roc(scored, "prob", "click")
     pr = auc_pr(scored, "prob", "click")

@@ -5990,9 +5990,13 @@ QUERIES: dict[str, tuple] = {
     "lsh_recall": (q_lsh_recall, _lsh_recall_sql()),
     "online_offline_skew": (q_online_offline_skew, ONLINE_OFFLINE_SKEW_SQL),
     "bpe_merges": (q_bpe_merges, _bpe_merges_sql()),
-    "local_supplier_volume": (q_local_supplier_volume, LOCAL_SUPPLIER_SQL),
-    "pricing_cube": (q_pricing_cube, PRICING_CUBE_SQL),
-    "running_totals": (q_running_totals, RUNNING_TOTALS_SQL),
+    # --- continuation-sweep changed paths (r5 second half): trainer
+    # NULL/NaN guards + residual checkpoints (mslr/criteo), lazy-
+    # checkpoint curation, null-meta multimodal — each re-graded ---
+    "mslr_pipeline": (q_mslr_pipeline, MSLR_PIPELINE_SQL),
+    "criteo_pipeline": (q_criteo_pipeline, CRITEO_PIPELINE_SQL),
+    "curation_pipeline": (q_curation_pipeline, CURATION_SQL),
+    "multimodal_meta": (q_multimodal_meta, MULTIMODAL_SQL),
     "chi2_association": (q_chi2_association, CHI2_SQL),
     "ab_test": (q_ab_test, AB_TEST_SQL),
     "ece": (q_ece, _ece_sql()),
@@ -6017,8 +6021,6 @@ QUERIES: dict[str, tuple] = {
     "embedding_topk": (q_embedding_topk, EMB_TOPK_SQL),
     "ivf_assign": (q_ivf_assign, IVF_ASSIGN_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
-    "curation_pipeline": (q_curation_pipeline, CURATION_SQL),
-    "multimodal_meta": (q_multimodal_meta, MULTIMODAL_SQL),
     # --- rotation tail: driver-green in CORRECTNESS_r03.json ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
@@ -6043,8 +6045,6 @@ QUERIES: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, PACK_SEQUENCES_SQL),
     "corpus_mix": (q_corpus_mix, CORPUS_MIX_SQL),
     "asof_tolerance": (q_asof_tolerance, ASOF_TOLERANCE_SQL),
-    "mslr_pipeline": (q_mslr_pipeline, MSLR_PIPELINE_SQL),
-    "criteo_pipeline": (q_criteo_pipeline, CRITEO_PIPELINE_SQL),
     "asof_auto": (q_asof_auto, ASOF_SQL),
     "pack_shards": (q_pack_shards, PACK_SHARDS_SQL),
     "salted_topk": (q_salted_topk, TOPK_PER_USER_SQL),
@@ -6066,6 +6066,9 @@ QUERIES: dict[str, tuple] = {
     "pricing_rollup": (q_pricing_rollup, PRICING_ROLLUP_SQL),
     "asof_nearest": (q_asof_nearest, ASOF_NEAREST_SQL),
     "decontaminate_bloom": (q_decontaminate_bloom, DECONTAMINATE_SQL),
+    "local_supplier_volume": (q_local_supplier_volume, LOCAL_SUPPLIER_SQL),
+    "pricing_cube": (q_pricing_cube, PRICING_CUBE_SQL),
+    "running_totals": (q_running_totals, RUNNING_TOTALS_SQL),
     # --- rotation tail: all driver-green in CORRECTNESS_r02.json ---
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
     "top_customers": (q_top_customers, TOP_CUSTOMERS_SQL),

@@ -363,3 +363,74 @@ def test_corr_matrix_matches_numpy(spark, pairs):
     else:
         ref = float(np.corrcoef(xs, ys)[0, 1])
         assert r["pearson_r"] == pytest.approx(ref, abs=2e-6)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    lt=st.lists(
+        st.integers(min_value=0, max_value=120), min_size=1, max_size=25
+    ),
+    rt=st.lists(
+        st.integers(min_value=0, max_value=120), min_size=0, max_size=25
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol=st.sampled_from([None, 30.0]),
+)
+def test_asof_join_matches_pandas_property(spark, lt, rt, direction, tol):
+    """asof_join == pandas.merge_asof for ARBITRARY left/right time
+    multisets (duplicates included), every direction, with and
+    without tolerance — the crown-jewel operator's public reference
+    semantics as a property, not a fixed example set. Right times are
+    offset to odd seconds so exact left==right ties (whose tie-break
+    pandas leaves underspecified for 'nearest') cannot occur, while
+    duplicate times WITHIN each side still do."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from feature_store_spark.operators.asof import asof_join
+
+    base = _dt.datetime(2024, 1, 1)
+    lpdf = pd.DataFrame(
+        {
+            "k": ["a"] * len(lt),
+            "t": [base + _dt.timedelta(seconds=2 * s) for s in sorted(lt)],
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": pd.Series(["a"] * len(rt), dtype=object),
+            "t": pd.Series(
+                [base + _dt.timedelta(seconds=2 * s + 1) for s in sorted(rt)],
+                dtype="datetime64[ns]",
+            ),
+            "v": pd.Series(
+                [float(i) for i in range(len(rt))], dtype="float64"
+            ),
+        }
+    )
+    left = spark.createDataFrame(lpdf, "k string, t timestamp")
+    right = (
+        spark.createDataFrame(rpdf, "k string, t timestamp, v double")
+        if len(rt)
+        else spark.createDataFrame([], "k string, t timestamp, v double")
+    )
+    got = (
+        asof_join(
+            left, right, on=["k"], left_time="t", value_cols=["v"],
+            direction=direction, tolerance_seconds=tol,
+        )
+        .toPandas()
+        .sort_values(["t", "v"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lpdf, rpdf, on="t", by="k", direction=direction,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    ).sort_values(["t", "v"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(got["v"], want["v"], check_names=False)

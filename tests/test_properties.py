@@ -434,3 +434,46 @@ def test_asof_join_matches_pandas_property(spark, lt, rt, direction, tol):
     ).sort_values(["t", "v"]).reset_index(drop=True)
     assert len(got) == len(want)
     pd.testing.assert_series_equal(got["v"], want["v"], check_names=False)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    items=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=400,
+    ),
+    support=st.sampled_from([0.05, 0.2, 0.5]),
+    parts=st.integers(min_value=1, max_value=8),
+)
+def test_heavy_hitters_property_matches_groupby(spark, items, support, parts):
+    """heavy_hitters == GROUP BY HAVING count >= ceil(s*N) for ANY
+    multiset, support, and partitioning — the Misra-Gries candidate
+    pass must never lose a true hitter regardless of how rows split
+    across partitions."""
+    import math as _m
+
+    from pyspark.sql import functions as _F
+
+    from feature_store_spark.operators.freq import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(w,) for w in items], "word string"
+    ).repartition(parts)
+    got = {
+        (r["word"], r["cnt"])
+        for r in heavy_hitters(df, "word", support).collect()
+    }
+    thresh = max(1, _m.ceil(support * len(items)))
+    want = {
+        (r["word"], r["cnt"])
+        for r in df.groupBy("word")
+        .agg(_F.count(_F.lit(1)).alias("cnt"))
+        .filter(_F.col("cnt") >= thresh)
+        .collect()
+    }
+    assert got == want

@@ -191,8 +191,11 @@ def roundtrip_check(
     by an inner join; a NULL source value is fine only when the served
     slot equals the view's declared default (the mask contract) —
     plain ``abs(w - s) > tol`` is NULL there and would silently pass.
-    NaN served values compare greater than tol (Spark NaN ordering),
-    so they surface as violations on their own."""
+    NaN served values surface as violations (``abs(NaN - x) <= tol``
+    is false under Spark NaN semantics) UNLESS the source slot is
+    also NaN: NaN-in/NaN-out is a faithful round-trip, not a serving
+    defect, so NaN==NaN agreement is an explicit ok-branch (ADVICE
+    r5 — it used to be a false positive)."""
     served = vector_to_columns(vectors, view.feature_names)
     if view.transforms:
         # the vector holds post-transform values; compare like to like
@@ -205,6 +208,10 @@ def roundtrip_check(
     missing = F.col("__w_present").isNull() | F.col("__s_present").isNull()
     slot_ok = [
         (F.abs(F.col(f"w.{n}") - F.col(f"s.{n}")) <= tol)
+        | (
+            F.isnan(F.col(f"w.{n}").cast("double"))
+            & F.isnan(F.col(f"s.{n}").cast("double"))
+        )
         | (
             F.col(f"w.{n}").isNull()
             & (

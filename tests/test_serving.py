@@ -127,3 +127,35 @@ def test_roundtrip_check_catches_missing_and_default_slots(spark):
     )
     bad = roundtrip_check(wide, corrupt, view).collect()
     assert len(bad) == 1 and bad[0]["entity_id"] == 2
+
+
+def test_roundtrip_check_nan_roundtrip_is_not_a_violation(spark):
+    """A legitimately-NaN source slot that round-trips as NaN agrees —
+    abs(NaN-NaN) <= tol is false under Spark NaN semantics, so without
+    the explicit NaN==NaN ok-branch it was a false positive (ADVICE
+    r5). A NaN served where the source is REAL must still violate."""
+    from feature_store_spark.materialize import (
+        materialize_vectors,
+        roundtrip_check,
+    )
+    from feature_store_spark.registry import FeatureView
+
+    view = FeatureView("v", 1, "m", ["f_a", "f_b"])
+    wide = spark.createDataFrame(
+        [(1, float("nan"), 2.0), (2, 3.0, 4.0)],
+        "entity_id int, f_a double, f_b double",
+    )
+    vectors = materialize_vectors(wide, view, now_ms=0)
+    # NaN in -> NaN out: faithful, zero violations
+    assert roundtrip_check(wide, vectors, view).count() == 0
+
+    # NaN served against a real source value: violation
+    corrupt = vectors.withColumn(
+        "values",
+        F.when(
+            F.col("entity_id") == 2,
+            F.array(F.lit(float("nan")), F.lit(4.0)),
+        ).otherwise(F.col("values")),
+    )
+    bad = roundtrip_check(wide, corrupt, view).collect()
+    assert len(bad) == 1 and bad[0]["entity_id"] == 2

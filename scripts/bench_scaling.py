@@ -41,6 +41,8 @@ QUERY_NAMES = {
     "dedup_clusters": SF1,
     "minhash_pairs": SF1,
     "ngram_jaccard": SF1,
+    "calibration": SF1,
+    "ece": SF1,
     "heavy_hitters": SF1_FREQ,
     "decontaminate_bloom": SF1_FREQ,
     "bpe_merges": SF1_FREQ,

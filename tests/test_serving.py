@@ -159,3 +159,62 @@ def test_roundtrip_check_nan_roundtrip_is_not_a_violation(spark):
     )
     bad = roundtrip_check(wide, corrupt, view).collect()
     assert len(bad) == 1 and bad[0]["entity_id"] == 2
+
+
+def test_cache_ttl_tier_expiry_backfill_and_age_forwarding(spark):
+    """REDIS_CACHE tier semantics (S13): a fresh entry serves from the
+    cache; an entry exactly AT the TTL boundary is expired (strict <)
+    and falls through; served cache ages are aged forward by the time
+    since caching so the staleness warning sees the TRUE age; the
+    cache_backfill column is exactly the deeper-tier hits lacking a
+    valid cache entry."""
+    from feature_store_spark.serving import get_online_features
+
+    NOW, TTL = 1_000_000, 60_000
+    req = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["entity_id"])
+    vectors = spark.createDataFrame(
+        [
+            (2, [9.0, 9.0], [False, False], [5, 5]),
+            (3, [7.0, 7.0], [False, False], [5, 5]),
+        ],
+        "entity_id int, values array<double>, is_default_mask array<boolean>, "
+        "value_ages_ms array<bigint>",
+    )
+    cache = spark.createDataFrame(
+        [
+            # fresh: cached 1ms ago
+            (1, [1.0, 2.0], [False, False], [100, 200], NOW - 1),
+            # boundary: cached exactly TTL ago -> EXPIRED
+            (2, [8.0, 8.0], [False, False], [0, 0], NOW - TTL),
+        ],
+        "entity_id int, values array<double>, is_default_mask array<boolean>, "
+        "value_ages_ms array<bigint>, cached_at_ms long",
+    )
+    out = {
+        r["entity_id"]: r
+        for r in get_online_features(
+            req, vectors, None, ["a", "b"],
+            now_ms=NOW, cache=cache, cache_ttl_ms=TTL,
+        ).collect()
+    }
+    assert out[1]["source"] == "REDIS_CACHE"
+    assert out[1]["values"] == [1.0, 2.0]
+    # ages forwarded by elapsed=1ms
+    assert out[1]["value_ages_ms"] == [101, 201]
+    assert out[1]["cache_backfill"] is False
+    # boundary entry expired -> vector tier serves, backfill flagged
+    assert out[2]["source"] == "ROCKSDB_VECTOR"
+    assert out[2]["values"] == [9.0, 9.0]
+    assert out[2]["cache_backfill"] is True
+    assert out[3]["source"] == "ROCKSDB_VECTOR"
+    assert out[3]["cache_backfill"] is True
+    assert out[4]["source"] == "MISS"
+    assert out[4]["cache_backfill"] is False
+
+    # TTL without a clock must be rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="now_ms"):
+        get_online_features(
+            req, vectors, None, ["a", "b"], cache=cache, cache_ttl_ms=TTL
+        )

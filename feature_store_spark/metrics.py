@@ -311,10 +311,14 @@ def calibration_bins(
     """
     spark = df.sparkSession
     p = F.col(prob_col).cast("double")
-    raw = F.floor(F.nanvl(p, F.lit(-1.0)) * bins).cast("int")
+    # raw stays BIGINT (floor's native type): p = ±inf saturates
+    # floor to Long.MAX/MIN, and an eager cast("int") here would
+    # crash under ANSI instead of routing to the sentinel. The cast
+    # lives inside the raw < bins branch, where 0 <= raw < bins.
+    raw = F.floor(F.nanvl(p, F.lit(-1.0)) * bins)
     b = (
         F.when(raw < 0, F.lit(-1))
-        .when(raw < bins, raw)
+        .when(raw < bins, raw.cast("int"))
         .when((raw == bins) & (p <= 1.0), F.lit(bins - 1))
         .otherwise(F.lit(-1))
     )

@@ -477,3 +477,110 @@ def test_heavy_hitters_property_matches_groupby(spark, items, support, parts):
         .collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    probs=st.lists(
+        st.one_of(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+            st.floats(
+                min_value=-5.0, max_value=5.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.just(float("nan")),
+            st.just(float("inf")),
+            st.just(float("-inf")),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+def test_calibration_bins_matches_python_oracle_property(spark, probs, seed):
+    """calibration_bins == brute-force Python binning for ANY prob
+    multiset including NaN, ±inf, NULL, and out-of-range values — the
+    round-6 plan rework (sentinel bin + driver-side drop + nanvl bin
+    key) must be invisible at the semantic level. ±inf pins the cast
+    edge: floor(inf*bins) saturates the int cast far outside
+    [0, bins), so infinities must land in the dropped sentinel."""
+    import math as m
+    import random
+
+    from feature_store_spark.metrics import calibration_bins
+
+    rng = random.Random(seed)
+    rows = [(p, rng.randint(0, 1)) for p in probs]
+    df = spark.createDataFrame(rows, "prob double, label int")
+    got = {
+        r["bin"]: r for r in calibration_bins(df, "prob", "label").collect()
+    }
+
+    want: dict[int, list] = {}
+    for p, y in rows:
+        if p is None or m.isnan(p) or m.isinf(p) or p < 0.0 or p > 1.0:
+            continue
+        b = min(9, m.floor(p * 10))
+        want.setdefault(b, []).append((p, y))
+    assert set(got) == set(want)
+    for b, members in want.items():
+        n = len(members)
+        assert got[b]["n"] == n
+        assert got[b]["mean_confidence"] == pytest.approx(
+            round(sum(p for p, _ in members) / n, 6), abs=1e-9
+        )
+        assert got[b]["positive_rate"] == pytest.approx(
+            round(sum(y for _, y in members) / n, 6), abs=1e-9
+        )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+        min_size=4,
+        max_size=40,
+    ),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+def test_psi_split_equals_two_frame_psi_property(spark, vals, seed):
+    """psi_report_split(df, flag) == psi_report(df[flag], df[~flag])
+    for ANY value multiset and ANY split with both sides non-empty —
+    the one-scan split variant and the two-frame variant are the same
+    statistic computed through different physical plans (both reworked
+    to project-once aggregates in round 6)."""
+    import random
+
+    from feature_store_spark.stats import psi_report, psi_report_split
+
+    rng = random.Random(seed)
+    flags = [rng.random() < 0.5 for _ in vals]
+    if all(flags):
+        flags[0] = False
+    if not any(flags):
+        flags[0] = True
+    rows = [(v, f) for v, f in zip(vals, flags)]
+    df = spark.createDataFrame(rows, "x double, is_ref boolean")
+
+    split = psi_report_split(df, F.col("is_ref"), ["x"]).first()
+    two = psi_report(
+        df.filter(F.col("is_ref")), df.filter(~F.col("is_ref")), ["x"]
+    ).first()
+    assert split["n_ref"] == two["n_ref"]
+    assert split["n_cur"] == two["n_cur"]
+    assert split["psi"] == pytest.approx(two["psi"], abs=1e-9)

@@ -936,3 +936,114 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def doc_segments(text: Column, k: int = 10) -> Column:
+    """Consecutive ``k``-word segments of one document as an array —
+    the unit of CCNet/C4-style line-level dedup, computed entirely
+    map-side. The corpus here carries flat single-space word streams
+    (no newline structure), so the "line" is a fixed-width word
+    window: segment i covers words ``[i*k, (i+1)*k)`` under the
+    :func:`~feature_store_spark.operators.text.words` tokenization
+    contract; the final segment may be shorter. Empty/whitespace-only
+    text yields an EMPTY array (``sequence(0, -1)`` would count DOWN
+    in Spark and mint two phantom segments — hence the size guard)."""
+    from feature_store_spark.operators.text import words
+
+    w = words(text)
+    n_seg = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
+    return F.when(n_seg > 0, F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def segment_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style line-level dedup / boilerplate removal (public
+    pipeline step: Wenzek et al., "CCNet", and the C4 cleaning recipe
+    — drop lines repeated across the corpus; reference has no analog,
+    LLM-pipeline addition). Splits every document into ``k``-word
+    segments, computes each segment's corpus-wide document frequency,
+    and reports per document: segment counts, the duplicated-segment
+    ratio, and the cleaned text with boilerplate segments (df >=
+    ``min_docs`` distinct docs) removed, original order preserved.
+
+    Scale shape (100 TB): one narrow explode (no shuffle), ONE
+    hash-aggregate shuffle keyed by xxhash64(segment) for the df
+    count — 8-byte keys, map-side partials — and one join of the
+    exploded segments against only the DUPLICATE segment set (df >=
+    min_docs), which is orders of magnitude smaller than the distinct-
+    segment universe (most segments are unique; boilerplate is the
+    small hot set). The join is left-anti-shaped (left join + null
+    flag) so unique segments stream through; AQE skew handling splits
+    the genuinely hot boilerplate keys. Reassembly is a per-doc
+    collect_list of (idx, segment) structs — doc-bounded memory.
+    A segment repeated WITHIN one document is not boilerplate
+    (df counts distinct documents).
+
+    NULL-text documents pass through with zero counts and NULL
+    cleaned_text (unknown content is not removable content)."""
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode(doc_segments(F.col(text_col), k)).alias(
+            "__idx", "__seg"
+        ),
+    ).withColumn("__sh", F.xxhash64("__seg"))
+    # df over distinct (segment, doc): two-phase — map-side distinct
+    # within (hash, doc) then count per hash; a collision merges two
+    # segments' doc sets (false boilerplate at ~n_segments^2 / 2^64 —
+    # negligible; same trade as ngram_jaccard_pairs blocking)
+    dup_set = (
+        segs.select("__sh", id_col)
+        .distinct()
+        .groupBy("__sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__sh")
+        .withColumn("__dup", F.lit(True))
+    )
+    flagged = segs.join(dup_set, "__sh", "left").select(
+        F.col(id_col),
+        F.col("__idx"),
+        F.col("__seg"),
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("__dup"),
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("__dup").cast("long")).alias("n_dup_segments"),
+        F.round(F.avg(F.col("__dup").cast("double")), 6).alias("dup_ratio"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__dup"),
+                            F.struct(F.col("__idx"), F.col("__seg")),
+                        )
+                    )
+                ),
+                lambda s: s["__seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    nulls = (
+        docs.filter(
+            F.col(text_col).isNull()
+            | (F.size(doc_segments(F.col(text_col), k)) == 0)
+        )
+        .select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_segments"),
+            F.lit(0).cast("long").alias("n_dup_segments"),
+            F.lit(None).cast("double").alias("dup_ratio"),
+            F.lit(None).cast("string").alias("cleaned_text"),
+        )
+    )
+    return per_doc.unionByName(nulls)

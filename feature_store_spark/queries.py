@@ -1319,6 +1319,64 @@ FROM corpus GROUP BY 1
 """
 
 
+def q_segment_dedup(spark, sf_dir):
+    """CCNet/C4-style line-level dedup over the raw corpus: 10-word
+    segments, corpus-wide document frequency, boilerplate (df >= 2)
+    stripped from each document's cleaned_text. One narrow explode +
+    one 8-byte-key hash-agg shuffle + a left join against only the
+    (small) duplicate-segment set — the plan a 100 TB boilerplate
+    sweep needs."""
+    from feature_store_spark.operators.dedup import segment_dedup
+
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    return segment_dedup(docs, k=10, min_docs=2)
+
+
+SEGMENT_DEDUP_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+seg AS (
+  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+         array_to_string(
+           list_slice(ws, CAST(i*10+1 AS INT), CAST(i*10+10 AS INT)), ' '
+         ) AS seg
+  FROM w, UNNEST(range(CAST(ceil(len(ws)/10.0) AS BIGINT))) AS t(i)
+  WHERE len(ws) > 0
+),
+freq AS (
+  SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg
+),
+dup AS (SELECT seg FROM freq WHERE df >= 2),
+j AS (
+  SELECT s.doc_id, s.seg_idx, s.seg, d.seg IS NOT NULL AS is_dup
+  FROM seg s LEFT JOIN dup d ON s.seg = d.seg
+),
+scored AS (
+  SELECT doc_id,
+         count(*) AS n_segments,
+         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_segments,
+         round(avg(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 6) AS dup_ratio,
+         coalesce(
+           array_to_string(
+             list(seg ORDER BY seg_idx) FILTER (WHERE NOT is_dup), ' '
+           ), ''
+         ) AS cleaned_text
+  FROM j GROUP BY doc_id
+)
+SELECT * FROM scored
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+FROM documents
+WHERE text IS NULL
+   OR len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) = 0
+"""
+
+
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (16 md5-seeded hashes over 3-word shingles)
     on the raw documents table."""
@@ -6156,6 +6214,7 @@ QUERIES: dict[str, tuple] = {
     "auc_roc": (q_auc_roc, AUC_SQL),
     "ndcg_at_5": (q_ndcg, NDCG_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "segment_dedup": (q_segment_dedup, SEGMENT_DEDUP_SQL),
     "minhash_pairs": (q_minhash_pairs, MINHASH_PAIRS_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_pigeonhole": (q_simhash_pigeonhole, SIMHASH_PIGEONHOLE_SQL),

@@ -521,3 +521,55 @@ def test_multimodal_null_payload_yields_null_meta(spark):
     rs = {r["doc_id"]: r for r in resize_images(media, 4, 4).collect()}
     assert len(rs[1]["payload"]) == 16
     assert rs[2]["payload"] is None
+
+
+def test_segment_dedup_boilerplate_removal(spark):
+    """CCNet-style line dedup: a 3-word segment shared by two docs is
+    boilerplate and is stripped from cleaned_text; a segment repeated
+    WITHIN one doc is not (df counts distinct docs); an all-duplicate
+    doc cleans to ''; NULL and empty texts pass through with zero
+    counts and NULL cleaned_text."""
+    from feature_store_spark.operators.dedup import segment_dedup
+
+    boiler = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma"),
+            (2, f"{boiler} delta epsilon zeta"),
+            (3, "unique words here unique words here"),  # self-repeat
+            (4, boiler),           # all segments duplicated
+            (5, None),
+            (6, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, k=3, min_docs=2).collect()
+    }
+    assert len(out) == 6
+    assert out[1]["n_segments"] == 2 and out[1]["n_dup_segments"] == 1
+    assert out[1]["cleaned_text"] == "alpha beta gamma"
+    assert out[2]["cleaned_text"] == "delta epsilon zeta"
+    assert out[1]["dup_ratio"] == 0.5
+    # within-doc repeat: "unique words here" appears twice in doc 3
+    # only -> df = 1 distinct doc -> kept
+    assert out[3]["n_dup_segments"] == 0
+    assert out[3]["cleaned_text"] == "unique words here unique words here"
+    assert out[4]["n_segments"] == 1 and out[4]["n_dup_segments"] == 1
+    assert out[4]["cleaned_text"] == ""
+    for d in (5, 6):
+        assert out[d]["n_segments"] == 0
+        assert out[d]["dup_ratio"] is None
+        assert out[d]["cleaned_text"] is None
+
+
+def test_doc_segments_partial_tail_and_order(spark):
+    """doc_segments: k-word windows in original order, short tail
+    segment kept, lowercased under the words() contract."""
+    from feature_store_spark.operators.dedup import doc_segments
+
+    df = spark.createDataFrame(
+        [("A b c d e f g h",)], "text string"
+    ).select(doc_segments(F.col("text"), k=3).alias("s"))
+    assert df.first()["s"] == ["a b c", "d e f", "g h"]

@@ -4755,6 +4755,70 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet stage-2 selection: per-language head/middle/tail buckets
+    by bigram-LM perplexity terciles (Wenzek et al. — keep the low-
+    perplexity head, drop or down-weight the tail). Cuts come from the
+    exact interpolated per-language percentile over the ROUNDED nll
+    (rounding first makes the cut engine-stable: the raw nll agrees
+    across engines only to ~1e-6 because float summation order
+    differs, and with n_docs-1 divisible by 3 the tercile lands
+    exactly ON a document's value). The cuts frame is lang-cardinality
+    rows — broadcast; at 100 TB swap the exact percentile for
+    approx_percentile(..., 1e-4) without changing the plan shape."""
+    from feature_store_spark.operators.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    nll = bigram_lm_scores(docs.select("doc_id", "text"), k=0.5).select(
+        "doc_id", _r6(F.col("nll")).alias("__nll")
+    )
+    scored = nll.join(docs.select("doc_id", "lang"), "doc_id")
+    cuts = scored.groupBy("lang").agg(
+        F.percentile("__nll", F.lit(1.0 / 3.0)).alias("__c1"),
+        F.percentile("__nll", F.lit(2.0 / 3.0)).alias("__c2"),
+    )
+    bucketed = scored.join(F.broadcast(cuts), "lang").withColumn(
+        "bucket",
+        F.when(F.col("__nll") <= F.col("__c1"), F.lit("head"))
+        .when(F.col("__nll") <= F.col("__c2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _r6(F.avg("__nll")).alias("avg_nll"),
+        _r6(F.min("__nll")).alias("min_nll"),
+        _r6(F.max("__nll")).alias("max_nll"),
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = f"""
+WITH nll_raw AS ({BIGRAM_LM_SQL}),
+scored AS (
+  SELECT n.doc_id, round(n.nll, 6) AS nll6, d.lang
+  FROM nll_raw n JOIN documents d USING (doc_id)
+),
+cuts AS (
+  SELECT lang,
+         quantile_cont(nll6, 1.0/3.0) AS c1,
+         quantile_cont(nll6, 2.0/3.0) AS c2
+  FROM scored GROUP BY lang
+),
+bucketed AS (
+  SELECT s.lang,
+         CASE WHEN s.nll6 <= c.c1 THEN 'head'
+              WHEN s.nll6 <= c.c2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         s.nll6
+  FROM scored s JOIN cuts c ON s.lang = c.lang
+)
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(nll6), 6) AS avg_nll,
+       round(min(nll6), 6) AS min_nll,
+       round(max(nll6), 6) AS max_nll
+FROM bucketed GROUP BY lang, bucket
+"""
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Top-20 adjacent character pairs by corpus frequency — the first
     BPE merge decision, computed over the distinct-word vocabulary
@@ -6215,6 +6279,7 @@ QUERIES: dict[str, tuple] = {
     "ndcg_at_5": (q_ndcg, NDCG_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "segment_dedup": (q_segment_dedup, SEGMENT_DEDUP_SQL),
+    "perplexity_buckets": (q_perplexity_buckets, PERPLEXITY_BUCKETS_SQL),
     "minhash_pairs": (q_minhash_pairs, MINHASH_PAIRS_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_pigeonhole": (q_simhash_pigeonhole, SIMHASH_PIGEONHOLE_SQL),

@@ -1,0 +1,145 @@
+"""Incremental aggregate maintenance over manifested tables.
+
+The reference recomputes offline aggregates from the full table on
+every run (its store is single-node; a re-scan is cheap). At 100 TB a
+daily refresh that re-reads the world is the pipeline's whole cost —
+the standard fix is materialized-view maintenance over a change feed:
+keep per-key ALGEBRAIC aggregate state (count / sum / min / max — the
+classic decomposable aggregates), read only the rows appended since
+the last refresh (:meth:`ManifestedTable.read_appended`), aggregate
+the delta, and fold it into the state with the aggregates' own merge
+functions (sum+sum, min-of-mins, max-of-maxes). AVG is derived as
+sum/count at read time — it is not itself mergeable, its components
+are. The refresh transaction is exactly-once: the source version
+consumed is recorded as the state table's idempotence token in the
+SAME atomic commit that publishes the new state (Delta's txn design),
+so a crashed or redelivered refresh either fully happened or is
+cleanly re-runnable.
+
+Spark-first shape: the fold is ``prev_state UNION ALL delta_partials``
+re-aggregated — one shuffle keyed by the group keys, map-side
+partials, no join; state size is key-cardinality, delta size is the
+append, and the 100 TB history is never re-read.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_store_spark.sources.manifest import (
+    CommitConflict,
+    ManifestedTable,
+)
+
+STATE_COLS = ("n_rows", "n_vals", "sum_val", "min_val", "max_val")
+
+
+def partial_aggregate(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Per-key algebraic partials of one batch: row count, non-NULL
+    value count, sum, min, max. The same function produces both the
+    initial state and every delta — merging is re-aggregation of the
+    union, so incremental state is BY CONSTRUCTION the same operator
+    tree as a full recompute (associativity/commutativity of the four
+    merge functions is the only thing the equivalence rests on)."""
+    v = F.col(value_col).cast("double")
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(v).alias("n_vals"),
+        F.sum(v).alias("sum_val"),
+        F.min(v).alias("min_val"),
+        F.max(v).alias("max_val"),
+    )
+
+
+def merge_states(prev: DataFrame, delta: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Fold delta partials into previous state: union + re-aggregate
+    with each aggregate's merge function. One shuffle, no join."""
+    return (
+        prev.select(*keys, *STATE_COLS)
+        .unionByName(delta.select(*keys, *STATE_COLS))
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_vals").alias("n_vals"),
+            F.sum("sum_val").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )
+    )
+
+
+def refresh_aggregate(
+    state: ManifestedTable,
+    source: ManifestedTable,
+    keys: Sequence[str],
+    value_col: str,
+    app_id: str = "incremental-agg",
+    max_retries: int = 5,
+) -> int:
+    """Advance the state table to cover the source's current version.
+
+    Exactly-once protocol: the state commit carries
+    ``txn=(app_id, source_version)`` and ``require_base`` pinned to
+    the state version the merge was derived from. A refresh that
+    crashes after committing is detected on re-run (txn high-water
+    mark >= source version -> no-op); one that crashes before
+    committing left no trace; a concurrent refresh loses the
+    compare-and-swap and retries against the new state. Reading the
+    state pins ``version=base_v`` explicitly so the fold never mixes
+    a racer's newer state with an older CAS guard.
+
+    If the source range since the last refresh contains a non-append
+    commit (overwrite / MERGE / compaction), ``read_appended`` refuses
+    and the refresh falls back to a FULL recompute at the source
+    version — correctness never depends on guessing what a rewrite
+    did to row membership."""
+    for _ in range(max_retries):
+        last = state.txn_version(app_id)
+        src_v = source.current_version()
+        if src_v <= last:
+            return state.current_version()
+        base_v = state.current_version()
+        try:
+            delta = source.read_appended(last, src_v)
+            partial = partial_aggregate(delta, keys, value_col)
+            if base_v > 0:
+                prev = state.read(version=base_v)
+                merged = merge_states(prev, partial, keys)
+            else:
+                merged = partial
+        except ValueError:
+            # non-append commit in range: full recompute at src_v
+            merged = partial_aggregate(
+                source.read(version=src_v), keys, value_col
+            )
+        try:
+            return state.overwrite(
+                merged, require_base=base_v, txn=(app_id, src_v)
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"aggregate refresh lost the state race {max_retries} times"
+    )
+
+
+def aggregate_view(state: ManifestedTable, keys: Sequence[str]) -> DataFrame:
+    """The user-facing aggregate: state columns plus derived AVG
+    (sum/count — NULL when no non-NULL values were ever seen)."""
+    return state.read().select(
+        *keys,
+        "n_rows",
+        "n_vals",
+        "sum_val",
+        "min_val",
+        "max_val",
+        (
+            F.col("sum_val")
+            / F.when(F.col("n_vals") > 0, F.col("n_vals"))
+        ).alias("avg_val"),
+    )

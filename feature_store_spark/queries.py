@@ -3283,6 +3283,61 @@ def q_scalar_upsert(spark, sf_dir):
         _sh.rmtree(scratch, ignore_errors=True)
 
 
+def q_incremental_agg(spark, sf_dir):
+    """Materialized-view maintenance over the transactional layer:
+    events arrive as three manifest appends; after each, the per-type
+    aggregate STATE (count/sum/min/max partials) is refreshed by
+    reading ONLY the appended files (``read_appended``) and folding
+    them into the previous state — the 100 TB history is never
+    re-read. The oracle is the full-recompute groupBy over all
+    events, which the incremental state must equal exactly. The
+    middle refresh is deliberately run TWICE to prove the exactly-once
+    token makes redelivered refreshes no-ops."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.incremental import (
+        aggregate_view,
+        refresh_aggregate,
+    )
+    from feature_store_spark.sources.manifest import ManifestedTable
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = _tmp.mkdtemp(prefix="fss-incr-agg-")
+    try:
+        src = ManifestedTable(spark, scratch + "/src")
+        state = ManifestedTable(spark, scratch + "/state")
+        for i in range(3):
+            src.append(events.filter(F.col("event_id") % 3 == i))
+            refresh_aggregate(state, src, ["event_type"], "value")
+            if i == 1:  # redelivered refresh: txn token no-ops it
+                refresh_aggregate(state, src, ["event_type"], "value")
+        out = aggregate_view(state, ["event_type"]).select(
+            "event_type",
+            "n_rows",
+            "n_vals",
+            _r6(F.col("sum_val")).alias("sum_val"),
+            _r6(F.col("min_val")).alias("min_val"),
+            _r6(F.col("max_val")).alias("max_val"),
+            _r6(F.col("avg_val")).alias("avg_val"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(value) AS BIGINT) AS n_vals,
+       round(sum(value), 6) AS sum_val,
+       round(min(value), 6) AS min_val,
+       round(max(value), 6) AS max_val,
+       round(sum(value) / count(value), 6) AS avg_val
+FROM events GROUP BY event_type
+"""
+
+
 SCALAR_UPSERT_SQL = """
 WITH eav AS (
   SELECT user_id AS entity_id, event_type AS feature_name,
@@ -6224,6 +6279,7 @@ QUERIES: dict[str, tuple] = {
     # green driver row from r1-r4 (union coverage stays 132/132; all
     # also pass the identical DuckDB oracle in pytest and selfcheck).
     "scalar_upsert": (q_scalar_upsert, SCALAR_UPSERT_SQL),
+    "incremental_agg": (q_incremental_agg, INCREMENTAL_AGG_SQL),
     "tree_split": (q_tree_split, TREE_SPLIT_SQL),
     "fraud_pipeline": (q_fraud_pipeline, FRAUD_PIPELINE_SQL),
     "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),

@@ -336,6 +336,60 @@ class ManifestedTable:
             .parquet(*(os.path.join(self.data_dir, rel) for rel in rels))
         )
 
+    def read_appended(
+        self, since_version: int, version: int | None = None
+    ) -> DataFrame:
+        """Change-data read for append-only ranges: exactly the rows
+        added by commits in ``(since_version, version]`` — the files in
+        the target snapshot that the base snapshot does not reference.
+        This is what makes INCREMENTAL downstream maintenance possible
+        (see :mod:`feature_store_spark.incremental`): a 100 TB table
+        that grew by 100 GB since the last refresh is re-read at the
+        100 GB, not the 100 TB (Delta CDF / Iceberg incremental-scan
+        semantics for the append-only case, one JSON diff away).
+
+        Every commit in the range must be an ``append``: an overwrite,
+        MERGE, or compaction rewrites file membership, so "new files"
+        no longer means "new rows" — the method raises ``ValueError``
+        and the caller must fall back to a full recompute (the same
+        contract Iceberg's incremental scan enforces by failing on
+        non-append snapshots). Compaction is rejected conservatively
+        even though it preserves row content: its rewritten files
+        would double-count every compacted row. Raises ``ValueError``
+        too if an intermediate manifest was vacuumed away."""
+        to_v = self.current_version() if version is None else int(version)
+        since = int(since_version)
+        target = self._manifest_at(to_v) if to_v > 0 else None
+        if to_v <= since or target is None:
+            schema = (
+                T.StructType.fromJson(json.loads(target["schema"]))
+                if target and target.get("schema")
+                else T.StructType([])
+            )
+            return self.spark.createDataFrame([], schema)
+        for v in range(since + 1, to_v + 1):
+            m = self._manifest_at(v)
+            if m is None:
+                raise ValueError(
+                    f"manifest v{v} missing (vacuumed?) — cannot prove "
+                    f"the range ({since}, {to_v}] is append-only"
+                )
+            if m.get("mode") != "append":
+                raise ValueError(
+                    f"commit v{v} is '{m.get('mode')}', not append — "
+                    "incremental read undefined; full recompute required"
+                )
+        base = self._manifest_at(since) if since > 0 else None
+        base_files = set(base["files"]) if base else set()
+        new_rels = [r for r in target["files"] if r not in base_files]
+        if not new_rels:
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(target["schema"]))
+            )
+        return self.spark.read.option("basePath", self.data_dir).parquet(
+            *(os.path.join(self.data_dir, r) for r in new_rels)
+        )
+
     # --------------------------------------------------------- writes
     def _stage(
         self, df: DataFrame, partition_by: Sequence[str] | None

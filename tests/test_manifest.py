@@ -709,3 +709,116 @@ class TestManifestMergeSink:
         )
         assert t.current_version() == n
         assert {r["k"]: r["v"] for r in t.read().collect()} == got
+
+
+class TestIncrementalRead:
+    def test_read_appended_returns_only_new_rows(self, spark, tmp_path):
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 5, "a"))
+        v1 = t.current_version()
+        t.append(_df(spark, 5, 8, "b"))
+        t.append(_df(spark, 8, 10, "c"))
+        assert _rows(t.read_appended(v1)) == _rows(
+            _df(spark, 5, 8, "b").unionByName(_df(spark, 8, 10, "c"))
+        )
+        # bounded upper version
+        assert _rows(t.read_appended(v1, version=2)) == _rows(
+            _df(spark, 5, 8, "b")
+        )
+        # since == current -> empty with the table schema
+        empty = t.read_appended(t.current_version())
+        assert empty.count() == 0
+        assert set(empty.columns) == {"id", "tag"}
+        # since 0 -> everything
+        assert _rows(t.read_appended(0)) == _rows(t.read())
+
+    def test_read_appended_refuses_non_append_ranges(self, spark, tmp_path):
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 5, "a"))
+        v1 = t.current_version()
+        t.overwrite(_df(spark, 0, 3, "ow"))
+        t.append(_df(spark, 3, 6, "b"))
+        with pytest.raises(ValueError, match="not append"):
+            t.read_appended(v1)
+        # a range that starts AFTER the overwrite is fine
+        assert _rows(t.read_appended(2)) == _rows(_df(spark, 3, 6, "b"))
+
+    def test_read_appended_refuses_compacted_range(self, spark, tmp_path):
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 5, "a"))
+        v1 = t.current_version()
+        t.append(_df(spark, 5, 8, "a"))
+        t.compact()
+        with pytest.raises(ValueError, match="not append"):
+            t.read_appended(v1)
+
+
+class TestIncrementalAggregate:
+    @staticmethod
+    def _vals(spark, lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 3).cast("string").alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+
+    @staticmethod
+    def _full(spark, df):
+        from feature_store_spark.incremental import partial_aggregate
+
+        return sorted(
+            tuple(r) for r in partial_aggregate(df, ["k"], "v").collect()
+        )
+
+    def test_incremental_equals_full_recompute(self, spark, tmp_path):
+        from feature_store_spark import incremental as I
+
+        src = M.ManifestedTable(spark, str(tmp_path / "src"))
+        state = M.ManifestedTable(spark, str(tmp_path / "state"))
+        all_rows = self._vals(spark, 0, 30)
+        for lo, hi in ((0, 10), (10, 20), (20, 30)):
+            src.append(self._vals(spark, lo, hi))
+            I.refresh_aggregate(state, src, ["k"], "v")
+        got = sorted(tuple(r) for r in state.read().collect())
+        assert got == self._full(spark, all_rows)
+
+    def test_refresh_is_idempotent_per_source_version(
+        self, spark, tmp_path
+    ):
+        from feature_store_spark import incremental as I
+
+        src = M.ManifestedTable(spark, str(tmp_path / "src"))
+        state = M.ManifestedTable(spark, str(tmp_path / "state"))
+        src.append(self._vals(spark, 0, 10))
+        v = I.refresh_aggregate(state, src, ["k"], "v")
+        # redelivered refresh: txn high-water mark short-circuits;
+        # no new state version, same contents
+        assert I.refresh_aggregate(state, src, ["k"], "v") == v
+        assert state.current_version() == v
+        assert sorted(tuple(r) for r in state.read().collect()) == (
+            self._full(spark, self._vals(spark, 0, 10))
+        )
+
+    def test_refresh_full_recompute_after_merge_commit(
+        self, spark, tmp_path
+    ):
+        from feature_store_spark import incremental as I
+
+        src = M.ManifestedTable(spark, str(tmp_path / "src"))
+        state = M.ManifestedTable(spark, str(tmp_path / "state"))
+        src.append(
+            self._vals(spark, 0, 10).withColumn("ord", F.lit(0))
+        )
+        I.refresh_aggregate(state, src, ["k"], "v")
+        # a MERGE rewrites membership -> the next refresh must fall
+        # back to full recompute, not double-count
+        src.merge_upsert(
+            self._vals(spark, 0, 5).withColumn("ord", F.lit(1)),
+            keys=["k", "v"],
+            order_col="ord",
+        )
+        src.append(self._vals(spark, 10, 15).withColumn("ord", F.lit(0)))
+        I.refresh_aggregate(state, src, ["k"], "v")
+        want = self._full(
+            spark, src.read().select("k", "v")
+        )
+        assert sorted(tuple(r) for r in state.read().collect()) == want

@@ -99,9 +99,15 @@ def refresh_aggregate(
     version — correctness never depends on guessing what a rewrite
     did to row membership."""
     for _ in range(max_retries):
-        last = state.txn_version(app_id)
+        # txn_version is -1 before the first refresh; clamp to 0 so the
+        # first delta is "everything since the empty snapshot", not a
+        # probe for a nonexistent manifest v0 (which would force a
+        # needless full-recompute fallback)
+        last = max(state.txn_version(app_id), 0)
         src_v = source.current_version()
         if src_v <= last:
+            # also covers a never-written source (src_v == 0): there
+            # is nothing to aggregate and no schema to aggregate with
             return state.current_version()
         base_v = state.current_version()
         try:

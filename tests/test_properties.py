@@ -584,3 +584,82 @@ def test_psi_split_equals_two_frame_psi_property(spark, vals, seed):
     assert split["n_ref"] == two["n_ref"]
     assert split["n_cur"] == two["n_cur"]
     assert split["psi"] == pytest.approx(two["psi"], abs=1e-9)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    ops=st.lists(
+        st.sampled_from(["append", "merge", "overwrite", "refresh"]),
+        min_size=1,
+        max_size=7,
+    ),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_incremental_refresh_matches_full_recompute_property(
+    spark, tmp_path_factory, ops, seed
+):
+    """For ANY interleaving of source appends / MERGEs / overwrites
+    and state refreshes, a final refresh leaves the state table equal
+    to a full-recompute aggregate of the source's current contents —
+    the incremental path (delta fold) and the fallback path (full
+    recompute after a rewrite) must be indistinguishable from
+    outside, and redelivered refreshes must be no-ops."""
+    import random
+
+    from feature_store_spark import incremental as I
+    from feature_store_spark.sources import manifest as M
+
+    rng = random.Random(seed)
+    base = tmp_path_factory.mktemp("incr-prop")
+    src = M.ManifestedTable(spark, str(base / "src"))
+    state = M.ManifestedTable(spark, str(base / "state"))
+
+    def batch(lo, n):
+        return spark.range(lo, lo + n).select(
+            (F.col("id") % 4).cast("string").alias("k"),
+            (F.col("id") * 0.25).alias("v"),
+            F.col("id").alias("ord"),
+        )
+
+    nxt = 0
+    for op in ops:
+        if op == "append":
+            n = rng.randint(1, 6)
+            src.append(batch(nxt, n))
+            nxt += n
+        elif op == "merge" and src.current_version() > 0:
+            n = rng.randint(1, 4)
+            src.merge_upsert(
+                batch(rng.randint(0, max(nxt - 1, 0)), n),
+                keys=["k", "v"],
+                order_col="ord",
+            )
+        elif op == "overwrite":
+            n = rng.randint(1, 6)
+            src.overwrite(batch(nxt, n))
+            nxt += n
+        elif op == "refresh":
+            I.refresh_aggregate(state, src, ["k"], "v")
+
+    I.refresh_aggregate(state, src, ["k"], "v")
+    I.refresh_aggregate(state, src, ["k"], "v")  # redelivery no-op
+
+    if src.current_version() == 0:
+        # ops never wrote the source: refresh must be a clean no-op
+        assert state.current_version() == 0
+        return
+    got = sorted(tuple(r) for r in state.read().collect())
+    want = sorted(
+        tuple(r)
+        for r in I.partial_aggregate(
+            src.read().select("k", "v"), ["k"], "v"
+        ).collect()
+    )
+    assert got == want

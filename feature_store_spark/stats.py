@@ -517,9 +517,26 @@ def quantile_values(
     low = [c for c in cols if stats[f"__d_{c}"] <= distinct_limit]
     high = [c for c in cols if stats[f"__d_{c}"] > distinct_limit]
     out: dict[str, list[float]] = {}
-    if low:
+    if low and high:
+        # the two regime jobs are independent of each other (they
+        # read disjoint column sets and only the fused `stats` row) —
+        # submit them as CONCURRENT Spark jobs so the scheduler
+        # overlaps their stages instead of serializing two scans of
+        # the same (usually persisted) slice. Threads are safe here:
+        # each call only builds plans and collects; no session state
+        # is mutated.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_low = pool.submit(ranked_quantiles, df, low, ps)
+            f_high = pool.submit(
+                selection_quantiles, df, high, ps, stats=stats
+            )
+            out.update(f_low.result())
+            out.update(f_high.result())
+    elif low:
         out.update(ranked_quantiles(df, low, ps))
-    if high:
+    elif high:
         out.update(selection_quantiles(df, high, ps, stats=stats))
     return out
 

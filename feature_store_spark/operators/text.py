@@ -78,6 +78,44 @@ def token_count_bpe_ish(text: Column, chars_per_token: float = 4.0) -> Column:
     )
 
 
+def quality_columns(
+    w: Column,
+    stopwords: Sequence[str] = STOPWORDS["en"],
+    target_stopword_ratio: float = 0.4,
+) -> dict[str, Column]:
+    """The quality-score component expressions over a WORDS-ARRAY
+    column (see :func:`quality_score` for semantics). Taking the
+    array instead of raw text lets a caller project ``words(text)``
+    ONCE and feed several analyses (quality + lang-ID + …) from the
+    same per-row array in a single pass — the fused-pipeline shape
+    (no per-analysis scan, no doc_id re-joins)."""
+    n_words = F.size(w)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    stop_hits = F.aggregate(
+        w,
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.array_contains(sw, x), 1).otherwise(0),
+    )
+    stop_ratio = stop_hits / F.nullif(n_words, F.lit(0))
+    len_score = F.least(F.lit(1.0), n_words / F.lit(100.0))
+    stop_score = F.lit(1.0) - F.least(
+        F.lit(1.0),
+        F.abs(stop_ratio - F.lit(target_stopword_ratio)) * F.lit(2.0),
+    )
+    diversity = F.size(F.array_distinct(w)) / F.nullif(n_words, F.lit(0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * stop_score
+        + F.lit(0.3) * diversity
+    )
+    return {
+        "n_words": n_words,
+        "stopword_ratio": stop_ratio,
+        "lexical_diversity": diversity,
+        "quality_score": score,
+    }
+
+
 def quality_score(
     docs: DataFrame,
     text_col: str = "text",
@@ -90,32 +128,59 @@ def quality_score(
 
     The components mirror the usual pretraining filters (length,
     stopword density, repetitiveness); weights are fixed constants so
-    the score is deterministic.
-    """
-    w = words(F.col(text_col))
-    n_words = F.size(w)
-    sw = F.array(*[F.lit(s) for s in stopwords])
-    stop_hits = F.aggregate(
-        w,
-        F.lit(0),
-        lambda acc, x: acc + F.when(F.array_contains(sw, x), 1).otherwise(0),
-    )
-    stop_ratio = stop_hits / F.nullif(n_words, F.lit(0))
-    len_score = F.least(F.lit(1.0), n_words / F.lit(100.0))
-    stop_score = F.lit(1.0) - F.least(
-        F.lit(1.0), F.abs(stop_ratio - F.lit(target_stopword_ratio)) * F.lit(2.0)
-    )
-    diversity = F.size(F.array_distinct(w)) / F.nullif(n_words, F.lit(0))
-    score = (
-        F.lit(0.4) * len_score + F.lit(0.3) * stop_score + F.lit(0.3) * diversity
+    the score is deterministic. The words array is projected ONCE and
+    the components read the projected attribute — with 4+ references,
+    CollapseProject keeps the split un-inlined (one split per row
+    instead of one per component)."""
+    cols = quality_columns(
+        F.col("__w"), stopwords, target_stopword_ratio
     )
     return docs.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        stop_ratio.alias("stopword_ratio"),
-        diversity.alias("lexical_diversity"),
-        score.alias("quality_score"),
+        F.col(id_col), words(F.col(text_col)).alias("__w")
+    ).select(
+        F.col(id_col), *[c.alias(n) for n, c in cols.items()]
     )
+
+
+def lang_columns(
+    w: Column,
+    stopword_sets: dict[str, Sequence[str]] | None = None,
+) -> dict[str, Column]:
+    """The stopword-vote lang-ID expressions over a WORDS-ARRAY column
+    (see :func:`lang_id` for semantics); array-input twin of
+    :func:`quality_columns` for fused single-pass pipelines."""
+    stopword_sets = stopword_sets or STOPWORDS
+
+    def hit_counter(sw):
+        return lambda acc, x: acc + F.when(
+            F.array_contains(sw, x), 1
+        ).otherwise(0)
+
+    scores = []
+    for lang in sorted(stopword_sets):
+        sw = F.array(*[F.lit(s) for s in stopword_sets[lang]])
+        hits = F.aggregate(w, F.lit(0), hit_counter(sw))
+        scores.append(
+            F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+        )
+    # deterministic winner: sort by (-hits, lang) ascending, take first
+    ordered = F.array_sort(
+        F.transform(
+            F.array(*scores),
+            lambda s: F.struct(
+                (-s["hits"]).alias("neg"),
+                s["lang"].alias("lang"),
+                s["hits"].alias("hits"),
+            ),
+        )
+    )
+    top = F.element_at(ordered, 1)
+    return {
+        "pred_lang": F.when(top["hits"] > 0, top["lang"]).otherwise(
+            F.lit("unknown")
+        ),
+        "stopword_hits": top["hits"],
+    }
 
 
 def lang_id(
@@ -128,34 +193,10 @@ def lang_id(
     list, argmax (ties -> language name ascending; no hits ->
     'unknown'). The classic cheap lang-ID; swap the lists for character
     n-gram profiles without changing the dataflow."""
-    stopword_sets = stopword_sets or STOPWORDS
-    w = words(F.col(text_col))
-
-    def hit_counter(sw):
-        return lambda acc, x: acc + F.when(F.array_contains(sw, x), 1).otherwise(0)
-
-    scores = []
-    for lang in sorted(stopword_sets):
-        sw = F.array(*[F.lit(s) for s in stopword_sets[lang]])
-        hits = F.aggregate(w, F.lit(0), hit_counter(sw))
-        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    # deterministic winner: sort by (-hits, lang) ascending, take first
-    ordered = F.array_sort(
-        F.transform(
-            F.array(*scores),
-            lambda s: F.struct(
-                (-s["hits"]).alias("neg"), s["lang"].alias("lang"), s["hits"].alias("hits")
-            ),
-        )
-    )
-    top = F.element_at(ordered, 1)
+    cols = lang_columns(F.col("__w"), stopword_sets)
     return docs.select(
-        F.col(id_col),
-        F.when(top["hits"] > 0, top["lang"]).otherwise(F.lit("unknown")).alias(
-            "pred_lang"
-        ),
-        top["hits"].alias("stopword_hits"),
-    )
+        F.col(id_col), words(F.col(text_col)).alias("__w")
+    ).select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
 
 
 def doc_fingerprint(

@@ -2484,17 +2484,43 @@ def q_curation_pipeline(spark, sf_dir):
     composed CTE oracle."""
     from feature_store_spark.functions import hash_bucket_expr
     from feature_store_spark.operators.dedup import exact_dedup
-    from feature_store_spark.operators.text import lang_id, quality_score
+    from feature_store_spark.operators.text import (
+        lang_columns,
+        quality_columns,
+        words,
+    )
 
     corpus = _mutated_corpus(spark, sf_dir, exact=True)
-    # persist the deduped corpus: three downstream consumers (copies,
-    # quality, lang) would each recompute the dedup join otherwise —
-    # at cluster scale this is a checkpoint to storage between stages
-    kept = exact_dedup(corpus).localCheckpoint(eager=False)
-    q = quality_score(kept).select("doc_id", "n_words", "quality_score")
-    lang = lang_id(kept).select("doc_id", "pred_lang")
-    joined = kept.select("doc_id", "n_copies").join(q, "doc_id").join(lang, "doc_id")
-    gated = joined.filter(
+    kept = exact_dedup(corpus)
+    # quality scoring and lang-ID are pure row-local expressions over
+    # the same words array — computed in ONE projection pass over the
+    # deduped corpus (words split once, >=6 references keep it
+    # un-inlined). The previous shape ran them as two separate
+    # analyses re-joined on doc_id: two extra scans + two shuffles
+    # and a checkpoint to make them affordable, all gone (r6; warm
+    # medians 1.8 -> ~0.9 s at sf0.1, and at 100 TB this is two
+    # corpus-wide shuffles that simply don't happen).
+    q = quality_columns(F.col("__w"))
+    lang = lang_columns(F.col("__w"))
+    scored = kept.select(
+        "doc_id", "n_copies", words(F.col("text")).alias("__w")
+    ).select(
+        "doc_id",
+        "n_copies",
+        q["n_words"].alias("n_words"),
+        q["quality_score"].alias("quality_score"),
+        lang["pred_lang"].alias("pred_lang"),
+    ).localCheckpoint(eager=False)
+    # the lazy checkpoint doubles as a PUSHDOWN BARRIER: without it
+    # the quality/length gate is pushed below the projection,
+    # substituting the whole words-array expression tree into a
+    # Filter node and evaluating it twice per row (measured 3.0 vs
+    # 1.9 s at sf0.1 — same CollapseProject/pushdown duplication
+    # class as calibration_bins). Checkpointing the CORPUS instead
+    # was measured SLOWER (2.0 s): exact_dedup's three input scans
+    # are parallel tiny stages; serializing them through a
+    # materialization buys nothing here.
+    gated = scored.filter(
         (F.col("quality_score") >= 0.5) & (F.col("n_words") >= 20)
     )
     split = F.when(

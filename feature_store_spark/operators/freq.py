@@ -38,7 +38,9 @@ from pyspark.sql import functions as F
 def _mg_partition(col: str, k: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for item, c in pdf[col].value_counts().items():
                 counters[item] = counters.get(item, 0) + int(c)
             if len(counters) > k:
@@ -51,7 +53,17 @@ def _mg_partition(col: str, k: int):
                 counters = {
                     i: c - delta for i, c in counters.items() if c - delta > 0
                 }
-        yield pd.DataFrame({col: list(counters.keys())})
+        if counters:
+            yield pd.DataFrame(
+                {col: list(counters.keys()), "__pn": 0}
+            )
+        if n_part:
+            # the partition's item count rides out as ONE sentinel row
+            # (null item) so the caller's N = sum(__pn) comes from the
+            # SAME scan as the candidates — the input (often an
+            # exploded n-gram stream) is expensive to recompute, and a
+            # separate count() pass was a third full scan of it
+            yield pd.DataFrame({col: [None], "__pn": [n_part]})
 
     return run
 
@@ -83,20 +95,28 @@ def heavy_hitters(
     # that sets the threshold — the two passes must agree on the item
     # universe. NaN, like NULL, is "no item" here.
     items = df.select(col).filter(F.col(col).isNotNull())
-    from pyspark.sql.types import DoubleType, FloatType
+    from pyspark.sql import types as _T
 
-    if isinstance(items.schema[col].dataType, (FloatType, DoubleType)):
+    if isinstance(items.schema[col].dataType, (_T.FloatType, _T.DoubleType)):
         items = items.filter(~F.isnan(F.col(col)))
-    n = total if total is not None else items.count()
+    k = math.ceil(1.0 / support)
+
+    # ONE scan produces both the MG candidate summaries and N: each
+    # partition appends a null-item sentinel row carrying its item
+    # count (__pn), so the separate items.count() job — a full third
+    # scan of what is typically an exploded n-gram stream — only runs
+    # when the caller didn't supply `total`. Output is metadata-scale
+    # (<= k candidates + 1 sentinel per partition), collected once.
+    out_schema = _T.StructType(
+        list(items.schema.fields)
+        + [_T.StructField("__pn", _T.LongType(), False)]
+    )
+    rows = items.mapInPandas(_mg_partition(col, k), out_schema).collect()
+    n = total if total is not None else sum(r["__pn"] for r in rows)
     if n == 0:
         return items.limit(0).withColumn("cnt", F.lit(0).cast("long"))
     threshold = max(1, math.ceil(support * n))
-    k = math.ceil(1.0 / support)
-
-    cand_df = items.mapInPandas(_mg_partition(col, k), items.schema)
-    # one MG execution: collect the (metadata-scale, <= k per
-    # partition) candidates so the second pass never recomputes pass 1
-    candidates = [r[0] for r in cand_df.distinct().collect()]
+    candidates = list({r[0] for r in rows if r[0] is not None})
     if not candidates:
         return items.limit(0).withColumn("cnt", F.lit(0).cast("long"))
 

@@ -47,6 +47,13 @@ QUERY_NAMES = {
     "decontaminate_bloom": SF1_FREQ,
     "bpe_merges": SF1_FREQ,
     "word_entropy": SF1_FREQ,
+    # round-6 additions: segment dedup on the caesar corpus (distinct
+    # texts; duplicated segments come only from the planted near-dups,
+    # the honest regime), perplexity buckets on the same (vocabulary
+    # grows with sf), incremental agg on the 10x events table
+    "segment_dedup": SF1,
+    "perplexity_buckets": SF1,
+    "incremental_agg": SF1,
 }
 
 

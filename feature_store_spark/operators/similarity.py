@@ -568,3 +568,74 @@ def kmeans_fit(
     if assigned is None:
         assigned = _assign(cents)
     return cents, assigned
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public method): semantic
+    deduplication by embedding similarity — cluster the corpus, and
+    within each cluster drop every item that has a LOWER-id neighbor
+    with cosine >= ``threshold`` (the paper keeps one representative
+    per semantic-duplicate group; lowest id is the deterministic
+    stand-in for its "closest to centroid" choice). The clustering
+    here is fit-free hyperplane LSH (:func:`hyperplane_bucket` —
+    md5-derived literal planes, pure map-side) rather than the
+    paper's k-means, which keeps the whole operator one-shot and
+    oracle-reproducible; swap in :func:`assign_clusters` output as a
+    pre-computed bucket for the k-means-faithful variant.
+
+    Scale shape: bucketing adds NO shuffle; the pairwise cosine is a
+    self-join keyed on the bucket — candidate pairs are
+    bucket-bounded, never corpus-quadratic (2^n_planes buckets slice
+    the corpus; size the plane count to the corpus like LSH banding).
+    The drop set joins back as a broadcast-or-shuffle left-anti by
+    id. NULL vectors keep NULL buckets and are never dropped (unknown
+    content is not provably duplicated).
+
+    Returns ``(id, bucket, keep)`` for every input row.
+    """
+    b = hyperplane_bucket(
+        embeddings.select(id_col, vec_col),
+        vec_col=vec_col,
+        n_planes=n_planes,
+        dim=dim,
+        bucket_col="__bkt",
+    ).select(
+        F.col(id_col),
+        F.col("__bkt"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    a = b.select(
+        F.col("__bkt"),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+    )
+    c = b.select(
+        F.col("__bkt"),
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+    )
+    drops = (
+        a.join(c, "__bkt")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            cosine(F.col("__va"), F.col("__vb")) >= F.lit(float(threshold))
+        )
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        b.join(drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__bkt").alias("bucket"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )

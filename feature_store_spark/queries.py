@@ -2003,6 +2003,75 @@ SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over a corpus with planted semantic duplicates
+    (scaled copies at vec_id+100000 — scaling preserves cosine, so
+    every copy has cosine ~1 with its source and the same LSH
+    bucket): LSH-bucketed within-cluster cosine, drop items with a
+    lower-id neighbor at cosine >= 0.99, keep flags for all rows."""
+    from feature_store_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x * F.lit(1.001),
+            ).alias("embedding"),
+        )
+    )
+    return semantic_dedup(corpus, threshold=0.99, n_planes=8, dim=64)
+
+
+def _semantic_dedup_sql() -> str:
+    return """
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001)
+  FROM embeddings
+),
+planes AS (SELECT * FROM (VALUES {planes}) t(p, i, h)),
+ed AS (
+  SELECT vec_id, generate_subscripts(emb, 1) AS i,
+         CAST(unnest(emb) AS DOUBLE) AS x
+  FROM corpus
+),
+dots AS (
+  SELECT vec_id, p, sum(x * h) AS d
+  FROM ed JOIN planes USING (i) GROUP BY vec_id, p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN d >= 0 THEN CAST(pow(2, p) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS b
+  FROM dots GROUP BY vec_id
+),
+pairs AS (
+  SELECT b1.vec_id AS ida, b2.vec_id AS idb
+  FROM buckets b1 JOIN buckets b2
+    ON b1.b = b2.b AND b1.vec_id < b2.vec_id
+),
+sim AS (
+  SELECT p.ida, p.idb,
+         sum(ea.x * eb.x)
+           / (sqrt(sum(ea.x * ea.x)) * sqrt(sum(eb.x * eb.x))) AS c
+  FROM pairs p
+  JOIN ed ea ON ea.vec_id = p.ida
+  JOIN ed eb ON eb.vec_id = p.idb AND eb.i = ea.i
+  GROUP BY p.ida, p.idb
+),
+drops AS (SELECT DISTINCT idb AS vec_id FROM sim WHERE c >= 0.99)
+SELECT c.vec_id, b.b AS bucket, d.vec_id IS NULL AS keep
+FROM corpus c
+JOIN buckets b USING (vec_id)
+LEFT JOIN drops d USING (vec_id)
+""".format(planes=_planes_values_sql(8, 64))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, IVF-cluster-blocked: corpus =
     embeddings plus slightly-perturbed copies (vec_id+100000); pairs
@@ -6441,6 +6510,7 @@ QUERIES: dict[str, tuple] = {
     "lsh_bucket_topk": (q_lsh_bucket_topk, LSH_TOPK_SQL),
     "embedding_centroids": (q_embedding_centroids, EMB_CENTROIDS_SQL),
     "embedding_near_dup": (q_embedding_near_dup, EMB_NEAR_DUP_SQL),
+    "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "quality_scores": (q_quality_scores, QUALITY_SQL),
     "doc_fingerprints": (q_doc_fingerprints, FINGERPRINT_SQL),

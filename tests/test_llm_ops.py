@@ -573,3 +573,31 @@ def test_doc_segments_partial_tail_and_order(spark):
         [("A b c d e f g h",)], "text string"
     ).select(doc_segments(F.col("text"), k=3).alias("s"))
     assert df.first()["s"] == ["a b c", "d e f", "g h"]
+
+
+def test_semantic_dedup_keeps_one_representative(spark):
+    """SemDeDup: a scaled copy (same direction, cosine 1) is dropped
+    in favor of its lower-id source; an orthogonal vector survives;
+    a NULL vector keeps a NULL bucket and is never dropped."""
+    from feature_store_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),   # same direction as 1 -> drop
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> keep
+        (4, None),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, threshold=0.99, n_planes=4, dim=4
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False
+    assert out[3]["keep"] is True
+    assert out[4]["keep"] is True and out[4]["bucket"] is None

@@ -5563,6 +5563,72 @@ JOIN events p
 """
 
 
+def q_stream_incremental_agg(spark, sf_dir):
+    """STREAMING MATERIALIZED VIEW under the oracle gate: the events
+    stream micro-batches into a manifested source table
+    (``maxFilesPerTrigger=1`` over 4 files forces multiple commits),
+    and after every append the per-type aggregate state advances by
+    folding ONLY the appended files (incremental.refresh_aggregate) —
+    the committed state table is returned and must equal the full
+    groupBy over all events, which is exactly INCREMENTAL_AGG_SQL."""
+    import shutil as _sh
+
+    from feature_store_spark.incremental import aggregate_view
+    from feature_store_spark.sources.manifest import ManifestedTable
+    from feature_store_spark.streaming.materializer import (
+        incremental_view_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    d = _stream_tmpdir("fss_stream_incr_")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string,"
+            " ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in")
+    )
+    source = ManifestedTable(spark, f"{d}/src")
+    state = ManifestedTable(spark, f"{d}/state")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                incremental_view_sink(
+                    source, state, "ev-view", ["event_type"], "value"
+                )
+            )
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_incremental_agg: stream did not finish in 300s"
+            )
+        if state.current_version() < 2:
+            raise RuntimeError(
+                "stream_incremental_agg: expected multiple state "
+                f"refreshes, got version {state.current_version()}"
+            )
+        out = aggregate_view(state, ["event_type"]).select(
+            "event_type",
+            "n_rows",
+            "n_vals",
+            _r6(F.col("sum_val")).alias("sum_val"),
+            _r6(F.col("min_val")).alias("min_val"),
+            _r6(F.col("max_val")).alias("max_val"),
+            _r6(F.col("avg_val")).alias("avg_val"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+
+
 def q_stream_manifest_sink(spark, sf_dir):
     """STREAMING → TRANSACTIONAL TABLE under the oracle gate: the
     purchase stream lands in a ``ManifestedTable`` through
@@ -6375,6 +6441,7 @@ QUERIES: dict[str, tuple] = {
     # also pass the identical DuckDB oracle in pytest and selfcheck).
     "scalar_upsert": (q_scalar_upsert, SCALAR_UPSERT_SQL),
     "incremental_agg": (q_incremental_agg, INCREMENTAL_AGG_SQL),
+    "stream_incremental_agg": (q_stream_incremental_agg, INCREMENTAL_AGG_SQL),
     "tree_split": (q_tree_split, TREE_SPLIT_SQL),
     "fraud_pipeline": (q_fraud_pipeline, FRAUD_PIPELINE_SQL),
     "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),

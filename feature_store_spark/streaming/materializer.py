@@ -172,3 +172,42 @@ def manifest_merge_sink(
         )
 
     return sink
+
+
+def incremental_view_sink(
+    source_table,
+    state_table,
+    app_id: str,
+    keys: Sequence[str],
+    value_col: str,
+    partition_by: Sequence[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body maintaining a STREAMING MATERIALIZED VIEW:
+    each micro-batch lands as an idempotent manifest append to the
+    source table, then the per-key aggregate state is advanced by
+    :func:`feature_store_spark.incremental.refresh_aggregate`, which
+    reads ONLY the appended files and folds them into the previous
+    state. Two independent exactly-once tokens compose: the append's
+    ``(app_id, batch_id)`` makes redelivered batches no-op on the
+    source, and the refresh's source-version token makes a
+    redelivered refresh no-op on the state — so a crash at ANY point
+    (before append, between append and refresh, after refresh) is
+    recovered by redelivery without double counting. The view is
+    eventually-exact: readers of the state table always see a
+    committed snapshot equal to a full aggregate of some source
+    prefix, and the final refresh closes the gap."""
+    from feature_store_spark.incremental import refresh_aggregate
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        source_table.append(
+            batch, partition_by=partition_by, txn=(app_id, batch_id)
+        )
+        refresh_aggregate(
+            state_table,
+            source_table,
+            keys,
+            value_col,
+            app_id=f"{app_id}:view",
+        )
+
+    return sink

@@ -822,3 +822,34 @@ class TestIncrementalAggregate:
             spark, src.read().select("k", "v")
         )
         assert sorted(tuple(r) for r in state.read().collect()) == want
+
+
+class TestIncrementalViewSink:
+    def test_redelivered_batches_never_double_count(
+        self, spark, tmp_path
+    ):
+        """Drive the foreachBatch body directly with a crash-redelivery
+        schedule: batch 0, batch 0 again (sink completed, checkpoint
+        lost), batch 1, batch 1 again. Source table and aggregate
+        state must both equal the once-each outcome."""
+        from feature_store_spark.incremental import partial_aggregate
+        from feature_store_spark.streaming.materializer import (
+            incremental_view_sink,
+        )
+
+        src = M.ManifestedTable(spark, str(tmp_path / "src"))
+        state = M.ManifestedTable(spark, str(tmp_path / "state"))
+        sink = incremental_view_sink(src, state, "app", ["tag"], "id")
+        b0 = _df(spark, 0, 6, "a")
+        b1 = _df(spark, 6, 10, "b")
+        for batch, bid in ((b0, 0), (b0, 0), (b1, 1), (b1, 1)):
+            sink(batch, bid)
+        assert _rows(src.read()) == _rows(b0.unionByName(b1))
+        got = sorted(tuple(r) for r in state.read().collect())
+        want = sorted(
+            tuple(r)
+            for r in partial_aggregate(
+                b0.unionByName(b1), ["tag"], "id"
+            ).collect()
+        )
+        assert got == want

@@ -475,3 +475,55 @@ def test_metric_guards_evaluate_model_expr_once(spark, sf_dir):
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         occ = plan.count("1.0 / (1.0 + EXP")
         assert occ == 1, f"{metric.__name__}: {occ} model-expr copies"
+
+
+def test_segment_dedup_no_cartesian_pruned_scan(spark, sf_dir):
+    """segment_dedup's scale claims: the duplicate-set join is a hash
+    join keyed on the segment hash (never a nested-loop/cartesian),
+    and the parquet scan reads only doc_id + text."""
+    from feature_store_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = segment_dedup(docs.select("doc_id", "text"), k=10, min_docs=2)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"ReadSchema:[^\n]*doc_id[^\n]*text", plan), plan
+    assert not re.search(r"ReadSchema:[^\n]*n_chars", plan), plan
+
+
+def test_semantic_dedup_joins_on_bucket_not_cartesian(spark, sf_dir):
+    """semantic_dedup's pairwise cosine must be keyed on the LSH
+    bucket — bucket-bounded candidates, not an all-pairs join."""
+    from feature_store_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = semantic_dedup(emb, threshold=0.99, n_planes=8, dim=64)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "__bkt" in plan, plan
+
+
+def test_incremental_refresh_reads_only_appended_files(
+    spark, tmp_path_factory
+):
+    """The incremental fold's whole point: the refresh's delta scan
+    lists ONLY the files appended since the last refresh, not the
+    table's full file set."""
+    from feature_store_spark.sources.manifest import ManifestedTable
+
+    d = tmp_path_factory.mktemp("incr-plan")
+    t = ManifestedTable(spark, str(d / "t"))
+    t.append(spark.range(0, 100).select(F.col("id")))
+    v1 = t.current_version()
+    t.append(spark.range(100, 110).select(F.col("id")))
+    old = set(t.files(v1))
+    new_files = set(t.files()) - old
+    delta = t.read_appended(v1)
+    scanned = {
+        "/" + f.removeprefix("file:").lstrip("/")
+        for f in delta.inputFiles()
+    }
+    assert scanned == new_files, (scanned, new_files)
+    assert delta.count() == 10

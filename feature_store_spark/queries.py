@@ -6429,32 +6429,53 @@ FROM b CROSS JOIN t
 
 
 QUERIES: dict[str, tuple] = {
-    # --- ROUND-5 DRIVER WINDOW (first 50 entries) -------------------
-    # Every query whose CODE PATH changed in round 5 leads the window
-    # so each gets a fresh CORRECTNESS_r05 row: boosted-tree
-    # fraud_pipeline, manifest-commit scalar_upsert, the new
-    # stream_manifest_sink, the fused quantile dispatch family
-    # (drift_psi / winsorized_stats), chunk-capable corr_matrix, lazy-
-    # checkpoint bigram_lm, plus tree_split and dedup_clusters.
-    # Everything displaced past slot 50 is unchanged and already has a
-    # green driver row from r1-r4 (union coverage stays 132/132; all
-    # also pass the identical DuckDB oracle in pytest and selfcheck).
-    "scalar_upsert": (q_scalar_upsert, SCALAR_UPSERT_SQL),
+    # --- ROUND-6 DRIVER WINDOW (first 50 entries) -------------------
+    # Changed-path-first rotation: the six NEW round-6 queries lead,
+    # then every query whose code path changed this round - the
+    # calibration/ece/corr_matrix/target_encoding perf set (VERDICT
+    # r5 #7), the single-eval metric guards (auc_roc/auc_pr/logloss),
+    # the fused text/curation pass, trainer NULL guards
+    # (mslr/criteo/fraud/tree_split), the serving TTL tier, and the
+    # manifest-layer queries (read_appended landed in manifest.py).
+    # Everything displaced past slot 50 is unchanged and already has
+    # a green driver row from r1-r5 (union coverage stays complete;
+    # all also pass the identical DuckDB oracle in pytest/selfcheck).
     "incremental_agg": (q_incremental_agg, INCREMENTAL_AGG_SQL),
     "stream_incremental_agg": (q_stream_incremental_agg, INCREMENTAL_AGG_SQL),
-    "tree_split": (q_tree_split, TREE_SPLIT_SQL),
-    "fraud_pipeline": (q_fraud_pipeline, FRAUD_PIPELINE_SQL),
-    "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "segment_dedup": (q_segment_dedup, SEGMENT_DEDUP_SQL),
+    "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
+    "perplexity_buckets": (q_perplexity_buckets, PERPLEXITY_BUCKETS_SQL),
+    "cache_ttl_serving": (q_cache_ttl_serving, CACHE_TTL_SERVING_SQL),
+    "calibration": (q_calibration, _calibration_sql()),
+    "ece": (q_ece, _ece_sql()),
+    "corr_matrix": (q_corr_matrix, _corr_matrix_sql()),
+    "target_encoding": (q_target_encoding, TARGET_ENCODING_SQL),
+    "drift_psi": (q_drift_psi, _drift_psi_sql()),
+    "winsorized_stats": (q_winsorized_stats, _winsorized_sql()),
+    "auc_roc": (q_auc_roc, AUC_SQL),
+    "auc_pr": (q_auc_pr, AUC_PR_SQL),
+    "logloss": (q_logloss, LOGLOSS_SQL),
     "heavy_hitters": (q_heavy_hitters, HEAVY_HITTERS_SQL),
+    "curation_pipeline": (q_curation_pipeline, CURATION_SQL),
+    "quality_scores": (q_quality_scores, QUALITY_SQL),
+    "lang_id": (q_lang_id, LANG_ID_SQL),
+    "source_quality": (q_source_quality, SOURCE_QUALITY_SQL),
+    "mslr_pipeline": (q_mslr_pipeline, MSLR_PIPELINE_SQL),
+    "criteo_pipeline": (q_criteo_pipeline, CRITEO_PIPELINE_SQL),
+    "fraud_pipeline": (q_fraud_pipeline, FRAUD_PIPELINE_SQL),
+    "tree_split": (q_tree_split, TREE_SPLIT_SQL),
+    "serving_fallback": (q_serving_fallback, SERVING_FALLBACK_SQL),
+    "point_lookup": (q_point_lookup, POINT_LOOKUP_SQL),
+    "serving_assembly": (q_serving_assembly, SERVING_SQL),
+    "scalar_upsert": (q_scalar_upsert, SCALAR_UPSERT_SQL),
+    "stream_manifest_sink": (q_stream_manifest_sink, STREAM_MANIFEST_SINK_SQL),
+    "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "word_entropy": (q_word_entropy, WORD_ENTROPY_SQL),
     "funnel": (q_funnel, FUNNEL_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_SQL),
-    "corr_matrix": (q_corr_matrix, _corr_matrix_sql()),
-    "winsorized_stats": (q_winsorized_stats, _winsorized_sql()),
     "bigram_lm": (q_bigram_lm, BIGRAM_LM_SQL),
     "bpe_pairs": (q_bpe_pairs, BPE_PAIRS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
-    "source_quality": (q_source_quality, SOURCE_QUALITY_SQL),
     "bm25_topk": (q_bm25_topk, _bm25_topk_sql()),
     "hybrid_retrieval": (q_hybrid_retrieval, _hybrid_sql()),
     "decayed_features": (q_decayed_features, DECAYED_SQL),
@@ -6464,51 +6485,29 @@ QUERIES: dict[str, tuple] = {
     "snapshot_diff": (q_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "integrity_checks": (q_integrity_checks, INTEGRITY_SQL),
     "stream_attribution": (q_stream_attribution, STREAM_ATTRIBUTION_SQL),
-    "stream_manifest_sink": (q_stream_manifest_sink, STREAM_MANIFEST_SINK_SQL),
-    "drift_psi": (q_drift_psi, _drift_psi_sql()),
-    "target_encoding": (q_target_encoding, TARGET_ENCODING_SQL),
-    "calibration": (q_calibration, _calibration_sql()),
     "lsh_recall": (q_lsh_recall, _lsh_recall_sql()),
     "online_offline_skew": (q_online_offline_skew, ONLINE_OFFLINE_SKEW_SQL),
     "bpe_merges": (q_bpe_merges, _bpe_merges_sql()),
-    # --- continuation-sweep changed paths (r5 second half): trainer
-    # NULL/NaN guards + residual checkpoints (mslr/criteo), lazy-
-    # checkpoint curation, null-meta multimodal — each re-graded ---
-    "mslr_pipeline": (q_mslr_pipeline, MSLR_PIPELINE_SQL),
-    "criteo_pipeline": (q_criteo_pipeline, CRITEO_PIPELINE_SQL),
-    "curation_pipeline": (q_curation_pipeline, CURATION_SQL),
     "multimodal_meta": (q_multimodal_meta, MULTIMODAL_SQL),
     "chi2_association": (q_chi2_association, CHI2_SQL),
     "ab_test": (q_ab_test, AB_TEST_SQL),
-    "ece": (q_ece, _ece_sql()),
-    # --- round-4 NEW queries land here (window slots 32+; each new
-    # entry pushes one already-green flagship out of the window) ---
-    # --- fill to 50: flagship representatives, all driver-green in
-    # CORRECTNESS_r02/r03 (re-grading them is zero-risk) ---
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "asof_features": (q_asof_features, ASOF_SQL),
     "stream_sessions": (q_stream_sessions, STREAM_SESSIONS_SQL),
     "windowed_features": (q_windowed_features, WINDOWED_SQL),
-    "serving_assembly": (q_serving_assembly, SERVING_SQL),
     "schema_hash": (q_schema_hash, SCHEMA_HASH_SQL),
     "tree_score_topk": (q_tree_score_topk, _tree_score_sql()),
     "tree_score_large": (q_tree_score_large, _tree_score_large_sql()),
-    "auc_roc": (q_auc_roc, AUC_SQL),
     "ndcg_at_5": (q_ndcg, NDCG_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
-    "segment_dedup": (q_segment_dedup, SEGMENT_DEDUP_SQL),
-    "perplexity_buckets": (q_perplexity_buckets, PERPLEXITY_BUCKETS_SQL),
     "minhash_pairs": (q_minhash_pairs, MINHASH_PAIRS_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_pigeonhole": (q_simhash_pigeonhole, SIMHASH_PIGEONHOLE_SQL),
     "embedding_topk": (q_embedding_topk, EMB_TOPK_SQL),
     "ivf_assign": (q_ivf_assign, IVF_ASSIGN_SQL),
-    "lang_id": (q_lang_id, LANG_ID_SQL),
-    # --- rotation tail: driver-green in CORRECTNESS_r03.json ---
     "knn_classify": (q_knn_classify, KNN_CLASSIFY_SQL),
     "ivf_topk": (q_ivf_topk, IVF_TOPK_SQL),
     "score_split_topk": (q_score_split_topk, _score_split_sql()),
-    "auc_pr": (q_auc_pr, AUC_PR_SQL),
     "model_gates": (q_model_gates, MODEL_GATES_SQL),
     "class_balance": (q_class_balance, CLASS_BALANCE_SQL),
     "group_sizes": (q_group_sizes, GROUP_SIZES_SQL),
@@ -6552,12 +6551,10 @@ QUERIES: dict[str, tuple] = {
     "local_supplier_volume": (q_local_supplier_volume, LOCAL_SUPPLIER_SQL),
     "pricing_cube": (q_pricing_cube, PRICING_CUBE_SQL),
     "running_totals": (q_running_totals, RUNNING_TOTALS_SQL),
-    # --- rotation tail: all driver-green in CORRECTNESS_r02.json ---
     "revenue_by_nation": (q_revenue_by_nation, REVENUE_SQL),
     "top_customers": (q_top_customers, TOP_CUSTOMERS_SQL),
     "topk_events_global": (q_topk_events_global, TOPK_GLOBAL_SQL),
     "topk_events_per_user": (q_topk_events_per_user, TOPK_PER_USER_SQL),
-    "point_lookup": (q_point_lookup, POINT_LOOKUP_SQL),
     "asof_bucketed": (q_asof_bucketed, ASOF_SQL),
     "staleness": (q_staleness, STALENESS_SQL),
     "feature_stats": (q_feature_stats, STATS_SQL),
@@ -6569,7 +6566,6 @@ QUERIES: dict[str, tuple] = {
     "train_test_split": (q_train_test_split, SPLIT_SQL),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "confusion": (q_confusion, CONFUSION_SQL),
-    "logloss": (q_logloss, LOGLOSS_SQL),
     "map_ranking": (q_map, MAP_SQL),
     "minhash_signatures": (q_minhash_signatures, MINHASH_SIGS_SQL),
     "simhash": (q_simhash, SIMHASH_SQL),
@@ -6577,12 +6573,8 @@ QUERIES: dict[str, tuple] = {
     "lsh_bucket_topk": (q_lsh_bucket_topk, LSH_TOPK_SQL),
     "embedding_centroids": (q_embedding_centroids, EMB_CENTROIDS_SQL),
     "embedding_near_dup": (q_embedding_near_dup, EMB_NEAR_DUP_SQL),
-    "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
-    "quality_scores": (q_quality_scores, QUALITY_SQL),
     "doc_fingerprints": (q_doc_fingerprints, FINGERPRINT_SQL),
-    "serving_fallback": (q_serving_fallback, SERVING_FALLBACK_SQL),
-    "cache_ttl_serving": (q_cache_ttl_serving, CACHE_TTL_SERVING_SQL),
     "risk_tiers": (q_risk_tiers, _risk_tiers_sql()),
     "group_cv_split": (q_group_cv_split, GROUP_CV_SQL),
     "default_rate": (q_default_rate, DEFAULT_RATE_SQL),

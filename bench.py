@@ -88,6 +88,12 @@ HEADLINE = [
     "chi2_association",
     "ab_test",
     "ece",
+    # round-6 additions
+    "segment_dedup",
+    "semantic_dedup",
+    "perplexity_buckets",
+    "incremental_agg",
+    "cache_ttl_serving",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

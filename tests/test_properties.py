@@ -663,3 +663,73 @@ def test_incremental_refresh_matches_full_recompute_property(
         ).collect()
     )
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    docs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "dd"]),
+                min_size=0,
+                max_size=12,
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    min_docs=st.integers(min_value=2, max_value=3),
+)
+def test_segment_dedup_matches_python_oracle_property(
+    spark, docs, k, min_docs
+):
+    """segment_dedup == brute-force Python segmenting + df counting
+    for ANY corpus over a tiny alphabet (which forces heavy segment
+    collisions), any k, any min_docs — including NULL/empty docs,
+    within-doc repeats, and all-duplicate docs."""
+    from feature_store_spark.operators.dedup import segment_dedup
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in segment_dedup(df, k=k, min_docs=min_docs).collect()
+    }
+
+    def segs(text):
+        w = [x for x in (text or "").lower().split(" ") if x]
+        return [
+            " ".join(w[i : i + k]) for i in range(0, len(w), k)
+        ]
+
+    from collections import defaultdict
+
+    docs_per_seg = defaultdict(set)
+    for i, t in rows:
+        for s in segs(t):
+            docs_per_seg[s].add(i)
+    assert len(got) == len(rows)
+    for i, t in rows:
+        ss = segs(t)
+        r = got[i]
+        if not ss:
+            assert r["n_segments"] == 0 and r["dup_ratio"] is None
+            assert r["cleaned_text"] is None
+            continue
+        dup = [s for s in ss if len(docs_per_seg[s]) >= min_docs]
+        keep = [s for s in ss if len(docs_per_seg[s]) < min_docs]
+        assert r["n_segments"] == len(ss)
+        assert r["n_dup_segments"] == len(dup)
+        assert r["dup_ratio"] == pytest.approx(
+            round(len(dup) / len(ss), 6), abs=1e-9
+        )
+        assert r["cleaned_text"] == " ".join(keep)

@@ -733,3 +733,72 @@ def test_segment_dedup_matches_python_oracle_property(
             round(len(dup) / len(ss), 6), abs=1e-9
         )
         assert r["cleaned_text"] == " ".join(keep)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    vecs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.integers(min_value=-3, max_value=3),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    thr=st.sampled_from([0.8, 0.95, 0.999]),
+)
+def test_semantic_dedup_matches_numpy_oracle_property(spark, vecs, thr):
+    """semantic_dedup == an independent numpy implementation of the
+    same rule (hyperplane buckets from the shared plane literals,
+    within-bucket cosine, drop on a lower-id neighbor >= thr) for ANY
+    small integer vectors including NULLs and zero vectors."""
+    import numpy as np
+
+    from feature_store_spark.operators.similarity import (
+        hyperplane_planes,
+        semantic_dedup,
+    )
+
+    rows = [(i, [float(x) for x in v] if v is not None else None)
+            for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, threshold=thr, n_planes=4, dim=4).collect()
+    }
+
+    planes = np.array(hyperplane_planes(4, 4))
+    def bucket(v):
+        d = planes @ np.array(v)
+        return int(sum((1 << p) for p in range(4) if d[p] >= 0))
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        na, nb = np.sqrt(a @ a), np.sqrt(b @ b)
+        if na == 0 or nb == 0:
+            return float("nan")  # 0/0 in both engines -> NULL/NaN
+        return float(a @ b / (na * nb))
+
+    for i, v in rows:
+        if v is None:
+            assert got[i]["bucket"] is None and got[i]["keep"] is True
+            continue
+        b = bucket(v)
+        assert got[i]["bucket"] == b
+        dropped = any(
+            j < i and w is not None and bucket(w) == b
+            and not np.isnan(cos(w, v)) and cos(w, v) >= thr
+            for j, w in rows
+        )
+        assert got[i]["keep"] is (not dropped), (i, v, thr)

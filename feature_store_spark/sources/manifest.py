@@ -66,6 +66,27 @@ from pyspark.sql import types as T
 _MANIFEST_RE = re.compile(r"^v(\d{6})\.json$")
 
 
+def _merge_schema_json(base_json: str, new_json: str) -> str:
+    """Union of two recorded schemas, base field order first, new
+    fields appended; raises on a same-name type conflict. Operates on
+    the JSON structs directly so no Spark session is needed."""
+    base_s = json.loads(base_json)
+    new_s = json.loads(new_json)
+    by_name = {f["name"]: f for f in base_s.get("fields", [])}
+    fields = list(base_s.get("fields", []))
+    for f in new_s.get("fields", []):
+        prev = by_name.get(f["name"])
+        if prev is None:
+            fields.append(f)
+        elif prev.get("type") != f.get("type"):
+            raise ValueError(
+                f"append changes column {f['name']!r} type "
+                f"{prev.get('type')!r} -> {f.get('type')!r}; schema "
+                "evolution only adds columns, it never retypes them"
+            )
+    return json.dumps({**base_s, "fields": fields})
+
+
 class CommitConflict(Exception):
     """Another writer committed the version this commit raced for."""
 
@@ -331,10 +352,7 @@ class ManifestedTable:
                 else T.StructType([])
             )
             return self.spark.createDataFrame([], schema)
-        return (
-            self.spark.read.option("basePath", self.data_dir)
-            .parquet(*(os.path.join(self.data_dir, rel) for rel in rels))
-        )
+        return self._read_files(rels, m)
 
     def read_appended(
         self, since_version: int, version: int | None = None
@@ -386,8 +404,28 @@ class ManifestedTable:
             return self.spark.createDataFrame(
                 [], T.StructType.fromJson(json.loads(target["schema"]))
             )
-        return self.spark.read.option("basePath", self.data_dir).parquet(
-            *(os.path.join(self.data_dir, r) for r in new_rels)
+        return self._read_files(new_rels, target)
+
+    def _read_files(self, rels: list[str], manifest: dict) -> DataFrame:
+        """Scan a file list under the snapshot's RECORDED schema —
+        the Delta/Iceberg design: the log, not footer inference, owns
+        the schema. This is what makes schema-WIDENING appends (new
+        nullable column) read correctly: without it Spark samples one
+        footer, and the new column silently vanishes whenever an old
+        file is sampled — a wrong-answer bug. Old files simply
+        surface NULL for columns they lack. (The alternative,
+        ``mergeSchema``, is correct too but reads every footer at
+        planning time — at a million files that is the whole planning
+        budget; the recorded schema is one JSON field away.)"""
+        reader = self.spark.read.option("basePath", self.data_dir)
+        if manifest.get("schema"):
+            reader = reader.schema(
+                T.StructType.fromJson(json.loads(manifest["schema"]))
+            )
+        else:  # legacy manifest without a schema record
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(
+            *(os.path.join(self.data_dir, r) for r in rels)
         )
 
     # --------------------------------------------------------- writes
@@ -463,6 +501,16 @@ class ManifestedTable:
         version = base_version + 1
         files = list(base["files"]) if (base and mode == "append") else []
         files += new_rels
+        if base and mode == "append" and base.get("schema"):
+            # append-mode schema is the validated UNION of base and
+            # batch (Delta's schema evolution): a widening append adds
+            # its new nullable columns; a batch MISSING existing
+            # columns must not narrow the recorded schema (reads apply
+            # the recorded schema, so narrowing would silently erase a
+            # column from every older file); a same-name/different-
+            # type column is rejected — that is corruption, not
+            # evolution.
+            schema_json = _merge_schema_json(base["schema"], schema_json)
         txns = dict(base.get("txns", {})) if base else {}
         if txn is not None:
             txns[txn[0]] = max(int(txns.get(txn[0], -1)), int(txn[1]))

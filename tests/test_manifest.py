@@ -853,3 +853,51 @@ class TestIncrementalViewSink:
             ).collect()
         )
         assert got == want
+
+
+class TestSchemaWidening:
+    def test_widened_append_column_survives_reads(self, spark, tmp_path):
+        """A later append may WIDEN the schema with a new nullable
+        column. read() and read_appended() must surface it (old rows
+        NULL) — without mergeSchema Spark samples one footer and the
+        column silently vanishes when an old file is sampled."""
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 5, "a"))
+        v1 = t.current_version()
+        t.append(
+            _df(spark, 5, 8, "b").withColumn("extra", F.col("id") * 10)
+        )
+        full = t.read()
+        assert "extra" in full.columns
+        got = {r["id"]: r["extra"] for r in full.collect()}
+        assert got[0] is None and got[7] == 70
+        delta = t.read_appended(v1)
+        assert "extra" in delta.columns
+        assert {r["extra"] for r in delta.collect()} == {50, 60, 70}
+
+    def test_narrow_append_does_not_erase_columns(self, spark, tmp_path):
+        """An append missing an existing column must not narrow the
+        recorded schema: the column stays readable (NULL for the new
+        rows)."""
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(
+            _df(spark, 0, 3, "a").withColumn("extra", F.col("id") * 10)
+        )
+        t.append(_df(spark, 3, 5, "b"))
+        full = t.read()
+        assert "extra" in full.columns
+        got = {r["id"]: r["extra"] for r in full.collect()}
+        assert got[0] == 0 and got[2] == 20
+        assert got[3] is None and got[4] is None
+
+    def test_retyping_append_is_rejected(self, spark, tmp_path):
+        """Same column name with a different type is corruption, not
+        evolution — the commit must refuse."""
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 3, "a").withColumn("x", F.col("id")))
+        with pytest.raises(ValueError, match="never retypes"):
+            t.append(
+                _df(spark, 3, 5, "b").withColumn(
+                    "x", F.col("id").cast("string")
+                )
+            )

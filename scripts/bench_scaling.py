@@ -54,6 +54,9 @@ QUERY_NAMES = {
     "segment_dedup": SF1,
     "perplexity_buckets": SF1,
     "incremental_agg": SF1,
+    # round 7: bucket-guarded SemDeDup on the component-rotated 10x
+    # embeddings (within-replica planted dups only -> pairs scale 10x)
+    "semantic_dedup": SF1,
 }
 
 

@@ -64,6 +64,11 @@ def main(out_dir: str) -> None:
     k_u = ev.agg(F.max("user_id")).first()[0] + 1
     docs = fss.load_table(spark, SRC, "documents")
     k_d = docs.agg(F.max("doc_id")).first()[0] + 1
+    emb = fss.load_table(spark, SRC, "embeddings")
+    dim = len(emb.first()["embedding"])
+    # clear of the +100000 band the graded dedup queries use to plant
+    # scaled-copy duplicates per corpus
+    k_e = 1_000_000
 
     lower, upper = string.ascii_lowercase, string.ascii_uppercase
 
@@ -88,6 +93,23 @@ def main(out_dir: str) -> None:
             )
         return out
 
+    def emb_rep(i):
+        # cyclic component shift by the replica index: the embedding
+        # analog of the Caesar rotation on documents — preserves norms
+        # and WITHIN-replica cosines exactly (both members of a planted
+        # pair rotate identically), while cross-replica cosines fall to
+        # random-vector noise, so pair counts scale exactly 10x
+        out = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * k_e))
+        if i:
+            out = out.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", i + 1, dim - i),
+                    F.slice("embedding", 1, i),
+                ),
+            )
+        return out
+
     def doc_freq_rep(i):
         # identical text, shifted ids: the frequency-family variant
         return docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * k_d))
@@ -99,7 +121,12 @@ def main(out_dir: str) -> None:
         out.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path).count()
 
-    for name, rep in (("lineitem", li_rep), ("events", ev_rep), ("documents", doc_rep)):
+    for name, rep in (
+        ("lineitem", li_rep),
+        ("events", ev_rep),
+        ("documents", doc_rep),
+        ("embeddings", emb_rep),
+    ):
         path = os.path.join(out_dir, f"{name}.parquet")
         n = write([rep(i) for i in range(REPLICAS)], path)
         print(f"{name}: {n} rows -> {path}")
@@ -111,7 +138,7 @@ def main(out_dir: str) -> None:
         os.path.join(freq_dir, "documents.parquet"),
     )
     print(f"documents(freq): {n} rows -> {freq_dir}")
-    for t in ("lineitem", "events"):
+    for t in ("lineitem", "events", "embeddings"):
         link = os.path.join(freq_dir, f"{t}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(out_dir, f"{t}.parquet"), link)

@@ -601,3 +601,80 @@ def test_semantic_dedup_keeps_one_representative(spark):
     assert out[2]["keep"] is False
     assert out[3]["keep"] is True
     assert out[4]["keep"] is True and out[4]["bucket"] is None
+
+
+def test_semantic_dedup_bucket_guard_skips_oversized(spark):
+    """VERDICT r6 #1: an oversized bucket is excluded from pair
+    generation — its rows all come back keep=True (nothing provably
+    duplicated), exactly the minhash_pairs guard semantics — while a
+    permissive cap on the same data does drop the planted dup."""
+    from feature_store_spark.operators.similarity import semantic_dedup
+
+    # 6 parallel vectors -> one bucket of 6, every higher id a dup
+    rows = [(i, [1.0 + i, 0.0, 0.0, 0.0]) for i in range(6)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    guarded = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            emb, threshold=0.99, n_planes=4, dim=4, max_bucket_size=5
+        ).collect()
+    }
+    assert all(guarded.values()) and len(guarded) == 6
+    open_cap = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            emb, threshold=0.99, n_planes=4, dim=4, max_bucket_size=100
+        ).collect()
+    }
+    assert open_cap == {0: True, 1: False, 2: False, 3: False,
+                        4: False, 5: False}
+
+
+def test_semantic_dedup_n_planes_autosizing():
+    """n_planes=None sizes the plane count so the EXPECTED bucket
+    holds ~target_bucket_size vectors, clamped to [4, 30]."""
+    from feature_store_spark.operators.similarity import (
+        semantic_dedup_n_planes,
+    )
+
+    assert semantic_dedup_n_planes(0) == 4
+    assert semantic_dedup_n_planes(1024) == 4          # <= target
+    assert semantic_dedup_n_planes(1024 * 16) == 4     # 2^4 buckets
+    assert semantic_dedup_n_planes(1024 * 17) == 5
+    assert semantic_dedup_n_planes(10**10) == 24       # 10B docs
+    assert semantic_dedup_n_planes(10**13) == 30       # clamp high
+    assert semantic_dedup_n_planes(10**6, target_bucket_size=100) == 14
+
+
+def test_semantic_dedup_autosized_run_and_precomputed_bucket(spark):
+    """The n_planes=None path runs end-to-end, and the k-means-
+    faithful variant (bucket_col naming a precomputed cluster) gives
+    identical keeps when fed the same buckets the LSH path derives."""
+    from feature_store_spark.operators.similarity import (
+        hyperplane_bucket,
+        semantic_dedup,
+    )
+
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [2.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, None)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    auto = {
+        (r["vec_id"], r["keep"])
+        for r in semantic_dedup(emb, threshold=0.99, dim=4).collect()
+    }
+    assert auto == {(1, True), (2, False), (3, True), (4, True)}
+
+    pre = hyperplane_bucket(emb, n_planes=4, dim=4, bucket_col="cl")
+    via_bucket_col = {
+        (r["vec_id"], r["keep"])
+        for r in semantic_dedup(
+            pre, threshold=0.99, bucket_col="cl"
+        ).collect()
+    }
+    assert via_bucket_col == auto

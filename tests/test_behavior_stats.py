@@ -496,6 +496,89 @@ class TestDecay:
         [r] = ewma_by_key(df, ["k"], "ts", "v", alpha=0.1).collect()
         assert r["ewma"] == 42.0
 
+    def test_ewma_bucketed_matches_sequential(self, spark):
+        """VERDICT r6 #2: the chunked affine-partials path (bucket=)
+        must agree with the sequential fold — multiple keys, ties,
+        bucket boundaries landing mid-sequence, single-event keys,
+        and a bucket interval coarser than the whole span (one chunk,
+        the degenerate case that must still seed s1 = x1)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.operators.decay import ewma_by_key
+
+        rng = random.Random(7)
+        rows = [
+            (k, _ts(rng.randint(1, 25)), i, round(rng.uniform(-50, 50), 3))
+            for k in range(5)
+            for i in range(rng.randint(1, 40))
+        ] + [(99, _ts(3), 0, 7.5)]
+        df = spark.createDataFrame(
+            rows, "k long, ts timestamp, eid int, v double"
+        )
+        seq = {
+            r["k"]: r
+            for r in ewma_by_key(
+                df, ["k"], "ts", "v", alpha=0.3, beta=0.7,
+                tiebreak_cols=["eid"],
+            ).collect()
+        }
+        for interval in ("2 days", "1000 days"):
+            chunked = {
+                r["k"]: r
+                for r in ewma_by_key(
+                    df, ["k"], "ts", "v", alpha=0.3, beta=0.7,
+                    tiebreak_cols=["eid"], bucket=interval,
+                ).collect()
+            }
+            assert chunked.keys() == seq.keys()
+            for k, r in seq.items():
+                assert chunked[k]["n_events"] == r["n_events"], (interval, k)
+                assert chunked[k]["ewma"] == pytest.approx(
+                    r["ewma"], abs=1e-6
+                ), (interval, k)
+        # the chunked stage really does split the fold: >1 chunk group
+        chunkframe = df.groupBy(
+            "k",
+            F.floor(F.unix_micros("ts") / F.lit(86400_000000 * 2)),
+        ).count()
+        assert chunkframe.filter("k = 0").count() > 1
+
+    def test_ewma_bucketed_hot_key_stress(self, spark):
+        """One key owning 1M events (VERDICT r6 #2 done-criterion):
+        the bucketed path's worst task holds one time-bucket's events
+        (~1K here), not the whole key; the result matches the closed
+        form of the recursion on a deterministic input."""
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.operators.decay import ewma_by_key
+
+        n, alpha, beta = 1_000_000, 0.1, 0.9
+        events = spark.range(n).select(
+            F.lit(1).alias("k"),
+            F.timestamp_seconds(F.col("id")).alias("ts"),
+            F.lit(1.0).alias("v"),
+        )
+        # ~1000 buckets of ~1000 events
+        [r] = ewma_by_key(
+            events, ["k"], "ts", "v", alpha=alpha, beta=beta,
+            bucket="1000 seconds",
+        ).collect()
+        assert r["n_events"] == n
+        # s1=1, x=1 always: s_n = beta^(n-1) + alpha*(1-beta^(n-1))/(1-beta)
+        # -> converges to alpha/(1-beta) = 1.0 exactly for x == 1
+        assert r["ewma"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_ewma_bucket_rejects_year_month(self, spark):
+        from feature_store_spark.operators.decay import ewma_by_key
+
+        df = spark.createDataFrame(
+            [(1, _ts(1), 42.0)], "k long, ts timestamp, v double"
+        )
+        with pytest.raises(ValueError, match="year-month"):
+            ewma_by_key(df, ["k"], "ts", "v", alpha=0.1, bucket="1 month")
+
 
 class TestPsi:
     def test_split_path_equals_two_frame_path(self, spark):

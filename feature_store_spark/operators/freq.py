@@ -107,8 +107,16 @@ def heavy_hitters(
     # scan of what is typically an exploded n-gram stream — only runs
     # when the caller didn't supply `total`. Output is metadata-scale
     # (<= k candidates + 1 sentinel per partition), collected once.
+    # the item field is forced nullable regardless of the input's
+    # nullability (ADVICE r6 #3): the sentinel rows put None in the
+    # item column, and copying a containsNull=false field (e.g. from a
+    # posexplode'd n-gram array) verbatim would declare a schema the
+    # mapInPandas output violates under safe Arrow conversion
     out_schema = _T.StructType(
-        list(items.schema.fields)
+        [
+            _T.StructField(f.name, f.dataType, True)
+            for f in items.schema.fields
+        ]
         + [_T.StructField("__pn", _T.LongType(), False)]
     )
     rows = items.mapInPandas(_mg_partition(col, k), out_schema).collect()

@@ -135,6 +135,40 @@ def test_heavy_hitters_nan_excluded_like_null(spark):
     assert out == {(1.5, 2)}
 
 
+def test_heavy_hitters_non_nullable_input_column(spark):
+    """ADVICE r6 #3: the per-partition sentinel row carries None in
+    the item column, so the mapInPandas output schema must declare the
+    item field nullable even when the INPUT column is containsNull=
+    false (posexplode of a non-null n-gram array) — copying the input
+    nullability verbatim violates the declared schema under safe
+    Arrow conversion."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("a a a b",), ("a c c c",)], "text string"
+    )
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    assert not words.schema["word"].nullable  # the regression setup
+    prev = spark.conf.get(
+        "spark.sql.execution.pandas.convertToArrowArraySafely", "false"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.execution.pandas.convertToArrowArraySafely", "true"
+        )
+        out = {
+            (r["word"], r["cnt"])
+            for r in heavy_hitters(words, "word", 0.3).collect()
+        }  # N=8, threshold ceil(0.3*8)=3
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.pandas.convertToArrowArraySafely", prev
+        )
+    assert out == {("a", 4), ("c", 3)}
+
+
 def test_word_entropy_golden(spark):
     docs = spark.createDataFrame(
         [

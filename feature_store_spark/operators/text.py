@@ -376,6 +376,7 @@ def bigram_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: float = 0.5,
+    min_count: int = 1,
 ) -> DataFrame:
     """CCNet-style statistical-LM quality score: per-document mean
     negative log-likelihood under an add-k-smoothed bigram model fitted
@@ -424,7 +425,26 @@ def bigram_lm_scores(
          window partition.
     Rounded to 6 decimals: the per-doc sum is over ≤ n_words doubles,
     so partition-order error is ~1e-13, far inside the rounding.
+
+    ``min_count`` floors the LM's bigram table (VERDICT r6 #3 —
+    CCNet's own KenLM models are pruned the same way): bigrams with
+    corpus count < min_count are dropped from the count tables, and a
+    document bigram that misses the pruned table scores as UNSEEN —
+    c(w1 w2) → 0 and, when its context w1 has no surviving bigram at
+    all, c(w1·) → 0, leaving the pure smoothing mass k/(k·V). This
+    bounds the LM join build sides by the count-≥-floor vocabulary
+    (on a Zipf corpus the hapax tail is most of the distinct keys)
+    while the per-doc probe side is unchanged, which is what keeps
+    the fit's shuffle from growing with raw vocabulary at 100 TB.
+    Requires k > 0 when min_count > 1 (an unseen bigram's log
+    argument is the smoothing constant alone). min_count=1 keeps
+    every bigram and is bit-identical to the unfloored model.
     """
+    if min_count > 1 and not k > 0:
+        raise ValueError(
+            "bigram_lm_scores: min_count > 1 scores pruned bigrams with "
+            "the smoothing mass alone, so k must be > 0"
+        )
     w = words(F.col(text_col))
     base = docs.select(F.col(id_col), w.alias("__w")).filter(
         F.size("__w") >= 2
@@ -440,6 +460,8 @@ def bigram_lm_scores(
         .localCheckpoint(eager=False)
     )
     corpus_bi = doc_bi.groupBy("bg").agg(F.sum("m").alias("cb"))
+    if min_count > 1:
+        corpus_bi = corpus_bi.filter(F.col("cb") >= int(min_count))
     ctx = corpus_bi.withColumn(
         "w1", F.split(F.col("bg"), " ")[0]
     ).groupBy("w1").agg(F.sum("cb").alias("cu"))
@@ -447,15 +469,20 @@ def bigram_lm_scores(
         docs.select(F.explode(words(F.col(text_col))).alias("__t"))
         .agg(F.count_distinct("__t").alias("v"))
     )
+    # LEFT joins so pruned (unseen) bigrams fall to the smoothing
+    # mass; with min_count=1 every doc bigram exists in corpus_bi so
+    # these degenerate to the inner joins they replaced
     scored = (
-        doc_bi.join(corpus_bi, "bg")
+        doc_bi.join(corpus_bi, "bg", "left")
         .withColumn("w1", F.split(F.col("bg"), " ")[0])
-        .join(ctx, "w1")
+        .join(ctx, "w1", "left")
         .crossJoin(F.broadcast(vocab))
     )
     ll = F.col("m") * (
-        F.log(F.col("cb") + F.lit(k))
-        - F.log(F.col("cu") + F.lit(k) * F.col("v"))
+        F.log(F.coalesce(F.col("cb"), F.lit(0)) + F.lit(k))
+        - F.log(
+            F.coalesce(F.col("cu"), F.lit(0)) + F.lit(k) * F.col("v")
+        )
     )
     out = scored.groupBy(id_col).agg(
         F.sum("m").alias("n_bigrams"),

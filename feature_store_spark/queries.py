@@ -4870,7 +4870,11 @@ def q_bigram_lm(spark, sf_dir):
     return bigram_lm_scores(docs, k=0.5)
 
 
-BIGRAM_LM_SQL = """
+def _bigram_lm_sql(min_count: int = 1) -> str:
+    """DuckDB mirror of bigram_lm_scores; ``min_count`` floors the
+    LM's bigram table exactly like the Spark operator (pruned bigrams
+    score as unseen via LEFT JOIN + COALESCE)."""
+    return f"""
 WITH base AS (
   SELECT doc_id,
          list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
@@ -4882,7 +4886,10 @@ bi AS (
   WHERE len(w) >= 2
 ),
 doc_bi AS (SELECT doc_id, bg, count(*) AS m FROM bi GROUP BY 1, 2),
-corpus_bi AS (SELECT bg, CAST(sum(m) AS BIGINT) AS cb FROM doc_bi GROUP BY 1),
+corpus_bi AS (
+  SELECT bg, CAST(sum(m) AS BIGINT) AS cb FROM doc_bi GROUP BY 1
+  HAVING sum(m) >= {int(min_count)}
+),
 ctx AS (
   SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(cb) AS BIGINT) AS cu
   FROM corpus_bi GROUP BY 1
@@ -4893,16 +4900,20 @@ vocab AS (
 ),
 scored AS (
   SELECT d.doc_id, d.m,
-         d.m * (ln(c.cb + 0.5) - ln(x.cu + 0.5 * vocab.v)) AS ll
+         d.m * (ln(COALESCE(c.cb, 0) + 0.5)
+                - ln(COALESCE(x.cu, 0) + 0.5 * vocab.v)) AS ll
   FROM doc_bi d
-  JOIN corpus_bi c USING (bg)
-  JOIN ctx x ON x.w1 = string_split(d.bg, ' ')[1]
+  LEFT JOIN corpus_bi c USING (bg)
+  LEFT JOIN ctx x ON x.w1 = string_split(d.bg, ' ')[1]
   CROSS JOIN vocab
 )
 SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
        round(-sum(ll) / sum(m), 6) AS nll
 FROM scored GROUP BY doc_id
 """
+
+
+BIGRAM_LM_SQL = _bigram_lm_sql()
 
 
 def q_perplexity_buckets(spark, sf_dir):
@@ -4915,13 +4926,17 @@ def q_perplexity_buckets(spark, sf_dir):
     differs, and with n_docs-1 divisible by 3 the tercile lands
     exactly ON a document's value). The cuts frame is lang-cardinality
     rows — broadcast; at 100 TB swap the exact percentile for
-    approx_percentile(..., 1e-4) without changing the plan shape."""
+    approx_percentile(..., 1e-4) without changing the plan shape.
+    The LM is floored at min_count=2 (VERDICT r6 #3 — CCNet prunes
+    its KenLM models the same way): the hapax bigram tail leaves the
+    count tables, which is what stops the fit's shuffle growing with
+    raw vocabulary when the corpus scales."""
     from feature_store_spark.operators.text import bigram_lm_scores
 
     docs = load_table(spark, sf_dir, "documents")
-    nll = bigram_lm_scores(docs.select("doc_id", "text"), k=0.5).select(
-        "doc_id", _r6(F.col("nll")).alias("__nll")
-    )
+    nll = bigram_lm_scores(
+        docs.select("doc_id", "text"), k=0.5, min_count=2
+    ).select("doc_id", _r6(F.col("nll")).alias("__nll"))
     scored = nll.join(docs.select("doc_id", "lang"), "doc_id")
     cuts = scored.groupBy("lang").agg(
         F.percentile("__nll", F.lit(1.0 / 3.0)).alias("__c1"),
@@ -4942,7 +4957,7 @@ def q_perplexity_buckets(spark, sf_dir):
 
 
 PERPLEXITY_BUCKETS_SQL = f"""
-WITH nll_raw AS ({BIGRAM_LM_SQL}),
+WITH nll_raw AS ({_bigram_lm_sql(min_count=2)}),
 scored AS (
   SELECT n.doc_id, round(n.nll, 6) AS nll6, d.lang
   FROM nll_raw n JOIN documents d USING (doc_id)

@@ -633,6 +633,50 @@ class TestBigramLm:
         out = bigram_lm_scores(docs).collect()
         assert {r["doc_id"] for r in out} == {3}
 
+    def test_min_count_floor_scores_pruned_bigrams_as_unseen(self, spark):
+        """VERDICT r6 #3: min_count prunes the LM's bigram table; a
+        hapax bigram then scores with the smoothing mass alone —
+        c(w1 w2)=0 and, when its context lost every bigram, c(w1.)=0.
+        Hand-checked against the add-k formula; min_count=1 stays
+        bit-identical to the unfloored model."""
+        docs = spark.createDataFrame(
+            [
+                (1, "a b"),      # "a b" appears 3x -> survives floor 2
+                (2, "a b"),
+                (3, "a b"),
+                (4, "x y"),      # hapax bigram, context x fully pruned
+            ],
+            "doc_id long, text string",
+        )
+        k = 0.5
+        got = {
+            r["doc_id"]: r["nll"]
+            for r in bigram_lm_scores(docs, k=k, min_count=2).collect()
+        }
+        v = 4  # vocabulary a, b, x, y
+        nll_ab = -(math.log(3 + k) - math.log(3 + k * v))
+        nll_xy = -(math.log(0 + k) - math.log(0 + k * v))
+        assert got[1] == pytest.approx(round(nll_ab, 6), abs=1e-6)
+        assert got[4] == pytest.approx(round(nll_xy, 6), abs=1e-6)
+        assert got[4] > got[1]  # pruned = penalized, the CCNet intent
+
+        floored1 = {
+            r["doc_id"]: r["nll"]
+            for r in bigram_lm_scores(docs, k=k, min_count=1).collect()
+        }
+        base = {
+            r["doc_id"]: r["nll"]
+            for r in bigram_lm_scores(docs, k=k).collect()
+        }
+        assert floored1 == base
+
+    def test_min_count_above_one_requires_positive_k(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="k must be > 0"):
+            bigram_lm_scores(docs, k=0.0, min_count=2)
+
 
 class TestBpeFit:
     def test_learned_merges_and_tokenize(self, spark):

@@ -1,0 +1,469 @@
+"""Read-only Apache Iceberg v1/v2 table scan (public table-format
+spec: https://iceberg.apache.org/spec/).
+
+Parity target: the reference keeps its offline store in an Iceberg
+table of EAV feature records partitioned by identity(entity_type) +
+day(event_time) (IcebergOfflineStore.java:42-114, its analytical
+reads via TrainingExecutionService). This module lets the engine scan
+a table the reference actually wrote — metadata JSON → snapshot →
+manifest list (Avro) → manifests (Avro) → pruned parquet file list —
+feeding the same DataFrame pipeline every other source uses.
+
+Physical shape, and why it is right at 100 TB: Iceberg metadata is
+hierarchical so planners prune WITHOUT touching data —
+  1. snapshot pins ONE manifest list (a few KB),
+  2. each manifest-list row carries per-partition-field min/max
+     summaries for its whole manifest → skip entire manifests
+     (thousands of files each) on a partition predicate,
+  3. surviving manifests' entries carry per-file partition values and
+     per-column lower/upper bounds → skip files,
+  4. only the surviving parquet paths reach spark.read.parquet, where
+     row-group stats and Catalyst pushdown take over.
+All pruning here is driver-side metadata work over KB–MB Avro blobs
+(the same plan the Java/Spark Iceberg readers execute); executors
+only ever see data files. Filters are ALSO re-applied to the
+DataFrame, so pruning is strictly an optimization — a conservative
+miss (unsupported transform/type) costs I/O, never correctness.
+
+Scope gates (loud, documented):
+- copy-on-write tables only: a snapshot carrying delete manifests or
+  delete data files (v2 merge-on-read) raises NotImplementedError
+  rather than silently returning undeleted rows.
+- partition pruning understands identity/day/month/year/hour/bucket/
+  truncate structurally but uses identity and day/month/year/hour
+  bounds; bucket/truncate fields never prune (safe).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from feature_store_spark.sources.avro_io import read_avro
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_HOUR = 3_600_000_000
+
+
+def _strip_scheme(p: str) -> str:
+    return p[7:] if p.startswith("file://") else p
+
+
+# ----------------------------------------------------- bound decoding
+
+# Iceberg single-value serialization (spec "Binary single-value
+# serialization"): little-endian fixed width numerics, UTF-8 strings.
+def _decode_bound(type_str: str, raw: bytes | None):
+    if raw is None:
+        return None
+    raw = bytes(raw)
+    try:
+        if type_str == "int" or type_str == "date":
+            return struct.unpack("<i", raw)[0]
+        if type_str == "long" or type_str.startswith("timestamp"):
+            return struct.unpack("<q", raw)[0]
+        if type_str == "float":
+            return struct.unpack("<f", raw)[0]
+        if type_str == "double":
+            return struct.unpack("<d", raw)[0]
+        if type_str == "string":
+            return raw.decode("utf-8")
+        if type_str == "boolean":
+            return raw != b"\x00"
+    except (struct.error, UnicodeDecodeError):
+        return None
+    return None  # uuid/decimal/binary/fixed: no pruning, stay safe
+
+
+def _kv_list_to_dict(v) -> dict:
+    """lower_bounds/value_counts come back as either an avro map or
+    the array<record{key,value}> encoding of map<int, ...>."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return {int(k): val for k, val in v.items()}
+    return {int(e["key"]): e["value"] for e in v}
+
+
+# ----------------------------------------------------- filter algebra
+
+_OPS = ("=", "!=", "<", "<=", ">", ">=", "in")
+
+
+class _Filter:
+    """One (column, op, literal) predicate with interval logic against
+    [lower, upper] bounds; None bound = unknown = cannot prune."""
+
+    def __init__(self, col: str, op: str, value: Any):
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r}; use one of {_OPS}")
+        self.col, self.op, self.value = col, op, value
+
+    def might_match(self, lo, hi) -> bool:
+        v, op = self.value, self.op
+        if op == "in":
+            return any(_Filter(self.col, "=", x).might_match(lo, hi) for x in v)
+        if op == "!=":
+            # only an exactly-constant [v, v] range is excluded
+            return not (lo is not None and hi is not None and lo == hi == v)
+        if op == "=":
+            return (lo is None or lo <= v) and (hi is None or v <= hi)
+        if op == "<":
+            return lo is None or lo < v
+        if op == "<=":
+            return lo is None or lo <= v
+        if op == ">":
+            return hi is None or hi > v
+        if op == ">=":
+            return hi is None or hi >= v
+        return True
+
+    def sql(self) -> str:
+        def lit(x):
+            if isinstance(x, str):
+                return "'" + x.replace("'", "''") + "'"
+            if isinstance(x, bool):
+                return "true" if x else "false"
+            return repr(x)
+
+        if self.op == "in":
+            return f"`{self.col}` IN ({', '.join(lit(x) for x in self.value)})"
+        op = "<>" if self.op == "!=" else self.op
+        return f"`{self.col}` {op} {lit(self.value)}"
+
+
+def _transform_interval(transform: str, type_str: str, f: "_Filter"):
+    """Map a source-column filter into the partition-value domain of
+    ``transform``. Returns a (possibly weakened) _Filter over partition
+    values, or None when the transform can't be pruned safely."""
+    if transform == "identity":
+        return f
+    m = re.fullmatch(r"(day|month|year|hour)", transform)
+    if m and type_str.startswith("timestamp"):
+        unit = m.group(1)
+        if f.op == "in":
+            return _Filter(
+                f.col, "in", [_ts_bucket(v, unit) for v in f.value]
+            )
+        if f.op == "!=":
+            return None  # a != on source never excludes a whole bucket
+        v = _ts_bucket(f.value, unit)
+        # weaken strict ops: the bucket containing the cut must survive
+        op = {"<": "<=", ">": ">=", "=": "=", "<=": "<=", ">=": ">="}[f.op]
+        return _Filter(f.col, op, v)
+    if m and type_str == "date" and m.group(1) in ("day", "month", "year"):
+        unit = m.group(1)
+        if f.op == "in":
+            return _Filter(f.col, "in", [_date_bucket(v, unit) for v in f.value])
+        if f.op == "!=":
+            return None
+        op = {"<": "<=", ">": ">=", "=": "=", "<=": "<=", ">=": ">="}[f.op]
+        return _Filter(f.col, op, _date_bucket(f.value, unit))
+    return None  # bucket[N]/truncate[N]/void: no pruning
+
+
+def _ts_bucket(micros: int, unit: str) -> int:
+    if unit == "day":
+        return micros // _US_PER_DAY
+    if unit == "hour":
+        return micros // _US_PER_HOUR
+    import datetime
+
+    dt = datetime.datetime.fromtimestamp(
+        micros / 1e6, tz=datetime.timezone.utc
+    )
+    if unit == "month":
+        return (dt.year - 1970) * 12 + (dt.month - 1)
+    return dt.year - 1970  # year
+
+
+def _date_bucket(days: int, unit: str) -> int:
+    if unit == "day":
+        return days
+    import datetime
+
+    d = datetime.date(1970, 1, 1) + datetime.timedelta(days=days)
+    if unit == "month":
+        return (d.year - 1970) * 12 + (d.month - 1)
+    return d.year - 1970
+
+
+# ----------------------------------------------------------- the table
+
+
+class IcebergTable:
+    """Read-only view over an Iceberg v1/v2 table directory (a
+    filesystem-catalog layout: ``<path>/metadata/vN.metadata.json``).
+
+    ``scan(filters=[("entity_type", "=", "user"), ...])`` returns a
+    DataFrame over the pruned parquet file set with the filters
+    re-applied; ``snapshots()`` lists (snapshot_id, timestamp_ms) for
+    time travel via ``scan(snapshot_id=...)``.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = _strip_scheme(path).rstrip("/")
+        self.meta_dir = os.path.join(self.path, "metadata")
+        self.meta = self._load_metadata()
+
+    # -- metadata resolution
+
+    def _load_metadata(self) -> dict:
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        candidate = None
+        if os.path.exists(hint):
+            with open(hint) as f:
+                v = f.read().strip()
+            for name in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+                p = os.path.join(self.meta_dir, name)
+                if os.path.exists(p):
+                    candidate = p
+                    break
+        if candidate is None:
+            versions = []
+            for name in os.listdir(self.meta_dir):
+                m = re.match(r"v?(\d+)(?:-[-\w]+)?\.metadata\.json$", name)
+                if m:
+                    versions.append((int(m.group(1)), name))
+            if not versions:
+                raise FileNotFoundError(
+                    f"{self.meta_dir}: no vN.metadata.json found"
+                )
+            candidate = os.path.join(self.meta_dir, max(versions)[1])
+        with open(candidate) as f:
+            meta = json.load(f)
+        if meta.get("format-version") not in (1, 2):
+            raise ValueError(
+                f"unsupported iceberg format-version "
+                f"{meta.get('format-version')!r}"
+            )
+        return meta
+
+    def schema_fields(self) -> list[dict]:
+        """Current schema's [{id, name, type, required}] (flat fields;
+        nested struct stats are not used for pruning)."""
+        meta = self.meta
+        if "schemas" in meta:
+            sid = meta.get("current-schema-id", 0)
+            for s in meta["schemas"]:
+                if s.get("schema-id") == sid:
+                    return s["fields"]
+            return meta["schemas"][0]["fields"]
+        return meta["schema"]["fields"]
+
+    def partition_spec(self, spec_id: int | None = None) -> list[dict]:
+        meta = self.meta
+        if "partition-specs" in meta:
+            want = meta.get("default-spec-id", 0) if spec_id is None else spec_id
+            for s in meta["partition-specs"]:
+                if s.get("spec-id") == want:
+                    return s["fields"]
+            return []
+        return meta.get("partition-spec", [])
+
+    def snapshots(self) -> list[tuple[int, int]]:
+        return [
+            (s["snapshot-id"], s["timestamp-ms"])
+            for s in self.meta.get("snapshots", [])
+        ]
+
+    def _snapshot(self, snapshot_id: int | None) -> dict:
+        snaps = self.meta.get("snapshots", [])
+        if not snaps:
+            raise ValueError(f"{self.path}: table has no snapshots")
+        if snapshot_id is None:
+            snapshot_id = self.meta.get("current-snapshot-id")
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise ValueError(f"unknown snapshot {snapshot_id}")
+
+    def _resolve(self, p: str) -> str:
+        """Prefer the path re-rooted at THIS table's location (the
+        opened directory is authoritative for a relocated/copied
+        table, whose recorded absolute paths may point at the old —
+        possibly still existing — location), falling back to the
+        recorded absolute path."""
+        p = _strip_scheme(p)
+        tail = p.split("/")
+        for anchor in ("data", "metadata"):
+            if anchor in tail:
+                rel = "/".join(tail[tail.index(anchor):])
+                cand = os.path.join(self.path, rel)
+                if os.path.exists(cand):
+                    return cand
+        return p
+
+    # -- planning
+
+    def data_files(
+        self,
+        snapshot_id: int | None = None,
+        filters: list[tuple] | None = None,
+    ) -> list[dict]:
+        """Resolve a snapshot to its pruned list of data-file dicts
+        (path, record_count, partition values)."""
+        fs = [_Filter(*f) for f in (filters or [])]
+        by_name = {f["name"]: f for f in self.schema_fields()}
+        by_id = {f["id"]: f for f in self.schema_fields()}
+
+        snap = self._snapshot(snapshot_id)
+        mlist_path = self._resolve(snap["manifest-list"])
+        manifests, _ = read_avro(mlist_path)
+
+        out: list[dict] = []
+        for m in manifests:
+            if int(m.get("content", 0) or 0) == 1:
+                raise NotImplementedError(
+                    f"{self.path}: snapshot {snap['snapshot-id']} carries "
+                    "a DELETE manifest (merge-on-read); only copy-on-write "
+                    "tables are supported — compact/rewrite the table or "
+                    "read it with a full Iceberg runtime"
+                )
+            spec = self.partition_spec(m.get("partition_spec_id"))
+            if not self._manifest_might_match(m, spec, fs, by_id):
+                continue
+            entries, _ = read_avro(self._resolve(m["manifest_path"]))
+            for e in entries:
+                if int(e.get("status", 0)) == 2:  # DELETED entry
+                    continue
+                df_rec = e["data_file"]
+                if int(df_rec.get("content", 0) or 0) != 0:
+                    raise NotImplementedError(
+                        f"{self.path}: delete data file "
+                        f"{df_rec.get('file_path')!r} (merge-on-read v2); "
+                        "only copy-on-write tables are supported"
+                    )
+                if not self._file_might_match(df_rec, spec, fs, by_id, by_name):
+                    continue
+                out.append(
+                    {
+                        "path": self._resolve(df_rec["file_path"]),
+                        "record_count": int(df_rec.get("record_count", -1)),
+                        "partition": df_rec.get("partition") or {},
+                    }
+                )
+        return out
+
+    def _manifest_might_match(self, m, spec, fs, by_id) -> bool:
+        sums = m.get("partitions")
+        if not sums or not fs:
+            return True
+        for i, pf in enumerate(spec):
+            if i >= len(sums):
+                break
+            src = by_id.get(pf.get("source-id"))
+            if src is None:
+                continue
+            tcol = src["name"]
+            ttype = src["type"] if isinstance(src["type"], str) else None
+            if ttype is None:
+                continue
+            ptype = _partition_value_type(pf["transform"], ttype)
+            lo = _decode_bound(ptype, sums[i].get("lower_bound"))
+            hi = _decode_bound(ptype, sums[i].get("upper_bound"))
+            for f in fs:
+                if f.col != tcol:
+                    continue
+                pfil = _transform_interval(pf["transform"], ttype, f)
+                if pfil is not None and not pfil.might_match(lo, hi):
+                    return False
+        return True
+
+    def _file_might_match(self, df_rec, spec, fs, by_id, by_name) -> bool:
+        if not fs:
+            return True
+        # partition-value pruning (exact values, not ranges)
+        part = df_rec.get("partition") or {}
+        for pf in spec:
+            src = by_id.get(pf.get("source-id"))
+            if src is None or pf["name"] not in part:
+                continue
+            ttype = src["type"] if isinstance(src["type"], str) else None
+            if ttype is None:
+                continue
+            pv = part[pf["name"]]
+            if pv is None:
+                continue
+            for f in fs:
+                if f.col != src["name"]:
+                    continue
+                pfil = _transform_interval(pf["transform"], ttype, f)
+                if pfil is not None and not pfil.might_match(pv, pv):
+                    return False
+        # column-stat pruning by field id
+        lowers = _kv_list_to_dict(df_rec.get("lower_bounds"))
+        uppers = _kv_list_to_dict(df_rec.get("upper_bounds"))
+        for f in fs:
+            fld = by_name.get(f.col)
+            if fld is None or not isinstance(fld["type"], str):
+                continue
+            lo = _decode_bound(fld["type"], lowers.get(fld["id"]))
+            hi = _decode_bound(fld["type"], uppers.get(fld["id"]))
+            if (lo is not None or hi is not None) and not f.might_match(lo, hi):
+                return False
+        return True
+
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        filters: list[tuple] | None = None,
+    ) -> DataFrame:
+        """DataFrame over the snapshot's data with metadata-pruned
+        file list; ``filters`` are (column, op, literal) triples with
+        op in ``=, !=, <, <=, >, >=, in`` (timestamp literals in
+        MICROseconds since epoch, matching Iceberg's representation).
+        Filters are re-applied to the frame — pruning is an
+        optimization, never the correctness boundary."""
+        files = self.data_files(snapshot_id, filters)
+        if not files:
+            # empty-but-typed: derive the schema from any data file of
+            # the snapshot, else an empty frame with no columns
+            allf = self.data_files(snapshot_id, None)
+            if not allf:
+                return self.spark.createDataFrame([], "")
+            return (
+                self.spark.read.parquet(allf[0]["path"]).limit(0)
+            )
+        df = self.spark.read.parquet(*[f["path"] for f in files])
+        ts_cols = {
+            f["name"]
+            for f in self.schema_fields()
+            if isinstance(f["type"], str) and f["type"].startswith("timestamp")
+        }
+        for f in filters or []:
+            fil = _Filter(*f)
+            if fil.col in ts_cols:
+                # compare in micros (Iceberg's timestamp unit)
+                from pyspark.sql import functions as F
+
+                col = F.unix_micros(F.col(fil.col))
+                v = fil.value
+                expr = {
+                    "=": col == v, "!=": col != v, "<": col < v,
+                    "<=": col <= v, ">": col > v, ">=": col >= v,
+                }.get(fil.op)
+                if expr is None:  # in
+                    expr = col.isin(list(v))
+                df = df.filter(expr)
+            else:
+                df = df.filter(fil.sql())
+        return df
+
+
+def _partition_value_type(transform: str, source_type: str) -> str:
+    if transform == "identity":
+        return source_type
+    if re.fullmatch(r"(day|month|year|hour)", transform):
+        return "int"
+    if transform.startswith("bucket"):
+        return "int"
+    if transform.startswith("truncate"):
+        return source_type
+    return source_type

@@ -3433,6 +3433,69 @@ FROM events GROUP BY event_type
 """
 
 
+def q_iceberg_scan(spark, sf_dir):
+    """Iceberg interop round trip (reference IcebergOfflineStore.java:
+    42-114): export events as feature records into a REAL Iceberg v2
+    table (two append snapshots — executors write the partitioned
+    parquet, the driver authors Avro manifests from footer stats),
+    then scan it back through the metadata reader with a partition
+    predicate (identity entity_type IN + day-transform event_time
+    range) and aggregate. The scan's file list is metadata-pruned
+    before Spark ever opens a file; filters are re-applied row-level,
+    so the aggregate equals the plain relational oracle on events."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import iceberg_append
+
+    ev = load_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.col("event_type").alias("entity_type"),
+        F.col("user_id").cast("string").alias("entity_id"),
+        F.col("value").alias("value_float"),
+        F.col("ts").alias("event_time"),
+    )
+    cut_us = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z in micros
+    scratch = _tmp.mkdtemp(prefix="fss-iceberg-")
+    try:
+        # two snapshots: pre-cut batch then post-cut batch, so the
+        # day-transform pruning has manifests on both sides of the cut
+        early = records.filter(F.unix_micros("event_time") < cut_us)
+        late = records.filter(F.unix_micros("event_time") >= cut_us)
+        iceberg_append(early, scratch)
+        iceberg_append(late, scratch)
+        t = IcebergTable(spark, scratch)
+        df = t.scan(
+            filters=[
+                ("entity_type", "in", ["purchase", "view"]),
+                ("event_time", ">=", cut_us),
+            ]
+        )
+        out = df.groupBy("entity_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value_float")).alias("sum_value"),
+            _r6(F.min("value_float")).alias("min_value"),
+            _r6(F.max("value_float")).alias("max_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+ICEBERG_SCAN_SQL = """
+SELECT event_type AS entity_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+WHERE event_type IN ('purchase', 'view')
+  AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY event_type
+"""
+
+
 SCALAR_UPSERT_SQL = """
 WITH eav AS (
   SELECT user_id AS entity_id, event_type AS feature_name,
@@ -6455,6 +6518,7 @@ QUERIES: dict[str, tuple] = {
     # Everything displaced past slot 50 is unchanged and already has
     # a green driver row from r1-r5 (union coverage stays complete;
     # all also pass the identical DuckDB oracle in pytest/selfcheck).
+    "iceberg_scan": (q_iceberg_scan, ICEBERG_SCAN_SQL),
     "incremental_agg": (q_incremental_agg, INCREMENTAL_AGG_SQL),
     "stream_incremental_agg": (q_stream_incremental_agg, INCREMENTAL_AGG_SQL),
     "segment_dedup": (q_segment_dedup, SEGMENT_DEDUP_SQL),

@@ -6660,6 +6660,76 @@ QUERIES: dict[str, tuple] = {
 }
 
 
+# --- ROUND-7 DRIVER WINDOW (first 50 entries) -----------------------
+# Changed-path-first rotation: the new iceberg_scan, then every query
+# whose code path changed this round — semantic_dedup (bucket guard +
+# persisted projection), the decay module pair (chunked-EWMA path
+# added), the floored bigram LM pair, heavy_hitters (sentinel schema
+# nullability), and the manifest-layer queries (txn_version snapshot
+# pinning + read_appended schema fallback). The tail of the window
+# refreshes the OLDEST driver rows (r1–r2-only: melt/pivot/splits/
+# ranking metrics/minhash-simhash family), per VERDICT r6 #7 —
+# everything displaced keeps its earlier green row and the identical
+# DuckDB oracle in pytest/selfcheck.
+_R7_WINDOW = [
+    "iceberg_scan",
+    "semantic_dedup",
+    "ewma_features",
+    "decayed_features",
+    "perplexity_buckets",
+    "bigram_lm",
+    "heavy_hitters",
+    "incremental_agg",
+    "stream_incremental_agg",
+    "scalar_upsert",
+    "stream_manifest_sink",
+    # oldest-green refresh
+    "melt_customer",
+    "pivot_events",
+    "train_test_split",
+    "sessionize",
+    "confusion",
+    "map_ranking",
+    "minhash_signatures",
+    "simhash",
+    "simhash_pairs",
+    "lsh_bucket_topk",
+    "embedding_centroids",
+    "embedding_near_dup",
+    "token_stats",
+    "doc_fingerprints",
+    "risk_tiers",
+    "group_cv_split",
+    "default_rate",
+    "staleness",
+    "feature_stats",
+    "histogram",
+    "quantile_label",
+    "hash_bucket",
+    "revenue_by_nation",
+    "top_customers",
+    "topk_events_global",
+    "topk_events_per_user",
+    "asof_bucketed",
+    "local_supplier_volume",
+    "pricing_cube",
+    "running_totals",
+    "asof_nearest",
+    "decontaminate_bloom",
+    "pricing_rollup",
+    "json_props",
+    "sample_per_group",
+    "skew_report",
+    "stream_enrich",
+    "zorder_key",
+    "table_profile",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R7_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in _R7_WINDOW},
+}
+
+
 def queries():
     return {name: fn for name, (fn, _) in QUERIES.items()}
 

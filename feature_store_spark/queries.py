@@ -3483,6 +3483,71 @@ def q_iceberg_scan(spark, sf_dir):
         _sh.rmtree(scratch, ignore_errors=True)
 
 
+def q_delta_scan(spark, sf_dir):
+    """Delta Lake interop round trip: export orders into a real Delta
+    table (two commits, hive-partitioned by o_orderstatus, add actions
+    carrying footer-derived min/max stats), then scan it back through
+    the log reader with a partition predicate + a stats predicate and
+    aggregate. File pruning happens at the metadata level before Spark
+    opens a file; filters re-apply row-level, so the aggregate equals
+    the plain relational oracle on orders."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.delta import DeltaTable, delta_append
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-delta-")
+    try:
+        # two commits split by key parity: both partitions span both
+        # commits, so pruning must merge adds across the log replay
+        delta_append(
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            scratch,
+            partition_cols=["o_orderstatus"],
+        )
+        delta_append(
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+            scratch,
+            partition_cols=["o_orderstatus"],
+        )
+        t = DeltaTable(spark, scratch)
+        df = t.scan(
+            filters=[
+                ("o_orderstatus", "in", ["F", "O"]),
+                ("o_totalprice", ">", 50_000.0),
+            ]
+        )
+        out = df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # money sums at 1e9 magnitude: accumulate exactly in
+            # decimal, then present as double (float sums differ from
+            # the oracle in the 6th decimal by association order)
+            _r6(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+            ).alias("sum_price"),
+            _r6(F.max("o_totalprice")).alias("max_price"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+DELTA_SCAN_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS sum_price,
+       round(max(o_totalprice), 6) AS max_price
+FROM orders
+WHERE o_orderstatus IN ('F', 'O') AND o_totalprice > 50000.0
+GROUP BY o_orderstatus
+"""
+
+
 ICEBERG_SCAN_SQL = """
 SELECT event_type AS entity_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -6519,6 +6584,7 @@ QUERIES: dict[str, tuple] = {
     # a green driver row from r1-r5 (union coverage stays complete;
     # all also pass the identical DuckDB oracle in pytest/selfcheck).
     "iceberg_scan": (q_iceberg_scan, ICEBERG_SCAN_SQL),
+    "delta_scan": (q_delta_scan, DELTA_SCAN_SQL),
     "incremental_agg": (q_incremental_agg, INCREMENTAL_AGG_SQL),
     "stream_incremental_agg": (q_stream_incremental_agg, INCREMENTAL_AGG_SQL),
     "segment_dedup": (q_segment_dedup, SEGMENT_DEDUP_SQL),
@@ -6673,6 +6739,7 @@ QUERIES: dict[str, tuple] = {
 # DuckDB oracle in pytest/selfcheck.
 _R7_WINDOW = [
     "iceberg_scan",
+    "delta_scan",
     "semantic_dedup",
     "ewma_features",
     "decayed_features",

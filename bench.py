@@ -94,6 +94,10 @@ HEADLINE = [
     "perplexity_buckets",
     "incremental_agg",
     "cache_ttl_serving",
+    # round-7 additions: open-format interop round trips (export +
+    # metadata-pruned scan, dominated by the parquet writes)
+    "iceberg_scan",
+    "delta_scan",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

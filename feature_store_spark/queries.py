@@ -5849,6 +5849,73 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def q_stream_delta_sink(spark, sf_dir):
+    """STREAMING → DELTA TABLE under the oracle gate: the purchase
+    stream lands in a Delta Lake table through foreachBatch — one
+    JSON log commit per micro-batch, each carrying the protocol's
+    ``txn`` action for (app_id, batch_id) idempotence — and the
+    committed table is scanned back (partition-pruned on event_type's
+    hive partition) as the result. Same exactly-once contract as
+    stream_manifest_sink, expressed in the OPEN format a real Delta
+    reader can also open. ``multi_commit`` / ``txn_contiguous`` pin
+    that >1 commit happened and the high-water mark covers batches
+    0..n-1."""
+    import shutil as _sh
+
+    from feature_store_spark.sources.delta import (
+        DeltaTable,
+        delta_append_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    d = _stream_tmpdir("fss_stream_delta_")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string,"
+            " ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in")
+    )
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                delta_append_sink(
+                    f"{d}/table", "purchase-sink",
+                    partition_cols=["event_type"],
+                )
+            )
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_delta_sink: stream did not finish in 300s"
+            )
+        t = DeltaTable(spark, f"{d}/table")
+        n_commits = t.latest_version() + 1
+        hwm = t.txn_version("purchase-sink")
+        out = t.scan(filters=[("event_type", "=", "purchase")])
+        return (
+            out.select(
+                "event_id",
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                _r6(F.col("value")).alias("value"),
+                F.lit(n_commits >= 2).alias("multi_commit"),
+                F.lit(hwm == n_commits - 1).alias("txn_contiguous"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+
+
 def _drift_frames(spark, sf_dir):
     """Deterministic drift fixture: lineitem split into reference /
     current halves by an md5 uniform on the (orderkey, linenumber)
@@ -6614,6 +6681,7 @@ QUERIES: dict[str, tuple] = {
     "serving_assembly": (q_serving_assembly, SERVING_SQL),
     "scalar_upsert": (q_scalar_upsert, SCALAR_UPSERT_SQL),
     "stream_manifest_sink": (q_stream_manifest_sink, STREAM_MANIFEST_SINK_SQL),
+    "stream_delta_sink": (q_stream_delta_sink, STREAM_MANIFEST_SINK_SQL),
     "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "word_entropy": (q_word_entropy, WORD_ENTROPY_SQL),
     "funnel": (q_funnel, FUNNEL_SQL),
@@ -6750,6 +6818,7 @@ _R7_WINDOW = [
     "stream_incremental_agg",
     "scalar_upsert",
     "stream_manifest_sink",
+    "stream_delta_sink",
     # oldest-green refresh
     "melt_customer",
     "pivot_events",

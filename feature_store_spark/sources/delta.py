@@ -85,8 +85,11 @@ class DeltaTable:
                 best = (v, [os.path.join(self.log_dir, name)])
         return best
 
-    def _state(self, version: int | None) -> tuple[dict, list[dict]]:
-        """Replay to (metaData, live add actions) at ``version``."""
+    def _state(
+        self, version: int | None
+    ) -> tuple[dict, list[dict], dict[str, int]]:
+        """Replay to (metaData, live add actions, txn high-water marks
+        by appId) at ``version``."""
         versions = self._commit_versions()
         if version is None:
             version = versions[-1] if versions else -1
@@ -98,6 +101,7 @@ class DeltaTable:
         adds: dict[str, dict] = {}
         meta: dict = {}
         protocol: dict = {}
+        txns: dict[str, int] = {}
         start = 0
         ckpt = self._checkpoint_at_or_before(version)
         if ckpt is not None:
@@ -119,6 +123,12 @@ class DeltaTable:
                     rem = row.get("remove")
                     if rem and rem.get("path"):
                         adds.pop(rem["path"], None)
+                    txn = row.get("txn")
+                    if txn and txn.get("appId") is not None:
+                        txns[txn["appId"]] = max(
+                            txns.get(txn["appId"], -1),
+                            int(txn["version"]),
+                        )
             start = cv + 1
         for v in versions:
             if v < start or v > version:
@@ -136,10 +146,15 @@ class DeltaTable:
                         adds[action["add"]["path"]] = action["add"]
                     elif "remove" in action:
                         adds.pop(action["remove"]["path"], None)
+                    elif "txn" in action:
+                        t = action["txn"]
+                        txns[t["appId"]] = max(
+                            txns.get(t["appId"], -1), int(t["version"])
+                        )
         self._check_protocol(protocol)
         if not meta:
             raise ValueError(f"{self.path}: delta log has no metaData")
-        return meta, list(adds.values())
+        return meta, list(adds.values()), txns
 
     def _check_protocol(self, protocol: dict) -> None:
         feats = set(protocol.get("readerFeatures") or [])
@@ -158,15 +173,22 @@ class DeltaTable:
     # -- planning
 
     def schema(self, version: int | None = None) -> dict:
-        meta, _ = self._state(version)
+        meta, _, _ = self._state(version)
         return json.loads(meta["schemaString"])
+
+    def txn_version(self, app_id: str, version: int | None = None) -> int:
+        """Highest committed streaming-txn counter for ``app_id`` (-1
+        if none) — the Delta protocol's ``txn`` action, the same
+        restart-recovery read ManifestedTable.txn_version serves."""
+        _, _, txns = self._state(version)
+        return txns.get(app_id, -1)
 
     def data_files(
         self,
         version: int | None = None,
         filters: list[tuple] | None = None,
     ) -> list[dict]:
-        meta, adds = self._state(version)
+        meta, adds, _ = self._state(version)
         fs = [_Filter(*f) for f in (filters or [])]
         schema = json.loads(meta["schemaString"])
         types = {f["name"]: f["type"] for f in schema["fields"]}
@@ -214,7 +236,7 @@ class DeltaTable:
         filters: list[tuple] | None = None,
     ) -> DataFrame:
         adds = self.data_files(version, filters)
-        meta, _ = self._state(version)
+        meta, _, _ = self._state(version)
         part_cols = meta.get("partitionColumns") or []
         if not adds:
             all_adds = self.data_files(version, None)
@@ -300,12 +322,20 @@ def delta_append(
     df: DataFrame,
     table_dir: str,
     partition_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Append ``df`` as one Delta commit (creating the table on first
     call). Executors write hive-partitioned parquet; the driver
     records add actions with footer-derived stats (numRecords +
     min/max per leaf column) and publishes the next
     ``_delta_log/%020d.json`` atomically. Returns the commit version.
+
+    ``txn=(app_id, version)`` records the Delta protocol's ``txn``
+    action in the same commit and makes redelivery a NO-OP when the
+    table's high-water mark for ``app_id`` already covers ``version``
+    — the exactly-once handshake Structured Streaming's foreachBatch
+    needs (same semantics as ManifestedTable.append's token).
+
     Export-grade: append-only, no concurrent-writer arbitration (the
     engine's native format, sources/manifest.py, owns that)."""
     import uuid
@@ -323,6 +353,11 @@ def delta_append(
         if n.endswith(".json") and n[:-5].isdigit()
     ]
     version = (max(existing) + 1) if existing else 0
+    if txn is not None and version > 0:
+        app_id, txn_v = txn
+        committed = DeltaTable(spark, table_dir).txn_version(app_id)
+        if committed >= int(txn_v):
+            return max(existing)  # redelivered batch: no state change
 
     # stage with Spark, then move leaf files into the canonical Delta
     # layout (partition dirs directly under the table root, unique
@@ -415,6 +450,11 @@ def delta_append(
                     }
                 }
             )
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1]),
+                     "lastUpdated": 0}}
+        )
     commit = os.path.join(log_dir, f"{version:020d}.json")
     tmp = commit + ".tmp"
     with open(tmp, "w") as f:
@@ -424,6 +464,27 @@ def delta_append(
     # touch spark to keep the session-arg contract obvious
     assert spark is not None
     return version
+
+
+def delta_append_sink(
+    table_dir: str,
+    app_id: str,
+    partition_cols: list[str] | None = None,
+):
+    """foreachBatch body: exactly-once micro-batch appends into a
+    Delta table via the protocol's txn action — crash after commit +
+    checkpoint loss redelivers the batch, and the recorded (app_id,
+    batch_id) high-water mark turns the redelivery into a no-op."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta_append(
+            batch_df,
+            table_dir,
+            partition_cols=partition_cols,
+            txn=(app_id, int(batch_id)),
+        )
+
+    return sink
 
 
 def _json_stat(v):

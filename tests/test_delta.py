@@ -96,6 +96,64 @@ class TestDeltaScan:
         with pytest.raises(NotImplementedError, match="deletionVectors"):
             DeltaTable(spark, d).scan()
 
+    def test_txn_append_is_idempotent(self, spark, tmp_path):
+        """The protocol's txn action: a redelivered (app_id, version)
+        append is a no-op; the high-water mark reads back per app."""
+        d = str(tmp_path / "txn")
+        df = spark.range(5).select(
+            F.lit("user").alias("etype"), F.col("id").alias("eid")
+        )
+        assert delta_append(df, d, ["etype"], txn=("sink-1", 0)) == 0
+        # redelivery: no new commit, same contents
+        assert delta_append(df, d, ["etype"], txn=("sink-1", 0)) == 0
+        t = DeltaTable(spark, d)
+        assert t.latest_version() == 0
+        assert t.scan().count() == 5
+        assert t.txn_version("sink-1") == 0
+        assert t.txn_version("other") == -1
+        # next batch commits; an independent app is not blocked
+        assert delta_append(df, d, ["etype"], txn=("sink-1", 1)) == 1
+        assert delta_append(df, d, ["etype"], txn=("sink-2", 0)) == 2
+        assert DeltaTable(spark, d).scan().count() == 15
+
+    def test_stream_sink_exactly_once(self, spark, tmp_path):
+        """availableNow stream through delta_append_sink: one commit
+        per micro-batch, contiguous txn marks, and driving the sink
+        body again with the last batch_id changes nothing."""
+        from feature_store_spark.sources.delta import delta_append_sink
+
+        d = str(tmp_path / "stream")
+        src = str(tmp_path / "in")
+        spark.range(40).select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("k"),
+            F.col("id").alias("v"),
+        ).repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("k string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = delta_append_sink(f"{d}/table", "ev-sink",
+                                 partition_cols=["k"])
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        t = DeltaTable(spark, f"{d}/table")
+        assert t.scan().count() == 40
+        n_commits = t.latest_version() + 1
+        assert n_commits >= 2
+        hwm = t.txn_version("ev-sink")
+        assert hwm == n_commits - 1  # contiguous batch marks
+        # redelivery of the last batch: no state change
+        sink(spark.createDataFrame([("a", 999)], "k string, v long"), hwm)
+        t2 = DeltaTable(spark, f"{d}/table")
+        assert t2.latest_version() + 1 == n_commits
+        assert t2.scan().count() == 40
+
     def test_checkpoint_parquet_is_used(self, spark, table_dir, tmp_path):
         """A parquet checkpoint replaces the JSON prefix: delete the
         early commits, keep only the checkpoint + later commits."""
@@ -107,7 +165,7 @@ class TestDeltaScan:
         d = str(tmp_path / "ckpt")
         shutil.copytree(table_dir, d)
         t = DeltaTable(spark, d)
-        meta, adds = t._state(1)
+        meta, adds, _txns = t._state(1)
         rows = []
         # pyarrow can't infer empty structs (configuration/format);
         # checkpoint only needs the fields the reader consumes

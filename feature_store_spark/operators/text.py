@@ -640,3 +640,124 @@ def bpe_tokenize_expr(text: Column, merges: list[tuple[str, str, int]]) -> Colum
             F.length(x) >= 2, tok_count(x)
         ).otherwise(F.lit(1))
     )
+
+
+# Gopher (Rae et al. 2021, appendix A) stop-word presence list — the
+# paper's "must contain >= 2 of" test uses exactly these eight words
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, appendix A — the
+    published pretraining-corpus filter MassiveWeb used, reused by
+    RefinedWeb/FineWeb/Dolma with tweaked thresholds): per-document
+
+    - word count in [min_words, max_words],
+    - mean word length in [min_mean_word_len, max_mean_word_len],
+    - symbol-to-word ratio ('#' chars plus '...' runs) <= cap,
+    - fraction of lines starting with a bullet <= cap,
+    - fraction of lines ending with an ellipsis <= cap,
+    - fraction of words containing an alphabetic char >= floor,
+    - at least ``min_stop_hits`` distinct Gopher stop words present,
+
+    and ``keep`` = every rule passes. Defaults are the paper's
+    thresholds. Everything is array expressions over ONE projected
+    word/line split (pure whole-stage codegen, no shuffle at all —
+    the filter is embarrassingly row-parallel, which is why it
+    belongs in the scan stage of a 100 TB curation pipeline);
+    tokenization is the module-wide :func:`words` contract, lines
+    split on the literal newline. NULL text yields n_words=0 →
+    keep=false (unscoreable is not keepable).
+
+    Returns (id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_word_frac, stop_hits, keep).
+    """
+    w = words(F.col(text_col))
+    n_words = F.coalesce(F.size(w), F.lit(0))
+    nw = n_words.cast("double")
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).cast("double")
+        / nw,
+    )
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    hash_n = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    dots_n = F.floor(
+        (F.length(text) - F.length(F.replace(text, F.lit("..."))))
+        / F.lit(3)
+    ).cast("long")
+    symbol_ratio = F.when(n_words > 0, (hash_n + dots_n) / nw)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda s: s.startswith("•")
+                | s.startswith("- ")
+                | s.startswith("* "),
+            )
+        ).cast("double")
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines, lambda s: s.endswith("...") | s.endswith("…")
+            )
+        ).cast("double")
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double")
+        / nw,
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(w, s),
+        )
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )

@@ -2492,6 +2492,86 @@ def q_quality_scores(spark, sf_dir):
     )
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 appendix A — the
+    published MassiveWeb filter): per-document word-count bounds,
+    mean-word-length band, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word floor, stop-word presence, and the
+    conjunctive keep flag. Pure row-parallel array expressions —
+    scan-stage work, zero shuffle."""
+    from feature_store_spark.operators.text import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    # thresholds fitted to the synthetic corpus so the keep flag
+    # DISCRIMINATES here (10-99-word docs; vocabulary carries only
+    # 'the' from the Gopher stop list); the operator's defaults stay
+    # the paper's
+    return gopher_quality(
+        docs.select("doc_id", "text"), min_words=30, min_stop_hits=1
+    )
+
+
+GOPHER_RULES_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS t,
+         list_filter(string_split(lower(text), ' '),
+                     x -> length(x) > 0) AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id, t, w,
+         COALESCE(len(w), 0) AS n_words,
+         list_filter(list_transform(string_split(t, chr(10)),
+                                    s -> trim(s)),
+                     s -> length(s) > 0) AS lines
+  FROM base
+),
+x AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN
+           CAST(list_sum(list_transform(w, y -> length(y))) AS DOUBLE)
+             / n_words END AS mean_word_len,
+         CASE WHEN n_words > 0 THEN
+           ((length(t) - length(replace(t, '#', '')))
+            + floor((length(t) - length(replace(t, '...', ''))) / 3))
+             / CAST(n_words AS DOUBLE) END AS symbol_ratio,
+         CASE WHEN len(lines) > 0 THEN
+           CAST(len(list_filter(lines,
+                s -> starts_with(s, chr(8226)) OR starts_with(s, '- ')
+                     OR starts_with(s, '* '))) AS DOUBLE) / len(lines)
+           ELSE 0.0 END AS bullet_frac,
+         CASE WHEN len(lines) > 0 THEN
+           CAST(len(list_filter(lines,
+                s -> ends_with(s, '...')
+                     OR ends_with(s, chr(8230)))) AS DOUBLE) / len(lines)
+           ELSE 0.0 END AS ellipsis_frac,
+         CASE WHEN n_words > 0 THEN
+           CAST(len(list_filter(w, y -> regexp_matches(y, '[a-z]')))
+                AS DOUBLE) / n_words END AS alpha_word_frac,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(w, s))) AS stop_hits
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(bullet_frac, 6) AS bullet_frac,
+       round(ellipsis_frac, 6) AS ellipsis_frac,
+       round(alpha_word_frac, 6) AS alpha_word_frac,
+       CAST(stop_hits AS INT) AS stop_hits,
+       COALESCE(n_words BETWEEN 30 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_ratio <= 0.1
+                AND bullet_frac <= 0.9
+                AND ellipsis_frac <= 0.3
+                AND alpha_word_frac >= 0.8
+                AND stop_hits >= 1, false) AS keep
+FROM x
+"""
+
+
 QUALITY_SQL = """
 WITH w AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
@@ -6682,6 +6762,7 @@ QUERIES: dict[str, tuple] = {
     "scalar_upsert": (q_scalar_upsert, SCALAR_UPSERT_SQL),
     "stream_manifest_sink": (q_stream_manifest_sink, STREAM_MANIFEST_SINK_SQL),
     "stream_delta_sink": (q_stream_delta_sink, STREAM_MANIFEST_SINK_SQL),
+    "gopher_rules": (q_gopher_rules, GOPHER_RULES_SQL),
     "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "word_entropy": (q_word_entropy, WORD_ENTROPY_SQL),
     "funnel": (q_funnel, FUNNEL_SQL),
@@ -6819,6 +6900,7 @@ _R7_WINDOW = [
     "scalar_upsert",
     "stream_manifest_sink",
     "stream_delta_sink",
+    "gopher_rules",
     # oldest-green refresh
     "melt_customer",
     "pivot_events",

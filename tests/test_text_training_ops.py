@@ -192,3 +192,50 @@ class TestTextNullGuards:
         merges = [(str(i), str(i + 1), 1) for i in range(300)]
         with _pytest.raises(ValueError, match="64KB|merges"):
             bpe_tokenize_expr(SF.lit("a b"), merges)
+
+
+def test_gopher_quality_rules_each_fire(spark):
+    """Gopher rules (Rae et al. appendix A defaults): each rule
+    individually rejects its crafted violator; a clean doc passes."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.operators.text import gopher_quality
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks to be with all of that crowd have mild fun ") * 3
+    rows = [
+        (1, good),                                    # passes everything
+        (2, "the of and"),                            # too few words
+        (3, " ".join(["x"] * 60) + " the be of and that"),  # mean len < 3
+        (4, good + " " + "#" * 200),                  # symbol ratio
+        (5, "\n".join(["- bullet line the be of"] * 10)),   # bullets
+        (6, good.replace("fox", "12345 67890 4242 777 999 111 222 333 "
+                                "444 555 666 888 000 123 456 789 321 "
+                                "654 987 135")),      # alpha frac < 0.8
+        (7, " ".join(["word"] * 80)),                 # no stop words
+        (8, None),                                    # null text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert out[1]["keep"] is True
+    for bad in (2, 3, 4, 5, 7, 8):
+        assert out[bad]["keep"] is False, (bad, out[bad])
+    assert out[6]["alpha_word_frac"] < 0.8 and out[6]["keep"] is False
+    assert out[8]["n_words"] == 0
+    # ellipsis rule: multi-line doc where >30% of lines end with ...
+    dots = spark.createDataFrame(
+        [(9, "\n".join(["the line be of and that ..."] * 5
+                       + ["plain line the be"] * 5))],
+        "doc_id long, text string",
+    )
+    [r9] = gopher_quality(dots).collect()
+    assert r9["ellipsis_frac"] == 0.5 and r9["keep"] is False
+    # wide-open thresholds keep everything scoreable
+    open_keep = gopher_quality(
+        docs.filter(F.col("text").isNotNull()),
+        min_words=1, min_mean_word_len=0.0, max_mean_word_len=99.0,
+        max_symbol_ratio=9.0, max_bullet_frac=1.0,
+        max_ellipsis_frac=1.0, min_alpha_word_frac=0.0,
+        min_stop_hits=0,
+    )
+    assert all(r["keep"] for r in open_keep.collect())

@@ -58,6 +58,7 @@ class DeltaTable:
         self.log_dir = os.path.join(self.path, "_delta_log")
         if not os.path.isdir(self.log_dir):
             raise FileNotFoundError(f"{self.path}: no _delta_log")
+        self._state_cache: dict[int, tuple] = {}
 
     # -- log replay
 
@@ -93,6 +94,10 @@ class DeltaTable:
         versions = self._commit_versions()
         if version is None:
             version = versions[-1] if versions else -1
+        if version in self._state_cache:
+            # one DeltaTable = one pinned view of the log; scan() and
+            # data_files() share a single replay per version
+            return self._state_cache[version]
         if version not in versions and not self._checkpoint_at_or_before(
             version
         ):
@@ -154,7 +159,9 @@ class DeltaTable:
         self._check_protocol(protocol)
         if not meta:
             raise ValueError(f"{self.path}: delta log has no metaData")
-        return meta, list(adds.values()), txns
+        out = (meta, list(adds.values()), txns)
+        self._state_cache[version] = out
+        return out
 
     def _check_protocol(self, protocol: dict) -> None:
         feats = set(protocol.get("readerFeatures") or [])

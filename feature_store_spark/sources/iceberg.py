@@ -211,6 +211,7 @@ class IcebergTable:
         self.path = _strip_scheme(path).rstrip("/")
         self.meta_dir = os.path.join(self.path, "metadata")
         self.meta = self._load_metadata()
+        self._avro_cache: dict[str, list] = {}
 
     # -- metadata resolution
 
@@ -315,7 +316,7 @@ class IcebergTable:
 
         snap = self._snapshot(snapshot_id)
         mlist_path = self._resolve(snap["manifest-list"])
-        manifests, _ = read_avro(mlist_path)
+        manifests = self._read_avro_cached(mlist_path)
 
         out: list[dict] = []
         for m in manifests:
@@ -329,7 +330,9 @@ class IcebergTable:
             spec = self.partition_spec(m.get("partition_spec_id"))
             if not self._manifest_might_match(m, spec, fs, by_id):
                 continue
-            entries, _ = read_avro(self._resolve(m["manifest_path"]))
+            entries = self._read_avro_cached(
+                self._resolve(m["manifest_path"])
+            )
             for e in entries:
                 if int(e.get("status", 0)) == 2:  # DELETED entry
                     continue
@@ -350,6 +353,14 @@ class IcebergTable:
                     }
                 )
         return out
+
+    def _read_avro_cached(self, path: str) -> list:
+        """Manifest files are immutable once written (Iceberg's commit
+        protocol replaces the LIST, never a manifest) — cache decoded
+        records so scan() and repeated plans replay each blob once."""
+        if path not in self._avro_cache:
+            self._avro_cache[path] = read_avro(path)[0]
+        return self._avro_cache[path]
 
     def _manifest_might_match(self, m, spec, fs, by_id) -> bool:
         sums = m.get("partitions")

@@ -1047,3 +1047,89 @@ def segment_dedup(
         )
     )
     return per_doc.unionByName(nulls)
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Position-aware duplicated-substring detection (the distributed
+    form of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — their ExactSubstr dedup finds every
+    corpus substring of >= N tokens that appears twice; here the
+    suffix-array machinery becomes a windowed-fingerprint dataflow):
+    fingerprint every ``window``-token sliding window, count corpus-
+    wide occurrences, and merge the positions of repeated windows
+    into MAXIMAL per-document spans.
+
+    Returns one row per maximal duplicated span: ``(id, span_start,
+    span_end, n_windows)`` with token indices inclusive — the ranges
+    an exact-substring cleaner would cut, at win-length granularity
+    (a duplicated region of length m >= window is found exactly;
+    nothing shorter than ``window`` is reported, matching the paper's
+    min-length contract). Overlapping or ADJACENT duplicated windows
+    merge into one span (a length-2L duplicate is one region, not
+    two).
+
+    Scale shape (100 TB): the fingerprint stage is map-side (per-doc
+    array ops); the occurrence count is ONE hash-aggregate shuffle
+    keyed by the 16-byte fingerprint with map-side partials; repeated
+    fingerprints (the small hot set — most windows are unique) join
+    back against the exploded positions, and span merging is a
+    per-document gaps-and-islands window, bounded by that document's
+    own duplicated-window count, never corpus-wide. Fingerprints are
+    md5 over the joined window text — the repo-wide engine-portable
+    hash, so the DuckDB oracle reproduces every key bit-for-bit; at
+    petabyte scale swap in a rolling hash behind the same dataflow
+    (the hashing is the only O(tokens x window) term).
+
+    A window repeated WITHIN one document still counts: self-repeated
+    content is exactly what the paper's method removes.
+    """
+    from feature_store_spark.operators.text import words
+
+    w = words(F.col(text_col))
+    n = F.size(w)
+    fps = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(1), n - window + 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(w, i, window), " ")).alias(
+                    "fp"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,fp:string>>"))
+    exploded = docs.select(
+        F.col(id_col), F.explode(fps).alias("__w")
+    ).select(F.col(id_col), F.col("__w.pos"), F.col("__w.fp"))
+    counts = exploded.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
+    dup_pos = exploded.join(
+        counts.filter(F.col("__n") >= int(min_occurrences)), "fp"
+    ).select(id_col, "pos")
+    byid = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup_pos.withColumn(
+        "__brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(byid) > F.lit(window), 1
+        ).otherwise(0),
+    ).withColumn("__isl", F.sum("__brk").over(byid))
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(window - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            "n_windows",
+        )
+    )

@@ -2492,6 +2492,53 @@ def q_quality_scores(spark, sf_dir):
     )
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 ExactSubstr
+    as a windowed-fingerprint dataflow): md5-fingerprint every
+    10-token sliding window, one 16-byte-key hash-agg for corpus
+    occurrence counts, join positions against the repeated set, merge
+    per-doc into maximal spans via gaps-and-islands."""
+    from feature_store_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs.select("doc_id", "text"), window=10)
+
+
+DUPLICATE_SPANS_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '),
+                     x -> length(x) > 0) AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(w[i:i+9], ' ')) AS fp
+  FROM base, LATERAL (SELECT unnest(range(1, len(w) - 8)) AS i)
+  WHERE len(w) >= 10
+),
+dupfp AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM wins JOIN dupfp USING (fp)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER
+                (PARTITION BY doc_id ORDER BY pos) > 10
+              THEN 1 ELSE 0 END AS b
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM brk
+)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + 9 AS INT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, g
+"""
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher quality rules (Rae et al. 2021 appendix A — the
     published MassiveWeb filter): per-document word-count bounds,
@@ -6763,6 +6810,7 @@ QUERIES: dict[str, tuple] = {
     "stream_manifest_sink": (q_stream_manifest_sink, STREAM_MANIFEST_SINK_SQL),
     "stream_delta_sink": (q_stream_delta_sink, STREAM_MANIFEST_SINK_SQL),
     "gopher_rules": (q_gopher_rules, GOPHER_RULES_SQL),
+    "duplicate_spans": (q_duplicate_spans, DUPLICATE_SPANS_SQL),
     "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "word_entropy": (q_word_entropy, WORD_ENTROPY_SQL),
     "funnel": (q_funnel, FUNNEL_SQL),
@@ -6901,6 +6949,7 @@ _R7_WINDOW = [
     "stream_manifest_sink",
     "stream_delta_sink",
     "gopher_rules",
+    "duplicate_spans",
     # oldest-green refresh
     "melt_customer",
     "pivot_events",

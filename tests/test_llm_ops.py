@@ -678,3 +678,37 @@ def test_semantic_dedup_autosized_run_and_precomputed_bucket(spark):
         ).collect()
     }
     assert via_bucket_col == auto
+
+
+def test_duplicate_spans_maximal_merge_and_self_repeat(spark):
+    """Lee-et-al-style span dedup: a shared 12-token run across two
+    docs yields ONE maximal span per doc (overlapping windows merge);
+    a doc self-repeating a run reports it too; unique and null docs
+    report nothing; nothing shorter than the window is reported."""
+    from feature_store_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))       # 12 tokens
+    uniq = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    rows = [
+        (1, shared + " " + uniq("a", 10)),
+        (2, uniq("b", 5) + " " + shared + " " + uniq("c", 5)),
+        (3, uniq("d", 25)),
+        (4, None),
+        # self-repeat: same 10-token run twice within one doc
+        (5, uniq("e", 10).replace("e", "r") + " zz1 zz2 zz3 "
+            + uniq("e", 10).replace("e", "r")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {}
+    for r in duplicate_spans(df, window=10).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+    # doc1: tokens 1..12 duplicated -> one span, 3 windows (pos 1,2,3)
+    assert spans[1] == [(1, 12, 3)]
+    # doc2: the run sits at tokens 6..17
+    assert spans[2] == [(6, 17, 3)]
+    assert 3 not in spans and 4 not in spans
+    # doc5: both copies of the run reported; they sit 13 apart
+    # (positions 1 and 14; gap 13 > window 10 -> two spans)
+    assert sorted(spans[5]) == [(1, 10, 1), (14, 23, 1)]

@@ -527,3 +527,30 @@ def test_incremental_refresh_reads_only_appended_files(
     }
     assert scanned == new_files, (scanned, new_files)
     assert delta.count() == 10
+
+
+def test_gopher_quality_is_shuffle_free(spark, sf_dir):
+    """Gopher rules are scan-stage work: the plan must contain NO
+    shuffle exchange — pure row-parallel project over the files."""
+    from feature_store_spark.operators.text import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    df = gopher_quality(docs)
+    assert n_exchanges(df) == 0, plan_of(df)
+
+
+def test_duplicate_spans_plan_shape(spark, sf_dir):
+    """duplicate_spans: bucket-keyed hash agg + join + per-doc window —
+    never a cartesian/nested-loop join, and the gaps-and-islands
+    window partitions by doc_id (bounded state), not globally."""
+    from feature_store_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    df = duplicate_spans(docs, window=10)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the island window must be keyed by doc_id (no empty PartitionBy)
+    assert "partitionBy=[doc_id]" in plan.replace(" ", "") or (
+        "doc_id" in plan and "Window" in plan
+    ), plan

@@ -791,6 +791,7 @@ def psi_report(
     cols: Sequence[str],
     bins: int = 10,
     eps: float = 1e-6,
+    approx_rel_err: float | None = None,
 ) -> DataFrame:
     """Population Stability Index per feature between a reference
     window (training distribution) and a current window (serving
@@ -808,15 +809,29 @@ def psi_report(
     ONE aggregate over each frame computes all features' bin counts
     (bin index = Σ 1[v > edge], a pure codegen expression), and the
     PSI fold happens on the two collected count rows — metadata scale.
+
+    ``approx_rel_err`` (e.g. 1e-4) swaps the exact edges for ONE
+    Greenwald-Khanna ``approxQuantile`` pass — the opt-in for
+    monitoring at 100 TB, where a decile edge off by 0.01% of rank
+    moves PSI by noise-level amounts but the exact selection passes
+    dominate the job (VERDICT r6 headroom note). Edges shift by at
+    most the rank error, so use it for DASHBOARDS, not for
+    hash-exact regression gates.
     """
     # persist the pruned reference slice across the quantile passes
     # AND its bin-count aggregate below (same rationale as
     # psi_report_split — a PSI reference window is bounded)
     ref_slice = ref.select(*dict.fromkeys(cols)).persist()
     try:
-        qs = quantile_values(
-            ref_slice, cols, [i / bins for i in range(1, bins)]
-        )
+        probs = [i / bins for i in range(1, bins)]
+        if approx_rel_err is not None:
+            uniq = list(dict.fromkeys(cols))
+            edges = ref_slice.select(
+                *[F.col(c).cast("double").alias(c) for c in uniq]
+            ).approxQuantile(uniq, probs, float(approx_rel_err))
+            qs = dict(zip(uniq, edges))
+        else:
+            qs = quantile_values(ref_slice, cols, probs)
     except BaseException:
         ref_slice.unpersist()
         raise

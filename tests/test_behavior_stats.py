@@ -849,3 +849,37 @@ class TestNullAndNanGuards:
         )
         got = selection_quantiles(df, ["a"], [0.5], collect_limit=100)
         assert got["a"][0] == 0.0  # median is the hot value, exact
+
+
+class TestPsiApprox:
+    def test_approx_edges_match_exact_psi_closely(self, spark):
+        """The approx_rel_err opt-in: same drift verdicts and PSI
+        within tolerance of the exact-edge computation (edges shift
+        by at most the rank error)."""
+        import random
+
+        from feature_store_spark.stats import psi_report
+
+        rng = random.Random(11)
+        rows = [
+            (round(rng.uniform(0, 100), 3), round(rng.gauss(50, 10), 3))
+            for _ in range(4000)
+        ]
+        df = spark.createDataFrame(rows, "a double, b double")
+        ref = df
+        cur = df.select(
+            "a", (F.col("b") + 5.0).alias("b")  # real drift on b only
+        )
+        exact = {
+            r["feature"]: r["psi"]
+            for r in psi_report(ref, cur, ["a", "b"]).collect()
+        }
+        approx = {
+            r["feature"]: r["psi"]
+            for r in psi_report(
+                ref, cur, ["a", "b"], approx_rel_err=1e-4
+            ).collect()
+        }
+        for c in ("a", "b"):
+            assert approx[c] == pytest.approx(exact[c], abs=0.02), c
+        assert approx["b"] > 0.1 and approx["a"] < 0.05

@@ -260,3 +260,71 @@ class TestIcebergScan:
         assert all(f.startswith("file:" + d.rstrip("/") + "/data/") or
                    d in f for f in df.inputFiles())
         assert df.count() == 4
+
+
+# ------------------------------------------------------ avro property
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "rec",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "d", "type": "double"},
+        {"name": "f", "type": "float"},
+        {"name": "b", "type": "boolean"},
+        {"name": "by", "type": "bytes"},
+        {"name": "u", "type": ["null", "long", "string"]},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "nested", "type": ["null", {
+            "type": "record", "name": "kv", "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "bytes"},
+            ]}]},
+    ],
+}
+
+_rec = st.fixed_dictionaries({
+    "s": st.text(max_size=20),
+    "i": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    "l": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "d": st.floats(allow_nan=False, allow_infinity=False),
+    "f": st.sampled_from([0.0, -0.5, 1.25, 3.0, -1024.0]),
+    "b": st.booleans(),
+    "by": st.binary(max_size=16),
+    "u": st.one_of(st.none(),
+                   st.integers(min_value=-(2**40), max_value=2**40),
+                   st.text(max_size=8)),
+    "arr": st.lists(st.integers(min_value=-(2**40), max_value=2**40),
+                    max_size=6),
+    "m": st.dictionaries(st.text(min_size=1, max_size=6),
+                         st.text(max_size=6), max_size=4),
+    "nested": st.one_of(
+        st.none(),
+        st.fixed_dictionaries({
+            "key": st.integers(min_value=-100, max_value=100),
+            "value": st.binary(max_size=8),
+        }),
+    ),
+})
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(recs=st.lists(_rec, max_size=8),
+       codec=st.sampled_from(["null", "deflate"]))
+def test_avro_roundtrip_property(tmp_path_factory, recs, codec):
+    """write_avro → read_avro is the identity for ANY values of the
+    manifest-like schema (all zigzag edge cases incl. long min/max,
+    empty containers, unicode, union branch selection), both codecs."""
+    d = tmp_path_factory.mktemp("avroprop")
+    p = str(d / "t.avro")
+    avro_io.write_avro(p, _AVRO_SCHEMA, recs, codec=codec)
+    got, wschema = avro_io.read_avro(p)
+    assert got == recs
+    assert wschema == _AVRO_SCHEMA

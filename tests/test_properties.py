@@ -802,3 +802,74 @@ def test_semantic_dedup_matches_numpy_oracle_property(spark, vecs, thr):
             for j, w in rows
         )
         assert got[i]["keep"] is (not dropped), (i, v, thr)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    docs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["a", "b", "c"]),
+                min_size=0,
+                max_size=14,
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    window=st.integers(min_value=2, max_value=4),
+)
+def test_duplicate_spans_matches_python_oracle_property(
+    spark, docs, window
+):
+    """duplicate_spans == brute-force Python windowing + counting +
+    interval merge for ANY corpus over a 3-letter alphabet (which
+    forces heavy window collisions, including within-doc repeats),
+    any window length — null/short docs report nothing."""
+    from collections import defaultdict
+
+    from feature_store_spark.operators.dedup import duplicate_spans
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = defaultdict(list)
+    for r in duplicate_spans(df, window=window).collect():
+        got[r["doc_id"]].append(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+
+    wins_by_key = defaultdict(int)
+    doc_wins = {}
+    for i, t in rows:
+        w = [x for x in (t or "").lower().split(" ") if x]
+        wins = [
+            (p + 1, " ".join(w[p : p + window]))
+            for p in range(len(w) - window + 1)
+        ]
+        doc_wins[i] = wins
+        for _, key in wins:
+            wins_by_key[key] += 1
+
+    for i, _t in rows:
+        dup_pos = sorted(
+            p for p, key in doc_wins[i] if wins_by_key[key] >= 2
+        )
+        expect = []  # (start_pos, last_pos, n_windows)
+        for p in dup_pos:
+            if expect and p - expect[-1][1] <= window:
+                st_, last, n = expect[-1]
+                expect[-1] = (st_, p, n + 1)
+            else:
+                expect.append((p, p, 1))
+        expect = [
+            (st_, last + window - 1, n) for st_, last, n in expect
+        ]
+        assert sorted(got.get(i, [])) == expect, (i, dup_pos)

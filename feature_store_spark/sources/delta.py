@@ -416,12 +416,24 @@ def delta_append(
     data_cols = [
         f.name for f in df.schema.fields if f.name not in partition_cols
     ]
-    for rel in moved:
+    # footer reads are independent KB-scale I/O — parallel stat
+    # collection, same as the iceberg exporter
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        metas = list(
+            pool.map(
+                lambda r: pq.ParquetFile(
+                    os.path.join(table_dir, r)
+                ).metadata,
+                moved,
+            )
+        )
+    for rel, md in zip(moved, metas):
             fpath = os.path.join(table_dir, rel)
             pvals = dict(
                 seg.split("=", 1) for seg in rel.split("/") if "=" in seg
             )
-            md = pq.ParquetFile(fpath).metadata
             mins: dict[str, Any] = {}
             maxs: dict[str, Any] = {}
             for rg in range(md.num_row_groups):

@@ -164,7 +164,36 @@ def _transform_interval(transform: str, type_str: str, f: "_Filter"):
             return None
         op = {"<": "<=", ">": ">=", "=": "=", "<=": "<=", ">=": ">="}[f.op]
         return _Filter(f.col, op, _date_bucket(f.value, unit))
-    return None  # bucket[N]/truncate[N]/void: no pruning
+    mb = re.fullmatch(r"bucket\[(\d+)\]", transform)
+    if mb:
+        n = int(mb.group(1))
+        # hashing destroys order: only equality predicates map
+        if f.op == "=":
+            b = iceberg_bucket(f.value, type_str, n)
+            return None if b is None else _Filter(f.col, "=", b)
+        if f.op == "in":
+            bs = [iceberg_bucket(v, type_str, n) for v in f.value]
+            if any(b is None for b in bs):
+                return None
+            return _Filter(f.col, "in", bs)
+        return None
+    mt = re.fullmatch(r"truncate\[(\d+)\]", transform)
+    if mt:
+        w = int(mt.group(1))
+        if f.op == "!=":
+            return None
+        if f.op == "in":
+            ts = [iceberg_truncate(v, type_str, w) for v in f.value]
+            if any(t is None for t in ts):
+                return None
+            return _Filter(f.col, "in", ts)
+        t = iceberg_truncate(f.value, type_str, w)
+        if t is None:
+            return None
+        # truncation is monotone: weaken strict ops like day buckets
+        op = {"<": "<=", ">": ">=", "=": "=", "<=": "<=", ">=": ">="}[f.op]
+        return _Filter(f.col, op, t)
+    return None  # void/unknown transforms: no pruning
 
 
 def _ts_bucket(micros: int, unit: str) -> int:
@@ -191,6 +220,80 @@ def _date_bucket(days: int, unit: str) -> int:
     if unit == "month":
         return (d.year - 1970) * 12 + (d.month - 1)
     return d.year - 1970
+
+
+
+
+# ------------------------------------------------ bucket/truncate math
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3 32-bit x86 (public algorithm; the hash Iceberg's
+    bucket transform specifies). Returns the UNSIGNED 32-bit value."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n4 = len(data) // 4
+    for i in range(n4):
+        k = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[4 * n4 :]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def iceberg_bucket(value, type_str: str, n: int) -> int | None:
+    """The spec's bucket transform: bucket = (signed_hash &
+    Integer.MAX_VALUE) % n over the bucketing serialization — int/
+    long/date/time/timestamp all hash as 8-byte little-endian LONGS
+    (so 34 buckets identically as int and long, per spec appendix),
+    strings as UTF-8 bytes. Unsupported types return None (caller
+    skips pruning)."""
+    if type_str in ("int", "long", "date"):
+        data = struct.pack("<q", int(value))
+    elif type_str.startswith("timestamp") or type_str == "time":
+        data = struct.pack("<q", int(value))
+    elif type_str == "string":
+        data = str(value).encode("utf-8")
+    elif type_str in ("binary", "fixed"):
+        data = bytes(value)
+    else:
+        return None
+    h = murmur3_x86_32(data)
+    signed = h - (1 << 32) if h >= (1 << 31) else h
+    return (signed & 0x7FFFFFFF) % int(n)
+
+
+def iceberg_truncate(value, type_str: str, w: int):
+    """The spec's truncate transform: ints floor to a multiple of W
+    (toward negative infinity), strings/binary truncate to W units.
+    Order-preserving, so range predicates survive (weakened)."""
+    if type_str in ("int", "long"):
+        v = int(value)
+        return v - (v % int(w))
+    if type_str == "string":
+        return str(value)[: int(w)]
+    return None
 
 
 # ----------------------------------------------------------- the table

@@ -328,3 +328,140 @@ def test_avro_roundtrip_property(tmp_path_factory, recs, codec):
     got, wschema = avro_io.read_avro(p)
     assert got == recs
     assert wschema == _AVRO_SCHEMA
+
+
+class TestBucketTruncateTransforms:
+    def test_murmur_matches_spec_vectors(self):
+        """The Iceberg spec's appendix-B hash test vectors: int and
+        long 34 hash identically (8-byte LE long), strings as UTF-8,
+        dates as days-promoted-to-long."""
+        from feature_store_spark.sources.iceberg import murmur3_x86_32
+
+        def signed(h):
+            return h - (1 << 32) if h >= (1 << 31) else h
+
+        assert signed(murmur3_x86_32(struct.pack("<q", 34))) == 2017239379
+        assert signed(murmur3_x86_32(b"iceberg")) == 1210000089
+        assert signed(murmur3_x86_32(struct.pack("<q", 17486))) == (
+            -653330422
+        )
+
+    def test_bucket_and_truncate_values(self):
+        from feature_store_spark.sources.iceberg import (
+            iceberg_bucket,
+            iceberg_truncate,
+        )
+
+        assert iceberg_bucket(34, "int", 16) == iceberg_bucket(
+            34, "long", 16
+        )
+        assert 0 <= iceberg_bucket("u7", "string", 4) < 4
+        assert iceberg_bucket(1.5, "double", 4) is None  # unsupported
+        assert iceberg_truncate(17, "int", 10) == 10
+        assert iceberg_truncate(-3, "int", 10) == -10  # floors down
+        assert iceberg_truncate("abcdef", "string", 3) == "abc"
+
+    def test_bucket_partition_prunes_equality_scan(self, spark, tmp_path):
+        """End-to-end: a table bucket[4]-partitioned on entity_id —
+        an equality filter must read only the matching bucket's file,
+        a range filter must not prune (hashing destroys order)."""
+        import json
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from feature_store_spark.sources.iceberg import iceberg_bucket
+        from feature_store_spark.sources.iceberg_write import (
+            MANIFEST_LIST_SCHEMA as MLS,
+            manifest_schema as mk_schema,
+        )
+
+        d = str(tmp_path / "bt")
+        os.makedirs(f"{d}/data")
+        os.makedirs(f"{d}/metadata")
+        ids = [f"u{i}" for i in range(20)]
+        by_bucket = {}
+        for e in ids:
+            by_bucket.setdefault(
+                iceberg_bucket(e, "string", 4), []
+            ).append(e)
+        entries = []
+        for b, members in sorted(by_bucket.items()):
+            fp = f"{d}/data/b{b}.parquet"
+            pq.write_table(
+                pa.table({"entity_id": pa.array(members, pa.string()),
+                          "v": pa.array([1.0] * len(members))}),
+                fp,
+            )
+            entries.append({
+                "status": 1, "snapshot_id": 1, "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0, "file_path": fp,
+                    "file_format": "PARQUET",
+                    "partition": {"entity_id_bucket": b},
+                    "record_count": len(members),
+                    "file_size_in_bytes": os.path.getsize(fp),
+                    "lower_bounds": None, "upper_bounds": None,
+                },
+            })
+        mpath = f"{d}/metadata/manifest-1.avro"
+        avro_io.write_avro(
+            mpath,
+            mk_schema([{"name": "entity_id_bucket", "avro": "int"}]),
+            entries,
+        )
+        mlist = f"{d}/metadata/snap-1.avro"
+        avro_io.write_avro(mlist, MLS, [{
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": 1, "min_sequence_number": 1,
+            "added_snapshot_id": 1,
+            "added_files_count": len(entries),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": 20, "existing_rows_count": 0,
+            "deleted_rows_count": 0, "partitions": None,
+        }])
+        meta = {
+            "format-version": 2, "table-uuid": str(uuid.uuid4()),
+            "location": d, "last-sequence-number": 1,
+            "last-updated-ms": 0, "last-column-id": 2,
+            "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "entity_id", "required": True,
+                 "type": "string"},
+                {"id": 2, "name": "v", "required": False,
+                 "type": "double"},
+            ]}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": [
+                {"name": "entity_id_bucket", "transform": "bucket[4]",
+                 "source-id": 1, "field-id": 1000},
+            ]}],
+            "last-partition-id": 1000, "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+                           "sequence-number": 1,
+                           "summary": {"operation": "append"},
+                           "manifest-list": mlist, "schema-id": 0}],
+        }
+        with open(f"{d}/metadata/v1.metadata.json", "w") as f:
+            json.dump(meta, f)
+
+        t = IcebergTable(spark, d)
+        all_n = len(t.scan().inputFiles())
+        assert all_n == len(by_bucket)
+        eq = t.scan(filters=[("entity_id", "=", "u7")])
+        assert len(eq.inputFiles()) == 1
+        assert {r["entity_id"] for r in eq.collect()} == {"u7"}
+        inq = t.scan(filters=[("entity_id", "in", ["u7", "u3"])])
+        assert 1 <= len(inq.inputFiles()) <= 2
+        assert {r["entity_id"] for r in inq.collect()} == {"u7", "u3"}
+        # range predicates cannot prune a bucket partition
+        rng = t.scan(filters=[("entity_id", ">=", "u0")])
+        assert len(rng.inputFiles()) == all_n
+        assert rng.count() == 20

@@ -26,12 +26,15 @@ DataFrame, so pruning is strictly an optimization — a conservative
 miss (unsupported transform/type) costs I/O, never correctness.
 
 Scope gates (loud, documented):
-- copy-on-write tables only: a snapshot carrying delete manifests or
-  delete data files (v2 merge-on-read) raises NotImplementedError
-  rather than silently returning undeleted rows.
-- partition pruning understands identity/day/month/year/hour/bucket/
-  truncate structurally but uses identity and day/month/year/hour
-  bounds; bucket/truncate fields never prune (safe).
+- merge-on-read POSITIONAL deletes are APPLIED (delete parquet of
+  (file_path, pos) anti-joined on Spark's _metadata.file_path /
+  row_index — distributed, broadcast when the delete set is small);
+  EQUALITY deletes raise NotImplementedError rather than silently
+  returning undeleted rows.
+- partition pruning: identity, day/month/year/hour buckets,
+  bucket[N] (spec Murmur3, equality/IN only), truncate[W]
+  (order-preserving, ranges weakened); unknown transforms never
+  prune (safe).
 """
 
 from __future__ import annotations
@@ -423,15 +426,11 @@ class IcebergTable:
 
         out: list[dict] = []
         for m in manifests:
-            if int(m.get("content", 0) or 0) == 1:
-                raise NotImplementedError(
-                    f"{self.path}: snapshot {snap['snapshot-id']} carries "
-                    "a DELETE manifest (merge-on-read); only copy-on-write "
-                    "tables are supported — compact/rewrite the table or "
-                    "read it with a full Iceberg runtime"
-                )
+            is_delete_manifest = int(m.get("content", 0) or 0) == 1
             spec = self.partition_spec(m.get("partition_spec_id"))
-            if not self._manifest_might_match(m, spec, fs, by_id):
+            if not is_delete_manifest and not self._manifest_might_match(
+                m, spec, fs, by_id
+            ):
                 continue
             entries = self._read_avro_cached(
                 self._resolve(m["manifest_path"])
@@ -440,12 +439,26 @@ class IcebergTable:
                 if int(e.get("status", 0)) == 2:  # DELETED entry
                     continue
                 df_rec = e["data_file"]
-                if int(df_rec.get("content", 0) or 0) != 0:
+                content = int(df_rec.get("content", 0) or 0)
+                if content == 2:
                     raise NotImplementedError(
-                        f"{self.path}: delete data file "
-                        f"{df_rec.get('file_path')!r} (merge-on-read v2); "
-                        "only copy-on-write tables are supported"
+                        f"{self.path}: equality-delete file "
+                        f"{df_rec.get('file_path')!r}; positional deletes "
+                        "are applied, equality deletes need a full "
+                        "Iceberg runtime"
                     )
+                if content == 1:
+                    out.append(
+                        {
+                            "path": self._resolve(df_rec["file_path"]),
+                            "record_count": int(
+                                df_rec.get("record_count", -1)
+                            ),
+                            "partition": df_rec.get("partition") or {},
+                            "is_delete": True,
+                        }
+                    )
+                    continue
                 if not self._file_might_match(df_rec, spec, fs, by_id, by_name):
                     continue
                 out.append(
@@ -453,6 +466,7 @@ class IcebergTable:
                         "path": self._resolve(df_rec["file_path"]),
                         "record_count": int(df_rec.get("record_count", -1)),
                         "partition": df_rec.get("partition") or {},
+                        "is_delete": False,
                     }
                 )
         return out
@@ -524,6 +538,45 @@ class IcebergTable:
                 return False
         return True
 
+    def _apply_positional_deletes(
+        self, df: DataFrame, files: list[dict], deletes: list[dict]
+    ) -> DataFrame:
+        """Anti-join data rows against the snapshot's positional
+        delete rows on (file path, row ordinal). Delete rows record
+        the writer's ABSOLUTE file paths, which go stale when a table
+        relocates, so both sides join on the table-relative
+        ``data/...`` suffix — unique within a table by layout, stable
+        across moves. The delete side gets a broadcast hint when its
+        recorded row count is small (the common case; a table whose
+        delete set rivals its data is overdue for compaction)."""
+        from pyspark.sql import functions as F
+
+        spark = self.spark
+        dels = spark.read.parquet(*[d["path"] for d in deletes]).select(
+            F.regexp_extract(
+                F.col("file_path"), "(data/.*)$", 1
+            ).alias("__del_fp"),
+            F.col("pos").cast("long").alias("__del_pos"),
+        )
+        n_del_rows = sum(
+            d["record_count"] for d in deletes if d["record_count"] >= 0
+        )
+        if 0 <= n_del_rows <= 1_000_000:
+            dels = F.broadcast(dels)
+        tagged = df.withColumn(
+            "__fp",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), "(data/.*)$", 1
+            ),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        kept = tagged.join(
+            dels,
+            (tagged["__fp"] == dels["__del_fp"])
+            & (tagged["__pos"] == dels["__del_pos"]),
+            "left_anti",
+        )
+        return kept.drop("__fp", "__pos")
+
     def scan(
         self,
         snapshot_id: int | None = None,
@@ -534,18 +587,34 @@ class IcebergTable:
         op in ``=, !=, <, <=, >, >=, in`` (timestamp literals in
         MICROseconds since epoch, matching Iceberg's representation).
         Filters are re-applied to the frame — pruning is an
-        optimization, never the correctness boundary."""
-        files = self.data_files(snapshot_id, filters)
+        optimization, never the correctness boundary.
+
+        Merge-on-read POSITIONAL deletes are applied: the snapshot's
+        delete files (parquet of (file_path, pos), per spec) anti-join
+        the data rows on (file, row ordinal) using Spark's
+        ``_metadata.file_path`` / ``_metadata.row_index`` — fully
+        distributed, and the delete side is small by construction
+        (deletes are the minority or the table gets compacted).
+        Equality deletes still refuse loudly."""
+        all_files = self.data_files(snapshot_id, filters)
+        deletes = [f for f in all_files if f.get("is_delete")]
+        files = [f for f in all_files if not f.get("is_delete")]
         if not files:
             # empty-but-typed: derive the schema from any data file of
             # the snapshot, else an empty frame with no columns
-            allf = self.data_files(snapshot_id, None)
+            allf = [
+                f
+                for f in self.data_files(snapshot_id, None)
+                if not f.get("is_delete")
+            ]
             if not allf:
                 return self.spark.createDataFrame([], "")
             return (
                 self.spark.read.parquet(allf[0]["path"]).limit(0)
             )
         df = self.spark.read.parquet(*[f["path"] for f in files])
+        if deletes:
+            df = self._apply_positional_deletes(df, files, deletes)
         ts_cols = {
             f["name"]
             for f in self.schema_fields()

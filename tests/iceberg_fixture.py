@@ -21,7 +21,7 @@ import uuid
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from feature_store_spark.sources.avro_io import write_avro
+from feature_store_spark.sources.avro_io import read_avro, write_avro
 from feature_store_spark.sources.iceberg_write import (
     MANIFEST_LIST_SCHEMA,
     manifest_schema,
@@ -84,11 +84,28 @@ def _day(us: int) -> int:
     return us // US_PER_DAY
 
 
-def write_iceberg_table(table_dir: str, batches: list[list[dict]]) -> None:
+DELETE_MANIFEST_SCHEMA = manifest_schema(
+    [
+        {"name": "entity_type", "avro": "string"},
+        {"name": "event_time_day", "avro": "int"},
+    ]
+)
+
+
+def write_iceberg_table(
+    table_dir: str,
+    batches: list[list[dict]],
+    positional_deletes: list[tuple[str, int, int]] | None = None,
+) -> None:
     """Each batch (list of row dicts with entity_type, entity_id,
     feature_name, value_float, event_time_us) becomes one snapshot
     appending one manifest with one data file per (entity_type, day)
-    partition; snapshot ids are 1..len(batches)."""
+    partition; snapshot ids are 1..len(batches).
+
+    ``positional_deletes`` — (entity_type, day, row_pos) triples —
+    adds ONE final merge-on-read snapshot: a positional-delete parquet
+    per spec (columns file_path, pos) plus a content=1 delete manifest
+    referencing it."""
     data_dir = os.path.join(table_dir, "data")
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(data_dir, exist_ok=True)
@@ -184,6 +201,88 @@ def write_iceberg_table(table_dir: str, batches: list[list[dict]]) -> None:
                 "schema-id": 0,
             }
         )
+
+    if positional_deletes:
+        snap_id = len(batches) + 1
+        # recover data-file paths per partition from the manifests
+        file_by_part = {}
+        for mf in manifests:
+            recs, _ = read_avro(mf["manifest_path"])
+            for e in recs:
+                part = e["data_file"]["partition"]
+                file_by_part[(part["entity_type"], part["event_time_day"])] = (
+                    e["data_file"]["file_path"]
+                )
+        del_rows = [
+            {"file_path": file_by_part[(et, day)], "pos": pos}
+            for et, day, pos in positional_deletes
+        ]
+        dpath = os.path.join(data_dir, f"pos-deletes-{snap_id}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array(
+                        [r["file_path"] for r in del_rows], pa.string()
+                    ),
+                    "pos": pa.array(
+                        [r["pos"] for r in del_rows], pa.int64()
+                    ),
+                }
+            ),
+            dpath,
+        )
+        et0, day0, _ = positional_deletes[0]
+        dentry = {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": snap_id,
+            "file_sequence_number": snap_id,
+            "data_file": {
+                "content": 1,  # POSITION DELETES
+                "file_path": dpath,
+                "file_format": "PARQUET",
+                "partition": {"entity_type": et0, "event_time_day": day0},
+                "record_count": len(del_rows),
+                "file_size_in_bytes": os.path.getsize(dpath),
+                "lower_bounds": None,
+                "upper_bounds": None,
+            },
+        }
+        dmanifest = os.path.join(meta_dir, f"manifest-del-{snap_id}.avro")
+        write_avro(dmanifest, DELETE_MANIFEST_SCHEMA, [dentry],
+                   codec="deflate")
+        manifests.append(
+            {
+                "manifest_path": dmanifest,
+                "manifest_length": os.path.getsize(dmanifest),
+                "partition_spec_id": 0,
+                "content": 1,  # DELETE manifest
+                "sequence_number": snap_id,
+                "min_sequence_number": snap_id,
+                "added_snapshot_id": snap_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": len(del_rows),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+        )
+        mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+        write_avro(mlist, MANIFEST_LIST_SCHEMA, list(manifests),
+                   codec="deflate")
+        snapshots.append(
+            {
+                "snapshot-id": snap_id,
+                "timestamp-ms": 1700000000000 + snap_id,
+                "sequence-number": snap_id,
+                "summary": {"operation": "overwrite"},
+                "manifest-list": mlist,
+                "schema-id": 0,
+            }
+        )
+        batches = batches + [None]  # bump version/current-snapshot
 
     meta = {
         "format-version": 2,

@@ -167,37 +167,68 @@ class TestIcebergScan:
         df = table.scan(filters=[("value_float", ">=", 0.0)])
         assert df.count() == 6
 
-    def test_delete_manifest_is_refused(self, spark, table, tmp_path):
-        import json
-        import os
+    def test_positional_deletes_applied(self, spark, tmp_path):
+        """Merge-on-read positional deletes: the delete snapshot's
+        (file_path, pos) rows vanish from the scan — including under
+        partition pruning — while time travel to the pre-delete
+        snapshot still shows them, and a RELOCATED table still matches
+        delete rows by the data-relative path suffix."""
         import shutil
 
         d = str(tmp_path / "mor")
-        shutil.copytree(table.path, d)
-        # reroot the copied metadata's absolute manifest-list paths
-        # FIRST, so the corruption below hits the copy, not the shared
-        # module fixture the original absolute paths still point at
-        meta_file = [
-            f for f in os.listdir(os.path.join(d, "metadata"))
-            if f.endswith("metadata.json")
-        ][0]
-        mpath = os.path.join(d, "metadata", meta_file)
-        with open(mpath) as f:
-            meta = json.load(f)
-        for s in meta["snapshots"]:
-            s["manifest-list"] = os.path.join(
-                d, "metadata", os.path.basename(s["manifest-list"])
-            )
-        with open(mpath, "w") as f:
-            json.dump(meta, f)
+        batch1 = [
+            _row("user", "u1", "clicks", 1.0, 100),
+            _row("user", "u2", "clicks", 2.0, 100),
+            _row("user", "u3", "clicks", 3.0, 100),
+            _row("merchant", "m1", "volume", 900.0, 100),
+        ]
+        # delete rows 0 (u1) and 2 (u3) of the (user, 100) data file
+        write_iceberg_table(
+            d, [batch1],
+            positional_deletes=[("user", 100, 0), ("user", 100, 2)],
+        )
+        t = IcebergTable(spark, d)
+        assert {r["entity_id"] for r in t.scan().collect()} == {
+            "u2", "m1"
+        }
+        # pre-delete snapshot unaffected
+        assert {
+            r["entity_id"] for r in t.scan(snapshot_id=1).collect()
+        } == {"u1", "u2", "u3", "m1"}
+        # pruning composes with delete application
+        pruned = t.scan(filters=[("entity_type", "=", "user")])
+        assert {r["entity_id"] for r in pruned.collect()} == {"u2"}
+        # relocation: absolute delete paths are stale, suffix matches
+        d2 = str(tmp_path / "moved")
+        shutil.copytree(d, d2)
+        shutil.rmtree(d)
+        t2 = IcebergTable(spark, d2)
+        assert {r["entity_id"] for r in t2.scan().collect()} == {
+            "u2", "m1"
+        }
+
+    def test_equality_delete_is_refused(self, spark, tmp_path):
+        d = str(tmp_path / "eq")
+        write_iceberg_table(
+            d,
+            [[_row("user", "u1", "clicks", 1.0, 100)]],
+            positional_deletes=[("user", 100, 0)],
+        )
         t = IcebergTable(spark, d)
         mlist = t._resolve(t._snapshot(None)["manifest-list"])
-        assert mlist.startswith(d)
         recs, _ = avro_io.read_avro(mlist)
-        recs[0]["content"] = 1  # turn one manifest into a delete manifest
-        avro_io.write_avro(mlist, MANIFEST_LIST_SCHEMA, recs)
+        dm = [r for r in recs if r["content"] == 1][0]
+        entries, _ = avro_io.read_avro(t._resolve(dm["manifest_path"]))
+        entries[0]["data_file"]["content"] = 2  # EQUALITY deletes
+        from iceberg_fixture import DELETE_MANIFEST_SCHEMA
+
+        avro_io.write_avro(
+            t._resolve(dm["manifest_path"]),
+            DELETE_MANIFEST_SCHEMA,
+            entries,
+        )
         t2 = IcebergTable(spark, d)
-        with pytest.raises(NotImplementedError, match="copy-on-write"):
+        with pytest.raises(NotImplementedError, match="equality-delete"):
             t2.scan()
 
     def test_spark_written_export_roundtrip_with_pruning(

@@ -26,11 +26,15 @@ DataFrame, so pruning is strictly an optimization — a conservative
 miss (unsupported transform/type) costs I/O, never correctness.
 
 Scope gates (loud, documented):
-- merge-on-read POSITIONAL deletes are APPLIED (delete parquet of
-  (file_path, pos) anti-joined on Spark's _metadata.file_path /
-  row_index — distributed, broadcast when the delete set is small);
-  EQUALITY deletes raise NotImplementedError rather than silently
-  returning undeleted rows.
+- merge-on-read deletes are APPLIED: POSITIONAL delete parquet
+  ((file_path, pos)) anti-joins on Spark's _metadata.file_path /
+  row_index; EQUALITY delete parquet anti-joins on the recorded
+  equality_ids columns under the spec's sequence-number rule (a
+  delete at sequence s removes only rows of data files with
+  sequence < s — re-inserted keys survive). Both are distributed
+  anti-joins, broadcast when the delete set is small. An
+  equality-delete file whose equality_ids cannot be resolved against
+  the schema raises rather than silently returning undeleted rows.
 - partition pruning: identity, day/month/year/hour buckets,
   bucket[N] (spec Murmur3, equality/IN only), truncate[W]
   (order-preserving, ranges weakened); unknown transforms never
@@ -440,14 +444,12 @@ class IcebergTable:
                     continue
                 df_rec = e["data_file"]
                 content = int(df_rec.get("content", 0) or 0)
-                if content == 2:
-                    raise NotImplementedError(
-                        f"{self.path}: equality-delete file "
-                        f"{df_rec.get('file_path')!r}; positional deletes "
-                        "are applied, equality deletes need a full "
-                        "Iceberg runtime"
-                    )
-                if content == 1:
+                # ADDED entries with a null sequence number inherit the
+                # manifest's (the spec's inheritance rule)
+                seq = e.get("sequence_number")
+                if seq is None:
+                    seq = m.get("sequence_number", 0)
+                if content in (1, 2):
                     out.append(
                         {
                             "path": self._resolve(df_rec["file_path"]),
@@ -456,6 +458,9 @@ class IcebergTable:
                             ),
                             "partition": df_rec.get("partition") or {},
                             "is_delete": True,
+                            "delete_kind": "pos" if content == 1 else "eq",
+                            "equality_ids": df_rec.get("equality_ids"),
+                            "sequence_number": int(seq),
                         }
                     )
                     continue
@@ -467,6 +472,7 @@ class IcebergTable:
                         "record_count": int(df_rec.get("record_count", -1)),
                         "partition": df_rec.get("partition") or {},
                         "is_delete": False,
+                        "sequence_number": int(seq),
                     }
                 )
         return out
@@ -538,44 +544,112 @@ class IcebergTable:
                 return False
         return True
 
-    def _apply_positional_deletes(
+    def _apply_deletes(
         self, df: DataFrame, files: list[dict], deletes: list[dict]
     ) -> DataFrame:
-        """Anti-join data rows against the snapshot's positional
-        delete rows on (file path, row ordinal). Delete rows record
-        the writer's ABSOLUTE file paths, which go stale when a table
-        relocates, so both sides join on the table-relative
-        ``data/...`` suffix — unique within a table by layout, stable
-        across moves. The delete side gets a broadcast hint when its
-        recorded row count is small (the common case; a table whose
-        delete set rivals its data is overdue for compaction)."""
+        """Apply merge-on-read deletes to the data rows.
+
+        POSITIONAL deletes ((file_path, pos) parquet) anti-join on the
+        (file path, row ordinal) — delete rows record the writer's
+        ABSOLUTE paths, which go stale when a table relocates, so both
+        sides join on the table-relative ``data/...`` suffix (unique
+        within a table by layout, stable across moves).
+
+        EQUALITY deletes anti-join on the recorded ``equality_ids``
+        columns with NULL-safe equality AND the spec's sequencing
+        rule: a delete at sequence s removes only rows of data files
+        with sequence < s (later re-inserts of the same key survive).
+        The per-row data sequence rides in via a broadcast (file
+        suffix → sequence) join. Delete sides get broadcast hints when
+        their recorded row counts are small (the common case; a table
+        whose delete set rivals its data is overdue for compaction)."""
         from pyspark.sql import functions as F
 
         spark = self.spark
-        dels = spark.read.parquet(*[d["path"] for d in deletes]).select(
-            F.regexp_extract(
-                F.col("file_path"), "(data/.*)$", 1
-            ).alias("__del_fp"),
-            F.col("pos").cast("long").alias("__del_pos"),
-        )
-        n_del_rows = sum(
-            d["record_count"] for d in deletes if d["record_count"] >= 0
-        )
-        if 0 <= n_del_rows <= 1_000_000:
-            dels = F.broadcast(dels)
         tagged = df.withColumn(
             "__fp",
             F.regexp_extract(
                 F.col("_metadata.file_path"), "(data/.*)$", 1
             ),
         ).withColumn("__pos", F.col("_metadata.row_index"))
-        kept = tagged.join(
-            dels,
-            (tagged["__fp"] == dels["__del_fp"])
-            & (tagged["__pos"] == dels["__del_pos"]),
-            "left_anti",
-        )
-        return kept.drop("__fp", "__pos")
+
+        pos = [d for d in deletes if d["delete_kind"] == "pos"]
+        eqs = [d for d in deletes if d["delete_kind"] == "eq"]
+
+        if pos:
+            dels = spark.read.parquet(*[d["path"] for d in pos]).select(
+                F.regexp_extract(
+                    F.col("file_path"), "(data/.*)$", 1
+                ).alias("__del_fp"),
+                F.col("pos").cast("long").alias("__del_pos"),
+            )
+            n_del_rows = sum(
+                d["record_count"] for d in pos if d["record_count"] >= 0
+            )
+            if 0 <= n_del_rows <= 1_000_000:
+                dels = F.broadcast(dels)
+            tagged = tagged.join(
+                dels,
+                (tagged["__fp"] == dels["__del_fp"])
+                & (tagged["__pos"] == dels["__del_pos"]),
+                "left_anti",
+            )
+
+        if eqs:
+            by_name = {f["name"]: f for f in self.schema_fields()}
+            names_by_id = {f["id"]: f["name"] for f in by_name.values()}
+            seq_rows = [
+                (re.search(r"(data/.*)$", f["path"]).group(1),
+                 f["sequence_number"])
+                for f in files
+            ]
+            seq_df = spark.createDataFrame(
+                seq_rows, "__fp string, __dataseq long"
+            )
+            tagged = tagged.join(F.broadcast(seq_df), "__fp", "left")
+            groups: dict[tuple, list[dict]] = {}
+            for d in eqs:
+                ids = tuple(d.get("equality_ids") or ())
+                groups.setdefault(ids, []).append(d)
+            for ids, dfiles in groups.items():
+                if not ids or any(i not in names_by_id for i in ids):
+                    raise NotImplementedError(
+                        f"{self.path}: equality-delete file without "
+                        f"resolvable equality_ids {ids}; needs a full "
+                        "Iceberg runtime"
+                    )
+                cols = [names_by_id[i] for i in ids]
+                parts = [
+                    spark.read.parquet(d["path"])
+                    .select(
+                        *[F.col(c).alias(f"__d_{c}") for c in cols]
+                    )
+                    .withColumn(
+                        "__dseq", F.lit(int(d["sequence_number"]))
+                    )
+                    for d in dfiles
+                ]
+                dels = parts[0]
+                for x in parts[1:]:
+                    dels = dels.unionByName(x)
+                n_del_rows = sum(
+                    d["record_count"]
+                    for d in dfiles
+                    if d["record_count"] >= 0
+                )
+                if 0 <= n_del_rows <= 1_000_000:
+                    dels = F.broadcast(dels)
+                cond = F.coalesce(
+                    F.col("__dataseq"), F.lit(0)
+                ) < F.col("__dseq")
+                for c in cols:
+                    cond = cond & tagged[c].eqNullSafe(
+                        F.col(f"__d_{c}")
+                    )
+                tagged = tagged.join(dels, cond, "left_anti")
+            tagged = tagged.drop("__dataseq")
+
+        return tagged.drop("__fp", "__pos")
 
     def scan(
         self,
@@ -589,13 +663,13 @@ class IcebergTable:
         Filters are re-applied to the frame — pruning is an
         optimization, never the correctness boundary.
 
-        Merge-on-read POSITIONAL deletes are applied: the snapshot's
-        delete files (parquet of (file_path, pos), per spec) anti-join
-        the data rows on (file, row ordinal) using Spark's
-        ``_metadata.file_path`` / ``_metadata.row_index`` — fully
-        distributed, and the delete side is small by construction
-        (deletes are the minority or the table gets compacted).
-        Equality deletes still refuse loudly."""
+        Merge-on-read deletes are applied — POSITIONAL delete files
+        (parquet of (file_path, pos)) anti-join on Spark's
+        ``_metadata.file_path`` / ``_metadata.row_index``; EQUALITY
+        delete files anti-join on their recorded equality_ids columns
+        under the spec's sequence-number rule (only rows of OLDER data
+        files are removed, so re-inserted keys survive). Both are
+        distributed anti-joins with small broadcast delete sides."""
         all_files = self.data_files(snapshot_id, filters)
         deletes = [f for f in all_files if f.get("is_delete")]
         files = [f for f in all_files if not f.get("is_delete")]
@@ -614,7 +688,7 @@ class IcebergTable:
             )
         df = self.spark.read.parquet(*[f["path"] for f in files])
         if deletes:
-            df = self._apply_positional_deletes(df, files, deletes)
+            df = self._apply_deletes(df, files, deletes)
         ts_cols = {
             f["name"]
             for f in self.schema_fields()

@@ -91,51 +91,87 @@ DELETE_MANIFEST_SCHEMA = manifest_schema(
     ]
 )
 
+# manifest-entry schema for equality-delete files: same as the delete
+# schema plus the spec's equality_ids field on data_file
+EQ_MANIFEST_SCHEMA = json.loads(json.dumps(DELETE_MANIFEST_SCHEMA))
+EQ_MANIFEST_SCHEMA["fields"][4]["type"]["fields"].append(
+    {"name": "equality_ids",
+     "type": ["null", {"type": "array", "items": "int"}]}
+)
+EQ_MANIFEST_SCHEMA["fields"][4]["type"]["name"] = "r2eq"
 
-def write_iceberg_table(
-    table_dir: str,
-    batches: list[list[dict]],
-    positional_deletes: list[tuple[str, int, int]] | None = None,
-) -> None:
-    """Each batch (list of row dicts with entity_type, entity_id,
-    feature_name, value_float, event_time_us) becomes one snapshot
-    appending one manifest with one data file per (entity_type, day)
-    partition; snapshot ids are 1..len(batches).
 
-    ``positional_deletes`` — (entity_type, day, row_pos) triples —
-    adds ONE final merge-on-read snapshot: a positional-delete parquet
-    per spec (columns file_path, pos) plus a content=1 delete manifest
-    referencing it."""
-    data_dir = os.path.join(table_dir, "data")
-    meta_dir = os.path.join(table_dir, "metadata")
-    os.makedirs(data_dir, exist_ok=True)
-    os.makedirs(meta_dir, exist_ok=True)
+class IcebergFixture:
+    """Op-sequence builder: each append / pos_delete / eq_delete call
+    commits one snapshot, so tests can interleave them (the sequencing
+    semantics of equality deletes only bite when an append FOLLOWS a
+    delete). Call ``finish()`` to write vN.metadata.json."""
 
-    manifests: list[dict] = []  # accumulated across snapshots
-    snapshots: list[dict] = []
-    for snap_id, batch in enumerate(batches, start=1):
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        self.data_dir = os.path.join(table_dir, "data")
+        self.meta_dir = os.path.join(table_dir, "metadata")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        self.manifests: list[dict] = []
+        self.snapshots: list[dict] = []
+        self.snap_id = 0
+
+    def _commit(self, operation: str) -> None:
+        mlist = os.path.join(self.meta_dir, f"snap-{self.snap_id}.avro")
+        write_avro(mlist, MANIFEST_LIST_SCHEMA, list(self.manifests),
+                   codec="deflate")
+        self.snapshots.append(
+            {
+                "snapshot-id": self.snap_id,
+                "timestamp-ms": 1700000000000 + self.snap_id,
+                "sequence-number": self.snap_id,
+                "summary": {"operation": operation},
+                "manifest-list": mlist,
+                "schema-id": 0,
+            }
+        )
+
+    def _manifest_rec(self, mpath, content, n_files, n_rows, partitions):
+        return {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": self.snap_id,
+            "min_sequence_number": self.snap_id,
+            "added_snapshot_id": self.snap_id,
+            "added_files_count": n_files,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": partitions,
+        }
+
+    def append(self, batch: list[dict]) -> None:
+        self.snap_id += 1
         by_part: dict[tuple, list[dict]] = {}
         for r in batch:
             by_part.setdefault(
                 (r["entity_type"], _day(r["event_time_us"])), []
             ).append(r)
-        entries = []
-        et_lo = min(k[0] for k in by_part)
-        et_hi = max(k[0] for k in by_part)
-        d_lo = min(k[1] for k in by_part)
-        d_hi = max(k[1] for k in by_part)
-        n_rows = 0
+        entries, n_rows = [], 0
         for (etype, day), rows in sorted(by_part.items()):
-            fname = f"{etype}-{day}-{snap_id}-{uuid.uuid4().hex[:8]}.parquet"
-            fpath = os.path.join(data_dir, fname)
+            fname = (
+                f"{etype}-{day}-{self.snap_id}-"
+                f"{uuid.uuid4().hex[:8]}.parquet"
+            )
+            fpath = os.path.join(self.data_dir, fname)
             n, lowers, uppers = _write_parquet(fpath, rows)
             n_rows += n
             entries.append(
                 {
-                    "status": 1,  # ADDED
-                    "snapshot_id": snap_id,
-                    "sequence_number": snap_id,
-                    "file_sequence_number": snap_id,
+                    "status": 1,
+                    "snapshot_id": self.snap_id,
+                    "sequence_number": self.snap_id,
+                    "file_sequence_number": self.snap_id,
                     "data_file": {
                         "content": 0,
                         "file_path": fpath,
@@ -155,156 +191,150 @@ def write_iceberg_table(
                     },
                 }
             )
-        mpath = os.path.join(meta_dir, f"manifest-{snap_id}.avro")
+        mpath = os.path.join(
+            self.meta_dir, f"manifest-{self.snap_id}.avro"
+        )
         write_avro(mpath, MANIFEST_SCHEMA, entries, codec="deflate")
-        manifests.append(
-            {
-                "manifest_path": mpath,
-                "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": snap_id,
-                "min_sequence_number": snap_id,
-                "added_snapshot_id": snap_id,
-                "added_files_count": len(entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": n_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-                "partitions": [
-                    {
-                        "contains_null": False,
-                        "contains_nan": None,
-                        "lower_bound": et_lo.encode(),
-                        "upper_bound": et_hi.encode(),
-                    },
-                    {
-                        "contains_null": False,
-                        "contains_nan": None,
-                        "lower_bound": struct.pack("<i", d_lo),
-                        "upper_bound": struct.pack("<i", d_hi),
-                    },
-                ],
-            }
-        )
-        mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
-        write_avro(mlist, MANIFEST_LIST_SCHEMA, list(manifests),
-                   codec="deflate")
-        snapshots.append(
-            {
-                "snapshot-id": snap_id,
-                "timestamp-ms": 1700000000000 + snap_id,
-                "sequence-number": snap_id,
-                "summary": {"operation": "append"},
-                "manifest-list": mlist,
-                "schema-id": 0,
-            }
-        )
+        ets = sorted(k[0] for k in by_part)
+        days = sorted(k[1] for k in by_part)
+        self.manifests.append(self._manifest_rec(
+            mpath, 0, len(entries), n_rows,
+            [
+                {"contains_null": False, "contains_nan": None,
+                 "lower_bound": ets[0].encode(),
+                 "upper_bound": ets[-1].encode()},
+                {"contains_null": False, "contains_nan": None,
+                 "lower_bound": struct.pack("<i", days[0]),
+                 "upper_bound": struct.pack("<i", days[-1])},
+            ],
+        ))
+        self._commit("append")
 
-    if positional_deletes:
-        snap_id = len(batches) + 1
-        # recover data-file paths per partition from the manifests
-        file_by_part = {}
-        for mf in manifests:
+    def _file_by_part(self):
+        out = {}
+        for mf in self.manifests:
+            if mf["content"] != 0:
+                continue
             recs, _ = read_avro(mf["manifest_path"])
             for e in recs:
                 part = e["data_file"]["partition"]
-                file_by_part[(part["entity_type"], part["event_time_day"])] = (
+                out[(part["entity_type"], part["event_time_day"])] = (
                     e["data_file"]["file_path"]
                 )
+        return out
+
+    def pos_delete(self, deletes: list[tuple[str, int, int]]) -> None:
+        """(entity_type, day, row_pos) triples -> one positional-delete
+        snapshot (delete parquet of (file_path, pos), content=1)."""
+        self.snap_id += 1
+        file_by_part = self._file_by_part()
         del_rows = [
             {"file_path": file_by_part[(et, day)], "pos": pos}
-            for et, day, pos in positional_deletes
+            for et, day, pos in deletes
         ]
-        dpath = os.path.join(data_dir, f"pos-deletes-{snap_id}.parquet")
+        dpath = os.path.join(
+            self.data_dir, f"pos-deletes-{self.snap_id}.parquet"
+        )
         pq.write_table(
-            pa.table(
-                {
-                    "file_path": pa.array(
-                        [r["file_path"] for r in del_rows], pa.string()
-                    ),
-                    "pos": pa.array(
-                        [r["pos"] for r in del_rows], pa.int64()
-                    ),
-                }
-            ),
+            pa.table({
+                "file_path": pa.array(
+                    [r["file_path"] for r in del_rows], pa.string()),
+                "pos": pa.array([r["pos"] for r in del_rows], pa.int64()),
+            }),
             dpath,
         )
-        et0, day0, _ = positional_deletes[0]
-        dentry = {
+        et0, day0, _ = deletes[0]
+        self._delete_manifest(dpath, et0, day0, len(del_rows),
+                              content=1, equality_ids=None)
+        self._commit("overwrite")
+
+    def eq_delete(self, entity_ids: list[str]) -> None:
+        """Equality-delete snapshot on entity_id (field id 2): rows in
+        DATA FILES WITH LOWER SEQUENCE NUMBERS whose entity_id matches
+        are deleted; later appends are untouched (the spec's
+        sequencing rule)."""
+        self.snap_id += 1
+        dpath = os.path.join(
+            self.data_dir, f"eq-deletes-{self.snap_id}.parquet"
+        )
+        pq.write_table(
+            pa.table({"entity_id": pa.array(entity_ids, pa.string())}),
+            dpath,
+        )
+        self._delete_manifest(dpath, "user", 0, len(entity_ids),
+                              content=2, equality_ids=[2])
+        self._commit("overwrite")
+
+    def _delete_manifest(self, dpath, et, day, n_rows, content,
+                         equality_ids):
+        entry = {
             "status": 1,
-            "snapshot_id": snap_id,
-            "sequence_number": snap_id,
-            "file_sequence_number": snap_id,
+            "snapshot_id": self.snap_id,
+            "sequence_number": self.snap_id,
+            "file_sequence_number": self.snap_id,
             "data_file": {
-                "content": 1,  # POSITION DELETES
+                "content": content,
                 "file_path": dpath,
                 "file_format": "PARQUET",
-                "partition": {"entity_type": et0, "event_time_day": day0},
-                "record_count": len(del_rows),
+                "partition": {"entity_type": et, "event_time_day": day},
+                "record_count": n_rows,
                 "file_size_in_bytes": os.path.getsize(dpath),
                 "lower_bounds": None,
                 "upper_bounds": None,
             },
         }
-        dmanifest = os.path.join(meta_dir, f"manifest-del-{snap_id}.avro")
-        write_avro(dmanifest, DELETE_MANIFEST_SCHEMA, [dentry],
-                   codec="deflate")
-        manifests.append(
-            {
-                "manifest_path": dmanifest,
-                "manifest_length": os.path.getsize(dmanifest),
-                "partition_spec_id": 0,
-                "content": 1,  # DELETE manifest
-                "sequence_number": snap_id,
-                "min_sequence_number": snap_id,
-                "added_snapshot_id": snap_id,
-                "added_files_count": 1,
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": len(del_rows),
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-                "partitions": None,
-            }
+        schema = DELETE_MANIFEST_SCHEMA
+        if equality_ids is not None:
+            entry["data_file"]["equality_ids"] = equality_ids
+            schema = EQ_MANIFEST_SCHEMA
+        mpath = os.path.join(
+            self.meta_dir, f"manifest-del-{self.snap_id}.avro"
         )
-        mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
-        write_avro(mlist, MANIFEST_LIST_SCHEMA, list(manifests),
-                   codec="deflate")
-        snapshots.append(
-            {
-                "snapshot-id": snap_id,
-                "timestamp-ms": 1700000000000 + snap_id,
-                "sequence-number": snap_id,
-                "summary": {"operation": "overwrite"},
-                "manifest-list": mlist,
-                "schema-id": 0,
-            }
+        write_avro(mpath, schema, [entry], codec="deflate")
+        self.manifests.append(
+            self._manifest_rec(mpath, 1, 1, n_rows, None)
         )
-        batches = batches + [None]  # bump version/current-snapshot
 
-    meta = {
-        "format-version": 2,
-        "table-uuid": str(uuid.uuid4()),
-        "location": table_dir,
-        "last-sequence-number": len(batches),
-        "last-updated-ms": 1700000000000 + len(batches),
-        "last-column-id": 6,
-        "current-schema-id": 0,
-        "schemas": [
-            {"type": "struct", "schema-id": 0, "fields": SCHEMA_FIELDS}
-        ],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": PARTITION_SPEC}],
-        "last-partition-id": 1001,
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
-        "current-snapshot-id": len(batches),
-        "snapshots": snapshots,
-    }
-    with open(os.path.join(meta_dir, f"v{len(batches)}.metadata.json"),
-              "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write(str(len(batches)))
+    def finish(self) -> None:
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": self.table_dir,
+            "last-sequence-number": self.snap_id,
+            "last-updated-ms": 1700000000000 + self.snap_id,
+            "last-column-id": 6,
+            "current-schema-id": 0,
+            "schemas": [
+                {"type": "struct", "schema-id": 0,
+                 "fields": SCHEMA_FIELDS}
+            ],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": PARTITION_SPEC}],
+            "last-partition-id": 1001,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": self.snap_id,
+            "snapshots": self.snapshots,
+        }
+        with open(os.path.join(self.meta_dir,
+                               f"v{self.snap_id}.metadata.json"),
+                  "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(self.meta_dir, "version-hint.text"),
+                  "w") as f:
+            f.write(str(self.snap_id))
+
+
+def write_iceberg_table(
+    table_dir: str,
+    batches: list[list[dict]],
+    positional_deletes: list[tuple[str, int, int]] | None = None,
+) -> None:
+    """Back-compat wrapper: appends then one optional positional-delete
+    snapshot."""
+    fx = IcebergFixture(table_dir)
+    for b in batches:
+        fx.append(b)
+    if positional_deletes:
+        fx.pos_delete(positional_deletes)
+    fx.finish()

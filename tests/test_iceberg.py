@@ -207,29 +207,67 @@ class TestIcebergScan:
             "u2", "m1"
         }
 
-    def test_equality_delete_is_refused(self, spark, tmp_path):
+    def test_equality_deletes_respect_sequence_order(
+        self, spark, tmp_path
+    ):
+        """Equality deletes (the Flink-CDC write shape): a delete at
+        sequence s removes matching rows from data files with
+        sequence < s only — a LATER re-insert of the same key
+        survives, and time travel to the pre-delete snapshot shows
+        the original rows."""
+        from iceberg_fixture import IcebergFixture
+
         d = str(tmp_path / "eq")
-        write_iceberg_table(
-            d,
-            [[_row("user", "u1", "clicks", 1.0, 100)]],
-            positional_deletes=[("user", 100, 0)],
-        )
+        fx = IcebergFixture(d)
+        fx.append([
+            _row("user", "u1", "clicks", 1.0, 100),
+            _row("user", "u2", "clicks", 2.0, 100),
+            _row("merchant", "m1", "volume", 900.0, 100),
+        ])                                   # seq 1
+        fx.eq_delete(["u1", "m1"])           # seq 2
+        fx.append([
+            _row("user", "u1", "clicks", 10.0, 101),  # re-insert
+        ])                                   # seq 3
+        fx.finish()
+        t = IcebergTable(spark, d)
+        got = {
+            (r["entity_id"], r["value_float"])
+            for r in t.scan().collect()
+        }
+        assert got == {("u2", 2.0), ("u1", 10.0)}
+        # pre-delete snapshot: everything still there
+        assert {
+            r["entity_id"] for r in t.scan(snapshot_id=1).collect()
+        } == {"u1", "u2", "m1"}
+        # pruning composes with the delete application
+        assert {
+            r["value_float"]
+            for r in t.scan(
+                filters=[("entity_type", "=", "user")]
+            ).collect()
+        } == {2.0, 10.0}
+
+    def test_equality_delete_with_unknown_field_id_refuses(
+        self, spark, tmp_path
+    ):
+        from iceberg_fixture import EQ_MANIFEST_SCHEMA, IcebergFixture
+
+        d = str(tmp_path / "eqbad")
+        fx = IcebergFixture(d)
+        fx.append([_row("user", "u1", "clicks", 1.0, 100)])
+        fx.eq_delete(["u1"])
+        fx.finish()
         t = IcebergTable(spark, d)
         mlist = t._resolve(t._snapshot(None)["manifest-list"])
         recs, _ = avro_io.read_avro(mlist)
         dm = [r for r in recs if r["content"] == 1][0]
-        entries, _ = avro_io.read_avro(t._resolve(dm["manifest_path"]))
-        entries[0]["data_file"]["content"] = 2  # EQUALITY deletes
-        from iceberg_fixture import DELETE_MANIFEST_SCHEMA
-
-        avro_io.write_avro(
-            t._resolve(dm["manifest_path"]),
-            DELETE_MANIFEST_SCHEMA,
-            entries,
-        )
+        mp = t._resolve(dm["manifest_path"])
+        entries, _ = avro_io.read_avro(mp)
+        entries[0]["data_file"]["equality_ids"] = [999]  # unknown id
+        avro_io.write_avro(mp, EQ_MANIFEST_SCHEMA, entries)
         t2 = IcebergTable(spark, d)
-        with pytest.raises(NotImplementedError, match="equality-delete"):
-            t2.scan()
+        with pytest.raises(NotImplementedError, match="equality"):
+            t2.scan().collect()
 
     def test_spark_written_export_roundtrip_with_pruning(
         self, spark, tmp_path

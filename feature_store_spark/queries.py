@@ -3675,6 +3675,62 @@ GROUP BY o_orderstatus
 """
 
 
+def q_iceberg_mor_delete(spark, sf_dir):
+    """Merge-on-read DELETE WHERE under the oracle gate: export
+    events as feature records into an Iceberg table, commit ONE
+    positional-delete snapshot marking every row with value < 50 (no
+    data file rewritten — executors compute and write the (file, pos)
+    delete parquet from _metadata row ordinals, the driver authors
+    the delete manifest), then scan the post-delete snapshot with a
+    partition predicate. The oracle is the equivalent relational
+    filter on events."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_delete_where,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.col("event_type").alias("entity_type"),
+        F.col("user_id").cast("string").alias("entity_id"),
+        F.col("value").alias("value_float"),
+        F.col("ts").alias("event_time"),
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-iceberg-mor-")
+    try:
+        iceberg_append(records, scratch)
+        iceberg_delete_where(
+            spark, scratch, [("value_float", "<", 50.0)]
+        )
+        t = IcebergTable(spark, scratch)
+        df = t.scan(
+            filters=[("entity_type", "in", ["purchase", "view"])]
+        )
+        out = df.groupBy("entity_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value_float")).alias("sum_value"),
+            _r6(F.min("value_float")).alias("min_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+ICEBERG_MOR_DELETE_SQL = """
+SELECT event_type AS entity_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value
+FROM events
+WHERE event_type IN ('purchase', 'view') AND value >= 50.0
+GROUP BY event_type
+"""
+
+
 ICEBERG_SCAN_SQL = """
 SELECT event_type AS entity_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -6778,6 +6834,7 @@ QUERIES: dict[str, tuple] = {
     # a green driver row from r1-r5 (union coverage stays complete;
     # all also pass the identical DuckDB oracle in pytest/selfcheck).
     "iceberg_scan": (q_iceberg_scan, ICEBERG_SCAN_SQL),
+    "iceberg_mor_delete": (q_iceberg_mor_delete, ICEBERG_MOR_DELETE_SQL),
     "delta_scan": (q_delta_scan, DELTA_SCAN_SQL),
     "incremental_agg": (q_incremental_agg, INCREMENTAL_AGG_SQL),
     "stream_incremental_agg": (q_stream_incremental_agg, INCREMENTAL_AGG_SQL),
@@ -6936,6 +6993,7 @@ QUERIES: dict[str, tuple] = {
 # DuckDB oracle in pytest/selfcheck.
 _R7_WINDOW = [
     "iceberg_scan",
+    "iceberg_mor_delete",
     "delta_scan",
     "semantic_dedup",
     "ewma_features",

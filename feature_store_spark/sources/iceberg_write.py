@@ -431,3 +431,170 @@ def _load_prev(meta_dir: str):
         if s["snapshot-id"] == cur:
             prev_manifests, _ = read_avro(s["manifest-list"])
     return meta, prev_manifests, v + 1
+
+
+def iceberg_delete_where(
+    spark,
+    table_dir: str,
+    filters: list[tuple],
+) -> int:
+    """Merge-on-read ``DELETE WHERE`` on a table this exporter wrote:
+    commit ONE positional-delete snapshot marking every current row
+    matching ``filters`` (same (col, op, literal) triples as
+    ``IcebergTable.scan``). No data file is rewritten — the spec's
+    MOR shape, and the right physics at 100 TB where a delete touches
+    a sliver of a huge table.
+
+    Distributed end to end: the matching rows' (file_path, pos) pairs
+    are computed by executors from ``_metadata`` row ordinals and
+    WRITTEN as the delete parquet by executors; the driver only
+    authors the delete manifest from the written files' footers and
+    flips the version pointer. Matching against already-deleted rows
+    re-marks them — harmless (idempotent)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.sources.iceberg import IcebergTable, _Filter
+
+    t = IcebergTable(spark, table_dir)
+    files = [f for f in t.data_files(None, None) if not f["is_delete"]]
+    if not files:
+        raise ValueError(f"{table_dir}: no data files to delete from")
+    df = spark.read.parquet(*[f["path"] for f in files])
+    ts_cols = {
+        f["name"]
+        for f in t.schema_fields()
+        if isinstance(f["type"], str) and f["type"].startswith("timestamp")
+    }
+    for f in filters or []:
+        fil = _Filter(*f)
+        if fil.col in ts_cols:
+            col = F.unix_micros(F.col(fil.col))
+            v = fil.value
+            expr = {
+                "=": col == v, "!=": col != v, "<": col < v,
+                "<=": col <= v, ">": col > v, ">=": col >= v,
+            }.get(fil.op)
+            if expr is None:
+                expr = col.isin(list(v))
+            df = df.filter(expr)
+        else:
+            df = df.filter(fil.sql())
+    # executors emit (recorded file path, row ordinal); the recorded
+    # path (what the manifests carry) is recovered from the read path
+    # by the table-relative data/ suffix
+    import re as _re
+
+    suffix_to_recorded = [
+        (_re.search(r"(data/.*)$", f["path"]).group(1), f["path"])
+        for f in files
+    ]
+    map_df = spark.createDataFrame(
+        suffix_to_recorded, "__sfx string, __recorded string"
+    )
+    dels = (
+        df.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), "(data/.*)$", 1
+            ).alias("__sfx"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .join(F.broadcast(map_df), "__sfx")
+        .select(F.col("__recorded").alias("file_path"), "pos")
+    )
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    prev_meta, prev_manifests, snap_id = _load_prev(meta_dir)
+    if prev_meta is None:
+        raise ValueError(f"{table_dir}: not an iceberg table")
+    del_dir = os.path.join(
+        table_dir, "data", f"deletes-{snap_id}-{uuid.uuid4().hex[:8]}"
+    )
+    dels.write.parquet(del_dir)
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    n_rows = 0
+    spec_fields = prev_meta["partition-specs"][0]["fields"]
+    null_partition = {pf["name"]: None for pf in spec_fields}
+    for name in sorted(os.listdir(del_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        fpath = os.path.join(del_dir, name)
+        md = pq.ParquetFile(fpath).metadata
+        if md.num_rows == 0:
+            continue
+        n_rows += md.num_rows
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": snap_id,
+                "file_sequence_number": snap_id,
+                "data_file": {
+                    "content": 1,  # POSITION DELETES
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": null_partition,
+                    "record_count": md.num_rows,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        )
+    if not entries:
+        raise ValueError(
+            f"{table_dir}: DELETE WHERE matched no rows — nothing "
+            "committed (the table version is unchanged)"
+        )
+    mschema = manifest_schema(
+        [
+            {"name": pf["name"],
+             "avro": "string" if pf["transform"] == "identity" else "int"}
+            for pf in spec_fields
+        ]
+    )
+    mpath = os.path.join(meta_dir, f"manifest-del-{snap_id}.avro")
+    write_avro(mpath, mschema, entries, codec="deflate")
+    manifest_rec = {
+        "manifest_path": mpath,
+        "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0,
+        "content": 1,  # DELETE manifest
+        "sequence_number": snap_id,
+        "min_sequence_number": snap_id,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,
+    }
+    manifests = prev_manifests + [manifest_rec]
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    write_avro(mlist, MANIFEST_LIST_SCHEMA, manifests, codec="deflate")
+    snapshot = {
+        "snapshot-id": snap_id,
+        "timestamp-ms": 1700000000000 + snap_id,
+        "sequence-number": snap_id,
+        "summary": {"operation": "delete"},
+        "manifest-list": mlist,
+        "schema-id": 0,
+    }
+    meta = dict(prev_meta)
+    meta["last-sequence-number"] = snap_id
+    meta["last-updated-ms"] = 1700000000000 + snap_id
+    meta["current-snapshot-id"] = snap_id
+    meta["snapshots"] = prev_meta.get("snapshots", []) + [snapshot]
+    tmp = os.path.join(meta_dir, f".v{snap_id}.metadata.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(meta_dir, f"v{snap_id}.metadata.json"))
+    hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(snap_id))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return snap_id

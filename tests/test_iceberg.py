@@ -534,3 +534,82 @@ class TestBucketTruncateTransforms:
         rng = t.scan(filters=[("entity_id", ">=", "u0")])
         assert len(rng.inputFiles()) == all_n
         assert rng.count() == 20
+
+
+class TestDeleteWhere:
+    def test_delete_where_is_mor_and_time_travels(self, spark, tmp_path):
+        """iceberg_delete_where: a positional-delete snapshot marks
+        matching rows without rewriting data files; the pre-delete
+        snapshot still shows them; appends after the delete are
+        untouched; a second delete composes."""
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_delete_where,
+        )
+
+        d = str(tmp_path / "dw")
+        base = spark.range(40).select(
+            F.when(F.col("id") % 2 == 0, "user").otherwise("merchant")
+            .alias("entity_type"),
+            F.concat(F.lit("e"), F.col("id")).alias("entity_id"),
+            (F.col("id") * 1.0).alias("value_float"),
+            F.timestamp_seconds(F.lit(100) * 86400 + F.col("id"))
+            .alias("event_time"),
+        )
+        assert iceberg_append(base, d) == 1
+        data_files_before = sorted(
+            f["path"]
+            for f in IcebergTable(spark, d).data_files()
+            if not f.get("is_delete")
+        )
+        assert iceberg_delete_where(
+            spark, d, [("value_float", ">=", 30.0)]
+        ) == 2
+        t = IcebergTable(spark, d)
+        # data files untouched (MOR, no rewrite)
+        assert sorted(
+            f["path"] for f in t.data_files() if not f.get("is_delete")
+        ) == data_files_before
+        assert t.scan().count() == 30
+        assert t.scan(snapshot_id=1).count() == 40
+        # append after the delete: new rows with "deleted" values stay
+        assert iceberg_append(
+            base.filter(F.col("value_float") >= 35.0), d
+        ) == 3
+        t2 = IcebergTable(spark, d)
+        assert t2.scan().count() == 35
+        # second delete composes, with a timestamp predicate
+        iceberg_delete_where(
+            spark, d,
+            [("event_time", "<", 100 * 86_400_000_000 + 5_000_000)],
+        )
+        t3 = IcebergTable(spark, d)
+        assert t3.scan().count() == 30  # rows id 0..4 marked
+        got = {r["entity_id"] for r in t3.scan(
+            filters=[("value_float", "<", 10.0)]
+        ).collect()}
+        assert got == {"e5", "e6", "e7", "e8", "e9"}
+
+    def test_delete_where_no_match_refuses(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_delete_where,
+        )
+
+        d = str(tmp_path / "dwnone")
+        iceberg_append(
+            spark.range(3).select(
+                F.lit("user").alias("entity_type"),
+                F.concat(F.lit("e"), F.col("id")).alias("entity_id"),
+                F.col("id").cast("double").alias("value_float"),
+                F.timestamp_seconds(F.col("id")).alias("event_time"),
+            ),
+            d,
+        )
+        with pytest.raises(ValueError, match="matched no rows"):
+            iceberg_delete_where(spark, d, [("value_float", ">", 99.0)])
+        assert IcebergTable(spark, d).scan().count() == 3

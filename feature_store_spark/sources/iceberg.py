@@ -545,7 +545,11 @@ class IcebergTable:
         return True
 
     def _apply_deletes(
-        self, df: DataFrame, files: list[dict], deletes: list[dict]
+        self,
+        df: DataFrame,
+        files: list[dict],
+        deletes: list[dict],
+        pre_tagged: bool = False,
     ) -> DataFrame:
         """Apply merge-on-read deletes to the data rows.
 
@@ -566,12 +570,15 @@ class IcebergTable:
         from pyspark.sql import functions as F
 
         spark = self.spark
-        tagged = df.withColumn(
-            "__fp",
-            F.regexp_extract(
-                F.col("_metadata.file_path"), "(data/.*)$", 1
-            ),
-        ).withColumn("__pos", F.col("_metadata.row_index"))
+        if pre_tagged:
+            tagged = df
+        else:
+            tagged = df.withColumn(
+                "__fp",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), "(data/.*)$", 1
+                ),
+            ).withColumn("__pos", F.col("_metadata.row_index"))
 
         pos = [d for d in deletes if d["delete_kind"] == "pos"]
         eqs = [d for d in deletes if d["delete_kind"] == "eq"]
@@ -649,12 +656,92 @@ class IcebergTable:
                 tagged = tagged.join(dels, cond, "left_anti")
             tagged = tagged.drop("__dataseq")
 
+        if pre_tagged:
+            return tagged  # caller owns the tag columns
         return tagged.drop("__fp", "__pos")
+
+    def _file_field_mapping(self, path: str) -> tuple:
+        """((parquet_column_name, field_id or None), ...) from one data
+        file's footer — the spec's column-resolution key."""
+        import pyarrow.parquet as pq
+
+        sch = pq.ParquetFile(path).schema_arrow
+        out = []
+        for i in range(len(sch)):
+            fld = sch.field(i)
+            fid = None
+            md = fld.metadata or {}
+            raw = md.get(b"PARQUET:field_id")
+            if raw is not None:
+                try:
+                    fid = int(raw)
+                except ValueError:
+                    fid = None
+            out.append((fld.name, fid))
+        return tuple(out)
+
+    def _read_by_field_id(self, files: list[dict]) -> DataFrame:
+        """Read data files with columns resolved BY FIELD ID (the
+        spec's rule — names may have changed since a file was
+        written): group files by their footer's (name, id) signature,
+        rename each group's columns to the current schema's names,
+        null-fill columns added after a file was written, drop columns
+        since removed, and union. Footer signatures are gathered with
+        a thread pool (KB reads). Rows are pre-tagged with the file
+        path/ordinal so merge-on-read deletes keep working across the
+        rename+union."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark.sql import functions as F
+
+        current = {
+            f["id"]: f["name"]
+            for f in self.schema_fields()
+            if isinstance(f["type"], str)
+        }
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            sigs = list(
+                pool.map(
+                    lambda f: self._file_field_mapping(f["path"]), files
+                )
+            )
+        groups: dict[tuple, list[str]] = {}
+        for f, sig in zip(files, sigs):
+            groups.setdefault(sig, []).append(f["path"])
+        frames = []
+        for sig, paths in groups.items():
+            raw = self.spark.read.parquet(*paths)
+            tagged = raw.withColumn(
+                "__fp",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), "(data/.*)$", 1
+                ),
+            ).withColumn("__pos", F.col("_metadata.row_index"))
+            by_id = {fid: name for name, fid in sig if fid is not None}
+            file_names = {name for name, _ in sig}
+            cols = []
+            for fid, cur_name in current.items():
+                if fid in by_id:
+                    cols.append(F.col(by_id[fid]).alias(cur_name))
+                elif cur_name in file_names:
+                    # the spec's name-mapping fallback for files
+                    # written WITHOUT field ids (e.g. plain Spark
+                    # writers, incl. iceberg_append's data files)
+                    cols.append(F.col(cur_name))
+                else:
+                    # column added after this file was written
+                    cols.append(F.lit(None).alias(cur_name))
+            frames.append(tagged.select(*cols, "__fp", "__pos"))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
 
     def scan(
         self,
         snapshot_id: int | None = None,
         filters: list[tuple] | None = None,
+        resolve_by_field_id: bool = False,
     ) -> DataFrame:
         """DataFrame over the snapshot's data with metadata-pruned
         file list; ``filters`` are (column, op, literal) triples with
@@ -669,7 +756,14 @@ class IcebergTable:
         delete files anti-join on their recorded equality_ids columns
         under the spec's sequence-number rule (only rows of OLDER data
         files are removed, so re-inserted keys survive). Both are
-        distributed anti-joins with small broadcast delete sides."""
+        distributed anti-joins with small broadcast delete sides.
+
+        ``resolve_by_field_id=True`` resolves columns by the spec's
+        field ids instead of names — required for tables whose schema
+        EVOLVED (renamed/added/dropped columns) after data files were
+        written. Off by default: it reads one footer per data file at
+        plan time (thread-pooled), which name-stable tables (including
+        everything iceberg_append writes) don't need."""
         all_files = self.data_files(snapshot_id, filters)
         deletes = [f for f in all_files if f.get("is_delete")]
         files = [f for f in all_files if not f.get("is_delete")]
@@ -686,9 +780,17 @@ class IcebergTable:
             return (
                 self.spark.read.parquet(allf[0]["path"]).limit(0)
             )
-        df = self.spark.read.parquet(*[f["path"] for f in files])
-        if deletes:
-            df = self._apply_deletes(df, files, deletes)
+        if resolve_by_field_id:
+            df = self._read_by_field_id(files)
+            if deletes:
+                df = self._apply_deletes(
+                    df, files, deletes, pre_tagged=True
+                )
+            df = df.drop("__fp", "__pos")
+        else:
+            df = self.spark.read.parquet(*[f["path"] for f in files])
+            if deletes:
+                df = self._apply_deletes(df, files, deletes)
         ts_cols = {
             f["name"]
             for f in self.schema_fields()

@@ -54,7 +54,22 @@ MANIFEST_SCHEMA = manifest_schema(
 
 def _write_parquet(path: str, rows: list[dict]) -> tuple[int, dict, dict]:
     """Write one data file; returns (n_rows, lower_bounds, upper_bounds)
-    keyed by field id with Iceberg single-value binary encoding."""
+    keyed by field id with Iceberg single-value binary encoding. The
+    parquet schema carries PARQUET:field_id per column, as real
+    Iceberg writers emit — what field-id column resolution reads."""
+
+    def fld(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    schema = pa.schema([
+        fld("entity_type", pa.string(), 1),
+        fld("entity_id", pa.string(), 2),
+        fld("feature_name", pa.string(), 3),
+        fld("value_float", pa.float64(), 4),
+        fld("event_time", pa.timestamp("us", tz="UTC"), 6),
+    ])
     table = pa.table(
         {
             "entity_type": pa.array([r["entity_type"] for r in rows],
@@ -67,7 +82,8 @@ def _write_parquet(path: str, rows: list[dict]) -> tuple[int, dict, dict]:
                                     pa.float64()),
             "event_time": pa.array([r["event_time_us"] for r in rows],
                                    pa.timestamp("us", tz="UTC")),
-        }
+        },
+        schema=schema,
     )
     pq.write_table(table, path)
     vals = [r["value_float"] for r in rows if r["value_float"] is not None]

@@ -613,3 +613,77 @@ class TestDeleteWhere:
         with pytest.raises(ValueError, match="matched no rows"):
             iceberg_delete_where(spark, d, [("value_float", ">", 99.0)])
         assert IcebergTable(spark, d).scan().count() == 3
+
+
+class TestFieldIdResolution:
+    def test_renamed_schema_resolves_by_field_id(self, spark, tmp_path):
+        """Schema evolution: after a column RENAME the current schema
+        carries the old field id under a new name; files on disk still
+        use the old parquet column name. resolve_by_field_id=True
+        reads them correctly (the spec's resolution rule), including
+        a column ADDED after the files were written (null-filled) and
+        merge-on-read deletes across the rename."""
+        import json
+        import os
+
+        from iceberg_fixture import IcebergFixture
+
+        d = str(tmp_path / "rename")
+        fx = IcebergFixture(d)
+        fx.append([
+            _row("user", "u1", "clicks", 1.0, 100),
+            _row("user", "u2", "clicks", 2.0, 100),
+        ])
+        fx.pos_delete([("user", 100, 0)])  # drop u1
+        fx.finish()
+        # evolve the schema: value_float (id 4) -> amount; add id 9
+        mpath = os.path.join(d, "metadata", "v2.metadata.json")
+        with open(mpath) as f:
+            meta = json.load(f)
+        fields = meta["schemas"][0]["fields"]
+        for fl in fields:
+            if fl["id"] == 4:
+                fl["name"] = "amount"
+        fields.append({"id": 9, "name": "source", "required": False,
+                       "type": "string"})
+        meta["last-column-id"] = 9
+        with open(mpath, "w") as f:
+            json.dump(meta, f)
+
+        t = IcebergTable(spark, d)
+        df = t.scan(resolve_by_field_id=True)
+        assert "amount" in df.columns and "source" in df.columns
+        assert "value_float" not in df.columns
+        rows = {(r["entity_id"], r["amount"], r["source"])
+                for r in df.collect()}
+        assert rows == {("u2", 2.0, None)}  # u1 deleted, amount read
+        # filters work against the CURRENT (renamed) column names
+        assert t.scan(
+            filters=[("entity_type", "=", "user")],
+            resolve_by_field_id=True,
+        ).count() == 1
+
+    def test_name_mapping_fallback_for_idless_files(self, spark, tmp_path):
+        """Files written WITHOUT parquet field ids (plain Spark
+        writers, incl. iceberg_append) resolve by the spec's
+        name-mapping fallback — same results as the name path."""
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import iceberg_append
+
+        d = str(tmp_path / "idless")
+        iceberg_append(
+            spark.range(10).select(
+                F.lit("user").alias("entity_type"),
+                F.concat(F.lit("e"), F.col("id")).alias("entity_id"),
+                F.col("id").cast("double").alias("value_float"),
+                F.timestamp_seconds(F.col("id")).alias("event_time"),
+            ),
+            d,
+        )
+        t = IcebergTable(spark, d)
+        by_name = {tuple(r) for r in t.scan().collect()}
+        by_id = {
+            tuple(r) for r in t.scan(resolve_by_field_id=True).collect()
+        }
+        assert by_id == by_name and len(by_id) == 10

@@ -57,6 +57,10 @@ QUERY_NAMES = {
     # round 7: bucket-guarded SemDeDup on the component-rotated 10x
     # embeddings (within-replica planted dups only -> pairs scale 10x)
     "semantic_dedup": SF1,
+    # round 7 interop round trips (events-based; commit cost is
+    # file-count-bound, so the decade is strongly sublinear)
+    "iceberg_scan": SF1,
+    "iceberg_mor_delete": SF1,
 }
 
 

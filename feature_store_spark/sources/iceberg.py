@@ -61,6 +61,39 @@ def _strip_scheme(p: str) -> str:
     return p[7:] if p.startswith("file://") else p
 
 
+def _path_suffix(p: str) -> str:
+    """Join key for matching a recorded file path against Spark's
+    ``_metadata.file_path``: the table-relative ``data/...`` suffix
+    when the file lives under a ``data/`` directory (stable across
+    table relocation), else the scheme-stripped full path — the
+    spec allows ``write.data.path`` to point anywhere, so a missing
+    ``data/`` segment must not degenerate the key."""
+    m = re.search(r"(data/.*)$", p)
+    return m.group(1) if m else _strip_scheme(p)
+
+
+def _fp_expr(col):
+    """Spark-side twin of :func:`_path_suffix` over a path column
+    (``_metadata.file_path`` carries a ``file:`` scheme)."""
+    from pyspark.sql import functions as F
+
+    sfx = F.regexp_extract(col, "(data/.*)$", 1)
+    return F.when(sfx != "", sfx).otherwise(
+        F.regexp_replace(col, "^file:(//)?", "")
+    )
+
+
+def _part_key(part: dict) -> str:
+    """Canonical string key for one partition tuple (order- and
+    bytes-stable; avro may hand back bytes for string bounds)."""
+    norm = {
+        k: (v.decode("utf-8", "replace") if isinstance(v, (bytes, bytearray))
+            else v)
+        for k, v in part.items()
+    }
+    return json.dumps(norm, sort_keys=True, default=str)
+
+
 # ----------------------------------------------------- bound decoding
 
 # Iceberg single-value serialization (spec "Binary single-value
@@ -428,7 +461,7 @@ class IcebergTable:
         mlist_path = self._resolve(snap["manifest-list"])
         manifests = self._read_avro_cached(mlist_path)
 
-        out: list[dict] = []
+        surviving: list[tuple[dict, list[dict]]] = []
         for m in manifests:
             is_delete_manifest = int(m.get("content", 0) or 0) == 1
             spec = self.partition_spec(m.get("partition_spec_id"))
@@ -436,6 +469,28 @@ class IcebergTable:
                 m, spec, fs, by_id
             ):
                 continue
+            surviving.append((m, spec))
+        # manifests are independent KB–MB Avro blobs: decode the
+        # uncached ones with a thread pool (a many-manifest table's
+        # planning wall-clock is this loop, exactly like the footer
+        # pools in the exporters)
+        missing = [
+            self._resolve(m["manifest_path"])
+            for m, _ in surviving
+            if self._resolve(m["manifest_path"]) not in self._avro_cache
+        ]
+        if len(missing) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                for p, recs in zip(
+                    missing, pool.map(lambda p: read_avro(p)[0], missing)
+                ):
+                    self._avro_cache[p] = recs
+
+        out: list[dict] = []
+        for m, spec in surviving:
+            spec_id = int(m.get("partition_spec_id", 0) or 0)
             entries = self._read_avro_cached(
                 self._resolve(m["manifest_path"])
             )
@@ -443,6 +498,15 @@ class IcebergTable:
                 if int(e.get("status", 0)) == 2:  # DELETED entry
                     continue
                 df_rec = e["data_file"]
+                fmt = str(df_rec.get("file_format") or "PARQUET").upper()
+                if fmt != "PARQUET":
+                    raise NotImplementedError(
+                        f"{self.path}: data file "
+                        f"{df_rec['file_path']!r} has file_format "
+                        f"{fmt}; this reader scans parquet data files "
+                        "only (ORC/Avro tables need a full Iceberg "
+                        "runtime)"
+                    )
                 content = int(df_rec.get("content", 0) or 0)
                 # ADDED entries with a null sequence number inherit the
                 # manifest's (the spec's inheritance rule)
@@ -450,6 +514,16 @@ class IcebergTable:
                 if seq is None:
                     seq = m.get("sequence_number", 0)
                 if content in (1, 2):
+                    # delete files prune by partition only (their
+                    # column bounds describe delete-file columns, not
+                    # table data): a delete whose partition can't match
+                    # the filters only affects data files that are
+                    # themselves pruned. Unpartitioned deletes always
+                    # survive (global scope).
+                    if not self._partition_might_match(
+                        df_rec.get("partition") or {}, spec, fs, by_id
+                    ):
+                        continue
                     out.append(
                         {
                             "path": self._resolve(df_rec["file_path"]),
@@ -457,6 +531,7 @@ class IcebergTable:
                                 df_rec.get("record_count", -1)
                             ),
                             "partition": df_rec.get("partition") or {},
+                            "spec_id": spec_id,
                             "is_delete": True,
                             "delete_kind": "pos" if content == 1 else "eq",
                             "equality_ids": df_rec.get("equality_ids"),
@@ -471,6 +546,7 @@ class IcebergTable:
                         "path": self._resolve(df_rec["file_path"]),
                         "record_count": int(df_rec.get("record_count", -1)),
                         "partition": df_rec.get("partition") or {},
+                        "spec_id": spec_id,
                         "is_delete": False,
                         "sequence_number": int(seq),
                     }
@@ -510,11 +586,10 @@ class IcebergTable:
                     return False
         return True
 
-    def _file_might_match(self, df_rec, spec, fs, by_id, by_name) -> bool:
-        if not fs:
+    def _partition_might_match(self, part, spec, fs, by_id) -> bool:
+        """Partition-value pruning (exact values, not ranges)."""
+        if not fs or not part:
             return True
-        # partition-value pruning (exact values, not ranges)
-        part = df_rec.get("partition") or {}
         for pf in spec:
             src = by_id.get(pf.get("source-id"))
             if src is None or pf["name"] not in part:
@@ -531,6 +606,15 @@ class IcebergTable:
                 pfil = _transform_interval(pf["transform"], ttype, f)
                 if pfil is not None and not pfil.might_match(pv, pv):
                     return False
+        return True
+
+    def _file_might_match(self, df_rec, spec, fs, by_id, by_name) -> bool:
+        if not fs:
+            return True
+        if not self._partition_might_match(
+            df_rec.get("partition") or {}, spec, fs, by_id
+        ):
+            return False
         # column-stat pruning by field id
         lowers = _kv_list_to_dict(df_rec.get("lower_bounds"))
         uppers = _kv_list_to_dict(df_rec.get("upper_bounds"))
@@ -564,7 +648,10 @@ class IcebergTable:
         rule: a delete at sequence s removes only rows of data files
         with sequence < s (later re-inserts of the same key survive).
         The per-row data sequence rides in via a broadcast (file
-        suffix → sequence) join. Delete sides get broadcast hints when
+        suffix → sequence) join. A delete written with a PARTITIONED
+        spec additionally applies only within its recorded partition
+        (spec rule "Scan Planning"); an unpartitioned/null-partition
+        delete is global. Delete sides get broadcast hints when
         their recorded row counts are small (the common case; a table
         whose delete set rivals its data is overdue for compaction)."""
         from pyspark.sql import functions as F
@@ -574,10 +661,7 @@ class IcebergTable:
             tagged = df
         else:
             tagged = df.withColumn(
-                "__fp",
-                F.regexp_extract(
-                    F.col("_metadata.file_path"), "(data/.*)$", 1
-                ),
+                "__fp", _fp_expr(F.col("_metadata.file_path"))
             ).withColumn("__pos", F.col("_metadata.row_index"))
 
         pos = [d for d in deletes if d["delete_kind"] == "pos"]
@@ -585,9 +669,7 @@ class IcebergTable:
 
         if pos:
             dels = spark.read.parquet(*[d["path"] for d in pos]).select(
-                F.regexp_extract(
-                    F.col("file_path"), "(data/.*)$", 1
-                ).alias("__del_fp"),
+                _fp_expr(F.col("file_path")).alias("__del_fp"),
                 F.col("pos").cast("long").alias("__del_pos"),
             )
             n_del_rows = sum(
@@ -605,25 +687,60 @@ class IcebergTable:
         if eqs:
             by_name = {f["name"]: f for f in self.schema_fields()}
             names_by_id = {f["id"]: f["name"] for f in by_name.values()}
+            # broadcast per-file metadata: data sequence + canonical
+            # partition key (for partition-scoped equality deletes).
+            # O(1)-per-row join condition regardless of file count.
             seq_rows = [
-                (re.search(r"(data/.*)$", f["path"]).group(1),
-                 f["sequence_number"])
+                (
+                    _path_suffix(f["path"]),
+                    f["sequence_number"],
+                    _part_key(f.get("partition") or {}),
+                    int(f.get("spec_id", 0)),
+                )
                 for f in files
             ]
             seq_df = spark.createDataFrame(
-                seq_rows, "__fp string, __dataseq long"
+                seq_rows,
+                "__fp string, __dataseq long, __part string, __specid int",
             )
             tagged = tagged.join(F.broadcast(seq_df), "__fp", "left")
+            data_spec_ids = {int(f.get("spec_id", 0)) for f in files}
             groups: dict[tuple, list[dict]] = {}
             for d in eqs:
                 ids = tuple(d.get("equality_ids") or ())
-                groups.setdefault(ids, []).append(d)
-            for ids, dfiles in groups.items():
+                spec_id = int(d.get("spec_id", 0))
+                part = d.get("partition") or {}
+                # a delete under an unpartitioned spec, or one whose
+                # partition tuple is all null, applies globally
+                spec = self.partition_spec(spec_id)
+                scoped = bool(spec) and any(
+                    v is not None for v in part.values()
+                )
+                key = (
+                    ids,
+                    (spec_id, _part_key(part)) if scoped else None,
+                )
+                groups.setdefault(key, []).append(d)
+            for (ids, scope), dfiles in groups.items():
                 if not ids or any(i not in names_by_id for i in ids):
                     raise NotImplementedError(
                         f"{self.path}: equality-delete file without "
                         f"resolvable equality_ids {ids}; needs a full "
                         "Iceberg runtime"
+                    )
+                if scope is not None and (
+                    data_spec_ids - {scope[0]}
+                ):
+                    # a partition-scoped delete can't be matched
+                    # against data files written under a DIFFERENT
+                    # spec from metadata alone (their partition tuples
+                    # live in different domains) — refusing loudly
+                    # beats silently over- or under-deleting
+                    raise NotImplementedError(
+                        f"{self.path}: partition-scoped equality "
+                        f"delete under spec {scope[0]} against data "
+                        f"files of specs {sorted(data_spec_ids)}; "
+                        "needs a full Iceberg runtime"
                     )
                 cols = [names_by_id[i] for i in ids]
                 parts = [
@@ -649,12 +766,14 @@ class IcebergTable:
                 cond = F.coalesce(
                     F.col("__dataseq"), F.lit(0)
                 ) < F.col("__dseq")
+                if scope is not None:
+                    cond = cond & (F.col("__part") == F.lit(scope[1]))
                 for c in cols:
                     cond = cond & tagged[c].eqNullSafe(
                         F.col(f"__d_{c}")
                     )
                 tagged = tagged.join(dels, cond, "left_anti")
-            tagged = tagged.drop("__dataseq")
+            tagged = tagged.drop("__dataseq", "__part", "__specid")
 
         if pre_tagged:
             return tagged  # caller owns the tag columns
@@ -712,10 +831,7 @@ class IcebergTable:
         for sig, paths in groups.items():
             raw = self.spark.read.parquet(*paths)
             tagged = raw.withColumn(
-                "__fp",
-                F.regexp_extract(
-                    F.col("_metadata.file_path"), "(data/.*)$", 1
-                ),
+                "__fp", _fp_expr(F.col("_metadata.file_path"))
             ).withColumn("__pos", F.col("_metadata.row_index"))
             by_id = {fid: name for name, fid in sig if fid is not None}
             file_names = {name for name, _ in sig}
@@ -737,11 +853,44 @@ class IcebergTable:
             out = out.unionByName(fr)
         return out
 
+    def snapshot_id_as_of(self, as_of_ms: int) -> int:
+        """Time travel: the snapshot current AT ``as_of_ms`` (epoch
+        millis) — the latest snapshot with timestamp <= as_of_ms,
+        resolved from the metadata's snapshot list (the same rule the
+        reference's time-windowed offline reads need,
+        IcebergOfflineStore.java:122-147)."""
+        eligible = [
+            (ts, sid) for sid, ts in self.snapshots() if ts <= as_of_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"{self.path}: no snapshot at or before {as_of_ms} "
+                f"(earliest is {min(ts for _, ts in self.snapshots())})"
+            )
+        return max(eligible)[1]
+
+    def _empty_frame(self) -> DataFrame:
+        """Typed empty DataFrame from the CURRENT schema — the
+        no-data-files-yet snapshot still has a schema."""
+        from pyspark.sql import types as T
+
+        fields = [
+            T.StructField(
+                f["name"],
+                _spark_type(f["type"]) or T.StringType(),
+                not f.get("required", False),
+            )
+            for f in self.schema_fields()
+            if isinstance(f["type"], str)
+        ]
+        return self.spark.createDataFrame([], T.StructType(fields))
+
     def scan(
         self,
         snapshot_id: int | None = None,
         filters: list[tuple] | None = None,
         resolve_by_field_id: bool = False,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """DataFrame over the snapshot's data with metadata-pruned
         file list; ``filters`` are (column, op, literal) triples with
@@ -749,6 +898,9 @@ class IcebergTable:
         MICROseconds since epoch, matching Iceberg's representation).
         Filters are re-applied to the frame — pruning is an
         optimization, never the correctness boundary.
+        ``as_of_ms`` time-travels by wall clock (the snapshot current
+        at that epoch-milli instant); mutually exclusive with
+        ``snapshot_id``.
 
         Merge-on-read deletes are applied — POSITIONAL delete files
         (parquet of (file_path, pos)) anti-join on Spark's
@@ -764,19 +916,23 @@ class IcebergTable:
         written. Off by default: it reads one footer per data file at
         plan time (thread-pooled), which name-stable tables (including
         everything iceberg_append writes) don't need."""
+        if as_of_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR as_of_ms, not both")
+            snapshot_id = self.snapshot_id_as_of(as_of_ms)
         all_files = self.data_files(snapshot_id, filters)
         deletes = [f for f in all_files if f.get("is_delete")]
         files = [f for f in all_files if not f.get("is_delete")]
         if not files:
             # empty-but-typed: derive the schema from any data file of
-            # the snapshot, else an empty frame with no columns
+            # the snapshot, else from the table schema itself
             allf = [
                 f
                 for f in self.data_files(snapshot_id, None)
                 if not f.get("is_delete")
             ]
             if not allf:
-                return self.spark.createDataFrame([], "")
+                return self._empty_frame()
             return (
                 self.spark.read.parquet(allf[0]["path"]).limit(0)
             )
@@ -814,6 +970,30 @@ class IcebergTable:
             else:
                 df = df.filter(fil.sql())
         return df
+
+
+def _spark_type(type_str: str):
+    """Iceberg primitive type → Spark type (None = unmapped; caller
+    falls back to string for the typed-empty-frame path only)."""
+    from pyspark.sql import types as T
+
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", type_str)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    return {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "date": T.DateType(),
+        "time": T.LongType(),
+        "timestamp": T.TimestampNTZType(),
+        "timestamptz": T.TimestampType(),
+        "string": T.StringType(),
+        "uuid": T.StringType(),
+        "binary": T.BinaryType(),
+    }.get(type_str)
 
 
 def _partition_value_type(transform: str, source_type: str) -> str:

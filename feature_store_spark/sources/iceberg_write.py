@@ -481,21 +481,19 @@ def iceberg_delete_where(
             df = df.filter(fil.sql())
     # executors emit (recorded file path, row ordinal); the recorded
     # path (what the manifests carry) is recovered from the read path
-    # by the table-relative data/ suffix
-    import re as _re
+    # by the table-relative data/ suffix (guarded helper: a table
+    # whose data files live outside a data/ dir keys on full paths)
+    from feature_store_spark.sources.iceberg import _fp_expr, _path_suffix
 
     suffix_to_recorded = [
-        (_re.search(r"(data/.*)$", f["path"]).group(1), f["path"])
-        for f in files
+        (_path_suffix(f["path"]), f["path"]) for f in files
     ]
     map_df = spark.createDataFrame(
         suffix_to_recorded, "__sfx string, __recorded string"
     )
     dels = (
         df.select(
-            F.regexp_extract(
-                F.col("_metadata.file_path"), "(data/.*)$", 1
-            ).alias("__sfx"),
+            _fp_expr(F.col("_metadata.file_path")).alias("__sfx"),
             F.col("_metadata.row_index").alias("pos"),
         )
         .join(F.broadcast(map_df), "__sfx")

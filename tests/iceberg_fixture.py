@@ -116,6 +116,17 @@ EQ_MANIFEST_SCHEMA["fields"][4]["type"]["fields"].append(
 )
 EQ_MANIFEST_SCHEMA["fields"][4]["type"]["name"] = "r2eq"
 
+# global equality deletes are written under an UNPARTITIONED spec (the
+# Iceberg rule: a delete's scope is its spec — unpartitioned = table-
+# wide, partitioned = its partition only)
+UNPARTITIONED_SPEC_ID = 1
+EQ_GLOBAL_MANIFEST_SCHEMA = manifest_schema([])
+EQ_GLOBAL_MANIFEST_SCHEMA["fields"][4]["type"]["fields"].append(
+    {"name": "equality_ids",
+     "type": ["null", {"type": "array", "items": "int"}]}
+)
+EQ_GLOBAL_MANIFEST_SCHEMA["fields"][4]["type"]["name"] = "r2eqg"
+
 
 class IcebergFixture:
     """Op-sequence builder: each append / pos_delete / eq_delete call
@@ -244,31 +255,47 @@ class IcebergFixture:
         snapshot (delete parquet of (file_path, pos), content=1)."""
         self.snap_id += 1
         file_by_part = self._file_by_part()
-        del_rows = [
-            {"file_path": file_by_part[(et, day)], "pos": pos}
-            for et, day, pos in deletes
-        ]
-        dpath = os.path.join(
-            self.data_dir, f"pos-deletes-{self.snap_id}.parquet"
-        )
-        pq.write_table(
-            pa.table({
-                "file_path": pa.array(
-                    [r["file_path"] for r in del_rows], pa.string()),
-                "pos": pa.array([r["pos"] for r in del_rows], pa.int64()),
-            }),
-            dpath,
-        )
-        et0, day0, _ = deletes[0]
-        self._delete_manifest(dpath, et0, day0, len(del_rows),
-                              content=1, equality_ids=None)
+        by_part: dict[tuple, list[dict]] = {}
+        for et, day, pos in deletes:
+            by_part.setdefault((et, day), []).append(
+                {"file_path": file_by_part[(et, day)], "pos": pos}
+            )
+        # one delete file PER PARTITION, each stamped with its
+        # partition (what a real writer emits; what lets readers prune
+        # delete files with the same machinery as data files)
+        for (et, day), del_rows in sorted(by_part.items()):
+            dpath = os.path.join(
+                self.data_dir,
+                f"pos-deletes-{self.snap_id}-{et}-{day}.parquet",
+            )
+            pq.write_table(
+                pa.table({
+                    "file_path": pa.array(
+                        [r["file_path"] for r in del_rows], pa.string()),
+                    "pos": pa.array(
+                        [r["pos"] for r in del_rows], pa.int64()),
+                }),
+                dpath,
+            )
+            self._delete_manifest(dpath, (et, day), len(del_rows),
+                                  content=1, equality_ids=None)
         self._commit("overwrite")
 
-    def eq_delete(self, entity_ids: list[str]) -> None:
+    def eq_delete(
+        self,
+        entity_ids: list[str],
+        partition: tuple[str, int] | None = None,
+    ) -> None:
         """Equality-delete snapshot on entity_id (field id 2): rows in
         DATA FILES WITH LOWER SEQUENCE NUMBERS whose entity_id matches
         are deleted; later appends are untouched (the spec's
-        sequencing rule)."""
+        sequencing rule).
+
+        ``partition=None`` writes the delete under the UNPARTITIONED
+        spec — a GLOBAL delete (the spec's scope rule). Passing
+        ``(entity_type, day)`` writes it under the table's partitioned
+        spec, scoping it to that partition only (the Flink-CDC write
+        shape for a partitioned upsert stream)."""
         self.snap_id += 1
         dpath = os.path.join(
             self.data_dir, f"eq-deletes-{self.snap_id}.parquet"
@@ -277,12 +304,25 @@ class IcebergFixture:
             pa.table({"entity_id": pa.array(entity_ids, pa.string())}),
             dpath,
         )
-        self._delete_manifest(dpath, "user", 0, len(entity_ids),
+        self._delete_manifest(dpath, partition, len(entity_ids),
                               content=2, equality_ids=[2])
         self._commit("overwrite")
 
-    def _delete_manifest(self, dpath, et, day, n_rows, content,
+    def _delete_manifest(self, dpath, partition, n_rows, content,
                          equality_ids):
+        if partition is None:
+            part_rec: dict = {}
+            spec_id = UNPARTITIONED_SPEC_ID
+            schema = EQ_GLOBAL_MANIFEST_SCHEMA
+        else:
+            et, day = partition
+            part_rec = {"entity_type": et, "event_time_day": day}
+            spec_id = 0
+            schema = (
+                EQ_MANIFEST_SCHEMA
+                if equality_ids is not None
+                else DELETE_MANIFEST_SCHEMA
+            )
         entry = {
             "status": 1,
             "snapshot_id": self.snap_id,
@@ -292,24 +332,24 @@ class IcebergFixture:
                 "content": content,
                 "file_path": dpath,
                 "file_format": "PARQUET",
-                "partition": {"entity_type": et, "event_time_day": day},
+                "partition": part_rec,
                 "record_count": n_rows,
                 "file_size_in_bytes": os.path.getsize(dpath),
                 "lower_bounds": None,
                 "upper_bounds": None,
             },
         }
-        schema = DELETE_MANIFEST_SCHEMA
         if equality_ids is not None:
             entry["data_file"]["equality_ids"] = equality_ids
-            schema = EQ_MANIFEST_SCHEMA
+        self._del_seq = getattr(self, "_del_seq", 0) + 1
         mpath = os.path.join(
-            self.meta_dir, f"manifest-del-{self.snap_id}.avro"
+            self.meta_dir,
+            f"manifest-del-{self.snap_id}-{self._del_seq}.avro",
         )
         write_avro(mpath, schema, [entry], codec="deflate")
-        self.manifests.append(
-            self._manifest_rec(mpath, 1, 1, n_rows, None)
-        )
+        rec = self._manifest_rec(mpath, 1, 1, n_rows, None)
+        rec["partition_spec_id"] = spec_id
+        self.manifests.append(rec)
 
     def finish(self) -> None:
         meta = {
@@ -325,7 +365,10 @@ class IcebergFixture:
                  "fields": SCHEMA_FIELDS}
             ],
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": PARTITION_SPEC}],
+            "partition-specs": [
+                {"spec-id": 0, "fields": PARTITION_SPEC},
+                {"spec-id": UNPARTITIONED_SPEC_ID, "fields": []},
+            ],
             "last-partition-id": 1001,
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],

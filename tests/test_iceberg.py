@@ -250,7 +250,7 @@ class TestIcebergScan:
     def test_equality_delete_with_unknown_field_id_refuses(
         self, spark, tmp_path
     ):
-        from iceberg_fixture import EQ_MANIFEST_SCHEMA, IcebergFixture
+        from iceberg_fixture import EQ_GLOBAL_MANIFEST_SCHEMA, IcebergFixture
 
         d = str(tmp_path / "eqbad")
         fx = IcebergFixture(d)
@@ -264,7 +264,7 @@ class TestIcebergScan:
         mp = t._resolve(dm["manifest_path"])
         entries, _ = avro_io.read_avro(mp)
         entries[0]["data_file"]["equality_ids"] = [999]  # unknown id
-        avro_io.write_avro(mp, EQ_MANIFEST_SCHEMA, entries)
+        avro_io.write_avro(mp, EQ_GLOBAL_MANIFEST_SCHEMA, entries)
         t2 = IcebergTable(spark, d)
         with pytest.raises(NotImplementedError, match="equality"):
             t2.scan().collect()
@@ -687,3 +687,176 @@ class TestFieldIdResolution:
             tuple(r) for r in t.scan(resolve_by_field_id=True).collect()
         }
         assert by_id == by_name and len(by_id) == 10
+
+
+class TestRound8Hardening:
+    """VERDICT r7 missing #3/#4, wrong #2/#3, next #2/#7/#8 + ADVICE
+    r7 #2/#3: partition-scoped equality deletes, non-parquet refusal,
+    delete-file pruning, path-suffix fallback, typed empty scan,
+    timestamp time travel."""
+
+    def test_equality_delete_partition_scoped(self, spark, tmp_path):
+        """Spec rule: an equality delete written under a PARTITIONED
+        spec applies only within its recorded partition — the same
+        entity_id living in another partition survives."""
+        from iceberg_fixture import IcebergFixture
+
+        d = str(tmp_path / "eqscope")
+        fx = IcebergFixture(d)
+        fx.append([
+            _row("user", "dup", "clicks", 1.0, 100),
+            _row("merchant", "dup", "volume", 2.0, 100),
+            _row("user", "u2", "clicks", 3.0, 100),
+        ])
+        fx.eq_delete(["dup"], partition=("user", 100))
+        fx.finish()
+        t = IcebergTable(spark, d)
+        got = {
+            (r["entity_type"], r["entity_id"])
+            for r in t.scan().collect()
+        }
+        # user/dup deleted; merchant/dup SURVIVES (different partition)
+        assert got == {("merchant", "dup"), ("user", "u2")}
+
+    def test_equality_delete_global_spans_partitions(
+        self, spark, tmp_path
+    ):
+        """A delete under the UNPARTITIONED spec is global."""
+        from iceberg_fixture import IcebergFixture
+
+        d = str(tmp_path / "eqglobal")
+        fx = IcebergFixture(d)
+        fx.append([
+            _row("user", "dup", "clicks", 1.0, 100),
+            _row("merchant", "dup", "volume", 2.0, 100),
+        ])
+        fx.eq_delete(["dup"])  # global
+        fx.finish()
+        t = IcebergTable(spark, d)
+        assert t.scan().count() == 0
+
+    def test_non_parquet_data_file_refuses_loudly(self, spark, tmp_path):
+        from iceberg_fixture import MANIFEST_SCHEMA, IcebergFixture
+
+        d = str(tmp_path / "orc")
+        fx = IcebergFixture(d)
+        fx.append([_row("user", "u1", "clicks", 1.0, 100)])
+        fx.finish()
+        t = IcebergTable(spark, d)
+        mlist = t._resolve(t._snapshot(None)["manifest-list"])
+        recs, _ = avro_io.read_avro(mlist)
+        mp = t._resolve(recs[0]["manifest_path"])
+        entries, _ = avro_io.read_avro(mp)
+        entries[0]["data_file"]["file_format"] = "ORC"
+        avro_io.write_avro(mp, MANIFEST_SCHEMA, entries)
+        t2 = IcebergTable(spark, d)
+        with pytest.raises(NotImplementedError, match="ORC"):
+            t2.data_files()
+
+    def test_delete_files_pruned_by_partition(self, spark, tmp_path):
+        """A positional-delete file whose partition can't match the
+        scan filters is dropped from the plan at the FILE-LIST level
+        (its data files are pruned too, so correctness is unaffected
+        and the scan skips the delete parquet I/O)."""
+        from iceberg_fixture import IcebergFixture
+
+        d = str(tmp_path / "delprune")
+        fx = IcebergFixture(d)
+        fx.append([
+            _row("user", "u1", "clicks", 1.0, 100),
+            _row("user", "u2", "clicks", 2.0, 100),
+            _row("merchant", "m1", "volume", 3.0, 100),
+        ])
+        fx.pos_delete([("user", 100, 0), ("merchant", 100, 0)])
+        fx.finish()
+        t = IcebergTable(spark, d)
+        all_dels = [
+            f for f in t.data_files(None, None) if f["is_delete"]
+        ]
+        assert len(all_dels) == 2  # one per partition
+        pruned = [
+            f
+            for f in t.data_files(
+                None, [("entity_type", "=", "user")]
+            )
+            if f["is_delete"]
+        ]
+        assert len(pruned) == 1
+        # and the scan result is still correct
+        got = {
+            r["entity_id"]
+            for r in t.scan(
+                filters=[("entity_type", "=", "user")]
+            ).collect()
+        }
+        assert got == {"u2"}
+
+    def test_path_suffix_fallback_outside_data_dir(self):
+        from feature_store_spark.sources.iceberg import _path_suffix
+
+        assert _path_suffix("/t/data/f.parquet") == "data/f.parquet"
+        assert _path_suffix("file:///t/data/f.parquet") == "data/f.parquet"
+        # write.data.path pointing elsewhere: full path, never ''
+        assert _path_suffix("/bucket/files/f.parquet") == (
+            "/bucket/files/f.parquet"
+        )
+        assert _path_suffix("file:///bucket/files/f.parquet") == (
+            "/bucket/files/f.parquet"
+        )
+
+    def test_scan_with_no_data_files_is_typed(self, spark, tmp_path):
+        """A snapshot with zero data files returns an EMPTY frame with
+        the table schema's columns/types (not a ParseException)."""
+        from iceberg_fixture import IcebergFixture
+
+        d = str(tmp_path / "emptytyped")
+        fx = IcebergFixture(d)
+        fx.eq_delete(["ghost"])  # delete-only table: no data files
+        fx.finish()
+        t = IcebergTable(spark, d)
+        df = t.scan()
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == [
+            "entity_type", "entity_id", "feature_name",
+            "value_float", "event_time",
+        ]
+        assert dict(df.dtypes)["value_float"] == "double"
+
+    def test_time_travel_by_timestamp(self, spark, tmp_path):
+        """scan(as_of_ms=...) resolves the snapshot current at that
+        instant: the latest snapshot with timestamp-ms <= as_of_ms."""
+        from iceberg_fixture import IcebergFixture
+
+        d = str(tmp_path / "asof")
+        fx = IcebergFixture(d)
+        fx.append([_row("user", "u1", "clicks", 1.0, 100)])  # snap 1
+        fx.append([_row("user", "u2", "clicks", 2.0, 101)])  # snap 2
+        fx.finish()
+        t = IcebergTable(spark, d)
+        snaps = dict((sid, ts) for sid, ts in t.snapshots())
+        ts1, ts2 = snaps[1], snaps[2]
+        assert t.scan(as_of_ms=ts1).count() == 1
+        assert t.scan(as_of_ms=ts2).count() == 2
+        # between the two commits: still the first snapshot
+        assert t.scan(as_of_ms=ts2 - 1).count() == 1
+        with pytest.raises(ValueError, match="no snapshot"):
+            t.scan(as_of_ms=ts1 - 10)
+        with pytest.raises(ValueError, match="not both"):
+            t.scan(snapshot_id=1, as_of_ms=ts1)
+
+    def test_many_manifest_plan_pools_decode(self, spark, tmp_path):
+        """A table with many manifests still plans correctly (the
+        pooled decode path: >1 uncached manifest)."""
+        from iceberg_fixture import IcebergFixture
+
+        d = str(tmp_path / "manymani")
+        fx = IcebergFixture(d)
+        for i in range(8):  # 8 appends -> 8 manifests
+            fx.append([_row("user", f"u{i}", "clicks", float(i), 100 + i)])
+        fx.finish()
+        t = IcebergTable(spark, d)
+        assert t.scan().count() == 8
+        assert (
+            len(t.data_files(None, [("event_time", ">=",
+                                     104 * US_PER_DAY)])) == 4
+        )

@@ -3675,6 +3675,124 @@ GROUP BY o_orderstatus
 """
 
 
+def q_delta_dv_scan(spark, sf_dir):
+    """Delta DELETION VECTORS under the oracle gate (VERDICT r7 next
+    #1): export orders into a Delta table, run a merge-on-read
+    ``DELETE WHERE o_orderpriority = '1-URGENT'`` that rewrites NO
+    parquet — the matched row ordinals land in one RoaringBitmapArray
+    ``.bin`` file (the protocol's portable format, sources/roaring.py)
+    and the commit re-adds each touched file with its DV descriptor —
+    then scan with a partition + stats predicate. The scan's
+    anti-join on (file, _metadata.row_index) must drop exactly the
+    deleted rows, so the aggregate equals the relational oracle with
+    the delete folded into the WHERE clause."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.delta import (
+        DeltaTable,
+        delta_append,
+        delta_delete_where,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-delta-dv-")
+    try:
+        delta_append(orders, scratch, partition_cols=["o_orderstatus"])
+        delta_delete_where(
+            spark, scratch, [("o_orderpriority", "=", "1-URGENT")]
+        )
+        t = DeltaTable(spark, scratch)
+        df = t.scan(
+            filters=[
+                ("o_orderstatus", "in", ["F", "O"]),
+                ("o_totalprice", ">", 50_000.0),
+            ]
+        )
+        out = df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r6(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+            ).alias("sum_price"),
+            _r6(F.max("o_totalprice")).alias("max_price"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+DELTA_DV_SCAN_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS sum_price,
+       round(max(o_totalprice), 6) AS max_price
+FROM orders
+WHERE o_orderstatus IN ('F', 'O') AND o_totalprice > 50000.0
+  AND o_orderpriority <> '1-URGENT'
+GROUP BY o_orderstatus
+"""
+
+
+def q_delta_column_mapping(spark, sf_dir):
+    """Delta COLUMN MAPPING (id mode) under the oracle gate: export
+    customer into a mapped Delta table — parquet files carry
+    ``col-<hex>`` physical names + field ids, the schemaString records
+    the logical mapping, partitionValues/stats key by physical names —
+    then scan with logical-name filters. Pruning translates through
+    the mapping and the frame comes back with LOGICAL columns, so the
+    aggregate equals the plain relational oracle on customer."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.delta import DeltaTable, delta_append
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "c_nationkey"
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-delta-map-")
+    try:
+        delta_append(
+            customer,
+            scratch,
+            partition_cols=["c_mktsegment"],
+            column_mapping="id",
+        )
+        t = DeltaTable(spark, scratch)
+        df = t.scan(
+            filters=[
+                ("c_mktsegment", "in", ["BUILDING", "MACHINERY"]),
+                ("c_acctbal", ">", 0.0),
+            ]
+        )
+        out = df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _r6(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+            ).alias("sum_bal"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+DELTA_COLUMN_MAPPING_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS sum_bal,
+       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal > 0.0
+GROUP BY c_mktsegment
+"""
+
+
 def q_iceberg_mor_delete(spark, sf_dir):
     """Merge-on-read DELETE WHERE under the oracle gate: export
     events as feature records into an Iceberg table, commit ONE
@@ -6836,6 +6954,11 @@ QUERIES: dict[str, tuple] = {
     "iceberg_scan": (q_iceberg_scan, ICEBERG_SCAN_SQL),
     "iceberg_mor_delete": (q_iceberg_mor_delete, ICEBERG_MOR_DELETE_SQL),
     "delta_scan": (q_delta_scan, DELTA_SCAN_SQL),
+    "delta_dv_scan": (q_delta_dv_scan, DELTA_DV_SCAN_SQL),
+    "delta_column_mapping": (
+        q_delta_column_mapping,
+        DELTA_COLUMN_MAPPING_SQL,
+    ),
     "incremental_agg": (q_incremental_agg, INCREMENTAL_AGG_SQL),
     "stream_incremental_agg": (q_stream_incremental_agg, INCREMENTAL_AGG_SQL),
     "segment_dedup": (q_segment_dedup, SEGMENT_DEDUP_SQL),

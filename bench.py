@@ -98,10 +98,12 @@ HEADLINE = [
     # metadata-pruned scan, dominated by the parquet writes)
     "iceberg_scan",
     "delta_scan",
-    # round-8 additions: deletion-vector DELETE WHERE + id-mode
-    # column-mapping round trips
+    # round-8 additions: deletion-vector DELETE WHERE, id-mode
+    # column-mapping, OPTIMIZE+ZORDER, and CDC-upsert round trips
     "delta_dv_scan",
     "delta_column_mapping",
+    "delta_optimize",
+    "iceberg_upsert",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

@@ -3684,6 +3684,140 @@ GROUP BY o_orderstatus
 """
 
 
+def q_iceberg_upsert(spark, sf_dir):
+    """Merge-on-read UPSERT (the Flink-CDC sink shape): append one
+    feature record per user (value = event count), then upsert the
+    ``user_id % 7 == 0`` slice with DOUBLED values — ONE snapshot
+    carrying a global equality-delete of those keys plus the new data
+    files, no data file rewritten. The spec's sequence rule keeps the
+    snapshot's own rows alive while killing every older version of
+    each key, so the scan aggregate equals the relational oracle's
+    latest-wins CASE expression."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_upsert,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("value_float"),
+            F.max("ts").alias("event_time"),
+        )
+        .select(
+            F.lit("user").alias("entity_type"),
+            F.col("user_id").cast("string").alias("entity_id"),
+            "value_float",
+            "event_time",
+        )
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-iceberg-upsert-")
+    try:
+        iceberg_append(base, scratch)
+        upd = (
+            ev.filter(F.col("user_id") % 7 == 0)
+            .groupBy("user_id")
+            .agg(
+                (F.count(F.lit(1)) * 2).cast("double")
+                .alias("value_float"),
+                F.max("ts").alias("event_time"),
+            )
+            .select(
+                F.lit("user").alias("entity_type"),
+                F.col("user_id").cast("string").alias("entity_id"),
+                "value_float",
+                "event_time",
+            )
+        )
+        iceberg_upsert(upd, scratch, keys=["entity_id"])
+        t = IcebergTable(spark, scratch)
+        out = t.scan().agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            _r6(F.sum("value_float")).alias("sum_val"),
+            _r6(F.max("value_float")).alias("max_val"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+ICEBERG_UPSERT_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(CASE WHEN user_id % 7 = 0 THEN v * 2 ELSE v END), 6)
+         AS sum_val,
+       round(max(CASE WHEN user_id % 7 = 0 THEN v * 2 ELSE v END), 6)
+         AS max_val
+FROM per_user
+"""
+
+
+def q_delta_optimize(spark, sf_dir):
+    """Transactional OPTIMIZE with Z-ORDER under the oracle gate:
+    export orders as MANY small files, delete a slice via deletion
+    vectors, then ``delta_optimize(zorder_by=[o_orderkey,
+    o_custkey])`` — the DVs materialize away, the small files bin-pack
+    into Morton-clustered outputs with dataChange:false, and the scan
+    aggregate still equals the relational oracle with the delete
+    folded into WHERE. File count strictly drops and both-dimension
+    pruning is asserted in tests/test_delta.py::TestOptimize."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.delta import (
+        DeltaTable,
+        delta_append,
+        delta_delete_where,
+        delta_optimize,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-delta-opt-")
+    try:
+        delta_append(orders.repartition(16), scratch)
+        delta_delete_where(
+            spark, scratch, [("o_orderstatus", "=", "P")]
+        )
+        delta_optimize(
+            spark,
+            scratch,
+            zorder_by=["o_orderkey", "o_custkey"],
+        )
+        t = DeltaTable(spark, scratch)
+        df = t.scan(filters=[("o_totalprice", ">", 100_000.0)])
+        out = df.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r6(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+            ).alias("sum_price"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+DELTA_OPTIMIZE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS sum_price,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM orders
+WHERE o_totalprice > 100000.0 AND o_orderstatus <> 'P'
+"""
+
+
 def q_delta_dv_scan(spark, sf_dir):
     """Delta DELETION VECTORS under the oracle gate (VERDICT r7 next
     #1): export orders into a Delta table, run a merge-on-read
@@ -6964,6 +7098,8 @@ QUERIES: dict[str, tuple] = {
     "iceberg_mor_delete": (q_iceberg_mor_delete, ICEBERG_MOR_DELETE_SQL),
     "delta_scan": (q_delta_scan, DELTA_SCAN_SQL),
     "delta_dv_scan": (q_delta_dv_scan, DELTA_DV_SCAN_SQL),
+    "delta_optimize": (q_delta_optimize, DELTA_OPTIMIZE_SQL),
+    "iceberg_upsert": (q_iceberg_upsert, ICEBERG_UPSERT_SQL),
     "delta_column_mapping": (
         q_delta_column_mapping,
         DELTA_COLUMN_MAPPING_SQL,
@@ -7198,6 +7334,8 @@ _R7_WINDOW = [
 _R8_WINDOW = [
     "delta_dv_scan",
     "delta_column_mapping",
+    "delta_optimize",
+    "iceberg_upsert",
     "delta_scan",
     "stream_delta_sink",
     "iceberg_scan",
@@ -7244,10 +7382,9 @@ _R8_WINDOW = [
     "vector_slots",
     "view_transform",
     "zorder_key",
-    # r4-only leftovers
+    # r4-only leftover (ivf_assign / simhash_pigeonhole stay on their
+    # r4 rows; the full-catalog oracle pytest re-grades them anyway)
     "embedding_topk",
-    "ivf_assign",
-    "simhash_pigeonhole",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R8_WINDOW},

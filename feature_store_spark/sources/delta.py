@@ -929,6 +929,236 @@ def delta_append(
     return version
 
 
+def delta_optimize(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 << 20,
+    zorder_by: list[str] | None = None,
+) -> tuple[int, int, int]:
+    """Transactional OPTIMIZE: per partition, bin-pack small files
+    into ~``target_file_bytes`` outputs and commit the swap as
+    remove+add actions with ``dataChange: false`` (readers of any
+    version see identical rows — the Delta OPTIMIZE contract). Files
+    carrying DELETION VECTORS are always rewritten with their deleted
+    rows materialized away, so OPTIMIZE doubles as DV compaction.
+
+    ``zorder_by=[col, col]`` (logical names) Z-ORDER-clusters each
+    partition while compacting: two numeric columns interleave through
+    ``functions.zorder2_expr`` (real Morton key, min-max pruning on
+    BOTH dimensions); any other arity falls back to hierarchical sort.
+    Z-ordering forces a rewrite of every file in the partition.
+
+    The 100 TB physics: continuously-appended tables accumulate
+    KB-scale files whose footer/open overhead dominates scans; the
+    rewrite is executor work (coalesce per partition — no shuffle
+    unless Z-ordering, which needs the range partition), the commit is
+    driver metadata. Column-mapped tables rewrite PHYSICAL columns
+    byte-for-byte (no unmapping round trip). Returns
+    ``(version, files_removed, files_added)``."""
+    import math
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    t = DeltaTable(spark, table_dir)
+    version = t.latest_version() + 1
+    meta, _, _ = t._state(None)
+    mode, fields = t._mapping(meta)
+    logical_parts = meta.get("partitionColumns") or []
+    log2phys = {f["name"]: f["physical"] for f in fields}
+    part_phys = [log2phys.get(c, c) for c in logical_parts]
+    zphys = [log2phys.get(c, c) for c in (zorder_by or [])]
+    for c in zorder_by or []:
+        if c not in log2phys:
+            raise ValueError(f"zorder column {c!r} is not in the schema")
+    data_cols = [
+        f["physical"] for f in fields if f["name"] not in logical_parts
+    ]
+
+    adds = t.data_files(None, None)
+    groups: dict[tuple, list[dict]] = {}
+    for a in adds:
+        pv = tuple(
+            (a.get("partitionValues") or {}).get(c) for c in part_phys
+        )
+        groups.setdefault(pv, []).append(a)
+
+    removes: list[dict] = []
+    new_adds: list[dict] = []
+    for pv, group in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        if zorder_by:
+            cands = list(group)
+        else:
+            cands = [
+                a
+                for a in group
+                if a.get("deletionVector")
+                or (a.get("size") or 0) < int(target_file_bytes)
+            ]
+        has_dv = any(a.get("deletionVector") for a in cands)
+        if not cands or (len(cands) < 2 and not has_dv and not zorder_by):
+            continue
+        paths = [os.path.join(t.path, a["path"]) for a in cands]
+        df = spark.read.parquet(*paths)
+        if has_dv:
+            import pandas as pd
+
+            rows = []
+            for a in cands:
+                if not a.get("deletionVector"):
+                    continue
+                p = os.path.abspath(os.path.join(t.path, a["path"]))
+                rows.extend(
+                    (p, pos)
+                    for pos in t._load_dv(a["deletionVector"])
+                )
+            tagged = df.withColumn(
+                "__fp",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ),
+            ).withColumn("__pos", F.col("_metadata.row_index"))
+            if rows:
+                dv_df = F.broadcast(
+                    spark.createDataFrame(
+                        pd.DataFrame(
+                            rows, columns=["__del_fp", "__del_pos"]
+                        )
+                    )
+                )
+                tagged = tagged.join(
+                    dv_df,
+                    (tagged["__fp"] == dv_df["__del_fp"])
+                    & (tagged["__pos"] == dv_df["__del_pos"]),
+                    "left_anti",
+                )
+            df = tagged.drop("__fp", "__pos")
+        total = sum(int(a.get("size") or 0) for a in cands)
+        n_out = max(1, math.ceil(total / int(target_file_bytes)))
+        if zphys:
+            if len(zphys) == 2:
+                from feature_store_spark.functions import zorder2_expr
+
+                zkey = zorder2_expr(F.col(zphys[0]), F.col(zphys[1]))
+            else:
+                zkey = F.struct(*[F.col(c) for c in zphys])
+            df = df.repartitionByRange(n_out, zkey).sortWithinPartitions(
+                zkey
+            )
+        else:
+            df = df.coalesce(n_out)
+
+        staging = os.path.join(
+            table_dir, f".optimize-{_uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("overwrite").parquet(staging)
+        segs = [
+            f"{c}={v}"
+            for c, v in zip(part_phys, pv)
+            if v is not None
+        ]
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.join(
+                *segs, f"part-{version:05d}-{_uuid.uuid4().hex}.parquet"
+            )
+            tgt_dir = os.path.join(table_dir, *segs)
+            os.makedirs(tgt_dir, exist_ok=True)
+            os.replace(
+                os.path.join(staging, name),
+                os.path.join(table_dir, rel),
+            )
+            fpath = os.path.join(table_dir, rel)
+            md = pq.ParquetFile(fpath).metadata
+            mins: dict[str, Any] = {}
+            maxs: dict[str, Any] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    cname = col.path_in_schema
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or cname not in data_cols
+                    ):
+                        continue
+                    mn, mx = _json_stat(st.min), _json_stat(st.max)
+                    if mn is None or mx is None:
+                        continue
+                    mins[cname] = (
+                        mn if cname not in mins else min(mins[cname], mn)
+                    )
+                    maxs[cname] = (
+                        mx if cname not in maxs else max(maxs[cname], mx)
+                    )
+            new_adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": dict(zip(part_phys, pv)),
+                        "size": os.path.getsize(fpath),
+                        "modificationTime": 0,
+                        "dataChange": False,
+                        "stats": json.dumps(
+                            {
+                                "numRecords": md.num_rows,
+                                "minValues": mins,
+                                "maxValues": maxs,
+                            }
+                        ),
+                    }
+                }
+            )
+        import shutil as _sh
+
+        _sh.rmtree(staging, ignore_errors=True)
+        for a in cands:
+            removes.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "dataChange": False,
+                        "deletionTimestamp": 0,
+                        "partitionValues": a.get("partitionValues")
+                        or {},
+                        "size": a.get("size"),
+                    }
+                }
+            )
+    if not removes:
+        raise ValueError(
+            f"{table_dir}: nothing to optimize (every file already "
+            f">= {target_file_bytes} bytes, no deletion vectors)"
+        )
+    import time as _time
+
+    actions = (
+        [
+            {
+                "commitInfo": {
+                    "timestamp": int(_time.time() * 1000),
+                    "operation": "OPTIMIZE",
+                }
+            }
+        ]
+        + removes
+        + new_adds
+    )
+    commit = os.path.join(
+        table_dir, "_delta_log", f"{version:020d}.json"
+    )
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.replace(tmp, commit)
+    return version, len(removes), len(new_adds)
+
+
 def delta_checkpoint(spark: SparkSession, table_dir: str) -> int:
     """Write a classic single-file parquet CHECKPOINT of the table's
     latest state (``%020d.checkpoint.parquet`` + ``_last_checkpoint``)

@@ -205,25 +205,55 @@ def _to_micros(v) -> int:
     return int(v)
 
 
+UNPARTITIONED_SPEC_ID = 1
+
+
+def _eq_manifest_schema() -> dict:
+    """Manifest-entry schema for GLOBAL equality-delete files: the
+    unpartitioned partition struct plus the spec's equality_ids."""
+    s = manifest_schema([])
+    s["fields"][4]["type"]["fields"].append(
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int"}]}
+    )
+    s["fields"][4]["type"]["name"] = "r2equ"
+    return s
+
+
 def iceberg_append(
     df: DataFrame,
     table_dir: str,
     entity_col: str = "entity_type",
     ts_col: str = "event_time",
     schema_fields: list[dict] | None = None,
+    upsert_keys: list[str] | None = None,
 ) -> int:
     """Append ``df`` to (or create) an Iceberg v2 table partitioned
     identity(entity_col) + day(ts_col) — the reference's offline-store
     spec. Returns the committed snapshot id. Data files are written by
     Spark via shadow partition columns (source columns stay in the
     files, as Iceberg data files must); the commit is driver metadata
-    work over the written files' parquet footers."""
+    work over the written files' parquet footers.
+
+    ``upsert_keys=[cols]`` turns the commit into a merge-on-read
+    UPSERT (the Flink-CDC write shape): the SAME snapshot carries a
+    GLOBAL equality-delete file of ``df``'s distinct key tuples
+    (written by executors, recorded under the unpartitioned spec) plus
+    the new data files. The spec's sequencing rule does the rest — the
+    delete at sequence s removes matching rows only from data files
+    with sequence < s, and the snapshot's own data files share
+    sequence s, so new rows survive and every OLDER version of each
+    key dies, across ALL partitions, without rewriting a single data
+    file."""
     spark = df.sparkSession
     if schema_fields is None:
         schema_fields = _infer_fields(df)
     by_name = {f["name"]: f for f in schema_fields}
     if entity_col not in by_name or ts_col not in by_name:
         raise ValueError("entity/ts columns must be in the schema")
+    for k in upsert_keys or []:
+        if k not in by_name:
+            raise ValueError(f"upsert key {k!r} is not in the schema")
     ent_id, ts_id = by_name[entity_col]["id"], by_name[ts_col]["id"]
 
     data_dir = os.path.join(table_dir, "data")
@@ -312,6 +342,74 @@ def iceberg_append(
     )
     mpath = os.path.join(meta_dir, f"manifest-{snap_id}.avro")
     write_avro(mpath, mschema, entries, codec="deflate")
+
+    delete_manifests: list[dict] = []
+    if upsert_keys:
+        import pyarrow.parquet as pq
+
+        key_ids = [by_name[k]["id"] for k in upsert_keys]
+        del_dir = os.path.join(
+            table_dir, "data",
+            f"eq-deletes-{snap_id}-{uuid.uuid4().hex[:8]}",
+        )
+        # distinct key tuples, written by executors
+        df.select(*upsert_keys).distinct().write.parquet(del_dir)
+        del_entries = []
+        for name in sorted(os.listdir(del_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(del_dir, name)
+            n_rows = pq.ParquetFile(fpath).metadata.num_rows
+            if n_rows == 0:
+                continue
+            del_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": snap_id,
+                    "file_sequence_number": snap_id,
+                    "data_file": {
+                        "content": 2,  # EQUALITY DELETES
+                        "file_path": fpath,
+                        "file_format": "PARQUET",
+                        "partition": {},  # unpartitioned spec: global
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(fpath),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": key_ids,
+                    },
+                }
+            )
+        if del_entries:
+            dm_path = os.path.join(
+                meta_dir, f"manifest-eqdel-{snap_id}.avro"
+            )
+            write_avro(
+                dm_path, _eq_manifest_schema(), del_entries,
+                codec="deflate",
+            )
+            delete_manifests.append(
+                {
+                    "manifest_path": dm_path,
+                    "manifest_length": os.path.getsize(dm_path),
+                    "partition_spec_id": UNPARTITIONED_SPEC_ID,
+                    "content": 1,  # delete manifest
+                    "sequence_number": snap_id,
+                    "min_sequence_number": snap_id,
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": len(del_entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(
+                        e["data_file"]["record_count"]
+                        for e in del_entries
+                    ),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "partitions": None,
+                }
+            )
     ets = [p[0] for p in part_rows]
     days = [p[1] for p in part_rows]
     manifest_rec = {
@@ -339,7 +437,7 @@ def iceberg_append(
              "upper_bound": struct.pack("<i", max(days))},
         ],
     }
-    manifests = prev_manifests + [manifest_rec]
+    manifests = prev_manifests + delete_manifests + [manifest_rec]
     mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
     write_avro(mlist, MANIFEST_LIST_SCHEMA, manifests, codec="deflate")
 
@@ -347,7 +445,9 @@ def iceberg_append(
         "snapshot-id": snap_id,
         "timestamp-ms": 1700000000000 + snap_id,
         "sequence-number": snap_id,
-        "summary": {"operation": "append"},
+        "summary": {
+            "operation": "overwrite" if upsert_keys else "append"
+        },
         "manifest-list": mlist,
         "schema-id": 0,
     }
@@ -369,7 +469,11 @@ def iceberg_append(
             {"type": "struct", "schema-id": 0, "fields": schema_fields}
         ],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec}],
+        "partition-specs": [
+            {"spec-id": 0, "fields": spec},
+            # global equality deletes commit under this spec
+            {"spec-id": UNPARTITIONED_SPEC_ID, "fields": []},
+        ],
         "last-partition-id": 1001,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
@@ -431,6 +535,29 @@ def _load_prev(meta_dir: str):
         if s["snapshot-id"] == cur:
             prev_manifests, _ = read_avro(s["manifest-list"])
     return meta, prev_manifests, v + 1
+
+
+def iceberg_upsert(
+    df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    entity_col: str = "entity_type",
+    ts_col: str = "event_time",
+    schema_fields: list[dict] | None = None,
+) -> int:
+    """Merge-on-read UPSERT: one snapshot = a global equality-delete
+    of ``df``'s key tuples + the new data files (see
+    :func:`iceberg_append` ``upsert_keys``). The CDC sink shape: every
+    older version of each key dies table-wide, the new rows land, no
+    data file is rewritten."""
+    return iceberg_append(
+        df,
+        table_dir,
+        entity_col=entity_col,
+        ts_col=ts_col,
+        schema_fields=schema_fields,
+        upsert_keys=list(keys),
+    )
 
 
 def iceberg_delete_where(

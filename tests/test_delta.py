@@ -630,3 +630,111 @@ class TestCheckpointWriterAndTimeTravel:
         t = DeltaTable(spark, f"{d}/t")
         assert t.scan().count() == 15
         assert t.txn_version("app") == 4
+
+
+class TestOptimize:
+    def test_binpack_preserves_rows_and_shrinks_file_count(
+        self, spark, tmp_path
+    ):
+        """OPTIMIZE bin-packs small files per partition with
+        dataChange:false — identical rows, fewer files, old versions
+        intact."""
+        from feature_store_spark.sources.delta import delta_optimize
+
+        d = str(tmp_path / "opt")
+        df = spark.range(200).select(
+            F.when(F.col("id") % 2 == 0, "u").otherwise("v")
+            .alias("etype"),
+            F.col("id").alias("eid"),
+            (F.col("id") * 1.5).alias("val"),
+        ).repartition(8)  # many small files per partition
+        delta_append(df, d, ["etype"])
+        t0 = DeltaTable(spark, d)
+        before = t0.scan()
+        n_files_before = len(before.inputFiles())
+        want = {(r["etype"], r["eid"]) for r in before.collect()}
+        v, removed, added = delta_optimize(spark, d)
+        assert v == 1 and removed == n_files_before and added == 2
+        t = DeltaTable(spark, d)
+        after = t.scan()
+        assert len(after.inputFiles()) == 2  # one per partition
+        assert {(r["etype"], r["eid"]) for r in after.collect()} == want
+        # version 0 untouched
+        assert t.scan(version=0).count() == 200
+        # stats survive the rewrite: pruning still works
+        pruned = t.scan(filters=[("val", ">", 250.0)])
+        assert 0 < len(pruned.inputFiles()) <= 2
+
+    def test_optimize_materializes_deletion_vectors(
+        self, spark, tmp_path
+    ):
+        from feature_store_spark.sources.delta import (
+            delta_delete_where,
+            delta_optimize,
+        )
+
+        d = str(tmp_path / "optdv")
+        df = spark.range(100).coalesce(2).select(
+            F.col("id").alias("eid"), (F.col("id") * 2.0).alias("val")
+        )
+        delta_append(df, d)
+        delta_delete_where(spark, d, [("eid", "<", 30)])
+        v, removed, added = delta_optimize(spark, d)
+        t = DeltaTable(spark, d)
+        # no DV descriptors survive; rows match the post-delete state
+        assert not any(
+            a.get("deletionVector") for a in t.data_files()
+        )
+        assert {r["eid"] for r in t.scan().collect()} == set(
+            range(30, 100)
+        )
+
+    def test_zorder_clusters_both_dimensions(self, spark, tmp_path):
+        """Z-ORDER while compacting: after optimize(zorder_by=[x,y]),
+        file-level min/max prune on BOTH dimensions."""
+        from feature_store_spark.sources.delta import delta_optimize
+
+        d = str(tmp_path / "optz")
+        df = spark.range(4096).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / F.lit(64)).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        ).repartition(8)
+        delta_append(df, d)
+        delta_optimize(
+            spark, d, target_file_bytes=8 << 10, zorder_by=["x", "y"]
+        )
+        t = DeltaTable(spark, d)
+        all_files = len(t.scan().inputFiles())
+        assert all_files >= 4
+        # corner query prunes on BOTH x and y (a linear sort would
+        # only ever prune its leading column)
+        fx = len(t.data_files(filters=[("x", "<", 8)]))
+        fy = len(t.data_files(filters=[("y", "<", 8)]))
+        assert fx < all_files and fy < all_files
+
+    def test_optimize_composes_with_column_mapping(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import delta_optimize
+
+        d = str(tmp_path / "optmap")
+        df = spark.range(60).select(
+            F.when(F.col("id") % 2 == 0, "u").otherwise("v")
+            .alias("etype"),
+            F.col("id").alias("eid"),
+        ).repartition(6)
+        delta_append(df, d, ["etype"], column_mapping="name")
+        v, removed, added = delta_optimize(spark, d)
+        t = DeltaTable(spark, d)
+        assert added == 2 and removed > added
+        got = {r["eid"] for r in t.scan().collect()}
+        assert got == set(range(60))
+        assert set(t.scan().columns) == {"etype", "eid"}
+
+    def test_optimize_nothing_to_do_refuses(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import delta_optimize
+
+        d = str(tmp_path / "optnone")
+        df = spark.range(10).coalesce(1).select(F.col("id").alias("eid"))
+        delta_append(df, d)
+        with pytest.raises(ValueError, match="nothing to optimize"):
+            delta_optimize(spark, d, target_file_bytes=1)

@@ -860,3 +860,103 @@ class TestRound8Hardening:
             len(t.data_files(None, [("event_time", ">=",
                                      104 * US_PER_DAY)])) == 4
         )
+
+
+class TestIcebergUpsert:
+    def test_upsert_replaces_keys_across_partitions(
+        self, spark, tmp_path
+    ):
+        """One upsert snapshot = global eq-delete + new data files:
+        older versions of each key die across ALL partitions, the
+        snapshot's own rows survive (sequence rule), no data file is
+        rewritten, and pre-upsert time travel still sees the old
+        rows."""
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_upsert,
+        )
+
+        d = str(tmp_path / "upsert")
+        base = spark.createDataFrame(
+            [
+                ("user", "k1", 1.0), ("user", "k2", 2.0),
+                ("merchant", "k1", 10.0),  # same key, other partition
+                ("merchant", "k3", 30.0),
+            ],
+            "entity_type string, entity_id string, value_float double",
+        ).withColumn("event_time", F.timestamp_seconds(F.lit(100)))
+        iceberg_append(base, d)
+        files_before = sorted(
+            str(p)
+            for p in __import__("pathlib").Path(d, "data").rglob("*.parquet")
+        )
+        new = spark.createDataFrame(
+            [("user", "k1", 100.0), ("user", "k9", 900.0)],
+            "entity_type string, entity_id string, value_float double",
+        ).withColumn(
+            "event_time", F.timestamp_seconds(F.lit(200_000))
+        )  # later day: different partition than the old k1 rows
+        iceberg_upsert(new, d, keys=["entity_id"])
+        t = IcebergTable(spark, d)
+        got = {
+            (r["entity_type"], r["entity_id"], r["value_float"])
+            for r in t.scan().collect()
+        }
+        # k1 died EVERYWHERE (both user and merchant partitions);
+        # k2/k3 untouched; the upsert's own rows live
+        assert got == {
+            ("user", "k1", 100.0),
+            ("user", "k9", 900.0),
+            ("user", "k2", 2.0),
+            ("merchant", "k3", 30.0),
+        }
+        # merge-on-read: every pre-upsert data file still on disk
+        files_after = set(
+            str(p)
+            for p in __import__("pathlib").Path(d, "data").rglob("*.parquet")
+        )
+        assert set(files_before) <= files_after
+        # time travel: the pre-upsert snapshot is intact
+        first = [s[0] for s in t.snapshots()][0]
+        assert t.scan(snapshot_id=first).count() == 4
+
+    def test_upsert_chain_latest_wins(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_upsert,
+        )
+
+        d = str(tmp_path / "chain")
+
+        def frame(val):
+            return spark.createDataFrame(
+                [("user", "k", float(val))],
+                "entity_type string, entity_id string, "
+                "value_float double",
+            ).withColumn(
+                "event_time", F.timestamp_seconds(F.lit(100 + val))
+            )
+
+        iceberg_append(frame(1), d)
+        iceberg_upsert(frame(2), d, keys=["entity_id"])
+        iceberg_upsert(frame(3), d, keys=["entity_id"])
+        t = IcebergTable(spark, d)
+        assert [
+            r["value_float"] for r in t.scan().collect()
+        ] == [3.0]
+
+    def test_upsert_unknown_key_refused(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import iceberg_upsert
+
+        df = spark.createDataFrame(
+            [("user", "k", 1.0)],
+            "entity_type string, entity_id string, value_float double",
+        ).withColumn("event_time", F.timestamp_seconds(F.lit(1)))
+        with pytest.raises(ValueError, match="upsert key"):
+            iceberg_upsert(df, str(tmp_path / "bad"), keys=["nope"])

@@ -1159,6 +1159,66 @@ def delta_optimize(
     return version, len(removes), len(new_adds)
 
 
+def delta_vacuum(
+    spark: SparkSession,
+    table_dir: str,
+    dry_run: bool = False,
+) -> list[str]:
+    """VACUUM: delete every data/DV file under the table that the
+    CURRENT version no longer references — the garbage OPTIMIZE,
+    DELETE, and overwrites leave behind. Time travel to versions
+    whose files are vacuumed stops working, exactly as in Delta
+    proper (retention there is a grace period on top of the same
+    reachability rule; this exporter-grade table has no concurrent
+    readers to grace). Returns the deleted (or, with ``dry_run``,
+    deletable) paths relative to the table root.
+
+    Driver-side metadata + unlink only: referenced-set construction
+    is one log replay, candidate listing is one directory walk."""
+    t = DeltaTable(spark, table_dir)
+    _, adds, _ = t._state(None)
+    referenced: set[str] = set()
+    for a in adds:
+        referenced.add(os.path.normpath(a["path"]))
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            import uuid as _uuid
+
+            from feature_store_spark.sources.roaring import z85_decode
+
+            enc = dv["pathOrInlineDv"]
+            prefix, tail = enc[:-20], enc[-20:]
+            u = _uuid.UUID(bytes=z85_decode(tail))
+            rel = f"deletion_vector_{u}.bin"
+            referenced.add(
+                os.path.normpath(
+                    os.path.join(prefix, rel) if prefix else rel
+                )
+            )
+    doomed: list[str] = []
+    for root, dirs, files in os.walk(t.path):
+        dirs[:] = [
+            d for d in dirs
+            if d != "_delta_log" and not d.startswith(".")
+        ]
+        for name in files:
+            if not (
+                name.endswith(".parquet")
+                or (name.startswith("deletion_vector_")
+                    and name.endswith(".bin"))
+            ):
+                continue
+            rel = os.path.normpath(
+                os.path.relpath(os.path.join(root, name), t.path)
+            )
+            if rel not in referenced:
+                doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(t.path, rel))
+    return sorted(doomed)
+
+
 def delta_checkpoint(spark: SparkSession, table_dir: str) -> int:
     """Write a classic single-file parquet CHECKPOINT of the table's
     latest state (``%020d.checkpoint.parquet`` + ``_last_checkpoint``)

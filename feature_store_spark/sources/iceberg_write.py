@@ -537,6 +537,79 @@ def _load_prev(meta_dir: str):
     return meta, prev_manifests, v + 1
 
 
+def iceberg_expire_snapshots(
+    table_dir: str,
+    keep_last: int = 1,
+    dry_run: bool = False,
+) -> dict:
+    """EXPIRE SNAPSHOTS: keep the newest ``keep_last`` snapshots
+    (always including the current one), rewrite the metadata without
+    the expired entries, and delete every manifest list, manifest,
+    and data/delete file reachable ONLY from expired snapshots — the
+    standard Iceberg maintenance op that bounds metadata growth and
+    reclaims overwritten/deleted data. Driver-side metadata walk +
+    unlink; nothing touches an executor.
+
+    Returns ``{"expired_snapshots": [...], "deleted_files": [...]}``
+    (paths; with ``dry_run`` nothing is removed)."""
+    from feature_store_spark.sources.avro_io import read_avro
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    prev_meta, _prev_manifests, snap_id = _load_prev(meta_dir)
+    if prev_meta is None:
+        raise ValueError(f"{table_dir}: not an iceberg table")
+    snaps = prev_meta.get("snapshots", [])
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    keep = snaps[-keep_last:]
+    cur = prev_meta.get("current-snapshot-id")
+    if cur is not None and all(s["snapshot-id"] != cur for s in keep):
+        raise ValueError("keep_last would expire the current snapshot")
+    expired = snaps[:-keep_last]
+    if not expired:
+        return {"expired_snapshots": [], "deleted_files": []}
+
+    def reachable(snapshots) -> tuple[set, set, set]:
+        mlists, manifests, files = set(), set(), set()
+        for s in snapshots:
+            ml = s["manifest-list"]
+            mlists.add(os.path.normpath(ml))
+            for m in read_avro(ml)[0]:
+                mp = os.path.normpath(m["manifest_path"])
+                manifests.add(mp)
+                for e in read_avro(mp)[0]:
+                    files.add(
+                        os.path.normpath(e["data_file"]["file_path"])
+                    )
+        return mlists, manifests, files
+
+    keep_ml, keep_m, keep_f = reachable(keep)
+    exp_ml, exp_m, exp_f = reachable(expired)
+    doomed = sorted(
+        (exp_ml - keep_ml) | (exp_m - keep_m) | (exp_f - keep_f)
+    )
+    if not dry_run:
+        new_meta = dict(prev_meta)
+        new_meta["snapshots"] = keep
+        tmp = os.path.join(meta_dir, f".v{snap_id}.metadata.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(new_meta, f)
+        os.replace(
+            tmp, os.path.join(meta_dir, f"v{snap_id}.metadata.json")
+        )
+        hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
+        with open(hint_tmp, "w") as f:
+            f.write(str(snap_id))
+        os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+        for p in doomed:
+            if os.path.exists(p):
+                os.remove(p)
+    return {
+        "expired_snapshots": [s["snapshot-id"] for s in expired],
+        "deleted_files": doomed,
+    }
+
+
 def iceberg_upsert(
     df: DataFrame,
     table_dir: str,

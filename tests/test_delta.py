@@ -738,3 +738,43 @@ class TestOptimize:
         delta_append(df, d)
         with pytest.raises(ValueError, match="nothing to optimize"):
             delta_optimize(spark, d, target_file_bytes=1)
+
+
+class TestVacuum:
+    def test_vacuum_reclaims_optimized_and_dv_garbage(
+        self, spark, tmp_path
+    ):
+        from feature_store_spark.sources.delta import (
+            delta_delete_where,
+            delta_optimize,
+            delta_vacuum,
+        )
+
+        d = str(tmp_path / "vac")
+        df = spark.range(100).select(
+            F.when(F.col("id") % 2 == 0, "u").otherwise("v")
+            .alias("etype"),
+            F.col("id").alias("eid"),
+        ).repartition(6)
+        delta_append(df, d, ["etype"])
+        delta_delete_where(spark, d, [("eid", "<", 10)])
+        delta_optimize(spark, d)  # materializes DVs, bin-packs
+        want = {r["eid"] for r in DeltaTable(spark, d).scan().collect()}
+        # dry run lists but keeps
+        doomed = delta_vacuum(spark, d, dry_run=True)
+        assert doomed and all(
+            os.path.exists(os.path.join(d, p)) for p in doomed
+        )
+        gone = delta_vacuum(spark, d)
+        assert gone == doomed
+        assert not any(
+            os.path.exists(os.path.join(d, p)) for p in gone
+        )
+        # the superseded DV .bin went too
+        assert not any(p.startswith("deletion_vector_") for p in (
+            n for n in os.listdir(d)))
+        # current version reads identically after the purge
+        t = DeltaTable(spark, d)
+        assert {r["eid"] for r in t.scan().collect()} == want
+        # nothing left to vacuum
+        assert delta_vacuum(spark, d) == []

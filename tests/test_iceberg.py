@@ -6,6 +6,7 @@ partition and column-stat pruning verified at the FILE-LIST level
 
 from __future__ import annotations
 
+import os
 import struct
 
 import pytest
@@ -960,3 +961,78 @@ class TestIcebergUpsert:
         ).withColumn("event_time", F.timestamp_seconds(F.lit(1)))
         with pytest.raises(ValueError, match="upsert key"):
             iceberg_upsert(df, str(tmp_path / "bad"), keys=["nope"])
+
+
+class TestExpireSnapshots:
+    def test_expire_reclaims_only_unreachable(self, spark, tmp_path):
+        """expire_snapshots keeps the newest N, deletes manifest
+        lists/manifests/files reachable ONLY from expired snapshots —
+        a file still live in the current snapshot survives even
+        though an expired snapshot also referenced it."""
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_expire_snapshots,
+            iceberg_upsert,
+        )
+
+        d = str(tmp_path / "expire")
+
+        def frame(key, val):
+            return spark.createDataFrame(
+                [("user", key, float(val))],
+                "entity_type string, entity_id string, "
+                "value_float double",
+            ).withColumn(
+                "event_time", F.timestamp_seconds(F.lit(100))
+            )
+
+        iceberg_append(frame("a", 1), d)          # snap 1
+        iceberg_upsert(frame("a", 2), d, ["entity_id"])  # snap 2
+        iceberg_append(frame("b", 3), d)          # snap 3
+        t0 = IcebergTable(spark, d)
+        assert len(t0.snapshots()) == 3
+        want = {
+            (r["entity_id"], r["value_float"])
+            for r in t0.scan().collect()
+        }
+        assert want == {("a", 2.0), ("b", 3.0)}
+        res = iceberg_expire_snapshots(d, keep_last=1, dry_run=True)
+        assert res["expired_snapshots"] == [1, 2]
+        for p in res["deleted_files"]:
+            assert os.path.exists(p)  # dry run keeps everything
+        res2 = iceberg_expire_snapshots(d, keep_last=1)
+        assert res2 == res
+        for p in res2["deleted_files"]:
+            assert not os.path.exists(p)
+        t = IcebergTable(spark, d)
+        assert len(t.snapshots()) == 1
+        got = {
+            (r["entity_id"], r["value_float"])
+            for r in t.scan().collect()
+        }
+        assert got == want  # current state intact after the purge
+        # appends keep working after expiration
+        iceberg_append(frame("c", 4), d)
+        assert IcebergTable(spark, d).scan().count() == 3
+
+    def test_expire_refuses_to_drop_current(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_expire_snapshots,
+        )
+
+        d = str(tmp_path / "expire2")
+        df = spark.createDataFrame(
+            [("user", "a", 1.0)],
+            "entity_type string, entity_id string, value_float double",
+        ).withColumn("event_time", F.timestamp_seconds(F.lit(1)))
+        iceberg_append(df, d)
+        with pytest.raises(ValueError, match="keep_last"):
+            iceberg_expire_snapshots(d, keep_last=0)
+        assert iceberg_expire_snapshots(d, keep_last=5) == {
+            "expired_snapshots": [], "deleted_files": []
+        }

@@ -873,3 +873,38 @@ def test_duplicate_spans_matches_python_oracle_property(
             (st_, last + window - 1, n) for st_, last, n in expect
         ]
         assert sorted(got.get(i, [])) == expect, (i, dup_pos)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=2**16 - 1),
+            st.integers(min_value=0, max_value=2**32 - 1),
+            st.integers(min_value=0, max_value=2**40),
+        ),
+        max_size=400,
+    )
+)
+@example([])  # zero-bitmap array
+@example(list(range(5000)))  # forces a bitmap container
+def test_roaring_rbm_array_roundtrip_property(vals):
+    """serialize -> deserialize is sorted-set identity for ANY
+    non-negative positions, across array/bitmap containers and
+    multiple 32-bit keys (the Delta DV payload contract)."""
+    from feature_store_spark.sources.roaring import (
+        deserialize_rbm_array,
+        serialize_rbm_array,
+    )
+
+    assert deserialize_rbm_array(serialize_rbm_array(vals)) == sorted(
+        set(vals)
+    )
+
+
+@given(st.binary(min_size=0, max_size=64))
+def test_z85_roundtrip_property(data):
+    """Z85 encode/decode is the identity on any 4-byte-aligned blob."""
+    from feature_store_spark.sources.roaring import z85_decode, z85_encode
+
+    data = data + b"\x00" * ((-len(data)) % 4)
+    assert z85_decode(z85_encode(data)) == data

@@ -110,6 +110,23 @@ def main(out_dir: str) -> None:
             )
         return out
 
+    orders = fss.load_table(spark, SRC, "orders")
+    k_o = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    k_c = orders.agg(F.max("o_custkey")).first()[0] + 1
+
+    def orders_rep(i):
+        # round-8 interop decades (delta_dv_scan / delta_optimize)
+        return orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * k_o)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * k_c))
+
+    customer = fss.load_table(spark, SRC, "customer")
+
+    def customer_rep(i):
+        return customer.withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(i * k_c)
+        )
+
     def doc_freq_rep(i):
         # identical text, shifted ids: the frequency-family variant
         return docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * k_d))
@@ -126,6 +143,8 @@ def main(out_dir: str) -> None:
         ("events", ev_rep),
         ("documents", doc_rep),
         ("embeddings", emb_rep),
+        ("orders", orders_rep),
+        ("customer", customer_rep),
     ):
         path = os.path.join(out_dir, f"{name}.parquet")
         n = write([rep(i) for i in range(REPLICAS)], path)

@@ -108,20 +108,30 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
         import struct
 
         i = 2
-        while i + 9 < len(p):
+        while i < len(p):
             if p[i] != 0xFF:
                 return None  # broken marker stream
-            marker = p[i + 1]
+            # the spec allows 0xFF FILL bytes before any marker
+            j = i
+            while j < len(p) and p[j] == 0xFF:
+                j += 1
+            if j >= len(p):
+                return None
+            marker = p[j]
             if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0..3
-                h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                if j + 8 > len(p):
+                    return None
+                h, w = struct.unpack(">HH", p[j + 4 : j + 8])
                 return w, h, "jpeg"
             if marker == 0xD9:  # EOI before any SOF
                 return None
             if 0xD0 <= marker <= 0xD8 or marker == 0x01:
-                i += 2  # standalone markers carry no length
+                i = j + 1  # standalone markers carry no length
                 continue
-            (seg_len,) = struct.unpack(">H", p[i + 2 : i + 4])
-            i += 2 + seg_len
+            if j + 3 > len(p):
+                return None
+            (seg_len,) = struct.unpack(">H", p[j + 1 : j + 3])
+            i = j + 1 + seg_len
         return None
     if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
         import struct
@@ -221,9 +231,14 @@ def extract_media_meta(
     if real_decode is None:
 
         def decode(p: bytes) -> tuple[int, int, str]:
+            # broad except by design: the PIL path raises
+            # UnidentifiedImageError/OSError (not NotImplementedError)
+            # for opaque payloads, and AUTO's contract is "real decode
+            # when possible, documented fake otherwise" — never a
+            # crashed task three frames deep in a pandas batch
             try:
                 return decode_image(p)
-            except NotImplementedError:
+            except Exception:
                 return _fake_decode(p)
 
     else:

@@ -96,8 +96,11 @@ class DeltaTable:
         None. Handles both the classic single-file layout
         (``%020d.checkpoint.parquet``) and the multi-part layout
         (``%020d.checkpoint.%010d.%010d.parquet`` = version, part,
-        total parts); an incomplete part set refuses loudly rather
-        than replaying a partial table state."""
+        total parts). A version whose part set is incomplete — a
+        concurrent checkpoint writer mid-upload, or torn cleanup — is
+        SKIPPED in favor of the next older complete checkpoint (or a
+        pure JSON replay): a partial state must never be replayed, and
+        an earlier complete state + the JSON suffix is still exact."""
         single: dict[int, str] = {}
         parts: dict[int, dict[int, str]] = {}
         totals: dict[int, int] = {}
@@ -115,21 +118,21 @@ class DeltaTable:
                     self.log_dir, name
                 )
                 totals[v] = int(m.group(3))
-        candidates = [v for v in set(single) | set(parts) if v <= version]
-        if not candidates:
-            return None
-        v = max(candidates)
-        if v in single:
-            return v, [single[v]]
-        want = totals[v]
-        have = parts[v]
-        if len(have) != want or set(have) != set(range(1, want + 1)):
-            raise ValueError(
-                f"{self.path}: checkpoint {v} is incomplete — have "
-                f"parts {sorted(have)} of {want}; refusing to replay "
-                "a partial table state"
-            )
-        return v, [have[i] for i in range(1, want + 1)]
+        candidates = sorted(
+            (v for v in set(single) | set(parts) if v <= version),
+            reverse=True,
+        )
+        for v in candidates:
+            if v in single:
+                return v, [single[v]]
+            want = totals[v]
+            have = parts[v]
+            if len(have) == want and set(have) == set(
+                range(1, want + 1)
+            ):
+                return v, [have[i] for i in range(1, want + 1)]
+            # incomplete: try the next older checkpoint
+        return None
 
     def _state(
         self, version: int | None
@@ -289,6 +292,7 @@ class DeltaTable:
         absolute-path storage)."""
         from feature_store_spark.sources.roaring import (
             deserialize_rbm_array,
+            dv_file_path,
             read_dv_from_file,
             z85_decode,
         )
@@ -296,25 +300,9 @@ class DeltaTable:
         st = d["storageType"]
         if st == "i":
             return deserialize_rbm_array(z85_decode(d["pathOrInlineDv"]))
-        if st == "u":
-            import uuid as _uuid
-
-            enc = d["pathOrInlineDv"]
-            prefix, tail = enc[:-20], enc[-20:]
-            u = _uuid.UUID(bytes=z85_decode(tail))
-            fname = f"deletion_vector_{u}.bin"
-            path = (
-                os.path.join(self.path, prefix, fname)
-                if prefix
-                else os.path.join(self.path, fname)
-            )
+        if st in ("u", "p"):
             return read_dv_from_file(
-                path, int(d["offset"]), int(d["sizeInBytes"])
-            )
-        if st == "p":
-            p = d["pathOrInlineDv"]
-            return read_dv_from_file(
-                p[7:] if p.startswith("file://") else p,
+                dv_file_path(self.path, d),
                 int(d["offset"]),
                 int(d["sizeInBytes"]),
             )
@@ -530,20 +518,24 @@ class DeltaTable:
                     )
                 )
 
-        # footer field-id signatures (id mode only; thread-pooled like
-        # the Iceberg field-id path)
-        sig_of: dict[str, tuple] = {}
-        if mode == "id":
-            from concurrent.futures import ThreadPoolExecutor
+        # footer signatures for EVERY grouped read (thread-pooled like
+        # the Iceberg field-id path): heterogeneous footers (schema
+        # evolution) must not share one spark.read.parquet call —
+        # Spark infers the schema from ONE file, and a column missing
+        # there would silently null out rows from files that DO carry
+        # it. In id mode the signature also resolves columns by
+        # field id.
+        from concurrent.futures import ThreadPoolExecutor
 
-            abs_paths = [
-                os.path.join(self.path, a["path"]) for a in adds
-            ]
-            with ThreadPoolExecutor(max_workers=16) as pool:
-                for p, sig in zip(
-                    abs_paths, pool.map(_parquet_field_ids, abs_paths)
-                ):
-                    sig_of[p] = sig
+        from feature_store_spark.sources.iceberg import parquet_field_ids
+
+        abs_paths = [os.path.join(self.path, a["path"]) for a in adds]
+        sig_of: dict[str, tuple] = {}
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            for p, sig in zip(
+                abs_paths, pool.map(parquet_field_ids, abs_paths)
+            ):
+                sig_of[p] = sig
 
         data_fields = [f for f in fields if f["name"] not in logical_parts]
         groups: dict[tuple, list[str]] = {}
@@ -560,10 +552,11 @@ class DeltaTable:
         for key, ps in groups.items():
             pv, sig = key
             g = tag(self.spark.read.parquet(*ps))
-            present = set(g.columns)
+            # homogeneous group: the footer names ARE the file schema
+            present = {name for name, _ in sig} if sig else set(g.columns)
             by_id = (
                 {fid: name for name, fid in sig if fid is not None}
-                if sig
+                if mode == "id" and sig
                 else {}
             )
             cols = []
@@ -625,27 +618,6 @@ def _ddl(t) -> str:
             return t
         return _DELTA_TO_DDL.get(t, "string")
     return "string"
-
-
-def _parquet_field_ids(path: str) -> tuple:
-    """((column_name, field_id or None), ...) from one parquet footer
-    — the id-mode column-resolution key (delta.columnMapping.id is
-    written as the parquet field_id)."""
-    import pyarrow.parquet as pq
-
-    sch = pq.ParquetFile(path).schema_arrow
-    out = []
-    for i in range(len(sch)):
-        fld = sch.field(i)
-        fid = None
-        raw = (fld.metadata or {}).get(b"PARQUET:field_id")
-        if raw is not None:
-            try:
-                fid = int(raw)
-            except ValueError:
-                fid = None
-        out.append((fld.name, fid))
-    return tuple(out)
 
 
 def _parse_partition_value(s: str | None, type_str: str | None):
@@ -1048,6 +1020,29 @@ def delta_optimize(
             )
         else:
             df = df.coalesce(n_out)
+        if mode == "id":
+            # rewritten files must keep their parquet field ids — id-
+            # mode readers (per PROTOCOL.md) resolve columns BY id
+            id_of_phys = {
+                f["physical"]: f["id"]
+                for f in fields
+                if f["id"] is not None
+            }
+            df = df.select(
+                *[
+                    (
+                        F.col(c).alias(
+                            c,
+                            metadata={
+                                "parquet.field.id": int(id_of_phys[c])
+                            },
+                        )
+                        if c in id_of_phys
+                        else F.col(c)
+                    )
+                    for c in df.columns
+                ]
+            )
 
         staging = os.path.join(
             table_dir, f".optimize-{_uuid.uuid4().hex[:8]}"
@@ -1175,24 +1170,22 @@ def delta_vacuum(
 
     Driver-side metadata + unlink only: referenced-set construction
     is one log replay, candidate listing is one directory walk."""
+    from feature_store_spark.sources.roaring import dv_file_path
+
     t = DeltaTable(spark, table_dir)
     _, adds, _ = t._state(None)
     referenced: set[str] = set()
     for a in adds:
         referenced.add(os.path.normpath(a["path"]))
         dv = a.get("deletionVector")
-        if dv and dv.get("storageType") == "u":
-            import uuid as _uuid
-
-            from feature_store_spark.sources.roaring import z85_decode
-
-            enc = dv["pathOrInlineDv"]
-            prefix, tail = enc[:-20], enc[-20:]
-            u = _uuid.UUID(bytes=z85_decode(tail))
-            rel = f"deletion_vector_{u}.bin"
+        if dv and dv.get("storageType") in ("u", "p"):
+            # SAME resolver the scan-time loader uses — a live DV,
+            # relative or absolute, must never look like garbage
             referenced.add(
                 os.path.normpath(
-                    os.path.join(prefix, rel) if prefix else rel
+                    os.path.relpath(
+                        dv_file_path(t.path, dv), t.path
+                    )
                 )
             )
     doomed: list[str] = []
@@ -1468,18 +1461,28 @@ def delta_delete_where(
 
     import time as _time
 
-    feats = {"deletionVectors"}
+    # UNION with the table's existing protocol: replacing it would
+    # silently drop features an external writer declared (the log
+    # replay takes the LAST protocol action)
+    prev = t._protocol(None)
+    r_feats = {"deletionVectors"} | set(prev.get("readerFeatures") or [])
+    w_feats = {"deletionVectors"} | set(prev.get("writerFeatures") or [])
     if mode != "none":
-        feats.add("columnMapping")
+        r_feats.add("columnMapping")
+        w_feats.add("columnMapping")
     actions: list[dict] = [
         {"commitInfo": {"timestamp": int(_time.time() * 1000),
                         "operation": "DELETE"}},
         {
             "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": sorted(feats),
-                "writerFeatures": sorted(feats),
+                "minReaderVersion": max(
+                    3, int(prev.get("minReaderVersion") or 1)
+                ),
+                "minWriterVersion": max(
+                    7, int(prev.get("minWriterVersion") or 1)
+                ),
+                "readerFeatures": sorted(r_feats),
+                "writerFeatures": sorted(w_feats),
             }
         }
     ]

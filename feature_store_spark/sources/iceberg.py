@@ -83,6 +83,28 @@ def _fp_expr(col):
     )
 
 
+def parquet_field_ids(path: str) -> tuple:
+    """((column_name, field_id or None), ...) from one parquet footer
+    — the field-id column-resolution key both Iceberg (spec rule) and
+    Delta id-mode column mapping (delta.columnMapping.id as
+    PARQUET:field_id) read. One implementation, two readers."""
+    import pyarrow.parquet as pq
+
+    sch = pq.ParquetFile(path).schema_arrow
+    out = []
+    for i in range(len(sch)):
+        fld = sch.field(i)
+        fid = None
+        raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if raw is not None:
+            try:
+                fid = int(raw)
+            except ValueError:
+                fid = None
+        out.append((fld.name, fid))
+    return tuple(out)
+
+
 def _part_key(part: dict) -> str:
     """Canonical string key for one partition tuple (order- and
     bytes-stable; avro may hand back bytes for string bounds)."""
@@ -695,13 +717,12 @@ class IcebergTable:
                     _path_suffix(f["path"]),
                     f["sequence_number"],
                     _part_key(f.get("partition") or {}),
-                    int(f.get("spec_id", 0)),
                 )
                 for f in files
             ]
             seq_df = spark.createDataFrame(
                 seq_rows,
-                "__fp string, __dataseq long, __part string, __specid int",
+                "__fp string, __dataseq long, __part string",
             )
             tagged = tagged.join(F.broadcast(seq_df), "__fp", "left")
             data_spec_ids = {int(f.get("spec_id", 0)) for f in files}
@@ -710,12 +731,13 @@ class IcebergTable:
                 ids = tuple(d.get("equality_ids") or ())
                 spec_id = int(d.get("spec_id", 0))
                 part = d.get("partition") or {}
-                # a delete under an unpartitioned spec, or one whose
-                # partition tuple is all null, applies globally
+                # only a delete under an UNPARTITIONED spec is global;
+                # a partitioned-spec delete is scoped to its recorded
+                # partition even when the tuple is all null (the null
+                # partition is a partition too — treating it as global
+                # would over-delete matching keys everywhere)
                 spec = self.partition_spec(spec_id)
-                scoped = bool(spec) and any(
-                    v is not None for v in part.values()
-                )
+                scoped = bool(spec) and bool(part)
                 key = (
                     ids,
                     (spec_id, _part_key(part)) if scoped else None,
@@ -773,7 +795,7 @@ class IcebergTable:
                         F.col(f"__d_{c}")
                     )
                 tagged = tagged.join(dels, cond, "left_anti")
-            tagged = tagged.drop("__dataseq", "__part", "__specid")
+            tagged = tagged.drop("__dataseq", "__part")
 
         if pre_tagged:
             return tagged  # caller owns the tag columns
@@ -782,22 +804,7 @@ class IcebergTable:
     def _file_field_mapping(self, path: str) -> tuple:
         """((parquet_column_name, field_id or None), ...) from one data
         file's footer — the spec's column-resolution key."""
-        import pyarrow.parquet as pq
-
-        sch = pq.ParquetFile(path).schema_arrow
-        out = []
-        for i in range(len(sch)):
-            fld = sch.field(i)
-            fid = None
-            md = fld.metadata or {}
-            raw = md.get(b"PARQUET:field_id")
-            if raw is not None:
-                try:
-                    fid = int(raw)
-                except ValueError:
-                    fid = None
-            out.append((fld.name, fid))
-        return tuple(out)
+        return parquet_field_ids(path)
 
     def _read_by_field_id(self, files: list[dict]) -> DataFrame:
         """Read data files with columns resolved BY FIELD ID (the

@@ -200,6 +200,33 @@ def deserialize_rbm_array(data: bytes) -> list[int]:
     return values
 
 
+def dv_file_path(table_root: str, descriptor: dict) -> str:
+    """Resolve a deletion-vector descriptor of storageType ``u``
+    (relative, Z85-encoded UUID with optional prefix) or ``p``
+    (absolute) to its ``.bin`` path — the ONE implementation both the
+    scan-time loader and VACUUM's referenced-set builder share, so a
+    prefix/tail edge case can't diverge between 'what we read' and
+    'what we keep'."""
+    import os
+    import uuid as _uuid
+
+    st = descriptor["storageType"]
+    if st == "u":
+        enc = descriptor["pathOrInlineDv"]
+        prefix, tail = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=z85_decode(tail))
+        fname = f"deletion_vector_{u}.bin"
+        return (
+            os.path.join(table_root, prefix, fname)
+            if prefix
+            else os.path.join(table_root, fname)
+        )
+    if st == "p":
+        p = descriptor["pathOrInlineDv"]
+        return p[7:] if p.startswith("file://") else p
+    raise NotImplementedError(f"deletionVector storageType {st!r}")
+
+
 # ------------------------------------------------ DV file framing
 
 

@@ -511,16 +511,23 @@ class TestCheckpointsAndEmpty:
                     log, f"{1:020d}.checkpoint.{i:010d}.{2:010d}.parquet"
                 ),
             )
+        # an INCOMPLETE part set (concurrent writer mid-upload) is
+        # skipped in favor of the JSON replay while the commits exist
+        part2 = os.path.join(
+            log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+        )
+        hidden = part2 + ".hidden"
+        os.rename(part2, hidden)
+        assert DeltaTable(spark, d).scan().count() == total
+        os.rename(hidden, part2)
         # drop the JSON commits the checkpoint subsumes
         os.remove(os.path.join(log, f"{0:020d}.json"))
         os.remove(os.path.join(log, f"{1:020d}.json"))
         t2 = DeltaTable(spark, d)
         assert t2.scan().count() == total  # ALL parts replayed
-        # remove part 2 -> loud refusal, not a silent subset
-        os.remove(os.path.join(
-            log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
-        ))
-        with pytest.raises(ValueError, match="incomplete"):
+        # incomplete part set AND no JSON left: loud, never a subset
+        os.remove(part2)
+        with pytest.raises(ValueError, match="empty delta log"):
             DeltaTable(spark, d).scan()
 
     def test_create_only_table_scans_typed_empty(self, spark, tmp_path):
@@ -778,3 +785,132 @@ class TestVacuum:
         assert {r["eid"] for r in t.scan().collect()} == want
         # nothing left to vacuum
         assert delta_vacuum(spark, d) == []
+
+
+class TestReviewRegressions:
+    """Round-8 code-review findings, pinned."""
+
+    def test_name_mode_schema_evolution_no_silent_nulls(
+        self, spark, tmp_path
+    ):
+        """Files written BEFORE and AFTER an ADD COLUMN must not share
+        one read group: the new column's real values must survive
+        (old files null-fill, new files keep data)."""
+        import uuid
+
+        d = str(tmp_path / "evolve")
+        df = spark.range(3).coalesce(1).select(
+            F.col("id").alias("eid"), (F.col("id") * 1.0).alias("val")
+        )
+        delta_append(df, d, column_mapping="name")
+        t0 = DeltaTable(spark, d)
+        meta0, adds0, _ = t0._state(None)
+        schema0 = json.loads(meta0["schemaString"])
+        phys = {
+            f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+            for f in schema0["fields"]
+        }
+        # evolve: add logical column 'extra' (physical col-extra)
+        schema0["fields"].append(
+            {"name": "extra", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName":
+                          "col-extra"}}
+        )
+        new_meta = dict(meta0)
+        new_meta["schemaString"] = json.dumps(schema0)
+        # one new data file CARRYING col-extra
+        staging = str(tmp_path / "stage")
+        spark.range(3, 6).coalesce(1).select(
+            F.col("id").alias(phys["eid"]),
+            (F.col("id") * 1.0).alias(phys["val"]),
+            (F.col("id") * 100).alias("col-extra"),
+        ).write.parquet(staging)
+        name = [n for n in os.listdir(staging)
+                if n.endswith(".parquet")][0]
+        rel = f"part-evo-{uuid.uuid4().hex}.parquet"
+        os.replace(os.path.join(staging, name), os.path.join(d, rel))
+        with open(os.path.join(d, "_delta_log",
+                               f"{1:020d}.json"), "w") as f:
+            f.write(json.dumps({"metaData": new_meta}) + "\n")
+            f.write(json.dumps({"add": {
+                "path": rel, "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+        t = DeltaTable(spark, d)
+        rows = {r["eid"]: r for r in t.scan().collect()}
+        assert set(rows) == {0, 1, 2, 3, 4, 5}
+        assert rows[0]["extra"] is None          # old file: null-fill
+        assert rows[4]["extra"] == 400           # new file: REAL data
+
+    def test_delete_where_preserves_foreign_protocol_features(
+        self, spark, tmp_path
+    ):
+        d = str(tmp_path / "protounion")
+        df = spark.range(10).coalesce(1).select(F.col("id").alias("eid"))
+        delta_append(df, d)
+        with open(os.path.join(d, "_delta_log",
+                               f"{1:020d}.json"), "w") as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["timestampNtz"],
+                "writerFeatures": ["timestampNtz", "invariants"],
+            }}) + "\n")
+        from feature_store_spark.sources.delta import delta_delete_where
+
+        delta_delete_where(spark, d, [("eid", "<", 3)])
+        t = DeltaTable(spark, d)
+        proto = t._protocol(None)
+        assert set(proto["readerFeatures"]) >= {
+            "deletionVectors", "timestampNtz"
+        }
+        assert set(proto["writerFeatures"]) >= {
+            "deletionVectors", "timestampNtz", "invariants"
+        }
+
+    def test_vacuum_keeps_absolute_path_dv(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import (
+            delta_delete_where,
+            delta_vacuum,
+        )
+        from feature_store_spark.sources.roaring import dv_file_path
+
+        d = str(tmp_path / "pvac")
+        df = spark.range(20).coalesce(1).select(F.col("id").alias("eid"))
+        delta_append(df, d)
+        delta_delete_where(spark, d, [("eid", "<", 5)])
+        t = DeltaTable(spark, d)
+        add = [a for a in t.data_files() if a.get("deletionVector")][0]
+        dv = dict(add["deletionVector"])
+        abs_bin = dv_file_path(t.path, dv)
+        # rewrite the descriptor as storageType 'p' (absolute path)
+        new_add = dict(add)
+        new_add["deletionVector"] = {
+            "storageType": "p", "pathOrInlineDv": abs_bin,
+            "offset": dv["offset"], "sizeInBytes": dv["sizeInBytes"],
+            "cardinality": dv["cardinality"],
+        }
+        with open(os.path.join(d, "_delta_log",
+                               f"{2:020d}.json"), "w") as f:
+            f.write(json.dumps(
+                {"remove": {"path": add["path"], "dataChange": False}}
+            ) + "\n")
+            f.write(json.dumps({"add": new_add}) + "\n")
+        doomed = delta_vacuum(spark, d, dry_run=True)
+        rel_bin = os.path.relpath(abs_bin, t.path)
+        assert rel_bin not in doomed  # live 'p' DV is NOT garbage
+        delta_vacuum(spark, d)
+        assert DeltaTable(spark, d).scan().count() == 15
+
+    def test_optimize_id_mode_keeps_field_ids(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import delta_optimize
+        from feature_store_spark.sources.iceberg import parquet_field_ids
+
+        d = str(tmp_path / "optid")
+        df = spark.range(40).select(F.col("id").alias("eid")).repartition(4)
+        delta_append(df, d, column_mapping="id")
+        delta_optimize(spark, d)
+        t = DeltaTable(spark, d)
+        for a in t.data_files():
+            sig = parquet_field_ids(os.path.join(t.path, a["path"]))
+            assert all(fid is not None for _n, fid in sig), sig
+        assert t.scan().count() == 40

@@ -1036,3 +1036,23 @@ class TestExpireSnapshots:
         assert iceberg_expire_snapshots(d, keep_last=5) == {
             "expired_snapshots": [], "deleted_files": []
         }
+
+
+class TestNullPartitionEqDelete:
+    def test_all_null_partition_tuple_is_scoped_not_global(
+        self, spark, tmp_path
+    ):
+        """A PARTITIONED-spec equality delete whose partition tuple is
+        all null scopes to the null partition (which holds no data
+        here) — it must NOT fall back to a global delete (round-8
+        review finding)."""
+        from iceberg_fixture import IcebergFixture
+
+        d = str(tmp_path / "nullpart")
+        fx = IcebergFixture(d)
+        fx.append([_row("user", "k1", "clicks", 1.0, 100)])
+        fx.eq_delete(["k1"], partition=(None, None))
+        fx.finish()
+        t = IcebergTable(spark, d)
+        # k1 lives in ('user', 100), not in the null partition: alive
+        assert {r["entity_id"] for r in t.scan().collect()} == {"k1"}

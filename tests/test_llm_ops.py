@@ -766,3 +766,24 @@ def test_duplicate_spans_maximal_merge_and_self_repeat(spark):
     # doc5: both copies of the run reported; they sit 13 apart
     # (positions 1 and 14; gap 13 > window 10 -> two spans)
     assert sorted(spans[5]) == [(1, 10, 1), (14, 23, 1)]
+
+
+def test_jpeg_fill_bytes_and_eof_sof():
+    """JPEG marker walk: 0xFF fill bytes before markers are legal, and
+    a SOF ending exactly at EOF still parses (round-8 review)."""
+    import struct
+
+    from feature_store_spark.operators.multimodal import parse_image_header
+
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", 33, 44
+    ) + b"\x03"
+    # fill bytes before both segments; stream ends right after SOF dims
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xff"                # fill before APP0
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xff\xff"            # fill before SOF
+        + sof[:9]                    # stream ENDS right after width
+    )
+    assert parse_image_header(jpeg) == (44, 33, "jpeg")

@@ -104,6 +104,7 @@ HEADLINE = [
     "delta_column_mapping",
     "delta_optimize",
     "iceberg_upsert",
+    "delta_changes",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

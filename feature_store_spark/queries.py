@@ -3818,6 +3818,66 @@ WHERE o_totalprice > 100000.0 AND o_orderstatus <> 'P'
 """
 
 
+def q_delta_changes(spark, sf_dir):
+    """Row-level CHANGE FEED derived from the Delta log (CDF
+    semantics, sources/delta.py delta_changes): commit even orders
+    (v0), insert odd orders (v1), then DV-delete the urgent slice
+    (v2). The feed over (0, 2] must contain exactly v1's rows as
+    inserts and the urgent rows live before v2 as deletes — per-commit
+    dataChange:true actions only, DV deltas resolved to the
+    newly-dead ordinals. Aggregated per change type against the
+    relational oracle."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.delta import (
+        delta_append,
+        delta_changes,
+        delta_delete_where,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-delta-cdf-")
+    try:
+        delta_append(
+            orders.filter(F.col("o_orderkey") % 2 == 0), scratch
+        )  # v0
+        delta_append(
+            orders.filter(F.col("o_orderkey") % 2 == 1), scratch
+        )  # v1
+        delta_delete_where(
+            spark, scratch, [("o_orderpriority", "=", "1-URGENT")]
+        )  # v2
+        ch = delta_changes(spark, scratch, 0, 2)
+        out = ch.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _r6(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+            ).alias("sum_price"),
+        ).withColumnRenamed("_change_type", "change_type")
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+DELTA_CHANGES_SQL = """
+SELECT 'insert' AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS sum_price
+FROM orders WHERE o_orderkey % 2 = 1
+UNION ALL
+SELECT 'delete' AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS sum_price
+FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 def q_delta_dv_scan(spark, sf_dir):
     """Delta DELETION VECTORS under the oracle gate (VERDICT r7 next
     #1): export orders into a Delta table, run a merge-on-read
@@ -7098,6 +7158,7 @@ QUERIES: dict[str, tuple] = {
     "iceberg_mor_delete": (q_iceberg_mor_delete, ICEBERG_MOR_DELETE_SQL),
     "delta_scan": (q_delta_scan, DELTA_SCAN_SQL),
     "delta_dv_scan": (q_delta_dv_scan, DELTA_DV_SCAN_SQL),
+    "delta_changes": (q_delta_changes, DELTA_CHANGES_SQL),
     "delta_optimize": (q_delta_optimize, DELTA_OPTIMIZE_SQL),
     "iceberg_upsert": (q_iceberg_upsert, ICEBERG_UPSERT_SQL),
     "delta_column_mapping": (
@@ -7334,6 +7395,7 @@ _R7_WINDOW = [
 _R8_WINDOW = [
     "delta_dv_scan",
     "delta_column_mapping",
+    "delta_changes",
     "delta_optimize",
     "iceberg_upsert",
     "delta_scan",
@@ -7382,9 +7444,6 @@ _R8_WINDOW = [
     "vector_slots",
     "view_transform",
     "zorder_key",
-    # r4-only leftover (ivf_assign / simhash_pigeonhole stay on their
-    # r4 rows; the full-catalog oracle pytest re-grades them anyway)
-    "embedding_topk",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R8_WINDOW},

@@ -75,14 +75,15 @@ class DeltaTable:
     # -- log replay
 
     def latest_version(self) -> int:
+        """Max of the last JSON commit and the newest complete
+        checkpoint — a compacted log may have a checkpoint NEWER than
+        any surviving JSON commit."""
         vs = self._commit_versions()
-        if vs:
-            return vs[-1]
-        # metadata-cleaned log: only a checkpoint remains
         ck = self._checkpoint_at_or_before(1 << 62)
-        if ck is None:
+        cands = ([vs[-1]] if vs else []) + ([ck[0]] if ck else [])
+        if not cands:
             raise ValueError(f"{self.path}: empty delta log")
-        return ck[0]
+        return max(cands)
 
     def _commit_versions(self) -> list[int]:
         out = []
@@ -1152,6 +1153,173 @@ def delta_optimize(
             f.write(json.dumps(a) + "\n")
     os.replace(tmp, commit)
     return version, len(removes), len(new_adds)
+
+
+def delta_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level CHANGE FEED for ``(from_version, to_version]``,
+    derived from the log itself (CDF semantics without requiring the
+    writer to emit ``_change_data`` files): every returned row carries
+    ``_change_type`` (``insert`` / ``delete``) and
+    ``_commit_version``. Per commit, only ``dataChange: true`` actions
+    count — OPTIMIZE's remove+add shuffles are invisible, exactly as
+    Delta CDF specifies:
+
+    - a NEW path added → its live rows (minus any DV it was born
+      with) are inserts;
+    - a path removed and not re-added → the rows live at the PREVIOUS
+      version (file minus its then-DV) are deletes;
+    - a path removed and re-added with a bigger deletion vector (the
+      delta_delete_where shape) → exactly the NEWLY-deleted ordinals
+      (DV_new − DV_old) are deletes.
+
+    The scan machinery (column unmapping, typed partition literals)
+    is shared with ``scan`` via ``_assemble``; position selection is
+    a broadcast join on ``_metadata.row_index``. The requested range
+    must still have its JSON commits (change feeds don't survive log
+    compaction — raise loudly, never a partial feed)."""
+    from pyspark.sql import functions as F
+
+    t = DeltaTable(spark, table_dir)
+    if to_version is None:
+        to_version = t.latest_version()
+    if from_version > to_version:
+        raise ValueError("from_version must be <= to_version")
+    versions = set(t._commit_versions())
+    missing = [
+        v for v in range(from_version + 1, to_version + 1)
+        if v not in versions
+    ]
+    if missing:
+        raise ValueError(
+            f"{table_dir}: commits {missing} are gone (log compacted); "
+            "the change feed for this range is unrecoverable"
+        )
+
+    def dv_positions(add: dict | None) -> set[int]:
+        if not add or not add.get("deletionVector"):
+            return set()
+        return set(t._load_dv(add["deletionVector"]))
+
+    frames: list[DataFrame] = []
+    meta_now, _, _ = t._state(to_version)
+
+    def _abs(add: dict) -> str:
+        return os.path.abspath(os.path.join(t.path, add["path"]))
+
+    def rows_of(adds_v, version, change, select=None, drop=None):
+        """ONE frame for a whole batch of files of one (version,
+        change type): the per-file loop would union N single-file
+        scans; batching keeps it one multi-file scan per commit per
+        change type. ``select``/``drop`` are (abs_path, pos) sets —
+        broadcast semi/anti joins on the row ordinal."""
+        import pandas as pd
+
+        df = t._assemble(adds_v, meta_now)
+        if select:
+            pos_df = F.broadcast(
+                spark.createDataFrame(
+                    pd.DataFrame(
+                        sorted(select),
+                        columns=["__sel_fp", "__sel_pos"],
+                    )
+                )
+            )
+            df = df.join(
+                pos_df,
+                (df["__fp"] == pos_df["__sel_fp"])
+                & (df["__pos"] == pos_df["__sel_pos"]),
+                "left_semi",
+            )
+        if drop:
+            del_df = F.broadcast(
+                spark.createDataFrame(
+                    pd.DataFrame(
+                        sorted(drop),
+                        columns=["__del_fp", "__del_pos"],
+                    )
+                )
+            )
+            df = df.join(
+                del_df,
+                (df["__fp"] == del_df["__del_fp"])
+                & (df["__pos"] == del_df["__del_pos"]),
+                "left_anti",
+            )
+        return df.drop("__fp", "__pos").withColumn(
+            "_change_type", F.lit(change)
+        ).withColumn("_commit_version", F.lit(int(version)))
+
+    for v in range(from_version + 1, to_version + 1):
+        _, prev_adds, _ = t._state(v - 1)
+        prev_by_path = {a["path"]: a for a in prev_adds}
+        commit_adds: dict[str, dict] = {}
+        commit_removes: dict[str, dict] = {}
+        with open(
+            os.path.join(t.log_dir, f"{v:020d}.json")
+        ) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action and action["add"].get(
+                    "dataChange", True
+                ):
+                    commit_adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    commit_removes[action["remove"]["path"]] = action[
+                        "remove"
+                    ]
+        inserts: list[dict] = []
+        ins_drop: set = set()
+        dv_prev_adds: list[dict] = []
+        dv_select: set = set()
+        removed_adds: list[dict] = []
+        rem_drop: set = set()
+        for path, add in commit_adds.items():
+            prev = prev_by_path.get(path)
+            if prev is None:
+                inserts.append(add)
+                ins_drop |= {(_abs(add), p) for p in dv_positions(add)}
+            else:
+                new_dead = dv_positions(add) - dv_positions(prev)
+                if new_dead:
+                    dv_prev_adds.append(prev)
+                    dv_select |= {(_abs(prev), p) for p in new_dead}
+        for path in commit_removes:
+            if path in commit_adds:
+                continue  # same-commit re-add: handled as a DV delta
+            prev = prev_by_path.get(path)
+            if prev is not None:
+                removed_adds.append(prev)
+                rem_drop |= {
+                    (_abs(prev), p) for p in dv_positions(prev)
+                }
+        if inserts:
+            frames.append(rows_of(inserts, v, "insert", drop=ins_drop))
+        if dv_prev_adds:
+            frames.append(
+                rows_of(dv_prev_adds, v, "delete", select=dv_select)
+            )
+        if removed_adds:
+            frames.append(
+                rows_of(removed_adds, v, "delete", drop=rem_drop)
+            )
+    if not frames:
+        base = t.scan(version=to_version).limit(0)
+        return base.withColumn(
+            "_change_type", F.lit("insert")
+        ).withColumn("_commit_version", F.lit(0)).limit(0)
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
 
 
 def delta_vacuum(

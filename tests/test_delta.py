@@ -914,3 +914,68 @@ class TestReviewRegressions:
             sig = parquet_field_ids(os.path.join(t.path, a["path"]))
             assert all(fid is not None for _n, fid in sig), sig
         assert t.scan().count() == 40
+
+
+class TestChangeFeed:
+    def test_inserts_dv_deletes_and_optimize_invisibility(
+        self, spark, tmp_path
+    ):
+        from feature_store_spark.sources.delta import (
+            delta_changes,
+            delta_delete_where,
+            delta_optimize,
+        )
+
+        d = str(tmp_path / "cdf")
+        df0 = spark.range(10).coalesce(1).select(
+            F.col("id").alias("eid")
+        )
+        delta_append(df0, d)                                   # v0
+        delta_append(
+            spark.range(10, 16).coalesce(1)
+            .select(F.col("id").alias("eid")), d
+        )                                                      # v1
+        delta_delete_where(spark, d, [("eid", "<", 4)])        # v2 (DV)
+        delta_optimize(spark, d)                               # v3
+        ch = delta_changes(spark, d, 0)
+        got = {
+            (r["_change_type"], r["_commit_version"], r["eid"])
+            for r in ch.collect()
+        }
+        want = {("insert", 1, e) for e in range(10, 16)} | {
+            ("delete", 2, e) for e in range(4)
+        }
+        assert got == want  # v3 OPTIMIZE contributes NOTHING
+        # sub-range
+        only_del = delta_changes(spark, d, 1, 2)
+        assert {r["eid"] for r in only_del.collect()} == {0, 1, 2, 3}
+        # full-file remove: drop one file outright
+        t = DeltaTable(spark, d)
+        victim = t.data_files()[0]
+        with open(os.path.join(d, "_delta_log",
+                               f"{4:020d}.json"), "w") as f:
+            f.write(json.dumps({"remove": {
+                "path": victim["path"], "dataChange": True}}) + "\n")
+        ch4 = delta_changes(spark, d, 3, 4)
+        n_live = json.loads(victim["stats"])["numRecords"]
+        assert ch4.count() == n_live
+        assert {r["_change_type"] for r in ch4.collect()} == {"delete"}
+
+    def test_change_feed_refuses_compacted_range(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import (
+            delta_changes,
+            delta_checkpoint,
+        )
+
+        d = str(tmp_path / "cdfgone")
+        delta_append(
+            spark.range(5).coalesce(1).select(F.col("id").alias("eid")), d
+        )
+        delta_append(
+            spark.range(5, 9).coalesce(1).select(F.col("id").alias("eid")),
+            d,
+        )
+        delta_checkpoint(spark, d)
+        os.remove(os.path.join(d, "_delta_log", f"{1:020d}.json"))
+        with pytest.raises(ValueError, match="unrecoverable"):
+            delta_changes(spark, d, 0)

@@ -6420,6 +6420,85 @@ def q_stream_delta_sink(spark, sf_dir):
         _sh.rmtree(d, ignore_errors=True)
 
 
+def q_stream_iceberg_sink(spark, sf_dir):
+    """STREAMING → ICEBERG CDC UPSERT under the oracle gate: the
+    events stream lands in an Iceberg table through foreachBatch —
+    each micro-batch is ONE upsert snapshot (global equality-delete of
+    the batch's keys + new data files) carrying the (app_id, batch_id)
+    high-water mark in its snapshot summary (the Flink-sink pattern) —
+    and the committed table is scanned back. After N overlapping
+    batches exactly ONE row per key must survive with its
+    deterministic value: duplicates (ghost old versions) or losses
+    both hash-mismatch the DISTINCT-users oracle. ``multi_commit`` /
+    ``txn_contiguous`` pin that >1 snapshot happened and the summary
+    marks cover batches 0..n-1."""
+    import shutil as _sh
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append_sink,
+        iceberg_txn_version,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    d = _stream_tmpdir("fss_stream_iceberg_")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in")
+    )
+    table = f"{d}/table"
+    body = iceberg_append_sink(table, "ev-upsert",
+                               upsert_keys=["entity_id"])
+
+    def sink(batch_df, batch_id):
+        # one version per key per batch (equality deletes only kill
+        # OLDER files); the value is a function of the key so the
+        # final table is deterministic whatever the batch split
+        records = batch_df.groupBy("user_id").count().select(
+            F.lit("user").alias("entity_type"),
+            F.col("user_id").cast("string").alias("entity_id"),
+            (F.col("user_id") * 2.0).alias("value_float"),
+            F.timestamp_seconds(F.lit(100)).alias("event_time"),
+        )
+        body(records, batch_id)
+
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_iceberg_sink: stream did not finish in 300s"
+            )
+        t = IcebergTable(spark, table)
+        n_snaps = len(t.snapshots())
+        hwm = iceberg_txn_version(table, "ev-upsert")
+        out = t.scan().select(
+            "entity_id",
+            _r6(F.col("value_float")).alias("value_float"),
+            F.lit(n_snaps >= 2).alias("multi_commit"),
+            F.lit(hwm == n_snaps - 1).alias("txn_contiguous"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+
+
+STREAM_ICEBERG_SINK_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS entity_id,
+       round(user_id * 2.0, 6) AS value_float,
+       TRUE AS multi_commit,
+       TRUE AS txn_contiguous
+FROM (SELECT DISTINCT user_id FROM events)
+"""
+
+
 def _drift_frames(spark, sf_dir):
     """Deterministic drift fixture: lineitem split into reference /
     current halves by an md5 uniform on the (orderkey, linenumber)
@@ -7159,6 +7238,7 @@ QUERIES: dict[str, tuple] = {
     "delta_scan": (q_delta_scan, DELTA_SCAN_SQL),
     "delta_dv_scan": (q_delta_dv_scan, DELTA_DV_SCAN_SQL),
     "delta_changes": (q_delta_changes, DELTA_CHANGES_SQL),
+    "stream_iceberg_sink": (q_stream_iceberg_sink, STREAM_ICEBERG_SINK_SQL),
     "delta_optimize": (q_delta_optimize, DELTA_OPTIMIZE_SQL),
     "iceberg_upsert": (q_iceberg_upsert, ICEBERG_UPSERT_SQL),
     "delta_column_mapping": (
@@ -7388,8 +7468,9 @@ _R7_WINDOW = [
 # manifest decode, suffix fallback), multimodal_meta (re-graded over
 # REAL synthesized PNGs with the stdlib header decoder), and
 # duplicate_spans (single-pass fingerprint projection). The tail
-# then refreshes the ENTIRE r3-only stale set from VERDICT r7 next
-# #6 — all 39 of them fit — plus the r4-only leftovers. Everything
+# then refreshes the r3-only stale set from VERDICT r7 next #6 —
+# 38 of the 39 fit beside the new queries (zorder_key keeps its r3
+# row; the full-catalog oracle pytest re-grades it). Everything
 # displaced keeps its earlier green row and the identical DuckDB
 # oracle in pytest/selfcheck.
 _R8_WINDOW = [
@@ -7398,6 +7479,7 @@ _R8_WINDOW = [
     "delta_changes",
     "delta_optimize",
     "iceberg_upsert",
+    "stream_iceberg_sink",
     "delta_scan",
     "stream_delta_sink",
     "iceberg_scan",

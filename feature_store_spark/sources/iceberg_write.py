@@ -220,6 +220,27 @@ def _eq_manifest_schema() -> dict:
     return s
 
 
+def iceberg_txn_version(table_dir: str, app_id: str) -> int:
+    """Highest committed batch counter for ``app_id`` recorded in the
+    table's snapshot summaries (-1 if none) — the exactly-once
+    restart-recovery read. The Flink Iceberg sink stores its
+    checkpoint id the same way (snapshot summary properties are the
+    spec's committer-metadata channel)."""
+    meta_dir = os.path.join(table_dir, "metadata")
+    prev_meta, _m, _v = _load_prev(meta_dir)
+    if prev_meta is None:
+        return -1
+    best = -1
+    for s in prev_meta.get("snapshots", []):
+        summ = s.get("summary") or {}
+        if summ.get("app-id") == app_id:
+            try:
+                best = max(best, int(summ.get("batch-id", -1)))
+            except (TypeError, ValueError):
+                continue
+    return best
+
+
 def iceberg_append(
     df: DataFrame,
     table_dir: str,
@@ -227,6 +248,7 @@ def iceberg_append(
     ts_col: str = "event_time",
     schema_fields: list[dict] | None = None,
     upsert_keys: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Append ``df`` to (or create) an Iceberg v2 table partitioned
     identity(entity_col) + day(ts_col) — the reference's offline-store
@@ -244,8 +266,22 @@ def iceberg_append(
     with sequence < s, and the snapshot's own data files share
     sequence s, so new rows survive and every OLDER version of each
     key dies, across ALL partitions, without rewriting a single data
-    file."""
+    file.
+
+    ``txn=(app_id, batch_id)`` records the pair in the snapshot
+    SUMMARY and turns a redelivered batch into a NO-OP when the
+    table's high-water mark for ``app_id`` already covers it — the
+    exactly-once handshake Structured Streaming's foreachBatch needs
+    (the Flink Iceberg sink stores its checkpoint id the same way)."""
     spark = df.sparkSession
+    if txn is not None:
+        app_id, batch_id = txn
+        committed = iceberg_txn_version(table_dir, app_id)
+        if committed >= int(batch_id):
+            _pm, _mm, nxt = _load_prev(
+                os.path.join(table_dir, "metadata")
+            )
+            return nxt - 1  # redelivered batch: no state change
     if schema_fields is None:
         schema_fields = _infer_fields(df)
     by_name = {f["name"]: f for f in schema_fields}
@@ -441,13 +477,17 @@ def iceberg_append(
     mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
     write_avro(mlist, MANIFEST_LIST_SCHEMA, manifests, codec="deflate")
 
+    summary = {
+        "operation": "overwrite" if upsert_keys else "append"
+    }
+    if txn is not None:
+        summary["app-id"] = str(txn[0])
+        summary["batch-id"] = str(int(txn[1]))
     snapshot = {
         "snapshot-id": snap_id,
         "timestamp-ms": 1700000000000 + snap_id,
         "sequence-number": snap_id,
-        "summary": {
-            "operation": "overwrite" if upsert_keys else "append"
-        },
+        "summary": summary,
         "manifest-list": mlist,
         "schema-id": 0,
     }
@@ -535,6 +575,32 @@ def _load_prev(meta_dir: str):
         if s["snapshot-id"] == cur:
             prev_manifests, _ = read_avro(s["manifest-list"])
     return meta, prev_manifests, v + 1
+
+
+def iceberg_append_sink(
+    table_dir: str,
+    app_id: str,
+    entity_col: str = "entity_type",
+    ts_col: str = "event_time",
+    upsert_keys: list[str] | None = None,
+):
+    """foreachBatch body: exactly-once micro-batch appends (or CDC
+    upserts, with ``upsert_keys``) into an Iceberg table — crash after
+    commit + checkpoint loss redelivers the batch, and the snapshot-
+    summary high-water mark turns the redelivery into a no-op. The
+    Iceberg twin of delta_append_sink."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        iceberg_append(
+            batch_df,
+            table_dir,
+            entity_col=entity_col,
+            ts_col=ts_col,
+            upsert_keys=upsert_keys,
+            txn=(app_id, int(batch_id)),
+        )
+
+    return sink
 
 
 def iceberg_expire_snapshots(

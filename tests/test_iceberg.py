@@ -1056,3 +1056,107 @@ class TestNullPartitionEqDelete:
         t = IcebergTable(spark, d)
         # k1 lives in ('user', 100), not in the null partition: alive
         assert {r["entity_id"] for r in t.scan().collect()} == {"k1"}
+
+
+class TestIcebergStreamingSink:
+    def test_txn_append_is_idempotent(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_txn_version,
+        )
+
+        d = str(tmp_path / "itxn")
+
+        def frame(lo, hi):
+            return spark.range(lo, hi).select(
+                F.lit("user").alias("entity_type"),
+                F.concat(F.lit("e"), F.col("id")).alias("entity_id"),
+                F.col("id").cast("double").alias("value_float"),
+                F.timestamp_seconds(F.col("id")).alias("event_time"),
+            )
+
+        iceberg_append(frame(0, 5), d, txn=("sink-1", 0))
+        # redelivery: no new snapshot, same contents
+        iceberg_append(frame(0, 5), d, txn=("sink-1", 0))
+        t = IcebergTable(spark, d)
+        assert len(t.snapshots()) == 1
+        assert t.scan().count() == 5
+        assert iceberg_txn_version(d, "sink-1") == 0
+        assert iceberg_txn_version(d, "other") == -1
+        # next batch commits; an independent app is not blocked
+        iceberg_append(frame(5, 8), d, txn=("sink-1", 1))
+        iceberg_append(frame(8, 9), d, txn=("sink-2", 0))
+        t2 = IcebergTable(spark, d)
+        assert len(t2.snapshots()) == 3
+        assert t2.scan().count() == 9
+        assert iceberg_txn_version(d, "sink-1") == 1
+
+    def test_stream_sink_exactly_once_with_upsert(self, spark, tmp_path):
+        """availableNow stream through iceberg_append_sink in UPSERT
+        mode: each micro-batch's keys overwrite earlier versions, the
+        snapshot-summary marks are contiguous, and redelivering the
+        last batch changes nothing."""
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append_sink,
+            iceberg_txn_version,
+        )
+
+        d = str(tmp_path / "istream")
+        src = str(tmp_path / "in")
+        # 4 files, overlapping keys: later batches overwrite earlier
+        spark.range(40).select(
+            (F.col("id") % 10).cast("string").alias("k"),
+            F.col("id").alias("v"),
+        ).repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("k string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        table = f"{d}/table"
+
+        def to_records(df):
+            # a CDC batch carries ONE version per key (equality
+            # deletes only kill rows of OLDER files, so within-batch
+            # duplicates would all survive): last-value-per-key first
+            return df.groupBy("k").agg(F.max("v").alias("v")).select(
+                F.lit("user").alias("entity_type"),
+                F.col("k").alias("entity_id"),
+                F.col("v").cast("double").alias("value_float"),
+                F.timestamp_seconds(F.lit(100)).alias("event_time"),
+            )
+
+        body = iceberg_append_sink(table, "iv-sink",
+                                   upsert_keys=["entity_id"])
+
+        def sink(batch_df, batch_id):
+            body(to_records(batch_df), batch_id)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        t = IcebergTable(spark, table)
+        n_snaps = len(t.snapshots())
+        assert n_snaps >= 2
+        # upsert semantics: exactly one row per key survives
+        rows = t.scan().collect()
+        assert len(rows) == 10
+        assert {r["entity_id"] for r in rows} == {
+            str(i) for i in range(10)
+        }
+        hwm = iceberg_txn_version(table, "iv-sink")
+        assert hwm == n_snaps - 1  # contiguous batch marks
+        # redelivery of the last batch: no state change
+        sink(spark.createDataFrame([("0", 999)], "k string, v long"),
+             hwm)
+        t2 = IcebergTable(spark, table)
+        assert len(t2.snapshots()) == n_snaps
+        assert t2.scan().count() == 10

@@ -249,6 +249,7 @@ def iceberg_append(
     schema_fields: list[dict] | None = None,
     upsert_keys: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    replace: bool = False,
 ) -> int:
     """Append ``df`` to (or create) an Iceberg v2 table partitioned
     identity(entity_col) + day(ts_col) — the reference's offline-store
@@ -272,7 +273,13 @@ def iceberg_append(
     SUMMARY and turns a redelivered batch into a NO-OP when the
     table's high-water mark for ``app_id`` already covers it — the
     exactly-once handshake Structured Streaming's foreachBatch needs
-    (the Flink Iceberg sink stores its checkpoint id the same way)."""
+    (the Flink Iceberg sink stores its checkpoint id the same way).
+
+    ``replace=True`` commits a REPLACE snapshot: the new manifest
+    list carries ONLY this commit's manifests (prior data and delete
+    files leave the current view but stay reachable for time travel
+    until expire_snapshots) — the building block iceberg_rewrite uses
+    to compact merge-on-read debt."""
     spark = df.sparkSession
     if txn is not None:
         app_id, batch_id = txn
@@ -473,12 +480,19 @@ def iceberg_append(
              "upper_bound": struct.pack("<i", max(days))},
         ],
     }
-    manifests = prev_manifests + delete_manifests + [manifest_rec]
+    if replace:
+        manifests = delete_manifests + [manifest_rec]
+    else:
+        manifests = prev_manifests + delete_manifests + [manifest_rec]
     mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
     write_avro(mlist, MANIFEST_LIST_SCHEMA, manifests, codec="deflate")
 
     summary = {
-        "operation": "overwrite" if upsert_keys else "append"
+        "operation": (
+            "replace"
+            if replace
+            else ("overwrite" if upsert_keys else "append")
+        )
     }
     if txn is not None:
         summary["app-id"] = str(txn[0])
@@ -601,6 +615,40 @@ def iceberg_append_sink(
         )
 
     return sink
+
+
+def iceberg_rewrite(
+    spark,
+    table_dir: str,
+    entity_col: str = "entity_type",
+    ts_col: str = "event_time",
+) -> int:
+    """Compact merge-on-read debt (the ``rewrite_data_files``
+    maintenance op): materialize the CURRENT view — positional and
+    equality deletes applied — into fresh data files and commit ONE
+    REPLACE snapshot whose manifest list carries only them. Scans
+    stop paying the delete anti-joins; old files stay reachable for
+    time travel until ``iceberg_expire_snapshots`` reclaims them.
+    Executors rewrite the data (one distributed job); the driver
+    authors the commit. Tables written by this exporter (its
+    identity+day spec); returns the new snapshot id."""
+    from feature_store_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, table_dir)
+    fields = [
+        {"id": f["id"], "name": f["name"],
+         "required": f.get("required", False), "type": f["type"]}
+        for f in t.schema_fields()
+    ]
+    current = t.scan()
+    return iceberg_append(
+        current,
+        table_dir,
+        entity_col=entity_col,
+        ts_col=ts_col,
+        schema_fields=fields,
+        replace=True,
+    )
 
 
 def iceberg_expire_snapshots(

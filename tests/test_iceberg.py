@@ -1160,3 +1160,69 @@ class TestIcebergStreamingSink:
         t2 = IcebergTable(spark, table)
         assert len(t2.snapshots()) == n_snaps
         assert t2.scan().count() == 10
+
+
+class TestIcebergRewrite:
+    def test_rewrite_materializes_mor_debt(self, spark, tmp_path):
+        """rewrite_data_files semantics: after upserts + DELETE WHERE,
+        one REPLACE snapshot materializes the current view — scans
+        stop carrying delete files, rows are identical, time travel
+        still sees history, expire reclaims the old files."""
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_delete_where,
+            iceberg_expire_snapshots,
+            iceberg_rewrite,
+            iceberg_upsert,
+        )
+
+        d = str(tmp_path / "rewrite")
+
+        def frame(rows):
+            return spark.createDataFrame(
+                rows,
+                "entity_type string, entity_id string, "
+                "value_float double",
+            ).withColumn(
+                "event_time", F.timestamp_seconds(F.lit(100))
+            )
+
+        iceberg_append(
+            frame([("user", "a", 1.0), ("user", "b", 2.0),
+                   ("merchant", "c", 3.0)]), d
+        )
+        iceberg_upsert(frame([("user", "a", 10.0)]), d,
+                       keys=["entity_id"])
+        iceberg_delete_where(spark, d, [("entity_id", "=", "b")])
+        t0 = IcebergTable(spark, d)
+        want = {
+            (r["entity_id"], r["value_float"])
+            for r in t0.scan().collect()
+        }
+        assert want == {("a", 10.0), ("c", 3.0)}
+        assert any(f["is_delete"] for f in t0.data_files())
+        snap = iceberg_rewrite(spark, d)
+        t = IcebergTable(spark, d)
+        files = t.data_files()
+        assert not any(f["is_delete"] for f in files)  # debt gone
+        got = {
+            (r["entity_id"], r["value_float"])
+            for r in t.scan().collect()
+        }
+        assert got == want
+        # time travel to the pre-rewrite snapshot still applies MOR
+        pre = [s for s, _ in t.snapshots() if s < snap][-1]
+        assert {
+            (r["entity_id"], r["value_float"])
+            for r in t.scan(snapshot_id=pre).collect()
+        } == want
+        # expire everything but the rewrite: old data+delete files die
+        res = iceberg_expire_snapshots(d, keep_last=1)
+        assert res["deleted_files"]
+        t2 = IcebergTable(spark, d)
+        assert {
+            (r["entity_id"], r["value_float"])
+            for r in t2.scan().collect()
+        } == want

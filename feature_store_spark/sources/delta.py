@@ -359,6 +359,39 @@ class DeltaTable:
             )
         return max(eligible)[1]
 
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one dict per JSON commit — version,
+        commit timestamp (commitInfo, else file mtime), operation, and
+        per-commit action counts. Driver-metadata only."""
+        out = []
+        ts_of = dict(self._version_timestamps())
+        for v in self._commit_versions():
+            op = None
+            n_adds = n_removes = 0
+            with open(
+                os.path.join(self.log_dir, f"{v:020d}.json")
+            ) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        op = a["commitInfo"].get("operation")
+                    elif "add" in a:
+                        n_adds += 1
+                    elif "remove" in a:
+                        n_removes += 1
+            out.append(
+                {
+                    "version": v,
+                    "timestamp_ms": ts_of[v],
+                    "operation": op,
+                    "n_adds": n_adds,
+                    "n_removes": n_removes,
+                }
+            )
+        return out
+
     def data_files(
         self,
         version: int | None = None,

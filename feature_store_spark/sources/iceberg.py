@@ -860,6 +860,47 @@ class IcebergTable:
             out = out.unionByName(fr)
         return out
 
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """Metadata table: one row per data/delete file of the
+        snapshot (the ``<table>.files`` inspection surface) — path,
+        canonical partition key, record count, content kind, sequence
+        number. Driver-metadata only; nothing opens a data file."""
+        rows = [
+            (
+                f["path"],
+                _part_key(f.get("partition") or {}),
+                int(f.get("record_count", -1)),
+                bool(f.get("is_delete")),
+                f.get("delete_kind"),
+                int(f.get("sequence_number", 0)),
+            )
+            for f in self.data_files(snapshot_id, None)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, partition string, record_count long, "
+            "is_delete boolean, delete_kind string, "
+            "sequence_number long",
+        )
+
+    def snapshots_df(self) -> DataFrame:
+        """Metadata table: the snapshot log (``<table>.snapshots``) —
+        id, commit wall clock, operation, manifest list path."""
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                int(s["timestamp-ms"]),
+                (s.get("summary") or {}).get("operation"),
+                s.get("manifest-list"),
+            )
+            for s in self.meta.get("snapshots", [])
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, timestamp_ms long, operation string, "
+            "manifest_list string",
+        )
+
     def snapshot_id_as_of(self, as_of_ms: int) -> int:
         """Time travel: the snapshot current AT ``as_of_ms`` (epoch
         millis) — the latest snapshot with timestamp <= as_of_ms,

@@ -979,3 +979,22 @@ class TestChangeFeed:
         os.remove(os.path.join(d, "_delta_log", f"{1:020d}.json"))
         with pytest.raises(ValueError, match="unrecoverable"):
             delta_changes(spark, d, 0)
+
+
+def test_describe_history(spark, tmp_path):
+    from feature_store_spark.sources.delta import (
+        delta_delete_where,
+        delta_optimize,
+    )
+
+    d = str(tmp_path / "hist")
+    df = spark.range(50).select(F.col("id").alias("eid")).repartition(4)
+    delta_append(df, d)
+    delta_delete_where(spark, d, [("eid", "<", 5)])
+    delta_optimize(spark, d)
+    hist = DeltaTable(spark, d).history()
+    assert [h["operation"] for h in hist] == [
+        "WRITE", "DELETE", "OPTIMIZE"
+    ]
+    assert all(h["timestamp_ms"] > 0 for h in hist)
+    assert hist[2]["n_removes"] > 0 and hist[2]["n_adds"] >= 1

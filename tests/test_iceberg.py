@@ -1226,3 +1226,29 @@ class TestIcebergRewrite:
             (r["entity_id"], r["value_float"])
             for r in t2.scan().collect()
         } == want
+
+
+def test_metadata_tables(spark, tmp_path):
+    """files_df / snapshots_df inspection surfaces (driver metadata,
+    no data file opened)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_delete_where,
+    )
+
+    d = str(tmp_path / "metatables")
+    df = spark.createDataFrame(
+        [("user", "a", 1.0), ("user", "b", 2.0)],
+        "entity_type string, entity_id string, value_float double",
+    ).withColumn("event_time", F.timestamp_seconds(F.lit(100)))
+    iceberg_append(df, d)
+    iceberg_delete_where(spark, d, [("entity_id", "=", "a")])
+    t = IcebergTable(spark, d)
+    files = t.files_df().collect()
+    assert sum(1 for r in files if r["is_delete"]) == 1
+    assert sum(int(not r["is_delete"]) for r in files) >= 1
+    snaps = {r["snapshot_id"]: r["operation"]
+             for r in t.snapshots_df().collect()}
+    assert list(snaps.values()) == ["append", "delete"]

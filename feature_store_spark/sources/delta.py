@@ -286,13 +286,15 @@ class DeltaTable:
 
     # -- deletion vectors
 
-    def _load_dv(self, d: dict) -> list[int]:
-        """Decode one add action's deletionVector descriptor to the
-        sorted list of deleted row ordinals (PROTOCOL.md 'Deletion
-        Vector Descriptor Schema': inline Z85, relative-with-UUID, or
-        absolute-path storage)."""
+    def _load_dv(self, d: dict):
+        """Decode one add action's deletionVector descriptor to a
+        SORTED int64 numpy array of deleted row ordinals (PROTOCOL.md
+        'Deletion Vector Descriptor Schema': inline Z85,
+        relative-with-UUID, or absolute-path storage). Numpy end to
+        end — a 10⁵–10⁶-position DV decodes in milliseconds where the
+        per-value Python loop took seconds."""
         from feature_store_spark.sources.roaring import (
-            deserialize_rbm_array,
+            deserialize_rbm_array_np,
             dv_file_path,
             read_dv_from_file,
             z85_decode,
@@ -300,12 +302,15 @@ class DeltaTable:
 
         st = d["storageType"]
         if st == "i":
-            return deserialize_rbm_array(z85_decode(d["pathOrInlineDv"]))
+            return deserialize_rbm_array_np(
+                z85_decode(d["pathOrInlineDv"])
+            )
         if st in ("u", "p"):
             return read_dv_from_file(
                 dv_file_path(self.path, d),
                 int(d["offset"]),
                 int(d["sizeInBytes"]),
+                as_numpy=True,
             )
         raise NotImplementedError(
             f"{self.path}: deletionVector storageType {st!r}"
@@ -483,20 +488,30 @@ class DeltaTable:
         if dv_adds:
             # decode all DVs at plan time (KB–MB metadata) and remove
             # their (file, row ordinal) pairs with ONE anti-join —
-            # the Iceberg positional-delete shape
+            # the Iceberg positional-delete shape. Numpy/Arrow end to
+            # end: no per-position Python objects even at 10⁶ deletes.
+            import numpy as np
             import pandas as pd
 
-            rows: list[tuple[str, int]] = []
+            parts = []
             for a in dv_adds:
+                pos = self._load_dv(a["deletionVector"])
+                if len(pos) == 0:
+                    continue
                 p = os.path.abspath(os.path.join(self.path, a["path"]))
-                rows.extend(
-                    (p, pos) for pos in self._load_dv(a["deletionVector"])
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "__del_fp": np.full(len(pos), p,
+                                                dtype=object),
+                            "__del_pos": pos,
+                        }
+                    )
                 )
-            if rows:
-                dv_df = self.spark.createDataFrame(
-                    pd.DataFrame(rows, columns=["__del_fp", "__del_pos"])
-                )
-                if len(rows) <= 1_000_000:
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True)
+                dv_df = self.spark.createDataFrame(pdf)
+                if len(pdf) <= 4_000_000:
                     dv_df = F.broadcast(dv_df)
                 df = df.join(
                     dv_df,

@@ -200,6 +200,94 @@ def deserialize_rbm_array(data: bytes) -> list[int]:
     return values
 
 
+def deserialize_roaring32_np(buf: bytes, pos: int = 0):
+    """Vectorized twin of :func:`deserialize_roaring32`: returns
+    (sorted uint32 numpy array, next position). Containers decode as
+    array slices / unpacked bitsets instead of per-value Python loops
+    — the difference between milliseconds and seconds once deletion
+    vectors reach 10⁵–10⁶ positions."""
+    import numpy as np
+    import struct as _s
+
+    (cookie,) = _s.unpack_from("<i", buf, pos)
+    if (cookie & 0xFFFF) == SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        pos += 4
+        nbitset = (n + 7) // 8
+        run_flags = buf[pos : pos + nbitset]
+        pos += nbitset
+        has_offsets = n >= NO_OFFSET_THRESHOLD
+    elif cookie == SERIAL_COOKIE_NO_RUN:
+        (n,) = _s.unpack_from("<i", buf, pos + 4)
+        pos += 8
+        run_flags = b"\x00" * ((n + 7) // 8)
+        has_offsets = True
+    else:
+        raise ValueError(f"not a roaring bitmap (cookie {cookie})")
+    keys = np.frombuffer(buf, dtype="<u2", count=2 * n, offset=pos)
+    cards = keys[1::2].astype(np.int64) + 1
+    keys = keys[0::2].astype(np.int64)
+    pos += 4 * n
+    if has_offsets:
+        pos += 4 * n
+    chunks = []
+    for i in range(n):
+        base = keys[i] << 16
+        card = int(cards[i])
+        if run_flags[i >> 3] & (1 << (i & 7)):
+            (n_runs,) = _s.unpack_from("<H", buf, pos)
+            pos += 2
+            runs = np.frombuffer(
+                buf, dtype="<u2", count=2 * n_runs, offset=pos
+            ).astype(np.int64)
+            pos += 4 * n_runs
+            starts, lens = runs[0::2], runs[1::2] + 1
+            lows = np.concatenate(
+                [np.arange(s, s + ln) for s, ln in zip(starts, lens)]
+            ) if n_runs else np.empty(0, np.int64)
+        elif card <= 4096:
+            lows = np.frombuffer(
+                buf, dtype="<u2", count=card, offset=pos
+            ).astype(np.int64)
+            pos += 2 * card
+        else:
+            bits = np.frombuffer(buf, dtype=np.uint8, count=8192,
+                                 offset=pos)
+            pos += 8192
+            lows = np.nonzero(
+                np.unpackbits(bits, bitorder="little")
+            )[0].astype(np.int64)
+        chunks.append(base + lows)
+    if not chunks:
+        return np.empty(0, np.int64), pos
+    return np.concatenate(chunks), pos
+
+
+def deserialize_rbm_array_np(data: bytes):
+    """Vectorized twin of :func:`deserialize_rbm_array`: sorted int64
+    numpy array of positions (magic tolerated, as inline DVs carry
+    it)."""
+    import numpy as np
+    import struct as _s
+
+    pos = 0
+    if len(data) >= 4:
+        (magic,) = _s.unpack_from("<i", data, 0)
+        if magic == DV_MAGIC:
+            pos = 4
+    (n,) = _s.unpack_from("<q", data, pos)
+    pos += 8
+    chunks = []
+    for _ in range(n):
+        (high,) = _s.unpack_from("<i", data, pos)
+        pos += 4
+        lows, pos = deserialize_roaring32_np(data, pos)
+        chunks.append((np.int64(high) << 32) + lows)
+    if not chunks:
+        return np.empty(0, np.int64)
+    return np.concatenate(chunks)
+
+
 def dv_file_path(table_root: str, descriptor: dict) -> str:
     """Resolve a deletion-vector descriptor of storageType ``u``
     (relative, Z85-encoded UUID with optional prefix) or ``p``
@@ -248,8 +336,12 @@ def write_dv_file(path: str, dvs: list[list[int]]) -> list[tuple[int, int, int]]
     return descs
 
 
-def read_dv_from_file(path: str, offset: int, size_in_bytes: int) -> list[int]:
-    """Read + checksum-verify one DV blob from a ``.bin`` file."""
+def read_dv_from_file(
+    path: str, offset: int, size_in_bytes: int, as_numpy: bool = False
+):
+    """Read + checksum-verify one DV blob from a ``.bin`` file.
+    ``as_numpy=True`` returns a sorted int64 array via the vectorized
+    decoder (the scan-time path for large DVs)."""
     with open(path, "rb") as f:
         f.seek(offset)
         (sz,) = struct.unpack(">i", f.read(4))
@@ -264,4 +356,6 @@ def read_dv_from_file(path: str, offset: int, size_in_bytes: int) -> list[int]:
         (crc,) = struct.unpack(">I", crc_raw)
         if crc != (zlib.crc32(data) & 0xFFFFFFFF):
             raise ValueError(f"{path}@{offset}: DV checksum mismatch")
+    if as_numpy:
+        return deserialize_rbm_array_np(data)
     return deserialize_rbm_array(data)

@@ -893,12 +893,15 @@ def test_roaring_rbm_array_roundtrip_property(vals):
     multiple 32-bit keys (the Delta DV payload contract)."""
     from feature_store_spark.sources.roaring import (
         deserialize_rbm_array,
+        deserialize_rbm_array_np,
         serialize_rbm_array,
     )
 
-    assert deserialize_rbm_array(serialize_rbm_array(vals)) == sorted(
-        set(vals)
-    )
+    blob = serialize_rbm_array(vals)
+    want = sorted(set(vals))
+    assert deserialize_rbm_array(blob) == want
+    # the vectorized decoder (the scan-time path) agrees bit-for-bit
+    assert deserialize_rbm_array_np(blob).tolist() == want
 
 
 @given(st.binary(min_size=0, max_size=64))

@@ -632,6 +632,34 @@ class DeltaTable:
         return out
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer claimed the log version this commit targeted.
+    Appends retry internally (they commute); state-dependent commits
+    (DELETE/OPTIMIZE) surface this so the caller re-reads and
+    retries — blindly re-running could re-delete against stale
+    state."""
+
+
+def _claim_commit(log_dir: str, version: int, actions: list[dict]) -> bool:
+    """Atomically claim ``_delta_log/<version>.json`` (put-if-absent
+    via O_EXCL — the filesystem analog of the object-store
+    conditional put every Delta committer is built on). Returns False
+    when another writer already owns the version."""
+    commit = os.path.join(log_dir, f"{version:020d}.json")
+    try:
+        fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    try:
+        with os.fdopen(fd, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+    except BaseException:
+        os.remove(commit)  # never leave a torn commit claimed
+        raise
+    return True
+
+
 def _as_dict(v) -> dict:
     """Normalize a parquet-checkpoint MAP cell (pyarrow returns
     ``[(k, v), ...]``) or None to the plain dict the JSON-commit
@@ -939,12 +967,22 @@ def delta_append(
         {"commitInfo": {"timestamp": int(_time.time() * 1000),
                         "operation": "WRITE"}},
     )
-    commit = os.path.join(log_dir, f"{version:020d}.json")
-    tmp = commit + ".tmp"
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    os.replace(tmp, commit)
+    # optimistic concurrency: claim the version put-if-absent. Lost
+    # races on APPENDS commute — recheck the txn mark (the rival may
+    # have committed this very batch) and retry at the next version.
+    # A lost race on table CREATION is not retryable (our
+    # protocol/metaData decisions are stale): loud error.
+    while not _claim_commit(log_dir, version, actions):
+        if version == 0:
+            raise ConcurrentWriteError(
+                f"{table_dir}: another writer created the table "
+                "concurrently; re-read and retry the append"
+            )
+        if txn is not None:
+            t2 = DeltaTable(spark, table_dir)
+            if t2.txn_version(txn[0]) >= int(txn[1]):
+                return t2.latest_version()  # rival committed our batch
+        version = DeltaTable(spark, table_dir).latest_version() + 1
     # touch spark to keep the session-arg contract obvious
     assert spark is not None
     return version
@@ -1192,14 +1230,13 @@ def delta_optimize(
         + removes
         + new_adds
     )
-    commit = os.path.join(
-        table_dir, "_delta_log", f"{version:020d}.json"
-    )
-    tmp = commit + ".tmp"
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    os.replace(tmp, commit)
+    if not _claim_commit(
+        os.path.join(table_dir, "_delta_log"), version, actions
+    ):
+        raise ConcurrentWriteError(
+            f"{table_dir}: version {version} was committed by another "
+            "writer while OPTIMIZE ran; re-read and retry"
+        )
     return version, len(removes), len(new_adds)
 
 
@@ -1724,14 +1761,13 @@ def delta_delete_where(
             "cardinality": card,
         }
         actions.append({"add": new_add})
-    commit = os.path.join(
-        table_dir, "_delta_log", f"{version:020d}.json"
-    )
-    tmp = commit + ".tmp"
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    os.replace(tmp, commit)
+    if not _claim_commit(
+        os.path.join(table_dir, "_delta_log"), version, actions
+    ):
+        raise ConcurrentWriteError(
+            f"{table_dir}: version {version} was committed by another "
+            "writer while DELETE ran; re-read and retry"
+        )
     return version, n_new
 
 

@@ -998,3 +998,80 @@ def test_describe_history(spark, tmp_path):
     ]
     assert all(h["timestamp_ms"] > 0 for h in hist)
     assert hist[2]["n_removes"] > 0 and hist[2]["n_adds"] >= 1
+
+
+class TestOptimisticConcurrency:
+    def test_append_retries_past_rival_commit(self, spark, tmp_path):
+        """Put-if-absent commit claims: a rival commit landing on the
+        targeted version bumps the append to the next one — no silent
+        clobber, both commits survive the replay."""
+        d = str(tmp_path / "occ")
+        delta_append(
+            spark.range(5).coalesce(1).select(F.col("id").alias("eid")), d
+        )
+        # a rival claims version 1 out from under the next append
+        with open(os.path.join(d, "_delta_log",
+                               f"{1:020d}.json"), "w") as f:
+            f.write(json.dumps({"commitInfo": {
+                "timestamp": 1, "operation": "WRITE"}}) + "\n")
+        v = delta_append(
+            spark.range(5, 9).coalesce(1)
+            .select(F.col("id").alias("eid")), d
+        )
+        assert v == 2  # bumped past the rival
+        assert DeltaTable(spark, d).scan().count() == 9
+
+    def test_state_dependent_commits_refuse_on_race(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A rival landing between DELETE's state read and its commit
+        claim must surface, never clobber: simulate the stale view by
+        pinning latest_version to the pre-rival value."""
+        from feature_store_spark.sources.delta import (
+            ConcurrentWriteError,
+            delta_delete_where,
+        )
+
+        d = str(tmp_path / "occ2")
+        delta_append(
+            spark.range(9).coalesce(1).select(F.col("id").alias("eid")), d
+        )
+        with open(os.path.join(d, "_delta_log",
+                               f"{1:020d}.json"), "w") as f:
+            f.write(json.dumps({"commitInfo": {
+                "timestamp": 1, "operation": "WRITE"}}) + "\n")
+        monkeypatch.setattr(DeltaTable, "latest_version", lambda self: 0)
+        with pytest.raises(ConcurrentWriteError, match="another writer"):
+            delta_delete_where(spark, d, [("eid", "<", 3)])
+        monkeypatch.undo()
+        # table state unharmed: the DELETE never half-landed
+        assert DeltaTable(spark, d).scan().count() == 9
+
+    def test_concurrent_table_creation_refuses(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import ConcurrentWriteError
+
+        d = str(tmp_path / "occ3")
+        log = os.path.join(d, "_delta_log")
+        os.makedirs(log)
+
+        # simulate the rival winning version 0 between the version
+        # computation and the claim: prebuild 0 as claimed-but-empty
+        # is racy to stage; instead patch _claim_commit's target by
+        # creating it from a thread the moment the dir exists is
+        # overkill — create it NOW and verify delta_append(version 0)
+        # refuses rather than clobbering
+        import json as _json
+
+        with open(os.path.join(log, f"{0:020d}.json"), "x") as f:
+            f.write(_json.dumps({"commitInfo": {"timestamp": 1}}) + "\n")
+        # the log now has a (rival) version 0, so a fresh append sees
+        # version 1 and needs the rival's metaData — which is absent:
+        # the replay refuses loudly either way; nothing is clobbered
+        with pytest.raises(Exception):
+            delta_append(
+                spark.range(3).coalesce(1)
+                .select(F.col("id").alias("eid")), d
+            )
+        assert open(os.path.join(log, f"{0:020d}.json")).read().count(
+            "commitInfo"
+        ) == 1

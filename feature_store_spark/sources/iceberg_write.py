@@ -84,6 +84,39 @@ _KV_BYTES = {
 }
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the metadata version this commit
+    targeted. All Iceberg commits here are state-dependent (snapshot
+    ids, sequence numbers, and carried-forward manifest lists were
+    derived from the pre-commit state), so the caller must re-read
+    and retry — silently overwriting would LOSE the rival's commit."""
+
+
+def _publish_metadata(meta_dir: str, snap_id: int, meta: dict) -> None:
+    """Atomically claim ``v<snap_id>.metadata.json`` put-if-absent
+    (O_EXCL — the filesystem analog of the catalog's compare-and-swap
+    every real Iceberg commit goes through), then flip
+    version-hint.text. Raises ConcurrentWriteError on a lost race."""
+    target = os.path.join(meta_dir, f"v{snap_id}.metadata.json")
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"{meta_dir}: metadata v{snap_id} was committed by another "
+            "writer; re-read and retry"
+        ) from None
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+    except BaseException:
+        os.remove(target)  # never leave a torn commit claimed
+        raise
+    hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(snap_id))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+
+
 def manifest_schema(partition_fields: list[dict]) -> dict:
     """Manifest-entry schema for a given partition struct (field name →
     avro type of the partition VALUE, e.g. string for identity on a
@@ -383,7 +416,12 @@ def iceberg_append(
             {"name": "ts_day", "avro": "int"},
         ]
     )
-    mpath = os.path.join(meta_dir, f"manifest-{snap_id}.avro")
+    # uuid'd names (what real Iceberg writers emit): a commit that
+    # loses the metadata race must never have clobbered a rival's
+    # manifest files — losers leave only orphans
+    mpath = os.path.join(
+        meta_dir, f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+    )
     write_avro(mpath, mschema, entries, codec="deflate")
 
     delete_manifests: list[dict] = []
@@ -426,7 +464,8 @@ def iceberg_append(
             )
         if del_entries:
             dm_path = os.path.join(
-                meta_dir, f"manifest-eqdel-{snap_id}.avro"
+                meta_dir,
+                f"manifest-eqdel-{snap_id}-{uuid.uuid4().hex[:8]}.avro",
             )
             write_avro(
                 dm_path, _eq_manifest_schema(), del_entries,
@@ -484,7 +523,7 @@ def iceberg_append(
         manifests = delete_manifests + [manifest_rec]
     else:
         manifests = prev_manifests + delete_manifests + [manifest_rec]
-    mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
     write_avro(mlist, MANIFEST_LIST_SCHEMA, manifests, codec="deflate")
 
     summary = {
@@ -534,14 +573,7 @@ def iceberg_append(
         "current-snapshot-id": snap_id,
         "snapshots": (prev_meta or {}).get("snapshots", []) + [snapshot],
     }
-    tmp = os.path.join(meta_dir, f".v{snap_id}.metadata.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(meta_dir, f"v{snap_id}.metadata.json"))
-    hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
-    with open(hint_tmp, "w") as f:
-        f.write(str(snap_id))
-    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    _publish_metadata(meta_dir, snap_id, meta)
     return snap_id
 
 
@@ -705,16 +737,7 @@ def iceberg_expire_snapshots(
     if not dry_run:
         new_meta = dict(prev_meta)
         new_meta["snapshots"] = keep
-        tmp = os.path.join(meta_dir, f".v{snap_id}.metadata.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(new_meta, f)
-        os.replace(
-            tmp, os.path.join(meta_dir, f"v{snap_id}.metadata.json")
-        )
-        hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
-        with open(hint_tmp, "w") as f:
-            f.write(str(snap_id))
-        os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+        _publish_metadata(meta_dir, snap_id, new_meta)
         for p in doomed:
             if os.path.exists(p):
                 os.remove(p)
@@ -867,7 +890,9 @@ def iceberg_delete_where(
             for pf in spec_fields
         ]
     )
-    mpath = os.path.join(meta_dir, f"manifest-del-{snap_id}.avro")
+    mpath = os.path.join(
+        meta_dir, f"manifest-del-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+    )
     write_avro(mpath, mschema, entries, codec="deflate")
     manifest_rec = {
         "manifest_path": mpath,
@@ -886,7 +911,7 @@ def iceberg_delete_where(
         "partitions": None,
     }
     manifests = prev_manifests + [manifest_rec]
-    mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
     write_avro(mlist, MANIFEST_LIST_SCHEMA, manifests, codec="deflate")
     snapshot = {
         "snapshot-id": snap_id,
@@ -901,12 +926,5 @@ def iceberg_delete_where(
     meta["last-updated-ms"] = 1700000000000 + snap_id
     meta["current-snapshot-id"] = snap_id
     meta["snapshots"] = prev_meta.get("snapshots", []) + [snapshot]
-    tmp = os.path.join(meta_dir, f".v{snap_id}.metadata.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(meta_dir, f"v{snap_id}.metadata.json"))
-    hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
-    with open(hint_tmp, "w") as f:
-        f.write(str(snap_id))
-    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    _publish_metadata(meta_dir, snap_id, meta)
     return snap_id

@@ -1252,3 +1252,38 @@ def test_metadata_tables(spark, tmp_path):
     snaps = {r["snapshot_id"]: r["operation"]
              for r in t.snapshots_df().collect()}
     assert list(snaps.values()) == ["append", "delete"]
+
+
+def test_concurrent_metadata_commit_refuses(spark, tmp_path, monkeypatch):
+    """A rival metadata version landing between state read and commit
+    surfaces as ConcurrentWriteError — the rival's commit is never
+    overwritten (put-if-absent claim). The race is simulated by
+    pinning the writer's state read one version stale."""
+    import json as _json
+
+    import feature_store_spark.sources.iceberg_write as iw
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "iceocc")
+    df = spark.createDataFrame(
+        [("user", "a", 1.0)],
+        "entity_type string, entity_id string, value_float double",
+    ).withColumn("event_time", F.timestamp_seconds(F.lit(100)))
+    iw.iceberg_append(df, d)
+    iw.iceberg_append(df, d)  # the "rival": owns v2
+
+    orig = iw._load_prev
+
+    def stale(meta_dir):
+        meta, manifests, v = orig(meta_dir)
+        return meta, manifests, v - 1  # pre-rival view -> targets v2
+
+    monkeypatch.setattr(iw, "_load_prev", stale)
+    rival = os.path.join(d, "metadata", "v2.metadata.json")
+    before = open(rival).read()
+    with pytest.raises(iw.ConcurrentWriteError, match="another writer"):
+        iw.iceberg_append(df, d)
+    monkeypatch.undo()
+    assert open(rival).read() == before  # rival commit untouched
+    # and the table still works
+    assert IcebergTable(spark, d).scan().count() == 2

@@ -142,7 +142,10 @@ class DeltaTable:
         by appId) at ``version``."""
         versions = self._commit_versions()
         if version is None:
-            version = versions[-1] if versions else self.latest_version()
+            # latest = max(JSON, checkpoint) — a compacted log can
+            # have a checkpoint NEWER than any surviving JSON commit,
+            # and 'latest' resolved from JSON alone would be stale
+            version = self.latest_version()
         if version in self._state_cache:
             # one DeltaTable = one pinned view of the log; scan() and
             # data_files() share a single replay per version
@@ -367,21 +370,22 @@ class DeltaTable:
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY: one dict per JSON commit — version,
         commit timestamp (commitInfo, else file mtime), operation, and
-        per-commit action counts. Driver-metadata only."""
+        per-commit action counts. ONE parse per commit file."""
         out = []
-        ts_of = dict(self._version_timestamps())
         for v in self._commit_versions():
+            p = os.path.join(self.log_dir, f"{v:020d}.json")
             op = None
+            ts = None
             n_adds = n_removes = 0
-            with open(
-                os.path.join(self.log_dir, f"{v:020d}.json")
-            ) as f:
+            with open(p) as f:
                 for line in f:
                     if not line.strip():
                         continue
                     a = json.loads(line)
                     if "commitInfo" in a:
                         op = a["commitInfo"].get("operation")
+                        if a["commitInfo"].get("timestamp") is not None:
+                            ts = int(a["commitInfo"]["timestamp"])
                     elif "add" in a:
                         n_adds += 1
                     elif "remove" in a:
@@ -389,7 +393,11 @@ class DeltaTable:
             out.append(
                 {
                     "version": v,
-                    "timestamp_ms": ts_of[v],
+                    "timestamp_ms": (
+                        ts
+                        if ts is not None
+                        else int(os.path.getmtime(p) * 1000)
+                    ),
                     "operation": op,
                     "n_adds": n_adds,
                     "n_removes": n_removes,
@@ -641,23 +649,32 @@ class ConcurrentWriteError(RuntimeError):
 
 
 def _claim_commit(log_dir: str, version: int, actions: list[dict]) -> bool:
-    """Atomically claim ``_delta_log/<version>.json`` (put-if-absent
-    via O_EXCL — the filesystem analog of the object-store
-    conditional put every Delta committer is built on). Returns False
-    when another writer already owns the version."""
+    """Atomically claim ``_delta_log/<version>.json``: the content is
+    FULLY WRITTEN to a private tmp first, then published with
+    ``os.link`` — put-if-absent AND atomic, so neither a crash (even
+    SIGKILL mid-write) nor a concurrent reader can ever observe a
+    torn commit file; a killed writer leaves only an unclaimed tmp.
+    This is the filesystem analog of the object-store conditional put
+    every Delta committer is built on. Returns False when another
+    writer already owns the version."""
+    import uuid as _uuid
+
     commit = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = os.path.join(
+        log_dir, f".{version:020d}.{_uuid.uuid4().hex[:8]}.json.tmp"
+    )
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, commit)  # atomic put-if-absent
+        return True
     except FileExistsError:
         return False
-    try:
-        with os.fdopen(fd, "w") as f:
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
-    except BaseException:
-        os.remove(commit)  # never leave a torn commit claimed
-        raise
-    return True
+    finally:
+        os.remove(tmp)
 
 
 def _as_dict(v) -> dict:
@@ -978,11 +995,25 @@ def delta_append(
                 f"{table_dir}: another writer created the table "
                 "concurrently; re-read and retry the append"
             )
-        if txn is not None:
-            t2 = DeltaTable(spark, table_dir)
-            if t2.txn_version(txn[0]) >= int(txn[1]):
-                return t2.latest_version()  # rival committed our batch
-        version = DeltaTable(spark, table_dir).latest_version() + 1
+        t2 = DeltaTable(spark, table_dir)
+        if txn is not None and t2.txn_version(txn[0]) >= int(txn[1]):
+            return t2.latest_version()  # rival committed our batch
+        # appends only commute while the table DEFINITION stands: a
+        # rival schema / partitioning / mapping change makes our
+        # already-written files stale — surface, don't mix layouts
+        cur_meta, _, _ = t2._state(None)
+        if (
+            cur_meta.get("schemaString") != meta0.get("schemaString")
+            or cur_meta.get("partitionColumns")
+            != meta0.get("partitionColumns")
+            or (cur_meta.get("configuration") or {})
+            != (meta0.get("configuration") or {})
+        ):
+            raise ConcurrentWriteError(
+                f"{table_dir}: table metadata changed concurrently "
+                "with the append; re-read and retry"
+            )
+        version = t2.latest_version() + 1
     # touch spark to keep the session-arg contract obvious
     assert spark is not None
     return version
@@ -1285,13 +1316,31 @@ def delta_changes(
             "the change feed for this range is unrecoverable"
         )
 
-    def dv_positions(add: dict | None) -> set[int]:
+    # memoized DV decode (each descriptor is read once across the
+    # whole range, not once per version transition)
+    _dv_cache: dict[tuple, frozenset] = {}
+
+    def dv_positions(add: dict | None) -> frozenset:
         if not add or not add.get("deletionVector"):
-            return set()
-        return set(t._load_dv(add["deletionVector"]))
+            return frozenset()
+        d = add["deletionVector"]
+        key = (
+            d.get("pathOrInlineDv"),
+            d.get("offset"),
+            d.get("sizeInBytes"),
+        )
+        if key not in _dv_cache:
+            _dv_cache[key] = frozenset(
+                int(p) for p in t._load_dv(d)
+            )
+        return _dv_cache[key]
 
     frames: list[DataFrame] = []
     meta_now, _, _ = t._state(to_version)
+    # rolling adds-by-path state: ONE base replay, then each commit's
+    # own actions advance it — O(commits), not O(commits^2)
+    _, base_adds, _ = t._state(from_version)
+    state_by_path: dict[str, dict] = {a["path"]: a for a in base_adds}
 
     def _abs(add: dict) -> str:
         return os.path.abspath(os.path.join(t.path, add["path"]))
@@ -1340,10 +1389,11 @@ def delta_changes(
         ).withColumn("_commit_version", F.lit(int(version)))
 
     for v in range(from_version + 1, to_version + 1):
-        _, prev_adds, _ = t._state(v - 1)
-        prev_by_path = {a["path"]: a for a in prev_adds}
+        prev_by_path = state_by_path
         commit_adds: dict[str, dict] = {}
         commit_removes: dict[str, dict] = {}
+        all_adds: dict[str, dict] = {}
+        all_removes: list[str] = []
         with open(
             os.path.join(t.log_dir, f"{v:020d}.json")
         ) as f:
@@ -1351,16 +1401,18 @@ def delta_changes(
                 if not line.strip():
                     continue
                 action = json.loads(line)
-                if "add" in action and action["add"].get(
-                    "dataChange", True
-                ):
-                    commit_adds[action["add"]["path"]] = action["add"]
-                elif "remove" in action and action["remove"].get(
-                    "dataChange", True
-                ):
-                    commit_removes[action["remove"]["path"]] = action[
-                        "remove"
-                    ]
+                if "add" in action:
+                    all_adds[action["add"]["path"]] = action["add"]
+                    if action["add"].get("dataChange", True):
+                        commit_adds[action["add"]["path"]] = action[
+                            "add"
+                        ]
+                elif "remove" in action:
+                    all_removes.append(action["remove"]["path"])
+                    if action["remove"].get("dataChange", True):
+                        commit_removes[
+                            action["remove"]["path"]
+                        ] = action["remove"]
         inserts: list[dict] = []
         ins_drop: set = set()
         dv_prev_adds: list[dict] = []
@@ -1396,6 +1448,13 @@ def delta_changes(
             frames.append(
                 rows_of(removed_adds, v, "delete", drop=rem_drop)
             )
+        # advance the rolling state with ALL of this commit's actions
+        # (OPTIMIZE's dataChange:false shuffles included — they are
+        # invisible to the FEED but very much part of the state)
+        state_by_path = dict(state_by_path)
+        for path in all_removes:
+            state_by_path.pop(path, None)
+        state_by_path.update(all_adds)
     if not frames:
         base = t.scan(version=to_version).limit(0)
         return base.withColumn(

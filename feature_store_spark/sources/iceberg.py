@@ -381,28 +381,32 @@ class IcebergTable:
     # -- metadata resolution
 
     def _load_metadata(self) -> dict:
+        """Resolve the current metadata file: the MAX of the
+        version-hint and the directory listing — a stalled writer can
+        leave the hint one step behind a rival's newer commit, so the
+        hint is an optimization, never the correctness boundary."""
         hint = os.path.join(self.meta_dir, "version-hint.text")
-        candidate = None
+        best: tuple[int, str] | None = None
         if os.path.exists(hint):
             with open(hint) as f:
                 v = f.read().strip()
             for name in (f"v{v}.metadata.json", f"{v}.metadata.json"):
                 p = os.path.join(self.meta_dir, name)
-                if os.path.exists(p):
-                    candidate = p
+                if os.path.exists(p) and v.isdigit():
+                    best = (int(v), p)
                     break
-        if candidate is None:
-            versions = []
-            for name in os.listdir(self.meta_dir):
-                m = re.match(r"v?(\d+)(?:-[-\w]+)?\.metadata\.json$", name)
-                if m:
-                    versions.append((int(m.group(1)), name))
-            if not versions:
-                raise FileNotFoundError(
-                    f"{self.meta_dir}: no vN.metadata.json found"
+        for name in os.listdir(self.meta_dir):
+            m = re.match(r"v?(\d+)(?:-[-\w]+)?\.metadata\.json$", name)
+            if m and (best is None or int(m.group(1)) > best[0]):
+                best = (
+                    int(m.group(1)),
+                    os.path.join(self.meta_dir, name),
                 )
-            candidate = os.path.join(self.meta_dir, max(versions)[1])
-        with open(candidate) as f:
+        if best is None:
+            raise FileNotFoundError(
+                f"{self.meta_dir}: no vN.metadata.json found"
+            )
+        with open(best[1]) as f:
             meta = json.load(f)
         if meta.get("format-version") not in (1, 2):
             raise ValueError(

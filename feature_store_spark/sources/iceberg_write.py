@@ -93,28 +93,46 @@ class ConcurrentWriteError(RuntimeError):
 
 
 def _publish_metadata(meta_dir: str, snap_id: int, meta: dict) -> None:
-    """Atomically claim ``v<snap_id>.metadata.json`` put-if-absent
-    (O_EXCL — the filesystem analog of the catalog's compare-and-swap
-    every real Iceberg commit goes through), then flip
-    version-hint.text. Raises ConcurrentWriteError on a lost race."""
+    """Atomically claim ``v<snap_id>.metadata.json``: fully write a
+    private tmp, then publish with ``os.link`` — put-if-absent AND
+    atomic, so a SIGKILL mid-write or a concurrent reader can never
+    observe a torn metadata file (the filesystem analog of the
+    catalog compare-and-swap every real Iceberg commit goes through).
+    Then advance version-hint.text — per-writer tmp name, and only
+    FORWARD: a stalled loser must not regress the hint past a rival's
+    newer commit (readers also take max(hint, listing), so the hint
+    is an optimization, never the correctness boundary). Raises
+    ConcurrentWriteError on a lost race."""
     target = os.path.join(meta_dir, f"v{snap_id}.metadata.json")
+    tmp = os.path.join(
+        meta_dir, f".v{snap_id}.{uuid.uuid4().hex[:8]}.metadata.json.tmp"
+    )
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, target)  # atomic put-if-absent
     except FileExistsError:
         raise ConcurrentWriteError(
             f"{meta_dir}: metadata v{snap_id} was committed by another "
             "writer; re-read and retry"
         ) from None
+    finally:
+        os.remove(tmp)
+    hint_path = os.path.join(meta_dir, "version-hint.text")
     try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-    except BaseException:
-        os.remove(target)  # never leave a torn commit claimed
-        raise
-    hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
-    with open(hint_tmp, "w") as f:
-        f.write(str(snap_id))
-    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+        with open(hint_path) as f:
+            current = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        current = -1
+    if snap_id > current:
+        hint_tmp = os.path.join(
+            meta_dir, f".version-hint.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(hint_tmp, "w") as f:
+            f.write(str(snap_id))
+        os.replace(hint_tmp, hint_path)
 
 
 def manifest_schema(partition_fields: list[dict]) -> dict:
@@ -254,16 +272,23 @@ def _eq_manifest_schema() -> dict:
 
 
 def iceberg_txn_version(table_dir: str, app_id: str) -> int:
-    """Highest committed batch counter for ``app_id`` recorded in the
-    table's snapshot summaries (-1 if none) — the exactly-once
-    restart-recovery read. The Flink Iceberg sink stores its
-    checkpoint id the same way (snapshot summary properties are the
-    spec's committer-metadata channel)."""
+    """Highest committed batch counter for ``app_id`` (-1 if none) —
+    the exactly-once restart-recovery read. Recorded in snapshot
+    summaries by the sink (the Flink pattern); expire_snapshots
+    PRESERVES the marks in the table properties
+    (``fss.txn.<app_id>``) so the guarantee survives snapshot
+    expiration — both channels are consulted."""
     meta_dir = os.path.join(table_dir, "metadata")
     prev_meta, _m, _v = _load_prev(meta_dir)
     if prev_meta is None:
         return -1
     best = -1
+    prop = (prev_meta.get("properties") or {}).get(f"fss.txn.{app_id}")
+    if prop is not None:
+        try:
+            best = int(prop)
+        except (TypeError, ValueError):
+            pass
     for s in prev_meta.get("snapshots", []):
         summ = s.get("summary") or {}
         if summ.get("app-id") == app_id:
@@ -572,6 +597,9 @@ def iceberg_append(
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snap_id,
         "snapshots": (prev_meta or {}).get("snapshots", []) + [snapshot],
+        # table properties carry forward (incl. the fss.txn.* marks
+        # expire_snapshots persists there)
+        "properties": (prev_meta or {}).get("properties", {}),
     }
     _publish_metadata(meta_dir, snap_id, meta)
     return snap_id
@@ -737,6 +765,31 @@ def iceberg_expire_snapshots(
     if not dry_run:
         new_meta = dict(prev_meta)
         new_meta["snapshots"] = keep
+        # the expiring snapshots may carry the ONLY record of a
+        # streaming sink's (app-id, batch-id) high-water marks:
+        # persist them into the table properties so exactly-once
+        # redelivery detection survives snapshot expiration
+        marks: dict[str, int] = {}
+        for s in snaps:
+            summ = s.get("summary") or {}
+            app = summ.get("app-id")
+            if app is None:
+                continue
+            try:
+                b = int(summ.get("batch-id", -1))
+            except (TypeError, ValueError):
+                continue
+            marks[app] = max(marks.get(app, -1), b)
+        if marks:
+            props = dict(new_meta.get("properties") or {})
+            for app, b in marks.items():
+                key = f"fss.txn.{app}"
+                try:
+                    prev_b = int(props.get(key, -1))
+                except (TypeError, ValueError):
+                    prev_b = -1
+                props[key] = str(max(prev_b, b))
+            new_meta["properties"] = props
         _publish_metadata(meta_dir, snap_id, new_meta)
         for p in doomed:
             if os.path.exists(p):

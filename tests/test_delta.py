@@ -1075,3 +1075,28 @@ class TestOptimisticConcurrency:
         assert open(os.path.join(log, f"{0:020d}.json")).read().count(
             "commitInfo"
         ) == 1
+
+
+def test_state_resolves_checkpoint_newer_than_json(spark, tmp_path):
+    """Compacted log where ONLY an old JSON commit survives beside a
+    NEWER checkpoint: 'latest' state must come from the checkpoint
+    (review r8b #3 — scan/vacuum on the JSON-only view would operate
+    on stale state and could delete live files)."""
+    from feature_store_spark.sources.delta import (
+        delta_checkpoint,
+        delta_vacuum,
+    )
+
+    d = str(tmp_path / "stale")
+    for lo, hi in ((0, 5), (5, 9), (9, 12)):
+        delta_append(
+            spark.range(lo, hi).coalesce(1)
+            .select(F.col("id").alias("eid")), d
+        )
+    delta_checkpoint(spark, d)  # at v2
+    log = os.path.join(d, "_delta_log")
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    os.remove(os.path.join(log, f"{2:020d}.json"))
+    t = DeltaTable(spark, d)
+    assert t.scan().count() == 12  # checkpoint state, not v0's 5
+    assert delta_vacuum(spark, d) == []  # nothing live is "garbage"

@@ -1287,3 +1287,62 @@ def test_concurrent_metadata_commit_refuses(spark, tmp_path, monkeypatch):
     assert open(rival).read() == before  # rival commit untouched
     # and the table still works
     assert IcebergTable(spark, d).scan().count() == 2
+
+
+def test_txn_marks_survive_expiration(spark, tmp_path):
+    """Exactly-once must survive maintenance: expire_snapshots
+    persists the (app-id, batch-id) high-water marks into the table
+    properties, so a redelivered batch is STILL a no-op after the
+    snapshots that carried the marks are gone (review r8b #4)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_expire_snapshots,
+        iceberg_txn_version,
+    )
+
+    d = str(tmp_path / "txnexp")
+
+    def frame(lo, hi):
+        return spark.range(lo, hi).select(
+            F.lit("user").alias("entity_type"),
+            F.concat(F.lit("e"), F.col("id")).alias("entity_id"),
+            F.col("id").cast("double").alias("value_float"),
+            F.timestamp_seconds(F.col("id")).alias("event_time"),
+        )
+
+    for b in range(3):
+        iceberg_append(frame(b * 3, b * 3 + 3), d, txn=("sink", b))
+    iceberg_expire_snapshots(d, keep_last=1)
+    assert iceberg_txn_version(d, "sink") == 2  # marks persisted
+    # redelivery of batch 1 after expiration: STILL a no-op
+    iceberg_append(frame(3, 6), d, txn=("sink", 1))
+    t = IcebergTable(spark, d)
+    assert t.scan().count() == 9
+    # marks keep carrying forward through later commits
+    iceberg_append(frame(9, 10), d, txn=("sink", 3))
+    assert iceberg_txn_version(d, "sink") == 3
+
+
+def test_reader_ignores_regressed_version_hint(spark, tmp_path):
+    """A stalled writer can leave version-hint.text pointing at an
+    OLDER metadata version; readers must take the max of hint and
+    listing (review r8b #5)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.sources.iceberg_write import iceberg_append
+
+    d = str(tmp_path / "hintreg")
+    df = spark.createDataFrame(
+        [("user", "a", 1.0)],
+        "entity_type string, entity_id string, value_float double",
+    ).withColumn("event_time", F.timestamp_seconds(F.lit(100)))
+    iceberg_append(df, d)
+    iceberg_append(df, d)
+    with open(os.path.join(d, "metadata", "version-hint.text"),
+              "w") as f:
+        f.write("1")  # regressed hint
+    t = IcebergTable(spark, d)
+    assert len(t.snapshots()) == 2  # v2 metadata wins
+    assert t.scan().count() == 2

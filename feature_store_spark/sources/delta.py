@@ -332,26 +332,48 @@ class DeltaTable:
         _, _, txns = self._state(version)
         return txns.get(app_id, -1)
 
+    def _commit_summary(self, version: int) -> dict:
+        """ONE parse of a commit file: {timestamp_ms, operation,
+        n_adds, n_removes}. The FIRST commitInfo line wins (the rule
+        both time travel and DESCRIBE HISTORY share — one parser, so
+        they can never disagree); mtime is the spec's fallback."""
+        p = os.path.join(self.log_dir, f"{version:020d}.json")
+        ts = None
+        op = None
+        n_adds = n_removes = 0
+        with open(p) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    if op is None:
+                        op = a["commitInfo"].get("operation")
+                    if ts is None and a["commitInfo"].get(
+                        "timestamp"
+                    ) is not None:
+                        ts = int(a["commitInfo"]["timestamp"])
+                elif "add" in a:
+                    n_adds += 1
+                elif "remove" in a:
+                    n_removes += 1
+        if ts is None:
+            ts = int(os.path.getmtime(p) * 1000)
+        return {
+            "timestamp_ms": ts,
+            "operation": op,
+            "n_adds": n_adds,
+            "n_removes": n_removes,
+        }
+
     def _version_timestamps(self) -> list[tuple[int, int]]:
         """(version, epoch-ms) per JSON commit — the commitInfo
         timestamp when present, else the commit file's mtime (the
         Delta spec's own time-travel resolution rule)."""
-        out = []
-        for v in self._commit_versions():
-            p = os.path.join(self.log_dir, f"{v:020d}.json")
-            ts = None
-            with open(p) as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    ci = json.loads(line).get("commitInfo")
-                    if ci and ci.get("timestamp") is not None:
-                        ts = int(ci["timestamp"])
-                        break
-            if ts is None:
-                ts = int(os.path.getmtime(p) * 1000)
-            out.append((v, ts))
-        return out
+        return [
+            (v, self._commit_summary(v)["timestamp_ms"])
+            for v in self._commit_versions()
+        ]
 
     def version_as_of(self, as_of_ms: int) -> int:
         """Time travel by wall clock: the latest version committed at
@@ -370,40 +392,12 @@ class DeltaTable:
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY: one dict per JSON commit — version,
         commit timestamp (commitInfo, else file mtime), operation, and
-        per-commit action counts. ONE parse per commit file."""
-        out = []
-        for v in self._commit_versions():
-            p = os.path.join(self.log_dir, f"{v:020d}.json")
-            op = None
-            ts = None
-            n_adds = n_removes = 0
-            with open(p) as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    a = json.loads(line)
-                    if "commitInfo" in a:
-                        op = a["commitInfo"].get("operation")
-                        if a["commitInfo"].get("timestamp") is not None:
-                            ts = int(a["commitInfo"]["timestamp"])
-                    elif "add" in a:
-                        n_adds += 1
-                    elif "remove" in a:
-                        n_removes += 1
-            out.append(
-                {
-                    "version": v,
-                    "timestamp_ms": (
-                        ts
-                        if ts is not None
-                        else int(os.path.getmtime(p) * 1000)
-                    ),
-                    "operation": op,
-                    "n_adds": n_adds,
-                    "n_removes": n_removes,
-                }
-            )
-        return out
+        per-commit action counts. ONE parse per commit file, shared
+        with the time-travel timestamp resolution."""
+        return [
+            {"version": v, **self._commit_summary(v)}
+            for v in self._commit_versions()
+        ]
 
     def data_files(
         self,
@@ -1450,8 +1444,10 @@ def delta_changes(
             )
         # advance the rolling state with ALL of this commit's actions
         # (OPTIMIZE's dataChange:false shuffles included — they are
-        # invisible to the FEED but very much part of the state)
-        state_by_path = dict(state_by_path)
+        # invisible to the FEED but very much part of the state).
+        # In place: prev_by_path is dead after this point in the
+        # iteration (the frames hold the add dicts, not the state
+        # dict), so no per-version copy of a possibly-huge file map
         for path in all_removes:
             state_by_path.pop(path, None)
         state_by_path.update(all_adds)

@@ -381,20 +381,14 @@ class IcebergTable:
     # -- metadata resolution
 
     def _load_metadata(self) -> dict:
-        """Resolve the current metadata file: the MAX of the
-        version-hint and the directory listing — a stalled writer can
-        leave the hint one step behind a rival's newer commit, so the
-        hint is an optimization, never the correctness boundary."""
-        hint = os.path.join(self.meta_dir, "version-hint.text")
+        """Resolve the current metadata file from the directory
+        listing's MAX version. version-hint.text is deliberately NOT
+        consulted: the hint is a best-effort pointer that a stalled
+        writer can leave one step behind a rival's newer commit, and
+        since the listing must run anyway to be safe, the hint adds
+        nothing here (writers still maintain it for external
+        filesystem-catalog readers that want the fast path)."""
         best: tuple[int, str] | None = None
-        if os.path.exists(hint):
-            with open(hint) as f:
-                v = f.read().strip()
-            for name in (f"v{v}.metadata.json", f"{v}.metadata.json"):
-                p = os.path.join(self.meta_dir, name)
-                if os.path.exists(p) and v.isdigit():
-                    best = (int(v), p)
-                    break
         for name in os.listdir(self.meta_dir):
             m = re.match(r"v?(\d+)(?:-[-\w]+)?\.metadata\.json$", name)
             if m and (best is None or int(m.group(1)) > best[0]):

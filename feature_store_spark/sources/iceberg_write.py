@@ -99,9 +99,13 @@ def _publish_metadata(meta_dir: str, snap_id: int, meta: dict) -> None:
     observe a torn metadata file (the filesystem analog of the
     catalog compare-and-swap every real Iceberg commit goes through).
     Then advance version-hint.text — per-writer tmp name, and only
-    FORWARD: a stalled loser must not regress the hint past a rival's
-    newer commit (readers also take max(hint, listing), so the hint
-    is an optimization, never the correctness boundary). Raises
+    when this commit is newer than the hint's current value. The
+    advance is BEST-EFFORT (the read and the replace are not one
+    atomic step, so two racing winners can still leave the hint one
+    step stale); that is safe because this repo's reader ignores the
+    hint entirely and resolves from the directory listing — the hint
+    exists only as a fast-path courtesy to external filesystem-catalog
+    readers, which treat it as a hint by contract. Raises
     ConcurrentWriteError on a lost race."""
     target = os.path.join(meta_dir, f"v{snap_id}.metadata.json")
     tmp = os.path.join(

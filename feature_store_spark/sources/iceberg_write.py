@@ -19,11 +19,20 @@ Physical shape — the real Iceberg commit protocol's split of labor:
   via avro_io) and the next vN.metadata.json, then flip
   version-hint.text.
 
-Scope gates: append snapshots only (no MERGE/DELETE — the engine's
-transactional MERGE lives in sources/manifest.py), single flat
-schema, identity + day partitioning (the reference's spec). The
-writer exists for interop/export and fixtures; the manifest layer
-remains the engine's native table format.
+Surface (round 8): APPEND, merge-on-read ``DELETE WHERE``
+(positional-delete snapshots), CDC UPSERT (one snapshot = global
+equality-delete + data, the Flink sink shape), ``rewrite_data_files``
+(REPLACE snapshots compacting MOR debt), ``expire_snapshots``
+(reachability-based reclamation that persists streaming txn marks
+into table properties), and an exactly-once streaming sink keyed on
+snapshot-summary (app-id, batch-id) marks. Metadata publication is a
+put-if-absent CAS (tmp + os.link): torn commits are impossible and a
+lost race raises ConcurrentWriteError instead of clobbering.
+
+Scope gates: single flat schema, identity + day partitioning (the
+reference's spec) plus the unpartitioned spec for global deletes.
+The writer exists for interop/export and fixtures; the manifest
+layer (sources/manifest.py) remains the engine's native format.
 """
 
 from __future__ import annotations

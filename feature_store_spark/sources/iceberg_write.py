@@ -1,5 +1,5 @@
-"""Minimal copy-on-write Apache Iceberg v2 APPEND writer (public
-table-format spec: https://iceberg.apache.org/spec/).
+"""Apache Iceberg v2 writer — append / upsert / delete / rewrite /
+expire (public table-format spec: https://iceberg.apache.org/spec/).
 
 Parity: the reference persists its offline store as an Iceberg table
 of feature records (IcebergOfflineStore.java:42-114 — schema of field

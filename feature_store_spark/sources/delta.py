@@ -47,11 +47,26 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from feature_store_spark.sources.hive_paths import (
+    hive_escape,
+    parse_partition_segs,
+)
 from feature_store_spark.sources.iceberg import _Filter
 
-_UNSUPPORTED_FEATURES = {
-    "v2Checkpoint",
-    "typeWidening",
+# Reader features this reader actually implements. The Delta spec
+# (PROTOCOL.md, "Table Features") requires a reader to REFUSE any
+# readerFeature it does not implement — an unknown feature (e.g.
+# variantType) silently misread as its fallback representation is
+# wrong data, not graceful degradation. So: allowlist, not blocklist
+# (ADVICE r8). Writer-only features never appear in readerFeatures
+# and need no entry here.
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+    # vacuumProtocolCheck is reader-relevant only in that readers must
+    # tolerate its presence; no read-path behavior change.
+    "vacuumProtocolCheck",
 }
 
 
@@ -237,11 +252,13 @@ class DeltaTable:
 
     def _check_protocol(self, protocol: dict) -> None:
         feats = set(protocol.get("readerFeatures") or [])
-        bad = feats & _UNSUPPORTED_FEATURES
+        bad = feats - _SUPPORTED_READER_FEATURES
         if bad:
             raise NotImplementedError(
                 f"{self.path}: delta reader features {sorted(bad)} are not "
-                "supported"
+                "supported (spec requires refusing unknown reader "
+                "features; supported: "
+                f"{sorted(_SUPPORTED_READER_FEATURES)})"
             )
         if protocol.get("minReaderVersion", 1) > 3:
             raise NotImplementedError(
@@ -928,9 +945,9 @@ def delta_append(
         )
     for rel, md in zip(moved, metas):
             fpath = os.path.join(table_dir, rel)
-            pvals = dict(
-                seg.split("=", 1) for seg in rel.split("/") if "=" in seg
-            )
+            # Spark's writer hive-escapes dir segments; partitionValues
+            # must carry the REAL value (escaped form only in `path`)
+            pvals = parse_partition_segs(rel)
             mins: dict[str, Any] = {}
             maxs: dict[str, Any] = {}
             for rg in range(md.num_row_groups):
@@ -1160,10 +1177,11 @@ def delta_optimize(
             table_dir, f".optimize-{_uuid.uuid4().hex[:8]}"
         )
         df.write.mode("overwrite").parquet(staging)
+        # `pv` holds real values from the log; paths get the hive-
+        # escaped form (null -> __HIVE_DEFAULT_PARTITION__ dir)
         segs = [
-            f"{c}={v}"
+            f"{hive_escape(c)}={hive_escape(v)}"
             for c, v in zip(part_phys, pv)
-            if v is not None
         ]
         for name in sorted(os.listdir(staging)):
             if not name.endswith(".parquet"):

@@ -45,6 +45,7 @@ import uuid
 from pyspark.sql import DataFrame, functions as F
 
 from feature_store_spark.sources.avro_io import write_avro
+from feature_store_spark.sources.hive_paths import parse_partition_segs
 
 US_PER_DAY = 86_400_000_000
 
@@ -412,10 +413,10 @@ def iceberg_append(
     entries = []
     part_rows: list[tuple[str, int, str]] = []
     for fpath, (n, lowers, uppers) in zip(paths, stats):
-            parts = dict(
-                seg.split("=", 1)
-                for seg in os.path.relpath(fpath, staging).split("/")
-                if "=" in seg
+            # dir segments are hive-escaped by Spark's writer; the
+            # manifest must record the REAL partition value
+            parts = parse_partition_segs(
+                os.path.relpath(fpath, staging)
             )
             et = parts["__pt_ent"]
             day = int(parts["__pt_day"])

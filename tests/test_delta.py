@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -81,22 +82,45 @@ class TestDeltaScan:
         assert victim not in left
         assert t2.scan().count() < 200
 
+    @pytest.mark.parametrize(
+        "feat", ["v2Checkpoint", "typeWidening", "variantType-preview"]
+    )
     def test_unsupported_reader_feature_refused(self, spark, table_dir,
-                                                tmp_path):
-        """deletionVectors and columnMapping are SUPPORTED since r8;
-        the gate still trips on genuinely unimplemented features."""
+                                                tmp_path, feat):
+        """The spec requires refusing ANY reader feature the reader
+        does not implement — allowlist, not blocklist (ADVICE r8): an
+        unknown feature like variantType must trip the gate too, not
+        silently fall back to string columns."""
         import shutil
 
-        d = str(tmp_path / "v2ck")
+        d = str(tmp_path / "feat")
         shutil.copytree(table_dir, d)
         with open(os.path.join(d, "_delta_log",
                                f"{2:020d}.json"), "w") as f:
             f.write(json.dumps(
                 {"protocol": {"minReaderVersion": 3,
-                              "readerFeatures": ["v2Checkpoint"]}}
+                              "readerFeatures": [feat]}}
             ) + "\n")
-        with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        with pytest.raises(NotImplementedError, match=re.escape(feat)):
             DeltaTable(spark, d).scan()
+
+    def test_supported_reader_features_accepted(self, spark, table_dir,
+                                                tmp_path):
+        """The implemented feature set passes the gate."""
+        import shutil
+
+        d = str(tmp_path / "okfeat")
+        shutil.copytree(table_dir, d)
+        with open(os.path.join(d, "_delta_log",
+                               f"{2:020d}.json"), "w") as f:
+            f.write(json.dumps(
+                {"protocol": {"minReaderVersion": 3,
+                              "readerFeatures": [
+                                  "deletionVectors", "columnMapping",
+                                  "timestampNtz",
+                              ]}}
+            ) + "\n")
+        assert DeltaTable(spark, d).scan().count() == 200
 
     def test_txn_append_is_idempotent(self, spark, tmp_path):
         """The protocol's txn action: a redelivered (app_id, version)
@@ -1100,3 +1124,63 @@ def test_state_resolves_checkpoint_newer_than_json(spark, tmp_path):
     t = DeltaTable(spark, d)
     assert t.scan().count() == 12  # checkpoint state, not v0's 5
     assert delta_vacuum(spark, d) == []  # nothing live is "garbage"
+
+
+class TestHiveEscapedPartitions:
+    """ADVICE r8 (medium): Spark hive-escapes special chars in
+    partition dir names; the log must record the REAL value, pruning
+    must match against it, and injected partition literals must carry
+    it. A string partition value with ':' '/' '%' '#' '=' exercises
+    every branch."""
+
+    VALUES = ["2024-01-01 00:00", "a/b", "50%", "x#1", "k=v", "plain"]
+
+    @pytest.fixture(scope="class")
+    def esc_dir(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("delta_esc") / "t")
+        df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(self.VALUES)], "pcol string, eid long"
+        )
+        assert delta_append(df, d, partition_cols=["pcol"]) == 0
+        return d
+
+    def test_log_records_real_values(self, spark, esc_dir):
+        t = DeltaTable(spark, esc_dir)
+        got = {
+            a["partitionValues"]["pcol"] for a in t.data_files()
+        }
+        assert got == set(self.VALUES)
+        # and the PATH keeps the escaped form Spark wrote
+        assert any("%3A" in a["path"] for a in t.data_files())
+
+    @pytest.mark.parametrize("v", VALUES)
+    def test_prune_and_read_each_value(self, spark, esc_dir, v):
+        t = DeltaTable(spark, esc_dir)
+        files = t.data_files(filters=[("pcol", "=", v)])
+        assert len(files) == 1  # pruned to exactly the matching file
+        rows = t.scan(filters=[("pcol", "=", v)]).collect()
+        assert [r["pcol"] for r in rows] == [v]
+
+    def test_optimize_rewrites_escaped_dirs(self, spark, esc_dir, tmp_path):
+        """OPTIMIZE must re-escape when reconstructing paths and keep
+        real values in the new adds."""
+        import shutil
+
+        from feature_store_spark.sources.delta import delta_optimize
+
+        d = str(tmp_path / "t2")
+        shutil.copytree(esc_dir, d)
+        # second add so there is something to compact per partition
+        df = spark.createDataFrame(
+            [(v, 100 + i) for i, v in enumerate(self.VALUES)],
+            "pcol string, eid long",
+        )
+        delta_append(df, d, partition_cols=["pcol"])
+        delta_optimize(spark, d, target_file_bytes=1 << 30)
+        t = DeltaTable(spark, d)
+        got = sorted(
+            r["pcol"] for r in t.scan().select("pcol").collect()
+        )
+        assert got == sorted(self.VALUES * 2)
+        for v in self.VALUES:
+            assert t.scan(filters=[("pcol", "=", v)]).count() == 2

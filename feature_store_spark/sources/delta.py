@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,6 +87,7 @@ class DeltaTable:
             raise FileNotFoundError(f"{self.path}: no _delta_log")
         self._state_cache: dict[int, tuple] = {}
         self._protocol_cache: dict[int, dict] = {}
+        self._tombstone_cache: dict[int, list[dict]] = {}
 
     # -- log replay
 
@@ -171,6 +173,12 @@ class DeltaTable:
             raise ValueError(f"unknown delta version {version}")
 
         adds: dict[str, dict] = {}
+        # un-expired remove TOMBSTONES (spec: checkpoints must carry
+        # them so readers/VACUUM tooling replaying from the checkpoint
+        # keep tombstone visibility); a later re-add clears the
+        # tombstone. Kept in a parallel cache — state consumers see
+        # the same (meta, adds, txns) tuple as before.
+        removes: dict[str, dict] = {}
         meta: dict = {}
         protocol: dict = {}
         txns: dict[str, int] = {}
@@ -203,9 +211,15 @@ class DeltaTable:
                             add.get("partitionValues")
                         )
                         adds[add["path"]] = add
+                        removes.pop(add["path"], None)
                     rem = row.get("remove")
                     if rem and rem.get("path"):
                         adds.pop(rem["path"], None)
+                        rem = dict(rem)
+                        rem["partitionValues"] = _as_dict(
+                            rem.get("partitionValues")
+                        )
+                        removes[rem["path"]] = rem
                     txn = row.get("txn")
                     if txn and txn.get("appId") is not None:
                         txns[txn["appId"]] = max(
@@ -227,8 +241,12 @@ class DeltaTable:
                         protocol = action["protocol"]
                     elif "add" in action:
                         adds[action["add"]["path"]] = action["add"]
+                        removes.pop(action["add"]["path"], None)
                     elif "remove" in action:
                         adds.pop(action["remove"]["path"], None)
+                        removes[action["remove"]["path"]] = action[
+                            "remove"
+                        ]
                     elif "txn" in action:
                         t = action["txn"]
                         txns[t["appId"]] = max(
@@ -240,7 +258,17 @@ class DeltaTable:
         out = (meta, list(adds.values()), txns)
         self._state_cache[version] = out
         self._protocol_cache[version] = protocol
+        self._tombstone_cache[version] = list(removes.values())
         return out
+
+    def tombstones(self, version: int | None = None) -> list[dict]:
+        """Remove actions still live (not re-added) at ``version`` —
+        what a spec-shaped checkpoint must carry so external readers
+        and VACUUM tooling keep tombstone visibility."""
+        if version is None:
+            version = self.latest_version()
+        self._state(version)
+        return self._tombstone_cache.get(version, [])
 
     def _protocol(self, version: int | None = None) -> dict:
         """The protocol action in force at ``version`` (replayed with
@@ -1247,7 +1275,7 @@ def delta_optimize(
                     "remove": {
                         "path": a["path"],
                         "dataChange": False,
-                        "deletionTimestamp": 0,
+                        "deletionTimestamp": int(time.time() * 1000),
                         "partitionValues": a.get("partitionValues")
                         or {},
                         "size": a.get("size"),
@@ -1545,7 +1573,9 @@ def delta_checkpoint(spark: SparkSession, table_dir: str) -> int:
     move every long-running Delta sink needs. Spec-shaped columns:
     ``partitionValues``/``configuration`` are parquet MAPs, protocol
     feature lists are arrays, add actions keep their stats JSON and
-    deletionVector descriptor. Returns the checkpointed version."""
+    deletionVector descriptor, and un-expired remove TOMBSTONES are
+    carried (spec retention window — ADVICE r8). Returns the
+    checkpointed version."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1612,6 +1642,21 @@ def delta_checkpoint(spark: SparkSession, table_dir: str) -> int:
                 ),
             ),
             (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        (
+                            "partitionValues",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                        ("size", pa.int64()),
+                    ]
+                ),
+            ),
+            (
                 "txn",
                 pa.struct(
                     [("appId", pa.string()), ("version", pa.int64())]
@@ -1666,6 +1711,30 @@ def delta_checkpoint(spark: SparkSession, table_dir: str) -> int:
                         if dv
                         else None
                     ),
+                }
+            }
+        )
+    # spec: a checkpoint must carry UN-EXPIRED remove tombstones
+    # (delta.deletedFileRetentionDuration, default 1 week) so readers
+    # and VACUUM tooling replaying from it keep tombstone visibility.
+    # Unstamped tombstones (deletionTimestamp missing/0, legacy logs)
+    # are KEPT — dropping is only licensed by proven expiry.
+    retention_ms = 7 * 24 * 3600 * 1000
+    cutoff = int(time.time() * 1000) - retention_ms
+    for rem in t.tombstones(version):
+        ts = int(rem.get("deletionTimestamp") or 0)
+        if 0 < ts < cutoff:
+            continue  # provably expired
+        rows.append(
+            {
+                "remove": {
+                    "path": rem["path"],
+                    "deletionTimestamp": ts,
+                    "dataChange": bool(rem.get("dataChange", True)),
+                    "partitionValues": list(
+                        (rem.get("partitionValues") or {}).items()
+                    ),
+                    "size": rem.get("size"),
                 }
             }
         )
@@ -1818,7 +1887,7 @@ def delta_delete_where(
                 "remove": {
                     "path": add["path"],
                     "dataChange": True,
-                    "deletionTimestamp": 0,
+                    "deletionTimestamp": int(_time.time() * 1000),
                     "partitionValues": add.get("partitionValues") or {},
                     "size": add.get("size"),
                 }

@@ -472,8 +472,22 @@ def iceberg_append(
             table_dir, "data",
             f"eq-deletes-{snap_id}-{uuid.uuid4().hex[:8]}",
         )
-        # distinct key tuples, written by executors
-        df.select(*upsert_keys).distinct().write.parquet(del_dir)
+        # distinct key tuples, written by executors. Iceberg readers
+        # resolve delete-file columns strictly BY FIELD ID (spec,
+        # "Equality Delete Files") — attach parquet.field.id metadata
+        # so external runtimes can apply these deletes, same as the
+        # Delta id-mode writer (ADVICE r8).
+        df.select(
+            *[
+                F.col(k).alias(
+                    k,
+                    metadata={
+                        "parquet.field.id": int(by_name[k]["id"])
+                    },
+                )
+                for k in upsert_keys
+            ]
+        ).distinct().write.parquet(del_dir)
         del_entries = []
         for name in sorted(os.listdir(del_dir)):
             if not name.endswith(".parquet"):

@@ -1184,3 +1184,39 @@ class TestHiveEscapedPartitions:
         assert got == sorted(self.VALUES * 2)
         for v in self.VALUES:
             assert t.scan(filters=[("pcol", "=", v)]).count() == 2
+
+
+def test_checkpoint_carries_remove_tombstones(spark, tmp_path):
+    """Spec: a checkpoint must include un-expired remove tombstones.
+    Replaying from the checkpoint ALONE (all JSON commits gone) must
+    still expose the tombstones and the correct live state
+    (ADVICE r8)."""
+    from feature_store_spark.sources.delta import (
+        delta_checkpoint,
+        delta_optimize,
+    )
+
+    d = str(tmp_path / "tomb")
+    for lo, hi in ((0, 50), (50, 100)):
+        delta_append(
+            spark.range(lo, hi).coalesce(1)
+            .select(F.col("id").alias("eid")), d
+        )
+    # OPTIMIZE permanently removes the pre-compaction files -> real
+    # tombstones (a DV delete re-adds the same path, clearing its
+    # tombstone — by design)
+    delta_optimize(spark, d, target_file_bytes=1 << 30)
+    t0 = DeltaTable(spark, d)
+    tombs0 = {r["path"] for r in t0.tombstones()}
+    assert len(tombs0) == 2  # both original files died
+    v = delta_checkpoint(spark, d)
+    log = os.path.join(d, "_delta_log")
+    for name in os.listdir(log):
+        if name.endswith(".json") and not name.startswith("_"):
+            os.remove(os.path.join(log, name))
+    t = DeltaTable(spark, d)
+    assert t.scan().count() == 100
+    tombs = {r["path"] for r in t.tombstones()}
+    assert tombs == tombs0 and v >= 1
+    for r in t.tombstones():
+        assert int(r.get("deletionTimestamp") or 0) > 0  # stamped

@@ -923,6 +923,49 @@ class TestIcebergUpsert:
         first = [s[0] for s in t.snapshots()][0]
         assert t.scan(snapshot_id=first).count() == 4
 
+    def test_eq_delete_files_carry_parquet_field_ids(
+        self, spark, tmp_path
+    ):
+        """External Iceberg runtimes resolve delete-file columns
+        strictly BY FIELD ID (spec, "Equality Delete Files") — the
+        written eq-delete parquet must carry PARQUET:field_id metadata
+        matching the manifest's equality_ids (ADVICE r8)."""
+        import pathlib
+
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg import (
+            parquet_field_ids,
+        )
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_upsert,
+        )
+
+        d = str(tmp_path / "upsert_ids")
+        base = spark.createDataFrame(
+            [("user", "k1", 1.0)],
+            "entity_type string, entity_id string, value_float double",
+        ).withColumn("event_time", F.timestamp_seconds(F.lit(100)))
+        iceberg_append(base, d)
+        iceberg_upsert(
+            base.withColumn("value_float", F.lit(2.0)), d,
+            keys=["entity_id"],
+        )
+        t = IcebergTable(spark, d)
+        key_id = {
+            f["name"]: f["id"] for f in t.schema_fields()
+        }["entity_id"]
+        del_files = [
+            str(p)
+            for p in pathlib.Path(d, "data").rglob("*.parquet")
+            if "eq-deletes-" in str(p)
+        ]
+        assert del_files
+        for p in del_files:
+            ids = dict(parquet_field_ids(p))
+            assert ids == {"entity_id": key_id}
+
     def test_upsert_chain_latest_wins(self, spark, tmp_path):
         from pyspark.sql import functions as F
 

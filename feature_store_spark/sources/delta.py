@@ -1335,9 +1335,18 @@ def delta_changes(
 
     The scan machinery (column unmapping, typed partition literals)
     is shared with ``scan`` via ``_assemble``; position selection is
-    a broadcast join on ``_metadata.row_index``. The requested range
-    must still have its JSON commits (change feeds don't survive log
-    compaction — raise loudly, never a partial feed)."""
+    a broadcast join on ``_metadata.row_index``.
+
+    Log compaction (VERDICT r8 next #8): a version whose JSON commit
+    is gone is RECONSTRUCTED from checkpoint state diffs when that is
+    provably exact — state at both v-1 and v must be replayable
+    (i.e. checkpoints cover them), and the file-level diff must be
+    adds-only, removes-only, and/or DV-growth (the streaming-append
+    and delete shapes). A diff with BOTH added and removed paths is
+    genuinely ambiguous — an OPTIMIZE (dataChange:false, invisible to
+    the feed) is indistinguishable from a rewrite (visible) once the
+    commit's dataChange flags are gone — and raises loudly, never a
+    guessed feed."""
     from pyspark.sql import functions as F
 
     t = DeltaTable(spark, table_dir)
@@ -1346,14 +1355,62 @@ def delta_changes(
     if from_version > to_version:
         raise ValueError("from_version must be <= to_version")
     versions = set(t._commit_versions())
-    missing = [
-        v for v in range(from_version + 1, to_version + 1)
-        if v not in versions
-    ]
-    if missing:
-        raise ValueError(
-            f"{table_dir}: commits {missing} are gone (log compacted); "
-            "the change feed for this range is unrecoverable"
+
+    def _provable(sv: int) -> bool:
+        """_state(sv) silently skips missing JSON versions, so a diff
+        is only trustworthy when the replay chain is COMPLETE: a
+        checkpoint at c <= sv plus every JSON commit in (c, sv]."""
+        ck = t._checkpoint_at_or_before(sv)
+        lo = (ck[0] if ck else -1) + 1
+        return all(x in versions for x in range(lo, sv + 1))
+
+    def _reconstructed_actions(v: int):
+        """(commit_adds, commit_removes, all_adds, all_removes) for a
+        compacted-away version, from the state diff v-1 → v."""
+        if not (_provable(v - 1) and _provable(v)):
+            raise ValueError(
+                f"{table_dir}: commit {v} is gone (log compacted) and "
+                "no checkpoint pair proves the states on both sides; "
+                "the change feed for this range is unrecoverable"
+            )
+        _, prev_adds, _ = t._state(v - 1)
+        _, cur_adds, _ = t._state(v)
+        prevm = {a["path"]: a for a in prev_adds}
+        curm = {a["path"]: a for a in cur_adds}
+        added = {p: a for p, a in curm.items() if p not in prevm}
+        removed = {
+            p: {"path": p, "dataChange": True}
+            for p in prevm
+            if p not in curm
+        }
+        if added and removed:
+            raise ValueError(
+                f"{table_dir}: compacted commit {v} both added and "
+                "removed files — an OPTIMIZE (invisible to the feed) "
+                "is indistinguishable from a rewrite (visible) without "
+                "the commit's dataChange flags; change feed ambiguous"
+            )
+        def dv_key(add):
+            d = add.get("deletionVector")
+            if not d:
+                return None
+            return (
+                d.get("pathOrInlineDv"),
+                d.get("offset"),
+                d.get("sizeInBytes"),
+            )
+
+        dv_changed = {
+            p: curm[p]
+            for p in curm
+            if p in prevm and dv_key(curm[p]) != dv_key(prevm[p])
+        }
+        commit_adds = {**added, **dv_changed}
+        return (
+            commit_adds,
+            removed,
+            dict(commit_adds),
+            list(removed),
         )
 
     # memoized DV decode (each descriptor is read once across the
@@ -1434,25 +1491,33 @@ def delta_changes(
         commit_removes: dict[str, dict] = {}
         all_adds: dict[str, dict] = {}
         all_removes: list[str] = []
-        with open(
-            os.path.join(t.log_dir, f"{v:020d}.json")
-        ) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    all_adds[action["add"]["path"]] = action["add"]
-                    if action["add"].get("dataChange", True):
-                        commit_adds[action["add"]["path"]] = action[
-                            "add"
-                        ]
-                elif "remove" in action:
-                    all_removes.append(action["remove"]["path"])
-                    if action["remove"].get("dataChange", True):
-                        commit_removes[
-                            action["remove"]["path"]
-                        ] = action["remove"]
+        if v not in versions:
+            (
+                commit_adds,
+                commit_removes,
+                all_adds,
+                all_removes,
+            ) = _reconstructed_actions(v)
+        else:
+            with open(
+                os.path.join(t.log_dir, f"{v:020d}.json")
+            ) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        all_adds[action["add"]["path"]] = action["add"]
+                        if action["add"].get("dataChange", True):
+                            commit_adds[action["add"]["path"]] = action[
+                                "add"
+                            ]
+                    elif "remove" in action:
+                        all_removes.append(action["remove"]["path"])
+                        if action["remove"].get("dataChange", True):
+                            commit_removes[
+                                action["remove"]["path"]
+                            ] = action["remove"]
         inserts: list[dict] = []
         ins_drop: set = set()
         dv_prev_adds: list[dict] = []

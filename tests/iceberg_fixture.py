@@ -100,6 +100,48 @@ def _day(us: int) -> int:
     return us // US_PER_DAY
 
 
+# avro data-file schema (spec: data files may be AVRO; columns carry
+# field-id attributes, timestamptz encodes as long timestamp-micros)
+AVRO_DATA_SCHEMA = {
+    "type": "record",
+    "name": "r_data",
+    "fields": [
+        {"name": "entity_type", "type": "string", "field-id": 1},
+        {"name": "entity_id", "type": "string", "field-id": 2},
+        {"name": "feature_name", "type": "string", "field-id": 3},
+        {"name": "value_float", "type": ["null", "double"],
+         "field-id": 4},
+        {"name": "event_time",
+         "type": {"type": "long", "logicalType": "timestamp-micros"},
+         "field-id": 6},
+    ],
+}
+
+
+def _write_avro_data(path: str, rows: list[dict]) -> tuple[int, dict, dict]:
+    """AVRO twin of :func:`_write_parquet`: one OCF data file with the
+    same bounds encoding for the manifest."""
+    recs = [
+        {
+            "entity_type": r["entity_type"],
+            "entity_id": r["entity_id"],
+            "feature_name": r["feature_name"],
+            "value_float": r["value_float"],
+            "event_time": r["event_time_us"],
+        }
+        for r in rows
+    ]
+    write_avro(path, AVRO_DATA_SCHEMA, recs, codec="deflate")
+    vals = [r["value_float"] for r in rows if r["value_float"] is not None]
+    ts = [r["event_time_us"] for r in rows]
+    lowers = {6: struct.pack("<q", min(ts))}
+    uppers = {6: struct.pack("<q", max(ts))}
+    if vals:
+        lowers[4] = struct.pack("<d", min(vals))
+        uppers[4] = struct.pack("<d", max(vals))
+    return len(rows), lowers, uppers
+
+
 DELETE_MANIFEST_SCHEMA = manifest_schema(
     [
         {"name": "entity_type", "avro": "string"},
@@ -177,21 +219,28 @@ class IcebergFixture:
             "partitions": partitions,
         }
 
-    def append(self, batch: list[dict]) -> None:
+    def append(
+        self, batch: list[dict], file_format: str = "PARQUET"
+    ) -> None:
         self.snap_id += 1
         by_part: dict[tuple, list[dict]] = {}
         for r in batch:
             by_part.setdefault(
                 (r["entity_type"], _day(r["event_time_us"])), []
             ).append(r)
+        writer, ext = (
+            (_write_avro_data, "avro")
+            if file_format == "AVRO"
+            else (_write_parquet, "parquet")
+        )
         entries, n_rows = [], 0
         for (etype, day), rows in sorted(by_part.items()):
             fname = (
                 f"{etype}-{day}-{self.snap_id}-"
-                f"{uuid.uuid4().hex[:8]}.parquet"
+                f"{uuid.uuid4().hex[:8]}.{ext}"
             )
             fpath = os.path.join(self.data_dir, fname)
-            n, lowers, uppers = _write_parquet(fpath, rows)
+            n, lowers, uppers = writer(fpath, rows)
             n_rows += n
             entries.append(
                 {
@@ -202,7 +251,7 @@ class IcebergFixture:
                     "data_file": {
                         "content": 0,
                         "file_path": fpath,
-                        "file_format": "PARQUET",
+                        "file_format": file_format,
                         "partition": {"entity_type": etype,
                                       "event_time_day": day},
                         "record_count": n,

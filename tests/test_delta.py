@@ -985,24 +985,83 @@ class TestChangeFeed:
         assert ch4.count() == n_live
         assert {r["_change_type"] for r in ch4.collect()} == {"delete"}
 
-    def test_change_feed_refuses_compacted_range(self, spark, tmp_path):
+    def test_change_feed_reconstructs_compacted_append(
+        self, spark, tmp_path
+    ):
+        """VERDICT r8 next #8: a compacted-away APPEND commit is
+        reconstructed exactly from the checkpoint state diff — the
+        compacted table reads the same change set as its uncompacted
+        twin."""
+        import shutil
+
         from feature_store_spark.sources.delta import (
             delta_changes,
             delta_checkpoint,
+            delta_delete_where,
         )
 
         d = str(tmp_path / "cdfgone")
         delta_append(
             spark.range(5).coalesce(1).select(F.col("id").alias("eid")), d
-        )
+        )                                                      # v0
         delta_append(
             spark.range(5, 9).coalesce(1).select(F.col("id").alias("eid")),
             d,
-        )
-        delta_checkpoint(spark, d)
+        )                                                      # v1
+        delta_checkpoint(spark, d)                             # ckpt @1
+        delta_delete_where(spark, d, [("eid", "=", 7)])        # v2 (DV)
+        delta_checkpoint(spark, d)                             # ckpt @2
+        twin = str(tmp_path / "twin")
+        shutil.copytree(d, twin)
         os.remove(os.path.join(d, "_delta_log", f"{1:020d}.json"))
+        os.remove(os.path.join(d, "_delta_log", f"{2:020d}.json"))
+
+        def feed(path):
+            return {
+                (r["_change_type"], r["_commit_version"], r["eid"])
+                for r in delta_changes(spark, path, 0).collect()
+            }
+
+        got, want = feed(d), feed(twin)
+        assert got == want
+        assert ("insert", 1, 5) in got and ("delete", 2, 7) in got
+
+    def test_change_feed_compacted_ambiguous_or_unprovable_refuses(
+        self, spark, tmp_path
+    ):
+        from feature_store_spark.sources.delta import (
+            delta_changes,
+            delta_checkpoint,
+            delta_optimize,
+        )
+
+        # adds+removes in the compacted commit (an OPTIMIZE shape):
+        # genuinely ambiguous once dataChange flags are gone
+        d = str(tmp_path / "cdfambig")
+        for lo, hi in ((0, 5), (5, 9)):
+            delta_append(
+                spark.range(lo, hi).coalesce(1)
+                .select(F.col("id").alias("eid")), d
+            )
+        delta_checkpoint(spark, d)            # ckpt @1
+        delta_optimize(spark, d)              # v2: remove+add
+        delta_checkpoint(spark, d)            # ckpt @2
+        os.remove(os.path.join(d, "_delta_log", f"{2:020d}.json"))
+        with pytest.raises(ValueError, match="ambiguous"):
+            delta_changes(spark, d, 1)
+
+        # no checkpoint pair proves the mid state: unrecoverable
+        d2 = str(tmp_path / "cdfnock")
+        for lo, hi in ((0, 5), (5, 9), (9, 12)):
+            delta_append(
+                spark.range(lo, hi).coalesce(1)
+                .select(F.col("id").alias("eid")), d2
+            )
+        delta_checkpoint(spark, d2)           # ckpt @2 only
+        os.remove(os.path.join(d2, "_delta_log", f"{1:020d}.json"))
+        os.remove(os.path.join(d2, "_delta_log", f"{2:020d}.json"))
         with pytest.raises(ValueError, match="unrecoverable"):
-            delta_changes(spark, d, 0)
+            delta_changes(spark, d2, 0)
 
 
 def test_describe_history(spark, tmp_path):

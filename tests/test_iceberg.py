@@ -1389,3 +1389,89 @@ def test_reader_ignores_regressed_version_hint(spark, tmp_path):
     t = IcebergTable(spark, d)
     assert len(t.snapshots()) == 2  # v2 metadata wins
     assert t.scan().count() == 2
+
+
+class TestAvroDataFiles:
+    """VERDICT r8 next #7: AVRO data files scan through the in-repo
+    OCF decoder (distributed, one task per file); the non-parquet
+    gate narrows to ORC only."""
+
+    def _mixed_table(self, tmp_path, name="avrodata"):
+        from iceberg_fixture import IcebergFixture
+
+        d = str(tmp_path / name)
+        fx = IcebergFixture(d)
+        fx.append([
+            _row("user", "u1", "clicks", 1.0, 100),
+            _row("merchant", "m1", "volume", 900.0, 100),
+        ])                                            # parquet snapshot
+        fx.append([
+            _row("user", "u2", "clicks", 2.5, 101),
+            _row("user", "u3", "clicks", None, 102),  # null value
+        ], file_format="AVRO")                        # avro snapshot
+        fx.finish()
+        return d
+
+    def test_mixed_parquet_avro_scan(self, spark, tmp_path):
+        d = self._mixed_table(tmp_path)
+        t = IcebergTable(spark, d)
+        got = {
+            (r["entity_id"], r["value_float"],
+             int(r["event_time"].timestamp() * 1_000_000))
+            for r in t.scan().collect()
+        }
+        assert got == {
+            ("u1", 1.0, 100 * US_PER_DAY),
+            ("m1", 900.0, 100 * US_PER_DAY),
+            ("u2", 2.5, 101 * US_PER_DAY),
+            ("u3", None, 102 * US_PER_DAY),
+        }
+
+    def test_avro_files_prune_by_metadata(self, spark, tmp_path):
+        """Manifest bounds pruning is format-independent: a filter
+        outside the avro file's day range must drop it from the file
+        list before any decode happens."""
+        d = self._mixed_table(tmp_path, "avroprune")
+        t = IcebergTable(spark, d)
+        files = t.data_files(None, [("event_time", ">=",
+                                     101 * US_PER_DAY)])
+        data = [f for f in files if not f["is_delete"]]
+        assert {f["format"] for f in data} == {"avro"}
+        rows = t.scan(
+            filters=[("event_time", ">=", 101 * US_PER_DAY)]
+        ).collect()
+        assert {r["entity_id"] for r in rows} == {"u2", "u3"}
+
+    def test_avro_with_deletes_refused(self, spark, tmp_path):
+        from iceberg_fixture import IcebergFixture
+
+        d = str(tmp_path / "avrodel")
+        fx = IcebergFixture(d)
+        fx.append([_row("user", "u1", "clicks", 1.0, 100)],
+                  file_format="AVRO")
+        fx.eq_delete(["u1"])
+        fx.finish()
+        with pytest.raises(NotImplementedError, match="AVRO"):
+            IcebergTable(spark, d).scan().collect()
+
+    def test_orc_still_refused(self, spark, tmp_path):
+        """The gate narrows, it doesn't vanish: ORC data files still
+        raise loudly."""
+        from feature_store_spark.sources.avro_io import (
+            read_avro,
+            write_avro,
+        )
+        from iceberg_fixture import IcebergFixture
+
+        d = str(tmp_path / "orc")
+        fx = IcebergFixture(d)
+        fx.append([_row("user", "u1", "clicks", 1.0, 100)])
+        fx.finish()
+        # rewrite the manifest claiming ORC format
+        mpath = fx.manifests[0]["manifest_path"]
+        recs, schema = read_avro(mpath)
+        for e in recs:
+            e["data_file"]["file_format"] = "ORC"
+        write_avro(mpath, schema, recs, codec="deflate")
+        with pytest.raises(NotImplementedError, match="ORC"):
+            IcebergTable(spark, d).scan()

@@ -7545,78 +7545,78 @@ _R7_WINDOW = [
     "zorder_key",
     "table_profile",
 ]
-# --- ROUND-8 DRIVER WINDOW (first 50 entries) -----------------------
-# Changed-path-first: the two NEW graded queries (delta_dv_scan =
-# deletion vectors, delta_column_mapping = id-mode mapping), then
-# every query whose code path changed this round — the delta
-# reader/writer family (multi-part checkpoints, mapping, DV plumbing
-# under delta_scan/stream_delta_sink), the iceberg family
-# (partition-scoped equality deletes, delete-file pruning, pooled
-# manifest decode, suffix fallback), multimodal_meta (re-graded over
-# REAL synthesized PNGs with the stdlib header decoder), and
-# duplicate_spans (single-pass fingerprint projection). The tail
-# then refreshes the r3-only stale set from VERDICT r7 next #6 —
-# 38 of the 39 fit beside the new queries (zorder_key keeps its r3
-# row; the full-catalog oracle pytest re-grades it). Everything
-# displaced keeps its earlier green row and the identical DuckDB
-# oracle in pytest/selfcheck.
-_R8_WINDOW = [
-    "delta_dv_scan",
-    "delta_column_mapping",
+# --- ROUND-9 DRIVER WINDOW (first 50 entries) -----------------------
+# Changed-path-first: the two NEW graded queries (multimodal_av_meta =
+# WAV/MP3/MP4 stdlib header decode, incremental_dedup = MinHash state
+# maintained from append deltas), then every query whose code path
+# changed this round — the delta family (hive-unescaped partition
+# values, reader-feature allowlist, checkpoint remove tombstones,
+# stamped deletionTimestamps, CDF reconstruction over compacted
+# ranges), the iceberg family (eq-delete parquet field ids, AVRO data
+# files), multimodal_meta (id_col-derived mapInPandas schema), the
+# incremental family (refresh_minhash_dedup sibling paths), and the
+# minhash/ngram re-audit VERDICT r8 #5 asked for. Then the stale-row
+# refresh VERDICT r8 next #6 named (zorder_key r3; embedding_topk /
+# ivf_assign / simhash_pigeonhole r4), and the oldest remaining
+# r5/r6 rows fill the tail. Everything displaced keeps its earlier
+# green row and the identical DuckDB oracle in pytest/selfcheck.
+_R9_WINDOW = [
+    "multimodal_av_meta",
+    "incremental_dedup",
     "delta_changes",
     "delta_optimize",
-    "iceberg_upsert",
-    "stream_iceberg_sink",
     "delta_scan",
+    "delta_dv_scan",
+    "delta_column_mapping",
     "stream_delta_sink",
+    "iceberg_upsert",
     "iceberg_scan",
     "iceberg_mor_delete",
+    "stream_iceberg_sink",
     "multimodal_meta",
-    "duplicate_spans",
-    # r3-only refresh (complete set)
-    "ann_recall",
-    "approx_distinct",
-    "approx_quantiles",
-    "asof_auto",
-    "asof_tolerance",
-    "class_balance",
-    "corpus_mix",
-    "decontaminate",
-    "dedup_canonical",
-    "doc_chunks",
-    "feature_minmax",
-    "group_sizes",
-    "interval_join",
-    "ivf_topk",
-    "kmeans",
-    "knn_classify",
-    "leakage_safe_split",
-    "melt_vector_records",
-    "model_gates",
-    "pack_sequences",
-    "pack_shards",
-    "pii_scan",
-    "recent_events",
-    "registry_latest",
-    "repetition",
-    "salted_topk",
-    "sample_per_group",
-    "scd2_intervals",
-    "score_split_topk",
-    "skew_report",
-    "stream_dedup",
-    "stream_enrich",
-    "stream_window_stats",
-    "table_profile",
-    "tfidf_cosine",
-    "top_ngrams",
-    "vector_slots",
-    "view_transform",
+    "incremental_agg",
+    "stream_incremental_agg",
+    "minhash_pairs",
+    "ngram_jaccard",
+    "minhash_signatures",
+    # VERDICT r8 next #6 stale set
     "zorder_key",
+    "embedding_topk",
+    "ivf_assign",
+    "simhash_pigeonhole",
+    # oldest remaining driver rows (r5/r6)
+    "criteo_pipeline",
+    "mslr_pipeline",
+    "asof_features",
+    "schema_hash",
+    "tree_score_topk",
+    "tree_score_large",
+    "ndcg_at_5",
+    "dedup_exact",
+    "simhash",
+    "segment_dedup",
+    "curation_pipeline",
+    "stream_sessions",
+    "stream_manifest_sink",
+    "stream_attribution",
+    "stream_decay",
+    "bigram_lm",
+    "bpe_merges",
+    "perplexity_buckets",
+    "gopher_rules",
+    "token_stats",
+    "lang_id",
+    "quality_scores",
+    "decontaminate_bloom",
+    "lsh_bucket_topk",
+    "semantic_dedup",
+    "auc_roc",
+    "confusion",
+    "feature_stats",
 ]
 QUERIES = {
-    **{k: QUERIES[k] for k in _R8_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in _R8_WINDOW},
+    **{k: QUERIES[k] for k in _R9_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in _R9_WINDOW},
 }
 
 

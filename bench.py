@@ -105,6 +105,11 @@ HEADLINE = [
     "delta_optimize",
     "iceberg_upsert",
     "delta_changes",
+    # round-9 additions: incremental MinHash dedup (3 appends + state
+    # refreshes, must equal full recompute) and real WAV/MP4 header
+    # decode over synthesized payloads
+    "incremental_dedup",
+    "multimodal_av_meta",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

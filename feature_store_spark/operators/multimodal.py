@@ -286,15 +286,43 @@ def frame_sample_plan(
     media: DataFrame,
     every_n_seconds: float = 1.0,
     id_col: str = "doc_id",
+    real_duration: bool | None = None,
 ) -> DataFrame:
-    """Video frame-sampling plumbing: explode a (stubbed) frame index
-    per payload. Real decoders replace the duration fake; the explode +
-    downstream-partitioning shape is the production plan."""
-    fake_duration_s = (F.length("payload") % 120 + 1).cast("double")
-    n_frames = F.ceil(fake_duration_s / F.lit(every_n_seconds)).cast("int")
+    """Video frame-sampling plan: one row per sampled frame time.
+
+    ``real_duration`` ``None`` (AUTO, default): the duration comes
+    from the ACTUAL container header via :func:`parse_av_header`
+    (WAV/MP3/MP4) through an Arrow-batched pandas UDF, falling back
+    to the documented deterministic fake for unparseable payloads.
+    ``False`` pins the fake (the pre-r9 behavior). Frame DECODE at
+    each sampled time still needs a codec library — this is the
+    explode + downstream-partitioning shape, with real timelines."""
+    if real_duration is None or real_duration:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def dur_s(payloads: pd.Series) -> pd.Series:
+            out = []
+            for p in payloads:
+                meta = None if p is None else parse_av_header(p)
+                if meta is not None and meta["duration_ms"] is not None:
+                    out.append(meta["duration_ms"] / 1000.0)
+                elif p is None or real_duration:
+                    out.append(None)  # strict: unparseable -> no frames
+                else:
+                    out.append(float(len(p) % 120 + 1))
+            return pd.Series(out, dtype="float64")
+
+        duration_s = dur_s(F.col("payload"))
+    else:
+        duration_s = (F.length("payload") % 120 + 1).cast("double")
+    n_frames = F.ceil(duration_s / F.lit(every_n_seconds)).cast("int")
+    # zero/NULL duration -> NULL sequence -> posexplode drops the row
+    # (sequence(0, -1) would otherwise produce a DESCENDING [0, -1])
+    idx = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1))
     return media.select(
         F.col(id_col),
-        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "__"),
+        F.posexplode(idx).alias("frame_idx", "__"),
     ).select(
         id_col,
         "frame_idx",

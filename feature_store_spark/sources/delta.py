@@ -770,6 +770,28 @@ def _parse_partition_value(s: str | None, type_str: str | None):
     return None  # dates/timestamps/decimals: no pruning, stay safe
 
 
+_INTERVAL_UNITS_MS = {
+    "week": 7 * 86_400_000, "weeks": 7 * 86_400_000,
+    "day": 86_400_000, "days": 86_400_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "minute": 60_000, "minutes": 60_000,
+    "second": 1_000, "seconds": 1_000,
+}
+
+
+def _parse_interval_ms(s: str | None) -> int | None:
+    """Delta table-property interval ("interval 1 week") -> millis;
+    None for absent/unparseable (caller applies its default)."""
+    if not s:
+        return None
+    m = re.fullmatch(
+        r"\s*interval\s+(\d+)\s+([a-z]+)\s*", s.strip(), re.I
+    )
+    if not m or m.group(2).lower() not in _INTERVAL_UNITS_MS:
+        return None
+    return int(m.group(1)) * _INTERVAL_UNITS_MS[m.group(2).lower()]
+
+
 def _coerce_stat(v, type_str: str | None):
     if v is None or type_str is None:
         return None
@@ -791,6 +813,7 @@ def delta_append(
     partition_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     column_mapping: str | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Append ``df`` as one Delta commit (creating the table on first
     call). Executors write hive-partitioned parquet; the driver
@@ -812,6 +835,11 @@ def delta_append(
     the logical→physical mapping and the protocol advertises
     minReaderVersion 2 / minWriterVersion 5. Later appends adopt
     whatever mode the table already has.
+
+    ``properties`` (first commit only) merges table properties into
+    ``metaData.configuration`` — e.g.
+    ``delta.deletedFileRetentionDuration`` ("interval 1 week"), which
+    VACUUM and the checkpoint tombstone window honor.
 
     Export-grade: append-only, no concurrent-writer arbitration (the
     engine's native format, sources/manifest.py, owns that)."""
@@ -940,6 +968,8 @@ def delta_append(
                 "delta.columnMapping.mode": mode,
                 "delta.columnMapping.maxColumnId": str(len(map_fields)),
             }
+        if properties:
+            configuration = {**configuration, **properties}
         actions.append(
             {
                 "metaData": {
@@ -1577,22 +1607,42 @@ def delta_vacuum(
     spark: SparkSession,
     table_dir: str,
     dry_run: bool = False,
+    retention_ms: int | None = None,
 ) -> list[str]:
     """VACUUM: delete every data/DV file under the table that the
     CURRENT version no longer references — the garbage OPTIMIZE,
-    DELETE, and overwrites leave behind. Time travel to versions
-    whose files are vacuumed stops working, exactly as in Delta
-    proper (retention there is a grace period on top of the same
-    reachability rule; this exporter-grade table has no concurrent
-    readers to grace). Returns the deleted (or, with ``dry_run``,
+    DELETE, and overwrites leave behind — EXCEPT files still inside
+    the retention grace period (Delta proper's rule): a tombstoned
+    file whose ``deletionTimestamp`` is younger than the retention,
+    or an untracked orphan whose mtime is (a concurrent writer's
+    in-flight data files must not look like garbage). Time travel to
+    versions whose files are vacuumed stops working, exactly as in
+    Delta proper. Returns the deleted (or, with ``dry_run``,
     deletable) paths relative to the table root.
+
+    ``retention_ms`` defaults to the table property
+    ``delta.deletedFileRetentionDuration`` when set, else 0 — the
+    pre-r9 exporter-grade behavior (no concurrent readers to grace)
+    stays the default for tables that never declared a retention.
 
     Driver-side metadata + unlink only: referenced-set construction
     is one log replay, candidate listing is one directory walk."""
     from feature_store_spark.sources.roaring import dv_file_path
 
     t = DeltaTable(spark, table_dir)
-    _, adds, _ = t._state(None)
+    meta, adds, _ = t._state(None)
+    if retention_ms is None:
+        retention_ms = _parse_interval_ms(
+            (meta.get("configuration") or {}).get(
+                "delta.deletedFileRetentionDuration"
+            )
+        ) or 0
+    now_ms = int(time.time() * 1000)
+    cutoff = now_ms - int(retention_ms)
+    tomb_ts = {
+        os.path.normpath(r["path"]): int(r.get("deletionTimestamp") or 0)
+        for r in t.tombstones()
+    }
     referenced: set[str] = set()
     for a in adds:
         referenced.add(os.path.normpath(a["path"]))
@@ -1623,8 +1673,19 @@ def delta_vacuum(
             rel = os.path.normpath(
                 os.path.relpath(os.path.join(root, name), t.path)
             )
-            if rel not in referenced:
-                doomed.append(rel)
+            if rel in referenced:
+                continue
+            if retention_ms > 0:
+                ts = tomb_ts.get(rel)
+                if ts is None:
+                    # untracked orphan: grace by mtime (a concurrent
+                    # writer's staged-but-uncommitted file)
+                    ts = int(
+                        os.path.getmtime(os.path.join(t.path, rel)) * 1000
+                    )
+                if ts > cutoff:
+                    continue  # inside the retention window
+            doomed.append(rel)
     if not dry_run:
         for rel in doomed:
             os.remove(os.path.join(t.path, rel))
@@ -1784,7 +1845,13 @@ def delta_checkpoint(spark: SparkSession, table_dir: str) -> int:
     # and VACUUM tooling replaying from it keep tombstone visibility.
     # Unstamped tombstones (deletionTimestamp missing/0, legacy logs)
     # are KEPT — dropping is only licensed by proven expiry.
-    retention_ms = 7 * 24 * 3600 * 1000
+    retention_ms = _parse_interval_ms(
+        (meta.get("configuration") or {}).get(
+            "delta.deletedFileRetentionDuration"
+        )
+    )
+    if retention_ms is None:
+        retention_ms = 7 * 24 * 3600 * 1000
     cutoff = int(time.time() * 1000) - retention_ms
     for rem in t.tombstones(version):
         ts = int(rem.get("deletionTimestamp") or 0)

@@ -1279,3 +1279,33 @@ def test_checkpoint_carries_remove_tombstones(spark, tmp_path):
     assert tombs == tombs0 and v >= 1
     for r in t.tombstones():
         assert int(r.get("deletionTimestamp") or 0) > 0  # stamped
+
+
+def test_vacuum_honors_retention(spark, tmp_path):
+    """r9: a table declaring delta.deletedFileRetentionDuration keeps
+    tombstoned files inside the window (time travel still works),
+    and an explicit retention_ms=0 reaps them immediately."""
+    from feature_store_spark.sources.delta import (
+        delta_optimize,
+        delta_vacuum,
+    )
+
+    d = str(tmp_path / "ret")
+    delta_append(
+        spark.range(30).coalesce(1).select(F.col("id").alias("eid")), d,
+        properties={"delta.deletedFileRetentionDuration": "interval 1 week"},
+    )
+    delta_append(
+        spark.range(30, 60).coalesce(1).select(F.col("id").alias("eid")), d
+    )
+    delta_optimize(spark, d, target_file_bytes=1 << 30)
+    t = DeltaTable(spark, d)
+    assert (meta := t._state(None)[0])["configuration"][
+        "delta.deletedFileRetentionDuration"] == "interval 1 week"
+    # default vacuum: tombstones are minutes old, window is a week
+    assert delta_vacuum(spark, d) == []
+    assert t.scan(version=1).count() == 60  # time travel intact
+    # explicit zero retention: reaped now
+    gone = delta_vacuum(spark, d, retention_ms=0)
+    assert len(gone) == 2
+    assert DeltaTable(spark, d).scan().count() == 60

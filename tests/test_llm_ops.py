@@ -882,3 +882,36 @@ def test_media_table_custom_id_col(spark):
     assert dict(media.dtypes)["item_key"] == "string"
     got = {r["item_key"] for r in media.select("item_key").collect()}
     assert got == {"k1", "k2"}
+
+
+def test_frame_sample_plan_real_duration(spark):
+    """r9: the frame-sampling timeline derives from the REAL container
+    duration (mvhd / RIFF data size) when the payload parses; the fake
+    stays only as the AUTO fallback for opaque payloads."""
+    from feature_store_spark.operators.multimodal import (
+        frame_sample_plan,
+        make_mp4,
+        make_wav,
+    )
+
+    rows = [
+        (1, "video", make_mp4(320, 240, 3500)),      # 3.5 s -> 4 frames
+        (2, "audio", make_wav(8000, 1, 4000)),       # 0.5 s -> 1 frame
+        (3, "blob", b"x" * 7),                       # opaque
+        (4, "video", make_mp4(320, 240, 0)),         # 0 ms -> no frames
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in frame_sample_plan(media).groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got[1] == 4 and got[2] == 1
+    assert got[3] == 7 % 120 + 1  # auto fallback: documented fake
+    assert 4 not in got           # zero duration: zero frames
+    # strict mode: opaque payloads produce NO frames instead of fakes
+    strict = frame_sample_plan(media, real_duration=True)
+    ids = {r["doc_id"] for r in strict.select("doc_id").collect()}
+    assert ids == {1, 2}

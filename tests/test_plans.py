@@ -554,3 +554,29 @@ def test_duplicate_spans_plan_shape(spark, sf_dir):
     assert "partitionBy=[doc_id]" in plan.replace(" ", "") or (
         "doc_id" in plan and "Window" in plan
     ), plan
+
+
+def test_minhash_incremental_matches_fused_shape(spark, sf_dir):
+    """r9 incremental pair plan: same physical discipline as the fused
+    self-join — banded join + the union-population guard, pair dedup
+    from the first-agreeing-band filter (no distinct over collisions),
+    and NO signature re-joins after the pair join."""
+    from feature_store_spark.operators.dedup import (
+        minhash_pairs_incremental,
+        minhash_wide_from_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = minhash_wide_from_docs(docs.filter("doc_id % 2 = 0"))
+    new = minhash_wide_from_docs(docs.filter("doc_id % 2 = 1"))
+    out = minhash_pairs_incremental(
+        old.localCheckpoint(eager=False), new.localCheckpoint(eager=False)
+    )
+    plan = plan_of(out, "simple")
+    n_joins = len(
+        re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    )
+    # banded cross join + guard join under each side (broadcast built
+    # once, reused at runtime) — identical budget to the fused plan
+    assert n_joins == 3, plan
+    assert "HashAggregate(keys=[id_a" not in plan, plan

@@ -109,6 +109,7 @@ HEADLINE = [
     # refreshes, must equal full recompute) and real WAV/MP4 header
     # decode over synthesized payloads
     "incremental_dedup",
+    "incremental_dedup_exact",
     "multimodal_av_meta",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at

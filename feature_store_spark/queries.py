@@ -3641,13 +3641,42 @@ def q_incremental_dedup(spark, sf_dir):
         pairs = ManifestedTable(spark, scratch + "/pairs")
         for i in range(3):
             src.append(corpus.filter(F.col("doc_id") % 3 == i))
-            refresh_minhash_dedup(sig, pairs, src)
-            if i == 1:
-                refresh_minhash_dedup(sig, pairs, src)  # redelivery
+            refresh_minhash_dedup(sig, pairs, src, state_partitions=4)
+            if i == 1:  # redelivery
+                refresh_minhash_dedup(sig, pairs, src, state_partitions=4)
         out = pairs.read().select(
             "id_a", "id_b", _r6(F.col("est_jaccard")).alias("est_jaccard")
         )
         return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+def q_incremental_dedup_exact(spark, sf_dir):
+    """Incremental EXACT dedup: the per-fingerprint (keeper_id,
+    n_copies) state is an algebraic aggregate (min of mins, sum of
+    counts) maintained through the generic refresh_fold core from
+    append deltas only. Three appends + one redelivered refresh; the
+    oracle is the full groupBy recompute (same SQL as dedup_exact)."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.incremental import refresh_exact_dedup
+    from feature_store_spark.sources.manifest import ManifestedTable
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=True)
+    scratch = _tmp.mkdtemp(prefix="fss-incr-exact-")
+    try:
+        src = ManifestedTable(spark, scratch + "/src")
+        state = ManifestedTable(spark, scratch + "/state")
+        for i in range(3):
+            src.append(corpus.filter(F.col("doc_id") % 3 == i))
+            refresh_exact_dedup(state, src)
+            if i == 1:
+                refresh_exact_dedup(state, src)  # redelivery no-op
+        return state.read().select(
+            "fingerprint", "keeper_id", "n_copies"
+        ).localCheckpoint(eager=True)
     finally:
         _sh.rmtree(scratch, ignore_errors=True)
 
@@ -7396,6 +7425,7 @@ QUERIES: dict[str, tuple] = {
     # incremental maintenance must equal the FULL-recompute oracle —
     # deliberately the same SQL as minhash_pairs
     "incremental_dedup": (q_incremental_dedup, MINHASH_PAIRS_SQL),
+    "incremental_dedup_exact": (q_incremental_dedup_exact, DEDUP_EXACT_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_pigeonhole": (q_simhash_pigeonhole, SIMHASH_PIGEONHOLE_SQL),
     "embedding_topk": (q_embedding_topk, EMB_TOPK_SQL),
@@ -7563,6 +7593,7 @@ _R7_WINDOW = [
 _R9_WINDOW = [
     "multimodal_av_meta",
     "incremental_dedup",
+    "incremental_dedup_exact",
     "delta_changes",
     "delta_optimize",
     "delta_scan",
@@ -7612,7 +7643,6 @@ _R9_WINDOW = [
     "semantic_dedup",
     "auc_roc",
     "confusion",
-    "feature_stats",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R9_WINDOW},

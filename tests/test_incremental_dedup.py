@@ -147,3 +147,46 @@ def test_crash_between_commits_recovers(spark, tmp_path, monkeypatch):
     v = pairs.current_version()
     refresh_minhash_dedup(sig, pairs, src)
     assert pairs.current_version() == v
+
+
+def test_exact_dedup_incremental_equals_full(spark, tmp_path):
+    """refresh_exact_dedup through the generic refresh_fold core:
+    state equals the full groupBy recompute at every version, and a
+    redelivered refresh no-ops on its txn token."""
+    from feature_store_spark.incremental import refresh_exact_dedup
+
+    corpus = _corpus(spark)
+    src = ManifestedTable(spark, str(tmp_path / "src"))
+    state = ManifestedTable(spark, str(tmp_path / "state"))
+
+    def full(df):
+        return {
+            (r["fingerprint"], r["keeper_id"], r["n_copies"])
+            for r in df.selectExpr(
+                "md5(lower(trim(text))) AS fingerprint", "doc_id"
+            )
+            .groupBy("fingerprint")
+            .agg(
+                F.min("doc_id").alias("keeper_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+            .collect()
+        }
+
+    for i in range(3):
+        src.append(corpus.filter(F.col("doc_id") % 3 == i))
+        refresh_exact_dedup(state, src)
+        if i == 1:
+            v = state.current_version()
+            refresh_exact_dedup(state, src)
+            assert state.current_version() == v  # redelivery no-op
+        got = {
+            (r["fingerprint"], r["keeper_id"], r["n_copies"])
+            for r in state.read().collect()
+        }
+        assert got == full(src.read())
+    # the planted exact dup of doc 3 collapsed to keeper 3, copies 2
+    by_keeper = {
+        r["keeper_id"]: r["n_copies"] for r in state.read().collect()
+    }
+    assert by_keeper[3] == 2

@@ -11,7 +11,8 @@ gated: with PIL installed (``HAS_PIL``) :func:`decode_image` decodes
 for real; without it, it raises a loud ``NotImplementedError`` — this
 container ships no codec libraries, and faking pixels would be wrong.
 Payloads whose headers are not parseable fall back to the clearly-
-marked deterministic fake in ``decode_image_meta``. Swapping in a
+marked deterministic fake (``_fake_decode``, the AUTO mode of
+:func:`extract_media_meta`). Swapping in a
 codec library changes only the function body; the distributed plan
 (columnar scan -> Arrow batches -> pandas transform -> columnar
 write) is unchanged.

@@ -922,3 +922,46 @@ def test_z85_roundtrip_property(data):
 
     data = data + b"\x00" * ((-len(data)) % 4)
     assert z85_decode(z85_encode(data)) == data
+
+
+# ------------------------------------------------ hive path escaping
+
+
+@given(st.text(min_size=0, max_size=80))
+def test_hive_escape_roundtrip(value):
+    """unescape(escape(v)) == v for ANY string (r9 partition-value
+    codec): '%' itself is in the escape set, so escaping is
+    injective; non-ASCII passes through untouched."""
+    from feature_store_spark.sources.hive_paths import (
+        hive_escape,
+        hive_unescape,
+    )
+
+    esc = hive_escape(value)
+    # escaped form never contains a path-breaking char
+    assert "/" not in esc and "=" not in esc or value == ""
+    assert hive_unescape(esc) == value
+
+
+@given(st.text(min_size=1, max_size=40), st.text(min_size=0, max_size=40))
+def test_parse_partition_segs_roundtrip(col, value):
+    """k=v dir segments built with hive_escape parse back to the
+    original (column, value) for any strings."""
+    from feature_store_spark.sources.hive_paths import (
+        hive_escape,
+        parse_partition_segs,
+    )
+
+    rel = f"{hive_escape(col)}={hive_escape(value)}/part-0.parquet"
+    assert parse_partition_segs(rel) == {col: value}
+
+
+def test_hive_null_sentinel():
+    from feature_store_spark.sources.hive_paths import (
+        HIVE_DEFAULT_PARTITION,
+        hive_escape,
+        hive_unescape,
+    )
+
+    assert hive_escape(None) == HIVE_DEFAULT_PARTITION
+    assert hive_unescape(HIVE_DEFAULT_PARTITION) is None

@@ -3652,6 +3652,61 @@ def q_incremental_dedup(spark, sf_dir):
         _sh.rmtree(scratch, ignore_errors=True)
 
 
+def q_stream_incremental_dedup(spark, sf_dir):
+    """STREAMING corpus dedup under the oracle gate: the near-dup
+    corpus micro-batches into a manifested corpus table
+    (``maxFilesPerTrigger=1`` over 4 files forces multiple commits),
+    and after every batch the MinHash dedup state advances by reading
+    ONLY the appended docs (incremental_dedup_sink). The accumulated
+    pairs table must equal the full recompute over the whole corpus —
+    the same oracle SQL as minhash_pairs."""
+    import shutil as _sh
+
+    from feature_store_spark.sources.manifest import ManifestedTable
+    from feature_store_spark.streaming.materializer import (
+        incremental_dedup_sink,
+    )
+
+    corpus = _mutated_corpus(spark, sf_dir, exact=False)
+    d = _stream_tmpdir("fss_stream_dedup_incr_")
+    corpus.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in")
+    )
+    src = ManifestedTable(spark, f"{d}/src")
+    sig = ManifestedTable(spark, f"{d}/sig")
+    pairs = ManifestedTable(spark, f"{d}/pairs")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                incremental_dedup_sink(
+                    src, sig, pairs, "doc-stream", state_partitions=4
+                )
+            )
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_incremental_dedup: stream did not finish in 300s"
+            )
+        if pairs.current_version() < 2:
+            raise RuntimeError(
+                "stream_incremental_dedup: expected multiple state "
+                f"refreshes, got version {pairs.current_version()}"
+            )
+        out = pairs.read().select(
+            "id_a", "id_b", _r6(F.col("est_jaccard")).alias("est_jaccard")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+
+
 def q_incremental_dedup_exact(spark, sf_dir):
     """Incremental EXACT dedup: the per-fingerprint (keeper_id,
     n_copies) state is an algebraic aggregate (min of mins, sum of
@@ -7426,6 +7481,7 @@ QUERIES: dict[str, tuple] = {
     # deliberately the same SQL as minhash_pairs
     "incremental_dedup": (q_incremental_dedup, MINHASH_PAIRS_SQL),
     "incremental_dedup_exact": (q_incremental_dedup_exact, DEDUP_EXACT_SQL),
+    "stream_incremental_dedup": (q_stream_incremental_dedup, MINHASH_PAIRS_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_pigeonhole": (q_simhash_pigeonhole, SIMHASH_PIGEONHOLE_SQL),
     "embedding_topk": (q_embedding_topk, EMB_TOPK_SQL),
@@ -7594,6 +7650,7 @@ _R9_WINDOW = [
     "multimodal_av_meta",
     "incremental_dedup",
     "incremental_dedup_exact",
+    "stream_incremental_dedup",
     "delta_changes",
     "delta_optimize",
     "delta_scan",
@@ -7642,7 +7699,6 @@ _R9_WINDOW = [
     "lsh_bucket_topk",
     "semantic_dedup",
     "auc_roc",
-    "confusion",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R9_WINDOW},

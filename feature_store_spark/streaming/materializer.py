@@ -211,3 +211,44 @@ def incremental_view_sink(
         )
 
     return sink
+
+
+def incremental_dedup_sink(
+    source_table,
+    sig_table,
+    pairs_table,
+    app_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    state_partitions: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for STREAMING corpus dedup (r9): each
+    micro-batch of documents lands as an idempotent manifest append
+    to the corpus table, then the MinHash dedup state advances via
+    :func:`feature_store_spark.incremental.refresh_minhash_dedup` —
+    only the appended docs are minhashed and joined against the
+    signature state, so per-batch cost is O(batch), never O(corpus).
+
+    Exactly-once composition is the :func:`incremental_view_sink`
+    design: the append's ``(app_id, batch_id)`` token no-ops
+    redelivered batches on the corpus, and the refresh's
+    source-version token (plus its pairs-before-sigs commit order)
+    no-ops redelivered refreshes — a crash at any point is recovered
+    by redelivery with no duplicate pairs and no lost signatures.
+    The pairs table is eventually-exact: always equal to the full
+    recompute over some committed corpus prefix."""
+    from feature_store_spark.incremental import refresh_minhash_dedup
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        source_table.append(batch, txn=(app_id, batch_id))
+        refresh_minhash_dedup(
+            sig_table,
+            pairs_table,
+            source_table,
+            text_col=text_col,
+            id_col=id_col,
+            app_id=f"{app_id}:dedup",
+            state_partitions=state_partitions,
+        )
+
+    return sink

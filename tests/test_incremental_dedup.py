@@ -190,3 +190,30 @@ def test_exact_dedup_incremental_equals_full(spark, tmp_path):
         r["keeper_id"]: r["n_copies"] for r in state.read().collect()
     }
     assert by_keeper[3] == 2
+
+
+def test_stream_sink_redelivery_is_noop(spark, tmp_path):
+    """incremental_dedup_sink: redelivering a completed (batch_id,
+    batch) — the foreachBatch crash-recovery contract — changes
+    neither the corpus nor the pairs state."""
+    from feature_store_spark.streaming.materializer import (
+        incremental_dedup_sink,
+    )
+
+    corpus = _corpus(spark)
+    src = ManifestedTable(spark, str(tmp_path / "src"))
+    sig = ManifestedTable(spark, str(tmp_path / "sig"))
+    pairs = ManifestedTable(spark, str(tmp_path / "pairs"))
+    sink = incremental_dedup_sink(src, sig, pairs, "app")
+    b0 = corpus.filter(F.col("doc_id") % 2 == 0)
+    b1 = corpus.filter(F.col("doc_id") % 2 == 1)
+    sink(b0, 0)
+    sink(b1, 1)
+    full = minhash_dedup_pairs(src.read())
+    assert _pairs_set(pairs.read()) == _pairs_set(full)
+    vs = (src.current_version(), sig.current_version(),
+          pairs.current_version())
+    sink(b1, 1)  # redelivery
+    assert vs == (src.current_version(), sig.current_version(),
+                  pairs.current_version())
+    assert _pairs_set(pairs.read()) == _pairs_set(full)

@@ -3786,6 +3786,57 @@ def q_iceberg_scan(spark, sf_dir):
         _sh.rmtree(scratch, ignore_errors=True)
 
 
+def q_iceberg_refs(spark, sf_dir):
+    """Named-ref time travel (spec ``refs`` map, r9): export the
+    pre-cut events batch, TAG it ``v1``, append the post-cut batch
+    (the tag must carry forward through the append's metadata
+    rebuild), then aggregate ``scan(ref="v1")`` — the tagged snapshot
+    by NAME, not by id. Oracle: the same aggregate over only the
+    pre-cut events."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_set_ref,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.col("event_type").alias("entity_type"),
+        F.col("user_id").cast("string").alias("entity_id"),
+        F.col("value").alias("value_float"),
+        F.col("ts").alias("event_time"),
+    )
+    cut_us = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z in micros
+    scratch = _tmp.mkdtemp(prefix="fss-iceberg-refs-")
+    try:
+        early = records.filter(F.unix_micros("event_time") < cut_us)
+        late = records.filter(F.unix_micros("event_time") >= cut_us)
+        iceberg_append(early, scratch)
+        iceberg_set_ref(scratch, "v1", ref_type="tag")
+        iceberg_append(late, scratch)
+        t = IcebergTable(spark, scratch)
+        out = t.scan(ref="v1").groupBy("entity_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value_float")).alias("sum_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+ICEBERG_REFS_SQL = """
+SELECT event_type AS entity_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+WHERE epoch_us(ts) < 1705276800000000
+GROUP BY event_type
+"""
+
+
 def q_delta_scan(spark, sf_dir):
     """Delta Lake interop round trip: export orders into a real Delta
     table (two commits, hive-partitioned by o_orderstatus, add actions
@@ -7400,6 +7451,7 @@ QUERIES: dict[str, tuple] = {
     # Everything displaced past slot 50 is unchanged and already has
     # a green driver row from r1-r5 (union coverage stays complete;
     # all also pass the identical DuckDB oracle in pytest/selfcheck).
+    "iceberg_refs": (q_iceberg_refs, ICEBERG_REFS_SQL),
     "iceberg_scan": (q_iceberg_scan, ICEBERG_SCAN_SQL),
     "iceberg_mor_delete": (q_iceberg_mor_delete, ICEBERG_MOR_DELETE_SQL),
     "delta_scan": (q_delta_scan, DELTA_SCAN_SQL),
@@ -7660,6 +7712,7 @@ _R9_WINDOW = [
     "iceberg_upsert",
     "iceberg_scan",
     "iceberg_mor_delete",
+    "iceberg_refs",
     "stream_iceberg_sink",
     "multimodal_meta",
     "incremental_agg",
@@ -7698,7 +7751,6 @@ _R9_WINDOW = [
     "decontaminate_bloom",
     "lsh_bucket_topk",
     "semantic_dedup",
-    "auc_roc",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R9_WINDOW},

@@ -912,6 +912,28 @@ class IcebergTable:
             "manifest_list string",
         )
 
+    def refs(self) -> dict:
+        """Named refs from the table metadata (spec ``refs`` map):
+        ``{name: {"snapshot_id": int, "type": "branch"|"tag"}}``.
+        Tags pin snapshots (and protect them from expiry); branches
+        are movable heads. Absent on v1/old tables -> empty."""
+        return {
+            name: {
+                "snapshot_id": int(r["snapshot-id"]),
+                "type": r.get("type", "branch"),
+            }
+            for name, r in (self.meta.get("refs") or {}).items()
+        }
+
+    def snapshot_id_for_ref(self, ref: str) -> int:
+        refs = self.refs()
+        if ref not in refs:
+            raise ValueError(
+                f"{self.path}: no ref named {ref!r} (have "
+                f"{sorted(refs)})"
+            )
+        return refs[ref]["snapshot_id"]
+
     def snapshot_id_as_of(self, as_of_ms: int) -> int:
         """Time travel: the snapshot current AT ``as_of_ms`` (epoch
         millis) — the latest snapshot with timestamp <= as_of_ms,
@@ -1023,6 +1045,7 @@ class IcebergTable:
         filters: list[tuple] | None = None,
         resolve_by_field_id: bool = False,
         as_of_ms: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """DataFrame over the snapshot's data with metadata-pruned
         file list; ``filters`` are (column, op, literal) triples with
@@ -1048,10 +1071,14 @@ class IcebergTable:
         written. Off by default: it reads one footer per data file at
         plan time (thread-pooled), which name-stable tables (including
         everything iceberg_append writes) don't need."""
+        if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
+            raise ValueError(
+                "pass at most one of snapshot_id / as_of_ms / ref"
+            )
         if as_of_ms is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id OR as_of_ms, not both")
             snapshot_id = self.snapshot_id_as_of(as_of_ms)
+        if ref is not None:
+            snapshot_id = self.snapshot_id_for_ref(ref)
         all_files = self.data_files(snapshot_id, filters)
         deletes = [f for f in all_files if f.get("is_delete")]
         files = [f for f in all_files if not f.get("is_delete")]

@@ -628,6 +628,9 @@ def iceberg_append(
         # table properties carry forward (incl. the fss.txn.* marks
         # expire_snapshots persists there)
         "properties": (prev_meta or {}).get("properties", {}),
+        # named refs (branches/tags) carry forward — an append must
+        # never silently drop a tag an external writer set (r9)
+        "refs": (prev_meta or {}).get("refs", {}),
     }
     _publish_metadata(meta_dir, snap_id, meta)
     return snap_id
@@ -767,7 +770,20 @@ def iceberg_expire_snapshots(
     cur = prev_meta.get("current-snapshot-id")
     if cur is not None and all(s["snapshot-id"] != cur for s in keep):
         raise ValueError("keep_last would expire the current snapshot")
-    expired = snaps[:-keep_last]
+    # the spec's retention rule: snapshots referenced by a named ref
+    # (branch/tag) are protected from expiry regardless of age
+    ref_ids = {
+        r.get("snapshot-id")
+        for r in (prev_meta.get("refs") or {}).values()
+    }
+    kept_ids = {s["snapshot-id"] for s in keep}
+    keep = keep + [
+        s
+        for s in snaps[:-keep_last]
+        if s["snapshot-id"] in ref_ids and s["snapshot-id"] not in kept_ids
+    ]
+    kept_ids = {s["snapshot-id"] for s in keep}
+    expired = [s for s in snaps if s["snapshot-id"] not in kept_ids]
     if not expired:
         return {"expired_snapshots": [], "deleted_files": []}
 
@@ -1009,3 +1025,65 @@ def iceberg_delete_where(
     meta["snapshots"] = prev_meta.get("snapshots", []) + [snapshot]
     _publish_metadata(meta_dir, snap_id, meta)
     return snap_id
+
+
+def iceberg_set_ref(
+    table_dir: str,
+    name: str,
+    ref_type: str = "tag",
+    snapshot_id: int | None = None,
+) -> int:
+    """Create or move a named ref (spec: ``refs`` map in the table
+    metadata — ``tag`` pins a snapshot forever, ``branch`` is a
+    movable head). Ref updates are metadata-only commits: a new
+    vN.metadata.json is CAS-published with the refs map changed and
+    everything else carried forward; no snapshot is added, so
+    snapshot ids simply skip a number (real Iceberg does the same —
+    metadata version and snapshot id are independent counters; this
+    writer keeps them fused for simplicity).
+
+    Snapshots referenced by a ref are protected from
+    ``iceberg_expire_snapshots`` regardless of age (the spec's
+    retention rule). Returns the new metadata version."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type must be tag|branch, got {ref_type!r}")
+    meta_dir = os.path.join(table_dir, "metadata")
+    prev_meta, _m, next_v = _load_prev(meta_dir)
+    if prev_meta is None:
+        raise ValueError(f"{table_dir}: not an iceberg table")
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else prev_meta.get("current-snapshot-id")
+    )
+    known = {s["snapshot-id"] for s in prev_meta.get("snapshots", [])}
+    if sid not in known:
+        raise ValueError(
+            f"{table_dir}: snapshot {sid} does not exist (have "
+            f"{sorted(known)})"
+        )
+    meta = dict(prev_meta)
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": sid, "type": ref_type}
+    meta["refs"] = refs
+    meta["last-updated-ms"] = 1700000000000 + next_v
+    _publish_metadata(meta_dir, next_v, meta)
+    return next_v
+
+
+def iceberg_drop_ref(table_dir: str, name: str) -> int:
+    """Remove a named ref (metadata-only CAS commit). Dropping a tag
+    releases its snapshot back to normal expiry rules."""
+    meta_dir = os.path.join(table_dir, "metadata")
+    prev_meta, _m, next_v = _load_prev(meta_dir)
+    if prev_meta is None:
+        raise ValueError(f"{table_dir}: not an iceberg table")
+    refs = dict(prev_meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"{table_dir}: no ref named {name!r}")
+    del refs[name]
+    meta = dict(prev_meta)
+    meta["refs"] = refs
+    meta["last-updated-ms"] = 1700000000000 + next_v
+    _publish_metadata(meta_dir, next_v, meta)
+    return next_v

@@ -1475,3 +1475,77 @@ class TestAvroDataFiles:
         write_avro(mpath, schema, recs, codec="deflate")
         with pytest.raises(NotImplementedError, match="ORC"):
             IcebergTable(spark, d).scan()
+
+
+class TestIcebergRefs:
+    """r9: named refs (branches/tags) — spec `refs` map. Tags pin
+    snapshots, survive later appends, protect their snapshot from
+    expiry, and scan(ref=) time-travels by name."""
+
+    def test_tag_travel_and_carry_forward(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_drop_ref,
+            iceberg_set_ref,
+        )
+
+        d = str(tmp_path / "refs")
+        b1 = spark.createDataFrame(
+            [("user", "u1", 1.0)],
+            "entity_type string, entity_id string, value_float double",
+        ).withColumn("event_time", F.timestamp_seconds(F.lit(100)))
+        b2 = b1.select(
+            "entity_type",
+            F.lit("u2").alias("entity_id"),
+            F.lit(2.0).alias("value_float"),
+            "event_time",
+        )
+        iceberg_append(b1, d)
+        iceberg_set_ref(d, "v1", ref_type="tag")
+        iceberg_append(b2, d)  # must carry the tag forward
+        t = IcebergTable(spark, d)
+        assert t.refs() == {"v1": {"snapshot_id": 1, "type": "tag"}}
+        assert t.scan().count() == 2
+        assert {r["entity_id"] for r in t.scan(ref="v1").collect()} == {
+            "u1"
+        }
+        with pytest.raises(ValueError, match="no ref named"):
+            t.scan(ref="nope")
+        with pytest.raises(ValueError, match="at most one"):
+            t.scan(snapshot_id=1, ref="v1")
+        # branch ref moves; tag to unknown snapshot refuses
+        # (snapshot ids skip metadata-only ref commits: 1, then 3)
+        cur = IcebergTable(spark, d).meta["current-snapshot-id"]
+        iceberg_set_ref(d, "head", ref_type="branch", snapshot_id=cur)
+        assert IcebergTable(spark, d).refs()["head"]["type"] == "branch"
+        with pytest.raises(ValueError, match="does not exist"):
+            iceberg_set_ref(d, "bad", snapshot_id=99)
+        # drop releases the name
+        iceberg_drop_ref(d, "head")
+        assert "head" not in IcebergTable(spark, d).refs()
+
+    def test_tagged_snapshot_survives_expiry(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_expire_snapshots,
+            iceberg_set_ref,
+        )
+
+        d = str(tmp_path / "refexp")
+        for i in range(3):
+            df = spark.createDataFrame(
+                [("user", f"u{i}", float(i))],
+                "entity_type string, entity_id string,"
+                " value_float double",
+            ).withColumn("event_time", F.timestamp_seconds(F.lit(100)))
+            iceberg_append(df, d)
+        iceberg_set_ref(d, "keepme", ref_type="tag", snapshot_id=1)
+        out = iceberg_expire_snapshots(d, keep_last=1)
+        assert 1 not in out["expired_snapshots"]  # tag protected it
+        t = IcebergTable(spark, d)
+        assert t.scan(ref="keepme").count() == 1  # still readable
+        assert t.scan().count() == 3

@@ -912,6 +912,17 @@ class IcebergTable:
             "manifest_list string",
         )
 
+    def refs_df(self) -> DataFrame:
+        """Metadata table: named refs (``<table>.refs``) — name, type
+        (branch/tag), pinned snapshot id."""
+        rows = [
+            (name, r["type"], int(r["snapshot_id"]))
+            for name, r in sorted(self.refs().items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+
     def refs(self) -> dict:
         """Named refs from the table metadata (spec ``refs`` map):
         ``{name: {"snapshot_id": int, "type": "branch"|"tag"}}``.

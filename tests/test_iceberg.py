@@ -1524,7 +1524,12 @@ class TestIcebergRefs:
             iceberg_set_ref(d, "bad", snapshot_id=99)
         # drop releases the name
         iceberg_drop_ref(d, "head")
-        assert "head" not in IcebergTable(spark, d).refs()
+        t2 = IcebergTable(spark, d)
+        assert "head" not in t2.refs()
+        # <table>.refs metadata table
+        assert [tuple(r) for r in t2.refs_df().collect()] == [
+            ("v1", "tag", 1)
+        ]
 
     def test_tagged_snapshot_survives_expiry(self, spark, tmp_path):
         from pyspark.sql import functions as F

@@ -704,3 +704,284 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# ------------------------------------------------ product quantization
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+    public-standard 100 TB ANN compression): split the d-dim space
+    into ``m`` subspaces and run k-means with ``ksub`` centroids in
+    each. Returns a ``(m, ksub, d/m)`` float64 numpy codebook.
+
+    Training is SAMPLE-based on the driver — the standard practice
+    (faiss trains codebooks on a bounded sample regardless of corpus
+    size): the ``sample`` lowest-id vectors collect to a (n, d)
+    matrix, then ``m`` independent numpy Lloyd runs. Deterministic by
+    construction: lowest-id sample, first-distinct-subvector init,
+    fixed iteration count, float64 arithmetic. Codebook size is
+    m*ksub*(d/m) doubles — KBs — so it broadcasts in the encode/search
+    UDF closures."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>")
+        )
+        .orderBy(F.col(id_col).asc())
+        .limit(int(sample))
+        .collect()
+    )
+    xs = [
+        r[1]
+        for r in rows
+        if r[1] is not None and all(x is not None for x in r[1])
+    ]
+    if not xs:
+        raise ValueError("pq_train: no valid vectors to train on")
+    x = np.asarray(xs, dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        # deterministic init: first ksub DISTINCT subvectors (repeat
+        # the last one if the sample has fewer distinct values)
+        seen: list = []
+        keys = set()
+        for row in sub:
+            t = tuple(row)
+            if t not in keys:
+                keys.add(t)
+                seen.append(row)
+            if len(seen) == ksub:
+                break
+        while len(seen) < ksub:
+            seen.append(seen[-1])
+        c = np.asarray(seen, dtype=np.float64)
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for ci in range(ksub):
+                members = sub[a == ci]
+                if len(members):  # empty cluster keeps its centroid
+                    c[ci] = members.mean(axis=0)
+        books[j] = c
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``m`` uint8-range codes (nearest
+    centroid per subspace) — d floats become m bytes (32x at d=64/
+    m=8/f32). Distributed: the KB-scale codebook ships in the Arrow
+    mapInPandas closure; each batch encodes with vectorized numpy
+    argmin. Degenerate vectors (NULL / ragged / NULL element) encode
+    to NULL codes — a row to audit, not a crashed task."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebook, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    d = m * dsub
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+
+    def encode_batches(batches):
+        for pdf in batches:
+            vals = pdf[vec_col].tolist()
+            out = []
+            for a in vals:
+                if (
+                    a is None
+                    or len(a) != d
+                    or any(x is None for x in a)
+                ):
+                    out.append(None)
+                    continue
+                v = np.asarray(a, dtype=np.float64).reshape(m, dsub)
+                # (m, ksub) distances via broadcasting; argmin per sub
+                d2 = ((v[:, None, :] - cb) ** 2).sum(axis=2)
+                out.append([int(c) for c in d2.argmin(axis=1)])
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": out})
+
+    return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        encode_batches, schema=f"{id_col} {id_type}, codes array<int>"
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query,
+    precompute the (m, ksub) lookup table of subspace distances to
+    every centroid, then every code row scores as m TABLE LOOKUPS —
+    no float vector is ever read at search time, which is the whole
+    point at 100 TB (the scan is m bytes/vector instead of d floats).
+
+    Physical shape mirrors :func:`knn_join_arrow`: the bounded query
+    batch (and its LUTs) ship in the closure, each Arrow batch of
+    codes scores all queries with one vectorized gather+sum, and the
+    per-query global top-k is a window (asc distance, id tie-break).
+    NULL-coded rows rank last (NULL distance)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebook, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    d = m * dsub
+    q_rows = [
+        r
+        for r in queries.select(
+            F.col(query_id_col), F.col(query_vec_col).cast("array<double>")
+        ).collect()
+        if r[1] is not None
+        and len(r[1]) == d
+        and all(x is not None for x in r[1])
+    ]
+    if not q_rows:
+        raise ValueError("pq_topk: no valid query vectors")
+    qids = np.array([r[0] for r in q_rows], dtype=object)
+    qm = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    nq = len(qids)
+    # (nq, m, ksub) distance LUTs
+    luts = np.empty((nq, m, ksub), dtype=np.float64)
+    for j in range(m):
+        qs = qm[:, j * dsub : (j + 1) * dsub]  # (nq, dsub)
+        diff = qs[:, None, :] - cb[j][None, :, :]  # (nq, ksub, dsub)
+        luts[:, j, :] = (diff * diff).sum(axis=2)
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    eid_type = codes.schema[id_col].dataType.simpleString()
+
+    def score_batches(batches):
+        for pdf in batches:
+            vals = pdf["codes"].tolist()
+            valid = np.array(
+                [
+                    c is not None
+                    and len(c) == m
+                    and all(x is not None for x in c)
+                    for c in vals
+                ],
+                dtype=bool,
+            )
+            frames = []
+            vp = pdf[valid]
+            if len(vp):
+                cm = np.asarray(vp["codes"].tolist(), dtype=np.int64)
+                # (nq, B): sum over subspaces of LUT gathers
+                dist = np.zeros((nq, len(vp)), dtype=np.float64)
+                for j in range(m):
+                    dist += luts[:, j, :][:, cm[:, j]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: np.repeat(qids, len(vp)),
+                            id_col: np.tile(
+                                vp[id_col].to_numpy(), nq
+                            ),
+                            "adc_distance": dist.ravel(),
+                        }
+                    )
+                )
+            iv = pdf[~valid]
+            if len(iv):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: np.repeat(qids, len(iv)),
+                            id_col: np.tile(
+                                iv[id_col].to_numpy(), nq
+                            ),
+                            "adc_distance": pd.array(
+                                [pd.NA] * (len(iv) * nq),
+                                dtype="Float64",
+                            ),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = codes.select(F.col(id_col), "codes").mapInPandas(
+        score_batches,
+        schema=(
+            f"{query_id_col} {qid_type}, {id_col} {eid_type}, "
+            "adc_distance double"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_distance").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_search_rerank(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook,
+    embeddings: DataFrame,
+    k: int = 10,
+    shortlist: int = 100,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search with exact RE-RANKING — the production IVFPQ+refine
+    shape (faiss's IndexRefineFlat): the ADC pass scans only m-byte
+    codes to produce a ``shortlist`` of candidates per query, and
+    only those candidates' true vectors are fetched and scored
+    exactly. At 100 TB the float vectors are read for
+    queries x shortlist rows, never the corpus. Raw ADC top-10 on the
+    bench embeddings recalls ~0.3 (quantization error at d=64/m=8/
+    ksub=16); the 100-candidate re-rank lifts it to the level a
+    deployment actually ships (measured in the ``pq_recall`` gate)."""
+    cand = pq_topk(
+        queries, codes, codebook, k=shortlist,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        id_col=id_col,
+    ).select(query_id_col, id_col)
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+    )
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__ev")
+    )
+    scored = (
+        cand.join(e, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .withColumn("distance", l2_squared(F.col("__qv"), F.col("__ev")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("distance").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "distance", "rank")
+    )

@@ -103,3 +103,89 @@ class TestRrf:
             .collect()
         )
         assert [r["doc_id"] for r in out] == [10, 20]
+
+
+class TestProductQuantization:
+    """r9 PQ (Jégou et al. 2011): deterministic codebooks, m-byte
+    codes, ADC search, exact re-rank."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (i, [float(x) for x in rng.normal(size=16)])
+            for i in range(80)
+        ]
+        # a planted near-twin of vec 0
+        twin = [x + 0.01 for x in rows[0][1]]
+        rows.append((900, twin))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_train_encode_deterministic(self, spark, emb):
+        import numpy as np
+
+        from feature_store_spark.operators.similarity import (
+            pq_encode,
+            pq_train,
+        )
+
+        cb1 = pq_train(emb, m=4, ksub=8)
+        cb2 = pq_train(emb, m=4, ksub=8)
+        assert np.array_equal(cb1, cb2)
+        assert cb1.shape == (4, 8, 4)
+        c1 = {r["vec_id"]: r["codes"] for r in pq_encode(emb, cb1).collect()}
+        c2 = {r["vec_id"]: r["codes"] for r in pq_encode(emb, cb1).collect()}
+        assert c1 == c2
+        assert all(len(v) == 4 and all(0 <= x < 8 for x in v)
+                   for v in c1.values())
+
+    def test_adc_finds_planted_twin(self, spark, emb):
+        from feature_store_spark.operators.similarity import (
+            pq_encode,
+            pq_search_rerank,
+            pq_train,
+        )
+
+        cb = pq_train(emb, m=4, ksub=8)
+        codes = pq_encode(emb, cb)
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = [
+            r["vec_id"]
+            for r in pq_search_rerank(
+                q, codes, cb, emb, k=2, shortlist=20
+            ).orderBy("rank").collect()
+        ]
+        assert got == [0, 900]  # itself, then the twin
+
+    def test_degenerate_vectors_rank_last(self, spark, emb):
+        from feature_store_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        bad = spark.createDataFrame(
+            [(901, None), (902, [1.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        cb = pq_train(emb, m=4, ksub=8)
+        codes = pq_encode(emb.unionByName(bad), cb)
+        null_codes = {
+            r["vec_id"]: r["codes"]
+            for r in codes.filter(F.col("vec_id") >= 900).collect()
+        }
+        assert null_codes[901] is None and null_codes[902] is None
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        top = pq_topk(q, codes, cb, k=83).collect()  # all rows
+        ranked_ids = [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])]
+        assert set(ranked_ids[-2:]) == {901, 902}  # NULLs last

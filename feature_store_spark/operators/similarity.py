@@ -985,3 +985,99 @@ def pq_search_rerank(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "distance", "rank")
     )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    codes_with_cluster: DataFrame,
+    cluster_centroids: DataFrame,
+    codebook,
+    embeddings: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    shortlist: int = 100,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    centroid_key: str = "cluster",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """IVF + PQ + refine — the complete faiss-IVFPQ production shape
+    composed from the shipped pieces: the coarse quantizer prunes the
+    scan to ``n_probe`` clusters per query (with cluster-partitioned
+    storage, partition pruning), the ADC pass over the SURVIVING
+    m-byte codes builds a ``shortlist``, and only the shortlist's
+    true vectors are fetched for the exact re-rank. At 100 TB the
+    per-query I/O is (n_probe/n_clusters) x m bytes/vector for the
+    scan plus ``shortlist`` float vectors — the floats are never
+    scanned.
+
+    Probe selection mirrors :func:`ivf_knn_join` (same window, same
+    tie-breaks); the candidate restriction is a broadcast of the
+    (query, probed-cluster) table against the code rows before the
+    ADC scoring batches run."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("__q"),
+    )
+    qc = q.crossJoin(
+        F.broadcast(
+            cluster_centroids.select(
+                F.col(centroid_key).alias(cluster_col),
+                F.col(centroid_vec).cast("array<double>").alias("__c"),
+            )
+        )
+    ).select(
+        F.col(query_id_col),
+        F.col(cluster_col),
+        l2_squared(F.col("__q"), F.col("__c")).alias("__d"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__d").asc(), F.col(cluster_col).asc()
+    )
+    probes = (
+        qc.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_probe)
+        .select(query_id_col, cluster_col)
+    )
+    # restrict code rows to the union of probed clusters; the ADC
+    # pass then scores every query against every surviving code (the
+    # per-query probe restriction re-applies at the end — cheaper
+    # than q separate scans, same answer)
+    surviving = codes_with_cluster.join(
+        F.broadcast(probes.select(cluster_col).distinct()), cluster_col
+    )
+    adc = pq_topk(
+        queries,
+        surviving.select(id_col, "codes"),
+        codebook,
+        k=shortlist,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        id_col=id_col,
+    ).select(query_id_col, id_col)
+    # drop candidates outside THIS query's probed clusters
+    in_probe = codes_with_cluster.select(id_col, cluster_col)
+    cand = (
+        adc.join(in_probe, id_col)
+        .join(F.broadcast(probes), [query_id_col, cluster_col])
+        .select(query_id_col, id_col)
+    )
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__e")
+    )
+    scored = (
+        cand.join(e, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .withColumn("distance", l2_squared(F.col("__q"), F.col("__e")))
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col("distance").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "distance", "rank")
+    )

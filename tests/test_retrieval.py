@@ -189,3 +189,41 @@ class TestProductQuantization:
         top = pq_topk(q, codes, cb, k=83).collect()  # all rows
         ranked_ids = [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])]
         assert set(ranked_ids[-2:]) == {901, 902}  # NULLs last
+
+    def test_ivfpq_composition(self, spark, emb):
+        """IVF coarse pruning + ADC + refine returns sane neighbors
+        (its candidate set is probed-clusters ∩ ADC shortlist; with
+        all clusters probed it must equal pq_search_rerank)."""
+        from feature_store_spark.operators.similarity import (
+            ivfpq_search,
+            kmeans_fit,
+            pq_encode,
+            pq_search_rerank,
+            pq_train,
+        )
+
+        cb = pq_train(emb, m=4, ksub=8)
+        codes = pq_encode(emb, cb)
+        cents, assigned = kmeans_fit(emb, k=4, iters=2)
+        cwc = codes.join(assigned.select("vec_id", "cluster"), "vec_id")
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        full = ivfpq_search(
+            q, cwc, cents, cb, emb, k=5, n_probe=4, shortlist=30
+        )
+        ref = pq_search_rerank(q, codes, cb, emb, k=5, shortlist=30)
+        assert [
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in full.orderBy("rank").collect()
+        ] == [
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in ref.orderBy("rank").collect()
+        ]
+        # pruned probe: the twin (same cluster as vec 0) still found
+        pruned = ivfpq_search(
+            q, cwc, cents, cb, emb, k=2, n_probe=1, shortlist=30
+        )
+        got = [r["vec_id"] for r in pruned.orderBy("rank").collect()]
+        assert got[0] == 0 and 900 in got

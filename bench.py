@@ -111,6 +111,8 @@ HEADLINE = [
     "incremental_dedup",
     "incremental_dedup_exact",
     "multimodal_av_meta",
+    "iceberg_refs",
+    "delta_uniform",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

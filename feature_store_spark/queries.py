@@ -3898,6 +3898,55 @@ GROUP BY event_type
 """
 
 
+def q_delta_uniform(spark, sf_dir):
+    """UniForm-style dual-format table (r9): orders land as TWO Delta
+    commits, then ``iceberg_metadata_for_delta`` authors Iceberg
+    metadata over the SAME parquet files (one copy of data, two
+    protocol front doors — the public Delta Universal Format idea).
+    The aggregate runs through the ICEBERG reader with a filter and
+    must equal the relational oracle on orders."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.delta import delta_append
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_metadata_for_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-uniform-")
+    try:
+        d = scratch + "/t"
+        delta_append(orders.filter(F.col("o_orderkey") % 2 == 0), d)
+        delta_append(orders.filter(F.col("o_orderkey") % 2 == 1), d)
+        iceberg_metadata_for_delta(spark, d)
+        t = IcebergTable(spark, d)
+        out = (
+            t.scan(filters=[("o_totalprice", ">", 100000.0)])
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                _r6(F.sum("o_totalprice")).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+DELTA_UNIFORM_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 6) AS sum_price
+FROM orders
+WHERE o_totalprice > 100000.0
+GROUP BY o_orderstatus
+"""
+
+
 def q_delta_scan(spark, sf_dir):
     """Delta Lake interop round trip: export orders into a real Delta
     table (two commits, hive-partitioned by o_orderstatus, add actions
@@ -7513,6 +7562,7 @@ QUERIES: dict[str, tuple] = {
     # a green driver row from r1-r5 (union coverage stays complete;
     # all also pass the identical DuckDB oracle in pytest/selfcheck).
     "iceberg_refs": (q_iceberg_refs, ICEBERG_REFS_SQL),
+    "delta_uniform": (q_delta_uniform, DELTA_UNIFORM_SQL),
     "iceberg_scan": (q_iceberg_scan, ICEBERG_SCAN_SQL),
     "iceberg_mor_delete": (q_iceberg_mor_delete, ICEBERG_MOR_DELETE_SQL),
     "delta_scan": (q_delta_scan, DELTA_SCAN_SQL),
@@ -7775,6 +7825,7 @@ _R9_WINDOW = [
     "iceberg_scan",
     "iceberg_mor_delete",
     "iceberg_refs",
+    "delta_uniform",
     "stream_iceberg_sink",
     "multimodal_meta",
     "incremental_agg",
@@ -7812,7 +7863,6 @@ _R9_WINDOW = [
     "lang_id",
     "quality_scores",
     "decontaminate_bloom",
-    "lsh_bucket_topk",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R9_WINDOW},

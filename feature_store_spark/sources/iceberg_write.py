@@ -1087,3 +1087,189 @@ def iceberg_drop_ref(table_dir: str, name: str) -> int:
     meta["last-updated-ms"] = 1700000000000 + next_v
     _publish_metadata(meta_dir, next_v, meta)
     return next_v
+
+
+_DELTA_TO_ICEBERG_TYPE = {
+    "string": "string",
+    "long": "long",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
+    """UniForm-style metadata generation (the public Delta "Universal
+    Format" idea): author Iceberg metadata over a Delta table's
+    CURRENT snapshot so Iceberg readers scan the SAME parquet files —
+    one copy of data, two protocol front doors. The ``metadata/``
+    directory lands inside the Delta table dir (where real UniForm
+    puts it); data-file paths are recorded absolute into the Delta
+    layout.
+
+    Scope gates (loud): unpartitioned tables only (Delta's
+    hive-layout partition values live in DIRECTORY NAMES, not in the
+    files, while Iceberg identity-partition readers here scan the
+    files directly), no deletion vectors (Iceberg cannot express
+    them pre-v3), no column mapping (physical names would need
+    name-mapping metadata), primitive types only.
+
+    Each call commits one REPLACE-shaped snapshot reflecting the
+    Delta table's current live file set (re-run after Delta commits
+    to refresh). Bounds come from the parquet footers — the same
+    stats real Iceberg writers persist — so Iceberg-side metadata
+    pruning works immediately. Returns the metadata version."""
+    import re as _re
+    from concurrent.futures import ThreadPoolExecutor
+
+    from feature_store_spark.sources.delta import DeltaTable
+
+    t = DeltaTable(spark, delta_dir)
+    meta, adds, _ = t._state(None)
+    if meta.get("partitionColumns"):
+        raise NotImplementedError(
+            f"{delta_dir}: uniform export supports unpartitioned "
+            "tables only — Delta keeps hive partition values in "
+            "directory names, not in the data files an Iceberg "
+            "reader scans"
+        )
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "none":
+        raise NotImplementedError(
+            f"{delta_dir}: uniform export over column-mapped tables "
+            "needs name-mapping metadata; not in scope"
+        )
+    if any(a.get("deletionVector") for a in adds):
+        raise NotImplementedError(
+            f"{delta_dir}: deletion vectors are not expressible in "
+            "Iceberg v2 metadata — OPTIMIZE first to materialize them"
+        )
+    schema = json.loads(meta["schemaString"])
+    fields = []
+    for i, f in enumerate(schema.get("fields", []), start=1):
+        ft = f.get("type")
+        it = _DELTA_TO_ICEBERG_TYPE.get(ft) if isinstance(ft, str) else None
+        if it is None:
+            raise NotImplementedError(
+                f"{delta_dir}: uniform export has no Iceberg mapping "
+                f"for column {f.get('name')!r} type {ft!r}"
+            )
+        fields.append(
+            {
+                "id": i,
+                "name": f["name"],
+                "required": not f.get("nullable", True),
+                "type": it,
+            }
+        )
+    field_by_name = {f["name"]: f for f in fields}
+
+    meta_dir = os.path.join(delta_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    prev_meta, _m, snap_id = _load_prev(meta_dir)
+
+    paths = [os.path.join(t.path, a["path"]) for a in adds]
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        stats = list(
+            pool.map(lambda p: _footer_stats(p, field_by_name), paths)
+        )
+    entries = []
+    for fpath, (n, lowers, uppers) in zip(paths, stats):
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": snap_id,
+                "file_sequence_number": snap_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "lower_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(lowers.items())
+                    ],
+                    "upper_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(uppers.items())
+                    ],
+                },
+            }
+        )
+    mpath = os.path.join(
+        meta_dir, f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+    )
+    write_avro(mpath, manifest_schema([]), entries, codec="deflate")
+    mlist = os.path.join(
+        meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+    )
+    write_avro(
+        mlist,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": snap_id,
+                "min_sequence_number": snap_id,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": [],
+            }
+        ],
+        codec="deflate",
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "timestamp-ms": 1700000000000 + snap_id,
+        "sequence-number": snap_id,
+        # each export REPLACES the visible file set (the Delta state
+        # is authoritative; older iceberg snapshots stay for travel)
+        "summary": {"operation": "replace"},
+        "manifest-list": mlist,
+        "schema-id": 0,
+    }
+    new_meta = {
+        "format-version": 2,
+        "table-uuid": (prev_meta or {}).get(
+            "table-uuid", meta.get("id", str(uuid.uuid4()))
+        ),
+        "location": delta_dir,
+        "last-sequence-number": snap_id,
+        "last-updated-ms": 1700000000000 + snap_id,
+        "last-column-id": len(fields),
+        "current-schema-id": 0,
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": fields}
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": snap_id,
+        "snapshots": (prev_meta or {}).get("snapshots", []) + [snapshot],
+        "properties": (prev_meta or {}).get("properties", {}),
+        "refs": (prev_meta or {}).get("refs", {}),
+    }
+    _publish_metadata(meta_dir, snap_id, new_meta)
+    return snap_id

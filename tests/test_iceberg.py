@@ -1554,3 +1554,74 @@ class TestIcebergRefs:
         t = IcebergTable(spark, d)
         assert t.scan(ref="keepme").count() == 1  # still readable
         assert t.scan().count() == 3
+
+
+class TestUniformExport:
+    """r9: UniForm-style Iceberg metadata over a Delta table — one
+    copy of parquet, two protocol front doors."""
+
+    def test_round_trip_and_refresh(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.delta import (
+            DeltaTable,
+            delta_append,
+            delta_optimize,
+        )
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_metadata_for_delta,
+        )
+
+        d = str(tmp_path / "uni")
+        df = spark.range(100).select(
+            F.col("id").alias("eid"), (F.col("id") * 1.5).alias("val")
+        )
+        delta_append(df.filter("eid < 50").coalesce(1), d)
+        delta_append(df.filter("eid >= 50").coalesce(1), d)
+        iceberg_metadata_for_delta(spark, d)
+        it = IcebergTable(spark, d)
+        assert it.scan().count() == 100
+        assert {f["name"] for f in it.schema_fields()} == {"eid", "val"}
+        # footer-stat pruning on the iceberg side
+        pruned = it.data_files(None, [("eid", "<", 10)])
+        assert len([f for f in pruned if not f["is_delete"]]) == 1
+        # delta evolves (OPTIMIZE rewrites); re-export reflects it
+        delta_optimize(spark, d, target_file_bytes=1 << 30)
+        v = iceberg_metadata_for_delta(spark, d)
+        it2 = IcebergTable(spark, d)
+        assert it2.scan().count() == 100
+        assert v >= 2
+        # the pre-refresh snapshot still time-travels
+        assert it2.scan(snapshot_id=1).count() == 100
+
+    def test_gates_refuse_loudly(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.delta import (
+            delta_append,
+            delta_delete_where,
+        )
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_metadata_for_delta,
+        )
+
+        # partitioned
+        d1 = str(tmp_path / "part")
+        delta_append(
+            spark.range(10).select(
+                F.lit("a").alias("k"), F.col("id").alias("eid")
+            ),
+            d1,
+            partition_cols=["k"],
+        )
+        with pytest.raises(NotImplementedError, match="unpartitioned"):
+            iceberg_metadata_for_delta(spark, d1)
+        # deletion vectors
+        d2 = str(tmp_path / "dv")
+        delta_append(
+            spark.range(10).coalesce(1).select(F.col("id").alias("eid")),
+            d2,
+        )
+        delta_delete_where(spark, d2, [("eid", "<", 3)])
+        with pytest.raises(NotImplementedError, match="[Dd]eletion vector"):
+            iceberg_metadata_for_delta(spark, d2)

@@ -7796,17 +7796,21 @@ _R7_WINDOW = [
     "table_profile",
 ]
 # --- ROUND-9 DRIVER WINDOW (first 50 entries) -----------------------
-# Changed-path-first: the two NEW graded queries (multimodal_av_meta =
-# WAV/MP3/MP4 stdlib header decode, incremental_dedup = MinHash state
-# maintained from append deltas), then every query whose code path
-# changed this round — the delta family (hive-unescaped partition
-# values, reader-feature allowlist, checkpoint remove tombstones,
-# stamped deletionTimestamps, CDF reconstruction over compacted
-# ranges), the iceberg family (eq-delete parquet field ids, AVRO data
-# files), multimodal_meta (id_col-derived mapInPandas schema), the
-# incremental family (refresh_minhash_dedup sibling paths), and the
-# minhash/ngram re-audit VERDICT r8 #5 asked for. Then the stale-row
-# refresh VERDICT r8 next #6 named (zorder_key r3; embedding_topk /
+# Changed-path-first: the SEVEN new graded queries (multimodal_av_meta
+# = WAV/MP3/MP4 stdlib header decode; incremental_dedup /
+# incremental_dedup_exact / stream_incremental_dedup = the
+# incremental-maintenance family over append deltas; iceberg_refs =
+# named-ref time travel; delta_uniform = dual-format metadata export;
+# pq_recall = product-quantization recall gate), then every query
+# whose code path changed this round — the delta family
+# (hive-unescaped partition values, reader-feature allowlist,
+# checkpoint remove tombstones, stamped deletionTimestamps, CDF
+# reconstruction over compacted ranges, retention-aware VACUUM), the
+# iceberg family (eq-delete parquet field ids, AVRO data files, refs
+# carried through appends), multimodal_meta (id_col-derived
+# mapInPandas schema), the incremental family, and the minhash/ngram
+# re-audit VERDICT r8 #5 asked for. Then the stale-row refresh
+# VERDICT r8 next #6 named (zorder_key r3; embedding_topk /
 # ivf_assign / simhash_pigeonhole r4), and the oldest remaining
 # r5/r6 rows fill the tail. Everything displaced keeps its earlier
 # green row and the identical DuckDB oracle in pytest/selfcheck.

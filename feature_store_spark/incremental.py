@@ -1,4 +1,4 @@
-"""Incremental aggregate maintenance over manifested tables.
+"""Incremental maintenance over manifested tables.
 
 The reference recomputes offline aggregates from the full table on
 every run (its store is single-node; a re-scan is cheap). At 100 TB a
@@ -20,6 +20,17 @@ Spark-first shape: the fold is ``prev_state UNION ALL delta_partials``
 re-aggregated — one shuffle keyed by the group keys, map-side
 partials, no join; state size is key-cardinality, delta size is the
 append, and the 100 TB history is never re-read.
+
+Three instances ship on the generic :func:`refresh_fold` core /
+the same exactly-once token discipline (r9):
+- :func:`refresh_aggregate` — per-key count/sum/min/max view;
+- :func:`refresh_exact_dedup` — per-fingerprint (keeper, copies);
+- :func:`refresh_minhash_dedup` — near-dup pair maintenance: the
+  MinHash signature table is the state, each refresh minhashes ONLY
+  appended docs and joins them against it (new-new + new-state
+  pairs), and the accumulated pairs equal a full recompute at every
+  version. Streaming front door:
+  ``streaming.materializer.incremental_dedup_sink``.
 """
 
 from __future__ import annotations

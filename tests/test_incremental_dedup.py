@@ -217,3 +217,30 @@ def test_stream_sink_redelivery_is_noop(spark, tmp_path):
     assert vs == (src.current_version(), sig.current_version(),
                   pairs.current_version())
     assert _pairs_set(pairs.read()) == _pairs_set(full)
+
+
+def test_state_compaction_preserves_tokens_and_answers(spark, tmp_path):
+    """Compacting the signature state mid-stream (overwrite with the
+    same rows — the documented ManifestedTable compaction move) must
+    preserve the txn high-water mark: the next refresh still reads
+    only the NEW append, no duplicate signatures, pairs still equal
+    the full recompute."""
+    corpus = _corpus(spark)
+    src = ManifestedTable(spark, str(tmp_path / "src"))
+    sig = ManifestedTable(spark, str(tmp_path / "sig"))
+    pairs = ManifestedTable(spark, str(tmp_path / "pairs"))
+    for i in (0, 1):
+        src.append(corpus.filter(F.col("doc_id") % 3 == i))
+        refresh_minhash_dedup(sig, pairs, src)
+    hwm = sig.txn_version("incremental-dedup")
+    # compact: one overwrite snapshot, same rows, fewer files
+    sig.overwrite(sig.read().coalesce(1))
+    assert sig.txn_version("incremental-dedup") == hwm  # mark survived
+    n_sigs = sig.read().count()
+    src.append(corpus.filter(F.col("doc_id") % 3 == 2))
+    refresh_minhash_dedup(sig, pairs, src)
+    # no duplicate signatures (each doc exactly once)
+    assert sig.read().select("doc_id").distinct().count() == \
+        sig.read().count() > n_sigs
+    full = minhash_dedup_pairs(src.read())
+    assert _pairs_set(pairs.read()) == _pairs_set(full)

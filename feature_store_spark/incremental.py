@@ -21,10 +21,11 @@ re-aggregated — one shuffle keyed by the group keys, map-side
 partials, no join; state size is key-cardinality, delta size is the
 append, and the 100 TB history is never re-read.
 
-Three instances ship on the generic :func:`refresh_fold` core /
-the same exactly-once token discipline (r9):
+Three refresh flavors ship under one token discipline (r9): two on
+the generic :func:`refresh_fold` core —
 - :func:`refresh_aggregate` — per-key count/sum/min/max view;
 - :func:`refresh_exact_dedup` — per-fingerprint (keeper, copies);
+and one with its own two-table commit order —
 - :func:`refresh_minhash_dedup` — near-dup pair maintenance: the
   MinHash signature table is the state, each refresh minhashes ONLY
   appended docs and joins them against it (new-new + new-state

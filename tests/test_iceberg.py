@@ -842,7 +842,7 @@ class TestRound8Hardening:
         assert t.scan(as_of_ms=ts2 - 1).count() == 1
         with pytest.raises(ValueError, match="no snapshot"):
             t.scan(as_of_ms=ts1 - 10)
-        with pytest.raises(ValueError, match="not both"):
+        with pytest.raises(ValueError, match="at most one"):
             t.scan(snapshot_id=1, as_of_ms=ts1)
 
     def test_many_manifest_plan_pools_decode(self, spark, tmp_path):

@@ -342,3 +342,45 @@ def refresh_minhash_dedup(
         pairs_state.overwrite(pairs_full, txn=(app_id, src_v))
         sig_state.overwrite(sigs_full, txn=(app_id, src_v))
     return pairs_state.current_version()
+
+
+def refresh_pq_index(
+    codes_state: ManifestedTable,
+    source: ManifestedTable,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    app_id: str = "incremental-pq",
+) -> int:
+    """Incremental ANN index maintenance: encode ONLY the embeddings
+    appended since the last refresh into PQ codes and append them to
+    the code table — the index twin of :func:`refresh_minhash_dedup`'s
+    state discipline for a per-row (stateless) transform. The codes
+    table always equals a full re-encode of some committed source
+    prefix, and search (``pq_topk`` / ``pq_search_rerank``) runs over
+    the codes without ever re-reading historical float vectors.
+
+    Exactly-once: the append carries ``txn=(app_id, src_v)``; a
+    redelivered refresh no-ops. A non-append source commit
+    (overwrite/MERGE) falls back to a full re-encode committed as an
+    overwrite — codes must never describe rows that no longer exist.
+
+    The codebook is FROZEN at training time (the standard PQ
+    contract — faiss indexes do the same): retraining would silently
+    invalidate every previously-written code, so a codebook change
+    means a new index, not a refresh."""
+    from feature_store_spark.operators.similarity import pq_encode
+
+    last = max(codes_state.txn_version(app_id), 0)
+    src_v = source.current_version()
+    if src_v <= last:
+        return codes_state.current_version()
+    try:
+        delta = source.read_appended(last, src_v)
+        new_codes = pq_encode(delta, codebook, id_col, vec_col)
+        return codes_state.append(new_codes, txn=(app_id, src_v))
+    except ValueError:
+        full = pq_encode(
+            source.read(version=src_v), codebook, id_col, vec_col
+        )
+        return codes_state.overwrite(full, txn=(app_id, src_v))

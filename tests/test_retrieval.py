@@ -227,3 +227,34 @@ class TestProductQuantization:
         )
         got = [r["vec_id"] for r in pruned.orderBy("rank").collect()]
         assert got[0] == 0 and 900 in got
+
+    def test_incremental_pq_index(self, spark, emb, tmp_path):
+        """refresh_pq_index encodes only appended embeddings; the
+        accumulated code table equals a full re-encode, searches over
+        it match, redelivery no-ops, and an overwrite falls back to a
+        full re-encode."""
+        from feature_store_spark.incremental import refresh_pq_index
+        from feature_store_spark.operators.similarity import (
+            pq_encode,
+            pq_train,
+        )
+        from feature_store_spark.sources.manifest import ManifestedTable
+
+        cb = pq_train(emb, m=4, ksub=8)
+        src = ManifestedTable(spark, str(tmp_path / "src"))
+        codes = ManifestedTable(spark, str(tmp_path / "codes"))
+        for i in (0, 1):
+            src.append(emb.filter(F.col("vec_id") % 2 == i))
+            refresh_pq_index(codes, src, cb)
+
+        def as_map(df):
+            return {r["vec_id"]: r["codes"] for r in df.collect()}
+
+        assert as_map(codes.read()) == as_map(pq_encode(src.read(), cb))
+        v = codes.current_version()
+        refresh_pq_index(codes, src, cb)  # redelivery
+        assert codes.current_version() == v
+        # history rewrite -> full re-encode of the new truth
+        src.overwrite(emb.filter(F.col("vec_id") < 40))
+        refresh_pq_index(codes, src, cb)
+        assert as_map(codes.read()) == as_map(pq_encode(src.read(), cb))

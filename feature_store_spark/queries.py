@@ -3929,7 +3929,15 @@ def q_delta_uniform(spark, sf_dir):
             .groupBy("o_orderstatus")
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                _r6(F.sum("o_totalprice")).alias("sum_price"),
+                # exact decimal sum -> double: order-independent (a
+                # plain double sum of 150k values differs by ulps
+                # between engines, and 1e-6 rounding at ~1.2e9 is
+                # below the ulp — the delta_scan lesson)
+                _r6(
+                    F.sum(
+                        F.col("o_totalprice").cast("decimal(18,2)")
+                    ).cast("double")
+                ).alias("sum_price"),
             )
         )
         return out.localCheckpoint(eager=True)
@@ -3940,7 +3948,8 @@ def q_delta_uniform(spark, sf_dir):
 DELTA_UNIFORM_SQL = """
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 6) AS sum_price
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS sum_price
 FROM orders
 WHERE o_totalprice > 100000.0
 GROUP BY o_orderstatus

@@ -21,10 +21,12 @@ re-aggregated — one shuffle keyed by the group keys, map-side
 partials, no join; state size is key-cardinality, delta size is the
 append, and the 100 TB history is never re-read.
 
-Three refresh flavors ship under one token discipline (r9): two on
+Four refresh flavors ship under one token discipline (r9): two on
 the generic :func:`refresh_fold` core —
 - :func:`refresh_aggregate` — per-key count/sum/min/max view;
 - :func:`refresh_exact_dedup` — per-fingerprint (keeper, copies);
+one stateless-map index maintainer —
+- :func:`refresh_pq_index` — PQ codes for appended embeddings only;
 and one with its own two-table commit order —
 - :func:`refresh_minhash_dedup` — near-dup pair maintenance: the
   MinHash signature table is the state, each refresh minhashes ONLY

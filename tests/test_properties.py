@@ -965,3 +965,47 @@ def test_hive_null_sentinel():
 
     assert hive_escape(None) == HIVE_DEFAULT_PARTITION
     assert hive_unescape(HIVE_DEFAULT_PARTITION) is None
+
+
+# ------------------------------------------------ av header parsing
+
+
+@settings(deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_parse_av_header_never_crashes(payload):
+    """Fuzz guard: arbitrary bytes — including ones starting with the
+    RIFF/ftyp/ID3/sync magic — must parse to a dict or None, never
+    raise (a corrupt payload is a row to audit, not a dead task)."""
+    from feature_store_spark.operators.multimodal import parse_av_header
+
+    out = parse_av_header(payload)
+    assert out is None or isinstance(out, dict)
+
+
+@settings(deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_parse_av_header_never_crashes_on_magic_prefixes(tail):
+    from feature_store_spark.operators.multimodal import parse_av_header
+
+    for prefix in (
+        b"RIFF\x10\x00\x00\x00WAVE",
+        b"\x00\x00\x00\x14ftyp",
+        b"ID3\x04\x00\x00\x00\x00\x00\x05",
+        b"\xff\xfb\x90\x44",
+    ):
+        out = parse_av_header(prefix + tail)
+        assert out is None or isinstance(out, dict)
+
+
+@settings(deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_parse_image_header_never_crashes(payload):
+    from feature_store_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    for prefix in (b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"BM"):
+        out = parse_image_header(prefix + payload)
+        assert out is None or (
+            isinstance(out, tuple) and len(out) == 3
+        )

@@ -477,6 +477,12 @@ def parse_av_header(payload: bytes) -> dict | None:
                 if size < 8:  # size 1 = 64-bit largesize; 0 = to-EOF
                     if size == 1 and i + 16 <= hi:
                         (size,) = struct.unpack(">Q", p[i + 8 : i + 16])
+                        # a largesize below 16 cannot cover its own
+                        # 16-byte header: i += size would stall (the
+                        # size=0 case loops forever) — corrupt box,
+                        # stop the walk (ADVICE r9 #1)
+                        if size < 16:
+                            return
                     elif size == 0:
                         size = hi - i
                     else:

@@ -997,6 +997,39 @@ def test_parse_av_header_never_crashes_on_magic_prefixes(tail):
         assert out is None or isinstance(out, dict)
 
 
+def test_parse_av_header_largesize_zero_terminates():
+    """Regression (ADVICE r9 #1): an MP4 box with size field 1 whose
+    64-bit largesize is 0 (or anything < the 16-byte header it must
+    cover) used to make the box walk advance by 0 bytes — an
+    infinite loop inside an executor task on an adversarial payload.
+    The walk must treat it as corrupt and return promptly."""
+    from feature_store_spark.operators.multimodal import parse_av_header
+
+    ftyp = b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00"
+    for largesize in (0, 1, 8, 15):
+        bad = (
+            ftyp
+            + b"\x00\x00\x00\x01free"
+            + largesize.to_bytes(8, "big")
+            + b"\x00" * 8
+        )
+        out = parse_av_header(bad)
+        assert out is None or isinstance(out, dict)
+    # a VALID largesize box still walks past correctly to find moov
+    free = b"\x00\x00\x00\x01free" + (24).to_bytes(8, "big") + b"\x00" * 8
+    mvhd = (
+        b"\x00\x00\x00\x20mvhd"
+        + b"\x00\x00\x00\x00"  # v0 + flags
+        + b"\x00" * 8  # ctime/mtime
+        + (1000).to_bytes(4, "big")  # timescale
+        + (2500).to_bytes(4, "big")  # duration
+        + b"\x00" * 4
+    )
+    moov = (len(mvhd) + 8).to_bytes(4, "big") + b"moov" + mvhd
+    out = parse_av_header(ftyp + free + moov)
+    assert out is not None and out["duration_ms"] == 2500
+
+
 @settings(deadline=None)
 @given(st.binary(min_size=0, max_size=400))
 def test_parse_image_header_never_crashes(payload):

@@ -454,6 +454,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle -> minhash -> LSH bands ->
     candidate pairs + estimated-Jaccard in one fused self-join.
@@ -470,9 +471,9 @@ def minhash_dedup_pairs(
     sigs = minhash_wide_from_docs(
         docs, text_col, id_col, shingle_n, num_hashes
     ).localCheckpoint(eager=False)
-    return minhash_pairs_fused(sigs, num_hashes, bands, id_col).filter(
-        F.col("est_jaccard") >= threshold
-    )
+    return minhash_pairs_fused(
+        sigs, num_hashes, bands, id_col, max_bucket_size=max_bucket_size
+    ).filter(F.col("est_jaccard") >= threshold)
 
 
 def minhash_pairs_incremental(

@@ -18,6 +18,44 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _local_topk(s, ids, k: int, largest: bool) -> list[int]:
+    """Per-batch local top-k row indices under the EXACT global
+    ordering (score desc|asc, id asc) — the map-side half of the
+    two-phase top-k (VERDICT r9 #1). NULL scores ride in as the
+    -inf/+inf sentinel so they rank last yet still fill slots when a
+    batch has fewer than k real candidates (matching the merge
+    window's nulls-last semantics).
+
+    Shape: numpy ``argpartition`` narrows to the k-th boundary, then
+    every row TYING the boundary score joins the candidate set so the
+    id tie-break can't drop a row the global sort would keep; the
+    final exact ordering runs on that ~k-sized slice only. Mirrors
+    the reference's fused per-block top-K + host merge
+    (python/cuda_codegen/generator.py:784-911)."""
+    import numpy as np
+
+    B = int(s.shape[0])
+    kk = min(int(k), B)
+    if kk <= 0:
+        return []
+    if B > kk:
+        if largest:
+            part = np.argpartition(-s, kk - 1)
+            kth = s[part[kk - 1]]
+            cand = np.nonzero(s >= kth)[0]
+        else:
+            part = np.argpartition(s, kk - 1)
+            kth = s[part[kk - 1]]
+            cand = np.nonzero(s <= kth)[0]
+    else:
+        cand = np.arange(B)
+    if largest:
+        order = sorted(cand.tolist(), key=lambda i: (-s[i], ids[i]))
+    else:
+        order = sorted(cand.tolist(), key=lambda i: (s[i], ids[i]))
+    return order[:kk]
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -128,25 +166,67 @@ def knn_join_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Same result as :func:`knn_join`, Arrow/numpy physical plan.
+    """Same result as :func:`knn_join`, Arrow/numpy physical plan —
+    TWO-PHASE top-k (VERDICT r9 #1).
 
     The (small, broadcastable) query batch is collected to a (q, d)
     matrix shipped in the UDF closure; each embeddings Arrow batch then
     scores ALL queries with one (B, d) x (d, q) matmul instead of B*q
     interpreted ``aggregate``/``zip_with`` reductions — ~20x on the
     bench shape, and the per-batch work stays vectorized at any scale.
-    The per-query global top-k is the same window as knn_join.
+
+    Phase 1 happens INSIDE each batch: a per-query local top-k
+    (:func:`_local_topk` — argpartition + exact tie-break on the
+    boundary slice) so a batch emits at most nq x k rows, not
+    nq x B. Phase 2 is the same per-query window as knn_join, now a
+    MERGE of nq x k x n_batches candidates instead of a shuffle of
+    every (query, vector) score — at 10^10 vectors x 100 queries the
+    exchange drops from 10^12 rows to ~10^6. This is the reference's
+    fused per-block top-K + host merge shape
+    (python/cuda_codegen/generator.py:784-911, docs/CUDA_CODEGEN.md:
+    501-556) expressed as mapInPandas + window.
+
     Differentially tested equal to knn_join (ties broken on id, scores
-    f64 in both plans): id columns keep their input types, and a
-    DEGENERATE embedding — NULL array, NULL element, wrong dimension,
-    or zero norm — scores NULL, ranked last under the desc window,
-    matching the higher-order plan's try_divide/zip_with semantics
-    (review r5: the old path let numpy turn those into NaN, which
-    Spark ranks FIRST on desc, so garbage rows outranked every true
-    neighbor; ragged batches crashed outright). Queries with a NULL
-    vector are excluded in BOTH twins — a question that isn't a
-    vector has no neighbors.
+    f64 in both plans): the union of per-batch top-ks always contains
+    the global top-k because both use the SAME total order (score
+    desc nulls-last, id asc). id columns keep their input types, and
+    a DEGENERATE embedding — NULL array, NULL element, wrong
+    dimension, or zero norm — scores NULL (the -inf sentinel
+    locally), ranked last yet still filling local slots when a batch
+    has fewer than k valid rows, matching the higher-order plan's
+    try_divide/zip_with semantics. Queries with a NULL vector are
+    excluded in BOTH twins — a question that isn't a vector has no
+    neighbors.
     """
+    scored = _knn_arrow_scored(
+        queries, embeddings, k, query_id_col, query_vec_col, id_col, vec_col
+    )
+    if scored is None:
+        return knn_join(
+            queries, embeddings, k, query_id_col, query_vec_col, id_col, vec_col
+        )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _knn_arrow_scored(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int,
+    query_id_col: str,
+    query_vec_col: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame | None:
+    """Phase-1 candidate stage of :func:`knn_join_arrow` — exposed so
+    tests can assert the two-phase bound (the frame entering the merge
+    window holds at most nq x k rows PER ARROW BATCH). Returns None
+    when no query has a valid vector (caller falls back to the
+    higher-order plan, which yields the same empty result)."""
     import numpy as np
     import pandas as pd
 
@@ -158,20 +238,20 @@ def knn_join_arrow(
         if r[1] is not None and all(x is not None for x in r[1])
     ]
     if not q_rows:
-        return knn_join(
-            queries, embeddings, k, query_id_col, query_vec_col, id_col, vec_col
-        )
+        return None
     qid_type = queries.schema[query_id_col].dataType.simpleString()
     eid_type = embeddings.schema[id_col].dataType.simpleString()
-    qids = np.array([r[0] for r in q_rows], dtype=object)
+    qids = [r[0] for r in q_rows]
     qm = np.asarray([r[1] for r in q_rows], dtype=np.float64)  # (q, d)
     qn = np.sqrt((qm * qm).sum(axis=1))
-
+    nq = len(qids)
     d = qm.shape[1]
 
     def score_batches(batches):
         for pdf in batches:
-            nq = len(qids)
+            B = len(pdf)
+            if not B:
+                continue
             # per-ROW validation, not just whole-array notna: a NULL
             # element or ragged dimension would crash np.asarray, and
             # a zero norm would mint a NaN that desc-sorts FIRST
@@ -185,52 +265,40 @@ def knn_join_arrow(
                 ],
                 dtype=bool,
             )
-            frames = []
-            vp = pdf[valid]
-            if len(vp):
-                v = np.asarray(vp[vec_col].tolist(), dtype=np.float64)
+            # -inf = "NULL score": sorts last on desc like the merge
+            # window's nulls-last, converted back to NULL on emit
+            score = np.full((B, nq), -np.inf)
+            if valid.any():
+                v = np.asarray(
+                    [vals[i] for i in np.nonzero(valid)[0]],
+                    dtype=np.float64,
+                )
                 vn = np.sqrt((v * v).sum(axis=1))
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sims = (v @ qm.T) / (vn[:, None] * qn[None, :])
-                scores = pd.array(sims.ravel(), dtype="Float64")
-                scores[np.isnan(sims.ravel())] = pd.NA  # zero norms
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            query_id_col: np.tile(qids, len(vp)),
-                            id_col: np.repeat(vp[id_col].to_numpy(), nq),
-                            "score": scores,
-                        }
+                sims[np.isnan(sims)] = -np.inf  # zero norms
+                score[valid] = sims
+            ids = pdf[id_col].to_numpy()
+            out_q, out_i, out_s = [], [], []
+            for qj in range(nq):
+                s = score[:, qj]
+                for ri in _local_topk(s, ids, k, largest=True):
+                    out_q.append(qids[qj])
+                    out_i.append(ids[ri])
+                    out_s.append(
+                        None if np.isneginf(s[ri]) else float(s[ri])
                     )
-                )
-            iv = pdf[~valid]
-            if len(iv):
-                # degenerate vector -> NULL score (not NaN: Spark
-                # sorts NaN FIRST on desc but NULL last, and knn_join
-                # yields NULL for the same rows)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            query_id_col: np.tile(qids, len(iv)),
-                            id_col: np.repeat(iv[id_col].to_numpy(), nq),
-                            "score": pd.array(
-                                [pd.NA] * (len(iv) * nq), dtype="Float64"
-                            ),
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            yield pd.DataFrame(
+                {
+                    query_id_col: pd.Series(out_q, dtype=object),
+                    id_col: pd.Series(out_i, dtype=object),
+                    "score": pd.array(out_s, dtype="Float64"),
+                }
+            )
 
-    scored = embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         score_batches,
         schema=f"{query_id_col} {qid_type}, {id_col} {eid_type}, score double",
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
     )
 
 
@@ -324,6 +392,50 @@ def ivf_topk(
     )
 
 
+def ivf_probes(
+    queries: DataFrame,
+    cluster_centroids: DataFrame,
+    n_probe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    cluster_col: str = "cluster",
+    centroid_key: str = "label",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Coarse-quantizer probe selection: the ``n_probe`` nearest
+    centroids (L2, centroid-id tie-break) per query, as a
+    (query_id, cluster) table. queries x centroids are both tiny —
+    the crossJoin is broadcast and the ranking window partitions by
+    query. Shared by :func:`ivf_knn_join`, :func:`ivfpq_search`, and
+    the ``ivfpq_recall`` gate's file-pruning audit (the probe list is
+    known BEFORE the code scan, so cluster-partitioned storage turns
+    it into a static partition-pruning predicate)."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("__q"),
+    )
+    qc = q.crossJoin(
+        F.broadcast(
+            cluster_centroids.select(
+                F.col(centroid_key).alias(cluster_col),
+                F.col(centroid_vec).cast("array<double>").alias("__c"),
+            )
+        )
+    ).select(
+        F.col(query_id_col),
+        F.col(cluster_col),
+        l2_squared(F.col("__q"), F.col("__c")).alias("__d"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__d").asc(), F.col(cluster_col).asc()
+    )
+    return (
+        qc.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_probe)
+        .select(query_id_col, cluster_col)
+    )
+
+
 def ivf_knn_join(
     queries: DataFrame,
     embeddings_with_cluster: DataFrame,
@@ -352,25 +464,15 @@ def ivf_knn_join(
         F.col(query_id_col),
         F.col(query_vec_col).cast("array<double>").alias("__q"),
     )
-    qc = q.crossJoin(
-        F.broadcast(
-            cluster_centroids.select(
-                F.col(centroid_key).alias(cluster_col),
-                F.col(centroid_vec).cast("array<double>").alias("__c"),
-            )
-        )
-    ).select(
-        F.col(query_id_col),
-        F.col(cluster_col),
-        l2_squared(F.col("__q"), F.col("__c")).alias("__d"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("__d").asc(), F.col(cluster_col).asc()
-    )
-    probes = (
-        qc.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n_probe)
-        .select(query_id_col, cluster_col)
+    probes = ivf_probes(
+        queries,
+        cluster_centroids,
+        n_probe,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        cluster_col=cluster_col,
+        centroid_key=centroid_key,
+        centroid_vec=centroid_vec,
     )
     cand = embeddings_with_cluster.select(
         F.col(id_col),
@@ -840,11 +942,41 @@ def pq_topk(
     no float vector is ever read at search time, which is the whole
     point at 100 TB (the scan is m bytes/vector instead of d floats).
 
-    Physical shape mirrors :func:`knn_join_arrow`: the bounded query
-    batch (and its LUTs) ship in the closure, each Arrow batch of
-    codes scores all queries with one vectorized gather+sum, and the
-    per-query global top-k is a window (asc distance, id tie-break).
-    NULL-coded rows rank last (NULL distance)."""
+    Physical shape mirrors :func:`knn_join_arrow` — TWO-PHASE top-k
+    (VERDICT r9 #1): the bounded query batch (and its LUTs) ship in
+    the closure, each Arrow batch of codes scores all queries with
+    one vectorized gather+sum, then keeps only the per-query local
+    top-k (argpartition + exact boundary tie-break) so a batch emits
+    at most nq x k rows. The per-query window (asc distance, id
+    tie-break) merges nq x k x n_batches candidates instead of
+    shuffling every (query, code) score. NULL-coded rows carry the
+    +inf sentinel locally and a NULL distance in the output — ranked
+    last, but still eligible when a query has fewer than k coded
+    rows."""
+    scored = _pq_adc_scored(
+        queries, codes, codebook, k, query_id_col, query_vec_col, id_col
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_distance").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _pq_adc_scored(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook,
+    k: int,
+    query_id_col: str,
+    query_vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Phase-1 candidate stage of :func:`pq_topk` — exposed so tests
+    can assert the two-phase bound (≤ nq x k rows per Arrow batch
+    enter the merge window). Raises when no query has a valid
+    d-dimensional vector."""
     import numpy as np
     import pandas as pd
 
@@ -862,20 +994,18 @@ def pq_topk(
     ]
     if not q_rows:
         raise ValueError("pq_topk: no valid query vectors")
-    qids = np.array([r[0] for r in q_rows], dtype=object)
+    qids = [r[0] for r in q_rows]
     qm = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     nq = len(qids)
-    # (nq, m, ksub) distance LUTs
-    luts = np.empty((nq, m, ksub), dtype=np.float64)
-    for j in range(m):
-        qs = qm[:, j * dsub : (j + 1) * dsub]  # (nq, dsub)
-        diff = qs[:, None, :] - cb[j][None, :, :]  # (nq, ksub, dsub)
-        luts[:, j, :] = (diff * diff).sum(axis=2)
+    luts = _pq_luts(qm, cb)
     qid_type = queries.schema[query_id_col].dataType.simpleString()
     eid_type = codes.schema[id_col].dataType.simpleString()
 
     def score_batches(batches):
         for pdf in batches:
+            B = len(pdf)
+            if not B:
+                continue
             vals = pdf["codes"].tolist()
             valid = np.array(
                 [
@@ -886,45 +1016,175 @@ def pq_topk(
                 ],
                 dtype=bool,
             )
-            frames = []
-            vp = pdf[valid]
-            if len(vp):
-                cm = np.asarray(vp["codes"].tolist(), dtype=np.int64)
-                # (nq, B): sum over subspaces of LUT gathers
-                dist = np.zeros((nq, len(vp)), dtype=np.float64)
+            # +inf = "NULL distance": sorts last on asc like the
+            # merge window's nulls-last, converted back on emit
+            dist = np.full((B, nq), np.inf)
+            if valid.any():
+                cm = np.asarray(
+                    [vals[i] for i in np.nonzero(valid)[0]],
+                    dtype=np.int64,
+                )
+                dv = np.zeros((len(cm), nq), dtype=np.float64)
                 for j in range(m):
-                    dist += luts[:, j, :][:, cm[:, j]]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            query_id_col: np.repeat(qids, len(vp)),
-                            id_col: np.tile(
-                                vp[id_col].to_numpy(), nq
-                            ),
-                            "adc_distance": dist.ravel(),
-                        }
+                    # luts[:, j, cm[:, j]] is (nq, Bv); accumulate
+                    # transposed so rows stay batch-major
+                    dv += luts[:, j, :][:, cm[:, j]].T
+                dist[valid] = dv
+            ids = pdf[id_col].to_numpy()
+            out_q, out_i, out_d = [], [], []
+            for qj in range(nq):
+                s = dist[:, qj]
+                for ri in _local_topk(s, ids, k, largest=False):
+                    out_q.append(qids[qj])
+                    out_i.append(ids[ri])
+                    out_d.append(
+                        None if np.isposinf(s[ri]) else float(s[ri])
                     )
-                )
-            iv = pdf[~valid]
-            if len(iv):
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            query_id_col: np.repeat(qids, len(iv)),
-                            id_col: np.tile(
-                                iv[id_col].to_numpy(), nq
-                            ),
-                            "adc_distance": pd.array(
-                                [pd.NA] * (len(iv) * nq),
-                                dtype="Float64",
-                            ),
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            yield pd.DataFrame(
+                {
+                    query_id_col: pd.Series(out_q, dtype=object),
+                    id_col: pd.Series(out_i, dtype=object),
+                    "adc_distance": pd.array(out_d, dtype="Float64"),
+                }
+            )
 
-    scored = codes.select(F.col(id_col), "codes").mapInPandas(
+    return codes.select(F.col(id_col), "codes").mapInPandas(
+        score_batches,
+        schema=(
+            f"{query_id_col} {qid_type}, {id_col} {eid_type}, "
+            "adc_distance double"
+        ),
+    )
+
+
+def _pq_luts(qm, cb):
+    """(nq, m, ksub) ADC lookup tables: squared L2 from every query's
+    j-th subvector to every centroid of subspace j."""
+    import numpy as np
+
+    nq = qm.shape[0]
+    m, ksub, dsub = cb.shape
+    luts = np.empty((nq, m, ksub), dtype=np.float64)
+    for j in range(m):
+        qs = qm[:, j * dsub : (j + 1) * dsub]  # (nq, dsub)
+        diff = qs[:, None, :] - cb[j][None, :, :]  # (nq, ksub, dsub)
+        luts[:, j, :] = (diff * diff).sum(axis=2)
+    return luts
+
+
+def pq_topk_probed(
+    queries: DataFrame,
+    codes_with_cluster: DataFrame,
+    probes: DataFrame,
+    codebook,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """ADC top-k restricted, PER QUERY, to that query's probed
+    clusters — the IVF inner loop (ADVICE r9 #3). :func:`pq_topk`
+    over the UNION of all queries' probes is NOT equivalent to
+    per-query probed scans: foreign-cluster codes (scored anyway)
+    crowd a query's own candidates out of its shortlist, so recall
+    degrades as query probe sets diverge. Here the (query, cluster)
+    probe table is broadcast-joined against the code rows FIRST, so
+    each code row is duplicated once per probing query and each pair
+    scores against its own query's LUT — bit-identical to running a
+    separate probed scan per query, in one plan.
+
+    Cost model: the pair expansion is Σ_q |rows in q's probed
+    clusters| — exactly the scan a per-query IVF search pays; with
+    cluster-partitioned storage the join's scan side is partition-
+    pruned to the union of probed clusters. Scoring is the same
+    two-phase shape as :func:`pq_topk`: per-batch per-query local
+    top-k (argpartition + exact boundary tie-break), so the merge
+    window sees ≤ nq x k rows per Arrow batch. Rows of queries with
+    no valid vector are dropped (no LUT — same exclusion as
+    pq_topk); NULL-coded rows in a probed cluster rank last."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebook, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    d = m * dsub
+    q_rows = [
+        r
+        for r in queries.select(
+            F.col(query_id_col), F.col(query_vec_col).cast("array<double>")
+        ).collect()
+        if r[1] is not None
+        and len(r[1]) == d
+        and all(x is not None for x in r[1])
+    ]
+    if not q_rows:
+        raise ValueError("pq_topk_probed: no valid query vectors")
+    qm = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    luts = _pq_luts(qm, cb)
+    qmap = {r[0]: i for i, r in enumerate(q_rows)}
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    eid_type = codes_with_cluster.schema[id_col].dataType.simpleString()
+
+    pairs = codes_with_cluster.join(
+        F.broadcast(probes.select(query_id_col, cluster_col)), cluster_col
+    ).select(query_id_col, id_col, "codes")
+
+    def score_batches(batches):
+        for pdf in batches:
+            B = len(pdf)
+            if not B:
+                continue
+            qkey = pdf[query_id_col].tolist()
+            qidx = np.array(
+                [qmap.get(q, -1) for q in qkey], dtype=np.int64
+            )
+            vals = pdf["codes"].tolist()
+            valid = np.array(
+                [
+                    c is not None
+                    and len(c) == m
+                    and all(x is not None for x in c)
+                    for c in vals
+                ],
+                dtype=bool,
+            )
+            dist = np.full(B, np.inf)
+            both = valid & (qidx >= 0)
+            if both.any():
+                rows = np.nonzero(both)[0]
+                cm = np.asarray(
+                    [vals[i] for i in rows], dtype=np.int64
+                )
+                qi = qidx[rows]
+                dv = np.zeros(len(rows), dtype=np.float64)
+                for j in range(m):
+                    dv += luts[qi, j, cm[:, j]]
+                dist[rows] = dv
+            ids = pdf[id_col].to_numpy()
+            out_q, out_i, out_d = [], [], []
+            for u in np.unique(qidx[qidx >= 0]):
+                ridx = np.nonzero(qidx == u)[0]
+                s = dist[ridx]
+                lids = ids[ridx]
+                for li in _local_topk(s, lids, k, largest=False):
+                    ri = int(ridx[li])
+                    out_q.append(qkey[ri])
+                    out_i.append(ids[ri])
+                    out_d.append(
+                        None
+                        if np.isposinf(dist[ri])
+                        else float(dist[ri])
+                    )
+            yield pd.DataFrame(
+                {
+                    query_id_col: pd.Series(out_q, dtype=object),
+                    id_col: pd.Series(out_i, dtype=object),
+                    "adc_distance": pd.array(out_d, dtype="Float64"),
+                }
+            )
+
+    scored = pairs.mapInPandas(
         score_batches,
         schema=(
             f"{query_id_col} {qid_type}, {id_col} {eid_type}, "
@@ -1007,64 +1267,48 @@ def ivfpq_search(
     """IVF + PQ + refine — the complete faiss-IVFPQ production shape
     composed from the shipped pieces: the coarse quantizer prunes the
     scan to ``n_probe`` clusters per query (with cluster-partitioned
-    storage, partition pruning), the ADC pass over the SURVIVING
-    m-byte codes builds a ``shortlist``, and only the shortlist's
-    true vectors are fetched for the exact re-rank. At 100 TB the
-    per-query I/O is (n_probe/n_clusters) x m bytes/vector for the
-    scan plus ``shortlist`` float vectors — the floats are never
-    scanned.
+    storage, partition pruning — demonstrated file-level in
+    tests/test_retrieval.py and the ``ivfpq_recall`` catalog gate),
+    the per-query probed ADC pass over the surviving m-byte codes
+    builds a ``shortlist``, and only the shortlist's true vectors are
+    fetched for the exact re-rank. At 100 TB the per-query I/O is
+    (n_probe/n_clusters) x m bytes/vector for the scan plus
+    ``shortlist`` float vectors — the floats are never scanned.
 
     Probe selection mirrors :func:`ivf_knn_join` (same window, same
-    tie-breaks); the candidate restriction is a broadcast of the
-    (query, probed-cluster) table against the code rows before the
-    ADC scoring batches run."""
+    tie-breaks). The shortlist stage is :func:`pq_topk_probed`
+    (ADVICE r9 #3): the (query, probed-cluster) table broadcasts
+    against the code rows BEFORE any ranking, so each query's
+    shortlist is computed over exactly its own probed clusters —
+    bit-identical to a per-query probed scan. (The previous shape —
+    one shortlist over the UNION of all probes, filtered per query
+    afterwards — let foreign-cluster codes crowd out a query's own
+    candidates whenever probe sets diverged.)"""
     q = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col).cast("array<double>").alias("__q"),
     )
-    qc = q.crossJoin(
-        F.broadcast(
-            cluster_centroids.select(
-                F.col(centroid_key).alias(cluster_col),
-                F.col(centroid_vec).cast("array<double>").alias("__c"),
-            )
-        )
-    ).select(
-        F.col(query_id_col),
-        F.col(cluster_col),
-        l2_squared(F.col("__q"), F.col("__c")).alias("__d"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("__d").asc(), F.col(cluster_col).asc()
-    )
-    probes = (
-        qc.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n_probe)
-        .select(query_id_col, cluster_col)
-    )
-    # restrict code rows to the union of probed clusters; the ADC
-    # pass then scores every query against every surviving code (the
-    # per-query probe restriction re-applies at the end — cheaper
-    # than q separate scans, same answer)
-    surviving = codes_with_cluster.join(
-        F.broadcast(probes.select(cluster_col).distinct()), cluster_col
-    )
-    adc = pq_topk(
+    probes = ivf_probes(
         queries,
-        surviving.select(id_col, "codes"),
+        cluster_centroids,
+        n_probe,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        cluster_col=cluster_col,
+        centroid_key=centroid_key,
+        centroid_vec=centroid_vec,
+    )
+    cand = pq_topk_probed(
+        queries,
+        codes_with_cluster,
+        probes,
         codebook,
         k=shortlist,
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
         id_col=id_col,
+        cluster_col=cluster_col,
     ).select(query_id_col, id_col)
-    # drop candidates outside THIS query's probed clusters
-    in_probe = codes_with_cluster.select(id_col, cluster_col)
-    cand = (
-        adc.join(in_probe, id_col)
-        .join(F.broadcast(probes), [query_id_col, cluster_col])
-        .select(query_id_col, id_col)
-    )
     e = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__e")
     )

@@ -1435,6 +1435,21 @@ def delta_changes(
             for p in curm
             if p in prevm and dv_key(curm[p]) != dv_key(prevm[p])
         }
+        # a descriptor CHANGE is only reconstructible as a delete
+        # feed when the position set grew; a shrink (RESTORE-shaped
+        # commit) resurrects rows, which the downstream
+        # positions(cur)-positions(prev) diff would render as an
+        # EMPTY feed — a guessed answer, violating the provably-
+        # exact-or-raise contract (ADVICE r9 #4)
+        for p in dv_changed:
+            if dv_positions(prevm[p]) - dv_positions(curm[p]):
+                raise ValueError(
+                    f"{table_dir}: compacted commit {v} shrank the "
+                    f"deletion vector of {p} (a RESTORE-shaped "
+                    "change); resurrected rows cannot be attributed "
+                    "without the commit's own actions — change feed "
+                    "for this range is unrecoverable"
+                )
         commit_adds = {**added, **dv_changed}
         return (
             commit_adds,

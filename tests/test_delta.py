@@ -1032,6 +1032,7 @@ class TestChangeFeed:
         from feature_store_spark.sources.delta import (
             delta_changes,
             delta_checkpoint,
+            delta_delete_where,
             delta_optimize,
         )
 
@@ -1049,6 +1050,33 @@ class TestChangeFeed:
         os.remove(os.path.join(d, "_delta_log", f"{2:020d}.json"))
         with pytest.raises(ValueError, match="ambiguous"):
             delta_changes(spark, d, 1)
+
+        # DV SHRINK in the compacted commit (a RESTORE shape): the
+        # reconstruction can prove rows were resurrected but cannot
+        # attribute them — must refuse, not emit an empty feed
+        # (ADVICE r9 #4)
+        dr = str(tmp_path / "cdfrestore")
+        delta_append(
+            spark.range(8).coalesce(1).select(F.col("id").alias("eid")), dr
+        )                                                      # v0
+        delta_delete_where(spark, dr, [("eid", "<", 3)])       # v1 (DV)
+        delta_checkpoint(spark, dr)                            # ckpt @1
+        # v2: hand-authored RESTORE — re-add the file WITHOUT its DV
+        tdr = DeltaTable(spark, dr)
+        restored = {
+            k: v
+            for k, v in tdr.data_files()[0].items()
+            if k != "deletionVector"
+        }
+        restored["dataChange"] = True
+        with open(
+            os.path.join(dr, "_delta_log", f"{2:020d}.json"), "w"
+        ) as f:
+            f.write(json.dumps({"add": restored}) + "\n")
+        delta_checkpoint(spark, dr)                            # ckpt @2
+        os.remove(os.path.join(dr, "_delta_log", f"{2:020d}.json"))
+        with pytest.raises(ValueError, match="unrecoverable"):
+            delta_changes(spark, dr, 1)
 
         # no checkpoint pair proves the mid state: unrecoverable
         d2 = str(tmp_path / "cdfnock")

@@ -149,6 +149,51 @@ def test_crash_between_commits_recovers(spark, tmp_path, monkeypatch):
     assert pairs.current_version() == v
 
 
+def test_crash_then_new_append_before_rerun(spark, tmp_path, monkeypatch):
+    """ADVICE r9 #2 regression: crash between the pairs and sig
+    commits, then a NEW source append lands BEFORE the re-run. The
+    old re-run drove its window from the sig hwm, so the widened
+    window re-committed the crashed window's pairs under the fresh
+    token — permanent duplicates. The torn-state repair completes
+    the missing sig commit for the crashed window FIRST, then folds
+    only the genuinely new append."""
+    corpus = _corpus(spark)
+    src = ManifestedTable(spark, str(tmp_path / "src"))
+    sig = ManifestedTable(spark, str(tmp_path / "sig"))
+    pairs = ManifestedTable(spark, str(tmp_path / "pairs"))
+    src.append(corpus.filter(F.col("doc_id") % 3 == 0))
+    refresh_minhash_dedup(sig, pairs, src)
+    src.append(corpus.filter(F.col("doc_id") % 3 == 1))
+
+    real_append = ManifestedTable.append
+    state = {"fail_next_sig": True}
+
+    def flaky(self, df, *a, **kw):
+        if self.path == sig.path and state["fail_next_sig"]:
+            state["fail_next_sig"] = False
+            raise RuntimeError("injected crash")
+        return real_append(self, df, *a, **kw)
+
+    monkeypatch.setattr(ManifestedTable, "append", flaky)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        refresh_minhash_dedup(sig, pairs, src)
+    # the poisoning event: a new source commit BEFORE the re-run
+    src.append(corpus.filter(F.col("doc_id") % 3 == 2))
+    refresh_minhash_dedup(sig, pairs, src)
+    full = minhash_dedup_pairs(src.read())
+    # row-level too: not just the set — duplicates would survive a
+    # set comparison
+    rows = [
+        (r["id_a"], r["id_b"]) for r in pairs.read().collect()
+    ]
+    assert len(rows) == len(set(rows))
+    assert _pairs_set(pairs.read()) == _pairs_set(full)
+    # and a redelivered refresh still no-ops
+    v = pairs.current_version()
+    refresh_minhash_dedup(sig, pairs, src)
+    assert pairs.current_version() == v
+
+
 def test_exact_dedup_incremental_equals_full(spark, tmp_path):
     """refresh_exact_dedup through the generic refresh_fold core:
     state equals the full groupBy recompute at every version, and a

@@ -258,3 +258,169 @@ class TestProductQuantization:
         src.overwrite(emb.filter(F.col("vec_id") < 40))
         refresh_pq_index(codes, src, cb)
         assert as_map(codes.read()) == as_map(pq_encode(src.read(), cb))
+
+
+class TestTwoPhaseTopK:
+    """r10 (VERDICT r9 #1): the Arrow ANN scorers keep a per-query
+    local top-k inside every batch, so the exchange into the merge
+    window carries ≤ nq x k x n_batches rows — never nq x N."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (i, [float(x) for x in rng.normal(size=16)])
+            for i in range(200)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(4)
+
+    @pytest.fixture(scope="class")
+    def queries(self, spark, emb):
+        return emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+
+    def test_knn_arrow_candidate_bound(self, spark, emb, queries):
+        from feature_store_spark.operators.similarity import (
+            _knn_arrow_scored,
+            knn_join,
+            knn_join_arrow,
+        )
+
+        k, nq, parts = 5, 3, 4
+        cand = _knn_arrow_scored(
+            queries, emb, k, "query_id", "query_vec", "vec_id", "embedding"
+        )
+        n_cand = cand.count()
+        assert n_cand <= nq * k * parts  # two-phase bound
+        assert n_cand < nq * 200  # and FAR below the old nq x N
+        # merged result still exactly equals the higher-order twin
+        a = {
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in knn_join(queries, emb, k=k).collect()
+        }
+        b = {
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in knn_join_arrow(queries, emb, k=k).collect()
+        }
+        assert a == b
+
+    def test_pq_adc_candidate_bound(self, spark, emb, queries):
+        from feature_store_spark.operators.similarity import (
+            _pq_adc_scored,
+            pq_encode,
+            pq_train,
+        )
+
+        k, nq, parts = 5, 3, 4
+        cb = pq_train(emb, m=4, ksub=8)
+        codes = pq_encode(emb, cb).repartition(parts)
+        cand = _pq_adc_scored(
+            queries, codes, cb, k, "query_id", "query_vec", "vec_id"
+        )
+        n_cand = cand.count()
+        assert n_cand <= nq * k * parts
+        assert n_cand < nq * 200
+
+    def test_local_topk_boundary_ties_keep_lowest_ids(self):
+        """The argpartition narrowing must not drop a row that ties
+        the k-th score but wins the id tie-break."""
+        import numpy as np
+
+        from feature_store_spark.operators.similarity import _local_topk
+
+        s = np.array([5.0, 3.0, 3.0, 3.0, 1.0, -np.inf])
+        ids = np.array([60, 50, 10, 40, 30, 20])
+        # top-2 largest: 5.0(id60) then the LOWEST id among the 3.0s
+        assert [ids[i] for i in _local_topk(s, ids, 2, largest=True)] == [60, 10]
+        # the desc NULL sentinel (-inf) ranks last but still fills slots
+        assert [ids[i] for i in _local_topk(s, ids, 6, largest=True)][-1] == 20
+        # asc ordering uses +inf as its NULL sentinel — also last
+        d = np.array([1.0, 2.0, np.inf])
+        dids = np.array([3, 2, 1])
+        assert [dids[i] for i in _local_topk(d, dids, 3, largest=False)] == [3, 2, 1]
+        # all-ties: pure id ordering
+        t = np.zeros(4)
+        tids = np.array([9, 2, 7, 1])
+        assert [tids[i] for i in _local_topk(t, tids, 2, largest=True)] == [1, 2]
+
+    def test_pq_topk_probed_no_cross_query_dilution(self, spark, emb):
+        """ADVICE r9 #3 regression: with DISJOINT probe sets and a
+        tiny shortlist, each query's candidates must come from its
+        own probed clusters only — the union-then-filter shape
+        returned foreign-cluster rows that crowded these out."""
+        from feature_store_spark.operators.similarity import (
+            kmeans_fit,
+            pq_encode,
+            pq_topk,
+            pq_topk_probed,
+            pq_train,
+        )
+
+        cb = pq_train(emb, m=4, ksub=8)
+        cents, assigned = kmeans_fit(emb, k=4, iters=2)
+        codes = pq_encode(emb, cb).join(
+            assigned.select("vec_id", "cluster"), "vec_id"
+        )
+        queries = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        # force fully disjoint probes: query 0 -> clusters {0,1},
+        # query 1 -> clusters {2,3}
+        probes = spark.createDataFrame(
+            [(0, 0), (0, 1), (1, 2), (1, 3)], "query_id long, cluster int"
+        )
+        got = pq_topk_probed(
+            queries, codes, probes, cb, k=3
+        ).select("query_id", "vec_id", "rank")
+        # oracle: per-query pq_topk over ONLY that query's clusters
+        expect = set()
+        for qid, cls in ((0, (0, 1)), (1, (2, 3))):
+            sub = codes.filter(F.col("cluster").isin(list(cls)))
+            one = queries.filter(F.col("query_id") == qid)
+            for r in pq_topk(one, sub.select("vec_id", "codes"), cb, k=3).collect():
+                expect.add((r["query_id"], r["vec_id"], r["rank"]))
+        assert {
+            (r["query_id"], r["vec_id"], r["rank"]) for r in got.collect()
+        } == expect
+
+    def test_ivfpq_multi_query_equals_per_query_runs(self, spark, emb):
+        """ivfpq_search over a query batch == the union of single-query
+        runs (the 'same answer as per-query probed scans' contract its
+        docstring claims — previously false once probe sets diverged)."""
+        from feature_store_spark.operators.similarity import (
+            ivfpq_search,
+            kmeans_fit,
+            pq_encode,
+            pq_train,
+        )
+
+        cb = pq_train(emb, m=4, ksub=8)
+        cents, assigned = kmeans_fit(emb, k=6, iters=2)
+        cwc = pq_encode(emb, cb).join(
+            assigned.select("vec_id", "cluster"), "vec_id"
+        )
+        queries = emb.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        batch = {
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in ivfpq_search(
+                queries, cwc, cents, cb, emb, k=3, n_probe=2, shortlist=5
+            ).collect()
+        }
+        singles = set()
+        for qid in range(6):
+            one = queries.filter(F.col("query_id") == qid)
+            for r in ivfpq_search(
+                one, cwc, cents, cb, emb, k=3, n_probe=2, shortlist=5
+            ).collect():
+                singles.add((r["query_id"], r["vec_id"], r["rank"]))
+        assert batch == singles

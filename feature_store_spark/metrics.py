@@ -42,7 +42,12 @@ def _scored_base(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     )
 
 
-def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+def auc_roc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    score_decimals: int | None = None,
+) -> DataFrame:
     """Area under the ROC curve, exact, tie-aware.
 
     AUC = (sum(pos_g * midrank_g) - P(P+1)/2) / (P*N), where groups are
@@ -51,6 +56,19 @@ def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     window over *distinct scores only* — the single-partition sort sees
     |distinct scores| rows, not |rows|.
 
+    ``score_decimals`` (VERDICT r9 next #5) is the scale knob for that
+    window: with CONTINUOUS scores (a GBDT over full serving logs)
+    |distinct| ≈ |rows| and the unpartitioned ordering window becomes
+    one sort task over the whole log. Setting e.g. ``score_decimals=6``
+    rounds scores to a fixed decimal grid BEFORE grouping, so the
+    window's input is bounded by the grid cardinality (≤ 10^6·range+1
+    groups — KBs) no matter how many rows are scored. Semantics: the
+    exact tie-aware AUC of the ROUNDED scores — ties created by
+    rounding are handled by the same midrank formula, and for scores
+    already on the grid the result is bit-identical to the exact path
+    (property-tested). Default None = exact, the right choice for
+    eval-set-sized frames.
+
     Rows whose score is NULL or NaN are EXCLUDED (review r5): Spark's
     ordering would otherwise rank NULL below every real score and NaN
     above every real score, silently folding unscored rows into the
@@ -58,8 +76,12 @@ def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     count in P or N. Exclusion is via the NULL score group counting
     zero in P and N (see :func:`_scored_base` for why not a filter) —
     a zero row contributes nothing to midranks or the final sums.
+    (``F.round`` passes NULL through, so the exclusion survives the
+    bucketed path unchanged.)
     """
     base = _scored_base(df, score_col, label_col)
+    if score_decimals is not None:
+        base = base.withColumn("__s", F.round(F.col("__s"), score_decimals))
     ok = F.col("__s").isNotNull()
     y = F.col("__y")
     g = base.groupBy("__s").agg(
@@ -83,7 +105,12 @@ def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     )
 
 
-def auc_pr(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+def auc_pr(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    score_decimals: int | None = None,
+) -> DataFrame:
     """Average precision (step-wise AUC-PR), the V3 gate metric
     (ValidationService.java:22-25 `aucPr >= 0.40`).
 
@@ -91,7 +118,11 @@ def auc_pr(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     order, where P_g = cumTP/cum(TP+FP) and ΔR_g = p_g / P — exactly
     sklearn's average_precision_score with ties handled as one group.
     Same scale shape as auc_roc: groupBy(score) first, so the ordering
-    window sees |distinct scores| rows only.
+    window sees |distinct scores| rows only — and the same
+    ``score_decimals`` knob bounds that window for continuous scores
+    over full serving logs (see :func:`auc_roc`): the exact AP of the
+    rounded scores, bit-identical to the exact path when scores
+    already sit on the grid.
 
     Rows with NULL/NaN scores are excluded (see :func:`auc_roc` — the
     NULL score group counts zero in p and t, so it cannot move the
@@ -102,6 +133,8 @@ def auc_pr(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     two metrics disagreed about the same frame).
     """
     base = _scored_base(df, score_col, label_col)
+    if score_decimals is not None:
+        base = base.withColumn("__s", F.round(F.col("__s"), score_decimals))
     ok = F.col("__s").isNotNull()
     y = F.col("__y")
     g = base.groupBy("__s").agg(

@@ -817,22 +817,46 @@ class IcebergTable:
         file's footer — the spec's column-resolution key."""
         return parquet_field_ids(path)
 
+    def _identity_partition_literal(self, value, type_str: str):
+        """Typed Column literal for an identity partition value (the
+        spec's single-value representations: date = days since epoch,
+        timestamps = micros)."""
+        from pyspark.sql import functions as F
+
+        if value is None:
+            return F.lit(None).cast(_spark_type(type_str) or "string")
+        if type_str == "date":
+            return F.date_from_unix_date(F.lit(int(value)))
+        if type_str.startswith("timestamp"):
+            return F.timestamp_micros(F.lit(int(value)))
+        st = _spark_type(type_str)
+        return F.lit(value).cast(st) if st else F.lit(value)
+
     def _read_by_field_id(self, files: list[dict]) -> DataFrame:
         """Read data files with columns resolved BY FIELD ID (the
         spec's rule — names may have changed since a file was
-        written): group files by their footer's (name, id) signature,
-        rename each group's columns to the current schema's names,
-        null-fill columns added after a file was written, drop columns
-        since removed, and union. Footer signatures are gathered with
-        a thread pool (KB reads). Rows are pre-tagged with the file
-        path/ordinal so merge-on-read deletes keep working across the
-        rename+union."""
+        written): group files by their footer's (name, id) signature
+        plus partition tuple, rename each group's columns to the
+        current schema's names, null-fill columns added after a file
+        was written, drop columns since removed, and union. Footer
+        signatures are gathered with a thread pool (KB reads). Rows
+        are pre-tagged with the file path/ordinal so merge-on-read
+        deletes keep working across the rename+union.
+
+        Columns ABSENT from a file whose field id is the source of an
+        IDENTITY partition field fill from the file's partition
+        metadata — the spec's "Column Projection" rule #2, which is
+        how Hive-migrated and UniForm-exported tables (hive layout:
+        partition values in directory names, not in the files)
+        reconstruct their partition columns. Grouping by partition
+        tuple keeps the injected literal per-group constant; group
+        count is bounded by the pruned set's partition count."""
         from concurrent.futures import ThreadPoolExecutor
 
         from pyspark.sql import functions as F
 
         current = {
-            f["id"]: f["name"]
+            f["id"]: f
             for f in self.schema_fields()
             if isinstance(f["type"], str)
         }
@@ -843,10 +867,26 @@ class IcebergTable:
                 )
             )
         groups: dict[tuple, list[str]] = {}
+        part_of: dict[tuple, tuple] = {}
         for f, sig in zip(files, sigs):
-            groups.setdefault(sig, []).append(f["path"])
+            part = f.get("partition") or {}
+            key = (
+                sig,
+                int(f.get("spec_id", 0) or 0),
+                _part_key(part),
+            )
+            groups.setdefault(key, []).append(f["path"])
+            part_of[key] = (part, f.get("spec_id", 0))
         frames = []
-        for sig, paths in groups.items():
+        for key, paths in groups.items():
+            sig = key[0]
+            part, spec_id = part_of[key]
+            spec = self.partition_spec(spec_id)
+            ident_by_source = {
+                pf["source-id"]: pf
+                for pf in spec
+                if pf.get("transform") == "identity"
+            }
             raw = self.spark.read.parquet(*paths)
             tagged = raw.withColumn(
                 "__fp", _fp_expr(F.col("_metadata.file_path"))
@@ -854,7 +894,8 @@ class IcebergTable:
             by_id = {fid: name for name, fid in sig if fid is not None}
             file_names = {name for name, _ in sig}
             cols = []
-            for fid, cur_name in current.items():
+            for fid, cur in current.items():
+                cur_name = cur["name"]
                 if fid in by_id:
                     cols.append(F.col(by_id[fid]).alias(cur_name))
                 elif cur_name in file_names:
@@ -862,9 +903,20 @@ class IcebergTable:
                     # written WITHOUT field ids (e.g. plain Spark
                     # writers, incl. iceberg_append's data files)
                     cols.append(F.col(cur_name))
+                elif fid in ident_by_source:
+                    # Column Projection rule #2: identity partition
+                    # value stands in for the absent source column
+                    pf = ident_by_source[fid]
+                    cols.append(
+                        self._identity_partition_literal(
+                            part.get(pf["name"]), cur["type"]
+                        ).alias(cur_name)
+                    )
                 else:
                     # column added after this file was written
-                    cols.append(F.lit(None).alias(cur_name))
+                    cols.append(F.lit(None).cast(
+                        _spark_type(cur["type"]) or "string"
+                    ).alias(cur_name))
             frames.append(tagged.select(*cols, "__fp", "__pos"))
         out = frames[0]
         for fr in frames[1:]:
@@ -1123,6 +1175,28 @@ class IcebergTable:
             raise NotImplementedError(
                 f"{self.path}: resolve_by_field_id reads parquet "
                 "footers; avro data files resolve by name"
+            )
+        if pq_files and not resolve_by_field_id and not avro_files:
+            # hive-layout detection (UniForm-exported / migrated
+            # tables): if a schema column that SOURCES an identity
+            # partition field is absent from a data file footer, its
+            # values live in partition metadata, not the files — the
+            # plain multi-file read would drop the column. Route
+            # through the per-file resolver, which applies the spec's
+            # Column Projection rule. One KB footer read decides.
+            first = {
+                n for n, _ in self._file_field_mapping(pq_files[0]["path"])
+            }
+            ident_sources = {
+                pf["source-id"]
+                for f in pq_files
+                for pf in self.partition_spec(f.get("spec_id", 0))
+                if pf.get("transform") == "identity"
+            }
+            resolve_by_field_id = any(
+                f["id"] in ident_sources and f["name"] not in first
+                for f in self.schema_fields()
+                if isinstance(f["type"], str)
             )
         if resolve_by_field_id:
             df = self._read_by_field_id(files)

@@ -1113,12 +1113,25 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
     puts it); data-file paths are recorded absolute into the Delta
     layout.
 
-    Scope gates (loud): unpartitioned tables only (Delta's
-    hive-layout partition values live in DIRECTORY NAMES, not in the
-    files, while Iceberg identity-partition readers here scan the
-    files directly), no deletion vectors (Iceberg cannot express
+    PARTITIONED Delta tables (r10, VERDICT r9 next #6) export as
+    Iceberg identity partition specs: Delta keeps hive partition
+    values in DIRECTORY NAMES (and the commit's ``partitionValues``),
+    not in the data files — exactly the shape the Iceberg spec's
+    "Column Projection" rule #2 exists for: the manifest entry
+    records the typed identity partition value per file, and a
+    reader reconstructs the source column from partition metadata
+    when the field is absent from the file (the same rule real
+    Iceberg applies to Hive-migrated tables). Partition values come
+    from the add actions' ``partitionValues`` (already hive-unescaped
+    by the log writer), typed by the column's schema type; manifests
+    carry per-field partition summaries so manifest-level pruning
+    works too.
+
+    Scope gates (loud): no deletion vectors (Iceberg cannot express
     them pre-v3), no column mapping (physical names would need
-    name-mapping metadata), primitive types only.
+    name-mapping metadata), primitive types only, and timestamp
+    partition columns are refused (their Delta string form is
+    writer-session-zone dependent — not provably convertible).
 
     Each call commits one REPLACE-shaped snapshot reflecting the
     Delta table's current live file set (re-run after Delta commits
@@ -1132,13 +1145,6 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
 
     t = DeltaTable(spark, delta_dir)
     meta, adds, _ = t._state(None)
-    if meta.get("partitionColumns"):
-        raise NotImplementedError(
-            f"{delta_dir}: uniform export supports unpartitioned "
-            "tables only — Delta keeps hive partition values in "
-            "directory names, not in the data files an Iceberg "
-            "reader scans"
-        )
     if (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     ) != "none":
@@ -1171,6 +1177,54 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
         )
     field_by_name = {f["name"]: f for f in fields}
 
+    # identity partition spec from Delta's partitionColumns; values
+    # are typed from the add actions' partitionValues strings
+    part_cols = meta.get("partitionColumns") or []
+    _AVRO_OF = {
+        "string": "string", "int": "int", "long": "long",
+        "double": "double", "float": "float", "boolean": "boolean",
+        "date": "int",
+    }
+    spec_fields = []
+    part_avro_fields = []
+    for i, c in enumerate(part_cols):
+        f = field_by_name.get(c)
+        if f is None or f["type"] not in _AVRO_OF:
+            raise NotImplementedError(
+                f"{delta_dir}: uniform export cannot express "
+                f"partition column {c!r} of type "
+                f"{(f or {}).get('type')!r} as an Iceberg identity "
+                "partition (timestamps' Delta string form is "
+                "session-zone dependent)"
+            )
+        spec_fields.append(
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": f["id"],
+                "field-id": 1000 + i,
+            }
+        )
+        part_avro_fields.append({"name": c, "avro": _AVRO_OF[f["type"]]})
+
+    def _typed_part(col: str, s):
+        if s is None:
+            return None
+        ty = field_by_name[col]["type"]
+        if ty in ("int", "long"):
+            return int(s)
+        if ty in ("double", "float"):
+            return float(s)
+        if ty == "boolean":
+            return str(s).lower() == "true"
+        if ty == "date":
+            import datetime as _dt
+
+            return (
+                _dt.date.fromisoformat(str(s)) - _dt.date(1970, 1, 1)
+            ).days
+        return str(s)
+
     meta_dir = os.path.join(delta_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     prev_meta, _m, snap_id = _load_prev(meta_dir)
@@ -1181,7 +1235,8 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
             pool.map(lambda p: _footer_stats(p, field_by_name), paths)
         )
     entries = []
-    for fpath, (n, lowers, uppers) in zip(paths, stats):
+    for add, fpath, (n, lowers, uppers) in zip(adds, paths, stats):
+        pvals = add.get("partitionValues") or {}
         entries.append(
             {
                 "status": 1,
@@ -1192,7 +1247,9 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
                     "content": 0,
                     "file_path": fpath,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": {
+                        c: _typed_part(c, pvals.get(c)) for c in part_cols
+                    },
                     "record_count": n,
                     "file_size_in_bytes": os.path.getsize(fpath),
                     "lower_bounds": [
@@ -1206,10 +1263,26 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
                 },
             }
         )
+    # per-field partition summaries for manifest-level pruning
+    part_summaries = []
+    for c in part_cols:
+        vals = [e["data_file"]["partition"][c] for e in entries]
+        nn = [v for v in vals if v is not None]
+        ty = field_by_name[c]["type"]
+        part_summaries.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": None,
+                "lower_bound": _encode_bound(ty, min(nn)) if nn else None,
+                "upper_bound": _encode_bound(ty, max(nn)) if nn else None,
+            }
+        )
     mpath = os.path.join(
         meta_dir, f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
     )
-    write_avro(mpath, manifest_schema([]), entries, codec="deflate")
+    write_avro(
+        mpath, manifest_schema(part_avro_fields), entries, codec="deflate"
+    )
     mlist = os.path.join(
         meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
     )
@@ -1233,7 +1306,7 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
                 ),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
-                "partitions": [],
+                "partitions": part_summaries,
             }
         ],
         codec="deflate",
@@ -1262,8 +1335,8 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
             {"type": "struct", "schema-id": 0, "fields": fields}
         ],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snap_id,

@@ -1594,6 +1594,73 @@ class TestUniformExport:
         # the pre-refresh snapshot still time-travels
         assert it2.scan(snapshot_id=1).count() == 100
 
+    def test_partitioned_identity_projection_and_pruning(
+        self, spark, tmp_path
+    ):
+        """r10 (VERDICT r9 next #6): a hive-partitioned Delta table —
+        string + int + date partition columns whose values live in
+        directory names, NOT in the data files — exports an identity
+        partition spec; the Iceberg reader reconstructs the columns
+        from partition metadata (spec Column Projection rule #2) and
+        prunes files on partition predicates."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.delta import (
+            DeltaTable,
+            delta_append,
+        )
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_metadata_for_delta,
+        )
+
+        d = str(tmp_path / "unipart")
+        df = spark.range(40).select(
+            F.col("id").alias("eid"),
+            F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("par"),
+            (F.col("id") % 3).cast("int").alias("grp"),
+            F.date_add(F.lit("2024-03-01"), (F.col("id") % 2).cast("int")).alias(
+                "day"
+            ),
+            (F.col("id") * 1.5).alias("val"),
+        )
+        delta_append(df, d, partition_cols=["par", "grp", "day"])
+        iceberg_metadata_for_delta(spark, d)
+        it = IcebergTable(spark, d)
+        # partition columns are NOT in the data files
+        first = it.data_files()[0]["path"]
+        cols_in_file = set(spark.read.parquet(first).columns)
+        assert {"par", "grp", "day"}.isdisjoint(cols_in_file)
+        # ...but the scan reconstructs them, typed, matching Delta
+        got = it.scan().select("eid", "par", "grp", "day", "val")
+        want = DeltaTable(spark, d).scan().select(
+            "eid", "par", "grp", "day", "val"
+        )
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in want.collect()
+        }
+        assert dict(got.dtypes)["grp"] == "int"
+        assert dict(got.dtypes)["day"] == "date"
+        # file-level partition pruning on the identity spec
+        all_n = len(it.data_files())
+        pruned = it.data_files(
+            None, [("par", "=", "even"), ("grp", "=", 1)]
+        )
+        assert 0 < len(pruned) < all_n
+        assert all(
+            f["partition"]["par"] == "even" and f["partition"]["grp"] == 1
+            for f in pruned
+        )
+        # date partition predicate prunes too (micros? no — date days)
+        day0 = it.data_files(
+            None, [("day", "=", (dt.date(2024, 3, 1) - dt.date(1970, 1, 1)).days)]
+        )
+        assert 0 < len(day0) < all_n
+        # and filtered scans stay row-correct through the projection
+        n_even = it.scan(filters=[("par", "=", "even")]).count()
+        assert n_even == 20
+
     def test_gates_refuse_loudly(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
@@ -1605,16 +1672,18 @@ class TestUniformExport:
             iceberg_metadata_for_delta,
         )
 
-        # partitioned
+        # timestamp partition columns: session-zone-dependent string
+        # form — refused (r10: other primitive partitions now export)
         d1 = str(tmp_path / "part")
         delta_append(
             spark.range(10).select(
-                F.lit("a").alias("k"), F.col("id").alias("eid")
+                F.lit("2024-01-01 00:00:00").cast("timestamp").alias("k"),
+                F.col("id").alias("eid"),
             ),
             d1,
             partition_cols=["k"],
         )
-        with pytest.raises(NotImplementedError, match="unpartitioned"):
+        with pytest.raises(NotImplementedError, match="partition column"):
             iceberg_metadata_for_delta(spark, d1)
         # deletion vectors
         d2 = str(tmp_path / "dv")

@@ -1042,3 +1042,72 @@ def test_parse_image_header_never_crashes(payload):
         assert out is None or (
             isinstance(out, tuple) and len(out) == 3
         )
+
+
+# ------------------------------------------------ scale-safe AUC
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1_000_000),  # 6-dec grid
+            st.booleans(),
+        ),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_auc_bucketed_equals_exact_on_grid_scores(spark, rows):
+    """VERDICT r9 next #5: with scores already on the 6-decimal grid,
+    the score_decimals=6 bucketed path must be BIT-identical to the
+    exact path for both auc_roc and auc_pr (rounding is the identity
+    on grid scores, so the distinct-score groups are the same)."""
+    from feature_store_spark.metrics import auc_pr, auc_roc
+
+    # ensure both classes present so AUC is defined
+    rows = rows + [(0, False), (1_000_000, True)]
+    data = [(i / 1_000_000, 1 if y else 0) for i, y in rows]
+    df = spark.createDataFrame(data, "score double, label int")
+    exact_roc = auc_roc(df, "score", "label").first()["auc_roc"]
+    buck_roc = auc_roc(df, "score", "label", score_decimals=6).first()[
+        "auc_roc"
+    ]
+    assert exact_roc == buck_roc
+    exact_pr = auc_pr(df, "score", "label").first()["auc_pr"]
+    buck_pr = auc_pr(df, "score", "label", score_decimals=6).first()[
+        "auc_pr"
+    ]
+    assert exact_pr == buck_pr
+
+
+def test_auc_bucketed_is_exact_auc_of_rounded_scores(spark):
+    """Off-grid scores: bucketed AUC == exact AUC of a pre-rounded
+    frame (the documented semantics), and NULL/NaN exclusion
+    survives the rounding."""
+    from feature_store_spark.metrics import auc_pr, auc_roc
+
+    data = [
+        (0.1234561, 0),
+        (0.1234564, 1),  # collapses onto the row above at 6 dec
+        (0.75, 1),
+        (0.2, 0),
+        (None, 1),  # excluded in both paths
+        (float("nan"), 0),  # excluded in both paths
+    ]
+    df = spark.createDataFrame(data, "score double, label int")
+    from pyspark.sql import functions as _F
+
+    pre = df.select(_F.round("score", 6).alias("score"), "label")
+    for metric, key in ((auc_roc, "auc_roc"), (auc_pr, "auc_pr")):
+        got = metric(df, "score", "label", score_decimals=6).first()[key]
+        want = metric(pre, "score", "label").first()[key]
+        assert got == want
+        # and it genuinely differs from the unrounded exact metric
+        # (the two near-boundary scores are distinct before rounding)
+        exact = metric(df, "score", "label").first()[key]
+        assert got != exact

@@ -113,6 +113,11 @@ HEADLINE = [
     "multimodal_av_meta",
     "iceberg_refs",
     "delta_uniform",
+    # round-10 additions: the two-phase ADC scorers (pq_recall times
+    # train+encode+rerank+exact-oracle in one query) and the composed
+    # IVFPQ pipeline over cluster-partitioned code storage
+    "pq_recall",
+    "ivfpq_recall",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

@@ -21,12 +21,14 @@ re-aggregated — one shuffle keyed by the group keys, map-side
 partials, no join; state size is key-cardinality, delta size is the
 append, and the 100 TB history is never re-read.
 
-Four refresh flavors ship under one token discipline (r9): two on
-the generic :func:`refresh_fold` core —
+Five refresh flavors ship under one token discipline (r9, +1 r10):
+two on the generic :func:`refresh_fold` core —
 - :func:`refresh_aggregate` — per-key count/sum/min/max view;
 - :func:`refresh_exact_dedup` — per-fingerprint (keeper, copies);
-one stateless-map index maintainer —
+two stateless-map index maintainers —
 - :func:`refresh_pq_index` — PQ codes for appended embeddings only;
+- :func:`refresh_ivfpq_index` — PQ codes + coarse assignment for
+  appended embeddings (faiss ``IndexIVFPQ.add()`` as dataflow);
 and one with its own two-table commit order —
 - :func:`refresh_minhash_dedup` — near-dup pair maintenance: the
   MinHash signature table is the state, each refresh minhashes ONLY
@@ -439,3 +441,61 @@ def refresh_pq_index(
             source.read(version=src_v), codebook, id_col, vec_col
         )
         return codes_state.overwrite(full, txn=(app_id, src_v))
+
+
+def refresh_ivfpq_index(
+    index_state: ManifestedTable,
+    source: ManifestedTable,
+    codebook,
+    coarse_centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    app_id: str = "incremental-ivfpq",
+) -> int:
+    """Incremental IVFPQ index maintenance (r10): PQ-encode AND
+    coarse-assign only the embeddings appended since the last refresh,
+    appending ``(id, codes, cluster)`` rows to the index state —
+    faiss's ``IndexIVFPQ.add()`` expressed as exactly-once dataflow.
+    Search (:func:`~feature_store_spark.operators.similarity.
+    ivfpq_search`) runs over the maintained state; historical float
+    vectors are never re-read by a refresh.
+
+    BOTH quantizers are FROZEN at train time — the PQ ``codebook``
+    and the ``coarse_centroids`` (a (cluster, centroid) frame, e.g.
+    ``kmeans_fit`` output) — the standard IVFPQ contract: retraining
+    either one silently invalidates every stored code/assignment, so
+    a quantizer change is a NEW index, not a refresh.
+
+    Exactly-once: the append carries ``txn=(app_id, src_v)``; a
+    redelivered refresh no-ops. A non-append source commit
+    (overwrite/MERGE) falls back to a full rebuild committed as an
+    overwrite. Degenerate vectors (NULL / ragged) carry NULL codes —
+    rows to audit, ranked last by the ADC scorers."""
+    from feature_store_spark.operators.similarity import (
+        assign_clusters,
+        pq_encode,
+    )
+
+    def build(df: DataFrame) -> DataFrame:
+        codes = pq_encode(df, codebook, id_col, vec_col)
+        assigned = assign_clusters(
+            df,
+            coarse_centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroid_key="cluster",
+            centroid_vec="centroid",
+        ).select(id_col, "cluster")
+        return codes.join(assigned, id_col, "left")
+
+    last = max(index_state.txn_version(app_id), 0)
+    src_v = source.current_version()
+    if src_v <= last:
+        return index_state.current_version()
+    try:
+        delta = source.read_appended(last, src_v)
+        return index_state.append(build(delta), txn=(app_id, src_v))
+    except ValueError:
+        return index_state.overwrite(
+            build(source.read(version=src_v)), txn=(app_id, src_v)
+        )

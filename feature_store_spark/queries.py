@@ -3937,6 +3937,99 @@ def q_incremental_dedup_exact(spark, sf_dir):
         _sh.rmtree(scratch, ignore_errors=True)
 
 
+def q_incremental_ann(spark, sf_dir):
+    """Incremental ANN index maintenance (r10): ``refresh_ivfpq_index``
+    maintains the (codes, cluster) IVFPQ index from append deltas only
+    — faiss's ``IndexIVFPQ.add()`` as exactly-once dataflow, both
+    quantizers frozen at train time. Two appends + refreshes + one
+    redelivered refresh; graded contracts: the maintained index equals
+    a full rebuild row-for-row, ``ivfpq_search`` over the maintained
+    state returns exactly the full-rebuild answer for a 5-query batch,
+    and the redelivered refresh no-ops on its txn token."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.incremental import refresh_ivfpq_index
+    from feature_store_spark.operators.similarity import (
+        assign_clusters,
+        ivfpq_search,
+        kmeans_fit,
+        pq_encode,
+        pq_train,
+    )
+    from feature_store_spark.sources.manifest import ManifestedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, ksub=16)
+    cents, _ = kmeans_fit(emb, k=10, iters=2)
+    cents = cents.localCheckpoint(eager=True)  # frozen coarse quantizer
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-incr-ann-")
+    try:
+        src = ManifestedTable(spark, scratch + "/src")
+        idx = ManifestedTable(spark, scratch + "/idx")
+        for i in range(2):
+            src.append(emb.filter(F.col("vec_id") % 2 == i))
+            refresh_ivfpq_index(idx, src, cb, cents)
+        v = idx.current_version()
+        refresh_ivfpq_index(idx, src, cb, cents)
+        redelivery_noop = idx.current_version() == v
+
+        full = pq_encode(emb, cb).join(
+            assign_clusters(
+                emb, cents, centroid_key="cluster", centroid_vec="centroid"
+            ).select("vec_id", "cluster"),
+            "vec_id",
+            "left",
+        )
+        state_rows = {
+            (r["vec_id"], tuple(r["codes"] or []), r["cluster"])
+            for r in idx.read().collect()
+        }
+        full_rows = {
+            (r["vec_id"], tuple(r["codes"] or []), r["cluster"])
+            for r in full.collect()
+        }
+
+        def topk(index_df):
+            return {
+                (r["query_id"], r["vec_id"], r["rank"])
+                for r in ivfpq_search(
+                    queries, index_df, cents, cb, emb,
+                    k=5, n_probe=3, shortlist=50,
+                    centroid_key="cluster", centroid_vec="centroid",
+                ).collect()
+            }
+
+        search_matches = topk(idx.read()) == topk(full)
+        return spark.createDataFrame(
+            [
+                (
+                    len(state_rows),
+                    bool(state_rows == full_rows),
+                    bool(search_matches),
+                    bool(redelivery_noop),
+                )
+            ],
+            "n_indexed long, state_matches_full boolean, "
+            "search_matches_full boolean, redelivery_noop boolean",
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+INCREMENTAL_ANN_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_indexed,
+       TRUE AS state_matches_full,
+       TRUE AS search_matches_full,
+       TRUE AS redelivery_noop
+FROM embeddings
+"""
+
+
 def q_iceberg_scan(spark, sf_dir):
     """Iceberg interop round trip (reference IcebergOfflineStore.java:
     42-114): export events as feature records into a REAL Iceberg v2
@@ -7821,6 +7914,7 @@ QUERIES: dict[str, tuple] = {
     # deliberately the same SQL as minhash_pairs
     "incremental_dedup": (q_incremental_dedup, MINHASH_PAIRS_SQL),
     "incremental_dedup_exact": (q_incremental_dedup_exact, DEDUP_EXACT_SQL),
+    "incremental_ann": (q_incremental_ann, INCREMENTAL_ANN_SQL),
     "stream_incremental_dedup": (q_stream_incremental_dedup, MINHASH_PAIRS_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_pigeonhole": (q_simhash_pigeonhole, SIMHASH_PIGEONHOLE_SQL),
@@ -7997,6 +8091,7 @@ _R9_WINDOW = [
     "incremental_dedup",
     "incremental_dedup_exact",
     "stream_incremental_dedup",
+    "incremental_ann",
     "delta_changes",
     "delta_optimize",
     "delta_scan",
@@ -8046,9 +8141,82 @@ _R9_WINDOW = [
     "quality_scores",
     "decontaminate_bloom",
 ]
+# --- ROUND-10 DRIVER WINDOW (first 50 entries) ----------------------
+# Changed-path-first: ivfpq_recall is NEW (cluster-partitioned code
+# storage + file-pruning audit + composed IVFPQ recall gate);
+# delta_uniform re-graded over a PARTITIONED Delta table (identity
+# partition spec + Column Projection rule #2 + pruning assert);
+# pq_recall/ann_recall exercise the two-phase ADC/knn scorers and the
+# ivf_probes refactor; the incremental-dedup family exercises the
+# torn-state repair + uncapped-by-default bucket policy;
+# delta_changes gained the DV-shrink refusal; multimodal_av_meta's
+# MP4 box walk gained the largesize stall guard; auc_roc/auc_pr
+# gained score_decimals (default path unchanged but both were
+# r6-stale); lsh_recall sits atop minhash_dedup_pairs whose cap
+# became a pass-through parameter. Then the stale-row refresh VERDICT
+# r9 next #3 named: the r5 trio (ab_test, pricing_summary,
+# windowed_features) and every remaining r6-era row, with the oldest
+# r7 rows filling the tail. Everything displaced keeps its earlier
+# green row and the identical DuckDB oracle in pytest/selfcheck.
+_R10_WINDOW = [
+    # new/changed paths
+    "ivfpq_recall",
+    "delta_uniform",
+    "pq_recall",
+    "ann_recall",
+    "incremental_dedup",
+    "incremental_dedup_exact",
+    "stream_incremental_dedup",
+    "incremental_ann",
+    "delta_changes",
+    "multimodal_av_meta",
+    "auc_roc",
+    "auc_pr",
+    "lsh_recall",
+    # last green r5
+    "ab_test",
+    "pricing_summary",
+    "windowed_features",
+    # last green r6
+    "bm25_topk",
+    "bpe_pairs",
+    "cache_ttl_serving",
+    "calibration",
+    "chi2_association",
+    "corr_matrix",
+    "dedup_clusters",
+    "drift_psi",
+    "dup_pagerank",
+    "ece",
+    "fraud_pipeline",
+    "funnel",
+    "hybrid_retrieval",
+    "integrity_checks",
+    "logloss",
+    "online_offline_skew",
+    "point_lookup",
+    "retention_cohorts",
+    "serving_assembly",
+    "serving_fallback",
+    "snapshot_diff",
+    "source_quality",
+    "stratified_sample",
+    "target_encoding",
+    "tree_split",
+    "winsorized_stats",
+    "word_entropy",
+    # oldest remaining (r7)
+    "asof_bucketed",
+    "asof_nearest",
+    "confusion",
+    "decayed_features",
+    "default_rate",
+    "doc_fingerprints",
+    "embedding_centroids",
+]
 QUERIES = {
-    **{k: QUERIES[k] for k in _R9_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in _R9_WINDOW},
+    **{k: QUERIES[k] for k in _R10_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in _R10_WINDOW},
 }
 
 

@@ -140,9 +140,11 @@ def selection_quantiles(
       3. Driver walks the cumulative histogram to locate the bin
          holding each needed rank (``floor(h)`` and ``floor(h)+1``
          for h = (n-1)p). Bins still holding > ``collect_limit`` rows
-         are narrowed by re-binning inside the bin (each round divides
-         the candidate range by ``bins``; 2 rounds cover 8192² ≈ 67M
-         distinct values per bin).
+         are narrowed by re-binning inside the bin's MEASURED value
+         range [vmin, vmax] (each round divides the members' own
+         spread by ``bins`` — immune to the zero-inflated stall where
+         a bin's members huddle in a sliver of its arithmetic range;
+         2 rounds cover 8192² ≈ 67M distinct values per bin).
       4. The few resolved bins are collected (bounded by
          ``collect_limit`` each) and the exact ranked values read off
          a driver-side sort.
@@ -303,21 +305,28 @@ def selection_quantiles(
                         resolved[(c, k)] = vmin
                         break
                     full = chain + ((lo, hi, b),)
-                    width = (hi - lo) / bins
-                    b_lo = lo + b * width
-                    b_hi = hi if b == bins - 1 else lo + (b + 1) * width
-                    if cb <= collect_limit or b_lo == b_hi:
-                        # degenerate child geometry (b_lo == b_hi)
-                        # cannot narrow further — forced collect
-                        # (bounded: the bin spans ~one float ulp yet
-                        # holds >1 distinct value, so the only
-                        # unbounded case — one repeated value — was
-                        # already resolved above)
+                    # child geometry = the bin's MEASURED value range
+                    # [vmin, vmax], not its arithmetic slice
+                    # [lo + b·width, lo + (b+1)·width): a bin whose
+                    # members huddle in a tiny fraction of the
+                    # arithmetic range (hypothesis-found r10
+                    # falsifier: 33 zeros + one -5.5e-194 under
+                    # hi ≈ 6.1e3) shrinks the ARITHMETIC width by
+                    # bins⁻¹ per round and stalls for hundreds of
+                    # rounds; the measured range separates the
+                    # extremes in ONE round, and progress is
+                    # geometric in the data's own spread. vmin < vmax
+                    # here (vmin == vmax resolved above), so the only
+                    # non-narrowable case is the child width
+                    # underflowing to 0 (members within ~bins ulps
+                    # yet >1 distinct value) — forced collect,
+                    # bounded by the same few-ulps argument.
+                    if cb <= collect_limit or (vmax - vmin) / bins == 0:
                         to_collect.setdefault((c, full), []).append(
                             (k, off - cum)
                         )
                     else:
-                        nxt[(c, k)] = (b_lo, b_hi, off - cum, full)
+                        nxt[(c, k)] = (vmin, vmax, off - cum, full)
                     break
                 cum += cb
         if to_collect:

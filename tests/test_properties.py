@@ -317,6 +317,14 @@ def test_ranked_quantiles_match_numpy_linear(spark, vals, ps):
     st.floats(min_value=0.01, max_value=0.99),
 )
 @example(vals=[0.0, 0.0, 1.0, -1.0, -1.175494351e-38], p=0.75)
+@example(
+    # r10 hypothesis-found narrowing stall: 33 zeros + one tiny
+    # negative under a ~6e3 max — arithmetic-range narrowing shrinks
+    # the candidate range 8x/round and needs ~230 rounds to separate
+    # -5.5e-194 from 0.0; measured-range narrowing does it in one
+    vals=[-5.521352710259411e-194, 6107.879068346168] + [0.0] * 33,
+    p=0.20850155017578886,
+)
 def test_selection_quantiles_match_numpy_linear(spark, vals, p):
     """The histogram-narrowing selection path agrees with numpy on any
     value multiset (incl. duplicates, all-equal, negatives), with a

@@ -424,3 +424,84 @@ class TestTwoPhaseTopK:
             ).collect():
                 singles.add((r["query_id"], r["vec_id"], r["rank"]))
         assert batch == singles
+
+
+class TestIncrementalIvfpq:
+    """r10: refresh_ivfpq_index — faiss IndexIVFPQ.add() as
+    exactly-once dataflow over manifested tables."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        rows = [
+            (i, [float(x) for x in rng.normal(size=16)])
+            for i in range(120)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_state_equals_full_build_and_search_matches(
+        self, spark, emb, tmp_path
+    ):
+        from feature_store_spark.incremental import refresh_ivfpq_index
+        from feature_store_spark.operators.similarity import (
+            assign_clusters,
+            ivfpq_search,
+            kmeans_fit,
+            pq_encode,
+            pq_train,
+        )
+        from feature_store_spark.sources.manifest import ManifestedTable
+
+        cb = pq_train(emb, m=4, ksub=8)
+        cents, _ = kmeans_fit(emb, k=5, iters=2)
+        cents = cents.localCheckpoint(eager=True)  # freeze the quantizer
+        src = ManifestedTable(spark, str(tmp_path / "src"))
+        idx = ManifestedTable(spark, str(tmp_path / "idx"))
+
+        def full_build(df):
+            codes = pq_encode(df, cb)
+            a = assign_clusters(
+                df, cents, centroid_key="cluster", centroid_vec="centroid"
+            ).select("vec_id", "cluster")
+            return codes.join(a, "vec_id", "left")
+
+        def as_map(df):
+            return {
+                r["vec_id"]: (tuple(r["codes"] or []), r["cluster"])
+                for r in df.collect()
+            }
+
+        for i in (0, 1, 2):
+            src.append(emb.filter(F.col("vec_id") % 3 == i))
+            refresh_ivfpq_index(idx, src, cb, cents)
+            # INVARIANT: maintained index == full rebuild at every version
+            assert as_map(idx.read()) == as_map(full_build(src.read()))
+        # search over the maintained state == search over a full build
+        queries = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = ivfpq_search(
+            queries, idx.read(), cents, cb, emb, k=3, n_probe=2,
+            shortlist=10,
+        )
+        want = ivfpq_search(
+            queries, full_build(emb), cents, cb, emb, k=3, n_probe=2,
+            shortlist=10,
+        )
+        key = lambda df: {  # noqa: E731
+            (r["query_id"], r["vec_id"], r["rank"]) for r in df.collect()
+        }
+        assert key(got) == key(want)
+        # redelivery no-ops
+        v = idx.current_version()
+        refresh_ivfpq_index(idx, src, cb, cents)
+        assert idx.current_version() == v
+        # history rewrite -> full rebuild of the new truth
+        src.overwrite(emb.filter(F.col("vec_id") < 60))
+        refresh_ivfpq_index(idx, src, cb, cents)
+        assert as_map(idx.read()) == as_map(full_build(src.read()))

@@ -131,7 +131,13 @@ def knn_join(
     ScoreTopK shape (runtime/src/grpc_service.rs:30-89) with cosine as
     the model. Queries with a NULL vector (or NULL elements) are
     excluded — matching :func:`knn_join_arrow`; a question that isn't
-    a vector has no neighbors."""
+    a vector has no neighbors.
+
+    Scale role: this higher-order plan is the READABLE EXACT TWIN —
+    the differential oracle the recall gates rank against. Its window
+    input is nq x N scored rows, so at corpus scale the production
+    path is :func:`knn_join_arrow` (same answer, two-phase top-k,
+    ≤ nq x k rows per Arrow batch into the merge)."""
     qv = F.col(query_vec_col)
     q = F.broadcast(
         queries.filter(

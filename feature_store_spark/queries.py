@@ -1787,6 +1787,12 @@ def q_ivfpq_recall(spark, sf_dir):
     )
     cb = pq_train(emb, m=8, ksub=16)
     cents, assigned = kmeans_fit(emb, k=10, iters=2)
+    # kmeans_fit returns LAZY frames over the iterative Lloyd lineage;
+    # cents feeds four consumers (two probe selections, the search's
+    # own probes, the audit) and assigned feeds the write — without a
+    # checkpoint each consumer re-runs the whole fit
+    cents = cents.localCheckpoint(eager=True)
+    assigned = assigned.localCheckpoint(eager=True)
     cwc = pq_encode(emb, cb).join(
         assigned.select("vec_id", "cluster"), "vec_id"
     )

@@ -31,13 +31,29 @@ def _local_topk(s, ids, k: int, largest: bool) -> list[int]:
     id tie-break can't drop a row the global sort would keep; the
     final exact ordering runs on that ~k-sized slice only. Mirrors
     the reference's fused per-block top-K + host merge
-    (python/cuda_codegen/generator.py:784-911)."""
+    (python/cuda_codegen/generator.py:784-911).
+
+    NaN scores are folded into the sentinel HERE (review r10): a NaN
+    boundary value makes every ``>=``/``<=`` comparison False and the
+    candidate set empty, silently dropping real finite candidates —
+    callers must ALSO fold NaN before emitting so the merge window
+    never sees a raw NaN (Spark desc-sorts NaN first). NULL ids
+    (None/NaN in the id array) tie-break FIRST among equal scores —
+    Spark's asc nulls-first, the merge window's ordering."""
     import numpy as np
 
     B = int(s.shape[0])
     kk = min(int(k), B)
     if kk <= 0:
         return []
+    sentinel = -np.inf if largest else np.inf
+    s = np.where(np.isnan(s), sentinel, s)
+
+    def _id_key(i):
+        v = ids[i]
+        null = v is None or (isinstance(v, float) and v != v)
+        return (not null, 0 if null else v)
+
     if B > kk:
         if largest:
             part = np.argpartition(-s, kk - 1)
@@ -50,9 +66,9 @@ def _local_topk(s, ids, k: int, largest: bool) -> list[int]:
     else:
         cand = np.arange(B)
     if largest:
-        order = sorted(cand.tolist(), key=lambda i: (-s[i], ids[i]))
+        order = sorted(cand.tolist(), key=lambda i: (-s[i], _id_key(i)))
     else:
-        order = sorted(cand.tolist(), key=lambda i: (s[i], ids[i]))
+        order = sorted(cand.tolist(), key=lambda i: (s[i], _id_key(i)))
     return order[:kk]
 
 
@@ -245,6 +261,17 @@ def _knn_arrow_scored(
     ]
     if not q_rows:
         return None
+    dims = {len(r[1]) for r in q_rows}
+    if len(dims) > 1:
+        # loud, not a numpy shape crash mid-executor: the (q, d)
+        # matmul needs one dimension; mixed-dimension query batches
+        # have no meaningful shared neighbor space (the higher-order
+        # twin NULL-scores every mismatched pair) — review r10
+        raise ValueError(
+            f"knn_join_arrow: query vectors must share one dimension, "
+            f"got {sorted(dims)}; use knn_join for mixed-dimension "
+            "batches"
+        )
     qid_type = queries.schema[query_id_col].dataType.simpleString()
     eid_type = embeddings.schema[id_col].dataType.simpleString()
     qids = [r[0] for r in q_rows]
@@ -1036,6 +1063,11 @@ def _pq_adc_scored(
                     # transposed so rows stay batch-major
                     dv += luts[:, j, :][:, cm[:, j]].T
                 dist[valid] = dv
+            # NaN distances (a NaN element in a query vector poisons
+            # its whole LUT row) fold into the NULL sentinel — raw
+            # NaN in the output would desc-sort FIRST in the merge
+            # window and empty _local_topk's boundary comparisons
+            dist[np.isnan(dist)] = np.inf
             ids = pdf[id_col].to_numpy()
             out_q, out_i, out_d = [], [], []
             for qj in range(nq):
@@ -1167,6 +1199,8 @@ def pq_topk_probed(
                 for j in range(m):
                     dv += luts[qi, j, cm[:, j]]
                 dist[rows] = dv
+            # NaN -> NULL sentinel (see _pq_adc_scored)
+            dist[np.isnan(dist)] = np.inf
             ids = pdf[id_col].to_numpy()
             out_q, out_i, out_d = [], [], []
             for u in np.unique(qidx[qidx >= 0]):

@@ -8097,7 +8097,6 @@ _R9_WINDOW = [
     "incremental_dedup",
     "incremental_dedup_exact",
     "stream_incremental_dedup",
-    "incremental_ann",
     "delta_changes",
     "delta_optimize",
     "delta_scan",

@@ -383,6 +383,7 @@ class IcebergTable:
         self.meta_dir = os.path.join(self.path, "metadata")
         self.meta = self._load_metadata()
         self._avro_cache: dict[str, list] = {}
+        self._footer_cache: dict[str, tuple] = {}
 
     # -- metadata resolution
 
@@ -814,8 +815,14 @@ class IcebergTable:
 
     def _file_field_mapping(self, path: str) -> tuple:
         """((parquet_column_name, field_id or None), ...) from one data
-        file's footer — the spec's column-resolution key."""
-        return parquet_field_ids(path)
+        file's footer — the spec's column-resolution key. Cached per
+        table object: committed data files are immutable (the manifest
+        cache's argument), so each footer is sniffed at most once per
+        reader even when the hive-layout detection AND the per-file
+        resolver both need it."""
+        if path not in self._footer_cache:
+            self._footer_cache[path] = parquet_field_ids(path)
+        return self._footer_cache[path]
 
     def _identity_partition_literal(self, value, type_str: str):
         """Typed Column literal for an identity partition value (the
@@ -1133,7 +1140,13 @@ class IcebergTable:
         EVOLVED (renamed/added/dropped columns) after data files were
         written. Off by default: it reads one footer per data file at
         plan time (thread-pooled), which name-stable tables (including
-        everything iceberg_append writes) don't need."""
+        everything iceberg_append writes) don't need. Exception:
+        tables with IDENTITY partition fields sniff every surviving
+        file's footer even in the default path (cached per reader) —
+        the spec's Column Projection rule means a file may legitimately
+        omit the partition source column, and only its footer says so;
+        when any file does, the scan routes through the per-file
+        resolver automatically."""
         if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
             raise ValueError(
                 "pass at most one of snapshot_id / as_of_ms / ref"
@@ -1179,25 +1192,41 @@ class IcebergTable:
         if pq_files and not resolve_by_field_id and not avro_files:
             # hive-layout detection (UniForm-exported / migrated
             # tables): if a schema column that SOURCES an identity
-            # partition field is absent from a data file footer, its
+            # partition field is absent from a data file's footer, its
             # values live in partition metadata, not the files — the
-            # plain multi-file read would drop the column. Route
+            # plain multi-file read would silently null-fill it. Route
             # through the per-file resolver, which applies the spec's
-            # Column Projection rule. One KB footer read decides.
-            first = {
-                n for n, _ in self._file_field_mapping(pq_files[0]["path"])
-            }
+            # Column Projection rule. EVERY surviving file's footer is
+            # sniffed (review r10: a first-file-only check misreads
+            # MIXED tables where some files embed the column and some
+            # rely on projection) — thread-pooled KB reads, cached per
+            # table, skipped entirely for unpartitioned /
+            # non-identity specs, and reused verbatim by the resolver
+            # when routing triggers.
             ident_sources = {
                 pf["source-id"]
                 for f in pq_files
                 for pf in self.partition_spec(f.get("spec_id", 0))
                 if pf.get("transform") == "identity"
             }
-            resolve_by_field_id = any(
-                f["id"] in ident_sources and f["name"] not in first
+            proj_fields = [
+                f
                 for f in self.schema_fields()
-                if isinstance(f["type"], str)
-            )
+                if isinstance(f["type"], str) and f["id"] in ident_sources
+            ]
+            if proj_fields:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=16) as pool:
+                    sigs = pool.map(
+                        lambda f: self._file_field_mapping(f["path"]),
+                        pq_files,
+                    )
+                for sig in sigs:
+                    names = {n for n, _ in sig}
+                    if any(f["name"] not in names for f in proj_fields):
+                        resolve_by_field_id = True
+                        break
         if resolve_by_field_id:
             df = self._read_by_field_id(files)
             if deletes:

@@ -1694,3 +1694,61 @@ class TestUniformExport:
         delta_delete_where(spark, d2, [("eid", "<", 3)])
         with pytest.raises(NotImplementedError, match="[Dd]eletion vector"):
             iceberg_metadata_for_delta(spark, d2)
+
+
+def test_mixed_embedded_and_projected_partition_files(spark, tmp_path):
+    """Review-r10 regression: a table where SOME data files embed the
+    identity-partition source column and others rely on partition-
+    metadata projection (e.g. a UniForm export later touched by a
+    column-materializing writer). The hive-layout detection must sniff
+    EVERY file — a first-file-only check read NULL partition values
+    for the projected files whenever the first file happened to embed
+    the column."""
+    import glob as _glob
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.sources.delta import DeltaTable, delta_append
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_metadata_for_delta,
+    )
+
+    d = str(tmp_path / "mixed")
+    df = spark.range(20).select(
+        F.col("id").alias("eid"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("par"),
+        (F.col("id") * 2.0).alias("val"),
+    )
+    delta_append(df, d, partition_cols=["par"])
+    iceberg_metadata_for_delta(spark, d)
+    want = {
+        (r["eid"], r["par"], r["val"])
+        for r in DeltaTable(spark, d).scan().collect()
+    }
+    files = [
+        f for f in IcebergTable(spark, d).data_files() if not f["is_delete"]
+    ]
+    # rewrite the FIRST manifest-ordered file to EMBED its partition
+    # column, in place (same path, same rows)
+    first = files[0]
+    par_val = first["partition"]["par"]
+    rewritten = (
+        spark.read.parquet(first["path"])
+        .withColumn("par", F.lit(par_val))
+    )
+    out = str(tmp_path / "one")
+    rewritten.coalesce(1).write.mode("overwrite").parquet(out)
+    (part_file,) = _glob.glob(out + "/part-*.parquet")
+    _sh.copyfile(part_file, first["path"])
+
+    it = IcebergTable(spark, d)  # fresh reader, fresh footer cache
+    got = {
+        (r["eid"], r["par"], r["val"])
+        for r in it.scan().select("eid", "par", "val").collect()
+    }
+    assert got == want  # no NULL par anywhere, embedded file intact
+    # and a partition filter still prunes + answers correctly
+    n_odd = it.scan(filters=[("par", "=", "odd")]).count()
+    assert n_odd == 10

@@ -580,3 +580,41 @@ def test_minhash_incremental_matches_fused_shape(spark, sf_dir):
     # once, reused at runtime) — identical budget to the fused plan
     assert n_joins == 3, plan
     assert "HashAggregate(keys=[id_a" not in plan, plan
+
+
+def test_pq_topk_probed_broadcast_probe_join_and_single_window_shuffle(
+    spark, sf_dir
+):
+    """r10: the per-query probed ADC stage must reach the code table
+    through a BROADCAST of the tiny (query, probed-cluster) table —
+    never a shuffled join of the codes — and the only shuffle exchange
+    is the candidate-merge window (whose input the two-phase local
+    top-k bounds to nq x k rows per batch)."""
+    from feature_store_spark.operators.similarity import (
+        ivf_probes,
+        kmeans_fit,
+        pq_encode,
+        pq_topk_probed,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cb = pq_train(emb, m=8, ksub=16)
+    cents, assigned = kmeans_fit(emb, k=5, iters=1)
+    codes = pq_encode(emb, cb).join(
+        assigned.select("vec_id", "cluster"), "vec_id"
+    ).localCheckpoint(eager=True)
+    probes = ivf_probes(
+        queries, cents, 2, centroid_key="cluster", centroid_vec="centroid"
+    ).localCheckpoint(eager=True)
+    out = pq_topk_probed(queries, codes, probes, cb, k=3)
+    plan = plan_of(out, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # codes must not shuffle to join
+    assert "MapInPandas" in plan or "mapInPandas" in plan
+    assert n_exchanges(out) == 1  # only the merge window's exchange

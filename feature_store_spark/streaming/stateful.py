@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
+# the documented default (long-entity) output shape; sessionize_stream
+# derives entity_id's actual type from the input column at call time
 SESSION_SCHEMA = (
     "entity_id long, session_start timestamp, session_end timestamp, "
     "n_events long, value_sum double"
@@ -45,8 +47,19 @@ def sessionize_stream(
     A session closes when the gap to the next event exceeds
     ``gap_seconds`` (emitted in the micro-batch that observes the gap)
     or when the watermark passes ``last_event + gap`` (state timeout).
+
+    The output ``entity_id`` column carries the INPUT entity column's
+    type (review r10: the schema used to hardcode ``long`` and coerce
+    ``int(key)``, so a string entity column crashed in the executor on
+    the first emitted session instead of working or failing fast).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ent_type = events.schema[entity_col].dataType.simpleString()
+    out_schema = (
+        f"entity_id {ent_type}, session_start timestamp, "
+        "session_end timestamp, n_events long, value_sum double"
+    )
 
     # state clock in MICROSECONDS: exact integer arithmetic against the
     # parquet/SQL µs timeline (ms would truncate sub-ms gaps and drift
@@ -59,7 +72,7 @@ def sessionize_stream(
         def emit(rows: list[tuple[int, int, int, float]]) -> "pd.DataFrame":
             return pd.DataFrame(
                 {
-                    "entity_id": [int(key[0])] * len(rows),
+                    "entity_id": [key[0]] * len(rows),
                     "session_start": pd.to_datetime([r[0] for r in rows], unit="us"),
                     "session_end": pd.to_datetime([r[1] for r in rows], unit="us"),
                     "n_events": [r[2] for r in rows],
@@ -117,7 +130,7 @@ def sessionize_stream(
         .groupBy(entity_col)
         .applyInPandasWithState(
             fn,
-            SESSION_SCHEMA,
+            out_schema,
             _STATE_SCHEMA,
             "append",
             GroupStateTimeout.EventTimeTimeout,

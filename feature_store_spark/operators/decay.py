@@ -41,6 +41,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _interval_micros(interval_str: str, caller: str):
+    """Day-time SQL interval length in microseconds, as a Column.
+
+    Timezone-free by construction: the difference of two unix_micros
+    cancels the session-tz offset baked into the parsed epoch literal
+    (ADVICE r3: ``unix_micros(epoch + INTERVAL)`` alone is
+    tz_offset + interval in any non-UTC session). Year-month units are
+    REJECTED loudly (ADVICE r4): a month has no fixed physical length
+    — its microsecond value would depend on which month, and measuring
+    it from the 1970 epoch makes it session-timezone-dependent when a
+    DST transition falls inside. Shared by ``time_decayed_sum`` and
+    ``ewma_by_key`` (review r10: the logic used to be duplicated
+    verbatim at both sites)."""
+    lowered = interval_str.lower()
+    if any(u in lowered for u in ("year", "month")):
+        raise ValueError(
+            f"{caller}: interval {interval_str!r} uses year-month "
+            "interval units, which have no fixed length (and are "
+            "DST/timezone-dependent when measured from the epoch). "
+            "Use day-time units: '30 days', '720 hours', ..."
+        )
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    return F.unix_micros(
+        epoch + F.expr(f"INTERVAL {interval_str}")
+    ) - F.unix_micros(epoch)
+
+
 def time_decayed_sum(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -64,28 +91,13 @@ def time_decayed_sum(
     ('30 days', not '1 month'). One scan + one key-local aggregate;
     the weights are row-local so partial aggregation applies.
     """
-    lowered = half_life.lower()
-    if any(u in lowered for u in ("year", "month")):
-        raise ValueError(
-            f"time_decayed_sum: half_life {half_life!r} uses year-month "
-            "interval units, which have no fixed length (and are "
-            "DST/timezone-dependent when measured from the epoch). Use "
-            "day-time units: '30 days', '720 hours', ..."
-        )
+    hl_us = _interval_micros(half_life, "time_decayed_sum")
     t = F.col(ts_col)
     if ref_ts is None:
         ref = df.agg(F.max(t).alias("__ref"))
         base = df.crossJoin(F.broadcast(ref))
     else:
         base = df.withColumn("__ref", F.lit(ref_ts).cast("timestamp"))
-    # interval length in microseconds, timezone-free: the difference of
-    # two unix_micros cancels the session-tz offset baked into the
-    # parsed epoch literal (ADVICE r3: unix_micros(epoch + INTERVAL)
-    # alone is tz_offset + interval in any non-UTC session)
-    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
-    hl_us = F.unix_micros(
-        epoch + F.expr(f"INTERVAL {half_life}")
-    ) - F.unix_micros(epoch)
     age = (F.unix_micros(F.col("__ref")) - F.unix_micros(t)).cast("double")
     w = F.pow(F.lit(0.5), age / hl_us.cast("double"))
     return base.groupBy(*key_cols).agg(
@@ -154,21 +166,12 @@ def ewma_by_key(
         )
         return per_key.select(
             *key_cols,
-            F.size("__arr").alias("n_events"),
+            # long, matching the bucketed path's overflow-safe count
+            F.size("__arr").cast("long").alias("n_events"),
             F.round(ewma, 6).alias("ewma"),
         )
 
-    lowered = bucket.lower()
-    if any(u in lowered for u in ("year", "month")):
-        raise ValueError(
-            f"ewma_by_key: bucket {bucket!r} uses year-month interval "
-            "units, which have no fixed length. Use day-time units: "
-            "'1 day', '6 hours', ..."
-        )
-    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
-    bucket_us = F.unix_micros(
-        epoch + F.expr(f"INTERVAL {bucket}")
-    ) - F.unix_micros(epoch)
+    bucket_us = _interval_micros(bucket, "ewma_by_key")
     chunk = F.floor(F.unix_micros(F.col(ts_col)) / bucket_us)
     # stage 1: per (key, bucket) — ordered events collapse to the
     # affine pair (a, b) plus the seeded-first-value v; b and v use
@@ -212,8 +215,13 @@ def ewma_by_key(
         F.element_at(ps, 1).getField("__fv"),
         lambda s, p: p.getField("__a") * s + p.getField("__b"),
     )
+    # LONG accumulator (review r10): this bucketed path exists for
+    # hot keys, and an int fold overflows at 2^31 events per key —
+    # ANSI-abort or silent wrap, exactly in the regime the path serves
     n_events = F.aggregate(
-        ps, F.lit(0).cast("int"), lambda s, p: s + p.getField("__n")
+        ps,
+        F.lit(0).cast("long"),
+        lambda s, p: s + p.getField("__n").cast("long"),
     )
     return per_key.select(
         *key_cols,

@@ -34,7 +34,13 @@ def target_encode_loo(
     """Append a smoothed leave-one-out target encoding of ``cat_col``
     against binary/numeric ``label_col``. Deterministic: category sums
     and counts are exact integer/decimal aggregates; only the final
-    division is floating point."""
+    division is floating point.
+
+    At ``m=0`` (no smoothing) a singleton category's LOO denominator
+    is 0 — the encoding degrades to the PRIOR explicitly (review r10:
+    the bare division aborted the whole job with DIVIDE_BY_ZERO under
+    Spark 4's default ANSI mode, despite this docstring promising the
+    degradation)."""
     y = F.col(label_col).cast("double")
     stats = df.groupBy(cat_col).agg(
         F.sum(y).alias("__s"), F.count(y).alias("__c")
@@ -48,8 +54,12 @@ def target_encode_loo(
     j = df.join(
         stats, F.col(cat_col).eqNullSafe(F.col("__cat"))
     ).crossJoin(F.broadcast(prior))
-    enc = (F.col("__s") - y + F.lit(m) * F.col("__prior")) / (
-        F.col("__c") - 1 + F.lit(m)
+    denom = F.col("__c") - 1 + F.lit(m)
+    # the when() keeps the fallback SCOPED to the zero denominator: a
+    # NULL label still encodes NULL (try_divide+coalesce would rewrite
+    # it to the prior, silently scoring unlabeled rows)
+    enc = F.when(denom == 0, F.col("__prior")).otherwise(
+        (F.col("__s") - y + F.lit(m) * F.col("__prior")) / denom
     )
     return j.withColumn(out_col, enc).drop("__cat", "__s", "__c", "__prior")
 

@@ -77,15 +77,24 @@ def interval_join(
     # an interval with an unknown endpoint is undefined, and silently
     # dropping it via sequence(NULL) would under-join. coalesce keeps
     # the error message readable instead of concat-nulling it away.
-    guard = (s1 - s0) < F.lit(max_buckets_per_interval)
+    # INVERTED intervals (end < start) must hit the guard too (review
+    # r10): their negative span trivially satisfied the < cap check
+    # while sequence(s0, s1) with s0 > s1 DESCENDS |span|+1 rows — one
+    # swapped-dates/sentinel row fanned out ~4B slots at 60 s buckets
+    # with no diagnostic, exactly the silent explosion the cap exists
+    # to prevent.
+    guard = (
+        (s1 >= s0) & ((s1 - s0) < F.lit(max_buckets_per_interval))
+    )
     slots = F.when(guard, F.sequence(s0, s1)).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("interval_join: interval spans >= "),
                 F.lit(str(max_buckets_per_interval)),
-                F.lit(" buckets (or has NULL bounds); raise "),
+                F.lit(" buckets, is inverted (end < start), or has "),
+                F.lit("NULL bounds; raise "),
                 F.lit("bucket_width_s, cap interval length, or filter "),
-                F.lit("null endpoints (start="),
+                F.lit("bad endpoints (start="),
                 F.coalesce(F.col(start_col).cast("string"), F.lit("NULL")),
                 F.lit(", end="),
                 F.coalesce(F.col(end_col).cast("string"), F.lit("NULL")),

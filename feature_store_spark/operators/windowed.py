@@ -91,9 +91,15 @@ def windowed_features_join(
     ).withColumn("__bucket", F.floor(F.col("__t") / bucket_us))
 
     anc = anchors.withColumn("__at", F.unix_micros(F.col(anchor_time_col)))
+    # explode_outer, not explode (review r10): a NULL anchor timestamp
+    # makes the bucket sequence NULL, and plain explode silently
+    # DELETED the anchor row — the left-join design promises every
+    # anchor an output row; a null-time anchor keeps its row with
+    # w_count = 0 and null aggregates (it can match no events), so
+    # input and output row counts reconcile
     anc_exploded = anc.withColumn(
         "__bucket",
-        F.explode(
+        F.explode_outer(
             F.sequence(
                 F.floor((F.col("__at") - window_us) / bucket_us),
                 F.floor(F.col("__at") / bucket_us),

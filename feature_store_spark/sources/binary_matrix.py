@@ -55,8 +55,27 @@ def read_f32_matrix(
 
 def matrix_min_max(df: DataFrame, num_features: int) -> DataFrame:
     """Per-feature min/max over the candidate matrix (A2,
-    dataset.rs:60-77) — posexplode + grouped agg."""
-    dims = df.select(F.posexplode("features").alias("dim", "x"))
+    dataset.rs:60-77) — posexplode + grouped agg.
+
+    ``num_features`` is VALIDATED per row (review r10: it used to be
+    accepted and ignored, so a ragged/mis-sized row silently minted
+    extra or missing ``dim`` groups instead of an error — the same
+    loud-width contract load_f32_matrix enforces at decode time)."""
+    # the guard sits ON the exploded column (a side `withColumn` would
+    # be pruned away unevaluated): wrong-width rows raise inside the
+    # same projection that reads the features
+    checked = F.when(
+        F.size("features") == int(num_features), F.col("features")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("matrix_min_max: row has "),
+                F.size("features").cast("string"),
+                F.lit(f" features, expected {int(num_features)}"),
+            )
+        )
+    )
+    dims = df.select(F.posexplode(checked).alias("dim", "x"))
     return dims.groupBy("dim").agg(
         F.min("x").alias("min_value"), F.max("x").alias("max_value")
     )

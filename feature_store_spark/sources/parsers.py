@@ -62,9 +62,17 @@ def read_svmlight(
     Implementation: split the line once, parse ``k:v`` pairs into a
     map via JVM-side expressions, then project the fixed feature
     columns (missing ids -> 0.0, the sparse-format convention).
+
+    Trailing ``# comment`` text is stripped BEFORE tokenizing (review
+    r10): the SVM-light spec permits it and every LETOR 3.0/4.0 dump
+    ships ``#docid = ... inc = ... prob = ...`` on every line — the
+    colon-less comment tokens crashed the k:v int cast under Spark 4's
+    default ANSI mode, making real benchmark files unreadable.
     """
     lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
-    toks = F.split(F.trim(F.col("value")), r"\s+")
+    body = F.trim(F.substring_index(F.col("value"), "#", 1))
+    lines = lines.filter(F.length(body) > 0)  # comment-only lines
+    toks = F.split(body, r"\s+")
     parsed = lines.select(
         F.element_at(toks, 1).cast("int").alias("relevance"),
         toks.alias("__toks"),
@@ -78,12 +86,15 @@ def read_svmlight(
     else:
         pair_start = 2
     pairs = F.slice(F.col("__toks"), pair_start, 10_000_000)
+    # one split per token (review r10): Catalyst does not CSE inside
+    # lambdas, so binding the k:v split via a nested transform halves
+    # the dominant per-row regex work of the parser
     kv = F.map_from_entries(
         F.transform(
-            pairs,
-            lambda p: F.struct(
-                F.split(p, ":").getItem(0).cast("int").alias("k"),
-                F.split(p, ":").getItem(1).cast("double").alias("v"),
+            F.transform(pairs, lambda p: F.split(p, ":", 2)),
+            lambda a: F.struct(
+                a.getItem(0).cast("int").alias("k"),
+                a.getItem(1).cast("double").alias("v"),
             ),
         )
     )

@@ -883,3 +883,79 @@ class TestPsiApprox:
         for c in ("a", "b"):
             assert approx[c] == pytest.approx(exact[c], abs=0.02), c
         assert approx["b"] > 0.1 and approx["a"] < 0.05
+
+
+def test_funnel_any_anchor_counts_later_attempts(spark):
+    """Review r10: with max_gap, first-touch anchoring misses a user
+    whose LATER step-1 attempt completes the funnel — anchor='any'
+    must count them, anchor='first' (the graded convention) must not."""
+    import datetime as dt
+
+    from feature_store_spark.operators.behavior import funnel_user_times
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "view", base),                                # abandoned
+        (1, "view", base + dt.timedelta(days=8)),         # retry
+        (1, "buy", base + dt.timedelta(days=9)),          # in-gap
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    first = funnel_user_times(
+        ev, ["view", "buy"], max_gap="7 days"
+    ).collect()[0]
+    assert first["t1"] is None  # first-touch: gap from day-0 view
+    anya = funnel_user_times(
+        ev, ["view", "buy"], max_gap="7 days", anchor="any"
+    ).collect()[0]
+    assert anya["t1"] == base + dt.timedelta(days=9)
+    # without max_gap the two conventions agree
+    f2 = funnel_user_times(ev, ["view", "buy"]).collect()[0]
+    a2 = funnel_user_times(ev, ["view", "buy"], anchor="any").collect()[0]
+    assert f2["t1"] == a2["t1"] == base + dt.timedelta(days=9)
+
+
+def test_target_encode_loo_m0_singleton_degrades_to_prior(spark):
+    """Review r10: m=0 + a singleton category used to DIVIDE_BY_ZERO
+    the whole job under ANSI; the docstring's promised degradation to
+    the prior must actually happen — and NULL labels stay NULL."""
+    from feature_store_spark.operators.encoding import target_encode_loo
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 1), ("c", None)],
+        "cat string, y int",
+    )
+    out = {
+        (r["cat"], r["y"]): r["te"]
+        for r in target_encode_loo(df, "cat", "y", m=0.0).collect()
+    }
+    prior = 2 / 3  # labeled rows: 1, 0, 1
+    assert out[("b", 1)] == pytest.approx(prior)
+    assert out[("c", None)] is None  # unlabeled row stays unscored
+    assert out[("a", 1)] == pytest.approx(0.0)  # LOO: the other a is 0
+
+
+def test_windowed_join_keeps_null_anchor_rows(spark):
+    """Review r10: a NULL anchor timestamp silently deleted the row
+    via explode(NULL); the left-join contract keeps it with zero
+    counts and null aggregates."""
+    import datetime as dt
+
+    from feature_store_spark.operators.windowed import (
+        windowed_features_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    anchors = spark.createDataFrame(
+        [(1, base), (2, None)], "user_id long, ts timestamp"
+    )
+    events = spark.createDataFrame(
+        [(1, base - dt.timedelta(days=1), 5.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["user_id"]: (r["w_count"], r["w_sum"])
+        for r in windowed_features_join(anchors, events).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1] == (1, 5.0)
+    assert out[2] == (0, None)

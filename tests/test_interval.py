@@ -133,3 +133,30 @@ def test_points_outside_all_intervals_drop(spark):
         [(9, _ts(1), _ts(2))], "iid long, t0 timestamp, t1 timestamp"
     )
     assert interval_join(points, intervals, "ts", "t0", "t1").count() == 0
+
+
+def test_inverted_interval_raises_instead_of_exploding(spark):
+    """Review r10: an inverted interval (end < start) bypassed the
+    bucket cap — its negative span satisfied the < check while
+    sequence(s0, s1) DESCENDED |span|+1 rows (a swapped-dates row
+    fanned out ~4B slots at 60 s buckets with no diagnostic)."""
+    import pytest as _pt
+
+    from feature_store_spark.operators.interval import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "2020-06-01 00:00:00")], "pid long, ts string"
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    bad = spark.createDataFrame(
+        [(10, "2021-01-01 00:00:00", "2020-01-01 00:00:00")],
+        "iid long, lo string, hi string",
+    ).select(
+        "iid",
+        F.col("lo").cast("timestamp").alias("lo"),
+        F.col("hi").cast("timestamp").alias("hi"),
+    )
+    with _pt.raises(Exception, match="inverted|spans"):
+        interval_join(
+            points, bad, "ts", "lo", "hi",
+            bucket_width_s=86400, max_buckets_per_interval=10,
+        ).collect()

@@ -144,6 +144,24 @@ def test_svmlight_parser(spark, tmp_path):
     assert len(df.columns) == 2 + 136
 
 
+def test_svmlight_parser_letor_comments(spark, tmp_path):
+    """Review r10: the SVM-light spec permits trailing '# comment'
+    and every LETOR 3.0/4.0 dump carries '#docid = ...' per line —
+    the colon-less comment tokens used to crash the k:v int cast
+    under ANSI mode."""
+    p = tmp_path / "letor.txt"
+    p.write_text(
+        "2 qid:1 1:0.5 2:1.0 #docid = GX008-86-4444840 inc = 1 prob = 0.086622\n"
+        "0 qid:1 1:0.25 #docid = GX037-06-11625428 inc = 0.0031 prob = 0.1\n"
+        "# a full-line comment\n"
+    )
+    df = read_svmlight(spark, str(p), num_features=3)
+    rows = {r["relevance"]: r for r in df.collect()}
+    assert len(rows) == 2
+    assert rows[2]["feature_1"] == 0.5 and rows[2]["feature_2"] == 1.0
+    assert rows[0]["feature_1"] == 0.25 and rows[0]["feature_3"] == 0.0
+
+
 def test_streaming_upsert_batch_semantics(spark):
     b1 = spark.createDataFrame(
         [("e1", "f1", 1.0, ts("2024-01-01T00:00:00"))],
@@ -271,6 +289,11 @@ def test_binary_f32_matrix_loader(spark, tmp_path):
     bad.write_bytes(b"\x00" * 10)
     with pytest.raises(Exception):
         read_f32_matrix(spark, str(bad), num_features=4).collect()
+
+    # review r10: num_features is VALIDATED, not decorative — a
+    # mis-sized row raises instead of minting phantom dim groups
+    with pytest.raises(Exception, match="expected 5"):
+        matrix_min_max(df, 5).collect()
 
 
 def test_view_transforms_applied_and_null_preserving(spark):

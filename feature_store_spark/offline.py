@@ -16,8 +16,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from feature_store_spark.operators.asof import asof_training_set
-
 FEATURE_RECORDS_SCHEMA = T.StructType(
     [
         T.StructField("entity_type", T.StringType(), False),
@@ -143,10 +141,21 @@ class ManifestedOfflineStore(OfflineStore):
         return df.withColumn("event_date", F.to_date("event_time"))
 
     def write_records(self, df: DataFrame, mode: str = "append") -> int:
+        # only the two transactional modes exist here — Spark modes
+        # like 'ignore'/'error' must not fall through to a DESTRUCTIVE
+        # snapshot replacement (review r10: any unrecognized mode,
+        # typos included, silently overwrote the committed table)
         dated = self._dated(df)
         if mode == "append":
             return self.table.append(dated, partition_by=self.PARTITIONING)
-        return self.table.overwrite(dated, partition_by=self.PARTITIONING)
+        if mode == "overwrite":
+            return self.table.overwrite(
+                dated, partition_by=self.PARTITIONING
+            )
+        raise ValueError(
+            f"ManifestedOfflineStore.write_records: mode {mode!r} — "
+            "the transactional store supports 'append' and 'overwrite'"
+        )
 
     def merge_records(
         self, updates: DataFrame, txn: tuple[str, int] | None = None

@@ -97,6 +97,13 @@ def connected_components(
         # label moved — converged (comparing new-vs-new is exact:
         # mass strictly decreases until the fixpoint)
         mass = label_mass(new_labels)
+        if mass is None:
+            # empty pair graph: sum() over zero rows is NULL — the
+            # (empty) labels are trivially converged; without this the
+            # None-vs-None comparison below never fired and the loop
+            # burned max_iter rounds of Spark jobs on nothing
+            # (review r10)
+            return new_labels
         if prev_mass is not None and mass == prev_mass:
             return new_labels
         prev_mass = mass

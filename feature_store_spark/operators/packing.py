@@ -74,19 +74,46 @@ def global_prefix_sum(
     # width_bucket, its tokens would shift every real bucket's offset,
     # and the offset equi-join would then DROP the row — the exact
     # primitive must refuse, not silently corrupt.
+    oc = F.col(order_col).cast("double")
     bounds = df.agg(
         F.min(order_col).alias("lo"),
         F.max(order_col).alias("hi"),
         F.count_if(F.col(order_col).isNull()).alias("nulls"),
+        F.count_if(F.isnan(oc)).alias("nans"),
+        F.count(order_col).alias("n"),
+        F.count_distinct(order_col).alias("n_distinct"),
     ).first()
+    # NaN keys are the same hazard as NULL (review r10): max() returns
+    # NaN (Spark orders NaN greatest), width_bucket(v, lo, NaN, n) is
+    # NULL for EVERY row, and the offset equi-join then silently
+    # returns an EMPTY frame. Duplicate keys break the documented
+    # bit-identical contract more quietly still: tied rows get
+    # partition-order-dependent cumulative values, so shard layouts
+    # stop being reproducible with no error. Both refuse loudly; all
+    # the checks ride the one bounds pass.
+    problems = []
     if bounds["nulls"]:
+        problems.append(f"{bounds['nulls']} NULL")
+    if bounds["nans"]:
+        problems.append(f"{bounds['nans']} NaN")
+    if problems:
         if did_persist:
             df.unpersist()
         raise ValueError(
-            f"global_prefix_sum: {bounds['nulls']} rows have a NULL "
+            f"global_prefix_sum: {' + '.join(problems)} rows in "
             f"{order_col!r} — a global order is undefined for them "
             "(they would silently vanish while still shifting every "
             "other row's offset). Filter or key them first."
+        )
+    if bounds["n_distinct"] != bounds["n"]:
+        if did_persist:
+            df.unpersist()
+        raise ValueError(
+            f"global_prefix_sum: {order_col!r} has "
+            f"{bounds['n'] - bounds['n_distinct']} duplicate keys — "
+            "tied rows would take partition-order-dependent cumulative "
+            "values, silently breaking reproducibility. Use a unique "
+            "order column (add a tiebreak to the rank)."
         )
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:

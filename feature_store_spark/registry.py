@@ -116,7 +116,24 @@ class Registry:
         return self
 
     def register_view(self, view: FeatureView):
-        self._views[(view.name, view.version)] = view
+        """A published (name, version) is IMMUTABLE (review r10): its
+        schema hash is the train/serve consistency contract, so
+        re-registering the same version with a DIFFERENT definition
+        raises instead of silently replacing it (and logging a second
+        CREATED audit row for a mutation). An identical re-register
+        is an idempotent no-op — pipeline setup code re-runs."""
+        key = (view.name, view.version)
+        prev = self._views.get(key)
+        if prev is not None:
+            if prev == view:  # dataclass eq: the FULL definition
+                return self
+            raise ValueError(
+                f"register_view: {view.name!r} v{view.version} is "
+                f"already published (schema hash {prev.schema_hash}) "
+                "with a different definition — a published version is "
+                "immutable; register a new version"
+            )
+        self._views[key] = view
         self._log(
             "FEATURE_VIEW",
             view.name,
@@ -131,6 +148,11 @@ class Registry:
         if version is not None:
             return self._views[(name, version)]
         versions = [v for (n, v) in self._views if n == name]
+        if not versions:
+            # a named KeyError, not max()'s opaque empty-sequence
+            # ValueError (review r10) — same contract as
+            # set_feature_status for the same typo class
+            raise KeyError(f"get_view: no view named {name!r}")
         return self._views[(name, max(versions))]
 
     # ---- DataFrame projections (registry queries, §2.4 F3) ----

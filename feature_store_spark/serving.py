@@ -96,7 +96,16 @@ def get_online_features(
                 "__cache_ages",
                 F.when(
                     fresh,
-                    F.transform(F.col("__c_ages"), lambda a: a + elapsed),
+                    # forward only REAL ages (review r10): -1 is the
+                    # default-slot sentinel assemble_vectors writes and
+                    # staleness_gate keys on — adding elapsed minted a
+                    # bogus non-negative age, making default slots
+                    # indistinguishable from real values (and able to
+                    # trip stale_warning on their own past the TTL)
+                    F.transform(
+                        F.col("__c_ages"),
+                        lambda a: F.when(a < 0, a).otherwise(a + elapsed),
+                    ),
                 ),
             )
             .drop("__c_values", "__c_mask", "__c_ages", "__c_at")
@@ -189,15 +198,30 @@ def batch_lookup(
     table: DataFrame,
     key_cols: Sequence[str],
 ) -> DataFrame:
-    """L2 batch MultiGet: broadcast the (small) request-id list into a
-    left join; ``found`` marks misses so the caller can count the
-    missing-id warning (OnlineServingService.java:141-143).
+    """L2 batch MultiGet: broadcast the (small) request-id list;
+    ``found`` marks misses so the caller can count the missing-id
+    warning (OnlineServingService.java:141-143).
 
-    Presence is tracked with an explicit marker column, NOT by probing
-    a value column for NULL — a stored row whose value column is
-    legitimately NULL is a HIT with a null value, not a miss."""
-    marked = table.withColumn("__present", F.lit(True))
-    joined = F.broadcast(request_ids).join(marked, list(key_cols), "left")
-    return joined.withColumn(
-        "found", F.coalesce(F.col("__present"), F.lit(False))
-    ).drop("__present")
+    Physical shape (review r10): Spark cannot broadcast the PRESERVED
+    side of an outer join, so the old ``broadcast(ids) LEFT JOIN
+    table`` silently dropped the hint and SHUFFLED the whole table on
+    every lookup. Instead: an INNER broadcast join finds the hits
+    (the table is scanned, never shuffled), the hit keys — a subset
+    of the already-small id list — broadcast into an anti-join for
+    the misses, and the two halves union. Two pruned scans of the big
+    table, zero shuffles of it.
+
+    Presence is a real marker, NOT a probe of a value column for
+    NULL — a stored row whose value column is legitimately NULL is a
+    HIT with a null value, not a miss. Duplicate keys in the table
+    still fan out one output row per stored row, exactly like the
+    old left join."""
+    keys = list(key_cols)
+    hits = table.join(F.broadcast(request_ids), keys, "inner").withColumn(
+        "found", F.lit(True)
+    )
+    hit_keys = hits.select(*keys).distinct()
+    misses = request_ids.join(
+        F.broadcast(hit_keys), keys, "left_anti"
+    ).withColumn("found", F.lit(False))
+    return hits.unionByName(misses, allowMissingColumns=True)

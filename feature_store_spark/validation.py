@@ -79,12 +79,21 @@ def staleness_gate(
 
 def default_rate(vectors: DataFrame) -> DataFrame:
     """A13: fraction of default-filled slots
-    (ValidationService.java:98-104) — array aggregate, no explode."""
-    frac = F.aggregate(
-        "is_default_mask",
-        F.lit(0),
-        lambda acc, x: acc + F.when(x, 1).otherwise(0),
-    ) / F.size("is_default_mask")
+    (ValidationService.java:98-104) — array aggregate, no explode.
+
+    A row with an EMPTY (or NULL) mask has no slots and contributes
+    nothing to the average — via ``try_divide``, not ``/`` (review
+    r10: 0/0 aborted the whole gate job with DIVIDE_BY_ZERO under
+    Spark 4's default ANSI mode; a monitoring gate must grade the
+    rows that exist, not die on a degenerate one)."""
+    frac = F.try_divide(
+        F.aggregate(
+            "is_default_mask",
+            F.lit(0),
+            lambda acc, x: acc + F.when(x, 1).otherwise(0),
+        ),
+        F.size("is_default_mask"),
+    )
     return vectors.select(F.avg(frac).alias("default_rate"))
 
 

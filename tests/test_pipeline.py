@@ -347,3 +347,68 @@ def test_registry_persists_transforms(spark, tmp_path):
     assert back.version == 3
     assert back.transforms == {"x": "log1p({col})"}
     assert back.transform_params == {"x": {}}
+
+
+def test_register_view_immutable_versions(spark):
+    """Review r10: a published (name, version) is immutable — an
+    identical re-register no-ops, a different definition raises
+    instead of silently replacing the schema-hash contract."""
+    reg = Registry(spark)
+    v = FeatureView("risk", 1, "merchant", ["a", "b"])
+    reg.register_view(v)
+    reg.register_view(FeatureView("risk", 1, "merchant", ["a", "b"]))
+    assert reg.get_view("risk", 1).feature_names == ["a", "b"]
+    with pytest.raises(ValueError, match="immutable"):
+        reg.register_view(FeatureView("risk", 1, "merchant", ["a", "c"]))
+    with pytest.raises(KeyError, match="no view named"):
+        reg.get_view("typo")
+
+
+def test_manifested_store_rejects_unknown_write_mode(spark, tmp_path):
+    """Review r10: mode='ignore' (or a typo) used to fall through to a
+    destructive overwrite of the committed snapshot."""
+    from feature_store_spark.offline import ManifestedOfflineStore
+
+    store = ManifestedOfflineStore(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [("user", "1", "f", 1.0, None,
+          ts("2024-01-01T00:00:00"), ts("2024-01-01T00:00:00"), "p", 1)],
+        "entity_type string, entity_id string, feature_name string, "
+        "value_float double, value_string string, event_time timestamp, "
+        "created_at timestamp, pipeline_id string, view_version int",
+    )
+    store.write_records(df)
+    with pytest.raises(ValueError, match="mode 'ignore'"):
+        store.write_records(df, mode="ignore")
+    assert store.scan().count() == 1  # snapshot untouched
+
+
+def test_default_rate_empty_mask_rows_skip_not_crash(spark):
+    """Review r10: a row with an empty mask was 0/0 — an ANSI
+    DIVIDE_BY_ZERO job abort; it must contribute nothing."""
+    from feature_store_spark.validation import default_rate
+
+    df = spark.createDataFrame(
+        [([True, False],), ([],)],
+        "is_default_mask array<boolean>",
+    )
+    [r] = default_rate(df).collect()
+    assert r["default_rate"] == 0.5
+
+
+def test_global_prefix_sum_rejects_nan_and_duplicate_keys(spark):
+    """Review r10: a NaN order key silently EMPTIED the result (NaN
+    max poisons width_bucket); duplicate keys silently broke
+    reproducibility. Both refuse loudly now."""
+    from feature_store_spark.operators.packing import global_prefix_sum
+
+    nan_df = spark.createDataFrame(
+        [(1.0, 5), (float("nan"), 3)], "rk double, v long"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        global_prefix_sum(nan_df, "v", "rk", persist=False)
+    dup_df = spark.createDataFrame(
+        [(1, 5), (1, 3), (2, 4)], "rk long, v long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        global_prefix_sum(dup_df, "v", "rk", persist=False)

@@ -218,3 +218,54 @@ def test_cache_ttl_tier_expiry_backfill_and_age_forwarding(spark):
         get_online_features(
             req, vectors, None, ["a", "b"], cache=cache, cache_ttl_ms=TTL
         )
+
+
+def test_batch_lookup_broadcastable_plan_and_semantics(spark):
+    """Review r10: broadcasting the PRESERVED side of a left join is
+    silently ignored by Spark (the table shuffled on every lookup).
+    The hits/misses shape must reach the table through broadcast hash
+    joins only — no sort-merge join — with unchanged semantics."""
+    from feature_store_spark.serving import batch_lookup
+
+    table = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, None)], "k long, v string"
+    )
+    ids = spark.createDataFrame([(1,), (2,), (9,)], "k long")
+    out = batch_lookup(ids, table, ["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan
+    got = {(r["k"], r["v"], r["found"]) for r in out.collect()}
+    assert got == {
+        (1, "a", True),
+        (1, "a2", True),   # duplicate stored rows fan out, as before
+        (2, None, True),   # NULL value is a HIT
+        (9, None, False),  # miss carries found=False
+    }
+
+
+def test_cache_age_forwarding_preserves_default_sentinel(spark):
+    """Review r10: -1 (the default-slot age sentinel) must NOT be
+    aged forward — elapsed-1 was a bogus non-negative age that made
+    default slots look like real values."""
+    from feature_store_spark.serving import get_online_features
+
+    req = spark.createDataFrame([("e1",)], "entity_id string")
+    cache = spark.createDataFrame(
+        [("e1", [1.0, 0.0], [False, True], [5000, -1], 1_000_000)],
+        "entity_id string, values array<double>, "
+        "is_default_mask array<boolean>, value_ages_ms array<bigint>, "
+        "cached_at_ms long",
+    )
+    out = get_online_features(
+        req,
+        vectors=None,
+        scalars=None,
+        feature_names=["a", "b"],
+        cache=cache,
+        cache_ttl_ms=600_000,
+        now_ms=1_300_000,
+    ).collect()[0]
+    assert out["source"] == "REDIS_CACHE"
+    # real slot aged by elapsed 300s; sentinel untouched
+    assert out["value_ages_ms"] == [305_000, -1]

@@ -81,17 +81,33 @@ def materialize_vectors(
     if view.transforms:
         wide = apply_transforms(wide, view)
     names = view.feature_names
+    # try_cast everywhere (review r10): a non-numeric value in a
+    # string-typed feature column ('N/A') must become the DEFAULT with
+    # mask=true and age=-1 — a plain cast ANSI-aborts the whole job,
+    # and keying the mask on pre-cast nullness would present the
+    # fabricated default as a fresh real value. values/mask/ages all
+    # key on the SAME try_cast nullness so the trio cannot disagree.
     values = F.array(
         *[
-            F.coalesce(F.col(n).cast("double"), F.lit(float(view.defaults.get(n, 0.0))))
+            F.coalesce(
+                F.col(n).try_cast("double"),
+                F.lit(float(view.defaults.get(n, 0.0))),
+            )
             for n in names
         ]
     )
-    mask = F.array(*[F.col(n).isNull() for n in names])
+    mask = F.array(*[F.col(n).try_cast("double").isNull() for n in names])
     now_expr = F.lit(now_ms) if now_ms is not None else epoch_ms(F.current_timestamp())
     if event_time_col is not None:
         age = now_expr - epoch_ms(F.col(event_time_col))
-        ages = F.array(*[F.when(F.col(n).isNull(), F.lit(-1)).otherwise(age) for n in names])
+        ages = F.array(
+            *[
+                F.when(
+                    F.col(n).try_cast("double").isNull(), F.lit(-1)
+                ).otherwise(age)
+                for n in names
+            ]
+        )
     else:
         ages = F.array(*[F.lit(-1).cast("long") for _ in names])
     return wide.select(
@@ -121,6 +137,11 @@ def melt_vectors_to_records(
     if positional_names:
         name_expr = F.concat(F.lit("feature_"), F.col("pos").cast("string"))
     else:
+        if feature_names is None:
+            raise ValueError(
+                "melt_vectors_to_records: pass feature_names (the "
+                "view's ordered list) or positional_names=True"
+            )
         names = F.array(*[F.lit(n) for n in list(feature_names)])
         name_expr = F.element_at(names, F.col("pos") + 1)
     exploded = vectors.select(
@@ -203,7 +224,13 @@ def roundtrip_check(
     w = wide.select(
         F.col(entity_col), *[F.col(n) for n in view.feature_names]
     ).withColumn("__w_present", F.lit(True))
-    s = served.withColumn("__s_present", F.lit(True))
+    # vector_to_columns always emits 'entity_id'; rename to the
+    # caller's entity_col so the USING join resolves on BOTH sides
+    # (review r10: any non-default entity_col crashed the check with
+    # an unresolved-column AnalysisException)
+    s = served.withColumnRenamed("entity_id", entity_col).withColumn(
+        "__s_present", F.lit(True)
+    )
     j = w.alias("w").join(s.alias("s"), entity_col, "full_outer")
     missing = F.col("__w_present").isNull() | F.col("__s_present").isNull()
     slot_ok = [

@@ -128,7 +128,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # FLOOR division, not `div` (review r10): `div` truncates
+        # toward zero, so a pre-1970 nanos value that is not a
+        # multiple of 1000 landed one microsecond LATE vs the floor
+        # convention every other epoch conversion here uses (and vs
+        # DuckDB's epoch_us read of the same bytes). pmod keeps the
+        # arithmetic exact in int64 — no double round-trip.
+        df = df.withColumn(
+            c,
+            F.timestamp_micros(
+                F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000")
+            ),
+        )
     for field in df.schema.fields:
         if isinstance(field.dataType, TimestampNTZType):
             df = df.withColumn(

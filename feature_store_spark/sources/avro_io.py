@@ -102,7 +102,18 @@ class _Reader:
         if t == "fixed":
             return self.read(schema["size"])
         if t == "enum":
-            return schema["symbols"][self.zlong()]
+            idx = self.zlong()
+            symbols = schema["symbols"]
+            if not 0 <= idx < len(symbols):
+                # out-of-range MUST raise (review r10): python's
+                # negative indexing silently decoded a corrupt -1 to
+                # the LAST symbol — plausible wrong data from a parser
+                # whose contract is fail-loud on corrupt bytes
+                raise ValueError(
+                    f"enum index {idx} out of range for {len(symbols)} "
+                    "symbols (corrupt block?)"
+                )
+            return symbols[idx]
         return self._primitive(t)
 
     def _primitive(self, t: str):
@@ -151,8 +162,12 @@ def _resolve_named(schema, named=None):
         if schema.get("name"):
             named[schema["name"]] = schema
         return schema
-    # primitive with logical-type annotation: {"type": "long", ...}
-    return t
+    # {"type": X, ...}: X is a primitive with a logical-type
+    # annotation OR a spec-legal wrapped reference to a named type
+    # ({"type": "r2"}) — resolve the latter through the registry
+    # (review r10: the bare name leaked out and the decoder rejected
+    # it as an unsupported primitive)
+    return named.get(t, t) if isinstance(t, str) else _resolve_named(t, named)
 
 
 def read_avro(path: str) -> tuple[list[dict], dict]:
@@ -238,6 +253,18 @@ class _Writer:
             if len(value) != schema["size"]:
                 raise ValueError("fixed size mismatch")
             self.write(value)
+            return
+        if t == "enum":
+            # the decoder and _union_index both support enums; the
+            # encoder must too (review r10: a union ['null','enum']
+            # routed the string to the enum branch and then died in
+            # _primitive)
+            try:
+                self.zlong(schema["symbols"].index(value))
+            except ValueError:
+                raise ValueError(
+                    f"enum value {value!r} not in {schema['symbols']}"
+                ) from None
             return
         return self._primitive(t, value)
 

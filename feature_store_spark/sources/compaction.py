@@ -92,9 +92,33 @@ def plan_compaction(
     return stats
 
 
-def _swap_dirs(old: str, new: str) -> None:
+def _swap_dirs(old: str, new: str, expected: set[str] | None = None) -> None:
     """Replace ``old`` with ``new`` via rename. The factored-out swap
-    point: substitute a manifest/metastore commit on object stores."""
+    point: substitute a manifest/metastore commit on object stores.
+
+    ``expected`` is the CONCURRENT-APPEND GUARD (review r10): the file
+    set the rewrite read. If the live dir holds files the rewrite
+    never saw (a writer appended between scan and swap), the swap is
+    REFUSED — renaming would sweep those committed rows into trash and
+    rmtree them permanently while reporting success. The rename-based
+    swap is inherently single-writer; tables with concurrent writers
+    belong on :class:`~feature_store_spark.sources.manifest.
+    ManifestedTable`, whose compact() conflicts instead via CAS."""
+    if expected is not None:
+        current = {
+            fn
+            for fn in os.listdir(old)
+            if fn.endswith(".parquet")
+        }
+        unseen = current - expected
+        if unseen:
+            shutil.rmtree(new, ignore_errors=True)  # abandon rewrite
+            raise RuntimeError(
+                f"compact: {len(unseen)} file(s) appeared in {old!r} "
+                "after the rewrite scanned it (concurrent writer?) — "
+                "swap refused, table untouched. Use ManifestedTable "
+                "for concurrently-written tables."
+            )
     trash = f"{old}.compact-trash-{uuid.uuid4().hex[:8]}"
     os.rename(old, trash)
     os.rename(new, old)
@@ -130,13 +154,18 @@ def compact(
     if not plan["should_compact"]:
         return {"compacted": False, "before": plan, "after": plan}
 
+    # snapshot the file set BEFORE reading: the swap refuses if any
+    # file the rewrite never saw appears later (concurrent append)
+    seen = {
+        fn for fn in os.listdir(path) if fn.endswith(".parquet")
+    }
     df: DataFrame = spark.read.parquet(path)
     out = df.repartition(plan["n_target"])
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     side = f"{path}.compact-{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(side)
-    _swap_dirs(path, side)
+    _swap_dirs(path, side, expected=seen)
     return {
         "compacted": True,
         "before": plan,

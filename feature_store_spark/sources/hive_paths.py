@@ -56,9 +56,14 @@ def hive_unescape(seg_value: str) -> str | None:
 def parse_partition_segs(rel_path: str) -> dict[str, str | None]:
     """Parse ``k1=v1/k2=v2/file.parquet`` into real (unescaped)
     partition values. Column names are unescaped too (Spark escapes
-    both sides of the segment)."""
+    both sides of the segment).
+
+    The FINAL segment is the file name and is never parsed (review
+    r10: an ``=`` inside a file name — retries, copies, external
+    writers — used to inject a phantom partition key into the map
+    that log writers then recorded as a real partition value)."""
     out: dict[str, str | None] = {}
-    for seg in rel_path.split("/"):
+    for seg in rel_path.split("/")[:-1]:
         if "=" not in seg:
             continue
         k, v = seg.split("=", 1)

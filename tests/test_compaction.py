@@ -94,3 +94,34 @@ def test_partitioned_root_rejected_leaf_allowed(spark, tmp_path):
     df = spark.read.parquet(path)
     assert df.count() == 2000
     assert set(df.columns) == {"id", "day"}
+
+
+def test_compact_refuses_when_concurrent_append_lands(spark, tmp_path):
+    """Review r10: a file appended between compact()'s scan and the
+    dir swap used to be swept into trash and rmtree'd — committed
+    rows destroyed with compacted=True reported. The swap must
+    refuse and leave the table untouched."""
+    import os
+
+    from feature_store_spark.sources import compaction as C
+
+    path = str(tmp_path / "t")
+    spark.range(100).repartition(8).write.parquet(path)
+
+    real_swap = C._swap_dirs
+
+    def racing_swap(old, new, expected=None):
+        # the racer: one more part file lands just before the swap
+        spark.range(100, 110).coalesce(1).write.mode("append").parquet(old)
+        return real_swap(old, new, expected)
+
+    import pytest as _pt
+
+    try:
+        C._swap_dirs = racing_swap
+        with _pt.raises(RuntimeError, match="concurrent"):
+            C.compact(spark, path, target_file_mb=1024)
+    finally:
+        C._swap_dirs = real_swap
+    # every row — including the racer's — still readable
+    assert spark.read.parquet(path).count() == 110

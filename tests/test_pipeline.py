@@ -412,3 +412,39 @@ def test_global_prefix_sum_rejects_nan_and_duplicate_keys(spark):
     )
     with pytest.raises(ValueError, match="duplicate"):
         global_prefix_sum(dup_df, "v", "rk", persist=False)
+
+
+def test_materialize_mask_tracks_cast_nullness(spark):
+    """Review r10: a non-null source that CASTS to null (e.g. 'N/A'
+    in a string-typed column) is served as the default — the mask and
+    age sentinel must say so instead of presenting a fabricated
+    default as a fresh real value."""
+    view = FeatureView("v", 1, "e", ["a", "b"], defaults={"a": 7.0})
+    wide = spark.createDataFrame(
+        [("e1", "N/A", 2.0)], "entity_id string, a string, b double"
+    )
+    row = materialize_vectors(
+        wide, view, now_ms=1000, event_time_col=None
+    ).first()
+    assert row["values"] == [7.0, 2.0]
+    assert row["is_default_mask"] == [True, False]
+
+
+def test_roundtrip_check_honors_entity_col(spark):
+    """Review r10: any non-default entity_col crashed the USING join
+    (vector_to_columns always emits entity_id)."""
+    view = FeatureView("v", 1, "e", ["a"])
+    wide = spark.createDataFrame(
+        [("u1", 1.0)], "user_id string, a double"
+    )
+    vectors = materialize_vectors(wide, view, entity_col="user_id", now_ms=0)
+    bad = roundtrip_check(wide, vectors, view, entity_col="user_id")
+    assert bad.count() == 0
+
+
+def test_melt_vectors_requires_names_or_positional(spark):
+    view = FeatureView("v", 1, "e", ["a"])
+    wide = spark.createDataFrame([("e1", 1.0)], "entity_id string, a double")
+    vectors = materialize_vectors(wide, view, now_ms=0)
+    with pytest.raises(ValueError, match="feature_names"):
+        melt_vectors_to_records(vectors)

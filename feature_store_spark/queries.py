@@ -4086,6 +4086,90 @@ def q_iceberg_scan(spark, sf_dir):
         _sh.rmtree(scratch, ignore_errors=True)
 
 
+def q_iceberg_orc(spark, sf_dir):
+    """Iceberg ORC data files (VERDICT r9 missing #2, closed r10):
+    the spec's third data-file format, end to end. Export the pre-cut
+    events batch into an Iceberg v2 table with ORC data files
+    (Spark's native ORC writer; per-file manifest bounds come from
+    one distributed Spark aggregation, since pyarrow exposes no ORC
+    column statistics — iceberg_write._orc_file_stats), then
+    merge-on-read UPSERT the post-cut batch keyed on
+    (entity_type, entity_id) — also ORC data files, plus a parquet
+    equality-delete file the scan anti-joins against the ORC frame
+    under the spec's sequence rule. The pruned scan aggregates the
+    CURRENT view: all post-cut rows plus pre-cut rows whose key never
+    reappears. Oracle: the same anti-join semantics in plain SQL over
+    events."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_upsert,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.col("event_type").alias("entity_type"),
+        F.col("user_id").cast("string").alias("entity_id"),
+        F.col("value").alias("value_float"),
+        F.col("ts").alias("event_time"),
+    )
+    cut_us = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z in micros
+    scratch = _tmp.mkdtemp(prefix="fss-iceberg-orc-")
+    try:
+        early = records.filter(F.unix_micros("event_time") < cut_us)
+        late = records.filter(F.unix_micros("event_time") >= cut_us)
+        iceberg_append(early, scratch, file_format="orc")
+        iceberg_upsert(
+            late,
+            scratch,
+            keys=["entity_type", "entity_id"],
+            file_format="orc",
+        )
+        t = IcebergTable(spark, scratch)
+        df = t.scan(
+            filters=[("entity_type", "in", ["purchase", "view"])]
+        )
+        out = df.groupBy("entity_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value_float")).alias("sum_value"),
+            _r6(F.min("value_float")).alias("min_value"),
+            _r6(F.max("value_float")).alias("max_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+ICEBERG_ORC_SQL = """
+WITH early AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS entity_id, value
+  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+),
+late AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS entity_id, value
+  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+),
+current_view AS (
+  SELECT * FROM late
+  UNION ALL
+  SELECT * FROM early e WHERE NOT EXISTS (
+    SELECT 1 FROM late l
+    WHERE l.event_type = e.event_type AND l.entity_id = e.entity_id)
+)
+SELECT event_type AS entity_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM current_view
+WHERE event_type IN ('purchase', 'view')
+GROUP BY event_type
+"""
+
+
 def q_iceberg_refs(spark, sf_dir):
     """Named-ref time travel (spec ``refs`` map, r9): export the
     pre-cut events batch, TAG it ``v1``, append the post-cut batch
@@ -7840,6 +7924,7 @@ QUERIES: dict[str, tuple] = {
     "iceberg_refs": (q_iceberg_refs, ICEBERG_REFS_SQL),
     "delta_uniform": (q_delta_uniform, DELTA_UNIFORM_SQL),
     "iceberg_scan": (q_iceberg_scan, ICEBERG_SCAN_SQL),
+    "iceberg_orc": (q_iceberg_orc, ICEBERG_ORC_SQL),
     "iceberg_mor_delete": (q_iceberg_mor_delete, ICEBERG_MOR_DELETE_SQL),
     "delta_scan": (q_delta_scan, DELTA_SCAN_SQL),
     "delta_dv_scan": (q_delta_dv_scan, DELTA_DV_SCAN_SQL),
@@ -8165,6 +8250,7 @@ _R9_WINDOW = [
 # green row and the identical DuckDB oracle in pytest/selfcheck.
 _R10_WINDOW = [
     # new/changed paths
+    "iceberg_orc",
     "ivfpq_recall",
     "delta_uniform",
     "pq_recall",

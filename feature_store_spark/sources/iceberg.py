@@ -17,8 +17,9 @@ hierarchical so planners prune WITHOUT touching data —
      (thousands of files each) on a partition predicate,
   3. surviving manifests' entries carry per-file partition values and
      per-column lower/upper bounds → skip files,
-  4. only the surviving parquet paths reach spark.read.parquet, where
-     row-group stats and Catalyst pushdown take over.
+  4. only the surviving data-file paths reach spark.read.parquet /
+     spark.read.orc, where row-group/stripe stats and Catalyst
+     pushdown take over.
 All pruning here is driver-side metadata work over KB–MB Avro blobs
 (the same plan the Java/Spark Iceberg readers execute); executors
 only ever see data files. Filters are ALSO re-applied to the
@@ -39,12 +40,17 @@ Scope gates (loud, documented):
   bucket[N] (spec Murmur3, equality/IN only), truncate[W]
   (order-preserving, ranges weakened); unknown transforms never
   prune (safe).
-- data-file formats: PARQUET on the native path; AVRO data files
-  (Hive-migrated tables) decode on the executors via the in-repo OCF
-  reader inside mapInPandas — name resolution under the table schema,
-  timestamps from long micros. ORC raises loudly (no decoder in
-  scope). Merge-on-read deletes over AVRO data files raise (no
-  per-row file/pos tagging on that path; compact to parquet first).
+- data-file formats: PARQUET and ORC on Spark's native readers; AVRO
+  data files (Hive-migrated tables) decode on the executors via the
+  in-repo OCF reader inside mapInPandas — name resolution under the
+  table schema, timestamps from long micros. Merge-on-read deletes
+  over AVRO data files raise (no per-row file/pos tagging on that
+  path); over ORC, EQUALITY deletes apply (they key on columns) but
+  POSITIONAL deletes raise — Spark's ORC reader exposes
+  _metadata.file_path but not row_index. Compact to parquet
+  (rewrite_data_files) to clear either gate. resolve_by_field_id
+  (schema-evolution reads) stays parquet-only: it reads parquet
+  footers; ORC/AVRO files resolve by name.
 """
 
 from __future__ import annotations
@@ -526,18 +532,17 @@ class IcebergTable:
                     continue
                 df_rec = e["data_file"]
                 fmt = str(df_rec.get("file_format") or "PARQUET").upper()
-                if fmt not in ("PARQUET", "AVRO"):
-                    # ORC only: no ORC decoder exists in this scope
-                    # and writing one is not worth it (the reference
-                    # writes parquet, IcebergOfflineStore.java:83-88);
-                    # AVRO data files decode via the in-repo OCF
-                    # reader (VERDICT r8 next #7)
+                if fmt not in ("PARQUET", "AVRO", "ORC"):
+                    # the spec's three data-file formats are all
+                    # scanned: parquet/ORC natively by Spark, AVRO via
+                    # the in-repo OCF reader (VERDICT r8 next #7);
+                    # anything else in the manifest is a corrupt or
+                    # future-spec table
                     raise NotImplementedError(
                         f"{self.path}: data file "
                         f"{df_rec['file_path']!r} has file_format "
-                        f"{fmt}; this reader scans parquet and avro "
-                        "data files (ORC tables need a full Iceberg "
-                        "runtime)"
+                        f"{fmt}; this reader scans parquet, orc, and "
+                        "avro data files (the spec's format set)"
                     )
                 content = int(df_rec.get("content", 0) or 0)
                 # ADDED entries with a null sequence number inherit the
@@ -691,15 +696,24 @@ class IcebergTable:
         from pyspark.sql import functions as F
 
         spark = self.spark
+        pos = [d for d in deletes if d["delete_kind"] == "pos"]
+        eqs = [d for d in deletes if d["delete_kind"] == "eq"]
         if pre_tagged:
             tagged = df
         else:
+            # _metadata.row_index exists only in Spark's PARQUET
+            # reader (the ORC _metadata struct stops at block
+            # offsets) — reference it only when positional deletes
+            # actually need it, so equality-only delete sets apply
+            # over ORC data frames too
             tagged = df.withColumn(
                 "__fp", _fp_expr(F.col("_metadata.file_path"))
-            ).withColumn("__pos", F.col("_metadata.row_index"))
-
-        pos = [d for d in deletes if d["delete_kind"] == "pos"]
-        eqs = [d for d in deletes if d["delete_kind"] == "eq"]
+            ).withColumn(
+                "__pos",
+                F.col("_metadata.row_index")
+                if pos
+                else F.lit(None).cast("long"),
+            )
 
         if pos:
             dels = spark.read.parquet(*[d["path"] for d in pos]).select(
@@ -1168,12 +1182,58 @@ class IcebergTable:
             ]
             if not allf:
                 return self._empty_frame()
-            allpq = [f for f in allf if f.get("format", "parquet") != "avro"]
+            allpq = [
+                f for f in allf
+                if f.get("format", "parquet") not in ("avro", "orc")
+            ]
+            allorc = [f for f in allf if f.get("format") == "orc"]
             if allpq:
                 return self.spark.read.parquet(allpq[0]["path"]).limit(0)
+            if allorc:
+                return self.spark.read.orc(allorc[0]["path"]).limit(0)
             return self._read_avro_data(allf[:1]).limit(0)
         avro_files = [f for f in files if f.get("format") == "avro"]
-        pq_files = [f for f in files if f.get("format", "parquet") != "avro"]
+        orc_files = [f for f in files if f.get("format") == "orc"]
+        pq_files = [
+            f for f in files
+            if f.get("format", "parquet") not in ("avro", "orc")
+        ]
+        pos_deletes = [d for d in deletes if d["delete_kind"] == "pos"]
+        if orc_files and pos_deletes:
+            # positional deletes anti-join on the per-row ordinal,
+            # which Spark's ORC reader does not expose
+            # (_metadata.row_index is parquet-only — verified against
+            # Spark 4.1's ORC _metadata struct). A delete that only
+            # marks rows of PARQUET files is harmless to the ORC
+            # frame — the realistic migration shape (parquet history
+            # with MOR deletes + new ORC appends) — so raise only
+            # when a delete row actually references an ORC file.
+            # The probe reads the delete files' DISTINCT file_path
+            # values: ≤ |data files| rows, metadata scale.
+            from pyspark.sql import functions as F
+
+            orc_sfx = {_path_suffix(f["path"]) for f in orc_files}
+            touched = {
+                r["s"]
+                for r in self.spark.read.parquet(
+                    *[d["path"] for d in pos_deletes]
+                )
+                .select(_fp_expr(F.col("file_path")).alias("s"))
+                .distinct()
+                .collect()
+            }
+            if touched & orc_sfx:
+                raise NotImplementedError(
+                    f"{self.path}: positional deletes mark rows of "
+                    "ORC data files, and Spark's ORC reader exposes "
+                    "no per-row ordinal — rewrite_data_files "
+                    "(compacts to parquet) first"
+                )
+        if orc_files and resolve_by_field_id:
+            raise NotImplementedError(
+                f"{self.path}: resolve_by_field_id reads parquet "
+                "footers; orc data files resolve by name"
+            )
         if avro_files and deletes:
             # merge-on-read over avro data needs per-row file/pos
             # tagging the OCF decode path doesn't produce; real avro
@@ -1189,7 +1249,60 @@ class IcebergTable:
                 f"{self.path}: resolve_by_field_id reads parquet "
                 "footers; avro data files resolve by name"
             )
-        if pq_files and not resolve_by_field_id and not avro_files:
+        if orc_files and not resolve_by_field_id:
+            # the spec's Column Projection rule applies to ORC files
+            # too, but the per-file resolver is parquet-only — an ORC
+            # file that omits an identity partition source column
+            # cannot be patched from metadata here, so refuse loudly
+            # instead of silently null-filling (tables this exporter
+            # writes always embed the source columns). pyarrow.orc
+            # reads only the file footer; schemas cached per reader
+            # (committed data files are immutable).
+            ident_sources = {
+                pf["source-id"]
+                for f in orc_files
+                for pf in self.partition_spec(f.get("spec_id", 0))
+                if pf.get("transform") == "identity"
+            }
+            proj_fields = [
+                f
+                for f in self.schema_fields()
+                if isinstance(f["type"], str) and f["id"] in ident_sources
+            ]
+            if proj_fields:
+                import pyarrow.orc as _po
+
+                cache = getattr(self, "_orc_schema_cache", None)
+                if cache is None:
+                    cache = self._orc_schema_cache = {}
+
+                def _orc_names(path: str) -> frozenset:
+                    if path not in cache:
+                        cache[path] = frozenset(
+                            _po.ORCFile(_strip_scheme(path)).schema.names
+                        )
+                    return cache[path]
+
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=16) as pool:
+                    all_names = pool.map(
+                        lambda f: _orc_names(f["path"]), orc_files
+                    )
+                for names in all_names:
+                    gone = [
+                        f["name"] for f in proj_fields
+                        if f["name"] not in names
+                    ]
+                    if gone:
+                        raise NotImplementedError(
+                            f"{self.path}: ORC data file omits "
+                            f"identity partition source column(s) "
+                            f"{gone} (spec Column Projection); the "
+                            "per-file resolver reads parquet footers "
+                            "— rewrite_data_files to parquet first"
+                        )
+        if pq_files and not resolve_by_field_id:
             # hive-layout detection (UniForm-exported / migrated
             # tables): if a schema column that SOURCES an identity
             # partition field is absent from a data file's footer, its
@@ -1225,6 +1338,17 @@ class IcebergTable:
                 for sig in sigs:
                     names = {n for n, _ in sig}
                     if any(f["name"] not in names for f in proj_fields):
+                        if avro_files or orc_files:
+                            # the resolver can't carry the non-parquet
+                            # frames; silently null-filling the
+                            # projected column would be a wrong answer
+                            raise NotImplementedError(
+                                f"{self.path}: parquet data files "
+                                "need identity-column projection but "
+                                "the snapshot mixes in non-parquet "
+                                "files the per-file resolver can't "
+                                "read — rewrite_data_files first"
+                            )
                         resolve_by_field_id = True
                         break
         if resolve_by_field_id:
@@ -1240,6 +1364,22 @@ class IcebergTable:
                 df = self.spark.read.parquet(*[f["path"] for f in pq_files])
                 if deletes:
                     df = self._apply_deletes(df, pq_files, deletes)
+            if orc_files:
+                # Spark-native ORC scan (read.orc takes a LIST of
+                # paths, not varargs). Only EQUALITY deletes reach the
+                # ORC frame: positional deletes that touch ORC rows
+                # raised above, and ones that touch only parquet rows
+                # can't match here by construction — skipping them
+                # avoids referencing the row ordinal ORC lacks.
+                odf = self.spark.read.orc(
+                    [f["path"] for f in orc_files]
+                )
+                eq_only = [
+                    d for d in deletes if d["delete_kind"] == "eq"
+                ]
+                if eq_only:
+                    odf = self._apply_deletes(odf, orc_files, eq_only)
+                df = odf if df is None else df.unionByName(odf)
             if avro_files:
                 av = self._read_avro_data(avro_files)
                 df = av if df is None else df.unionByName(av)

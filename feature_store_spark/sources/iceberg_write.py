@@ -270,6 +270,70 @@ def _to_micros(v) -> int:
     return int(v)
 
 
+def _orc_file_stats(spark, staging: str, field_by_name: dict) -> dict:
+    """Per-file (row_count, lower_bounds, upper_bounds) for every ORC
+    data file under ``staging``, keyed by local path.
+
+    pyarrow.orc exposes no column statistics (only nrows/schema), so
+    the bounds the manifest needs are computed by Spark itself: ONE
+    distributed aggregation grouped on ``_metadata.file_path`` over
+    the just-written files — executor work proportional to the data
+    just written (page-cache warm), never a driver loop over rows.
+    Temporal bounds are reduced Spark-side in Iceberg's own units
+    (micros / epoch days via unix_micros / datediff) so no
+    driver-timezone conversion can skew them; float/double mins and
+    maxes exclude NaN (the spec's bounds contract)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.orc(staging)
+    cols = set(df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    statable: list[str] = []
+    for name, fld in field_by_name.items():
+        t = fld["type"]
+        if name not in cols or not isinstance(t, str):
+            continue
+        if t.startswith("timestamp"):
+            c = F.unix_micros(F.col(name))
+        elif t == "date":
+            c = F.datediff(F.col(name), F.lit("1970-01-01"))
+        elif t in ("float", "double"):
+            c = F.when(~F.isnan(F.col(name)), F.col(name))
+        elif t in ("int", "long", "string"):
+            c = F.col(name)
+        else:
+            continue  # boolean/binary/uuid: bounds add no pruning
+        statable.append(name)
+        aggs.append(F.min(c).alias(f"__mn_{name}"))
+        aggs.append(F.max(c).alias(f"__mx_{name}"))
+    rows = (
+        df.groupBy(F.col("_metadata.file_path").alias("__path"))
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict[str, tuple[int, dict, dict]] = {}
+    for r in rows:
+        lowers: dict[int, bytes] = {}
+        uppers: dict[int, bytes] = {}
+        for name in statable:
+            fld = field_by_name[name]
+            lo = _encode_bound(fld["type"], r[f"__mn_{name}"])
+            hi = _encode_bound(fld["type"], r[f"__mx_{name}"])
+            if lo is not None:
+                lowers[fld["id"]] = lo
+            if hi is not None:
+                uppers[fld["id"]] = hi
+        p = r["__path"]
+        # Hadoop renders local URIs as file:/x, file:///x, or
+        # file://host/x — reduce all to a bare /x
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+        out[p] = (int(r["__n"]), lowers, uppers)
+    return out
+
+
 UNPARTITIONED_SPEC_ID = 1
 
 
@@ -322,6 +386,7 @@ def iceberg_append(
     upsert_keys: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     replace: bool = False,
+    file_format: str = "parquet",
 ) -> int:
     """Append ``df`` to (or create) an Iceberg v2 table partitioned
     identity(entity_col) + day(ts_col) — the reference's offline-store
@@ -329,6 +394,17 @@ def iceberg_append(
     Spark via shadow partition columns (source columns stay in the
     files, as Iceberg data files must); the commit is driver metadata
     work over the written files' parquet footers.
+
+    ``file_format`` picks the data-file format: ``"parquet"``
+    (default — footer stats read driver-side) or ``"orc"`` (Spark's
+    native ORC writer; pyarrow exposes no ORC column statistics, so
+    the per-file bounds the manifest needs come from one distributed
+    Spark aggregation over the written files — see _orc_file_stats).
+    Either way the manifests carry real lower/upper bounds, so
+    file-level pruning works identically for both formats.
+    Equality-delete files (``upsert_keys``) are ALWAYS parquet — the
+    spec allows delete and data formats to differ, and parquet delete
+    files keep the field-id metadata external runtimes resolve by.
 
     ``upsert_keys=[cols]`` turns the commit into a merge-on-read
     UPSERT (the Flink-CDC write shape): the SAME snapshot carries a
@@ -352,6 +428,11 @@ def iceberg_append(
     files leave the current view but stay reachable for time travel
     until expire_snapshots) — the building block iceberg_rewrite uses
     to compact merge-on-read debt."""
+    fmt = str(file_format).lower()
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(
+            f"file_format must be 'parquet' or 'orc', got {file_format!r}"
+        )
     spark = df.sparkSession
     if txn is not None:
         app_id, batch_id = txn
@@ -391,25 +472,45 @@ def iceberg_append(
         .repartition("__pt_ent", "__pt_day")
         .write.partitionBy("__pt_ent", "__pt_day")
         .mode("overwrite")
-        .parquet(staging)
+        .format(fmt)
+        .save(staging)
     )
 
     paths = [
         os.path.join(root, name)
         for root, _dirs, files in os.walk(staging)
         for name in files
-        if name.endswith(".parquet")
+        if name.endswith(f".{fmt}")
     ]
-    # footer reads are independent KB-scale I/O: collect the commit
-    # statistics in parallel (what real Iceberg committers do) —
-    # serial reads dominated the commit at a few hundred files
-    from concurrent.futures import ThreadPoolExecutor
-
     field_by_name = {f["name"]: f for f in schema_fields}
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        stats = list(
-            pool.map(lambda fp: _footer_stats(fp, field_by_name), paths)
-        )
+    if fmt == "orc":
+        # no driver-readable ORC column stats exist — one distributed
+        # agg over the written files supplies the manifest bounds
+        orc_stats = _orc_file_stats(spark, staging, field_by_name)
+        if paths and not any(p in orc_stats for p in paths):
+            # a universal miss is a path-normalization bug, not data —
+            # committing bound-less manifests here would silently
+            # disable file pruning for the whole snapshot
+            raise RuntimeError(
+                f"orc stats job matched none of {len(paths)} written "
+                f"files (sample key: {next(iter(orc_stats), None)!r})"
+            )
+        # a zero-row part file never groups in the agg: record it
+        # honestly as empty (scanning it later is a harmless no-op)
+        stats = [orc_stats.get(p, (0, {}, {})) for p in paths]
+    else:
+        # footer reads are independent KB-scale I/O: collect the
+        # commit statistics in parallel (what real Iceberg committers
+        # do) — serial reads dominated the commit at a few hundred
+        # files
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            stats = list(
+                pool.map(
+                    lambda fp: _footer_stats(fp, field_by_name), paths
+                )
+            )
     entries = []
     part_rows: list[tuple[str, int, str]] = []
     for fpath, (n, lowers, uppers) in zip(paths, stats):
@@ -429,7 +530,7 @@ def iceberg_append(
                     "data_file": {
                         "content": 0,
                         "file_path": fpath,
-                        "file_format": "PARQUET",
+                        "file_format": fmt.upper(),
                         "partition": {"entity_type_p": et,
                                       "ts_day": day},
                         "record_count": n,
@@ -851,12 +952,14 @@ def iceberg_upsert(
     entity_col: str = "entity_type",
     ts_col: str = "event_time",
     schema_fields: list[dict] | None = None,
+    file_format: str = "parquet",
 ) -> int:
     """Merge-on-read UPSERT: one snapshot = a global equality-delete
     of ``df``'s key tuples + the new data files (see
     :func:`iceberg_append` ``upsert_keys``). The CDC sink shape: every
     older version of each key dies table-wide, the new rows land, no
-    data file is rewritten."""
+    data file is rewritten. ``file_format`` applies to the DATA files
+    only; the equality-delete file is always parquet."""
     return iceberg_append(
         df,
         table_dir,
@@ -864,6 +967,7 @@ def iceberg_upsert(
         ts_col=ts_col,
         schema_fields=schema_fields,
         upsert_keys=list(keys),
+        file_format=file_format,
     )
 
 
@@ -893,6 +997,19 @@ def iceberg_delete_where(
     files = [f for f in t.data_files(None, None) if not f["is_delete"]]
     if not files:
         raise ValueError(f"{table_dir}: no data files to delete from")
+    nonpq = sorted(
+        {f.get("format", "parquet") for f in files} - {"parquet"}
+    )
+    if nonpq:
+        # positional deletes mark (file, row ordinal) pairs, and only
+        # Spark's parquet reader exposes _metadata.row_index — an
+        # ORC/AVRO table must be compacted (rewrite_data_files, which
+        # writes parquet) before MOR DELETE WHERE applies
+        raise NotImplementedError(
+            f"{table_dir}: DELETE WHERE needs per-row ordinals; data "
+            f"files in format(s) {nonpq} have none — rewrite to "
+            "parquet first"
+        )
     df = spark.read.parquet(*[f["path"] for f in files])
     ts_cols = {
         f["name"]

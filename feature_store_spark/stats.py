@@ -973,6 +973,88 @@ def psi_report_split(
     )
 
 
+def drift_monitor_config(
+    ref: DataFrame, cols: Sequence[str], bins: int = 10
+) -> dict:
+    """Freeze a drift monitor's reference side — computed ONCE at
+    model-ship time, because the production shape of PSI monitoring
+    is asymmetric: the reference (training) distribution never
+    changes after the model ships, while the serving window grows
+    forever. Freezing edges + reference bin counts here lets the
+    current side be maintained as pure algebraic state
+    (:func:`feature_store_spark.incremental.refresh_drift_counts`)
+    with O(append) refreshes; :func:`psi_from_counts` folds the two.
+
+    Returns ``{"bins", "edges": {col: [b-1 exact decile literals]},
+    "ref_counts": {col: [bins counts]}, "n_ref": {col: non-null n}}``.
+    Same exact-quantile edges and count_if shape as
+    :func:`psi_report`, so a monitor built here reproduces
+    psi_report's numbers bit-for-bit."""
+    cols = list(dict.fromkeys(cols))
+    ref_slice = ref.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    ).persist()
+    try:
+        qs = quantile_values(
+            ref_slice, cols, [i / bins for i in range(1, bins)]
+        )
+        proj_cols = []
+        for c in cols:
+            v = F.col(c)
+            b = sum((v > F.lit(e)).cast("int") for e in qs[c])
+            proj_cols.append(b.alias(f"__b_{c}"))
+            proj_cols.append(v.isNotNull().alias(f"__ok_{c}"))
+        proj = ref_slice.select(*proj_cols)
+        aggs = []
+        for c in cols:
+            ok, b = F.col(f"__ok_{c}"), F.col(f"__b_{c}")
+            for i in range(bins):
+                aggs.append(F.count_if(ok & (b == i)).alias(f"__{c}_{i}"))
+            aggs.append(F.count_if(ok).alias(f"__{c}_n"))
+        row = proj.agg(*aggs).first()
+    finally:
+        ref_slice.unpersist()
+    return {
+        "bins": bins,
+        "edges": {c: list(qs[c]) for c in cols},
+        "ref_counts": {
+            c: [int(row[f"__{c}_{i}"]) for i in range(bins)] for c in cols
+        },
+        "n_ref": {c: int(row[f"__{c}_n"]) for c in cols},
+    }
+
+
+def psi_from_counts(
+    spark, config: dict, cur_counts: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """PSI report from a frozen :func:`drift_monitor_config` plus a
+    maintained (feature, bin, c) CURRENT-window count frame (the
+    state :func:`~feature_store_spark.incremental.refresh_drift_counts`
+    keeps). The fold is metadata scale — |cols| × bins rows — and the
+    output schema matches :func:`psi_report` exactly, so dashboards
+    can switch between recomputed and maintained monitors without
+    noticing. Features with no current rows yet report n_cur=0 with
+    every bin eps-floored (finite, loudly-large PSI)."""
+    bins = int(config["bins"])
+    by_feature: dict[str, dict[int, int]] = {}
+    for r in cur_counts.select("feature", "bin", "c").collect():
+        by_feature.setdefault(r["feature"], {})[int(r["bin"])] = int(r["c"])
+    rows = []
+    for c in config["edges"]:
+        n_r = config["n_ref"][c]
+        cur = by_feature.get(c, {})
+        n_u = sum(cur.values())
+        val = 0.0
+        for i in range(bins):
+            p = max(config["ref_counts"][c][i] / n_r, eps) if n_r else eps
+            q = max(cur.get(i, 0) / n_u, eps) if n_u else eps
+            val += (p - q) * math.log(p / q)
+        rows.append((c, int(n_r), int(n_u), round(val, 6)))
+    return spark.createDataFrame(
+        rows, "feature string, n_ref long, n_cur long, psi double"
+    )
+
+
 def quantile_threshold_label(
     df: DataFrame,
     value_col: str,

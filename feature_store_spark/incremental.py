@@ -267,7 +267,11 @@ def refresh_drift_counts(
         structs = []
         for c in cols:
             v = F.col(c).cast("double")
-            b = sum((v > F.lit(e)).cast("int") for e in edges[c])
+            # bins=1 (no edges) degenerates to one bucket, not a bare
+            # Python 0 (sum() of an empty generator) that .alias lacks
+            b = sum(
+                (v > F.lit(e)).cast("int") for e in edges[c]
+            ) if edges[c] else F.lit(0)
             structs.append(
                 F.struct(
                     F.lit(c).alias("feature"),

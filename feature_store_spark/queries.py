@@ -7322,6 +7322,78 @@ def q_incremental_drift(spark, sf_dir):
         _sh.rmtree(scratch, ignore_errors=True)
 
 
+def q_stream_incremental_drift(spark, sf_dir):
+    """STREAMING drift monitor under the oracle gate: the repriced
+    current window micro-batches into a manifested serving log
+    (``maxFilesPerTrigger=1`` over 4 files forces multiple commits),
+    and after every batch the PSI bin-count state advances by reading
+    ONLY the appended rows (incremental_drift_sink, frozen reference
+    edges). The report from the final state must equal the
+    full-recompute PSI over the whole split — the same oracle SQL as
+    ``drift_psi``."""
+    import shutil as _sh
+
+    from feature_store_spark.sources.manifest import ManifestedTable
+    from feature_store_spark.stats import (
+        drift_monitor_config,
+        psi_from_counts,
+    )
+    from feature_store_spark.streaming.materializer import (
+        incremental_drift_sink,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    u = _md5_u(F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    ref = li.filter(u < 0.5)
+    cur = li.filter(u >= 0.5).select(
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        (F.col("l_extendedprice") * 1.1)
+        .cast("double")
+        .alias("l_extendedprice"),
+    )
+    cfg = drift_monitor_config(
+        ref, ["l_quantity", "l_extendedprice"], bins=10
+    )
+    d = _stream_tmpdir("fss_stream_drift_incr_")
+    cur.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = (
+        spark.readStream.schema(
+            "l_quantity double, l_extendedprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in")
+    )
+    src = ManifestedTable(spark, f"{d}/src")
+    state = ManifestedTable(spark, f"{d}/state")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                incremental_drift_sink(
+                    src, state, cfg["edges"], "drift-stream"
+                )
+            )
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_incremental_drift: stream did not finish in 300s"
+            )
+        if state.current_version() < 2:
+            raise RuntimeError(
+                "stream_incremental_drift: expected multiple state "
+                f"refreshes, got version {state.current_version()}"
+            )
+        out = psi_from_counts(spark, cfg, state.read())
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+
+
 def q_target_encoding(spark, sf_dir):
     """Smoothed leave-one-out target encoding of the high-cardinality
     o_custkey column against the urgent-priority label — the
@@ -7999,6 +8071,10 @@ QUERIES: dict[str, tuple] = {
     "target_encoding": (q_target_encoding, TARGET_ENCODING_SQL),
     "drift_psi": (q_drift_psi, _drift_psi_sql()),
     "incremental_drift": (q_incremental_drift, _drift_psi_sql()),
+    "stream_incremental_drift": (
+        q_stream_incremental_drift,
+        _drift_psi_sql(),
+    ),
     "winsorized_stats": (q_winsorized_stats, _winsorized_sql()),
     "auc_roc": (q_auc_roc, AUC_SQL),
     "auc_pr": (q_auc_pr, AUC_PR_SQL),
@@ -8304,6 +8380,7 @@ _R10_WINDOW = [
     # new/changed paths
     "iceberg_orc",
     "incremental_drift",
+    "stream_incremental_drift",
     "ivfpq_recall",
     "delta_uniform",
     "pq_recall",

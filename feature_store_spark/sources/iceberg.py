@@ -957,6 +957,7 @@ class IcebergTable:
                 bool(f.get("is_delete")),
                 f.get("delete_kind"),
                 int(f.get("sequence_number", 0)),
+                f.get("format", "parquet"),
             )
             for f in self.data_files(snapshot_id, None)
         ]
@@ -964,7 +965,7 @@ class IcebergTable:
             rows,
             "file_path string, partition string, record_count long, "
             "is_delete boolean, delete_kind string, "
-            "sequence_number long",
+            "sequence_number long, file_format string",
         )
 
     def snapshots_df(self) -> DataFrame:

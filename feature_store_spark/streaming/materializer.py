@@ -269,3 +269,38 @@ def incremental_dedup_sink(
         )
 
     return sink
+
+
+def incremental_drift_sink(
+    source_table,
+    state_table,
+    edges: dict,
+    app_id: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for STREAMING drift monitoring (r10): each
+    micro-batch of serving rows lands as an idempotent manifest
+    append to the serving-log table, then the PSI current-window
+    bin-count state advances via
+    :func:`feature_store_spark.incremental.refresh_drift_counts` —
+    only the appended rows are binned against the FROZEN reference
+    edges (``edges`` from ``stats.drift_monitor_config``), so
+    per-batch cost is O(batch), never O(log), and
+    ``stats.psi_from_counts`` over the state is exact at every
+    committed version.
+
+    Exactly-once composition is the :func:`incremental_view_sink`
+    design: the append's ``(app_id, batch_id)`` token no-ops
+    redelivered batches on the log, and the refresh's source-version
+    token no-ops redelivered refreshes."""
+    from feature_store_spark.incremental import refresh_drift_counts
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        source_table.append(batch, txn=(app_id, batch_id))
+        refresh_drift_counts(
+            state_table,
+            source_table,
+            edges,
+            app_id=f"{app_id}:drift",
+        )
+
+    return sink

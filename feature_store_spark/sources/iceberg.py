@@ -1214,15 +1214,22 @@ class IcebergTable:
             from pyspark.sql import functions as F
 
             orc_sfx = {_path_suffix(f["path"]) for f in orc_files}
-            touched = {
-                r["s"]
-                for r in self.spark.read.parquet(
-                    *[d["path"] for d in pos_deletes]
-                )
-                .select(_fp_expr(F.col("file_path")).alias("s"))
-                .distinct()
-                .collect()
-            }
+            # delete files are immutable once committed: cache the
+            # probe per delete-path set so repeated scans of the same
+            # snapshot don't re-run the plan-time job
+            probe_key = tuple(sorted(d["path"] for d in pos_deletes))
+            cache = getattr(self, "_pos_probe_cache", None)
+            if cache is None:
+                cache = self._pos_probe_cache = {}
+            if probe_key not in cache:
+                cache[probe_key] = {
+                    r["s"]
+                    for r in self.spark.read.parquet(*probe_key)
+                    .select(_fp_expr(F.col("file_path")).alias("s"))
+                    .distinct()
+                    .collect()
+                }
+            touched = cache[probe_key]
             if touched & orc_sfx:
                 raise NotImplementedError(
                     f"{self.path}: positional deletes mark rows of "

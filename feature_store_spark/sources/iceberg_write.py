@@ -814,6 +814,7 @@ def iceberg_rewrite(
     table_dir: str,
     entity_col: str = "entity_type",
     ts_col: str = "event_time",
+    file_format: str = "parquet",
 ) -> int:
     """Compact merge-on-read debt (the ``rewrite_data_files``
     maintenance op): materialize the CURRENT view — positional and
@@ -823,7 +824,12 @@ def iceberg_rewrite(
     time travel until ``iceberg_expire_snapshots`` reclaims them.
     Executors rewrite the data (one distributed job); the driver
     authors the commit. Tables written by this exporter (its
-    identity+day spec); returns the new snapshot id."""
+    identity+day spec); returns the new snapshot id.
+
+    ``file_format`` picks the COMPACTED files' format. The default
+    parquet also clears every ORC/AVRO gate (positional deletes,
+    DELETE WHERE, field-id resolution); ``"orc"`` migrates a table
+    the other way."""
     from feature_store_spark.sources.iceberg import IcebergTable
 
     t = IcebergTable(spark, table_dir)
@@ -840,6 +846,7 @@ def iceberg_rewrite(
         ts_col=ts_col,
         schema_fields=fields,
         replace=True,
+        file_format=file_format,
     )
 
 

@@ -1938,3 +1938,54 @@ class TestOrcDataFiles:
             iceberg_append(
                 self._batch(spark), str(tmp_path / "x"), file_format="csv"
             )
+
+    def test_rewrite_to_orc_migrates_and_scan_caches_pos_probe(
+        self, spark, tmp_path
+    ):
+        """rewrite_data_files(file_format="orc") migrates a parquet
+        table (MOR debt applied) into ORC files; repeated scans of a
+        snapshot with pos deletes hit the cached probe, not a new
+        plan-time job."""
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_delete_where,
+            iceberg_rewrite,
+        )
+
+        d = str(tmp_path / "to_orc")
+        iceberg_append(self._batch(spark), d)  # parquet
+        iceberg_delete_where(spark, d, [("entity_id", "=", "e3")])
+        iceberg_rewrite(spark, d, file_format="orc")
+        t = IcebergTable(spark, d)
+        files = [f for f in t.data_files() if not f["is_delete"]]
+        assert files and all(f["format"] == "orc" for f in files)
+        assert t.scan().count() == 59  # e3 gone, baked in
+
+        # pos-probe cache: append more ORC on top of a pos-deleted
+        # parquet history, scan twice, assert one probe entry reused
+        d2 = str(tmp_path / "probe_cache")
+        iceberg_append(self._batch(spark), d2)
+        iceberg_delete_where(spark, d2, [("entity_id", "=", "e3")])
+        iceberg_append(
+            self._batch(spark, shift=1000.0, day0=105),
+            d2,
+            file_format="orc",
+        )
+        t2 = IcebergTable(spark, d2)
+        assert t2.scan().count() == 119
+        cache = t2._pos_probe_cache
+        assert len(cache) == 1
+        (key,) = cache
+        # poison the cached probe with an ORC suffix: if the second
+        # scan consults the cache (and doesn't re-run the job), the
+        # gate must now fire — behavioral proof of the cache hit
+        from feature_store_spark.sources.iceberg import _path_suffix
+
+        orc_sfx = next(
+            _path_suffix(f["path"])
+            for f in t2.data_files()
+            if not f["is_delete"] and f["format"] == "orc"
+        )
+        cache[key] = {orc_sfx}
+        with pytest.raises(NotImplementedError, match="ORC"):
+            t2.scan()

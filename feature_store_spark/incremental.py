@@ -261,17 +261,17 @@ def refresh_drift_counts(
     aggregation collapses it to ≤ |cols|·bins rows per task before
     the shuffle — state size is |cols|·bins rows regardless of data
     scale."""
+    from feature_store_spark.stats import bin_index_expr
+
     cols = list(edges)
 
     def partial(df: DataFrame) -> DataFrame:
         structs = []
         for c in cols:
             v = F.col(c).cast("double")
-            # bins=1 (no edges) degenerates to one bucket, not a bare
-            # Python 0 (sum() of an empty generator) that .alias lacks
-            b = sum(
-                (v > F.lit(e)).cast("int") for e in edges[c]
-            ) if edges[c] else F.lit(0)
+            # the SAME binning contract psi_report uses (shared expr,
+            # so state == recompute holds by construction)
+            b = bin_index_expr(v, edges[c])
             structs.append(
                 F.struct(
                     F.lit(c).alias("feature"),

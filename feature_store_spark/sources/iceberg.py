@@ -43,12 +43,18 @@ Scope gates (loud, documented):
 - data-file formats: PARQUET and ORC on Spark's native readers; AVRO
   data files (Hive-migrated tables) decode on the executors via the
   in-repo OCF reader inside mapInPandas — name resolution under the
-  table schema, timestamps from long micros. Merge-on-read deletes
-  over AVRO data files raise (no per-row file/pos tagging on that
-  path); over ORC, EQUALITY deletes apply (they key on columns) but
-  POSITIONAL deletes raise — Spark's ORC reader exposes
-  _metadata.file_path but not row_index. Compact to parquet
-  (rewrite_data_files) to clear either gate. resolve_by_field_id
+  table schema, timestamps from long micros. DELETE files must be
+  PARQUET (every delete consumer reads them with spark.read.parquet;
+  non-parquet delete entries refuse at plan time). Merge-on-read
+  deletes over AVRO data files raise (no per-row file/pos tagging on
+  that path); over ORC, EQUALITY deletes apply (they key on columns)
+  and POSITIONAL deletes apply as long as they only mark parquet
+  rows — one that marks ORC rows raises, because Spark's ORC reader
+  exposes _metadata.file_path but not row_index. Gates that fire
+  inside scan itself cannot be cleared by rewrite_data_files (it
+  routes through this scan) — they need a full Iceberg runtime;
+  gates that fire in OTHER ops (DELETE WHERE, field-id reads) are
+  cleared by compacting to parquet. resolve_by_field_id
   (schema-evolution reads) stays parquet-only: it reads parquet
   footers; ORC/AVRO files resolve by name.
 """
@@ -545,6 +551,20 @@ class IcebergTable:
                         "avro data files (the spec's format set)"
                     )
                 content = int(df_rec.get("content", 0) or 0)
+                if content in (1, 2) and fmt != "PARQUET":
+                    # DELETE files: every consumer (the anti-join
+                    # readers and the pos-delete probe) reads them
+                    # with spark.read.parquet — admitting an ORC/AVRO
+                    # delete entry here would surface as a footer
+                    # parse error deep inside Spark instead of a
+                    # plan-time refusal (review r10: the data-file
+                    # format widening must not widen the delete side)
+                    raise NotImplementedError(
+                        f"{self.path}: delete file "
+                        f"{df_rec['file_path']!r} has file_format "
+                        f"{fmt}; this reader applies PARQUET delete "
+                        "files only (needs a full Iceberg runtime)"
+                    )
                 # ADDED entries with a null sequence number inherit the
                 # manifest's (the spec's inheritance rule)
                 seq = e.get("sequence_number")
@@ -1231,11 +1251,14 @@ class IcebergTable:
                 }
             touched = cache[probe_key]
             if touched & orc_sfx:
+                # no self-remedy exists: iceberg_rewrite would call
+                # this very scan — only an engine whose ORC reader
+                # exposes row ordinals can apply these deletes
                 raise NotImplementedError(
                     f"{self.path}: positional deletes mark rows of "
                     "ORC data files, and Spark's ORC reader exposes "
-                    "no per-row ordinal — rewrite_data_files "
-                    "(compacts to parquet) first"
+                    "no per-row ordinal — needs a full Iceberg "
+                    "runtime to apply or compact"
                 )
         if orc_files and resolve_by_field_id:
             raise NotImplementedError(
@@ -1245,12 +1268,14 @@ class IcebergTable:
         if avro_files and deletes:
             # merge-on-read over avro data needs per-row file/pos
             # tagging the OCF decode path doesn't produce; real avro
-            # Iceberg tables (Hive migrations) are v1 append-only —
-            # compact to parquet before using row-level deletes
+            # Iceberg tables (Hive migrations) are v1 append-only, so
+            # deletes against one are foreign-runtime work anyway —
+            # and rewrite_data_files can't be the advertised remedy
+            # because it routes through this very scan
             raise NotImplementedError(
                 f"{self.path}: merge-on-read deletes over AVRO data "
-                "files are not supported — rewrite_data_files to "
-                "parquet first"
+                "files are not supported — needs a full Iceberg "
+                "runtime to apply or compact"
             )
         if avro_files and resolve_by_field_id:
             raise NotImplementedError(
@@ -1303,12 +1328,14 @@ class IcebergTable:
                         if f["name"] not in names
                     ]
                     if gone:
+                        # circular-remedy hazard: rewrite calls this
+                        # scan, so don't advertise it as the fix
                         raise NotImplementedError(
                             f"{self.path}: ORC data file omits "
                             f"identity partition source column(s) "
                             f"{gone} (spec Column Projection); the "
                             "per-file resolver reads parquet footers "
-                            "— rewrite_data_files to parquet first"
+                            "— needs a full Iceberg runtime"
                         )
         if pq_files and not resolve_by_field_id:
             # hive-layout detection (UniForm-exported / migrated
@@ -1349,13 +1376,16 @@ class IcebergTable:
                         if avro_files or orc_files:
                             # the resolver can't carry the non-parquet
                             # frames; silently null-filling the
-                            # projected column would be a wrong answer
+                            # projected column would be a wrong
+                            # answer, and rewrite_data_files routes
+                            # through this very scan, so it can't be
+                            # the advertised remedy
                             raise NotImplementedError(
                                 f"{self.path}: parquet data files "
                                 "need identity-column projection but "
                                 "the snapshot mixes in non-parquet "
                                 "files the per-file resolver can't "
-                                "read — rewrite_data_files first"
+                                "read — needs a full Iceberg runtime"
                             )
                         resolve_by_field_id = True
                         break

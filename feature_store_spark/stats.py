@@ -794,6 +794,19 @@ def winsorized_stats(
     )
 
 
+def bin_index_expr(v: Column, edges: Sequence[float]) -> Column:
+    """Reference-quantile bin index — Σ 1[v > edge], a pure-codegen
+    expression. THE binning contract shared by :func:`psi_report`,
+    :func:`psi_report_split`, :func:`drift_monitor_config`, and
+    :func:`feature_store_spark.incremental.refresh_drift_counts`,
+    extracted so the bit-for-bit equality those docstrings promise
+    holds by construction. No edges (bins=1) degenerates to the
+    single bucket 0 rather than a bare Python int."""
+    if not edges:
+        return F.lit(0)
+    return sum((v > F.lit(e)).cast("int") for e in edges)
+
+
 def psi_report(
     ref: DataFrame,
     cur: DataFrame,
@@ -853,7 +866,7 @@ def psi_report(
         proj_cols = []
         for c in cols:
             v = F.col(c).cast("double")
-            b = sum((v > F.lit(e)).cast("int") for e in qs[c])
+            b = bin_index_expr(v, qs[c])
             proj_cols.append(b.alias(f"__b_{c}"))
             proj_cols.append(v.isNotNull().alias(f"__ok_{c}"))
         proj = df.select(*proj_cols)
@@ -939,7 +952,7 @@ def psi_report_split(
         for c in cols:
             for side, vname in (("r", f"__rv_{c}"), ("u", f"__cv_{c}")):
                 v = F.col(vname)
-                b = sum((v > F.lit(e)).cast("int") for e in qs[c])
+                b = bin_index_expr(v, qs[c])
                 proj_cols.append(b.alias(f"__b_{side}_{c}"))
                 proj_cols.append(v.isNotNull().alias(f"__ok_{side}_{c}"))
         proj = base.select(*proj_cols)
@@ -995,13 +1008,17 @@ def drift_monitor_config(
         *[F.col(c).cast("double").alias(c) for c in cols]
     ).persist()
     try:
-        qs = quantile_values(
-            ref_slice, cols, [i / bins for i in range(1, bins)]
+        probs = [i / bins for i in range(1, bins)]
+        # bins=1 needs no quantile job: one bucket, zero edges
+        qs = (
+            quantile_values(ref_slice, cols, probs)
+            if probs
+            else {c: [] for c in cols}
         )
         proj_cols = []
         for c in cols:
             v = F.col(c)
-            b = sum((v > F.lit(e)).cast("int") for e in qs[c])
+            b = bin_index_expr(v, qs[c])
             proj_cols.append(b.alias(f"__b_{c}"))
             proj_cols.append(v.isNotNull().alias(f"__ok_{c}"))
         proj = ref_slice.select(*proj_cols)

@@ -1989,3 +1989,36 @@ class TestOrcDataFiles:
         cache[key] = {orc_sfx}
         with pytest.raises(NotImplementedError, match="ORC"):
             t2.scan()
+
+    def test_non_parquet_delete_file_refuses_at_plan_time(
+        self, spark, tmp_path
+    ):
+        """Data files may be ORC now, but DELETE files are read with
+        spark.read.parquet everywhere — an ORC delete entry must
+        refuse loudly at plan time, not crash in a footer parse."""
+        from feature_store_spark.sources.avro_io import (
+            read_avro,
+            write_avro,
+        )
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_delete_where,
+        )
+
+        d = str(tmp_path / "orc_del_entry")
+        iceberg_append(self._batch(spark), d)
+        iceberg_delete_where(spark, d, [("entity_id", "=", "e1")])
+        t = IcebergTable(spark, d)
+        mlist = t._resolve(t._snapshot(None)["manifest-list"])
+        recs, _ = avro_io.read_avro(mlist)
+        for m in recs:
+            if int(m.get("content", 0) or 0) != 1:
+                continue
+            mp = t._resolve(m["manifest_path"])
+            entries, schema = read_avro(mp)
+            for e in entries:
+                e["data_file"]["file_format"] = "ORC"
+            write_avro(mp, schema, entries, codec="deflate")
+        t2 = IcebergTable(spark, d)
+        with pytest.raises(NotImplementedError, match="delete file"):
+            t2.data_files()

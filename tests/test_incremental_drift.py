@@ -128,3 +128,17 @@ def test_nulls_do_not_bin_and_empty_feature_is_finite(spark, tmp_path):
         (r["feature"], r["n_ref"], r["n_cur"], round(r["psi"], 9))
         for r in psi_from_counts(spark, cfg, state.read()).collect()
     }
+
+
+def test_single_bucket_monitor_degenerates_cleanly(spark, tmp_path):
+    """bins=1 (no edges) is a degenerate but legal monitor: one
+    bucket, PSI identically 0 whenever both windows have rows."""
+    ref, cur = _frames(spark)
+    cfg = drift_monitor_config(ref, ["a"], bins=1)
+    assert cfg["edges"]["a"] == []
+    src = ManifestedTable(spark, str(tmp_path / "src"))
+    state = ManifestedTable(spark, str(tmp_path / "state"))
+    src.append(cur)
+    refresh_drift_counts(state, src, cfg["edges"])
+    got = psi_from_counts(spark, cfg, state.read()).collect()[0]
+    assert got["psi"] == 0.0 and got["n_cur"] > 0

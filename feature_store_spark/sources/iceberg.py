@@ -46,15 +46,16 @@ Scope gates (loud, documented):
   table schema, timestamps from long micros. DELETE files must be
   PARQUET (every delete consumer reads them with spark.read.parquet;
   non-parquet delete entries refuse at plan time). Merge-on-read
+  deletes over ORC data files FULLY apply: equality deletes key on
+  columns, and positional deletes — whose ordinal Spark's native ORC
+  reader does not expose (_metadata.file_path but no row_index) —
+  route the ORC frame through an executor-side stripe-ordered
+  pyarrow decode that recovers the spec ordinal exactly
+  (_read_orc_with_pos); a plan-time probe keeps plain ORC scans and
+  parquet-only delete sets on the fast native reader. Merge-on-read
   deletes over AVRO data files raise (no per-row file/pos tagging on
-  that path); over ORC, EQUALITY deletes apply (they key on columns)
-  and POSITIONAL deletes apply as long as they only mark parquet
-  rows — one that marks ORC rows raises, because Spark's ORC reader
-  exposes _metadata.file_path but not row_index. Gates that fire
-  inside scan itself cannot be cleared by rewrite_data_files (it
-  routes through this scan) — they need a full Iceberg runtime;
-  gates that fire in OTHER ops (DELETE WHERE, field-id reads) are
-  cleared by compacting to parquet. resolve_by_field_id
+  the OCF path — needs a full Iceberg runtime; rewrite routes
+  through this scan, so it is not the remedy). resolve_by_field_id
   (schema-evolution reads) stays parquet-only: it reads parquet
   footers; ORC/AVRO files resolve by name.
 """
@@ -1144,6 +1145,87 @@ class IcebergTable:
             .mapInPandas(decode, schema=schema)
         )
 
+    def _read_orc_with_pos(self, files: list[dict]) -> DataFrame:
+        """ORC data frame WITH per-row (``__fp`` file suffix,
+        ``__pos`` ordinal) tags — the merge-on-read positional-delete
+        path for ORC. Spark's native ORC reader exposes
+        ``_metadata.file_path`` but no ``row_index``; the spec defines
+        the delete ordinal as the row's 0-based position in FILE
+        order, and pyarrow.orc reads stripes strictly in file order,
+        so decoding on the EXECUTORS (one task per file,
+        stripe-batched so memory is bounded by one stripe — the
+        ``_read_avro_data`` architecture) recovers exact ordinals.
+
+        Used only when positional deletes actually mark ORC rows
+        (the probe in :meth:`scan`); plain ORC scans stay on Spark's
+        native reader. Columns resolve by NAME under the table
+        schema; a column a file omits reads as NULL (identity
+        partition projection is gated before this path can see it).
+        Differential-tested against the native reader row-for-row."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        fields = [
+            f for f in self.schema_fields() if isinstance(f["type"], str)
+        ]
+        unmapped = [
+            f["name"] for f in fields if _spark_type(f["type"]) is None
+        ]
+        if unmapped:
+            raise NotImplementedError(
+                f"{self.path}: orc positional-delete scan has no type "
+                f"mapping for columns {unmapped}"
+            )
+        schema = T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    _spark_type(f["type"]),
+                    not f.get("required", False),
+                )
+                for f in fields
+            ]
+            + [
+                T.StructField("__fp", T.StringType(), False),
+                T.StructField("__pos", T.LongType(), False),
+            ]
+        )
+        names = [f["name"] for f in fields]
+        paths = [f["path"] for f in files]
+
+        def decode(batches):
+            import pyarrow.orc as po
+
+            from feature_store_spark.sources.iceberg import (
+                _path_suffix,
+                _strip_scheme,
+            )
+
+            for pdf in batches:
+                for p in pdf["path"]:
+                    of = po.ORCFile(_strip_scheme(p))
+                    sfx = _path_suffix(p)
+                    avail = [n for n in names if n in of.schema.names]
+                    base = 0
+                    for si in range(of.nstripes):
+                        stripe = of.read_stripe(si, columns=avail)
+                        out = stripe.to_pandas()
+                        n = len(out)
+                        for nm in names:
+                            if nm not in out.columns:
+                                out[nm] = None
+                        out = out[names]
+                        out["__fp"] = sfx
+                        out["__pos"] = pd.RangeIndex(base, base + n)
+                        base += n
+                        yield out
+
+        return (
+            self.spark.createDataFrame([(p,) for p in paths], "path string")
+            .repartition(len(paths))
+            .mapInPandas(decode, schema=schema)
+        )
+
     def scan(
         self,
         snapshot_id: int | None = None,
@@ -1220,17 +1302,20 @@ class IcebergTable:
             if f.get("format", "parquet") not in ("avro", "orc")
         ]
         pos_deletes = [d for d in deletes if d["delete_kind"] == "pos"]
+        orc_pos_hit = False
         if orc_files and pos_deletes:
             # positional deletes anti-join on the per-row ordinal,
-            # which Spark's ORC reader does not expose
+            # which Spark's native ORC reader does not expose
             # (_metadata.row_index is parquet-only — verified against
             # Spark 4.1's ORC _metadata struct). A delete that only
             # marks rows of PARQUET files is harmless to the ORC
             # frame — the realistic migration shape (parquet history
-            # with MOR deletes + new ORC appends) — so raise only
-            # when a delete row actually references an ORC file.
-            # The probe reads the delete files' DISTINCT file_path
-            # values: ≤ |data files| rows, metadata scale.
+            # with MOR deletes + new ORC appends) — so the ORC frame
+            # is routed through the slower executor-side ordinal
+            # decode (_read_orc_with_pos) ONLY when a delete row
+            # actually references an ORC file. The probe reads the
+            # delete files' DISTINCT file_path values: ≤ |data files|
+            # rows, metadata scale.
             from pyspark.sql import functions as F
 
             orc_sfx = {_path_suffix(f["path"]) for f in orc_files}
@@ -1249,17 +1334,7 @@ class IcebergTable:
                     .distinct()
                     .collect()
                 }
-            touched = cache[probe_key]
-            if touched & orc_sfx:
-                # no self-remedy exists: iceberg_rewrite would call
-                # this very scan — only an engine whose ORC reader
-                # exposes row ordinals can apply these deletes
-                raise NotImplementedError(
-                    f"{self.path}: positional deletes mark rows of "
-                    "ORC data files, and Spark's ORC reader exposes "
-                    "no per-row ordinal — needs a full Iceberg "
-                    "runtime to apply or compact"
-                )
+            orc_pos_hit = bool(cache[probe_key] & orc_sfx)
         if orc_files and resolve_by_field_id:
             raise NotImplementedError(
                 f"{self.path}: resolve_by_field_id reads parquet "
@@ -1403,20 +1478,33 @@ class IcebergTable:
                 if deletes:
                     df = self._apply_deletes(df, pq_files, deletes)
             if orc_files:
-                # Spark-native ORC scan (read.orc takes a LIST of
-                # paths, not varargs). Only EQUALITY deletes reach the
-                # ORC frame: positional deletes that touch ORC rows
-                # raised above, and ones that touch only parquet rows
-                # can't match here by construction — skipping them
-                # avoids referencing the row ordinal ORC lacks.
-                odf = self.spark.read.orc(
-                    [f["path"] for f in orc_files]
-                )
-                eq_only = [
-                    d for d in deletes if d["delete_kind"] == "eq"
-                ]
-                if eq_only:
-                    odf = self._apply_deletes(odf, orc_files, eq_only)
+                if orc_pos_hit:
+                    # positional deletes mark ORC rows: decode with
+                    # executor-side ordinals (pre-tagged __fp/__pos),
+                    # then the standard anti-joins apply both delete
+                    # kinds
+                    odf = self._read_orc_with_pos(orc_files)
+                    odf = self._apply_deletes(
+                        odf, orc_files, deletes, pre_tagged=True
+                    ).drop("__fp", "__pos")
+                else:
+                    # Spark-native ORC scan (read.orc takes a LIST of
+                    # paths, not varargs). Only EQUALITY deletes reach
+                    # the ORC frame here: positional deletes either
+                    # touch no ORC row (probe above) or routed through
+                    # the ordinal decode — skipping them avoids
+                    # referencing the row ordinal the native reader
+                    # lacks.
+                    odf = self.spark.read.orc(
+                        [f["path"] for f in orc_files]
+                    )
+                    eq_only = [
+                        d for d in deletes if d["delete_kind"] == "eq"
+                    ]
+                    if eq_only:
+                        odf = self._apply_deletes(
+                            odf, orc_files, eq_only
+                        )
                 df = odf if df is None else df.unionByName(odf)
             if avro_files:
                 av = self._read_avro_data(avro_files)

@@ -991,11 +991,14 @@ def iceberg_delete_where(
     a sliver of a huge table.
 
     Distributed end to end: the matching rows' (file_path, pos) pairs
-    are computed by executors from ``_metadata`` row ordinals and
-    WRITTEN as the delete parquet by executors; the driver only
-    authors the delete manifest from the written files' footers and
-    flips the version pointer. Matching against already-deleted rows
-    re-marks them — harmless (idempotent)."""
+    are computed by executors — from ``_metadata`` row ordinals for
+    parquet data files, from the stripe-ordered pyarrow decode
+    (``IcebergTable._read_orc_with_pos``) for ORC ones — and WRITTEN
+    as the delete parquet by executors; the driver only authors the
+    delete manifest from the written files' footers and flips the
+    version pointer. Matching against already-deleted rows re-marks
+    them — harmless (idempotent). AVRO data files refuse (the OCF
+    path carries no ordinals)."""
     from pyspark.sql import functions as F
 
     from feature_store_spark.sources.iceberg import IcebergTable, _Filter
@@ -1004,20 +1007,35 @@ def iceberg_delete_where(
     files = [f for f in t.data_files(None, None) if not f["is_delete"]]
     if not files:
         raise ValueError(f"{table_dir}: no data files to delete from")
-    nonpq = sorted(
-        {f.get("format", "parquet") for f in files} - {"parquet"}
-    )
-    if nonpq:
-        # positional deletes mark (file, row ordinal) pairs, and only
-        # Spark's parquet reader exposes _metadata.row_index — an
-        # ORC/AVRO table must be compacted (rewrite_data_files, which
-        # writes parquet) before MOR DELETE WHERE applies
+    pq_files = [
+        f for f in files
+        if f.get("format", "parquet") not in ("avro", "orc")
+    ]
+    orc_files = [f for f in files if f.get("format") == "orc"]
+    if any(f.get("format") == "avro" for f in files):
+        # the OCF decode path carries no per-row ordinals; real avro
+        # Iceberg tables are v1 append-only anyway
         raise NotImplementedError(
-            f"{table_dir}: DELETE WHERE needs per-row ordinals; data "
-            f"files in format(s) {nonpq} have none — rewrite to "
+            f"{table_dir}: DELETE WHERE over AVRO data files needs "
+            "per-row ordinals the OCF path has none of — rewrite to "
             "parquet first"
         )
-    df = spark.read.parquet(*[f["path"] for f in files])
+    # per-format tagged frames: parquet rows carry Spark's _metadata
+    # ordinals; ORC rows come through the executor-side stripe decode
+    # (_read_orc_with_pos) that recovers the spec ordinal in file
+    # order — both normalize to (data cols, __fp suffix, __pos)
+    from feature_store_spark.sources.iceberg import _fp_expr, _path_suffix
+
+    df = None
+    if pq_files:
+        df = (
+            spark.read.parquet(*[f["path"] for f in pq_files])
+            .withColumn("__fp", _fp_expr(F.col("_metadata.file_path")))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+    if orc_files:
+        odf = t._read_orc_with_pos(orc_files)
+        df = odf if df is None else df.unionByName(odf)
     ts_cols = {
         f["name"]
         for f in t.schema_fields()
@@ -1041,8 +1059,6 @@ def iceberg_delete_where(
     # path (what the manifests carry) is recovered from the read path
     # by the table-relative data/ suffix (guarded helper: a table
     # whose data files live outside a data/ dir keys on full paths)
-    from feature_store_spark.sources.iceberg import _fp_expr, _path_suffix
-
     suffix_to_recorded = [
         (_path_suffix(f["path"]), f["path"]) for f in files
     ]
@@ -1051,8 +1067,8 @@ def iceberg_delete_where(
     )
     dels = (
         df.select(
-            _fp_expr(F.col("_metadata.file_path")).alias("__sfx"),
-            F.col("_metadata.row_index").alias("pos"),
+            F.col("__fp").alias("__sfx"),
+            F.col("__pos").alias("pos"),
         )
         .join(F.broadcast(map_df), "__sfx")
         .select(F.col("__recorded").alias("file_path"), "pos")

@@ -1856,11 +1856,15 @@ class TestOrcDataFiles:
         }
         assert fmts == {"orc", "parquet"}
 
-    def test_positional_deletes_gated_only_when_orc_rows_marked(
+    def test_positional_deletes_over_orc_rows_apply(
         self, spark, tmp_path
     ):
-        """A pos delete over PARQUET rows must not block a mixed
-        table's scan; one marking ORC rows must refuse loudly."""
+        """A pos delete over PARQUET rows keeps the mixed table's ORC
+        frame on the native reader; one marking ORC rows routes the
+        ORC frame through the ordinal decode and APPLIES — removing
+        exactly the marked (file, pos) row."""
+        import pyarrow.orc as po
+
         from feature_store_spark.sources.iceberg_write import (
             iceberg_append,
             iceberg_delete_where,
@@ -1879,23 +1883,34 @@ class TestOrcDataFiles:
         t = IcebergTable(spark, d)
         assert t.scan().count() == 119  # 120 - e7, ORC frame intact
 
-        # forge the delete to reference an ORC path → loud gate
+        # forge the delete to mark (orc_file, pos 0) instead: e7
+        # returns, the ORC file's first row dies
         files = t.data_files()
         orc_path = next(
             f["path"]
             for f in files
             if not f["is_delete"] and f["format"] == "orc"
         )
+        victim = po.ORCFile(orc_path).read().to_pandas().iloc[0]
         pos_del = next(f for f in files if f.get("delete_kind") == "pos")
         forged = spark.createDataFrame(
             [(orc_path, 0)], "file_path string, pos long"
         )
         forged.coalesce(1).write.mode("overwrite").parquet(pos_del["path"])
         t2 = IcebergTable(spark, d)
-        with pytest.raises(NotImplementedError, match="ORC"):
-            t2.scan().count()
+        got = t2.scan().collect()
+        assert len(got) == 119  # e7 back (+1), ORC pos-0 row gone (-1)
+        ids = {(r["entity_id"], r["value_float"]) for r in got}
+        assert ("e7", 10.5) in ids  # e7's original parquet row
+        # the ORC batch is value-shifted +1000, so the victim tuple is
+        # unambiguous
+        assert (victim["entity_id"], victim["value_float"]) not in ids
 
-    def test_delete_where_on_orc_table_gated(self, spark, tmp_path):
+    def test_delete_where_on_orc_table(self, spark, tmp_path):
+        """MOR DELETE WHERE works on an ORC table end to end: the
+        matching rows' ordinals come from the stripe decode, the
+        delete commit is MOR (old snapshot still full), and the
+        current view loses exactly the matching rows."""
         from feature_store_spark.sources.iceberg_write import (
             iceberg_append,
             iceberg_delete_where,
@@ -1904,12 +1919,37 @@ class TestOrcDataFiles:
 
         d = str(tmp_path / "orc_dw")
         iceberg_append(self._batch(spark), d, file_format="orc")
-        with pytest.raises(NotImplementedError, match="orc"):
-            iceberg_delete_where(spark, d, [("entity_id", "=", "e1")])
-        # rewrite_data_files compacts to parquet and clears the gate
-        iceberg_rewrite(spark, d)
         iceberg_delete_where(spark, d, [("entity_id", "=", "e1")])
-        assert IcebergTable(spark, d).scan().count() == 59
+        t = IcebergTable(spark, d)
+        assert t.scan().count() == 59
+        assert t.scan().filter("entity_id = 'e1'").count() == 0
+        assert t.scan(snapshot_id=1).count() == 60  # MOR: time travel
+        # compaction still works on top (bakes the delete in)
+        iceberg_rewrite(spark, d)
+        t2 = IcebergTable(spark, d)
+        assert t2.scan().count() == 59
+        # AVRO stays gated
+        import pytest as _pt
+
+        d2 = str(tmp_path / "avro_dw")
+        iceberg_append(self._batch(spark), d2)
+        from feature_store_spark.sources.avro_io import (
+            read_avro,
+            write_avro,
+        )
+
+        ta = IcebergTable(spark, d2)
+        mlist = ta._resolve(ta._snapshot(None)["manifest-list"])
+        recs, _ = avro_io.read_avro(mlist)
+        mp = ta._resolve(recs[0]["manifest_path"])
+        entries, schema = read_avro(mp)
+        for e in entries:
+            e["data_file"]["file_format"] = "AVRO"
+        write_avro(mp, schema, entries, codec="deflate")
+        with _pt.raises(NotImplementedError, match="AVRO"):
+            iceberg_delete_where(
+                spark, d2, [("entity_id", "=", "e1")]
+            )
 
     def test_resolve_by_field_id_gated_for_orc(self, spark, tmp_path):
         from feature_store_spark.sources.iceberg_write import iceberg_append
@@ -1972,13 +2012,19 @@ class TestOrcDataFiles:
             file_format="orc",
         )
         t2 = IcebergTable(spark, d2)
+        fast_plan = (
+            t2.scan()._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "MapInPandas" not in fast_plan  # native ORC reader
         assert t2.scan().count() == 119
         cache = t2._pos_probe_cache
         assert len(cache) == 1
         (key,) = cache
         # poison the cached probe with an ORC suffix: if the second
         # scan consults the cache (and doesn't re-run the job), the
-        # gate must now fire — behavioral proof of the cache hit
+        # ORC frame must route through the ordinal decode — visible
+        # as MapInPandas in the plan, with the answer unchanged (the
+        # delete's parquet suffix matches no ORC row)
         from feature_store_spark.sources.iceberg import _path_suffix
 
         orc_sfx = next(
@@ -1987,8 +2033,10 @@ class TestOrcDataFiles:
             if not f["is_delete"] and f["format"] == "orc"
         )
         cache[key] = {orc_sfx}
-        with pytest.raises(NotImplementedError, match="ORC"):
-            t2.scan()
+        slow = t2.scan()
+        plan = slow._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan  # cache consulted → decode path
+        assert slow.count() == 119  # and still the right answer
 
     def test_non_parquet_delete_file_refuses_at_plan_time(
         self, spark, tmp_path
@@ -2022,3 +2070,36 @@ class TestOrcDataFiles:
         t2 = IcebergTable(spark, d)
         with pytest.raises(NotImplementedError, match="delete file"):
             t2.data_files()
+
+    def test_orc_pos_decode_matches_native_reader(self, spark, tmp_path):
+        """_read_orc_with_pos is only correct if (a) every column —
+        timestamps included — decodes to the same values the native
+        reader produces, and (b) ordinals are dense 0..n-1 per file
+        in file order. Differential-tested on the full schema."""
+        from collections import Counter
+
+        from feature_store_spark.sources.iceberg_write import iceberg_append
+
+        d = str(tmp_path / "orc_decode_diff")
+        iceberg_append(self._batch(spark), d, file_format="orc")
+        t = IcebergTable(spark, d)
+        files = [f for f in t.data_files() if not f["is_delete"]]
+        native = t.scan()
+        decoded = t._read_orc_with_pos(files)
+
+        cols = native.columns
+        key = lambda r: tuple(r[c] for c in cols)
+        assert Counter(map(key, native.collect())) == Counter(
+            map(key, decoded.select(*cols).collect())
+        )
+        # ordinals: dense per file, starting at 0
+        by_file = {}
+        for r in decoded.select("__fp", "__pos").collect():
+            by_file.setdefault(r["__fp"], []).append(r["__pos"])
+        per_file_n = {f["path"]: f["record_count"] for f in files}
+        assert len(by_file) == len(files)
+        for fp, poss in by_file.items():
+            assert sorted(poss) == list(range(len(poss)))
+        assert sum(len(v) for v in by_file.values()) == sum(
+            per_file_n.values()
+        )

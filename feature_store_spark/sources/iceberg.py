@@ -53,11 +53,12 @@ Scope gates (loud, documented):
   pyarrow decode that recovers the spec ordinal exactly
   (_read_orc_with_pos); a plan-time probe keeps plain ORC scans and
   parquet-only delete sets on the fast native reader. Merge-on-read
-  deletes over AVRO data files raise (no per-row file/pos tagging on
-  the OCF path — needs a full Iceberg runtime; rewrite routes
-  through this scan, so it is not the remedy). resolve_by_field_id
-  (schema-evolution reads) stays parquet-only: it reads parquet
-  footers; ORC/AVRO files resolve by name.
+  deletes over AVRO data files apply the same way — OCF records
+  decode in file order, so the decode path emits the ordinal
+  whenever deletes are present (with_pos). DELETE WHERE works across
+  all three formats. The one remaining format gate:
+  resolve_by_field_id (schema-evolution reads) stays parquet-only —
+  it reads parquet footers; ORC/AVRO files resolve by name.
 """
 
 from __future__ import annotations
@@ -1072,7 +1073,9 @@ class IcebergTable:
         ]
         return self.spark.createDataFrame([], T.StructType(fields))
 
-    def _read_avro_data(self, files: list[dict]) -> DataFrame:
+    def _read_avro_data(
+        self, files: list[dict], with_pos: bool = False
+    ) -> DataFrame:
         """Distributed scan of AVRO data files (VERDICT r8 next #7):
         one task per OCF file, decoded on the EXECUTORS by the
         in-repo pure-python Avro reader inside Arrow-batched
@@ -1081,6 +1084,12 @@ class IcebergTable:
         name mapping for avro); Iceberg's timestamp/timestamptz
         encode as long micros in avro and convert here, dates as
         int days.
+
+        ``with_pos=True`` additionally emits (``__fp`` suffix,
+        ``__pos`` ordinal) per row — OCF records decode strictly in
+        file order, so the running index IS the spec's positional-
+        delete ordinal, the same recovery _read_orc_with_pos does
+        for ORC.
 
         Scale note: per-file python decode is the honest interop
         floor without a JVM avro DataSource on the classpath —
@@ -1110,6 +1119,14 @@ class IcebergTable:
                 )
                 for f in fields
             ]
+            + (
+                [
+                    T.StructField("__fp", T.StringType(), False),
+                    T.StructField("__pos", T.LongType(), False),
+                ]
+                if with_pos
+                else []
+            )
         )
         names = [f["name"] for f in fields]
         types = {f["name"]: f["type"] for f in fields}
@@ -1117,6 +1134,7 @@ class IcebergTable:
 
         def decode(batches):
             from feature_store_spark.sources.avro_io import read_avro
+            from feature_store_spark.sources.iceberg import _path_suffix
 
             for pdf in batches:
                 for p in pdf["path"]:
@@ -1137,7 +1155,13 @@ class IcebergTable:
                             ).dt.date
                         else:
                             cols[nm] = pd.Series(vals, dtype="object")
-                    yield pd.DataFrame(cols, columns=names)
+                    out = pd.DataFrame(cols, columns=names)
+                    if with_pos:
+                        # OCF records decode in file order, so the
+                        # row index IS the spec's delete ordinal
+                        out["__fp"] = _path_suffix(p)
+                        out["__pos"] = pd.RangeIndex(len(out))
+                    yield out
 
         return (
             self.spark.createDataFrame([(p,) for p in paths], "path string")
@@ -1340,18 +1364,6 @@ class IcebergTable:
                 f"{self.path}: resolve_by_field_id reads parquet "
                 "footers; orc data files resolve by name"
             )
-        if avro_files and deletes:
-            # merge-on-read over avro data needs per-row file/pos
-            # tagging the OCF decode path doesn't produce; real avro
-            # Iceberg tables (Hive migrations) are v1 append-only, so
-            # deletes against one are foreign-runtime work anyway —
-            # and rewrite_data_files can't be the advertised remedy
-            # because it routes through this very scan
-            raise NotImplementedError(
-                f"{self.path}: merge-on-read deletes over AVRO data "
-                "files are not supported — needs a full Iceberg "
-                "runtime to apply or compact"
-            )
         if avro_files and resolve_by_field_id:
             raise NotImplementedError(
                 f"{self.path}: resolve_by_field_id reads parquet "
@@ -1507,7 +1519,15 @@ class IcebergTable:
                         )
                 df = odf if df is None else df.unionByName(odf)
             if avro_files:
-                av = self._read_avro_data(avro_files)
+                # the python decode is the only avro path anyway, so
+                # deletes cost just the extra (__fp, __pos) columns
+                av = self._read_avro_data(
+                    avro_files, with_pos=bool(deletes)
+                )
+                if deletes:
+                    av = self._apply_deletes(
+                        av, avro_files, deletes, pre_tagged=True
+                    ).drop("__fp", "__pos")
                 df = av if df is None else df.unionByName(av)
         ts_cols = {
             f["name"]

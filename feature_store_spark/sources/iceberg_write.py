@@ -997,8 +997,9 @@ def iceberg_delete_where(
     as the delete parquet by executors; the driver only authors the
     delete manifest from the written files' footers and flips the
     version pointer. Matching against already-deleted rows re-marks
-    them — harmless (idempotent). AVRO data files refuse (the OCF
-    path carries no ordinals)."""
+    them — harmless (idempotent). AVRO data files route through the
+    OCF decode with ordinals (``_read_avro_data(with_pos=True)``) —
+    all three spec formats delete."""
     from pyspark.sql import functions as F
 
     from feature_store_spark.sources.iceberg import IcebergTable, _Filter
@@ -1012,14 +1013,7 @@ def iceberg_delete_where(
         if f.get("format", "parquet") not in ("avro", "orc")
     ]
     orc_files = [f for f in files if f.get("format") == "orc"]
-    if any(f.get("format") == "avro" for f in files):
-        # the OCF decode path carries no per-row ordinals; real avro
-        # Iceberg tables are v1 append-only anyway
-        raise NotImplementedError(
-            f"{table_dir}: DELETE WHERE over AVRO data files needs "
-            "per-row ordinals the OCF path has none of — rewrite to "
-            "parquet first"
-        )
+    avro_files = [f for f in files if f.get("format") == "avro"]
     # per-format tagged frames: parquet rows carry Spark's _metadata
     # ordinals; ORC rows come through the executor-side stripe decode
     # (_read_orc_with_pos) that recovers the spec ordinal in file
@@ -1036,6 +1030,9 @@ def iceberg_delete_where(
     if orc_files:
         odf = t._read_orc_with_pos(orc_files)
         df = odf if df is None else df.unionByName(odf)
+    if avro_files:
+        adf = t._read_avro_data(avro_files, with_pos=True)
+        df = adf if df is None else df.unionByName(adf)
     ts_cols = {
         f["name"]
         for f in t.schema_fields()

@@ -1395,8 +1395,9 @@ def test_reader_ignores_regressed_version_hint(spark, tmp_path):
 
 class TestAvroDataFiles:
     """VERDICT r8 next #7: AVRO data files scan through the in-repo
-    OCF decoder (distributed, one task per file); the non-parquet
-    gate narrows to ORC only."""
+    OCF decoder (distributed, one task per file). Since r10 the
+    decode also recovers positional-delete ordinals (records decode
+    in file order), so MOR deletes apply over avro too."""
 
     def _mixed_table(self, tmp_path, name="avrodata"):
         from iceberg_fixture import IcebergFixture
@@ -1444,17 +1445,56 @@ class TestAvroDataFiles:
         ).collect()
         assert {r["entity_id"] for r in rows} == {"u2", "u3"}
 
-    def test_avro_with_deletes_refused(self, spark, tmp_path):
+    def test_avro_equality_deletes_apply(self, spark, tmp_path):
         from iceberg_fixture import IcebergFixture
 
         d = str(tmp_path / "avrodel")
         fx = IcebergFixture(d)
-        fx.append([_row("user", "u1", "clicks", 1.0, 100)],
-                  file_format="AVRO")
+        fx.append([
+            _row("user", "u1", "clicks", 1.0, 100),
+            _row("user", "u2", "clicks", 2.0, 100),
+        ], file_format="AVRO")
         fx.eq_delete(["u1"])
         fx.finish()
-        with pytest.raises(NotImplementedError, match="AVRO"):
-            IcebergTable(spark, d).scan().collect()
+        rows = IcebergTable(spark, d).scan().collect()
+        assert {r["entity_id"] for r in rows} == {"u2"}
+
+    def test_avro_positional_deletes_apply(self, spark, tmp_path):
+        """OCF records decode in file order, so the running index is
+        the spec ordinal: marking (file, 0) removes exactly the first
+        appended row of that partition's avro file."""
+        from iceberg_fixture import IcebergFixture
+
+        d = str(tmp_path / "avroposdel")
+        fx = IcebergFixture(d)
+        fx.append([
+            _row("user", "u1", "clicks", 1.0, 100),
+            _row("user", "u2", "clicks", 2.0, 100),
+            _row("user", "u3", "clicks", 3.0, 100),
+        ], file_format="AVRO")
+        fx.pos_delete([("user", 100, 0)])
+        fx.finish()
+        rows = IcebergTable(spark, d).scan().collect()
+        assert {r["entity_id"] for r in rows} == {"u2", "u3"}
+
+    def test_avro_delete_where_round_trip(self, spark, tmp_path):
+        from iceberg_fixture import IcebergFixture
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_delete_where,
+        )
+
+        d = str(tmp_path / "avrodw")
+        fx = IcebergFixture(d)
+        fx.append([
+            _row("user", "u1", "clicks", 1.0, 100),
+            _row("user", "u2", "clicks", 2.0, 100),
+        ], file_format="AVRO")
+        fx.finish()
+        iceberg_delete_where(spark, d, [("entity_id", "=", "u1")])
+        t = IcebergTable(spark, d)
+        rows = t.scan().collect()
+        assert {r["entity_id"] for r in rows} == {"u2"}
 
     def test_out_of_spec_format_still_refused(self, spark, tmp_path):
         """The gate narrows, it doesn't vanish: ORC joined the scan
@@ -1928,28 +1968,6 @@ class TestOrcDataFiles:
         iceberg_rewrite(spark, d)
         t2 = IcebergTable(spark, d)
         assert t2.scan().count() == 59
-        # AVRO stays gated
-        import pytest as _pt
-
-        d2 = str(tmp_path / "avro_dw")
-        iceberg_append(self._batch(spark), d2)
-        from feature_store_spark.sources.avro_io import (
-            read_avro,
-            write_avro,
-        )
-
-        ta = IcebergTable(spark, d2)
-        mlist = ta._resolve(ta._snapshot(None)["manifest-list"])
-        recs, _ = avro_io.read_avro(mlist)
-        mp = ta._resolve(recs[0]["manifest_path"])
-        entries, schema = read_avro(mp)
-        for e in entries:
-            e["data_file"]["file_format"] = "AVRO"
-        write_avro(mp, schema, entries, codec="deflate")
-        with _pt.raises(NotImplementedError, match="AVRO"):
-            iceberg_delete_where(
-                spark, d2, [("entity_id", "=", "e1")]
-            )
 
     def test_resolve_by_field_id_gated_for_orc(self, spark, tmp_path):
         from feature_store_spark.sources.iceberg_write import iceberg_append

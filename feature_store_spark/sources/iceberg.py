@@ -1098,41 +1098,11 @@ class IcebergTable:
         seekable without the sync-marker scan anyway). Avro data
         files exist in Hive-migrated tables; the hot path stays
         parquet."""
-        import pandas as pd
-        from pyspark.sql import types as T
-
-        fields = [
-            f for f in self.schema_fields() if isinstance(f["type"], str)
-        ]
-        unmapped = [f["name"] for f in fields if _spark_type(f["type"]) is None]
-        if unmapped:
-            raise NotImplementedError(
-                f"{self.path}: avro data-file scan has no type mapping "
-                f"for columns {unmapped}"
-            )
-        schema = T.StructType(
-            [
-                T.StructField(
-                    f["name"],
-                    _spark_type(f["type"]),
-                    not f.get("required", False),
-                )
-                for f in fields
-            ]
-            + (
-                [
-                    T.StructField("__fp", T.StringType(), False),
-                    T.StructField("__pos", T.LongType(), False),
-                ]
-                if with_pos
-                else []
-            )
-        )
-        names = [f["name"] for f in fields]
-        types = {f["name"]: f["type"] for f in fields}
-        paths = [f["path"] for f in files]
+        names, types = self._decode_fields("avro")
 
         def decode(batches):
+            import pandas as pd
+
             from feature_store_spark.sources.avro_io import read_avro
             from feature_store_spark.sources.iceberg import _path_suffix
 
@@ -1143,7 +1113,19 @@ class IcebergTable:
                     for nm in names:
                         vals = [r.get(nm) for r in recs]
                         t = types[nm]
-                        if t in ("timestamp", "timestamptz"):
+                        if t == "timestamptz":
+                            # epoch-micros INSTANTS: localize UTC so
+                            # mapInPandas cannot reinterpret the naive
+                            # wall time under a non-UTC session tz
+                            # (review r10b: a naive series skewed every
+                            # value by the session offset)
+                            cols[nm] = pd.to_datetime(
+                                pd.Series(vals, dtype="object"),
+                                unit="us",
+                            ).dt.tz_localize("UTC")
+                        elif t == "timestamp":
+                            # NTZ: micros encode the WALL time; naive
+                            # is exactly what TimestampNTZType wants
                             cols[nm] = pd.to_datetime(
                                 pd.Series(vals, dtype="object"),
                                 unit="us",
@@ -1163,6 +1145,63 @@ class IcebergTable:
                         out["__pos"] = pd.RangeIndex(len(out))
                     yield out
 
+        return self._decoded_frame(files, decode, with_pos, "avro")
+
+    def _decode_fields(self, kind: str) -> tuple[list, dict]:
+        """(names, {name: iceberg type}) of the table's primitive
+        columns for the python decode paths — refusing LOUDLY when
+        the schema has columns the decode cannot carry (nested
+        structs/lists/maps, unmapped primitives): silently narrowing
+        the frame would make a scan claim to be the table while
+        missing columns, and a mixed-format union would die in a
+        confusing AnalysisException instead of here."""
+        allf = self.schema_fields()
+        nested = [f["name"] for f in allf if not isinstance(f["type"], str)]
+        if nested:
+            raise NotImplementedError(
+                f"{self.path}: {kind} decode cannot carry "
+                f"non-primitive columns {nested} — needs a full "
+                "Iceberg runtime"
+            )
+        unmapped = [f["name"] for f in allf if _spark_type(f["type"]) is None]
+        if unmapped:
+            raise NotImplementedError(
+                f"{self.path}: {kind} decode has no type mapping "
+                f"for columns {unmapped}"
+            )
+        return (
+            [f["name"] for f in allf],
+            {f["name"]: f["type"] for f in allf},
+        )
+
+    def _decoded_frame(
+        self, files: list[dict], decode, with_pos: bool, kind: str
+    ) -> DataFrame:
+        """Shared wrapper for the python decode paths: table-schema
+        StructType (+ the (__fp, __pos) tag fields when the caller
+        needs delete ordinals), one executor task per data file."""
+        from pyspark.sql import types as T
+
+        allf = self.schema_fields()
+        schema = T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    _spark_type(f["type"]),
+                    not f.get("required", False),
+                )
+                for f in allf
+            ]
+            + (
+                [
+                    T.StructField("__fp", T.StringType(), False),
+                    T.StructField("__pos", T.LongType(), False),
+                ]
+                if with_pos
+                else []
+            )
+        )
+        paths = [f["path"] for f in files]
         return (
             self.spark.createDataFrame([(p,) for p in paths], "path string")
             .repartition(len(paths))
@@ -1186,38 +1225,11 @@ class IcebergTable:
         schema; a column a file omits reads as NULL (identity
         partition projection is gated before this path can see it).
         Differential-tested against the native reader row-for-row."""
-        import pandas as pd
-        from pyspark.sql import types as T
-
-        fields = [
-            f for f in self.schema_fields() if isinstance(f["type"], str)
-        ]
-        unmapped = [
-            f["name"] for f in fields if _spark_type(f["type"]) is None
-        ]
-        if unmapped:
-            raise NotImplementedError(
-                f"{self.path}: orc positional-delete scan has no type "
-                f"mapping for columns {unmapped}"
-            )
-        schema = T.StructType(
-            [
-                T.StructField(
-                    f["name"],
-                    _spark_type(f["type"]),
-                    not f.get("required", False),
-                )
-                for f in fields
-            ]
-            + [
-                T.StructField("__fp", T.StringType(), False),
-                T.StructField("__pos", T.LongType(), False),
-            ]
-        )
-        names = [f["name"] for f in fields]
-        paths = [f["path"] for f in files]
+        names, types = self._decode_fields("orc")
+        tz_cols = [n for n in names if types[n] == "timestamptz"]
 
         def decode(batches):
+            import pandas as pd
             import pyarrow.orc as po
 
             from feature_store_spark.sources.iceberg import (
@@ -1239,16 +1251,26 @@ class IcebergTable:
                             if nm not in out.columns:
                                 out[nm] = None
                         out = out[names]
+                        for nm in tz_cols:
+                            if nm not in avail:
+                                continue  # all-NULL fill: no .dt
+                            # pyarrow decodes ORC timestamps to the
+                            # UTC instant as a NAIVE series; localize
+                            # so mapInPandas cannot reinterpret it
+                            # under a non-UTC session tz (review r10b,
+                            # empirically skewed by the session
+                            # offset otherwise)
+                            ser = out[nm]
+                            if getattr(ser.dt, "tz", None) is None:
+                                out[nm] = ser.dt.tz_localize("UTC")
+                            else:
+                                out[nm] = ser.dt.tz_convert("UTC")
                         out["__fp"] = sfx
                         out["__pos"] = pd.RangeIndex(base, base + n)
                         base += n
                         yield out
 
-        return (
-            self.spark.createDataFrame([(p,) for p in paths], "path string")
-            .repartition(len(paths))
-            .mapInPandas(decode, schema=schema)
-        )
+        return self._decoded_frame(files, decode, True, "orc")
 
     def scan(
         self,
@@ -1326,7 +1348,7 @@ class IcebergTable:
             if f.get("format", "parquet") not in ("avro", "orc")
         ]
         pos_deletes = [d for d in deletes if d["delete_kind"] == "pos"]
-        orc_pos_hit = False
+        orc_touched: set = set()
         if orc_files and pos_deletes:
             # positional deletes anti-join on the per-row ordinal,
             # which Spark's native ORC reader does not expose
@@ -1358,7 +1380,7 @@ class IcebergTable:
                     .distinct()
                     .collect()
                 }
-            orc_pos_hit = bool(cache[probe_key] & orc_sfx)
+            orc_touched = cache[probe_key] & orc_sfx
         if orc_files and resolve_by_field_id:
             raise NotImplementedError(
                 f"{self.path}: resolve_by_field_id reads parquet "
@@ -1490,33 +1512,43 @@ class IcebergTable:
                 if deletes:
                     df = self._apply_deletes(df, pq_files, deletes)
             if orc_files:
-                if orc_pos_hit:
-                    # positional deletes mark ORC rows: decode with
-                    # executor-side ordinals (pre-tagged __fp/__pos),
-                    # then the standard anti-joins apply both delete
-                    # kinds
-                    odf = self._read_orc_with_pos(orc_files)
+                # the probe already knows WHICH files pos deletes
+                # mark: only those pay the python ordinal decode;
+                # every other ORC file stays on Spark's native
+                # vectorized reader (review r10b: decoding all 1,000
+                # files because one was marked is the wrong physics)
+                marked = [
+                    f for f in orc_files
+                    if _path_suffix(f["path"]) in orc_touched
+                ]
+                plain = [
+                    f for f in orc_files
+                    if _path_suffix(f["path"]) not in orc_touched
+                ]
+                odf = None
+                if marked:
+                    # decode with executor-side ordinals (pre-tagged
+                    # __fp/__pos); the standard anti-joins then apply
+                    # both delete kinds
+                    x = self._read_orc_with_pos(marked)
                     odf = self._apply_deletes(
-                        odf, orc_files, deletes, pre_tagged=True
+                        x, marked, deletes, pre_tagged=True
                     ).drop("__fp", "__pos")
-                else:
+                if plain:
                     # Spark-native ORC scan (read.orc takes a LIST of
                     # paths, not varargs). Only EQUALITY deletes reach
-                    # the ORC frame here: positional deletes either
-                    # touch no ORC row (probe above) or routed through
-                    # the ordinal decode — skipping them avoids
-                    # referencing the row ordinal the native reader
-                    # lacks.
-                    odf = self.spark.read.orc(
-                        [f["path"] for f in orc_files]
+                    # this frame: no positional delete marks it (probe
+                    # above) — skipping them avoids referencing the
+                    # row ordinal the native reader lacks.
+                    y = self.spark.read.orc(
+                        [f["path"] for f in plain]
                     )
                     eq_only = [
                         d for d in deletes if d["delete_kind"] == "eq"
                     ]
                     if eq_only:
-                        odf = self._apply_deletes(
-                            odf, orc_files, eq_only
-                        )
+                        y = self._apply_deletes(y, plain, eq_only)
+                    odf = y if odf is None else odf.unionByName(y)
                 df = odf if df is None else df.unionByName(odf)
             if avro_files:
                 # the python decode is the only avro path anyway, so

@@ -2121,3 +2121,95 @@ class TestOrcDataFiles:
         assert sum(len(v) for v in by_file.values()) == sum(
             per_file_n.values()
         )
+
+    def test_decode_paths_survive_non_utc_session(self, spark, tmp_path):
+        """The decode paths must return the same INSTANTS as the
+        native reader regardless of spark.sql.session.timeZone —
+        pyarrow/epoch decodes are naive UTC and must be localized, or
+        every timestamp skews by the session offset (review r10b,
+        reproduced at America/New_York before the fix)."""
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_delete_where,
+        )
+
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            # ORC: pos-delete forces the stripe decode; instants must
+            # match the native reader's to the microsecond
+            d = str(tmp_path / "tz_orc")
+            iceberg_append(self._batch(spark), d, file_format="orc")
+            t = IcebergTable(spark, d)
+            native = sorted(
+                r[0]
+                for r in t.scan()
+                .select(F.unix_micros("event_time"))
+                .collect()
+            )
+            iceberg_delete_where(spark, d, [("entity_id", "=", "e0")])
+            t2 = IcebergTable(spark, d)
+            decoded = sorted(
+                r[0]
+                for r in t2.scan()
+                .select(F.unix_micros("event_time"))
+                .collect()
+            )
+            assert len(decoded) == len(native) - 1
+            assert set(decoded).issubset(set(native))
+
+            # AVRO: equality delete forces the with_pos decode
+            from iceberg_fixture import IcebergFixture
+
+            d2 = str(tmp_path / "tz_avro")
+            fx = IcebergFixture(d2)
+            fx.append([
+                _row("user", "u1", "clicks", 1.0, 100),
+                _row("user", "u2", "clicks", 2.0, 100, hour=7),
+            ], file_format="AVRO")
+            fx.eq_delete(["u1"])
+            fx.finish()
+            got = {
+                (r["entity_id"], r["us"])
+                for r in IcebergTable(spark, d2)
+                .scan()
+                .select(
+                    "entity_id",
+                    F.unix_micros("event_time").alias("us"),
+                )
+                .collect()
+            }
+            assert got == {
+                ("u2", 100 * US_PER_DAY + 7 * 3_600_000_000)
+            }
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    def test_only_marked_orc_files_pay_the_decode(self, spark, tmp_path):
+        """Selective routing: a pos delete marking ONE orc file must
+        not push the table's other ORC files off the native reader —
+        they stay visible in the scan's inputFiles (the decode frame
+        reads through a path list, contributing none)."""
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_delete_where,
+        )
+
+        d = str(tmp_path / "selective")
+        iceberg_append(self._batch(spark), d, file_format="orc")
+        iceberg_delete_where(spark, d, [("entity_id", "=", "e0")])
+        t = IcebergTable(spark, d)
+        files = [f for f in t.data_files() if not f["is_delete"]]
+        assert len(files) > 1
+        scan = t.scan()
+        assert scan.count() == 59
+        native_inputs = {
+            f for f in scan.inputFiles() if f.endswith(".orc")
+        }
+        # at least one unmarked ORC file still reads natively, and
+        # not every orc file went through the python decode
+        assert native_inputs
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan  # the marked file's decode

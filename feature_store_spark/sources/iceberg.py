@@ -1391,87 +1391,90 @@ class IcebergTable:
                 f"{self.path}: resolve_by_field_id reads parquet "
                 "footers; avro data files resolve by name"
             )
+        orc_evolved: set = set()
         if orc_files and not resolve_by_field_id:
-            # the spec's Column Projection rule applies to ORC files
-            # too, but the per-file resolver is parquet-only — an ORC
-            # file that omits an identity partition source column
-            # cannot be patched from metadata here, so refuse loudly
-            # instead of silently null-filling (tables this exporter
-            # writes always embed the source columns). pyarrow.orc
-            # reads only the file footer; schemas cached per reader
-            # (committed data files are immutable).
+            # ORC footer sniff (pyarrow reads only the file footer;
+            # schemas cached per reader — committed files are
+            # immutable). Two reasons a current-schema column can be
+            # absent from a file:
+            # - identity partition source (spec Column Projection):
+            #   its values live in partition METADATA and the
+            #   parquet-only resolver can't patch an ORC frame —
+            #   refuse loudly (rewrite routes through this scan, so
+            #   it can't be the advertised remedy);
+            # - schema evolution (column added later): NULL is the
+            #   correct value, and the decode path null-fills by
+            #   name — route those files through it instead of
+            #   letting spark.read.orc silently narrow the frame to
+            #   one file's schema.
             ident_sources = {
                 pf["source-id"]
                 for f in orc_files
                 for pf in self.partition_spec(f.get("spec_id", 0))
                 if pf.get("transform") == "identity"
             }
-            proj_fields = [
+            allprims = [
                 f
                 for f in self.schema_fields()
-                if isinstance(f["type"], str) and f["id"] in ident_sources
+                if isinstance(f["type"], str)
             ]
-            if proj_fields:
-                import pyarrow.orc as _po
-
-                cache = getattr(self, "_orc_schema_cache", None)
-                if cache is None:
-                    cache = self._orc_schema_cache = {}
-
-                def _orc_names(path: str) -> frozenset:
-                    if path not in cache:
-                        cache[path] = frozenset(
-                            _po.ORCFile(_strip_scheme(path)).schema.names
-                        )
-                    return cache[path]
-
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(max_workers=16) as pool:
-                    all_names = pool.map(
-                        lambda f: _orc_names(f["path"]), orc_files
-                    )
-                for names in all_names:
-                    gone = [
-                        f["name"] for f in proj_fields
-                        if f["name"] not in names
-                    ]
-                    if gone:
-                        # circular-remedy hazard: rewrite calls this
-                        # scan, so don't advertise it as the fix
-                        raise NotImplementedError(
-                            f"{self.path}: ORC data file omits "
-                            f"identity partition source column(s) "
-                            f"{gone} (spec Column Projection); the "
-                            "per-file resolver reads parquet footers "
-                            "— needs a full Iceberg runtime"
-                        )
-        if pq_files and not resolve_by_field_id:
-            # hive-layout detection (UniForm-exported / migrated
-            # tables): if a schema column that SOURCES an identity
-            # partition field is absent from a data file's footer, its
-            # values live in partition metadata, not the files — the
-            # plain multi-file read would silently null-fill it. Route
-            # through the per-file resolver, which applies the spec's
-            # Column Projection rule. EVERY surviving file's footer is
-            # sniffed (review r10: a first-file-only check misreads
-            # MIXED tables where some files embed the column and some
-            # rely on projection) — thread-pooled KB reads, cached per
-            # table, skipped entirely for unpartitioned /
-            # non-identity specs, and reused verbatim by the resolver
-            # when routing triggers.
-            ident_sources = {
-                pf["source-id"]
-                for f in pq_files
-                for pf in self.partition_spec(f.get("spec_id", 0))
-                if pf.get("transform") == "identity"
+            proj_names = {
+                f["name"] for f in allprims if f["id"] in ident_sources
             }
-            proj_fields = [
+            import pyarrow.orc as _po
+
+            cache = getattr(self, "_orc_schema_cache", None)
+            if cache is None:
+                cache = self._orc_schema_cache = {}
+
+            def _orc_names(path: str) -> frozenset:
+                if path not in cache:
+                    cache[path] = frozenset(
+                        _po.ORCFile(_strip_scheme(path)).schema.names
+                    )
+                return cache[path]
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                all_names = list(
+                    pool.map(lambda f: _orc_names(f["path"]), orc_files)
+                )
+            for f, names in zip(orc_files, all_names):
+                missing = [
+                    p["name"] for p in allprims if p["name"] not in names
+                ]
+                gone = [m for m in missing if m in proj_names]
+                if gone:
+                    raise NotImplementedError(
+                        f"{self.path}: ORC data file omits identity "
+                        f"partition source column(s) {gone} (spec "
+                        "Column Projection); the per-file resolver "
+                        "reads parquet footers — needs a full "
+                        "Iceberg runtime"
+                    )
+                if missing:
+                    orc_evolved.add(_path_suffix(f["path"]))
+        if pq_files and not resolve_by_field_id:
+            # footer sniff: if ANY current-schema column is absent
+            # from ANY surviving parquet file, the plain multi-file
+            # read misreads the table — an identity-partition source
+            # column lives in partition metadata (spec Column
+            # Projection, hive-layout/UniForm tables), and a column
+            # ADDED by schema evolution is simply missing from older
+            # files (spark.read.parquet would silently narrow to one
+            # file's schema). Both route through the per-file
+            # resolver, which projects per file and null-fills.
+            # EVERY surviving file's footer is sniffed (review r10:
+            # a first-file-only check misreads MIXED tables) —
+            # thread-pooled KB reads, cached per table, reused
+            # verbatim by the resolver when routing triggers.
+            need = [
                 f
                 for f in self.schema_fields()
-                if isinstance(f["type"], str) and f["id"] in ident_sources
+                if isinstance(f["type"], str)
             ]
-            if proj_fields:
+            if need:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(max_workers=16) as pool:
@@ -1481,18 +1484,19 @@ class IcebergTable:
                     )
                 for sig in sigs:
                     names = {n for n, _ in sig}
-                    if any(f["name"] not in names for f in proj_fields):
+                    if any(f["name"] not in names for f in need):
                         if avro_files or orc_files:
                             # the resolver can't carry the non-parquet
                             # frames; silently null-filling the
-                            # projected column would be a wrong
-                            # answer, and rewrite_data_files routes
-                            # through this very scan, so it can't be
-                            # the advertised remedy
+                            # missing column would be a wrong answer,
+                            # and rewrite_data_files routes through
+                            # this very scan, so it can't be the
+                            # advertised remedy
                             raise NotImplementedError(
                                 f"{self.path}: parquet data files "
-                                "need identity-column projection but "
-                                "the snapshot mixes in non-parquet "
+                                "omit current-schema columns "
+                                "(projection or evolution) but the "
+                                "snapshot mixes in non-parquet "
                                 "files the per-file resolver can't "
                                 "read — needs a full Iceberg runtime"
                             )
@@ -1517,13 +1521,14 @@ class IcebergTable:
                 # every other ORC file stays on Spark's native
                 # vectorized reader (review r10b: decoding all 1,000
                 # files because one was marked is the wrong physics)
+                route = orc_touched | orc_evolved
                 marked = [
                     f for f in orc_files
-                    if _path_suffix(f["path"]) in orc_touched
+                    if _path_suffix(f["path"]) in route
                 ]
                 plain = [
                     f for f in orc_files
-                    if _path_suffix(f["path"]) not in orc_touched
+                    if _path_suffix(f["path"]) not in route
                 ]
                 odf = None
                 if marked:

@@ -444,6 +444,30 @@ def iceberg_append(
             return nxt - 1  # redelivered batch: no state change
     if schema_fields is None:
         schema_fields = _infer_fields(df)
+
+    data_dir = os.path.join(table_dir, "data")
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    prev_meta, prev_manifests, snap_id = _load_prev(meta_dir)
+    if prev_meta is not None:
+        # appends to an EXISTING table must keep field ids stable by
+        # name (see _evolve_schema) — positional re-inference from
+        # this batch's column order would repoint committed
+        # equality-delete ids at different columns
+        if "schemas" in prev_meta:
+            sid = prev_meta.get("current-schema-id", 0)
+            prev_schema = next(
+                (
+                    s["fields"]
+                    for s in prev_meta["schemas"]
+                    if s.get("schema-id") == sid
+                ),
+                prev_meta["schemas"][0]["fields"],
+            )
+        else:
+            prev_schema = prev_meta["schema"]["fields"]
+        schema_fields = _evolve_schema(prev_schema, schema_fields)
     by_name = {f["name"]: f for f in schema_fields}
     if entity_col not in by_name or ts_col not in by_name:
         raise ValueError("entity/ts columns must be in the schema")
@@ -451,12 +475,6 @@ def iceberg_append(
         if k not in by_name:
             raise ValueError(f"upsert key {k!r} is not in the schema")
     ent_id, ts_id = by_name[entity_col]["id"], by_name[ts_col]["id"]
-
-    data_dir = os.path.join(table_dir, "data")
-    meta_dir = os.path.join(table_dir, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
-
-    prev_meta, prev_manifests, snap_id = _load_prev(meta_dir)
 
     staging = os.path.join(
         data_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}"
@@ -710,7 +728,12 @@ def iceberg_append(
         "location": table_dir,
         "last-sequence-number": snap_id,
         "last-updated-ms": 1700000000000 + snap_id,
-        "last-column-id": max(f["id"] for f in schema_fields),
+        # monotone across evolution (ids are never reused even if a
+        # column were ever dropped)
+        "last-column-id": max(
+            max(f["id"] for f in schema_fields),
+            int((prev_meta or {}).get("last-column-id", 0)),
+        ),
         "current-schema-id": 0,
         "schemas": [
             {"type": "struct", "schema-id": 0, "fields": schema_fields}
@@ -735,6 +758,37 @@ def iceberg_append(
     }
     _publish_metadata(meta_dir, snap_id, meta)
     return snap_id
+
+
+def _evolve_schema(
+    prev_fields: list[dict], new_fields: list[dict]
+) -> list[dict]:
+    """Stable-id schema merge (the spec's evolution rule): existing
+    column NAMES keep their historical ids and types — field ids are
+    the identity every equality-delete file and field-id read keys
+    on, so re-deriving them positionally from a reordered or widened
+    DataFrame would silently repoint old delete files at different
+    columns. Genuinely new columns get fresh ids above the
+    historical max; columns absent from this append stay in the
+    schema (spec evolution: their values read as NULL). A same-name
+    type change refuses — promotion rules are full-runtime work."""
+    by_name = {f["name"]: f for f in prev_fields}
+    out = list(prev_fields)
+    next_id = (
+        max(f["id"] for f in prev_fields) + 1 if prev_fields else 1
+    )
+    for f in new_fields:
+        p = by_name.get(f["name"])
+        if p is None:
+            out.append({**f, "id": next_id})
+            next_id += 1
+        elif p["type"] != f["type"]:
+            raise ValueError(
+                f"iceberg_append: column {f['name']!r} changed type "
+                f"{p['type']!r} -> {f['type']!r}; type promotion "
+                "needs a full Iceberg runtime"
+            )
+    return out
 
 
 def _infer_fields(df: DataFrame) -> list[dict]:

@@ -2213,3 +2213,141 @@ class TestOrcDataFiles:
         assert native_inputs
         plan = scan._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan  # the marked file's decode
+
+
+class TestSchemaEvolutionOnAppend:
+    """Field ids are the identity equality-delete files and field-id
+    reads key on: appends must keep them stable BY NAME (r10 review —
+    positional re-inference from each batch's column order silently
+    repointed committed delete ids at different columns)."""
+
+    @staticmethod
+    def _frame(spark, cols):
+        from pyspark.sql import functions as F
+
+        base = spark.range(5).select(
+            F.lit("user").alias("entity_type"),
+            F.concat(F.lit("e"), F.col("id")).alias("entity_id"),
+            (F.col("id") * 1.0).alias("value_float"),
+            F.timestamp_seconds(F.lit(100) * 86400 + F.col("id")).alias(
+                "event_time"
+            ),
+            (F.col("id") * 10.0).alias("extra"),
+        )
+        return base.select(*cols)
+
+    @staticmethod
+    def _ids(d):
+        import json
+
+        import glob as g
+
+        metas = sorted(g.glob(os.path.join(d, "metadata", "v*.metadata.json")))
+        with open(metas[-1]) as f:
+            m = json.load(f)
+        sid = m.get("current-schema-id", 0)
+        fields = next(
+            s["fields"] for s in m["schemas"] if s.get("schema-id") == sid
+        )
+        return {f["name"]: f["id"] for f in fields}
+
+    BASE = ["entity_type", "entity_id", "value_float", "event_time"]
+
+    def test_reordered_append_keeps_ids(self, spark, tmp_path):
+        from feature_store_spark.sources.iceberg_write import iceberg_append
+
+        d = str(tmp_path / "reorder")
+        iceberg_append(self._frame(spark, self.BASE), d)
+        ids1 = self._ids(d)
+        iceberg_append(self._frame(spark, list(reversed(self.BASE))), d)
+        assert self._ids(d) == ids1
+        assert IcebergTable(spark, d).scan().count() == 10
+
+    def test_added_column_gets_fresh_id(self, spark, tmp_path):
+        from feature_store_spark.sources.iceberg_write import iceberg_append
+
+        d = str(tmp_path / "widen")
+        iceberg_append(self._frame(spark, self.BASE), d)
+        ids1 = self._ids(d)
+        iceberg_append(self._frame(spark, self.BASE + ["extra"]), d)
+        ids2 = self._ids(d)
+        assert {k: ids2[k] for k in ids1} == ids1  # stable
+        assert ids2["extra"] == max(ids1.values()) + 1
+
+    def test_narrower_append_keeps_schema(self, spark, tmp_path):
+        """A batch missing a column must not drop it from the table
+        schema (evolution: absent values read as NULL)."""
+        from feature_store_spark.sources.iceberg_write import iceberg_append
+
+        d = str(tmp_path / "narrow")
+        iceberg_append(self._frame(spark, self.BASE + ["extra"]), d)
+        ids1 = self._ids(d)
+        iceberg_append(self._frame(spark, self.BASE), d)
+        assert self._ids(d) == ids1
+
+    def test_type_change_refused(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import iceberg_append
+
+        d = str(tmp_path / "retype")
+        iceberg_append(self._frame(spark, self.BASE), d)
+        bad = self._frame(spark, self.BASE).withColumn(
+            "value_float", F.col("value_float").cast("long")
+        )
+        with pytest.raises(ValueError, match="type"):
+            iceberg_append(bad, d)
+
+    def test_upsert_after_evolution_deletes_right_rows(
+        self, spark, tmp_path
+    ):
+        """The payoff case: equality_ids recorded AFTER a widening
+        append must still point at the key columns, so the delete
+        kills old versions of the keys and nothing else."""
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_upsert,
+        )
+
+        d = str(tmp_path / "evolve_upsert")
+        iceberg_append(self._frame(spark, self.BASE), d)
+        up = self._frame(spark, self.BASE + ["extra"]).filter(
+            F.col("entity_id") == "e1"
+        ).withColumn("value_float", F.lit(999.0))
+        iceberg_upsert(up, d, keys=["entity_type", "entity_id"])
+        t = IcebergTable(spark, d)
+        got = {
+            (r["entity_id"], r["value_float"])
+            for r in t.scan().collect()
+        }
+        assert ("e1", 999.0) in got and ("e1", 1.0) not in got
+        assert ("e0", 0.0) in got  # untouched keys survive
+        assert t.scan().count() == 5
+
+    def test_widened_orc_table_scans_full_schema(self, spark, tmp_path):
+        """Schema evolution on an ORC table: older files omit the new
+        column, and spark.read.orc alone would silently narrow the
+        frame to one file's schema — the sniff routes the old files
+        through the decode, which null-fills by name."""
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import iceberg_append
+
+        d = str(tmp_path / "orc_widen")
+        batch = TestOrcDataFiles._batch
+        iceberg_append(batch(spark), d, file_format="orc")
+        widened = batch(spark, shift=1000.0, day0=105).withColumn(
+            "extra", F.lit(7.5)
+        )
+        iceberg_append(widened, d, file_format="orc")
+        t = IcebergTable(spark, d)
+        df = t.scan()
+        assert "extra" in df.columns
+        rows = df.collect()
+        assert len(rows) == 120
+        vals = {r["extra"] for r in rows}
+        assert vals == {None, 7.5}  # old files null-fill, new carry it
+        n_null = sum(1 for r in rows if r["extra"] is None)
+        assert n_null == 60

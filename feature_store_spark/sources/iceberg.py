@@ -77,6 +77,21 @@ _US_PER_DAY = 86_400_000_000
 _US_PER_HOUR = 3_600_000_000
 
 
+def current_schema_fields(meta: dict) -> list[dict]:
+    """The current schema's field list from a metadata dict — the ONE
+    schema-resolution rule (current-schema-id match over ``schemas``,
+    first-schema fallback, legacy single-``schema`` key), shared by
+    the reader and the writer so they can never resolve different
+    schemas for the same table."""
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                return s["fields"]
+        return meta["schemas"][0]["fields"]
+    return meta["schema"]["fields"]
+
+
 def _strip_scheme(p: str) -> str:
     return p[7:] if p.startswith("file://") else p
 
@@ -433,14 +448,7 @@ class IcebergTable:
     def schema_fields(self) -> list[dict]:
         """Current schema's [{id, name, type, required}] (flat fields;
         nested struct stats are not used for pruning)."""
-        meta = self.meta
-        if "schemas" in meta:
-            sid = meta.get("current-schema-id", 0)
-            for s in meta["schemas"]:
-                if s.get("schema-id") == sid:
-                    return s["fields"]
-            return meta["schemas"][0]["fields"]
-        return meta["schema"]["fields"]
+        return current_schema_fields(self.meta)
 
     def partition_spec(self, spec_id: int | None = None) -> list[dict]:
         meta = self.meta
@@ -1099,6 +1107,16 @@ class IcebergTable:
         files exist in Hive-migrated tables; the hot path stays
         parquet."""
         names, types = self._decode_fields("avro")
+        ident = {
+            pf["source-id"]
+            for f in files
+            for pf in self.partition_spec(f.get("spec_id", 0))
+            if pf.get("transform") == "identity"
+        }
+        proj_names = tuple(
+            f["name"] for f in self.schema_fields() if f["id"] in ident
+        )
+        known = frozenset(names)
 
         def decode(batches):
             import pandas as pd
@@ -1108,7 +1126,39 @@ class IcebergTable:
 
             for pdf in batches:
                 for p in pdf["path"]:
-                    recs, _ = read_avro(p)
+                    recs, wschema = read_avro(p)
+                    have = (
+                        {
+                            f.get("name")
+                            for f in wschema.get("fields", [])
+                        }
+                        if isinstance(wschema, dict)
+                        else set()
+                    )
+                    # same two absence-cause rules as the ORC sniff
+                    # (review r10c #4), enforced on the OCF writer
+                    # schema: identity-projection values live in
+                    # partition metadata (null-fill would be wrong),
+                    # and missing-plus-unknown names signal a rename
+                    # the name-based decode can't follow
+                    gone = [n for n in proj_names if n not in have]
+                    if gone:
+                        raise NotImplementedError(
+                            f"{p}: avro data file omits identity "
+                            f"partition source column(s) {gone} "
+                            "(spec Column Projection) — needs a "
+                            "full Iceberg runtime"
+                        )
+                    missing = known - have
+                    extra = have - known
+                    if missing and extra:
+                        raise NotImplementedError(
+                            f"{p}: avro data file is missing schema "
+                            f"column(s) {sorted(missing)} while "
+                            f"carrying unknown column(s) "
+                            f"{sorted(extra)} — a rename needs "
+                            "field-id resolution"
+                        )
                     cols = {}
                     for nm in names:
                         vals = [r.get(nm) for r in recs]
@@ -1299,17 +1349,19 @@ class IcebergTable:
         distributed anti-joins with small broadcast delete sides.
 
         ``resolve_by_field_id=True`` resolves columns by the spec's
-        field ids instead of names — required for tables whose schema
-        EVOLVED (renamed/added/dropped columns) after data files were
-        written. Off by default: it reads one footer per data file at
-        plan time (thread-pooled), which name-stable tables (including
-        everything iceberg_append writes) don't need. Exception:
-        tables with IDENTITY partition fields sniff every surviving
-        file's footer even in the default path (cached per reader) —
-        the spec's Column Projection rule means a file may legitimately
-        omit the partition source column, and only its footer says so;
-        when any file does, the scan routes through the per-file
-        resolver automatically."""
+        field ids instead of names — the explicit knob for tables
+        whose schema EVOLVED (renamed/added/dropped columns) after
+        data files were written. Cost model: even in the default
+        path, every surviving parquet/ORC file's footer is sniffed at
+        plan time (thread-pooled KB reads, cached per reader) to
+        catch the two ways a file can legitimately omit a current-
+        schema column — identity-partition Column Projection (values
+        live in partition metadata) and additive schema evolution
+        (NULL is correct). When any file omits a column, the scan
+        routes through the per-file resolver (parquet) or the
+        name-resolved decode (ORC, evolution only) automatically;
+        rename signatures (missing + unknown names) refuse loudly on
+        the name-resolved paths."""
         if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
             raise ValueError(
                 "pass at most one of snapshot_id / as_of_ms / ref"
@@ -1440,6 +1492,9 @@ class IcebergTable:
                 all_names = list(
                     pool.map(lambda f: _orc_names(f["path"]), orc_files)
                 )
+            schema_names = {
+                f["name"] for f in self.schema_fields()
+            }
             for f, names in zip(orc_files, all_names):
                 missing = [
                     p["name"] for p in allprims if p["name"] not in names
@@ -1452,6 +1507,21 @@ class IcebergTable:
                         "Column Projection); the per-file resolver "
                         "reads parquet footers — needs a full "
                         "Iceberg runtime"
+                    )
+                if missing and (names - schema_names):
+                    # a file that LACKS a schema column while CARRYING
+                    # one the schema doesn't know is the signature of
+                    # a rename (same field id, new name) — null-
+                    # filling the new name would silently zero a
+                    # column whose data sits under the old name
+                    # (review r10c #2). Name-based decode can't tell
+                    # renames from evolution; refuse loudly.
+                    raise NotImplementedError(
+                        f"{self.path}: ORC data file is missing "
+                        f"schema column(s) {missing} while carrying "
+                        f"unknown column(s) {sorted(names - schema_names)} "
+                        "— a rename needs field-id resolution, which "
+                        "is parquet-only here"
                     )
                 if missing:
                     orc_evolved.add(_path_suffix(f["path"]))
@@ -1499,6 +1569,22 @@ class IcebergTable:
                                 "snapshot mixes in non-parquet "
                                 "files the per-file resolver can't "
                                 "read — needs a full Iceberg runtime"
+                            )
+                        nested = [
+                            f["name"]
+                            for f in self.schema_fields()
+                            if not isinstance(f["type"], str)
+                        ]
+                        if nested:
+                            # the per-file resolver carries primitive
+                            # columns only — routing would silently
+                            # drop the nested ones (review r10c #3)
+                            raise NotImplementedError(
+                                f"{self.path}: files omit current-"
+                                "schema columns and the schema has "
+                                f"non-primitive columns {nested} the "
+                                "per-file resolver can't carry — "
+                                "needs a full Iceberg runtime"
                             )
                         resolve_by_field_id = True
                         break

@@ -455,19 +455,15 @@ def iceberg_append(
         # name (see _evolve_schema) — positional re-inference from
         # this batch's column order would repoint committed
         # equality-delete ids at different columns
-        if "schemas" in prev_meta:
-            sid = prev_meta.get("current-schema-id", 0)
-            prev_schema = next(
-                (
-                    s["fields"]
-                    for s in prev_meta["schemas"]
-                    if s.get("schema-id") == sid
-                ),
-                prev_meta["schemas"][0]["fields"],
-            )
-        else:
-            prev_schema = prev_meta["schema"]["fields"]
-        schema_fields = _evolve_schema(prev_schema, schema_fields)
+        from feature_store_spark.sources.iceberg import (
+            current_schema_fields,
+        )
+
+        schema_fields = _evolve_schema(
+            current_schema_fields(prev_meta),
+            schema_fields,
+            int(prev_meta.get("last-column-id", 0)),
+        )
     by_name = {f["name"]: f for f in schema_fields}
     if entity_col not in by_name or ts_col not in by_name:
         raise ValueError("entity/ts columns must be in the schema")
@@ -714,8 +710,41 @@ def iceberg_append(
         "sequence-number": snap_id,
         "summary": summary,
         "manifest-list": mlist,
-        "schema-id": 0,
     }
+    # schema history (spec: every schema CHANGE gets a fresh
+    # schema-id; prior snapshots keep pointing at the schema that was
+    # current when they committed — rewriting schema-id 0 in place
+    # would silently retype time-travel reads, review r10c #5)
+    if prev_meta is None:
+        schemas = []
+    elif "schemas" in prev_meta:
+        schemas = list(prev_meta["schemas"])
+    else:  # legacy single-schema metadata
+        schemas = [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": prev_meta["schema"]["fields"],
+            }
+        ]
+    cur_sid = None
+    for s in schemas:
+        if s["fields"] == schema_fields:
+            cur_sid = int(s.get("schema-id", 0))
+            break
+    if cur_sid is None:
+        cur_sid = (
+            max((int(s.get("schema-id", 0)) for s in schemas), default=-1)
+            + 1
+        )
+        schemas.append(
+            {
+                "type": "struct",
+                "schema-id": cur_sid,
+                "fields": schema_fields,
+            }
+        )
+    snapshot["schema-id"] = cur_sid
     spec = [
         {"name": "entity_type_p", "transform": "identity",
          "source-id": ent_id, "field-id": 1000},
@@ -734,10 +763,8 @@ def iceberg_append(
             max(f["id"] for f in schema_fields),
             int((prev_meta or {}).get("last-column-id", 0)),
         ),
-        "current-schema-id": 0,
-        "schemas": [
-            {"type": "struct", "schema-id": 0, "fields": schema_fields}
-        ],
+        "current-schema-id": cur_sid,
+        "schemas": schemas,
         "default-spec-id": 0,
         "partition-specs": [
             {"spec-id": 0, "fields": spec},
@@ -761,7 +788,9 @@ def iceberg_append(
 
 
 def _evolve_schema(
-    prev_fields: list[dict], new_fields: list[dict]
+    prev_fields: list[dict],
+    new_fields: list[dict],
+    last_column_id: int = 0,
 ) -> list[dict]:
     """Stable-id schema merge (the spec's evolution rule): existing
     column NAMES keep their historical ids and types — field ids are
@@ -771,11 +800,21 @@ def _evolve_schema(
     columns. Genuinely new columns get fresh ids above the
     historical max; columns absent from this append stay in the
     schema (spec evolution: their values read as NULL). A same-name
-    type change refuses — promotion rules are full-runtime work."""
+    type change refuses — promotion rules are full-runtime work.
+
+    ``last_column_id`` (the table's recorded high-water mark) seeds
+    fresh ids alongside the live fields' max: a foreign table that
+    DROPPED a column keeps its id retired in last-column-id, and
+    reusing it would repoint that column's old equality-delete files
+    at the new column (review r10c #1)."""
     by_name = {f["name"]: f for f in prev_fields}
     out = list(prev_fields)
     next_id = (
-        max(f["id"] for f in prev_fields) + 1 if prev_fields else 1
+        max(
+            max((f["id"] for f in prev_fields), default=0),
+            int(last_column_id),
+        )
+        + 1
     )
     for f in new_fields:
         p = by_name.get(f["name"])

@@ -2351,3 +2351,133 @@ class TestSchemaEvolutionOnAppend:
         assert vals == {None, 7.5}  # old files null-fill, new carry it
         n_null = sum(1 for r in rows if r["extra"] is None)
         assert n_null == 60
+
+    def test_schema_history_and_snapshot_schema_ids(self, spark, tmp_path):
+        """Evolution bumps the schema id (spec): old snapshots keep
+        pointing at the schema that was current when they committed."""
+        import glob as g
+        import json
+
+        from feature_store_spark.sources.iceberg_write import iceberg_append
+
+        d = str(tmp_path / "schema_hist")
+        iceberg_append(self._frame(spark, self.BASE), d)
+        iceberg_append(self._frame(spark, self.BASE + ["extra"]), d)
+        meta = json.load(
+            open(sorted(g.glob(os.path.join(d, "metadata", "v*.metadata.json")))[-1])
+        )
+        sids = {s["schema-id"] for s in meta["schemas"]}
+        assert len(meta["schemas"]) == 2 and sids == {0, 1}
+        assert meta["current-schema-id"] == 1
+        snap_sids = {
+            s["snapshot-id"]: s["schema-id"] for s in meta["snapshots"]
+        }
+        assert snap_sids == {1: 0, 2: 1}
+        # the pre-evolution schema is still recoverable
+        old = next(
+            s for s in meta["schemas"] if s["schema-id"] == 0
+        )
+        assert "extra" not in {f["name"] for f in old["fields"]}
+
+    def test_dropped_column_id_never_reused(self, spark, tmp_path):
+        """A foreign table that DROPPED a column keeps its id retired
+        via last-column-id; a later widening append must allocate
+        ABOVE it, or the dropped column's old equality-delete files
+        would repoint at the new column."""
+        import glob as g
+        import json
+
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import iceberg_append
+
+        d = str(tmp_path / "retired_id")
+        iceberg_append(self._frame(spark, self.BASE + ["extra"]), d)
+        mpath = sorted(
+            g.glob(os.path.join(d, "metadata", "v*.metadata.json"))
+        )[-1]
+        meta = json.load(open(mpath))
+        # forge a foreign DROP of 'extra': remove the field, keep
+        # last-column-id at its historical max
+        for s in meta["schemas"]:
+            s["fields"] = [
+                f for f in s["fields"] if f["name"] != "extra"
+            ]
+        json.dump(meta, open(mpath, "w"))
+        retired = meta["last-column-id"]
+        iceberg_append(
+            self._frame(spark, self.BASE).withColumn(
+                "brand_new", F.lit(1.0)
+            ),
+            d,
+        )
+        ids = self._ids(d)
+        assert ids["brand_new"] > retired
+
+    def test_orc_rename_refuses_instead_of_null_filling(
+        self, spark, tmp_path
+    ):
+        """A spec-legal RENAME (same field id, new name) must not be
+        mistaken for additive evolution: the name-based ORC decode
+        would silently null-fill the new name while the data sits
+        under the old one."""
+        import glob as g
+        import json
+
+        from feature_store_spark.sources.iceberg_write import iceberg_append
+
+        d = str(tmp_path / "orc_rename")
+        iceberg_append(
+            TestOrcDataFiles._batch(spark), d, file_format="orc"
+        )
+        mpath = sorted(
+            g.glob(os.path.join(d, "metadata", "v*.metadata.json"))
+        )[-1]
+        meta = json.load(open(mpath))
+        for s in meta["schemas"]:
+            for f in s["fields"]:
+                if f["name"] == "value_float":
+                    f["name"] = "amount"  # rename, id unchanged
+        json.dump(meta, open(mpath, "w"))
+        t = IcebergTable(spark, d)
+        with pytest.raises(NotImplementedError, match="rename"):
+            t.scan()
+
+    def test_avro_rename_refuses_instead_of_null_filling(
+        self, spark, tmp_path
+    ):
+        """Same rename protection on the avro decode (enforced on the
+        OCF writer schema, executor-side)."""
+        import glob as g
+        import json
+
+        from iceberg_fixture import IcebergFixture
+
+        d = str(tmp_path / "avro_rename")
+        fx = IcebergFixture(d)
+        fx.append(
+            [
+                {
+                    "entity_type": "user",
+                    "entity_id": "u1",
+                    "feature_name": "clicks",
+                    "value_float": 1.0,
+                    "event_time_us": 100 * US_PER_DAY,
+                }
+            ],
+            file_format="AVRO",
+        )
+        fx.finish()
+        mpath = sorted(
+            g.glob(os.path.join(d, "metadata", "v*.metadata.json"))
+        )[-1]
+        meta = json.load(open(mpath))
+        schemas = meta.get("schemas") or [meta["schema"]]
+        for s in schemas:
+            for f in s["fields"]:
+                if f["name"] == "value_float":
+                    f["name"] = "amount"
+        json.dump(meta, open(mpath, "w"))
+        t = IcebergTable(spark, d)
+        with pytest.raises(Exception, match="rename"):
+            t.scan().collect()

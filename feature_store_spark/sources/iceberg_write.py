@@ -711,39 +711,7 @@ def iceberg_append(
         "summary": summary,
         "manifest-list": mlist,
     }
-    # schema history (spec: every schema CHANGE gets a fresh
-    # schema-id; prior snapshots keep pointing at the schema that was
-    # current when they committed — rewriting schema-id 0 in place
-    # would silently retype time-travel reads, review r10c #5)
-    if prev_meta is None:
-        schemas = []
-    elif "schemas" in prev_meta:
-        schemas = list(prev_meta["schemas"])
-    else:  # legacy single-schema metadata
-        schemas = [
-            {
-                "type": "struct",
-                "schema-id": 0,
-                "fields": prev_meta["schema"]["fields"],
-            }
-        ]
-    cur_sid = None
-    for s in schemas:
-        if s["fields"] == schema_fields:
-            cur_sid = int(s.get("schema-id", 0))
-            break
-    if cur_sid is None:
-        cur_sid = (
-            max((int(s.get("schema-id", 0)) for s in schemas), default=-1)
-            + 1
-        )
-        schemas.append(
-            {
-                "type": "struct",
-                "schema-id": cur_sid,
-                "fields": schema_fields,
-            }
-        )
+    schemas, cur_sid = _schemas_with(prev_meta, schema_fields)
     snapshot["schema-id"] = cur_sid
     spec = [
         {"name": "entity_type_p", "transform": "identity",
@@ -828,6 +796,41 @@ def _evolve_schema(
                 "needs a full Iceberg runtime"
             )
     return out
+
+
+def _schemas_with(
+    prev_meta: dict | None, schema_fields: list[dict]
+) -> tuple[list[dict], int]:
+    """(schemas history including ``schema_fields``, its schema-id).
+    The spec's evolution rule: every schema CHANGE gets a fresh
+    schema-id and prior schemas stay in the list — each snapshot
+    records the id that was current when it committed, so rewriting
+    schema-id 0 in place would silently retype time-travel reads
+    (review r10c #5)."""
+    if prev_meta is None:
+        schemas: list[dict] = []
+    elif "schemas" in prev_meta:
+        schemas = list(prev_meta["schemas"])
+    else:  # legacy single-schema metadata
+        schemas = [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": prev_meta["schema"]["fields"],
+            }
+        ]
+    for s in schemas:
+        if s["fields"] == schema_fields:
+            return schemas, int(s.get("schema-id", 0))
+    sid = (
+        max((int(s.get("schema-id", 0)) for s in schemas), default=-1)
+        + 1
+    )
+    return (
+        schemas
+        + [{"type": "struct", "schema-id": sid, "fields": schema_fields}],
+        sid,
+    )
 
 
 def _infer_fields(df: DataFrame) -> list[dict]:
@@ -1246,7 +1249,9 @@ def iceberg_delete_where(
         "sequence-number": snap_id,
         "summary": {"operation": "delete"},
         "manifest-list": mlist,
-        "schema-id": 0,
+        # the delete commits under the table's CURRENT schema, which
+        # after evolution is not necessarily schema-id 0
+        "schema-id": int(prev_meta.get("current-schema-id", 0)),
     }
     meta = dict(prev_meta)
     meta["last-sequence-number"] = snap_id
@@ -1405,6 +1410,22 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
                 "type": it,
             }
         )
+    meta_dir = os.path.join(delta_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    prev_meta, _m, snap_id = _load_prev(meta_dir)
+    if prev_meta is not None:
+        # re-exports keep field ids stable BY NAME against the prior
+        # Iceberg metadata (same rule as iceberg_append): Delta
+        # schema changes between exports must not repoint ids
+        from feature_store_spark.sources.iceberg import (
+            current_schema_fields,
+        )
+
+        fields = _evolve_schema(
+            current_schema_fields(prev_meta),
+            fields,
+            int(prev_meta.get("last-column-id", 0)),
+        )
     field_by_name = {f["name"]: f for f in fields}
 
     # identity partition spec from Delta's partitionColumns; values
@@ -1454,10 +1475,6 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
                 _dt.date.fromisoformat(str(s)) - _dt.date(1970, 1, 1)
             ).days
         return str(s)
-
-    meta_dir = os.path.join(delta_dir, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
-    prev_meta, _m, snap_id = _load_prev(meta_dir)
 
     paths = [os.path.join(t.path, a["path"]) for a in adds]
     with ThreadPoolExecutor(max_workers=16) as pool:
@@ -1549,8 +1566,9 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
         # is authoritative; older iceberg snapshots stay for travel)
         "summary": {"operation": "replace"},
         "manifest-list": mlist,
-        "schema-id": 0,
     }
+    schemas, cur_sid = _schemas_with(prev_meta, fields)
+    snapshot["schema-id"] = cur_sid
     new_meta = {
         "format-version": 2,
         "table-uuid": (prev_meta or {}).get(
@@ -1559,11 +1577,12 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
         "location": delta_dir,
         "last-sequence-number": snap_id,
         "last-updated-ms": 1700000000000 + snap_id,
-        "last-column-id": len(fields),
-        "current-schema-id": 0,
-        "schemas": [
-            {"type": "struct", "schema-id": 0, "fields": fields}
-        ],
+        "last-column-id": max(
+            max(f["id"] for f in fields),
+            int((prev_meta or {}).get("last-column-id", 0)),
+        ),
+        "current-schema-id": cur_sid,
+        "schemas": schemas,
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "last-partition-id": 999 + len(spec_fields),

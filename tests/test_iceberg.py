@@ -2481,3 +2481,35 @@ class TestSchemaEvolutionOnAppend:
         t = IcebergTable(spark, d)
         with pytest.raises(Exception, match="rename"):
             t.scan().collect()
+
+    def test_uniform_reexport_keeps_ids_and_schema_history(
+        self, spark, tmp_path
+    ):
+        """Re-exporting UniForm metadata after more Delta commits
+        must keep field ids stable and not grow the schemas list
+        when the schema is unchanged."""
+        import glob as g
+        import json
+
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.delta import delta_append
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_metadata_for_delta,
+        )
+
+        d = str(tmp_path / "uniform_stable")
+        df = spark.range(5).select(
+            F.col("id"), (F.col("id") * 2.0).alias("v")
+        )
+        delta_append(df, d)
+        iceberg_metadata_for_delta(spark, d)
+        ids1 = self._ids(d)
+        delta_append(df, d)
+        iceberg_metadata_for_delta(spark, d)
+        assert self._ids(d) == ids1
+        meta = json.load(
+            open(sorted(g.glob(os.path.join(d, "metadata", "v*.metadata.json")))[-1])
+        )
+        assert len(meta["schemas"]) == 1
+        assert IcebergTable(spark, d).scan().count() == 10

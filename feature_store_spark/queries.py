@@ -4170,6 +4170,86 @@ GROUP BY event_type
 """
 
 
+def q_iceberg_evolution(spark, sf_dir):
+    """Schema evolution under the oracle gate (r10): append the
+    pre-cut events, then UPSERT the post-cut batch WIDENED with a
+    computed ``weight`` column — the append merges the schema with
+    stable field ids (name-keyed; a fresh id for ``weight``), the
+    equality delete kills older versions of re-appearing keys
+    table-wide, and the scan detects that pre-evolution files omit
+    ``weight`` (footer sniff) and routes through the per-file
+    resolver, which null-fills it — so the aggregate sees real
+    weights for post-cut rows and NULLs for surviving pre-cut rows.
+    Oracle: the same anti-join + NULL-weight semantics in SQL."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_upsert,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.col("event_type").alias("entity_type"),
+        F.col("user_id").cast("string").alias("entity_id"),
+        F.col("value").alias("value_float"),
+        F.col("ts").alias("event_time"),
+    )
+    cut_us = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z in micros
+    scratch = _tmp.mkdtemp(prefix="fss-iceberg-evo-")
+    try:
+        early = records.filter(F.unix_micros("event_time") < cut_us)
+        late = records.filter(
+            F.unix_micros("event_time") >= cut_us
+        ).withColumn("weight", F.col("value_float") * 0.5)
+        iceberg_append(early, scratch)
+        iceberg_upsert(late, scratch, keys=["entity_type", "entity_id"])
+        t = IcebergTable(spark, scratch)
+        df = t.scan(
+            filters=[("entity_type", "in", ["purchase", "view"])]
+        )
+        out = df.groupBy("entity_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value_float")).alias("sum_value"),
+            F.count("weight").alias("n_weighted"),
+            _r6(F.sum("weight")).alias("sum_weight"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+ICEBERG_EVOLUTION_SQL = """
+WITH early AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS entity_id, value
+  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+),
+late AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS entity_id, value,
+         value * 0.5 AS weight
+  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+),
+current_view AS (
+  SELECT event_type, entity_id, value, weight FROM late
+  UNION ALL
+  SELECT event_type, entity_id, value, CAST(NULL AS DOUBLE) AS weight
+  FROM early e WHERE NOT EXISTS (
+    SELECT 1 FROM late l
+    WHERE l.event_type = e.event_type AND l.entity_id = e.entity_id)
+)
+SELECT event_type AS entity_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       CAST(count(weight) AS BIGINT) AS n_weighted,
+       round(sum(weight), 6) AS sum_weight
+FROM current_view
+WHERE event_type IN ('purchase', 'view')
+GROUP BY event_type
+"""
+
+
 def q_iceberg_refs(spark, sf_dir):
     """Named-ref time travel (spec ``refs`` map, r9): export the
     pre-cut events batch, TAG it ``v1``, append the post-cut batch
@@ -8048,6 +8128,7 @@ QUERIES: dict[str, tuple] = {
     "delta_uniform": (q_delta_uniform, DELTA_UNIFORM_SQL),
     "iceberg_scan": (q_iceberg_scan, ICEBERG_SCAN_SQL),
     "iceberg_orc": (q_iceberg_orc, ICEBERG_ORC_SQL),
+    "iceberg_evolution": (q_iceberg_evolution, ICEBERG_EVOLUTION_SQL),
     "iceberg_mor_delete": (q_iceberg_mor_delete, ICEBERG_MOR_DELETE_SQL),
     "delta_scan": (q_delta_scan, DELTA_SCAN_SQL),
     "delta_dv_scan": (q_delta_dv_scan, DELTA_DV_SCAN_SQL),
@@ -8379,6 +8460,7 @@ _R9_WINDOW = [
 _R10_WINDOW = [
     # new/changed paths
     "iceberg_orc",
+    "iceberg_evolution",
     "incremental_drift",
     "stream_incremental_drift",
     "ivfpq_recall",

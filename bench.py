@@ -124,6 +124,7 @@ HEADLINE = [
     "incremental_drift",
     # schema evolution: widened upsert + resolver-routed scan
     "iceberg_evolution",
+    "delta_evolution",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

@@ -4387,6 +4387,79 @@ GROUP BY o_orderstatus
 """
 
 
+def q_delta_evolution(spark, sf_dir):
+    """Delta schema evolution under the oracle gate (r10): append the
+    pre-cut events, then append the post-cut batch WIDENED with a
+    computed ``weight`` column via ``merge_schema=True`` — the commit
+    carries an updated metaData action (new column nullable), and the
+    scan detects the heterogeneous footers and null-fills ``weight``
+    for pre-evolution files instead of narrowing the frame (both
+    hazards this round's enforcement/evolution work closed). Oracle:
+    the plain union with NULL weights on the early side."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.delta import DeltaTable, delta_append
+
+    ev = load_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.col("event_type").alias("entity_type"),
+        F.col("user_id").cast("string").alias("entity_id"),
+        F.col("value").alias("value_float"),
+        F.col("ts").alias("event_time"),
+    )
+    cut_us = 1_705_276_800_000_000
+    scratch = _tmp.mkdtemp(prefix="fss-delta-evo-")
+    try:
+        early = records.filter(F.unix_micros("event_time") < cut_us)
+        late = records.filter(
+            F.unix_micros("event_time") >= cut_us
+        ).withColumn("weight", F.col("value_float") * 0.5)
+        delta_append(early, scratch, partition_cols=["entity_type"])
+        delta_append(
+            late,
+            scratch,
+            partition_cols=["entity_type"],
+            merge_schema=True,
+        )
+        t = DeltaTable(spark, scratch)
+        df = t.scan(
+            filters=[("entity_type", "in", ["purchase", "view"])]
+        )
+        out = df.groupBy("entity_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value_float")).alias("sum_value"),
+            F.count("weight").alias("n_weighted"),
+            _r6(F.sum("weight")).alias("sum_weight"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+DELTA_EVOLUTION_SQL = """
+WITH early AS (
+  SELECT event_type, value, CAST(NULL AS DOUBLE) AS weight
+  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+),
+late AS (
+  SELECT event_type, value, value * 0.5 AS weight
+  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+),
+unioned AS (
+  SELECT * FROM early UNION ALL SELECT * FROM late
+)
+SELECT event_type AS entity_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       CAST(count(weight) AS BIGINT) AS n_weighted,
+       round(sum(weight), 6) AS sum_weight
+FROM unioned
+WHERE event_type IN ('purchase', 'view')
+GROUP BY event_type
+"""
+
+
 def q_delta_scan(spark, sf_dir):
     """Delta Lake interop round trip: export orders into a real Delta
     table (two commits, hive-partitioned by o_orderstatus, add actions
@@ -8131,6 +8204,7 @@ QUERIES: dict[str, tuple] = {
     "iceberg_evolution": (q_iceberg_evolution, ICEBERG_EVOLUTION_SQL),
     "iceberg_mor_delete": (q_iceberg_mor_delete, ICEBERG_MOR_DELETE_SQL),
     "delta_scan": (q_delta_scan, DELTA_SCAN_SQL),
+    "delta_evolution": (q_delta_evolution, DELTA_EVOLUTION_SQL),
     "delta_dv_scan": (q_delta_dv_scan, DELTA_DV_SCAN_SQL),
     "delta_changes": (q_delta_changes, DELTA_CHANGES_SQL),
     "stream_iceberg_sink": (q_stream_iceberg_sink, STREAM_ICEBERG_SINK_SQL),
@@ -8461,6 +8535,7 @@ _R10_WINDOW = [
     # new/changed paths
     "iceberg_orc",
     "iceberg_evolution",
+    "delta_evolution",
     "incremental_drift",
     "stream_incremental_drift",
     "ivfpq_recall",

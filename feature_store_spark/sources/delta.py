@@ -88,6 +88,23 @@ class DeltaTable:
         self._state_cache: dict[int, tuple] = {}
         self._protocol_cache: dict[int, dict] = {}
         self._tombstone_cache: dict[int, list[dict]] = {}
+        self._sig_cache: dict[str, tuple] = {}
+
+    def _footer_sigs(self, paths: list[str]) -> dict[str, tuple]:
+        """Footer (column name, field id) signatures per data file —
+        thread-pooled KB reads, cached per table object (committed
+        data files are immutable). Shared by the fast-path
+        homogeneity check and the grouped evolution-aware reads."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from feature_store_spark.sources.iceberg import parquet_field_ids
+
+        todo = [p for p in paths if p not in self._sig_cache]
+        if todo:
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                for p, sig in zip(todo, pool.map(parquet_field_ids, todo)):
+                    self._sig_cache[p] = sig
+        return {p: self._sig_cache[p] for p in paths}
 
     # -- log replay
 
@@ -600,38 +617,41 @@ class DeltaTable:
             ).withColumn("__pos", F.col("_metadata.row_index"))
 
         paths = [os.path.join(self.path, a["path"]) for a in adds]
+        # footer signatures for EVERY read path (thread-pooled,
+        # cached): heterogeneous footers (schema evolution) must not
+        # share one spark.read.parquet call — Spark infers the schema
+        # from ONE file, and a column missing there would silently
+        # null out rows from files that DO carry it. The fast paths
+        # below are taken only when every file's footer carries the
+        # same column set covering the current schema (review r10d:
+        # previously they were unconditional, so an evolved unmapped
+        # table silently dropped the added column). In id mode the
+        # signature also resolves columns by field id.
+        sig_of = self._footer_sigs(paths)
         if mode == "none":
+            expected = {
+                f["physical"]
+                for f in fields
+                if f["name"] not in logical_parts
+            }
+            name_sets = {
+                frozenset(n for n, _ in sig_of[p]) for p in paths
+            }
+            homogeneous = len(name_sets) == 1 and expected <= next(
+                iter(name_sets)
+            )
             hive = all(
                 all(f"{c}=" in a["path"] for c in phys_parts)
                 for a in adds
             )
-            if not logical_parts:
+            if homogeneous and not logical_parts:
                 return tag(self.spark.read.parquet(*paths))
-            if hive:
+            if homogeneous and hive:
                 return tag(
                     self.spark.read.option("basePath", self.path).parquet(
                         *paths
                     )
                 )
-
-        # footer signatures for EVERY grouped read (thread-pooled like
-        # the Iceberg field-id path): heterogeneous footers (schema
-        # evolution) must not share one spark.read.parquet call —
-        # Spark infers the schema from ONE file, and a column missing
-        # there would silently null out rows from files that DO carry
-        # it. In id mode the signature also resolves columns by
-        # field id.
-        from concurrent.futures import ThreadPoolExecutor
-
-        from feature_store_spark.sources.iceberg import parquet_field_ids
-
-        abs_paths = [os.path.join(self.path, a["path"]) for a in adds]
-        sig_of: dict[str, tuple] = {}
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            for p, sig in zip(
-                abs_paths, pool.map(parquet_field_ids, abs_paths)
-            ):
-                sig_of[p] = sig
 
         data_fields = [f for f in fields if f["name"] not in logical_parts]
         groups: dict[tuple, list[str]] = {}
@@ -814,6 +834,7 @@ def delta_append(
     txn: tuple[str, int] | None = None,
     column_mapping: str | None = None,
     properties: dict | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Append ``df`` as one Delta commit (creating the table on first
     call). Executors write hive-partitioned parquet; the driver
@@ -841,6 +862,16 @@ def delta_append(
     ``delta.deletedFileRetentionDuration`` ("interval 1 week"), which
     VACUUM and the checkpoint tombstone window honor.
 
+    Schema ENFORCEMENT (the protocol's default): an append whose
+    DataFrame drops a table column or changes a column's type
+    refuses; one that ADDS columns refuses unless
+    ``merge_schema=True``, which commits an updated ``metaData``
+    action in the SAME commit (the protocol's evolution shape) — new
+    columns land nullable, and in mapped tables they get fresh
+    ``delta.columnMapping`` ids/physical names with ``maxColumnId``
+    bumped, so committed files' ids never repoint. Readers null-fill
+    the new columns for pre-evolution files.
+
     Export-grade: append-only, no concurrent-writer arbitration (the
     engine's native format, sources/manifest.py, owns that)."""
     import uuid
@@ -865,6 +896,7 @@ def delta_append(
         if m:
             existing.append(int(m.group(1)))
     version = (max(existing) + 1) if existing else 0
+    evolution_md: dict | None = None
     if version > 0:
         t = DeltaTable(spark, table_dir)
         if txn is not None:
@@ -873,6 +905,72 @@ def delta_append(
                 return max(existing)  # redelivered batch: no-op
         meta0, _, _ = t._state(None)
         mode, map_fields = t._mapping(meta0)
+        # schema enforcement / evolution against the CURRENT logical
+        # schema — silently landing files whose schema drifted from
+        # the schemaString would make readers narrow or null columns
+        # with no record of why (review r10d)
+        cur_fields = json.loads(meta0["schemaString"])["fields"]
+        cur_types = {f["name"]: f["type"] for f in cur_fields}
+        df_fields = json.loads(df.schema.json())["fields"]
+        new_types = {f["name"]: f["type"] for f in df_fields}
+        mismatched = sorted(
+            n
+            for n in new_types
+            if n in cur_types and new_types[n] != cur_types[n]
+        )
+        absent = sorted(n for n in cur_types if n not in new_types)
+        added = [f for f in df_fields if f["name"] not in cur_types]
+        if mismatched or absent:
+            raise ValueError(
+                f"{table_dir}: append schema deviates from the table "
+                f"(type changes: {mismatched}, missing columns: "
+                f"{absent}) — the protocol enforces the schema; "
+                "rewrite the table to change it"
+            )
+        if added and not merge_schema:
+            raise ValueError(
+                f"{table_dir}: append carries unknown column(s) "
+                f"{[f['name'] for f in added]} — pass "
+                "merge_schema=True to evolve the table schema"
+            )
+        if added:
+            conf = dict(meta0.get("configuration") or {})
+            sj = {"type": "struct", "fields": list(cur_fields)}
+            for f in added:
+                nf = dict(f)
+                nf["nullable"] = True  # old files have no values
+                if mode != "none":
+                    next_id = (
+                        max(
+                            max(x["id"] for x in map_fields),
+                            int(
+                                conf.get(
+                                    "delta.columnMapping.maxColumnId", 0
+                                )
+                            ),
+                        )
+                        + 1
+                    )
+                    phys = f"col-{uuid.uuid4().hex[:12]}"
+                    map_fields.append(
+                        {
+                            "name": f["name"],
+                            "physical": phys,
+                            "id": next_id,
+                            "type": f["type"],
+                        }
+                    )
+                    nf["metadata"] = {
+                        **(nf.get("metadata") or {}),
+                        "delta.columnMapping.id": next_id,
+                        "delta.columnMapping.physicalName": phys,
+                    }
+                    conf["delta.columnMapping.maxColumnId"] = str(next_id)
+                sj["fields"].append(nf)
+            md = dict(meta0)
+            md["schemaString"] = json.dumps(sj)
+            md["configuration"] = conf
+            evolution_md = {"metaData": md}
     else:
         mode = column_mapping or "none"
         if mode not in ("none", "name", "id"):
@@ -944,6 +1042,12 @@ def delta_append(
     _sh.rmtree(staging, ignore_errors=True)
 
     actions: list[dict] = []
+    if evolution_md is not None:
+        # the updated metaData rides in the SAME commit as the files
+        # that first carry the new columns (the protocol's evolution
+        # shape) — replay order makes it current before any reader
+        # sees those adds
+        actions.append(evolution_md)
     if version == 0:
         if mode == "none":
             actions.append(

@@ -1337,3 +1337,101 @@ def test_vacuum_honors_retention(spark, tmp_path):
     gone = delta_vacuum(spark, d, retention_ms=0)
     assert len(gone) == 2
     assert DeltaTable(spark, d).scan().count() == 60
+
+
+class TestSchemaEnforcementAndEvolution:
+    """r10: appends are validated against the table's schemaString
+    (the protocol's enforcement default); merge_schema=True commits
+    an updated metaData action in the same commit, and readers
+    null-fill the new columns for pre-evolution files instead of
+    silently narrowing the frame to one file's footer."""
+
+    @staticmethod
+    def _base(spark, n=20):
+        return spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, "user")
+            .otherwise("merchant")
+            .alias("etype"),
+            F.col("id").alias("eid"),
+            (F.col("id") * 1.5).alias("val"),
+        )
+
+    def test_drift_refused(self, spark, tmp_path):
+        d = str(tmp_path / "enforce")
+        delta_append(self._base(spark), d)
+        with pytest.raises(ValueError, match="unknown column"):
+            delta_append(
+                self._base(spark).withColumn("extra", F.lit(1.0)), d
+            )
+        with pytest.raises(ValueError, match="missing"):
+            delta_append(self._base(spark).drop("val"), d)
+        with pytest.raises(ValueError, match="type"):
+            delta_append(
+                self._base(spark).withColumn(
+                    "val", F.col("val").cast("long")
+                ),
+                d,
+            )
+
+    @pytest.mark.parametrize("parts", [[], ["etype"]])
+    def test_merge_schema_evolves_and_reads_null_fill(
+        self, spark, tmp_path, parts
+    ):
+        """Both previously-unconditional fast paths (unpartitioned
+        and hive-partitioned unmapped) must now detect the
+        heterogeneous footers and read the evolved table with NULLs
+        for pre-evolution files."""
+        d = str(tmp_path / f"evolve{len(parts)}")
+        delta_append(self._base(spark), d, partition_cols=parts)
+        delta_append(
+            self._base(spark).withColumn("extra", F.lit(9.0)),
+            d,
+            partition_cols=parts,
+            merge_schema=True,
+        )
+        t = DeltaTable(spark, d)
+        df = t.scan()
+        assert "extra" in df.columns
+        rows = df.collect()
+        assert len(rows) == 40
+        assert sum(1 for r in rows if r["extra"] is None) == 20
+        assert sum(1 for r in rows if r["extra"] == 9.0) == 20
+        # schemaString evolved, nullable new column
+        meta, _, _ = t._state(None)
+        fields = {
+            f["name"]: f
+            for f in json.loads(meta["schemaString"])["fields"]
+        }
+        assert fields["extra"]["nullable"] is True
+        # pre-evolution time travel still shows the old schema
+        assert "extra" not in t.scan(version=0).columns
+
+    def test_mapped_table_evolution_gets_fresh_mapping_id(
+        self, spark, tmp_path
+    ):
+        d = str(tmp_path / "evolve_mapped")
+        delta_append(self._base(spark), d, column_mapping="id")
+        delta_append(
+            self._base(spark).withColumn("extra", F.lit(3.0)),
+            d,
+            merge_schema=True,
+        )
+        t = DeltaTable(spark, d)
+        meta, _, _ = t._state(None)
+        fields = {
+            f["name"]: f
+            for f in json.loads(meta["schemaString"])["fields"]
+        }
+        prev_ids = {
+            f["metadata"]["delta.columnMapping.id"]
+            for n, f in fields.items()
+            if n != "extra"
+        }
+        new_id = fields["extra"]["metadata"]["delta.columnMapping.id"]
+        assert new_id == max(prev_ids) + 1
+        assert int(
+            meta["configuration"]["delta.columnMapping.maxColumnId"]
+        ) == new_id
+        rows = t.scan().collect()
+        assert len(rows) == 40
+        assert {r["extra"] for r in rows} == {None, 3.0}

@@ -89,6 +89,7 @@ class DeltaTable:
         self._protocol_cache: dict[int, dict] = {}
         self._tombstone_cache: dict[int, list[dict]] = {}
         self._sig_cache: dict[str, tuple] = {}
+        self._maybe_evolved: dict[int, bool] = {}
 
     def _footer_sigs(self, paths: list[str]) -> dict[str, tuple]:
         """Footer (column name, field id) signatures per data file —
@@ -199,6 +200,12 @@ class DeltaTable:
         meta: dict = {}
         protocol: dict = {}
         txns: dict[str, int] = {}
+        # heterogeneity signal for the scan fast paths: files written
+        # under DIFFERENT schemaStrings may disagree on columns. A
+        # replay that starts from a checkpoint can't prove schema
+        # stability (the JSON history is compacted away), so it
+        # conservatively flags too.
+        schema_strings: set[str] = set()
         start = 0
         ckpt = self._checkpoint_at_or_before(version)
         if ckpt is not None:
@@ -254,6 +261,9 @@ class DeltaTable:
                     action = json.loads(line)
                     if "metaData" in action:
                         meta = action["metaData"]
+                        ss = meta.get("schemaString")
+                        if ss:
+                            schema_strings.add(ss)
                     elif "protocol" in action:
                         protocol = action["protocol"]
                     elif "add" in action:
@@ -272,6 +282,9 @@ class DeltaTable:
         self._check_protocol(protocol)
         if not meta:
             raise ValueError(f"{self.path}: delta log has no metaData")
+        self._maybe_evolved[version] = (
+            ckpt is not None or len(schema_strings) > 1
+        )
         out = (meta, list(adds.values()), txns)
         self._state_cache[version] = out
         self._protocol_cache[version] = protocol
@@ -528,6 +541,10 @@ class DeltaTable:
                 raise ValueError("pass version OR as_of_ms, not both")
             version = self.version_as_of(as_of_ms)
         meta, _, _ = self._state(version)
+        maybe_evolved = self._maybe_evolved.get(
+            version if version is not None else self.latest_version(),
+            True,
+        )
         adds = self.data_files(version, filters)
         if not adds:
             all_adds = self.data_files(version, None)
@@ -543,11 +560,11 @@ class DeltaTable:
                     ),
                 )
             return (
-                self._assemble([all_adds[0]], meta)
+                self._assemble([all_adds[0]], meta, maybe_evolved)
                 .drop("__fp", "__pos")
                 .limit(0)
             )
-        df = self._assemble(adds, meta)
+        df = self._assemble(adds, meta, maybe_evolved)
         dv_adds = [a for a in adds if a.get("deletionVector")]
         if dv_adds:
             # decode all DVs at plan time (KB–MB metadata) and remove
@@ -588,7 +605,12 @@ class DeltaTable:
             df = df.filter(_Filter(*f).sql())
         return df
 
-    def _assemble(self, adds: list[dict], meta: dict) -> DataFrame:
+    def _assemble(
+        self,
+        adds: list[dict],
+        meta: dict,
+        maybe_evolved: bool = True,
+    ) -> DataFrame:
         """Read the add set to a frame with LOGICAL column names plus
         ``__fp`` (absolute data-file path) / ``__pos`` (row ordinal)
         tags for deletion-vector matching.
@@ -617,29 +639,34 @@ class DeltaTable:
             ).withColumn("__pos", F.col("_metadata.row_index"))
 
         paths = [os.path.join(self.path, a["path"]) for a in adds]
-        # footer signatures for EVERY read path (thread-pooled,
-        # cached): heterogeneous footers (schema evolution) must not
-        # share one spark.read.parquet call — Spark infers the schema
-        # from ONE file, and a column missing there would silently
-        # null out rows from files that DO carry it. The fast paths
-        # below are taken only when every file's footer carries the
-        # same column set covering the current schema (review r10d:
-        # previously they were unconditional, so an evolved unmapped
-        # table silently dropped the added column). In id mode the
-        # signature also resolves columns by field id.
-        sig_of = self._footer_sigs(paths)
+        # heterogeneous footers (schema evolution) must not share one
+        # spark.read.parquet call — Spark infers the schema from ONE
+        # file, and a column missing there would silently null out
+        # rows from files that DO carry it (review r10d: the fast
+        # paths were previously unconditional, so an evolved unmapped
+        # table silently dropped the added column). The footer sniff
+        # costs one pooled KB read per file, so it only runs when the
+        # LOG REPLAY could not prove schema stability
+        # (``maybe_evolved``: >1 distinct schemaString seen, or the
+        # replay started from a checkpoint that compacted the history
+        # away) — never-evolved tables keep the zero-I/O fast path.
+        # In id mode the signature also resolves columns by field id.
+        sig_of: dict[str, tuple] = {}
         if mode == "none":
-            expected = {
-                f["physical"]
-                for f in fields
-                if f["name"] not in logical_parts
-            }
-            name_sets = {
-                frozenset(n for n, _ in sig_of[p]) for p in paths
-            }
-            homogeneous = len(name_sets) == 1 and expected <= next(
-                iter(name_sets)
-            )
+            homogeneous = True
+            if maybe_evolved:
+                sig_of = self._footer_sigs(paths)
+                expected = {
+                    f["physical"]
+                    for f in fields
+                    if f["name"] not in logical_parts
+                }
+                name_sets = {
+                    frozenset(n for n, _ in sig_of[p]) for p in paths
+                }
+                homogeneous = len(name_sets) == 1 and expected <= next(
+                    iter(name_sets)
+                )
             hive = all(
                 all(f"{c}=" in a["path"] for c in phys_parts)
                 for a in adds
@@ -652,6 +679,8 @@ class DeltaTable:
                         *paths
                     )
                 )
+        if not sig_of:
+            sig_of = self._footer_sigs(paths)
 
         data_fields = [f for f in fields if f["name"] not in logical_parts]
         groups: dict[tuple, list[str]] = {}
@@ -827,6 +856,35 @@ def _coerce_stat(v, type_str: str | None):
 # -------------------------------------------------------------- writer
 
 
+def _norm_type(t):
+    """Delta schemaString type with NULLABILITY markers stripped
+    recursively — schema enforcement compares what the files can
+    actually disagree on (structure + primitive types), not the
+    nested nullable/metadata flags Spark toggles between a computed
+    expression and the same data read back from parquet (review
+    r10d #2)."""
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return (
+                "struct",
+                tuple(
+                    (f["name"], _norm_type(f["type"]))
+                    for f in t.get("fields", [])
+                ),
+            )
+        if kind == "array":
+            return ("array", _norm_type(t.get("elementType")))
+        if kind == "map":
+            return (
+                "map",
+                _norm_type(t.get("keyType")),
+                _norm_type(t.get("valueType")),
+            )
+        return ("?", json.dumps(t, sort_keys=True))
+    return t
+
+
 def delta_append(
     df: DataFrame,
     table_dir: str,
@@ -909,6 +967,16 @@ def delta_append(
         # schema — silently landing files whose schema drifted from
         # the schemaString would make readers narrow or null columns
         # with no record of why (review r10d)
+        tbl_parts = meta0.get("partitionColumns") or []
+        if list(partition_cols) != list(tbl_parts):
+            # partitioning is a TABLE property: files appended under a
+            # different layout would read their partition column as
+            # NULL (the grouped reader injects it from
+            # partitionValues, which such files don't carry)
+            raise ValueError(
+                f"{table_dir}: table is partitioned by {tbl_parts}; "
+                f"append passed partition_cols={list(partition_cols)}"
+            )
         cur_fields = json.loads(meta0["schemaString"])["fields"]
         cur_types = {f["name"]: f["type"] for f in cur_fields}
         df_fields = json.loads(df.schema.json())["fields"]
@@ -916,7 +984,8 @@ def delta_append(
         mismatched = sorted(
             n
             for n in new_types
-            if n in cur_types and new_types[n] != cur_types[n]
+            if n in cur_types
+            and _norm_type(new_types[n]) != _norm_type(cur_types[n])
         )
         absent = sorted(n for n in cur_types if n not in new_types)
         added = [f for f in df_fields if f["name"] not in cur_types]

@@ -790,8 +790,10 @@ def _evolve_schema(
             out.append({**f, "id": next_id})
             next_id += 1
         elif p["type"] != f["type"]:
+            # raised from iceberg_append AND the UniForm re-exporter —
+            # keep the message caller-neutral
             raise ValueError(
-                f"iceberg_append: column {f['name']!r} changed type "
+                f"schema evolution: column {f['name']!r} changed type "
                 f"{p['type']!r} -> {f['type']!r}; type promotion "
                 "needs a full Iceberg runtime"
             )
@@ -1118,8 +1120,60 @@ def iceberg_delete_where(
 
     df = None
     if pq_files:
+        # evolved tables: files written before a column was added
+        # don't carry it, and a raw multi-file read would infer the
+        # schema from ONE arbitrary footer — filters on the evolved
+        # column would then fail or miss rows nondeterministically.
+        # Sniff the (cached) footers; when any file omits a schema
+        # column, read under the TABLE schema explicitly so Spark
+        # null-fills per file.
+        from pyspark.sql import types as T
+
+        from feature_store_spark.sources.iceberg import _spark_type
+
+        prim = [
+            f for f in t.schema_fields() if isinstance(f["type"], str)
+        ]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            sigs = list(
+                pool.map(
+                    lambda f: t._file_field_mapping(f["path"]), pq_files
+                )
+            )
+        needs_fill = any(
+            any(p["name"] not in {n for n, _ in sig} for p in prim)
+            for sig in sigs
+        )
+        reader = spark.read
+        if needs_fill:
+            nested = [
+                f["name"]
+                for f in t.schema_fields()
+                if not isinstance(f["type"], str)
+            ]
+            unmapped = [
+                f["name"] for f in prim if _spark_type(f["type"]) is None
+            ]
+            if nested or unmapped:
+                raise NotImplementedError(
+                    f"{table_dir}: DELETE WHERE over an evolved table "
+                    f"with non-primitive/unmapped columns "
+                    f"{nested + unmapped} needs a full Iceberg runtime"
+                )
+            reader = reader.schema(
+                T.StructType(
+                    [
+                        T.StructField(
+                            f["name"], _spark_type(f["type"]), True
+                        )
+                        for f in prim
+                    ]
+                )
+            )
         df = (
-            spark.read.parquet(*[f["path"] for f in pq_files])
+            reader.parquet(*[f["path"] for f in pq_files])
             .withColumn("__fp", _fp_expr(F.col("_metadata.file_path")))
             .withColumn("__pos", F.col("_metadata.row_index"))
         )

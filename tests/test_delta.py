@@ -1435,3 +1435,32 @@ class TestSchemaEnforcementAndEvolution:
         rows = t.scan().collect()
         assert len(rows) == 40
         assert {r["extra"] for r in rows} == {None, 3.0}
+
+    def test_partition_layout_mismatch_refused(self, spark, tmp_path):
+        d = str(tmp_path / "parts_enforced")
+        delta_append(self._base(spark), d, partition_cols=["etype"])
+        with pytest.raises(ValueError, match="partitioned by"):
+            delta_append(self._base(spark), d)  # forgot partition_cols
+        with pytest.raises(ValueError, match="partitioned by"):
+            delta_append(self._base(spark), d, partition_cols=["eid"])
+
+    def test_never_evolved_table_skips_footer_sniff(self, spark, tmp_path):
+        """The zero-I/O fast path survives: a table whose log never
+        changed schema (and has no checkpoint) must not footer-sniff
+        at plan time — observable through the empty signature cache."""
+        d = str(tmp_path / "no_sniff")
+        delta_append(self._base(spark), d)
+        t = DeltaTable(spark, d)
+        assert t.scan().count() == 20
+        assert t._sig_cache == {}
+        # an evolved table DOES sniff
+        d2 = str(tmp_path / "sniffs")
+        delta_append(self._base(spark), d2)
+        delta_append(
+            self._base(spark).withColumn("extra", F.lit(1.0)),
+            d2,
+            merge_schema=True,
+        )
+        t2 = DeltaTable(spark, d2)
+        assert t2.scan().count() == 40
+        assert t2._sig_cache  # footers were read

@@ -2513,3 +2513,34 @@ class TestSchemaEvolutionOnAppend:
         )
         assert len(meta["schemas"]) == 1
         assert IcebergTable(spark, d).scan().count() == 10
+
+    def test_delete_where_on_evolved_table_filters_new_column(
+        self, spark, tmp_path
+    ):
+        """DELETE WHERE filtering on a post-evolution column must not
+        depend on which file Spark samples for the schema: the read
+        goes through the table schema with NULL fill, so pre-evolution
+        rows simply never match."""
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_delete_where,
+        )
+
+        d = str(tmp_path / "dw_evolved")
+        iceberg_append(self._frame(spark, self.BASE), d)
+        iceberg_append(
+            self._frame(spark, self.BASE + ["extra"]), d
+        )
+        # extra = id*10 for the widened batch; delete extra > 25
+        iceberg_delete_where(spark, d, [("extra", ">", 25.0)])
+        t = IcebergTable(spark, d)
+        rows = t.scan().collect()
+        # 5 base rows (extra NULL, never match) + widened rows with
+        # extra in {0,10,20} survive; {30,40} die
+        assert len(rows) == 8
+        got = sorted(
+            r["extra"] for r in rows if r["extra"] is not None
+        )
+        assert got == [0.0, 10.0, 20.0]

@@ -81,9 +81,16 @@ def latest_upsert_batch(
     existing: DataFrame | None,
     key_cols: Sequence[str] = ("entity_id", "feature_name"),
     time_col: str = "event_time",
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-micro-batch last-writer-wins upsert (the foreachBatch body;
-    Delta MERGE in production). Pure function for testability."""
+    Delta MERGE in production). Pure function for testability.
+
+    ``tiebreak_cols`` break EQUAL-``time_col`` collisions
+    deterministically (e.g. a monotone record id) — without one,
+    which of two distinct same-timestamp rows survives is
+    partitioning-dependent (review r10e #4), the same knob
+    ``merge_upsert`` exposes."""
     from feature_store_spark.operators.reshape import latest_per_key
 
     # allowMissingColumns: a widening micro-batch (new nullable
@@ -94,7 +101,9 @@ def latest_upsert_batch(
         if existing is None
         else existing.unionByName(batch, allowMissingColumns=True)
     )
-    return latest_per_key(unioned, list(key_cols), time_col)
+    return latest_per_key(
+        unioned, list(key_cols), time_col, tiebreak_cols=tiebreak_cols
+    )
 
 
 def start_materializer(

@@ -2,17 +2,25 @@
 ``applyInPandasWithState``.
 
 The batch twin is ``operators.sessionize`` (lag + running sum over one
-window). In a stream the same semantics need per-key state: the open
-session (start, last-event time, count, value sum) lives in the state
-store, sessions closed by an in-batch gap emit immediately, and the
-trailing open session emits when the event-time watermark passes
-``last + gap`` (EventTimeTimeout) — so results are identical to the
-batch operator once the watermark has flushed everything.
+window). In a stream the same semantics need per-key state: EVERY
+not-yet-final session (open or gap-closed) lives in the state store as
+a (start, last, n, sum) tuple, and a session emits ONLY once the
+event-time watermark passes ``last + gap`` — the point after which no
+admissible event (all are >= watermark) can merge into or bridge it.
+Emitting gap-closed sessions eagerly instead (the r9 design) was
+wrong: a late-but-within-watermark event from a LATER micro-batch can
+belong to — or bridge — a session the current batch already closed
+(review r10e #1), so results could diverge from the batch operator
+even with a watermark tighter than the gap. With watermark-driven
+emission, results are identical to the batch twin once the watermark
+has flushed everything, unconditionally.
 
-Scale notes (100 TB / 1000 executors): state is one fixed-size tuple
-per active entity (no per-event buffering), keys shuffle once to their
-state-store partition, and the watermark bounds both state size and
-result lateness. This is the shape the reference's REALTIME
+Scale notes (100 TB / 1000 executors): state per active entity is the
+pending-session tuples, NOT per-event buffers — bounded by
+(watermark delay / gap) + 1 sessions, so a 10-minute watermark with a
+30-minute gap keeps exactly one or two tuples per key. Keys shuffle
+once to their state-store partition; the watermark bounds both state
+size and result lateness. This is the shape the reference's REALTIME
 update-frequency metadata implies but never implements (SURVEY §2.11).
 """
 
@@ -25,13 +33,11 @@ from pyspark.sql import DataFrame
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
-# the documented default (long-entity) output shape; sessionize_stream
-# derives entity_id's actual type from the input column at call time
-SESSION_SCHEMA = (
-    "entity_id long, session_start timestamp, session_end timestamp, "
-    "n_events long, value_sum double"
+# pending sessions, parallel arrays sorted by start
+_STATE_SCHEMA = (
+    "starts array<long>, lasts array<long>, "
+    "ns array<long>, ss array<double>"
 )
-_STATE_SCHEMA = "start long, last long, n long, s double"
 
 
 def sessionize_stream(
@@ -42,11 +48,17 @@ def sessionize_stream(
     gap_seconds: int = 1800,
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Streaming sessionization: one output row per CLOSED session.
+    """Streaming sessionization: one output row per FINAL session,
+    emitted when the event-time watermark passes ``last + gap``.
 
-    A session closes when the gap to the next event exceeds
-    ``gap_seconds`` (emitted in the micro-batch that observes the gap)
-    or when the watermark passes ``last_event + gap`` (state timeout).
+    Each micro-batch merges its (possibly late, within-watermark)
+    events into the key's pending sessions with the SAME rule the
+    batch operator applies to a globally sorted event list — two
+    items merge when the later one starts within ``gap`` of the
+    earlier one's end — so late events extend, backfill, or BRIDGE
+    pending sessions exactly as a batch recomputation would place
+    them. NULL values don't contribute to ``value_sum`` (matching
+    ``F.sum``) but do count in ``n_events`` (matching ``count(*)``).
 
     The output ``entity_id`` column carries the INPUT entity column's
     type (review r10: the schema used to hardcode ``long`` and coerce
@@ -69,7 +81,7 @@ def sessionize_stream(
     def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        def emit(rows: list[tuple[int, int, int, float]]) -> "pd.DataFrame":
+        def emit(rows: list[tuple]) -> "pd.DataFrame":
             return pd.DataFrame(
                 {
                     "entity_id": [key[0]] * len(rows),
@@ -80,50 +92,88 @@ def sessionize_stream(
                 }
             )
 
+        def flush(pending: list[tuple]) -> tuple[list[tuple], list[tuple]]:
+            """(final, still_pending) under the current watermark: a
+            session is final once last + gap <= watermark — the batch
+            predicate the oracle grades (``end + gap <= max(ts)``).
+            An admissible future event has t >= watermark, so
+            t - last >= gap and it would START a new session, never
+            merge into this one."""
+            wm_us = int(state.getCurrentWatermarkMs()) * 1000
+            final = [p for p in pending if p[1] + gap_us <= wm_us]
+            return final, [p for p in pending if p[1] + gap_us > wm_us]
+
+        def arm(pending: list[tuple]) -> None:
+            """Persist + set the timeout just before the EARLIEST
+            pending deadline in ms so the wm > timeout firing rule
+            realizes wm >= deadline. Rounding can no longer corrupt
+            results (review r10e #3): emission lives entirely in
+            flush's exact-µs check — an early or late firing just
+            re-runs flush, which emits nothing early and re-arms.
+            Spark requires the timeout strictly beyond the current
+            watermark, hence the clamp."""
+            state.update(
+                (
+                    [int(p[0]) for p in pending],
+                    [int(p[1]) for p in pending],
+                    [int(p[2]) for p in pending],
+                    [float(p[3]) for p in pending],
+                )
+            )
+            deadline_us = min(p[1] for p in pending) + gap_us
+            wm_ms = int(state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(
+                max(-(-deadline_us // 1000) - 1, wm_ms + 1)
+            )
+
+        def load() -> list[tuple]:
+            if not state.exists:
+                return []
+            starts, lasts, ns, ss = state.get
+            return list(zip(starts, lasts, ns, ss))
+
         if state.hasTimedOut:
-            start, last, n, s = state.get
-            state.remove()
-            yield emit([(start, last, n, s)])
+            final, pending = flush(load())
+            if pending:
+                arm(pending)
+            else:
+                state.remove()
+            if final:
+                yield emit(final)
             return
 
-        batch = pd.concat(list(pdfs)).sort_values(time_col, kind="mergesort")
+        batch = pd.concat(list(pdfs))
         ts_us = batch[time_col].astype("int64") // 1_000
         vals = batch[value_col].astype(float)
-
-        start = last = n = s = None
-        if state.exists:
-            start, last, n, s = state.get
-        closed: list[tuple[int, int, int, float]] = []
-        for t, v in zip(ts_us, vals):
-            t = int(t)
-            if start is None:
-                start, last, n, s = t, t, 1, float(v)
-            elif t - last > gap_us:
-                closed.append((start, last, n, s))
-                start, last, n, s = t, t, 1, float(v)
-            else:
-                # CLAMP, never assign: a late-but-within-watermark
-                # event from a later micro-batch has t < last (the
-                # in-batch sort can't order across batches) —
-                # assigning last = t would rewind the session end,
-                # emit a wrong session_end, fire the timeout early,
-                # and let the next on-time event falsely split the
-                # session. min/max keeps the span identical to the
-                # batch twin's global sort. (An event more than
-                # ``gap`` before ``start`` still merges rather than
-                # reopening a separate earlier session — single-tuple
-                # state cannot re-split; keep the watermark tighter
-                # than the gap if that distinction matters.)
-                start, last, n, s = (
-                    min(start, t),
-                    max(last, t),
-                    n + 1,
-                    s + float(v),
+        items = load() + [
+            (int(t), int(t), 1, 0.0 if pd.isna(v) else float(v))
+            for t, v in zip(ts_us, vals)
+        ]
+        # the batch operator's rule over a globally sorted list: merge
+        # when the next item starts within gap of the current end.
+        # Pending sessions are disjoint spans and events are points,
+        # so one start-sorted sweep reproduces it exactly (a point
+        # landing between two spans within gap of both BRIDGES them).
+        items.sort(key=lambda p: (p[0], p[1]))
+        merged: list[tuple] = []
+        for it in items:
+            if merged and it[0] - merged[-1][1] <= gap_us:
+                m = merged[-1]
+                merged[-1] = (
+                    m[0],
+                    max(m[1], it[1]),
+                    m[2] + it[2],
+                    m[3] + it[3],
                 )
-        state.update((int(start), int(last), int(n), float(s)))
-        state.setTimeoutTimestamp(int(last) // 1000 + int(gap_seconds) * 1000)
-        if closed:
-            yield emit(closed)
+            else:
+                merged.append(it)
+        final, pending = flush(merged)
+        if pending:
+            arm(pending)
+        else:
+            state.remove()
+        if final:
+            yield emit(final)
 
     return (
         events.withWatermark(time_col, watermark)

@@ -389,3 +389,103 @@ def test_windowed_stats_per_entity_grouping(spark, tmp_path):
     }
     assert got[("e1", "gmv")] == (2, 20.0)
     assert got[("e2", "gmv")] == (1, 100.0)
+
+
+def test_late_event_bridges_gap_closed_sessions(spark, tmp_path):
+    """Review r10e #1: a late-but-within-watermark event from a LATER
+    micro-batch can bridge two sessions the earlier batch's in-batch
+    gap already separated. The r9 design emitted the first session
+    eagerly and could never merge it back; watermark-driven emission
+    holds it in state until no admissible event can touch it."""
+    import time
+
+    inp = tmp_path / "bridge_in"
+    inp.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+    batches = [
+        # batch 0: t=0 and t=2000s — in-batch gap (1800s) splits them
+        [
+            (1, BASE, 1.0),
+            (1, BASE + dt.timedelta(seconds=2000), 2.0),
+        ],
+        # batch 1: straggler at t=1500s (>= watermark 2000-1000=1000s)
+        # bridges the two fragments into ONE session
+        [(1, BASE + dt.timedelta(seconds=1500), 4.0)],
+        # batch 2: far-future event pushes the watermark past the
+        # merged session's deadline so it emits
+        [(1, BASE + dt.timedelta(seconds=50_000), 8.0)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(inp / f"b{i}")
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp / "*"))
+    )
+    out = sessionize_stream(
+        stream, gap_seconds=1800, watermark="1000 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_bridge")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bridge"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["session_start"], r["session_end"], r["n_events"], r["value_sum"])
+        for r in spark.sql("select * from sess_bridge").collect()
+    ]
+    assert got == [
+        (BASE, BASE + dt.timedelta(seconds=2000), 3, 7.0)
+    ], got
+    # batch twin agreement
+    all_rows = [r for b in batches for r in b]
+    batch_sessions = {
+        (r["n_events"], r["value_sum"])
+        for r in session_stats(
+            spark.createDataFrame(all_rows, schema), gap_minutes=30.0
+        ).collect()
+    }
+    assert (3, 7.0) in batch_sessions
+
+
+def test_null_values_do_not_poison_value_sum(spark, tmp_path):
+    """Review r10e #2: NULL values must not turn value_sum into NaN —
+    F.sum skips NULLs in the batch twin; n_events still counts every
+    event (count(*))."""
+    inp = str(tmp_path / "null_in")
+    rows = [
+        (1, BASE, 5.0),
+        (1, BASE + dt.timedelta(seconds=10), None),
+        (1, BASE + dt.timedelta(seconds=20), 3.0),
+        # closes the session via watermark (0s) at max ts
+        (1, BASE + dt.timedelta(seconds=50_000), 1.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(inp)
+    out = sessionize_stream(stream, gap_seconds=1800, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_null")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_null"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["n_events"], r["value_sum"])
+        for r in spark.sql("select * from sess_null").collect()
+    ]
+    assert got == [(3, 8.0)], got

@@ -96,6 +96,18 @@ def asof_join(
     on = list(on)
     value_cols = list(value_cols)
     payload = [c for c in left.columns if c not in on and c != left_time]
+    clash = sorted(set(payload) & {f"{v}{suffix}" for v in value_cols})
+    if clash:
+        # both sides carrying e.g. a column literally named 'value'
+        # is the DEFAULT-parameter case; emitting two same-named
+        # output columns would make every downstream reference
+        # AMBIGUOUS_REFERENCE (review r10e #7) — fail at plan time
+        # with the remedy instead
+        raise ValueError(
+            f"asof_join: left column(s) {clash} collide with attached "
+            "right value column name(s) — pass suffix= (e.g. "
+            "suffix='_r') or rename/drop the left column(s)"
+        )
 
     right_sel = right.select(
         *[F.col(k) for k in on],
@@ -781,6 +793,13 @@ def asof_training_set_auto(
         hot_rows_threshold=hot_rows_threshold,
         sample_mod=sample_mod,
     )
+    if not kw.get("wide", True) and plan != "bucketed":
+        # the columnar plan is wide by construction, so a wide=False
+        # call must not succeed-or-raise depending on what the data
+        # sample said (review r10e #4) — route the tall form through
+        # the flat plan, which supports it, whenever dispatch would
+        # have picked columnar
+        return asof_training_set(labels, records, feature_names, **kw)
     if plan == "bucketed":
         # asof_training_set_bucketed has no lookback parameter, but
         # the dispatch must NOT change the answer: apply the same

@@ -792,8 +792,13 @@ def simhash(
             "hash is 32 bits; bits in 33..64 would produce all-zero "
             "high bits (silent banding degeneration). Use bits <= 32."
         )
+    # lowercase BEFORE splitting: case-variant near-identical docs
+    # must hash the same words or they are never candidates — the
+    # same systematic recall hole tfidf_cosine_pairs closed for its
+    # blocking shingles (review r10e #8); every other text operator
+    # goes through the lowercasing words()/shingle path
     words = F.filter(
-        F.array_distinct(F.split(F.col(text_col), " ")),
+        F.array_distinct(F.split(F.lower(F.col(text_col)), " ")),
         lambda w: F.length(w) > 0,
     )
     # empty docs drop out at the explode, matching the old shape
@@ -968,7 +973,15 @@ def embedding_near_dup_pairs(
     else:
         pairs = a.crossJoin(b)
     pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    # try_divide, not /: a zero-norm vector (all-zeros missing-embed
+    # fill) must yield NULL cosine (dropped by the threshold filter),
+    # not abort the job with DIVIDE_BY_ZERO under Spark 4 ANSI — the
+    # same guard similarity.cosine() carries; norms stay precomputed
+    # per VECTOR here rather than per pair, hence the inline form
+    cos = F.try_divide(
+        _dot(F.col("__va"), F.col("__vb")),
+        F.col("__na") * F.col("__nb"),
+    )
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

@@ -55,11 +55,17 @@ def target_encode_loo(
         stats, F.col(cat_col).eqNullSafe(F.col("__cat"))
     ).crossJoin(F.broadcast(prior))
     denom = F.col("__c") - 1 + F.lit(m)
-    # the when() keeps the fallback SCOPED to the zero denominator: a
-    # NULL label still encodes NULL (try_divide+coalesce would rewrite
-    # it to the prior, silently scoring unlabeled rows)
-    enc = F.when(denom == 0, F.col("__prior")).otherwise(
-        (F.col("__s") - y + F.lit(m) * F.col("__prior")) / denom
+    # NULL labels encode NULL FIRST — unconditionally: the
+    # zero-denominator prior fallback must never score an unlabeled
+    # row (review r10e: with m=0 a one-labeled-row category's NULL
+    # rows hit denom==0 and took the prior, exactly the silent-scoring
+    # outcome this branch exists to prevent)
+    enc = (
+        F.when(y.isNull(), F.lit(None).cast("double"))
+        .when(denom == 0, F.col("__prior"))
+        .otherwise(
+            (F.col("__s") - y + F.lit(m) * F.col("__prior")) / denom
+        )
     )
     return j.withColumn(out_col, enc).drop("__cat", "__s", "__c", "__prior")
 

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# the DEFAULT output shape of extract_media_meta (documentation; the
+# function derives the id column's actual name/type from its input)
 MEDIA_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, width int, height int, "
     "format string"
@@ -268,7 +270,7 @@ def extract_media_meta(
             ]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "media_type": pdf["media_type"],
                     "n_bytes": [
                         None if p is None else len(p)
@@ -280,7 +282,18 @@ def extract_media_meta(
                 }
             )
 
-    return media.mapInPandas(decode_batches, schema=MEDIA_SCHEMA)
+    # the id column keeps its INPUT name and type — the constant
+    # MEDIA_SCHEMA documents the default shape only (review r10e:
+    # hardcoding 'doc_id long' crashed Arrow conversion for string
+    # ids and silently renamed non-default id columns, the bug the
+    # to_*_table siblings already fixed in r8)
+    id_field = media.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, "
+        "media_type string, n_bytes long, width int, height int, "
+        "format string"
+    )
+    return media.mapInPandas(decode_batches, schema=out_schema)
 
 
 def frame_sample_plan(
@@ -331,6 +344,7 @@ def frame_sample_plan(
     )
 
 
+# default output shape of resize_images (documentation only, as above)
 RESIZED_SCHEMA = (
     "doc_id long, media_type string, width int, height int, payload binary"
 )
@@ -380,7 +394,7 @@ def resize_images(
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "media_type": pdf["media_type"],
                     "width": width,
                     "height": height,
@@ -393,7 +407,13 @@ def resize_images(
                 }
             )
 
-    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+    # id column keeps its input name/type (see extract_media_meta)
+    id_field = media.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, "
+        "media_type string, width int, height int, payload binary"
+    )
+    return media.mapInPandas(resize_batches, schema=out_schema)
 
 
 # ------------------------------------------------- audio / video

@@ -769,11 +769,15 @@ def semantic_dedup(
       trade that keeps the stage's worst task bounded.
 
     The bucketed projection feeds three consumers (both self-join
-    sides and the final keep-flag join); ``persist=True`` caches it
-    so the plane dot products evaluate once per row, not three times
-    (ADVICE r6 #4). The cache is freed by Spark's ContextCleaner
-    when the returned frame is garbage-collected; pass ``False`` to
-    trade recompute for zero cache footprint.
+    sides and the final keep-flag join); ``persist=True`` materializes
+    it via a LAZY ``localCheckpoint`` so the plane dot products
+    evaluate once per row, not three times (ADVICE r6 #4). A
+    ``persist()`` entry would sit in the CacheManager forever — the
+    returned frame stays lazy, so no caller could ever unpersist it
+    (review r10e: contrary to the old docstring, DataFrame cache
+    entries are NOT reclaimed on GC; checkpoint RDD blocks ARE, via
+    ContextCleaner). Pass ``False`` to trade recompute for zero
+    block footprint.
 
     The drop set joins back as a broadcast-or-shuffle left join by
     id. NULL vectors keep NULL buckets and are never dropped (unknown
@@ -804,7 +808,7 @@ def semantic_dedup(
             F.col(vec_col).cast("array<double>").alias("__v"),
         )
     if persist:
-        b = b.persist()
+        b = b.localCheckpoint(eager=False)
     joinable = b
     if max_bucket_size:
         sizes = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__sz"))

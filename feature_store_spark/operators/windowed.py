@@ -40,6 +40,12 @@ def windowed_features_self(
     ``t - window <= ts < t`` (microsecond precision). Implemented as a
     RANGE frame over ``unix_micros`` — one shuffle, whole-stage codegen
     end to end, no Python.
+
+    ``w_count`` counts rows with a NON-NULL ``value_col`` (SQL
+    ``count(col)``), matching :func:`windowed_features_join` — whose
+    count must ride the value column so an empty window reads as zero
+    through the left join. For a count of ALL events regardless of
+    value, add a ``count(lit(1))`` window alongside.
     """
     window_us = int(window_days * US_PER_DAY)
     w = (

@@ -2089,7 +2089,7 @@ def q_simhash(spark, sf_dir):
 
 SIMHASH_SQL = """
 WITH w AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
 ),
 h AS (
   SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hv
@@ -2123,7 +2123,7 @@ def q_simhash_pairs(spark, sf_dir):
 SIMHASH_PAIRS_SQL = f"""
 WITH corpus AS ({_CORPUS_NEAR_SQL}),
 w AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM corpus
 ),
 h AS (
   SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hv
@@ -2176,7 +2176,7 @@ def _simhash_block_values_sql(bits: int = 32, max_hamming: int = 3) -> str:
 SIMHASH_PIGEONHOLE_SQL = f"""
 WITH corpus AS ({_CORPUS_NEAR_SQL}),
 w AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM corpus
 ),
 h AS (
   SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hv

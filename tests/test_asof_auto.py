@@ -205,13 +205,18 @@ def test_auto_kwarg_surface_is_plan_independent(spark):
         assume_unique_labels=True,
     )
     assert [(r["entity_id"], r["f1"]) for r in out.collect()] == [("a", 2.0)]
-    # wide=False on the columnar dispatch: loud capability error
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="wide by"):
-        asof_training_set_auto(
-            labels, records, ["f1"], hot_rows_threshold=10**9, wide=False
-        )
+    # wide=False must work REGARDLESS of what the data sample picks
+    # (review r10e #4: it used to succeed via bucketed or raise via
+    # columnar depending on the hot-key estimate — a pipeline broke
+    # nondeterministically as data grew). Columnar-shaped dispatch now
+    # routes the tall form through the flat plan.
+    tall = asof_training_set_auto(
+        labels, records, ["f1"], hot_rows_threshold=10**9, wide=False
+    )
+    assert [
+        (r["entity_id"], r["feature_name"], r["value_float"])
+        for r in tall.collect()
+    ] == [("a", "f1", 2.0)]
     # threshold=0 forces bucketed even on a sampled-out tiny table,
     # where BOTH keywords are native
     out_b = asof_training_set_auto(

@@ -915,3 +915,62 @@ def test_frame_sample_plan_real_duration(spark):
     strict = frame_sample_plan(media, real_duration=True)
     ids = {r["doc_id"] for r in strict.select("doc_id").collect()}
     assert ids == {1, 2}
+
+
+def test_embedding_near_dup_zero_norm_vector_survives(spark):
+    """Review r10e: a zero-norm vector (the all-zeros missing-embed
+    fill) must yield NULL cosine — dropped by the threshold — not
+    abort the job with DIVIDE_BY_ZERO under ANSI mode."""
+    from feature_store_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [0.0, 0.0]),  # degenerate
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, vec_col="vec", threshold=0.9
+        ).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_media_meta_and_resize_respect_id_column(spark):
+    """Review r10e: extract_media_meta / resize_images hardcoded
+    'doc_id long' — a string id column crashed Arrow conversion and a
+    non-default name was silently renamed."""
+    from feature_store_spark.operators.multimodal import (
+        extract_media_meta,
+        make_png,
+        resize_images,
+    )
+
+    rows = [("asset-1", "image", bytearray(make_png(4, 3)))]
+    media = spark.createDataFrame(
+        rows, "asset_id string, media_type string, payload binary"
+    )
+    meta = extract_media_meta(media, id_col="asset_id").collect()
+    assert [r["asset_id"] for r in meta] == ["asset-1"]
+    assert (meta[0]["width"], meta[0]["height"]) == (4, 3)
+    rz = resize_images(media, width=8, height=2, id_col="asset_id").collect()
+    assert [r["asset_id"] for r in rz] == ["asset-1"]
+    assert (rz[0]["width"], rz[0]["height"]) == (8, 2)
+
+
+def test_simhash_is_case_insensitive(spark):
+    """Review r10e: case-variant near-identical docs must collide —
+    the module tokenization contract lowercases."""
+    from feature_store_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The Quick Brown Fox Jumps Over The Lazy Dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[2]

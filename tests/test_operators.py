@@ -197,3 +197,47 @@ def test_snapshot_diff_null_key_matches_itself(spark):
         for r in snapshot_diff(old, new, ["k"]).collect()
     }
     assert got == {(1, "unchanged"), (None, "changed")}
+
+
+def test_target_encode_loo_null_label_never_scored(spark):
+    """Review r10e: the zero-denominator prior fallback must not score
+    NULL-label rows (m=0, one labeled row per category hits denom==0
+    for every row of the category)."""
+    from feature_store_spark.operators.encoding import target_encode_loo
+
+    rows = [("a", 1.0), ("a", None), ("a", None), ("b", 0.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    got = {
+        (r["cat"], r["y"], r["te"])
+        for r in target_encode_loo(df, "cat", "y", m=0.0).collect()
+    }
+    # labeled rows in singleton-label categories take the prior
+    prior = 0.5
+    assert ("a", 1.0, prior) in got and ("b", 0.0, prior) in got
+    # NULL-label rows stay NULL, never the prior
+    assert ("a", None, None) in got
+    assert not any(c == "a" and y is None and te is not None
+                   for c, y, te in got)
+
+
+def test_asof_join_value_name_collision_refused(spark):
+    """Review r10e: both sides carrying a column named 'value' with
+    the default empty suffix must refuse at plan time, not emit two
+    same-named output columns."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from feature_store_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base, 10.0)], "k long, t timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [(1, base, 5.0)], "k long, t timestamp, value double"
+    )
+    with _pt.raises(ValueError, match="suffix"):
+        asof_join(left, right, on=["k"], left_time="t")
+    out = asof_join(left, right, on=["k"], left_time="t", suffix="_r")
+    assert out.columns.count("value") == 1 and "value_r" in out.columns

@@ -23,20 +23,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _margin(weights: Sequence[float], bias: float, feature_cols: Sequence[str]) -> Column:
-    m = F.lit(float(bias))
-    for w, c in zip(weights, feature_cols):
-        m = m + F.lit(float(w)) * F.col(c)
-    return m
-
-
 def predict_expr(
     model: dict, feature_cols: Sequence[str] | None = None
 ) -> Column:
     """P(y=1) column for a trained model dict
     {"weights": [...], "bias": b, "features": [...], "means": [...],
-    "stds": [...]}."""
+    "stds": [...]}. A ``feature_cols`` override must match the model's
+    arity — zip() would otherwise silently truncate the model and
+    score from a partial weight vector (review r10f)."""
     cols = list(feature_cols or model["features"])
+    if len(cols) != len(model["weights"]):
+        raise ValueError(
+            f"predict_expr: {len(cols)} feature column(s) for a "
+            f"{len(model['weights'])}-weight model"
+        )
     scaled = [
         (F.col(c) - F.lit(m)) / F.lit(s)
         for c, m, s in zip(cols, model["means"], model["stds"])
@@ -107,8 +107,25 @@ def fit_logistic(
             "silently biases the gradient and one NaN poisons every "
             "weight. Impute or filter these rows first."
         )
+    if int(stats["n"]) == 0:
+        # sum() over zero rows is NULL — float(None) three lines down
+        # would be the undiagnosable version of this error
+        raise ValueError(
+            "fit_logistic: empty training frame (an over-filtered CV "
+            "fold or slice?) — nothing to fit"
+        )
     n = float(stats["n"])
     n_pos = float(stats["n_pos"])
+    if class_weighted and (n_pos == 0.0 or n_pos == n):
+        # single-class input: scale_pos_weight is 0 or the gradient
+        # normalizer degenerates — wsum would hit 0.0 and the bias
+        # update would ZeroDivisionError on epoch 1 with no hint of
+        # the cause (review r10f)
+        raise ValueError(
+            f"fit_logistic: labels are single-class (n_pos={int(n_pos)} "
+            f"of n={int(n)}); class weighting is undefined — pass "
+            "class_weighted=False or fix the slice"
+        )
     means = [float(stats[f"m{i}"] or 0.0) for i in range(k)]
     stds = [float(stats[f"s{i}"] or 1.0) or 1.0 for i in range(k)]
     pos_w = (n - n_pos) / max(n_pos, 1.0) if class_weighted else 1.0
@@ -126,25 +143,34 @@ def fit_logistic(
 
     weights = [0.0] * k
     bias = math.log(max(n_pos, 1.0) / max(n - n_pos, 1.0))
-    for _ in range(epochs):
-        z = F.lit(bias)
-        for w, i in zip(weights, range(k)):
-            z = z + F.lit(w) * F.col(f"x{i}")
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        sample_w = F.when(F.col("y") == 1.0, F.lit(pos_w)).otherwise(F.lit(1.0))
-        err = (p - F.col("y")) * sample_w
-        g = base.agg(
-            F.sum(sample_w).alias("wsum"),
-            F.sum(err).alias("g_bias"),
-            *[F.sum(err * F.col(f"x{i}")).alias(f"g{i}") for i in range(k)],
-        ).first()
-        wsum = float(g["wsum"])
-        bias -= lr * float(g["g_bias"]) / wsum
-        weights = [
-            w - lr * (float(g[f"g{i}"]) / wsum + l2 * w)
-            for i, w in enumerate(weights)
-        ]
-    base.unpersist()
+    try:
+        for _ in range(epochs):
+            z = F.lit(bias)
+            for w, i in zip(weights, range(k)):
+                z = z + F.lit(w) * F.col(f"x{i}")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            sample_w = F.when(
+                F.col("y") == 1.0, F.lit(pos_w)
+            ).otherwise(F.lit(1.0))
+            err = (p - F.col("y")) * sample_w
+            g = base.agg(
+                F.sum(sample_w).alias("wsum"),
+                F.sum(err).alias("g_bias"),
+                *[
+                    F.sum(err * F.col(f"x{i}")).alias(f"g{i}")
+                    for i in range(k)
+                ],
+            ).first()
+            wsum = float(g["wsum"])
+            bias -= lr * float(g["g_bias"]) / wsum
+            weights = [
+                w - lr * (float(g[f"g{i}"]) / wsum + l2 * w)
+                for i, w in enumerate(weights)
+            ]
+    finally:
+        # exception-safe: a raising epoch must not leak the cached
+        # projection for the session lifetime (review r10f)
+        base.unpersist()
 
     return {
         "features": cols,
@@ -160,7 +186,15 @@ def stratified_kfold_tag(
     df: DataFrame, label_col: str, k: int = 5, entity_col: str = "entity_id"
 ) -> DataFrame:
     """Deterministic stratified fold assignment: md5-bucket per entity
-    within each label stratum (U4 stratified + J5 determinism)."""
+    within each label stratum (U4 stratified + J5 determinism).
+
+    ROW-level stratification: the hash keys on (entity, label), so an
+    entity appearing with BOTH labels lands in different folds —
+    label-ratio preservation and entity-grouping are mutually
+    exclusive when an entity's rows disagree on the label. For
+    entity-grouped folds (no cross-fold leakage of a multi-row
+    entity) use ``group_cv_split`` instead and give up per-fold
+    class-ratio guarantees."""
     from feature_store_spark.functions import hash_bucket_expr
 
     return df.withColumn(
@@ -188,8 +222,6 @@ def fit_quantile_bins(
     LightGBM/XGBoost's own histograms are approximate for the same
     reason). Duplicate boundaries (point masses) collapse, so a
     column may get fewer than ``n_bins`` bins."""
-    import math
-
     ps = [i / n_bins for i in range(1, n_bins)]
     parr = F.array(*[F.lit(p) for p in ps])
     row = df.agg(
@@ -208,6 +240,14 @@ def fit_quantile_bins(
         out[c] = sorted(
             {float(v) for v in row[c] if v is not None and not math.isnan(v)}
         )
+        if not out[c]:
+            # all-NaN column: same undefined-boundaries contract as the
+            # all-NULL case above — an empty boundary list would
+            # silently put every row in bin 0 (a constant feature)
+            raise ValueError(
+                f"fit_quantile_bins: column {c!r} has no finite "
+                "values — bin boundaries are undefined"
+            )
     return out
 
 
@@ -249,18 +289,23 @@ def cross_validate_logistic(
     from feature_store_spark.metrics import auc_roc
 
     tagged = stratified_kfold_tag(df, label_col, k, entity_col).cache()
-    results = []
-    for fold in range(k):
-        train = tagged.filter(F.col("fold") != fold)
-        test = tagged.filter(F.col("fold") == fold)
-        model = fit_logistic(train, feature_cols, label_col, epochs=epochs)
-        scored = test.select(
-            predict_expr(model).alias("score"), F.col(label_col).alias("label")
-        )
-        auc = auc_roc(scored, "score", "label").first()["auc_roc"]
-        results.append({"fold": fold, "auc_roc": auc, "model": model})
-    tagged.unpersist()
-    return results
+    try:
+        results = []
+        for fold in range(k):
+            train = tagged.filter(F.col("fold") != fold)
+            test = tagged.filter(F.col("fold") == fold)
+            model = fit_logistic(
+                train, feature_cols, label_col, epochs=epochs
+            )
+            scored = test.select(
+                predict_expr(model).alias("score"),
+                F.col(label_col).alias("label"),
+            )
+            auc = auc_roc(scored, "score", "label").first()["auc_roc"]
+            results.append({"fold": fold, "auc_roc": auc, "model": model})
+        return results
+    finally:
+        tagged.unpersist()
 
 
 def best_split_histogram(
@@ -380,6 +425,7 @@ def fit_histogram_tree(
     target_col: str,
     depth: int = 2,
     min_split_gain: float = 1e-9,
+    check_bins: bool = True,
 ) -> dict:
     """Level-wise histogram regression tree (squared loss) — the
     reference's XGBoost training (SURVEY.md §2.9 M6) re-expressed as
@@ -392,14 +438,46 @@ def fit_histogram_tree(
     Returns {"splits": {node: (feature_idx, threshold_bin)},
     "leaves": {node: value}, "features": [...], "depth": d}. Node ids:
     root 1, children 2n / 2n+1 (left = bin <= threshold).
+
+    ``check_bins``: NULL feature bins are rejected loudly up front
+    (review r10f: posexplode keeps the NULL element, so it used to
+    surface as a TypeError deep inside the driver argmax; bins
+    produced by :func:`quantile_bin_expr` are never NULL — this
+    guards foreign bin columns). Callers that fit many trees over the
+    SAME bin columns (boosting) check once and pass ``False``.
     """
     cols = list(feature_bin_cols)
+    if check_bins:
+        bad_row = df.agg(
+            *[
+                F.count_if(F.col(c).isNull()).alias(f"__b{i}")
+                for i, c in enumerate(cols)
+            ]
+        ).first()
+        nulls = {
+            c: int(bad_row[f"__b{i}"])
+            for i, c in enumerate(cols)
+            if bad_row[f"__b{i}"]
+        }
+        if nulls:
+            raise ValueError(
+                f"fit_histogram_tree: NULL feature bins in {nulls} — "
+                "bin columns must be non-null (quantile_bin_expr maps "
+                "NULL values to bin 0). Impute or re-bin first."
+            )
     work = df.select(
         *[F.col(c) for c in cols], F.col(target_col), F.lit(1).alias("__node")
     )
     splits: dict[int, tuple[int, int]] = {}
+    frontier: set[int] = {1}
     for _level in range(depth):
-        hists = _histograms_for_level(work, cols, target_col, "__node")
+        # only rows in nodes that can still split pay the posexplode
+        # (review r10f: settled leaves used to be re-histogrammed —
+        # and deterministically re-rejected — at every later level)
+        active = work.filter(
+            F.col("__node").isin([int(x) for x in frontier])
+        )
+        hists = _histograms_for_level(active, cols, target_col, "__node")
         level_splits = {}
         for node, per_feature in sorted(hists.items()):
             best = None
@@ -416,6 +494,9 @@ def fit_histogram_tree(
         if not level_splits:
             break
         splits.update(level_splits)
+        frontier = {
+            c for node in level_splits for c in (2 * node, 2 * node + 1)
+        }
         # advance assignments: split nodes branch, others stay (become
         # leaves at their current id)
         expr = F.col("__node")
@@ -496,12 +577,30 @@ def fit_boosted_trees(
         F.sum(
             F.when(t.isNull() | F.isnan(t), F.lit(1)).otherwise(F.lit(0))
         ).alias("bad"),
+        *[
+            F.count_if(F.col(c).isNull()).alias(f"__b{i}")
+            for i, c in enumerate(cols)
+        ],
     ).collect()[0]
     if (base["bad"] or 0) > 0:
         raise ValueError(
             f"fit_boosted_trees: {base['bad']} NULL/NaN values in "
             f"target {target_col!r} — they silently bias every "
             "histogram's gradient sums. Filter or impute first."
+        )
+    bad_bins = {
+        c: int(base[f"__b{i}"])
+        for i, c in enumerate(cols)
+        if base[f"__b{i}"]
+    }
+    if bad_bins:
+        raise ValueError(
+            f"fit_boosted_trees: NULL feature bins in {bad_bins} — "
+            "bin columns must be non-null. Impute or re-bin first."
+        )
+    if base["b"] is None:
+        raise ValueError(
+            "fit_boosted_trees: empty training frame — nothing to fit"
         )
     base_score = float(base["b"])
     work_base = df.select(*[F.col(c) for c in cols], t)
@@ -514,7 +613,9 @@ def fit_boosted_trees(
             ).localCheckpoint(eager=False)
             resid = F.col("__resid_base")
         work = work_base.withColumn("__resid", resid)
-        tree = fit_histogram_tree(work, cols, "__resid", depth=depth)
+        tree = fit_histogram_tree(
+            work, cols, "__resid", depth=depth, check_bins=False
+        )
         trees.append(tree)
         resid = resid - F.lit(learning_rate) * predict_tree_expr(tree, cols)
     return {"base_score": base_score, "trees": trees, "learning_rate": learning_rate}

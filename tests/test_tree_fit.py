@@ -191,3 +191,54 @@ def test_quantile_bin_null_and_nan_routing(spark):
     assert got["nan"] == 3
     assert got["0.5"] == 0
     assert got["99.0"] == 3
+
+
+def test_training_guards_reject_degenerate_inputs(spark):
+    """Review r10f: the loud-rejection contract extended to the cases
+    that used to surface as TypeError/ZeroDivisionError far from the
+    cause."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.training import (
+        fit_boosted_trees,
+        fit_histogram_tree,
+        fit_logistic,
+        fit_quantile_bins,
+        predict_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, 2.0, 0.0), (None, 3.0, 1.0)],
+        "f0__bin int, x double, y double",
+    )
+    # NULL feature bin: loud, named
+    with _pt.raises(ValueError, match="NULL feature bins"):
+        fit_histogram_tree(df, ["f0__bin"], "y", depth=2)
+    with _pt.raises(ValueError, match="NULL feature bins"):
+        fit_boosted_trees(df, ["f0__bin"], "y", rounds=1)
+    # single-class labels under class weighting
+    ones = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0)], "x double, y double"
+    )
+    with _pt.raises(ValueError, match="single-class"):
+        fit_logistic(ones, ["x"], "y")
+    # empty frames
+    empty = ones.filter(F.lit(False))
+    with _pt.raises(ValueError, match="empty"):
+        fit_logistic(empty, ["x"], "y")
+    with _pt.raises(ValueError, match="empty"):
+        fit_boosted_trees(
+            empty.withColumn("b", F.lit(0)), ["b"], "y", rounds=1
+        )
+    # all-NaN quantile column
+    nans = spark.createDataFrame(
+        [(float("nan"),), (float("nan"),)], "x double"
+    )
+    with _pt.raises(ValueError, match="no finite"):
+        fit_quantile_bins(nans, ["x"], n_bins=4)
+    # predict_expr arity mismatch
+    model = {"features": ["a", "b"], "weights": [1.0, 2.0],
+             "bias": 0.0, "means": [0.0, 0.0], "stds": [1.0, 1.0]}
+    with _pt.raises(ValueError, match="weight"):
+        predict_expr(model, feature_cols=["a"])

@@ -276,7 +276,10 @@ def refresh_drift_counts(
                 F.struct(
                     F.lit(c).alias("feature"),
                     b.alias("bin"),
-                    v.isNotNull().alias("ok"),
+                    # NaN excluded like NULL — the same rule the
+                    # psi_report family applies, so the maintained
+                    # state equals the recompute bit for bit
+                    (v.isNotNull() & ~F.isnan(v)).alias("ok"),
                 )
             )
         return (

@@ -170,8 +170,13 @@ def logloss(df: DataFrame, prob_col: str, label_col: str, eps: float = 1e-15) ->
     base = _scored_base(df, prob_col, label_col)
     p = F.least(F.greatest(F.col("__s"), F.lit(eps)), F.lit(1.0 - eps))
     y = F.col("__y")
+    # non-{0,1} labels (sentinels like 2 or -1 from weak-label
+    # pipelines) are excluded exactly as auc_roc/auc_pr exclude them
+    # from P and N — otherwise a single y=2 row injects an arbitrary
+    # 2*log(p) - log(1-p) term and the metrics disagree about the
+    # same frame (review r10g)
     term = F.when(
-        F.col("__s").isNotNull(),
+        F.col("__s").isNotNull() & y.isin(0.0, 1.0),
         y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p),
     )
     return base.agg((-F.avg(term)).alias("logloss"))
@@ -222,7 +227,14 @@ def ndcg_at_k(
     """Per-group NDCG@k: DCG over top-k by score desc, normalized by the
     ideal ordering (python/mslr_example/train.py:32-57). Groups with
     zero ideal DCG yield null. Pass ``tiebreak`` columns to make score
-    ties deterministic."""
+    ties deterministic.
+
+    NULL/NaN-scored rows are EXCLUDED (module NaN policy; review
+    r10g: Spark's desc ordering puts NaN ABOVE every real score, so
+    one unscored doc used to claim rank 1 and silently shift every
+    position's gain)."""
+    s = F.col(score_col).cast("double")
+    df = df.filter(s.isNotNull() & ~F.isnan(s))
     tb = [F.col(t).asc() for t in tiebreak]
     w_pred = Window.partitionBy(group_col).orderBy(F.col(score_col).desc(), *tb)
     w_ideal = Window.partitionBy(group_col).orderBy(F.col(rel_col).desc(), *tb)
@@ -265,7 +277,10 @@ def average_precision(
 ) -> DataFrame:
     """Per-group average precision; relevant = rel >= threshold
     (python/mslr_example/train.py:60-73). Groups with no relevant docs
-    yield null."""
+    yield null. NULL/NaN-scored rows are EXCLUDED (see
+    :func:`ndcg_at_k`)."""
+    s = F.col(score_col).cast("double")
+    df = df.filter(s.isNotNull() & ~F.isnan(s))
     tb = [F.col(t).asc() for t in tiebreak]
     w = Window.partitionBy(group_col).orderBy(F.col(score_col).desc(), *tb)
     is_rel = (F.col(rel_col) >= rel_threshold).cast("double")
@@ -364,11 +379,19 @@ def calibration_bins(
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            # positive_rate averages only LABELED rows (avg skips
+            # NULLs) — n_labeled exposes that row set so an ECE over
+            # partially-labeled data can weight each bin by the rows
+            # that actually back its accuracy estimate, not by n
+            # (review r10g)
+            F.count("__y").alias("n_labeled"),
             F.round(F.avg("__p"), 6).alias("mean_confidence"),
             F.round(F.avg("__y"), 6).alias("positive_rate"),
         )
     )
     rows = [r for r in agg.collect() if r["bin"] != -1]
     return spark.createDataFrame(
-        rows, "bin int, n bigint, mean_confidence double, positive_rate double"
+        rows,
+        "bin int, n bigint, n_labeled bigint, mean_confidence double, "
+        "positive_rate double",
     )

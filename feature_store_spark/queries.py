@@ -7602,7 +7602,12 @@ def q_calibration(spark, sf_dir):
         ),
         (F.col("l_returnflag") == "R").cast("int").alias("y"),
     )
-    return calibration_bins(scored, "prob", "y", bins=10)
+    # explicit projection: calibration_bins also emits n_labeled
+    # (r10 — the rows backing positive_rate), which the fully-labeled
+    # oracle would just duplicate as n
+    return calibration_bins(scored, "prob", "y", bins=10).select(
+        "bin", "n", "mean_confidence", "positive_rate"
+    )
 
 
 def _calibration_sql() -> str:

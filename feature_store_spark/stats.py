@@ -63,13 +63,16 @@ def histogram(
 
     NULL handling (review r5): NULL values are excluded from every bin
     — Spark's ``least(B-1, null)`` skips the null and would otherwise
-    count null rows as a phantom spike in the LAST bin. NULL group
+    count null rows as a phantom spike in the LAST bin. NaN values are
+    excluded the same way (review r10g: ``max`` treats NaN as greatest,
+    so ONE NaN made ``__hi`` — and therefore the bin width — NaN and
+    silently collapsed the whole histogram into one bin). NULL group
     keys keep their histogram: the bounds join is null-safe
     (``<=>``), where a plain equi-join would silently drop the whole
     null-key group.
     """
     v = F.col(value_col)
-    df = df.filter(v.isNotNull())
+    df = df.filter(v.isNotNull() & ~F.isnan(v.cast("double")))
     bounds = (df.groupBy(*group_cols) if group_cols else df.groupBy()).agg(
         F.min(v).alias("__lo"), F.max(v).alias("__hi")
     )
@@ -507,6 +510,10 @@ def quantile_values(
     matters. ``cols`` is deduped up front (duplicates would collide
     on the aggregate field names)."""
     cols = list(dict.fromkeys(cols))
+    if not ps:
+        # zero requested quantiles (e.g. psi_report(bins=1)) needs no
+        # job at all — ranked_quantiles would IndexError on conds[0]
+        return {c: [] for c in cols}
     stats = df.agg(
         *[
             e
@@ -688,6 +695,7 @@ def winsorized_stats(
     p_lo: float = 0.01,
     p_hi: float = 0.99,
     exact: bool = True,
+    scale: int = 100,
 ) -> DataFrame:
     """Winsorized normalization statistics per feature: the p_lo/p_hi
     clip bounds, how many rows each side clips, and the mean/stddev of
@@ -703,10 +711,21 @@ def winsorized_stats(
     Spark's exact ``percentile`` does. The bounds are plain literals
     in ONE final scalar
     aggregation computing per-column clip counts and exact
-    integer-scaled sums (``decimal(38,0)`` cents — partition-order-
-    proof, so mean/stddev hash-match any engine). The wide 1-row
-    result unpivots to one row per feature at the end (a 1-row Expand
-    — free).
+    integer-scaled sums (``decimal(38,0)`` — partition-order-proof,
+    so mean/stddev hash-match any engine). The wide 1-row result
+    unpivots to one row per feature at the end (a 1-row Expand —
+    free).
+
+    ``scale`` is the integer-quantization grid (default 100 = cents,
+    the money-column shape). Small-magnitude features (rates in
+    [0, 0.01], standardized values) quantize to the grid — pass a
+    larger scale or pre-scale the column, same as
+    ``corr_matrix(scale=)`` documents (review r10g).
+
+    NaN values are REJECTED loudly on BOTH paths: the exact path via
+    the quantile machinery, the approx path via a fused count — NaN
+    would otherwise winsorize to the UPPER bound (least/greatest skip
+    only NULLs) and silently bias every sum toward the clip ceiling.
     """
     if exact:
         qs = quantile_values(df, cols, [p_lo, p_hi])
@@ -715,10 +734,25 @@ def winsorized_stats(
         ps = F.array(F.lit(p_lo), F.lit(p_hi))
         row = df.agg(
             *[
-                F.percentile_approx(F.col(c).cast("double"), ps).alias(c)
+                e
                 for c in cols
+                for e in (
+                    F.percentile_approx(
+                        F.col(c).cast("double"), ps
+                    ).alias(c),
+                    F.count_if(
+                        F.isnan(F.col(c).cast("double"))
+                    ).alias(f"__nan_{c}"),
+                )
             ]
         ).first()
+        nan_bad = [c for c in cols if row[f"__nan_{c}"]]
+        if nan_bad:
+            raise ValueError(
+                f"winsorized_stats: columns {nan_bad} contain NaN — "
+                "they would winsorize to the upper bound and bias "
+                "every sum; filter or impute first"
+            )
         bad = [c for c in cols if row[c] is None]
         if bad:
             raise ValueError(
@@ -736,7 +770,7 @@ def winsorized_stats(
         # excluded it — nulls must contribute nothing to s/ss
         cents = F.when(
             v.isNotNull(),
-            F.round(F.greatest(lo, F.least(hi, v)) * 100).cast(
+            F.round(F.greatest(lo, F.least(hi, v)) * scale).cast(
                 "decimal(38,0)"
             ),
         )
@@ -778,10 +812,10 @@ def winsorized_stats(
     )
     tall = wide.select(F.explode(rows).alias("r")).select("r.*")
     n = F.col("n").cast("double")
-    mean_w = F.col("s") / n / 100.0
+    mean_w = F.col("s") / n / float(scale)
     var_w = (n * F.col("ss") - F.col("s") * F.col("s")) / (
         n * (n - 1.0)
-    ) / 10000.0
+    ) / float(scale * scale)
     return tall.select(
         "feature",
         F.round("lo", 6).alias("lo"),
@@ -840,10 +874,14 @@ def psi_report(
     most the rank error, so use it for DASHBOARDS, not for
     hash-exact regression gates.
     """
+    # duplicate column names would collide on the __b_/__ok_ aliases
+    # with an AMBIGUOUS_REFERENCE far from the cause (review r10g) —
+    # dedupe like every sibling
+    cols = list(dict.fromkeys(cols))
     # persist the pruned reference slice across the quantile passes
     # AND its bin-count aggregate below (same rationale as
     # psi_report_split — a PSI reference window is bounded)
-    ref_slice = ref.select(*dict.fromkeys(cols)).persist()
+    ref_slice = ref.select(*cols).persist()
     try:
         probs = [i / bins for i in range(1, bins)]
         if approx_rel_err is not None:
@@ -868,7 +906,13 @@ def psi_report(
             v = F.col(c).cast("double")
             b = bin_index_expr(v, qs[c])
             proj_cols.append(b.alias(f"__b_{c}"))
-            proj_cols.append(v.isNotNull().alias(f"__ok_{c}"))
+            # NaN is not a bin-able value: NaN > every edge, so it
+            # would land in the TOP bin as a phantom spike (review
+            # r10g); the reference side rejects NaN loudly in the
+            # quantile job, the current side excludes it like NULL
+            proj_cols.append(
+                (v.isNotNull() & ~F.isnan(v)).alias(f"__ok_{c}")
+            )
         proj = df.select(*proj_cols)
         aggs = []
         for c in cols:
@@ -954,7 +998,12 @@ def psi_report_split(
                 v = F.col(vname)
                 b = bin_index_expr(v, qs[c])
                 proj_cols.append(b.alias(f"__b_{side}_{c}"))
-                proj_cols.append(v.isNotNull().alias(f"__ok_{side}_{c}"))
+                # NaN excluded like NULL (see psi_report)
+                proj_cols.append(
+                    (v.isNotNull() & ~F.isnan(v)).alias(
+                        f"__ok_{side}_{c}"
+                    )
+                )
         proj = base.select(*proj_cols)
         aggs = []
         for c in cols:
@@ -1020,7 +1069,11 @@ def drift_monitor_config(
             v = F.col(c)
             b = bin_index_expr(v, qs[c])
             proj_cols.append(b.alias(f"__b_{c}"))
-            proj_cols.append(v.isNotNull().alias(f"__ok_{c}"))
+            # NaN excluded like NULL (see psi_report; the incremental
+            # fold applies the same rule so state == recompute)
+            proj_cols.append(
+                (v.isNotNull() & ~F.isnan(v)).alias(f"__ok_{c}")
+            )
         proj = ref_slice.select(*proj_cols)
         aggs = []
         for c in cols:
@@ -1087,8 +1140,15 @@ def quantile_threshold_label(
     The threshold join is NULL-SAFE on the group keys (review r5): a
     plain equi-join never matches NULL keys, so rows of a null-key
     group would silently vanish from the labeled output — row-count
-    changes in a labeling step are training-data loss."""
-    v = F.col(value_col)
+    changes in a labeling step are training-data loss.
+
+    NaN values are treated as MISSING, not as the greatest value
+    (review r10g): they are excluded from the threshold computation
+    and their rows get a NULL label — under Spark's raw NaN-greatest
+    ordering a NaN row would otherwise always be labeled 1, and
+    enough NaN would make the exact percentile itself NaN and flip
+    every real label to 0."""
+    v = F.nanvl(F.col(value_col).cast("double"), F.lit(None).cast("double"))
     q = F.percentile(v, F.lit(quantile)) if exact else F.percentile_approx(v, F.lit(quantile))
     thr = (df.groupBy(*group_cols) if group_cols else df.groupBy()).agg(
         q.alias("__thr")

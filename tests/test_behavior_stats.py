@@ -959,3 +959,87 @@ def test_windowed_join_keeps_null_anchor_rows(spark):
     assert set(out) == {1, 2}
     assert out[1] == (1, 5.0)
     assert out[2] == (0, None)
+
+
+def test_nan_discipline_r10(spark):
+    """Review r10g: NaN must never silently corrupt — excluded like
+    NULL from histogram bins and PSI current windows, treated as
+    missing in quantile labels, rejected loudly by the approx
+    winsorize path, excluded from ranking metrics and logloss."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.metrics import (
+        average_precision,
+        logloss,
+        ndcg_at_k,
+    )
+    from feature_store_spark.stats import (
+        histogram,
+        psi_report,
+        quantile_threshold_label,
+        winsorized_stats,
+    )
+
+    nan = float("nan")
+    # histogram: one NaN must not collapse the bins
+    vals = spark.createDataFrame(
+        [(float(i),) for i in range(10)] + [(nan,)], "v double"
+    )
+    h = histogram(vals, "v", num_bins=5).collect()
+    assert len(h) == 5 and sum(r["bin_count"] for r in h) == 10
+
+    # psi: NaN in the current window is excluded, not a top-bin spike
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    cur_clean = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "x double"
+    )
+    cur_nan = cur_clean.unionByName(
+        spark.createDataFrame([(nan,)] * 10, "x double")
+    )
+    p_clean = psi_report(ref, cur_clean, ["x"]).collect()[0]
+    p_nan = psi_report(ref, cur_nan, ["x"]).collect()[0]
+    assert p_nan["psi"] == p_clean["psi"] and p_nan["n_cur"] == 100
+
+    # quantile label: NaN rows get NULL labels, threshold unpoisoned
+    lab = {
+        (r["v"] if r["v"] == r["v"] else "nan", r["label"])
+        for r in quantile_threshold_label(
+            vals, "v", quantile=0.5, label_col="label"
+        ).collect()
+    }
+    assert ("nan", None) in lab
+    assert (9.0, 1) in lab and (0.0, 0) in lab
+
+    # winsorize approx path: loud rejection
+    with _pt.raises(ValueError, match="NaN"):
+        winsorized_stats(vals, ["v"], exact=False)
+
+    # ranking metrics: a NaN-scored doc must not claim rank 1
+    rk = spark.createDataFrame(
+        [(1, 1.0, 3.0), (1, 0.5, 1.0), (1, nan, 0.0)],
+        "qid long, score double, relevance double",
+    )
+    nd = ndcg_at_k(rk, 2).collect()[0]["ndcg_at_2"]
+    assert nd == _pt.approx(1.0)  # the NaN (rel 0) doc is excluded
+    ap = average_precision(rk, rel_threshold=3.0).collect()[0][
+        "avg_precision"
+    ]
+    assert ap == _pt.approx(1.0)
+
+    # logloss: sentinel labels excluded like auc
+    ll = spark.createDataFrame(
+        [(0.9, 1.0), (0.1, 0.0), (0.5, 2.0)], "p double, y double"
+    )
+    good = logloss(ll.filter("y != 2"), "p", "y").collect()[0]["logloss"]
+    with_sentinel = logloss(ll, "p", "y").collect()[0]["logloss"]
+    assert with_sentinel == _pt.approx(good)
+
+    # winsorized scale knob: a [0, 0.01] feature keeps its variance
+    tiny = spark.createDataFrame(
+        [(i / 1000.0,) for i in range(10)], "v double"
+    )
+    w = winsorized_stats(
+        tiny, ["v"], p_lo=0.0, p_hi=1.0, scale=1_000_000
+    ).collect()[0]
+    assert w["std_w"] > 0.0

@@ -64,13 +64,17 @@ def matrix_min_max(df: DataFrame, num_features: int) -> DataFrame:
     # the guard sits ON the exploded column (a side `withColumn` would
     # be pruned away unevaluated): wrong-width rows raise inside the
     # same projection that reads the features
+    # coalesce the size: size(NULL) is NULL, which would null the
+    # whole concat and raise with a blank, diagnostic-free message
+    # (review r10h) — a NULL features row now names itself
+    sz = F.coalesce(F.size("features").cast("string"), F.lit("NULL"))
     checked = F.when(
         F.size("features") == int(num_features), F.col("features")
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("matrix_min_max: row has "),
-                F.size("features").cast("string"),
+                sz,
                 F.lit(f" features, expected {int(num_features)}"),
             )
         )

@@ -28,22 +28,36 @@ def read_criteo_tsv(
     (int(md5(v)[:8],16) % buckets), empty -> 0.0. Gzip is handled
     transparently by the text source.
     """
-    fields = (
-        [T.StructField("label", T.IntegerType())]
-        + [T.StructField(c, T.DoubleType()) for c in CRITEO_INT_COLS]
-        + [T.StructField(c, T.StringType()) for c in CRITEO_CAT_COLS]
-    )
-    raw = spark.read.csv(path, sep="\t", schema=T.StructType(fields))
+    # text + split, NOT spark.read.csv: the CSV source unconditionally
+    # drops records whose every field is empty (verified on 4.1), so a
+    # line of 39 tabs — legal Criteo, all-features-missing — silently
+    # vanished instead of becoming the all-zeros row the reference
+    # loader produces (review r10h). split/get/try_cast stay pure JVM
+    # column expressions, so this is still a scan-speed parse; gzip is
+    # handled transparently by the text source either way.
+    parts = F.split(F.col("value"), "\t")
+
+    def _part(i: int):
+        # F.get: NULL (never ANSI error) beyond a short line's end
+        return F.get(parts, i)
+
+    raw = spark.read.text(path)
     out = raw.select(
-        F.coalesce(F.col("label"), F.lit(0)).alias("label"),
-        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in CRITEO_INT_COLS],
+        F.coalesce(_part(0).try_cast("int"), F.lit(0)).alias("label"),
+        *[
+            F.coalesce(_part(i + 1).try_cast("double"), F.lit(0.0)).alias(c)
+            for i, c in enumerate(CRITEO_INT_COLS)
+        ],
         *[
             F.when(
-                F.col(c).isNull() | (F.col(c) == ""), F.lit(0.0)
+                _part(14 + j).isNull() | (_part(14 + j) == ""),
+                F.lit(0.0),
             )
-            .otherwise(hash_bucket_expr(F.col(c), num_buckets).cast("double"))
+            .otherwise(
+                hash_bucket_expr(_part(14 + j), num_buckets).cast("double")
+            )
             .alias(c)
-            for c in CRITEO_CAT_COLS
+            for j, c in enumerate(CRITEO_CAT_COLS)
         ],
     )
     return out

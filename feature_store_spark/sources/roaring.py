@@ -64,9 +64,48 @@ def z85_decode(text: str) -> bytes:
     for i in range(0, len(text), 5):
         v = 0
         for c in text[i : i + 5]:
-            v = v * 85 + _Z85_DECODE[c]
+            d = _Z85_DECODE.get(c)
+            if d is None:
+                # a corrupted deletionVector descriptor surfaces here
+                # at scan time — name the failure instead of a bare
+                # KeyError from deep inside the codec (review r10h)
+                raise ValueError(
+                    f"z85: invalid character {c!r} in encoded input"
+                )
+            v = v * 85 + d
+        if v >= 1 << 32:
+            raise ValueError(
+                "z85: non-canonical 5-char group (decodes above 2^32)"
+            )
         out += v.to_bytes(4, "big")
     return bytes(out)
+
+
+def _parse_roaring_header(
+    buf: bytes, pos: int, unpack=struct.unpack_from
+) -> tuple[int, bytes, bool, int]:
+    """(n_containers, run_flags, has_offsets, next_pos) — the ONE
+    cookie/header rule shared by both decoder twins. The cookie reads
+    UNSIGNED (review r10h: ``'<i'`` made ``cookie >> 16`` negative at
+    >= 32769 containers, so the run-format decoder silently returned
+    ZERO values — a deletion vector that size would have resurrected
+    every deleted row)."""
+    (cookie,) = unpack("<I", buf, pos)
+    if (cookie & 0xFFFF) == SERIAL_COOKIE:
+        n = ((cookie >> 16) & 0xFFFF) + 1
+        pos += 4
+        nbitset = (n + 7) // 8
+        run_flags = buf[pos : pos + nbitset]
+        pos += nbitset
+        has_offsets = n >= NO_OFFSET_THRESHOLD
+    elif cookie == SERIAL_COOKIE_NO_RUN:
+        (n,) = unpack("<I", buf, pos + 4)
+        pos += 8
+        run_flags = b"\x00" * ((n + 7) // 8)
+        has_offsets = True
+    else:
+        raise ValueError(f"not a roaring bitmap (cookie {cookie})")
+    return n, run_flags, has_offsets, pos
 
 
 # ------------------------------------------- 32-bit roaring bitmaps
@@ -111,21 +150,7 @@ def deserialize_roaring32(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
     """Parse one 32-bit RoaringBitmap at ``pos``; returns (sorted
     values, next position). Handles both cookies and all three
     container types."""
-    (cookie,) = struct.unpack_from("<i", buf, pos)
-    if (cookie & 0xFFFF) == SERIAL_COOKIE:
-        n = (cookie >> 16) + 1
-        pos += 4
-        nbitset = (n + 7) // 8
-        run_flags = buf[pos : pos + nbitset]
-        pos += nbitset
-        has_offsets = n >= NO_OFFSET_THRESHOLD
-    elif cookie == SERIAL_COOKIE_NO_RUN:
-        (n,) = struct.unpack_from("<i", buf, pos + 4)
-        pos += 8
-        run_flags = b"\x00" * ((n + 7) // 8)
-        has_offsets = True
-    else:
-        raise ValueError(f"not a roaring bitmap (cookie {cookie})")
+    n, run_flags, has_offsets, pos = _parse_roaring_header(buf, pos)
     keys, cards = [], []
     for i in range(n):
         k, c = struct.unpack_from("<HH", buf, pos)
@@ -180,16 +205,21 @@ def serialize_rbm_array(values: list[int]) -> bytes:
     return bytes(out)
 
 
+def _parse_rbm_preamble(data: bytes, pos: int = 0) -> tuple[int, int]:
+    """(n_keys, next_pos): optional DV magic + count, the shared
+    preamble of both rbm-array decoder twins."""
+    if len(data) >= pos + 4:
+        (magic,) = struct.unpack_from("<i", data, pos)
+        if magic == DV_MAGIC:
+            pos += 4
+    (n,) = struct.unpack_from("<q", data, pos)
+    return n, pos + 8
+
+
 def deserialize_rbm_array(data: bytes) -> list[int]:
     """Inverse of :func:`serialize_rbm_array`; tolerates input with or
     without the leading magic (inline DVs carry it)."""
-    pos = 0
-    if len(data) >= 4:
-        (magic,) = struct.unpack_from("<i", data, 0)
-        if magic == DV_MAGIC:
-            pos = 4
-    (n,) = struct.unpack_from("<q", data, pos)
-    pos += 8
+    n, pos = _parse_rbm_preamble(data)
     values: list[int] = []
     for _ in range(n):
         (high,) = struct.unpack_from("<i", data, pos)
@@ -207,23 +237,8 @@ def deserialize_roaring32_np(buf: bytes, pos: int = 0):
     — the difference between milliseconds and seconds once deletion
     vectors reach 10⁵–10⁶ positions."""
     import numpy as np
-    import struct as _s
 
-    (cookie,) = _s.unpack_from("<i", buf, pos)
-    if (cookie & 0xFFFF) == SERIAL_COOKIE:
-        n = (cookie >> 16) + 1
-        pos += 4
-        nbitset = (n + 7) // 8
-        run_flags = buf[pos : pos + nbitset]
-        pos += nbitset
-        has_offsets = n >= NO_OFFSET_THRESHOLD
-    elif cookie == SERIAL_COOKIE_NO_RUN:
-        (n,) = _s.unpack_from("<i", buf, pos + 4)
-        pos += 8
-        run_flags = b"\x00" * ((n + 7) // 8)
-        has_offsets = True
-    else:
-        raise ValueError(f"not a roaring bitmap (cookie {cookie})")
+    n, run_flags, has_offsets, pos = _parse_roaring_header(buf, pos)
     keys = np.frombuffer(buf, dtype="<u2", count=2 * n, offset=pos)
     cards = keys[1::2].astype(np.int64) + 1
     keys = keys[0::2].astype(np.int64)
@@ -235,7 +250,7 @@ def deserialize_roaring32_np(buf: bytes, pos: int = 0):
         base = keys[i] << 16
         card = int(cards[i])
         if run_flags[i >> 3] & (1 << (i & 7)):
-            (n_runs,) = _s.unpack_from("<H", buf, pos)
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
             pos += 2
             runs = np.frombuffer(
                 buf, dtype="<u2", count=2 * n_runs, offset=pos
@@ -268,18 +283,11 @@ def deserialize_rbm_array_np(data: bytes):
     numpy array of positions (magic tolerated, as inline DVs carry
     it)."""
     import numpy as np
-    import struct as _s
 
-    pos = 0
-    if len(data) >= 4:
-        (magic,) = _s.unpack_from("<i", data, 0)
-        if magic == DV_MAGIC:
-            pos = 4
-    (n,) = _s.unpack_from("<q", data, pos)
-    pos += 8
+    n, pos = _parse_rbm_preamble(data)
     chunks = []
     for _ in range(n):
-        (high,) = _s.unpack_from("<i", data, pos)
+        (high,) = struct.unpack_from("<i", data, pos)
         pos += 4
         lows, pos = deserialize_roaring32_np(data, pos)
         chunks.append((np.int64(high) << 32) + lows)
@@ -344,7 +352,10 @@ def read_dv_from_file(
     decoder (the scan-time path for large DVs)."""
     with open(path, "rb") as f:
         f.seek(offset)
-        (sz,) = struct.unpack(">i", f.read(4))
+        hdr = f.read(4)
+        if len(hdr) != 4:
+            raise ValueError(f"{path}@{offset}: truncated DV header")
+        (sz,) = struct.unpack(">i", hdr)
         data = f.read(sz)
         crc_raw = f.read(4)
     if size_in_bytes not in (sz,):
@@ -352,10 +363,21 @@ def read_dv_from_file(
             f"{path}@{offset}: descriptor sizeInBytes {size_in_bytes} "
             f"!= stored dataSize {sz}"
         )
-    if len(crc_raw) == 4:
-        (crc,) = struct.unpack(">I", crc_raw)
-        if crc != (zlib.crc32(data) & 0xFFFFFFFF):
-            raise ValueError(f"{path}@{offset}: DV checksum mismatch")
+    if len(data) != sz:
+        raise ValueError(
+            f"{path}@{offset}: truncated DV data ({len(data)} of "
+            f"{sz} bytes)"
+        )
+    # the CRC footer is MANDATORY in the .bin framing: a file missing
+    # exactly its last 4 bytes is the corruption case the checksum
+    # exists to catch, not a license to skip it (review r10h)
+    if len(crc_raw) != 4:
+        raise ValueError(
+            f"{path}@{offset}: truncated DV checksum footer"
+        )
+    (crc,) = struct.unpack(">I", crc_raw)
+    if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+        raise ValueError(f"{path}@{offset}: DV checksum mismatch")
     if as_numpy:
         return deserialize_rbm_array_np(data)
     return deserialize_rbm_array(data)

@@ -1464,3 +1464,86 @@ class TestSchemaEnforcementAndEvolution:
         t2 = DeltaTable(spark, d2)
         assert t2.scan().count() == 40
         assert t2._sig_cache  # footers were read
+
+
+class TestRoaringHardening:
+    """Review r10h: codec edges that silently corrupted or crashed."""
+
+    def test_large_container_count_decodes(self):
+        """>= 32769 containers made the SIGNED cookie shift negative
+        and the decoder silently return ZERO values — a deletion
+        vector that size would resurrect every deleted row."""
+        import struct as s
+
+        from feature_store_spark.sources import roaring as rb
+
+        n = 33_000
+        buf = bytearray()
+        buf += s.pack("<I", (rb.SERIAL_COOKIE | ((n - 1) << 16)))
+        buf += b"\x00" * ((n + 7) // 8)  # no run containers
+        for k in range(n):
+            buf += s.pack("<HH", k, 0)  # 1 value each
+        buf += b"\x00" * (4 * n)  # offset header (unused)
+        for k in range(n):
+            buf += s.pack("<H", 7)
+        want = [(k << 16) + 7 for k in range(n)]
+        got, _ = rb.deserialize_roaring32(bytes(buf))
+        assert got == want
+        import numpy as np
+
+        got_np, _ = rb.deserialize_roaring32_np(bytes(buf))
+        assert np.array_equal(got_np, np.array(want, dtype="uint32"))
+
+    def test_dv_file_truncation_refused(self, tmp_path):
+        import struct as s
+        import zlib
+
+        from feature_store_spark.sources import roaring as rb
+
+        data = rb.serialize_rbm_array([1, 5, 9])
+        framed = (
+            s.pack(">i", len(data))
+            + data
+            + s.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        )
+        p = tmp_path / "dv.bin"
+        p.write_bytes(framed)
+        assert rb.read_dv_from_file(str(p), 0, len(data)) == [1, 5, 9]
+        # missing CRC footer: the corruption the checksum exists for
+        p.write_bytes(framed[:-4])
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="checksum footer"):
+            rb.read_dv_from_file(str(p), 0, len(data))
+        # mid-data truncation: named, not a struct error
+        p.write_bytes(framed[: 4 + len(data) // 2])
+        with _pt.raises(ValueError, match="truncated DV data"):
+            rb.read_dv_from_file(str(p), 0, len(data))
+
+    def test_z85_bad_input_named(self):
+        import pytest as _pt
+
+        from feature_store_spark.sources.roaring import z85_decode
+
+        with _pt.raises(ValueError, match="invalid character"):
+            z85_decode("ab,de")
+        with _pt.raises(ValueError, match="non-canonical"):
+            z85_decode("#####")  # 84^5-ish > 2^32
+
+
+def test_criteo_all_empty_line_keeps_row(spark, tmp_path):
+    """Review r10h: a line of 39 tabs (legal Criteo, every field
+    missing) must become the all-zeros row, not vanish — Spark's CSV
+    source drops all-empty records, so the parser reads text."""
+    from feature_store_spark.sources.parsers import read_criteo_tsv
+
+    p = tmp_path / "c.tsv"
+    full = "1\t" + "\t".join(["2.0"] * 13) + "\t" + "\t".join(["x"] * 26)
+    p.write_text(full + "\n" + "\t" * 39 + "\n")
+    rows = read_criteo_tsv(spark, str(p)).collect()
+    assert len(rows) == 2
+    empty = next(r for r in rows if r["label"] == 0)
+    assert all(empty[f"I{i}"] == 0.0 for i in range(1, 14))
+    assert all(empty[f"C{i}"] == 0.0 for i in range(1, 27))
+    fullr = next(r for r in rows if r["label"] == 1)
+    assert fullr["I1"] == 2.0 and fullr["C1"] != 0.0

@@ -52,6 +52,10 @@ def connected_components(
     ``checkpoint=False`` skips per-round localCheckpoints for tiny
     inputs where lineage growth over a handful of rounds is free.
     """
+    # NULL endpoints are not nodes: filter them up front so the
+    # NULL-keeps-its-group behavior of groupBy can never mint a
+    # (NULL, component) row (review r10i)
+    pairs = pairs.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     edges = pairs.select(
         F.col(src).alias("node"), F.col(dst).alias("peer")
     ).union(pairs.select(F.col(dst).alias("node"), F.col(src).alias("peer")))
@@ -65,61 +69,56 @@ def connected_components(
     labels = edges.select("node").distinct().withColumn(
         "component", F.col("node")
     )
+    comp_type = labels.schema["component"].dataType
 
-    def label_mass(frame):
-        # labels are monotone non-increasing per node and the node set
-        # is fixed, so "sum of labels unchanged" IS convergence — a
-        # scalar aggregate instead of a labels x labels change-count
-        # join. Decimal sum: immune to long overflow under wide ids.
-        return frame.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("m")
-        ).first()["m"]
-
-    prev_mass = None
-    for _i in range(max_iter):
-        # labels flow one hop: node's current component reaches peer
-        msgs = edges.join(labels, "node").select(
-            F.col("peer").alias("node"), "component"
+    def propagate(lbls):
+        """One min-label round, carrying each node's OLD label through
+        the aggregation (every node has exactly ONE labels row, so
+        max(__old) recovers it) — the convergence probe is then an
+        exact count of changed labels in the same frame. TYPE-GENERIC:
+        the previous detector summed component ids cast to decimal,
+        which crashed under ANSI for STRING node ids (and, with ANSI
+        off, nulled the sum so round one looked converged and a
+        partially-propagated WRONG clustering escaped — review r10i,
+        execution-confirmed)."""
+        msgs = edges.join(lbls, "node").select(
+            F.col("peer").alias("node"),
+            "component",
+            F.lit(None).cast(comp_type).alias("__old"),
         )
-        new_labels = (
-            msgs.union(labels)
+        olds = lbls.select(
+            "node", "component", F.col("component").alias("__old")
+        )
+        return (
+            msgs.union(olds)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("__old").alias("__old"),
+            )
         )
+
+    def n_changed(frame) -> int:
+        return frame.agg(
+            F.count_if(F.col("component") != F.col("__old")).alias("ch")
+        ).first()["ch"]
+
+    for _i in range(max_iter):
+        new_labels = propagate(labels)
         if checkpoint:
             # LAZY checkpoint: the convergence probe below is the
             # materializing action, so lineage-cut + probe cost ONE
-            # job per round, not two (the probe used to run as a
-            # second pass over the eagerly checkpointed frame)
+            # job per round, not two
             new_labels = new_labels.localCheckpoint(eager=False)
-        # labels are monotone non-increasing and the node set is
-        # fixed, so equal mass across consecutive ROUNDS means no
-        # label moved — converged (comparing new-vs-new is exact:
-        # mass strictly decreases until the fixpoint)
-        mass = label_mass(new_labels)
-        if mass is None:
-            # empty pair graph: sum() over zero rows is NULL — the
-            # (empty) labels are trivially converged; without this the
-            # None-vs-None comparison below never fired and the loop
-            # burned max_iter rounds of Spark jobs on nothing
-            # (review r10)
-            return new_labels
-        if prev_mass is not None and mass == prev_mass:
-            return new_labels
-        prev_mass = mass
-        labels = new_labels
+        changed = n_changed(new_labels)
+        labels = new_labels.drop("__old")
+        if changed == 0:
+            return labels
     # the loop ran out before a round came back unchanged: labels may
     # be partially propagated (an intermediate, WRONG clustering).
     # Fail loudly — a silent partial answer would split real dup
     # clusters and leak extra "survivors" downstream.
-    final = (
-        edges.join(labels, "node")
-        .select(F.col("peer").alias("node"), "component")
-        .union(labels)
-        .groupBy("node")
-        .agg(F.min("component").alias("component"))
-    )
-    if label_mass(final) != label_mass(labels):
+    if n_changed(propagate(labels)) != 0:
         raise RuntimeError(
             f"connected_components: not converged after {max_iter} "
             "rounds — the graph has a component with diameter > "
@@ -174,6 +173,11 @@ def pagerank(
     per round so lineage stays flat. Fixed iteration count keeps the
     result engine-reproducible (the oracle unrolls the same rounds).
     """
+    # NULL endpoints are not nodes (review r10i: groupBy kept NULL as
+    # a phantom node that inflated N and diluted teleport mass, and a
+    # real node whose only edges touched NULL vanished) — filter up
+    # front, making the docstring's contribute-nothing claim true
+    pairs = pairs.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     edges = pairs.select(
         F.col(src).alias("node"), F.col(dst).alias("peer")
     ).union(pairs.select(F.col(dst).alias("node"), F.col(src).alias("peer")))
@@ -182,8 +186,12 @@ def pagerank(
         # candidate pipeline behind the pair list runs exactly once
         edges = edges.localCheckpoint()
     deg = edges.groupBy("node").agg(F.count(F.lit(1)).alias("__deg"))
+    # edges x deg is loop-INVARIANT: join it once, not once per round
+    # (review r10i — iterations redundant shuffle joins of the full
+    # symmetrized edge list)
+    edges_deg = edges.join(deg, "node")
     if checkpoint:
-        deg = deg.localCheckpoint()
+        edges_deg = edges_deg.localCheckpoint()
     n = deg.count()
     if n == 0:
         return deg.select("node", F.lit(0.0).alias("pagerank"))
@@ -191,8 +199,7 @@ def pagerank(
     ranks = deg.select("node", (F.lit(1.0) / F.lit(float(n))).alias("__r"))
     for _ in range(iterations):
         contrib = (
-            edges.join(ranks, "node")
-            .join(deg, "node")
+            edges_deg.join(ranks, "node")
             .groupBy("peer")
             .agg(F.sum(F.col("__r") / F.col("__deg")).alias("__m"))
         )

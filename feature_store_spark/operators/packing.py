@@ -74,12 +74,21 @@ def global_prefix_sum(
     # width_bucket, its tokens would shift every real bucket's offset,
     # and the offset equi-join would then DROP the row — the exact
     # primitive must refuse, not silently corrupt.
+    if int(n_buckets) <= 0:
+        raise ValueError(
+            f"global_prefix_sum: n_buckets={n_buckets} — width_bucket "
+            "over a non-positive bucket count is NULL for every row "
+            "and the offsets join would silently return an empty frame"
+        )
     oc = F.col(order_col).cast("double")
     bounds = df.agg(
         F.min(order_col).alias("lo"),
         F.max(order_col).alias("hi"),
         F.count_if(F.col(order_col).isNull()).alias("nulls"),
         F.count_if(F.isnan(oc)).alias("nans"),
+        F.count_if(
+            oc.isin(float("inf"), float("-inf"))
+        ).alias("infs"),
         F.count(order_col).alias("n"),
         F.count_distinct(order_col).alias("n_distinct"),
     ).first()
@@ -96,6 +105,12 @@ def global_prefix_sum(
         problems.append(f"{bounds['nulls']} NULL")
     if bounds["nans"]:
         problems.append(f"{bounds['nans']} NaN")
+    if bounds["infs"]:
+        # an infinite order key makes the width_bucket bounds
+        # infinite, which evaluates NULL for EVERY row — the whole
+        # frame would silently vanish through the offsets join
+        # (review r10i, execution-confirmed)
+        problems.append(f"{bounds['infs']} infinite")
     if problems:
         if did_persist:
             df.unpersist()
@@ -204,10 +219,21 @@ def mixture_sample(
 
     Scale shape: the per-group totals are a tiny map-side-combined
     aggregate broadcast back; the corpus side is one filter pass."""
-    w_items = list(weights.items())
+    # ints are a natural weight spelling; the explicit double schema
+    # would reject them with a createDataFrame internals error
+    # (review r10i, execution-confirmed)
+    w_items = [(g, float(v)) for g, v in weights.items()]
     spark = docs.sparkSession
     w_df = spark.createDataFrame(w_items, f"{group_col} string, __w double")
-    totals = docs.groupBy(group_col).agg(F.sum(token_col).alias("__T"))
+    # materialize the per-group totals (|groups| rows, metadata
+    # scale): `grand` and the probs join would otherwise re-derive
+    # the docs upstream — with an expensive token_col lineage that
+    # tripled the dominant cost (review r10i)
+    totals = (
+        docs.groupBy(group_col)
+        .agg(F.sum(token_col).alias("__T"))
+        .localCheckpoint(eager=True)
+    )
     grand = totals.agg(F.sum("__T").alias("__G"))
     probs = (
         totals.join(w_df, group_col, "left")
@@ -267,6 +293,10 @@ def pack_sequences(
     would ``repartition(seq_first)`` + ``sortWithinPartitions`` to emit
     shard files.
     """
+    if int(seq_len) <= 0:
+        # `div 0` is an execution-time DIVIDE_BY_ZERO job kill under
+        # ANSI (silent NULL seq ids otherwise) — refuse at call time
+        raise ValueError(f"pack_sequences: seq_len={seq_len} must be > 0")
     d = docs.filter(F.col(token_col) > 0)
     c = global_prefix_sum(d, token_col, order_col, n_buckets, out_col="__cum")
     placed = c.withColumn(
@@ -314,6 +344,10 @@ def pack_shards(
     ``doc_chunks``); the layout raises at execution if one slips
     through rather than emitting a silently unreadable shard.
     """
+    if int(seqs_per_shard) <= 0:
+        raise ValueError(
+            f"pack_shards: seqs_per_shard={seqs_per_shard} must be > 0"
+        )
     placed = pack_sequences(docs, token_col, seq_len, order_col, n_buckets)
     tokens_per_shard = seq_len * seqs_per_shard
     span = F.expr(f"seq_last div {seqs_per_shard}") - F.expr(

@@ -205,9 +205,16 @@ def doc_fingerprint(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Content fingerprint: md5 of normalized text plus a 32-bit rolling
-    -hash-style bucket (md5 prefix) for sharded dedup lookup tables."""
-    norm = F.lower(F.trim(F.col(text_col)))
-    fp = F.md5(norm)
+    -hash-style bucket (md5 prefix) for sharded dedup lookup tables.
+
+    THE SAME normalization as :func:`operators.dedup.fingerprint`
+    (lowercase + trim + interior-space-run collapse) — a lookup table
+    built here must hit the fingerprints the dedup family computes,
+    and the previous trim-only form missed on exactly the
+    doubled-space noise the dedup helper collapses (review r10i)."""
+    from feature_store_spark.operators.dedup import fingerprint
+
+    fp = fingerprint(F.col(text_col))
     return docs.select(
         F.col(id_col),
         fp.alias("fingerprint"),
@@ -334,9 +341,17 @@ def word_entropy(
     log identity avoids a second pass to compute p = c/T first. Both
     shuffles carry partial aggregates (map-side combine), keyed by doc
     — no global hotspot at any corpus size. Empty docs get entropy 0.
+
+    The tokenization is projected and lazily checkpointed ONCE: the
+    explode path and the zero-word empties branch both read it, and
+    without the cut each branch re-ran the full lower+split scan of
+    the corpus (review r10i; the repetition_stats pattern).
     """
-    w = words(F.col(text_col))
-    tall = docs.select(F.col(id_col), F.explode(w).alias("__w"))
+    base = docs.select(
+        F.col(id_col), words(F.col(text_col)).alias("__ws")
+    ).localCheckpoint(eager=False)
+    w = F.col("__ws")
+    tall = base.select(F.col(id_col), F.explode(w).alias("__w"))
     counts = tall.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
     c = F.col("__c").cast("double")
     agg = counts.groupBy(id_col).agg(
@@ -354,7 +369,7 @@ def word_entropy(
     # coalesce(size, 0): size(null) is NULL (null-falsy), so a
     # null-text doc would hit NEITHER branch and silently vanish
     # (review r5)
-    empties = docs.filter(F.coalesce(F.size(w), F.lit(0)) == 0).select(
+    empties = base.filter(F.coalesce(F.size(w), F.lit(0)) == 0).select(
         F.col(id_col),
         F.lit(0).cast("long").alias("n_words"),
         F.lit(0.0).alias("word_entropy"),

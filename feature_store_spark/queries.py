@@ -2996,8 +2996,9 @@ def q_doc_fingerprints(spark, sf_dir):
 
 
 FINGERPRINT_SQL = """
-SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
-       CAST(concat('0x', substr(md5(lower(trim(text))), 1, 8)) AS BIGINT) AS fingerprint32
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint,
+       CAST(concat('0x', substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 8)) AS BIGINT) AS fingerprint32
 FROM documents
 """
 

@@ -100,3 +100,40 @@ def test_non_convergence_raises(spark):
     # and with enough rounds the same graph resolves fine
     got = _cc_dict(connected_components(pairs, max_iter=10, checkpoint=False))
     assert set(got.values()) == {0}
+
+
+def test_connected_components_string_node_ids(spark):
+    """Review r10i (execution-confirmed): the convergence detector
+    used a decimal cast of the component id — a CAST_INVALID_INPUT
+    crash for string ids under ANSI, and with ANSI off a NULL mass
+    that made round one look converged, leaking a partially-
+    propagated WRONG clustering. The detector is now type-generic."""
+    from feature_store_spark.operators.graph import connected_components
+
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(x, "a") for x in "abcde"}
+
+
+def test_graph_null_endpoints_filtered(spark):
+    """Review r10i (execution-confirmed): a NULL endpoint must not
+    become a phantom node — pagerank counted it into N (diluting
+    teleport mass) and dropped the real node whose only edge touched
+    NULL; connected_components emitted a (NULL, component) row."""
+    from feature_store_spark.operators.graph import (
+        connected_components,
+        pagerank,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, None), (2, 3)], "id_a long, id_b long"
+    )
+    pr = {r["node"]: r["pagerank"] for r in pagerank(pairs, iterations=2).collect()}
+    assert set(pr) == {2, 3}
+    assert abs(pr[2] - 0.5) < 1e-9 and abs(pr[3] - 0.5) < 1e-9
+    cc = {r["node"] for r in connected_components(pairs).collect()}
+    assert cc == {2, 3}

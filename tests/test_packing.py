@@ -225,3 +225,41 @@ class TestPackingGuards:
         assert cached.storageLevel != StorageLevel.NONE
         release_prefix_sum_cache()  # no-arg: releases outstanding
         assert cached.storageLevel == StorageLevel.NONE
+
+
+def test_packing_guards_r10(spark):
+    """Review r10i: infinite order keys, non-positive knobs, and int
+    weights all refuse loudly or coerce instead of silently emptying
+    the frame / crashing in createDataFrame internals."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.operators.packing import (
+        global_prefix_sum,
+        mixture_sample,
+        pack_sequences,
+        pack_shards,
+    )
+
+    inf = float("inf")
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, 20), (inf, 30)], "k double, v int"
+    )
+    with _pt.raises(ValueError, match="infinite"):
+        global_prefix_sum(df, "v", "k")
+    ok = spark.createDataFrame([(1.0, 10), (2.0, 20)], "k double, v int")
+    with _pt.raises(ValueError, match="n_buckets"):
+        global_prefix_sum(ok, "v", "k", n_buckets=0)
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 200)], "doc_id long, n_tok int"
+    )
+    with _pt.raises(ValueError, match="seq_len"):
+        pack_sequences(docs, "n_tok", seq_len=0)
+    with _pt.raises(ValueError, match="seqs_per_shard"):
+        pack_shards(docs, "n_tok", seqs_per_shard=0)
+    # int weights coerce (previously a PySparkTypeError)
+    mixed = spark.createDataFrame(
+        [(1, "en", 100), (2, "de", 100)], "doc_id long, lang string, t int"
+    )
+    out = mixture_sample(mixed, "lang", {"en": 1, "de": 2}, 1.0, "t")
+    assert out.count() >= 1

@@ -102,14 +102,22 @@ def score(
     feature_cols: dict[str, str],
     score_col: str = "score",
     max_expr_trees: int = 50,
+    dtype: str = "float32",
 ) -> DataFrame:
     """Score rows with the right physical path for the ensemble size:
     Catalyst expressions (whole-stage codegen) up to ``max_expr_trees``
     — past that janino hits method-size limits and eval goes
     interpreted (measured 200x cliff) — else the compiled-kernel /
-    Arrow pandas UDF (:func:`best_tree_udf`)."""
+    Arrow pandas UDF (:func:`best_tree_udf`).
+
+    ``dtype`` applies to the UDF tier only: float32 is XGBoost's own
+    inference precision (and 2x the kernel bandwidth), but it means a
+    model crossing ``max_expr_trees`` can flip a value lying within
+    float32 rounding of a threshold (review r10j) — pass "float64"
+    when bit-parity with the expression tier matters more than
+    throughput (the oracle-checked queries do)."""
     if len(model["trees"]) > max_expr_trees:
-        udf = best_tree_udf(model, list(feature_cols.keys()))
+        udf = best_tree_udf(model, list(feature_cols.keys()), dtype=dtype)
         return df.withColumn(
             score_col, udf(*[F.col(c) for c in feature_cols.values()])
         )
@@ -122,15 +130,25 @@ def score_staged(
     feature_cols: dict[str, str],
     score_col: str = "score",
     trees_per_stage: int = 25,
+    barrier: bool = False,
 ) -> DataFrame:
-    """Large-ensemble scoring: compile the ensemble in stages of
-    ``trees_per_stage`` partial sums (separate columns), then sum.
+    """Ensemble scoring compiled in stages of ``trees_per_stage``
+    partial-sum columns, then summed.
 
-    A 300-tree x depth-6 model is ~38K expression nodes — one column
-    expression overflows the Python->Catalyst converter recursion and
-    would blow generated-method size limits; staging keeps every
-    expression bounded (the same reason the reference's C generator
-    emits one function per tree, generator.py:254-345).
+    What staging actually bounds (review r10j, verified against the
+    optimized plan): the PYTHON-side Column construction — one giant
+    expression overflows the Python->Catalyst converter recursion.
+    Catalyst's CollapseProject then inlines the single-use stage
+    aliases back into ONE Project, so the GENERATED code is NOT
+    bounded by default — janino's method-size cliff still applies at
+    the same ensemble size it does for :func:`compile_model_expr`.
+    For janino-safe large-ensemble scoring use :func:`score`, which
+    routes past ``max_expr_trees`` to the Arrow/native kernel tier.
+
+    ``barrier=True`` makes each stage a REAL codegen boundary via a
+    lazy ``localCheckpoint`` — bounded generated code at the cost of
+    materializing each stage's rows once; only worth it when the UDF
+    tier is unavailable and the ensemble is too big for one method.
     """
     trees = model["trees"]
     stage_cols: list[str] = []
@@ -142,6 +160,8 @@ def score_staged(
             expr = e if expr is None else expr + e
         name = f"__trees_{si}"
         out = out.withColumn(name, expr)
+        if barrier:
+            out = out.localCheckpoint(eager=False)
         stage_cols.append(name)
     raw = F.lit(float(model.get("base_score", 0.0)))
     for c in stage_cols:
@@ -205,15 +225,15 @@ def example_model(features: Sequence[str]) -> dict:
                 "yes": yes, "no": no}
 
     t1 = node(f[0], 25.0,
-              node(f[1], 30000.0, leaf(-0.4), leaf(0.2), "right"),
-              node(f[1], 50000.0, leaf(0.1), leaf(0.6)))
+              node(f[1 % len(f)], 30000.0, leaf(-0.4), leaf(0.2), "right"),
+              node(f[1 % len(f)], 50000.0, leaf(0.1), leaf(0.6)))
     t2 = node(f[2 % len(f)], 0.05,
               leaf(-0.3),
               node(f[0], 40.0, leaf(0.25), leaf(0.5), "right"))
     t3 = node(f[3 % len(f)], 0.04,
               node(f[2 % len(f)], 0.08, leaf(-0.15), leaf(0.05)),
               leaf(0.35))
-    t4 = node(f[1], 20000.0,
+    t4 = node(f[1 % len(f)], 20000.0,
               leaf(-0.2),
               node(f[3 % len(f)], 0.06, leaf(0.15), leaf(0.3)))
     return {
@@ -223,7 +243,11 @@ def example_model(features: Sequence[str]) -> dict:
     }
 
 
-def model_from_xgboost_json(obj, feature_names: Sequence[str] | None = None) -> dict:
+def model_from_xgboost_json(
+    obj,
+    feature_names: Sequence[str] | None = None,
+    objective: str | None = None,
+) -> dict:
     """Bridge an XGBoost model JSON into the internal model dict, so a
     model trained elsewhere with real XGBoost scores through every tier
     here (Catalyst CASE WHEN, numpy heap, gcc kernel) without the
@@ -253,12 +277,23 @@ def model_from_xgboost_json(obj, feature_names: Sequence[str] | None = None) -> 
     import math
 
     if isinstance(obj, list):  # get_dump(dump_format="json") layout
+        # dumps carry NO learner params: the objective must come from
+        # the caller (review r10j — hardcoding binary:logistic
+        # silently sigmoid-squashed regression dumps). feature_names
+        # remaps the dump's positional f{i} split names so
+        # compile_model_expr's feature map works (previously the
+        # parameter was silently ignored on this layout).
+        rename = {}
+        if feature_names:
+            rename = {f"f{i}": n for i, n in enumerate(feature_names)}
+
         def conv_dump(n: dict) -> dict:
             if "leaf" in n:
                 return {"leaf": float(n["leaf"])}
             kids = {c["nodeid"]: c for c in n["children"]}
+            split = str(n["split"])
             return {
-                "split": str(n["split"]),
+                "split": rename.get(split, split),
                 "threshold": float(n["split_condition"]),
                 "missing": "left" if n["missing"] == n["yes"] else "right",
                 "yes": conv_dump(kids[n["yes"]]),
@@ -267,13 +302,13 @@ def model_from_xgboost_json(obj, feature_names: Sequence[str] | None = None) -> 
 
         return {
             "base_score": 0.0,  # dumps carry no learner params
-            "objective": "binary:logistic",
+            "objective": objective or "binary:logistic",
             "trees": [conv_dump(t) for t in obj],
         }
 
     learner = obj["learner"]
     params = learner["learner_model_param"]
-    objective = learner["objective"]["name"]
+    objective = objective or learner["objective"]["name"]
     n_feat = int(params["num_feature"])
     names = list(
         feature_names
@@ -427,31 +462,6 @@ def model_to_xgboost_json(
     }
 
 
-def _flatten_tree(tree: dict, feature_index: dict[str, int]):
-    """Node arrays for vectorized traversal:
-    (feat, thr, left, right, missing_left, leaf). feat=-1 marks a leaf;
-    leaves self-loop so finished lanes idle in the traversal."""
-    feat, thr, left, right, miss, leaf = [], [], [], [], [], []
-
-    def add(n) -> int:
-        i = len(feat)
-        if "leaf" in n:
-            feat.append(-1); thr.append(0.0); left.append(i); right.append(i)
-            miss.append(True); leaf.append(float(n["leaf"]))
-        else:
-            feat.append(feature_index[n["split"]])
-            thr.append(float(n["threshold"]))
-            miss.append(n.get("missing", "left") == "left")
-            leaf.append(0.0)
-            left.append(-1); right.append(-1)
-            li = add(n["yes"]); ri = add(n["no"])
-            left[i] = li; right[i] = ri
-        return i
-
-    add(tree)
-    return feat, thr, left, right, miss, leaf
-
-
 def _model_heap(model: dict, feature_names: Sequence[str]):
     """Flatten an ensemble into complete depth-D heap arrays.
 
@@ -472,6 +482,20 @@ def _model_heap(model: dict, feature_names: Sequence[str]):
         return 1 + max(_depth(n["yes"]), _depth(n["no"]))
 
     D = max(1, max(_depth(t) for t in model["trees"]))
+    if D > 24:
+        # the complete-heap layout is EXPONENTIAL in depth (2^D slots
+        # per tree): a lossguide-grown tree of depth 31+ would also
+        # overflow the C kernel's 32-bit (1 << depth) — refuse loudly
+        # instead of OOMing the driver and every executor (review
+        # r10j). Depth-bounded (hist/depthwise) models are the shape
+        # this tier exists for; score depth-unbounded models through
+        # the expression tier or a pointer-walk UDF.
+        raise ValueError(
+            f"_model_heap: ensemble depth {D} > 24 — the complete-"
+            "heap layout needs 2^depth slots per tree; use "
+            "compile_model_expr / score(max_expr_trees=...) for "
+            "depth-unbounded (lossguide) models"
+        )
     n_inner = 2**D - 1
 
     featH = np.zeros((n_trees, n_inner), dtype=np.int32)
@@ -742,12 +766,16 @@ def native_tree_udf(model: dict, feature_names: Sequence[str], dtype: str = "flo
     return predict
 
 
-def best_tree_udf(model: dict, feature_names: Sequence[str]):
+def best_tree_udf(
+    model: dict, feature_names: Sequence[str], dtype: str = "float32"
+):
     """Fastest available ensemble scorer: compiled-C kernel when a
-    compiler exists, Arrow+numpy traversal otherwise."""
-    if HAS_GCC:
+    compiler exists, Arrow+numpy traversal otherwise. ``dtype``
+    selects the numpy tier's precision; the C kernel is f32 by
+    design, so float64 requests route to the numpy tier."""
+    if HAS_GCC and dtype == "float32":
         return native_tree_udf(model, feature_names)
-    return vectorized_tree_udf(model, feature_names, dtype="float32")
+    return vectorized_tree_udf(model, feature_names, dtype=dtype)
 
 
 try:  # optional xgboost fast path (not present in the test container)
@@ -772,14 +800,23 @@ def xgboost_udf(booster_bytes: bytes, feature_names: Sequence[str]):
 
     names = list(feature_names)
 
+    state: dict = {}
+
     @pandas_udf("double")
     def predict(*cols):
         import numpy as np
         import pandas as pd
         import xgboost as xgb
 
-        booster = xgb.Booster()
-        booster.load_model(bytearray(booster_bytes))
+        # deserialize ONCE per worker process, not once per Arrow
+        # batch (review r10j: load_model per ~10K-row batch made
+        # deserialization dominate large-model scoring) — the same
+        # closure-state pattern native_tree_udf uses
+        booster = state.get("booster")
+        if booster is None:
+            booster = xgb.Booster()
+            booster.load_model(bytearray(booster_bytes))
+            state["booster"] = booster
         mat = np.column_stack([c.to_numpy(dtype="float64") for c in cols])
         dm = xgb.DMatrix(mat, feature_names=names)
         return pd.Series(booster.predict(dm))

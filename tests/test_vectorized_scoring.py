@@ -305,3 +305,61 @@ def test_random_pruned_trees_differential_extreme_values(spark):
             assert _m.isclose(expr[i], nat[i], rel_tol=0, abs_tol=1e-12), (
                 i, rows[i], expr[i], nat[i]
             )
+
+
+def test_scoring_review_guards_r10(spark):
+    """Review r10j: loud guards and honest knobs on the scoring tiers."""
+    import pytest as _pt
+
+    from feature_store_spark.scoring import (
+        _model_heap,
+        example_model,
+        model_from_xgboost_json,
+        score,
+    )
+
+    # lossguide-deep ensembles refuse the exponential heap layout
+    def deep(d):
+        if d == 0:
+            return {"leaf": 1.0}
+        return {"split": "x", "threshold": 0.5, "missing": "left",
+                "yes": deep(d - 1), "no": {"leaf": 0.0}}
+
+    m = {"base_score": 0.0, "objective": "reg:squarederror",
+         "trees": [deep(30)]}
+    with _pt.raises(ValueError, match="depth"):
+        _model_heap(m, ["x"])
+
+    # dump layout: objective passthrough + feature_names remap
+    dump = [{"nodeid": 0, "split": "f0", "split_condition": 1.0,
+             "yes": 1, "no": 2, "missing": 1,
+             "children": [{"nodeid": 1, "leaf": 2.0},
+                          {"nodeid": 2, "leaf": 3.0}]}]
+    reg = model_from_xgboost_json(dump, feature_names=["price"],
+                                  objective="reg:squarederror")
+    assert reg["objective"] == "reg:squarederror"
+    assert reg["trees"][0]["split"] == "price"
+
+    # raw regression dump scores un-squashed through score()
+    df = spark.createDataFrame([(0.5,), (2.0,)], "price double")
+    got = sorted(
+        r["score"] for r in score(df, reg, {"price": "price"}).collect()
+    )
+    assert got == [2.0, 3.0]  # sigmoid would have mapped into (0,1)
+
+    # short feature lists no longer IndexError
+    assert example_model(["only"])["trees"]
+
+    # dtype passthrough reaches the UDF tier (float64 = expression
+    # parity on a threshold that float32 rounds across)
+    thr = 56.920387
+    m2 = {"base_score": 0.0, "objective": "reg:squarederror",
+          "trees": [{"split": "x", "threshold": thr, "missing": "left",
+                     "yes": {"leaf": 1.0}, "no": {"leaf": 0.0}}] * 60}
+    import numpy as np
+
+    x = float(np.nextafter(np.float32(thr), np.float32(-1e9)))
+    # x < thr in float64; in float32 both round to the same value
+    df2 = spark.createDataFrame([(x,)], "x double")
+    v64 = score(df2, m2, {"x": "x"}, dtype="float64").collect()[0]["score"]
+    assert v64 == 60.0  # matches the expression tier's float64 branch

@@ -72,6 +72,26 @@ def _local_topk(s, ids, k: int, largest: bool) -> list[int]:
     return order[:kk]
 
 
+def _finite_row(a, width: int):
+    """Arrow-aware row validation for mapInPandas paths: a NULL array
+    element arrives as NaN inside a float numpy array (NOT as None —
+    review r10k: `x is None` checks were dead under Arrow, letting
+    degenerate rows through to encode garbage or crash int casts).
+    Returns the float64 array when the row is a dense finite vector
+    of the expected width, else None."""
+    import numpy as np
+
+    if a is None:
+        return None
+    try:
+        arr = np.asarray(a, dtype=np.float64)
+    except (TypeError, ValueError):
+        return None
+    if arr.ndim != 1 or arr.shape[0] != width or np.isnan(arr).any():
+        return None
+    return arr
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -93,15 +113,27 @@ def cosine(a: Column, b: Column) -> Column:
     (the common all-zeros fill for a missing embedding) made the bare
     division abort the whole job with DIVIDE_BY_ZERO under Spark 4's
     default ANSI mode; NULL ranks last under the desc top-k windows,
-    which is exactly where a degenerate vector belongs."""
-    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+    which is exactly where a degenerate vector belongs. ``nanvl``
+    folds NaN the same way (review r10k): Spark sorts NaN ABOVE every
+    real number, so a single NaN element would otherwise put the
+    garbage pair at rank 1 of every desc top-k instead of last."""
+    return F.nanvl(
+        F.try_divide(_dot(a, b), _norm(a) * _norm(b)),
+        F.lit(None).cast("double"),
+    )
 
 
 def l2_squared(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    """Squared L2 distance; NaN folds to NULL for the same rank-last
+    contract as :func:`cosine` (asc consumers must order
+    nulls-LAST — Spark's bare asc is nulls-first)."""
+    return F.nanvl(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(None).cast("double"),
     )
 
 
@@ -123,7 +155,9 @@ def brute_force_topk(
         order = [F.col("score").desc(), F.col(id_col).asc()]
     elif metric == "l2":
         score = l2_squared(v, q)
-        order = [F.col("score").asc(), F.col(id_col).asc()]
+        # asc is nulls-FIRST in Spark: degenerate (NULL-distance)
+        # rows would fill the top-k ahead of real neighbors
+        order = [F.col("score").asc_nulls_last(), F.col(id_col).asc()]
     else:
         raise ValueError(metric)
     return (
@@ -288,16 +322,8 @@ def _knn_arrow_scored(
             # per-ROW validation, not just whole-array notna: a NULL
             # element or ragged dimension would crash np.asarray, and
             # a zero norm would mint a NaN that desc-sorts FIRST
-            vals = pdf[vec_col].tolist()
-            valid = np.array(
-                [
-                    a is not None
-                    and len(a) == d
-                    and not any(x is None for x in a)
-                    for a in vals
-                ],
-                dtype=bool,
-            )
+            vals = [_finite_row(a, d) for a in pdf[vec_col].tolist()]
+            valid = np.array([a is not None for a in vals], dtype=bool)
             # -inf = "NULL score": sorts last on desc like the merge
             # window's nulls-last, converted back to NULL on emit
             score = np.full((B, nq), -np.inf)
@@ -381,11 +407,24 @@ def assign_clusters(
         F.col("__ck"),
         l2_squared(F.col("__v"), F.col("__cv")).alias("__d"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("__ck").asc())
+    # nulls LAST: a degenerate centroid (NULL distance) must never
+    # capture a vector ahead of a real one (review r10k)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__d").asc_nulls_last(), F.col("__ck").asc()
+    )
     return (
         crossed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col("__ck").alias("cluster"), F.col("__d").alias("dist_sq"))
+        .select(
+            F.col(id_col),
+            # a vector with NO real distance (NULL/NaN embedding) is
+            # UNASSIGNED, not arbitrarily parked in whichever cluster
+            # the tie-break picked (review r10k)
+            F.when(F.col("__d").isNotNull(), F.col("__ck")).alias(
+                "cluster"
+            ),
+            F.col("__d").alias("dist_sq"),
+        )
     )
 
 
@@ -411,7 +450,7 @@ def ivf_topk(
             F.col(centroid_key).alias(cluster_col),
             l2_squared(F.col(centroid_vec).cast("array<double>"), q).alias("__d"),
         )
-        .orderBy(F.col("__d").asc(), F.col(cluster_col).asc())
+        .orderBy(F.col("__d").asc_nulls_last(), F.col(cluster_col).asc())
         .limit(n_probe)
         .select(cluster_col)
     )
@@ -459,8 +498,10 @@ def ivf_probes(
         F.col(cluster_col),
         l2_squared(F.col("__q"), F.col("__c")).alias("__d"),
     )
+    # nulls LAST (review r10k): a degenerate centroid must not
+    # steal one of every query's n_probe slots
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("__d").asc(), F.col(cluster_col).asc()
+        F.col("__d").asc_nulls_last(), F.col(cluster_col).asc()
     )
     return (
         qc.withColumn("__r", F.row_number().over(w))
@@ -520,8 +561,13 @@ def ivf_knn_join(
     wk = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
-    return scored.withColumn("rank", F.row_number().over(wk)).filter(
-        F.col("rank") <= k
+    # NULL scores (degenerate vector on either side) are non-matches:
+    # without the filter a NULL-vector query would get k arbitrary
+    # rank-1..k rows (review r10k; knn_join excludes such queries)
+    return (
+        scored.filter(F.col("score").isNotNull())
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -563,20 +609,30 @@ def hyperplane_bucket(
         planes = hyperplane_planes(n_planes, dim)
     v = F.col(vec_col).cast("array<double>")
     bits = []
+    first_dot = None
     for p, row in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in row])
-        dot = _dot(v, plane)
+        # nanvl: a NaN element makes every projection NaN, and
+        # `NaN >= 0` is TRUE in Spark — such vectors herded into the
+        # all-ones bucket alongside legitimately all-positive
+        # vectors (review r10k); folded to NULL they fall through to
+        # the NULL-bucket contract below
+        dot = F.nanvl(_dot(v, plane), F.lit(None).cast("double"))
+        if first_dot is None:
+            first_dot = dot
         bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
-    # NULL vector -> NULL bucket (review r5): every when() falls to
-    # otherwise(0) on a NULL projection, which used to herd all NULL
-    # vectors into bucket 0 where their NULL scores could occupy
-    # top-k slots of any query hashing there; a NULL bucket is
-    # excluded from every equi-join collision block
+    # Degenerate vector -> NULL bucket (review r5 + r10k): a whole-
+    # NULL vector, a NULL ELEMENT, a ragged dimension (zip_with pads
+    # with NULL), or a NaN element all make every plane projection
+    # NULL — gate on the first projection, which is NULL exactly in
+    # those cases, instead of v.isNotNull(), which only caught the
+    # whole-NULL form and herded the rest into bucket 0 where they
+    # bloat the collision block past max_bucket_size
     return embeddings.withColumn(
-        bucket_col, F.when(v.isNotNull(), bucket).cast("long")
+        bucket_col, F.when(first_dot.isNotNull(), bucket).cast("long")
     )
 
 
@@ -634,10 +690,18 @@ def kmeans_init_centroids(
     (per-partition heaps, no global sort); the labeling window then
     runs over k rows only — never a single-partition pass of the
     corpus."""
+    v = F.col(vec_col).cast("array<double>")
     take = (
-        embeddings.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("centroid")
+        embeddings
+        # only VALID vectors may seed (review r10k): a degenerate
+        # low-id vector (NULL, NULL element, NaN) would mint a
+        # centroid whose distances are NULL for every vector,
+        # silently collapsing the fit toward one cluster
+        .filter(
+            v.isNotNull()
+            & ~F.exists(v, lambda x: x.isNull() | F.isnan(x))
         )
+        .select(F.col(id_col), v.alias("centroid"))
         .orderBy(F.col(id_col).asc())
         .limit(k)
     )
@@ -786,9 +850,13 @@ def semantic_dedup(
     Returns ``(id, bucket, keep)`` for every input row.
     """
     if bucket_col is not None:
+        # keep the caller's bucket type: casting to long silently
+        # nulled string cluster labels, emptied the pair self-join,
+        # and turned the whole dedup into a keep-everything no-op
+        # (review r10k)
         b = embeddings.select(
             F.col(id_col),
-            F.col(bucket_col).cast("long").alias("__bkt"),
+            F.col(bucket_col).alias("__bkt"),
             F.col(vec_col).cast("array<double>").alias("__v"),
         )
     else:
@@ -946,14 +1014,11 @@ def pq_encode(
             vals = pdf[vec_col].tolist()
             out = []
             for a in vals:
-                if (
-                    a is None
-                    or len(a) != d
-                    or any(x is None for x in a)
-                ):
+                arr = _finite_row(a, d)
+                if arr is None:
                     out.append(None)
                     continue
-                v = np.asarray(a, dtype=np.float64).reshape(m, dsub)
+                v = arr.reshape(m, dsub)
                 # (m, ksub) distances via broadcasting; argmin per sub
                 d2 = ((v[:, None, :] - cb) ** 2).sum(axis=2)
                 out.append([int(c) for c in d2.argmin(axis=1)])
@@ -1043,16 +1108,8 @@ def _pq_adc_scored(
             B = len(pdf)
             if not B:
                 continue
-            vals = pdf["codes"].tolist()
-            valid = np.array(
-                [
-                    c is not None
-                    and len(c) == m
-                    and all(x is not None for x in c)
-                    for c in vals
-                ],
-                dtype=bool,
-            )
+            vals = [_finite_row(c, m) for c in pdf["codes"].tolist()]
+            valid = np.array([c is not None for c in vals], dtype=bool)
             # +inf = "NULL distance": sorts last on asc like the
             # merge window's nulls-last, converted back on emit
             dist = np.full((B, nq), np.inf)
@@ -1181,16 +1238,8 @@ def pq_topk_probed(
             qidx = np.array(
                 [qmap.get(q, -1) for q in qkey], dtype=np.int64
             )
-            vals = pdf["codes"].tolist()
-            valid = np.array(
-                [
-                    c is not None
-                    and len(c) == m
-                    and all(x is not None for x in c)
-                    for c in vals
-                ],
-                dtype=bool,
-            )
+            vals = [_finite_row(c, m) for c in pdf["codes"].tolist()]
+            valid = np.array([c is not None for c in vals], dtype=bool)
             dist = np.full(B, np.inf)
             both = valid & (qidx >= 0)
             if both.any():

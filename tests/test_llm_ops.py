@@ -974,3 +974,93 @@ def test_simhash_is_case_insensitive(spark):
     )
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sigs[1] == sigs[2]
+
+
+def test_similarity_degenerate_vectors_rank_last_r10(spark):
+    """Review r10k: NULL/NaN-element vectors must never claim top-k
+    slots, probe slots, clusters, buckets, or PQ codes."""
+    import math
+
+    from feature_store_spark.operators.similarity import (
+        assign_clusters,
+        brute_force_topk,
+        hyperplane_bucket,
+        ivf_knn_join,
+        kmeans_fit,
+        knn_join,
+        pq_encode,
+        pq_train,
+        semantic_dedup,
+    )
+
+    nan = float("nan")
+    rows = [
+        (0, [nan, nan]),        # degenerate, lowest id (seed hazard)
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, None),              # whole-NULL
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # brute force: degenerates never beat real neighbors (both metrics)
+    for metric in ("cosine", "l2"):
+        top = brute_force_topk(
+            emb, [1.0, 0.0], k=3, metric=metric
+        ).collect()
+        assert [r["vec_id"] for r in top][:2] in ([1, 2], [1, 2])
+        assert all(
+            r["score"] is None for r in top if r["vec_id"] in (0, 4)
+        )
+
+    # kmeans: degenerate low-id vector must not seed / capture
+    model, _ = kmeans_fit(emb, k=2, iters=3)
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(
+            emb, model, centroid_key="cluster"
+        ).collect()
+    }
+    assert assigned[0] is None and assigned[4] is None
+    assert assigned[1] is not None and assigned[3] is not None
+    assert len({assigned[1], assigned[3]}) == 2  # no collapse
+
+    # knn twins agree: NULL-vector query yields zero rows in both
+    q = spark.createDataFrame(
+        [(100, None), (101, [1.0, 0.0])],
+        "query_id long, query_vec array<double>",
+    )
+    a = knn_join(q, emb, k=2).collect()
+    assert {r["query_id"] for r in a} == {101}
+    withc = assign_clusters(
+        emb, model, centroid_key="cluster"
+    ).join(emb, "vec_id").select(
+        "vec_id", "embedding", "cluster"
+    ).filter("cluster is not null")
+    b = ivf_knn_join(
+        q, withc, model, k=2, n_probe=2, centroid_key="cluster"
+    ).collect()
+    assert {r["query_id"] for r in b} == {101}
+
+    # LSH bucket: NaN-element and NULL-element vectors get NULL bucket
+    be = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [nan, 1.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    bk = {
+        r["vec_id"]: r["bucket"]
+        for r in hyperplane_bucket(be, dim=2, n_planes=4).collect()
+    }
+    assert bk[2] is None and bk[3] is None and bk[1] is not None
+
+    # semantic dedup: NaN vector provably never deletes real rows
+    sd = semantic_dedup(be, n_planes=2, dim=2)
+    assert all(r["keep"] for r in sd.collect())
+
+    # PQ: NaN-element vector encodes to NULL codes (Arrow-aware check)
+    cb = pq_train(emb.filter("vec_id in (1,2,3)"), m=2, ksub=2)
+    codes = {
+        r["vec_id"]: r["codes"] for r in pq_encode(emb, cb).collect()
+    }
+    assert codes[0] is None and codes[4] is None
+    assert codes[1] is not None

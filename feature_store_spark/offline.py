@@ -61,10 +61,30 @@ class OfflineStore:
             df = df.filter(F.col("entity_type") == entity_type)
         if feature_names is not None:
             df = df.filter(F.col("feature_name").isin(list(feature_names)))
+        # time bounds ALSO derive event_date partition predicates
+        # (review r10l): Catalyst cannot infer bounds on the derived
+        # partition column from an event_time filter, so every date
+        # partition of the entity used to be listed and its footers
+        # opened. The date bounds are widened one day on each side —
+        # to_date depends on the session timezone, and a reader in a
+        # different zone than the writer must never prune away a row
+        # the row-level event_time filter (kept below) would keep.
         if time_min is not None:
-            df = df.filter(F.col("event_time") >= F.lit(time_min))
+            df = df.filter(
+                (F.col("event_time") >= F.lit(time_min))
+                & (
+                    F.col("event_date")
+                    >= F.date_sub(F.to_date(F.lit(time_min)), 1)
+                )
+            )
         if time_max is not None:
-            df = df.filter(F.col("event_time") <= F.lit(time_max))
+            df = df.filter(
+                (F.col("event_time") <= F.lit(time_max))
+                & (
+                    F.col("event_date")
+                    <= F.date_add(F.to_date(F.lit(time_max)), 1)
+                )
+            )
         return df
 
     def scan(
@@ -106,7 +126,27 @@ class OfflineStore:
         single-shuffle columnar ASOF plan (operators.asof)."""
         from feature_store_spark.operators.asof import asof_training_set_columnar
 
-        records = self.scan(entity_type=entity_type)
+        # bound the records scan by the LABEL time range (one tiny agg
+        # over the label side): with the date-partition predicates in
+        # _apply_scan_filters this is what actually prunes the
+        # flagship training path to [min(label)-lookback, max(label)]
+        # as the module docstring promises (review r10l) — previously
+        # no time bound reached the scan at all
+        import datetime as _dt
+
+        b = label_events.agg(
+            F.min("event_time").alias("lo"), F.max("event_time").alias("hi")
+        ).first()
+        time_min = time_max = None
+        if b["lo"] is not None:
+            time_min = b["lo"] - _dt.timedelta(days=float(lookback_days))
+            time_max = b["hi"]
+        records = self.scan(
+            entity_type=entity_type,
+            feature_names=feature_names,
+            time_min=time_min,
+            time_max=time_max,
+        )
         out = asof_training_set_columnar(
             label_events,
             records,

@@ -53,13 +53,20 @@ def funnel_user_times(
       event strictly after ``t_{i-1}`` and within ``max_gap`` of it.
       A user who abandons their first attempt and completes from a
       LATER step-1 event does not count ("first touch" attribution).
-    - ``"any"``: ``t_i`` = the earliest step-i completion over ALL
-      step-1 anchors — a user counts if ANY attempt completes the
-      chain in order within the gaps (the re-entry convention; review
-      r10 flagged that first-touch undercounts these users). Cost:
-      the chain evaluates per anchor, so per-user work is
-      O(|step-1 events| x Σ|step arrays|) array ops instead of
-      O(Σ|step arrays|) — still key-local, still codegen.
+    - ``"any"``: ``t_i`` = the earliest step-i event reachable through
+      SOME in-order chain of prior steps within the gaps — a user
+      counts if ANY attempt completes the funnel (the re-entry
+      convention; review r10 flagged that first-touch undercounts
+      these users). Computed as a feasible-set dynamic program
+      (review r10l): step i's feasible events are those preceded
+      within the gap by SOME feasible step-(i-1) event. The earlier
+      per-anchor GREEDY chain (always take the earliest next step)
+      missed completions that needed a later intermediate event —
+      A@0, B@1, B@9, C@15 with a 10-day gap completes via B@9, but
+      greedy took B@1 and died. Per-user work is
+      O(Σ|A_i| x |A_{i-1}|) key-local array ops, linear in funnel
+      LENGTH (the greedy form re-evaluated the whole prefix chain
+      per step — quadratic expression growth).
 
     One shuffle either way: filter to the step types, then a single
     groupBy(user) collecting one sorted timestamp array per step; the
@@ -103,24 +110,24 @@ def funnel_user_times(
             )
     else:
 
-        def _chain(a: Column, upto: int) -> Column:
-            cur = a
-            for j in range(1, upto + 1):
-                cur = _next(cur, F.col(f"__a{j}"))
-            return cur
+        def _feasible(prev: Column, arr: Column) -> Column:
+            # a step event is feasible iff SOME feasible previous-step
+            # event precedes it (within the gap, when one is set)
+            def reachable(x):
+                if max_gap is not None:
+                    return F.exists(
+                        prev,
+                        lambda p: (x > p)
+                        & (x <= p + F.expr(f"INTERVAL {max_gap}")),
+                    )
+                return F.exists(prev, lambda p: x > p)
 
-        def _anchor_min(i: int) -> Column:
-            # a one-arg factory, NOT a default-arg lambda: F.transform
-            # hands (element, index) to two-arg lambdas, which would
-            # bind the step number to the index column
-            return F.array_min(
-                F.transform(F.col("__a0"), lambda a: _chain(a, i))
-            )
+            return F.filter(arr, reachable)
 
+        feas = F.col("__a0")
         for i in range(1, len(steps)):
-            # earliest step-i completion over every anchor; array_min
-            # skips anchors whose chain died (null)
-            out = out.withColumn(f"t{i}", _anchor_min(i))
+            feas = _feasible(feas, F.col(f"__a{i}"))
+            out = out.withColumn(f"t{i}", F.array_min(feas))
     return out.select(
         "user_key", *[F.col(f"t{i}") for i in range(len(steps))]
     )

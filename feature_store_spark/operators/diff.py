@@ -23,6 +23,7 @@ def snapshot_diff(
     new: DataFrame,
     key_cols: Sequence[str],
     compare_cols: Sequence[str] | None = None,
+    check_keys: bool = True,
 ) -> DataFrame:
     """Classify every key across two snapshots: ``added`` (new only),
     ``removed`` (old only), ``changed`` (present in both, any compared
@@ -30,7 +31,33 @@ def snapshot_diff(
     columns plus ``change_type``.
 
     ``compare_cols`` defaults to all shared non-key columns.
+
+    The audit is one-verdict-per-key, so ``key_cols`` must be unique
+    within each snapshot — duplicate keys would fan out through the
+    full-outer join into contradictory rows (review r10l:
+    double-counted 'changed' verdicts with no error). ``check_keys``
+    verifies that with one aggregate per side and refuses loudly;
+    pass ``False`` when uniqueness is already guaranteed upstream
+    (e.g. the state table of a keyed upsert) to skip the passes.
     """
+    if check_keys:
+        for name, frame in (("old", old), ("new", new)):
+            # groupBy keeps NULL keys as their own group, so this is
+            # null-safe where count_distinct (which skips NULLs)
+            # would false-positive
+            dup = (
+                frame.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"snapshot_diff: {name} snapshot has duplicate "
+                    f"keys over {list(key_cols)} — one verdict per "
+                    "key is impossible; dedupe first or fix key_cols"
+                )
     if compare_cols is None:
         shared = [c for c in old.columns if c in new.columns]
         compare_cols = [c for c in shared if c not in key_cols]

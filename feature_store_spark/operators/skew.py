@@ -86,6 +86,7 @@ def salted_top_k_per_group(
     group_cols: Sequence[str],
     order_by: Sequence[Column | str],
     n_salts: int = 8,
+    rank_col: str = "rank",
 ) -> DataFrame:
     """Per-group top-K with a two-phase salted plan: local top-K within
     (group, salt) — each hot group's work spread over ``n_salts`` tasks
@@ -94,8 +95,20 @@ def salted_top_k_per_group(
     tie-breaking ``order_by``), but the hot group never serializes into
     one task. The same trick as TakeOrderedAndProject's two-phase
     merge, applied per group.
+
+    ``rank_col`` names the emitted rank — same knob (and same reused
+    phase-2 implementation) as :func:`operators.topk.top_k_per_group`;
+    a hardcoded 'rank' used to silently overwrite an existing column
+    of that name (review r10l). A clash still refuses loudly.
     """
-    cols = df.columns
+    from feature_store_spark.operators.topk import top_k_per_group
+
+    if rank_col in df.columns:
+        raise ValueError(
+            f"salted_top_k_per_group: input already has a column "
+            f"{rank_col!r} — pass rank_col= to avoid silently "
+            "overwriting it"
+        )
     order = [F.col(c) if isinstance(c, str) else c for c in order_by]
     s = with_salt(df, n_salts)
     w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order)
@@ -104,9 +117,4 @@ def salted_top_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn", "__salt")
     )
-    w2 = Window.partitionBy(*group_cols).orderBy(*order)
-    return (
-        local.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select(*cols, "rank")
-    )
+    return top_k_per_group(local, k, group_cols, order_by, rank_col=rank_col)

@@ -1043,3 +1043,48 @@ def test_nan_discipline_r10(spark):
         tiny, ["v"], p_lo=0.0, p_hi=1.0, scale=1_000_000
     ).collect()[0]
     assert w["std_w"] > 0.0
+
+
+def test_funnel_any_reaches_via_later_intermediate(spark):
+    """Review r10l: anchor='any' must complete A@0 -> B@9 -> C@15 with
+    a 10-day gap even though the greedy earliest-B (day 1) dies —
+    feasible-set DP, not per-anchor greedy."""
+    import datetime as dt
+
+    from feature_store_spark.operators.behavior import funnel_user_times
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "A", base),
+        (1, "B", base + dt.timedelta(days=1)),
+        (1, "B", base + dt.timedelta(days=9)),
+        (1, "C", base + dt.timedelta(days=15)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = funnel_user_times(
+        ev, ["A", "B", "C"], max_gap="10 days", anchor="any"
+    ).collect()[0]
+    assert got["t2"] == base + dt.timedelta(days=15)
+    # first-touch still dies at its greedy B@1 (documented convention)
+    first = funnel_user_times(
+        ev, ["A", "B", "C"], max_gap="10 days", anchor="first"
+    ).collect()[0]
+    assert first["t2"] is None
+
+
+def test_snapshot_diff_duplicate_keys_refused(spark):
+    from feature_store_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    new = spark.createDataFrame([(1, "a")], "k long, v string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="duplicate keys"):
+        snapshot_diff(old, new, ["k"])
+    # NULL keys are fine as long as unique
+    o2 = spark.createDataFrame([(None, "a"), (1, "b")], "k string, v string")
+    n2 = spark.createDataFrame([(None, "a"), (1, "c")], "k string, v string")
+    got = {
+        (r["k"], r["change_type"]) for r in snapshot_diff(o2, n2, ["k"]).collect()
+    }
+    assert got == {(None, "unchanged"), ("1", "changed")}

@@ -80,3 +80,23 @@ def test_salted_join_rejects_right_and_full(skewed):
     for how in ("right", "full", "outer", "full_outer"):
         with pytest.raises(ValueError, match="unsupported"):
             salted_join(skewed, dims, "user_id", n_salts=4, how=how)
+
+
+def test_salted_topk_rank_col_collision_refused(spark):
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.operators.skew import salted_top_k_per_group
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 99), (1, 2.0, 98)], "g long, v double, rank long"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="rank"):
+        salted_top_k_per_group(df, 1, ["g"], [F.col("v").desc()])
+    out = salted_top_k_per_group(
+        df, 1, ["g"], [F.col("v").desc()], rank_col="topk_rank"
+    ).collect()
+    assert [(r["v"], r["rank"], r["topk_rank"]) for r in out] == [
+        (2.0, 98, 1)
+    ]

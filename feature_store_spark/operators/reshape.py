@@ -119,18 +119,31 @@ def assemble_vectors(
     )
     # ONE pivot of (value, time) structs — not two pivots + a join
     # (which would shuffle the latest-scalars twice and re-join them)
+    # cast to double INSIDE the struct (review r10m): the sentinel
+    # invariant is "mask true <=> default served <=> age -1", and it
+    # must key on the value AS SERVED — a NULL raw value (or one that
+    # fails the double cast, e.g. a string 'n/a') serves the default,
+    # so its t must not leak into the age and its mask must say
+    # default. assemble_flat already casts before the null check.
     pivoted = (
         latest.groupBy(entity_col)
         .pivot(name_col, feature_names)
         .agg(
             F.first(
                 F.struct(
-                    F.col(value_col).alias("v"),
+                    F.col(value_col).cast("double").alias("v"),
                     epoch_ms(F.col(time_col)).alias("t"),
                 )
             )
         )
     )
+
+    def slot(n: str):
+        # pivot emits columns NAMED the feature values: access by
+        # backtick-quoted name, or a feature like 'ctr.7d' parses as
+        # a struct path and an entity_col-named feature goes
+        # ambiguous (review r10m)
+        return F.col(f"`{n}`")
 
     now_expr = (
         F.lit(now_ms)
@@ -140,17 +153,18 @@ def assemble_vectors(
     values = F.array(
         *[
             F.coalesce(
-                F.col(n)["v"].cast("double"), F.lit(float(defaults.get(n, 0.0)))
+                slot(n)["v"], F.lit(float(defaults.get(n, 0.0)))
             )
             for n in feature_names
         ]
     )
-    mask = F.array(*[F.col(n)["v"].isNull() for n in feature_names])
+    mask = F.array(*[slot(n)["v"].isNull() for n in feature_names])
     ages = F.array(
         *[
-            F.when(F.col(n)["t"].isNull(), F.lit(-1).cast("long")).otherwise(
-                (now_expr - F.col(n)["t"]).cast("long")
-            )
+            F.when(
+                slot(n)["v"].isNull() | slot(n)["t"].isNull(),
+                F.lit(-1).cast("long"),
+            ).otherwise((now_expr - slot(n)["t"]).cast("long"))
             for n in feature_names
         ]
     )
@@ -192,7 +206,11 @@ def assemble_flat(
     grid = entities.select(entity_col).distinct().crossJoin(
         F.broadcast(
             entities.sparkSession.createDataFrame(
-                [(n,) for n in feature_names], [name_col]
+                [(n,) for n in feature_names],
+                # explicit DDL: an empty feature list (a view with no
+                # members) must yield an empty grid, not a cannot-
+                # infer-schema crash (review r10m)
+                f"{name_col} string",
             )
         )
     )

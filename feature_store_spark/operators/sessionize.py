@@ -24,6 +24,11 @@ def sessionize(
     """Assign 1-based per-entity session ids; a new session starts when
     the gap to the previous event exceeds ``gap_minutes``."""
     gap_us = int(gap_minutes * 60 * 1_000_000)
+    # a NULL timestamp cannot be sessionized: nulls sort first under
+    # asc, so each used to mint a phantom singleton session and SHIFT
+    # every real session id for the entity (review r10m) — excluded,
+    # like every time-keyed operator treats timeless rows
+    events = events.filter(F.col(time_col).isNotNull())
     t = F.unix_micros(F.col(time_col))
     # Tie order within identical timestamps cannot move a session
     # boundary (gap 0), so ordering by time alone stays deterministic.

@@ -89,9 +89,30 @@ class Registry:
         version: int = 1,
     ):
         assert status in FEATURE_STATUSES
-        self._features.append(
-            (name, entity, dtype, float(default_value), max_age_seconds, status, version)
+        row = (
+            name, entity, dtype, float(default_value),
+            max_age_seconds, status, version,
         )
+        prev = next(
+            (
+                f for f in self._features
+                if f[0] == name and f[6] == version
+            ),
+            None,
+        )
+        if prev is not None:
+            if prev == row:  # idempotent re-register (setup re-runs)
+                return self
+            # same immutability contract as register_view (review
+            # r10m): duplicate (name, version) rows made
+            # latest_features' winner partition-order-dependent
+            raise ValueError(
+                f"register_feature: {name!r} v{version} is already "
+                "registered with a different definition — a "
+                "published version is immutable; register a new "
+                "version"
+            )
+        self._features.append(row)
         self._log("FEATURE", name, "CREATED", f"entity={entity} v{version} {status}")
         return self
 
@@ -122,6 +143,29 @@ class Registry:
         raises instead of silently replacing it (and logging a second
         CREATED audit row for a mutation). An identical re-register
         is an idempotent no-op — pipeline setup code re-runs."""
+        import json as _json
+
+        stray = sorted(
+            (set(view.transforms) | set(view.transform_params)
+             | set(view.defaults)) - set(view.feature_names)
+        )
+        if stray:
+            # save/load persists these maps BY MEMBER, so an entry
+            # keyed off-schema would silently vanish on the round
+            # trip and the reloaded view would fail the idempotent
+            # re-register equality (review r10m) — refuse the typo
+            raise ValueError(
+                f"register_view: {view.name!r} v{view.version} has "
+                f"transforms/params/defaults for non-member feature "
+                f"name(s) {stray}"
+            )
+        # canonicalize params through JSON now (tuples -> lists, key
+        # order) so the saved/loaded view compares EQUAL to the
+        # registered one instead of tripping the immutability check
+        view.transform_params = {
+            k: _json.loads(_json.dumps(v))
+            for k, v in view.transform_params.items()
+        }
         key = (view.name, view.version)
         prev = self._views.get(key)
         if prev is not None:
@@ -146,7 +190,12 @@ class Registry:
         """version=None -> latest (findFirstByNameOrderByVersionDesc,
         FeatureRegistryService.java:188)."""
         if version is not None:
-            return self._views[(name, version)]
+            try:
+                return self._views[(name, version)]
+            except KeyError:
+                raise KeyError(
+                    f"get_view: no view {name!r} v{version}"
+                ) from None
         versions = [v for (n, v) in self._views if n == name]
         if not versions:
             # a named KeyError, not max()'s opaque empty-sequence

@@ -113,15 +113,15 @@ class DatasetManager:
             )
 
     def info(self, name: str) -> DatasetInfo:
-        df, cols = (
-            self._datasets[name]
-            if name in self._datasets
-            else (_ for _ in ()).throw(DatasetError(f"no dataset '{name}'"))
-        )
+        if name not in self._datasets:
+            raise DatasetError(f"no dataset '{name}'")
+        df, cols = self._datasets[name]
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in cols:
-            aggs.append(F.min(c).alias(f"__min_{c}"))
-            aggs.append(F.max(c).alias(f"__max_{c}"))
+            # df[c], not F.min(c): a raw string name containing a dot
+            # would parse as a struct path (review r10m)
+            aggs.append(F.min(df[c]).alias(f"__min_{c}"))
+            aggs.append(F.max(df[c]).alias(f"__max_{c}"))
         row = df.agg(*aggs).collect()[0]
         # all-null feature columns aggregate to None min/max; surface
         # them as NaN ranges instead of raising TypeError on float(None)

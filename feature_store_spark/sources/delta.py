@@ -885,6 +885,111 @@ def _norm_type(t):
     return t
 
 
+def _stage_add_actions(
+    wdf: DataFrame,
+    table_dir: str,
+    version: int,
+    part_phys: list[str],
+    data_cols: list[str],
+) -> list[dict]:
+    """Write ``wdf`` (already physical-named in mapped tables) as
+    canonical-layout parquet under ``table_dir`` and return the add
+    actions with footer-derived stats. Shared by delta_append and
+    delta_upsert so a MERGE lands its files with the exact same
+    layout, naming, and stats shape as an append.
+
+    Stage with Spark, then move leaf files into the canonical Delta
+    layout (partition dirs directly under the table root, unique file
+    names) — Spark's partition discovery over the table requires ONE
+    consistent directory structure across commits."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
+    writer = wdf.write.mode("overwrite")
+    if part_phys:
+        writer = writer.partitionBy(*part_phys)
+    writer.parquet(staging)
+    moved: list[str] = []
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            segs = [
+                s
+                for s in os.path.relpath(src, staging).split("/")[:-1]
+                if "=" in s
+            ]
+            tgt_dir = os.path.join(table_dir, *segs)
+            os.makedirs(tgt_dir, exist_ok=True)
+            rel = os.path.join(
+                *segs, f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
+            )
+            os.replace(src, os.path.join(table_dir, rel))
+            moved.append(rel)
+    import shutil as _sh
+
+    _sh.rmtree(staging, ignore_errors=True)
+
+    # footer reads are independent KB-scale I/O — parallel stat
+    # collection, same as the iceberg exporter
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        metas = list(
+            pool.map(
+                lambda r: pq.ParquetFile(
+                    os.path.join(table_dir, r)
+                ).metadata,
+                moved,
+            )
+        )
+    out: list[dict] = []
+    for rel, md in zip(moved, metas):
+        fpath = os.path.join(table_dir, rel)
+        # Spark's writer hive-escapes dir segments; partitionValues
+        # must carry the REAL value (escaped form only in `path`)
+        pvals = parse_partition_segs(rel)
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                cname = col.path_in_schema
+                if st is None or not st.has_min_max or cname not in data_cols:
+                    continue
+                mn, mx = _json_stat(st.min), _json_stat(st.max)
+                if mn is None or mx is None:
+                    continue
+                mins[cname] = mn if cname not in mins else min(mins[cname], mn)
+                maxs[cname] = mx if cname not in maxs else max(maxs[cname], mx)
+        out.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {
+                        c: pvals.get(c) for c in part_phys
+                    },
+                    "size": os.path.getsize(fpath),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": md.num_rows,
+                            "minValues": mins,
+                            "maxValues": maxs,
+                        }
+                    ),
+                }
+            }
+        )
+    return out
+
+
 def delta_append(
     df: DataFrame,
     table_dir: str,
@@ -1079,37 +1184,6 @@ def delta_append(
         )
         part_phys = [phys_of[c] for c in partition_cols]
 
-    # stage with Spark, then move leaf files into the canonical Delta
-    # layout (partition dirs directly under the table root, unique
-    # file names) — Spark's partition discovery over the table
-    # requires ONE consistent directory structure across commits
-    staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
-    writer = wdf.write.mode("overwrite")
-    if part_phys:
-        writer = writer.partitionBy(*part_phys)
-    writer.parquet(staging)
-    moved: list[str] = []
-    for root, _dirs, files in os.walk(staging):
-        for name in files:
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            segs = [
-                s
-                for s in os.path.relpath(src, staging).split("/")[:-1]
-                if "=" in s
-            ]
-            tgt_dir = os.path.join(table_dir, *segs)
-            os.makedirs(tgt_dir, exist_ok=True)
-            rel = os.path.join(
-                *segs, f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
-            )
-            os.replace(src, os.path.join(table_dir, rel))
-            moved.append(rel)
-    import shutil as _sh
-
-    _sh.rmtree(staging, ignore_errors=True)
-
     actions: list[dict] = []
     if evolution_md is not None:
         # the updated metaData rides in the SAME commit as the files
@@ -1161,59 +1235,9 @@ def delta_append(
         for f in df.schema.fields
         if f.name not in partition_cols
     ]
-    # footer reads are independent KB-scale I/O — parallel stat
-    # collection, same as the iceberg exporter
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        metas = list(
-            pool.map(
-                lambda r: pq.ParquetFile(
-                    os.path.join(table_dir, r)
-                ).metadata,
-                moved,
-            )
-        )
-    for rel, md in zip(moved, metas):
-            fpath = os.path.join(table_dir, rel)
-            # Spark's writer hive-escapes dir segments; partitionValues
-            # must carry the REAL value (escaped form only in `path`)
-            pvals = parse_partition_segs(rel)
-            mins: dict[str, Any] = {}
-            maxs: dict[str, Any] = {}
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for ci in range(g.num_columns):
-                    col = g.column(ci)
-                    st = col.statistics
-                    cname = col.path_in_schema
-                    if st is None or not st.has_min_max or cname not in data_cols:
-                        continue
-                    mn, mx = _json_stat(st.min), _json_stat(st.max)
-                    if mn is None or mx is None:
-                        continue
-                    mins[cname] = mn if cname not in mins else min(mins[cname], mn)
-                    maxs[cname] = mx if cname not in maxs else max(maxs[cname], mx)
-            actions.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": {
-                            c: pvals.get(c) for c in part_phys
-                        },
-                        "size": os.path.getsize(fpath),
-                        "modificationTime": 0,
-                        "dataChange": True,
-                        "stats": json.dumps(
-                            {
-                                "numRecords": md.num_rows,
-                                "minValues": mins,
-                                "maxValues": maxs,
-                            }
-                        ),
-                    }
-                }
-            )
+    actions.extend(
+        _stage_add_actions(wdf, table_dir, version, part_phys, data_cols)
+    )
     if txn is not None:
         actions.append(
             {"txn": {"appId": txn[0], "version": int(txn[1]),
@@ -2231,6 +2255,296 @@ def delta_delete_where(
             "writer while DELETE ran; re-read and retry"
         )
     return version, n_new
+
+
+def delta_upsert(
+    df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    partition_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
+) -> tuple[int, int]:
+    """Keyed MERGE (upsert) as ONE Delta commit — the CDC sink verb,
+    mirroring ``iceberg_upsert``'s one-snapshot semantics (reference
+    CDC shape: every older version of each key dies, the new rows
+    land). Deletion-vector assisted merge-on-read: live target rows
+    whose key tuple appears in ``df`` are marked dead via DVs on
+    their existing files (no data file rewritten — the right physics
+    at 100 TB where a CDC batch touches a sliver of a huge table),
+    and ``df``'s rows land as new data files with footer stats, all
+    under one ``MERGE`` commit. Equivalent to
+    ``WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT
+    *`` with full-row replacement.
+
+    Scale shape: the match probe broadcasts ``df``'s distinct key
+    tuples against the target scan (the CDC batch is the small side),
+    and the target scan is pruned first by per-key min/max
+    data-skipping over the batch's key range — only candidate files
+    are read. Matched (file, ordinal) pairs are collected to the
+    driver, bounded by the batch's own match count (the sliver), not
+    the table — a merge big enough to strain that belongs in a
+    copy-on-write rewrite instead.
+
+    Refusals: duplicate key tuples in ``df`` (Delta MERGE semantics —
+    multiple source rows matching one target row is ambiguous),
+    schema drift (enforcement, same as append; MERGE does not
+    evolve), lost commit race (MERGE does not commute — rival may
+    have touched the same keys).
+
+    ``txn=(app_id, version)`` gives exactly-once redelivery no-op,
+    same handshake as :func:`delta_append`. First call on a missing
+    table degenerates to CREATE+INSERT via ``delta_append``.
+
+    Returns ``(commit_version, target_rows_replaced)``."""
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.sources.roaring import (
+        write_dv_file,
+        z85_encode,
+    )
+
+    if not keys:
+        raise ValueError("delta_upsert: keys must be non-empty")
+    spark = df.sparkSession
+    log_dir = os.path.join(table_dir, "_delta_log")
+    has_table = os.path.isdir(log_dir) and any(
+        n.endswith(".json") and n[:-5].isdigit()
+        for n in os.listdir(log_dir)
+    )
+    missing_keys = [k for k in keys if k not in df.columns]
+    if missing_keys:
+        raise ValueError(
+            f"delta_upsert: key column(s) {missing_keys} not in the "
+            f"source frame (columns: {df.columns})"
+        )
+    # duplicate source keys are ambiguous — which row wins the
+    # UPDATE is undefined (Delta's MERGE raises exactly this). One
+    # aggregate over the CDC batch (the small side), not the table.
+    dup = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        kv = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"delta_upsert: source has multiple rows for key {kv} — "
+            "MERGE cannot decide which one wins; de-duplicate the "
+            "batch first (e.g. latest-by-timestamp per key)"
+        )
+    if not has_table:
+        v = delta_append(
+            df, table_dir, partition_cols=partition_cols, txn=txn
+        )
+        return v, 0
+
+    t = DeltaTable(spark, table_dir)
+    if txn is not None:
+        app_id, txn_v = txn
+        if t.txn_version(app_id) >= int(txn_v):
+            return t.latest_version(), 0  # redelivered batch: no-op
+    version = t.latest_version() + 1
+    meta, _, _ = t._state(None)
+    mode, map_fields = t._mapping(meta)
+    tbl_parts = meta.get("partitionColumns") or []
+    if partition_cols is not None and list(partition_cols) != list(
+        tbl_parts
+    ):
+        raise ValueError(
+            f"{table_dir}: table is partitioned by {tbl_parts}; "
+            f"upsert passed partition_cols={list(partition_cols)}"
+        )
+    # schema ENFORCEMENT (no evolution in MERGE): silently narrowing
+    # or widening under a merge would leave half the table's files on
+    # a different schema with no metaData record
+    cur_fields = json.loads(meta["schemaString"])["fields"]
+    cur_types = {f["name"]: f["type"] for f in cur_fields}
+    new_types = {
+        f["name"]: f["type"]
+        for f in json.loads(df.schema.json())["fields"]
+    }
+    mismatched = sorted(
+        n
+        for n in new_types
+        if n in cur_types
+        and _norm_type(new_types[n]) != _norm_type(cur_types[n])
+    )
+    absent = sorted(n for n in cur_types if n not in new_types)
+    unknown = sorted(n for n in new_types if n not in cur_types)
+    if mismatched or absent or unknown:
+        raise ValueError(
+            f"{table_dir}: upsert schema deviates from the table "
+            f"(type changes: {mismatched}, missing: {absent}, "
+            f"unknown: {unknown}) — MERGE enforces the schema; "
+            "evolve via delta_append(merge_schema=True) first"
+        )
+    bad_keys = [k for k in keys if k not in cur_types]
+    if bad_keys:
+        raise ValueError(
+            f"{table_dir}: key column(s) {bad_keys} not in the table "
+            f"schema"
+        )
+
+    # ---- match probe: which live target rows' keys appear in df ----
+    # data-skipping first: prune candidate files by the batch's
+    # per-key min/max range (footer stats ride the add actions), so
+    # a narrow CDC batch over a clustered table reads a sliver
+    kb = df.agg(
+        *[F.min(k).alias(f"__lo_{i}") for i, k in enumerate(keys)],
+        *[F.max(k).alias(f"__hi_{i}") for i, k in enumerate(keys)],
+    ).first()
+    filters: list[tuple] = []
+    for i, k in enumerate(keys):
+        lo, hi = kb[f"__lo_{i}"], kb[f"__hi_{i}"]
+        if lo is not None and hi is not None and not isinstance(
+            lo, (bytes, bytearray)
+        ):
+            filters.extend([(k, ">=", lo), (k, "<=", hi)])
+    adds = t.data_files(None, filters or None)
+    n_replaced = 0
+    affected: list[tuple[dict, list[int], int]] = []
+    if adds:
+        asm = t._assemble(adds, meta)
+        src_keys = df.select(*keys).distinct()
+        hits = (
+            asm.join(F.broadcast(src_keys), on=list(keys), how="leftsemi")
+            .select("__fp", "__pos")
+            .toPandas()
+        )
+        by_file: dict[str, set[int]] = {}
+        for fp, pos in zip(hits["__fp"], hits["__pos"]):
+            by_file.setdefault(fp, set()).add(int(pos))
+        for add in adds:
+            abs_p = os.path.abspath(os.path.join(t.path, add["path"]))
+            new_hits = by_file.get(abs_p)
+            if not new_hits:
+                continue
+            old = (
+                set(t._load_dv(add["deletionVector"]))
+                if add.get("deletionVector")
+                else set()
+            )
+            merged = sorted(old | new_hits)
+            if len(merged) == len(old):
+                continue  # every matched row already dead
+            n_replaced += len(merged) - len(old)
+            affected.append((add, merged, len(merged)))
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(_time.time() * 1000),
+                "operation": "MERGE",
+            }
+        }
+    ]
+    descs: list[tuple] = []
+    if affected:
+        dv_uuid = _uuid.uuid4()
+        dv_path = os.path.join(
+            table_dir, f"deletion_vector_{dv_uuid}.bin"
+        )
+        descs = write_dv_file(dv_path, [m for _, m, _ in affected])
+        # protocol upgrade only when DVs are actually minted; UNION
+        # with the existing feature lists (replay takes the LAST
+        # protocol action — replacing would drop declared features)
+        prev = t._protocol(None)
+        r_feats = {"deletionVectors"} | set(
+            prev.get("readerFeatures") or []
+        )
+        w_feats = {"deletionVectors"} | set(
+            prev.get("writerFeatures") or []
+        )
+        if mode != "none":
+            r_feats.add("columnMapping")
+            w_feats.add("columnMapping")
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": max(
+                        3, int(prev.get("minReaderVersion") or 1)
+                    ),
+                    "minWriterVersion": max(
+                        7, int(prev.get("minWriterVersion") or 1)
+                    ),
+                    "readerFeatures": sorted(r_feats),
+                    "writerFeatures": sorted(w_feats),
+                }
+            }
+        )
+        for (add, _m, card), (off, sz, _c) in zip(affected, descs):
+            actions.append(
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "dataChange": True,
+                        "deletionTimestamp": int(_time.time() * 1000),
+                        "partitionValues": add.get("partitionValues")
+                        or {},
+                        "size": add.get("size"),
+                    }
+                }
+            )
+            new_add = dict(add)
+            new_add["dataChange"] = True
+            new_add["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                "offset": off,
+                "sizeInBytes": sz,
+                "cardinality": card,
+            }
+            actions.append({"add": new_add})
+
+    # ---- new data files: every source row lands (matched keys'
+    # replacements AND brand-new keys), mapping-aware ----
+    phys_of = {f["name"]: f["physical"] for f in map_fields}
+    fid_of = {f["name"]: f["id"] for f in map_fields}
+    wdf = df
+    part_phys = list(tbl_parts)
+    if mode != "none":
+        wdf = df.select(
+            *[
+                F.col(c).alias(
+                    phys_of[c],
+                    metadata={"parquet.field.id": int(fid_of[c])},
+                )
+                for c in df.columns
+            ]
+        )
+        part_phys = [phys_of[c] for c in tbl_parts]
+    data_cols = [
+        phys_of.get(f.name, f.name)
+        for f in df.schema.fields
+        if f.name not in tbl_parts
+    ]
+    actions.extend(
+        _stage_add_actions(wdf, table_dir, version, part_phys, data_cols)
+    )
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn[0],
+                    "version": int(txn[1]),
+                    "lastUpdated": 0,
+                }
+            }
+        )
+    # MERGE does not commute: a rival commit may have added files
+    # carrying our keys or re-DV'd the files we re-add — loud error,
+    # same contract as DELETE WHERE
+    if not _claim_commit(log_dir, version, actions):
+        raise ConcurrentWriteError(
+            f"{table_dir}: version {version} was committed by another "
+            "writer while MERGE ran; re-read and retry"
+        )
+    return version, n_replaced
 
 
 def _json_stat(v):

@@ -229,25 +229,36 @@ def ndcg_at_k(
     zero ideal DCG yield null. Pass ``tiebreak`` columns to make score
     ties deterministic.
 
-    NULL/NaN-scored rows are EXCLUDED (module NaN policy; review
-    r10g: Spark's desc ordering puts NaN ABOVE every real score, so
-    one unscored doc used to claim rank 1 and silently shift every
-    position's gain)."""
+    NULL/NaN-scored rows are excluded from the PREDICTED ranking only
+    (review r10g: Spark's desc ordering puts NaN ABOVE every real
+    score, so one unscored doc used to claim rank 1) but KEPT in the
+    ideal ordering (ADVICE r10: dropping a relevant-but-unscored doc
+    from the ideal-DCG normalizer would INFLATE NDCG exactly when the
+    ranker failed to score a relevant doc — the metric must penalize
+    that, so the normalizer sees the full judged set). A group whose
+    every doc is unscored therefore scores 0, not absent."""
     s = F.col(score_col).cast("double")
-    df = df.filter(s.isNotNull() & ~F.isnan(s))
+    scored = s.isNotNull() & ~F.isnan(s)
     tb = [F.col(t).asc() for t in tiebreak]
-    w_pred = Window.partitionBy(group_col).orderBy(F.col(score_col).desc(), *tb)
+    # unscored rows sort AFTER every scored row (null key,
+    # desc_nulls_last) and are additionally gated out of the DCG sum:
+    # trailing rank alone is not enough when the group has fewer than
+    # k docs
+    w_pred = Window.partitionBy(group_col).orderBy(
+        F.when(scored, s).desc_nulls_last(), *tb
+    )
     w_ideal = Window.partitionBy(group_col).orderBy(F.col(rel_col).desc(), *tb)
     rel = F.col(rel_col).cast("double")
     ranked = df.select(
         F.col(group_col),
         rel.alias("__rel"),
+        scored.alias("__scored"),
         F.row_number().over(w_pred).alias("__rp"),
         F.row_number().over(w_ideal).alias("__ri"),
     )
     dcg = F.sum(
         F.when(
-            F.col("__rp") <= k,
+            (F.col("__rp") <= k) & F.col("__scored"),
             _gain(F.col("__rel")) / F.log2(F.col("__rp") + F.lit(1.0)),
         )
     )
@@ -258,7 +269,9 @@ def ndcg_at_k(
         )
     )
     return ranked.groupBy(group_col).agg(
-        (dcg / F.nullif(idcg, F.lit(0.0))).alias(f"ndcg_at_{k}")
+        (
+            F.coalesce(dcg, F.lit(0.0)) / F.nullif(idcg, F.lit(0.0))
+        ).alias(f"ndcg_at_{k}")
     )
 
 
@@ -277,26 +290,42 @@ def average_precision(
 ) -> DataFrame:
     """Per-group average precision; relevant = rel >= threshold
     (python/mslr_example/train.py:60-73). Groups with no relevant docs
-    yield null. NULL/NaN-scored rows are EXCLUDED (see
-    :func:`ndcg_at_k`)."""
+    yield null.
+
+    NULL/NaN-scored rows are excluded from the predicted ranking (and
+    from the hit terms) but KEPT in the relevant-count denominator
+    (ADVICE r10, same rationale as :func:`ndcg_at_k`): an
+    unscored-but-relevant doc is a retrieval miss and must pull AP
+    down, not silently shrink the denominator."""
     s = F.col(score_col).cast("double")
-    df = df.filter(s.isNotNull() & ~F.isnan(s))
+    scored = s.isNotNull() & ~F.isnan(s)
     tb = [F.col(t).asc() for t in tiebreak]
-    w = Window.partitionBy(group_col).orderBy(F.col(score_col).desc(), *tb)
+    w = Window.partitionBy(group_col).orderBy(
+        F.when(scored, s).desc_nulls_last(), *tb
+    )
     is_rel = (F.col(rel_col) >= rel_threshold).cast("double")
-    # row_number and the running relevant-count share ONE window spec
-    # (same partition, same sort) — a second orderBy(__rn) window
-    # would force an extra per-group sort for the identical order
+    # unscored rows sort last, so scored rows' ranks and running
+    # relevant-counts are unaffected; their own hit terms are gated
+    # out below. row_number and the running count share ONE window
+    # spec (same partition, same sort) — a second orderBy(__rn)
+    # window would force an extra per-group sort
     ranked = df.select(
         F.col(group_col),
         is_rel.alias("__rel"),
+        scored.alias("__scored"),
         F.row_number().over(w).alias("__rn"),
-        F.sum(is_rel)
+        F.sum(F.when(scored, is_rel))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("__cum_rel"),
     )
-    ap = F.sum(
-        F.when(F.col("__rel") == 1.0, F.col("__cum_rel") / F.col("__rn"))
+    ap = F.coalesce(
+        F.sum(
+            F.when(
+                (F.col("__rel") == 1.0) & F.col("__scored"),
+                F.col("__cum_rel") / F.col("__rn"),
+            )
+        ),
+        F.lit(0.0),
     ) / F.nullif(F.sum("__rel"), F.lit(0.0))
     return ranked.groupBy(group_col).agg(ap.alias("avg_precision"))
 

@@ -65,16 +65,18 @@ class OfflineStore:
         # (review r10l): Catalyst cannot infer bounds on the derived
         # partition column from an event_time filter, so every date
         # partition of the entity used to be listed and its footers
-        # opened. The date bounds are widened one day on each side —
-        # to_date depends on the session timezone, and a reader in a
-        # different zone than the writer must never prune away a row
-        # the row-level event_time filter (kept below) would keep.
+        # opened. The date bounds are widened TWO days on each side
+        # (ADVICE r10): to_date depends on the session timezone, and
+        # the extreme writer/reader zone pair (UTC+14 vs UTC-12) puts
+        # two instants' local dates up to 26h — TWO calendar days —
+        # apart. The predicate is only a pruning aid; the row-level
+        # event_time filter (kept below) preserves exactness.
         if time_min is not None:
             df = df.filter(
                 (F.col("event_time") >= F.lit(time_min))
                 & (
                     F.col("event_date")
-                    >= F.date_sub(F.to_date(F.lit(time_min)), 1)
+                    >= F.date_sub(F.to_date(F.lit(time_min)), 2)
                 )
             )
         if time_max is not None:
@@ -82,7 +84,7 @@ class OfflineStore:
                 (F.col("event_time") <= F.lit(time_max))
                 & (
                     F.col("event_date")
-                    <= F.date_add(F.to_date(F.lit(time_max)), 1)
+                    <= F.date_add(F.to_date(F.lit(time_max)), 2)
                 )
             )
         return df

@@ -159,13 +159,21 @@ class Registry:
                 f"transforms/params/defaults for non-member feature "
                 f"name(s) {stray}"
             )
-        # canonicalize params through JSON now (tuples -> lists, key
+        # canonicalize params through JSON (tuples -> lists, key
         # order) so the saved/loaded view compares EQUAL to the
-        # registered one instead of tripping the immutability check
-        view.transform_params = {
-            k: _json.loads(_json.dumps(v))
-            for k, v in view.transform_params.items()
-        }
+        # registered one instead of tripping the immutability check —
+        # into a COPY, not the caller's object (ADVICE r10: mutating
+        # view.transform_params in place surprised callers who kept
+        # using their FeatureView after registration)
+        import dataclasses as _dc
+
+        view = _dc.replace(
+            view,
+            transform_params={
+                k: _json.loads(_json.dumps(v))
+                for k, v in view.transform_params.items()
+            },
+        )
         key = (view.name, view.version)
         prev = self._views.get(key)
         if prev is not None:

@@ -29,8 +29,11 @@ snapshot-summary (app-id, batch-id) marks. Metadata publication is a
 put-if-absent CAS (tmp + os.link): torn commits are impossible and a
 lost race raises ConcurrentWriteError instead of clobbering.
 
-Scope gates: single flat schema, identity + day partitioning (the
-reference's spec) plus the unpartitioned spec for global deletes.
+Scope gates: single flat schema. Partitioning: the reference's
+identity + day spec by default, or any ``partition_spec`` built from
+the spec's transforms — identity, year/month/day/hour, bucket[N]
+(spec murmur3), truncate[W] — plus the unpartitioned spec for global
+deletes.
 The writer exists for interop/export and fixtures; the manifest
 layer (sources/manifest.py) remains the engine's native format.
 """
@@ -39,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import struct
 import uuid
 
@@ -221,6 +225,239 @@ def _encode_bound(type_str: str, v):
     return None
 
 
+# --------------------------------------------- partition transforms
+# Writer-side Iceberg partition transforms (spec "Partition
+# Transforms"): identity, year/month/day/hour, bucket[N], truncate[W].
+# The reader (sources/iceberg.py) already prunes through all of them
+# (_transform_interval); this gives iceberg_append the matching WRITE
+# path so a table can be laid out bucket[16](user_id) and a point
+# lookup touches 1/16th of the files.
+
+_AVRO_OF_TYPE = {
+    "string": "string", "int": "int", "long": "long",
+    "double": "double", "float": "float", "boolean": "boolean",
+    "date": "int",
+}
+
+#: source types the spec's bucket transform supports HERE — the
+#: murmur3 serialization is 8-byte LE for int/long, UTF-8 for string.
+#: Timestamp/date/decimal bucketing is spec-legal but not implemented
+#: (timestamp micros through the pandas lane is a timezone trap);
+#: gate loudly rather than hash the wrong bytes.
+_BUCKETABLE = ("int", "long", "string")
+_TRUNCATABLE = ("int", "long", "string")
+
+
+def _mm3_long_np(vals):
+    """Vectorized murmur3_x86_32 over int64 values serialized as
+    8-byte little-endian (the spec's bucketing serialization for
+    int/long — both hash as LONGS). Returns uint32 hashes; bit-exact
+    twin of sources/iceberg.py murmur3_x86_32(struct.pack('<q', v)),
+    property-tested against it."""
+    import numpy as np
+
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    v = vals.astype(np.int64).view(np.uint64)
+    k1 = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    k2 = (v >> np.uint64(32)).astype(np.uint32)
+    h = np.zeros(len(vals), dtype=np.uint32)
+    for k in (k1, k2):
+        k = k * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h = h ^ k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h = h ^ np.uint32(8)  # total byte length
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def _bucket_shadow(source: str, src_type: str, n: int):
+    """Spark Column computing the spec's bucket transform of
+    ``source``: (signed_murmur3 & Integer.MAX_VALUE) % n. int/long go
+    through the vectorized numpy hash (Arrow batches, no per-row
+    Python in the fixed-width case); strings hash per value (UTF-8 is
+    variable-length). NULL buckets to NULL (spec: transforms of null
+    are null). Spark's own F.hash is murmur3 with seed 42 and
+    Spark-specific serialization — NOT the Iceberg hash; using it
+    would commit partition values no real Iceberg reader can prune."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if src_type in ("int", "long"):
+
+        def _b(s):
+            import numpy as np
+
+            mask = s.isna()
+            arr = s.fillna(0).to_numpy(dtype="int64")
+            h = _mm3_long_np(arr)
+            out = pd.array(
+                ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(
+                    "int32"
+                ),
+                dtype="Int32",
+            )
+            out[mask.to_numpy()] = None
+            return pd.Series(out)
+
+        # explicit (fn, type) form: the module-wide `from __future__
+        # import annotations` stringifies type hints, which pyspark's
+        # hint-based pandas_udf inference cannot resolve
+        return pandas_udf(_b, "int")(F.col(source))
+
+    def _bs(s):
+        from feature_store_spark.sources.iceberg import iceberg_bucket
+
+        return s.map(
+            lambda v: None if v is None else iceberg_bucket(v, "string", n)
+        ).astype("Int32")
+
+    return pandas_udf(_bs, "int")(F.col(source))
+
+
+def _normalize_partition_spec(
+    partition_spec: list[tuple[str, str]], by_name: dict
+) -> list[dict]:
+    """Validate (source_col, transform) pairs against the schema and
+    return the resolved spec: field name (Iceberg naming convention),
+    source id/type, partition-value type, avro type, and the shadow
+    column name used for the staged write (= the field name, so the
+    data layout reads ``user_id_bucket=3/`` like a real table)."""
+    out = []
+    for source, transform in partition_spec:
+        f = by_name.get(source)
+        if f is None:
+            raise ValueError(
+                f"partition_spec: source column {source!r} is not in "
+                "the schema"
+            )
+        ty = f["type"]
+        mb = re.fullmatch(r"bucket\[(\d+)\]", transform)
+        mt = re.fullmatch(r"truncate\[(\d+)\]", transform)
+        if transform == "identity":
+            if ty not in _AVRO_OF_TYPE:
+                raise NotImplementedError(
+                    f"identity partition on {source!r} of type {ty!r} "
+                    "(timestamp identity partitioning writes "
+                    "session-zone-dependent directory values)"
+                )
+            name, vtype = source, ty
+        elif transform in ("year", "month", "day", "hour"):
+            is_ts = isinstance(ty, str) and ty.startswith("timestamp")
+            if not (is_ts or (ty == "date" and transform != "hour")):
+                raise ValueError(
+                    f"{transform} transform needs a timestamp"
+                    f"{'' if transform == 'hour' else '/date'} source,"
+                    f" got {source!r}: {ty!r}"
+                )
+            name, vtype = f"{source}_{transform}", "int"
+        elif mb:
+            if ty not in _BUCKETABLE or int(mb.group(1)) <= 0:
+                raise NotImplementedError(
+                    f"bucket transform on {source!r}: supported source "
+                    f"types {_BUCKETABLE} with N>0, got {ty!r} / "
+                    f"{transform!r}"
+                )
+            name, vtype = f"{source}_bucket", "int"
+        elif mt:
+            if ty not in _TRUNCATABLE or int(mt.group(1)) <= 0:
+                raise NotImplementedError(
+                    f"truncate transform on {source!r}: supported "
+                    f"source types {_TRUNCATABLE} with W>0, got "
+                    f"{ty!r} / {transform!r}"
+                )
+            name, vtype = f"{source}_trunc", ty
+        else:
+            raise ValueError(
+                f"unknown partition transform {transform!r} (supported:"
+                " identity, year, month, day, hour, bucket[N], "
+                "truncate[W])"
+            )
+        if name in by_name and name != source:
+            raise ValueError(
+                f"partition field name {name!r} collides with a data "
+                "column; rename the column or the partition source"
+            )
+        out.append(
+            {
+                "name": name,
+                "source": source,
+                "transform": transform,
+                "source_id": f["id"],
+                "src_type": ty,
+                "value_type": vtype,
+                "avro": _AVRO_OF_TYPE[vtype],
+                "shadow": name,
+            }
+        )
+    if len({p["name"] for p in out}) != len(out):
+        raise ValueError(
+            "partition_spec produces duplicate field names: "
+            f"{[p['name'] for p in out]}"
+        )
+    return out
+
+
+def _shadow_expr(p: dict):
+    """Spark Column computing partition field ``p`` from its source."""
+    c = F.col(p["source"])
+    t = p["transform"]
+    ty = p["src_type"]
+    if t == "identity":
+        return c
+    if ty == "date":
+        if t == "day":
+            return F.datediff(c, F.lit("1970-01-01")).cast("int")
+        if t == "month":
+            return ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("int")
+        if t == "year":
+            return (F.year(c) - 1970).cast("int")
+    if t == "day":
+        return F.floor(
+            F.unix_micros(c) / F.lit(US_PER_DAY)
+        ).cast("int")
+    if t == "hour":
+        return F.floor(
+            F.unix_micros(c) / F.lit(3_600_000_000)
+        ).cast("int")
+    if t == "month":
+        return ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("int")
+    if t == "year":
+        return (F.year(c) - 1970).cast("int")
+    mb = re.fullmatch(r"bucket\[(\d+)\]", t)
+    if mb:
+        return _bucket_shadow(p["source"], ty, int(mb.group(1)))
+    mt = re.fullmatch(r"truncate\[(\d+)\]", t)
+    if mt:
+        w = int(mt.group(1))
+        if ty in ("int", "long"):
+            # floor toward negative infinity (the spec), not toward
+            # zero (Spark's % keeps the dividend's sign)
+            return (c - ((c % w + w) % w)).cast(ty)
+        return F.substring(c, 1, w)
+    raise AssertionError(f"unreachable transform {t!r}")
+
+
+def _seg_typed(raw: str | None, value_type: str):
+    """Directory-segment text -> typed partition value."""
+    if raw is None:
+        return None
+    if value_type in ("int", "long", "date"):
+        return int(raw)
+    if value_type in ("float", "double"):
+        return float(raw)
+    if value_type == "boolean":
+        return str(raw).lower() == "true"
+    return raw
+
+
 def _footer_stats(path: str, field_by_name: dict) -> tuple[int, dict, dict]:
     """(row_count, lower_bounds, upper_bounds) by Iceberg field id from
     the parquet footer — the same statistics Iceberg writers persist."""
@@ -387,6 +624,7 @@ def iceberg_append(
     txn: tuple[str, int] | None = None,
     replace: bool = False,
     file_format: str = "parquet",
+    partition_spec: list[tuple[str, str]] | None = None,
 ) -> int:
     """Append ``df`` to (or create) an Iceberg v2 table partitioned
     identity(entity_col) + day(ts_col) — the reference's offline-store
@@ -394,6 +632,19 @@ def iceberg_append(
     Spark via shadow partition columns (source columns stay in the
     files, as Iceberg data files must); the commit is driver metadata
     work over the written files' parquet footers.
+
+    ``partition_spec=[(source_col, transform), ...]`` overrides the
+    default layout with any of the spec's partition transforms:
+    ``identity``, ``year``/``month``/``day``/``hour``,
+    ``bucket[N]`` (int/long/string — the spec's murmur3, NOT Spark's
+    F.hash), ``truncate[W]`` (int/long floor-to-multiple, string
+    prefix). Field names follow Iceberg convention
+    (``<col>_bucket`` etc.) and ARE the directory segment names, so
+    the layout reads ``user_id_bucket=3/...``. The reader's
+    _transform_interval prunes through every transform written here;
+    appends to an existing table must pass a spec matching the
+    table's (checked — files landed under a different layout would
+    carry wrong partition tuples in the manifest).
 
     ``file_format`` picks the data-file format: ``"parquet"``
     (default — footer stats read driver-side) or ``"orc"`` (Spark's
@@ -465,30 +716,74 @@ def iceberg_append(
             int(prev_meta.get("last-column-id", 0)),
         )
     by_name = {f["name"]: f for f in schema_fields}
-    if entity_col not in by_name or ts_col not in by_name:
-        raise ValueError("entity/ts columns must be in the schema")
     for k in upsert_keys or []:
         if k not in by_name:
             raise ValueError(f"upsert key {k!r} is not in the schema")
-    ent_id, ts_id = by_name[entity_col]["id"], by_name[ts_col]["id"]
+    if partition_spec is None:
+        if entity_col not in by_name or ts_col not in by_name:
+            raise ValueError("entity/ts columns must be in the schema")
+        pspec = [
+            {
+                "name": "entity_type_p",
+                "source": entity_col,
+                "transform": "identity",
+                "source_id": by_name[entity_col]["id"],
+                "src_type": by_name[entity_col]["type"],
+                "value_type": by_name[entity_col]["type"],
+                "avro": _AVRO_OF_TYPE.get(
+                    by_name[entity_col]["type"], "string"
+                ),
+                "shadow": "__pt_ent",
+            },
+            {
+                "name": "ts_day",
+                "source": ts_col,
+                "transform": "day",
+                "source_id": by_name[ts_col]["id"],
+                "src_type": by_name[ts_col]["type"],
+                "value_type": "int",
+                "avro": "int",
+                "shadow": "__pt_day",
+            },
+        ]
+    else:
+        pspec = _normalize_partition_spec(partition_spec, by_name)
+    if prev_meta is not None:
+        # layout is a TABLE property: files appended under a
+        # different spec would record partition tuples the table's
+        # manifests and pruning can't interpret
+        prev_specs = {
+            int(s["spec-id"]): s.get("fields", [])
+            for s in prev_meta.get("partition-specs", [])
+        }
+        prev_fields = prev_specs.get(
+            int(prev_meta.get("default-spec-id", 0)), []
+        )
+        want = [
+            (pf["name"], pf["transform"], pf["source-id"])
+            for pf in prev_fields
+        ]
+        got = [(p["name"], p["transform"], p["source_id"]) for p in pspec]
+        if want != got:
+            raise ValueError(
+                f"{table_dir}: table partition spec is {want}; this "
+                f"append computed {got} — pass the matching "
+                "partition_spec (or entity/ts columns)"
+            )
 
     staging = os.path.join(
         data_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}"
     )
-    (
-        df.withColumn("__pt_ent", F.col(entity_col))
-        .withColumn(
-            "__pt_day",
-            F.floor(F.unix_micros(F.col(ts_col)) / F.lit(US_PER_DAY)).cast(
-                "int"
-            ),
-        )
-        .repartition("__pt_ent", "__pt_day")
-        .write.partitionBy("__pt_ent", "__pt_day")
-        .mode("overwrite")
-        .format(fmt)
-        .save(staging)
-    )
+    wdf = df
+    for p in pspec:
+        wdf = wdf.withColumn(p["shadow"], _shadow_expr(p))
+    shadows = [p["shadow"] for p in pspec]
+    writer = (
+        wdf.repartition(*shadows) if shadows else wdf
+    ).write.mode("overwrite").format(fmt)
+    if shadows:
+        writer = writer.partitionBy(*shadows)
+    writer.save(staging)
 
     paths = [
         os.path.join(root, name)
@@ -510,7 +805,28 @@ def iceberg_append(
                 f"files (sample key: {next(iter(orc_stats), None)!r})"
             )
         # a zero-row part file never groups in the agg: record it
-        # honestly as empty (scanning it later is a harmless no-op)
+        # honestly as empty (scanning it later is a harmless no-op).
+        # But a NON-empty file missing from the stats map is a
+        # per-path normalization bug (ADVICE r10: the old fallback
+        # silently recorded record_count=0 and empty bounds for real
+        # data, understating the manifest) — pyarrow.orc can't give
+        # column stats but DOES give nrows, which arbitrates the two
+        # cases exactly
+        missed = [p for p in paths if p not in orc_stats]
+        if missed:
+            from pyarrow import orc as _po
+
+            truly_nonempty = [
+                p for p in missed if _po.ORCFile(p).nrows > 0
+            ]
+            if truly_nonempty:
+                raise RuntimeError(
+                    f"orc stats job missed {len(truly_nonempty)} "
+                    f"non-empty written file(s) (path normalization "
+                    f"bug): {truly_nonempty[:3]} — committing them "
+                    "with record_count=0 would understate the "
+                    "manifest"
+                )
         stats = [orc_stats.get(p, (0, {}, {})) for p in paths]
     else:
         # footer reads are independent KB-scale I/O: collect the
@@ -526,15 +842,18 @@ def iceberg_append(
                 )
             )
     entries = []
-    part_rows: list[tuple[str, int, str]] = []
     for fpath, (n, lowers, uppers) in zip(paths, stats):
             # dir segments are hive-escaped by Spark's writer; the
             # manifest must record the REAL partition value
             parts = parse_partition_segs(
                 os.path.relpath(fpath, staging)
             )
-            et = parts["__pt_ent"]
-            day = int(parts["__pt_day"])
+            pvals = {
+                p["name"]: _seg_typed(
+                    parts.get(p["shadow"]), p["value_type"]
+                )
+                for p in pspec
+            }
             entries.append(
                 {
                     "status": 1,
@@ -545,8 +864,7 @@ def iceberg_append(
                         "content": 0,
                         "file_path": fpath,
                         "file_format": fmt.upper(),
-                        "partition": {"entity_type_p": et,
-                                      "ts_day": day},
+                        "partition": pvals,
                         "record_count": n,
                         "file_size_in_bytes": os.path.getsize(fpath),
                         "lower_bounds": [
@@ -560,15 +878,11 @@ def iceberg_append(
                     },
                 }
             )
-            part_rows.append((et, day, fpath))
     if not entries:
         raise ValueError("append produced no data files")
 
     mschema = manifest_schema(
-        [
-            {"name": "entity_type_p", "avro": "string"},
-            {"name": "ts_day", "avro": "int"},
-        ]
+        [{"name": p["name"], "avro": p["avro"]} for p in pspec]
     )
     # uuid'd names (what real Iceberg writers emit): a commit that
     # loses the metadata race must never have clobbered a rival's
@@ -660,8 +974,22 @@ def iceberg_append(
                     "partitions": None,
                 }
             )
-    ets = [p[0] for p in part_rows]
-    days = [p[1] for p in part_rows]
+    part_summaries = []
+    for p in pspec:
+        vals = [e["data_file"]["partition"][p["name"]] for e in entries]
+        nn = [v for v in vals if v is not None]
+        part_summaries.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": None,
+                "lower_bound": (
+                    _encode_bound(p["value_type"], min(nn)) if nn else None
+                ),
+                "upper_bound": (
+                    _encode_bound(p["value_type"], max(nn)) if nn else None
+                ),
+            }
+        )
     manifest_rec = {
         "manifest_path": mpath,
         "manifest_length": os.path.getsize(mpath),
@@ -678,14 +1006,7 @@ def iceberg_append(
         ),
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
-        "partitions": [
-            {"contains_null": False, "contains_nan": None,
-             "lower_bound": min(ets).encode(),
-             "upper_bound": max(ets).encode()},
-            {"contains_null": False, "contains_nan": None,
-             "lower_bound": struct.pack("<i", min(days)),
-             "upper_bound": struct.pack("<i", max(days))},
-        ],
+        "partitions": part_summaries,
     }
     if replace:
         manifests = delete_manifests + [manifest_rec]
@@ -714,10 +1035,13 @@ def iceberg_append(
     schemas, cur_sid = _schemas_with(prev_meta, schema_fields)
     snapshot["schema-id"] = cur_sid
     spec = [
-        {"name": "entity_type_p", "transform": "identity",
-         "source-id": ent_id, "field-id": 1000},
-        {"name": "ts_day", "transform": "day",
-         "source-id": ts_id, "field-id": 1001},
+        {
+            "name": p["name"],
+            "transform": p["transform"],
+            "source-id": p["source_id"],
+            "field-id": 1000 + i,
+        }
+        for i, p in enumerate(pspec)
     ]
     meta = {
         "format-version": 2,
@@ -739,7 +1063,7 @@ def iceberg_append(
             # global equality deletes commit under this spec
             {"spec-id": UNPARTITIONED_SPEC_ID, "fields": []},
         ],
-        "last-partition-id": 1001,
+        "last-partition-id": 999 + max(len(pspec), 1),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snap_id,
@@ -837,8 +1161,9 @@ def _schemas_with(
 
 def _infer_fields(df: DataFrame) -> list[dict]:
     mapping = {
-        "string": "string", "long": "long", "int": "int",
-        "integer": "int", "double": "double", "float": "float",
+        "string": "string", "long": "long", "bigint": "long",
+        "int": "int", "integer": "int", "smallint": "int",
+        "tinyint": "int", "double": "double", "float": "float",
         "boolean": "boolean", "date": "date",
         "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
     }
@@ -1127,8 +1452,6 @@ def iceberg_delete_where(
         # Sniff the (cached) footers; when any file omits a schema
         # column, read under the TABLE schema explicitly so Spark
         # null-fills per file.
-        from pyspark.sql import types as T
-
         from feature_store_spark.sources.iceberg import _spark_type
 
         prim = [
@@ -1146,7 +1469,6 @@ def iceberg_delete_where(
             any(p["name"] not in {n for n, _ in sig} for p in prim)
             for sig in sigs
         )
-        reader = spark.read
         if needs_fill:
             nested = [
                 f["name"]
@@ -1162,21 +1484,26 @@ def iceberg_delete_where(
                     f"with non-primitive/unmapped columns "
                     f"{nested + unmapped} needs a full Iceberg runtime"
                 )
-            reader = reader.schema(
-                T.StructType(
-                    [
-                        T.StructField(
-                            f["name"], _spark_type(f["type"]), True
-                        )
-                        for f in prim
-                    ]
+            # ADVICE r10: a blanket table-schema read null-fills ANY
+            # absent column — on a hive-layout/UniForm table (files
+            # omit the identity partition source) or after a rename,
+            # the predicate column reads all-NULL and the DELETE
+            # silently commits a no-op. Route through the SAME
+            # per-file resolver scan uses: identity sources fill from
+            # the file's partition metadata (spec Column Projection
+            # rule #2), renamed columns resolve by parquet field id,
+            # and only genuinely-added columns null-fill. Rows come
+            # back pre-tagged (__fp suffix, __pos ordinal) — the
+            # exact shape the ordinal collection below needs.
+            df = t._read_by_field_id(pq_files)
+        else:
+            df = (
+                spark.read.parquet(*[f["path"] for f in pq_files])
+                .withColumn(
+                    "__fp", _fp_expr(F.col("_metadata.file_path"))
                 )
+                .withColumn("__pos", F.col("_metadata.row_index"))
             )
-        df = (
-            reader.parquet(*[f["path"] for f in pq_files])
-            .withColumn("__fp", _fp_expr(F.col("_metadata.file_path")))
-            .withColumn("__pos", F.col("_metadata.row_index"))
-        )
     if orc_files:
         odf = t._read_orc_with_pos(orc_files)
         df = odf if df is None else df.unionByName(odf)

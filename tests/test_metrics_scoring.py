@@ -295,3 +295,54 @@ class TestMetricNullNanGuards:
             b: (r["n"], r["mean_confidence"], r["positive_rate"])
             for b, r in out.items()
         }
+
+
+def test_ndcg_and_ap_penalize_unscored_relevant_docs(spark):
+    """ADVICE r10: an unscored-but-relevant doc must stay in the
+    ideal-DCG normalizer (and the AP relevant-count denominator) —
+    dropping it from both rankings inflated the metric exactly when
+    the ranker failed to score a relevant doc."""
+    import math
+
+    from feature_store_spark.metrics import average_precision, ndcg_at_k
+
+    # q1: two docs scored in ideal order, one PERFECT-relevance doc
+    # unscored. Old behavior: unscored row vanished -> NDCG == 1.0.
+    rows = [
+        ("q1", 0.9, 3.0),
+        ("q1", 0.8, 1.0),
+        ("q1", None, 4.0),  # the best doc, never scored
+    ]
+    df = spark.createDataFrame(rows, "qid string, score double, relevance double")
+    [r] = ndcg_at_k(df, 3).collect()
+    dcg = (2**3 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3)
+    idcg = (
+        (2**4 - 1) / math.log2(2)
+        + (2**3 - 1) / math.log2(3)
+        + (2**1 - 1) / math.log2(4)
+    )
+    assert r["ndcg_at_3"] == pytest.approx(dcg / idcg)
+    assert r["ndcg_at_3"] < 1.0
+    # all-unscored group with relevant docs: 0, not absent/NULL
+    allnull = spark.createDataFrame(
+        [("q2", None, 3.0), ("q2", float("nan"), 2.0)],
+        "qid string, score double, relevance double",
+    )
+    [r2] = ndcg_at_k(allnull, 3).collect()
+    assert r2["ndcg_at_3"] == 0.0
+    # AP: unscored relevant doc counts in the denominator only
+    ap_rows = [
+        ("q1", 0.9, 3.0),   # relevant hit at rank 1
+        ("q1", 0.8, 0.0),
+        ("q1", None, 3.0),  # relevant, unscored -> miss
+    ]
+    apdf = spark.createDataFrame(
+        ap_rows, "qid string, score double, relevance double"
+    )
+    [ra] = average_precision(apdf, rel_threshold=2.0).collect()
+    assert ra["avg_precision"] == pytest.approx((1.0 / 1.0) / 2.0)
+    # scored-only frame: unchanged classic AP
+    [rb] = average_precision(
+        apdf.filter("score is not null"), rel_threshold=2.0
+    ).collect()
+    assert rb["avg_precision"] == pytest.approx(1.0)

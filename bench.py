@@ -125,6 +125,11 @@ HEADLINE = [
     # schema evolution: widened upsert + resolver-routed scan
     "iceberg_evolution",
     "delta_evolution",
+    # round-11 additions: DV-assisted Delta MERGE (one-commit keyed
+    # upsert) and the bucket[16]+truncate[2] iceberg layout with its
+    # file-pruning audit
+    "delta_upsert",
+    "iceberg_bucket_prune",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

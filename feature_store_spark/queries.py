@@ -8752,6 +8752,86 @@ QUERIES = {
     **{k: QUERIES[k] for k in _R10_WINDOW},
     **{k: v for k, v in QUERIES.items() if k not in _R10_WINDOW},
 }
+# --- ROUND-11 DRIVER WINDOW (first 50 entries) ----------------------
+# Changed-path-first: the TWO new graded queries (delta_upsert =
+# DV-assisted keyed MERGE in one commit; iceberg_bucket_prune =
+# bucket[16]+truncate[2] layout with the file-pruning audit), then
+# every query whose code path changed this round — the packing family
+# (duplicate-key guard fused into the prefix-sum window, judge r10
+# #1), snapshot_diff (rebuilt as union+groupBy with the free
+# uniqueness check), ndcg/map (unscored-relevant docs now penalize),
+# the ENTIRE iceberg family (generalized partition specs in the
+# writer, delete_where routed through the field-id resolver, ORC
+# stats partial-miss guard, schema-history rename gate) and delta
+# family (delta_append staging factored into _stage_add_actions),
+# registry_latest (register_view no longer mutates the caller's
+# view), and the offline-scan pair (2-day partition widening). Then
+# the stale-row refresh VERDICT r10 next #6 named: the r7-era rows
+# (interval_join, scd2_intervals, sample_per_group, json_props,
+# skew_report, stream_enrich, pricing_rollup, zorder_key,
+# table_profile, melt/pivot/split/sessionize, and the
+# minhash/simhash/embedding family). Everything displaced keeps its
+# earlier green row and the identical DuckDB oracle in
+# pytest/selfcheck.
+_R11_WINDOW = [
+    # new
+    "delta_upsert",
+    "iceberg_bucket_prune",
+    # changed this round
+    "pack_sequences",
+    "pack_shards",
+    "corpus_mix",
+    "snapshot_diff",
+    "ndcg_at_5",
+    "map_ranking",
+    "iceberg_orc",
+    "iceberg_scan",
+    "iceberg_mor_delete",
+    "iceberg_upsert",
+    "iceberg_evolution",
+    "iceberg_refs",
+    "delta_uniform",
+    "stream_iceberg_sink",
+    "delta_scan",
+    "delta_evolution",
+    "delta_changes",
+    "delta_dv_scan",
+    "delta_column_mapping",
+    "delta_optimize",
+    "stream_delta_sink",
+    "registry_latest",
+    "asof_features",
+    "feature_stats",
+    # stale r7 refresh (VERDICT r10 next #6)
+    "interval_join",
+    "scd2_intervals",
+    "sample_per_group",
+    "json_props",
+    "skew_report",
+    "stream_enrich",
+    "pricing_rollup",
+    "zorder_key",
+    "table_profile",
+    "melt_customer",
+    "pivot_events",
+    "sessionize",
+    "train_test_split",
+    "minhash_signatures",
+    "simhash",
+    "simhash_pairs",
+    "lsh_bucket_topk",
+    "embedding_centroids",
+    "embedding_near_dup",
+    "doc_fingerprints",
+    "token_stats",
+    "group_cv_split",
+    "confusion",
+    "quantile_label",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R11_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in _R11_WINDOW},
+}
 
 
 def queries():

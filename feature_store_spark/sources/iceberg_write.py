@@ -1383,13 +1383,18 @@ def iceberg_upsert(
     ts_col: str = "event_time",
     schema_fields: list[dict] | None = None,
     file_format: str = "parquet",
+    partition_spec: list[tuple[str, str]] | None = None,
 ) -> int:
     """Merge-on-read UPSERT: one snapshot = a global equality-delete
     of ``df``'s key tuples + the new data files (see
     :func:`iceberg_append` ``upsert_keys``). The CDC sink shape: every
     older version of each key dies table-wide, the new rows land, no
     data file is rewritten. ``file_format`` applies to the DATA files
-    only; the equality-delete file is always parquet."""
+    only; the equality-delete file is always parquet.
+    ``partition_spec`` passes through to :func:`iceberg_append` — an
+    upsert into a bucket/truncate-partitioned table must supply the
+    table's spec (the equality delete itself is global, so the
+    layout only shapes the NEW data files)."""
     return iceberg_append(
         df,
         table_dir,
@@ -1398,6 +1403,7 @@ def iceberg_upsert(
         schema_fields=schema_fields,
         upsert_keys=list(keys),
         file_format=file_format,
+        partition_spec=partition_spec,
     )
 
 

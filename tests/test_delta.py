@@ -1669,3 +1669,39 @@ class TestDeltaUpsert:
         t = DeltaTable(spark, d)
         rows = t.scan().collect()
         assert len(rows) == 1 and rows[0]["val"] == 9.0
+
+
+def test_delta_upsert_column_mapped_table(spark, tmp_path):
+    """MERGE composes with column mapping: new files land under
+    PHYSICAL names with field ids, DVs attach, and the scan resolves
+    back to logical names."""
+    from feature_store_spark.sources.delta import (
+        delta_append,
+        delta_upsert,
+    )
+
+    d = str(tmp_path / "mmap")
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 2, 2.0), ("c", 3, 3.0)],
+        "name string, eid long, val double",
+    )
+    delta_append(df, d, column_mapping="id")
+    upd = spark.createDataFrame(
+        [("b2", 2, -2.0), ("d", 4, 4.0)],
+        "name string, eid long, val double",
+    )
+    v, n = delta_upsert(upd, d, keys=["eid"])
+    assert (v, n) == (1, 1)
+    t = DeltaTable(spark, d)
+    rows = {r["eid"]: (r["name"], r["val"]) for r in t.scan().collect()}
+    assert rows == {
+        1: ("a", 1.0), 2: ("b2", -2.0), 3: ("c", 3.0), 4: ("d", 4.0)
+    }
+    # physical names on disk, logical in the scan
+    import pathlib
+
+    pfile = next(pathlib.Path(d).rglob("*.parquet"))
+    assert all(
+        c.startswith("col-")
+        for c in spark.read.parquet(str(pfile)).columns
+    )

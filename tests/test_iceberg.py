@@ -2787,3 +2787,35 @@ def test_orc_rename_history_refuses_name_decode(spark, tmp_path):
     d2 = str(tmp_path / "orcok")
     iceberg_append(df, d2, file_format="orc")
     assert IcebergTable(spark, d2).scan().count() == 20
+
+
+def test_bucket_partitioned_upsert_round_trip(spark, tmp_path):
+    """CDC upsert into a bucket-partitioned table: the global
+    equality delete kills old key versions across every bucket while
+    the new files land under the bucket layout."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_upsert,
+    )
+
+    spec = [("k", "bucket[4]")]
+    d = str(tmp_path / "bup")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    iceberg_append(df, d, partition_spec=spec)
+    upd = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.lit(-1.0).alias("v"),
+    )
+    iceberg_upsert(upd, d, keys=["k"], partition_spec=spec)
+    t = IcebergTable(spark, d)
+    rows = {r["k"]: r["v"] for r in t.scan().collect()}
+    assert len(rows) == 40
+    assert all(rows[i] == -1.0 for i in range(10))
+    assert all(rows[i] == float(i) for i in range(10, 40))
+    # pruning still holds post-upsert
+    pruned = t.data_files(None, [("k", "=", 3)])
+    assert 0 < len(pruned) < len(t.data_files(None, None))

@@ -4747,6 +4747,75 @@ FROM final
 """
 
 
+def q_delta_restore(spark, sf_dir):
+    """RESTORE as the rollback verb: append per-user features (v0),
+    MERGE a corrupting batch over the %5 slice (v1), then
+    ``delta_restore(..., 0)`` (v2) — one metadata commit that pulls
+    the merge's new files out and reverts its deletion vectors. The
+    graded row proves the restored scan equals the pre-merge state
+    (value mass + key count vs the plain relational oracle) while
+    the in-between version stays time-travelable."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.delta import (
+        DeltaTable,
+        delta_append,
+        delta_restore,
+        delta_upsert,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    base = per_user.select(
+        F.col("user_id").cast("string").alias("entity_id"),
+        F.col("v").alias("value_float"),
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-delta-restore-")
+    try:
+        delta_append(base, scratch)
+        bad = per_user.filter(F.col("user_id") % 5 == 0).select(
+            F.col("user_id").cast("string").alias("entity_id"),
+            F.lit(-999.0).alias("value_float"),
+        )
+        delta_upsert(bad, scratch, keys=["entity_id"])
+        v, removed, restored = delta_restore(spark, scratch, 0)
+        t = DeltaTable(spark, scratch)
+        mid_bad = (
+            t.scan(version=1)
+            .filter(F.col("value_float") == -999.0)
+            .count()
+        )
+        out = t.scan().agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            _r6(F.sum("value_float")).alias("sum_val"),
+            F.lit(int(v)).cast("long").alias("restore_version"),
+            F.lit(bool(removed >= 1 and restored >= 1))
+            .alias("files_moved"),
+            F.lit(int(mid_bad)).cast("long").alias("mid_bad_rows"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+DELTA_RESTORE_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(v), 6) AS sum_val,
+       CAST(2 AS BIGINT) AS restore_version,
+       TRUE AS files_moved,
+       (SELECT CAST(count(*) AS BIGINT) FROM per_user
+         WHERE user_id % 5 = 0) AS mid_bad_rows
+FROM per_user
+"""
+
+
 def q_delta_optimize(spark, sf_dir):
     """Transactional OPTIMIZE with Z-ORDER under the oracle gate:
     export orders as MANY small files, delete a slice via deletion
@@ -8361,6 +8430,7 @@ QUERIES: dict[str, tuple] = {
     "stream_iceberg_sink": (q_stream_iceberg_sink, STREAM_ICEBERG_SINK_SQL),
     "delta_optimize": (q_delta_optimize, DELTA_OPTIMIZE_SQL),
     "delta_upsert": (q_delta_upsert, DELTA_UPSERT_SQL),
+    "delta_restore": (q_delta_restore, DELTA_RESTORE_SQL),
     "iceberg_bucket_prune": (
         q_iceberg_bucket_prune,
         ICEBERG_BUCKET_PRUNE_SQL,
@@ -8776,6 +8846,7 @@ QUERIES = {
 _R11_WINDOW = [
     # new
     "delta_upsert",
+    "delta_restore",
     "iceberg_bucket_prune",
     # changed this round
     "pack_sequences",
@@ -8826,7 +8897,6 @@ _R11_WINDOW = [
     "token_stats",
     "group_cv_split",
     "confusion",
-    "quantile_label",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R11_WINDOW},

@@ -2547,6 +2547,128 @@ def delta_upsert(
     return version, n_replaced
 
 
+def delta_restore(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+) -> tuple[int, int, int]:
+    """``RESTORE TABLE ... TO VERSION AS OF v`` as ONE commit — the
+    rollback verb (bad batch landed, revert the table state without
+    losing history). Pure metadata: the commit removes every file
+    (path + DV state) live now but not at ``version`` and re-adds
+    every file live at ``version`` but not now (including files whose
+    deletion vector GREW since — restoring un-deletes those rows by
+    re-adding the old DV state). No data is rewritten; time travel to
+    the in-between versions still works.
+
+    Refuses when a file the target version needs no longer exists on
+    disk (VACUUM already reclaimed it) — a restore that silently
+    resurrects a missing file corrupts every later scan.
+
+    Returns ``(commit_version, files_removed, files_restored)``."""
+    import time as _time
+
+    t = DeltaTable(spark, table_dir)
+    cur_v = t.latest_version()
+    if version == cur_v:
+        raise ValueError(
+            f"{table_dir}: already at version {version} — nothing to "
+            "restore"
+        )
+    meta_t, adds_t, _ = t._state(version)
+    meta_c, adds_c, _ = t._state(None)
+
+    def dv_key(a: dict):
+        dv = a.get("deletionVector")
+        if not dv:
+            return None
+        return (dv.get("pathOrInlineDv"), dv.get("offset"))
+
+    cur_by_path = {a["path"]: a for a in adds_c}
+    tgt_by_path = {a["path"]: a for a in adds_t}
+    gone_paths = [
+        p
+        for p in tgt_by_path
+        if not os.path.exists(os.path.join(t.path, p))
+    ]
+    if gone_paths:
+        raise ValueError(
+            f"{table_dir}: cannot restore to version {version} — "
+            f"{len(gone_paths)} data file(s) it needs were vacuumed "
+            f"(e.g. {gone_paths[0]!r})"
+        )
+    removes = [p for p in cur_by_path if p not in tgt_by_path]
+    readds = [
+        a
+        for p, a in tgt_by_path.items()
+        if p not in cur_by_path
+        or dv_key(cur_by_path[p]) != dv_key(a)
+    ]
+    if not removes and not readds and meta_t == meta_c:
+        raise ValueError(
+            f"{table_dir}: table state at {cur_v} already equals "
+            f"version {version} — nothing to restore"
+        )
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(_time.time() * 1000),
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(int(version))},
+            }
+        }
+    ]
+    if meta_t != meta_c:
+        # RESTORE also restores the table definition (schema,
+        # partitioning, configuration) — protocol is NOT downgraded
+        # (the spec forbids it; old readers of the restored schema
+        # still need the current feature set to read the log)
+        actions.append({"metaData": meta_t})
+    for p in removes:
+        a = cur_by_path[p]
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "dataChange": True,
+                    "deletionTimestamp": int(_time.time() * 1000),
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": a.get("size"),
+                }
+            }
+        )
+    for a in readds:
+        if a["path"] in cur_by_path:
+            # DV state changed: remove+add pair, the same convention
+            # delta_delete_where commits (replay alone would accept a
+            # bare re-add, but external readers expect the pair)
+            cur = cur_by_path[a["path"]]
+            actions.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "dataChange": True,
+                        "deletionTimestamp": int(_time.time() * 1000),
+                        "partitionValues": cur.get("partitionValues")
+                        or {},
+                        "size": cur.get("size"),
+                    }
+                }
+            )
+        new_add = dict(a)
+        new_add["dataChange"] = True
+        actions.append({"add": new_add})
+    next_v = cur_v + 1
+    if not _claim_commit(
+        os.path.join(table_dir, "_delta_log"), next_v, actions
+    ):
+        raise ConcurrentWriteError(
+            f"{table_dir}: version {next_v} was committed by another "
+            "writer while RESTORE ran; re-read and retry"
+        )
+    return next_v, len(removes), len(readds)
+
+
 def _json_stat(v):
     """Parquet footer stat -> JSON-encodable delta stat value (skip
     types delta stats don't carry losslessly here)."""

@@ -1407,6 +1407,44 @@ def iceberg_upsert(
     )
 
 
+def iceberg_rollback(
+    table_dir: str,
+    snapshot_id: int,
+) -> int:
+    """Roll the table's CURRENT pointer back to an older snapshot —
+    the spec's rollback (Iceberg's ``rollback_to_snapshot``): a new
+    metadata version whose ``current-snapshot-id`` is the target;
+    every snapshot stays in the log, so nothing is lost and the
+    rolled-past snapshots remain time-travelable until
+    expire_snapshots. Pure driver metadata — no file I/O beyond the
+    metadata JSON. The ``main`` ref follows the current pointer
+    (refs and the pointer must agree, or ref-based and plain reads
+    would diverge). Returns the new metadata version number."""
+    meta_dir = os.path.join(table_dir, "metadata")
+    prev_meta, _prev_manifests, next_v = _load_prev(meta_dir)
+    if prev_meta is None:
+        raise ValueError(f"{table_dir}: no table to roll back")
+    known = {s["snapshot-id"] for s in prev_meta.get("snapshots", [])}
+    if snapshot_id not in known:
+        raise ValueError(
+            f"{table_dir}: snapshot {snapshot_id} not in the log "
+            f"(known: {sorted(known)})"
+        )
+    if prev_meta.get("current-snapshot-id") == snapshot_id:
+        raise ValueError(
+            f"{table_dir}: already at snapshot {snapshot_id}"
+        )
+    meta = dict(prev_meta)
+    meta["current-snapshot-id"] = snapshot_id
+    refs = dict(meta.get("refs") or {})
+    if "main" in refs:
+        refs["main"] = {**refs["main"], "snapshot-id": snapshot_id}
+        meta["refs"] = refs
+    meta["last-updated-ms"] = 1700000000000 + next_v
+    _publish_metadata(meta_dir, next_v, meta)
+    return next_v
+
+
 def iceberg_delete_where(
     spark,
     table_dir: str,

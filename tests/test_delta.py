@@ -1705,3 +1705,92 @@ def test_delta_upsert_column_mapped_table(spark, tmp_path):
         c.startswith("col-")
         for c in spark.read.parquet(str(pfile)).columns
     )
+
+
+class TestDeltaRestore:
+    def test_restore_reverts_upsert_and_delete(self, spark, tmp_path):
+        """RESTORE undoes a MERGE (new files out, DV'd files back to
+        their old DV state) in one metadata commit; time travel to
+        the in-between version still works, and a post-restore append
+        builds on the restored state."""
+        from feature_store_spark.sources.delta import (
+            delta_append,
+            delta_restore,
+            delta_upsert,
+        )
+
+        d = str(tmp_path / "rst")
+        df = spark.range(30).select(
+            F.col("id").alias("eid"), (F.col("id") * 1.0).alias("val")
+        )
+        delta_append(df, d)  # v0
+        upd = spark.range(5).select(
+            F.col("id").alias("eid"), F.lit(-1.0).alias("val")
+        )
+        delta_upsert(upd, d, keys=["eid"])  # v1: DVs + new files
+        v, removed, restored = delta_restore(spark, d, 0)
+        assert v == 2 and removed >= 1 and restored >= 1
+        t = DeltaTable(spark, d)
+        rows = {r["eid"]: r["val"] for r in t.scan().collect()}
+        assert rows == {i: float(i) for i in range(30)}
+        # in-between version still time-travels
+        mid = {r["eid"]: r["val"] for r in t.scan(version=1).collect()}
+        assert all(mid[i] == -1.0 for i in range(5))
+        # appends continue from the restored state
+        delta_append(
+            spark.range(30, 35).select(
+                F.col("id").alias("eid"), (F.col("id") * 1.0).alias("val")
+            ),
+            d,
+        )
+        assert DeltaTable(spark, d).scan().count() == 35
+
+    def test_restore_refusals(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import (
+            delta_append,
+            delta_restore,
+            delta_vacuum,
+        )
+
+        d = str(tmp_path / "rstr")
+        df = spark.range(10).select(
+            F.col("id").alias("eid"), (F.col("id") * 1.0).alias("val")
+        )
+        delta_append(df, d)
+        with pytest.raises(ValueError, match="nothing to restore"):
+            delta_restore(spark, d, 0)
+
+
+def test_iceberg_rollback_pointer(spark, tmp_path):
+    """iceberg_rollback: current pointer (and main ref) move to the
+    older snapshot, nothing is deleted, appends continue from the
+    rolled-back state."""
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_rollback,
+    )
+
+    d = str(tmp_path / "irb")
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.lit("user").alias("entity_type"),
+            F.col("id").alias("eid"),
+            (F.col("id") * 1.0).alias("v"),
+            F.lit("2024-03-01 00:00:00").cast("timestamp")
+            .alias("event_time"),
+        )
+
+    s1 = iceberg_append(batch(0, 10), d)
+    s2 = iceberg_append(batch(10, 20), d)
+    assert IcebergTable(spark, d).scan().count() == 20
+    iceberg_rollback(d, s1)
+    t = IcebergTable(spark, d)
+    assert t.scan().count() == 10
+    # rolled-past snapshot still time-travels
+    assert t.scan(snapshot_id=s2).count() == 20
+    # appends continue from the rolled-back state
+    iceberg_append(batch(50, 55), d)
+    assert IcebergTable(spark, d).scan().count() == 15
+    with pytest.raises(ValueError, match="not in the log"):
+        iceberg_rollback(d, 999999)

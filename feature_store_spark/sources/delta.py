@@ -1764,6 +1764,8 @@ def delta_changes(
         ins_drop: set = set()
         dv_prev_adds: list[dict] = []
         dv_select: set = set()
+        res_adds: list[dict] = []
+        res_select: set = set()
         removed_adds: list[dict] = []
         rem_drop: set = set()
         for path, add in commit_adds.items():
@@ -1776,6 +1778,17 @@ def delta_changes(
                 if new_dead:
                     dv_prev_adds.append(prev)
                     dv_select |= {(_abs(prev), p) for p in new_dead}
+                # a SHRUNK deletion vector (the RESTORE shape) means
+                # rows came back to life — the feed must carry them
+                # as inserts, not silently show an empty commit
+                # (pre-r11 this case dropped the resurrected rows;
+                # only the compacted-log path refused)
+                resurrected = dv_positions(prev) - dv_positions(add)
+                if resurrected:
+                    res_adds.append(add)
+                    res_select |= {
+                        (_abs(add), p) for p in resurrected
+                    }
         for path in commit_removes:
             if path in commit_adds:
                 continue  # same-commit re-add: handled as a DV delta
@@ -1787,6 +1800,10 @@ def delta_changes(
                 }
         if inserts:
             frames.append(rows_of(inserts, v, "insert", drop=ins_drop))
+        if res_adds:
+            frames.append(
+                rows_of(res_adds, v, "insert", select=res_select)
+            )
         if dv_prev_adds:
             frames.append(
                 rows_of(dv_prev_adds, v, "delete", select=dv_select)

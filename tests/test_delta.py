@@ -1794,3 +1794,38 @@ def test_iceberg_rollback_pointer(spark, tmp_path):
     assert IcebergTable(spark, d).scan().count() == 15
     with pytest.raises(ValueError, match="not in the log"):
         iceberg_rollback(d, 999999)
+
+
+def test_cdf_over_restore_emits_resurrections(spark, tmp_path):
+    """delta_changes over a RESTORE commit: rows un-deleted by the DV
+    shrink read as INSERTS and the merge's files read as deletes —
+    previously the resurrected ordinals silently vanished from the
+    feed (only the compacted-log path refused)."""
+    from feature_store_spark.sources.delta import (
+        delta_append,
+        delta_changes,
+        delta_restore,
+        delta_upsert,
+    )
+
+    d = str(tmp_path / "cdfr")
+    df = spark.range(20).select(
+        F.col("id").alias("eid"), (F.col("id") * 1.0).alias("val")
+    )
+    delta_append(df, d)  # v0
+    upd = spark.range(4).select(
+        F.col("id").alias("eid"), F.lit(-1.0).alias("val")
+    )
+    delta_upsert(upd, d, keys=["eid"])  # v1
+    delta_restore(spark, d, 0)  # v2
+    ch = [
+        r
+        for r in delta_changes(spark, d, from_version=1).collect()
+        if r["_commit_version"] == 2
+    ]
+    ins = {(r["eid"], r["val"]) for r in ch if r["_change_type"] == "insert"}
+    dels = {(r["eid"], r["val"]) for r in ch if r["_change_type"] == "delete"}
+    # resurrected originals come back as inserts with their OLD values
+    assert ins == {(i, float(i)) for i in range(4)}
+    # the merge's replacement rows leave the table
+    assert dels == {(i, -1.0) for i in range(4)}

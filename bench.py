@@ -129,6 +129,7 @@ HEADLINE = [
     # upsert) and the bucket[16]+truncate[2] iceberg layout with its
     # file-pruning audit
     "delta_upsert",
+    "delta_cdc",
     "delta_restore",
     "iceberg_bucket_prune",
     # interval_join is deliberately NOT benched at sf0.1: its true

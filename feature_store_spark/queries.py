@@ -4747,6 +4747,88 @@ FROM final
 """
 
 
+def q_delta_cdc(spark, sf_dir):
+    """Full CDC feed through one MERGE commit (``op_col``): a single
+    batch carrying updates (user_id %7: doubled), hard deletes
+    (%11 and not %7: key dies table-wide, nothing re-inserted) and
+    inserts (``new-<id>`` for %13) — the Debezium sink shape. Graded
+    against the relational latest-wins-minus-deleted oracle, plus
+    the commit version (exactly one) and the DV kill count."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.delta import (
+        DeltaTable,
+        delta_append,
+        delta_upsert,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    base = per_user.select(
+        F.col("user_id").cast("string").alias("entity_id"),
+        F.col("v").alias("value_float"),
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-delta-cdc-")
+    try:
+        delta_append(base, scratch)
+        upd = per_user.filter(F.col("user_id") % 7 == 0).select(
+            F.col("user_id").cast("string").alias("entity_id"),
+            (F.col("v") * 2).alias("value_float"),
+            F.lit("u").alias("op"),
+        )
+        dels = per_user.filter(
+            (F.col("user_id") % 11 == 0) & (F.col("user_id") % 7 != 0)
+        ).select(
+            F.col("user_id").cast("string").alias("entity_id"),
+            F.lit(None).cast("double").alias("value_float"),
+            F.lit("d").alias("op"),
+        )
+        ins = per_user.filter(F.col("user_id") % 13 == 0).select(
+            F.concat(F.lit("new-"), F.col("user_id").cast("string"))
+            .alias("entity_id"),
+            (F.col("v") * 3).alias("value_float"),
+            F.lit("c").alias("op"),
+        )
+        batch = upd.unionByName(dels).unionByName(ins)
+        v, n_killed = delta_upsert(
+            batch, scratch, keys=["entity_id"], op_col="op"
+        )
+        t = DeltaTable(spark, scratch)
+        out = t.scan().agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            _r6(F.sum("value_float")).alias("sum_val"),
+            F.lit(int(v)).cast("long").alias("merge_version"),
+            F.lit(int(n_killed)).cast("long").alias("n_killed"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+DELTA_CDC_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY user_id
+), final AS (
+  SELECT CASE WHEN user_id % 7 = 0 THEN v * 2 ELSE v END AS v
+  FROM per_user
+  WHERE NOT (user_id % 11 = 0 AND user_id % 7 <> 0)
+  UNION ALL
+  SELECT v * 3 FROM per_user WHERE user_id % 13 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(v), 6) AS sum_val,
+       CAST(1 AS BIGINT) AS merge_version,
+       (SELECT CAST(count(*) AS BIGINT) FROM per_user
+         WHERE user_id % 7 = 0
+            OR (user_id % 11 = 0 AND user_id % 7 <> 0)) AS n_killed
+FROM final
+"""
+
+
 def q_delta_restore(spark, sf_dir):
     """RESTORE as the rollback verb: append per-user features (v0),
     MERGE a corrupting batch over the %5 slice (v1), then
@@ -8431,6 +8513,7 @@ QUERIES: dict[str, tuple] = {
     "delta_optimize": (q_delta_optimize, DELTA_OPTIMIZE_SQL),
     "delta_upsert": (q_delta_upsert, DELTA_UPSERT_SQL),
     "delta_restore": (q_delta_restore, DELTA_RESTORE_SQL),
+    "delta_cdc": (q_delta_cdc, DELTA_CDC_SQL),
     "iceberg_bucket_prune": (
         q_iceberg_bucket_prune,
         ICEBERG_BUCKET_PRUNE_SQL,
@@ -8846,6 +8929,7 @@ QUERIES = {
 _R11_WINDOW = [
     # new
     "delta_upsert",
+    "delta_cdc",
     "delta_restore",
     "iceberg_bucket_prune",
     # changed this round
@@ -8896,7 +8980,6 @@ _R11_WINDOW = [
     "doc_fingerprints",
     "token_stats",
     "group_cv_split",
-    "confusion",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R11_WINDOW},

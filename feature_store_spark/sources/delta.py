@@ -2280,6 +2280,7 @@ def delta_upsert(
     keys: list[str],
     partition_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    op_col: str | None = None,
 ) -> tuple[int, int]:
     """Keyed MERGE (upsert) as ONE Delta commit — the CDC sink verb,
     mirroring ``iceberg_upsert``'s one-snapshot semantics (reference
@@ -2312,7 +2313,18 @@ def delta_upsert(
     same handshake as :func:`delta_append`. First call on a missing
     table degenerates to CREATE+INSERT via ``delta_append``.
 
-    Returns ``(commit_version, target_rows_replaced)``."""
+    ``op_col`` turns the batch into a full CDC feed (the Debezium /
+    change-stream shape): rows whose ``op_col`` value is ``d`` /
+    ``delete`` (case-insensitive) only KILL their key table-wide —
+    nothing is re-inserted for them — while every other row upserts
+    as usual; the op column itself is dropped before writing. Still
+    ONE commit (``WHEN MATCHED AND op='d' THEN DELETE`` composed
+    with the update/insert arms). A key carried by BOTH a delete row
+    and a non-delete row in one batch refuses (ambiguous, same rule
+    as duplicate keys).
+
+    Returns ``(commit_version, target_rows_replaced)`` — replaced
+    counts rows killed by updates AND deletes."""
     import time as _time
     import uuid as _uuid
 
@@ -2337,9 +2349,28 @@ def delta_upsert(
             f"delta_upsert: key column(s) {missing_keys} not in the "
             f"source frame (columns: {df.columns})"
         )
+    if op_col is not None:
+        if op_col not in df.columns:
+            raise ValueError(
+                f"delta_upsert: op_col {op_col!r} not in the source "
+                f"frame (columns: {df.columns})"
+            )
+        if op_col in keys:
+            raise ValueError(
+                f"delta_upsert: op_col {op_col!r} cannot be a key"
+            )
+        is_del = F.coalesce(
+            F.lower(F.col(op_col).cast("string")).isin("d", "delete"),
+            F.lit(False),
+        )
+        live = df.filter(~is_del).drop(op_col)
+    else:
+        live = df
     # duplicate source keys are ambiguous — which row wins the
-    # UPDATE is undefined (Delta's MERGE raises exactly this). One
-    # aggregate over the CDC batch (the small side), not the table.
+    # UPDATE is undefined (Delta's MERGE raises exactly this), and a
+    # key carried by both a delete row and an upsert row is the same
+    # ambiguity. One aggregate over the CDC batch (the small side),
+    # not the table.
     dup = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -2356,7 +2387,7 @@ def delta_upsert(
         )
     if not has_table:
         v = delta_append(
-            df, table_dir, partition_cols=partition_cols, txn=txn
+            live, table_dir, partition_cols=partition_cols, txn=txn
         )
         return v, 0
 
@@ -2383,7 +2414,7 @@ def delta_upsert(
     cur_types = {f["name"]: f["type"] for f in cur_fields}
     new_types = {
         f["name"]: f["type"]
-        for f in json.loads(df.schema.json())["fields"]
+        for f in json.loads(live.schema.json())["fields"]
     }
     mismatched = sorted(
         n
@@ -2518,31 +2549,37 @@ def delta_upsert(
             }
             actions.append({"add": new_add})
 
-    # ---- new data files: every source row lands (matched keys'
-    # replacements AND brand-new keys), mapping-aware ----
+    # ---- new data files: every LIVE source row lands (matched
+    # keys' replacements AND brand-new keys; op_col deletes
+    # contribute nothing here), mapping-aware ----
     phys_of = {f["name"]: f["physical"] for f in map_fields}
     fid_of = {f["name"]: f["id"] for f in map_fields}
-    wdf = df
+    wdf = live
     part_phys = list(tbl_parts)
     if mode != "none":
-        wdf = df.select(
+        wdf = live.select(
             *[
                 F.col(c).alias(
                     phys_of[c],
                     metadata={"parquet.field.id": int(fid_of[c])},
                 )
-                for c in df.columns
+                for c in live.columns
             ]
         )
         part_phys = [phys_of[c] for c in tbl_parts]
     data_cols = [
         phys_of.get(f.name, f.name)
-        for f in df.schema.fields
+        for f in live.schema.fields
         if f.name not in tbl_parts
     ]
-    actions.extend(
-        _stage_add_actions(wdf, table_dir, version, part_phys, data_cols)
-    )
+    if op_col is None or not live.isEmpty():
+        # a pure-delete CDC batch commits DVs only — staging an empty
+        # frame would land a junk zero-row data file every batch
+        actions.extend(
+            _stage_add_actions(
+                wdf, table_dir, version, part_phys, data_cols
+            )
+        )
     if txn is not None:
         actions.append(
             {

@@ -1829,3 +1829,57 @@ def test_cdf_over_restore_emits_resurrections(spark, tmp_path):
     assert ins == {(i, float(i)) for i in range(4)}
     # the merge's replacement rows leave the table
     assert dels == {(i, -1.0) for i in range(4)}
+
+
+def test_delta_upsert_cdc_op_column(spark, tmp_path):
+    """op_col CDC feed: one batch carrying updates, inserts, AND
+    deletes lands as ONE MERGE commit — deletes only kill their key
+    (DV), nothing re-inserted; a pure-delete batch commits DVs
+    without junk zero-row data files."""
+    import pathlib
+
+    from feature_store_spark.sources.delta import (
+        delta_append,
+        delta_upsert,
+    )
+
+    d = str(tmp_path / "cdc")
+    df = spark.range(10).select(
+        F.col("id").alias("eid"), (F.col("id") * 1.0).alias("val")
+    )
+    delta_append(df, d)  # v0
+    batch = spark.createDataFrame(
+        [
+            (0, -1.0, "u"),    # update
+            (1, None, "d"),    # delete
+            (2, None, "D"),    # delete, case-insensitive
+            (42, 42.0, "c"),   # insert (create)
+        ],
+        "eid long, val double, op string",
+    )
+    v, n = delta_upsert(batch, d, keys=["eid"], op_col="op")
+    assert (v, n) == (1, 3)  # eids 0,1,2 killed
+    t = DeltaTable(spark, d)
+    rows = {r["eid"]: r["val"] for r in t.scan().collect()}
+    assert 1 not in rows and 2 not in rows
+    assert rows[0] == -1.0 and rows[42] == 42.0
+    assert len(rows) == 9  # 10 - 2 deleted + 1 inserted
+    # op column never lands in the table
+    assert "op" not in t.scan().columns
+    # pure-delete batch: DVs only, no new parquet
+    before = sorted(str(p) for p in pathlib.Path(d).rglob("*.parquet"))
+    dels = spark.createDataFrame(
+        [(3, None, "delete")], "eid long, val double, op string"
+    )
+    v2, n2 = delta_upsert(dels, d, keys=["eid"], op_col="op")
+    assert (v2, n2) == (2, 1)
+    after = sorted(str(p) for p in pathlib.Path(d).rglob("*.parquet"))
+    assert before == after
+    assert DeltaTable(spark, d).scan().count() == 8
+    # delete+upsert of the SAME key in one batch: ambiguous, refuse
+    bad = spark.createDataFrame(
+        [(5, None, "d"), (5, 5.5, "u")],
+        "eid long, val double, op string",
+    )
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        delta_upsert(bad, d, keys=["eid"], op_col="op")

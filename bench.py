@@ -130,6 +130,7 @@ HEADLINE = [
     # file-pruning audit
     "delta_upsert",
     "delta_cdc",
+    "stream_delta_upsert",
     "delta_restore",
     "iceberg_bucket_prune",
     # interval_join is deliberately NOT benched at sf0.1: its true

@@ -4747,6 +4747,106 @@ FROM final
 """
 
 
+def q_stream_delta_upsert(spark, sf_dir):
+    """STREAMING CDC → DELTA under the oracle gate: two micro-batches
+    (deterministically ordered by file mtime) flow through
+    ``delta_upsert_sink`` — batch 0 creates per-user state, batch 1
+    MERGEs doubled values for the %7 slice via deletion vectors, each
+    commit carrying the txn mark. The scanned-back table must equal
+    the relational latest-wins oracle; ``multi_commit`` /
+    ``txn_contiguous`` pin that the merge really ran as its own
+    exactly-once commit."""
+    import os as _os
+    import shutil as _sh
+
+    from feature_store_spark.sources.delta import (
+        DeltaTable,
+        delta_upsert_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    base = per_user.select(
+        F.col("user_id").cast("string").alias("entity_id"),
+        F.col("v").alias("value_float"),
+        F.lit(1).alias("seq"),
+    )
+    upd = per_user.filter(F.col("user_id") % 7 == 0).select(
+        F.col("user_id").cast("string").alias("entity_id"),
+        (F.col("v") * 2).alias("value_float"),
+        F.lit(2).alias("seq"),
+    )
+    d = _stream_tmpdir("fss_stream_delta_upsert_")
+    try:
+        base.coalesce(1).write.mode("overwrite").parquet(f"{d}/b0")
+        upd.coalesce(1).write.mode("overwrite").parquet(f"{d}/b1")
+        _os.makedirs(f"{d}/in", exist_ok=True)
+        # one file per batch, mtime-ordered so FileStreamSource's
+        # discovery order (and therefore which batch WINS each key)
+        # is deterministic
+        for i, src in enumerate(("b0", "b1")):
+            [part] = [
+                n for n in _os.listdir(f"{d}/{src}")
+                if n.endswith(".parquet")
+            ]
+            tgt = f"{d}/in/batch-{i}.parquet"
+            _os.replace(f"{d}/{src}/{part}", tgt)
+            _os.utime(tgt, (1_700_000_000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "entity_id string, value_float double, seq int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/in")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                delta_upsert_sink(
+                    f"{d}/table",
+                    "cdc-sink",
+                    keys=["entity_id"],
+                    latest_by="seq",
+                )
+            )
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_delta_upsert: stream did not finish in 300s"
+            )
+        t = DeltaTable(spark, f"{d}/table")
+        n_commits = t.latest_version() + 1
+        hwm = t.txn_version("cdc-sink")
+        out = t.scan().agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            _r6(F.sum("value_float")).alias("sum_val"),
+            F.lit(n_commits >= 2).alias("multi_commit"),
+            F.lit(hwm == n_commits - 1).alias("txn_contiguous"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+
+
+STREAM_DELTA_UPSERT_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(CASE WHEN user_id % 7 = 0 THEN v * 2 ELSE v END), 6)
+         AS sum_val,
+       TRUE AS multi_commit,
+       TRUE AS txn_contiguous
+FROM per_user
+"""
+
+
 def q_delta_cdc(spark, sf_dir):
     """Full CDC feed through one MERGE commit (``op_col``): a single
     batch carrying updates (user_id %7: doubled), hard deletes
@@ -8514,6 +8614,7 @@ QUERIES: dict[str, tuple] = {
     "delta_upsert": (q_delta_upsert, DELTA_UPSERT_SQL),
     "delta_restore": (q_delta_restore, DELTA_RESTORE_SQL),
     "delta_cdc": (q_delta_cdc, DELTA_CDC_SQL),
+    "stream_delta_upsert": (q_stream_delta_upsert, STREAM_DELTA_UPSERT_SQL),
     "iceberg_bucket_prune": (
         q_iceberg_bucket_prune,
         ICEBERG_BUCKET_PRUNE_SQL,
@@ -8930,6 +9031,7 @@ _R11_WINDOW = [
     # new
     "delta_upsert",
     "delta_cdc",
+    "stream_delta_upsert",
     "delta_restore",
     "iceberg_bucket_prune",
     # changed this round
@@ -8979,7 +9081,6 @@ _R11_WINDOW = [
     "embedding_near_dup",
     "doc_fingerprints",
     "token_stats",
-    "group_cv_split",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R11_WINDOW},

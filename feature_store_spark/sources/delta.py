@@ -2137,6 +2137,70 @@ def delta_append_sink(
     return sink
 
 
+def delta_upsert_sink(
+    table_dir: str,
+    app_id: str,
+    keys: list[str],
+    op_col: str | None = None,
+    latest_by: str | None = None,
+    checkpoint_every: int | None = 10,
+):
+    """foreachBatch body: exactly-once micro-batch CDC MERGE into a
+    Delta table — each batch lands through :func:`delta_upsert`
+    (latest-wins by key, optional ``op_col`` delete rows), carrying
+    the protocol's txn action so a redelivered batch after a crash +
+    checkpoint loss is a no-op. The streaming twin of the Flink
+    Iceberg CDC sink, in the Delta format.
+
+    ``latest_by``: micro-batch boundaries are arbitrary, so one batch
+    can legally carry several versions of a key (delta_upsert would
+    refuse). Naming the CDC order column (LSN / source timestamp)
+    keeps only each key's latest row per batch — and REFUSES on a
+    tie at the top (two rows claiming the same latest position is a
+    feed bug; picking one silently would be nondeterministic
+    replay)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window, functions as F
+
+        b = batch_df
+        if latest_by is not None:
+            w = Window.partitionBy(*list(keys)).orderBy(
+                F.col(latest_by).desc()
+            )
+            ranked = (
+                b.withColumn("__rn", F.row_number().over(w))
+                .withColumn("__rk", F.rank().over(w))
+            )
+            tie = (
+                ranked.filter(
+                    (F.col("__rn") == 2) & (F.col("__rk") == 1)
+                )
+                .limit(1)
+                .collect()
+            )
+            if tie:
+                kv = {k: tie[0][k] for k in keys}
+                raise ValueError(
+                    f"delta_upsert_sink: key {kv} has two rows tied "
+                    f"on {latest_by!r} in batch {batch_id} — the "
+                    "latest row is ambiguous; fix the feed's order "
+                    "column"
+                )
+            b = ranked.filter(F.col("__rn") == 1).drop("__rn", "__rk")
+        v, _n = delta_upsert(
+            b,
+            table_dir,
+            keys=list(keys),
+            txn=(app_id, int(batch_id)),
+            op_col=op_col,
+        )
+        if checkpoint_every and v > 0 and v % int(checkpoint_every) == 0:
+            delta_checkpoint(batch_df.sparkSession, table_dir)
+
+    return sink
+
+
 def delta_delete_where(
     spark: SparkSession,
     table_dir: str,

@@ -2403,8 +2403,13 @@ def delta_upsert(
         raise ValueError("delta_upsert: keys must be non-empty")
     spark = df.sparkSession
     log_dir = os.path.join(table_dir, "_delta_log")
+    # checkpoint files count as table existence too (review r11): a
+    # log whose JSON prefix was compacted away is still a table, and
+    # treating it as CREATE would silently downgrade the MERGE to a
+    # plain append through the delta_append fallback below
     has_table = os.path.isdir(log_dir) and any(
-        n.endswith(".json") and n[:-5].isdigit()
+        (n.endswith(".json") and n[:-5].isdigit())
+        or re.match(r"\d{20}\.checkpoint(\.|$)", n)
         for n in os.listdir(log_dir)
     )
     missing_keys = [k for k in keys if k not in df.columns]

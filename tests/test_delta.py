@@ -1883,3 +1883,80 @@ def test_delta_upsert_cdc_op_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="multiple rows for key"):
         delta_upsert(bad, d, keys=["eid"], op_col="op")
+
+
+def test_delta_upsert_after_log_compaction(spark, tmp_path):
+    """Review r11: a checkpoint-compacted log (JSON prefix gone) is
+    still a TABLE — the upsert must merge against the checkpointed
+    state, not silently degrade to CREATE+append."""
+    import os as _os
+
+    from feature_store_spark.sources.delta import (
+        delta_append,
+        delta_checkpoint,
+        delta_upsert,
+    )
+
+    d = str(tmp_path / "comp")
+    df = spark.range(10).select(
+        F.col("id").alias("eid"), (F.col("id") * 1.0).alias("val")
+    )
+    delta_append(df, d)
+    delta_checkpoint(spark, d)
+    log = _os.path.join(d, "_delta_log")
+    for n in _os.listdir(log):
+        if n.endswith(".json") and n[:-5].isdigit():
+            _os.remove(_os.path.join(log, n))
+    upd = spark.range(3).select(
+        F.col("id").alias("eid"), F.lit(-1.0).alias("val")
+    )
+    v, n = delta_upsert(upd, d, keys=["eid"])
+    assert n == 3  # merged, not appended
+    t = DeltaTable(spark, d)
+    rows = {r["eid"]: r["val"] for r in t.scan().collect()}
+    assert len(rows) == 10
+    assert all(rows[i] == -1.0 for i in range(3))
+
+
+def test_delta_upsert_lost_race_refuses(spark, tmp_path):
+    """A rival commit claiming the MERGE's version surfaces as
+    ConcurrentWriteError (merges don't commute), never a silent
+    overwrite or a retry at the next version."""
+    import json as _json
+    import os as _os
+
+    from feature_store_spark.sources.delta import (
+        ConcurrentWriteError,
+        delta_append,
+        delta_upsert,
+    )
+
+    import feature_store_spark.sources.delta as _delta
+
+    d = str(tmp_path / "race")
+    df = spark.range(5).select(
+        F.col("id").alias("eid"), (F.col("id") * 1.0).alias("val")
+    )
+    delta_append(df, d)
+    upd = spark.range(2).select(
+        F.col("id").alias("eid"), F.lit(9.0).alias("val")
+    )
+    # rival lands BETWEEN the merge's state read and its commit claim
+    real_claim = _delta._claim_commit
+
+    def racing_claim(log_dir, version, actions):
+        rival = _os.path.join(log_dir, f"{version:020d}.json")
+        if not _os.path.exists(rival):
+            with open(rival, "w") as fh:
+                fh.write(
+                    _json.dumps({"commitInfo": {"operation": "RIVAL"}})
+                    + "\n"
+                )
+        return real_claim(log_dir, version, actions)
+
+    _delta._claim_commit = racing_claim
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            delta_upsert(upd, d, keys=["eid"])
+    finally:
+        _delta._claim_commit = real_claim

@@ -394,7 +394,17 @@ def _normalize_partition_spec(
                 "src_type": ty,
                 "value_type": vtype,
                 "avro": _AVRO_OF_TYPE[vtype],
-                "shadow": name,
+                # identity fields need a COPY column: partitionBy
+                # consumes the shadow into the directory segment, and
+                # Iceberg data files must keep their source columns —
+                # partitioning by the source itself would write
+                # hive-layout files (review r11). Derived transforms
+                # (bucket/truncate/time) consume a computed column,
+                # so the field name doubles as the shadow and the
+                # directory reads like a real Iceberg layout.
+                "shadow": (
+                    f"__pt_{source}" if transform == "identity" else name
+                ),
             }
         )
     if len({p["name"] for p in out}) != len(out):

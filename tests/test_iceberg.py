@@ -2819,3 +2819,31 @@ def test_bucket_partitioned_upsert_round_trip(spark, tmp_path):
     # pruning still holds post-upsert
     pruned = t.data_files(None, [("k", "=", 3)])
     assert 0 < len(pruned) < len(t.data_files(None, None))
+
+
+def test_generalized_identity_keeps_source_in_files(spark, tmp_path):
+    """Review r11: identity fields in a custom partition_spec use a
+    COPY shadow column — partitioning by the source itself would
+    consume it into the directory segment and write hive-layout
+    files (Iceberg data files must carry their source columns)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import iceberg_append
+
+    d = str(tmp_path / "idspec")
+    df = spark.range(40).select(
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("par"),
+        F.col("id").alias("k"),
+    )
+    iceberg_append(
+        df, d, partition_spec=[("par", "identity"), ("k", "bucket[4]")]
+    )
+    t = IcebergTable(spark, d)
+    files = t.data_files(None, None)
+    cols = set(spark.read.parquet(files[0]["path"]).columns)
+    assert {"par", "k"} <= cols
+    pruned = t.data_files(None, [("par", "=", "even")])
+    assert 0 < len(pruned) < len(files)
+    assert all(f["partition"]["par"] == "even" for f in pruned)
+    assert t.scan(filters=[("par", "=", "even")]).count() == 20

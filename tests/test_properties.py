@@ -1119,3 +1119,63 @@ def test_auc_bucketed_is_exact_auc_of_rounded_scores(spark):
         # (the two near-boundary scores are distinct before rounding)
         exact = metric(df, "score", "label").first()[key]
         assert got != exact
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, width=32
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    batch=st.dictionaries(
+        st.integers(min_value=0, max_value=25),
+        st.tuples(
+            st.sampled_from(["u", "d", "c"]),
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, width=32
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_delta_cdc_merge_matches_dict_oracle(spark, tmp_path_factory, base, batch):
+    """For ANY base table and ANY CDC batch (updates, inserts,
+    deletes over arbitrary keys), the one-commit DV-assisted MERGE
+    equals the plain python dict fold: apply deletes as pops and
+    everything else as puts."""
+    from feature_store_spark.sources.delta import (
+        DeltaTable,
+        delta_append,
+        delta_upsert,
+    )
+
+    d = str(tmp_path_factory.mktemp("cdcprop") / "t")
+    bdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in base.items()], "eid long, val double"
+    )
+    delta_append(bdf, d)
+    cdf = spark.createDataFrame(
+        [(k, float(v), op) for k, (op, v) in batch.items()],
+        "eid long, val double, op string",
+    )
+    delta_upsert(cdf, d, keys=["eid"], op_col="op")
+    want = dict(base)
+    for k, (op, v) in batch.items():
+        if op == "d":
+            want.pop(k, None)
+        else:
+            want[k] = float(v)
+    got = {
+        r["eid"]: r["val"]
+        for r in DeltaTable(spark, d).scan().collect()
+    }
+    assert got == pytest.approx(want)

@@ -4672,6 +4672,81 @@ WHERE user_id = 1
 """
 
 
+def q_iceberg_cluster_rewrite(spark, sf_dir):
+    """rewrite_data_files with write-time sort clustering: per-user
+    features land SCRAMBLED (every file's value bounds span the whole
+    domain, so a value predicate prunes nothing), then
+    ``iceberg_rewrite(sort_by=['n_events'], sort_files=8)``
+    range-clusters the files under the table's own bucket spec. The
+    graded row proves the rewrite preserved the data (count/mass vs
+    oracle) AND that the clustering bought real file pruning
+    (``pruned_after`` strictly below the file count) — maintenance
+    the 100 TB user runs nightly."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_rewrite,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+        .repartition(8)  # scrambled: wide bounds in every file
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-iceberg-cluster-")
+    try:
+        iceberg_append(
+            feats, scratch, partition_spec=[("user_id", "bucket[4]")]
+        )
+        iceberg_rewrite(
+            spark, scratch, sort_by=["n_events"], sort_files=8
+        )
+        t = IcebergTable(spark, scratch)
+        total = len(t.data_files(None, None))
+        # probe the hottest user(s): threshold = the max count, so
+        # the predicate is satisfiable at EVERY scale factor and the
+        # pruned set is the top range file(s) only
+        mx = float(feats.agg(F.max("n_events")).first()[0])
+        probe = [("n_events", ">=", mx)]
+        pruned = len(t.data_files(None, probe))
+        out = (
+            t.scan()
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                _r6(F.sum("n_events")).alias("sum_events"),
+                _r6(
+                    F.sum(
+                        F.when(
+                            F.col("n_events") >= mx, F.col("n_events")
+                        )
+                    )
+                ).alias("hot_mass"),
+            )
+            .withColumn("prune_ok", F.lit(bool(0 < pruned < total)))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+ICEBERG_CLUSTER_REWRITE_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(n), 6) AS sum_events,
+       round(sum(CASE WHEN n >= (SELECT max(n) FROM per_user)
+                 THEN n END), 6) AS hot_mass,
+       TRUE AS prune_ok
+FROM per_user
+"""
+
+
 def q_delta_upsert(spark, sf_dir):
     """Keyed MERGE on a Delta table (judge r10 next #2 — the Delta
     twin of ``iceberg_upsert``, the CDC sink verb): append one
@@ -8619,6 +8694,10 @@ QUERIES: dict[str, tuple] = {
         q_iceberg_bucket_prune,
         ICEBERG_BUCKET_PRUNE_SQL,
     ),
+    "iceberg_cluster_rewrite": (
+        q_iceberg_cluster_rewrite,
+        ICEBERG_CLUSTER_REWRITE_SQL,
+    ),
     "iceberg_upsert": (q_iceberg_upsert, ICEBERG_UPSERT_SQL),
     "delta_column_mapping": (
         q_delta_column_mapping,
@@ -9034,6 +9113,7 @@ _R11_WINDOW = [
     "stream_delta_upsert",
     "delta_restore",
     "iceberg_bucket_prune",
+    "iceberg_cluster_rewrite",
     # changed this round
     "pack_sequences",
     "pack_shards",
@@ -9080,7 +9160,6 @@ _R11_WINDOW = [
     "embedding_centroids",
     "embedding_near_dup",
     "doc_fingerprints",
-    "token_stats",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R11_WINDOW},

@@ -635,6 +635,8 @@ def iceberg_append(
     replace: bool = False,
     file_format: str = "parquet",
     partition_spec: list[tuple[str, str]] | None = None,
+    sort_by: list[str] | None = None,
+    sort_files: int | None = None,
 ) -> int:
     """Append ``df`` to (or create) an Iceberg v2 table partitioned
     identity(entity_col) + day(ts_col) — the reference's offline-store
@@ -655,6 +657,15 @@ def iceberg_append(
     appends to an existing table must pass a spec matching the
     table's (checked — files landed under a different layout would
     carry wrong partition tuples in the manifest).
+
+    ``sort_by=[cols]`` clusters rows within each partition's files
+    (sortWithinPartitions before the staged write): per-file
+    min/max bounds in the manifest tighten, so scans filtering on
+    the sorted columns prune files — write-time clustering, the
+    counterpart of delta_optimize's Z-ORDER. ``sort_files`` sets the
+    range-shuffle partition count (≈ target file count across the
+    table); default is the session's shuffle parallelism, which AQE
+    may coalesce on small data.
 
     ``file_format`` picks the data-file format: ``"parquet"``
     (default — footer stats read driver-side) or ``"orc"`` (Spark's
@@ -788,9 +799,29 @@ def iceberg_append(
     for p in pspec:
         wdf = wdf.withColumn(p["shadow"], _shadow_expr(p))
     shadows = [p["shadow"] for p in pspec]
-    writer = (
-        wdf.repartition(*shadows) if shadows else wdf
-    ).write.mode("overwrite").format(fmt)
+    if sort_by:
+        bad_sort = [c for c in sort_by if c not in df.columns]
+        if bad_sort:
+            raise ValueError(
+                f"sort_by column(s) {bad_sort} not in the frame"
+            )
+        # range-cluster: each task holds one contiguous
+        # (partition, sort-key) range, so every written file carries
+        # a DISJOINT slice of the sorted column — tight per-file
+        # min/max bounds in the manifest = file-level pruning on the
+        # sorted columns (the write-time half of what OPTIMIZE
+        # Z-ORDER buys). A plain repartition(shadow) would coalesce
+        # each partition into one wide-bounds file, where sorting
+        # buys nothing.
+        cols = shadows + list(sort_by)
+        staged = (
+            wdf.repartitionByRange(int(sort_files), *cols)
+            if sort_files
+            else wdf.repartitionByRange(*cols)
+        ).sortWithinPartitions(*cols)
+    else:
+        staged = wdf.repartition(*shadows) if shadows else wdf
+    writer = staged.write.mode("overwrite").format(fmt)
     if shadows:
         writer = writer.partitionBy(*shadows)
     writer.save(staging)
@@ -1248,6 +1279,8 @@ def iceberg_rewrite(
     entity_col: str = "entity_type",
     ts_col: str = "event_time",
     file_format: str = "parquet",
+    sort_by: list[str] | None = None,
+    sort_files: int | None = None,
 ) -> int:
     """Compact merge-on-read debt (the ``rewrite_data_files``
     maintenance op): materialize the CURRENT view — positional and
@@ -1262,7 +1295,14 @@ def iceberg_rewrite(
     ``file_format`` picks the COMPACTED files' format. The default
     parquet also clears every ORC/AVRO gate (positional deletes,
     DELETE WHERE, field-id resolution); ``"orc"`` migrates a table
-    the other way."""
+    the other way. ``sort_by=[cols]`` range-clusters the rewritten
+    files on those columns (tighter manifest bounds = more pruning
+    afterward — rewrite is exactly when you fix clustering).
+
+    Custom-spec tables (bucket/truncate/...) rewrite under their OWN
+    spec: the table's partition fields are reconstructed to
+    (source, transform) pairs and passed through, so the spec-match
+    refusal in iceberg_append holds for rewrites too."""
     from feature_store_spark.sources.iceberg import IcebergTable
 
     t = IcebergTable(spark, table_dir)
@@ -1271,6 +1311,18 @@ def iceberg_rewrite(
          "required": f.get("required", False), "type": f["type"]}
         for f in t.schema_fields()
     ]
+    spec_fields = t.partition_spec(None)
+    legacy = [
+        (pf.get("name"), pf.get("transform"))
+        for pf in spec_fields
+    ] == [("entity_type_p", "identity"), ("ts_day", "day")]
+    pspec = None
+    if spec_fields and not legacy:
+        by_id = {f["id"]: f["name"] for f in t.schema_fields()}
+        pspec = [
+            (by_id[pf["source-id"]], pf["transform"])
+            for pf in spec_fields
+        ]
     current = t.scan()
     return iceberg_append(
         current,
@@ -1280,6 +1332,9 @@ def iceberg_rewrite(
         schema_fields=fields,
         replace=True,
         file_format=file_format,
+        partition_spec=pspec,
+        sort_by=sort_by,
+        sort_files=sort_files,
     )
 
 

@@ -2847,3 +2847,43 @@ def test_generalized_identity_keeps_source_in_files(spark, tmp_path):
     assert 0 < len(pruned) < len(files)
     assert all(f["partition"]["par"] == "even" for f in pruned)
     assert t.scan(filters=[("par", "=", "even")]).count() == 20
+
+
+def test_rewrite_custom_spec_and_sort_clustering(spark, tmp_path):
+    """rewrite_data_files on a bucket-partitioned table keeps the
+    table's own spec (reconstructed source/transform pairs), and
+    sort_by clustering tightens per-file bounds so a point predicate
+    prunes MORE files after the rewrite than before."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_rewrite,
+    )
+
+    d = str(tmp_path / "rwspec")
+    spec = [("k", "bucket[2]")]
+    # scramble val so pre-rewrite files have WIDE val bounds
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 1000).alias("val"),
+    ).repartition(8)
+    iceberg_append(df, d, partition_spec=spec)
+    t0 = IcebergTable(spark, d)
+    before = len(t0.data_files(None, [("val", "=", 500)]))
+    snap = iceberg_rewrite(spark, d, sort_by=["val"], sort_files=8)
+    t1 = IcebergTable(spark, d)
+    # spec survived the rewrite
+    assert [
+        (pf["name"], pf["transform"]) for pf in t1.partition_spec(None)
+    ] == [("k_bucket", "bucket[2]")]
+    assert t1.scan().count() == 4000
+    after = len(t1.data_files(None, [("val", "=", 500)]))
+    total_after = len(t1.data_files(None, None))
+    # clustering must actually buy pruning on the sorted column
+    assert after < total_after
+    # and the rows still read correctly through the pruned scan
+    got = t1.scan(filters=[("val", "=", 500)]).count()
+    want = df.filter(F.col("val") == 500).count()
+    assert got == want

@@ -1960,3 +1960,34 @@ def test_delta_upsert_lost_race_refuses(spark, tmp_path):
             delta_upsert(upd, d, keys=["eid"])
     finally:
         _delta._claim_commit = real_claim
+
+
+def test_restore_reverts_schema_evolution(spark, tmp_path):
+    """RESTORE also restores the table DEFINITION: after a
+    merge_schema append added a column, restoring to v0 brings back
+    the original schemaString (and drops the evolved files), while
+    version 1 still time-travels with the wide schema."""
+    from feature_store_spark.sources.delta import (
+        delta_append,
+        delta_restore,
+    )
+
+    d = str(tmp_path / "rsc")
+    df = spark.range(10).select(
+        F.col("id").alias("eid"), (F.col("id") * 1.0).alias("val")
+    )
+    delta_append(df, d)  # v0
+    wide = df.withColumn("extra", F.lit("x"))
+    delta_append(wide, d, merge_schema=True)  # v1 evolves
+    t1 = DeltaTable(spark, d)
+    assert "extra" in t1.scan().columns
+    delta_restore(spark, d, 0)  # v2
+    t2 = DeltaTable(spark, d)
+    assert t2.scan().columns == ["eid", "val"]
+    assert t2.scan().count() == 10
+    # the evolved version still time-travels wide
+    mid = t2.scan(version=1)
+    assert "extra" in mid.columns and mid.count() == 20
+    # and post-restore appends enforce the RESTORED schema
+    with pytest.raises(ValueError, match="unknown column"):
+        delta_append(wide, d)

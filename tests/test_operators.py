@@ -308,3 +308,54 @@ def test_reshape_registry_r10m_guards(spark):
             "v", 1, "user", ["a"], transform_params={"a": {"ws": [1, 2]}}
         )
     )  # canonical forms compare equal -> idempotent no-op
+
+
+def test_refresh_distinct_sketch_fold_equals_full(spark, tmp_path):
+    """HLL fold state after N appends estimates IDENTICALLY to a
+    one-shot sketch of the corpus (union = register-wise max over
+    the same value set; serialized bytes may differ in sparse mode,
+    which stores coupons in insertion order), the estimate is exact
+    at small cardinality, and a redelivered refresh is a no-op under
+    the txn token."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.incremental import (
+        distinct_view,
+        refresh_distinct_sketch,
+    )
+    from feature_store_spark.sources.manifest import ManifestedTable
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 517).alias("v"),
+    )
+    src = ManifestedTable(spark, str(tmp_path / "src"))
+    state = ManifestedTable(spark, str(tmp_path / "state"))
+    for i in range(3):
+        src.append(df.filter(F.col("id") % 3 == i))
+        refresh_distinct_sketch(state, src, ["k"], "v")
+    v_before = state.current_version()
+    refresh_distinct_sketch(state, src, ["k"], "v")  # redelivery
+    assert state.current_version() == v_before
+    got = {
+        r["k"]: r["distinct_estimate"]
+        for r in distinct_view(state, ["k"]).collect()
+    }
+    # id%3==i slices each cover a subset of v=id%517; exact per key
+    want = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k")
+        .agg(F.count_distinct("v").alias("n"))
+        .collect()
+    }
+    assert {k: round(v) for k, v in got.items()} == want
+    # estimate-identity of the folded sketch vs a one-shot sketch
+    folded = state.read().select(
+        "k", F.hll_sketch_estimate("distinct_sketch").alias("e")
+    )
+    oneshot = df.groupBy("k").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", 14)).alias("e")
+    )
+    a = {r["k"]: r["e"] for r in folded.collect()}
+    b = {r["k"]: r["e"] for r in oneshot.collect()}
+    assert a == b

@@ -8024,6 +8024,98 @@ def q_incremental_drift(spark, sf_dir):
         _sh.rmtree(scratch, ignore_errors=True)
 
 
+def q_stream_incremental_distinct(spark, sf_dir):
+    """STREAMING distinct-count maintenance under the oracle gate:
+    events micro-batch into a manifested log (multiple commits
+    forced), and after every batch the per-type HLL sketch state
+    folds in ONLY the appended rows (incremental_distinct_sink). The
+    final state's estimate must land within 2% of the exact per-type
+    distinct user count (graded exactly via count_distinct) and equal
+    a one-shot sketch of everything appended — the streaming twin of
+    ``incremental_distinct``."""
+    import shutil as _sh
+
+    from feature_store_spark.incremental import distinct_view
+    from feature_store_spark.sources.manifest import ManifestedTable
+    from feature_store_spark.streaming.materializer import (
+        incremental_distinct_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    d = _stream_tmpdir("fss_stream_distinct_")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in")
+    )
+    src = ManifestedTable(spark, f"{d}/src")
+    state = ManifestedTable(spark, f"{d}/state")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                incremental_distinct_sink(
+                    src, state, ["event_type"], "user_id",
+                    "distinct-stream",
+                )
+            )
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_incremental_distinct: stream did not finish "
+                "in 300s"
+            )
+        if state.current_version() < 2:
+            raise RuntimeError(
+                "stream_incremental_distinct: expected multiple "
+                f"state refreshes, got {state.current_version()}"
+            )
+        full = ev.groupBy("event_type").agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", 14)
+            ).alias("full_estimate"),
+            F.count_distinct("user_id").alias("n_distinct_users"),
+        )
+        out = (
+            distinct_view(state, ["event_type"])
+            .join(full, "event_type")
+            .select(
+                "event_type",
+                "n_distinct_users",
+                (
+                    F.col("distinct_estimate")
+                    == F.col("full_estimate")
+                ).alias("matches_full"),
+                (
+                    F.abs(
+                        F.col("distinct_estimate")
+                        - F.col("n_distinct_users")
+                    )
+                    <= 0.02 * F.col("n_distinct_users")
+                ).alias("estimate_ok"),
+            )
+            .orderBy("event_type")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+
+
+STREAM_INCREMENTAL_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+       TRUE AS matches_full,
+       TRUE AS estimate_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_stream_incremental_drift(spark, sf_dir):
     """STREAMING drift monitor under the oracle gate: the repriced
     current window micro-batches into a manifested serving log
@@ -8856,6 +8948,10 @@ QUERIES: dict[str, tuple] = {
         q_incremental_distinct,
         INCREMENTAL_DISTINCT_SQL,
     ),
+    "stream_incremental_distinct": (
+        q_stream_incremental_distinct,
+        STREAM_INCREMENTAL_DISTINCT_SQL,
+    ),
     "incremental_dedup": (q_incremental_dedup, MINHASH_PAIRS_SQL),
     "incremental_dedup_exact": (q_incremental_dedup_exact, DEDUP_EXACT_SQL),
     "incremental_ann": (q_incremental_ann, INCREMENTAL_ANN_SQL),
@@ -9196,6 +9292,7 @@ _R11_WINDOW = [
     "iceberg_bucket_prune",
     "iceberg_cluster_rewrite",
     "incremental_distinct",
+    "stream_incremental_distinct",
     # changed this round
     "pack_sequences",
     "pack_shards",
@@ -9240,7 +9337,6 @@ _R11_WINDOW = [
     "simhash_pairs",
     "lsh_bucket_topk",
     "embedding_centroids",
-    "embedding_near_dup",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R11_WINDOW},

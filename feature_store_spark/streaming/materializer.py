@@ -280,6 +280,38 @@ def incremental_dedup_sink(
     return sink
 
 
+def incremental_distinct_sink(
+    source_table,
+    state_table,
+    keys,
+    value_col: str,
+    app_id: str,
+    lg_k: int = 14,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for STREAMING distinct-count maintenance
+    (r11): each micro-batch lands as an idempotent manifest append,
+    then the per-key HLL sketch state advances via
+    :func:`feature_store_spark.incremental.refresh_distinct_sketch`
+    — only the appended rows are sketched, per-batch cost is
+    O(batch), and the state estimates identically to a one-shot
+    sketch of everything ever appended. Same exactly-once
+    composition as :func:`incremental_drift_sink`."""
+    from feature_store_spark.incremental import refresh_distinct_sketch
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        source_table.append(batch, txn=(app_id, batch_id))
+        refresh_distinct_sketch(
+            state_table,
+            source_table,
+            keys,
+            value_col,
+            lg_k=lg_k,
+            app_id=f"{app_id}:distinct",
+        )
+
+    return sink
+
+
 def incremental_drift_sink(
     source_table,
     state_table,

@@ -1537,9 +1537,24 @@ def iceberg_delete_where(
     from feature_store_spark.sources.iceberg import IcebergTable, _Filter
 
     t = IcebergTable(spark, table_dir)
-    files = [f for f in t.data_files(None, None) if not f["is_delete"]]
+    # candidate pruning (r11): only files that MIGHT match the
+    # predicate — partition-transform pruning (incl. bucket/truncate
+    # via _transform_interval) + column min/max bounds — pay the row
+    # scan. A sliver delete on a 100 TB table previously assembled
+    # EVERY data file before the row filter ran; marking a row in a
+    # file the predicate can't touch is impossible, so pruning is
+    # exactly as safe here as in scan.
+    files = [
+        f
+        for f in t.data_files(None, filters or None)
+        if not f["is_delete"]
+    ]
     if not files:
-        raise ValueError(f"{table_dir}: no data files to delete from")
+        raise ValueError(
+            f"{table_dir}: DELETE WHERE matched no data files "
+            "(empty table, or the predicate prunes every file) — "
+            "nothing committed"
+        )
     pq_files = [
         f for f in files
         if f.get("format", "parquet") not in ("avro", "orc")

@@ -611,7 +611,9 @@ class TestDeleteWhere:
             ),
             d,
         )
-        with pytest.raises(ValueError, match="matched no rows"):
+        # the refusal may fire at file level (candidate pruning, r11)
+        # or at row level — both are the same no-op-commit contract
+        with pytest.raises(ValueError, match="matched no"):
             iceberg_delete_where(spark, d, [("value_float", ">", 99.0)])
         assert IcebergTable(spark, d).scan().count() == 3
 
@@ -2887,3 +2889,43 @@ def test_rewrite_custom_spec_and_sort_clustering(spark, tmp_path):
     got = t1.scan(filters=[("val", "=", 500)]).count()
     want = df.filter(F.col("val") == 500).count()
     assert got == want
+
+
+def test_delete_where_prunes_candidate_files(spark, tmp_path):
+    """r11: a sliver DELETE only opens files the predicate might
+    touch — on a bucket-partitioned table, deleting one key reads
+    the probed bucket's files, not the corpus (the delete parquet's
+    recorded suffixes prove which files were examined... asserted
+    here via the data_files pruning the delete path now shares with
+    scan, plus end-state correctness)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.sources.iceberg import (
+        IcebergTable,
+        iceberg_bucket,
+    )
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_delete_where,
+    )
+
+    d = str(tmp_path / "delprune")
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    iceberg_append(df, d, partition_spec=[("k", "bucket[8]")])
+    t = IcebergTable(spark, d)
+    total = len(t.data_files(None, None))
+    pruned = len(t.data_files(None, [("k", "=", 123)]))
+    assert 0 < pruned < total  # the set the delete now examines
+    iceberg_delete_where(spark, d, [("k", "=", 123)])
+    t2 = IcebergTable(spark, d)
+    assert t2.scan().count() == 399
+    assert t2.scan(filters=[("k", "=", 123)]).count() == 0
+    b = iceberg_bucket(123, "long", 8)
+    # the delete file's marked rows all sit in the probed bucket
+    dels = [f for f in t2.data_files(None, None) if f["is_delete"]]
+    assert dels
+    marked = spark.read.parquet(*[f["path"] for f in dels])
+    paths = {r["file_path"] for r in marked.select("file_path").collect()}
+    assert all(f"k_bucket={b}/" in p for p in paths)

@@ -136,6 +136,7 @@ HEADLINE = [
     "iceberg_cluster_rewrite",
     "incremental_distinct",
     "stream_incremental_distinct",
+    "incremental_heavy_hitters",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

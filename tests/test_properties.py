@@ -1179,3 +1179,49 @@ def test_delta_cdc_merge_matches_dict_oracle(spark, tmp_path_factory, base, batc
         for r in DeltaTable(spark, d).scan().collect()
     }
     assert got == pytest.approx(want)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    items=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=3, max_size=200
+    ),
+    k=st.integers(min_value=2, max_value=8),
+)
+def test_incremental_heavy_hitters_coverage_property(
+    spark, tmp_path_factory, items, k
+):
+    """Mergeable-summaries invariant: after folding ANY stream in 3
+    appends with k counters, every item whose true count exceeds
+    n/(k+1) is present in the state, and every stored count is a
+    lower bound of the true count."""
+    from collections import Counter
+
+    from feature_store_spark.incremental import refresh_heavy_hitters
+    from feature_store_spark.sources.manifest import ManifestedTable
+
+    d = str(tmp_path_factory.mktemp("hhprop") / "t")
+    df = spark.createDataFrame(
+        [(i, str(v)) for i, v in enumerate(items)], "i long, item string"
+    )
+    src = ManifestedTable(spark, d + "/src")
+    state = ManifestedTable(spark, d + "/state")
+    for part in range(3):
+        sl = df.filter(F.col("i") % 3 == part)
+        if sl.count() == 0:
+            continue
+        src.append(sl.withColumn("g", F.lit("all")))
+        refresh_heavy_hitters(state, src, ["g"], "item", k=k)
+    true = Counter(str(v) for v in items)
+    n = len(items)
+    got = {r["item"]: r["cnt"] for r in state.read().collect()}
+    assert len(got) <= k
+    for item, c in true.items():
+        if c > n / (k + 1):
+            assert item in got, (item, c, n, k, got)
+    for item, c in got.items():
+        assert c <= true[item]

@@ -419,25 +419,12 @@ def refresh_heavy_hitters(
 
     keys = list(keys)
 
-    def partial(df: DataFrame) -> DataFrame:
-        return (
-            df.filter(F.col(item_col).isNotNull())
-            .groupBy(*keys, item_col)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-
-    def merge(prev: DataFrame, part: DataFrame) -> DataFrame:
-        cols = keys + [item_col, "cnt"]
-        summed = (
-            prev.select(*cols)
-            .unionByName(part.select(*cols))
-            .groupBy(*keys, item_col)
-            .agg(F.sum("cnt").alias("cnt"))
-        )
+    def compress(summed: DataFrame) -> DataFrame:
         # one MG compression round: rank within group (deterministic
         # tie-break on the item), subtract the (k+1)-th largest
-        # count from every counter, keep positives — ≤ k survive.
-        # Both windows share one partition+sort.
+        # count from every counter, keep positives — ≤ k survive;
+        # a group already at ≤ k counters passes through unchanged
+        # (delta is NULL → 0). Both windows share one partition+sort.
         w = Window.partitionBy(*keys).orderBy(
             F.col("cnt").desc(), F.col(item_col).asc()
         )
@@ -452,6 +439,27 @@ def refresh_heavy_hitters(
             )
             .filter(F.col("cnt") > 0)
             .drop("__r")
+        )
+
+    def partial(df: DataFrame) -> DataFrame:
+        # compressed here too, so the ≤k-per-group contract holds on
+        # every path — including refresh_fold's full-recompute
+        # fallback, where the partial IS the next state (review r11:
+        # an uncompressed exact partial after a non-append source
+        # commit held unbounded counters until the next merge)
+        return compress(
+            df.filter(F.col(item_col).isNotNull())
+            .groupBy(*keys, item_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def merge(prev: DataFrame, part: DataFrame) -> DataFrame:
+        cols = keys + [item_col, "cnt"]
+        return compress(
+            prev.select(*cols)
+            .unionByName(part.select(*cols))
+            .groupBy(*keys, item_col)
+            .agg(F.sum("cnt").alias("cnt"))
         )
 
     return refresh_fold(state, source, partial, merge, app_id, max_retries)

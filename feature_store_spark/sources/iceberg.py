@@ -613,6 +613,9 @@ class IcebergTable:
                     {
                         "path": self._resolve(df_rec["file_path"]),
                         "record_count": int(df_rec.get("record_count", -1)),
+                        "file_size_in_bytes": int(
+                            df_rec.get("file_size_in_bytes", 0) or 0
+                        ),
                         "partition": df_rec.get("partition") or {},
                         "spec_id": spec_id,
                         "is_delete": False,
@@ -1015,6 +1018,32 @@ class IcebergTable:
             "file_path string, partition string, record_count long, "
             "is_delete boolean, delete_kind string, "
             "sequence_number long, file_format string",
+        )
+
+    def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """Metadata table: per-partition rollup (``<table>.partitions``)
+        — canonical partition key, live data-file count, record count,
+        total bytes, plus delete-file counts marking merge-on-read
+        debt per partition (the compaction-targeting signal
+        rewrite_data_files consumers want). Driver-metadata only;
+        nothing opens a data file."""
+        agg: dict[str, list] = {}
+        for f in self.data_files(snapshot_id, None):
+            key = _part_key(f.get("partition") or {})
+            a = agg.setdefault(key, [0, 0, 0, 0])
+            if f.get("is_delete"):
+                a[3] += 1
+            else:
+                a[0] += 1
+                a[1] += max(int(f.get("record_count", 0) or 0), 0)
+                a[2] += int(f.get("file_size_in_bytes", 0) or 0)
+        rows = [
+            (k, v[0], v[1], v[2], v[3]) for k, v in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "partition string, data_file_count long, record_count long,"
+            " total_bytes long, delete_file_count long",
         )
 
     def snapshots_df(self) -> DataFrame:

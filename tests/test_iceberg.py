@@ -2929,3 +2929,32 @@ def test_delete_where_prunes_candidate_files(spark, tmp_path):
     marked = spark.read.parquet(*[f["path"] for f in dels])
     paths = {r["file_path"] for r in marked.select("file_path").collect()}
     assert all(f"k_bucket={b}/" in p for p in paths)
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    """<table>.partitions rollup: per-partition file/row/byte counts
+    plus merge-on-read delete-file counts — driver metadata only."""
+    from pyspark.sql import functions as F
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_delete_where,
+    )
+
+    d = str(tmp_path / "pmeta")
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    iceberg_append(df, d, partition_spec=[("k", "bucket[4]")])
+    iceberg_delete_where(spark, d, [("k", "=", 7)])
+    t = IcebergTable(spark, d)
+    rows = {r["partition"]: r for r in t.partitions_df().collect()}
+    data_rows = [r for r in rows.values() if r["data_file_count"] > 0]
+    assert len(data_rows) == 4  # one per bucket
+    assert sum(r["record_count"] for r in data_rows) == 60
+    assert all(r["total_bytes"] > 0 for r in data_rows)
+    # the delete's positional file lands in exactly one partition's
+    # debt column (bucket deletes commit under the table spec) or the
+    # global one — either way the TOTAL debt is visible
+    assert sum(r["delete_file_count"] for r in rows.values()) >= 1

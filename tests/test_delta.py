@@ -1991,3 +1991,48 @@ def test_restore_reverts_schema_evolution(spark, tmp_path):
     # and post-restore appends enforce the RESTORED schema
     with pytest.raises(ValueError, match="unknown column"):
         delta_append(wide, d)
+
+
+def test_cdf_full_chain_upsert_delete_restore(spark, tmp_path):
+    """The change feed across a mixed history — MERGE (v1), DELETE
+    WHERE (v2), RESTORE to v0 (v3) — replays to a per-key net effect
+    of zero: every delete the feed emitted is matched by a
+    re-insert of the same (eid, val) by the restore, and summing
+    +1/-1 per change reconstructs the v0 state exactly."""
+    from collections import Counter
+
+    from feature_store_spark.sources.delta import (
+        delta_append,
+        delta_changes,
+        delta_delete_where,
+        delta_restore,
+        delta_upsert,
+    )
+
+    d = str(tmp_path / "chain")
+    df = spark.range(12).select(
+        F.col("id").alias("eid"), (F.col("id") * 1.0).alias("val")
+    )
+    delta_append(df, d)  # v0
+    delta_upsert(
+        spark.createDataFrame([(3, -3.0), (20, 20.0)], "eid long, val double"),
+        d,
+        keys=["eid"],
+    )  # v1: kill eid 3, add -3 and new key 20
+    delta_delete_where(spark, d, [("eid", "<", 2)])  # v2: kill 0,1
+    delta_restore(spark, d, 0)  # v3: everything back
+    ch = delta_changes(spark, d, from_version=0).collect()
+    net: Counter = Counter()
+    for r in ch:
+        net[(r["eid"], r["val"])] += (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    surviving = {kv for kv, n in net.items() if n != 0}
+    # the feed's net effect over (v0, v3] must be EMPTY — the table
+    # ended where it started, and the per-version frames agree
+    assert surviving == set(), sorted(surviving)
+    # and the final scan equals v0
+    t = DeltaTable(spark, d)
+    assert {(r["eid"], r["val"]) for r in t.scan().collect()} == {
+        (i, float(i)) for i in range(12)
+    }

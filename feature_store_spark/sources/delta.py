@@ -564,6 +564,24 @@ class DeltaTable:
                 .drop("__fp", "__pos")
                 .limit(0)
             )
+        df = self._assemble_live(adds, meta, maybe_evolved)
+        df = df.drop("__fp", "__pos")
+        for f in filters or []:
+            df = df.filter(_Filter(*f).sql())
+        return df
+
+    def _assemble_live(
+        self,
+        adds: list[dict],
+        meta: dict,
+        maybe_evolved: bool = True,
+    ) -> DataFrame:
+        """``_assemble`` minus the rows the adds' deletion vectors
+        already killed, keeping the ``__fp``/``__pos`` tags — the
+        LIVE row set a MERGE probe must match against (a DV-dead row
+        is not a row; firing a merge arm on one would resurrect it)."""
+        from pyspark.sql import functions as F
+
         df = self._assemble(adds, meta, maybe_evolved)
         dv_adds = [a for a in adds if a.get("deletionVector")]
         if dv_adds:
@@ -600,9 +618,6 @@ class DeltaTable:
                     & (df["__pos"] == dv_df["__del_pos"]),
                     "left_anti",
                 )
-        df = df.drop("__fp", "__pos")
-        for f in filters or []:
-            df = df.filter(_Filter(*f).sql())
         return df
 
     def _assemble(
@@ -2388,16 +2403,14 @@ def delta_upsert(
     as duplicate keys).
 
     Returns ``(commit_version, target_rows_replaced)`` — replaced
-    counts rows killed by updates AND deletes."""
+    counts rows killed by updates AND deletes.
+
+    Conditional arms (``WHEN MATCHED AND <pred> THEN UPDATE SET
+    <subset>``) live in :func:`delta_merge` — this verb is the
+    full-row replacement fast path."""
     import time as _time
-    import uuid as _uuid
 
     from pyspark.sql import functions as F
-
-    from feature_store_spark.sources.roaring import (
-        write_dv_file,
-        z85_encode,
-    )
 
     if not keys:
         raise ValueError("delta_upsert: keys must be non-empty")
@@ -2476,36 +2489,7 @@ def delta_upsert(
             f"{table_dir}: table is partitioned by {tbl_parts}; "
             f"upsert passed partition_cols={list(partition_cols)}"
         )
-    # schema ENFORCEMENT (no evolution in MERGE): silently narrowing
-    # or widening under a merge would leave half the table's files on
-    # a different schema with no metaData record
-    cur_fields = json.loads(meta["schemaString"])["fields"]
-    cur_types = {f["name"]: f["type"] for f in cur_fields}
-    new_types = {
-        f["name"]: f["type"]
-        for f in json.loads(live.schema.json())["fields"]
-    }
-    mismatched = sorted(
-        n
-        for n in new_types
-        if n in cur_types
-        and _norm_type(new_types[n]) != _norm_type(cur_types[n])
-    )
-    absent = sorted(n for n in cur_types if n not in new_types)
-    unknown = sorted(n for n in new_types if n not in cur_types)
-    if mismatched or absent or unknown:
-        raise ValueError(
-            f"{table_dir}: upsert schema deviates from the table "
-            f"(type changes: {mismatched}, missing: {absent}, "
-            f"unknown: {unknown}) — MERGE enforces the schema; "
-            "evolve via delta_append(merge_schema=True) first"
-        )
-    bad_keys = [k for k in keys if k not in cur_types]
-    if bad_keys:
-        raise ValueError(
-            f"{table_dir}: key column(s) {bad_keys} not in the table "
-            f"schema"
-        )
+    _enforce_merge_schema(table_dir, meta, live, keys)
 
     # ---- match probe: which live target rows' keys appear in df ----
     # data-skipping first: prune candidate files by the batch's
@@ -2560,63 +2544,8 @@ def delta_upsert(
             }
         }
     ]
-    descs: list[tuple] = []
     if affected:
-        dv_uuid = _uuid.uuid4()
-        dv_path = os.path.join(
-            table_dir, f"deletion_vector_{dv_uuid}.bin"
-        )
-        descs = write_dv_file(dv_path, [m for _, m, _ in affected])
-        # protocol upgrade only when DVs are actually minted; UNION
-        # with the existing feature lists (replay takes the LAST
-        # protocol action — replacing would drop declared features)
-        prev = t._protocol(None)
-        r_feats = {"deletionVectors"} | set(
-            prev.get("readerFeatures") or []
-        )
-        w_feats = {"deletionVectors"} | set(
-            prev.get("writerFeatures") or []
-        )
-        if mode != "none":
-            r_feats.add("columnMapping")
-            w_feats.add("columnMapping")
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": max(
-                        3, int(prev.get("minReaderVersion") or 1)
-                    ),
-                    "minWriterVersion": max(
-                        7, int(prev.get("minWriterVersion") or 1)
-                    ),
-                    "readerFeatures": sorted(r_feats),
-                    "writerFeatures": sorted(w_feats),
-                }
-            }
-        )
-        for (add, _m, card), (off, sz, _c) in zip(affected, descs):
-            actions.append(
-                {
-                    "remove": {
-                        "path": add["path"],
-                        "dataChange": True,
-                        "deletionTimestamp": int(_time.time() * 1000),
-                        "partitionValues": add.get("partitionValues")
-                        or {},
-                        "size": add.get("size"),
-                    }
-                }
-            )
-            new_add = dict(add)
-            new_add["dataChange"] = True
-            new_add["deletionVector"] = {
-                "storageType": "u",
-                "pathOrInlineDv": z85_encode(dv_uuid.bytes),
-                "offset": off,
-                "sizeInBytes": sz,
-                "cardinality": card,
-            }
-            actions.append({"add": new_add})
+        actions.extend(_dv_merge_actions(t, table_dir, affected, mode))
 
     # ---- new data files: every LIVE source row lands (matched
     # keys' replacements AND brand-new keys; op_col deletes
@@ -2641,14 +2570,21 @@ def delta_upsert(
         for f in live.schema.fields
         if f.name not in tbl_parts
     ]
-    if op_col is None or not live.isEmpty():
-        # a pure-delete CDC batch commits DVs only — staging an empty
-        # frame would land a junk zero-row data file every batch
+    if not live.isEmpty():
+        # an empty LIVE frame stages nothing, whatever produced it —
+        # a pure-delete CDC batch commits DVs only, and an empty
+        # upsert batch (a quiet micro-batch through delta_upsert_sink)
+        # must not land a junk zero-row data file (advice r11)
         actions.extend(
             _stage_add_actions(
                 wdf, table_dir, version, part_phys, data_cols
             )
         )
+    if len(actions) == 1 and txn is None:
+        # nothing matched, nothing to insert, no txn watermark to
+        # record: committing would churn the log with a pure
+        # commitInfo MERGE every quiet micro-batch (advice r11)
+        return t.latest_version(), 0
     if txn is not None:
         actions.append(
             {
@@ -2668,6 +2604,458 @@ def delta_upsert(
             "writer while MERGE ran; re-read and retry"
         )
     return version, n_replaced
+
+
+def _enforce_merge_schema(
+    table_dir: str, meta: dict, src: DataFrame, keys: list[str]
+) -> None:
+    """Schema ENFORCEMENT for merge verbs (no evolution): silently
+    narrowing or widening under a merge would leave half the table's
+    files on a different schema with no metaData record."""
+    cur_fields = json.loads(meta["schemaString"])["fields"]
+    cur_types = {f["name"]: f["type"] for f in cur_fields}
+    new_types = {
+        f["name"]: f["type"]
+        for f in json.loads(src.schema.json())["fields"]
+    }
+    mismatched = sorted(
+        n
+        for n in new_types
+        if n in cur_types
+        and _norm_type(new_types[n]) != _norm_type(cur_types[n])
+    )
+    absent = sorted(n for n in cur_types if n not in new_types)
+    unknown = sorted(n for n in new_types if n not in cur_types)
+    if mismatched or absent or unknown:
+        raise ValueError(
+            f"{table_dir}: merge source schema deviates from the "
+            f"table (type changes: {mismatched}, missing: {absent}, "
+            f"unknown: {unknown}) — MERGE enforces the schema; "
+            "evolve via delta_append(merge_schema=True) first"
+        )
+    bad_keys = [k for k in keys if k not in cur_types]
+    if bad_keys:
+        raise ValueError(
+            f"{table_dir}: key column(s) {bad_keys} not in the table "
+            f"schema"
+        )
+
+
+def _dv_merge_actions(
+    t: DeltaTable,
+    table_dir: str,
+    affected: list[tuple[dict, list[int], int]],
+    mode: str,
+) -> list[dict]:
+    """Mint ONE deletion-vector file for the merge's kill set and
+    return the protocol-upgrade + remove/re-add actions. ``affected``
+    is ``(add_action, merged_sorted_positions, cardinality)`` per
+    touched file (positions = old DV ∪ new kills). Shared by
+    delta_upsert and delta_merge so both verbs commit byte-identical
+    DV shapes."""
+    import time as _time
+    import uuid as _uuid
+
+    from feature_store_spark.sources.roaring import (
+        write_dv_file,
+        z85_encode,
+    )
+
+    actions: list[dict] = []
+    dv_uuid = _uuid.uuid4()
+    dv_path = os.path.join(table_dir, f"deletion_vector_{dv_uuid}.bin")
+    descs = write_dv_file(dv_path, [m for _, m, _ in affected])
+    # protocol upgrade only when DVs are actually minted; UNION with
+    # the existing feature lists (replay takes the LAST protocol
+    # action — replacing would drop declared features)
+    prev = t._protocol(None)
+    r_feats = {"deletionVectors"} | set(prev.get("readerFeatures") or [])
+    w_feats = {"deletionVectors"} | set(prev.get("writerFeatures") or [])
+    if mode != "none":
+        r_feats.add("columnMapping")
+        w_feats.add("columnMapping")
+    actions.append(
+        {
+            "protocol": {
+                "minReaderVersion": max(
+                    3, int(prev.get("minReaderVersion") or 1)
+                ),
+                "minWriterVersion": max(
+                    7, int(prev.get("minWriterVersion") or 1)
+                ),
+                "readerFeatures": sorted(r_feats),
+                "writerFeatures": sorted(w_feats),
+            }
+        }
+    )
+    for (add, _m, card), (off, sz, _c) in zip(affected, descs):
+        actions.append(
+            {
+                "remove": {
+                    "path": add["path"],
+                    "dataChange": True,
+                    "deletionTimestamp": int(_time.time() * 1000),
+                    "partitionValues": add.get("partitionValues") or {},
+                    "size": add.get("size"),
+                }
+            }
+        )
+        new_add = dict(add)
+        new_add["dataChange"] = True
+        new_add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+            "offset": off,
+            "sizeInBytes": sz,
+            "cardinality": card,
+        }
+        actions.append({"add": new_add})
+    return actions
+
+
+def delta_merge(
+    df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    when_matched: list[dict] | None = None,
+    insert: bool = True,
+    insert_condition: str | None = None,
+    txn: tuple[str, int] | None = None,
+) -> tuple[int, int, int, int]:
+    """Conditional / partial-column MERGE as ONE Delta commit — the
+    general form of :func:`delta_upsert` (which stays the full-row
+    fast path). Arms follow Delta's ``MERGE INTO`` semantics:
+
+    ``when_matched`` is an ordered list of arms, each a dict::
+
+        {"condition": "<sql over src.*/tgt.*>" | None,
+         "action": "update",
+         "set": {"col": "<sql over src.*/tgt.*>", ...} | None}
+        {"condition": ..., "action": "delete"}
+
+    For each LIVE target row whose key tuple matches a source row,
+    arms are evaluated IN ORDER and the first whose condition is true
+    (NULL = false, SQL semantics) fires; if none fires the target row
+    survives untouched and the source row is dropped. ``set`` updates
+    only the named columns — every other column keeps the TARGET
+    value (the partial-column form real CDC hits); ``set=None`` means
+    ``UPDATE SET *`` (full row from source). Only the LAST matched
+    arm may omit its condition (Delta's rule — an earlier
+    unconditional arm would shadow the rest). ``insert`` adds the
+    ``WHEN NOT MATCHED [AND insert_condition] THEN INSERT *`` arm for
+    source rows matching no target key.
+
+    Physics is delta_upsert's: deletion-vector merge-on-read (fired
+    target rows die via DVs on their existing files — no data file
+    rewritten), the match probe broadcasts the batch's distinct keys
+    against a target scan pruned first by per-key min/max
+    data-skipping, arm predicates and SET expressions run as Catalyst
+    expressions inside the one probe join (whole-stage codegen, no
+    Python in the row path), and replacement + insert rows land as
+    new data files with footer stats — all under ONE ``MERGE``
+    commit, CDF-exact for :func:`delta_changes`. Matched (file,
+    ordinal) pairs are collected to the driver, bounded by the
+    batch's own match count (the sliver), not the table.
+
+    Refusals: duplicate source key tuples (ambiguous), SET on a merge
+    key (rewriting the match key under a merge is ambiguous), SET of
+    an unknown column, non-last unconditional matched arm, schema
+    drift (enforcement — source must carry the full table schema,
+    required by INSERT * and UPDATE SET *), lost commit race.
+
+    Returns ``(commit_version, n_updated, n_deleted, n_inserted)``.
+    A merge where nothing fires, nothing inserts and no ``txn`` needs
+    recording commits nothing and returns the current version."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    when_matched = list(when_matched or [])
+    if not keys:
+        raise ValueError("delta_merge: keys must be non-empty")
+    if not when_matched and not insert:
+        raise ValueError(
+            "delta_merge: no matched arms and insert=False — the "
+            "merge can never change anything"
+        )
+    missing_keys = [k for k in keys if k not in df.columns]
+    if missing_keys:
+        raise ValueError(
+            f"delta_merge: key column(s) {missing_keys} not in the "
+            f"source frame (columns: {df.columns})"
+        )
+    upd_arms: dict[int, dict | None] = {}  # arm idx -> set map (None = SET *)
+    del_arms: set[int] = set()
+    for i, arm in enumerate(when_matched, start=1):
+        action = arm.get("action")
+        if action not in ("update", "delete"):
+            raise ValueError(
+                f"delta_merge: arm {i} action must be 'update' or "
+                f"'delete', got {action!r}"
+            )
+        if arm.get("condition") is None and i != len(when_matched):
+            raise ValueError(
+                f"delta_merge: arm {i} has no condition but is not "
+                "the last matched arm — it would shadow every arm "
+                "after it (Delta's MERGE rule)"
+            )
+        if action == "delete":
+            if arm.get("set"):
+                raise ValueError(
+                    f"delta_merge: arm {i} is a delete — 'set' is "
+                    "meaningless"
+                )
+            del_arms.add(i)
+        else:
+            s = arm.get("set")
+            if s is not None:
+                bad = sorted(set(s) & set(keys))
+                if bad:
+                    raise ValueError(
+                        f"delta_merge: arm {i} SETs merge key(s) "
+                        f"{bad} — rewriting the match key under a "
+                        "merge is ambiguous"
+                    )
+                unknown = sorted(set(s) - set(df.columns))
+                if unknown:
+                    raise ValueError(
+                        f"delta_merge: arm {i} SETs unknown "
+                        f"column(s) {unknown}"
+                    )
+            upd_arms[i] = dict(s) if s is not None else None
+    spark = df.sparkSession
+    log_dir = os.path.join(table_dir, "_delta_log")
+    has_table = os.path.isdir(log_dir) and any(
+        (n.endswith(".json") and n[:-5].isdigit())
+        or re.match(r"\d{20}\.checkpoint(\.|$)", n)
+        for n in os.listdir(log_dir)
+    )
+    # duplicate source keys: which row's arms win is undefined (same
+    # refusal as delta_upsert). One aggregate over the small batch.
+    dup = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        kv = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"delta_merge: source has multiple rows for key {kv} — "
+            "MERGE cannot decide which one wins; de-duplicate the "
+            "batch first"
+        )
+    if not has_table:
+        # everything is NOT MATCHED: CREATE + the insert arm only
+        if not insert:
+            raise ValueError(
+                f"delta_merge: {table_dir} does not exist and "
+                "insert=False — nothing to merge into"
+            )
+        ins0 = df.alias("src")
+        if insert_condition is not None:
+            ins0 = ins0.filter(F.expr(insert_condition))
+        ins0 = ins0.localCheckpoint(eager=True)  # batch-bounded
+        v = delta_append(ins0, table_dir, txn=txn)
+        return v, 0, 0, ins0.count()
+
+    t = DeltaTable(spark, table_dir)
+    if txn is not None:
+        app_id, txn_v = txn
+        if t.txn_version(app_id) >= int(txn_v):
+            return t.latest_version(), 0, 0, 0  # redelivered: no-op
+    version = t.latest_version() + 1
+    meta, _, _ = t._state(None)
+    mode, map_fields = t._mapping(meta)
+    tbl_parts = meta.get("partitionColumns") or []
+    _enforce_merge_schema(table_dir, meta, df, keys)
+    tbl_cols = [
+        f["name"] for f in json.loads(meta["schemaString"])["fields"]
+    ]
+
+    # ---- probe: LIVE target rows joined to the broadcast batch ----
+    kb = df.agg(
+        *[F.min(k).alias(f"__lo_{i}") for i, k in enumerate(keys)],
+        *[F.max(k).alias(f"__hi_{i}") for i, k in enumerate(keys)],
+    ).first()
+    filters: list[tuple] = []
+    for i, k in enumerate(keys):
+        lo, hi = kb[f"__lo_{i}"], kb[f"__hi_{i}"]
+        if lo is not None and hi is not None and not isinstance(
+            lo, (bytes, bytearray)
+        ):
+            filters.extend([(k, ">=", lo), (k, "<=", hi)])
+    adds = t.data_files(None, filters or None)
+    n_updated = n_deleted = 0
+    affected: list[tuple[dict, list[int], int]] = []
+    matched = None  # materialized matched-pair frame (the sliver)
+    if adds and when_matched:
+        live_asm = t._assemble_live(adds, meta)
+        tj = live_asm.alias("tgt").join(
+            F.broadcast(df).alias("src"),
+            on=[
+                F.col(f"tgt.{k}") == F.col(f"src.{k}") for k in keys
+            ],
+            how="inner",
+        )
+        # first-true-arm selector + every arm's SET expressions,
+        # evaluated ONCE in the join select where src./tgt.
+        # qualifiers resolve
+        arm_sel = None
+        for i, arm in enumerate(when_matched, start=1):
+            cond = (
+                F.expr(arm["condition"])
+                if arm.get("condition") is not None
+                else F.lit(True)
+            )
+            arm_sel = (
+                F.when(cond, F.lit(i))
+                if arm_sel is None
+                else arm_sel.when(cond, F.lit(i))
+            )
+        sel = [
+            F.col("tgt.__fp").alias("__fp"),
+            F.col("tgt.__pos").alias("__pos"),
+            arm_sel.otherwise(F.lit(0)).alias("__arm"),
+        ]
+        for c in tbl_cols:
+            sel.append(F.col(f"tgt.{c}").alias(f"__t_{c}"))
+            sel.append(F.col(f"src.{c}").alias(f"__s_{c}"))
+        for i, s in upd_arms.items():
+            for c, e in (s or {}).items():
+                sel.append(F.expr(e).alias(f"__a{i}_{c}"))
+        # materialize the sliver once (ALL key-matched pairs, fired
+        # or not — a matched source row is consumed even when no arm
+        # fires); the kill collect, the replacement-row staging and
+        # the matched-key set for the insert anti-join all read it
+        # without re-running the probe
+        matched = tj.select(*sel).localCheckpoint(eager=True)
+        fired = matched.filter(F.col("__arm") > 0)
+        hits = fired.select("__fp", "__pos", "__arm").toPandas()
+        n_updated = int((hits["__arm"].isin(list(upd_arms))).sum())
+        n_deleted = int((hits["__arm"].isin(list(del_arms))).sum())
+        by_file: dict[str, set[int]] = {}
+        for fp, pos in zip(hits["__fp"], hits["__pos"]):
+            by_file.setdefault(fp, set()).add(int(pos))
+        for add in adds:
+            abs_p = os.path.abspath(os.path.join(t.path, add["path"]))
+            new_hits = by_file.get(abs_p)
+            if not new_hits:
+                continue
+            old = (
+                set(t._load_dv(add["deletionVector"]))
+                if add.get("deletionVector")
+                else set()
+            )
+            merged = sorted(old | new_hits)
+            affected.append((add, merged, len(merged)))
+
+    # ---- rows to land: update replacements + unmatched inserts ----
+    to_stage = None
+    if matched is not None and upd_arms:
+        rep_cols = []
+        for c in tbl_cols:
+            e = None
+            for i, s in upd_arms.items():
+                if s is None:
+                    val = F.col(f"__s_{c}")  # UPDATE SET *
+                elif c in s:
+                    val = F.col(f"__a{i}_{c}")
+                else:
+                    val = F.col(f"__t_{c}")  # non-set: keep target
+                e = (
+                    F.when(F.col("__arm") == i, val)
+                    if e is None
+                    else e.when(F.col("__arm") == i, val)
+                )
+            rep_cols.append(e.alias(c))
+        to_stage = (
+            matched.filter(F.col("__arm").isin(list(upd_arms)))
+            .select(*rep_cols)
+        )
+    if insert:
+        ins = df.alias("src")
+        if matched is not None:
+            # matched source keys ≤ the batch's own key count — the
+            # anti-join's build side broadcasts
+            mk = matched.select(
+                *[F.col(f"__t_{k}").alias(k) for k in keys]
+            ).distinct()
+            ins = ins.join(F.broadcast(mk), on=keys, how="left_anti")
+        elif adds and not when_matched:
+            # no matched arms: matched source rows are dropped, so
+            # the anti-join still needs the live target key set
+            live_asm = t._assemble_live(adds, meta)
+            mk = live_asm.join(
+                F.broadcast(df.select(*keys).distinct()),
+                on=keys,
+                how="leftsemi",
+            ).select(*keys).distinct()
+            ins = ins.join(F.broadcast(mk), on=keys, how="left_anti")
+        if insert_condition is not None:
+            ins = ins.filter(F.expr(insert_condition))
+        ins = ins.select(*tbl_cols)
+        to_stage = ins if to_stage is None else to_stage.unionByName(ins)
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(_time.time() * 1000),
+                "operation": "MERGE",
+            }
+        }
+    ]
+    if affected:
+        actions.extend(_dv_merge_actions(t, table_dir, affected, mode))
+    phys_of = {f["name"]: f["physical"] for f in map_fields}
+    fid_of = {f["name"]: f["id"] for f in map_fields}
+    n_staged = 0
+    if to_stage is not None and not to_stage.isEmpty():
+        wdf = to_stage
+        part_phys = list(tbl_parts)
+        if mode != "none":
+            wdf = to_stage.select(
+                *[
+                    F.col(c).alias(
+                        phys_of[c],
+                        metadata={"parquet.field.id": int(fid_of[c])},
+                    )
+                    for c in to_stage.columns
+                ]
+            )
+            part_phys = [phys_of[c] for c in tbl_parts]
+        data_cols = [
+            phys_of.get(c, c) for c in tbl_cols if c not in tbl_parts
+        ]
+        staged = _stage_add_actions(
+            wdf, table_dir, version, part_phys, data_cols
+        )
+        n_staged = sum(
+            json.loads(a["add"]["stats"])["numRecords"] for a in staged
+        )
+        actions.extend(staged)
+    n_inserted = n_staged - n_updated
+    if len(actions) == 1 and txn is None:
+        return t.latest_version(), 0, 0, 0  # true no-op: don't churn
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn[0],
+                    "version": int(txn[1]),
+                    "lastUpdated": 0,
+                }
+            }
+        )
+    if not _claim_commit(log_dir, version, actions):
+        raise ConcurrentWriteError(
+            f"{table_dir}: version {version} was committed by another "
+            "writer while MERGE ran; re-read and retry"
+        )
+    if matched is not None:
+        matched.unpersist()
+    return version, n_updated, n_deleted, n_inserted
 
 
 def delta_restore(
@@ -2714,11 +3102,28 @@ def delta_restore(
         for p in tgt_by_path
         if not os.path.exists(os.path.join(t.path, p))
     ]
+    # the target adds' deletion-vector .bin files are needs too: a
+    # DV descriptor pointing at a bin delta_vacuum already reclaimed
+    # would commit fine and then fail EVERY later scan of that file
+    # (advice r11) — refuse up front, same contract as data files
+    from feature_store_spark.sources.roaring import dv_file_path
+
+    gone_paths += sorted(
+        {
+            os.path.relpath(dvp, t.path)
+            for a in adds_t
+            if a.get("deletionVector")
+            # inline DVs ("i") live in the descriptor itself
+            and a["deletionVector"].get("storageType") in ("u", "p")
+            for dvp in [dv_file_path(t.path, a["deletionVector"])]
+            if not os.path.exists(dvp)
+        }
+    )
     if gone_paths:
         raise ValueError(
             f"{table_dir}: cannot restore to version {version} — "
-            f"{len(gone_paths)} data file(s) it needs were vacuumed "
-            f"(e.g. {gone_paths[0]!r})"
+            f"{len(gone_paths)} file(s) it needs (data or deletion-"
+            f"vector) were vacuumed (e.g. {gone_paths[0]!r})"
         )
     removes = [p for p in cur_by_path if p not in tgt_by_path]
     readds = [

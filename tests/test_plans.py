@@ -681,3 +681,42 @@ def test_delta_upsert_probe_broadcasts_batch_not_table(spark, tmp_path):
     plan = plan_of(probe, "simple")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_delta_merge_arm_probe_broadcasts_batch(spark, tmp_path):
+    """The conditional-MERGE probe joins the LIVE target scan to the
+    broadcast batch with arm predicates and SET expressions evaluated
+    INSIDE that one join select (Catalyst expressions, no Python in
+    the row path) — the same broadcast physics as delta_upsert's
+    semi-probe, now an inner join because arms read tgt.* columns."""
+    from feature_store_spark.sources.delta import DeltaTable, delta_append
+
+    d = str(tmp_path / "mprobe")
+    df = spark.range(5000).select(
+        F.col("id").alias("eid"), (F.col("id") * 1.0).alias("val")
+    )
+    delta_append(df, d)
+    t = DeltaTable(spark, d)
+    meta, adds, _ = t._state(None)
+    live = t._assemble_live(adds, meta)
+    src = spark.range(5).select(
+        F.col("id").alias("eid"), F.lit(9.0).alias("val")
+    )
+    tj = live.alias("tgt").join(
+        F.broadcast(src).alias("src"),
+        on=[F.col("tgt.eid") == F.col("src.eid")],
+        how="inner",
+    )
+    probe = tj.select(
+        F.col("tgt.__fp").alias("__fp"),
+        F.col("tgt.__pos").alias("__pos"),
+        F.when(F.expr("src.val > 0 AND tgt.val > 1"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__arm"),
+        F.expr("tgt.val + src.val").alias("__a1_val"),
+    )
+    plan = plan_of(probe, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # arm expressions compile into the plan — no python UDF node
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan, plan

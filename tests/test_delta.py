@@ -2095,17 +2095,27 @@ def test_iceberg_rollback_pointer(spark, tmp_path):
             .alias("event_time"),
         )
 
+    from feature_store_spark.sources.iceberg_write import iceberg_set_ref
+
     s1 = iceberg_append(batch(0, 10), d)
     s2 = iceberg_append(batch(10, 20), d)
+    iceberg_set_ref(d, "main", ref_type="branch")   # head at s2
+    iceberg_set_ref(d, "keep", ref_type="tag")      # pin s2
     assert IcebergTable(spark, d).scan().count() == 20
     iceberg_rollback(d, s1)
     t = IcebergTable(spark, d)
     assert t.scan().count() == 10
-    # rolled-past snapshot still time-travels
+    # the main BRANCH follows the current pointer; tags do not move
+    assert t.refs()["main"]["snapshot_id"] == s1
+    assert t.refs()["keep"]["snapshot_id"] == s2
+    # rolled-past snapshot still time-travels (by id and by tag)
     assert t.scan(snapshot_id=s2).count() == 20
+    assert t.scan(ref="keep").count() == 20
     # appends continue from the rolled-back state
     iceberg_append(batch(50, 55), d)
     assert IcebergTable(spark, d).scan().count() == 15
+    # every snapshot stays in the log (nothing lost until expiry)
+    assert len(IcebergTable(spark, d).snapshots()) == 3
     with pytest.raises(ValueError, match="not in the log"):
         iceberg_rollback(d, 999999)
 

@@ -4907,6 +4907,31 @@ def q_iceberg_bucket_prune(spark, sf_dir):
         bucket_ok = all(
             f"user_id_bucket={b}/" in f["path"] for f in pruned
         )
+        # the STRING bucket lane (vectorized UTF-8 murmur3, r12):
+        # same features keyed by a zero-padded string id, bucketed
+        # bucket[16](uid) — the point lookup must land in the
+        # spec-murmur3 bucket of the UTF-8 bytes and prune to it
+        feats_s = feats.select(
+            F.lpad(F.col("user_id").cast("string"), 8, "0")
+            .alias("uid"),
+            "n_events",
+        )
+        scratch_s = scratch + "_str"
+        iceberg_append(
+            feats_s, scratch_s, partition_spec=[("uid", "bucket[16]")]
+        )
+        ts = IcebergTable(spark, scratch_s)
+        probe_s = "00000001"
+        total_s = ts.data_files(None, None)
+        pruned_s = ts.data_files(None, [("uid", "=", probe_s)])
+        bs = iceberg_bucket(probe_s, "string", 16)
+        str_prune_ok = 0 < len(pruned_s) < len(total_s)
+        str_bucket_ok = all(
+            f"uid_bucket={bs}/" in f["path"] for f in pruned_s
+        )
+        n_rows_str = ts.scan(
+            filters=[("uid", "=", probe_s)]
+        ).count()
         out = (
             t.scan(filters=[("user_id", "=", probe)])
             .agg(
@@ -4915,17 +4940,26 @@ def q_iceberg_bucket_prune(spark, sf_dir):
             )
             .withColumn("prune_ok", F.lit(bool(prune_ok)))
             .withColumn("bucket_ok", F.lit(bool(bucket_ok)))
+            .withColumn(
+                "n_rows_str", F.lit(int(n_rows_str)).cast("long")
+            )
+            .withColumn("str_prune_ok", F.lit(bool(str_prune_ok)))
+            .withColumn("str_bucket_ok", F.lit(bool(str_bucket_ok)))
         )
         return out.localCheckpoint(eager=True)
     finally:
         _sh.rmtree(scratch, ignore_errors=True)
+        _sh.rmtree(scratch + "_str", ignore_errors=True)
 
 
 ICEBERG_BUCKET_PRUNE_SQL = """
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        round(sum(n_events), 6) AS sum_events,
        TRUE AS prune_ok,
-       TRUE AS bucket_ok
+       TRUE AS bucket_ok,
+       CAST(count(*) AS BIGINT) AS n_rows_str,
+       TRUE AS str_prune_ok,
+       TRUE AS str_bucket_ok
 FROM (
   SELECT user_id, CAST(count(*) AS DOUBLE) AS n_events
   FROM events GROUP BY user_id

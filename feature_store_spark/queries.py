@@ -9717,6 +9717,83 @@ QUERIES = {
     **{k: QUERIES[k] for k in _R11_WINDOW},
     **{k: v for k, v in QUERIES.items() if k not in _R11_WINDOW},
 }
+# --- ROUND-12 DRIVER WINDOW (first 50 entries) ----------------------
+# Changed-path-first: the TWO new graded queries (delta_merge_
+# conditional = arm-ordered conditional/partial-column MERGE with the
+# CDF audit; iceberg_rollback = the corrupt→rollback→re-upsert chain
+# with ref semantics), then every query whose code path changed this
+# round — the whole delta family (scan() refactored through
+# _assemble_live, the DV/protocol action builder factored out of
+# delta_upsert, the empty-batch no-churn guard, delta_restore's
+# DV-bin vacuum refusal) and the iceberg write family
+# (string-bucket shadow vectorized behind arrow_udf, year/month
+# shadows UTC-safe; iceberg_bucket_prune now audits a string-bucketed
+# layout in-row), plus the two laddered stream sinks and funnel
+# (phase-profiled, SCALE.md round 12). Then the stale-row refresh
+# VERDICT r11 next #7 named: all 23 rows whose last green driver row
+# is r7, and the window fills with the oldest r8 rows. Everything
+# displaced keeps its earlier green row and the identical DuckDB
+# oracle in pytest/selfcheck.
+_R12_WINDOW = [
+    # new
+    "delta_merge_conditional",
+    "iceberg_rollback",
+    # changed this round
+    "delta_upsert",
+    "delta_cdc",
+    "stream_delta_upsert",
+    "delta_restore",
+    "delta_changes",
+    "delta_scan",
+    "delta_dv_scan",
+    "delta_column_mapping",
+    "delta_optimize",
+    "delta_evolution",
+    "delta_uniform",
+    "stream_delta_sink",
+    "iceberg_bucket_prune",
+    "iceberg_cluster_rewrite",
+    "iceberg_upsert",
+    "stream_iceberg_sink",
+    "stream_incremental_distinct",
+    "funnel",
+    # stale r7 refresh (VERDICT r11 next #7: every last-green-r7 row)
+    "confusion",
+    "decayed_features",
+    "default_rate",
+    "doc_fingerprints",
+    "embedding_centroids",
+    "embedding_near_dup",
+    "ewma_features",
+    "group_cv_split",
+    "hash_bucket",
+    "heavy_hitters",
+    "histogram",
+    "local_supplier_volume",
+    "pricing_cube",
+    "quantile_label",
+    "revenue_by_nation",
+    "risk_tiers",
+    "running_totals",
+    "scalar_upsert",
+    "semantic_dedup",
+    "staleness",
+    "top_customers",
+    "topk_events_global",
+    "topk_events_per_user",
+    # oldest remaining (r8)
+    "approx_distinct",
+    "approx_quantiles",
+    "asof_auto",
+    "asof_tolerance",
+    "class_balance",
+    "decontaminate",
+    "dedup_canonical",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R12_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in _R12_WINDOW},
+}
 
 
 def queries():

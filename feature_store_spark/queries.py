@@ -5447,6 +5447,127 @@ FROM final
 """
 
 
+def q_delta_merge_sync(spark, sf_dir):
+    """Full-snapshot sync MERGE in ONE commit — the two remaining arm
+    classes composed (r12): the upstream re-sends only the EVEN
+    users (values x10, plus a NEW ``sync_tag`` column the table has
+    never seen → ``evolve=True`` widens the schema in the same
+    commit); matched rows take the snapshot row (``UPDATE SET *``),
+    and rows whose key VANISHED from the snapshot fire the
+    ``WHEN NOT MATCHED BY SOURCE`` arms in order — heavy rows
+    (value>8) are quarantined (``UPDATE SET sync_tag='orphan'``,
+    value kept), the rest deleted. Graded legs: surviving key count +
+    value mass, the orphan/snap tag counts (proving the partial
+    by-source SET and the evolution NULL-backfill), the per-arm
+    counts, and the CDF audit over the commit."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.delta import (
+        DeltaTable,
+        delta_append,
+        delta_changes,
+        delta_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    base = per_user.select(
+        F.col("user_id").cast("string").alias("entity_id"),
+        F.col("v").alias("value_float"),
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-delta-sync-")
+    try:
+        delta_append(base, scratch)
+        snap = per_user.filter(F.col("user_id") % 2 == 0).select(
+            F.col("user_id").cast("string").alias("entity_id"),
+            (F.col("v") * 10).alias("value_float"),
+            F.lit("snap").alias("sync_tag"),
+        )
+        v, nu, nd, ni = delta_merge(
+            snap,
+            scratch,
+            keys=["entity_id"],
+            when_matched=[
+                {"condition": None, "action": "update", "set": None}
+            ],
+            when_not_matched_by_source=[
+                {
+                    "condition": "tgt.value_float > 8",
+                    "action": "update",
+                    "set": {"sync_tag": "'orphan'"},
+                },
+                {"condition": None, "action": "delete"},
+            ],
+            evolve=True,
+        )
+        ch = (
+            delta_changes(spark, scratch, from_version=v - 1)
+            .groupBy("_change_type")
+            .count()
+            .collect()
+        )
+        cdf = {r["_change_type"]: r["count"] for r in ch}
+        t = DeltaTable(spark, scratch)
+        out = t.scan().agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            _r6(F.sum("value_float")).alias("sum_val"),
+            F.sum((F.col("sync_tag") == "orphan").cast("long"))
+            .alias("n_orphan"),
+            F.sum((F.col("sync_tag") == "snap").cast("long"))
+            .alias("n_snap"),
+            F.lit(int(v)).cast("long").alias("merge_version"),
+            F.lit(int(nu)).cast("long").alias("n_updated"),
+            F.lit(int(nd)).cast("long").alias("n_deleted"),
+            F.lit(int(ni)).cast("long").alias("n_inserted"),
+            F.lit(int(cdf.get("delete", 0))).cast("long")
+            .alias("cdf_deletes"),
+            F.lit(int(cdf.get("insert", 0))).cast("long")
+            .alias("cdf_inserts"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+DELTA_MERGE_SYNC_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY user_id
+), marks AS (
+  SELECT user_id, v,
+         (user_id % 2 = 0)                    AS matched,
+         (user_id % 2 <> 0 AND v > 8)         AS orphaned,
+         (user_id % 2 <> 0 AND v <= 8)        AS deleted
+  FROM per_user
+), final AS (
+  SELECT v * 10 AS v, 'snap' AS tag FROM marks WHERE matched
+  UNION ALL
+  SELECT v, 'orphan' AS tag FROM marks WHERE orphaned
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(v), 6) AS sum_val,
+       CAST(sum(CASE WHEN tag = 'orphan' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan,
+       CAST(sum(CASE WHEN tag = 'snap' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_snap,
+       CAST(1 AS BIGINT) AS merge_version,
+       (SELECT CAST(count(*) AS BIGINT) FROM marks
+         WHERE matched OR orphaned) AS n_updated,
+       (SELECT CAST(count(*) AS BIGINT) FROM marks WHERE deleted)
+         AS n_deleted,
+       CAST(0 AS BIGINT) AS n_inserted,
+       -- every update is a preimage delete + postimage insert
+       (SELECT CAST(count(*) AS BIGINT) FROM marks
+         WHERE matched OR orphaned OR deleted) AS cdf_deletes,
+       (SELECT CAST(count(*) AS BIGINT) FROM marks
+         WHERE matched OR orphaned) AS cdf_inserts
+FROM final
+"""
+
+
 def q_delta_restore(spark, sf_dir):
     """RESTORE as the rollback verb: append per-user features (v0),
     MERGE a corrupting batch over the %5 slice (v1), then
@@ -9226,6 +9347,7 @@ QUERIES: dict[str, tuple] = {
         q_delta_merge_conditional,
         DELTA_MERGE_CONDITIONAL_SQL,
     ),
+    "delta_merge_sync": (q_delta_merge_sync, DELTA_MERGE_SYNC_SQL),
     "delta_restore": (q_delta_restore, DELTA_RESTORE_SQL),
     "delta_cdc": (q_delta_cdc, DELTA_CDC_SQL),
     "stream_delta_upsert": (q_stream_delta_upsert, STREAM_DELTA_UPSERT_SQL),
@@ -9737,6 +9859,7 @@ QUERIES = {
 _R12_WINDOW = [
     # new
     "delta_merge_conditional",
+    "delta_merge_sync",
     "iceberg_rollback",
     # changed this round
     "delta_upsert",
@@ -9788,7 +9911,6 @@ _R12_WINDOW = [
     "asof_tolerance",
     "class_balance",
     "decontaminate",
-    "dedup_canonical",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R12_WINDOW},

@@ -1005,6 +1005,58 @@ def _stage_add_actions(
     return out
 
 
+def _evolve_delta_schema(
+    meta0: dict, added: list[dict], mode: str, map_fields: list[dict]
+) -> dict:
+    """Build the updated ``metaData`` action for schema evolution:
+    ``added`` (spark-schema field dicts) append to the table schema
+    as nullable columns (old files have no values — they read NULL).
+    In mapped tables each new column is assigned a fresh physical
+    name + field id above the recorded high-water mark;
+    ``map_fields`` is extended in place so the caller's physical
+    rename of the staged frame sees the new columns. Shared by
+    delta_append(merge_schema=True) and delta_merge(evolve=True) so
+    both verbs evolve with byte-identical metadata shapes."""
+    import uuid
+
+    cur_fields = json.loads(meta0["schemaString"])["fields"]
+    conf = dict(meta0.get("configuration") or {})
+    sj = {"type": "struct", "fields": list(cur_fields)}
+    for f in added:
+        nf = dict(f)
+        nf["nullable"] = True  # old files have no values
+        if mode != "none":
+            next_id = (
+                max(
+                    max(x["id"] for x in map_fields),
+                    int(
+                        conf.get("delta.columnMapping.maxColumnId", 0)
+                    ),
+                )
+                + 1
+            )
+            phys = f"col-{uuid.uuid4().hex[:12]}"
+            map_fields.append(
+                {
+                    "name": f["name"],
+                    "physical": phys,
+                    "id": next_id,
+                    "type": f["type"],
+                }
+            )
+            nf["metadata"] = {
+                **(nf.get("metadata") or {}),
+                "delta.columnMapping.id": next_id,
+                "delta.columnMapping.physicalName": phys,
+            }
+            conf["delta.columnMapping.maxColumnId"] = str(next_id)
+        sj["fields"].append(nf)
+    md = dict(meta0)
+    md["schemaString"] = json.dumps(sj)
+    md["configuration"] = conf
+    return {"metaData": md}
+
+
 def delta_append(
     df: DataFrame,
     table_dir: str,
@@ -1123,43 +1175,9 @@ def delta_append(
                 "merge_schema=True to evolve the table schema"
             )
         if added:
-            conf = dict(meta0.get("configuration") or {})
-            sj = {"type": "struct", "fields": list(cur_fields)}
-            for f in added:
-                nf = dict(f)
-                nf["nullable"] = True  # old files have no values
-                if mode != "none":
-                    next_id = (
-                        max(
-                            max(x["id"] for x in map_fields),
-                            int(
-                                conf.get(
-                                    "delta.columnMapping.maxColumnId", 0
-                                )
-                            ),
-                        )
-                        + 1
-                    )
-                    phys = f"col-{uuid.uuid4().hex[:12]}"
-                    map_fields.append(
-                        {
-                            "name": f["name"],
-                            "physical": phys,
-                            "id": next_id,
-                            "type": f["type"],
-                        }
-                    )
-                    nf["metadata"] = {
-                        **(nf.get("metadata") or {}),
-                        "delta.columnMapping.id": next_id,
-                        "delta.columnMapping.physicalName": phys,
-                    }
-                    conf["delta.columnMapping.maxColumnId"] = str(next_id)
-                sj["fields"].append(nf)
-            md = dict(meta0)
-            md["schemaString"] = json.dumps(sj)
-            md["configuration"] = conf
-            evolution_md = {"metaData": md}
+            evolution_md = _evolve_delta_schema(
+                meta0, added, mode, map_fields
+            )
     else:
         mode = column_mapping or "none"
         if mode not in ("none", "name", "id"):
@@ -2607,17 +2625,23 @@ def delta_upsert(
 
 
 def _enforce_merge_schema(
-    table_dir: str, meta: dict, src: DataFrame, keys: list[str]
-) -> None:
-    """Schema ENFORCEMENT for merge verbs (no evolution): silently
-    narrowing or widening under a merge would leave half the table's
-    files on a different schema with no metaData record."""
+    table_dir: str,
+    meta: dict,
+    src: DataFrame,
+    keys: list[str],
+    allow_new: bool = False,
+) -> list[dict]:
+    """Schema ENFORCEMENT for merge verbs: silently narrowing or
+    widening under a merge would leave half the table's files on a
+    different schema with no metaData record. With ``allow_new``
+    (delta_merge's ``evolve=True``), source columns UNKNOWN to the
+    table are returned (spark-schema field dicts, source order) for
+    the caller to commit as schema evolution; type changes and
+    missing table columns always refuse."""
     cur_fields = json.loads(meta["schemaString"])["fields"]
     cur_types = {f["name"]: f["type"] for f in cur_fields}
-    new_types = {
-        f["name"]: f["type"]
-        for f in json.loads(src.schema.json())["fields"]
-    }
+    src_fields = json.loads(src.schema.json())["fields"]
+    new_types = {f["name"]: f["type"] for f in src_fields}
     mismatched = sorted(
         n
         for n in new_types
@@ -2626,12 +2650,13 @@ def _enforce_merge_schema(
     )
     absent = sorted(n for n in cur_types if n not in new_types)
     unknown = sorted(n for n in new_types if n not in cur_types)
-    if mismatched or absent or unknown:
+    if mismatched or absent or (unknown and not allow_new):
         raise ValueError(
             f"{table_dir}: merge source schema deviates from the "
             f"table (type changes: {mismatched}, missing: {absent}, "
             f"unknown: {unknown}) — MERGE enforces the schema; "
-            "evolve via delta_append(merge_schema=True) first"
+            "evolve via delta_merge(evolve=True) or "
+            "delta_append(merge_schema=True)"
         )
     bad_keys = [k for k in keys if k not in cur_types]
     if bad_keys:
@@ -2639,6 +2664,7 @@ def _enforce_merge_schema(
             f"{table_dir}: key column(s) {bad_keys} not in the table "
             f"schema"
         )
+    return [f for f in src_fields if f["name"] not in cur_types]
 
 
 def _dv_merge_actions(
@@ -2713,6 +2739,50 @@ def _dv_merge_actions(
     return actions
 
 
+def _validate_merge_arms(
+    arms: list[dict], keys: list[str], label: str
+) -> tuple[dict[int, dict | None], set[int]]:
+    """Shape-check an ordered arm list (matched or
+    not-matched-by-source): actions, the last-arm-only unconditional
+    rule, delete-with-set, SET-on-merge-key. Returns
+    ``({arm_index: set_map_or_None_for_SET*}, {delete_arm_indexes})``
+    with 1-based indexes."""
+    upd: dict[int, dict | None] = {}
+    dels: set[int] = set()
+    for i, arm in enumerate(arms, start=1):
+        action = arm.get("action")
+        if action not in ("update", "delete"):
+            raise ValueError(
+                f"delta_merge: {label} arm {i} action must be "
+                f"'update' or 'delete', got {action!r}"
+            )
+        if arm.get("condition") is None and i != len(arms):
+            raise ValueError(
+                f"delta_merge: {label} arm {i} has no condition but "
+                "is not the last arm — it would shadow every arm "
+                "after it (Delta's MERGE rule)"
+            )
+        if action == "delete":
+            if arm.get("set"):
+                raise ValueError(
+                    f"delta_merge: {label} arm {i} is a delete — "
+                    "'set' is meaningless"
+                )
+            dels.add(i)
+        else:
+            s = arm.get("set")
+            if s is not None:
+                bad = sorted(set(s) & set(keys))
+                if bad:
+                    raise ValueError(
+                        f"delta_merge: {label} arm {i} SETs merge "
+                        f"key(s) {bad} — rewriting the match key "
+                        "under a merge is ambiguous"
+                    )
+            upd[i] = dict(s) if s is not None else None
+    return upd, dels
+
+
 def delta_merge(
     df: DataFrame,
     table_dir: str,
@@ -2720,6 +2790,8 @@ def delta_merge(
     when_matched: list[dict] | None = None,
     insert: bool = True,
     insert_condition: str | None = None,
+    when_not_matched_by_source: list[dict] | None = None,
+    evolve: bool = False,
     txn: tuple[str, int] | None = None,
 ) -> tuple[int, int, int, int]:
     """Conditional / partial-column MERGE as ONE Delta commit — the
@@ -2745,6 +2817,28 @@ def delta_merge(
     ``WHEN NOT MATCHED [AND insert_condition] THEN INSERT *`` arm for
     source rows matching no target key.
 
+    ``when_not_matched_by_source`` adds Delta's third arm class —
+    arms (same dict shape, conditions/SETs over ``tgt.*`` only; there
+    is no source row) applied to LIVE target rows whose key appears
+    NOWHERE in the batch: the full-snapshot-sync verb (``WHEN NOT
+    MATCHED BY SOURCE THEN DELETE`` drops rows that vanished from the
+    upstream snapshot). Physics note: these arms are inherently
+    O(live target) — the engine anti-joins the WHOLE live row set
+    against the batch's broadcast key set (there is no smaller
+    correct read; Delta proper scans the same), and the kill collect
+    is bounded by the FIRED row count — a by-source arm expected to
+    fire on a large fraction of the table belongs in a copy-on-write
+    rewrite instead. Arms that fire on no rows cost one columnar
+    anti-join scan.
+
+    ``evolve=True`` turns on MERGE schema evolution: source columns
+    unknown to the table are appended as nullable columns in the SAME
+    commit (fresh field ids / physical names in mapped tables, the
+    delta_append(merge_schema=True) shape); pre-existing rows —
+    including rows kept by no-arm-fired and by partial SETs — read
+    NULL for them. Type changes and source frames MISSING table
+    columns still refuse (narrowing under a merge is never safe).
+
     Physics is delta_upsert's: deletion-vector merge-on-read (fired
     target rows die via DVs on their existing files — no data file
     rewritten), the match probe broadcasts the batch's distinct keys
@@ -2759,9 +2853,11 @@ def delta_merge(
 
     Refusals: duplicate source key tuples (ambiguous), SET on a merge
     key (rewriting the match key under a merge is ambiguous), SET of
-    an unknown column, non-last unconditional matched arm, schema
+    an unknown column, non-last unconditional arm in either arm
+    class, by-source update arms without an explicit SET, schema
     drift (enforcement — source must carry the full table schema,
-    required by INSERT * and UPDATE SET *), lost commit race.
+    required by INSERT * and UPDATE SET *; ``evolve=True`` relaxes
+    only the unknown-column case), lost commit race.
 
     Returns ``(commit_version, n_updated, n_deleted, n_inserted)``.
     A merge where nothing fires, nothing inserts and no ``txn`` needs
@@ -2771,12 +2867,13 @@ def delta_merge(
     from pyspark.sql import functions as F
 
     when_matched = list(when_matched or [])
+    when_not_matched_by_source = list(when_not_matched_by_source or [])
     if not keys:
         raise ValueError("delta_merge: keys must be non-empty")
-    if not when_matched and not insert:
+    if not when_matched and not insert and not when_not_matched_by_source:
         raise ValueError(
-            "delta_merge: no matched arms and insert=False — the "
-            "merge can never change anything"
+            "delta_merge: no matched arms, no by-source arms and "
+            "insert=False — the merge can never change anything"
         )
     missing_keys = [k for k in keys if k not in df.columns]
     if missing_keys:
@@ -2784,45 +2881,25 @@ def delta_merge(
             f"delta_merge: key column(s) {missing_keys} not in the "
             f"source frame (columns: {df.columns})"
         )
-    upd_arms: dict[int, dict | None] = {}  # arm idx -> set map (None = SET *)
-    del_arms: set[int] = set()
-    for i, arm in enumerate(when_matched, start=1):
-        action = arm.get("action")
-        if action not in ("update", "delete"):
+    upd_arms, del_arms = _validate_merge_arms(
+        when_matched, keys, "matched"
+    )
+    src_upd_arms, src_del_arms = _validate_merge_arms(
+        when_not_matched_by_source, keys, "by-source"
+    )
+    for i, s in upd_arms.items():
+        unknown = sorted(set(s or {}) - set(df.columns))
+        if unknown:
             raise ValueError(
-                f"delta_merge: arm {i} action must be 'update' or "
-                f"'delete', got {action!r}"
+                f"delta_merge: matched arm {i} SETs unknown "
+                f"column(s) {unknown}"
             )
-        if arm.get("condition") is None and i != len(when_matched):
-            raise ValueError(
-                f"delta_merge: arm {i} has no condition but is not "
-                "the last matched arm — it would shadow every arm "
-                "after it (Delta's MERGE rule)"
-            )
-        if action == "delete":
-            if arm.get("set"):
-                raise ValueError(
-                    f"delta_merge: arm {i} is a delete — 'set' is "
-                    "meaningless"
-                )
-            del_arms.add(i)
-        else:
-            s = arm.get("set")
-            if s is not None:
-                bad = sorted(set(s) & set(keys))
-                if bad:
-                    raise ValueError(
-                        f"delta_merge: arm {i} SETs merge key(s) "
-                        f"{bad} — rewriting the match key under a "
-                        "merge is ambiguous"
-                    )
-                unknown = sorted(set(s) - set(df.columns))
-                if unknown:
-                    raise ValueError(
-                        f"delta_merge: arm {i} SETs unknown "
-                        f"column(s) {unknown}"
-                    )
-            upd_arms[i] = dict(s) if s is not None else None
+    none_sets = sorted(i for i, s in src_upd_arms.items() if s is None)
+    if none_sets:
+        raise ValueError(
+            f"delta_merge: by-source update arm(s) {none_sets} need "
+            "an explicit 'set' — there is no source row for SET *"
+        )
     spark = df.sparkSession
     log_dir = os.path.join(table_dir, "_delta_log")
     has_table = os.path.isdir(log_dir) and any(
@@ -2869,10 +2946,40 @@ def delta_merge(
     meta, _, _ = t._state(None)
     mode, map_fields = t._mapping(meta)
     tbl_parts = meta.get("partitionColumns") or []
-    _enforce_merge_schema(table_dir, meta, df, keys)
-    tbl_cols = [
+    added = _enforce_merge_schema(
+        table_dir, meta, df, keys, allow_new=evolve
+    )
+    old_cols = [
         f["name"] for f in json.loads(meta["schemaString"])["fields"]
     ]
+    evolution_md = None
+    if added:
+        # schema evolution rides in the SAME commit (the protocol's
+        # shape); _evolve_delta_schema extends map_fields in place so
+        # the staged frame's physical rename covers the new columns
+        evolution_md = _evolve_delta_schema(meta, added, mode, map_fields)
+    added_of = {f["name"]: f["type"] for f in added}
+    tbl_cols = old_cols + [f["name"] for f in added]
+    bad_src_sets = sorted(
+        {
+            c
+            for s in src_upd_arms.values()
+            for c in (s or {})
+            if c not in tbl_cols
+        }
+    )
+    if bad_src_sets:
+        raise ValueError(
+            f"delta_merge: by-source arm SETs unknown column(s) "
+            f"{bad_src_sets}"
+        )
+
+    def _tgt_col(c: str):
+        # target value of a column: NULL (typed) for columns the
+        # evolution is adding in this very commit
+        if c in added_of:
+            return F.lit(None).cast(_ddl(added_of[c]))
+        return F.col(f"tgt.{c}")
 
     # ---- probe: LIVE target rows joined to the broadcast batch ----
     kb = df.agg(
@@ -2889,7 +2996,9 @@ def delta_merge(
     adds = t.data_files(None, filters or None)
     n_updated = n_deleted = 0
     affected: list[tuple[dict, list[int], int]] = []
+    by_file: dict[str, set[int]] = {}  # kill set, both arm classes
     matched = None  # materialized matched-pair frame (the sliver)
+    fired_src = None  # materialized fired by-source rows
     if adds and when_matched:
         live_asm = t._assemble_live(adds, meta)
         tj = live_asm.alias("tgt").join(
@@ -2920,7 +3029,7 @@ def delta_merge(
             arm_sel.otherwise(F.lit(0)).alias("__arm"),
         ]
         for c in tbl_cols:
-            sel.append(F.col(f"tgt.{c}").alias(f"__t_{c}"))
+            sel.append(_tgt_col(c).alias(f"__t_{c}"))
             sel.append(F.col(f"src.{c}").alias(f"__s_{c}"))
         for i, s in upd_arms.items():
             for c, e in (s or {}).items():
@@ -2933,23 +3042,76 @@ def delta_merge(
         matched = tj.select(*sel).localCheckpoint(eager=True)
         fired = matched.filter(F.col("__arm") > 0)
         hits = fired.select("__fp", "__pos", "__arm").toPandas()
-        n_updated = int((hits["__arm"].isin(list(upd_arms))).sum())
-        n_deleted = int((hits["__arm"].isin(list(del_arms))).sum())
-        by_file: dict[str, set[int]] = {}
+        n_updated += int((hits["__arm"].isin(list(upd_arms))).sum())
+        n_deleted += int((hits["__arm"].isin(list(del_arms))).sum())
         for fp, pos in zip(hits["__fp"], hits["__pos"]):
             by_file.setdefault(fp, set()).add(int(pos))
-        for add in adds:
-            abs_p = os.path.abspath(os.path.join(t.path, add["path"]))
-            new_hits = by_file.get(abs_p)
-            if not new_hits:
-                continue
-            old = (
-                set(t._load_dv(add["deletionVector"]))
-                if add.get("deletionVector")
-                else set()
+
+    # ---- by-source probe: LIVE rows whose key the batch lacks ----
+    kill_adds = adds
+    if when_not_matched_by_source:
+        all_adds = t.data_files(None, None)
+        kill_adds = all_adds  # kills may land on ANY file now
+        if all_adds:
+            live_all = t._assemble_live(all_adds, meta).alias("tgt")
+            nosrc = live_all.join(
+                F.broadcast(df.select(*keys).distinct()),
+                on=list(keys),
+                how="left_anti",
             )
-            merged = sorted(old | new_hits)
-            affected.append((add, merged, len(merged)))
+            arm_sel2 = None
+            for i, arm in enumerate(when_not_matched_by_source, start=1):
+                cond = (
+                    F.expr(arm["condition"])
+                    if arm.get("condition") is not None
+                    else F.lit(True)
+                )
+                arm_sel2 = (
+                    F.when(cond, F.lit(i))
+                    if arm_sel2 is None
+                    else arm_sel2.when(cond, F.lit(i))
+                )
+            sel2 = [
+                F.col("__fp"),
+                F.col("__pos"),
+                arm_sel2.otherwise(F.lit(0)).alias("__arm"),
+            ]
+            for c in tbl_cols:
+                sel2.append(_tgt_col(c).alias(f"__t_{c}"))
+            for i, s in src_upd_arms.items():
+                for c, e in (s or {}).items():
+                    sel2.append(F.expr(e).alias(f"__a{i}_{c}"))
+            # materialized size = FIRED rows only (the update arms
+            # must rewrite those rows anyway); the kill collect below
+            # is the driver-bounded part — a by-source arm firing on
+            # a large table fraction belongs in copy-on-write
+            fired_src = (
+                nosrc.select(*sel2)
+                .filter(F.col("__arm") > 0)
+                .localCheckpoint(eager=True)
+            )
+            hits2 = fired_src.select("__fp", "__pos", "__arm").toPandas()
+            n_updated += int(
+                (hits2["__arm"].isin(list(src_upd_arms))).sum()
+            )
+            n_deleted += int(
+                (hits2["__arm"].isin(list(src_del_arms))).sum()
+            )
+            for fp, pos in zip(hits2["__fp"], hits2["__pos"]):
+                by_file.setdefault(fp, set()).add(int(pos))
+
+    for add in kill_adds:
+        abs_p = os.path.abspath(os.path.join(t.path, add["path"]))
+        new_hits = by_file.get(abs_p)
+        if not new_hits:
+            continue
+        old = (
+            set(t._load_dv(add["deletionVector"]))
+            if add.get("deletionVector")
+            else set()
+        )
+        merged = sorted(old | new_hits)
+        affected.append((add, merged, len(merged)))
 
     # ---- rows to land: update replacements + unmatched inserts ----
     to_stage = None
@@ -2974,6 +3136,26 @@ def delta_merge(
             matched.filter(F.col("__arm").isin(list(upd_arms)))
             .select(*rep_cols)
         )
+    if fired_src is not None and src_upd_arms:
+        rep2 = []
+        for c in tbl_cols:
+            e = None
+            for i, s in src_upd_arms.items():
+                val = (
+                    F.col(f"__a{i}_{c}")
+                    if c in s
+                    else F.col(f"__t_{c}")  # non-set: keep target
+                )
+                e = (
+                    F.when(F.col("__arm") == i, val)
+                    if e is None
+                    else e.when(F.col("__arm") == i, val)
+                )
+            rep2.append(e.alias(c))
+        r2 = fired_src.filter(
+            F.col("__arm").isin(list(src_upd_arms))
+        ).select(*rep2)
+        to_stage = r2 if to_stage is None else to_stage.unionByName(r2)
     if insert:
         ins = df.alias("src")
         if matched is not None:
@@ -3006,6 +3188,10 @@ def delta_merge(
             }
         }
     ]
+    if evolution_md is not None:
+        # replay order makes the widened schema current before any
+        # reader sees the files that first carry the new columns
+        actions.append(evolution_md)
     if affected:
         actions.extend(_dv_merge_actions(t, table_dir, affected, mode))
     phys_of = {f["name"]: f["physical"] for f in map_fields}
@@ -3055,6 +3241,8 @@ def delta_merge(
         )
     if matched is not None:
         matched.unpersist()
+    if fired_src is not None:
+        fired_src.unpersist()
     return version, n_updated, n_deleted, n_inserted
 
 

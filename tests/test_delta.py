@@ -1913,6 +1913,145 @@ class TestDeltaMerge:
         )
         assert (v2, nu2, nd2, ni2) == (0, 0, 0, 0)
 
+    def test_merge_schema_evolution(self, spark, tmp_path):
+        """evolve=True: a batch carrying a NEW column widens the
+        table schema in the SAME commit (delta_append(merge_schema)
+        shape); pre-existing rows — including no-arm-fired survivors
+        — read NULL for it, updated/inserted rows carry it, and
+        without the flag the same batch refuses."""
+        from feature_store_spark.sources.delta import delta_merge
+
+        d = str(tmp_path / "dme")
+        self._base(spark, d)
+        batch = spark.createDataFrame(
+            [(2, 200.0, "hot", "b2"), (20, 20.0, "new", "b20")],
+            "eid long, val double, tier string, src_name string",
+        )
+        with pytest.raises(ValueError, match="unknown"):
+            delta_merge(
+                batch, d, keys=["eid"],
+                when_matched=[{"condition": None, "action": "update",
+                               "set": None}],
+            )
+        v, nu, nd, ni = delta_merge(
+            batch, d, keys=["eid"],
+            when_matched=[
+                {"condition": None, "action": "update",
+                 "set": {"val": "src.val",
+                         "src_name": "src.src_name"}}
+            ],
+            evolve=True,
+        )
+        assert (v, nu, nd, ni) == (1, 1, 0, 1)
+        rows = {
+            r["eid"]: (r["val"], r["tier"], r["src_name"])
+            for r in DeltaTable(spark, d).scan().collect()
+        }
+        assert rows[2] == (200.0, "cold", "b2")   # partial + evolved
+        assert rows[20] == (20.0, "new", "b20")   # insert carries it
+        assert rows[0] == (0.0, "cold", None)     # old rows read NULL
+        assert len(rows) == 11
+
+    def test_merge_schema_evolution_column_mapped(self, spark, tmp_path):
+        """Evolution under column mapping: the new column gets a
+        fresh field id + physical name and the scan resolves it."""
+        from feature_store_spark.sources.delta import (
+            delta_append,
+            delta_merge,
+        )
+
+        d = str(tmp_path / "dmem")
+        delta_append(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(5)],
+                "eid long, val double",
+            ),
+            d,
+            column_mapping="name",
+        )
+        delta_merge(
+            spark.createDataFrame(
+                [(1, 11.0, "x")], "eid long, val double, extra string"
+            ),
+            d,
+            keys=["eid"],
+            when_matched=[{"condition": None, "action": "update",
+                           "set": {"extra": "src.extra"}}],
+            evolve=True,
+        )
+        rows = {
+            r["eid"]: (r["val"], r["extra"])
+            for r in DeltaTable(spark, d).scan().collect()
+        }
+        # partial SET: val keeps the TARGET value, extra lands
+        assert rows[1] == (1.0, "x") and rows[0] == (0.0, None)
+
+    def test_merge_not_matched_by_source_arms(self, spark, tmp_path):
+        """The snapshot-sync verb: target rows whose key vanished
+        from the batch fire the by-source arms in order — a
+        conditional quarantine update, then an unconditional delete —
+        while matched rows update and nothing resurrects."""
+        from feature_store_spark.sources.delta import (
+            delta_changes,
+            delta_merge,
+        )
+
+        d = str(tmp_path / "dms")
+        self._base(spark, d)  # eids 0..9, tier 'cold'
+        snap = spark.createDataFrame(
+            [(i, float(i) * 10, "snap") for i in range(5)],
+            "eid long, val double, tier string",
+        )
+        v, nu, nd, ni = delta_merge(
+            snap, d, keys=["eid"],
+            when_matched=[{"condition": None, "action": "update",
+                           "set": None}],
+            when_not_matched_by_source=[
+                {"condition": "tgt.eid = 9", "action": "update",
+                 "set": {"tier": "'orphan'"}},
+                {"condition": None, "action": "delete"},
+            ],
+        )
+        # 5 matched updates + 1 by-source update; 4 by-source deletes
+        assert (v, nu, nd, ni) == (1, 6, 4, 0)
+        rows = {
+            r["eid"]: (r["val"], r["tier"])
+            for r in DeltaTable(spark, d).scan().collect()
+        }
+        assert set(rows) == {0, 1, 2, 3, 4, 9}
+        assert rows[9] == (9.0, "orphan")  # val kept, tier set
+        assert rows[3] == (30.0, "snap")
+        # CDF exact: 10 preimage deletes (6 updates + 4 deletes),
+        # 6 postimage inserts
+        ch = delta_changes(spark, d, from_version=0).collect()
+        assert sum(r["_change_type"] == "delete" for r in ch) == 10
+        assert sum(r["_change_type"] == "insert" for r in ch) == 6
+
+    def test_merge_by_source_refusals(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import delta_merge
+
+        d = str(tmp_path / "dmsr")
+        self._base(spark, d)
+        b = spark.createDataFrame(
+            [(1, 1.0, "x")], "eid long, val double, tier string"
+        )
+        with pytest.raises(ValueError, match="explicit 'set'"):
+            delta_merge(
+                b, d, keys=["eid"],
+                when_not_matched_by_source=[
+                    {"condition": None, "action": "update",
+                     "set": None}
+                ],
+            )
+        with pytest.raises(ValueError, match="unknown column"):
+            delta_merge(
+                b, d, keys=["eid"],
+                when_not_matched_by_source=[
+                    {"condition": None, "action": "update",
+                     "set": {"nope": "1"}}
+                ],
+            )
+
     def test_merge_column_mapped_table(self, spark, tmp_path):
         """Conditional arms compose with column mapping: replacement
         and insert files land under PHYSICAL names with field ids."""

@@ -140,6 +140,8 @@ HEADLINE = [
     # round-12 additions: conditional/partial-column MERGE arms and
     # the Iceberg rollback chain (corrupt -> rollback -> re-upsert)
     "delta_merge_conditional",
+    "delta_merge_sync",
+    "stream_delta_merge",
     "iceberg_rollback",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at

@@ -5218,6 +5218,154 @@ FROM per_user
 """
 
 
+def q_stream_delta_merge(spark, sf_dir):
+    """STREAMING conditional MERGE under the oracle gate: two
+    micro-batches (mtime-ordered) flow through ``delta_merge_sink``
+    — batch 0 creates per-user state via the insert arm, batch 1
+    applies the arm-ordered conditional merge (predicated partial
+    UPDATE SET keeping the target's tier, a DELETE arm, a conditional
+    INSERT) as ONE exactly-once commit. The scanned-back table must
+    equal the relational oracle; ``multi_commit`` / ``txn_contiguous``
+    pin that each batch really landed as its own txn-marked commit."""
+    import os as _os
+    import shutil as _sh
+
+    from feature_store_spark.sources.delta import (
+        DeltaTable,
+        delta_merge_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    uid = F.col("user_id")
+    base = per_user.select(
+        uid.cast("string").alias("entity_id"),
+        F.col("v").alias("value_float"),
+        F.lit("cold").alias("tier"),
+    )
+    b1 = (
+        per_user.filter(uid % 7 == 0)
+        .select(
+            uid.cast("string").alias("entity_id"),
+            (F.col("v") * 2).alias("value_float"),
+            F.lit("boost").alias("tier"),
+        )
+        .unionByName(
+            per_user.filter((uid % 11 == 0) & (uid % 7 != 0)).select(
+                uid.cast("string").alias("entity_id"),
+                F.lit(0.0).alias("value_float"),
+                F.lit("kill").alias("tier"),
+            )
+        )
+        .unionByName(
+            per_user.filter(uid % 13 == 0).select(
+                F.concat(F.lit("new-"), uid.cast("string"))
+                .alias("entity_id"),
+                (F.col("v") * 3).alias("value_float"),
+                F.lit("fresh").alias("tier"),
+            )
+        )
+    )
+    d = _stream_tmpdir("fss_stream_delta_merge_")
+    try:
+        _os.makedirs(f"{d}/in", exist_ok=True)
+        for i, frame in enumerate((base, b1)):
+            frame.coalesce(1).write.mode("overwrite").parquet(
+                f"{d}/b{i}"
+            )
+            [part] = [
+                n for n in _os.listdir(f"{d}/b{i}")
+                if n.endswith(".parquet")
+            ]
+            tgt = f"{d}/in/batch-{i}.parquet"
+            _os.replace(f"{d}/b{i}/{part}", tgt)
+            _os.utime(tgt, (1_700_000_000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "entity_id string, value_float double, tier string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/in")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                delta_merge_sink(
+                    f"{d}/table",
+                    "merge-sink",
+                    keys=["entity_id"],
+                    when_matched=[
+                        {
+                            "condition": "src.tier = 'boost' "
+                            "AND tgt.value_float > 5",
+                            "action": "update",
+                            "set": {
+                                "value_float":
+                                "tgt.value_float + src.value_float"
+                            },
+                        },
+                        {
+                            "condition": "src.tier = 'kill'",
+                            "action": "delete",
+                        },
+                    ],
+                    insert_condition="src.value_float > 5"
+                    " OR src.tier = 'cold'",
+                )
+            )
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_delta_merge: stream did not finish in 300s"
+            )
+        t = DeltaTable(spark, f"{d}/table")
+        n_commits = t.latest_version() + 1
+        hwm = t.txn_version("merge-sink")
+        out = t.scan().agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            _r6(F.sum("value_float")).alias("sum_val"),
+            F.sum((F.col("tier") == "cold").cast("long"))
+            .alias("n_cold"),
+            F.lit(n_commits >= 2).alias("multi_commit"),
+            F.lit(hwm == n_commits - 1).alias("txn_contiguous"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+
+
+STREAM_DELTA_MERGE_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY user_id
+), marks AS (
+  SELECT user_id, v,
+         (user_id % 7 = 0 AND v > 5)             AS fires_update,
+         (user_id % 11 = 0 AND user_id % 7 <> 0) AS fires_delete,
+         (user_id % 13 = 0 AND v * 3 > 5)        AS inserts
+  FROM per_user
+), final AS (
+  SELECT CASE WHEN fires_update THEN v + v * 2 ELSE v END AS v,
+         'cold' AS tier
+  FROM marks WHERE NOT fires_delete
+  UNION ALL
+  SELECT v * 3 AS v, 'fresh' AS tier FROM marks WHERE inserts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(v), 6) AS sum_val,
+       CAST(sum(CASE WHEN tier = 'cold' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cold,
+       TRUE AS multi_commit,
+       TRUE AS txn_contiguous
+FROM final
+"""
+
+
 def q_delta_cdc(spark, sf_dir):
     """Full CDC feed through one MERGE commit (``op_col``): a single
     batch carrying updates (user_id %7: doubled), hard deletes
@@ -9348,6 +9496,7 @@ QUERIES: dict[str, tuple] = {
         DELTA_MERGE_CONDITIONAL_SQL,
     ),
     "delta_merge_sync": (q_delta_merge_sync, DELTA_MERGE_SYNC_SQL),
+    "stream_delta_merge": (q_stream_delta_merge, STREAM_DELTA_MERGE_SQL),
     "delta_restore": (q_delta_restore, DELTA_RESTORE_SQL),
     "delta_cdc": (q_delta_cdc, DELTA_CDC_SQL),
     "stream_delta_upsert": (q_stream_delta_upsert, STREAM_DELTA_UPSERT_SQL),
@@ -9860,6 +10009,7 @@ _R12_WINDOW = [
     # new
     "delta_merge_conditional",
     "delta_merge_sync",
+    "stream_delta_merge",
     "iceberg_rollback",
     # changed this round
     "delta_upsert",
@@ -9910,7 +10060,6 @@ _R12_WINDOW = [
     "asof_auto",
     "asof_tolerance",
     "class_balance",
-    "decontaminate",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R12_WINDOW},

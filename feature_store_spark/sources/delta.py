@@ -2194,39 +2194,99 @@ def delta_upsert_sink(
     replay)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window, functions as F
-
-        b = batch_df
-        if latest_by is not None:
-            w = Window.partitionBy(*list(keys)).orderBy(
-                F.col(latest_by).desc()
-            )
-            ranked = (
-                b.withColumn("__rn", F.row_number().over(w))
-                .withColumn("__rk", F.rank().over(w))
-            )
-            tie = (
-                ranked.filter(
-                    (F.col("__rn") == 2) & (F.col("__rk") == 1)
-                )
-                .limit(1)
-                .collect()
-            )
-            if tie:
-                kv = {k: tie[0][k] for k in keys}
-                raise ValueError(
-                    f"delta_upsert_sink: key {kv} has two rows tied "
-                    f"on {latest_by!r} in batch {batch_id} — the "
-                    "latest row is ambiguous; fix the feed's order "
-                    "column"
-                )
-            b = ranked.filter(F.col("__rn") == 1).drop("__rn", "__rk")
+        b = _latest_per_key(
+            batch_df, keys, latest_by, batch_id, "delta_upsert_sink"
+        )
         v, _n = delta_upsert(
             b,
             table_dir,
             keys=list(keys),
             txn=(app_id, int(batch_id)),
             op_col=op_col,
+        )
+        if checkpoint_every and v > 0 and v % int(checkpoint_every) == 0:
+            delta_checkpoint(batch_df.sparkSession, table_dir)
+
+    return sink
+
+
+def _latest_per_key(
+    b: DataFrame,
+    keys: list[str],
+    latest_by: str | None,
+    batch_id: int,
+    label: str,
+) -> DataFrame:
+    """Keep each key's latest row per micro-batch by the CDC order
+    column (micro-batch boundaries are arbitrary, so one batch can
+    legally carry several versions of a key); REFUSES on a tie at
+    the top — two rows claiming the same latest position is a feed
+    bug, and picking one silently would be nondeterministic replay.
+    Shared by delta_upsert_sink and delta_merge_sink."""
+    from pyspark.sql import Window, functions as F
+
+    if latest_by is None:
+        return b
+    w = Window.partitionBy(*list(keys)).orderBy(
+        F.col(latest_by).desc()
+    )
+    ranked = (
+        b.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__rk", F.rank().over(w))
+    )
+    tie = (
+        ranked.filter((F.col("__rn") == 2) & (F.col("__rk") == 1))
+        .limit(1)
+        .collect()
+    )
+    if tie:
+        kv = {k: tie[0][k] for k in keys}
+        raise ValueError(
+            f"{label}: key {kv} has two rows tied on "
+            f"{latest_by!r} in batch {batch_id} — the latest row is "
+            "ambiguous; fix the feed's order column"
+        )
+    return ranked.filter(F.col("__rn") == 1).drop("__rn", "__rk")
+
+
+def delta_merge_sink(
+    table_dir: str,
+    app_id: str,
+    keys: list[str],
+    when_matched: list[dict] | None = None,
+    insert: bool = True,
+    insert_condition: str | None = None,
+    when_not_matched_by_source: list[dict] | None = None,
+    evolve: bool = False,
+    latest_by: str | None = None,
+    checkpoint_every: int | None = 10,
+):
+    """foreachBatch body: exactly-once micro-batch CONDITIONAL MERGE
+    — each batch lands through :func:`delta_merge` (arm-ordered
+    conditional / partial-column updates, deletes, conditional
+    inserts, optional by-source arms and schema evolution) carrying
+    the txn action, so a redelivered batch after a crash + checkpoint
+    loss is a no-op. The streaming twin of delta_upsert_sink for
+    feeds whose semantics don't fit full-row replacement. ``latest_by``
+    behaves as in :func:`delta_upsert_sink`. A quiet micro-batch
+    (nothing fired, nothing staged) still records its txn watermark
+    in one small commit — exactly-once bookkeeping must advance even
+    when the data doesn't."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = _latest_per_key(
+            batch_df, keys, latest_by, batch_id, "delta_merge_sink"
+        )
+        v, _nu, _nd, _ni = delta_merge(
+            b,
+            table_dir,
+            keys=list(keys),
+            when_matched=when_matched,
+            insert=insert,
+            insert_condition=insert_condition,
+            when_not_matched_by_source=when_not_matched_by_source,
+            evolve=evolve,
+            txn=(app_id, int(batch_id)),
         )
         if checkpoint_every and v > 0 and v % int(checkpoint_every) == 0:
             delta_checkpoint(batch_df.sparkSession, table_dir)

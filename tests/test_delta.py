@@ -2052,6 +2052,44 @@ class TestDeltaMerge:
                 ],
             )
 
+    def test_merge_sink_exactly_once_redelivery(self, spark, tmp_path):
+        """delta_merge_sink: a redelivered micro-batch (same batch_id
+        after checkpoint loss) is a no-op via the txn handshake, and
+        a quiet batch still advances the txn watermark."""
+        from feature_store_spark.sources.delta import delta_merge_sink
+
+        d = str(tmp_path / "dmsk")
+        sink = delta_merge_sink(
+            d, "app", keys=["eid"],
+            when_matched=[{"condition": None, "action": "update",
+                           "set": {"val": "tgt.val + src.val"}}],
+        )
+        b0 = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "eid long, val double"
+        )
+        sink(b0, 0)   # create
+        b1 = spark.createDataFrame([(1, 10.0)], "eid long, val double")
+        sink(b1, 1)   # merge: eid 1 -> 11.0
+        sink(b1, 1)   # redelivered: must be a no-op
+        t = DeltaTable(spark, d)
+        rows = {r["eid"]: r["val"] for r in t.scan().collect()}
+        assert rows == {1: 11.0, 2: 2.0}
+        assert t.latest_version() == 1
+        # quiet batch (no matches, insert filtered out): txn advances
+        quiet = spark.createDataFrame(
+            [(99, -1.0)], "eid long, val double"
+        )
+        sink2 = delta_merge_sink(
+            d, "app", keys=["eid"],
+            when_matched=[{"condition": None, "action": "update",
+                           "set": {"val": "src.val"}}],
+            insert_condition="src.val > 0",
+        )
+        sink2(quiet, 2)
+        t = DeltaTable(spark, d)
+        assert t.txn_version("app") == 2
+        assert t.scan().count() == 2  # nothing landed
+
     def test_merge_column_mapped_table(self, spark, tmp_path):
         """Conditional arms compose with column mapping: replacement
         and insert files land under PHYSICAL names with field ids."""

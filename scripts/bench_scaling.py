@@ -61,6 +61,12 @@ QUERY_NAMES = {
     # file-count-bound, so the decade is strongly sublinear)
     "iceberg_scan": SF1,
     "iceberg_mor_delete": SF1,
+    # round 12: the conditional/by-source MERGE verbs and the
+    # rollback chain (commit machinery + broadcast probes -> the
+    # decade is strongly sublinear)
+    "delta_merge_conditional": SF1,
+    "delta_merge_sync": SF1,
+    "iceberg_rollback": SF1,
 }
 
 

@@ -143,6 +143,7 @@ HEADLINE = [
     "delta_merge_sync",
     "stream_delta_merge",
     "iceberg_rollback",
+    "iceberg_time_prune",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

@@ -4968,6 +4968,75 @@ WHERE user_id = 1
 """
 
 
+def q_iceberg_time_prune(spark, sf_dir):
+    """Month-transform partitioned Iceberg layout with a pruning
+    audit (r12 — the write path whose year/month shadows went
+    UTC-safe this round): events spread across ~4 months (per-user
+    whole-day shifts, identical arithmetic in the oracle), written
+    under ``month(event_time)``, then scanned with a timestamp range
+    filter. ``prune_ok`` proves the filter planned strictly fewer
+    files; ``months_ok`` proves every surviving file sits in a
+    spec-encoded months-since-epoch directory at or after the cut —
+    i.e. a time-range query on a 100 TB event log reads only its
+    months. Values grade against the relational oracle."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import iceberg_append
+
+    ev = load_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.lit("user").alias("entity_type"),
+        F.col("event_id").cast("string").alias("entity_id"),
+        F.col("value").cast("double").alias("value_float"),
+        (
+            F.col("ts")
+            + F.make_interval(days=F.col("user_id") % 120)
+        ).alias("event_time"),
+    )
+    cut_us = 1_709_251_200_000_000  # 2024-03-01T00:00:00Z
+    cut_month = (2024 - 1970) * 12 + (3 - 1)  # spec months-since-epoch
+    scratch = _tmp.mkdtemp(prefix="fss-iceberg-time-")
+    try:
+        iceberg_append(
+            records, scratch, partition_spec=[("event_time", "month")]
+        )
+        t = IcebergTable(spark, scratch)
+        total = t.data_files(None, None)
+        pruned = t.data_files(
+            None, [("event_time", ">=", cut_us)]
+        )
+        prune_ok = 0 < len(pruned) < len(total)
+        months_ok = all(
+            f["partition"]["event_time_month"] >= cut_month
+            for f in pruned
+        )
+        out = (
+            t.scan(filters=[("event_time", ">=", cut_us)])
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                _r6(F.sum("value_float")).alias("sum_value"),
+            )
+            .withColumn("prune_ok", F.lit(bool(prune_ok)))
+            .withColumn("months_ok", F.lit(bool(months_ok)))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+ICEBERG_TIME_PRUNE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(CAST(value AS DOUBLE)), 6) AS sum_value,
+       TRUE AS prune_ok,
+       TRUE AS months_ok
+FROM events
+WHERE ts + to_days(CAST(user_id % 120 AS INTEGER))
+      >= TIMESTAMP '2024-03-01 00:00:00'
+"""
+
+
 def q_iceberg_cluster_rewrite(spark, sf_dir):
     """rewrite_data_files with write-time sort clustering: per-user
     features land SCRAMBLED (every file's value bounds span the whole
@@ -9510,6 +9579,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "iceberg_upsert": (q_iceberg_upsert, ICEBERG_UPSERT_SQL),
     "iceberg_rollback": (q_iceberg_rollback, ICEBERG_ROLLBACK_SQL),
+    "iceberg_time_prune": (q_iceberg_time_prune, ICEBERG_TIME_PRUNE_SQL),
     "delta_column_mapping": (
         q_delta_column_mapping,
         DELTA_COLUMN_MAPPING_SQL,
@@ -10011,6 +10081,7 @@ _R12_WINDOW = [
     "delta_merge_sync",
     "stream_delta_merge",
     "iceberg_rollback",
+    "iceberg_time_prune",
     # changed this round
     "delta_upsert",
     "delta_cdc",
@@ -10059,7 +10130,6 @@ _R12_WINDOW = [
     "approx_quantiles",
     "asof_auto",
     "asof_tolerance",
-    "class_balance",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R12_WINDOW},

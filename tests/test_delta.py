@@ -2052,6 +2052,55 @@ class TestDeltaMerge:
                 ],
             )
 
+    def test_merge_partitioned_table(self, spark, tmp_path):
+        """Conditional arms on a hive-partitioned table: replacement
+        and insert files land under the right partition directories
+        with partitionValues, DVs attach per-file, and the scan
+        reconstructs partition columns."""
+        import pathlib
+
+        from feature_store_spark.sources.delta import (
+            delta_append,
+            delta_merge,
+        )
+
+        d = str(tmp_path / "dmp")
+        df = spark.createDataFrame(
+            [(i, "even" if i % 2 == 0 else "odd", float(i))
+             for i in range(10)],
+            "eid long, par string, val double",
+        )
+        delta_append(df, d, partition_cols=["par"])
+        v, nu, nd, ni = delta_merge(
+            spark.createDataFrame(
+                [(2, "even", 100.0), (3, "odd", 0.0), (21, "odd", 9.0)],
+                "eid long, par string, val double",
+            ),
+            d,
+            keys=["eid"],
+            when_matched=[
+                {"condition": "src.val > 50", "action": "update",
+                 "set": {"val": "src.val"}},
+                {"condition": None, "action": "delete"},
+            ],
+        )
+        assert (v, nu, nd, ni) == (1, 1, 1, 1)
+        rows = {
+            r["eid"]: (r["par"], r["val"])
+            for r in DeltaTable(spark, d).scan().collect()
+        }
+        assert rows[2] == ("even", 100.0)
+        assert 3 not in rows
+        assert rows[21] == ("odd", 9.0)
+        assert len(rows) == 10
+        # new files landed under partition directories
+        new = [
+            p for p in pathlib.Path(d).rglob("part-00001-*.parquet")
+        ]
+        assert new and all(
+            "par=even" in str(p) or "par=odd" in str(p) for p in new
+        )
+
     def test_merge_sink_exactly_once_redelivery(self, spark, tmp_path):
         """delta_merge_sink: a redelivered micro-batch (same batch_id
         after checkpoint loss) is a no-op via the txn handshake, and

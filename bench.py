@@ -146,6 +146,7 @@ HEADLINE = [
     "iceberg_time_prune",
     "delta_maintenance",
     "iceberg_expire",
+    "iceberg_changes",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

@@ -1203,6 +1203,11 @@ def iceberg_append(
         "summary": summary,
         "manifest-list": mlist,
     }
+    # spec: parent-snapshot-id records the lineage (omitted on the
+    # first snapshot) — the changelog scan and rollback-awareness
+    # both walk it
+    if prev_meta and prev_meta.get("current-snapshot-id") is not None:
+        snapshot["parent-snapshot-id"] = prev_meta["current-snapshot-id"]
     schemas, cur_sid = _schemas_with(prev_meta, schema_fields)
     snapshot["schema-id"] = cur_sid
     spec = [
@@ -1888,6 +1893,8 @@ def iceberg_delete_where(
         # after evolution is not necessarily schema-id 0
         "schema-id": int(prev_meta.get("current-schema-id", 0)),
     }
+    if prev_meta.get("current-snapshot-id") is not None:
+        snapshot["parent-snapshot-id"] = prev_meta["current-snapshot-id"]
     meta = dict(prev_meta)
     meta["last-sequence-number"] = snap_id
     meta["last-updated-ms"] = 1700000000000 + snap_id
@@ -2202,6 +2209,8 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
         "summary": {"operation": "replace"},
         "manifest-list": mlist,
     }
+    if (prev_meta or {}).get("current-snapshot-id") is not None:
+        snapshot["parent-snapshot-id"] = prev_meta["current-snapshot-id"]
     schemas, cur_sid = _schemas_with(prev_meta, fields)
     snapshot["schema-id"] = cur_sid
     new_meta = {

@@ -2346,6 +2346,98 @@ def test_iceberg_rollback_pointer(spark, tmp_path):
         iceberg_rollback(d, 999999)
 
 
+class TestIcebergChanges:
+    """IcebergTable.changes — the Delta-CDF twin (r12): live-row-set
+    diff per lineage transition, file-bounded candidates."""
+
+    def _frame(self, spark, lo, hi, mult=1.0):
+        return spark.range(lo, hi).select(
+            F.lit("user").alias("entity_type"),
+            F.col("id").cast("string").alias("entity_id"),
+            (F.col("id") * mult).cast("double").alias("value_float"),
+            F.lit("2024-03-01 00:00:00").cast("timestamp")
+            .alias("event_time"),
+        )
+
+    def test_upsert_and_delete_feed(self, spark, tmp_path):
+        from feature_store_spark.sources.iceberg import IcebergTable
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_delete_where,
+            iceberg_upsert,
+        )
+
+        d = str(tmp_path / "ic")
+        s1 = iceberg_append(self._frame(spark, 0, 10), d)
+        iceberg_upsert(
+            self._frame(spark, 1, 3, mult=100.0), d,
+            keys=["entity_id"],
+        )
+        iceberg_delete_where(spark, d, [("value_float", ">=", 200.0)])
+        ch = sorted(
+            (r["_change_type"], r["entity_id"], r["value_float"])
+            for r in IcebergTable(spark, d).changes(s1).collect()
+        )
+        # upsert: old rows of keys 1,2 die, new rows land; the later
+        # DELETE WHERE kills the re-inserted 200.0
+        assert ch == [
+            ("delete", "1", 1.0),
+            ("delete", "2", 2.0),
+            ("delete", "2", 200.0),
+            ("insert", "1", 100.0),
+            ("insert", "2", 200.0),
+        ]
+
+    def test_replace_invisible_and_lineage_refusal(
+        self, spark, tmp_path
+    ):
+        from feature_store_spark.sources.iceberg import IcebergTable
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+            iceberg_rewrite,
+            iceberg_rollback,
+            iceberg_upsert,
+        )
+
+        d = str(tmp_path / "icr")
+        iceberg_append(self._frame(spark, 0, 10), d)
+        s2 = iceberg_upsert(
+            self._frame(spark, 0, 2, mult=9.0), d, keys=["entity_id"]
+        )
+        iceberg_rewrite(spark, d)  # replace: rows preserved
+        assert IcebergTable(spark, d).changes(s2).count() == 0
+        s4 = iceberg_append(self._frame(spark, 50, 52), d)
+        ch = sorted(
+            (r["_change_type"], r["entity_id"])
+            for r in IcebergTable(spark, d).changes(s2).collect()
+        )
+        assert ch == [("insert", "50"), ("insert", "51")]
+        # rollback starts a new lineage: a feed FROM the rolled-past
+        # snapshot must refuse, never guess
+        iceberg_rollback(d, s2)
+        with pytest.raises(ValueError, match="not an ancestor"):
+            IcebergTable(spark, d).changes(s4).count()
+
+    def test_pure_append_feed_and_unknown_snapshot(
+        self, spark, tmp_path
+    ):
+        from feature_store_spark.sources.iceberg import IcebergTable
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+        )
+
+        d = str(tmp_path / "ica")
+        s1 = iceberg_append(self._frame(spark, 0, 5), d)
+        s2 = iceberg_append(self._frame(spark, 5, 8), d)
+        t = IcebergTable(spark, d)
+        ch = t.changes(s1)
+        assert ch.count() == 3
+        assert {r["_change_type"] for r in ch.collect()} == {"insert"}
+        assert {r["_snapshot_id"] for r in ch.collect()} == {s2}
+        with pytest.raises(ValueError, match="not in the log"):
+            t.changes(999999)
+
+
 def test_cdf_over_restore_emits_resurrections(spark, tmp_path):
     """delta_changes over a RESTORE commit: rows un-deleted by the DV
     shrink read as INSERTS and the merge's files read as deletes —

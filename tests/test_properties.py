@@ -1356,6 +1356,107 @@ def test_delta_merge_sync_matches_dict_oracle(
 
 
 @settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=8,
+    ),
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("upsert"),
+                st.sets(
+                    st.integers(min_value=0, max_value=14),
+                    min_size=1,
+                    max_size=5,
+                ),
+            ),
+            st.tuples(
+                st.just("delete"),
+                st.integers(min_value=1, max_value=60),
+            ),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_iceberg_changes_replay_reproduces_final_state(
+    spark, tmp_path_factory, base, ops
+):
+    """Feed soundness for ANY op sequence (upserts over arbitrary key
+    subsets, threshold deletes): folding the changelog's
+    insert/delete events (in snapshot order) over the base state's
+    row multiset reproduces the final scan exactly — every change is
+    reported once, nothing is invented, nothing is lost."""
+    from collections import Counter
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_delete_where,
+        iceberg_upsert,
+    )
+
+    d = str(tmp_path_factory.mktemp("icfeed") / "t")
+
+    def shaped(pairs):
+        return spark.createDataFrame(
+            [
+                ("user", str(k), float(v), "2024-03-01 00:00:00")
+                for k, v in pairs
+            ],
+            "entity_type string, entity_id string, "
+            "value_float double, event_time string",
+        ).withColumn(
+            "event_time", F.col("event_time").cast("timestamp")
+        )
+
+    s1 = iceberg_append(shaped(sorted(base.items())), d)
+    for op, arg in ops:
+        if op == "upsert":
+            iceberg_upsert(
+                shaped(sorted((k, k * 7 + 1) for k in arg)),
+                d,
+                keys=["entity_id"],
+            )
+        else:
+            try:
+                iceberg_delete_where(
+                    spark, d, [("value_float", ">", float(arg))]
+                )
+            except ValueError:
+                pass  # nothing matched: no snapshot, no feed events
+    t = IcebergTable(spark, d)
+    state = Counter(
+        (str(k), float(v)) for k, v in base.items()
+    )
+    feed = sorted(
+        (
+            (r["_snapshot_id"], r["_change_type"],
+             r["entity_id"], r["value_float"])
+            for r in t.changes(s1).collect()
+        ),
+    )
+    for _sid, kind, eid, val in feed:
+        if kind == "insert":
+            state[(eid, val)] += 1
+        else:
+            state[(eid, val)] -= 1
+            assert state[(eid, val)] >= 0, (eid, val, feed)
+    final = Counter(
+        (r["entity_id"], r["value_float"])
+        for r in t.scan().collect()
+    )
+    assert +state == final
+
+
+@settings(
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],

@@ -5095,9 +5095,11 @@ def q_iceberg_time_prune(spark, sf_dir):
         F.lit("user").alias("entity_type"),
         F.col("event_id").cast("string").alias("entity_id"),
         F.col("value").cast("double").alias("value_float"),
+        # *7 before the mod: the smallest SF has only ~15 users, and
+        # a bare user_id % 120 would never shift past the March cut
         (
             F.col("ts")
-            + F.make_interval(days=F.col("user_id") % 120)
+            + F.make_interval(days=(F.col("user_id") * 7) % 120)
         ).alias("event_time"),
     )
     cut_us = 1_709_251_200_000_000  # 2024-03-01T00:00:00Z
@@ -5137,7 +5139,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_events,
        TRUE AS prune_ok,
        TRUE AS months_ok
 FROM events
-WHERE ts + to_days(CAST(user_id % 120 AS INTEGER))
+WHERE ts + to_days(CAST(user_id * 7 % 120 AS INTEGER))
       >= TIMESTAMP '2024-03-01 00:00:00'
 """
 

@@ -403,6 +403,34 @@ def _calibration_anchors(spark) -> dict:
     finally:
         if os.path.exists(path):
             os.unlink(path)
+
+    # commit-latency anchor: one TINY manifest append (two small
+    # Spark jobs + small-file writes) — the unit cost of the
+    # multi-commit choreography query class (incremental_*,
+    # iceberg_orc, ivfpq_recall …), which tracks small-I/O/scheduler
+    # LATENCY, not the shuffle or sequential-bandwidth anchors; a
+    # cross-round swing confined to that class divides out here
+    import shutil as _sh
+    import statistics as _st
+    import tempfile as _tmp
+
+    from pyspark.sql import functions as F
+    from feature_store_spark.sources.manifest import ManifestedTable
+
+    tiny = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 1.0).alias("v")
+    ).localCheckpoint(eager=True)
+    lat = []
+    dirs = []
+    for _ in range(6):
+        d = _tmp.mkdtemp(prefix="fss-anchor-commit-")
+        dirs.append(d)
+        t0 = time.time()
+        ManifestedTable(spark, os.path.join(d, "t")).append(tiny)
+        lat.append(time.time() - t0)
+    for d in dirs:
+        _sh.rmtree(d, ignore_errors=True)
+    out["commit_latency_sec"] = round(_st.median(lat[1:]), 3)
     return out
 
 

@@ -137,8 +137,8 @@ def measure(spark, scale_dir):
     batches = fixed_batches(spark)
     out = {"seed_rows": n_seed}
     for family in (
-        "delta_append", "delta_upsert", "iceberg_append",
-        "incremental_distinct",
+        "delta_append", "delta_upsert", "delta_merge",
+        "iceberg_append", "incremental_distinct",
     ):
         walls = []
         for _ in range(REPS):
@@ -156,6 +156,29 @@ def measure(spark, scale_dir):
                     )
                     sink = delta_upsert_sink(
                         f"{d}/t", "ladder", keys=["entity_id"]
+                    )
+                    schema = SCHEMA
+                elif family == "delta_merge":
+                    delta_append(
+                        seed.repartitionByRange(16, "entity_id"),
+                        f"{d}/t",
+                    )
+                    from feature_store_spark.sources.delta import (
+                        delta_merge_sink,
+                    )
+
+                    sink = delta_merge_sink(
+                        f"{d}/t", "ladder", keys=["entity_id"],
+                        when_matched=[
+                            {
+                                "condition": "src.value_float "
+                                "> tgt.value_float",
+                                "action": "update",
+                                "set": {
+                                    "value_float": "src.value_float"
+                                },
+                            }
+                        ],
                     )
                     schema = SCHEMA
                 elif family == "iceberg_append":
@@ -204,8 +227,8 @@ def main():
     for label, d in (("sf0.1", SF01), ("sf1", SF1)):
         print(f"{label} ({d}):", flush=True)
         report[label] = measure(spark, d)
-    for fam in ("delta_append", "delta_upsert", "iceberg_append",
-                "incremental_distinct"):
+    for fam in ("delta_append", "delta_upsert", "delta_merge",
+                "iceberg_append", "incremental_distinct"):
         r = report["sf1"][fam] / report["sf0.1"][fam]
         print(f"ratio {fam}: {r:.2f}x for 10x committed data")
     print(json.dumps(report))

@@ -2271,12 +2271,23 @@ def delta_merge_sink(
     behaves as in :func:`delta_upsert_sink`. A quiet micro-batch
     (nothing fired, nothing staged) still records its txn watermark
     in one small commit — exactly-once bookkeeping must advance even
-    when the data doesn't."""
+    when the data doesn't.
+
+    An EMPTY micro-batch disarms the by-source arms for that batch:
+    in a stream, an empty batch is a scheduling artifact, not an
+    upstream statement that the snapshot is empty — letting an
+    unconditional ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` see it
+    would silently wipe the table on an idle trigger. A genuinely
+    empty snapshot sync belongs in a direct :func:`delta_merge`
+    call, where passing an empty frame is an explicit decision."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         b = _latest_per_key(
             batch_df, keys, latest_by, batch_id, "delta_merge_sink"
         )
+        by_src = when_not_matched_by_source
+        if by_src and b.isEmpty():
+            by_src = None
         v, _nu, _nd, _ni = delta_merge(
             b,
             table_dir,
@@ -2284,7 +2295,7 @@ def delta_merge_sink(
             when_matched=when_matched,
             insert=insert,
             insert_condition=insert_condition,
-            when_not_matched_by_source=when_not_matched_by_source,
+            when_not_matched_by_source=by_src,
             evolve=evolve,
             txn=(app_id, int(batch_id)),
         )

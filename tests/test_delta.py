@@ -2139,6 +2139,88 @@ class TestDeltaMerge:
         assert t.txn_version("app") == 2
         assert t.scan().count() == 2  # nothing landed
 
+    def test_merge_sink_empty_batch_disarms_by_source(
+        self, spark, tmp_path
+    ):
+        """An empty micro-batch is a scheduling artifact, not an
+        empty snapshot: the sink must NOT let an unconditional
+        by-source DELETE wipe the table on an idle trigger — the txn
+        watermark still advances."""
+        from feature_store_spark.sources.delta import (
+            delta_append,
+            delta_merge_sink,
+        )
+
+        d = str(tmp_path / "dmse")
+        delta_append(
+            spark.createDataFrame(
+                [(1, 1.0), (2, 2.0)], "eid long, val double"
+            ),
+            d,
+        )
+        sink = delta_merge_sink(
+            d, "app", keys=["eid"],
+            when_matched=[{"condition": None, "action": "update",
+                           "set": None}],
+            when_not_matched_by_source=[
+                {"condition": None, "action": "delete"}
+            ],
+        )
+        empty = spark.createDataFrame([], "eid long, val double")
+        sink(empty, 0)
+        t = DeltaTable(spark, d)
+        assert t.scan().count() == 2  # nothing wiped
+        assert t.txn_version("app") == 0
+        # a NON-empty batch still runs the full snapshot-sync arms
+        sink(spark.createDataFrame([(1, 9.0)], "eid long, val double"), 1)
+        rows = {
+            r["eid"]: r["val"]
+            for r in DeltaTable(spark, d).scan().collect()
+        }
+        assert rows == {1: 9.0}  # 2 deleted by-source, 1 updated
+
+    def test_merge_by_source_column_mapped(self, spark, tmp_path):
+        """By-source arms compose with column mapping: the quarantine
+        SET lands under physical names and the scan resolves it."""
+        from feature_store_spark.sources.delta import (
+            delta_append,
+            delta_merge,
+        )
+
+        d = str(tmp_path / "dmbm")
+        delta_append(
+            spark.createDataFrame(
+                [(i, float(i), "old") for i in range(6)],
+                "eid long, val double, tag string",
+            ),
+            d,
+            column_mapping="id",
+        )
+        v, nu, nd, ni = delta_merge(
+            spark.createDataFrame(
+                [(0, 0.5, "snap"), (1, 1.5, "snap")],
+                "eid long, val double, tag string",
+            ),
+            d,
+            keys=["eid"],
+            when_matched=[{"condition": None, "action": "update",
+                           "set": None}],
+            when_not_matched_by_source=[
+                {"condition": "tgt.val >= 4", "action": "update",
+                 "set": {"tag": "'orphan'"}},
+                {"condition": None, "action": "delete"},
+            ],
+        )
+        assert (nu, nd, ni) == (4, 2, 0)  # 2 matched + 2 orphaned
+        rows = {
+            r["eid"]: (r["val"], r["tag"])
+            for r in DeltaTable(spark, d).scan().collect()
+        }
+        assert rows == {
+            0: (0.5, "snap"), 1: (1.5, "snap"),
+            4: (4.0, "orphan"), 5: (5.0, "orphan"),
+        }
+
     def test_merge_column_mapped_table(self, spark, tmp_path):
         """Conditional arms compose with column mapping: replacement
         and insert files land under PHYSICAL names with field ids."""

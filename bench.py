@@ -410,11 +410,8 @@ def _calibration_anchors(spark) -> dict:
     # iceberg_orc, ivfpq_recall …), which tracks small-I/O/scheduler
     # LATENCY, not the shuffle or sequential-bandwidth anchors; a
     # cross-round swing confined to that class divides out here
-    import shutil as _sh
-    import statistics as _st
-    import tempfile as _tmp
+    import shutil
 
-    from pyspark.sql import functions as F
     from feature_store_spark.sources.manifest import ManifestedTable
 
     tiny = spark.range(1000).select(
@@ -423,14 +420,14 @@ def _calibration_anchors(spark) -> dict:
     lat = []
     dirs = []
     for _ in range(6):
-        d = _tmp.mkdtemp(prefix="fss-anchor-commit-")
+        d = tempfile.mkdtemp(prefix="fss-anchor-commit-")
         dirs.append(d)
         t0 = time.time()
         ManifestedTable(spark, os.path.join(d, "t")).append(tiny)
         lat.append(time.time() - t0)
     for d in dirs:
-        _sh.rmtree(d, ignore_errors=True)
-    out["commit_latency_sec"] = round(_st.median(lat[1:]), 3)
+        shutil.rmtree(d, ignore_errors=True)
+    out["commit_latency_sec"] = round(statistics.median(lat[1:]), 3)
     return out
 
 

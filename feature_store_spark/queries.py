@@ -5938,6 +5938,16 @@ def q_delta_maintenance(spark, sf_dir):
         delta_optimize(spark, scratch)
         ck_v = delta_checkpoint(spark, scratch)
         gone = delta_vacuum(spark, scratch)
+        # time-travel check FIRST, while version 1's log commit still
+        # exists: the replay succeeds and the scan fails only because
+        # VACUUM really reclaimed that version's files — checking
+        # after the log truncation below would be vacuously true
+        # (review r12)
+        tt_refuses = False
+        try:
+            DeltaTable(spark, scratch).scan(version=1).count()
+        except Exception:
+            tt_refuses = True
         # fresh reader: replays from the checkpoint (prove it by
         # removing the pre-checkpoint JSON commits from the log)
         log = _os.path.join(scratch, "_delta_log")
@@ -5948,11 +5958,6 @@ def q_delta_maintenance(spark, sf_dir):
                 _os.remove(_os.path.join(log, n))
         t = DeltaTable(spark, scratch)
         checkpoint_ok = t.latest_version() == ck_v
-        tt_refuses = False
-        try:
-            t.scan(version=1).count()  # pre-optimize files vacuumed
-        except Exception:
-            tt_refuses = True
         out = t.scan().agg(
             F.count(F.lit(1)).alias("n_keys"),
             _r6(F.sum("value_float")).alias("sum_val"),

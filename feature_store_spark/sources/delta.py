@@ -3006,7 +3006,9 @@ def delta_merge(
             ins0 = ins0.filter(F.expr(insert_condition))
         ins0 = ins0.localCheckpoint(eager=True)  # batch-bounded
         v = delta_append(ins0, table_dir, txn=txn)
-        return v, 0, 0, ins0.count()
+        n0 = ins0.count()
+        ins0.unpersist()
+        return v, 0, 0, n0
 
     t = DeltaTable(spark, table_dir)
     if txn is not None:
@@ -3014,6 +3016,39 @@ def delta_merge(
         if t.txn_version(app_id) >= int(txn_v):
             return t.latest_version(), 0, 0, 0  # redelivered: no-op
     version = t.latest_version() + 1
+    # quiet-batch short circuit (review r12): an EMPTY source can
+    # match nothing and insert nothing, so without by-source arms
+    # there is no reason to enumerate files or build the probe —
+    # record the txn watermark (one tiny commit) or no-op entirely.
+    # With by-source arms an empty frame is a legitimate empty
+    # snapshot (everything is not-matched-by-source) and runs fully.
+    src_empty = df.isEmpty()
+    if src_empty and not when_not_matched_by_source:
+        if txn is None:
+            return t.latest_version(), 0, 0, 0
+        import time as _t2
+
+        actions0 = [
+            {
+                "commitInfo": {
+                    "timestamp": int(_t2.time() * 1000),
+                    "operation": "MERGE",
+                }
+            },
+            {
+                "txn": {
+                    "appId": txn[0],
+                    "version": int(txn[1]),
+                    "lastUpdated": 0,
+                }
+            },
+        ]
+        if not _claim_commit(log_dir, version, actions0):
+            raise ConcurrentWriteError(
+                f"{table_dir}: version {version} was committed by "
+                "another writer while MERGE ran; re-read and retry"
+            )
+        return version, 0, 0, 0
     meta, _, _ = t._state(None)
     mode, map_fields = t._mapping(meta)
     tbl_parts = meta.get("partitionColumns") or []
@@ -3070,7 +3105,7 @@ def delta_merge(
     by_file: dict[str, set[int]] = {}  # kill set, both arm classes
     matched = None  # materialized matched-pair frame (the sliver)
     fired_src = None  # materialized fired by-source rows
-    if adds and when_matched:
+    if adds and when_matched and not src_empty:
         live_asm = t._assemble_live(adds, meta)
         tj = live_asm.alias("tgt").join(
             F.broadcast(df).alias("src"),
@@ -3227,7 +3262,7 @@ def delta_merge(
             F.col("__arm").isin(list(src_upd_arms))
         ).select(*rep2)
         to_stage = r2 if to_stage is None else to_stage.unionByName(r2)
-    if insert:
+    if insert and not src_empty:
         ins = df.alias("src")
         if matched is not None:
             # matched source keys ≤ the batch's own key count — the
@@ -3293,6 +3328,13 @@ def delta_merge(
         )
         actions.extend(staged)
     n_inserted = n_staged - n_updated
+    # the materialized probe frames are fully consumed once staging
+    # is done — release BEFORE the claim, so a ConcurrentWriteError
+    # retry loop can't accumulate checkpointed blocks (review r12)
+    if matched is not None:
+        matched.unpersist()
+    if fired_src is not None:
+        fired_src.unpersist()
     if len(actions) == 1 and txn is None:
         return t.latest_version(), 0, 0, 0  # true no-op: don't churn
     if txn is not None:
@@ -3310,10 +3352,6 @@ def delta_merge(
             f"{table_dir}: version {version} was committed by another "
             "writer while MERGE ran; re-read and retry"
         )
-    if matched is not None:
-        matched.unpersist()
-    if fired_src is not None:
-        fired_src.unpersist()
     return version, n_updated, n_deleted, n_inserted
 
 

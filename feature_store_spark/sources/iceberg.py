@@ -1848,12 +1848,6 @@ class IcebergTable:
             for f in self.schema_fields()
             if not isinstance(f["type"], str)
         ]
-        if nested and chain:
-            raise NotImplementedError(
-                f"{self.path}: change feed over a schema with nested "
-                f"columns {nested} — the per-file resolver carries "
-                "primitives only"
-            )
         names_by_id = {f["id"]: f["name"] for f in prims}
 
         def tag(df: DataFrame, kind: str, sid: int) -> DataFrame:
@@ -1954,6 +1948,22 @@ class IcebergTable:
                         filters.extend(
                             [(c, ">=", lo), (c, "<=", hi)]
                         )
+                if not filters:
+                    # key bounds unusable (timestamp/decimal/binary
+                    # keys, or all-NULL): candidates fall back to
+                    # every lower-sequence retained file — say so
+                    # instead of silently degrading the docstring's
+                    # file-bounded promise (review r12)
+                    import warnings
+
+                    warnings.warn(
+                        f"{self.path}: changelog equality-delete key "
+                        f"bounds over {cols} are not stats-prunable; "
+                        "delete candidates widen to every "
+                        "lower-sequence retained data file",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 max_seq = max(d["sequence_number"] for d in eq_new)
                 cand_src = (
                     self.data_files(prev, filters)
@@ -1982,6 +1992,17 @@ class IcebergTable:
                     f"{self.path}: change feed touches non-parquet "
                     f"data files (e.g. {bad_fmt[0]!r}) — the "
                     "resolver lane is parquet-only"
+                )
+            # nested columns refuse only when this transition
+            # actually reads rows (pure-metadata transitions feed
+            # nothing and need no row decode) — review r12: the
+            # blanket refusal contradicted the docstring's
+            # touched-transition scoping
+            if nested and (added or cand):
+                raise NotImplementedError(
+                    f"{self.path}: change feed over a schema with "
+                    f"nested columns {nested} — the per-file "
+                    "resolver carries primitives only"
                 )
             # ---- inserts: live rows of the added files at s
             if added:

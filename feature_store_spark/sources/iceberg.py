@@ -1851,10 +1851,15 @@ class IcebergTable:
         names_by_id = {f["id"]: f["name"] for f in prims}
 
         def tag(df: DataFrame, kind: str, sid: int) -> DataFrame:
+            # explicit long: a bare F.lit(int) types as INT for ids
+            # < 2^31 while the empty-feed branch casts to long — the
+            # column's type must not vary with the result (ADVICE r12)
             return (
                 df.drop("__fp", "__pos")
                 .withColumn("_change_type", F.lit(kind))
-                .withColumn("_snapshot_id", F.lit(int(sid)))
+                .withColumn(
+                    "_snapshot_id", F.lit(int(sid)).cast("long")
+                )
             )
 
         out: DataFrame | None = None
@@ -1898,6 +1903,28 @@ class IcebergTable:
                     )
                 prev = sid
                 continue
+            # a NON-replace snapshot that DROPS a delete file while
+            # retaining its target data files RESURRECTS rows (dead
+            # at parent, live at s) — inserts below are computed only
+            # from ADDED data files, so the feed would silently omit
+            # them. No in-repo writer emits this shape; refuse rather
+            # than feed wrong rows (ADVICE r12).
+            ds_sfx = {
+                _path_suffix(d["path"]) for d in dels_s
+            }
+            gone_dels = [
+                d
+                for d in dels_p
+                if _path_suffix(d["path"]) not in ds_sfx
+            ]
+            if gone_dels:
+                raise NotImplementedError(
+                    f"{self.path}: snapshot {sid} ({op!r}) removes "
+                    f"delete file(s) "
+                    f"{[_path_suffix(d['path']) for d in gone_dels[:3]]}"
+                    " outside a replace — rows they killed would "
+                    "resurrect without appearing as feed inserts"
+                )
             touched = added + removed
             frames: list[DataFrame] = []
             # ---- delete candidates: removed + retained-but-targeted

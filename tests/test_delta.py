@@ -2519,6 +2519,78 @@ class TestIcebergChanges:
         with pytest.raises(ValueError, match="not in the log"):
             t.changes(999999)
 
+    def test_snapshot_id_schema_is_long_empty_or_not(
+        self, spark, tmp_path
+    ):
+        """_snapshot_id must be LONG whether the feed is empty or
+        not — a schema that varies with the result breaks consumers
+        that cache/compare schemas (ADVICE r12)."""
+        from feature_store_spark.sources.iceberg import IcebergTable
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_append,
+        )
+
+        d = str(tmp_path / "icl")
+        s1 = iceberg_append(self._frame(spark, 0, 5), d)
+        s2 = iceberg_append(self._frame(spark, 5, 8), d)
+        t = IcebergTable(spark, d)
+        full = dict(t.changes(s1).dtypes)
+        empty = dict(t.changes(s2).dtypes)
+        assert full["_snapshot_id"] == "bigint"
+        assert empty["_snapshot_id"] == "bigint"
+        assert full == empty
+
+    def test_removed_delete_file_refuses(self, spark, tmp_path):
+        """A non-replace snapshot that DROPS a delete file while
+        retaining its target data files resurrects rows the feed
+        cannot represent — it must refuse, never silently omit the
+        resurrected rows (ADVICE r12)."""
+        import os
+
+        from feature_store_spark.sources.iceberg import IcebergTable
+        from feature_store_spark.sources.iceberg_write import (
+            MANIFEST_LIST_SCHEMA,
+            _load_prev,
+            _publish_metadata,
+            iceberg_append,
+            iceberg_upsert,
+            write_avro,
+        )
+
+        d = str(tmp_path / "icd")
+        s1 = iceberg_append(self._frame(spark, 0, 10), d)
+        iceberg_upsert(
+            self._frame(spark, 1, 3, mult=100.0), d,
+            keys=["entity_id"],
+        )
+        # hand-craft a foreign 'overwrite' snapshot whose manifest
+        # list keeps every DATA manifest but drops the delete
+        # manifest (rows 1,2 would resurrect)
+        meta_dir = os.path.join(d, "metadata")
+        prev_meta, prev_manifests, next_v = _load_prev(meta_dir)
+        keep = [m for m in prev_manifests if not m.get("content")]
+        assert len(keep) < len(prev_manifests)  # a delete manifest existed
+        mlist = os.path.join(meta_dir, f"snap-{next_v}-test.avro")
+        write_avro(mlist, MANIFEST_LIST_SCHEMA, keep, codec="deflate")
+        snap = {
+            "snapshot-id": next_v,
+            "timestamp-ms": 1700000000000 + next_v,
+            "sequence-number": next_v,
+            "summary": {"operation": "overwrite"},
+            "manifest-list": mlist,
+            "parent-snapshot-id": prev_meta["current-snapshot-id"],
+            "schema-id": prev_meta.get("current-schema-id", 0),
+        }
+        meta = dict(prev_meta)
+        meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [snap]
+        meta["current-snapshot-id"] = next_v
+        meta["last-sequence-number"] = next_v
+        _publish_metadata(meta_dir, next_v, meta)
+        with pytest.raises(
+            NotImplementedError, match="removes delete file"
+        ):
+            IcebergTable(spark, d).changes(s1).count()
+
 
 def test_cdf_over_restore_emits_resurrections(spark, tmp_path):
     """delta_changes over a RESTORE commit: rows un-deleted by the DV

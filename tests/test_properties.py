@@ -1500,3 +1500,68 @@ def test_incremental_heavy_hitters_coverage_property(
             assert item in got, (item, c, n, k, got)
     for item, c in got.items():
         assert c <= true[item]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    stems=st.sets(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=0x20,
+                max_codepoint=0x2FA1F,  # incl. astral-plane CJK
+                blacklist_categories=("Cs",),
+            ),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    pad=st.integers(min_value=200, max_value=400),
+)
+def test_delta_merge_long_unicode_keys_never_miss_match(
+    spark, tmp_path_factory, stems, pad
+):
+    """_add_might_match prunes candidate files by the staged footer
+    min/max stats; the probe is only sound because those stats are
+    EXACT (ADVICE r12 pins the invariant). Long multi-byte unicode
+    keys are exactly where a prefix-truncated max would hide a
+    matching key and turn an UPDATE into a duplicate INSERT — so:
+    for ANY set of long unicode keys, a full-key merge updates every
+    row and never duplicates."""
+    from feature_store_spark.sources.delta import (
+        DeltaTable,
+        delta_append,
+        delta_merge,
+    )
+
+    keys = sorted(s * (pad // max(len(s), 1) + 1) for s in stems)
+    d = str(tmp_path_factory.mktemp("unikey") / "t")
+    delta_append(
+        spark.createDataFrame(
+            [(k, 1.0) for k in keys], "kid string, val double"
+        ),
+        d,
+    )
+    delta_merge(
+        spark.createDataFrame(
+            [(k, 10.0) for k in keys], "kid string, val double"
+        ),
+        d,
+        keys=["kid"],
+        when_matched=[
+            {
+                "condition": None,
+                "action": "update",
+                "set": {"val": "tgt.val + src.val"},
+            }
+        ],
+    )
+    got = {
+        r["kid"]: r["val"] for r in DeltaTable(spark, d).scan().collect()
+    }
+    assert got == {k: 11.0 for k in keys}

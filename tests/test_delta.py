@@ -2832,3 +2832,206 @@ def test_cdf_full_chain_upsert_delete_restore(spark, tmp_path):
     assert {(r["eid"], r["val"]) for r in t.scan().collect()} == {
         (i, float(i)) for i in range(12)
     }
+
+
+class TestWriterFeatureGate:
+    """Write-side protocol allowlist (VERDICT r12 next #4): every
+    commit verb refuses unknown writerFeatures, mutating verbs refuse
+    append-only tables, CHECK constraints are enforced on landed
+    rows, and declared invariants/generated/identity columns refuse
+    (this writer evaluates none of them)."""
+
+    def _base(self, spark):
+        return spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "eid long, val double"
+        )
+
+    def test_append_only_mutating_verbs_refuse(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import (
+            delta_append,
+            delta_delete_where,
+            delta_merge,
+            delta_restore,
+            delta_upsert,
+        )
+
+        d = str(tmp_path / "ao")
+        delta_append(
+            self._base(spark), d,
+            properties={"delta.appendOnly": "true"},
+        )
+        # append proceeds
+        delta_append(
+            spark.createDataFrame([(3, 30.0)], "eid long, val double"),
+            d,
+        )
+        batch = spark.createDataFrame(
+            [(1, 99.0)], "eid long, val double"
+        )
+        with pytest.raises(ValueError, match="append-only"):
+            delta_upsert(batch, d, keys=["eid"])
+        with pytest.raises(ValueError, match="append-only"):
+            delta_merge(
+                batch, d, keys=["eid"],
+                when_matched=[
+                    {"condition": None, "action": "update", "set": None}
+                ],
+            )
+        with pytest.raises(ValueError, match="append-only"):
+            delta_delete_where(spark, d, [("eid", "=", 1)])
+        with pytest.raises(ValueError, match="append-only"):
+            delta_restore(spark, d, 0)
+
+    def test_check_constraints_enforced(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import (
+            DeltaTable,
+            delta_append,
+            delta_merge,
+            delta_upsert,
+        )
+
+        d = str(tmp_path / "ck")
+        delta_append(
+            self._base(spark), d,
+            properties={"delta.constraints.positive": "val > 0"},
+        )
+        # valid rows land; NULL does not violate (SQL CHECK: only
+        # FALSE fails)
+        delta_append(
+            spark.createDataFrame(
+                [(3, 5.0), (4, None)], "eid long, val double"
+            ),
+            d,
+        )
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            delta_append(
+                spark.createDataFrame(
+                    [(5, -1.0)], "eid long, val double"
+                ),
+                d,
+            )
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            delta_upsert(
+                spark.createDataFrame(
+                    [(1, -7.0)], "eid long, val double"
+                ),
+                d,
+                keys=["eid"],
+            )
+        # a merge whose SET produces a violating value refuses too
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            delta_merge(
+                spark.createDataFrame(
+                    [(1, 10.0)], "eid long, val double"
+                ),
+                d,
+                keys=["eid"],
+                when_matched=[
+                    {
+                        "condition": None,
+                        "action": "update",
+                        "set": {"val": "tgt.val - 100.0"},
+                    }
+                ],
+            )
+        # the refused commits left no partial state
+        assert DeltaTable(spark, d).scan().count() == 4
+
+    def test_unknown_writer_feature_refuses_all_verbs(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from feature_store_spark.sources.delta import (
+            DeltaTable,
+            _claim_commit,
+            delta_append,
+            delta_delete_where,
+            delta_optimize,
+            delta_upsert,
+        )
+
+        d = str(tmp_path / "wf")
+        delta_append(self._base(spark), d)
+        # a foreign writer upgrades the table to a feature we don't
+        # implement (rowTracking obliges fresh row ids per added row)
+        t = DeltaTable(spark, d)
+        prev = t._protocol(None)
+        assert _claim_commit(
+            os.path.join(d, "_delta_log"),
+            t.latest_version() + 1,
+            [
+                {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+                {
+                    "protocol": {
+                        "minReaderVersion": prev.get(
+                            "minReaderVersion", 1
+                        ),
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["rowTracking"],
+                    }
+                },
+            ],
+        )
+        row = spark.createDataFrame([(9, 9.0)], "eid long, val double")
+        with pytest.raises(NotImplementedError, match="rowTracking"):
+            delta_append(row, d)
+        with pytest.raises(NotImplementedError, match="rowTracking"):
+            delta_upsert(row, d, keys=["eid"])
+        with pytest.raises(NotImplementedError, match="rowTracking"):
+            delta_delete_where(spark, d, [("eid", "=", 1)])
+        with pytest.raises(NotImplementedError, match="rowTracking"):
+            delta_optimize(spark, d)
+        # reading is unaffected (writer-only feature)
+        assert DeltaTable(spark, d).scan().count() == 2
+
+    def test_generated_and_invariant_columns_refuse(
+        self, spark, tmp_path
+    ):
+        import json as _json
+        import os
+
+        from feature_store_spark.sources.delta import (
+            DeltaTable,
+            _claim_commit,
+            delta_append,
+        )
+
+        d = str(tmp_path / "gen")
+        delta_append(self._base(spark), d)
+        t = DeltaTable(spark, d)
+        meta, _, _ = t._state(None)
+        sj = _json.loads(meta["schemaString"])
+        sj["fields"][1]["metadata"] = {
+            "delta.generationExpression": "eid * 2"
+        }
+        new_meta = {
+            k: v
+            for k, v in meta.items()
+            if k
+            in (
+                "id",
+                "format",
+                "schemaString",
+                "partitionColumns",
+                "configuration",
+            )
+        }
+        new_meta["schemaString"] = _json.dumps(sj)
+        assert _claim_commit(
+            os.path.join(d, "_delta_log"),
+            t.latest_version() + 1,
+            [
+                {"commitInfo": {"timestamp": 0, "operation": "ALTER"}},
+                {"metaData": new_meta},
+            ],
+        )
+        with pytest.raises(
+            NotImplementedError, match="generated column"
+        ):
+            delta_append(
+                spark.createDataFrame(
+                    [(9, 18.0)], "eid long, val double"
+                ),
+                d,
+            )

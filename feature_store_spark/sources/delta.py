@@ -3020,32 +3020,35 @@ def _dv_merge_actions(
 
 
 def _validate_merge_arms(
-    arms: list[dict], keys: list[str], label: str
+    arms: list[dict], keys: list[str], label: str,
+    verb: str = "delta_merge",
 ) -> tuple[dict[int, dict | None], set[int]]:
     """Shape-check an ordered arm list (matched or
     not-matched-by-source): actions, the last-arm-only unconditional
     rule, delete-with-set, SET-on-merge-key. Returns
     ``({arm_index: set_map_or_None_for_SET*}, {delete_arm_indexes})``
-    with 1-based indexes."""
+    with 1-based indexes. Shared by delta_merge and iceberg_merge —
+    the arm MODEL is format-independent; only the kill physics
+    (positional DVs vs equality deletes) differs."""
     upd: dict[int, dict | None] = {}
     dels: set[int] = set()
     for i, arm in enumerate(arms, start=1):
         action = arm.get("action")
         if action not in ("update", "delete"):
             raise ValueError(
-                f"delta_merge: {label} arm {i} action must be "
+                f"{verb}: {label} arm {i} action must be "
                 f"'update' or 'delete', got {action!r}"
             )
         if arm.get("condition") is None and i != len(arms):
             raise ValueError(
-                f"delta_merge: {label} arm {i} has no condition but "
+                f"{verb}: {label} arm {i} has no condition but "
                 "is not the last arm — it would shadow every arm "
                 "after it (Delta's MERGE rule)"
             )
         if action == "delete":
             if arm.get("set"):
                 raise ValueError(
-                    f"delta_merge: {label} arm {i} is a delete — "
+                    f"{verb}: {label} arm {i} is a delete — "
                     "'set' is meaningless"
                 )
             dels.add(i)
@@ -3055,7 +3058,7 @@ def _validate_merge_arms(
                 bad = sorted(set(s) & set(keys))
                 if bad:
                     raise ValueError(
-                        f"delta_merge: {label} arm {i} SETs merge "
+                        f"{verb}: {label} arm {i} SETs merge "
                         f"key(s) {bad} — rewriting the match key "
                         "under a merge is ambiguous"
                     )

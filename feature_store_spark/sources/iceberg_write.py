@@ -767,6 +767,8 @@ def iceberg_append(
     partition_spec: list[tuple[str, str]] | None = None,
     sort_by: list[str] | None = None,
     sort_files: int | None = None,
+    delete_keys_df: DataFrame | None = None,
+    allow_empty: bool = False,
 ) -> int:
     """Append ``df`` to (or create) an Iceberg v2 table partitioned
     identity(entity_col) + day(ts_col) — the reference's offline-store
@@ -825,6 +827,17 @@ def iceberg_append(
     exactly-once handshake Structured Streaming's foreachBatch needs
     (the Flink Iceberg sink stores its checkpoint id the same way).
 
+    ``delete_keys_df`` (requires ``upsert_keys``) decouples the
+    equality-delete tuples from ``df``: the delete file is written
+    from ``delete_keys_df``'s distinct key tuples instead of the
+    batch's — the MERGE shape, where only the keys whose arms FIRED
+    die while ``df`` carries the replacement + insert rows (which may
+    be EMPTY for a pure-delete merge: the snapshot then carries only
+    the delete manifest). A commit with neither data files nor delete
+    entries refuses unless ``txn`` must be recorded (the exactly-once
+    watermark of a quiet micro-batch commits metadata only, with the
+    prior manifests carried forward unchanged).
+
     ``replace=True`` commits a REPLACE snapshot: the new manifest
     list carries ONLY this commit's manifests (prior data and delete
     files leave the current view but stay reachable for time travel
@@ -870,6 +883,19 @@ def iceberg_append(
     for k in upsert_keys or []:
         if k not in by_name:
             raise ValueError(f"upsert key {k!r} is not in the schema")
+    if delete_keys_df is not None:
+        if not upsert_keys:
+            raise ValueError(
+                "delete_keys_df requires upsert_keys (the key "
+                "columns name the equality-delete field ids)"
+            )
+        missing = [
+            k for k in upsert_keys if k not in delete_keys_df.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"delete_keys_df lacks key column(s) {missing}"
+            )
     if partition_spec is None:
         if entity_col not in by_name or ts_col not in by_name:
             raise ValueError("entity/ts columns must be in the schema")
@@ -1014,6 +1040,13 @@ def iceberg_append(
             )
     entries = []
     for fpath, (n, lowers, uppers) in zip(paths, stats):
+            if n == 0:
+                # an empty staged frame can still leave one zero-row
+                # part file — never commit it (junk scan overhead);
+                # iceberg_merge relies on this to commit pure-delete
+                # snapshots with no data manifest
+                os.remove(fpath)
+                continue
             # dir segments are hive-escaped by Spark's writer; the
             # manifest must record the REAL partition value
             parts = parse_partition_segs(
@@ -1049,19 +1082,23 @@ def iceberg_append(
                     },
                 }
             )
-    if not entries:
-        raise ValueError("append produced no data files")
+    if not entries and replace:
+        # a REPLACE whose new manifest list is empty would wipe the
+        # table view — rewrite callers always re-land live rows
+        raise ValueError("replace produced no data files")
 
-    mschema = manifest_schema(
-        [{"name": p["name"], "avro": p["avro"]} for p in pspec]
-    )
-    # uuid'd names (what real Iceberg writers emit): a commit that
-    # loses the metadata race must never have clobbered a rival's
-    # manifest files — losers leave only orphans
-    mpath = os.path.join(
-        meta_dir, f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
-    )
-    write_avro(mpath, mschema, entries, codec="deflate")
+    mpath = None
+    if entries:
+        mschema = manifest_schema(
+            [{"name": p["name"], "avro": p["avro"]} for p in pspec]
+        )
+        # uuid'd names (what real Iceberg writers emit): a commit
+        # that loses the metadata race must never have clobbered a
+        # rival's manifest files — losers leave only orphans
+        mpath = os.path.join(
+            meta_dir, f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.avro"
+        )
+        write_avro(mpath, mschema, entries, codec="deflate")
 
     delete_manifests: list[dict] = []
     if upsert_keys:
@@ -1077,7 +1114,8 @@ def iceberg_append(
         # "Equality Delete Files") — attach parquet.field.id metadata
         # so external runtimes can apply these deletes, same as the
         # Delta id-mode writer (ADVICE r8).
-        df.select(
+        del_src = delete_keys_df if delete_keys_df is not None else df
+        del_src.select(
             *[
                 F.col(k).alias(
                     k,
@@ -1145,44 +1183,67 @@ def iceberg_append(
                     "partitions": None,
                 }
             )
-    part_summaries = []
-    for p in pspec:
-        vals = [e["data_file"]["partition"][p["name"]] for e in entries]
-        nn = [v for v in vals if v is not None]
-        part_summaries.append(
+    data_manifests: list[dict] = []
+    if entries:
+        part_summaries = []
+        for p in pspec:
+            vals = [
+                e["data_file"]["partition"][p["name"]] for e in entries
+            ]
+            nn = [v for v in vals if v is not None]
+            part_summaries.append(
+                {
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": None,
+                    "lower_bound": (
+                        _encode_bound(p["value_type"], min(nn))
+                        if nn
+                        else None
+                    ),
+                    "upper_bound": (
+                        _encode_bound(p["value_type"], max(nn))
+                        if nn
+                        else None
+                    ),
+                }
+            )
+        data_manifests.append(
             {
-                "contains_null": any(v is None for v in vals),
-                "contains_nan": None,
-                "lower_bound": (
-                    _encode_bound(p["value_type"], min(nn)) if nn else None
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": snap_id,
+                "min_sequence_number": snap_id,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
                 ),
-                "upper_bound": (
-                    _encode_bound(p["value_type"], max(nn)) if nn else None
-                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": part_summaries,
             }
         )
-    manifest_rec = {
-        "manifest_path": mpath,
-        "manifest_length": os.path.getsize(mpath),
-        "partition_spec_id": 0,
-        "content": 0,
-        "sequence_number": snap_id,
-        "min_sequence_number": snap_id,
-        "added_snapshot_id": snap_id,
-        "added_files_count": len(entries),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": sum(
-            e["data_file"]["record_count"] for e in entries
-        ),
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-        "partitions": part_summaries,
-    }
+    if not data_manifests and not delete_manifests and txn is None:
+        # nothing landed, nothing died, no watermark to record — an
+        # empty snapshot would churn the log for nothing.
+        # allow_empty (iceberg_merge's no-op lane) returns the
+        # CURRENT snapshot instead of raising
+        import shutil as _sh
+
+        _sh.rmtree(staging, ignore_errors=True)
+        if allow_empty:
+            return int(
+                (prev_meta or {}).get("current-snapshot-id") or 0
+            )
+        raise ValueError("append produced no data files")
     if replace:
-        manifests = delete_manifests + [manifest_rec]
+        manifests = delete_manifests + data_manifests
     else:
-        manifests = prev_manifests + delete_manifests + [manifest_rec]
+        manifests = prev_manifests + delete_manifests + data_manifests
     mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
     write_avro(mlist, MANIFEST_LIST_SCHEMA, manifests, codec="deflate")
 
@@ -1605,6 +1666,601 @@ def iceberg_upsert(
         file_format=file_format,
         partition_spec=partition_spec,
     )
+
+
+def _enforce_iceberg_merge_schema(
+    table_dir: str,
+    cur_fields: list[dict],
+    df: DataFrame,
+    keys: list[str],
+    allow_new: bool = False,
+) -> list[str]:
+    """Schema ENFORCEMENT for iceberg_merge, the
+    :func:`feature_store_spark.sources.delta._enforce_merge_schema`
+    twin on Iceberg type strings: the source must carry every table
+    column at the same Iceberg type (INSERT * / UPDATE SET * need the
+    full row); ``allow_new`` (``evolve=True``) returns source columns
+    UNKNOWN to the table (df column order) for the commit to add via
+    schema evolution. Type changes and missing columns always
+    refuse."""
+    cur_types = {f["name"]: f["type"] for f in cur_fields}
+    new_types = {
+        f["name"]: f["type"] for f in _infer_fields(df)
+    }
+    mismatched = sorted(
+        n
+        for n in new_types
+        if n in cur_types and new_types[n] != cur_types[n]
+    )
+    absent = sorted(n for n in cur_types if n not in new_types)
+    unknown = [c for c in df.columns if c not in cur_types]
+    if mismatched or absent or (unknown and not allow_new):
+        raise ValueError(
+            f"{table_dir}: merge source schema deviates from the "
+            f"table (type changes: {mismatched}, missing: {absent}, "
+            f"unknown: {sorted(unknown)}) — MERGE enforces the "
+            "schema; evolve via iceberg_merge(evolve=True)"
+        )
+    bad_keys = [k for k in keys if k not in cur_types]
+    if bad_keys:
+        raise ValueError(
+            f"{table_dir}: key column(s) {bad_keys} not in the table "
+            "schema"
+        )
+    return unknown
+
+
+def iceberg_merge(
+    df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    when_matched: list[dict] | None = None,
+    insert: bool = True,
+    insert_condition: str | None = None,
+    when_not_matched_by_source: list[dict] | None = None,
+    evolve: bool = False,
+    txn: tuple[str, int] | None = None,
+    entity_col: str = "entity_type",
+    ts_col: str = "event_time",
+    file_format: str = "parquet",
+    partition_spec: list[tuple[str, str]] | None = None,
+) -> tuple[int, int, int, int]:
+    """Conditional / partial-column MERGE as ONE Iceberg snapshot —
+    the general form of :func:`iceberg_upsert` (which stays the
+    full-row fast path), at arm parity with
+    :func:`feature_store_spark.sources.delta.delta_merge` (VERDICT
+    r12 next #1; the reference's offline store IS Iceberg —
+    IcebergOfflineStore.java:78-114 — so the CDC verbs belong on this
+    format too). Arm semantics are Delta MERGE's, shared through one
+    validator: ``when_matched`` is an ORDERED arm list
+    (``{"condition": sql|None, "action": "update"|"delete",
+    "set": {col: sql}|None}``) where the first true condition fires
+    (SQL null-as-false), ``set`` updates only the named columns
+    (every other column keeps the TARGET value), ``set=None`` is
+    ``UPDATE SET *``, and only the last arm may omit its condition;
+    ``insert``/``insert_condition`` add the WHEN NOT MATCHED INSERT
+    arm; ``when_not_matched_by_source`` arms (conditions/SETs over
+    ``tgt.*`` only) apply to live target rows whose key the batch
+    lacks — the full-snapshot-sync verb, inherently O(live target).
+    ``evolve=True`` appends source columns unknown to the table as
+    nullable columns in the same commit; rows the merge does not
+    rewrite read NULL for them.
+
+    Physics is merge-on-read EQUALITY deletes, not Delta's positional
+    DVs: the snapshot carries ONE global equality-delete file holding
+    exactly the key tuples whose arms FIRED (written by executors
+    straight from the fired-key DataFrame — never collected to the
+    driver, unlike delta_merge's position sliver) plus new data files
+    with the replacement, carried and inserted rows. The spec's
+    sequencing rule kills every older row of a fired key table-wide;
+    rows of UNFIRED keys survive in place, untouched and unwritten.
+    Because the equality delete is key-granular (a positional DV is
+    row-granular), a fired key whose target holds EXTRA live rows
+    that fired NO arm would lose them — those siblings are CARRIED:
+    re-landed verbatim in the new data files (counted in neither
+    updated nor inserted). Keyed CDC tables have no siblings and
+    carry nothing.
+
+    Scale shape: the match probe broadcasts the batch against a
+    target scan pruned by per-key min/max manifest stats (one
+    aggregate over the batch supplies bounds + the duplicate-key
+    refusal + emptiness — a single driver round-trip); arm predicates
+    and SET expressions are Catalyst expressions inside the one probe
+    join; by-source arms anti-join the full live scan against the
+    broadcast batch key set (no smaller correct read exists).
+
+    Refusals: duplicate source key tuples, SET on a merge key, SET of
+    an unknown column, non-last unconditional arm, by-source update
+    arms without an explicit SET, schema drift (unless ``evolve``),
+    lost metadata race (via _publish_metadata).
+
+    ``txn=(app_id, batch_id)`` gives exactly-once redelivery no-op
+    (snapshot-summary high-water mark, same handshake as
+    iceberg_append); a quiet batch that must advance the watermark
+    commits metadata only.
+
+    Returns ``(snapshot_id, n_updated, n_deleted, n_inserted)``; a
+    merge where nothing fires and nothing inserts (and no txn needs
+    recording) commits nothing and returns the current snapshot."""
+    from pyspark.sql import Window
+
+    from feature_store_spark.sources.delta import _validate_merge_arms
+    from feature_store_spark.sources.iceberg import IcebergTable
+
+    when_matched = list(when_matched or [])
+    when_not_matched_by_source = list(when_not_matched_by_source or [])
+    if not keys:
+        raise ValueError("iceberg_merge: keys must be non-empty")
+    if not when_matched and not insert and not when_not_matched_by_source:
+        raise ValueError(
+            "iceberg_merge: no matched arms, no by-source arms and "
+            "insert=False — the merge can never change anything"
+        )
+    missing_keys = [k for k in keys if k not in df.columns]
+    if missing_keys:
+        raise ValueError(
+            f"iceberg_merge: key column(s) {missing_keys} not in the "
+            f"source frame (columns: {df.columns})"
+        )
+    upd_arms, del_arms = _validate_merge_arms(
+        when_matched, keys, "matched", verb="iceberg_merge"
+    )
+    src_upd_arms, src_del_arms = _validate_merge_arms(
+        when_not_matched_by_source, keys, "by-source",
+        verb="iceberg_merge",
+    )
+    for i, s in upd_arms.items():
+        unknown = sorted(set(s or {}) - set(df.columns))
+        if unknown:
+            raise ValueError(
+                f"iceberg_merge: matched arm {i} SETs unknown "
+                f"column(s) {unknown}"
+            )
+    none_sets = sorted(i for i, s in src_upd_arms.items() if s is None)
+    if none_sets:
+        raise ValueError(
+            f"iceberg_merge: by-source update arm(s) {none_sets} "
+            "need an explicit 'set' — there is no source row for "
+            "SET *"
+        )
+    spark = df.sparkSession
+    meta_dir = os.path.join(table_dir, "metadata")
+    prev_meta, _pm, _nv = _load_prev(meta_dir)
+
+    # ONE aggregate over the batch: duplicate-key refusal (which
+    # row's arms win is undefined), emptiness, and the per-key
+    # min/max bounds the scan pruning wants (delta_merge's r13 shape)
+    kb = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.max("__n").alias("__maxn"),
+            F.count(F.lit(1)).alias("__nkeys"),
+            *[F.min(k).alias(f"__lo_{i}") for i, k in enumerate(keys)],
+            *[F.max(k).alias(f"__hi_{i}") for i, k in enumerate(keys)],
+        )
+        .first()
+    )
+    if (kb["__maxn"] or 0) > 1:
+        dup = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        kv = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"iceberg_merge: source has multiple rows for key {kv} "
+            "— MERGE cannot decide which one wins; de-duplicate the "
+            "batch first"
+        )
+    src_empty = int(kb["__nkeys"] or 0) == 0
+
+    if prev_meta is None:
+        # everything is NOT MATCHED: CREATE + the insert arm only
+        if not insert:
+            raise ValueError(
+                f"iceberg_merge: {table_dir} does not exist and "
+                "insert=False — nothing to merge into"
+            )
+        ins0 = df.alias("src")  # insert_condition speaks src.*
+        if insert_condition is not None:
+            ins0 = ins0.filter(F.expr(insert_condition))
+        ins0 = ins0.localCheckpoint(eager=True)
+        try:
+            n0 = ins0.count()
+            snap = iceberg_append(
+                ins0,
+                table_dir,
+                entity_col=entity_col,
+                ts_col=ts_col,
+                txn=txn,
+                file_format=file_format,
+                partition_spec=partition_spec,
+                allow_empty=True,
+            )
+        finally:
+            ins0.unpersist()
+        return snap, 0, 0, n0
+
+    cur_snap = int(prev_meta.get("current-snapshot-id") or 0)
+    if txn is not None:
+        app_id, batch_id = txn
+        if iceberg_txn_version(table_dir, app_id) >= int(batch_id):
+            return cur_snap, 0, 0, 0  # redelivered batch: no-op
+
+    t = IcebergTable(spark, table_dir)
+    cur_fields = t.schema_fields()
+    added = _enforce_iceberg_merge_schema(
+        table_dir, cur_fields, df, keys, allow_new=evolve
+    )
+    spark_type_of = {f.name: f.dataType for f in df.schema.fields}
+    old_cols = [f["name"] for f in cur_fields]
+    tbl_cols = old_cols + added
+
+    def _tgt_col(c: str):
+        # target value of a column: typed NULL for columns the
+        # evolution adds in this very commit
+        if c in added:
+            return F.lit(None).cast(spark_type_of[c])
+        return F.col(f"tgt.{c}")
+
+    # quiet-batch short circuit: an empty source without by-source
+    # arms changes nothing — no-op, or a metadata-only watermark
+    if src_empty and not when_not_matched_by_source:
+        if txn is None:
+            return cur_snap, 0, 0, 0
+        snap = iceberg_append(
+            df.limit(0),
+            table_dir,
+            entity_col=entity_col,
+            ts_col=ts_col,
+            txn=txn,
+            file_format=file_format,
+            partition_spec=partition_spec,
+            allow_empty=True,
+        )
+        return snap, 0, 0, 0
+
+    filters: list[tuple] = []
+    for i, k in enumerate(keys):
+        lo, hi = kb[f"__lo_{i}"], kb[f"__hi_{i}"]
+        if lo is not None and hi is not None and not isinstance(
+            lo, (bytes, bytearray)
+        ):
+            filters.extend([(k, ">=", lo), (k, "<=", hi)])
+
+    def _isin(col, idx):
+        return col.isin(list(idx)) if idx else F.lit(False)
+
+    n_up = n_del = n_carry = n_up2 = n_del2 = n_carry2 = 0
+    kill_frames: list[DataFrame] = []
+    stage_frames: list[DataFrame] = []
+    matched = None
+    fired_src = None
+    carried2 = None
+    try:
+        if when_matched and not src_empty:
+            live = t.scan(filters=filters or None)
+            tj = live.alias("tgt").join(
+                F.broadcast(df).alias("src"),
+                on=[
+                    F.col(f"tgt.{k}") == F.col(f"src.{k}")
+                    for k in keys
+                ],
+                how="inner",
+            )
+            arm_sel = None
+            for i, arm in enumerate(when_matched, start=1):
+                cond = (
+                    F.expr(arm["condition"])
+                    if arm.get("condition") is not None
+                    else F.lit(True)
+                )
+                arm_sel = (
+                    F.when(cond, F.lit(i))
+                    if arm_sel is None
+                    else arm_sel.when(cond, F.lit(i))
+                )
+            sel = [F.col(f"tgt.{k}").alias(k) for k in keys]
+            sel.append(arm_sel.otherwise(F.lit(0)).alias("__arm"))
+            for c in tbl_cols:
+                sel.append(_tgt_col(c).alias(f"__t_{c}"))
+                sel.append(F.col(f"src.{c}").alias(f"__s_{c}"))
+            for i, s in upd_arms.items():
+                for c, e in (s or {}).items():
+                    sel.append(F.expr(e).alias(f"__a{i}_{c}"))
+            # the sliver: ALL key-matched pairs (fired or not — a
+            # matched source row is consumed even when no arm
+            # fires), batch-bounded. The per-key window marks keys
+            # with ANY fired row so unfired SIBLING rows of a fired
+            # key can be carried (the equality delete kills the
+            # whole key).
+            w = Window.partitionBy(*keys)
+            matched = (
+                tj.select(*sel)
+                .withColumn(
+                    "__fired",
+                    F.max((F.col("__arm") > 0).cast("int")).over(w),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cnt = matched.agg(
+                F.sum(
+                    _isin(F.col("__arm"), upd_arms).cast("long")
+                ).alias("u"),
+                F.sum(
+                    _isin(F.col("__arm"), del_arms).cast("long")
+                ).alias("d"),
+                F.sum(
+                    (
+                        (F.col("__arm") == 0) & (F.col("__fired") == 1)
+                    ).cast("long")
+                ).alias("c"),
+            ).first()
+            n_up, n_del = int(cnt["u"] or 0), int(cnt["d"] or 0)
+            n_carry = int(cnt["c"] or 0)
+            if n_up or n_del:
+                kill_frames.append(
+                    matched.filter(F.col("__arm") > 0).select(*keys)
+                )
+            if n_up and upd_arms:
+                rep_cols = []
+                for c in tbl_cols:
+                    e = None
+                    for i, s in upd_arms.items():
+                        if s is None:
+                            val = F.col(f"__s_{c}")  # UPDATE SET *
+                        elif c in s:
+                            val = F.col(f"__a{i}_{c}")
+                        else:
+                            val = F.col(f"__t_{c}")  # keep target
+                        e = (
+                            F.when(F.col("__arm") == i, val)
+                            if e is None
+                            else e.when(F.col("__arm") == i, val)
+                        )
+                    rep_cols.append(e.alias(c))
+                stage_frames.append(
+                    matched.filter(
+                        _isin(F.col("__arm"), upd_arms)
+                    ).select(*rep_cols)
+                )
+            if n_carry:
+                stage_frames.append(
+                    matched.filter(
+                        (F.col("__arm") == 0) & (F.col("__fired") == 1)
+                    ).select(
+                        *[
+                            F.col(f"__t_{c}").alias(c)
+                            for c in tbl_cols
+                        ]
+                    )
+                )
+
+        if when_not_matched_by_source:
+            live_all = t.scan().alias("tgt")
+            nosrc = live_all.join(
+                F.broadcast(df.select(*keys).distinct()),
+                on=list(keys),
+                how="left_anti",
+            )
+            arm_sel2 = None
+            for i, arm in enumerate(
+                when_not_matched_by_source, start=1
+            ):
+                cond = (
+                    F.expr(arm["condition"])
+                    if arm.get("condition") is not None
+                    else F.lit(True)
+                )
+                arm_sel2 = (
+                    F.when(cond, F.lit(i))
+                    if arm_sel2 is None
+                    else arm_sel2.when(cond, F.lit(i))
+                )
+            sel2 = [F.col(f"tgt.{k}").alias(k) for k in keys]
+            sel2.append(arm_sel2.otherwise(F.lit(0)).alias("__arm"))
+            for c in tbl_cols:
+                sel2.append(_tgt_col(c).alias(f"__t_{c}"))
+            for i, s in src_upd_arms.items():
+                for c, e in (s or {}).items():
+                    sel2.append(F.expr(e).alias(f"__a{i}_{c}"))
+            all2 = nosrc.select(*sel2)
+            # materialized size = FIRED rows only; an arm expected to
+            # fire on a large table fraction belongs in a
+            # copy-on-write rewrite (same contract as delta_merge)
+            fired_src = (
+                all2.filter(F.col("__arm") > 0)
+                .localCheckpoint(eager=True)
+            )
+            cnt2 = fired_src.agg(
+                F.sum(
+                    _isin(F.col("__arm"), src_upd_arms).cast("long")
+                ).alias("u"),
+                F.sum(
+                    _isin(F.col("__arm"), src_del_arms).cast("long")
+                ).alias("d"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            n_up2, n_del2 = int(cnt2["u"] or 0), int(cnt2["d"] or 0)
+            if int(cnt2["n"] or 0):
+                kills_s = fired_src.select(*keys)
+                kill_frames.append(kills_s)
+                if src_upd_arms:
+                    rep2 = []
+                    for c in tbl_cols:
+                        e = None
+                        for i, s in src_upd_arms.items():
+                            val = (
+                                F.col(f"__a{i}_{c}")
+                                if c in s
+                                else F.col(f"__t_{c}")
+                            )
+                            e = (
+                                F.when(F.col("__arm") == i, val)
+                                if e is None
+                                else e.when(F.col("__arm") == i, val)
+                            )
+                        rep2.append(e.alias(c))
+                    stage_frames.append(
+                        fired_src.filter(
+                            _isin(F.col("__arm"), src_upd_arms)
+                        ).select(*rep2)
+                    )
+                # unfired siblings of fired keys die with the key —
+                # carry them (second scan, only when something fired)
+                carried2 = (
+                    all2.filter(F.col("__arm") == 0)
+                    .join(
+                        F.broadcast(kills_s.distinct()),
+                        on=list(keys),
+                        how="leftsemi",
+                    )
+                    .select(
+                        *[
+                            F.col(f"__t_{c}").alias(c)
+                            for c in tbl_cols
+                        ]
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                n_carry2 = carried2.count()
+                if n_carry2:
+                    stage_frames.append(carried2)
+
+        if insert and not src_empty:
+            ins = df.alias("src")
+            if matched is not None:
+                mk = matched.select(*keys).distinct()
+                ins = ins.join(
+                    F.broadcast(mk), on=list(keys), how="left_anti"
+                )
+            elif not when_matched:
+                # no matched arms: matched source rows are still
+                # CONSUMED, so the anti-join needs the live key set
+                live2 = t.scan(filters=filters or None)
+                mk = (
+                    live2.join(
+                        F.broadcast(df.select(*keys).distinct()),
+                        on=list(keys),
+                        how="leftsemi",
+                    )
+                    .select(*keys)
+                    .distinct()
+                )
+                ins = ins.join(
+                    F.broadcast(mk), on=list(keys), how="left_anti"
+                )
+            if insert_condition is not None:
+                ins = ins.filter(F.expr(insert_condition))
+            stage_frames.append(ins.select(*tbl_cols))
+
+        if not stage_frames and not kill_frames:
+            if txn is None:
+                return cur_snap, 0, 0, 0  # true no-op: don't churn
+            snap = iceberg_append(
+                df.limit(0).select(*tbl_cols),
+                table_dir,
+                entity_col=entity_col,
+                ts_col=ts_col,
+                txn=txn,
+                file_format=file_format,
+                partition_spec=partition_spec,
+                allow_empty=True,
+            )
+            return snap, 0, 0, 0
+
+        if stage_frames:
+            to_stage = stage_frames[0]
+            for fr in stage_frames[1:]:
+                to_stage = to_stage.unionByName(fr)
+        else:
+            # pure-delete merge: the snapshot carries only the
+            # equality-delete manifest
+            to_stage = df.limit(0).select(*tbl_cols)
+        kill_df = None
+        if kill_frames:
+            kill_df = kill_frames[0]
+            for fr in kill_frames[1:]:
+                kill_df = kill_df.unionByName(fr)
+        snap = iceberg_append(
+            to_stage,
+            table_dir,
+            entity_col=entity_col,
+            ts_col=ts_col,
+            upsert_keys=list(keys),
+            delete_keys_df=(
+                kill_df if kill_df is not None else df.limit(0)
+            ),
+            txn=txn,
+            file_format=file_format,
+            partition_spec=partition_spec,
+            allow_empty=True,
+        )
+    finally:
+        # release the materialized probe frames whether staging
+        # succeeded or raised (the delta_merge r13 contract)
+        if matched is not None:
+            matched.unpersist()
+        if fired_src is not None:
+            fired_src.unpersist()
+        if carried2 is not None:
+            carried2.unpersist()
+    # staged row total from the COMMITTED manifests (driver-side
+    # metadata, no extra job): inserts = landed − replacements −
+    # carried rows. allow_empty may have returned the CURRENT
+    # snapshot (everything empty at runtime) — count nothing then,
+    # or the PREVIOUS commit's rows would masquerade as inserts.
+    staged_total = 0
+    if snap != cur_snap:
+        _nm, new_manifests, _ = _load_prev(meta_dir)
+        staged_total = sum(
+            int(m.get("added_rows_count") or 0)
+            for m in new_manifests
+            if not m.get("content")
+            and m.get("added_snapshot_id") == snap
+        )
+    n_inserted = staged_total - n_up - n_carry - n_up2 - n_carry2
+    return snap, n_up + n_up2, n_del + n_del2, n_inserted
+
+
+def iceberg_merge_sink(
+    table_dir: str,
+    keys: list[str],
+    app_id: str,
+    when_matched: list[dict] | None = None,
+    insert: bool = True,
+    insert_condition: str | None = None,
+    when_not_matched_by_source: list[dict] | None = None,
+    entity_col: str = "entity_type",
+    ts_col: str = "event_time",
+):
+    """foreachBatch body: exactly-once conditional MERGE micro-batches
+    into an Iceberg table — the iceberg twin of delta_merge_sink. An
+    EMPTY micro-batch with by-source arms DISARMS them for that
+    trigger (an idle trigger must never wipe the table); the quiet
+    batch still advances the txn watermark."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        empty = batch_df.isEmpty()
+        iceberg_merge(
+            batch_df,
+            table_dir,
+            keys=keys,
+            when_matched=when_matched,
+            insert=insert,
+            insert_condition=insert_condition,
+            when_not_matched_by_source=(
+                None if empty else when_not_matched_by_source
+            ),
+            entity_col=entity_col,
+            ts_col=ts_col,
+            txn=(app_id, int(batch_id)),
+        )
+
+    return sink
 
 
 def iceberg_rollback(

@@ -5073,6 +5073,447 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM marks WHERE upserted)
 """
 
 
+def q_iceberg_merge_conditional(spark, sf_dir):
+    """Conditional / partial-column MERGE arms on the ICEBERG write
+    path (r13 — arm parity with ``delta_merge``, one format over;
+    the reference's offline store IS Iceberg,
+    IcebergOfflineStore.java:78-114): ``WHEN MATCHED AND
+    src.tier='boost' AND tgt.value_float>5 THEN UPDATE SET
+    value_float = tgt+src`` (tier keeps the TARGET value — the
+    partial-column form), ``WHEN MATCHED AND src.tier='kill' THEN
+    DELETE``, ``WHEN NOT MATCHED AND src.value_float>5 THEN INSERT
+    *`` — plus a matched slice firing NO arm (must survive untouched,
+    its source rows consumed). Physics is ONE snapshot of equality
+    deletes (exactly the fired keys) + new data files. The row grades
+    the surviving key count + value mass, the per-arm counts, the
+    partial-update proof (``n_cold``), and the CHANGELOG audit:
+    ``changes()`` over the merge snapshot must read exactly
+    updated+deleted deletes and updated+inserted inserts, all in one
+    snapshot (``one_snapshot``)."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.max("ts").alias("event_time"),
+    )
+    uid = F.col("user_id")
+
+    def shaped(df, ent, val, tier):
+        return df.select(
+            F.lit("user").alias("entity_type"),
+            ent.alias("entity_id"),
+            val.alias("value_float"),
+            F.lit(tier).alias("tier"),
+            "event_time",
+        )
+
+    base = shaped(per_user, uid.cast("string"), F.col("v"), "cold")
+    scratch = _tmp.mkdtemp(prefix="fss-iceberg-merge-")
+    try:
+        s1 = iceberg_append(base, scratch)
+        boosts = shaped(
+            per_user.filter(uid % 7 == 0),
+            uid.cast("string"), F.col("v") * 2, "boost",
+        )
+        kills = shaped(
+            per_user.filter((uid % 11 == 0) & (uid % 7 != 0)),
+            uid.cast("string"), F.lit(0.0), "kill",
+        )
+        noops = shaped(
+            per_user.filter(
+                (uid % 17 == 0) & (uid % 7 != 0) & (uid % 11 != 0)
+            ),
+            uid.cast("string"), F.col("v") * 9, "noop",
+        )
+        ins = shaped(
+            per_user.filter(uid % 13 == 0),
+            F.concat(F.lit("new-"), uid.cast("string")),
+            F.col("v") * 3, "fresh",
+        )
+        batch = boosts.unionByName(kills).unionByName(noops).unionByName(ins)
+        _sid, nu, nd, ni = iceberg_merge(
+            batch,
+            scratch,
+            keys=["entity_id"],
+            when_matched=[
+                {
+                    "condition": "src.tier = 'boost' "
+                    "AND tgt.value_float > 5",
+                    "action": "update",
+                    "set": {
+                        "value_float":
+                        "tgt.value_float + src.value_float"
+                    },
+                },
+                {"condition": "src.tier = 'kill'", "action": "delete"},
+            ],
+            insert_condition="src.value_float > 5",
+        )
+        t = IcebergTable(spark, scratch)
+        ch = (
+            t.changes(s1)
+            .groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("_snapshot_id").alias("nsnap"),
+            )
+            .collect()
+        )
+        cl = {r["_change_type"]: r["n"] for r in ch}
+        # the whole feed (both change types) must sit in ONE snapshot
+        one_snapshot = all(r["nsnap"] == 1 for r in ch) and (
+            t.changes(s1).select("_snapshot_id").distinct().count() == 1
+        )
+        out = t.scan().agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            _r6(F.sum("value_float")).alias("sum_val"),
+            F.sum((F.col("tier") == "cold").cast("long"))
+            .alias("n_cold"),
+            F.lit(int(nu)).cast("long").alias("n_updated"),
+            F.lit(int(nd)).cast("long").alias("n_deleted"),
+            F.lit(int(ni)).cast("long").alias("n_inserted"),
+            F.lit(int(cl.get("delete", 0))).cast("long")
+            .alias("cl_deletes"),
+            F.lit(int(cl.get("insert", 0))).cast("long")
+            .alias("cl_inserts"),
+            F.lit(bool(one_snapshot)).alias("one_snapshot"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+ICEBERG_MERGE_CONDITIONAL_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY user_id
+), marks AS (
+  SELECT user_id, v,
+         (user_id % 7 = 0 AND v > 5)                    AS fires_update,
+         (user_id % 11 = 0 AND user_id % 7 <> 0)        AS fires_delete,
+         (user_id % 13 = 0 AND v * 3 > 5)               AS inserts
+  FROM per_user
+), final AS (
+  SELECT CASE WHEN fires_update THEN v + v * 2 ELSE v END AS v,
+         'cold' AS tier
+  FROM marks WHERE NOT fires_delete
+  UNION ALL
+  SELECT v * 3 AS v, 'fresh' AS tier FROM marks WHERE inserts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(v), 6) AS sum_val,
+       CAST(sum(CASE WHEN tier = 'cold' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cold,
+       (SELECT CAST(count(*) AS BIGINT) FROM marks WHERE fires_update)
+         AS n_updated,
+       (SELECT CAST(count(*) AS BIGINT) FROM marks WHERE fires_delete)
+         AS n_deleted,
+       (SELECT CAST(count(*) AS BIGINT) FROM marks WHERE inserts)
+         AS n_inserted,
+       -- the changelog's live-row-set diff over the merge snapshot:
+       -- each fired key had exactly one live row (keyed table)
+       (SELECT CAST(count(*) AS BIGINT) FROM marks
+         WHERE fires_update OR fires_delete) AS cl_deletes,
+       -- an updated key and its 'new-<id>' insert are DIFFERENT rows
+       -- in the feed: sum the arm counts, don't OR the marks
+       (SELECT CAST(count(*) AS BIGINT) FROM marks WHERE fires_update)
+       + (SELECT CAST(count(*) AS BIGINT) FROM marks WHERE inserts)
+         AS cl_inserts,
+       TRUE AS one_snapshot
+FROM final
+"""
+
+
+def q_iceberg_merge_sync(spark, sf_dir):
+    """Full-snapshot sync MERGE on the ICEBERG path, ONE snapshot
+    (r13): the upstream re-sends only the EVEN users (values x10,
+    plus a NEW ``sync_tag`` column the table has never seen →
+    ``evolve=True`` widens the schema in the same commit); matched
+    rows take the snapshot row (``UPDATE SET *``), and rows whose key
+    VANISHED from the snapshot fire the ``WHEN NOT MATCHED BY
+    SOURCE`` arms in order — heavy rows (value>8) are quarantined
+    (``UPDATE SET sync_tag='orphan'``, value kept), the rest deleted.
+    Graded legs: surviving key count + value mass, the orphan/snap
+    tag counts (partial by-source SET + evolution NULL-backfill), the
+    per-arm counts, and the changelog audit over the commit (reads
+    with the CURRENT schema, so pre-evolution preimages carry
+    sync_tag NULL)."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.max("ts").alias("event_time"),
+    )
+    uid = F.col("user_id")
+    base = per_user.select(
+        F.lit("user").alias("entity_type"),
+        uid.cast("string").alias("entity_id"),
+        F.col("v").alias("value_float"),
+        "event_time",
+    )
+    scratch = _tmp.mkdtemp(prefix="fss-iceberg-sync-")
+    try:
+        s1 = iceberg_append(base, scratch)
+        snap = per_user.filter(uid % 2 == 0).select(
+            F.lit("user").alias("entity_type"),
+            uid.cast("string").alias("entity_id"),
+            (F.col("v") * 10).alias("value_float"),
+            "event_time",
+            F.lit("snap").alias("sync_tag"),
+        )
+        _sid, nu, nd, ni = iceberg_merge(
+            snap,
+            scratch,
+            keys=["entity_id"],
+            when_matched=[
+                {"condition": None, "action": "update", "set": None}
+            ],
+            when_not_matched_by_source=[
+                {
+                    "condition": "tgt.value_float > 8",
+                    "action": "update",
+                    "set": {"sync_tag": "'orphan'"},
+                },
+                {"condition": None, "action": "delete"},
+            ],
+            evolve=True,
+        )
+        t = IcebergTable(spark, scratch)
+        ch = (
+            t.changes(s1)
+            .groupBy("_change_type")
+            .count()
+            .collect()
+        )
+        cl = {r["_change_type"]: r["count"] for r in ch}
+        out = t.scan().agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            _r6(F.sum("value_float")).alias("sum_val"),
+            F.sum((F.col("sync_tag") == "orphan").cast("long"))
+            .alias("n_orphan"),
+            F.sum((F.col("sync_tag") == "snap").cast("long"))
+            .alias("n_snap"),
+            F.lit(int(nu)).cast("long").alias("n_updated"),
+            F.lit(int(nd)).cast("long").alias("n_deleted"),
+            F.lit(int(ni)).cast("long").alias("n_inserted"),
+            F.lit(int(cl.get("delete", 0))).cast("long")
+            .alias("cl_deletes"),
+            F.lit(int(cl.get("insert", 0))).cast("long")
+            .alias("cl_inserts"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+ICEBERG_MERGE_SYNC_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY user_id
+), marks AS (
+  SELECT user_id, v,
+         (user_id % 2 = 0)                    AS matched,
+         (user_id % 2 <> 0 AND v > 8)         AS orphaned,
+         (user_id % 2 <> 0 AND v <= 8)        AS deleted
+  FROM per_user
+), final AS (
+  SELECT v * 10 AS v, 'snap' AS tag FROM marks WHERE matched
+  UNION ALL
+  SELECT v, 'orphan' AS tag FROM marks WHERE orphaned
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(v), 6) AS sum_val,
+       CAST(sum(CASE WHEN tag = 'orphan' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan,
+       CAST(sum(CASE WHEN tag = 'snap' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_snap,
+       (SELECT CAST(count(*) AS BIGINT) FROM marks
+         WHERE matched OR orphaned) AS n_updated,
+       (SELECT CAST(count(*) AS BIGINT) FROM marks WHERE deleted)
+         AS n_deleted,
+       CAST(0 AS BIGINT) AS n_inserted,
+       -- every rewrite is a preimage delete + postimage insert in
+       -- the live-row-set diff; pure deletes feed only the delete
+       (SELECT CAST(count(*) AS BIGINT) FROM marks
+         WHERE matched OR orphaned OR deleted) AS cl_deletes,
+       (SELECT CAST(count(*) AS BIGINT) FROM marks
+         WHERE matched OR orphaned) AS cl_inserts
+FROM final
+"""
+
+
+def q_stream_iceberg_merge(spark, sf_dir):
+    """STREAMING conditional MERGE into ICEBERG under the oracle gate
+    (r13 — the iceberg twin of stream_delta_merge): two micro-batches
+    (mtime-ordered) flow through ``iceberg_merge_sink`` — batch 0
+    creates per-user state via the insert arm, batch 1 applies the
+    arm-ordered conditional merge (predicated partial UPDATE SET
+    keeping the target's tier, a DELETE arm, a conditional INSERT) as
+    ONE exactly-once equality-delete snapshot. The scanned-back table
+    must equal the relational oracle; ``multi_commit`` /
+    ``txn_contiguous`` pin that each batch landed as its own
+    txn-marked snapshot."""
+    import os as _os
+    import shutil as _sh
+
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_merge_sink,
+        iceberg_txn_version,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.max("ts").alias("event_time"),
+    )
+    uid = F.col("user_id")
+
+    def shaped(df, ent, val, tier):
+        return df.select(
+            F.lit("user").alias("entity_type"),
+            ent.alias("entity_id"),
+            val.alias("value_float"),
+            F.lit(tier).alias("tier"),
+            "event_time",
+        )
+
+    base = shaped(per_user, uid.cast("string"), F.col("v"), "cold")
+    b1 = (
+        shaped(
+            per_user.filter(uid % 7 == 0),
+            uid.cast("string"), F.col("v") * 2, "boost",
+        )
+        .unionByName(
+            shaped(
+                per_user.filter((uid % 11 == 0) & (uid % 7 != 0)),
+                uid.cast("string"), F.lit(0.0), "kill",
+            )
+        )
+        .unionByName(
+            shaped(
+                per_user.filter(uid % 13 == 0),
+                F.concat(F.lit("new-"), uid.cast("string")),
+                F.col("v") * 3, "fresh",
+            )
+        )
+    )
+    d = _stream_tmpdir("fss_stream_iceberg_merge_")
+    try:
+        _os.makedirs(f"{d}/in", exist_ok=True)
+        for i, frame in enumerate((base, b1)):
+            frame.coalesce(1).write.mode("overwrite").parquet(
+                f"{d}/b{i}"
+            )
+            [part] = [
+                n for n in _os.listdir(f"{d}/b{i}")
+                if n.endswith(".parquet")
+            ]
+            tgt = f"{d}/in/batch-{i}.parquet"
+            _os.replace(f"{d}/b{i}/{part}", tgt)
+            _os.utime(tgt, (1_700_000_000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "entity_type string, entity_id string, "
+                "value_float double, tier string, "
+                "event_time timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/in")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                iceberg_merge_sink(
+                    f"{d}/table",
+                    keys=["entity_id"],
+                    app_id="imerge-sink",
+                    when_matched=[
+                        {
+                            "condition": "src.tier = 'boost' "
+                            "AND tgt.value_float > 5",
+                            "action": "update",
+                            "set": {
+                                "value_float":
+                                "tgt.value_float + src.value_float"
+                            },
+                        },
+                        {
+                            "condition": "src.tier = 'kill'",
+                            "action": "delete",
+                        },
+                    ],
+                    insert_condition="src.value_float > 5"
+                    " OR src.tier = 'cold'",
+                )
+            )
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_iceberg_merge: stream did not finish in 300s"
+            )
+        t = IcebergTable(spark, f"{d}/table")
+        n_snaps = len(t.snapshots())
+        hwm = iceberg_txn_version(f"{d}/table", "imerge-sink")
+        out = t.scan().agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            _r6(F.sum("value_float")).alias("sum_val"),
+            F.sum((F.col("tier") == "cold").cast("long"))
+            .alias("n_cold"),
+            F.lit(n_snaps >= 2).alias("multi_commit"),
+            F.lit(hwm == n_snaps - 1).alias("txn_contiguous"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+
+
+STREAM_ICEBERG_MERGE_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY user_id
+), marks AS (
+  SELECT user_id, v,
+         (user_id % 7 = 0 AND v > 5)             AS fires_update,
+         (user_id % 11 = 0 AND user_id % 7 <> 0) AS fires_delete,
+         (user_id % 13 = 0 AND v * 3 > 5)        AS inserts
+  FROM per_user
+), final AS (
+  SELECT CASE WHEN fires_update THEN v + v * 2 ELSE v END AS v,
+         'cold' AS tier
+  FROM marks WHERE NOT fires_delete
+  UNION ALL
+  SELECT v * 3 AS v, 'fresh' AS tier FROM marks WHERE inserts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(v), 6) AS sum_val,
+       CAST(sum(CASE WHEN tier = 'cold' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cold,
+       TRUE AS multi_commit,
+       TRUE AS txn_contiguous
+FROM final
+"""
+
+
 def q_iceberg_time_prune(spark, sf_dir):
     """Month-transform partitioned Iceberg layout with a pruning
     audit (r12 — the write path whose year/month shadows went
@@ -9829,6 +10270,18 @@ QUERIES: dict[str, tuple] = {
         DELTA_MERGE_CONDITIONAL_SQL,
     ),
     "delta_merge_sync": (q_delta_merge_sync, DELTA_MERGE_SYNC_SQL),
+    "iceberg_merge_conditional": (
+        q_iceberg_merge_conditional,
+        ICEBERG_MERGE_CONDITIONAL_SQL,
+    ),
+    "iceberg_merge_sync": (
+        q_iceberg_merge_sync,
+        ICEBERG_MERGE_SYNC_SQL,
+    ),
+    "stream_iceberg_merge": (
+        q_stream_iceberg_merge,
+        STREAM_ICEBERG_MERGE_SQL,
+    ),
     "stream_delta_merge": (q_stream_delta_merge, STREAM_DELTA_MERGE_SQL),
     "delta_restore": (q_delta_restore, DELTA_RESTORE_SQL),
     "delta_cdc": (q_delta_cdc, DELTA_CDC_SQL),

@@ -10980,6 +10980,86 @@ QUERIES = {
     **{k: QUERIES[k] for k in _R12_WINDOW},
     **{k: v for k, v in QUERIES.items() if k not in _R12_WINDOW},
 }
+# --- ROUND-13 DRIVER WINDOW (first 50 entries) ----------------------
+# The FOUR new graded queries (iceberg_merge_conditional/_sync +
+# stream_iceberg_merge = the Iceberg MERGE arm surface on
+# equality-delete physics, VERDICT r12 next #1; iceberg_temporal_bucket
+# = date/timestamp bucket layouts with pruning audits, next #6), then
+# the paths that CHANGED this round — the delta commit verbs (writer-
+# feature allowlist gates every verb; the dup/emptiness/bounds probes
+# folded into one batch aggregate), the iceberg write family
+# (iceberg_merge physics rode in through iceberg_append's
+# delete_keys_df / zero-row-file / pure-delete changes), and the
+# changelog scan (removed-delete-file refusal, long-typed
+# _snapshot_id, between_timestamps resolution). Then the stale-row
+# refresh VERDICT r12 next #5 named: ALL 27 rows whose last green
+# driver row is r8, plus the five r9 rows the judge called out by
+# name (dedup_exact, embedding_topk, tree_score_topk/large,
+# schema_hash). The remaining 23 r9 rows carry their green r9 grade
+# plus the full-catalog DuckDB sweep in pytest/selfcheck and lead the
+# r14 window. Displaced read-mostly lakehouse rows (delta_scan,
+# delta_dv_scan, iceberg_scan, ...) keep their r12 green rows — their
+# read paths are untouched this round.
+_R13_WINDOW = [
+    # new
+    "iceberg_merge_conditional",
+    "iceberg_merge_sync",
+    "stream_iceberg_merge",
+    "iceberg_temporal_bucket",
+    # changed this round
+    "delta_merge_conditional",
+    "delta_merge_sync",
+    "stream_delta_merge",
+    "delta_upsert",
+    "stream_delta_upsert",
+    "delta_maintenance",
+    "delta_cdc",
+    "delta_changes",
+    "iceberg_changes",
+    "iceberg_upsert",
+    "iceberg_rollback",
+    "stream_iceberg_sink",
+    "iceberg_bucket_prune",
+    "iceberg_time_prune",
+    # stale r8 refresh (VERDICT r12 next #5: every last-green-r8 row)
+    "approx_quantiles",
+    "asof_auto",
+    "asof_tolerance",
+    "class_balance",
+    "decontaminate",
+    "dedup_canonical",
+    "doc_chunks",
+    "duplicate_spans",
+    "feature_minmax",
+    "group_sizes",
+    "ivf_topk",
+    "kmeans",
+    "knn_classify",
+    "leakage_safe_split",
+    "melt_vector_records",
+    "model_gates",
+    "pii_scan",
+    "recent_events",
+    "repetition",
+    "salted_topk",
+    "score_split_topk",
+    "stream_dedup",
+    "stream_window_stats",
+    "tfidf_cosine",
+    "top_ngrams",
+    "vector_slots",
+    "view_transform",
+    # oldest r9 rows the judge named (VERDICT r12 next #5)
+    "dedup_exact",
+    "embedding_topk",
+    "tree_score_topk",
+    "tree_score_large",
+    "schema_hash",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R13_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in _R13_WINDOW},
+}
 
 
 def queries():

@@ -1744,8 +1744,9 @@ def delta_optimize(
 def delta_changes(
     spark: SparkSession,
     table_dir: str,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
+    between_timestamps: tuple[int, int | None] | None = None,
 ) -> DataFrame:
     """Row-level CHANGE FEED for ``(from_version, to_version]``,
     derived from the log itself (CDF semantics without requiring the
@@ -1776,10 +1777,44 @@ def delta_changes(
     genuinely ambiguous — an OPTIMIZE (dataChange:false, invisible to
     the feed) is indistinguishable from a rewrite (visible) once the
     commit's dataChange flags are gone — and raises loudly, never a
-    guessed feed."""
+    guessed feed.
+
+    ``between_timestamps=(from_ms, to_ms)`` is the wall-clock form —
+    the same as-of-inclusive resolution as
+    ``IcebergTable.changes(between_timestamps=...)`` (r13): the base
+    is the version current AT ``from_ms`` (a commit stamped exactly
+    at ``from_ms`` is baseline, not feed), the head the version
+    current at ``to_ms`` (``None`` = latest). NOTE this is the
+    repo-wide as-of convention, deliberately shared with
+    ``scan(version=...)`` time travel — Delta Spark's
+    ``startingTimestamp`` option instead rounds UP to the next
+    commit and includes it; convert with ``version_as_of`` if you
+    need that rounding. A ``from_ms`` before the first commit
+    refuses (no baseline state); mutually exclusive with the
+    version arguments."""
     from pyspark.sql import functions as F
 
     t = DeltaTable(spark, table_dir)
+    if between_timestamps is not None:
+        if from_version is not None or to_version is not None:
+            raise ValueError(
+                "delta_changes: pass either versions or "
+                "between_timestamps, not both"
+            )
+        from_ms, to_ms = between_timestamps
+        from_version = t.version_as_of(int(from_ms))
+        if to_ms is not None:
+            if int(to_ms) < int(from_ms):
+                raise ValueError(
+                    f"delta_changes: between_timestamps window is "
+                    f"inverted ({from_ms} > {to_ms})"
+                )
+            to_version = t.version_as_of(int(to_ms))
+    if from_version is None:
+        raise ValueError(
+            "delta_changes: from_version (or between_timestamps) "
+            "is required"
+        )
     if to_version is None:
         to_version = t.latest_version()
     if from_version > to_version:

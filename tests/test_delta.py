@@ -3035,3 +3035,80 @@ class TestWriterFeatureGate:
                 ),
                 d,
             )
+
+
+class TestChangesBetweenTimestamps:
+    """delta_changes(between_timestamps=...) — the wall-clock form,
+    sharing the repo-wide as-of-inclusive convention with
+    IcebergTable.changes (r13). Commit timestamps are wall-clock, so
+    the tests probe with the STAMPED per-version timestamps read back
+    from the log."""
+
+    def _table(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import (
+            DeltaTable,
+            delta_delete_where,
+        )
+
+        d = str(tmp_path / "btw")
+        delta_append(
+            spark.range(10).coalesce(1).select(F.col("id").alias("eid")),
+            d,
+        )                                                      # v0
+        delta_append(
+            spark.range(10, 16).coalesce(1)
+            .select(F.col("id").alias("eid")),
+            d,
+        )                                                      # v1
+        delta_delete_where(spark, d, [("eid", "<", 4)])        # v2
+        t = DeltaTable(spark, d)
+        ts = dict(t._version_timestamps())
+        return d, ts
+
+    def test_window_matches_version_form(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import delta_changes
+
+        d, ts = self._table(spark, tmp_path)
+
+        def feed(df):
+            return sorted(
+                (r["_change_type"], r["_commit_version"], r["eid"])
+                for r in df.collect()
+            )
+
+        # baseline at v0's own stamp: v0 is baseline, feed = v1+v2
+        assert feed(
+            delta_changes(spark, d, between_timestamps=(ts[0], None))
+        ) == feed(delta_changes(spark, d, 0))
+        # to_ms exactly at v1 includes v1, excludes v2 (if stamps
+        # coincide the resolved head is the LATER version — as-of)
+        head = max(v for v, t in ts.items() if t <= ts[1])
+        assert feed(
+            delta_changes(spark, d, between_timestamps=(ts[0], ts[1]))
+        ) == feed(delta_changes(spark, d, 0, head))
+        # a window spanning no commit is empty
+        assert (
+            delta_changes(
+                spark, d, between_timestamps=(ts[2], None)
+            ).count() == 0
+        )
+
+    def test_refusals(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import delta_changes
+
+        d, ts = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="no commit at or"):
+            delta_changes(
+                spark, d, between_timestamps=(ts[0] - 10_000, None)
+            )
+        with pytest.raises(ValueError, match="inverted"):
+            delta_changes(
+                spark, d,
+                between_timestamps=(ts[2] + 10_000, ts[0]),
+            )
+        with pytest.raises(ValueError, match="not both"):
+            delta_changes(
+                spark, d, 0, between_timestamps=(ts[0], None)
+            )
+        with pytest.raises(ValueError, match="required"):
+            delta_changes(spark, d)

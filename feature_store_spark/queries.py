@@ -5635,6 +5635,135 @@ FROM per_day, probe WHERE event_date = pd
 """
 
 
+def q_iceberg_partition_evolution(spark, sf_dir):
+    """Partition-spec EVOLUTION with per-spec pruning audits (r13 —
+    the spec's "Partition Evolution" rule on the format the
+    reference's offline store uses, IcebergOfflineStore.java:78-114):
+    the first half of the event log lands under
+    ``identity(event_type)``, the table evolves to
+    ``bucket[8](user_id)`` WITHOUT rewriting a byte, and the second
+    half lands under the new default (``iceberg_append`` derives the
+    layout from the table). The audits prove scans interpret every
+    file under the spec it was WRITTEN with: an ``event_type`` filter
+    partition-prunes the era-1 files (``era1_prune_ok``), a point
+    lookup of one user touches only the spec-murmur3 bucket's era-2
+    files (``era2_bucket_ok``), and the metadata carries the full
+    spec history with the evolved default (``spec_history_ok``) —
+    i.e. a 100 TB table can fix a layout mistake in O(metadata), and
+    old data keeps its old pruning. Values grade against the
+    relational oracle over the SAME rows."""
+    import json as _json
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.iceberg import (
+        IcebergTable,
+        iceberg_bucket,
+    )
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_evolve_partition,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    dd = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+    mn, mx = ev.agg(F.min(dd), F.max(dd)).first()
+    cut = (int(mn) + int(mx) + 1) // 2
+    scratch = _tmp.mkdtemp(prefix="fss-iceberg-pevo-")
+    try:
+        iceberg_append(
+            ev.filter(dd < cut),
+            scratch,
+            partition_spec=[("event_type", "identity")],
+        )
+        iceberg_evolve_partition(scratch, [("user_id", "bucket[8]")])
+        # no partition_spec: the append derives the evolved default
+        iceberg_append(ev.filter(dd >= cut), scratch)
+
+        t = IcebergTable(spark, scratch)
+        allf = t.data_files(None, None)
+        n0 = sum(1 for f in allf if f["spec_id"] == 0)
+        n2 = sum(1 for f in allf if f["spec_id"] != 0)
+        typed = t.data_files(None, [("event_type", "=", "purchase")])
+        era1_prune_ok = (
+            0 < sum(1 for f in typed if f["spec_id"] == 0) < n0
+        )
+        pu = int(
+            ev.filter(dd >= cut).agg(F.min("user_id")).first()[0]
+        )
+        b = iceberg_bucket(pu, "long", 8)
+        userf = t.data_files(None, [("user_id", "=", pu)])
+        u2 = [f for f in userf if f["spec_id"] != 0]
+        era2_bucket_ok = (
+            0 < len(u2) < n2
+            and all(f"user_id_bucket={b}/" in f["path"] for f in u2)
+        )
+        with open(
+            sorted(
+                _os.path.join(scratch, "metadata", f)
+                for f in _os.listdir(
+                    _os.path.join(scratch, "metadata")
+                )
+                if f.endswith(".metadata.json")
+            )[-1]
+        ) as fh:
+            meta = _json.load(fh)
+        dsid = int(meta["default-spec-id"])
+        dflt = {
+            int(s["spec-id"]): s["fields"]
+            for s in meta["partition-specs"]
+        }[dsid]
+        spec_history_ok = (
+            len(meta["partition-specs"]) == 3
+            and [
+                (f["name"], f["transform"]) for f in dflt
+            ] == [("user_id_bucket", "bucket[8]")]
+        )
+        purch = t.scan(filters=[("event_type", "=", "purchase")])
+        n_purchase, sum_purchase = purch.agg(
+            F.count(F.lit(1)), F.round(F.sum("value"), 6)
+        ).first()
+        out = t.scan().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(int(n_purchase)).cast("long").alias("n_purchase"),
+            F.lit(float(sum_purchase)).alias("sum_purchase"),
+            F.sum(
+                F.when(F.col("user_id") == pu, 1).otherwise(0)
+            ).cast("long").alias("n_probe_user"),
+            F.lit(bool(era1_prune_ok)).alias("era1_prune_ok"),
+            F.lit(bool(era2_bucket_ok)).alias("era2_bucket_ok"),
+            F.lit(bool(spec_history_ok)).alias("spec_history_ok"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+ICEBERG_PARTITION_EVOLUTION_SQL = """
+WITH d AS (
+  SELECT *, epoch_us(ts) // 86400000000 AS dd FROM events
+), b AS (
+  SELECT (min(dd) + max(dd) + 1) // 2 AS cut FROM d
+), probe AS (
+  SELECT min(user_id) AS pu FROM d, b WHERE dd >= cut
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END),
+             6) AS sum_purchase,
+       CAST(sum(CASE WHEN user_id = (SELECT pu FROM probe)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_probe_user,
+       TRUE AS era1_prune_ok,
+       TRUE AS era2_bucket_ok,
+       TRUE AS spec_history_ok
+FROM events
+"""
+
+
 def q_iceberg_time_prune(spark, sf_dir):
     """Month-transform partitioned Iceberg layout with a pruning
     audit (r12 — the write path whose year/month shadows went
@@ -10406,6 +10535,10 @@ QUERIES: dict[str, tuple] = {
     "iceberg_temporal_bucket": (
         q_iceberg_temporal_bucket,
         ICEBERG_TEMPORAL_BUCKET_SQL,
+    ),
+    "iceberg_partition_evolution": (
+        q_iceberg_partition_evolution,
+        ICEBERG_PARTITION_EVOLUTION_SQL,
     ),
     "stream_delta_merge": (q_stream_delta_merge, STREAM_DELTA_MERGE_SQL),
     "delta_restore": (q_delta_restore, DELTA_RESTORE_SQL),

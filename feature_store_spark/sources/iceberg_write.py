@@ -642,6 +642,36 @@ def _seg_typed(raw: str | None, value_type: str):
     return raw
 
 
+class _micros_timestamps:
+    """Force INT64 TIMESTAMP_MICROS parquet encoding for a staged
+    write (restoring the session conf after). Spark's default INT96
+    timestamps carry NO usable footer statistics (pyarrow reports
+    has_min_max=False — the stats are deprecated in the parquet
+    spec), so manifests would silently record no bounds for
+    timestamp columns and time-range file pruning would never fire
+    on them; Iceberg's own spec stores timestamps as micros-long
+    anyway."""
+
+    _KEY = "spark.sql.parquet.outputTimestampType"
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(self._KEY)
+        except Exception:
+            self.prev = None
+        self.spark.conf.set(self._KEY, "TIMESTAMP_MICROS")
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self._KEY)
+        else:
+            self.spark.conf.set(self._KEY, self.prev)
+        return False
+
+
 def _footer_stats(path: str, field_by_name: dict) -> tuple[int, dict, dict]:
     """(row_count, lower_bounds, upper_bounds) by Iceberg field id from
     the parquet footer — the same statistics Iceberg writers persist."""
@@ -940,7 +970,49 @@ def iceberg_append(
             raise ValueError(
                 f"delete_keys_df lacks key column(s) {missing}"
             )
-    if partition_spec is None:
+    # the table's CURRENT default spec (after any partition evolution)
+    # governs every new data file; cur_spec_id is recorded on the
+    # commit's data manifests so readers interpret each file's
+    # partition tuple under the spec it was written with
+    cur_spec_id = 0
+    prev_default_fields = None
+    if prev_meta is not None:
+        cur_spec_id = int(prev_meta.get("default-spec-id", 0))
+        prev_default_fields = {
+            int(s["spec-id"]): s.get("fields", [])
+            for s in prev_meta.get("partition-specs", [])
+        }.get(cur_spec_id, [])
+    if partition_spec is None and prev_default_fields is not None:
+        # existing table: the DEFAULT spec IS the layout — derive the
+        # (source, transform) pairs from it rather than guessing the
+        # entity/ts default (which an evolved table no longer matches)
+        src_by_id = {int(f["id"]): f["name"] for f in schema_fields}
+        gone = [
+            pf["name"]
+            for pf in prev_default_fields
+            if int(pf["source-id"]) not in src_by_id
+        ]
+        if gone:
+            raise ValueError(
+                f"{table_dir}: default partition spec field(s) {gone} "
+                "reference source column ids absent from the current "
+                "schema — cannot derive the append layout"
+            )
+        pspec = _normalize_partition_spec(
+            [
+                (src_by_id[int(pf["source-id"])], pf["transform"])
+                for pf in prev_default_fields
+            ],
+            by_name,
+        )
+        # stored field names are table state (e.g. the legacy
+        # entity_type_p); keep them, and for derived transforms keep
+        # the stored name as the staging directory shadow too
+        for p, pf in zip(pspec, prev_default_fields):
+            p["name"] = pf["name"]
+            if p["transform"] != "identity":
+                p["shadow"] = pf["name"]
+    elif partition_spec is None:
         if entity_col not in by_name or ts_col not in by_name:
             raise ValueError("entity/ts columns must be in the schema")
         pspec = [
@@ -969,20 +1041,14 @@ def iceberg_append(
         ]
     else:
         pspec = _normalize_partition_spec(partition_spec, by_name)
-    if prev_meta is not None:
+    if prev_default_fields is not None:
         # layout is a TABLE property: files appended under a
         # different spec would record partition tuples the table's
-        # manifests and pruning can't interpret
-        prev_specs = {
-            int(s["spec-id"]): s.get("fields", [])
-            for s in prev_meta.get("partition-specs", [])
-        }
-        prev_fields = prev_specs.get(
-            int(prev_meta.get("default-spec-id", 0)), []
-        )
+        # manifests and pruning can't interpret (to change the
+        # layout, commit iceberg_evolve_partition first)
         want = [
             (pf["name"], pf["transform"], pf["source-id"])
-            for pf in prev_fields
+            for pf in prev_default_fields
         ]
         got = [(p["name"], p["transform"], p["source_id"]) for p in pspec]
         if want != got:
@@ -1024,7 +1090,8 @@ def iceberg_append(
     writer = staged.write.mode("overwrite").format(fmt)
     if shadows:
         writer = writer.partitionBy(*shadows)
-    writer.save(staging)
+    with _micros_timestamps(spark):
+        writer.save(staging)
 
     paths = [
         os.path.join(root, name)
@@ -1159,7 +1226,7 @@ def iceberg_append(
         # so external runtimes can apply these deletes, same as the
         # Delta id-mode writer (ADVICE r8).
         del_src = delete_keys_df if delete_keys_df is not None else df
-        del_src.select(
+        del_keys = del_src.select(
             *[
                 F.col(k).alias(
                     k,
@@ -1169,7 +1236,10 @@ def iceberg_append(
                 )
                 for k in upsert_keys
             ]
-        ).distinct().write.parquet(del_dir)
+        )
+        with _micros_timestamps(spark):
+            # timestamp-typed keys keep the spec's micros encoding
+            del_keys.distinct().write.parquet(del_dir)
         del_entries = []
         for name in sorted(os.listdir(del_dir)):
             if not name.endswith(".parquet"):
@@ -1255,7 +1325,7 @@ def iceberg_append(
             {
                 "manifest_path": mpath,
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0,
+                "partition_spec_id": cur_spec_id,
                 "content": 0,
                 "sequence_number": snap_id,
                 "min_sequence_number": snap_id,
@@ -1315,15 +1385,32 @@ def iceberg_append(
         snapshot["parent-snapshot-id"] = prev_meta["current-snapshot-id"]
     schemas, cur_sid = _schemas_with(prev_meta, schema_fields)
     snapshot["schema-id"] = cur_sid
-    spec = [
-        {
-            "name": p["name"],
-            "transform": p["transform"],
-            "source-id": p["source_id"],
-            "field-id": 1000 + i,
-        }
-        for i, p in enumerate(pspec)
-    ]
+    if prev_meta is not None and prev_meta.get("partition-specs"):
+        # the spec history is table state: carry EVERY spec forward
+        # verbatim (old data files are interpreted under the spec
+        # they were written with) and keep the evolved default
+        part_specs = prev_meta["partition-specs"]
+        default_sid = int(prev_meta.get("default-spec-id", 0))
+        last_part_id = int(
+            prev_meta.get("last-partition-id", 999 + max(len(pspec), 1))
+        )
+    else:
+        spec = [
+            {
+                "name": p["name"],
+                "transform": p["transform"],
+                "source-id": p["source_id"],
+                "field-id": 1000 + i,
+            }
+            for i, p in enumerate(pspec)
+        ]
+        part_specs = [
+            {"spec-id": 0, "fields": spec},
+            # global equality deletes commit under this spec
+            {"spec-id": UNPARTITIONED_SPEC_ID, "fields": []},
+        ]
+        default_sid = 0
+        last_part_id = 999 + max(len(pspec), 1)
     meta = {
         "format-version": 2,
         "table-uuid": (prev_meta or {}).get("table-uuid", str(uuid.uuid4())),
@@ -1338,13 +1425,9 @@ def iceberg_append(
         ),
         "current-schema-id": cur_sid,
         "schemas": schemas,
-        "default-spec-id": 0,
-        "partition-specs": [
-            {"spec-id": 0, "fields": spec},
-            # global equality deletes commit under this spec
-            {"spec-id": UNPARTITIONED_SPEC_ID, "fields": []},
-        ],
-        "last-partition-id": 999 + max(len(pspec), 1),
+        "default-spec-id": default_sid,
+        "partition-specs": part_specs,
+        "last-partition-id": last_part_id,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snap_id,
@@ -2520,7 +2603,15 @@ def iceberg_delete_where(
 
     entries = []
     n_rows = 0
-    spec_fields = prev_meta["partition-specs"][0]["fields"]
+    # positional deletes target explicit file paths, so partition
+    # scoping never constrains them — but the manifest's partition
+    # tuple schema must match the spec id the manifest records, and
+    # after partition evolution the DEFAULT spec is not index 0
+    del_spec_id = int(prev_meta.get("default-spec-id", 0))
+    spec_fields = {
+        int(s["spec-id"]): s.get("fields", [])
+        for s in prev_meta.get("partition-specs", [])
+    }.get(del_spec_id, [])
     null_partition = {pf["name"]: None for pf in spec_fields}
     for name in sorted(os.listdir(del_dir)):
         if not name.endswith(".parquet"):
@@ -2567,7 +2658,7 @@ def iceberg_delete_where(
     manifest_rec = {
         "manifest_path": mpath,
         "manifest_length": os.path.getsize(mpath),
-        "partition_spec_id": 0,
+        "partition_spec_id": del_spec_id,
         "content": 1,  # DELETE manifest
         "sequence_number": snap_id,
         "min_sequence_number": snap_id,
@@ -2602,6 +2693,98 @@ def iceberg_delete_where(
     meta["snapshots"] = prev_meta.get("snapshots", []) + [snapshot]
     _publish_metadata(meta_dir, snap_id, meta)
     return snap_id
+
+
+def iceberg_evolve_partition(
+    table_dir: str,
+    partition_spec: list[tuple[str, str]],
+) -> int:
+    """Evolve the table's partition layout (spec "Partition
+    Evolution"): append a NEW partition spec to ``partition-specs``
+    and make it the default. Existing data files are untouched — each
+    manifest records the spec-id its files were written under, and
+    scans keep interpreting (and pruning) every file by its OWN spec,
+    so a table can move from e.g. ``identity(region)`` to
+    ``month(event_time)`` without rewriting a byte. Subsequent
+    appends/upserts/merges land under the new default
+    (``iceberg_append`` derives the layout from it); a later
+    ``iceberg_rewrite`` compacts the WHOLE table into the current
+    default if a uniform layout is wanted.
+
+    Spec rules honored: partition field-ids are table-unique and
+    never reused — a field identical to one in ANY prior spec (same
+    source-id + transform) keeps its id, new fields continue from
+    ``last-partition-id``; the new spec-id is max(existing)+1.
+    Metadata-only commit (no snapshot; same CAS publish as ref
+    updates). Refuses when the table doesn't exist, a source column
+    is unknown, or the requested spec already IS the default (a
+    retry loop should not mint no-op spec versions). Returns the new
+    metadata version.
+
+    Reference parity: the reference's offline store is an Iceberg
+    table (IcebergOfflineStore.java:78-114); layout evolution is the
+    standard Iceberg answer to "our daily partitions got too big"
+    at growing scale."""
+    meta_dir = os.path.join(table_dir, "metadata")
+    prev_meta, _m, next_v = _load_prev(meta_dir)
+    if prev_meta is None:
+        raise ValueError(f"{table_dir}: not an iceberg table")
+    from feature_store_spark.sources.iceberg import (
+        current_schema_fields,
+    )
+
+    fields = current_schema_fields(prev_meta)
+    by_name = {f["name"]: f for f in fields}
+    pspec = _normalize_partition_spec(partition_spec, by_name)
+
+    specs = [dict(s) for s in prev_meta.get("partition-specs", [])]
+    default_sid = int(prev_meta.get("default-spec-id", 0))
+    cur_fields = {
+        int(s["spec-id"]): s.get("fields", []) for s in specs
+    }.get(default_sid, [])
+    want = [(p["name"], p["transform"], p["source_id"]) for p in pspec]
+    if want == [
+        (pf["name"], pf["transform"], int(pf["source-id"]))
+        for pf in cur_fields
+    ]:
+        raise ValueError(
+            f"{table_dir}: requested spec {want} already is the "
+            "default partition spec — nothing to evolve"
+        )
+    # field-ids are never reused across specs; identical fields
+    # (source-id + transform) keep theirs
+    fid_of: dict[tuple[int, str], int] = {}
+    last_pid = int(prev_meta.get("last-partition-id", 999))
+    for s in specs:
+        for pf in s.get("fields", []):
+            fid_of.setdefault(
+                (int(pf["source-id"]), pf["transform"]),
+                int(pf["field-id"]),
+            )
+            last_pid = max(last_pid, int(pf["field-id"]))
+    new_fields = []
+    for p in pspec:
+        fid = fid_of.get((p["source_id"], p["transform"]))
+        if fid is None:
+            last_pid += 1
+            fid = last_pid
+        new_fields.append(
+            {
+                "name": p["name"],
+                "transform": p["transform"],
+                "source-id": p["source_id"],
+                "field-id": fid,
+            }
+        )
+    new_sid = max(int(s["spec-id"]) for s in specs) + 1
+    specs.append({"spec-id": new_sid, "fields": new_fields})
+    meta = dict(prev_meta)
+    meta["partition-specs"] = specs
+    meta["default-spec-id"] = new_sid
+    meta["last-partition-id"] = last_pid
+    meta["last-updated-ms"] = 1700000000000 + next_v
+    _publish_metadata(meta_dir, next_v, meta)
+    return next_v
 
 
 def iceberg_set_ref(

@@ -11139,7 +11139,10 @@ _R13_WINDOW = [
     "iceberg_merge_sync",
     "stream_iceberg_merge",
     "iceberg_temporal_bucket",
-    # changed this round
+    "iceberg_partition_evolution",
+    # changed this round (stream_iceberg_sink, green in both r11 and
+    # r12, yields its slot to the new partition-evolution row so the
+    # window keeps all the judge-named r8/r9 refreshes)
     "delta_merge_conditional",
     "delta_merge_sync",
     "stream_delta_merge",
@@ -11151,7 +11154,6 @@ _R13_WINDOW = [
     "iceberg_changes",
     "iceberg_upsert",
     "iceberg_rollback",
-    "stream_iceberg_sink",
     "iceberg_bucket_prune",
     "iceberg_time_prune",
     # stale r8 refresh (VERDICT r12 next #5: every last-green-r8 row)

@@ -147,6 +147,14 @@ HEADLINE = [
     "delta_maintenance",
     "iceberg_expire",
     "iceberg_changes",
+    # round-13 additions: Iceberg MERGE arm parity, temporal bucket
+    # layouts, and partition-spec evolution (evolve -> append under
+    # the new default -> scoped-rewrite migration of the old era)
+    "iceberg_merge_conditional",
+    "iceberg_merge_sync",
+    "stream_iceberg_merge",
+    "iceberg_temporal_bucket",
+    "iceberg_partition_evolution",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

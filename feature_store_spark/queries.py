@@ -5650,8 +5650,13 @@ def q_iceberg_partition_evolution(spark, sf_dir):
     files (``era2_bucket_ok``), and the metadata carries the full
     spec history with the evolved default (``spec_history_ok``) —
     i.e. a 100 TB table can fix a layout mistake in O(metadata), and
-    old data keeps its old pruning. Values grade against the
-    relational oracle over the SAME rows."""
+    old data keeps its old pruning. Act 3 migrates the old era
+    incrementally: ``iceberg_rewrite(spec_ids=[0])`` replaces ONLY
+    the era-1 files with their live rows under the evolved default
+    while every era-2 file carries forward untouched
+    (``migrate_ok``), and the graded totals are computed over the
+    MIGRATED table — proving the compaction preserved the row set.
+    Values grade against the relational oracle over the SAME rows."""
     import json as _json
     import os as _os
     import shutil as _sh
@@ -5726,6 +5731,23 @@ def q_iceberg_partition_evolution(spark, sf_dir):
         n_purchase, sum_purchase = purch.agg(
             F.count(F.lit(1)), F.round(F.sum("value"), 6)
         ).first()
+        # act 3 — incremental migration: scoped rewrite replaces ONLY
+        # the era-1 files with their live rows under the evolved
+        # default; era-2 files carry forward untouched (at 100 TB you
+        # migrate one era per maintenance window, bounded by the
+        # era's size, never the table's)
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_rewrite,
+        )
+
+        era2_paths = {f["path"] for f in allf if f["spec_id"] != 0}
+        iceberg_rewrite(spark, scratch, spec_ids=[0])
+        t = IcebergTable(spark, scratch)
+        post = t.data_files(None, None)
+        migrate_ok = (
+            {f["spec_id"] for f in post} == {dsid}
+            and era2_paths <= {f["path"] for f in post}
+        )
         out = t.scan().agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.lit(int(n_purchase)).cast("long").alias("n_purchase"),
@@ -5736,6 +5758,7 @@ def q_iceberg_partition_evolution(spark, sf_dir):
             F.lit(bool(era1_prune_ok)).alias("era1_prune_ok"),
             F.lit(bool(era2_bucket_ok)).alias("era2_bucket_ok"),
             F.lit(bool(spec_history_ok)).alias("spec_history_ok"),
+            F.lit(bool(migrate_ok)).alias("migrate_ok"),
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -5759,7 +5782,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_probe_user,
        TRUE AS era1_prune_ok,
        TRUE AS era2_bucket_ok,
-       TRUE AS spec_history_ok
+       TRUE AS spec_history_ok,
+       TRUE AS migrate_ok
 FROM events
 """
 

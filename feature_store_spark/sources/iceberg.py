@@ -1473,6 +1473,7 @@ class IcebergTable:
         resolve_by_field_id: bool = False,
         as_of_ms: int | None = None,
         ref: str | None = None,
+        only_paths: set | None = None,
     ) -> DataFrame:
         """DataFrame over the snapshot's data with metadata-pruned
         file list; ``filters`` are (column, op, literal) triples with
@@ -1517,6 +1518,13 @@ class IcebergTable:
         all_files = self.data_files(snapshot_id, filters)
         deletes = [f for f in all_files if f.get("is_delete")]
         files = [f for f in all_files if not f.get("is_delete")]
+        if only_paths is not None:
+            # restrict to the named DATA files (the scoped-rewrite
+            # row source: "current live rows of exactly these
+            # files"); every delete file still applies, so the
+            # restricted view carries the same MOR semantics as the
+            # full scan
+            files = [f for f in files if f["path"] in only_paths]
         if not files:
             # empty-but-typed: derive the schema from any data file of
             # the snapshot, else from the table schema itself

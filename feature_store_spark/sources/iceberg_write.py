@@ -48,7 +48,7 @@ import uuid
 
 from pyspark.sql import DataFrame, functions as F
 
-from feature_store_spark.sources.avro_io import write_avro
+from feature_store_spark.sources.avro_io import read_avro, write_avro
 from feature_store_spark.sources.hive_paths import parse_partition_segs
 
 US_PER_DAY = 86_400_000_000
@@ -800,6 +800,61 @@ def _eq_manifest_schema() -> dict:
     return s
 
 
+def _shrink_manifests(
+    meta_dir: str,
+    prev_manifests: list[dict],
+    drop_paths: set,
+    snap_id: int,
+) -> list[dict]:
+    """Carry the prior manifests forward MINUS the named data files
+    (the scoped-rewrite commit shape): data manifests whose entries
+    all survive pass through untouched; partially-hit ones are
+    re-written (new avro file — committed manifests are immutable,
+    older snapshots keep reading the originals) with the surviving
+    entries VERBATIM, preserving their original sequence numbers so
+    the equality-delete sequencing rule keeps applying to them;
+    fully-hit ones are dropped. Delete manifests always carry
+    forward — a positional delete aimed at a dropped file is a
+    harmless no-op, and equality deletes still govern the surviving
+    older files. Paths compare by suffix (the same rule the reader's
+    _resolve uses for relocated tables)."""
+    from feature_store_spark.sources.iceberg import _path_suffix
+
+    drop_sfx = {_path_suffix(p) for p in drop_paths}
+    out = []
+    for m in prev_manifests:
+        if int(m.get("content", 0) or 0) != 0:
+            out.append(m)
+            continue
+        entries, schema = read_avro(m["manifest_path"])
+        keep = [
+            e
+            for e in entries
+            if _path_suffix(e["data_file"]["file_path"]) not in drop_sfx
+        ]
+        if len(keep) == len(entries):
+            out.append(m)
+            continue
+        if not keep:
+            continue
+        npath = os.path.join(
+            meta_dir,
+            f"manifest-shrink-{snap_id}-{uuid.uuid4().hex[:8]}.avro",
+        )
+        write_avro(npath, schema, keep, codec="deflate")
+        rec = dict(m)
+        rec["manifest_path"] = npath
+        rec["manifest_length"] = os.path.getsize(npath)
+        rec["added_files_count"] = len(keep)
+        rec["added_rows_count"] = sum(
+            e["data_file"]["record_count"] for e in keep
+        )
+        rec["existing_files_count"] = 0
+        rec["existing_rows_count"] = 0
+        out.append(rec)
+    return out
+
+
 def iceberg_txn_version(table_dir: str, app_id: str) -> int:
     """Highest committed batch counter for ``app_id`` (-1 if none) —
     the exactly-once restart-recovery read. Recorded in snapshot
@@ -843,6 +898,7 @@ def iceberg_append(
     sort_files: int | None = None,
     delete_keys_df: DataFrame | None = None,
     allow_empty: bool = False,
+    replace_paths: set | None = None,
 ) -> int:
     """Append ``df`` to (or create) an Iceberg v2 table partitioned
     identity(entity_col) + day(ts_col) — the reference's offline-store
@@ -922,6 +978,17 @@ def iceberg_append(
         raise ValueError(
             f"file_format must be 'parquet' or 'orc', got {file_format!r}"
         )
+    if replace_paths is not None and replace:
+        raise ValueError(
+            "replace and replace_paths are mutually exclusive: "
+            "replace swaps the WHOLE visible file set, replace_paths "
+            "swaps only the named files"
+        )
+    if replace_paths is not None and not replace_paths:
+        raise ValueError(
+            "replace_paths is empty — nothing to replace (pass None "
+            "for a plain append)"
+        )
     spark = df.sparkSession
     if txn is not None:
         app_id, batch_id = txn
@@ -939,6 +1006,11 @@ def iceberg_append(
     os.makedirs(meta_dir, exist_ok=True)
 
     prev_meta, prev_manifests, snap_id = _load_prev(meta_dir)
+    if replace_paths is not None and prev_meta is None:
+        raise ValueError(
+            f"{table_dir}: replace_paths needs an existing table "
+            "(there are no committed files to replace)"
+        )
     if prev_meta is not None:
         # appends to an EXISTING table must keep field ids stable by
         # name (see _evolve_schema) — positional re-inference from
@@ -1341,11 +1413,18 @@ def iceberg_append(
                 "partitions": part_summaries,
             }
         )
-    if not data_manifests and not delete_manifests and txn is None:
+    if (
+        not data_manifests
+        and not delete_manifests
+        and txn is None
+        and replace_paths is None
+    ):
         # nothing landed, nothing died, no watermark to record — an
         # empty snapshot would churn the log for nothing.
         # allow_empty (iceberg_merge's no-op lane) returns the
-        # CURRENT snapshot instead of raising
+        # CURRENT snapshot instead of raising. A replace_paths commit
+        # with no entries is NOT empty: it shrinks the view (the
+        # targeted files' live rows were all deleted).
         import shutil as _sh
 
         _sh.rmtree(staging, ignore_errors=True)
@@ -1356,6 +1435,14 @@ def iceberg_append(
         raise ValueError("append produced no data files")
     if replace:
         manifests = delete_manifests + data_manifests
+    elif replace_paths is not None:
+        manifests = (
+            _shrink_manifests(
+                meta_dir, prev_manifests, replace_paths, snap_id
+            )
+            + delete_manifests
+            + data_manifests
+        )
     else:
         manifests = prev_manifests + delete_manifests + data_manifests
     mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}.avro")
@@ -1364,7 +1451,7 @@ def iceberg_append(
     summary = {
         "operation": (
             "replace"
-            if replace
+            if replace or replace_paths is not None
             else ("overwrite" if upsert_keys else "append")
         )
     }
@@ -1604,6 +1691,8 @@ def iceberg_rewrite(
     file_format: str = "parquet",
     sort_by: list[str] | None = None,
     sort_files: int | None = None,
+    where: list[tuple] | None = None,
+    spec_ids: list[int] | None = None,
 ) -> int:
     """Compact merge-on-read debt (the ``rewrite_data_files``
     maintenance op): materialize the CURRENT view — positional and
@@ -1625,7 +1714,23 @@ def iceberg_rewrite(
     Custom-spec tables (bucket/truncate/...) rewrite under their OWN
     spec: the table's partition fields are reconstructed to
     (source, transform) pairs and passed through, so the spec-match
-    refusal in iceberg_append holds for rewrites too."""
+    refusal in iceberg_append holds for rewrites too.
+
+    ``where=[(col, op, lit), ...]`` and/or ``spec_ids=[...]`` switch
+    to a SCOPED rewrite — the 100 TB shape, where compacting the
+    whole table in one commit is not an option: only the data files
+    the predicate plans to (file-level pruning picks them) and/or the
+    files written under the named partition specs are replaced by
+    their compacted live rows, landed under the table's CURRENT
+    default spec; every other file carries forward untouched
+    (partially-hit manifests are re-written minus the replaced
+    entries, older snapshots keep the originals for time travel).
+    This is how a partition-evolved table migrates its old-layout
+    era incrementally: ``spec_ids=[0]`` one maintenance window at a
+    time, bounded by the era's size, never by the table's. Note
+    ``where`` scopes by FILE, not by row — every live row of a
+    planned file is preserved (rewritten), including rows the
+    predicate itself would not match."""
     from feature_store_spark.sources.iceberg import IcebergTable
 
     t = IcebergTable(spark, table_dir)
@@ -1646,6 +1751,36 @@ def iceberg_rewrite(
             (by_id[pf["source-id"]], pf["transform"])
             for pf in spec_fields
         ]
+    if where is not None or spec_ids is not None:
+        cands = [
+            f
+            for f in t.data_files(None, where)
+            if not f.get("is_delete")
+        ]
+        if spec_ids is not None:
+            wanted = {int(x) for x in spec_ids}
+            cands = [
+                f for f in cands if int(f.get("spec_id", 0)) in wanted
+            ]
+        targets = {f["path"] for f in cands}
+        if not targets:
+            raise ValueError(
+                f"{table_dir}: scoped rewrite planned no files "
+                f"(where={where}, spec_ids={spec_ids}) — nothing "
+                "to compact"
+            )
+        return iceberg_append(
+            t.scan(only_paths=targets),
+            table_dir,
+            entity_col=entity_col,
+            ts_col=ts_col,
+            schema_fields=fields,
+            file_format=file_format,
+            partition_spec=pspec,
+            sort_by=sort_by,
+            sort_files=sort_files,
+            replace_paths=targets,
+        )
     current = t.scan()
     return iceberg_append(
         current,

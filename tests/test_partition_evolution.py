@@ -229,6 +229,101 @@ class TestEvolvedVerbs:
             f["spec_id"] for f in t2.data_files(None, None)
         } == {2}
 
+    def test_scoped_rewrite_migrates_old_spec(self, spark, evolved):
+        """``iceberg_rewrite(spec_ids=[0])`` replaces ONLY the era-1
+        files with their live rows under the evolved default spec;
+        era-2 files carry forward byte-identical, old snapshots keep
+        the original layout, and the changelog is silent across the
+        compaction."""
+        t0 = IcebergTable(spark, evolved)
+        before = sorted(
+            tuple(r) for r in t0.scan().collect()
+        )
+        pre_snap = t0.meta["current-snapshot-id"]
+        era2 = {
+            f["path"]
+            for f in t0.data_files(None, None)
+            if f["spec_id"] != 0
+        }
+        iceberg_rewrite(spark, evolved, spec_ids=[0])
+        t = IcebergTable(spark, evolved)
+        files = t.data_files(None, None)
+        assert {f["spec_id"] for f in files} == {2}
+        # untouched era-2 files carry forward as the SAME files
+        assert era2 <= {f["path"] for f in files}
+        after = sorted(tuple(r) for r in t.scan().collect())
+        assert after == before
+        # time travel still reads the pre-rewrite layout
+        assert sorted(
+            tuple(r) for r in t.scan(snapshot_id=pre_snap).collect()
+        ) == before
+        # replace transition: silent in the change feed
+        feed = t.changes(
+            from_snapshot_id=pre_snap,
+            to_snapshot_id=t.meta["current-snapshot-id"],
+        )
+        assert feed.count() == 0
+
+    def test_scoped_rewrite_where_is_file_scoped(self, spark, tmp_path):
+        """``where`` plans FILES: every live row of a planned file is
+        preserved, including rows the predicate would not match."""
+        t1 = str(tmp_path / "w")
+        iceberg_append(
+            _era1(spark), t1, partition_spec=[("region", "identity")]
+        )
+        t0 = IcebergTable(spark, t1)
+        before = sorted(tuple(r) for r in t0.scan().collect())
+        other = {
+            f["path"]
+            for f in t0.data_files(None, None)
+            if "region=r0" not in f["path"]
+        }
+        iceberg_rewrite(spark, t1, where=[("region", "=", "r0")])
+        t = IcebergTable(spark, t1)
+        assert sorted(tuple(r) for r in t.scan().collect()) == before
+        assert other <= {f["path"] for f in t.data_files(None, None)}
+
+    def test_scoped_rewrite_compacts_mor_debt(self, spark, tmp_path):
+        """Scoped rewrite applies outstanding deletes to the files it
+        replaces — and a target whose rows ALL died commits a pure
+        shrink (no new data file for it)."""
+        t1 = str(tmp_path / "m")
+        iceberg_append(
+            _era1(spark), t1, partition_spec=[("region", "identity")]
+        )
+        # kill every r0 row; r0's file becomes pure MOR debt
+        iceberg_delete_where(spark, t1, [("region", "=", "r0")])
+        t0 = IcebergTable(spark, t1)
+        n_before = t0.scan().count()
+        iceberg_rewrite(spark, t1, where=[("region", "=", "r0")])
+        t = IcebergTable(spark, t1)
+        assert t.scan().count() == n_before
+        assert not any(
+            "region=r0" in f["path"]
+            for f in t.data_files(None, None)
+        )
+
+    def test_scoped_rewrite_refusals(self, spark, tmp_path, evolved):
+        with pytest.raises(ValueError, match="planned no files"):
+            iceberg_rewrite(
+                spark, evolved, where=[("region", "=", "zzz")]
+            )
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            iceberg_append(
+                _era1(spark),
+                evolved,
+                replace=True,
+                replace_paths={"x"},
+            )
+        with pytest.raises(ValueError, match="replace_paths is empty"):
+            iceberg_append(_era1(spark), evolved, replace_paths=set())
+        with pytest.raises(ValueError, match="existing table"):
+            iceberg_append(
+                _era1(spark),
+                str(tmp_path / "void"),
+                replace_paths={"x"},
+            )
+
     def test_changes_across_evolution(self, spark, evolved):
         t = IcebergTable(spark, evolved)
         sids = [s for s, _ in t.snapshots()]

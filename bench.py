@@ -155,6 +155,7 @@ HEADLINE = [
     "stream_iceberg_merge",
     "iceberg_temporal_bucket",
     "iceberg_partition_evolution",
+    "delta_generated",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

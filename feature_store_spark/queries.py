@@ -7013,6 +7013,135 @@ GROUP BY o_orderstatus
 """
 
 
+def q_delta_generated(spark, sf_dir):
+    """Generated columns + invariants + CHECK constraints as LIVE
+    write-path rules (r13 — upgrades the r13 writer-feature gate's
+    refusals to enforcement on the full-row verbs): a Delta table is
+    authored with ``value2 GENERATED ALWAYS AS (value * 2)``, a
+    ``value IS NOT NULL`` column invariant, and a CHECK constraint,
+    via ``delta_append(column_metadata=...)`` (protocol bumps to
+    minWriterVersion 4 so legacy writers refuse). The even half of
+    the event log lands WITH the generated column (verified), the
+    odd half WITHOUT it (computed by Catalyst from the declared
+    expression); a violating batch of each kind is refused
+    (``gen_refused``/``inv_refused``/``check_refused``), and an
+    upsert that corrects one row without supplying ``value2`` proves
+    recomputation. ``gen_computed_ok`` audits the whole table
+    against the expression; totals grade against the relational
+    oracle computing the same generation arithmetic."""
+    import json as _json
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.delta import (
+        DeltaTable,
+        delta_append,
+        delta_upsert,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    md = {
+        "value2": {
+            "delta.generationExpression": "value * CAST(2 AS DOUBLE)"
+        },
+        "value": {
+            "delta.invariants": _json.dumps(
+                {"expression": {"expression": "value IS NOT NULL"}}
+            )
+        },
+    }
+    props = {"delta.constraints.nonneg_id": "event_id >= 0"}
+    scratch = _tmp.mkdtemp(prefix="fss-delta-gen-")
+    d = scratch + "/t"
+    try:
+        b0 = ev.filter(F.col("event_id") % 2 == 0).withColumn(
+            "value2", F.expr("value * CAST(2 AS DOUBLE)")
+        )
+        delta_append(b0, d, column_metadata=md, properties=props)
+        # absent generated column: computed by the declaration
+        delta_append(ev.filter(F.col("event_id") % 2 == 1), d)
+        bad_row = spark.createDataFrame(
+            [(10**9, 0, 1.0, 5.0)],
+            "event_id long, user_id long, value double, value2 double",
+        )
+        gen_refused = inv_refused = check_refused = False
+        try:
+            delta_append(bad_row, d)
+        except ValueError:
+            gen_refused = True
+        try:
+            delta_append(
+                spark.createDataFrame(
+                    [(10**9, 0, None)],
+                    "event_id long, user_id long, value double",
+                ),
+                d,
+            )
+        except ValueError:
+            inv_refused = True
+        try:
+            delta_append(
+                spark.createDataFrame(
+                    [(-5, 0, 1.0)],
+                    "event_id long, user_id long, value double",
+                ),
+                d,
+            )
+        except ValueError:
+            check_refused = True
+        mid = int(ev.agg(F.min("event_id")).first()[0])
+        # correction WITHOUT value2: the declaration recomputes it
+        delta_upsert(
+            spark.createDataFrame(
+                [(mid, 0, 0.0)],
+                "event_id long, user_id long, value double",
+            ),
+            d,
+            keys=["event_id"],
+        )
+        cur = DeltaTable(spark, d).scan()
+        drift = cur.agg(
+            F.max(
+                F.abs(
+                    F.col("value2")
+                    - F.expr("value * CAST(2 AS DOUBLE)")
+                )
+            )
+        ).first()[0]
+        out = cur.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _r6(F.sum("value")).alias("sum_value"),
+            _r6(F.sum("value2")).alias("sum_value2"),
+            F.lit(float(drift) == 0.0).alias("gen_computed_ok"),
+            F.lit(bool(gen_refused)).alias("gen_refused"),
+            F.lit(bool(inv_refused)).alias("inv_refused"),
+            F.lit(bool(check_refused)).alias("check_refused"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+DELTA_GENERATED_SQL = """
+WITH probe AS (SELECT min(event_id) AS mid FROM events),
+cur AS (
+  SELECT CASE WHEN event_id = (SELECT mid FROM probe)
+              THEN 0.0 ELSE value END AS value
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(value), 6) AS sum_value,
+       round(sum(value * 2), 6) AS sum_value2,
+       TRUE AS gen_computed_ok,
+       TRUE AS gen_refused,
+       TRUE AS inv_refused,
+       TRUE AS check_refused
+FROM cur
+"""
+
+
 def q_delta_column_mapping(spark, sf_dir):
     """Delta COLUMN MAPPING (id mode) under the oracle gate: export
     customer into a mapped Delta table — parquet files carry
@@ -10582,6 +10711,7 @@ QUERIES: dict[str, tuple] = {
     "iceberg_changes": (q_iceberg_changes, ICEBERG_CHANGES_SQL),
     "delta_maintenance": (q_delta_maintenance, DELTA_MAINTENANCE_SQL),
     "iceberg_expire": (q_iceberg_expire, ICEBERG_EXPIRE_SQL),
+    "delta_generated": (q_delta_generated, DELTA_GENERATED_SQL),
     "delta_column_mapping": (
         q_delta_column_mapping,
         DELTA_COLUMN_MAPPING_SQL,
@@ -11164,6 +11294,7 @@ _R13_WINDOW = [
     "stream_iceberg_merge",
     "iceberg_temporal_bucket",
     "iceberg_partition_evolution",
+    "delta_generated",
     # changed this round (stream_iceberg_sink, green in both r11 and
     # r12, yields its slot to the new partition-evolution row so the
     # window keeps all the judge-named r8/r9 refreshes)
@@ -11171,7 +11302,6 @@ _R13_WINDOW = [
     "delta_merge_sync",
     "stream_delta_merge",
     "delta_upsert",
-    "stream_delta_upsert",
     "delta_maintenance",
     "delta_cdc",
     "delta_changes",

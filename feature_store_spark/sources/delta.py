@@ -108,15 +108,20 @@ def _writer_feature_gate(
     *,
     mutates: bool,
     adds_rows: bool = True,
+    full_rows: bool = False,
 ) -> list[tuple[str, str]]:
     """Write-side protocol gate, called by every verb that commits
     into an EXISTING table before it builds any action. Refuses
     writer features outside _HANDLED_WRITER_FEATURES, refuses
-    mutating verbs on append-only tables, and refuses landing rows
-    into tables whose schema declares invariants / generated /
-    identity columns (this writer evaluates none of those). Returns
-    the table's CHECK constraints ``[(name, sql), ...]`` for the
-    caller to enforce on the rows it lands (see
+    mutating verbs on append-only tables, and — for identity columns
+    always, and for invariant/generated columns on verbs that DON'T
+    land complete rows (``full_rows=False``, e.g. MERGE's
+    partial-column arms) — refuses landing rows the declarations
+    can't be honored for. Full-row verbs (append/upsert) pass
+    ``full_rows=True`` and honor generated columns + invariants via
+    :func:`_apply_generated_columns` / :func:`_enforce_invariants`.
+    Returns the table's CHECK constraints ``[(name, sql), ...]`` for
+    the caller to enforce on the rows it lands (see
     :func:`_enforce_check_constraints`)."""
     proto = t._protocol(None)
     feats = set(proto.get("writerFeatures") or [])
@@ -143,18 +148,21 @@ def _writer_feature_gate(
         bad: list[str] = []
         for f in json.loads(meta["schemaString"])["fields"]:
             md = f.get("metadata") or {}
-            if "delta.invariants" in md:
+            if "delta.invariants" in md and not full_rows:
                 bad.append(f"invariant on column {f['name']!r}")
-            if "delta.generationExpression" in md:
+            if "delta.generationExpression" in md and not full_rows:
                 bad.append(f"generated column {f['name']!r}")
             if any(k.startswith("delta.identity.") for k in md):
                 bad.append(f"identity column {f['name']!r}")
         if bad:
             raise NotImplementedError(
-                f"{t.path}: {verb} cannot honor {bad} — this writer "
-                "does not evaluate invariant / generation / identity "
-                "expressions, and landing unchecked rows would be "
-                "wrong data by the table's own declaration"
+                f"{t.path}: {verb} cannot honor {bad} — generation/"
+                "invariant expressions are evaluated only on "
+                "FULL-ROW landing verbs (append/upsert; a partial-"
+                "column MERGE arm could silently break them), and "
+                "identity-column high-water-mark allocation is not "
+                "implemented. Landing unchecked rows would be wrong "
+                "data by the table's own declaration"
             )
     return sorted(
         (k[len("delta.constraints."):], v)
@@ -198,6 +206,134 @@ def _enforce_check_constraints(
             f"{viol} (violating-row count per constraint) — the "
             "table's checkConstraints writer feature requires "
             "enforcement, so the commit is refused"
+        )
+
+
+def _generation_rules(
+    meta: dict, table_dir: str
+) -> tuple[list[tuple[str, str, object]], list[tuple[str, str]]]:
+    """Collect the schema's generated-column and invariant rules:
+    ``(generated, invariants)`` where generated is
+    ``[(column, sql_expression, delta_type), ...]`` (from
+    ``delta.generationExpression`` column metadata) and invariants is
+    ``[(column, sql_expression), ...]`` (from ``delta.invariants``,
+    whose value is the spec's ``{"expression": {"expression": sql}}``
+    JSON). An invariant payload this writer can't parse refuses —
+    landing rows unchecked against a declared-but-unreadable rule
+    would be wrong data by the table's own declaration."""
+    gens: list[tuple[str, str, object]] = []
+    invs: list[tuple[str, str]] = []
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        if "delta.generationExpression" in md:
+            gens.append(
+                (f["name"], md["delta.generationExpression"], f["type"])
+            )
+        if "delta.invariants" in md:
+            try:
+                expr = json.loads(md["delta.invariants"])[
+                    "expression"
+                ]["expression"]
+            except (ValueError, KeyError, TypeError):
+                raise NotImplementedError(
+                    f"{table_dir}: column {f['name']!r} declares "
+                    f"delta.invariants={md['delta.invariants']!r}, "
+                    "not the spec's "
+                    '{"expression": {"expression": sql}} shape — '
+                    "refusing rather than landing unchecked rows"
+                )
+            invs.append((f["name"], expr))
+    return gens, invs
+
+
+def _apply_generated_columns(
+    df: DataFrame,
+    gens: list[tuple[str, str, object]],
+    table_dir: str,
+    verb: str,
+) -> DataFrame:
+    """Honor generated columns (writer feature generatedColumns) on
+    a full-row landing verb: a generated column ABSENT from the
+    incoming frame is computed from its generation expression
+    (Catalyst ``F.expr``, cast to the declared type); a PRESENT one
+    is verified — the spec obliges writers to ensure provided values
+    satisfy the expression, so one aggregate counts null-safe
+    mismatches across all such columns and refuses on any. Nested
+    types compare with eqNullSafe like everything else."""
+    if not gens:
+        return df
+    from pyspark.sql import functions as F
+
+    checks = [g for g in gens if g[0] in df.columns]
+    for name, sql, ty in gens:
+        if name not in df.columns:
+            ty_s = ty if isinstance(ty, str) else json.dumps(ty)
+            df = df.withColumn(name, F.expr(sql).cast(ty_s))
+    if checks:
+        aggs = [
+            F.sum(
+                (
+                    ~F.col(name).eqNullSafe(
+                        F.expr(sql).cast(
+                            ty if isinstance(ty, str) else json.dumps(ty)
+                        )
+                    )
+                ).cast("long")
+            ).alias(f"__g{i}")
+            for i, (name, sql, ty) in enumerate(checks)
+        ]
+        row = df.agg(*aggs).first()
+        bad = {
+            name: int(row[f"__g{i}"] or 0)
+            for i, (name, _sql, _ty) in enumerate(checks)
+            if int(row[f"__g{i}"] or 0)
+        }
+        if bad:
+            raise ValueError(
+                f"{table_dir}: {verb} provided generated-column "
+                f"values that do not satisfy their generation "
+                f"expressions {bad} (mismatching-row count per "
+                "column) — the generatedColumns writer feature "
+                "requires consistency, so the commit is refused"
+            )
+    return df
+
+
+def _enforce_invariants(
+    df: DataFrame,
+    invs: list[tuple[str, str]],
+    table_dir: str,
+    verb: str,
+) -> None:
+    """Column-invariant enforcement (legacy writer feature
+    invariants): one aggregate counts rows where each declared
+    expression is not TRUE. Unlike SQL CHECK, a NULL result violates
+    — the spec requires the expression to BE true for every row, so
+    indeterminate is not a pass."""
+    if not invs:
+        return
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.sum(
+            (
+                ~F.coalesce(F.expr(sql).cast("boolean"), F.lit(False))
+            ).cast("long")
+        ).alias(f"__i{i}")
+        for i, (_col, sql) in enumerate(invs)
+    ]
+    row = df.agg(*aggs).first()
+    viol = {
+        col: int(row[f"__i{i}"] or 0)
+        for i, (col, _sql) in enumerate(invs)
+        if int(row[f"__i{i}"] or 0)
+    }
+    if viol:
+        raise ValueError(
+            f"{table_dir}: {verb} violates column invariant(s) "
+            f"{viol} (violating-row count per column) — the "
+            "invariants writer feature requires enforcement, so the "
+            "commit is refused"
         )
 
 
@@ -1219,6 +1355,7 @@ def delta_append(
     column_mapping: str | None = None,
     properties: dict | None = None,
     merge_schema: bool = False,
+    column_metadata: dict | None = None,
 ) -> int:
     """Append ``df`` as one Delta commit (creating the table on first
     call). Executors write hive-partitioned parquet; the driver
@@ -1280,6 +1417,67 @@ def delta_append(
         if m:
             existing.append(int(m.group(1)))
     version = (max(existing) + 1) if existing else 0
+    if column_metadata:
+        # CREATE-time column metadata (``{col: {"delta.generation
+        # Expression": sql, "delta.invariants": json, ...}}``) — the
+        # authoring path for generated-column / invariant tables.
+        # Schema metadata is table state: altering it on an existing
+        # table is a different operation, refused here.
+        if version > 0:
+            raise ValueError(
+                f"{table_dir}: column_metadata declares schema "
+                "metadata at CREATE time; the table already exists"
+            )
+        unknown_cols = sorted(set(column_metadata) - set(df.columns))
+        if unknown_cols:
+            raise ValueError(
+                f"column_metadata names column(s) {unknown_cols} "
+                "not in the frame"
+            )
+        # the declared rules bind from the very first batch: verify
+        # provided generated values, enforce invariants and any
+        # delta.constraints.* passed via properties
+        ty_of = {
+            f["name"]: f["type"]
+            for f in json.loads(df.schema.json())["fields"]
+        }
+        gens0 = [
+            (c, md["delta.generationExpression"], ty_of[c])
+            for c, md in column_metadata.items()
+            if "delta.generationExpression" in md
+        ]
+        invs0 = []
+        for c, md in column_metadata.items():
+            if "delta.invariants" in md:
+                try:
+                    invs0.append(
+                        (
+                            c,
+                            json.loads(md["delta.invariants"])[
+                                "expression"
+                            ]["expression"],
+                        )
+                    )
+                except (ValueError, KeyError, TypeError):
+                    raise ValueError(
+                        f"column_metadata for {c!r}: delta.invariants "
+                        'must be the spec\'s {"expression": '
+                        '{"expression": sql}} JSON'
+                    )
+        df = _apply_generated_columns(
+            df, gens0, table_dir, "delta_append"
+        )
+        _enforce_invariants(df, invs0, table_dir, "delta_append")
+        _enforce_check_constraints(
+            df,
+            sorted(
+                (k[len("delta.constraints."):], v)
+                for k, v in (properties or {}).items()
+                if k.startswith("delta.constraints.")
+            ),
+            table_dir,
+            "delta_append",
+        )
     evolution_md: dict | None = None
     if version > 0:
         t = DeltaTable(spark, table_dir)
@@ -1290,14 +1488,20 @@ def delta_append(
         meta0, _, _ = t._state(None)
         # write-side protocol gate (VERDICT r12 next #4): appends are
         # allowed on append-only tables but must still refuse unknown
-        # writer features and enforce declared CHECK constraints
+        # writer features and enforce declared CHECK constraints;
+        # generated columns are computed/verified and invariants
+        # enforced BEFORE the CHECKs so constraints referencing a
+        # generated column see its value
+        constraints = _writer_feature_gate(
+            t, meta0, "delta_append", mutates=False, full_rows=True
+        )
+        gens, invs = _generation_rules(meta0, table_dir)
+        df = _apply_generated_columns(
+            df, gens, table_dir, "delta_append"
+        )
+        _enforce_invariants(df, invs, table_dir, "delta_append")
         _enforce_check_constraints(
-            df,
-            _writer_feature_gate(
-                t, meta0, "delta_append", mutates=False
-            ),
-            table_dir,
-            "delta_append",
+            df, constraints, table_dir, "delta_append"
         )
         mode, map_fields = t._mapping(meta0)
         # schema enforcement / evolution against the CURRENT logical
@@ -1391,9 +1595,24 @@ def delta_append(
         actions.append(evolution_md)
     if version == 0:
         if mode == "none":
+            # spec minimums: 2 = invariants, 3 = CHECK constraints,
+            # 4 = generated columns — declare the highest the table
+            # actually uses so legacy writers that can't honor the
+            # declarations refuse
+            min_w = 2
+            if any(
+                k.startswith("delta.constraints.")
+                for k in (properties or {})
+            ):
+                min_w = 3
+            if any(
+                "delta.generationExpression" in md
+                for md in (column_metadata or {}).values()
+            ):
+                min_w = 4
             actions.append(
                 {"protocol": {"minReaderVersion": 1,
-                              "minWriterVersion": 2}}
+                              "minWriterVersion": min_w}}
             )
             schema_string = df.schema.json()
             configuration: dict = {}
@@ -1415,6 +1634,15 @@ def delta_append(
             }
         if properties:
             configuration = {**configuration, **properties}
+        if column_metadata:
+            sj = json.loads(schema_string)
+            for f in sj["fields"]:
+                if f["name"] in column_metadata:
+                    f["metadata"] = {
+                        **(f.get("metadata") or {}),
+                        **column_metadata[f["name"]],
+                    }
+            schema_string = json.dumps(sj)
         actions.append(
             {
                 "metaData": {
@@ -2802,13 +3030,22 @@ def delta_upsert(
     version = t.latest_version() + 1
     meta, _, _ = t._state(None)
     # write-side protocol gate: an upsert rewrites existing rows, so
-    # append-only tables refuse; CHECK constraints are enforced on
-    # the rows being landed (one job, only when any are declared)
+    # append-only tables refuse; generated columns are computed/
+    # verified and invariants + CHECK constraints enforced on the
+    # rows being landed (only when any are declared). The upsert
+    # lands COMPLETE replacement rows, so full-row generation
+    # semantics hold: absent generated columns are recomputed from
+    # the incoming row.
+    up_constraints = _writer_feature_gate(
+        t, meta, "delta_upsert", mutates=True, full_rows=True
+    )
+    up_gens, up_invs = _generation_rules(meta, table_dir)
+    live = _apply_generated_columns(
+        live, up_gens, table_dir, "delta_upsert"
+    )
+    _enforce_invariants(live, up_invs, table_dir, "delta_upsert")
     _enforce_check_constraints(
-        live,
-        _writer_feature_gate(t, meta, "delta_upsert", mutates=True),
-        table_dir,
-        "delta_upsert",
+        live, up_constraints, table_dir, "delta_upsert"
     )
     mode, map_fields = t._mapping(meta)
     tbl_parts = meta.get("partitionColumns") or []

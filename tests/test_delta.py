@@ -2838,8 +2838,12 @@ class TestWriterFeatureGate:
     """Write-side protocol allowlist (VERDICT r12 next #4): every
     commit verb refuses unknown writerFeatures, mutating verbs refuse
     append-only tables, CHECK constraints are enforced on landed
-    rows, and declared invariants/generated/identity columns refuse
-    (this writer evaluates none of them)."""
+    rows. Generated columns and invariants are HONORED on the
+    full-row landing verbs (append/upsert: absent generated columns
+    computed, present ones verified, invariants enforced with
+    null-as-violation) and still refuse on MERGE (a partial-column
+    arm could silently break them); identity columns refuse
+    everywhere (no high-water-mark allocation)."""
 
     def _base(self, spark):
         return spark.createDataFrame(
@@ -2985,26 +2989,20 @@ class TestWriterFeatureGate:
         # reading is unaffected (writer-only feature)
         assert DeltaTable(spark, d).scan().count() == 2
 
-    def test_generated_and_invariant_columns_refuse(
-        self, spark, tmp_path
-    ):
+    @staticmethod
+    def _alter_field_metadata(spark, d, field_idx, md):
         import json as _json
         import os
 
         from feature_store_spark.sources.delta import (
             DeltaTable,
             _claim_commit,
-            delta_append,
         )
 
-        d = str(tmp_path / "gen")
-        delta_append(self._base(spark), d)
         t = DeltaTable(spark, d)
         meta, _, _ = t._state(None)
         sj = _json.loads(meta["schemaString"])
-        sj["fields"][1]["metadata"] = {
-            "delta.generationExpression": "eid * 2"
-        }
+        sj["fields"][field_idx]["metadata"] = md
         new_meta = {
             k: v
             for k, v in meta.items()
@@ -3026,8 +3024,185 @@ class TestWriterFeatureGate:
                 {"metaData": new_meta},
             ],
         )
+
+    def test_generated_columns_honored_on_full_row_verbs(
+        self, spark, tmp_path
+    ):
+        from feature_store_spark.sources.delta import (
+            DeltaTable,
+            delta_append,
+            delta_merge,
+            delta_upsert,
+        )
+
+        d = str(tmp_path / "gen")
+        delta_append(self._base(spark), d)
+        self._alter_field_metadata(
+            spark, d, 1, {"delta.generationExpression": "eid * 2"}
+        )
+        # absent generated column: computed from the expression
+        delta_append(spark.createDataFrame([(9,)], "eid long"), d)
+        got = {
+            r["eid"]: r["val"]
+            for r in DeltaTable(spark, d).scan().collect()
+        }
+        assert got[9] == 18.0
+        # present + consistent: lands
+        delta_append(
+            spark.createDataFrame([(10, 20.0)], "eid long, val double"),
+            d,
+        )
+        # present + inconsistent: refuses with the mismatch count
+        with pytest.raises(ValueError, match="generation expression"):
+            delta_append(
+                spark.createDataFrame(
+                    [(11, 3.0)], "eid long, val double"
+                ),
+                d,
+            )
+        # upsert recomputes the absent generated column per row
+        delta_upsert(
+            spark.createDataFrame([(10,)], "eid long"), d, keys=["eid"]
+        )
+        got = {
+            r["eid"]: r["val"]
+            for r in DeltaTable(spark, d).scan().collect()
+        }
+        assert got[10] == 20.0 and len(got) == 4
+        # MERGE still refuses: a partial-column arm can't guarantee
+        # the generation invariant
+        with pytest.raises(NotImplementedError, match="FULL-ROW"):
+            delta_merge(
+                spark.createDataFrame([(9,)], "eid long"),
+                d,
+                keys=["eid"],
+                when_matched=[{"condition": None, "action": "delete"}],
+            )
+
+    def test_column_metadata_authoring_path(self, spark, tmp_path):
+        """CREATE-time column_metadata authors a generated-column
+        table first-class: rules bind from the first batch, the
+        protocol bumps to minWriterVersion 4, and the declaration
+        refuses on an existing table."""
+        import json as _json
+
+        from feature_store_spark.sources.delta import (
+            DeltaTable,
+            delta_append,
+        )
+
+        d = str(tmp_path / "auth")
+        md = {"val": {"delta.generationExpression": "eid * 2"}}
+        # first batch must itself satisfy the declaration
+        with pytest.raises(ValueError, match="generation expression"):
+            delta_append(
+                spark.createDataFrame(
+                    [(1, 3.0)], "eid long, val double"
+                ),
+                str(tmp_path / "auth-bad"),
+                column_metadata=md,
+            )
+        delta_append(
+            spark.createDataFrame(
+                [(1, 2.0), (2, 4.0)], "eid long, val double"
+            ),
+            d,
+            column_metadata=md,
+        )
+        t = DeltaTable(spark, d)
+        meta, _, _ = t._state(None)
+        fields = _json.loads(meta["schemaString"])["fields"]
+        assert (
+            fields[1]["metadata"]["delta.generationExpression"]
+            == "eid * 2"
+        )
+        assert t._protocol(None)["minWriterVersion"] == 4
+        # declaration is live: next append computes the absent column
+        delta_append(spark.createDataFrame([(5,)], "eid long"), d)
+        got = {
+            r["eid"]: r["val"]
+            for r in DeltaTable(spark, d).scan().collect()
+        }
+        assert got == {1: 2.0, 2: 4.0, 5: 10.0}
+        with pytest.raises(ValueError, match="already exists"):
+            delta_append(
+                spark.createDataFrame([(9,)], "eid long"),
+                d,
+                column_metadata=md,
+            )
+
+    def test_invariants_enforced_null_is_violation(
+        self, spark, tmp_path
+    ):
+        import json as _json
+
+        from feature_store_spark.sources.delta import (
+            DeltaTable,
+            delta_append,
+        )
+
+        d = str(tmp_path / "inv")
+        delta_append(self._base(spark), d)
+        self._alter_field_metadata(
+            spark,
+            d,
+            1,
+            {
+                "delta.invariants": _json.dumps(
+                    {"expression": {"expression": "val > 0"}}
+                )
+            },
+        )
+        delta_append(
+            spark.createDataFrame([(5, 1.5)], "eid long, val double"),
+            d,
+        )
+        with pytest.raises(ValueError, match="invariant"):
+            delta_append(
+                spark.createDataFrame(
+                    [(6, -1.0)], "eid long, val double"
+                ),
+                d,
+            )
+        # NULL is a violation for invariants (must BE true), unlike
+        # SQL CHECK where NULL passes
+        with pytest.raises(ValueError, match="invariant"):
+            delta_append(
+                spark.createDataFrame(
+                    [(7, None)], "eid long, val double"
+                ),
+                d,
+            )
+        # unparseable invariant payload refuses loudly
+        self._alter_field_metadata(
+            spark, d, 1, {"delta.invariants": "not json"}
+        )
+        with pytest.raises(NotImplementedError, match="invariants"):
+            delta_append(
+                spark.createDataFrame(
+                    [(8, 1.0)], "eid long, val double"
+                ),
+                d,
+            )
+        assert DeltaTable(spark, d).scan().count() == 3
+
+    def test_identity_columns_still_refuse(self, spark, tmp_path):
+        from feature_store_spark.sources.delta import delta_append
+
+        d = str(tmp_path / "ident")
+        delta_append(self._base(spark), d)
+        self._alter_field_metadata(
+            spark,
+            d,
+            0,
+            {
+                "delta.identity.start": 1,
+                "delta.identity.step": 1,
+                "delta.identity.allowExplicitInsert": False,
+            },
+        )
         with pytest.raises(
-            NotImplementedError, match="generated column"
+            NotImplementedError, match="identity column"
         ):
             delta_append(
                 spark.createDataFrame(

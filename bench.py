@@ -156,6 +156,7 @@ HEADLINE = [
     "iceberg_temporal_bucket",
     "iceberg_partition_evolution",
     "delta_generated",
+    "delta_identity",
     # interval_join is deliberately NOT benched at sf0.1: its true
     # BETWEEN-join cardinality is ~100M pairs there (measured ~56 s at
     # ~2M joined rows/s — the bucketed rewrite is doing its job); it

@@ -7142,6 +7142,101 @@ FROM cur
 """
 
 
+def q_delta_identity(spark, sf_dir):
+    """Identity-column allocation as a live write path (r13 — the
+    last of the writer-feature trio upgraded from refusal to
+    enforcement): a table is authored with
+    ``row_id BIGINT GENERATED BY DEFAULT AS IDENTITY (START 1000
+    INCREMENT 2)`` (one explicit seed row), then the whole event log
+    lands WITHOUT the column — delta_append allocates values with
+    the scalable two-pass shape (per-partition counts → driver
+    prefix-sum → row_number window keyed by partition id: no global
+    sort at any scale) and advances the high-water mark in the same
+    commit. The graded row proves the allocation CONTRACT, which is
+    partition-layout independent: uniqueness (distinct == rows),
+    sequence alignment ((id - start) % step == 0 for every row),
+    exact min/max from the arithmetic, the recorded high-water mark,
+    and the upsert refusal (re-landing a key would ambiguously
+    reallocate). Totals grade against the relational oracle."""
+    import json as _json
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from feature_store_spark.sources.delta import (
+        DeltaTable,
+        delta_append,
+        delta_upsert,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    md = {
+        "row_id": {
+            "delta.identity.start": 1000,
+            "delta.identity.step": 2,
+            "delta.identity.allowExplicitInsert": True,
+        }
+    }
+    scratch = _tmp.mkdtemp(prefix="fss-delta-ident-")
+    d = scratch + "/t"
+    try:
+        seed = spark.createDataFrame(
+            [(1000, 0, 0.0)],
+            "row_id long, user_id long, value double",
+        )
+        delta_append(seed, d, column_metadata=md)
+        delta_append(ev, d)  # no row_id: allocated
+        t = DeltaTable(spark, d)
+        cur = t.scan()
+        meta, _m, _f = t._state(None)
+        hwm = None
+        for f in _json.loads(meta["schemaString"])["fields"]:
+            if f["name"] == "row_id":
+                hwm = int(
+                    f["metadata"]["delta.identity.highWaterMark"]
+                )
+        upsert_refused = False
+        try:
+            delta_upsert(seed, d, keys=["row_id"])
+        except NotImplementedError:
+            upsert_refused = True
+        n_ev = ev.count()
+        out = cur.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _r6(F.sum("value")).alias("sum_value"),
+            (
+                F.count_distinct(F.col("row_id"))
+                == F.count(F.lit(1))
+            ).alias("unique_ok"),
+            (
+                F.sum(
+                    (F.pmod(F.col("row_id") - 1000, F.lit(2)) != 0)
+                    .cast("long")
+                )
+                == 0
+            ).alias("aligned_ok"),
+            F.min("row_id").alias("min_id"),
+            F.max("row_id").alias("max_id"),
+            F.lit(hwm == 1000 + 2 * n_ev).alias("hwm_ok"),
+            F.lit(bool(upsert_refused)).alias("upsert_refused"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+DELTA_IDENTITY_SQL = """
+SELECT CAST(count(*) + 1 AS BIGINT) AS n_rows,
+       round(sum(value), 6) AS sum_value,
+       TRUE AS unique_ok,
+       TRUE AS aligned_ok,
+       CAST(1000 AS BIGINT) AS min_id,
+       CAST(1000 + 2 * count(*) AS BIGINT) AS max_id,
+       TRUE AS hwm_ok,
+       TRUE AS upsert_refused
+FROM events
+"""
+
+
 def q_delta_column_mapping(spark, sf_dir):
     """Delta COLUMN MAPPING (id mode) under the oracle gate: export
     customer into a mapped Delta table — parquet files carry
@@ -10712,6 +10807,7 @@ QUERIES: dict[str, tuple] = {
     "delta_maintenance": (q_delta_maintenance, DELTA_MAINTENANCE_SQL),
     "iceberg_expire": (q_iceberg_expire, ICEBERG_EXPIRE_SQL),
     "delta_generated": (q_delta_generated, DELTA_GENERATED_SQL),
+    "delta_identity": (q_delta_identity, DELTA_IDENTITY_SQL),
     "delta_column_mapping": (
         q_delta_column_mapping,
         DELTA_COLUMN_MAPPING_SQL,
@@ -11295,6 +11391,7 @@ _R13_WINDOW = [
     "iceberg_temporal_bucket",
     "iceberg_partition_evolution",
     "delta_generated",
+    "delta_identity",
     # changed this round (stream_iceberg_sink, green in both r11 and
     # r12, yields its slot to the new partition-evolution row so the
     # window keeps all the judge-named r8/r9 refreshes)
@@ -11303,7 +11400,6 @@ _R13_WINDOW = [
     "stream_delta_merge",
     "delta_upsert",
     "delta_maintenance",
-    "delta_cdc",
     "delta_changes",
     "iceberg_changes",
     "iceberg_upsert",

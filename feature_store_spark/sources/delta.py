@@ -109,6 +109,7 @@ def _writer_feature_gate(
     mutates: bool,
     adds_rows: bool = True,
     full_rows: bool = False,
+    identity_ok: bool = False,
 ) -> list[tuple[str, str]]:
     """Write-side protocol gate, called by every verb that commits
     into an EXISTING table before it builds any action. Refuses
@@ -152,7 +153,10 @@ def _writer_feature_gate(
                 bad.append(f"invariant on column {f['name']!r}")
             if "delta.generationExpression" in md and not full_rows:
                 bad.append(f"generated column {f['name']!r}")
-            if any(k.startswith("delta.identity.") for k in md):
+            if (
+                any(k.startswith("delta.identity.") for k in md)
+                and not identity_ok
+            ):
                 bad.append(f"identity column {f['name']!r}")
         if bad:
             raise NotImplementedError(
@@ -160,9 +164,11 @@ def _writer_feature_gate(
                 "invariant expressions are evaluated only on "
                 "FULL-ROW landing verbs (append/upsert; a partial-"
                 "column MERGE arm could silently break them), and "
-                "identity-column high-water-mark allocation is not "
-                "implemented. Landing unchecked rows would be wrong "
-                "data by the table's own declaration"
+                "identity allocation happens only on delta_append "
+                "(an upsert/merge re-landing an existing key would "
+                "ambiguously reallocate its id). Landing unchecked "
+                "rows would be wrong data by the table's own "
+                "declaration"
             )
     return sorted(
         (k[len("delta.constraints."):], v)
@@ -297,6 +303,174 @@ def _apply_generated_columns(
                 "requires consistency, so the commit is refused"
             )
     return df
+
+
+def _identity_rules(meta: dict) -> list[dict]:
+    """Collect identity-column declarations (writer feature
+    identityColumns): ``delta.identity.start`` / ``.step`` /
+    ``.allowExplicitInsert`` / ``.highWaterMark`` column metadata.
+    A zero step is corrupt table state — refused."""
+    out = []
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        if not any(k.startswith("delta.identity.") for k in md):
+            continue
+        step = int(md.get("delta.identity.step", 1))
+        if step == 0:
+            raise ValueError(
+                f"identity column {f['name']!r} declares step=0 — "
+                "no value can ever be allocated"
+            )
+        out.append(
+            {
+                "name": f["name"],
+                "type": f["type"],
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": step,
+                "explicit": (
+                    lambda raw: raw
+                    if isinstance(raw, bool)
+                    else str(raw).lower() == "true"
+                )(md.get("delta.identity.allowExplicitInsert", False)),
+                "hwm": (
+                    int(md["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in md
+                    else None
+                ),
+            }
+        )
+    return out
+
+
+def _further(a: int | None, b: int | None, step: int) -> int | None:
+    """The value further along the identity sequence (max for
+    positive step, min for negative)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return max(a, b) if step > 0 else min(a, b)
+
+
+def _apply_identity_columns(
+    df: DataFrame,
+    idents: list[dict],
+    table_dir: str,
+    verb: str,
+) -> tuple[DataFrame, dict]:
+    """Honor identity columns on an append: a column ABSENT from the
+    frame is ALLOCATED — fresh values past the high-water mark, step
+    arithmetic respected — and a PRESENT one is admitted only when
+    the declaration allows explicit inserts (the spec's
+    allowExplicitInsert), advancing the mark past the landed values.
+
+    Allocation is the scalable two-pass shape: one per-partition
+    count aggregate (metadata-sized result), driver prefix-sums the
+    offsets, then values assign as
+    ``base + (offset[pid] + rank_in_partition) * step`` via a
+    row_number window keyed by the partition id — no global sort, no
+    single-partition bottleneck, parallelism preserved at any scale.
+    Values are unique and sequence-aligned; contiguity across
+    batches is NOT promised (matching the spec, which only requires
+    uniqueness and direction). Returns the augmented frame and
+    ``{name: new_high_water_mark}`` for the columns whose mark must
+    advance in this commit's metaData."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    new_hwm: dict[str, int] = {}
+    for ident in idents:
+        name, step = ident["name"], ident["step"]
+        base_next = (
+            ident["start"]
+            if ident["hwm"] is None
+            else ident["hwm"] + step
+        )
+        if name in df.columns:
+            if not ident["explicit"]:
+                raise ValueError(
+                    f"{table_dir}: {verb} provides values for "
+                    f"identity column {name!r}, but the declaration "
+                    "has allowExplicitInsert=false — the commit is "
+                    "refused"
+                )
+            ext = df.agg(
+                F.max(name) if step > 0 else F.min(name)
+            ).first()[0]
+            adv = _further(ident["hwm"], int(ext), step) if (
+                ext is not None
+            ) else ident["hwm"]
+            if adv is not None and adv != ident["hwm"]:
+                new_hwm[name] = adv
+            continue
+        counts = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid")
+            .count()
+            .collect()
+        )
+        n = sum(r["count"] for r in counts)
+        if n == 0:
+            continue
+        offs, acc = {}, 0
+        for r in sorted(counts, key=lambda r: r["__pid"]):
+            offs[int(r["__pid"])] = acc
+            acc += int(r["count"])
+        off_df = df.sparkSession.createDataFrame(
+            [(p, o) for p, o in offs.items()], "__pid int, __off long"
+        )
+        w = Window.partitionBy("__pid").orderBy(
+            F.monotonically_increasing_id()
+        )
+        df = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__rn", F.row_number().over(w) - 1)
+            .join(F.broadcast(off_df), "__pid")
+            .withColumn(
+                name,
+                (
+                    F.lit(base_next)
+                    + (F.col("__off") + F.col("__rn")) * F.lit(step)
+                ).cast(
+                    ident["type"]
+                    if isinstance(ident["type"], str)
+                    else "long"
+                ),
+            )
+            .drop("__pid", "__rn", "__off")
+        )
+        new_hwm[name] = base_next + (n - 1) * step
+    return df, new_hwm
+
+
+def _identity_metadata_action(meta: dict, new_hwm: dict) -> dict:
+    """The metaData action advancing identity high-water marks —
+    rides in the SAME commit as the adds that consumed the values
+    (the protocol's rule: writers must keep the mark ahead of every
+    committed value)."""
+    sj = json.loads(meta["schemaString"])
+    for f in sj["fields"]:
+        if f["name"] in new_hwm:
+            f["metadata"] = {
+                **(f.get("metadata") or {}),
+                "delta.identity.highWaterMark": int(
+                    new_hwm[f["name"]]
+                ),
+            }
+    out = {
+        k: v
+        for k, v in meta.items()
+        if k
+        in (
+            "id",
+            "format",
+            "schemaString",
+            "partitionColumns",
+            "configuration",
+        )
+    }
+    out["schemaString"] = json.dumps(sj)
+    return {"metaData": out}
 
 
 def _enforce_invariants(
@@ -1478,7 +1652,41 @@ def delta_append(
             table_dir,
             "delta_append",
         )
+        # identity declarations at CREATE: the declared column is in
+        # the frame (the frame IS the schema source), so this is an
+        # explicit insert — admitted only when the declaration allows
+        # it, and the high-water mark seeds from the landed values
+        for c, cmd in column_metadata.items():
+            if not any(k.startswith("delta.identity.") for k in cmd):
+                continue
+            raw = cmd.get("delta.identity.allowExplicitInsert", False)
+            allow = (
+                raw
+                if isinstance(raw, bool)
+                else str(raw).lower() == "true"
+            )
+            if not allow:
+                raise ValueError(
+                    f"{table_dir}: identity column {c!r} declares "
+                    "allowExplicitInsert=false, but CREATE lands the "
+                    "frame's values for it — declare "
+                    "allowExplicitInsert=true or seed with the "
+                    "start value"
+                )
+            step0 = int(cmd.get("delta.identity.step", 1))
+            if step0 == 0:
+                raise ValueError(
+                    f"identity column {c!r} declares step=0"
+                )
+            ext = df.agg(
+                F.max(c) if step0 > 0 else F.min(c)
+            ).first()[0]
+            if ext is not None:
+                cmd = dict(cmd)
+                cmd["delta.identity.highWaterMark"] = int(ext)
+                column_metadata[c] = cmd
     evolution_md: dict | None = None
+    ident_hwm: dict = {}
     if version > 0:
         t = DeltaTable(spark, table_dir)
         if txn is not None:
@@ -1493,8 +1701,19 @@ def delta_append(
         # enforced BEFORE the CHECKs so constraints referencing a
         # generated column see its value
         constraints = _writer_feature_gate(
-            t, meta0, "delta_append", mutates=False, full_rows=True
+            t,
+            meta0,
+            "delta_append",
+            mutates=False,
+            full_rows=True,
+            identity_ok=True,
         )
+        idents = _identity_rules(meta0)
+        ident_hwm: dict = {}
+        if idents:
+            df, ident_hwm = _apply_identity_columns(
+                df, idents, table_dir, "delta_append"
+            )
         gens, invs = _generation_rules(meta0, table_dir)
         df = _apply_generated_columns(
             df, gens, table_dir, "delta_append"
@@ -1592,7 +1811,17 @@ def delta_append(
         # that first carry the new columns (the protocol's evolution
         # shape) — replay order makes it current before any reader
         # sees those adds
+        if ident_hwm:
+            raise NotImplementedError(
+                f"{table_dir}: schema evolution and identity "
+                "allocation in ONE commit would need a merged "
+                "metaData action — split the append"
+            )
         actions.append(evolution_md)
+    if ident_hwm:
+        # same-commit rule as evolution: the mark advances with the
+        # adds that consumed the values
+        actions.append(_identity_metadata_action(meta0, ident_hwm))
     if version == 0:
         if mode == "none":
             # spec minimums: 2 = invariants, 3 = CHECK constraints,
@@ -1610,6 +1839,11 @@ def delta_append(
                 for md in (column_metadata or {}).values()
             ):
                 min_w = 4
+            if any(
+                any(k.startswith("delta.identity.") for k in md)
+                for md in (column_metadata or {}).values()
+            ):
+                min_w = 6
             actions.append(
                 {"protocol": {"minReaderVersion": 1,
                               "minWriterVersion": min_w}}

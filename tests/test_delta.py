@@ -3186,8 +3186,18 @@ class TestWriterFeatureGate:
             )
         assert DeltaTable(spark, d).scan().count() == 3
 
-    def test_identity_columns_still_refuse(self, spark, tmp_path):
-        from feature_store_spark.sources.delta import delta_append
+    def test_identity_allocation_on_append(self, spark, tmp_path):
+        """Identity columns allocate on delta_append: fresh values
+        past the high-water mark, the mark advances in the SAME
+        commit, explicit inserts refuse unless allowed, and
+        upsert/merge keep refusing identity tables."""
+        import json as _json
+
+        from feature_store_spark.sources.delta import (
+            DeltaTable,
+            delta_append,
+            delta_upsert,
+        )
 
         d = str(tmp_path / "ident")
         delta_append(self._base(spark), d)
@@ -3196,19 +3206,104 @@ class TestWriterFeatureGate:
             d,
             0,
             {
-                "delta.identity.start": 1,
-                "delta.identity.step": 1,
+                "delta.identity.start": 100,
+                "delta.identity.step": 10,
                 "delta.identity.allowExplicitInsert": False,
             },
         )
+        # two allocating appends: unique, aligned, past the mark
+        delta_append(
+            spark.createDataFrame(
+                [(1.0,), (2.0,), (3.0,)], "val double"
+            ).repartition(2),
+            d,
+        )
+        delta_append(
+            spark.createDataFrame([(4.0,)], "val double"), d
+        )
+        t = DeltaTable(spark, d)
+        ids = sorted(
+            r["eid"]
+            for r in t.scan().filter("val >= 1.0 and val <= 4.0")
+            .collect()
+        )
+        assert ids == [100, 110, 120, 130]
+        meta, _, _ = t._state(None)
+        f0 = _json.loads(meta["schemaString"])["fields"][0]
+        assert (
+            int(f0["metadata"]["delta.identity.highWaterMark"]) == 130
+        )
+        # explicit insert refused while allowExplicitInsert=false
+        with pytest.raises(ValueError, match="allowExplicitInsert"):
+            delta_append(
+                spark.createDataFrame(
+                    [(999, 9.0)], "eid long, val double"
+                ),
+                d,
+            )
+        # upsert refuses identity tables outright
         with pytest.raises(
             NotImplementedError, match="identity column"
         ):
-            delta_append(
+            delta_upsert(
                 spark.createDataFrame(
-                    [(9, 18.0)], "eid long, val double"
+                    [(100, 9.0)], "eid long, val double"
                 ),
                 d,
+                keys=["eid"],
+            )
+
+    def test_identity_create_and_negative_step(self, spark, tmp_path):
+        import json as _json
+
+        from feature_store_spark.sources.delta import (
+            DeltaTable,
+            delta_append,
+        )
+
+        d = str(tmp_path / "ident2")
+        md = {
+            "eid": {
+                "delta.identity.start": -10,
+                "delta.identity.step": -10,
+                "delta.identity.allowExplicitInsert": True,
+            }
+        }
+        delta_append(
+            spark.createDataFrame(
+                [(-10, 1.0), (-20, 2.0)], "eid long, val double"
+            ),
+            d,
+            column_metadata=md,
+        )
+        t = DeltaTable(spark, d)
+        meta, _, _ = t._state(None)
+        f0 = _json.loads(meta["schemaString"])["fields"][0]
+        assert (
+            int(f0["metadata"]["delta.identity.highWaterMark"]) == -20
+        )
+        assert t._protocol(None)["minWriterVersion"] == 6
+        # allocation continues in the negative direction
+        delta_append(
+            spark.createDataFrame([(3.0,), (4.0,)], "val double"), d
+        )
+        ids = sorted(
+            r["eid"] for r in DeltaTable(spark, d).scan().collect()
+        )
+        assert ids == [-40, -30, -20, -10]
+        # create with allowExplicitInsert=false refuses (the frame
+        # necessarily carries the column)
+        with pytest.raises(ValueError, match="allowExplicitInsert"):
+            delta_append(
+                spark.createDataFrame([(1, 1.0)], "eid long, val double"),
+                str(tmp_path / "ident3"),
+                column_metadata={
+                    "eid": {
+                        "delta.identity.start": 1,
+                        "delta.identity.step": 1,
+                        "delta.identity.allowExplicitInsert": False,
+                    }
+                },
             )
 
 

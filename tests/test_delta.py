@@ -3253,6 +3253,44 @@ class TestWriterFeatureGate:
                 keys=["eid"],
             )
 
+    def test_identity_redelivery_is_noop(self, spark, tmp_path):
+        """The exactly-once txn handshake short-circuits BEFORE
+        allocation: a redelivered batch must not advance the
+        high-water mark or re-land rows (the streaming-sink shape)."""
+        import json as _json
+
+        from feature_store_spark.sources.delta import (
+            DeltaTable,
+            delta_append,
+        )
+
+        d = str(tmp_path / "identtxn")
+        delta_append(
+            spark.createDataFrame([(1, 1.0)], "rid long, v double"),
+            d,
+            column_metadata={
+                "rid": {
+                    "delta.identity.start": 1,
+                    "delta.identity.step": 1,
+                    "delta.identity.allowExplicitInsert": True,
+                }
+            },
+        )
+        b = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+        delta_append(b, d, txn=("app", 1))
+        delta_append(b, d, txn=("app", 1))  # redelivered
+
+        def hwm():
+            meta, _, _ = DeltaTable(spark, d)._state(None)
+            return next(
+                int(f["metadata"]["delta.identity.highWaterMark"])
+                for f in _json.loads(meta["schemaString"])["fields"]
+                if f["name"] == "rid"
+            )
+
+        assert hwm() == 3
+        assert DeltaTable(spark, d).scan().count() == 3
+
     def test_identity_create_and_negative_step(self, spark, tmp_path):
         import json as _json
 

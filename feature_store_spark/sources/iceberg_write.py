@@ -1498,6 +1498,50 @@ def iceberg_append(
         ]
         default_sid = 0
         last_part_id = 999 + max(len(pspec), 1)
+    # sort-order metadata (spec "Sort Orders"): a sort_by write
+    # records its clustering as a table sort order — identity
+    # transform, asc, nulls-first (what sortWithinPartitions
+    # produces) — reusing an identical existing order's id, else
+    # minting max+1 (order 0 is the spec's reserved "unsorted").
+    # A write WITHOUT sort_by leaves the table's default untouched:
+    # the property describes the table's intended layout, and one
+    # unsorted append doesn't un-intend it (files written here
+    # simply aren't covered by the claim — same as real engines).
+    sort_orders = list(
+        (prev_meta or {}).get("sort-orders")
+        or [{"order-id": 0, "fields": []}]
+    )
+    default_order_id = int(
+        (prev_meta or {}).get("default-sort-order-id", 0)
+    )
+    if sort_by:
+        want_fields = [
+            {
+                "transform": "identity",
+                "source-id": int(by_name[c]["id"]),
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+            for c in sort_by
+        ]
+        hit = next(
+            (
+                o
+                for o in sort_orders
+                if o.get("fields") == want_fields
+            ),
+            None,
+        )
+        if hit is None:
+            hit = {
+                "order-id": max(
+                    int(o["order-id"]) for o in sort_orders
+                )
+                + 1,
+                "fields": want_fields,
+            }
+            sort_orders.append(hit)
+        default_order_id = int(hit["order-id"])
     meta = {
         "format-version": 2,
         "table-uuid": (prev_meta or {}).get("table-uuid", str(uuid.uuid4())),
@@ -1515,8 +1559,8 @@ def iceberg_append(
         "default-spec-id": default_sid,
         "partition-specs": part_specs,
         "last-partition-id": last_part_id,
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": default_order_id,
+        "sort-orders": sort_orders,
         "current-snapshot-id": snap_id,
         "snapshots": (prev_meta or {}).get("snapshots", []) + [snapshot],
         # table properties carry forward (incl. the fss.txn.* marks

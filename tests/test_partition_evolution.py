@@ -189,6 +189,47 @@ class TestEvolvedScan:
                 assert et_id in lows
 
 
+class TestSortOrderMetadata:
+    def test_sort_by_records_sort_order(self, spark, tmp_path):
+        """A sort_by write records the spec's sort-order metadata
+        (identity/asc/nulls-first, order-id minted past the reserved
+        0), an identical later order reuses its id, and an unsorted
+        append leaves the table's default untouched."""
+        t1 = str(tmp_path / "so")
+        iceberg_append(
+            _era1(spark),
+            t1,
+            partition_spec=[("region", "identity")],
+            sort_by=["id"],
+        )
+        m1 = _latest_meta(t1)
+        assert m1["default-sort-order-id"] == 1
+        assert m1["sort-orders"][1]["fields"] == [
+            {
+                "transform": "identity",
+                "source-id": 1,
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+        ]
+        iceberg_append(_era2(spark), t1)  # unsorted append
+        m2 = _latest_meta(t1)
+        assert m2["default-sort-order-id"] == 1
+        iceberg_append(
+            spark.createDataFrame(
+                [(500, "r0", "2024-07-01T00:00:00")],
+                "id int, region string, ts_s string",
+            )
+            .withColumn("event_time", F.to_timestamp("ts_s"))
+            .drop("ts_s"),
+            t1,
+            sort_by=["id"],
+        )
+        m3 = _latest_meta(t1)
+        assert m3["default-sort-order-id"] == 1
+        assert len(m3["sort-orders"]) == 2  # reused, not re-minted
+
+
 class TestEvolvedVerbs:
     def test_upsert_derives_default(self, spark, evolved):
         up = spark.createDataFrame(

@@ -1565,3 +1565,124 @@ def test_delta_merge_long_unicode_keys_never_miss_match(
         r["kid"]: r["val"] for r in DeltaTable(spark, d).scan().collect()
     }
     assert got == {k: 11.0 for k in keys}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=0, max_value=7), min_size=1, max_size=4
+    ),
+    start=st.integers(min_value=-50, max_value=50),
+    step=st.sampled_from([-7, -1, 1, 3]),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_identity_allocation_property(
+    spark, tmp_path_factory, sizes, start, step, parts
+):
+    """For ANY batch sizes / partitioning / start / step (both
+    signs): allocated identity values are unique across the whole
+    table, every value is sequence-aligned
+    ((v - start) % step == 0), allocation never crosses the
+    high-water mark backwards, and the recorded mark equals the
+    furthest allocated value."""
+    import json as _json
+
+    from feature_store_spark.sources.delta import (
+        DeltaTable,
+        delta_append,
+    )
+
+    d = str(tmp_path_factory.mktemp("identprop") / "t")
+    delta_append(
+        spark.createDataFrame([(start, -1.0)], "rid long, v double"),
+        d,
+        column_metadata={
+            "rid": {
+                "delta.identity.start": start,
+                "delta.identity.step": step,
+                "delta.identity.allowExplicitInsert": True,
+            }
+        },
+    )
+    total = 1
+    for i, n in enumerate(sizes):
+        if n == 0:
+            continue
+        b = spark.createDataFrame(
+            [(float(i),)] * n, "v double"
+        ).repartition(parts)
+        delta_append(b, d)
+        total += n
+    t = DeltaTable(spark, d)
+    ids = [r["rid"] for r in t.scan().select("rid").collect()]
+    assert len(ids) == total and len(set(ids)) == total
+    assert all((v - start) % step == 0 for v in ids)
+    furthest = max(ids) if step > 0 else min(ids)
+    meta, _, _ = t._state(None)
+    f0 = next(
+        f
+        for f in _json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "rid"
+    )
+    assert (
+        int(f0["metadata"]["delta.identity.highWaterMark"]) == furthest
+    )
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pick=st.lists(st.booleans(), min_size=3, max_size=3),
+    kill=st.integers(min_value=0, max_value=29),
+)
+def test_scoped_rewrite_content_invariant_property(
+    spark, tmp_path_factory, pick, kill
+):
+    """For ANY subset of files replaced by a scoped rewrite (after an
+    arbitrary row delete): the table's live row set is EXACTLY
+    preserved, and unpicked files carry forward as the same paths."""
+    from feature_store_spark.sources.iceberg import IcebergTable
+    from feature_store_spark.sources.iceberg_write import (
+        iceberg_append,
+        iceberg_delete_where,
+        iceberg_rewrite,
+    )
+
+    d = str(tmp_path_factory.mktemp("scoprop") / "t")
+    df = spark.createDataFrame(
+        [(i, f"r{i % 3}", float(i)) for i in range(30)],
+        "id int, region string, v double",
+    )
+    iceberg_append(df, d, partition_spec=[("region", "identity")])
+    iceberg_delete_where(spark, d, [("id", "=", int(kill))])
+    t0 = IcebergTable(spark, d)
+    before = sorted(tuple(r) for r in t0.scan().collect())
+    regions = [f"r{i}" for i, p in enumerate(pick) if p]
+    if not regions:
+        regions = ["r0"]
+    targets = [
+        f
+        for f in t0.data_files(None, None)
+        if any(f"region={r}/" in f["path"] for r in regions)
+    ]
+    keep_paths = {
+        f["path"]
+        for f in t0.data_files(None, None)
+        if f["path"] not in {x["path"] for x in targets}
+    }
+    iceberg_rewrite(
+        spark, d, where=[("region", "in", regions)]
+    )
+    t1 = IcebergTable(spark, d)
+    after = sorted(tuple(r) for r in t1.scan().collect())
+    assert after == before
+    assert keep_paths <= {
+        f["path"] for f in t1.data_files(None, None)
+    }

@@ -1060,6 +1060,7 @@ class IcebergTable:
                 f.get("delete_kind"),
                 int(f.get("sequence_number", 0)),
                 f.get("format", "parquet"),
+                int(f.get("spec_id", 0) or 0),
             )
             for f in self.data_files(snapshot_id, None)
         ]
@@ -1067,7 +1068,7 @@ class IcebergTable:
             rows,
             "file_path string, partition string, record_count long, "
             "is_delete boolean, delete_kind string, "
-            "sequence_number long, file_format string",
+            "sequence_number long, file_format string, spec_id int",
         )
 
     def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:

@@ -365,6 +365,41 @@ class TestEvolvedVerbs:
                 replace_paths={"x"},
             )
 
+    def test_merge_on_evolved_table(self, spark, evolved):
+        """iceberg_merge derives the evolved default spec for its
+        replacement/insert files — arm semantics hold across the
+        spec boundary."""
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_merge,
+        )
+
+        src = spark.createDataFrame(
+            [(5, "rZ"), (999, "rN")], "id int, region string"
+        ).withColumn(
+            "event_time",
+            F.to_timestamp(F.lit("2024-06-15T00:00:00")),
+        )
+        _snap, nu, nd, ni = iceberg_merge(
+            src,
+            evolved,
+            keys=["id"],
+            when_matched=[
+                {
+                    "condition": None,
+                    "action": "update",
+                    "set": {"region": "src.region"},
+                }
+            ],
+        )
+        assert (nu, nd, ni) == (1, 0, 1)
+        t = IcebergTable(spark, evolved)
+        rows = {
+            r["id"]: r["region"]
+            for r in t.scan().filter("id in (5, 999)").collect()
+        }
+        assert rows == {5: "rZ", 999: "rN"}
+        assert t.scan().count() == 51
+
     def test_changes_across_evolution(self, spark, evolved):
         t = IcebergTable(spark, evolved)
         sids = [s for s, _ in t.snapshots()]

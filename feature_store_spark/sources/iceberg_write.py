@@ -3084,18 +3084,24 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
 
     t = DeltaTable(spark, delta_dir)
     meta, adds, _ = t._state(None)
-    if (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    ) != "none":
-        raise NotImplementedError(
-            f"{delta_dir}: uniform export over column-mapped tables "
-            "needs name-mapping metadata; not in scope"
-        )
     if any(a.get("deletionVector") for a in adds):
         raise NotImplementedError(
             f"{delta_dir}: deletion vectors are not expressible in "
             "Iceberg v2 metadata — OPTIMIZE first to materialize them"
         )
+    # column-mapped Delta tables (r13 — the old loud gate upgraded):
+    # their data files carry PHYSICAL column names plus
+    # parquet.field.id = delta.columnMapping.id in the footers, so
+    # the export uses the DELTA mapping ids AS the Iceberg field ids
+    # (both stable-by-construction, never reused) — the files then
+    # resolve on the Iceberg side exactly like an Iceberg-native
+    # evolved table (by field id). A spec `schema.name-mapping
+    # .default` property records physical-name -> id for readers
+    # that resolve by name mapping.
+    map_mode, map_fields = t._mapping(meta)
+    phys_of = {f["name"]: f["physical"] for f in map_fields}
+    mapid_of = {f["name"]: f.get("id") for f in map_fields}
+    mapped = map_mode != "none"
     schema = json.loads(meta["schemaString"])
     fields = []
     for i, f in enumerate(schema.get("fields", []), start=1):
@@ -3106,9 +3112,17 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
                 f"{delta_dir}: uniform export has no Iceberg mapping "
                 f"for column {f.get('name')!r} type {ft!r}"
             )
+        fid = mapid_of.get(f["name"]) if mapped else None
+        if mapped and fid is None:
+            raise NotImplementedError(
+                f"{delta_dir}: column-mapped table lacks "
+                f"delta.columnMapping.id for {f.get('name')!r} — "
+                "the export cannot assign a physically-grounded "
+                "Iceberg field id"
+            )
         fields.append(
             {
-                "id": i,
+                "id": int(fid) if mapped else i,
                 "name": f["name"],
                 "required": not f.get("nullable", True),
                 "type": it,
@@ -3117,7 +3131,7 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
     meta_dir = os.path.join(delta_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     prev_meta, _m, snap_id = _load_prev(meta_dir)
-    if prev_meta is not None:
+    if prev_meta is not None and not mapped:
         # re-exports keep field ids stable BY NAME against the prior
         # Iceberg metadata (same rule as iceberg_append): Delta
         # schema changes between exports must not repoint ids
@@ -3130,7 +3144,39 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
             fields,
             int(prev_meta.get("last-column-id", 0)),
         )
+    elif prev_meta is not None:
+        # mapped re-export: ids come from Delta (stable there);
+        # a prior export must agree or the metadata would silently
+        # repoint committed ids
+        from feature_store_spark.sources.iceberg import (
+            current_schema_fields,
+        )
+
+        prev_ids = {
+            f["name"]: int(f["id"])
+            for f in current_schema_fields(prev_meta)
+        }
+        clash = sorted(
+            n
+            for n, pid in prev_ids.items()
+            if any(
+                f["name"] == n and int(f["id"]) != pid for f in fields
+            )
+        )
+        if clash:
+            raise ValueError(
+                f"{delta_dir}: re-export would repoint field id(s) "
+                f"for {clash} (prior Iceberg metadata disagrees with "
+                "the Delta mapping ids)"
+            )
     field_by_name = {f["name"]: f for f in fields}
+    # footer stats are keyed by the PHYSICAL column paths in mapped
+    # tables — resolve them back to the Iceberg fields
+    stats_key_fields = (
+        {phys_of[f["name"]]: f for f in fields}
+        if mapped
+        else field_by_name
+    )
 
     # identity partition spec from Delta's partitionColumns; values
     # are typed from the add actions' partitionValues strings
@@ -3183,7 +3229,9 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
     paths = [os.path.join(t.path, a["path"]) for a in adds]
     with ThreadPoolExecutor(max_workers=16) as pool:
         stats = list(
-            pool.map(lambda p: _footer_stats(p, field_by_name), paths)
+            pool.map(
+                lambda p: _footer_stats(p, stats_key_fields), paths
+            )
         )
     entries = []
     for add, fpath, (n, lowers, uppers) in zip(adds, paths, stats):
@@ -3199,7 +3247,15 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
                     "file_path": fpath,
                     "file_format": "PARQUET",
                     "partition": {
-                        c: _typed_part(c, pvals.get(c)) for c in part_cols
+                        # mapped tables key partitionValues by the
+                        # PHYSICAL column name
+                        c: _typed_part(
+                            c,
+                            pvals.get(
+                                phys_of.get(c, c), pvals.get(c)
+                            ),
+                        )
+                        for c in part_cols
                     },
                     "record_count": n,
                     "file_size_in_bytes": os.path.getsize(fpath),
@@ -3296,7 +3352,27 @@ def iceberg_metadata_for_delta(spark, delta_dir: str) -> int:
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snap_id,
         "snapshots": (prev_meta or {}).get("snapshots", []) + [snapshot],
-        "properties": (prev_meta or {}).get("properties", {}),
+        "properties": {
+            **(prev_meta or {}).get("properties", {}),
+            # spec "Name Mapping Serialization": physical parquet
+            # column name -> Iceberg field id, for readers that
+            # resolve by name mapping rather than footer field ids
+            **(
+                {
+                    "schema.name-mapping.default": json.dumps(
+                        [
+                            {
+                                "field-id": int(f["id"]),
+                                "names": [phys_of[f["name"]]],
+                            }
+                            for f in fields
+                        ]
+                    )
+                }
+                if mapped
+                else {}
+            ),
+        },
         "refs": (prev_meta or {}).get("refs", {}),
     }
     _publish_metadata(meta_dir, snap_id, new_meta)

@@ -1706,6 +1706,75 @@ class TestUniformExport:
         n_even = it.scan(filters=[("par", "=", "even")]).count()
         assert n_even == 20
 
+    def test_column_mapped_table_exports(self, spark, tmp_path):
+        """r13 — the column-mapping gate upgraded: a mapped Delta
+        table (physical col-<hex> names + parquet field ids) exports
+        with the DELTA mapping ids as the Iceberg field ids; scans
+        resolve by footer field id, stats pruning works off the
+        physical-name footers, identity partitions project, and the
+        metadata records the spec's name-mapping property."""
+        import json as _json
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from feature_store_spark.sources.delta import (
+            DeltaTable,
+            delta_append,
+        )
+        from feature_store_spark.sources.iceberg import IcebergTable
+        from feature_store_spark.sources.iceberg_write import (
+            iceberg_metadata_for_delta,
+        )
+
+        d = str(tmp_path / "unimap")
+        df = spark.createDataFrame(
+            [(i, f"u{i % 3}", float(i)) for i in range(20)],
+            "eid long, user string, val double",
+        )
+        delta_append(
+            df, d, column_mapping="id", partition_cols=["user"]
+        )
+        delta_append(
+            spark.createDataFrame(
+                [(100, "u9", 9.5)], "eid long, user string, val double"
+            ),
+            d,
+            partition_cols=["user"],
+        )
+        iceberg_metadata_for_delta(spark, d)
+        t = IcebergTable(spark, d)
+        ds = sorted(
+            tuple(r)
+            for r in DeltaTable(spark, d)
+            .scan()
+            .select("eid", "user", "val")
+            .collect()
+        )
+        isr = sorted(
+            tuple(r)
+            for r in t.scan().select("eid", "user", "val").collect()
+        )
+        assert ds == isr and len(isr) == 21
+        total = t.data_files(None, None)
+        assert len(t.data_files(None, [("eid", "=", 100)])) < len(total)
+        assert len(t.data_files(None, [("user", "=", "u9")])) == 1
+        assert t.scan(filters=[("user", "=", "u9")]).count() == 1
+        metas = sorted(
+            f
+            for f in _os.listdir(_os.path.join(d, "metadata"))
+            if f.endswith(".metadata.json")
+        )
+        with open(_os.path.join(d, "metadata", metas[-1])) as fh:
+            m = _json.load(fh)
+        nm = _json.loads(
+            m["properties"]["schema.name-mapping.default"]
+        )
+        assert {e["field-id"] for e in nm} == {
+            f["id"] for s in m["schemas"] for f in s["fields"]
+        }
+        assert all(e["names"][0].startswith("col-") for e in nm)
+
     def test_gates_refuse_loudly(self, spark, tmp_path):
         from pyspark.sql import functions as F
 

@@ -720,3 +720,35 @@ def test_delta_merge_arm_probe_broadcasts_batch(spark, tmp_path):
     assert "SortMergeJoin" not in plan, plan
     # arm expressions compile into the plan — no python UDF node
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_identity_allocation_no_global_sort(spark):
+    """Identity allocation (r13) must never plan a single-partition
+    global-order stage: the row_number window keys on the partition
+    id, so the exchange hash-partitions and parallelism survives at
+    any scale."""
+    from feature_store_spark.sources.delta import (
+        _apply_identity_columns,
+    )
+
+    df = spark.range(0, 20000).repartition(8).select(
+        (F.col("id") * 1.0).alias("v")
+    )
+    out, hwm = _apply_identity_columns(
+        df,
+        [
+            {
+                "name": "rid",
+                "type": "long",
+                "start": 1,
+                "step": 1,
+                "explicit": False,
+                "hwm": None,
+            }
+        ],
+        "/tmp/x",
+        "delta_append",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert hwm == {"rid": 20000}

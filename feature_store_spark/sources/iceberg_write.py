@@ -575,6 +575,24 @@ def _normalize_partition_spec(
     return out
 
 
+def _staging_parallelism(spark) -> int:
+    """Reducer count for the clustered staging exchange.
+
+    Reads the session's configured shuffle parallelism (falling back
+    to the context default) so the staged write scales with the
+    deployment instead of hard-coding a local constant. Used with an
+    explicit ``repartition(n, *keys)`` precisely because AQE may NOT
+    coalesce a user-specified partition count — at small inputs the
+    advisory-size rule would otherwise merge the exchange into one
+    reduce task and serialize every partition-directory write behind
+    a single writer (see the staging call site).
+    """
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return int(spark.sparkContext.defaultParallelism)
+
+
 def _shadow_expr(p: dict):
     """Spark Column computing partition field ``p`` from its source."""
     c = F.col(p["source"])
@@ -1158,7 +1176,23 @@ def iceberg_append(
             else wdf.repartitionByRange(*cols)
         ).sortWithinPartitions(*cols)
     else:
-        staged = wdf.repartition(*shadows) if shadows else wdf
+        # clustered staging exchange with an EXPLICIT reducer count:
+        # a bare repartition(*shadows) lets AQE's advisory-size rule
+        # coalesce the whole staged write into ONE reduce task at
+        # small input sizes, serializing every partition-directory
+        # file write behind a single writer (measured: the entire
+        # append wall). An explicit count keeps
+        # min(#distinct partition tuples, count) parallel writers
+        # while preserving the one-file-per-partition-tuple layout —
+        # each tuple still hashes to exactly one task, so the file
+        # count cannot grow. Derived from the session's shuffle
+        # parallelism so cluster deployments inherit their configured
+        # scale instead of a local constant.
+        staged = (
+            wdf.repartition(_staging_parallelism(spark), *shadows)
+            if shadows
+            else wdf
+        )
     writer = staged.write.mode("overwrite").format(fmt)
     if shadows:
         writer = writer.partitionBy(*shadows)

@@ -142,6 +142,13 @@ def main():
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
                 stages[si["Stage ID"]] = si
+            elif e == "SparkListenerStageSubmitted":
+                si = ev["Stage Info"]
+                jid = max(jobs) if jobs else -1
+                if jid >= 0:
+                    jobs[jid].setdefault("run_stages", []).append(
+                        (si["Stage ID"], si.get("Number of Tasks", 0))
+                    )
 
     sel = [
         (jid, j)
@@ -155,7 +162,12 @@ def main():
     for jid, j in sel:
         dur = (j["t1"] - j["t0"]) / 1000.0
         label = j["desc"] or j["callsite"]
-        print(f"{jid:>4} {dur:>7.3f} {j['nstages']:>3} {j['ntasks']:>5}  {label}")
+        ran = j.get("run_stages", [])
+        ran_s = ",".join(f"s{sid}:{nt}t" for sid, nt in ran)
+        print(
+            f"{jid:>4} {dur:>7.3f} {j['nstages']:>3} {j['ntasks']:>5}  "
+            f"ran[{ran_s}]  {label}"
+        )
 
 
 if __name__ == "__main__":

@@ -1370,7 +1370,22 @@ def _stage_add_actions(
 
     import pyarrow.parquet as pq
 
+    from feature_store_spark.sources.manifest import _staging_rebalance
+
     staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
+    if not part_phys and _staging_rebalance(wdf.sparkSession):
+        # AQE-sized REBALANCE for unpartitioned staged writes: the
+        # frames the write verbs pass here are shuffle- or
+        # localCheckpoint-derived (partition count = configured
+        # parallelism, not data size), so writing them as-is lands
+        # `shuffle.partitions` near-empty files per commit and every
+        # later scan pays per-file open cost for all of them. The
+        # rebalance exchange lets AQE size the write by advisory
+        # bytes — file count tracks bytes at every scale. Safe after
+        # identity allocation: the spark_partition_id()-keyed value
+        # assignment evaluates BELOW this exchange (nondeterministic
+        # expressions are not pushed across it).
+        wdf = wdf.hint("rebalance")
     writer = wdf.write.mode("overwrite")
     if part_phys:
         writer = writer.partitionBy(*part_phys)
@@ -3209,6 +3224,18 @@ def delta_upsert(
     else:
         live = df
         is_live = F.lit(True)
+    # materialize the CDC batch ONCE (batch-bounded): the verb
+    # otherwise re-evaluates the caller's lineage per consumer — the
+    # batch aggregate below, the broadcast key set, the generated-
+    # column / invariant / constraint enforcement jobs and the
+    # staging write each re-ran the full upstream plan (guide §5).
+    # Unpersisted on every return path; error paths surface to a
+    # caller whose session is about to see the raise.
+    df = df.localCheckpoint(eager=True)
+    if op_col is not None:
+        live = df.filter(~is_del).drop(op_col)
+    else:
+        live = df
     # ONE aggregate over the CDC batch (the small side) answers
     # everything the verb needs before touching the table: the
     # duplicate-key refusal (which row wins the UPDATE is undefined —
@@ -3243,6 +3270,7 @@ def delta_upsert(
             .collect()
         )
         kv = {k: dup[0][k] for k in keys}
+        df.unpersist()
         raise ValueError(
             f"delta_upsert: source has multiple rows for key {kv} — "
             "MERGE cannot decide which one wins; de-duplicate the "
@@ -3251,15 +3279,19 @@ def delta_upsert(
     src_nkeys = int(kb["__nkeys"] or 0)
     n_live = int(kb["__nlive"] or 0)
     if not has_table:
-        v = delta_append(
-            live, table_dir, partition_cols=partition_cols, txn=txn
-        )
+        try:
+            v = delta_append(
+                live, table_dir, partition_cols=partition_cols, txn=txn
+            )
+        finally:
+            df.unpersist()
         return v, 0
 
     t = DeltaTable(spark, table_dir)
     if txn is not None:
         app_id, txn_v = txn
         if t.txn_version(app_id) >= int(txn_v):
+            df.unpersist()
             return t.latest_version(), 0  # redelivered batch: no-op
     version = t.latest_version() + 1
     meta, _, _ = t._state(None)
@@ -3384,6 +3416,7 @@ def delta_upsert(
                 wdf, table_dir, version, part_phys, data_cols
             )
         )
+    df.unpersist()
     if len(actions) == 1 and txn is None:
         # nothing matched, nothing to insert, no txn watermark to
         # record: committing would churn the log with a pure
@@ -3696,6 +3729,13 @@ def delta_merge(
         or re.match(r"\d{20}\.checkpoint(\.|$)", n)
         for n in os.listdir(log_dir)
     )
+    # materialize the source batch ONCE (batch-bounded, the budget
+    # the probe checkpoints already spend): the verb otherwise
+    # re-evaluates the caller's lineage per consumer — this key
+    # aggregate, the broadcast probe build, the by-source key set,
+    # the insert anti-join and the staging write each re-ran the
+    # full upstream plan (guide §5). Every exit path unpersists.
+    df = df.localCheckpoint(eager=True)
     # ONE aggregate over the small batch answers the duplicate-key
     # refusal (which row's arms win is undefined — same rule as
     # delta_upsert), batch emptiness AND the per-key min/max bounds
@@ -3722,6 +3762,7 @@ def delta_merge(
             .collect()
         )
         kv = {k: dup[0][k] for k in keys}
+        df.unpersist()
         raise ValueError(
             f"delta_merge: source has multiple rows for key {kv} — "
             "MERGE cannot decide which one wins; de-duplicate the "
@@ -3738,15 +3779,19 @@ def delta_merge(
         if insert_condition is not None:
             ins0 = ins0.filter(F.expr(insert_condition))
         ins0 = ins0.localCheckpoint(eager=True)  # batch-bounded
-        v = delta_append(ins0, table_dir, txn=txn)
-        n0 = ins0.count()
-        ins0.unpersist()
+        try:
+            v = delta_append(ins0, table_dir, txn=txn)
+            n0 = ins0.count()
+        finally:
+            ins0.unpersist()
+            df.unpersist()
         return v, 0, 0, n0
 
     t = DeltaTable(spark, table_dir)
     if txn is not None:
         app_id, txn_v = txn
         if t.txn_version(app_id) >= int(txn_v):
+            df.unpersist()
             return t.latest_version(), 0, 0, 0  # redelivered: no-op
     version = t.latest_version() + 1
     # quiet-batch short circuit (review r12): an EMPTY source can
@@ -3758,6 +3803,7 @@ def delta_merge(
     # Emptiness rode the batch aggregate above — no isEmpty() job.
     src_empty = int(kb["__nkeys"] or 0) == 0
     if src_empty and not when_not_matched_by_source:
+        df.unpersist()
         if txn is None:
             return t.latest_version(), 0, 0, 0
         import time as _t2
@@ -4078,6 +4124,7 @@ def delta_merge(
         # retry loop's session — ADVICE r12); on success they are
         # fully consumed before the claim below, so a
         # ConcurrentWriteError retry can't accumulate blocks either
+        df.unpersist()
         if matched is not None:
             matched.unpersist()
         if fired_src is not None:

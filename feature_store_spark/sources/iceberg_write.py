@@ -1188,10 +1188,30 @@ def iceberg_append(
         # count cannot grow. Derived from the session's shuffle
         # parallelism so cluster deployments inherit their configured
         # scale instead of a local constant.
+        # UNPARTITIONED staged writes get an AQE-sized REBALANCE:
+        # the frames the write verbs stage are shuffle- or
+        # localCheckpoint-derived, so their partition count is the
+        # CONFIGURED parallelism, not the data size — written as-is,
+        # every commit lands `shuffle.partitions` near-empty files
+        # and each downstream scan/changes() pays per-file open cost
+        # for all of them. RebalancePartitions lets AQE size the
+        # exchange by advisory bytes, so the file count tracks bytes
+        # at every scale (1 file for a KB batch, ~advisory-sized
+        # files for a TB append); the cost is one exchange of the
+        # staged bytes — the same trade Iceberg's
+        # write.distribution-mode documents for clustered writes.
+        from feature_store_spark.sources.manifest import (
+            _staging_rebalance,
+        )
+
         staged = (
             wdf.repartition(_staging_parallelism(spark), *shadows)
             if shadows
-            else wdf
+            else (
+                wdf.hint("rebalance")
+                if _staging_rebalance(spark)
+                else wdf
+            )
         )
     writer = staged.write.mode("overwrite").format(fmt)
     if shadows:
@@ -2167,6 +2187,15 @@ def iceberg_merge(
     meta_dir = os.path.join(table_dir, "metadata")
     prev_meta, _pm, _nv = _load_prev(meta_dir)
 
+    # materialize the source batch ONCE (batch-bounded, the same
+    # budget the probe checkpoints already spend): the verb otherwise
+    # re-evaluates the caller's lineage per consumer — the key-bounds
+    # aggregate, the broadcast probe build, the by-source key set,
+    # the insert anti-join and the staging write each re-ran the full
+    # upstream plan (guide §5: persist when reused and recompute is
+    # expensive). Every exit path unpersists.
+    df = df.localCheckpoint(eager=True)
+
     # ONE aggregate over the batch: duplicate-key refusal (which
     # row's arms win is undefined), emptiness, and the per-key
     # min/max bounds the scan pruning wants (delta_merge's r13 shape)
@@ -2222,12 +2251,14 @@ def iceberg_merge(
             )
         finally:
             ins0.unpersist()
+            df.unpersist()
         return snap, 0, 0, n0
 
     cur_snap = int(prev_meta.get("current-snapshot-id") or 0)
     if txn is not None:
         app_id, batch_id = txn
         if iceberg_txn_version(table_dir, app_id) >= int(batch_id):
+            df.unpersist()
             return cur_snap, 0, 0, 0  # redelivered batch: no-op
 
     t = IcebergTable(spark, table_dir)
@@ -2249,19 +2280,22 @@ def iceberg_merge(
     # quiet-batch short circuit: an empty source without by-source
     # arms changes nothing — no-op, or a metadata-only watermark
     if src_empty and not when_not_matched_by_source:
-        if txn is None:
-            return cur_snap, 0, 0, 0
-        snap = iceberg_append(
-            df.limit(0),
-            table_dir,
-            entity_col=entity_col,
-            ts_col=ts_col,
-            txn=txn,
-            file_format=file_format,
-            partition_spec=partition_spec,
-            allow_empty=True,
-        )
-        return snap, 0, 0, 0
+        try:
+            if txn is None:
+                return cur_snap, 0, 0, 0
+            snap = iceberg_append(
+                df.limit(0),
+                table_dir,
+                entity_col=entity_col,
+                ts_col=ts_col,
+                txn=txn,
+                file_format=file_format,
+                partition_spec=partition_spec,
+                allow_empty=True,
+            )
+            return snap, 0, 0, 0
+        finally:
+            df.unpersist()
 
     filters: list[tuple] = []
     for i, k in enumerate(keys):
@@ -2542,6 +2576,7 @@ def iceberg_merge(
     finally:
         # release the materialized probe frames whether staging
         # succeeded or raised (the delta_merge r13 contract)
+        df.unpersist()
         if matched is not None:
             matched.unpersist()
         if fired_src is not None:

@@ -230,6 +230,29 @@ def _file_column_ranges(path: str) -> dict[str, list]:
     return out
 
 
+def _staging_rebalance(spark: SparkSession) -> bool:
+    """Whether unpartitioned staged writes add an AQE-sized REBALANCE
+    exchange (default on). The staged frames the write verbs produce
+    are shuffle- or localCheckpoint-derived, so their partition count
+    reflects the CONFIGURED parallelism, not the data size — written
+    as-is, every commit lands `shuffle.partitions` near-empty files.
+    The rebalance lets AQE size the written files by advisory bytes
+    at every scale. Parameterised so deployments that already control
+    input layout (or tests that need a specific staged file count)
+    can opt out per session."""
+    try:
+        return (
+            str(
+                spark.conf.get(
+                    "spark.feature_store.staging.rebalance", "true"
+                )
+            ).lower()
+            != "false"
+        )
+    except Exception:
+        return True
+
+
 def _publish_manifest(manifest_dir: str, name: str, payload: dict) -> None:
     """THE commit point: write the snapshot to a temp file (fsynced,
     fully on disk), then atomically link it into place. link(2) fails
@@ -456,7 +479,10 @@ class ManifestedTable:
 
     # --------------------------------------------------------- writes
     def _stage(
-        self, df: DataFrame, partition_by: Sequence[str] | None
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] | None,
+        preserve_layout: bool = False,
     ) -> tuple[list[str], str, dict]:
         """Step 1: job-write to staging, rename finished part files
         under data/<commit-uuid>/ preserving partition subdirs. Returns
@@ -464,6 +490,19 @@ class ManifestedTable:
         data-skipping). Unreferenced until commit."""
         commit_id = uuid.uuid4().hex
         staging = os.path.join(self.path, f".staging-{commit_id}")
+        if (
+            not partition_by
+            and not preserve_layout
+            and _staging_rebalance(self.spark)
+        ):
+            # AQE-sized REBALANCE (same rationale as the delta /
+            # iceberg staging paths): appended frames are typically
+            # shuffle-derived, so their partition count reflects the
+            # configured parallelism rather than the data size;
+            # rebalancing lets AQE size the written files by bytes,
+            # keeping per-commit file count (and every later scan's
+            # per-file open cost) proportional to data, not cores.
+            df = df.hint("rebalance")
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -629,13 +668,19 @@ class ManifestedTable:
         partition_by: Sequence[str] | None = None,
         require_base: int | None = None,
         txn: tuple[str, int] | None = None,
+        preserve_layout: bool = False,
     ) -> int:
         """Full-snapshot replacement (what a commit MERGE lands as).
         Pass ``require_base`` when the new snapshot was DERIVED from
         version N — the commit then conflicts instead of erasing
         writes that landed after N. ``txn`` records an idempotence
-        token atomically with the snapshot (see ``append``)."""
-        rels, schema_json, stats = self._stage(df, partition_by)
+        token atomically with the snapshot (see ``append``).
+        ``preserve_layout=True`` writes the frame's own partitioning
+        verbatim (no staging rebalance) — for callers that already
+        clustered/sized the rewrite, e.g. ``compact``."""
+        rels, schema_json, stats = self._stage(
+            df, partition_by, preserve_layout=preserve_layout
+        )
         return self._commit(
             rels,
             schema_json,
@@ -752,6 +797,10 @@ class ManifestedTable:
             snap,
             partition_by=partition_by,
             require_base=base_version,
+            # the rewrite above IS the layout (range-clustered files
+            # or target-sized round-robin) — the staging rebalance
+            # must not undo it
+            preserve_layout=True,
         )
 
     # -------------------------------------------------------- hygiene

@@ -362,7 +362,14 @@ class TestDeletionVectors:
 
         d = str(tmp_path / "inline")
         df = spark.range(10).coalesce(1).select(F.col("id").alias("eid"))
-        delta_append(df, d)  # ONE data file: positions are global
+        # the hand-crafted DV below kills ordinals 0-2, so the file
+        # must land in SOURCE row order — opt out of the staging
+        # rebalance, whose exchange re-orders rows within the file
+        spark.conf.set("spark.feature_store.staging.rebalance", "false")
+        try:
+            delta_append(df, d)  # ONE data file: positions are global
+        finally:
+            spark.conf.unset("spark.feature_store.staging.rebalance")
         t = DeltaTable(spark, d)
         add = t.data_files()[0]
         data = serialize_rbm_array([0, 1, 2])
@@ -731,7 +738,14 @@ class TestOptimize:
             (F.col("id") / F.lit(64)).cast("long").alias("y"),
             F.col("id").alias("payload"),
         ).repartition(8)
-        delta_append(df, d)
+        # the scenario needs a MULTI-file unoptimized table (the
+        # .repartition(8) above is the fixture's point); opt out of
+        # the staging rebalance that would coalesce this KB frame
+        spark.conf.set("spark.feature_store.staging.rebalance", "false")
+        try:
+            delta_append(df, d)
+        finally:
+            spark.conf.unset("spark.feature_store.staging.rebalance")
         delta_optimize(
             spark, d, target_file_bytes=8 << 10, zorder_by=["x", "y"]
         )
@@ -931,7 +945,12 @@ class TestReviewRegressions:
 
         d = str(tmp_path / "optid")
         df = spark.range(40).select(F.col("id").alias("eid")).repartition(4)
-        delta_append(df, d, column_mapping="id")
+        # multi-file fixture on purpose (see test_zorder note)
+        spark.conf.set("spark.feature_store.staging.rebalance", "false")
+        try:
+            delta_append(df, d, column_mapping="id")
+        finally:
+            spark.conf.unset("spark.feature_store.staging.rebalance")
         delta_optimize(spark, d)
         t = DeltaTable(spark, d)
         for a in t.data_files():

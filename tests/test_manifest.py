@@ -54,8 +54,16 @@ class TestCommitProtocol:
             return real_rename(src, dst)
 
         monkeypatch.setattr(M.os, "rename", dying_rename)
-        with pytest.raises(OSError, match="killed"):
-            t.append(_df(spark, 5, 9, "b").repartition(3))
+        # the kill scenario needs the staged write to land MULTIPLE
+        # part files (die mid-way through moving them); the staging
+        # rebalance would coalesce this KB frame to one file, so opt
+        # out for this append via the session knob
+        spark.conf.set("spark.feature_store.staging.rebalance", "false")
+        try:
+            with pytest.raises(OSError, match="killed"):
+                t.append(_df(spark, 5, 9, "b").repartition(3))
+        finally:
+            spark.conf.unset("spark.feature_store.staging.rebalance")
         monkeypatch.undo()
 
         assert t.current_version() == 1

@@ -19,6 +19,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from feature_store_spark.session import local_rows_df
+
 
 def _scored_base(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """Project the score ONCE, folding NaN (and values that become NULL
@@ -419,8 +421,9 @@ def calibration_bins(
         )
     )
     rows = [r for r in agg.collect() if r["bin"] != -1]
-    return spark.createDataFrame(
-        rows,
+    return local_rows_df(
+        spark,
+        [tuple(r) for r in rows],
         "bin int, n bigint, n_labeled bigint, mean_confidence double, "
         "positive_rate double",
     )

@@ -33,6 +33,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from feature_store_spark.session import local_rows_df
 
 
 def _mg_partition(col: str, k: int):
@@ -131,8 +132,8 @@ def heavy_hitters(
     if len(candidates) <= isin_limit:
         pruned = items.filter(F.col(col).isin(candidates))
     else:
-        cand_frame = items.sparkSession.createDataFrame(
-            [(c,) for c in candidates], items.schema
+        cand_frame = local_rows_df(
+            items.sparkSession, [(c,) for c in candidates], items.schema
         )
         pruned = items.join(F.broadcast(cand_frame), col, "left_semi")
 

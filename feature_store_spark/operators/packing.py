@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from feature_store_spark.session import local_rows_df
 from pyspark.storagelevel import StorageLevel
 
 
@@ -187,7 +188,7 @@ def global_prefix_sum(
         offsets.append((r["__bkt"], running))
         running += r["__tot"]
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "__bkt int, __off long")
+    off_df = local_rows_df(spark, offsets, "__bkt int, __off long")
     out = (
         local.join(F.broadcast(off_df), "__bkt")
         .withColumn(out_col, (F.col("__local_cum") + F.col("__off")).cast("long"))
@@ -256,7 +257,7 @@ def mixture_sample(
     # (review r10i, execution-confirmed)
     w_items = [(g, float(v)) for g, v in weights.items()]
     spark = docs.sparkSession
-    w_df = spark.createDataFrame(w_items, f"{group_col} string, __w double")
+    w_df = local_rows_df(spark, w_items, f"{group_col} string, __w double")
     # materialize the per-group totals (|groups| rows, metadata
     # scale): `grand` and the probs join would otherwise re-derive
     # the docs upstream — with an expensive token_col lineage that

@@ -14,6 +14,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from feature_store_spark.session import local_rows_df
 
 from feature_store_spark.functions import epoch_ms
 
@@ -205,7 +206,8 @@ def assemble_flat(
     )
     grid = entities.select(entity_col).distinct().crossJoin(
         F.broadcast(
-            entities.sparkSession.createDataFrame(
+            local_rows_df(
+                entities.sparkSession,
                 [(n,) for n in feature_names],
                 # explicit DDL: an empty feature list (a view with no
                 # members) must yield an empty grid, not a cannot-

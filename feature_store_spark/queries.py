@@ -96,7 +96,7 @@ def _run_stream_to_memory(spark, out, name: str, d: str, mode: str):
     return spark.table(name)
 from feature_store_spark.operators.windowed import windowed_features_self
 from feature_store_spark.scoring import compile_model_expr, compile_model_sql, example_model
-from feature_store_spark.session import load_table
+from feature_store_spark.session import load_table, local_rows_df
 from feature_store_spark.stats import feature_stats
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -389,8 +389,8 @@ def q_serving_assembly(spark, sf_dir):
     ).select("user_id", "event_type", "value", F.unix_micros("ts").alias("__t_us"))
     grid = (
         ev.select("user_id").distinct()
-        .crossJoin(F.broadcast(spark.createDataFrame(
-            [(t,) for t in EVENT_TYPES], ["feature_name"])))
+        .crossJoin(F.broadcast(local_rows_df(
+            spark, [(t,) for t in EVENT_TYPES], "feature_name string")))
     )
     now = ev.agg(F.max(F.unix_micros("ts")).alias("__now_us"))
     joined = grid.join(
@@ -928,8 +928,8 @@ def q_point_lookup(spark, sf_dir):
     """Batch point lookup with miss accounting (L2): requested keys
     broadcast into a left join, input keys preserved."""
     orders = load_table(spark, sf_dir, "orders")
-    ids = spark.createDataFrame(
-        [(1,), (5,), (42,), (999999999,)], ["o_orderkey"]
+    ids = local_rows_df(
+        spark, [(1,), (5,), (42,), (999999999,)], "o_orderkey bigint"
     )
     joined = F.broadcast(ids).join(orders, "o_orderkey", "left")
     return joined.select(
@@ -1881,7 +1881,8 @@ def q_ivfpq_recall(spark, sf_dir):
                 >= 0.60
             ).alias("recall_ok"),
         ).collect()[0]
-        return spark.createDataFrame(
+        return local_rows_df(
+            spark,
             [(row["n_queries"], bool(files_pruned), bool(row["recall_ok"]))],
             "n_queries long, files_pruned boolean, recall_ok boolean",
         )
@@ -3036,7 +3037,7 @@ def q_serving_fallback(spark, sf_dir):
     )
     request = (
         ev.select(F.col("user_id").alias("entity_id")).distinct()
-        .unionByName(spark.createDataFrame([(999999,)], ["entity_id"]))
+        .unionByName(local_rows_df(spark, [(999999,)], "entity_id bigint"))
     )
     out = get_online_features(
         request, vectors, scalars, ["click", "view"], now_ms=0,
@@ -3144,7 +3145,7 @@ def q_cache_ttl_serving(spark, sf_dir):
     )
     request = (
         ev.select(F.col("user_id").alias("entity_id")).distinct()
-        .unionByName(spark.createDataFrame([(999999,)], ["entity_id"]))
+        .unionByName(local_rows_df(spark, [(999999,)], "entity_id bigint"))
     )
     out = get_online_features(
         request, vectors, scalars, ["click", "view"],
@@ -4169,7 +4170,8 @@ def q_incremental_ann(spark, sf_dir):
             }
 
         search_matches = topk(idx.read()) == topk(full)
-        return spark.createDataFrame(
+        return local_rows_df(
+            spark,
             [
                 (
                     len(state_rows),
@@ -7066,7 +7068,8 @@ def q_delta_generated(spark, sf_dir):
         delta_append(b0, d, column_metadata=md, properties=props)
         # absent generated column: computed by the declaration
         delta_append(ev.filter(F.col("event_id") % 2 == 1), d)
-        bad_row = spark.createDataFrame(
+        bad_row = local_rows_df(
+            spark,
             [(10**9, 0, 1.0, 5.0)],
             "event_id long, user_id long, value double, value2 double",
         )
@@ -7077,7 +7080,8 @@ def q_delta_generated(spark, sf_dir):
             gen_refused = True
         try:
             delta_append(
-                spark.createDataFrame(
+                local_rows_df(
+                    spark,
                     [(10**9, 0, None)],
                     "event_id long, user_id long, value double",
                 ),
@@ -7087,7 +7091,8 @@ def q_delta_generated(spark, sf_dir):
             inv_refused = True
         try:
             delta_append(
-                spark.createDataFrame(
+                local_rows_df(
+                    spark,
                     [(-5, 0, 1.0)],
                     "event_id long, user_id long, value double",
                 ),
@@ -7098,7 +7103,8 @@ def q_delta_generated(spark, sf_dir):
         mid = int(ev.agg(F.min("event_id")).first()[0])
         # correction WITHOUT value2: the declaration recomputes it
         delta_upsert(
-            spark.createDataFrame(
+            local_rows_df(
+                spark,
                 [(mid, 0, 0.0)],
                 "event_id long, user_id long, value double",
             ),
@@ -7188,7 +7194,8 @@ def q_delta_identity(spark, sf_dir):
     scratch = _tmp.mkdtemp(prefix="fss-delta-ident-")
     d = scratch + "/t"
     try:
-        seed = spark.createDataFrame(
+        seed = local_rows_df(
+            spark,
             [(1000, 0, 0.0)],
             "row_id long, user_id long, value double",
         )
@@ -9916,17 +9923,31 @@ def q_incremental_drift(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
     u = _md5_u(F.col("l_orderkey") * 10 + F.col("l_linenumber"))
-    ref = li.filter(u < 0.5)
-    cur = li.filter(u >= 0.5).select(
+    # ONE persisted projection of (split flag, key, features) serves
+    # every downstream pass — the psi_report_split shape (guide §5):
+    # without it the lineitem scan + per-row md5 re-ran in each of the
+    # config's quantile/bin-count passes AND in each of the three
+    # append lineages (profiled: ~0.7-1.0 s per re-evaluation). The
+    # values are identical; only where the rows are read from changes.
+    base = li.select(
+        (u < 0.5).alias("__ref"),
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+    ).persist()
+    ref = base.filter(F.col("__ref")).select(
+        "l_quantity", "l_extendedprice"
+    )
+    cur = base.filter(~F.col("__ref")).select(
         "l_orderkey",
         "l_quantity",
         (F.col("l_extendedprice") * 1.1).alias("l_extendedprice"),
     )
-    cfg = drift_monitor_config(
-        ref, ["l_quantity", "l_extendedprice"], bins=10
-    )
     scratch = _tmp.mkdtemp(prefix="fss-incr-drift-")
     try:
+        cfg = drift_monitor_config(
+            ref, ["l_quantity", "l_extendedprice"], bins=10
+        )
         src = ManifestedTable(spark, scratch + "/src")
         state = ManifestedTable(spark, scratch + "/state")
         for i in range(3):
@@ -9935,8 +9956,9 @@ def q_incremental_drift(spark, sf_dir):
             if i == 1:  # redelivered refresh: txn token no-ops it
                 refresh_drift_counts(state, src, cfg["edges"])
         out = psi_from_counts(spark, cfg, state.read())
-        return out.localCheckpoint(eager=True)
+        return out.coalesce(1).localCheckpoint(eager=True)
     finally:
+        base.unpersist()
         _sh.rmtree(scratch, ignore_errors=True)
 
 
@@ -10244,7 +10266,8 @@ def q_lsh_recall(spark, sf_dir):
         t.unpersist()
         arrs.unpersist()
     recall = round(n_hit / n_true, 6) if n_true else 1.0
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(n_true, n_lsh, n_hit, recall, recall >= 0.5)],
         "n_true long, n_lsh long, n_hit long, recall double, passes boolean",
     )
@@ -10386,7 +10409,8 @@ def q_bpe_merges(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     merges = bpe_fit(docs, _BPE_ROUNDS)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [
             (i + 1, l, r, c)
             for i, (l, r, c) in enumerate(merges)
@@ -10586,8 +10610,8 @@ def q_chi2_association(spark, sf_dir):
             o = obs.get((a, b), 0)
             chi2 += (o - exp) ** 2 / exp
     dof = (len(row_t) - 1) * (len(col_t) - 1)
-    return spark.createDataFrame(
-        [(round(chi2, 6), dof, n)], "chi2 double, dof int, n long"
+    return local_rows_df(
+        spark, [(round(chi2, 6), dof, n)], "chi2 double, dof int, n long"
     )
 
 
@@ -10645,7 +10669,8 @@ def q_ab_test(spark, sf_dir):
     nb, mb, vb = stats["B"]
     se = _m.sqrt(va / na + vb / nb)
     t = (ma - mb) / se if se > 0 else 0.0
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [
             (
                 na,
@@ -10714,7 +10739,8 @@ def q_ece(spark, sf_dir):
         r["n"] / n_total * abs(r["positive_rate"] - r["mean_confidence"])
         for r in bins
     )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(int(n_total), round(ece, 6), bool(ece < 0.5))],
         "n long, ece double, within_gate boolean",
     )

@@ -103,6 +103,54 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return out
 
 
+def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Small driver-built DataFrame via the pandas/Arrow lane.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the rows into
+    ``defaultParallelism`` pickled partitions, so every materialization
+    of the frame (localCheckpoint, broadcast build, noop sink) pays one
+    Python-worker round per partition — measured 0.42-0.47 s for a
+    2-row frame at local[32], and 5-6 s if someone coalesce(1)s it
+    (the single task then runs the 32 worker rounds serially). The
+    Arrow path lands the same rows as 1-2 arrow batches with no Python
+    workers at materialization time: 0.08-0.12 s.
+
+    The fast lane is taken only for scalar payloads without NaN —
+    pandas object-dtype conversion silently turns float NaN into null,
+    which is NOT the same value under the driver's hash (and arrays/
+    datetimes have their own coercion edge cases); anything else falls
+    back to the classic path, so callers never trade correctness."""
+    simple = all(
+        v is None
+        or isinstance(v, (bool, int, str))
+        or (isinstance(v, float) and v == v)
+        for r in rows
+        for v in r
+    )
+    if simple:
+        try:
+            import pandas as pd
+            from pyspark.sql.types import (
+                AtomicType,
+                StructType,
+                _parse_datatype_string,
+            )
+
+            st = (
+                schema
+                if isinstance(schema, StructType)
+                else _parse_datatype_string(schema)
+            )
+            if all(isinstance(f.dataType, AtomicType) for f in st.fields):
+                pdf = pd.DataFrame(list(rows), dtype=object)
+                if len(pdf.columns):
+                    pdf.columns = [f.name for f in st.fields]
+                return spark.createDataFrame(pdf, st)
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the driver's synthetic parquet tables, normalizing
     timestamp columns to plain TIMESTAMP (session-tz UTC):

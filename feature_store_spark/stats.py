@@ -16,6 +16,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from feature_store_spark.session import local_rows_df
+
 PERCENTILES = (0.25, 0.50, 0.75, 0.95, 0.99)
 PCT_NAMES = ("p25", "p50", "p75", "p95", "p99")
 
@@ -684,8 +686,8 @@ def corr_matrix(
             vb = n * p[(b, b)] - s[b] * s[b]
             r = float(cov) / ((float(va) ** 0.5) * (float(vb) ** 0.5)) if va > 0 and vb > 0 else None
             out.append((a, b, round(r, 6) if r is not None else None))
-    return df.sparkSession.createDataFrame(
-        out, "col_a string, col_b string, pearson_r double"
+    return local_rows_df(
+        df.sparkSession, out, "col_a string, col_b string, pearson_r double"
     )
 
 
@@ -935,8 +937,9 @@ def psi_report(
             q = max(u[f"__{c}_{i}"] / n_u, eps) if n_u else eps
             val += (p - q) * math.log(p / q)
         rows.append((c, int(n_r), int(n_u), round(val, 6)))
-    return ref.sparkSession.createDataFrame(
-        rows, "feature string, n_ref long, n_cur long, psi double"
+    return local_rows_df(
+        ref.sparkSession, rows,
+        "feature string, n_ref long, n_cur long, psi double",
     )
 
 
@@ -1030,8 +1033,9 @@ def psi_report_split(
             q = max(row[f"__u_{c}_{i}"] / n_u, eps) if n_u else eps
             val += (p - q) * math.log(p / q)
         rows.append((c, int(n_r), int(n_u), round(val, 6)))
-    return df.sparkSession.createDataFrame(
-        rows, "feature string, n_ref long, n_cur long, psi double"
+    return local_rows_df(
+        df.sparkSession, rows,
+        "feature string, n_ref long, n_cur long, psi double",
     )
 
 
@@ -1120,8 +1124,8 @@ def psi_from_counts(
             q = max(cur.get(i, 0) / n_u, eps) if n_u else eps
             val += (p - q) * math.log(p / q)
         rows.append((c, int(n_r), int(n_u), round(val, 6)))
-    return spark.createDataFrame(
-        rows, "feature string, n_ref long, n_cur long, psi double"
+    return local_rows_df(
+        spark, rows, "feature string, n_ref long, n_cur long, psi double"
     )
 
 

@@ -4789,10 +4789,13 @@ def q_iceberg_rollback(spark, sf_dir):
     )
 
     ev = load_table(spark, sf_dir, "events")
+    # materialized once: the base append, the corrupting upsert and
+    # the post-rollback fix would otherwise each re-run the events
+    # scan + groupBy (guide §5)
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("double").alias("value_float"),
         F.max("ts").alias("event_time"),
-    )
+    ).localCheckpoint(eager=True)
 
     def shaped(df):
         return df.select(
@@ -4997,10 +5000,12 @@ def q_iceberg_changes(spark, sf_dir):
     )
 
     ev = load_table(spark, sf_dir, "events")
+    # materialized once: the append and the upsert batch would
+    # otherwise each re-run the events scan + groupBy (guide §5)
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("double").alias("value_float"),
         F.max("ts").alias("event_time"),
-    )
+    ).localCheckpoint(eager=True)
 
     def shaped(df):
         return df.select(
@@ -5106,10 +5111,13 @@ def q_iceberg_merge_conditional(spark, sf_dir):
     )
 
     ev = load_table(spark, sf_dir, "events")
+    # materialized once: base + the four batch legs would otherwise
+    # each re-run the events scan + groupBy (guide §5 — reuse beats
+    # recompute; ~0.3 s per evaluation here, 5 evaluations)
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("double").alias("v"),
         F.max("ts").alias("event_time"),
-    )
+    ).localCheckpoint(eager=True)
     uid = F.col("user_id")
 
     def shaped(df, ent, val, tier):
@@ -5164,19 +5172,26 @@ def q_iceberg_merge_conditional(spark, sf_dir):
             insert_condition="src.value_float > 5",
         )
         t = IcebergTable(spark, scratch)
+        # ONE pass over the changelog: per-type count + min/max
+        # snapshot id. "every type saw one snapshot AND the whole feed
+        # saw one snapshot" == per-type min==max and all types share
+        # the same id — the second changes() evaluation the old
+        # distinct-count leg paid (~2 s, profiled) carried no extra
+        # information (guide §1/§5).
         ch = (
             t.changes(s1)
             .groupBy("_change_type")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.countDistinct("_snapshot_id").alias("nsnap"),
+                F.min("_snapshot_id").alias("smin"),
+                F.max("_snapshot_id").alias("smax"),
             )
             .collect()
         )
         cl = {r["_change_type"]: r["n"] for r in ch}
         # the whole feed (both change types) must sit in ONE snapshot
-        one_snapshot = all(r["nsnap"] == 1 for r in ch) and (
-            t.changes(s1).select("_snapshot_id").distinct().count() == 1
+        one_snapshot = all(r["smin"] == r["smax"] for r in ch) and (
+            len({r["smin"] for r in ch}) == 1
         )
         out = t.scan().agg(
             F.count(F.lit(1)).alias("n_keys"),
@@ -5262,10 +5277,12 @@ def q_iceberg_merge_sync(spark, sf_dir):
     )
 
     ev = load_table(spark, sf_dir, "events")
+    # materialized once: the base append and the snapshot batch would
+    # otherwise each re-run the events scan + groupBy (guide §5)
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("double").alias("v"),
         F.max("ts").alias("event_time"),
-    )
+    ).localCheckpoint(eager=True)
     uid = F.col("user_id")
     base = per_user.select(
         F.lit("user").alias("entity_type"),
@@ -5385,10 +5402,12 @@ def q_stream_iceberg_merge(spark, sf_dir):
     )
 
     ev = load_table(spark, sf_dir, "events")
+    # materialized once: base + the three b1 legs would otherwise
+    # each re-run the events scan + groupBy (guide §5)
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("double").alias("v"),
         F.max("ts").alias("event_time"),
-    )
+    ).localCheckpoint(eager=True)
     uid = F.col("user_id")
 
     def shaped(df, ent, val, tier):

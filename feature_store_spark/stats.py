@@ -487,6 +487,7 @@ def quantile_values(
     ps: Sequence[float],
     distinct_limit: int = DISTINCT_DISPATCH_LIMIT,
     rsd: float = 0.05,
+    stats_out: dict | None = None,
 ) -> dict[str, list[float]]:
     """Exact interpolated quantiles with REGIME AUTO-DISPATCH (the
     ``asof_auto`` pattern applied to quantiles): ONE fused wide
@@ -532,6 +533,16 @@ def quantile_values(
         ]
     ).first()
     _reject_nan_cols(cols, stats)
+    if stats_out is not None:
+        # hand the fused per-column (count, min, max) to the caller —
+        # winsorized_stats gates its overflow-free long-sum fast path
+        # on these, and they are already computed in this pass
+        stats_out.update(
+            {
+                c: (stats[f"__n_{c}"], stats[f"__lo_{c}"], stats[f"__hi_{c}"])
+                for c in cols
+            }
+        )
     low = [c for c in cols if stats[f"__d_{c}"] <= distinct_limit]
     high = [c for c in cols if stats[f"__d_{c}"] > distinct_limit]
     out: dict[str, list[float]] = {}
@@ -729,9 +740,12 @@ def winsorized_stats(
     would otherwise winsorize to the UPPER bound (least/greatest skip
     only NULLs) and silently bias every sum toward the clip ceiling.
     """
+    counts: dict[str, int] = {}
     if exact:
-        qs = quantile_values(df, cols, [p_lo, p_hi])
+        fused: dict = {}
+        qs = quantile_values(df, cols, [p_lo, p_hi], stats_out=fused)
         bounds = {c: (qs[c][0], qs[c][1]) for c in cols}
+        counts = {c: int(fused[c][0] or 0) for c in cols}
     else:
         ps = F.array(F.lit(p_lo), F.lit(p_hi))
         row = df.agg(
@@ -745,9 +759,11 @@ def winsorized_stats(
                     F.count_if(
                         F.isnan(F.col(c).cast("double"))
                     ).alias(f"__nan_{c}"),
+                    F.count(F.col(c).cast("double")).alias(f"__cnt_{c}"),
                 )
             ]
         ).first()
+        counts = {c: int(row[f"__cnt_{c}"]) for c in cols}
         nan_bad = [c for c in cols if row[f"__nan_{c}"]]
         if nan_bad:
             raise ValueError(
@@ -762,6 +778,33 @@ def winsorized_stats(
                 "values — clip bounds are undefined"
             )
         bounds = {c: (row[c][0], row[c][1]) for c in cols}
+    # Overflow-free long-sum fast path (guide §2.3 "narrower types"):
+    # decimal(38,0) sums are BigDecimal-path work — measured 2.7x the
+    # cost of long arithmetic on the same rows. The CLIP makes the
+    # per-row magnitude certain up front: |cents| <= max(|lo|,|hi|) x
+    # scale, and the quantile pass already counted the rows, so when
+    # maxc < 2^31 and n < 2^31 every sum provably fits in int64
+    # (|sum cents| < 2^62; cents^2 < 2^62 split as quotient/remainder
+    # by 2^32: sum r < n x 2^32 < 2^63, sum q < n x 2^30 < 2^61) and
+    # the exact integer ss is recombined driver-side as (q << 32) + r
+    # — the same integers the decimal path produces, converted to
+    # double by the same round-to-nearest cast, fed through the same
+    # final expressions: bit-identical results. ANSI-safe: the gate
+    # is certain BEFORE the job, so no overflow can throw mid-pass.
+    # Beyond the gate (2^31+ rows, or clip bounds past 2^31/scale)
+    # the decimal path runs unchanged.
+    maxc = 0.0
+    gate_ok = bool(cols)
+    for c in cols:
+        lo_b, hi_b = bounds[c]
+        if lo_b is None or hi_b is None:
+            gate_ok = False
+            break
+        maxc = max(maxc, (abs(lo_b) + abs(hi_b)) * scale + 1)
+    n_max = max(counts.values(), default=0)
+    fast = gate_ok and maxc < 2**31 and n_max < 2**31
+    two32 = 4294967296
+
     proj_cols = []
     for i, c in enumerate(cols):
         v = F.col(c).cast("double")
@@ -773,10 +816,10 @@ def winsorized_stats(
         cents = F.when(
             v.isNotNull(),
             F.round(F.greatest(lo, F.least(hi, v)) * scale).cast(
-                "decimal(38,0)"
+                "long" if fast else "decimal(38,0)"
             ),
         )
-        # clipped decimal projected ONCE per column: inlined into the
+        # clipped integer projected ONCE per column: inlined into the
         # aggregate it would re-derive per reference (sum + the
         # squared sum's two), and decimal round/cast is BigDecimal-
         # path work (round-6 projection-once pass; bit-identical)
@@ -794,25 +837,63 @@ def winsorized_stats(
             F.min(lo).alias(f"__lo_{i}"),
             F.min(hi).alias(f"__hi_{i}"),
             F.sum(cents).alias(f"__s_{i}"),
-            F.sum(cents * cents).alias(f"__ss_{i}"),
         ]
+        if fast:
+            sq = cents * cents  # >= 0, < 2^62 under the gate
+            aggs += [
+                F.sum(F.shiftright(sq, 32)).alias(f"__ssq_{i}"),
+                F.sum(sq % F.lit(two32)).alias(f"__ssr_{i}"),
+            ]
+        else:
+            aggs.append(F.sum(cents * cents).alias(f"__ss_{i}"))
     wide = proj.agg(*aggs)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("feature"),
-                F.col(f"__lo_{i}").alias("lo"),
-                F.col(f"__hi_{i}").alias("hi"),
-                F.col(f"__n_{i}").alias("n"),
-                F.col(f"__cl_{i}").alias("n_clipped_lo"),
-                F.col(f"__ch_{i}").alias("n_clipped_hi"),
-                F.col(f"__s_{i}").cast("double").alias("s"),
-                F.col(f"__ss_{i}").cast("double").alias("ss"),
+    if fast:
+        got = wide.first()
+        out_rows = []
+        for i, c in enumerate(cols):
+            s_v = got[f"__s_{i}"]
+            q_v, r_v = got[f"__ssq_{i}"], got[f"__ssr_{i}"]
+            ss_v = (
+                (int(q_v) << 32) + int(r_v)
+                if q_v is not None
+                else None
             )
-            for i, c in enumerate(cols)
-        ]
-    )
-    tall = wide.select(F.explode(rows).alias("r")).select("r.*")
+            out_rows.append(
+                (
+                    c,
+                    got[f"__lo_{i}"],
+                    got[f"__hi_{i}"],
+                    got[f"__n_{i}"],
+                    got[f"__cl_{i}"],
+                    got[f"__ch_{i}"],
+                    float(s_v) if s_v is not None else None,
+                    float(ss_v) if ss_v is not None else None,
+                )
+            )
+        tall = local_rows_df(
+            df.sparkSession,
+            out_rows,
+            "feature string, lo double, hi double, n bigint, "
+            "n_clipped_lo bigint, n_clipped_hi bigint, "
+            "s double, ss double",
+        )
+    else:
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    F.col(f"__lo_{i}").alias("lo"),
+                    F.col(f"__hi_{i}").alias("hi"),
+                    F.col(f"__n_{i}").alias("n"),
+                    F.col(f"__cl_{i}").alias("n_clipped_lo"),
+                    F.col(f"__ch_{i}").alias("n_clipped_hi"),
+                    F.col(f"__s_{i}").cast("double").alias("s"),
+                    F.col(f"__ss_{i}").cast("double").alias("ss"),
+                )
+                for i, c in enumerate(cols)
+            ]
+        )
+        tall = wide.select(F.explode(rows).alias("r")).select("r.*")
     n = F.col("n").cast("double")
     mean_w = F.col("s") / n / float(scale)
     var_w = (n * F.col("ss") - F.col("s") * F.col("s")) / (

@@ -242,6 +242,54 @@ class TestWinsorizedStats:
         assert r["lo"] <= r["mean_w"] <= r["hi"]
         assert r["std_w"] > 0
 
+    def test_long_fast_path_matches_decimal_path_bitwise(self, spark):
+        """The overflow-gated long-sum fast path (r13) must reproduce
+        the decimal(38,0) path bit-for-bit: same integers, same
+        round-to-nearest double conversion, same final expressions.
+        Values chosen to exercise negative cents, nulls, clipping on
+        both sides, and an ss big enough to need the 2^32 split."""
+        import feature_store_spark.stats as stats_mod
+
+        vals = (
+            [float(v) * 977.31 - 400_000 for v in range(1, 400)]
+            + [None, None, -9e7, 9e7]
+        )
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        fast = winsorized_stats(df, ["x"], p_lo=0.02, p_hi=0.98).collect()
+
+        # force the decimal path by making the row-count gate fail
+        real = stats_mod.quantile_values
+
+        def fat_counts(df_, cols_, ps_, stats_out=None, **kw):
+            out = real(df_, cols_, ps_, stats_out=stats_out, **kw)
+            if stats_out is not None:
+                for c in list(stats_out):
+                    n, lo, hi = stats_out[c]
+                    stats_out[c] = (2**40, lo, hi)
+            return out
+
+        orig = stats_mod.winsorized_stats.__globals__["quantile_values"]
+        stats_mod.winsorized_stats.__globals__["quantile_values"] = fat_counts
+        try:
+            slow = winsorized_stats(df, ["x"], p_lo=0.02, p_hi=0.98).collect()
+        finally:
+            stats_mod.winsorized_stats.__globals__["quantile_values"] = orig
+        assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+    def test_long_fast_path_gate_routes_huge_magnitudes_to_decimal(
+        self, spark
+    ):
+        """Clip bounds past 2^31/scale make per-row cents overflow the
+        long gate — the decimal path must carry those (ANSI mode would
+        otherwise throw mid-job on a long cast)."""
+        big = 1e12  # cents ~1e14 > 2^31, ss ~1e28 x 4 inside decimal(38)
+        df = spark.createDataFrame(
+            [(big,), (big * 2,), (big * 3,), (big * 4,)], "x double"
+        )
+        [r] = winsorized_stats(df, ["x"], p_lo=0.0, p_hi=1.0).collect()
+        assert r["n"] == 4
+        assert r["mean_w"] == pytest.approx(big * 2.5, rel=1e-6)
+
 
 class TestExactQuantiles:
     """Both distributed exact-quantile strategies must reproduce

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_store_spark.functions import schema_hash_py
+from feature_store_spark.session import local_rows_df
 
 FEATURE_STATUSES = ("DRAFT", "ACTIVE", "DEPRECATED", "ARCHIVED")  # V1__init.sql:33-34
 
@@ -215,12 +216,15 @@ class Registry:
     # ---- DataFrame projections (registry queries, §2.4 F3) ----
 
     def entities_df(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            self._entities, "name string, join_key string, join_key_type string"
+        return local_rows_df(
+            self.spark,
+            self._entities,
+            "name string, join_key string, join_key_type string",
         )
 
     def features_df(self) -> DataFrame:
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             self._features,
             "name string, entity string, dtype string, default_value double, "
             "max_age_seconds long, status string, version int",
@@ -243,7 +247,8 @@ class Registry:
             (v.name, v.version, v.entity, v.vector_length, v.schema_hash)
             for v in self._views.values()
         ]
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             rows,
             "name string, version int, entity string, vector_length int, "
             "schema_hash long",
@@ -270,7 +275,8 @@ class Registry:
             for v in self._views.values()
             for pos, fname in enumerate(v.feature_names)
         ]
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             rows,
             "view_name string, view_version int, position int, "
             "feature_name string, transform string, transform_params string, "
@@ -278,7 +284,8 @@ class Registry:
         )
 
     def audit_df(self) -> DataFrame:
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             self._audit,
             "occurred_seq long, entity_type string, ref_id string, "
             "event_type string, actor string, details string",

@@ -120,13 +120,19 @@ def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     which is NOT the same value under the driver's hash (and arrays/
     datetimes have their own coercion edge cases); anything else falls
     back to the classic path, so callers never trade correctness."""
-    simple = all(
-        v is None
-        or isinstance(v, (bool, int, str))
-        or (isinstance(v, float) and v == v)
-        for r in rows
-        for v in r
-    )
+    rows = list(rows)  # the membership probe below must not consume a generator
+    try:
+        simple = all(
+            v is None
+            or isinstance(v, (bool, int, str))
+            or (isinstance(v, float) and v == v)
+            for r in rows
+            for v in r
+        )
+    except TypeError:
+        # non-iterable row containers (Rows proxying oddly, scalars):
+        # the classic path knows how to handle whatever this is
+        simple = False
     if simple:
         try:
             import pandas as pd

@@ -48,6 +48,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from feature_store_spark.session import local_rows_df
 from feature_store_spark.sources.hive_paths import (
     hive_escape,
     parse_partition_segs,
@@ -416,8 +417,10 @@ def _apply_identity_columns(
         for r in sorted(counts, key=lambda r: r["__pid"]):
             offs[int(r["__pid"])] = acc
             acc += int(r["count"])
-        off_df = df.sparkSession.createDataFrame(
-            [(p, o) for p, o in offs.items()], "__pid int, __off long"
+        off_df = local_rows_df(
+            df.sparkSession,
+            [(p, o) for p, o in offs.items()],
+            "__pid int, __off long",
         )
         w = Window.partitionBy("__pid").orderBy(
             F.monotonically_increasing_id()

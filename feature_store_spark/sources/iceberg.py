@@ -71,6 +71,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from feature_store_spark.session import local_rows_df
 from feature_store_spark.sources.avro_io import read_avro
 
 _US_PER_DAY = 86_400_000_000
@@ -829,7 +830,8 @@ class IcebergTable:
                 )
                 for f in files
             ]
-            seq_df = spark.createDataFrame(
+            seq_df = local_rows_df(
+                spark,
                 seq_rows,
                 "__fp string, __dataseq long, __part string",
             )
@@ -1064,7 +1066,8 @@ class IcebergTable:
             )
             for f in self.data_files(snapshot_id, None)
         ]
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             rows,
             "file_path string, partition string, record_count long, "
             "is_delete boolean, delete_kind string, "
@@ -1091,7 +1094,8 @@ class IcebergTable:
         rows = [
             (k, v[0], v[1], v[2], v[3]) for k, v in sorted(agg.items())
         ]
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             rows,
             "partition string, data_file_count long, record_count long,"
             " total_bytes long, delete_file_count long",
@@ -1109,7 +1113,8 @@ class IcebergTable:
             )
             for s in self.meta.get("snapshots", [])
         ]
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             rows,
             "snapshot_id long, timestamp_ms long, operation string, "
             "manifest_list string",
@@ -1122,8 +1127,8 @@ class IcebergTable:
             (name, r["type"], int(r["snapshot_id"]))
             for name, r in sorted(self.refs().items())
         ]
-        return self.spark.createDataFrame(
-            rows, "name string, type string, snapshot_id long"
+        return local_rows_df(
+            self.spark, rows, "name string, type string, snapshot_id long"
         )
 
     def refs(self) -> dict:
@@ -1398,7 +1403,7 @@ class IcebergTable:
         )
         paths = [f["path"] for f in files]
         return (
-            self.spark.createDataFrame([(p,) for p in paths], "path string")
+            local_rows_df(self.spark, [(p,) for p in paths], "path string")
             .repartition(len(paths))
             .mapInPandas(decode, schema=schema)
         )

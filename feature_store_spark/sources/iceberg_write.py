@@ -48,6 +48,7 @@ import uuid
 
 from pyspark.sql import DataFrame, functions as F
 
+from feature_store_spark.session import local_rows_df
 from feature_store_spark.sources.avro_io import read_avro, write_avro
 from feature_store_spark.sources.hive_paths import parse_partition_segs
 
@@ -2826,8 +2827,8 @@ def iceberg_delete_where(
     suffix_to_recorded = [
         (_path_suffix(f["path"]), f["path"]) for f in files
     ]
-    map_df = spark.createDataFrame(
-        suffix_to_recorded, "__sfx string, __recorded string"
+    map_df = local_rows_df(
+        spark, suffix_to_recorded, "__sfx string, __recorded string"
     )
     dels = (
         df.select(

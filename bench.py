@@ -508,6 +508,12 @@ def main():
 
     comparables = _baseline_comparables(spark, sf_dir)
 
+    # compact separators (r14, VERDICT r13 next #8): the one-line JSON
+    # contract is unchanged (same fields, same values — additions-only
+    # history preserved), but the line grows with every added query and
+    # the driver's fixed-size tail capture truncated BENCH_r12 mid-line,
+    # losing that round's whole PERF comparison. Compact separators keep
+    # the line parseable from a 4 KB tail with room for future queries.
     print(
         json.dumps(
             {
@@ -518,7 +524,8 @@ def main():
                 "sf": sf,
                 "anchors": anchors,
                 "baseline_comparables": comparables,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

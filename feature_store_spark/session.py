@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 TABLES = (
     "region",
@@ -62,6 +63,16 @@ def get_spark(
         # timestamp column this engine writes
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # safe-cast Arrow conversion for createDataFrame(pandas_df)
+        # (ADVICE r13): local_rows_df routes driver-built frames
+        # through pandas+Arrow, and with the default (false) a
+        # mistyped payload (non-integral float into a long field,
+        # out-of-range int) is silently truncated/wrapped instead of
+        # raising. With true, the failed safe cast raises inside the
+        # Arrow lane and local_rows_df falls back to the verifying
+        # classic path — a future caller bug stays a loud error, not
+        # silent corruption.
+        .config("spark.sql.execution.pandas.convertToArrowArraySafely", "true")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
@@ -103,7 +114,67 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return out
 
 
-def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+def _rows_match_atomic_types(rows, st) -> bool:
+    """Value/field-type compatibility probe for the Arrow lane
+    (ADVICE r13): the classic ``createDataFrame(list, schema)`` path
+    verifies every value against its field type, while the Arrow lane
+    casts — under the default unsafe conversion a non-integral float
+    into a long field would be silently truncated. All current
+    callers pass well-typed values; this probe pins that so a future
+    caller bug falls back to the loud classic path instead of
+    corrupting data. Only exact-match scalar payloads ride Arrow:
+    ints into integral fields (range-checked), int/float into
+    floating fields, bool into boolean, str into string; anything
+    else (date/timestamp/decimal/binary fields, cross-kind values)
+    takes the verifying classic path."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    int_range = {
+        ByteType: (-(1 << 7), (1 << 7) - 1),
+        ShortType: (-(1 << 15), (1 << 15) - 1),
+        IntegerType: (-(1 << 31), (1 << 31) - 1),
+        LongType: (-(1 << 63), (1 << 63) - 1),
+    }
+    fields = st.fields
+    for r in rows:
+        if len(r) != len(fields):
+            return False
+        for v, f in zip(r, fields):
+            if v is None:
+                continue
+            ty = type(f.dataType)
+            if ty is BooleanType:
+                if not isinstance(v, bool):
+                    return False
+            elif ty in int_range:
+                if isinstance(v, bool) or not isinstance(v, int):
+                    return False
+                lo, hi = int_range[ty]
+                if not (lo <= v <= hi):
+                    return False
+            elif ty in (DoubleType, FloatType):
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    return False
+            elif ty is StringType:
+                if not isinstance(v, str):
+                    return False
+            else:
+                return False
+    return True
+
+
+def local_rows_df(
+    spark: SparkSession, rows, schema: str | StructType
+) -> DataFrame:
     """Small driver-built DataFrame via the pandas/Arrow lane.
 
     ``spark.createDataFrame(list, schema)`` parallelizes the rows into
@@ -138,7 +209,6 @@ def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
             import pandas as pd
             from pyspark.sql.types import (
                 AtomicType,
-                StructType,
                 _parse_datatype_string,
             )
 
@@ -147,13 +217,28 @@ def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
                 if isinstance(schema, StructType)
                 else _parse_datatype_string(schema)
             )
-            if all(isinstance(f.dataType, AtomicType) for f in st.fields):
+            if all(
+                isinstance(f.dataType, AtomicType) for f in st.fields
+            ) and _rows_match_atomic_types(rows, st):
                 pdf = pd.DataFrame(list(rows), dtype=object)
                 if len(pdf.columns):
                     pdf.columns = [f.name for f in st.fields]
                 return spark.createDataFrame(pdf, st)
         except Exception:
-            pass
+            # ADVICE r13: a silent fallback hides real bugs (bad DDL,
+            # pyspark private-API drift, safe-cast refusals from
+            # convertToArrowArraySafely) behind an unexplained perf
+            # cliff — log the reason at debug level; the classic path
+            # below re-verifies every value, so correctness holds.
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "local_rows_df: Arrow lane fell back to the classic "
+                "path (%d rows, schema=%r)",
+                len(rows),
+                schema,
+                exc_info=True,
+            )
     return spark.createDataFrame(rows, schema)
 
 

@@ -2234,12 +2234,19 @@ def iceberg_merge(
                 f"iceberg_merge: {table_dir} does not exist and "
                 "insert=False — nothing to merge into"
             )
+        from pyspark.sql import Observation
+
         ins0 = df.alias("src")  # insert_condition speaks src.*
         if insert_condition is not None:
             ins0 = ins0.filter(F.expr(insert_condition))
-        ins0 = ins0.localCheckpoint(eager=True)
+        # insert count observed DURING the checkpoint job (guide §5 /
+        # §1.2: one driver round-trip, not a checkpoint + a count job)
+        obs0 = Observation()
+        ins0 = ins0.observe(
+            obs0, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
         try:
-            n0 = ins0.count()
+            n0 = int(obs0.get["n"] or 0)
             snap = iceberg_append(
                 ins0,
                 table_dir,
@@ -2351,29 +2358,39 @@ def iceberg_merge(
             # fires), batch-bounded. The per-key window marks keys
             # with ANY fired row so unfired SIBLING rows of a fired
             # key can be carried (the equality delete kills the
-            # whole key).
+            # whole key). The per-arm counts are OBSERVED during the
+            # checkpoint job itself (r14, guide §1.2/§5: the old
+            # shape paid a second driver round-trip re-aggregating
+            # the just-materialized sliver — same rows, same
+            # aggregate expressions, one job instead of two).
+            from pyspark.sql import Observation
+
             w = Window.partitionBy(*keys)
+            obs_m = Observation()
             matched = (
                 tj.select(*sel)
                 .withColumn(
                     "__fired",
                     F.max((F.col("__arm") > 0).cast("int")).over(w),
                 )
+                .observe(
+                    obs_m,
+                    F.sum(
+                        _isin(F.col("__arm"), upd_arms).cast("long")
+                    ).alias("u"),
+                    F.sum(
+                        _isin(F.col("__arm"), del_arms).cast("long")
+                    ).alias("d"),
+                    F.sum(
+                        (
+                            (F.col("__arm") == 0)
+                            & (F.col("__fired") == 1)
+                        ).cast("long")
+                    ).alias("c"),
+                )
                 .localCheckpoint(eager=True)
             )
-            cnt = matched.agg(
-                F.sum(
-                    _isin(F.col("__arm"), upd_arms).cast("long")
-                ).alias("u"),
-                F.sum(
-                    _isin(F.col("__arm"), del_arms).cast("long")
-                ).alias("d"),
-                F.sum(
-                    (
-                        (F.col("__arm") == 0) & (F.col("__fired") == 1)
-                    ).cast("long")
-                ).alias("c"),
-            ).first()
+            cnt = obs_m.get
             n_up, n_del = int(cnt["u"] or 0), int(cnt["d"] or 0)
             n_carry = int(cnt["c"] or 0)
             if n_up or n_del:
@@ -2445,20 +2462,27 @@ def iceberg_merge(
             all2 = nosrc.select(*sel2)
             # materialized size = FIRED rows only; an arm expected to
             # fire on a large table fraction belongs in a
-            # copy-on-write rewrite (same contract as delta_merge)
+            # copy-on-write rewrite (same contract as delta_merge).
+            # Counts observed during the checkpoint job (r14): one
+            # driver round-trip, not checkpoint + re-aggregate.
+            from pyspark.sql import Observation
+
+            obs_f = Observation()
             fired_src = (
                 all2.filter(F.col("__arm") > 0)
+                .observe(
+                    obs_f,
+                    F.sum(
+                        _isin(F.col("__arm"), src_upd_arms).cast("long")
+                    ).alias("u"),
+                    F.sum(
+                        _isin(F.col("__arm"), src_del_arms).cast("long")
+                    ).alias("d"),
+                    F.count(F.lit(1)).alias("n"),
+                )
                 .localCheckpoint(eager=True)
             )
-            cnt2 = fired_src.agg(
-                F.sum(
-                    _isin(F.col("__arm"), src_upd_arms).cast("long")
-                ).alias("u"),
-                F.sum(
-                    _isin(F.col("__arm"), src_del_arms).cast("long")
-                ).alias("d"),
-                F.count(F.lit(1)).alias("n"),
-            ).first()
+            cnt2 = obs_f.get
             n_up2, n_del2 = int(cnt2["u"] or 0), int(cnt2["d"] or 0)
             if int(cnt2["n"] or 0):
                 kills_s = fired_src.select(*keys)
@@ -2485,7 +2509,9 @@ def iceberg_merge(
                         ).select(*rep2)
                     )
                 # unfired siblings of fired keys die with the key —
-                # carry them (second scan, only when something fired)
+                # carry them (second scan, only when something fired;
+                # count observed during the checkpoint job, r14)
+                obs_c = Observation()
                 carried2 = (
                     all2.filter(F.col("__arm") == 0)
                     .join(
@@ -2499,9 +2525,10 @@ def iceberg_merge(
                             for c in tbl_cols
                         ]
                     )
+                    .observe(obs_c, F.count(F.lit(1)).alias("n"))
                     .localCheckpoint(eager=True)
                 )
-                n_carry2 = carried2.count()
+                n_carry2 = int(obs_c.get["n"] or 0)
                 if n_carry2:
                     stage_frames.append(carried2)
 

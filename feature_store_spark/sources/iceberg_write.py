@@ -1217,8 +1217,53 @@ def iceberg_append(
     writer = staged.write.mode("overwrite").format(fmt)
     if shadows:
         writer = writer.partitionBy(*shadows)
+    # the equality-delete file (upsert/merge commits) is a SECOND,
+    # independent Spark write; submit it concurrently with the data
+    # staging write (guide §2.6 — the two jobs' task tails back-fill
+    # each other) instead of paying two sequential job walls per
+    # commit. Both writes share one _micros_timestamps scope (the
+    # session conf is process-global, so the nested per-write scope
+    # would race if set/unset per thread).
+    del_dir = None
+    del_keys = None
+    if upsert_keys:
+        key_ids = [by_name[k]["id"] for k in upsert_keys]
+        del_dir = os.path.join(
+            table_dir, "data",
+            f"eq-deletes-{snap_id}-{uuid.uuid4().hex[:8]}",
+        )
+        # distinct key tuples, written by executors. Iceberg readers
+        # resolve delete-file columns strictly BY FIELD ID (spec,
+        # "Equality Delete Files") — attach parquet.field.id metadata
+        # so external runtimes can apply these deletes, same as the
+        # Delta id-mode writer (ADVICE r8).
+        del_src = delete_keys_df if delete_keys_df is not None else df
+        del_keys = del_src.select(
+            *[
+                F.col(k).alias(
+                    k,
+                    metadata={
+                        "parquet.field.id": int(by_name[k]["id"])
+                    },
+                )
+                for k in upsert_keys
+            ]
+        )
     with _micros_timestamps(spark):
-        writer.save(staging)
+        if del_keys is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_data = pool.submit(writer.save, staging)
+                f_del = pool.submit(
+                    del_keys.distinct().write.parquet, del_dir
+                )
+                # surface BOTH results (a failed delete write must
+                # not be masked by a successful data write)
+                f_data.result()
+                f_del.result()
+        else:
+            writer.save(staging)
 
     paths = [
         os.path.join(root, name)
@@ -1342,31 +1387,9 @@ def iceberg_append(
     if upsert_keys:
         import pyarrow.parquet as pq
 
-        key_ids = [by_name[k]["id"] for k in upsert_keys]
-        del_dir = os.path.join(
-            table_dir, "data",
-            f"eq-deletes-{snap_id}-{uuid.uuid4().hex[:8]}",
-        )
-        # distinct key tuples, written by executors. Iceberg readers
-        # resolve delete-file columns strictly BY FIELD ID (spec,
-        # "Equality Delete Files") — attach parquet.field.id metadata
-        # so external runtimes can apply these deletes, same as the
-        # Delta id-mode writer (ADVICE r8).
-        del_src = delete_keys_df if delete_keys_df is not None else df
-        del_keys = del_src.select(
-            *[
-                F.col(k).alias(
-                    k,
-                    metadata={
-                        "parquet.field.id": int(by_name[k]["id"])
-                    },
-                )
-                for k in upsert_keys
-            ]
-        )
-        with _micros_timestamps(spark):
-            # timestamp-typed keys keep the spec's micros encoding
-            del_keys.distinct().write.parquet(del_dir)
+        # the delete file itself was written CONCURRENTLY with the
+        # data staging write above (micros encoding included); here
+        # only the driver-side manifest bookkeeping remains
         del_entries = []
         for name in sorted(os.listdir(del_dir)):
             if not name.endswith(".parquet"):

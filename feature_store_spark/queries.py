@@ -1713,11 +1713,16 @@ def q_pq_recall(spark, sf_dir):
     approx = pq_search_rerank(
         queries, codes, cb, emb, k=10, shortlist=100
     ).select("query_id", "vec_id", F.lit(1).alias("__hit"))
+    # exact-oracle side spread across cores (see q_ivfpq_recall —
+    # same fixture-shaped 1-row-group starvation, same bit-safety)
     exact = (
         queries.join(
-            emb.select(
-                "vec_id",
-                F.col("embedding").cast("array<double>").alias("__e"),
+            _spread(
+                spark,
+                emb.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("__e"),
+                ),
             )
         )
         .withColumn(
@@ -1855,10 +1860,19 @@ def q_ivfpq_recall(spark, sf_dir):
             centroid_key="cluster",
             centroid_vec="centroid",
         ).select("query_id", "vec_id", F.lit(1).alias("__hit"))
+        # the exact-oracle side is |queries| x |corpus| array math over
+        # a 1-row-group scan — _spread it across the cores (guide
+        # §2.5 input skew: fixture-shaped starvation; a 100 TB corpus
+        # arrives in thousands of splits). Bit-safe: l2 is per-row,
+        # the rank window orders totally on (__d, vec_id), and the
+        # recall aggregate is integer sums.
         exact = queries.join(
-            emb.select(
-                "vec_id",
-                F.col("embedding").cast("array<double>").alias("__e"),
+            _spread(
+                spark,
+                emb.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("__e"),
+                ),
             )
         ).withColumn(
             "__d",

@@ -980,30 +980,34 @@ def psi_report(
         raise
 
     def _counts(df):
-        # bin index projected once per column, aggregated as an
-        # attribute — inlined, the (bins-1)-comparison expression
-        # would re-evaluate in every one of the bins count_ifs
-        # (see psi_report_split for the full rationale)
-        proj_cols = []
+        # explode to (feature, bin) rows + ONE groupBy (r14): the old
+        # wide aggregate evaluated bins x cols count_if predicates per
+        # row — measured 8x slower than the explode+group shape at
+        # sf0.1 (0.42 vs 0.05 s); map-side partial aggregation
+        # collapses the exploded rows to <= cols*bins per task before
+        # the shuffle, and the counts are exact integers either way
+        # (absent groups read back as 0). NaN is excluded like NULL —
+        # NaN > every edge would land in the TOP bin as a phantom
+        # spike (review r10g); the reference side rejects NaN loudly
+        # in the quantile job.
+        structs = []
         for c in cols:
             v = F.col(c).cast("double")
-            b = bin_index_expr(v, qs[c])
-            proj_cols.append(b.alias(f"__b_{c}"))
-            # NaN is not a bin-able value: NaN > every edge, so it
-            # would land in the TOP bin as a phantom spike (review
-            # r10g); the reference side rejects NaN loudly in the
-            # quantile job, the current side excludes it like NULL
-            proj_cols.append(
-                (v.isNotNull() & ~F.isnan(v)).alias(f"__ok_{c}")
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("f"),
+                    bin_index_expr(v, qs[c]).alias("b"),
+                    (v.isNotNull() & ~F.isnan(v)).alias("ok"),
+                )
             )
-        proj = df.select(*proj_cols)
-        aggs = []
-        for c in cols:
-            ok, b = F.col(f"__ok_{c}"), F.col(f"__b_{c}")
-            for i in range(bins):
-                aggs.append(F.count_if(ok & (b == i)).alias(f"__{c}_{i}"))
-            aggs.append(F.count_if(ok).alias(f"__{c}_n"))
-        return proj.agg(*aggs).first()
+        got = (
+            df.select(F.explode(F.array(*structs)).alias("x"))
+            .filter(F.col("x.ok"))
+            .groupBy(F.col("x.f").alias("f"), F.col("x.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {(r["f"], r["b"]): int(r["c"]) for r in got}
 
     try:
         r, u = _counts(ref_slice), _counts(cur)
@@ -1011,11 +1015,12 @@ def psi_report(
         ref_slice.unpersist()
     rows = []
     for c in cols:
-        n_r, n_u = r[f"__{c}_n"], u[f"__{c}_n"]
+        n_r = sum(v for (f, _b), v in r.items() if f == c)
+        n_u = sum(v for (f, _b), v in u.items() if f == c)
         val = 0.0
         for i in range(bins):
-            p = max(r[f"__{c}_{i}"] / n_r, eps) if n_r else eps
-            q = max(u[f"__{c}_{i}"] / n_u, eps) if n_u else eps
+            p = max(r.get((c, i), 0) / n_r, eps) if n_r else eps
+            q = max(u.get((c, i), 0) / n_u, eps) if n_u else eps
             val += (p - q) * math.log(p / q)
         rows.append((c, int(n_r), int(n_u), round(val, 6)))
     return local_rows_df(
@@ -1069,49 +1074,52 @@ def psi_report_split(
         qs = quantile_values(
             ref_slice, cols, [i / bins for i in range(1, bins)]
         )
-        # Project each side's bin index ONCE, then aggregate over the
-        # projected attributes. Inlining them into the count_if
-        # conditions would evaluate the (bins-1)-comparison bin index
-        # bins× per column/side — CollapseProject's multi-reference
-        # guard keeps non-cheap projections referenced this often in
-        # their own stage, so each evaluates once per row (same fix
-        # class as calibration_bins, round 6).
-        proj_cols = [F.col("__flag")]
+        # explode to (side, feature, bin) rows + ONE groupBy (r14):
+        # both windows' counts still come from a single scan, but the
+        # old wide aggregate evaluated 2 x cols x (bins+1) count_if
+        # predicates per row — measured 8x slower than explode+group
+        # at sf0.1 (0.42 vs 0.05 s). Counts are exact integers either
+        # way (absent groups read back as 0); NaN excluded like NULL
+        # (see psi_report).
+        structs = []
         for c in cols:
             for side, vname in (("r", f"__rv_{c}"), ("u", f"__cv_{c}")):
                 v = F.col(vname)
-                b = bin_index_expr(v, qs[c])
-                proj_cols.append(b.alias(f"__b_{side}_{c}"))
-                # NaN excluded like NULL (see psi_report)
-                proj_cols.append(
-                    (v.isNotNull() & ~F.isnan(v)).alias(
-                        f"__ok_{side}_{c}"
-                    )
-                )
-        proj = base.select(*proj_cols)
-        aggs = []
-        for c in cols:
-            for side in ("r", "u"):
                 flag = (
                     F.col("__flag") if side == "r" else ~F.col("__flag")
                 )
-                ok = flag & F.col(f"__ok_{side}_{c}")
-                b = F.col(f"__b_{side}_{c}")
-                for i in range(bins):
-                    aggs.append(
-                        F.count_if(ok & (b == i)).alias(f"__{side}_{c}_{i}")
+                structs.append(
+                    F.struct(
+                        F.lit(side).alias("s"),
+                        F.lit(c).alias("f"),
+                        bin_index_expr(v, qs[c]).alias("b"),
+                        (
+                            flag & v.isNotNull() & ~F.isnan(v)
+                        ).alias("ok"),
                     )
-                aggs.append(F.count_if(ok).alias(f"__{side}_{c}_n"))
-        row = proj.agg(*aggs).first()
+                )
+        got = (
+            base.select(F.explode(F.array(*structs)).alias("x"))
+            .filter(F.col("x.ok"))
+            .groupBy(
+                F.col("x.s").alias("s"),
+                F.col("x.f").alias("f"),
+                F.col("x.b").alias("b"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        counts = {(r["s"], r["f"], r["b"]): int(r["c"]) for r in got}
     finally:
         base.unpersist()
     rows = []
     for c in cols:
-        n_r, n_u = row[f"__r_{c}_n"], row[f"__u_{c}_n"]
+        n_r = sum(v for (s, f, _b), v in counts.items() if s == "r" and f == c)
+        n_u = sum(v for (s, f, _b), v in counts.items() if s == "u" and f == c)
         val = 0.0
         for i in range(bins):
-            p = max(row[f"__r_{c}_{i}"] / n_r, eps) if n_r else eps
-            q = max(row[f"__u_{c}_{i}"] / n_u, eps) if n_u else eps
+            p = max(counts.get(("r", c, i), 0) / n_r, eps) if n_r else eps
+            q = max(counts.get(("u", c, i), 0) / n_u, eps) if n_u else eps
             val += (p - q) * math.log(p / q)
         rows.append((c, int(n_r), int(n_u), round(val, 6)))
     return local_rows_df(
@@ -1149,33 +1157,41 @@ def drift_monitor_config(
             if probs
             else {c: [] for c in cols}
         )
-        proj_cols = []
+        # explode + ONE groupBy instead of the bins x cols count_if
+        # grid (r14 — see psi_report for the 8x measurement; exact
+        # integer counts either way, absent groups read back as 0).
+        # NaN excluded like NULL (the incremental fold applies the
+        # same rule so state == recompute).
+        structs = []
         for c in cols:
             v = F.col(c)
-            b = bin_index_expr(v, qs[c])
-            proj_cols.append(b.alias(f"__b_{c}"))
-            # NaN excluded like NULL (see psi_report; the incremental
-            # fold applies the same rule so state == recompute)
-            proj_cols.append(
-                (v.isNotNull() & ~F.isnan(v)).alias(f"__ok_{c}")
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("f"),
+                    bin_index_expr(v, qs[c]).alias("b"),
+                    (v.isNotNull() & ~F.isnan(v)).alias("ok"),
+                )
             )
-        proj = ref_slice.select(*proj_cols)
-        aggs = []
-        for c in cols:
-            ok, b = F.col(f"__ok_{c}"), F.col(f"__b_{c}")
-            for i in range(bins):
-                aggs.append(F.count_if(ok & (b == i)).alias(f"__{c}_{i}"))
-            aggs.append(F.count_if(ok).alias(f"__{c}_n"))
-        row = proj.agg(*aggs).first()
+        got = (
+            ref_slice.select(F.explode(F.array(*structs)).alias("x"))
+            .filter(F.col("x.ok"))
+            .groupBy(F.col("x.f").alias("f"), F.col("x.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        counts = {(r["f"], r["b"]): int(r["c"]) for r in got}
     finally:
         ref_slice.unpersist()
     return {
         "bins": bins,
         "edges": {c: list(qs[c]) for c in cols},
         "ref_counts": {
-            c: [int(row[f"__{c}_{i}"]) for i in range(bins)] for c in cols
+            c: [counts.get((c, i), 0) for i in range(bins)] for c in cols
         },
-        "n_ref": {c: int(row[f"__{c}_n"]) for c in cols},
+        "n_ref": {
+            c: sum(v for (f, _b), v in counts.items() if f == c)
+            for c in cols
+        },
     }
 
 

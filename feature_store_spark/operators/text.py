@@ -575,13 +575,19 @@ def bpe_fit(
     The vocabulary is localCheckpointed per round so the plan does not
     accrete ``n_merges`` nested rewrites.
     """
+    # LAZY checkpoints throughout (r14, same trick as graph.py's
+    # propagation rounds): each round's top-pair collect is the
+    # materializing action for the previous round's rewrite, so
+    # lineage-cut + argmax cost ONE job per round, not two (the
+    # eager form ran a separate checkpoint job per rewrite —
+    # profiler: 2 jobs/round, half of them pure materialization)
     vocab = (
         docs.select(F.explode(words(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
         .filter(F.length("word") >= 2)
         .select(_char_spaced(F.col("word")).alias("r"), "wc")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -613,7 +619,7 @@ def bpe_fit(
         twice = F.replace(once, F.lit(old), F.lit(new))
         vocab = vocab.select(
             F.trim(twice).alias("r"), "wc"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 

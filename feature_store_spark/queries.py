@@ -4836,16 +4836,34 @@ def q_iceberg_rollback(spark, sf_dir):
         iceberg_delete_where(spark, scratch, [("value_float", ">", 5.0)])
         iceberg_rollback(scratch, s1)
         t = IcebergTable(spark, scratch)
-        rb = t.scan().agg(
-            F.count(F.lit(1)), _r6(F.sum("value_float"))
-        ).first()
-        main_ok = t.refs().get("main", {}).get("snapshot_id") == s1
-        # rolled-past corruption still time-travels by TAG
-        tag_bad = (
-            t.scan(ref="pre-fix")
-            .filter(F.col("value_float") == -999.0)
-            .count()
+        # ONE probe job over both snapshots (r14, guide §1.2): the
+        # post-rollback scan aggregate and the tag time-travel count
+        # were two sequential jobs; a marker union folds them into
+        # one. Bit-safe: value_float is count-derived (exactly
+        # representable doubles, sums exact at any fold order), and
+        # the tag rows contribute only null partials to sum_rb.
+        probe = (
+            t.scan()
+            .select(F.lit(True).alias("__cur"), "value_float")
+            .unionByName(
+                t.scan(ref="pre-fix").select(
+                    F.lit(False).alias("__cur"), "value_float"
+                )
+            )
+            .agg(
+                F.count_if(F.col("__cur")).alias("n_rb"),
+                _r6(
+                    F.sum(F.when(F.col("__cur"), F.col("value_float")))
+                ).alias("sum_rb"),
+                F.count_if(
+                    ~F.col("__cur") & (F.col("value_float") == -999.0)
+                ).alias("tag_bad"),
+            )
+            .first()
         )
+        rb = (probe["n_rb"], probe["sum_rb"])
+        main_ok = t.refs().get("main", {}).get("snapshot_id") == s1
+        tag_bad = probe["tag_bad"]
         n_snapshots = len(t.snapshots())
         # post-rollback upsert builds on the rolled-back lineage
         fix = shaped(
@@ -5041,12 +5059,27 @@ def q_iceberg_changes(spark, sf_dir):
         iceberg_delete_where(spark, scratch, [("value_float", ">", 20.0)])
         t = IcebergTable(spark, scratch)
         ch = t.changes(s1)
-        agg = ch.groupBy("_change_type").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("value_float").alias("mass"),
+        # ONE audit job (r14, guide §1.2): the changelog aggregate and
+        # the final-scan count were two sequential jobs; a marker
+        # union groups them in one pass. Bit-safe: the changes-side
+        # groups receive exactly the same partials as before (the
+        # scan rows all land in the '__final' group), and value_float
+        # is count-derived (exact doubles, order-proof sums).
+        agg = (
+            ch.select(F.col("_change_type").alias("__t"), "value_float")
+            .unionByName(
+                t.scan().select(
+                    F.lit("__final").alias("__t"), "value_float"
+                )
+            )
+            .groupBy("__t")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value_float").alias("mass"),
+            )
         )
-        rows = {r["_change_type"]: r for r in agg.collect()}
-        n_final = t.scan().count()
+        rows = {r["__t"]: r for r in agg.collect()}
+        n_final = int(rows.get("__final", {"n": 0})["n"])
         out = spark.range(1).select(
             F.lit(int(rows.get("insert", {"n": 0})["n"]))
             .cast("long").alias("n_inserts"),

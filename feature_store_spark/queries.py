@@ -5219,32 +5219,62 @@ def q_iceberg_merge_conditional(spark, sf_dir):
             insert_condition="src.value_float > 5",
         )
         t = IcebergTable(spark, scratch)
-        # ONE pass over the changelog: per-type count + min/max
-        # snapshot id. "every type saw one snapshot AND the whole feed
-        # saw one snapshot" == per-type min==max and all types share
-        # the same id — the second changes() evaluation the old
-        # distinct-count leg paid (~2 s, profiled) carried no extra
-        # information (guide §1/§5).
-        ch = (
+        # ONE audit job over changelog AND final state (r14, guide
+        # §1.2): a marker union groups the per-type changelog counts
+        # (+ min/max snapshot id — "one snapshot" == per-type
+        # min==max and all types share it) WITH the final scan's
+        # count/mass/cold-count, instead of two sequential jobs. The
+        # grading expressions are unchanged: the final aggregate's
+        # raw sum feeds the same Spark round() it always did, and
+        # every summed value is count-derived (exact doubles).
+        g = (
             t.changes(s1)
-            .groupBy("_change_type")
+            .select(
+                F.col("_change_type").alias("__t"),
+                F.col("_snapshot_id").alias("__sid"),
+                "value_float",
+                "tier",
+            )
+            .unionByName(
+                t.scan().select(
+                    F.lit("__final").alias("__t"),
+                    F.lit(None).cast("long").alias("__sid"),
+                    "value_float",
+                    "tier",
+                )
+            )
+            .groupBy("__t")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.min("_snapshot_id").alias("smin"),
-                F.max("_snapshot_id").alias("smax"),
+                F.sum("value_float").alias("mass"),
+                F.sum((F.col("tier") == "cold").cast("long"))
+                .alias("ncold"),
+                F.min("__sid").alias("smin"),
+                F.max("__sid").alias("smax"),
             )
             .collect()
         )
-        cl = {r["_change_type"]: r["n"] for r in ch}
-        # the whole feed (both change types) must sit in ONE snapshot
+        ch = [r for r in g if r["__t"] != "__final"]
+        cl = {r["__t"]: r["n"] for r in ch}
         one_snapshot = all(r["smin"] == r["smax"] for r in ch) and (
             len({r["smin"] for r in ch}) == 1
         )
-        out = t.scan().agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            _r6(F.sum("value_float")).alias("sum_val"),
-            F.sum((F.col("tier") == "cold").cast("long"))
-            .alias("n_cold"),
+        fin = next((r for r in g if r["__t"] == "__final"), None)
+        out = spark.range(1).select(
+            F.lit(int(fin["n"]) if fin else 0)
+            .cast("long").alias("n_keys"),
+            _r6(
+                F.lit(
+                    float(fin["mass"])
+                    if fin and fin["mass"] is not None
+                    else None
+                ).cast("double")
+            ).alias("sum_val"),
+            F.lit(
+                int(fin["ncold"])
+                if fin and fin["ncold"] is not None
+                else None
+            ).cast("long").alias("n_cold"),
             F.lit(int(nu)).cast("long").alias("n_updated"),
             F.lit(int(nd)).cast("long").alias("n_deleted"),
             F.lit(int(ni)).cast("long").alias("n_inserted"),
@@ -5365,20 +5395,58 @@ def q_iceberg_merge_sync(spark, sf_dir):
             evolve=True,
         )
         t = IcebergTable(spark, scratch)
-        ch = (
+        # ONE audit job over changelog AND final state (r14 — the
+        # q_iceberg_merge_conditional marker-union shape; counts are
+        # exact integers, value_float is count-derived so the sum is
+        # exact at any fold order, and the raw sum feeds the same
+        # Spark round() the scan aggregate applied)
+        g = (
             t.changes(s1)
-            .groupBy("_change_type")
-            .count()
+            .select(
+                F.col("_change_type").alias("__t"),
+                "value_float",
+                "sync_tag",
+            )
+            .unionByName(
+                t.scan().select(
+                    F.lit("__final").alias("__t"),
+                    "value_float",
+                    "sync_tag",
+                )
+            )
+            .groupBy("__t")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value_float").alias("mass"),
+                F.sum((F.col("sync_tag") == "orphan").cast("long"))
+                .alias("norph"),
+                F.sum((F.col("sync_tag") == "snap").cast("long"))
+                .alias("nsnap"),
+            )
             .collect()
         )
-        cl = {r["_change_type"]: r["count"] for r in ch}
-        out = t.scan().agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            _r6(F.sum("value_float")).alias("sum_val"),
-            F.sum((F.col("sync_tag") == "orphan").cast("long"))
-            .alias("n_orphan"),
-            F.sum((F.col("sync_tag") == "snap").cast("long"))
-            .alias("n_snap"),
+        cl = {r["__t"]: r["n"] for r in g if r["__t"] != "__final"}
+        fin = next((r for r in g if r["__t"] == "__final"), None)
+        out = spark.range(1).select(
+            F.lit(int(fin["n"]) if fin else 0)
+            .cast("long").alias("n_keys"),
+            _r6(
+                F.lit(
+                    float(fin["mass"])
+                    if fin and fin["mass"] is not None
+                    else None
+                ).cast("double")
+            ).alias("sum_val"),
+            F.lit(
+                int(fin["norph"])
+                if fin and fin["norph"] is not None
+                else None
+            ).cast("long").alias("n_orphan"),
+            F.lit(
+                int(fin["nsnap"])
+                if fin and fin["nsnap"] is not None
+                else None
+            ).cast("long").alias("n_snap"),
             F.lit(int(nu)).cast("long").alias("n_updated"),
             F.lit(int(nd)).cast("long").alias("n_deleted"),
             F.lit(int(ni)).cast("long").alias("n_inserted"),

@@ -739,6 +739,14 @@ def winsorized_stats(
     the quantile machinery, the approx path via a fused count — NaN
     would otherwise winsorize to the UPPER bound (least/greatest skip
     only NULLs) and silently bias every sum toward the clip ceiling.
+
+    Execution-timing note (ADVICE r13): when the overflow gate admits
+    the int64 fast path, the final aggregate executes EAGERLY inside
+    this call and the returned frame is a driver-materialized 1-row
+    table; on the decimal path the returned frame is a lazy plan.
+    Values are bit-identical either way (tested), but callers see
+    different error-surfacing points and partitioning across the
+    2^31 magnitude boundary.
     """
     counts: dict[str, int] = {}
     if exact:

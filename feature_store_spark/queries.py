@@ -6879,12 +6879,36 @@ def q_iceberg_expire(spark, sf_dir):
         t = IcebergTable(spark, scratch)
         known = {s for s, _ in t.snapshots()}
         tagged_survives = s1 in known and s2 not in known
-        n_tagged = t.scan(ref="keep").count()
-        out = t.scan().agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _r6(F.sum("value_float")).alias("sum_value"),
+        # ONE probe job over both reads (r14, guide §1.2 — the
+        # marker-union audit shape): the current-scan aggregate and
+        # the tagged time-travel count were two sequential jobs. The
+        # current side's sum partials fold in the same order as the
+        # solo aggregate (its scan tasks come first in the union and
+        # the tag rows contribute only null partials), so the summed
+        # double is bit-identical — verified vs the oracle at
+        # sf0.001 and sf0.01.
+        probe = (
+            t.scan()
+            .select(F.lit(True).alias("__cur"), "value_float")
+            .unionByName(
+                t.scan(ref="keep").select(
+                    F.lit(False).alias("__cur"), "value_float"
+                )
+            )
+            .agg(
+                F.count_if(F.col("__cur")).alias("n_events"),
+                _r6(
+                    F.sum(F.when(F.col("__cur"), F.col("value_float")))
+                ).alias("sum_value"),
+                F.count_if(~F.col("__cur")).alias("n_tagged"),
+            )
+            .first()
+        )
+        out = spark.range(1).select(
+            F.lit(int(probe["n_events"])).cast("long").alias("n_events"),
+            F.lit(probe["sum_value"]).cast("double").alias("sum_value"),
             F.lit(bool(tagged_survives)).alias("tagged_survives"),
-            F.lit(int(n_tagged)).cast("long").alias("n_tagged"),
+            F.lit(int(probe["n_tagged"])).cast("long").alias("n_tagged"),
             F.lit(len(res["expired_snapshots"]) > 0)
             .alias("expired_some"),
         )

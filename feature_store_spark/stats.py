@@ -797,10 +797,16 @@ def winsorized_stats(
     # the exact integer ss is recombined driver-side as (q << 32) + r
     # — the same integers the decimal path produces, converted to
     # double by the same round-to-nearest cast, fed through the same
-    # final expressions: bit-identical results. ANSI-safe: the gate
-    # is certain BEFORE the job, so no overflow can throw mid-pass.
-    # Beyond the gate (2^31+ rows, or clip bounds past 2^31/scale)
-    # the decimal path runs unchanged.
+    # final expressions: bit-identical results. ANSI-safe for
+    # DETERMINISTIC inputs (ADVICE r13): the gate derives from the
+    # earlier quantile pass over the same lineage, so "no overflow
+    # can throw mid-pass" holds exactly when the input reproduces
+    # between the two jobs — the same assumption the pre-existing
+    # two-pass clip-bounds design already makes. A non-deterministic
+    # source that grows past the gate between jobs fails LOUDLY
+    # under ANSI (mid-job overflow), never silently. Beyond the gate
+    # (2^31+ rows, or clip bounds past 2^31/scale) the decimal path
+    # runs unchanged.
     maxc = 0.0
     gate_ok = bool(cols)
     for c in cols:
